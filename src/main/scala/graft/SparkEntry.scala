@@ -1,13 +1,188 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Cmp, Metric, VecStore}
+import graft.functions.vectors
+
+/** Driver contract — one named query per implemented operator
+  * (SURVEY.md §2), each with a DuckDB-equivalent oracle SQL where
+  * ANSI-expressible.
+  *
+  * Oracle determinism rules (SURVEY.md §7.4): every query emits a total
+  * deterministic order (unique tiebreak column last), quantizes float
+  * scores to 4 decimals half-up (`+ 0.0` normalizes IEEE -0.0), renders
+  * timestamps as `yyyy-MM-dd` strings, and aliases every computed column
+  * identically in the Spark plan and the SQL.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ---- shared fixtures -----------------------------------------------
+
+  /** Deterministic 64-dim query vectors (embedding tables are 64-dim,
+    * ~unit-norm — TESTDATA.md). Literal doubles round-trip exactly through
+    * `Double.toString`, so the SQL literal parses to identical bits. */
+  private[graft] val Q1: Seq[Double] = (0 until 64).map(i => math.sin(i + 1.0))
+  private[graft] val Q2: Seq[Double] = (0 until 64).map(i => math.cos(2.0 * i + 1.0))
+
+  private[graft] def table(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def embStore(s: SparkSession, dir: String): VecStore =
+    VecStore(table(s, dir, "embeddings"), idCol = "vec_id", vecCol = "embedding")
+
+  // ---- DuckDB SQL snippet builders ------------------------------------
+
+  private def sqlVec(q: Seq[Double]): String =
+    q.mkString("[", ", ", "]::DOUBLE[]")
+
+  private val E = "CAST(embedding AS DOUBLE[])"
+
+  /** Cosine score vs a literal query, matching graft.functions.vectors
+    * semantics: dot * invnorm(store) * invnorm(query), zero vector → 0. The
+    * query inverse norm is injected as the SAME Scala-computed double
+    * literal the Spark plan uses. */
+  private def sqlCosine(q: Seq[Double]): String = {
+    val n = s"list_dot_product($E, $E)"
+    s"(list_dot_product($E, ${sqlVec(q)})" +
+      s" * (CASE WHEN $n > 0 THEN 1.0/sqrt($n) ELSE 0.0 END)" +
+      s" * ${vectors.invNormOf(q)})"
+  }
+
+  private def sqlDot(q: Seq[Double]): String =
+    s"list_dot_product($E, ${sqlVec(q)})"
+
+  /** Squared L2 as sum((x-y)^2) — same fold as the Spark expression; NOT
+    * the norm expansion (cancellation on near-dups). */
+  private def sqlL2sq(q: Seq[Double]): String =
+    s"list_sum(list_transform(list_zip($E, ${sqlVec(q)}), x -> (x[1]-x[2])*(x[1]-x[2])))"
+
+  private def r4(e: String): String = s"round($e, 4) + 0.0"
+
+  // ---- the flagship ----------------------------------------------------
+
+  /** Flagship query on sf0.001: metadata-filtered cosine top-10 joined
+    * back to document metadata — the reference's headline path
+    * (README.md:59-136) expressed Spark-first. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val docs = table(spark, dir, "documents")
+    val hits = embStore(spark, dir)
+      .query(Q1, Metric.Cosine)
+      .metaFilter(col("label") >= 2)
+      .take(10)
+      .withScoreRounding(4)
+      .collect()
+    hits.join(broadcast(docs), hits("vec_id") === docs("doc_id"))
+      .select(hits("vec_id"), hits("score"), docs("lang"), docs("source"))
+      .orderBy(col("score").desc, col("vec_id"))
+  }
+
+  // ---- registered operators -------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.3/§2.4: cosine scoring + metadata filter + top-k
+    "vec_cosine_topk" -> ((s, dir) =>
+      embStore(s, dir)
+        .query(Q1, Metric.Cosine)
+        .metaFilter(col("label") >= 2)
+        .take(10)
+        .withScoreRounding(4)
+        .collect()),
+
+    // §2.3: dot-product scoring, no filter
+    "vec_dot_topk" -> ((s, dir) =>
+      embStore(s, dir)
+        .query(Q1, Metric.DotProduct)
+        .take(10)
+        .withScoreRounding(4)
+        .collect()),
+
+    // §2.3/§2.4: SQUARED euclidean, metric-default ascending take
+    "vec_l2_topk" -> ((s, dir) =>
+      embStore(s, dir)
+        .query(Q1, Metric.Euclidean)
+        .take(10)
+        .withScoreRounding(4)
+        .collect()),
+
+    // §2.5: score threshold filter, default k = all rows
+    "vec_score_filter" -> ((s, dir) =>
+      embStore(s, dir)
+        .query(Q1, Metric.Cosine)
+        .vecFilter(0.15, Cmp.Gt)
+        .withScoreRounding(4)
+        .collect()),
+
+    // §2.6: batch query with GLOBAL top-k merge (one pool, not per-query)
+    "vec_batch_merge" -> ((s, dir) =>
+      embStore(s, dir)
+        .queryBatch(Seq(Q1, Q2), Metric.Cosine)
+        .take(10)
+        .withScoreRounding(4)
+        .collect()),
+
+    // §2.2: typed predicate surface (int/double/string/timestamp, AND/OR)
+    "meta_filter_pred" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .filter(col("l_quantity") > 30 &&
+          (col("l_returnflag") === "A" || col("l_returnflag") === "R") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+        // order by every output column for a total deterministic order.
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("ship_date"),
+          col("l_quantity"), col("l_returnflag")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "vec_cosine_topk" ->
+      s"""WITH s AS (
+         |  SELECT vec_id, label, ${r4(sqlCosine(Q1))} AS score
+         |  FROM embeddings WHERE label >= 2
+         |)
+         |SELECT vec_id, score, label FROM s
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
+    "vec_dot_topk" ->
+      s"""WITH s AS (
+         |  SELECT vec_id, label, ${r4(sqlDot(Q1))} AS score FROM embeddings
+         |)
+         |SELECT vec_id, score, label FROM s
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
+    "vec_l2_topk" ->
+      s"""WITH s AS (
+         |  SELECT vec_id, label, ${r4(sqlL2sq(Q1))} AS score FROM embeddings
+         |)
+         |SELECT vec_id, score, label FROM s
+         |ORDER BY score ASC, vec_id LIMIT 10""".stripMargin,
+
+    "vec_score_filter" ->
+      s"""WITH s AS (
+         |  SELECT vec_id, label, ${r4(sqlCosine(Q1))} AS score FROM embeddings
+         |)
+         |SELECT vec_id, score, label FROM s WHERE score > 0.15
+         |ORDER BY score DESC, vec_id""".stripMargin,
+
+    "vec_batch_merge" ->
+      s"""WITH s AS (
+         |  SELECT vec_id, label, ${r4(sqlCosine(Q1))} AS score FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id, label, ${r4(sqlCosine(Q2))} AS score FROM embeddings
+         |)
+         |SELECT vec_id, score, label FROM s
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
+    "meta_filter_pred" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+        |       strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+        |FROM lineitem
+        |WHERE l_quantity > 30 AND (l_returnflag = 'A' OR l_returnflag = 'R')
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |ORDER BY l_orderkey, l_linenumber, ship_date, l_quantity, l_returnflag""".stripMargin
+  )
 }

@@ -1,0 +1,33 @@
+package graft.core
+
+/** Scoring metric. Mirrors the reference's closed `Metric` enum
+  * (/root/reference/src/vec.rs:11-16).
+  *
+  * Semantics preserved from the reference:
+  *   - `Euclidean` is SQUARED L2 — no sqrt (vec_compute.rs:34-54).
+  *   - Default top-k direction is metric-inferred (vec.rs:92-98):
+  *     Euclidean → smallest-first, Cosine/DotProduct → largest-first.
+  */
+sealed trait Metric { def defaultTake: TakeType }
+object Metric {
+  case object Cosine extends Metric { val defaultTake: TakeType = TakeType.Max }
+  case object Euclidean extends Metric { val defaultTake: TakeType = TakeType.Min }
+  case object DotProduct extends Metric { val defaultTake: TakeType = TakeType.Max }
+}
+
+/** Top-k direction (/root/reference/src/vec.rs:18-22). */
+sealed trait TakeType
+object TakeType {
+  case object Min extends TakeType
+  case object Max extends TakeType
+}
+
+/** Score-filter comparison operators (/root/reference/src/vec.rs:24-31). */
+sealed trait Cmp
+object Cmp {
+  case object Lt extends Cmp
+  case object Lte extends Cmp
+  case object Gt extends Cmp
+  case object Gte extends Cmp
+  case object Eq extends Cmp
+}

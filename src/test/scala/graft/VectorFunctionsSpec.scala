@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.vectors._
+
+/** Scoring-kernel semantics, mirroring the reference's hand-computed cases
+  * (/root/reference/tests/vec_store_tests.rs — see FIXTURES.md §A1). */
+class VectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def scores(vs: Seq[Seq[Double]], expr: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Seq[Double] =
+    vs.toDF("v").select(expr(col("v")).as("s")).as[Double].collect().toSeq
+
+  test("cosine: parallel / anti-parallel / orthogonal / 45-degree") {
+    val vs = Seq(Seq(1.0, 0.0), Seq(-1.0, 0.0), Seq(0.0, 1.0), Seq(1.0, 1.0))
+    val q = vecLit(Seq(1.0, 0.0))
+    val got = scores(vs, v => cosineSimilarity(v, q))
+    val exp = Seq(1.0, -1.0, 0.0, math.sqrt(2) / 2)
+    got.zip(exp).foreach { case (g, e) => assert(math.abs(g - e) < 1e-12, s"$g vs $e") }
+  }
+
+  test("euclidean is SQUARED L2 — 3-4-5 triangle stays 25, no sqrt") {
+    val vs = Seq(Seq(0.0, 0.0), Seq(3.0, 4.0), Seq(1.0, 1.0), Seq(0.0, 5.0), Seq(-3.0, -4.0))
+    val got = scores(vs, v => l2Squared(v, vecLit(Seq(0.0, 0.0))))
+    assert(got == Seq(0.0, 25.0, 2.0, 25.0, 25.0))
+  }
+
+  test("dot products vs hand-computed values") {
+    val vs = Seq(Seq(2.0, 3.0, 1.0), Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0),
+      Seq(0.0, 0.0, 1.0), Seq(-1.0, 0.0, 0.0), Seq(1.0, 1.0, 1.0))
+    val got = scores(vs, v => dotProduct(v, vecLit(Seq(2.0, 3.0, 1.0))))
+    assert(got == Seq(14.0, 2.0, 3.0, 1.0, -2.0, 6.0))
+  }
+
+  test("zero vector: cosine scores 0.0, never NaN (ref vec.rs:365-368)") {
+    val got = scores(Seq(Seq(0.0, 0.0), Seq(1.0, 0.0)),
+      v => cosineSimilarity(v, vecLit(Seq(0.0, 0.0))))
+    assert(got == Seq(0.0, 0.0))
+    val inv = scores(Seq(Seq(0.0, 0.0)), v => invNorm(v))
+    assert(inv == Seq(0.0))
+  }
+
+  test("float input arrays are upcast to double before accumulation") {
+    val df = Seq(Tuple1(Seq(0.1f, 0.2f))).toDF("v")
+    val s = df.select(dotProduct(col("v"), col("v")).as("s")).as[Double].head()
+    // f32 0.1/0.2 widened to double, then double math
+    assert(math.abs(s - (0.1f.toDouble * 0.1f.toDouble + 0.2f.toDouble * 0.2f.toDouble)) == 0.0)
+  }
+
+  test("invNormOf matches the column expression fold") {
+    val q = Seq(0.3, -1.7, 2.9, 0.0001)
+    val colInv = scores(Seq(q), v => invNorm(v)).head
+    assert(math.abs(colInv - invNormOf(q)) < 1e-15)
+  }
+}
