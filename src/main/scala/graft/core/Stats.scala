@@ -1,0 +1,69 @@
+package graft.core
+
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Query observability — the Spark-native `MetaQueryStats`
+  * (/root/reference/src/meta.rs:832-842, stored after each collect at
+  * meta.rs:711-721).
+  *
+  * The reference counts pruned/evaluated chunks and vectors compared; the
+  * Spark analog is the file-scan metrics Catalyst already maintains:
+  * `numOutputRows` on the scan node = rows that survived row-group
+  * (zonemap) pruning and reached the filter, `numFiles`/`filesSize` = I/O
+  * actually touched. A listener snapshot after each action plays the role
+  * of the reference's `RefCell<Option<MetaQueryStats>>`.
+  */
+final case class QueryStats(
+    durationMs: Long,
+    scannedRows: Long,
+    filesRead: Long,
+    bytesRead: Long,
+    scans: Int) {
+  def pretty: String =
+    f"QueryStats: $durationMs%d ms, $scannedRows%d rows scanned, " +
+      f"$filesRead%d files, $bytesRead%d bytes, $scans%d scan(s)"
+}
+
+final class GraftStatsListener extends QueryExecutionListener {
+  private val last = new AtomicReference[Option[QueryStats]](None)
+
+  /** Last completed query's stats (ref `print_last_query_stats`,
+    * meta.rs:546-566). */
+  def lastQueryStats: Option[QueryStats] = last.get()
+
+  private def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+    case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+    case s: FileSourceScanExec    => Seq(s)
+    case other                    => other.children.flatMap(scansOf)
+  }
+
+  override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+    val scans = scansOf(qe.executedPlan)
+    def metric(name: String): Long =
+      scans.flatMap(_.metrics.get(name).map(_.value)).sum
+    last.set(Some(QueryStats(
+      durationMs = durationNs / 1000000,
+      scannedRows = metric("numOutputRows"),
+      filesRead = metric("numFiles"),
+      bytesRead = metric("filesSize"),
+      scans = scans.size)))
+  }
+
+  override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit =
+    last.set(None)
+}
+
+object GraftStatsListener {
+  /** Attach a fresh listener to the session and return it. */
+  def attach(spark: SparkSession): GraftStatsListener = {
+    val l = new GraftStatsListener
+    spark.listenerManager.register(l)
+    l
+  }
+}

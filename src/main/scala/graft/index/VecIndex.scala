@@ -1,0 +1,114 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.VecStore
+import graft.functions.vectors
+
+/** Index build — the Spark-native `MetaStoreBuilder::build`
+  * (/root/reference/src/meta.rs:151-305).
+  *
+  * The reference's physical machinery maps 1:1 onto Parquet layout, so the
+  * "index" is a Parquet dataset written with deliberate physical options:
+  *
+  *   - fixed-size row chunks carrying zonemaps (meta_compute.rs:134-140) →
+  *     Parquet ROW GROUPS, whose min/max/null-count statistics the
+  *     vectorized scan uses to skip whole groups when a predicate is
+  *     pushed down (the reference's chunk pruning, meta.rs:407-544);
+  *   - `with_chunk_size` (meta.rs:85-89) → `parquet.block.size` (bytes per
+  *     row group) + an explicit range-partition/sort on the metadata
+  *     columns users filter on, so each row group covers a NARROW value
+  *     range and min/max pruning actually bites;
+  *   - per-chunk string Bloom filters (`with_bloom_fpr`/`with_bloom_bits`,
+  *     meta.rs:91-110) → Parquet column Bloom filters
+  *     (`parquet.bloom.filter.enabled#col`);
+  *   - precomputed per-row inverse norms (vec.rs:365-368) → a persisted
+  *     `inv_norm` double column, so cosine queries skip the per-row norm
+  *     entirely (`cosineWithInvNorms`).
+  *
+  * At cluster scale the sort is what makes the difference: a 100 TB store
+  * range-partitioned on the hot filter columns turns every selective query
+  * into a scan of a handful of files instead of the full dataset —
+  * partition pruning and row-group pruning compose.
+  */
+object VecIndex {
+
+  /** Name of the persisted inverse-norm column. */
+  val InvNormCol = "inv_norm"
+
+  final case class BuildOptions(
+      /** Metadata columns to range-partition + sort by; drives both file
+        * and row-group zonemap locality (reference chunk locality). */
+      sortBy: Seq[String] = Nil,
+      /** String columns to emit Parquet Bloom filters for (reference
+        * per-chunk blooms, meta.rs:91-110). */
+      bloomCols: Seq[String] = Nil,
+      /** Expected distinct values per bloom column (sizes the filter —
+        * the reference sizes via fpr/bits, meta.rs:93-110). */
+      bloomNdv: Long = 100000L,
+      /** Bytes per Parquet row group ≈ reference chunk_size. Default 16 MB
+        * keeps row groups fine-grained enough to prune well while staying
+        * large enough for vectorized scans. */
+      rowGroupBytes: Long = 16L * 1024 * 1024,
+      /** Output files; at cluster scale set ≈ dataset_bytes / 512 MB. */
+      numFiles: Option[Int] = None)
+
+  final case class BuildStats(rows: Long, dim: Int, buildMs: Long, path: String)
+
+  /** Write `df` as a search-ready index at `path` and return the opened
+    * store + build stats (reference `MetaBuildStats`, meta.rs:844-852). */
+  def build(
+      df: DataFrame,
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      opts: BuildOptions = BuildOptions()): (VecStore, BuildStats) = {
+    val t0 = System.nanoTime()
+
+    // Validate uniform dimension up front (reference validates every
+    // vector at ingest, vec.rs:357-372) — one tiny agg, not a collect of
+    // the data itself.
+    val dims = df.select(size(col(vecCol)).as("d")).where(col("d").isNotNull)
+      .agg(min("d").as("lo"), max("d").as("hi"), count(lit(1)).as("n")).head()
+    val (lo, hi, n) = (dims.getInt(0), dims.getInt(1), dims.getLong(2))
+    require(lo == hi, s"embedding dimension must be uniform, found [$lo, $hi]")
+
+    val withInv = df.withColumn(InvNormCol, vectors.invNorm(col(vecCol)))
+
+    // Range-partition + sort so zonemaps are tight per row group AND per
+    // file. repartitionByRange is a full shuffle — an index build is a
+    // one-time cost amortized over every query (same trade as the
+    // reference's build step).
+    val laidOut = opts.sortBy match {
+      case Nil => withInv
+      case cols =>
+        val parts = opts.numFiles.getOrElse(df.sparkSession.sparkContext.defaultParallelism)
+        withInv.repartitionByRange(parts, cols.map(col): _*)
+          .sortWithinPartitions(cols.map(col): _*)
+    }
+
+    var writer = laidOut.write.mode(SaveMode.Overwrite)
+      .option("parquet.block.size", opts.rowGroupBytes.toString)
+    opts.bloomCols.foreach { c =>
+      writer = writer
+        .option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", opts.bloomNdv.toString)
+    }
+    writer.parquet(path)
+
+    val store = load(df.sparkSession, path, idCol, vecCol)
+    (store, BuildStats(n, lo, (System.nanoTime() - t0) / 1000000, path))
+  }
+
+  /** Open a previously built index. */
+  def load(
+      spark: SparkSession,
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): VecStore = {
+    val df = spark.read.parquet(path)
+    val inv = if (df.columns.contains(InvNormCol)) Some(InvNormCol) else None
+    VecStore(df, idCol, vecCol, inv)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{GraftStatsListener, Metric, VecStore}
+import graft.index.VecIndex
+
+/** Index build + load + stats (ref MetaStoreBuilder::build,
+  * meta.rs:151-305, and MetaQueryStats, meta.rs:832-842). */
+class VecIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val tmp = Files.createTempDirectory("graft-index-").toString
+
+  test("build persists inv_norm; indexed search equals direct search") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val (store, stats) = VecIndex.build(df, s"$tmp/emb_idx",
+      opts = VecIndex.BuildOptions(sortBy = Seq("label")))
+    assert(stats.rows == 500 && stats.dim == 64)
+    assert(store.invNormCol.contains("inv_norm"))
+
+    val q = (0 until 64).map(i => math.sin(i + 1.0))
+    def run(s: VecStore) = s.query(q, Metric.Cosine)
+      .metaFilter(col("label") >= 2).take(10).withScoreRounding(4)
+      .collect().select("vec_id", "score").as[(Long, Double)].collect().toSeq
+
+    val direct = run(VecStore(df))
+    val indexed = run(store)
+    assert(indexed == direct)
+  }
+
+  test("uniform-dimension validation fails a ragged store") {
+    val bad = Seq((0L, Seq(1.0, 2.0)), (1L, Seq(1.0, 2.0, 3.0))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      VecIndex.build(bad, s"$tmp/bad_idx")
+    }
+    assert(e.getMessage.contains("uniform"))
+  }
+
+  test("sorted index + pushed filter scans fewer rows (zonemap pruning analog)") {
+    // 20k rows, label-correlated layout, small row groups so statistics
+    // pruning is observable — mirrors the reference's zonemap fixture
+    // intent (tests/meta_zonemap_tests.rs:17-67).
+    val n = 20000
+    val df = spark.range(n.toLong).select(
+      col("id").as("vec_id"),
+      (col("id") * 97 % 100).cast("int").as("label"),
+      array(Seq(sin(col("id").cast("double")), cos(col("id").cast("double"))): _*).as("embedding"))
+    val (store, _) = VecIndex.build(df, s"$tmp/pruned_idx",
+      opts = VecIndex.BuildOptions(sortBy = Seq("label"), rowGroupBytes = 64 * 1024, numFiles = Some(8)))
+
+    val listener = GraftStatsListener.attach(spark)
+    try {
+      store.query(Seq(1.0, 0.0), Metric.Cosine)
+        .metaFilter(col("label") === 7).take(5).collect().count()
+      // The listener is invoked asynchronously — poll briefly.
+      var waited = 0
+      while (listener.lastQueryStats.isEmpty && waited < 5000) {
+        Thread.sleep(50); waited += 50
+      }
+      val stats = listener.lastQueryStats
+      assert(stats.isDefined, "listener captured no stats")
+      // 1/100 labels selected; with range layout the scan should touch a
+      // small fraction of rows/files, never the whole store.
+      assert(stats.get.scannedRows < n / 4,
+        s"expected pruned scan, got ${stats.get.pretty}")
+      assert(stats.get.filesRead <= 2,
+        s"expected file pruning via range layout, got ${stats.get.pretty}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+}
