@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.{Cmp, GraftStatsListener, Metric, VecStore}
+import graft.ops.text
+
+/** Runnable end-to-end demo of the public API — the Spark analog of the
+  * reference's examples/demo.rs (/root/reference/examples/demo.rs:1-134):
+  * build/query a vector store with metadata filters, show results, print
+  * query stats, and run the text-analysis ops.
+  *
+  * Usage: sbt "runMain graft.Demo [sfDir]"
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val stats = GraftStatsListener.attach(spark)
+
+    val q = (0 until 64).map(i => math.sin(i + 1.0))
+    val store = VecStore(spark.read.parquet(s"$sfDir/embeddings.parquet"))
+
+    println("== cosine top-5 with metadata filter (label >= 2), score > 0.1 ==")
+    store.query(q, Metric.Cosine)
+      .metaFilter(col("label") >= 2)
+      .vecFilter(0.1, Cmp.Gt)
+      .take(5)
+      .collect()
+      .show(truncate = false)
+    stats.lastQueryStats.foreach(s => println(s.pretty))
+
+    println("== euclidean (squared L2) nearest-3 ==")
+    store.query(q, Metric.Euclidean).take(3).collect().show(false)
+
+    println("== text analysis over documents ==")
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        text.tokenCount(col("text")).as("n_tok"),
+        round(text.qualityScore(col("text")), 3).as("quality"),
+        text.langId(col("text")).as("lang_pred"),
+        text.minShingleFingerprint(col("text")).as("fp"))
+      .orderBy(desc("quality"))
+      .show(5, truncate = false)
+
+    spark.stop()
+  }
+}

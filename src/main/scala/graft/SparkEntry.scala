@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Cmp, Metric, VecStore}
-import graft.functions.vectors
+import graft.functions.{hashing, vectors}
+import graft.ops.text
 
 /** Driver contract — one named query per implemented operator
   * (SURVEY.md §2), each with a DuckDB-equivalent oracle SQL where
@@ -73,6 +74,13 @@ object SparkEntry {
     s"list_sum(list_transform(list_zip($E, ${sqlVec(q)}), x -> (x[1]-x[2])*(x[1]-x[2])))"
 
   private def r4(e: String): String = s"round($e, 4) + 0.0"
+
+  /** DuckDB token-array fragment matching [[text.tokens]]. */
+  private val SqlToks =
+    "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
+
+  private def sqlStopHits(listExpr: String, words: Seq[String]): String =
+    s"len(list_filter($listExpr, t -> t IN (${words.map("'" + _ + "'").mkString(", ")})))"
 
   // ---- the flagship ----------------------------------------------------
 
@@ -160,7 +168,42 @@ object SparkEntry {
         // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
         // order by every output column for a total deterministic order.
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("ship_date"),
-          col("l_quantity"), col("l_returnflag")))
+          col("l_quantity"), col("l_returnflag"))),
+
+    // north-star §7.2#7: token counting (whitespace + BPE-ish regex) and
+    // prose-shape ratios over the documents table — all fused codegen
+    // expressions, no shuffle, scan-parallel at any scale.
+    "text_stats" -> ((s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        text.tokenCount(col("text")).cast("long").as("n_tokens"),
+        text.bpeTokenCount(col("text")).cast("long").as("n_bpe"),
+        (round(text.meanTokenLen(col("text")), 4) + lit(0.0)).as("mean_tok_len"),
+        (round(text.punctuationRatio(col("text")), 4) + lit(0.0)).as("punct_ratio"),
+        (round(text.stopwordRatio(col("text")), 4) + lit(0.0)).as("stopword_ratio"))
+        .orderBy(col("doc_id"))),
+
+    // north-star: composite quality score (usable as a pushed-down scan
+    // filter) + stopword-profile language-ID heuristic.
+    "text_quality_langid" -> ((s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        // floor-based quantization, NOT round(): ratio-of-small-ints scores
+        // sit exactly on .00005 boundaries where Spark (BigDecimal half-up
+        // on the shortest decimal repr) and DuckDB (float rounding)
+        // disagree; floor(x*1e4+0.5)/1e4 is identical IEEE math in both.
+        (floor(text.qualityScore(col("text")) * 10000.0 + 0.5) / 10000.0).as("quality"),
+        text.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
+    // north-star: exact 128-bit content fingerprint + rolling-hash
+    // min-shingle fingerprint (robust to small edits).
+    "text_fingerprint" -> ((s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        text.contentFingerprint(col("text")).as("fp128"),
+        text.minShingleFingerprint(col("text")).as("fp_shingle"))
+        .orderBy(col("doc_id")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -216,6 +259,42 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_quantity > 30 AND (l_returnflag = 'A' OR l_returnflag = 'R')
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
-        |ORDER BY l_orderkey, l_linenumber, ship_date, l_quantity, l_returnflag""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber, ship_date, l_quantity, l_returnflag""".stripMargin,
+
+    "text_stats" ->
+      s"""WITH t AS (SELECT doc_id, text, $SqlToks AS toks FROM documents)
+         |SELECT doc_id,
+         |  len(toks) AS n_tokens,
+         |  len(regexp_extract_all(lower(text), '${text.BpeTokenPattern}')) AS n_bpe,
+         |  round(CASE WHEN len(toks) > 0 THEN list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks) ELSE 0.0 END, 4) + 0.0 AS mean_tok_len,
+         |  round(CASE WHEN length(text) > 0 THEN length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))::DOUBLE / length(text) ELSE 0.0 END, 4) + 0.0 AS punct_ratio,
+         |  round(CASE WHEN len(toks) > 0 THEN ${sqlStopHits("toks", text.EnStop)}::DOUBLE / len(toks) ELSE 0.0 END, 4) + 0.0 AS stopword_ratio
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_quality_langid" ->
+      s"""WITH t AS (SELECT doc_id, text, $SqlToks AS toks FROM documents),
+         |q AS (SELECT doc_id,
+         |  least(len(toks)::DOUBLE / 50.0, 1.0) AS content,
+         |  1.0 - least((CASE WHEN length(text) > 0 THEN length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))::DOUBLE / length(text) ELSE 0.0 END) * 4.0, 1.0) AS clean,
+         |  least((CASE WHEN len(toks) > 0 THEN ${sqlStopHits("toks", text.EnStop)}::DOUBLE / len(toks) ELSE 0.0 END) * 4.0, 1.0) AS prose,
+         |  ${sqlStopHits("toks", text.EnStop)} AS en_hits,
+         |  ${sqlStopHits("toks", text.DeStop)} AS de_hits,
+         |  ${sqlStopHits("toks", text.EsStop)} AS es_hits,
+         |  ${sqlStopHits("toks", text.FrStop)} AS fr_hits
+         |FROM t)
+         |SELECT doc_id,
+         |  floor((content * 0.4 + clean * 0.3 + prose * 0.3) * 10000.0 + 0.5) / 10000.0 AS quality,
+         |  CASE WHEN greatest(en_hits, de_hits, es_hits, fr_hits) < 1 THEN 'und'
+         |       WHEN en_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'en'
+         |       WHEN de_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'de'
+         |       WHEN es_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'es'
+         |       ELSE 'fr' END AS lang_pred
+         |FROM q ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5(text) AS fp128,
+         |  list_min(list_transform(range(1, length(text) - 6), i -> ${hashing.sqlH32("substr(text, i, 8)")})) AS fp_shingle
+         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

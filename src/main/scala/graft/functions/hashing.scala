@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Engine-portable deterministic hashing.
+  *
+  * Dedup / fingerprint / LSH operators need a hash that is (a) stable
+  * across JVM versions and cluster restarts, (b) cheap, and (c)
+  * reproducible in other engines so results can be oracle-checked. Spark's
+  * built-in `hash()`/`xxhash64()` are stable but not portable; instead we
+  * derive 32-bit hashes from the first 8 hex chars of MD5, which every
+  * engine computes identically over UTF-8 bytes.
+  *
+  * MD5 here is a content fingerprint, not a security boundary. The
+  * reference uses non-cryptographic Bloom hashing for the same purpose
+  * (/root/reference/src/meta.rs:91-110, `fastbloom`).
+  *
+  * All of this stays inside whole-stage codegen (built-in `md5`/`conv`
+  * expressions — no UDFs), so it runs at full speed on a 1000-executor
+  * scan.
+  */
+object hashing {
+
+  /** Unsigned 32-bit hash of a string column as a LongType in [0, 2^32).
+    * Portable definition: `int(md5(utf8(s))[0:8 hex], 16)`. */
+  def h32(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /** Independent hash family member: mixes a salt into the input.
+    * `h32s(c, j) = h32(c || '#' || j)`. */
+  def h32s(c: Column, salt: Int): Column =
+    h32(concat(c, lit("#" + salt)))
+
+  /** Full 128-bit content fingerprint (hex). */
+  def fingerprint128(c: Column): Column = md5(c.cast("binary"))
+
+  /** DuckDB SQL fragment computing the same `h32` over expression `e`. */
+  def sqlH32(e: String): String =
+    s"(('0x' || substr(md5($e), 1, 8))::BIGINT)"
+
+  /** DuckDB SQL fragment for the salted family member. */
+  def sqlH32s(e: String, salt: Int): String =
+    sqlH32(s"($e || '#$salt')")
+}

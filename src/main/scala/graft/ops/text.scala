@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.hashing
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language identification,
+  * and document fingerprinting.
+  *
+  * The reference engine has no scalar text functions (SURVEY.md §2.8) —
+  * these are north-star extensions. Everything here is a pure Catalyst
+  * `Column` expression (built-in functions + higher-order functions, zero
+  * UDFs), so the whole pipeline stays inside whole-stage codegen and
+  * scales linearly with partitions: at 100 TB each executor evaluates the
+  * same fused expression over its parquet split; there is no shuffle in
+  * any per-document computation.
+  */
+object text {
+
+  /** Lowercased whitespace tokens, empties dropped. */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "\\s+"), t => t =!= "")
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword segmentation via regex: runs of letters, runs of
+    * digits, or a single non-alphanumeric symbol — the classic GPT-2-style
+    * pre-tokenizer shape, minus the vocabulary merge step (which needs a
+    * trained vocab, out of scope for an engine primitive). */
+  val BpeTokenPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  def bpeTokens(c: Column): Column =
+    regexp_extract_all(lower(c), lit(BpeTokenPattern), lit(0))
+
+  def bpeTokenCount(c: Column): Column = size(bpeTokens(c))
+
+  /** Mean token length in characters (0.0 for empty docs). */
+  def meanTokenLen(c: Column): Column = {
+    val ts = tokens(c)
+    when(size(ts) > 0,
+      aggregate(ts, lit(0), (acc, t) => acc + length(t)).cast("double") / size(ts))
+      .otherwise(lit(0.0))
+  }
+
+  /** Fraction of characters that are punctuation/symbols (not
+    * alphanumeric, not whitespace). */
+  def punctuationRatio(c: Column): Column =
+    when(length(c) > 0,
+      length(regexp_replace(lower(c), "[a-z0-9\\s]", "")).cast("double") / length(c))
+      .otherwise(lit(0.0))
+
+  /** Small cross-domain stopword list used by quality scoring and the
+    * language-ID heuristic. */
+  val EnStop = Seq("the", "a", "of", "and", "is", "in", "to")
+  val DeStop = Seq("der", "die", "das", "und", "ist", "ein", "zu")
+  val EsStop = Seq("el", "la", "de", "y", "es", "un", "en")
+  val FrStop = Seq("le", "la", "de", "et", "est", "un", "dans")
+
+  private def hitCount(ts: Column, words: Seq[String]): Column =
+    size(filter(ts, t => t.isin(words: _*)))
+
+  /** Fraction of tokens that are (English) stopwords — a standard prose
+    * signal: natural text has 0.2–0.5, keyword spam ~0. */
+  def stopwordRatio(c: Column): Column = {
+    val ts = tokens(c)
+    when(size(ts) > 0, hitCount(ts, EnStop).cast("double") / size(ts))
+      .otherwise(lit(0.0))
+  }
+
+  /** Composite document quality score in [0,1]:
+    * 0.4·min(tokens/50, 1)  — enough content
+    * + 0.3·(1 − min(4·punctRatio, 1)) — not symbol soup
+    * + 0.3·min(4·stopwordRatio, 1)   — reads like prose.
+    * Weights are a heuristic, not a trained model; the value is that it is
+    * a single fused codegen expression usable as a pushed-down filter at
+    * scan time (`WHERE quality > t` prunes before any downstream work). */
+  def qualityScore(c: Column): Column = {
+    val content = least(tokenCount(c).cast("double") / 50.0, lit(1.0))
+    val clean = lit(1.0) - least(punctuationRatio(c) * 4.0, lit(1.0))
+    val prose = least(stopwordRatio(c) * 4.0, lit(1.0))
+    content * 0.4 + clean * 0.3 + prose * 0.3
+  }
+
+  /** Language-ID heuristic: count stopword hits per language profile and
+    * take the argmax; below `minHits` evidence → "und" (undetermined).
+    * Ties break in fixed order en > de > es > fr. A real system would use
+    * char-n-gram profiles over many languages; the engine primitive is the
+    * same shape — a fused expression, no shuffle, no UDF. */
+  def langId(c: Column, minHits: Int = 1): Column = {
+    val ts = tokens(c)
+    val en = hitCount(ts, EnStop)
+    val de = hitCount(ts, DeStop)
+    val es = hitCount(ts, EsStop)
+    val fr = hitCount(ts, FrStop)
+    val top = greatest(en, de, es, fr)
+    when(top < minHits, lit("und"))
+      .when(en === top, lit("en"))
+      .when(de === top, lit("de"))
+      .when(es === top, lit("es"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Character n-gram shingles of a string (empty array when the text is
+    * shorter than n). */
+  def charShingles(c: Column, n: Int): Column =
+    when(length(c) >= n,
+      transform(sequence(lit(1), length(c) - (n - 1)), i => c.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Rolling-hash document fingerprint: the minimum portable 32-bit hash
+    * over all character 8-gram shingles (winnowing with one global window
+    * — robust to small edits anywhere in the document, unlike `md5(text)`
+    * which flips on a single byte). NULL for texts shorter than 8 chars. */
+  def minShingleFingerprint(c: Column, n: Int = 8): Column =
+    array_min(transform(charShingles(c, n), s => hashing.h32(s)))
+
+  /** Exact 128-bit content fingerprint (hex md5). */
+  def contentFingerprint(c: Column): Column = hashing.fingerprint128(c)
+}

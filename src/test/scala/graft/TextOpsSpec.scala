@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.text
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(s: String) = Seq(s).toDF("text")
+
+  test("tokenCount: whitespace split, empties dropped, case-insensitive") {
+    val df = one("The  quick\tbrown\nfox ").select(
+      text.tokenCount(col("text")).as("n"),
+      text.tokens(col("text")).as("ts"))
+    val r = df.head()
+    assert(r.getInt(0) == 4)
+    assert(r.getSeq[String](1) == Seq("the", "quick", "brown", "fox"))
+    assert(one("").select(text.tokenCount(col("text"))).head().getInt(0) == 0)
+  }
+
+  test("bpeTokenCount: letter runs, digit runs, single symbols") {
+    // "gpt2-style!" -> [gpt][2][-][style][!]
+    val n = one("gpt2-style!").select(text.bpeTokenCount(col("text"))).head().getInt(0)
+    assert(n == 5)
+  }
+
+  test("ratios: punctuation and stopword fractions") {
+    val df = one("the cat!!").select(
+      text.punctuationRatio(col("text")).as("p"),
+      text.stopwordRatio(col("text")).as("s"),
+      text.meanTokenLen(col("text")).as("m"))
+    val r = df.head()
+    assert(math.abs(r.getDouble(0) - 2.0 / 9.0) < 1e-12)  // 2 of 9 chars
+    assert(math.abs(r.getDouble(1) - 0.5) < 1e-12)         // "the" of 2 tokens
+    assert(math.abs(r.getDouble(2) - 4.0) < 1e-12)         // (3 + 5)/2
+  }
+
+  test("qualityScore stays in [0,1]; empty text scores low, prose higher") {
+    val scores = Seq("", "a!!! b@@@ c###",
+      "the cat and the dog sat in the house of the king and a mouse is in the hall")
+      .toDF("text").select(text.qualityScore(col("text")).as("q"))
+      .collect().map(_.getDouble(0))
+    assert(scores.forall(q => q >= 0.0 && q <= 1.0))
+    assert(scores(2) > scores(1) && scores(2) > scores(0))
+  }
+
+  test("langId picks the dominant stopword profile; no evidence -> und") {
+    val df = Seq(
+      "the cat is of the dog and a house",
+      "der hund und die katze ist ein tier",
+      "el gato y la casa es un animal",
+      "le chat et la maison est un animal dans paris",
+      "xyzzy qwerty asdf").toDF("text")
+      .select(text.langId(col("text")).as("l"))
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      Seq("en", "de", "es", "fr", "und"))
+  }
+
+  test("charShingles: count and content; short text -> empty") {
+    val r = one("abcdef").select(text.charShingles(col("text"), 4).as("s")).head()
+    assert(r.getSeq[String](0) == Seq("abcd", "bcde", "cdef"))
+    val short = one("abc").select(text.charShingles(col("text"), 4).as("s")).head()
+    assert(short.getSeq[String](0).isEmpty)
+  }
+
+  test("fingerprints: md5 flips on any edit; min-shingle survives a distant edit") {
+    val df = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog again and again"),
+      ("b", "the quick brown fox jumps over the lazy dog again and AGAIN"), // tail edit
+      ("c", "completely different content with no shared shingles at all!"))
+      .toDF("id", "text")
+      .select(col("id"), text.contentFingerprint(col("text")).as("fp"),
+        text.minShingleFingerprint(col("text")).as("msf"))
+    val rows = df.collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(rows("a")._1 != rows("b")._1)          // exact fp flips
+    assert(rows("a")._2 == rows("b")._2)          // min-shingle robust to tail edit
+    assert(rows("a")._2 != rows("c")._2)          // but separates real differences
+  }
+}
