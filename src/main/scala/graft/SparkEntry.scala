@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Cmp, Metric, VecStore}
 import graft.functions.{hashing, vectors}
-import graft.ops.text
+import graft.ops.{ann, dedup, text}
 
 /** Driver contract — one named query per implemented operator
   * (SURVEY.md §2), each with a DuckDB-equivalent oracle SQL where
@@ -58,12 +58,19 @@ object SparkEntry {
     * semantics: dot * invnorm(store) * invnorm(query), zero vector → 0. The
     * query inverse norm is injected as the SAME Scala-computed double
     * literal the Spark plan uses. */
-  private def sqlCosine(q: Seq[Double]): String = {
-    val n = s"list_dot_product($E, $E)"
-    s"(list_dot_product($E, ${sqlVec(q)})" +
+  private def sqlCosineOn(e: String, q: Seq[Double]): String = {
+    val n = s"list_dot_product($e, $e)"
+    s"(list_dot_product($e, ${sqlVec(q)})" +
       s" * (CASE WHEN $n > 0 THEN 1.0/sqrt($n) ELSE 0.0 END)" +
       s" * ${vectors.invNormOf(q)})"
   }
+
+  private def sqlCosine(q: Seq[Double]): String = sqlCosineOn(E, q)
+
+  /** DuckDB squared-L2 between two list expressions (same fold as
+    * [[vectors.l2Squared]]). */
+  private def sqlL2Between(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), x -> (x[1]-x[2])*(x[1]-x[2])))"
 
   private def sqlDot(q: Seq[Double]): String =
     s"list_dot_product($E, ${sqlVec(q)})"
@@ -81,6 +88,27 @@ object SparkEntry {
 
   private def sqlStopHits(listExpr: String, words: Seq[String]): String =
     s"len(list_filter($listExpr, t -> t IN (${words.map("'" + _ + "'").mkString(", ")})))"
+
+  /** DuckDB CTE body: distinct word-3-gram shingle sets per document,
+    * matching [[dedup.wordShingles]] (docs with < 3 tokens excluded, as in
+    * [[dedup.minhashed]]). */
+  private val SqlGrams =
+    s"""SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
+       |  i -> array_to_string(list_slice(toks, i, i+2), ' '))) AS grams
+       |FROM (SELECT doc_id, $SqlToks AS toks FROM documents) WHERE len(toks) >= 3""".stripMargin
+
+  /** DuckDB literal for a deterministic hyperplane, from the SAME
+    * JVM-computed doubles the Spark plan embeds (Double.toString
+    * round-trips exactly through DuckDB's literal parser). */
+  private def sqlPlane(t: Int, j: Int, dim: Int): String =
+    ann.hyperplane(t, j, dim).mkString("[", ", ", "]::DOUBLE[]")
+
+  /** DuckDB fragment: packed sign-bit LSH signature of `e` for table `t`
+    * — matches [[ann.lshSignature]]. */
+  private def sqlLshSig(t: Int, nbits: Int, dim: Int): String =
+    (0 until nbits).map(j =>
+      s"(CASE WHEN list_dot_product(e, ${sqlPlane(t, j, dim)}) > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
 
   // ---- the flagship ----------------------------------------------------
 
@@ -203,7 +231,57 @@ object SparkEntry {
         col("doc_id"),
         text.contentFingerprint(col("text")).as("fp128"),
         text.minShingleFingerprint(col("text")).as("fp_shingle"))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // north-star: exact dedup — one hash-partitioned agg on the content
+    // fingerprint (uniform keys, map-side combine; the only shuffle).
+    "dedup_exact" -> ((s, dir) =>
+      dedup.exactGroups(table(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("keep_id"))),
+
+    // north-star: MinHash signatures (k=4 shown as scalar columns) —
+    // shingle + k salted hash minima, all codegen, zero shuffle.
+    "dedup_minhash_sig" -> ((s, dir) =>
+      dedup.minhashed(table(s, dir, "documents"), "text", "doc_id", k = 4)
+        .select(col("doc_id"), col("sig")(0).as("m0"), col("sig")(1).as("m1"),
+          col("sig")(2).as("m2"), col("sig")(3).as("m3"))
+        .orderBy(col("doc_id"))),
+
+    // north-star: MinHash-LSH near-dup pairs (k=16, 8 bands of r=2) with
+    // exact Jaccard rerank at >= 0.5. Candidates only ever materialize
+    // after banding — never O(n^2).
+    "dedup_minhash_pairs" -> ((s, dir) =>
+      dedup.minhashNearDupPairs(table(s, dir, "documents"), "text", "doc_id",
+          threshold = 0.5)
+        .select(col("id_a"), col("id_b"),
+          (floor(col("jacc") * 10000.0 + 0.5) / 10000.0).as("jacc"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // north-star: 16-bit SimHash signatures (explode -> one agg per doc).
+    "dedup_simhash" -> ((s, dir) =>
+      dedup.simhash(table(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("simhash"))
+        .orderBy(col("doc_id"))),
+
+    // north-star: embedding-cosine near-dup via 2x4-bit hyperplane LSH
+    // blocking + exact cosine rerank >= 0.45.
+    "dedup_emb_neardup" -> ((s, dir) =>
+      dedup.embeddingNearDupPairs(table(s, dir, "embeddings"), threshold = 0.45)
+        .select(col("id_a"), col("id_b"), (round(col("cos"), 4) + lit(0.0)).as("cos"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // north-star: LSH-bucketed ANN — scan only the query's 6-bit
+    // hyperplane bucket (~1/64 of the store with a persisted+partitioned
+    // signature), exact cosine rerank inside it.
+    "ann_lsh_topk" -> ((s, dir) =>
+      ann.lshSearch(embStore(s, dir), Q1, k = 5, nbits = 6)),
+
+    // north-star: IVF ANN — nearest-centroid assignment (16 deterministic
+    // seed centroids), probe the 4 centroids closest to the query.
+    "ann_ivf_topk" -> ((s, dir) => {
+      val store = embStore(s, dir)
+      ann.ivfSearch(store, ann.seedCentroids(store.df, 16), Q1, k = 10, nprobe = 4)
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -295,6 +373,79 @@ object SparkEntry {
       s"""SELECT doc_id,
          |  md5(text) AS fp128,
          |  list_min(list_transform(range(1, length(text) - 6), i -> ${hashing.sqlH32("substr(text, i, 8)")})) AS fp_shingle
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS fp128, min(doc_id) AS keep_id, count(*) AS group_size
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "dedup_minhash_sig" ->
+      s"""WITH g AS ($SqlGrams)
+         |SELECT doc_id, ${(0 until 4).map(j =>
+        s"list_min(list_transform(grams, s -> ${hashing.sqlH32(s"(s || '#$j')")})) AS m$j").mkString(", ")}
+         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "dedup_minhash_pairs" ->
+      s"""WITH g AS ($SqlGrams),
+         |sg AS (SELECT doc_id, grams, list_transform(range(0, 16),
+         |  j -> list_min(list_transform(grams, s -> ${hashing.sqlH32("(s || '#' || j::VARCHAR)")}))) AS sig FROM g),
+         |bd AS (SELECT doc_id, grams, i,
+         |  array_to_string(list_transform(list_slice(sig, 2*i+1, 2*i+2), x -> x::VARCHAR), '_') AS key
+         |  FROM sg, range(0, 8) r(i)),
+         |c AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.grams AS ga, b.grams AS gb
+         |  FROM bd a JOIN bd b ON a.i = b.i AND a.key = b.key AND a.doc_id < b.doc_id),
+         |j AS (SELECT id_a, id_b,
+         |  len(list_intersect(ga, gb))::DOUBLE / len(list_distinct(ga || gb)) AS jacc FROM c)
+         |SELECT id_a, id_b, floor(jacc * 10000.0 + 0.5) / 10000.0 AS jacc
+         |FROM j WHERE jacc >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+         |h AS (SELECT doc_id, ${hashing.sqlH32("tk")} AS hv FROM tok),
+         |b AS (SELECT doc_id, ${(0 until 16).map(j =>
+        s"sum(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")}
+         |FROM h GROUP BY doc_id)
+         |SELECT doc_id, (${(0 until 16).map(j =>
+        s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")})::BIGINT AS simhash
+         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "dedup_emb_neardup" ->
+      s"""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |sg AS (SELECT vec_id, e, ${sqlLshSig(0, 4, 64)} AS sig0, ${sqlLshSig(1, 4, 64)} AS sig1 FROM s),
+         |bd AS (SELECT vec_id, e, 0 AS t, sig0 AS key FROM sg
+         |       UNION ALL SELECT vec_id, e, 1, sig1 FROM sg),
+         |c AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bd a JOIN bd b ON a.t = b.t AND a.key = b.key AND a.vec_id < b.vec_id),
+         |p AS (SELECT id_a, id_b,
+         |  list_dot_product(sa.e, sb.e)
+         |  * (CASE WHEN list_dot_product(sa.e, sa.e) > 0 THEN 1.0/sqrt(list_dot_product(sa.e, sa.e)) ELSE 0.0 END)
+         |  * (CASE WHEN list_dot_product(sb.e, sb.e) > 0 THEN 1.0/sqrt(list_dot_product(sb.e, sb.e)) ELSE 0.0 END) AS cos
+         |  FROM c JOIN s sa ON c.id_a = sa.vec_id JOIN s sb ON c.id_b = sb.vec_id)
+         |SELECT id_a, id_b, round(cos, 4) + 0.0 AS cos
+         |FROM p WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin,
+
+    "ann_lsh_topk" ->
+      s"""WITH s AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |b AS (SELECT vec_id, label, e FROM s
+         |  WHERE (${sqlLshSig(0, 6, 64)}) = ${ann.lshSignatureOf(Q1, 0, 6)}),
+         |sc AS (SELECT vec_id, label, ${r4(sqlCosineOn("e", Q1))} AS score FROM b)
+         |SELECT vec_id, score, label FROM sc
+         |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin,
+
+    "ann_ivf_topk" ->
+      s"""WITH s AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e
+         |  FROM (SELECT vec_id, e FROM s ORDER BY vec_id LIMIT 16)),
+         |probe AS (SELECT cid FROM cent
+         |  ORDER BY ${sqlL2Between("e", sqlVec(Q1))}, cid LIMIT 4),
+         |assign AS (SELECT vec_id, label, e FROM (
+         |  SELECT s.vec_id, s.label, s.e, c.cid,
+         |    row_number() OVER (PARTITION BY s.vec_id
+         |      ORDER BY ${sqlL2Between("s.e", "c.e")}, c.cid) AS rn
+         |  FROM s, cent c) WHERE rn = 1 AND cid IN (SELECT cid FROM probe)),
+         |sc AS (SELECT vec_id, label, ${r4(sqlCosineOn("e", Q1))} AS score FROM assign)
+         |SELECT vec_id, score, label FROM sc
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
   )
 }

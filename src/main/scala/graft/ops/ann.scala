@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Metric, VecStore}
+import graft.functions.vectors
+
+/** Approximate nearest-neighbor primitives over an embedding column.
+  *
+  * The reference engine is exact-only by design (README.md:9-12) and its
+  * roadmap explicitly defers ANN; these are north-star extensions for the
+  * 100 TB regime where exact scans of every vector per query stop being
+  * viable. Two classic strategies, both expressed as plain DataFrame
+  * plans so Catalyst handles pushdown/partitioning:
+  *
+  *   - '''Random-hyperplane LSH''' (Charikar, STOC'02): an `nbits`-wide
+  *     signature of `sign(v·h_j)` bits. Equal signatures → high cosine
+  *     with probability `(1 - θ/π)^nbits`. Search = hash the query, scan
+  *     only its bucket, exact-rerank survivors. The signature is a pure
+  *     codegen expression, so at index-build time it can be persisted and
+  *     the store partitioned/sorted by it — turning a query into a
+  *     partition-pruned scan of one bucket.
+  *   - '''IVF''' (inverted-file): assign every vector to its nearest
+  *     centroid; a query probes only the `nprobe` nearest centroid lists.
+  *     Same plan shape: a small broadcast centroid table, an argmin
+  *     assignment, a semi-join on probed centroid ids.
+  *
+  * Both are deterministic (hyperplanes are a fixed `sin`-derived family;
+  * centroids are caller-supplied or data-derived by a fixed rule) so
+  * results are exactly reproducible by an independent engine.
+  */
+object ann {
+
+  /** Deterministic pseudo-random hyperplane `j` of table `t`:
+    * `h[i] = sin(1000·t + 100·j + i)`. Fixed family, no RNG state — any
+    * engine can regenerate it bit-for-bit from (t, j, dim). */
+  def hyperplane(t: Int, j: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(i => math.sin(1000.0 * t + 100.0 * j + i))
+
+  /** LSH signature of a vector column for table `t`: an `nbits`-bit code
+    * packed into a long, bit j = `[v·h_j > 0]`. */
+  def lshSignature(v: Column, t: Int, nbits: Int, dim: Int): Column =
+    (0 until nbits).map { j =>
+      when(vectors.dotProduct(v, vectors.vecLit(hyperplane(t, j, dim))) > 0,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Driver-side signature of a literal query vector (same bit rule). */
+  def lshSignatureOf(q: Seq[Double], t: Int, nbits: Int): Long =
+    (0 until nbits).map { j =>
+      val h = hyperplane(t, j, q.length)
+      val dot = q.zip(h).foldLeft(0.0) { case (acc, (a, b)) => acc + a * b }
+      if (dot > 0) 1L << j else 0L
+    }.sum
+
+  /** LSH-bucketed cosine top-k: scan only vectors whose signature equals
+    * the query's, exact-rerank the bucket. ~`n / 2^nbits` of the data is
+    * scored; with a persisted+partitioned signature column the other
+    * buckets are never even read. */
+  def lshSearch(
+      store: VecStore,
+      q: Seq[Double],
+      k: Int,
+      nbits: Int = 6,
+      table: Int = 0): DataFrame = {
+    val dim = q.length
+    val qSig = lshSignatureOf(q, table, nbits)
+    store.copy(df = store.df
+        .filter(lshSignature(col(store.vecCol), table, nbits, dim) === lit(qSig)))
+      .query(q, Metric.Cosine)
+      .take(k)
+      .withScoreRounding(4)
+      .collect()
+  }
+
+  /** Nearest-centroid assignment: adds `cluster_id` = argmin squared-L2
+    * over the (small, broadcast) centroid table. Ties break on the lower
+    * centroid id. In production this runs once at index build and the
+    * store is written partitioned by `cluster_id`. */
+  def ivfAssign(
+      df: DataFrame,
+      centroids: Seq[(Int, Seq[Double])],
+      vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol)
+    // Argmin over literal centroids with no join and no shuffle: one
+    // distances array, then index-of-first-minimum. (A nested
+    // when(d_b < d_a, ...) fold would duplicate every distance subtree at
+    // each step — exponential expression size; the array form is linear.)
+    // First minimum = lowest centroid id on ties, matching ORDER BY d, cid.
+    val dists = array(centroids.map { case (_, cvec) =>
+      vectors.l2Squared(v, vectors.vecLit(cvec))
+    }: _*)
+    val cids = array(centroids.map { case (cid, _) => lit(cid) }: _*)
+    df.withColumn("_dists", dists)
+      .withColumn("cluster_id",
+        element_at(cids, array_position(col("_dists"), array_min(col("_dists"))).cast("int")))
+      .drop("_dists")
+  }
+
+  /** Deterministic stand-in for trained centroids: the embeddings of the
+    * `k` lowest ids. A real pipeline would k-means; the engine contract
+    * (assignment + probe plan) is identical. */
+  def seedCentroids(
+      df: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Seq[(Int, Seq[Double])] =
+    df.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](0).toIndexedSeq: Seq[Double]) }
+      .toIndexedSeq
+
+  /** IVF cosine top-k: probe the `nprobe` centroids nearest to the query
+    * (by squared L2), score only rows assigned to them. */
+  def ivfSearch(
+      store: VecStore,
+      centroids: Seq[(Int, Seq[Double])],
+      q: Seq[Double],
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val probed = centroids
+      .map { case (cid, cvec) =>
+        val d = cvec.zip(q).foldLeft(0.0) { case (acc, (a, b)) => acc + (a - b) * (a - b) }
+        (cid, d)
+      }
+      .sortBy { case (cid, d) => (d, cid) }
+      .take(nprobe).map(_._1)
+    val assigned = ivfAssign(store.df, centroids, store.vecCol)
+    store.copy(df = assigned.filter(col("cluster_id").isin(probed: _*)).drop("cluster_id"))
+      .query(q, Metric.Cosine)
+      .take(k)
+      .withScoreRounding(4)
+      .collect()
+  }
+}

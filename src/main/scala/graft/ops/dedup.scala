@@ -1,0 +1,247 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{hashing, vectors}
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * The reference engine has none of these (SURVEY.md §2.8) — north-star
+  * extensions. Scale discipline (100 TB): no operator materializes pairs
+  * except AFTER LSH blocking; every stage is a DataFrame plan whose
+  * shuffles are keyed on fingerprints/bucket ids (uniformly distributed by
+  * construction), and exact O(n²) comparison only ever runs within
+  * candidate buckets.
+  *
+  * All hashing is the portable md5-derived family from
+  * [[graft.functions.hashing]], so every result is reproducible by an
+  * independent engine (see the DuckDB oracles in SparkEntry).
+  */
+object dedup {
+
+  // ---- shingling -------------------------------------------------------
+
+  /** Distinct word `n`-gram shingles of lowercased whitespace tokens;
+    * empty array when the document has fewer than `n` tokens. */
+  def wordShingles(c: Column, n: Int = 3): Column = {
+    val ts = text.tokens(c)
+    when(size(ts) >= n,
+      array_distinct(transform(sequence(lit(1), size(ts) - (n - 1)),
+        i => concat_ws(" ", slice(ts, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact Jaccard similarity of two (already-distinct) string-array
+    * columns: |a ∩ b| / |a ∪ b|. */
+  def jaccard(a: Column, b: Column): Column =
+    when(size(array_union(a, b)) > 0,
+      size(array_intersect(a, b)).cast("double") / size(array_union(a, b)))
+      .otherwise(lit(0.0))
+
+  // ---- exact dedup -----------------------------------------------------
+
+  /** Exact duplicate groups by full-content fingerprint: one row per
+    * distinct content with the surviving (minimum) id and the group size.
+    * One hash-partitioned aggregation on the fingerprint — uniform keys,
+    * map-side partial aggregation, no skew. */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(hashing.fingerprint128(col(textCol)).as("fp128"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
+
+  /** Exact dedup: keep the lowest id per distinct content. */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keep = exactGroups(df, textCol, idCol).select(col("keep_id").as(idCol))
+    df.join(keep, idCol)
+  }
+
+  // ---- MinHash + LSH ---------------------------------------------------
+
+  /** MinHash signature: element j = min over shingles s of h32(s ⊕ salt j).
+    * Pure expression — k salted hashes per shingle, folded to k minima,
+    * all inside codegen, no shuffle. */
+  def minhashSignature(grams: Column, k: Int): Column =
+    array((0 until k).map(j =>
+      array_min(transform(grams, g => hashing.h32s(g, j)))): _*)
+
+  /** Documents with their shingle sets and MinHash signatures. Rows with
+    * no shingles (fewer than `n` tokens) are excluded — they have no
+    * signature. */
+  def minhashed(df: DataFrame, textCol: String, idCol: String,
+      k: Int, n: Int = 3): DataFrame =
+    df.select(col(idCol), wordShingles(col(textCol), n).as("grams"))
+      .where(size(col("grams")) > 0)
+      .withColumn("sig", minhashSignature(col("grams"), k))
+
+  /** LSH banding: explode the signature into `bands` rows of
+    * `(band_idx, band_key)` where the key concatenates `r = k/bands`
+    * consecutive minhashes. Two docs sharing any band key are candidates
+    * with probability `1-(1-j^r)^bands` at Jaccard j. */
+  def lshBands(sigCol: Column, k: Int, bands: Int): Column = {
+    val r = k / bands
+    require(bands * r == k, s"bands ($bands) must divide k ($k)")
+    array((0 until bands).map(b =>
+      struct(lit(b).as("band_idx"),
+        concat_ws("_", slice(sigCol, b * r + 1, r).cast("array<string>")).as("band_key"))): _*)
+  }
+
+  /** Near-duplicate pairs via MinHash-LSH candidate generation + exact
+    * Jaccard rerank. Returns (id_a, id_b, jacc) with id_a < id_b and
+    * jacc >= threshold.
+    *
+    * Plan shape at scale: shingle+sign (scan-parallel, no shuffle) →
+    * explode bands (×bands rows, thin: id + key) → self-join on band key
+    * (shuffle keyed on uniform hash keys) → distinct candidate pairs →
+    * re-join the two shingle sets (two lean shuffles on id) → exact
+    * Jaccard only on candidates. Recall at Jaccard j is
+    * `1-(1-j^r)^bands` — with defaults (k=16, bands=8, r=2): 0.90 at
+    * j=0.5, 0.9997 at j=0.8. */
+  def minhashNearDupPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      k: Int = 16,
+      bands: Int = 8,
+      n: Int = 3): DataFrame = {
+    val mh = minhashed(df, textCol, idCol, k, n)
+    val banded = mh
+      .select(col(idCol), explode(lshBands(col("sig"), k, bands)).as("band"))
+      .select(col(idCol), col("band.band_idx").as("band_idx"),
+        col("band.band_key").as("band_key"))
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val ga = mh.select(col(idCol).as("id_a"), col("grams").as("grams_a"))
+    val gb = mh.select(col(idCol).as("id_b"), col("grams").as("grams_b"))
+    cands.join(ga, "id_a").join(gb, "id_b")
+      .withColumn("jacc", jaccard(col("grams_a"), col("grams_b")))
+      .where(col("jacc") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jacc"))
+  }
+
+  /** Exact n-gram Jaccard pairs — same rerank but candidates come from
+    * sharing at least one shingle (complete for any threshold > 0, heavier
+    * than MinHash; use when exactness of the PAIR SET matters more than
+    * cost). The inverted-index join is keyed on individual shingles;
+    * common-shingle skew is the known cost (document frequency cap
+    * `maxDf` drops shingles seen in more than that many docs, the
+    * standard trick to bound it). */
+  def jaccardPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      n: Int = 3,
+      maxDf: Int = 1000): DataFrame = {
+    val g = df.select(col(idCol), wordShingles(col(textCol), n).as("grams"))
+      .where(size(col("grams")) > 0)
+    val inv = g.select(col(idCol), explode(col("grams")).as("gram"))
+    val rare = inv.groupBy("gram").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf && col("df") >= 2).select("gram")
+    val postings = inv.join(rare, "gram")
+    val cands = postings.as("a")
+      .join(postings.as("b"),
+        col("a.gram") === col("b.gram") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val ga = g.select(col(idCol).as("id_a"), col("grams").as("grams_a"))
+    val gb = g.select(col(idCol).as("id_b"), col("grams").as("grams_b"))
+    cands.join(ga, "id_a").join(gb, "id_b")
+      .withColumn("jacc", jaccard(col("grams_a"), col("grams_b")))
+      .where(col("jacc") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jacc"))
+  }
+
+  // ---- SimHash ---------------------------------------------------------
+
+  /** Per-document SimHash: bit j of the signature is set when the sum of
+    * `±1` votes (`+1` if bit j of the token's h32 is set, else `-1`) over
+    * all token occurrences is positive. Near-identical token multisets →
+    * signatures within a few bits of Hamming distance.
+    *
+    * Implemented as explode → one hash-partitioned aggregation per doc id
+    * (map-side combine keeps the shuffle at one row per (doc, partition)).
+    * Returns (idCol, simhash). */
+  def simhash(df: DataFrame, textCol: String, idCol: String,
+      bits: Int = 16): DataFrame = {
+    val tok = df
+      .select(col(idCol), explode(text.tokens(col(textCol))).as("tok"))
+      .withColumn("hv", hashing.h32(col("tok")))
+    val votes = (0 until bits).map(j =>
+      sum(when(shiftright(col("hv"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j"))
+    val agg = tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val sig = (0 until bits).map(j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    agg.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: candidates share at least one of the two
+    * 8-bit halves of the 16-bit signature (pigeonhole: complete for
+    * Hamming distance <= 1; good recall, not exhaustive, at 2-3), then
+    * exact Hamming rerank `<= maxHamming`. */
+  def simhashNearDupPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3,
+      bits: Int = 16): DataFrame = {
+    val sh = simhash(df, textCol, idCol, bits)
+    val half = bits / 2
+    val banded = sh.select(col(idCol), col("simhash"),
+        explode(array(
+          struct(lit(0).as("half"), (col("simhash") % (1L << half)).as("key")),
+          struct(lit(1).as("half"), shiftright(col("simhash"), half).as("key")))).as("b"))
+      .select(col(idCol), col("simhash"), col("b.half").as("half"), col("b.key").as("key"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.half") === col("b.half") && col("a.key") === col("b.key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  // ---- embedding near-dup ---------------------------------------------
+
+  /** Embedding-cosine near-duplicate pairs: candidates share an LSH
+    * signature in at least one of `tables` independent hyperplane tables
+    * (see [[ann.lshSignature]]), then exact cosine rerank `>= threshold`.
+    * Returns (id_a, id_b, cos). Multiple small tables beat one wide one
+    * for recall at moderate cosine; candidates per bucket stay bounded
+    * because signatures distribute uniformly. */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      dim: Int = 64,
+      tables: Int = 2,
+      nbits: Int = 4): DataFrame = {
+    val sigs = df.select(
+      (Seq(col(idCol), col(vecCol)) ++
+        (0 until tables).map(t =>
+          ann.lshSignature(col(vecCol), t, nbits, dim).as(s"sig$t"))): _*)
+    val banded = sigs.select(col(idCol), col(vecCol),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("t"), col(s"sig$t").as("key"))): _*)).as("b"))
+      .select(col(idCol), col(vecCol), col("b.t").as("t"), col("b.key").as("key"))
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        col("a.t") === col("b.t") && col("a.key") === col("b.key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"a.$vecCol").as("va"),
+        col(s"b.$idCol").as("id_b"), col(s"b.$vecCol").as("vb"))
+      .distinct()
+    cands
+      .withColumn("cos", vectors.cosineSimilarity(col("va"), col("vb")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{Metric, VecStore}
+import graft.ops.ann
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 16
+  private def vec(seed: Int): Seq[Double] = (0 until dim).map(i => math.sin(seed * 37.0 + i))
+  private lazy val df = (0 until 200)
+    .map(i => (i.toLong, vec(i).toArray)).toDF("vec_id", "embedding")
+  private lazy val store = VecStore(df)
+
+  test("driver-side lshSignatureOf matches the column expression") {
+    val got = df.select(col("vec_id"),
+        ann.lshSignature(col("embedding"), t = 0, nbits = 8, dim = dim).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 200 by 17).foreach { i =>
+      assert(got(i.toLong) == ann.lshSignatureOf(vec(i), 0, 8), s"row $i")
+    }
+  }
+
+  test("lshSearch returns the bucket's brute-force order and finds an exact match") {
+    val q = vec(42) // row 42 is in the store: same signature, cosine 1
+    val hits = ann.lshSearch(store, q, k = 5, nbits = 4)
+      .select("vec_id", "score").as[(Long, Double)].collect()
+    // vec(33) is a near-copy of vec(42) (37*9 = 333 ≈ 53*2π), so both score
+    // a rounded 1.0 — assert membership + score, not first place.
+    val exactHit = hits.find(_._1 == 42L)
+    assert(exactHit.isDefined && math.abs(exactHit.get._2 - 1.0) < 1e-9)
+    assert(math.abs(hits.head._2 - 1.0) < 1e-9)
+    // every hit really is in the query's bucket
+    val qSig = ann.lshSignatureOf(q, 0, 4)
+    val sigs = df.select(col("vec_id"),
+        ann.lshSignature(col("embedding"), 0, 4, dim).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    hits.foreach { case (id, _) => assert(sigs(id) == qSig) }
+  }
+
+  test("ivfAssign maps each centroid's own vector to itself; ties -> lowest cid") {
+    val cents = ann.seedCentroids(df, 8)
+    val assigned = ann.ivfAssign(df, cents).select("vec_id", "cluster_id")
+      .as[(Long, Int)].collect().toMap
+    cents.foreach { case (cid, _) => assert(assigned(cid.toLong) == cid) }
+    val dup = Seq((0L, vec(3).toArray)).toDF("vec_id", "embedding")
+    val twoSame = ann.ivfAssign(dup, Seq((5, vec(3)), (6, vec(3))))
+    assert(twoSame.select("cluster_id").head().getInt(0) == 5)
+  }
+
+  test("ivfSearch with all centroids probed equals exact brute-force top-k") {
+    val q = vec(7)
+    val cents = ann.seedCentroids(df, 8)
+    val ivf = ann.ivfSearch(store, cents, q, k = 10, nprobe = 8)
+      .select("vec_id").as[Long].collect().toSeq
+    val exact = store.query(q, Metric.Cosine).take(10).withScoreRounding(4)
+      .collect().select("vec_id").as[Long].collect().toSeq
+    assert(ivf == exact)
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),      // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"),    // near dup of 1
+    (4L, "completely unrelated text about spark query engines and shuffles"),
+    (5L, "ab")                                                // < 3 tokens
+  ).toDF("doc_id", "text")
+
+  test("wordShingles: overlapping distinct 3-grams; short docs empty") {
+    val r = Seq("a b c d").toDF("text")
+      .select(dedup.wordShingles(col("text")).as("g")).head().getSeq[String](0)
+    assert(r.toSet == Set("a b c", "b c d"))
+    val short = Seq("a b").toDF("text")
+      .select(dedup.wordShingles(col("text")).as("g")).head().getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
+  test("jaccard: exact set semantics") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+      .select(dedup.jaccard(col("x"), col("y")).as("j"))
+    assert(math.abs(df.head().getDouble(0) - 0.5) < 1e-12) // 2 of 4
+  }
+
+  test("exact dedup groups duplicates and keeps the lowest id") {
+    val groups = dedup.exactGroups(docs, "text", "doc_id")
+    assert(groups.count() == 4) // 1&2 merge
+    val dupGroup = groups.filter(col("group_size") === 2).head()
+    assert(dupGroup.getLong(1) == 1L) // keep_id
+    val kept = dedup.exactDedup(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L, 5L))
+  }
+
+  test("minhash: identical docs share full signature; near-dups share most of it") {
+    val mh = dedup.minhashed(docs, "text", "doc_id", k = 16)
+    val sigs = mh.select(col("doc_id"), col("sig")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(!sigs.contains(5L)) // too short to shingle
+    assert(sigs(1L) == sigs(2L))
+    val agree = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
+    assert(agree >= 8, s"near-dups should agree on most minhashes, got $agree/16")
+    assert(sigs(1L).zip(sigs(4L)).count { case (a, b) => a == b } <= 2)
+  }
+
+  test("minhashNearDupPairs finds planted near-dups only") {
+    val pairs = dedup.minhashNearDupPairs(docs, "text", "doc_id", threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simhash: identical equal; near-dup within a few bits; unrelated far") {
+    val sh = dedup.simhash(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sh(1L) == sh(2L))
+    assert(ham(sh(1L), sh(3L)) <= 4)
+    assert(ham(sh(1L), sh(4L)) > 4)
+  }
+
+  test("simhashNearDupPairs: planted pairs survive the hamming rerank") {
+    val pairs = dedup.simhashNearDupPairs(docs, "text", "doc_id", maxHamming = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("embeddingNearDupPairs finds an identical-vector pair") {
+    val v = (0 until 64).map(i => math.sin(i * 0.3)).toArray
+    val w = (0 until 64).map(i => math.cos(i * 1.7)).toArray
+    val df = Seq((10L, v), (11L, v), (12L, w)).toDF("vec_id", "embedding")
+    val pairs = dedup.embeddingNearDupPairs(df, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((10L, 11L)))
+  }
+}
