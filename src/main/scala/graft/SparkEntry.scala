@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Cmp, Metric, VecStore}
 import graft.functions.{hashing, vectors}
-import graft.ops.{ann, dedup, text}
+import graft.ops.{ann, dedup, multimodal, text}
+import graft.streaming.EventStream
 
 /** Driver contract — one named query per implemented operator
   * (SURVEY.md §2), each with a DuckDB-equivalent oracle SQL where
@@ -29,6 +30,15 @@ object SparkEntry {
 
   private[graft] def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table carries parquet TIMESTAMP(NANOS), which Spark's
+    * reader only accepts as a raw long (`nanosAsLong`, set in every
+    * session builder). Convert to micros with exact integer division —
+    * 2024 epoch-nanos (~1.7e18) exceed double precision, so `/ 1000.0`
+    * would corrupt low bits. */
+  private[graft] def events(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
 
   private def embStore(s: SparkSession, dir: String): VecStore =
     VecStore(table(s, dir, "embeddings"), idCol = "vec_id", vecCol = "embedding")
@@ -281,7 +291,99 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, dir) => {
       val store = embStore(s, dir)
       ann.ivfSearch(store, ann.seedCentroids(store.df, 16), Q1, k = 10, nprobe = 4)
-    })
+    }),
+
+    // §2.4: explicit take direction override (take_max on a min-default
+    // metric = farthest points, ref vec.rs:161-168).
+    "vec_takemax_l2" -> ((s, dir) =>
+      embStore(s, dir)
+        .query(Q1, Metric.Euclidean)
+        .takeMax(10)
+        .withScoreRounding(4)
+        .collect()),
+
+    // north-star (streaming surface, batch-checked): tumbling 5-minute
+    // windows per event type; same plan works under readStream +
+    // watermark (see EventStreamSpec).
+    "events_window_agg" -> ((s, dir) =>
+      EventStream.windowedAgg(events(s, dir))
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+          col("event_type"), col("n_events"), col("sum_value_micros"))
+        .orderBy(col("wstart"), col("event_type"))),
+
+    // north-star: gap-based sessionization (lag -> flag -> running sum),
+    // one shuffle on user_id.
+    "events_sessionize" -> ((s, dir) =>
+      EventStream.sessionize(events(s, dir))
+        .select(col("user_id"), col("session_idx"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("s_start"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("s_end"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_idx"))),
+
+    // north-star: typed JSON prop extraction as a pushable scan expression.
+    "events_json_extract" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("k", EventStream.propInt("k"))
+        .where(col("k") > 50)
+        .select(col("event_id"), col("event_type"), col("k"))
+        .orderBy(col("event_id"))),
+
+    // north-star: multimodal featurization — binary payloads with typed
+    // metadata; stub decoder features via the expression path (the
+    // mapPartitions path is cross-checked in MultimodalSpec).
+    "mm_features" -> ((s, dir) => {
+      val media = multimodal.fromText(table(s, dir, "documents"), "doc_id", "text", "source")
+      multimodal.featurizeExpr(media, dims = 4)
+        .select(col("id"), col("kind"), col("byteLen").as("byte_len"),
+          col("checksum"),
+          col("embedding")(0).as("e0"), col("embedding")(1).as("e1"),
+          col("embedding")(2).as("e2"), col("embedding")(3).as("e3"))
+        .orderBy(col("id"))
+    }),
+
+    // north-star: frame-sampling plumbing — fixed-size payload frames,
+    // every 2nd kept (stride), frame identity checked by md5.
+    "mm_frames" -> ((s, dir) => {
+      val media = multimodal.fromText(table(s, dir, "documents"), "doc_id", "text", "source")
+      multimodal.sampleFrames(media, frameBytes = 64, stride = 2)
+        .select(col("id"), col("frame_idx"), md5(col("frame")).as("frame_ck"))
+        .orderBy(col("id"), col("frame_idx"))
+    }),
+
+    // relational coverage a pipeline needs around the vector core: grouped
+    // aggregation (Q1 shape) — doubles summed as exact fixed-point cents.
+    "rel_groupby_agg" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("revenue_cents"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // broadcast dimension join + top-n aggregate.
+    "rel_join_topn" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("spend_cents"))
+        .orderBy(col("spend_cents").desc, col("c_custkey"))
+        .limit(10)
+    }),
+
+    // §2.1 datetime ingestion: format round-trip + try-parse fallback
+    // chain (ref col.rs:506-545 auto-parse).
+    "datetime_parse" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .select(date_format(col("l_shipdate"), "yyyy/MM/dd").as("s"))
+        .distinct()
+        .withColumn("parsed", coalesce(
+          try_to_timestamp(col("s"), lit("yyyy-MM-dd")),
+          try_to_timestamp(col("s"), lit("yyyy/MM/dd"))))
+        .select(col("s"), date_format(col("parsed"), "yyyy-MM-dd").as("d"))
+        .orderBy(col("s")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -446,6 +548,72 @@ object SparkEntry {
          |  FROM s, cent c) WHERE rn = 1 AND cid IN (SELECT cid FROM probe)),
          |sc AS (SELECT vec_id, label, ${r4(sqlCosineOn("e", Q1))} AS score FROM assign)
          |SELECT vec_id, score, label FROM sc
-         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
+    "vec_takemax_l2" ->
+      s"""WITH s AS (
+         |  SELECT vec_id, label, ${r4(sqlL2sq(Q1))} AS score FROM embeddings
+         |)
+         |SELECT vec_id, score, label FROM s
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
+    "events_window_agg" ->
+      """SELECT strftime(make_timestamp((floor(epoch(ts)/300)*300*1000000)::BIGINT),
+        |         '%Y-%m-%d %H:%M:%S') AS wstart,
+        |  event_type, count(*) AS n_events,
+        |  sum(floor(value * 1000000.0)::BIGINT)::BIGINT AS sum_value_micros
+        |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |f AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |    OR floor(epoch(ts))::BIGINT - floor(epoch(prev_ts))::BIGINT > 1800
+        |    THEN 1 ELSE 0 END AS ns FROM e),
+        |g AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx FROM f)
+        |SELECT user_id, session_idx,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS s_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS s_end,
+        |  count(*) AS n_events
+        |FROM g GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+
+    "events_json_extract" ->
+      """SELECT event_id, event_type, json_extract_string(props, '$.k')::INT AS k
+        |FROM events WHERE json_extract_string(props, '$.k')::INT > 50
+        |ORDER BY event_id""".stripMargin,
+
+    "mm_features" ->
+      s"""SELECT doc_id AS id, 'text' AS kind,
+         |  octet_length(encode(text)) AS byte_len, md5(text) AS checksum,
+         |  ${(0 until 4).map(i =>
+        s"((('0x' || substr(md5(text), ${2 * i + 1}, 2))::INT) / 255.0)::FLOAT AS e$i").mkString(", ")}
+         |FROM documents ORDER BY id""".stripMargin,
+
+    "mm_frames" ->
+      """WITH f AS (SELECT doc_id AS id, u.i::INT AS frame_idx,
+        |    substr(text, (u.i*64)::INT + 1, 64) AS fr
+        |  FROM documents, unnest(range(0, ceil(length(text)/64.0)::BIGINT)) u(i))
+        |SELECT id, frame_idx, md5(fr) AS frame_ck
+        |FROM f WHERE frame_idx % 2 = 0 ORDER BY id, frame_idx""".stripMargin,
+
+    "rel_groupby_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  sum(l_quantity)::BIGINT AS sum_qty,
+        |  sum(floor(l_extendedprice * 100 + 0.5)::BIGINT)::BIGINT AS revenue_cents
+        |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "rel_join_topn" ->
+      """SELECT c_custkey, c_name, count(*) AS n_orders,
+        |  sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS spend_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2 ORDER BY spend_cents DESC, c_custkey LIMIT 10""".stripMargin,
+
+    "datetime_parse" ->
+      """WITH s AS (SELECT DISTINCT strftime(l_shipdate, '%Y/%m/%d') AS s FROM lineitem)
+        |SELECT s, strftime(coalesce(try_strptime(s, '%Y-%m-%d'), try_strptime(s, '%Y/%m/%d')),
+        |  '%Y-%m-%d') AS d
+        |FROM s ORDER BY s""".stripMargin
   )
 }

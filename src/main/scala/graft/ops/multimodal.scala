@@ -1,0 +1,103 @@
+package graft.ops
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for training-data pipelines: opaque `binary`
+  * payloads (image/audio/video/text bytes) with typed metadata, flowing
+  * through schema-checked, partition-parallel decode/featurize/sample
+  * stages.
+  *
+  * The DECODERS here are deliberate stubs — this container has no
+  * image/audio codecs — but everything Spark-level is real and tested: the
+  * schema contract, the binary column handling, the batched-per-partition
+  * execution shape (one decoder init per partition, not per row — the same
+  * shape a JNI/FFmpeg/JPEG decoder needs), and the pushdown-friendly
+  * metadata layout. Swapping [[StubDecoder]] for a real codec changes no
+  * plan shape.
+  *
+  * Scale notes: payload bytes ride in parquet binary columns; metadata
+  * (kind, byte_len, checksum) is scalar and therefore min/max/bloom
+  * prunable at scan time, so "all jpegs over 1 MB" never reads the bytes
+  * of anything else. Featurization is a narrow map — zero shuffle.
+  */
+object multimodal {
+
+  /** One media row: id, modality kind, opaque payload, source name. */
+  final case class MediaItem(id: Long, kind: String, payload: Array[Byte], source: String)
+
+  /** Extracted features: deterministic stand-ins for decoded content
+    * (real pipeline: pixel stats, mel spectrogram, CLIP embedding, ...). */
+  final case class MediaFeatures(
+      id: Long, kind: String, byteLen: Long, checksum: String, embedding: Array[Float])
+
+  /** STUB decoder — stands in for the real image/audio codec this
+    * container lacks. Deterministic: features derive from the md5 of the
+    * payload, so results are reproducible (and oracle-checkable) anywhere.
+    * The interface is the real contract: init once per partition, decode
+    * many payloads. */
+  final class StubDecoder {
+    private val md = MessageDigest.getInstance("MD5")
+
+    def checksumHex(payload: Array[Byte]): String =
+      md.digest(payload).map("%02x".format(_)).mkString
+
+    /** Fake `dims`-dim embedding: byte i of the md5 scaled to [0,1].
+      * A real decoder would run the model here. */
+    def embed(payload: Array[Byte], dims: Int): Array[Float] = {
+      val h = md.digest(payload)
+      Array.tabulate(dims)(i => (h(i) & 0xff) / 255.0f)
+    }
+  }
+
+  /** Wrap a text table as a media table: payload = UTF-8 bytes. Stands in
+    * for `spark.read.format("binaryFile")` over an image/audio bucket. */
+  def fromText(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("id"),
+      lit("text").as("kind"),
+      col(textCol).cast("binary").as("payload"),
+      col(sourceCol).as("source"))
+
+  /** Featurize via the typed per-partition path — the execution shape a
+    * real codec needs (decoder constructed ONCE per partition, rows
+    * streamed through it; no per-row init, no driver collect). */
+  def featurize(items: Dataset[MediaItem], dims: Int = 8): Dataset[MediaFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      val dec = new StubDecoder // one init per partition (real-codec shape)
+      it.map { m =>
+        MediaFeatures(m.id, m.kind, m.payload.length.toLong,
+          dec.checksumHex(m.payload), dec.embed(m.payload, dims))
+      }
+    }
+  }
+
+  /** The same features as pure codegen expressions — no JVM boundary, used
+    * to cross-check the mapPartitions path and as the fast path when
+    * features are expression-derivable. */
+  def featurizeExpr(media: DataFrame, dims: Int = 8): DataFrame = {
+    val ck = md5(col("payload"))
+    val emb = array((0 until dims).map(i =>
+      (conv(substring(ck, 2 * i + 1, 2), 16, 10).cast("int") / lit(255.0)).cast("float")): _*)
+    media.select(col("id"), col("kind"),
+      length(col("payload")).cast("long").as("byteLen"),
+      ck.as("checksum"), emb.as("embedding"))
+  }
+
+  /** Frame sampling plumbing: split a payload into fixed-size frames and
+    * keep every `stride`-th one (a video keyframe-sampler stands here; the
+    * byte slicing is the stand-in decode). Emits (id, frame_idx, frame). */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    val nFrames = ceil(length(col("payload")) / lit(frameBytes.toDouble)).cast("int")
+    media
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), nFrames - 1),
+          i => col("payload").substr(i * frameBytes + 1, lit(frameBytes)))))
+      .toDF("id", "frame_idx", "frame")
+      .where(col("frame_idx") % stride === 0)
+  }
+}

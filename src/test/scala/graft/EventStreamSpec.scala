@@ -1,0 +1,63 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStream
+
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val batch = Seq(
+    (1L, ts("2024-01-01 00:01:00"), 7L, "click", 1.5, """{"k": 1}"""),
+    (2L, ts("2024-01-01 00:03:30"), 7L, "click", 2.5, """{"k": 60}"""),
+    (3L, ts("2024-01-01 00:06:00"), 8L, "view", 4.0, """{"k": 90}"""),
+    (4L, ts("2024-01-01 01:00:00"), 7L, "click", 8.0, """{"k": 30}""")
+  ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("windowedAgg (batch): 5-minute tumbling windows per type") {
+    val r = EventStream.windowedAgg(batch).orderBy("window_start", "event_type")
+      .select(date_format(col("window_start"), "HH:mm").as("w"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(r == Seq(("00:00", "click", 2L, 4.0), ("00:05", "view", 1L, 4.0),
+      ("01:00", "click", 1L, 8.0)))
+  }
+
+  test("windowedAgg runs as a REAL stream (watermark + complete mode) and matches batch") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val sdf = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStream.windowedAgg(sdf, watermark = Some("10 minutes"))
+      .writeStream.format("memory").queryName("win_agg")
+      .outputMode("complete").start()
+    try {
+      mem.addData(batch.as[(Long, Timestamp, Long, String, Double, String)].collect().toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("win_agg")
+        .select(date_format(col("window_start"), "HH:mm"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(streamed == Set(("00:00", "click", 2L, 4.0), ("00:05", "view", 1L, 4.0),
+        ("01:00", "click", 1L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize: 30-minute gaps split sessions; stats per session") {
+    val r = EventStream.sessionize(batch, gapMinutes = 30)
+      .orderBy("user_id", "session_idx")
+      .select(col("user_id"), col("session_idx"), col("n_events"), col("sum_value"))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // user 7: events at 00:01/00:03 (one session), 01:00 (new session); user 8: one
+    assert(r == Seq((7L, 1L, 2L, 4.0), (7L, 2L, 1L, 8.0), (8L, 1L, 1L, 4.0)))
+  }
+
+  test("propInt extracts typed JSON props") {
+    val ks = batch.select(EventStream.propInt("k").as("k")).as[Int].collect().toSeq
+    assert(ks == Seq(1, 60, 90, 30))
+  }
+}
