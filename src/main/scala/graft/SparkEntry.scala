@@ -482,15 +482,17 @@ object SparkEntry {
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
 
     "dedup_minhash_sig" ->
-      s"""WITH g AS ($SqlGrams)
+      s"""WITH g AS ($SqlGrams),
+         |hsv AS (SELECT doc_id, list_transform(grams, s -> ${hashing.sqlH32("s")}) AS hs FROM g)
          |SELECT doc_id, ${(0 until 4).map(j =>
-        s"list_min(list_transform(grams, s -> ${hashing.sqlH32(s"(s || '#$j')")})) AS m$j").mkString(", ")}
-         |FROM g ORDER BY doc_id""".stripMargin,
+        s"list_min(list_transform(hs, h -> ${hashing.sqlAffine("h", j)})) AS m$j").mkString(", ")}
+         |FROM hsv ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash_pairs" ->
       s"""WITH g AS ($SqlGrams),
          |sg AS (SELECT doc_id, grams, list_transform(range(0, 16),
-         |  j -> list_min(list_transform(grams, s -> ${hashing.sqlH32("(s || '#' || j::VARCHAR)")}))) AS sig FROM g),
+         |  j -> list_min(list_transform(list_transform(grams, s -> ${hashing.sqlH32("s")}),
+         |       h -> ${hashing.sqlAffineVar("h", "j")}))) AS sig FROM g),
          |bd AS (SELECT doc_id, grams, i,
          |  array_to_string(list_transform(list_slice(sig, 2*i+1, 2*i+2), x -> x::VARCHAR), '_') AS key
          |  FROM sg, range(0, 8) r(i)),

@@ -35,6 +35,28 @@ object hashing {
   /** Full 128-bit content fingerprint (hex). */
   def fingerprint128(c: Column): Column = md5(c.cast("binary"))
 
+  /** Largest prime below 2^32 — modulus of the affine hash family. */
+  val AffineP = 4294967291L
+
+  private def affineA(j: Int): Long = 2L * j + 1
+  private def affineB(j: Int): Long = 12582917L * j
+
+  /** Member `j` of a universal affine family over an h32 base hash:
+    * `h_j = ((2j+1)·h + j·12582917) mod P`. One md5 per input, k cheap
+    * arithmetic transforms — 16× fewer digests than salting the input k
+    * times. `(2j+1)·h < 2^37`, so no overflow under ANSI arithmetic. */
+  def affine(h: Column, j: Int): Column =
+    (h * lit(affineA(j)) + lit(affineB(j))) % lit(AffineP)
+
+  /** DuckDB SQL fragment for [[affine]] over expression `h`. */
+  def sqlAffine(h: String, j: Int): String =
+    s"((${affineA(j)} * $h + ${affineB(j)}) % $AffineP)"
+
+  /** DuckDB fragment for [[affine]] with the member index as a SQL
+    * variable `j` (for list comprehensions over `range(0, k)`). */
+  def sqlAffineVar(h: String, jVar: String): String =
+    s"(((2*$jVar + 1) * $h + 12582917 * $jVar) % $AffineP)"
+
   /** DuckDB SQL fragment computing the same `h32` over expression `e`. */
   def sqlH32(e: String): String =
     s"(('0x' || substr(md5($e), 1, 8))::BIGINT)"

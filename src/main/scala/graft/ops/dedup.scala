@@ -24,14 +24,29 @@ object dedup {
   // ---- shingling -------------------------------------------------------
 
   /** Distinct word `n`-gram shingles of lowercased whitespace tokens;
-    * empty array when the document has fewer than `n` tokens. */
-  def wordShingles(c: Column, n: Int = 3): Column = {
+    * empty array when the document has fewer than `n` tokens. Native fused
+    * kernel — see [[graft.functions.NativeExprs]] (the equivalent HOF
+    * composition is [[wordShinglesHof]], kept as the executable spec). */
+  def wordShingles(c: Column, n: Int = 3): Column =
+    graft.functions.NativeExprs.wordShingles(c, n)
+
+  /** Compositional (HOF) form of [[wordShingles]] — same semantics,
+    * interpreted evaluation; used to cross-check the native kernel. */
+  def wordShinglesHof(c: Column, n: Int = 3): Column = {
     val ts = text.tokens(c)
     when(size(ts) >= n,
       array_distinct(transform(sequence(lit(1), size(ts) - (n - 1)),
         i => concat_ws(" ", slice(ts, i, lit(n))))))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** All ordered pairs (a < b) from a SORTED id array, as structs
+    * (id_a, id_b) — in-expression pair expansion for bucket candidate
+    * generation (no self-join). */
+  private[ops] def pairsOf(ids: Column): Column =
+    flatten(transform(sequence(lit(1), size(ids) - 1), i =>
+      transform(slice(ids, i + 1, size(ids) - i), b =>
+        struct(element_at(ids, i).as("id_a"), b.as("id_b")))))
 
   /** Exact Jaccard similarity of two (already-distinct) string-array
     * columns: |a ∩ b| / |a ∪ b|. */
@@ -58,21 +73,23 @@ object dedup {
 
   // ---- MinHash + LSH ---------------------------------------------------
 
-  /** MinHash signature: element j = min over shingles s of h32(s ⊕ salt j).
-    * Pure expression — k salted hashes per shingle, folded to k minima,
-    * all inside codegen, no shuffle. */
-  def minhashSignature(grams: Column, k: Int): Column =
+  /** MinHash signature over a column of PRE-HASHED shingles (HOF form,
+    * the executable spec of the native kernel): element j = min over base
+    * hashes h of `affine_j(h)`. */
+  def minhashSignatureHof(baseHashes: Column, k: Int): Column =
     array((0 until k).map(j =>
-      array_min(transform(grams, g => hashing.h32s(g, j)))): _*)
+      array_min(transform(baseHashes, h => hashing.affine(h, j)))): _*)
 
   /** Documents with their shingle sets and MinHash signatures. Rows with
     * no shingles (fewer than `n` tokens) are excluded — they have no
-    * signature. */
+    * signature. Shingling and signing run as one native fused kernel per
+    * row: one md5 per distinct shingle, k affine minima, no intermediate
+    * arrays (see [[graft.functions.NativeExprs]]). */
   def minhashed(df: DataFrame, textCol: String, idCol: String,
       k: Int, n: Int = 3): DataFrame =
     df.select(col(idCol), wordShingles(col(textCol), n).as("grams"))
       .where(size(col("grams")) > 0)
-      .withColumn("sig", minhashSignature(col("grams"), k))
+      .withColumn("sig", graft.functions.NativeExprs.minhashSig(col("grams"), k))
 
   /** LSH banding: explode the signature into `bands` rows of
     * `(band_idx, band_key)` where the key concatenates `r = k/bands`
@@ -110,12 +127,19 @@ object dedup {
       .select(col(idCol), explode(lshBands(col("sig"), k, bands)).as("band"))
       .select(col(idCol), col("band.band_idx").as("band_idx"),
         col("band.band_key").as("band_key"))
-    val cands = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_key") === col("b.band_key") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+    // Candidate pairs via group-by-bucket + in-expression pair expansion,
+    // NOT a self-join: a self-join would evaluate the whole shingle+hash
+    // pipeline once per side, and costs two shuffles. Here the signature
+    // pipeline runs once, one shuffle groups ids per bucket, and pairs
+    // unfold as a codegen expression. Bucket membership lists are bounded
+    // because band keys are minhash-uniform; a pathological exact-dup
+    // cluster is the one skew case (cap it upstream with exactDedup).
+    val cands = banded
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
     val ga = mh.select(col(idCol).as("id_a"), col("grams").as("grams_a"))
     val gb = mh.select(col(idCol).as("id_b"), col("grams").as("grams_b"))
@@ -224,23 +248,31 @@ object dedup {
       dim: Int = 64,
       tables: Int = 2,
       nbits: Int = 4): DataFrame = {
+    // Banding/joining/distinct all run on THIN rows (id + bucket key only)
+    // — the 64-float embeddings never ride through the pair shuffle. The
+    // per-row inverse norm is paid once per row here, not three HOF folds
+    // per candidate pair; rerank then joins the vectors back by id (a
+    // shuffle of exactly the candidate ids, broadcastable when small).
     val sigs = df.select(
       (Seq(col(idCol), col(vecCol)) ++
         (0 until tables).map(t =>
           ann.lshSignature(col(vecCol), t, nbits, dim).as(s"sig$t"))): _*)
-    val banded = sigs.select(col(idCol), col(vecCol),
+      .withColumn("inv", vectors.invNorm(col(vecCol)))
+    val banded = sigs.select(col(idCol),
         explode(array((0 until tables).map(t =>
           struct(lit(t).as("t"), col(s"sig$t").as("key"))): _*)).as("b"))
-      .select(col(idCol), col(vecCol), col("b.t").as("t"), col("b.key").as("key"))
+      .select(col(idCol), col("b.t").as("t"), col("b.key").as("key"))
     val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.t") === col("b.t") && col("a.key") === col("b.key") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"a.$vecCol").as("va"),
-        col(s"b.$idCol").as("id_b"), col(s"b.$vecCol").as("vb"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
-    cands
-      .withColumn("cos", vectors.cosineSimilarity(col("va"), col("vb")))
+    val va = sigs.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("inv").as("inv_a"))
+    val vb = sigs.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("inv").as("inv_b"))
+    cands.join(va, "id_a").join(vb, "id_b")
+      .withColumn("cos",
+        vectors.dotProduct(col("va"), col("vb")) * col("inv_a") * col("inv_b"))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
