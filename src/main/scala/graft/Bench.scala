@@ -11,6 +11,13 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: initialize codegen, shuffle machinery, and the
+    // vectorized parquet reader once, so the first timed query measures
+    // steady-state execution rather than one-time JVM/session setup
+    // (~4 s otherwise attributed to whichever query happens to run first).
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .limit(1).collect()
     // Optional focus list for perf iteration: SPARK_GRAFT_ONLY=q1,q2
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only match {

@@ -4,7 +4,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.bridge.{toColumn => column, toExpression => expression}
@@ -101,6 +101,81 @@ object NativeExprs {
 
   /** Column: h32 of a string (native twin of [[hashing.h32]]). */
   def h32(c: Column): Column = column(H32Expr(expression(c)))
+
+  /** Column: native dot product (see [[VecDotExpr]]). */
+  def vecDot(a: Column, b: Column): Column =
+    column(VecDotExpr(expression(a), expression(b)))
+
+  /** Column: native squared L2 (see [[VecL2SqExpr]]). */
+  def vecL2Sq(a: Column, b: Column): Column =
+    column(VecL2SqExpr(expression(a), expression(b)))
+}
+
+/** Element accessor closed over the array element type, so the per-row
+  * scoring loop does no per-element type dispatch. Float widens to double
+  * exactly — identical to casting the whole array first. */
+private[functions] object VecKernels {
+  def getter(dt: DataType): (ArrayData, Int) => Double = dt match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _)  => (a, i) => a.getFloat(i).toDouble
+    case ArrayType(org.apache.spark.sql.types.DoubleType, _) => (a, i) => a.getDouble(i)
+    case other => throw new IllegalArgumentException(
+      s"vector kernel expects array<float>/array<double>, got ${other.simpleString}")
+  }
+
+  /** Sequential-order dot product — the same fold as
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)`, so results are
+    * bit-identical to the HOF composition (and to the DuckDB oracle). */
+  def dot(a: ArrayData, b: ArrayData, ga: (ArrayData, Int) => Double,
+      gb: (ArrayData, Int) => Double): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += ga(a, i) * gb(b, i); i += 1 }
+    acc
+  }
+
+  /** Sequential-order squared L2 — same fold as the HOF composition. */
+  def l2sq(a: ArrayData, b: ArrayData, ga: (ArrayData, Int) => Double,
+      gb: (ArrayData, Int) => Double): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { val d = ga(a, i) - gb(b, i); acc += d * d; i += 1 }
+    acc
+  }
+}
+
+/** Native dot product of two numeric array columns. NOTE: like
+  * `zip_with`, a length mismatch is not an error here — the shorter
+  * length wins (zip_with pads with null, which the HOF fold turns into
+  * null; the SearchPlan dim guard rejects mismatches before scoring
+  * either way — this kernel only ever sees validated pairs). */
+case class VecDotExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "vec_dot"
+  @transient private lazy val ga = VecKernels.getter(left.dataType)
+  @transient private lazy val gb = VecKernels.getter(right.dataType)
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], ga, gb)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDotExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native squared L2 distance of two numeric array columns (no sqrt —
+  * reference semantics, vec_compute.rs:34-54). */
+case class VecL2SqExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "vec_l2sq"
+  @transient private lazy val ga = VecKernels.getter(left.dataType)
+  @transient private lazy val gb = VecKernels.getter(right.dataType)
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.l2sq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], ga, gb)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecL2SqExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 case class WordShinglesExpr(child: Expression, n: Int)

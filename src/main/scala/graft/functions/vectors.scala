@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 import graft.core.Metric
+import graft.functions.NativeExprs
 
 /** Vector scoring kernels as Catalyst `Column` expressions.
   *
@@ -30,17 +31,23 @@ object vectors {
   /** Literal query vector as an array<double> Column. */
   def vecLit(q: Seq[Double]): Column = array(q.map(lit): _*)
 
-  /** Dot product — sequential fold in double, codegen'd.
+  /** Dot product — sequential fold in double, as one native compiled
+    * loop (HOFs evaluate interpreted; this is the hot scoring kernel, the
+    * one place custom Catalyst code pays — SURVEY.md §4 #10).
+    * Bit-identical to [[dotProductHof]], asserted in NativeExprsSpec.
     * Ref: /root/reference/src/vec_compute.rs:8-22. */
-  def dotProduct(a: Column, b: Column): Column =
+  def dotProduct(a: Column, b: Column): Column = NativeExprs.vecDot(a, b)
+
+  /** Compositional (HOF) dot product — the executable spec of the native
+    * kernel; same fold order, so results are bit-identical. */
+  def dotProductHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(asDoubleArray(a), asDoubleArray(b), (x, y) => x * y),
       lit(0.0),
       (acc, x) => acc + x)
 
-  /** Sum of squares of a vector. */
-  def squaredNorm(v: Column): Column =
-    aggregate(asDoubleArray(v), lit(0.0), (acc, x) => acc + x * x)
+  /** Sum of squares of a vector (same fold as `dot(v, v)`). */
+  def squaredNorm(v: Column): Column = NativeExprs.vecDot(v, v)
 
   /** Inverse L2 norm; 0.0 for the zero vector (never infinity/NaN).
     * Ref: /root/reference/src/vec.rs:365-368. */
@@ -64,8 +71,11 @@ object vectors {
   /** SQUARED euclidean distance — the reference intentionally skips the
     * sqrt (vec_compute.rs:34-54). Computed as sum((x-y)^2), NOT as
     * |a|^2-2ab+|b|^2, to avoid catastrophic cancellation on near-duplicate
-    * vectors. */
-  def l2Squared(a: Column, b: Column): Column =
+    * vectors. Native kernel; bit-identical to [[l2SquaredHof]]. */
+  def l2Squared(a: Column, b: Column): Column = NativeExprs.vecL2Sq(a, b)
+
+  /** Compositional (HOF) squared L2 — executable spec of the kernel. */
+  def l2SquaredHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(asDoubleArray(a), asDoubleArray(b), (x, y) => (x - y) * (x - y)),
       lit(0.0),

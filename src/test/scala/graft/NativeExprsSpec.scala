@@ -31,6 +31,19 @@ class NativeExprsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
   }
 
+  test("native vector kernels are bit-identical to the HOF folds") {
+    import graft.functions.vectors
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = vectors.vecLit((0 until 64).map(i => math.sin(i * 0.7)))
+    val diff = emb.select(
+        vectors.dotProduct(col("embedding"), q).as("dn"),
+        vectors.dotProductHof(col("embedding"), q).as("dh"),
+        vectors.l2Squared(col("embedding"), q).as("ln"),
+        vectors.l2SquaredHof(col("embedding"), q).as("lh"))
+      .where(col("dn") =!= col("dh") || col("ln") =!= col("lh")).count()
+    assert(diff == 0)
+  }
+
   test("native minhash signature equals the affine HOF composition") {
     val grams = docs.select(col("doc_id"), dedup.wordShingles(col("text")).as("g"))
       .where(size(col("g")) > 0)
