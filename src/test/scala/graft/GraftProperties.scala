@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.core.{Cmp, Metric, VecStore}
+import graft.functions.vectors
+import graft.ops.dedup
+
+/** Property-based invariants (SURVEY.md §5): the reference asserts
+  * hand-computed cases; we additionally pin the algebraic laws the engine
+  * must satisfy for ANY input. Every property here runs Spark jobs per
+  * sample, so the sample count is capped at 5. */
+object GraftProperties extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  private lazy val spark = SparkSpec.spark
+  import spark.implicits._
+
+  private val dim = 8
+  private val genVec: Gen[Seq[Double]] =
+    Gen.listOfN(dim, Gen.choose(-10.0, 10.0)).map(_.toSeq)
+  private val genStore: Gen[Seq[Seq[Double]]] =
+    Gen.chooseNum(5, 40).flatMap(n => Gen.listOfN(n, genVec).map(_.toSeq))
+
+  private def storeOf(vecs: Seq[Seq[Double]]): VecStore =
+    VecStore(vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+      .toDF("vec_id", "embedding"))
+
+  property("cosine(v,v) = 1 for any non-zero v; 0 for the zero vector") =
+    forAll(genStore) { vecs =>
+      val withZero = vecs :+ Seq.fill(dim)(0.0)
+      val scores = storeOf(withZero).df
+        .select(col("vec_id"),
+          vectors.cosineSimilarity(col("embedding"), col("embedding")).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      withZero.zipWithIndex.forall { case (v, i) =>
+        if (v.forall(_ == 0.0)) scores(i.toLong) == 0.0
+        else math.abs(scores(i.toLong) - 1.0) < 1e-9
+      }
+    }
+
+  property("take(k) is a prefix of the full score-sorted result") =
+    forAll(genStore, genVec, Gen.chooseNum(0, 10)) { (vecs, q, k) =>
+      val store = storeOf(vecs)
+      val full = store.query(q, Metric.Cosine).collect()
+        .select("vec_id").as[Long].collect().toSeq
+      val topk = store.query(q, Metric.Cosine).take(k).collect()
+        .select("vec_id").as[Long].collect().toSeq
+      topk == full.take(k)
+    }
+
+  property("score filter: every surviving score passes; top-k ⊆ filtered") =
+    forAll(genStore, genVec) { (vecs, q) =>
+      val store = storeOf(vecs)
+      val t = 0.1
+      val filtered = store.query(q, Metric.DotProduct).vecFilter(t, Cmp.Gt).collect()
+        .select("vec_id", "score").as[(Long, Double)].collect()
+      val topk = store.query(q, Metric.DotProduct).vecFilter(t, Cmp.Gt).take(3).collect()
+        .select("vec_id").as[Long].collect().toSet
+      filtered.forall(_._2 > t) && topk.subsetOf(filtered.map(_._1).toSet)
+    }
+
+  property("batch query = global top-k over the union of single-query scores") =
+    forAll(genStore, genVec, genVec) { (vecs, q1, q2) =>
+      val store = storeOf(vecs)
+      val k = 5
+      def scored(q: Seq[Double]) = store.query(q, Metric.Cosine).collect()
+        .select("vec_id", "score").as[(Long, Double)].collect().toSeq
+      val expected = (scored(q1) ++ scored(q2))
+        .sortBy { case (id, s) => (-s, id) }.take(k).map(_._2)
+      val got = store.queryBatch(Seq(q1, q2), Metric.Cosine).take(k).collect()
+        .select("score").as[Double].collect().toSeq
+      // compare score multisets (ties may pick either source row)
+      got.map(math.abs) == expected.map(math.abs)
+    }
+
+  property("euclidean: l2sq(v,v) = 0 and take direction is ascending") =
+    forAll(genStore) { vecs =>
+      val store = storeOf(vecs)
+      val self = store.df.select(
+        vectors.l2Squared(col("embedding"), col("embedding")).as("d"))
+        .as[Double].collect()
+      val ordered = store.query(vecs.head, Metric.Euclidean).collect()
+        .select("score").as[Double].collect().toSeq
+      self.forall(_ == 0.0) && ordered == ordered.sorted
+    }
+
+  // ---- pure driver-side laws (fast, default sample count) --------------
+
+  property("invNormOf: |v| * invNorm(v) = 1 for non-zero v") =
+    forAll(genVec) { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0.0) vectors.invNormOf(v) == 0.0
+      else math.abs(n * vectors.invNormOf(v) - 1.0) < 1e-9
+    }
+
+  property("affine hash family stays in [0, P) with no Long overflow") =
+    forAll(Gen.chooseNum(0L, (1L << 32) - 1), Gen.chooseNum(0, 15)) { (h, j) =>
+      val p = graft.functions.hashing.AffineP
+      val v = ((2L * j + 1) * h + 12582917L * j) % p
+      v >= 0 && v < p
+    }
+
+  property("jaccard set laws on shingle arrays: j(a,a)=1, symmetry, [0,1]") =
+    forAll(Gen.listOfN(10, Gen.alphaLowerStr.suchThat(_.nonEmpty)),
+      Gen.listOfN(10, Gen.alphaLowerStr.suchThat(_.nonEmpty))) { (a, b) =>
+      val df = Seq((a.distinct, b.distinct)).toDF("a", "b").select(
+        dedup.jaccard(col("a"), col("a")).as("jaa"),
+        dedup.jaccard(col("a"), col("b")).as("jab"),
+        dedup.jaccard(col("b"), col("a")).as("jba"))
+      val r = df.head()
+      val (jaa, jab, jba) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+      (a.isEmpty || jaa == 1.0) && jab == jba && jab >= 0.0 && jab <= 1.0
+    }
+}
