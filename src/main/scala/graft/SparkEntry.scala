@@ -293,6 +293,18 @@ object SparkEntry {
       ann.ivfSearch(store, ann.seedCentroids(store.df, 16), Q1, k = 10, nprobe = 4)
     }),
 
+    // the complete reference flagship path in one query: indexed store,
+    // metadata predicate (pushed to scan), score threshold, top-k
+    // (ref README.md:59-136: query + meta_filter + vec_filter + take).
+    "vec_full_pipeline" -> ((s, dir) =>
+      embIndex(s, dir)
+        .query(Q2, Metric.Cosine)
+        .metaFilter(col("label") >= 3 && col("label") <= 7)
+        .vecFilter(0.05, Cmp.Gte)
+        .take(15)
+        .withScoreRounding(4)
+        .collect()),
+
     // §2.4: explicit take direction override (take_max on a min-default
     // metric = farthest points, ref vec.rs:161-168).
     "vec_takemax_l2" -> ((s, dir) =>
@@ -551,6 +563,14 @@ object SparkEntry {
          |sc AS (SELECT vec_id, label, ${r4(sqlCosineOn("e", Q1))} AS score FROM assign)
          |SELECT vec_id, score, label FROM sc
          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
+    "vec_full_pipeline" ->
+      s"""WITH s AS (
+         |  SELECT vec_id, label, ${r4(sqlCosine(Q2))} AS score
+         |  FROM embeddings WHERE label >= 3 AND label <= 7
+         |)
+         |SELECT vec_id, score, label FROM s WHERE score >= 0.05
+         |ORDER BY score DESC, vec_id LIMIT 15""".stripMargin,
 
     "vec_takemax_l2" ->
       s"""WITH s AS (

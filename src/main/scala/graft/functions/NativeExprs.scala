@@ -102,6 +102,34 @@ object NativeExprs {
   /** Column: h32 of a string (native twin of [[hashing.h32]]). */
   def h32(c: Column): Column = column(H32Expr(expression(c)))
 
+  /** Per-row SimHash over the token MULTISET (all occurrences vote, not
+    * distinct tokens): bit j set when the sum of ±1 votes from bit j of
+    * each token's h32 is positive. Shuffle-free — the compositional
+    * explode+groupBy form costs a full shuffle of every token row. */
+  def simhashOf(text: UTF8String, bits: Int): Long = {
+    val toks = text.toLowerCase.toString.split("\\s+", -1)
+    val votes = new Array[Int](bits)
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty) {
+        val h = h32Bytes(toks(i).getBytes("UTF-8"))
+        var j = 0
+        while (j < bits) {
+          if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < bits) { if (votes(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  /** Column: native per-row SimHash (see [[SimHashExpr]]). */
+  def simhash(c: Column, bits: Int): Column = column(SimHashExpr(expression(c), bits))
+
   /** Column: native dot product (see [[VecDotExpr]]). */
   def vecDot(a: Column, b: Column): Column =
     column(VecDotExpr(expression(a), expression(b)))
@@ -196,6 +224,16 @@ case class MinHashSigExpr(child: Expression, k: Int)
   override protected def nullSafeEval(input: Any): Any =
     new GenericArrayData(NativeExprs.minhash(input.asInstanceOf[ArrayData], k))
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+case class SimHashExpr(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash"
+  override protected def nullSafeEval(input: Any): Any =
+    NativeExprs.simhashOf(input.asInstanceOf[UTF8String], bits)
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
     copy(child = newChild)
 }
 

@@ -189,10 +189,19 @@ object dedup {
     * all token occurrences is positive. Near-identical token multisets →
     * signatures within a few bits of Hamming distance.
     *
-    * Implemented as explode → one hash-partitioned aggregation per doc id
-    * (map-side combine keeps the shuffle at one row per (doc, partition)).
-    * Returns (idCol, simhash). */
+    * Computed per row by a native fused kernel — ZERO shuffle (the
+    * explode+groupBy composition, kept below as [[simhashHof]], shuffles
+    * every token row). Documents with no tokens are excluded, matching
+    * the explode form where empty docs produce no rows. */
   def simhash(df: DataFrame, textCol: String, idCol: String,
+      bits: Int = 16): DataFrame =
+    df.where(size(text.tokens(col(textCol))) > 0)
+      .select(col(idCol),
+        graft.functions.NativeExprs.simhash(col(textCol), bits).as("simhash"))
+
+  /** Compositional form of [[simhash]] (explode → per-doc vote sums) —
+    * the executable spec of the native kernel. */
+  def simhashHof(df: DataFrame, textCol: String, idCol: String,
       bits: Int = 16): DataFrame = {
     val tok = df
       .select(col(idCol), explode(text.tokens(col(textCol))).as("tok"))

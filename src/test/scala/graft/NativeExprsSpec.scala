@@ -31,6 +31,14 @@ class NativeExprsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
   }
 
+  test("native simhash equals the explode+groupBy composition") {
+    val a = dedup.simhash(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = dedup.simhashHof(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
   test("native vector kernels are bit-identical to the HOF folds") {
     import graft.functions.vectors
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
