@@ -57,6 +57,19 @@ object SparkEntry {
     graft.index.VecIndex.load(s, path)
   }
 
+  /** Memoized LSH-partitioned index (6-bit hyperplane buckets as parquet
+    * partition directories — ANN queries read ONE bucket directory). */
+  private val builtLshIndexes = new scala.collection.concurrent.TrieMap[String, String]()
+  private def embLshIndex(s: SparkSession, dir: String): VecStore = {
+    val path = builtLshIndexes.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files.createTempDirectory("graft-lsh-").toString + "/emb"
+      graft.index.VecIndex.build(table(s, dir, "embeddings"), out,
+        opts = graft.index.VecIndex.BuildOptions(lshBits = Some(6)))._2.path
+      out
+    })
+    graft.index.VecIndex.load(s, path)
+  }
+
   // ---- DuckDB SQL snippet builders ------------------------------------
 
   private def sqlVec(q: Seq[Double]): String =
@@ -285,6 +298,12 @@ object SparkEntry {
     // signature), exact cosine rerank inside it.
     "ann_lsh_topk" -> ((s, dir) =>
       ann.lshSearch(embStore(s, dir), Q1, k = 5, nbits = 6)),
+
+    // north-star: ANN over an LSH-PARTITIONED index — the bucket filter
+    // becomes directory-level partition pruning (63 of 64 buckets never
+    // read; see AnnSpec's PartitionFilters assertion).
+    "ann_lsh_part_topk" -> ((s, dir) =>
+      ann.lshSearch(embLshIndex(s, dir), Q2, k = 5, nbits = 6)),
 
     // north-star: IVF ANN — nearest-centroid assignment (16 deterministic
     // seed centroids), probe the 4 centroids closest to the query.
@@ -546,6 +565,14 @@ object SparkEntry {
          |b AS (SELECT vec_id, label, e FROM s
          |  WHERE (${sqlLshSig(0, 6, 64)}) = ${ann.lshSignatureOf(Q1, 0, 6)}),
          |sc AS (SELECT vec_id, label, ${r4(sqlCosineOn("e", Q1))} AS score FROM b)
+         |SELECT vec_id, score, label FROM sc
+         |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin,
+
+    "ann_lsh_part_topk" ->
+      s"""WITH s AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |b AS (SELECT vec_id, label, e FROM s
+         |  WHERE (${sqlLshSig(0, 6, 64)}) = ${ann.lshSignatureOf(Q2, 0, 6)}),
+         |sc AS (SELECT vec_id, label, ${r4(sqlCosineOn("e", Q2))} AS score FROM b)
          |SELECT vec_id, score, label FROM sc
          |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin,
 

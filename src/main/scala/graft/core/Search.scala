@@ -35,10 +35,12 @@ final case class VecStore(
     SearchPlan(this, qs.map(_.toIndexedSeq).toIndexedSeq, metric)
 
   /** Metadata columns in the reference's result order: sorted by name
-    * (ref: meta.rs:723-724). */
+    * (ref: meta.rs:723-724). Index-internal columns (precomputed norm,
+    * LSH partition bucket) are not user metadata and stay out of results. */
   private[core] def metaCols: Seq[String] =
     df.columns.filterNot(c =>
-      c == idCol || c == vecCol || invNormCol.contains(c)).sorted.toSeq
+      c == idCol || c == vecCol || invNormCol.contains(c) ||
+        c == "lsh_bucket").sorted.toSeq
 }
 
 /** Lazy, immutable query plan — the Spark analog of `MetaQueryPlan`

@@ -37,6 +37,9 @@ object VecIndex {
   /** Name of the persisted inverse-norm column. */
   val InvNormCol = "inv_norm"
 
+  /** Name of the persisted LSH bucket (partition) column. */
+  val LshBucketCol = "lsh_bucket"
+
   final case class BuildOptions(
       /** Metadata columns to range-partition + sort by; drives both file
         * and row-group zonemap locality (reference chunk locality). */
@@ -52,7 +55,14 @@ object VecIndex {
         * large enough for vectorized scans. */
       rowGroupBytes: Long = 16L * 1024 * 1024,
       /** Output files; at cluster scale set ≈ dataset_bytes / 512 MB. */
-      numFiles: Option[Int] = None)
+      numFiles: Option[Int] = None,
+      /** When set, persist an `nbits`-wide hyperplane LSH signature
+        * (table 0, [[graft.ops.ann.lshSignature]]) and PARTITION the
+        * parquet layout by it. An ANN query then filters on the bucket
+        * value, which Catalyst turns into directory-level partition
+        * pruning: the other `2^nbits - 1` buckets are never read at all —
+        * the 100 TB path for similarity search. */
+      lshBits: Option[Int] = None)
 
   final case class BuildStats(rows: Long, dim: Int, buildMs: Long, path: String)
 
@@ -75,16 +85,22 @@ object VecIndex {
     require(lo == hi, s"embedding dimension must be uniform, found [$lo, $hi]")
 
     val withInv = df.withColumn(InvNormCol, vectors.invNorm(col(vecCol)))
+    val withBucket = opts.lshBits match {
+      case Some(bits) =>
+        withInv.withColumn(LshBucketCol,
+          graft.ops.ann.lshSignature(col(vecCol), t = 0, nbits = bits, dim = lo))
+      case None => withInv
+    }
 
     // Range-partition + sort so zonemaps are tight per row group AND per
     // file. repartitionByRange is a full shuffle — an index build is a
     // one-time cost amortized over every query (same trade as the
     // reference's build step).
     val laidOut = opts.sortBy match {
-      case Nil => withInv
+      case Nil => withBucket
       case cols =>
         val parts = opts.numFiles.getOrElse(df.sparkSession.sparkContext.defaultParallelism)
-        withInv.repartitionByRange(parts, cols.map(col): _*)
+        withBucket.repartitionByRange(parts, cols.map(col): _*)
           .sortWithinPartitions(cols.map(col): _*)
     }
 
@@ -95,6 +111,7 @@ object VecIndex {
         .option(s"parquet.bloom.filter.enabled#$c", "true")
         .option(s"parquet.bloom.filter.expected.ndv#$c", opts.bloomNdv.toString)
     }
+    opts.lshBits.foreach(_ => writer = writer.partitionBy(LshBucketCol))
     writer.parquet(path)
 
     val store = load(df.sparkSession, path, idCol, vecCol)

@@ -55,9 +55,15 @@ object ann {
     }.sum
 
   /** LSH-bucketed cosine top-k: scan only vectors whose signature equals
-    * the query's, exact-rerank the bucket. ~`n / 2^nbits` of the data is
-    * scored; with a persisted+partitioned signature column the other
-    * buckets are never even read. */
+    * the query's, exact-rerank the bucket.
+    *
+    * On a plain store the signature is computed in-scan (~`n / 2^nbits`
+    * of the data is scored, all of it read). On an index built with
+    * `BuildOptions(lshBits = Some(nbits))` the bucket is a PARTITION
+    * column, so the filter becomes directory-level partition pruning and
+    * the other `2^nbits - 1` buckets are never read — this is what makes
+    * the query viable at 100 TB. The caller must pass the same
+    * (table, nbits) the index was built with. */
   def lshSearch(
       store: VecStore,
       q: Seq[Double],
@@ -66,8 +72,12 @@ object ann {
       table: Int = 0): DataFrame = {
     val dim = q.length
     val qSig = lshSignatureOf(q, table, nbits)
-    store.copy(df = store.df
-        .filter(lshSignature(col(store.vecCol), table, nbits, dim) === lit(qSig)))
+    val bucketed =
+      if (table == 0 && store.df.columns.contains(graft.index.VecIndex.LshBucketCol))
+        store.df.filter(col(graft.index.VecIndex.LshBucketCol) === lit(qSig))
+      else
+        store.df.filter(lshSignature(col(store.vecCol), table, nbits, dim) === lit(qSig))
+    store.copy(df = bucketed)
       .query(q, Metric.Cosine)
       .take(k)
       .withScoreRounding(4)

@@ -40,6 +40,22 @@ class AnnSpec extends SparkSpec {
     hits.foreach { case (id, _) => assert(sigs(id) == qSig) }
   }
 
+  test("LSH-partitioned index: same results as in-scan signature, via partition pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshidx-").toString + "/idx"
+    val (idx, _) = graft.index.VecIndex.build(df, dir,
+      opts = graft.index.VecIndex.BuildOptions(lshBits = Some(4)))
+    val q = vec(9)
+    val direct = ann.lshSearch(store, q, k = 5, nbits = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    val viaIndex = ann.lshSearch(idx, q, k = 5, nbits = 4)
+    assert(viaIndex.select("vec_id").as[Long].collect().toSeq == direct)
+    // the bucket filter must reach the read as a PARTITION filter, not a
+    // post-scan predicate — that's what makes it skip 15/16 of the data
+    val physical = viaIndex.queryExecution.executedPlan.toString
+    assert(physical.contains("PartitionFilters") &&
+      physical.contains("lsh_bucket"), s"no partition pruning in:\n$physical")
+  }
+
   test("ivfAssign maps each centroid's own vector to itself; ties -> lowest cid") {
     val cents = ann.seedCentroids(df, 8)
     val assigned = ann.ivfAssign(df, cents).select("vec_id", "cluster_id")
