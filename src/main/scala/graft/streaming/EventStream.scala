@@ -62,4 +62,78 @@ object EventStream {
     * scan work (`get_json_object` is a codegen expression). */
   def propInt(name: String): org.apache.spark.sql.Column =
     get_json_object(col("props"), s"$$.$name").cast("int")
+
+  /** One event on the stateful-sessionization path. */
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  /** Open-session state kept per user between micro-batches. */
+  final case class SessionState(
+      start: Long, last: Long, nEvents: Long, sumValue: Double)
+
+  /** A closed session. */
+  final case class ClosedSession(
+      user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+  /** TRUE streaming sessionization: per-user state via
+    * `flatMapGroupsWithState` with a processing-time timeout. The batch
+    * [[sessionize]] answers backfills; this one runs unbounded — state is
+    * O(active users), sessions close either by an in-stream gap or by the
+    * timeout firing with no new data. The two agree on session boundaries
+    * for the same input (EventStreamSpec).
+    *
+    * 100 TB/unbounded notes: state is keyed and partitioned by user_id
+    * (uniform), each value is four scalars; the timeout bounds state
+    * lifetime so a dead user costs nothing after `gapMinutes`. */
+  def sessionizeStream(
+      events: org.apache.spark.sql.Dataset[SessionEvent],
+      gapMinutes: Int = 30,
+      /** Processing-time timeouts close idle sessions with no further
+        * input (production). They also make the engine poll empty
+        * micro-batches while any timer is armed, which starves
+        * `processAllAvailable` — tests that drain synchronously set
+        * false and rely on in-stream gap closure. */
+      useTimeout: Boolean = true): org.apache.spark.sql.Dataset[ClosedSession] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    val timeoutConf =
+      if (useTimeout) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+
+    def close(u: Long, s: SessionState) = ClosedSession(
+      u, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last),
+      s.nEvents, s.sumValue)
+
+    events.groupByKey(_.user_id).flatMapGroupsWithState(
+      OutputMode.Append, timeoutConf) {
+      (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+        if (state.hasTimedOut) {
+          val out = state.getOption.map(close(user, _)).toSeq
+          state.remove()
+          out.iterator
+        } else {
+          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          var cur = state.getOption
+          val closed = Seq.newBuilder[ClosedSession]
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.last <= gapMs =>
+                cur = Some(SessionState(s.start, t, s.nEvents + 1, s.sumValue + e.value))
+              case Some(s) =>
+                closed += close(user, s)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur.foreach { s =>
+            state.update(s)
+            if (useTimeout) state.setTimeoutDuration(gapMs)
+          }
+          closed.result().iterator
+        }
+    }
+  }
 }

@@ -56,6 +56,31 @@ class EventStreamSpec extends SparkSpec {
     assert(r == Seq((7L, 1L, 2L, 4.0), (7L, 2L, 1L, 8.0), (8L, 1L, 1L, 4.0)))
   }
 
+  test("stateful streaming sessionization closes sessions on in-stream gaps") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val sdf = mem.toDF.toDF("user_id", "ts", "value")
+      .as[EventStream.SessionEvent]
+    val q = EventStream.sessionizeStream(sdf, gapMinutes = 30, useTimeout = false)
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    try {
+      // user 7: two events 2.5 min apart, then a 56.5-min gap closes the
+      // first session when the third event arrives
+      mem.addData(Seq(
+        (7L, ts("2024-01-01 00:01:00"), 1.5),
+        (7L, ts("2024-01-01 00:03:30"), 2.5)))
+      q.processAllAvailable()
+      mem.addData(Seq((7L, ts("2024-01-01 01:00:00"), 8.0)))
+      q.processAllAvailable()
+      val closed = spark.table("sess_stream")
+        .select("user_id", "n_events", "sum_value")
+        .as[(Long, Long, Double)].collect().toSeq
+      // only the FIRST session is closed (second still open in state)
+      assert(closed == Seq((7L, 2L, 4.0)))
+    } finally q.stop()
+  }
+
   test("propInt extracts typed JSON props") {
     val ks = batch.select(EventStream.propInt("k").as("k")).as[Int].collect().toSeq
     assert(ks == Seq(1, 60, 90, 30))
