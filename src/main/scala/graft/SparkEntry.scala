@@ -196,6 +196,31 @@ object SparkEntry {
         .withScoreRounding(4)
         .collect()),
 
+    // extension: PER-QUERY batch top-k (each query its own k; the
+    // reference only merges globally) — window rank after one scan.
+    "vec_batch_perquery" -> ((s, dir) =>
+      embStore(s, dir)
+        .queryBatchPerQuery(Seq(Q1, Q2), Metric.Cosine, k = 5,
+          roundScoreDecimals = Some(4))),
+
+    // roadmap metric (reference README.md:204-215): Manhattan / L1
+    // distance, smallest-first.
+    "vec_l1_topk" -> ((s, dir) =>
+      embStore(s, dir)
+        .query(Q1, Metric.Manhattan)
+        .take(10)
+        .withScoreRounding(4)
+        .collect()),
+
+    // roadmap string ops (README.md:204-215): starts_with / contains /
+    // ends_with metadata predicates — free as pushed Spark filters.
+    "meta_string_filter" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .filter(col("source").startsWith("src1") &&
+          col("text").contains("spark") && !col("lang").endsWith("h"))
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy(col("doc_id"))),
+
     // §2.1: index build (precomputed inv_norm + label-sorted parquet
     // layout = chunk zonemaps); must return identical results to the
     // direct path — checked against the same oracle shape.
@@ -590,6 +615,32 @@ object SparkEntry {
          |sc AS (SELECT vec_id, label, ${r4(sqlCosineOn("e", Q1))} AS score FROM assign)
          |SELECT vec_id, score, label FROM sc
          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
+    "vec_batch_perquery" ->
+      s"""WITH s AS (
+         |  SELECT 0 AS q_idx, vec_id, label, ${r4(sqlCosine(Q1))} AS score FROM embeddings
+         |  UNION ALL
+         |  SELECT 1, vec_id, label, ${r4(sqlCosine(Q2))} FROM embeddings
+         |),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_idx
+         |  ORDER BY score DESC, vec_id) AS rk FROM s)
+         |SELECT q_idx, vec_id, score, label FROM r WHERE rk <= 5
+         |ORDER BY q_idx, score DESC, vec_id""".stripMargin,
+
+    "vec_l1_topk" ->
+      s"""WITH s AS (
+         |  SELECT vec_id, label,
+         |    ${r4(s"list_sum(list_transform(list_zip($E, ${sqlVec(Q1)}), x -> abs(x[1]-x[2])))")} AS score
+         |  FROM embeddings
+         |)
+         |SELECT vec_id, score, label FROM s
+         |ORDER BY score ASC, vec_id LIMIT 10""".stripMargin,
+
+    "meta_string_filter" ->
+      """SELECT doc_id, source, lang FROM documents
+        |WHERE starts_with(source, 'src1') AND contains(text, 'spark')
+        |  AND NOT ends_with(lang, 'h')
+        |ORDER BY doc_id""".stripMargin,
 
     "vec_full_pipeline" ->
       s"""WITH s AS (

@@ -34,6 +34,43 @@ final case class VecStore(
   def queryBatch(qs: Seq[Seq[Double]], metric: Metric): SearchPlan =
     SearchPlan(this, qs.map(_.toIndexedSeq).toIndexedSeq, metric)
 
+  /** Per-query batch top-k — every query gets its OWN k results (the
+    * common serving need; an extension, since the reference's batch
+    * explicitly merges globally). One broadcast of the query table, one
+    * scoring scan, one shuffle on q_idx for the window rank. Result:
+    * (q_idx, id, score, metadata...), ordered within each query. */
+  def queryBatchPerQuery(
+      qs: Seq[Seq[Double]],
+      metric: Metric,
+      k: Int,
+      roundScoreDecimals: Option[Int] = None): DataFrame = {
+    require(qs.nonEmpty, "query batch must not be empty")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qdf = qs.zipWithIndex
+      .map { case (q, i) => (i, q, vectors.invNormOf(q)) }
+      .toDF("q_idx", "q_vec", "q_inv")
+    val scored = df.crossJoin(broadcast(qdf))
+      .withColumn("score", vectors.score(metric, col(vecCol), col("q_vec"),
+        invNormCol.map(col), Some(col("q_inv"))))
+    val rounded = roundScoreDecimals match {
+      case Some(d) => scored.withColumn("score", round(col("score"), d) + lit(0.0))
+      case None    => scored
+    }
+    val scoreOrd = metric.defaultTake match {
+      case TakeType.Max => col("score").desc
+      case TakeType.Min => col("score").asc
+    }
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q_idx")).orderBy(scoreOrd, col(idCol).asc)
+    rounded
+      .filter(!isnan(col("score")))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select((Seq(col("q_idx"), col(idCol), col("score")) ++ metaCols.map(col)): _*)
+      .orderBy(col("q_idx"), scoreOrd, col(idCol))
+  }
+
   /** Metadata columns in the reference's result order: sorted by name
     * (ref: meta.rs:723-724). Index-internal columns (precomputed norm,
     * LSH partition bucket) are not user metadata and stay out of results. */

@@ -13,6 +13,10 @@ object Metric {
   case object Cosine extends Metric { val defaultTake: TakeType = TakeType.Max }
   case object Euclidean extends Metric { val defaultTake: TakeType = TakeType.Min }
   case object DotProduct extends Metric { val defaultTake: TakeType = TakeType.Max }
+
+  /** L1 distance — on the reference's roadmap (README.md:204-215), not in
+    * its shipped enum; a distance, so smallest-first like Euclidean. */
+  case object Manhattan extends Metric { val defaultTake: TakeType = TakeType.Min }
 }
 
 /** Top-k direction (/root/reference/src/vec.rs:18-22). */

@@ -137,6 +137,10 @@ object NativeExprs {
   /** Column: native squared L2 (see [[VecL2SqExpr]]). */
   def vecL2Sq(a: Column, b: Column): Column =
     column(VecL2SqExpr(expression(a), expression(b)))
+
+  /** Column: native L1 / Manhattan distance (see [[VecL1Expr]]). */
+  def vecL1(a: Column, b: Column): Column =
+    column(VecL1Expr(expression(a), expression(b)))
 }
 
 /** Element accessor closed over the array element type, so the per-row
@@ -171,6 +175,16 @@ private[functions] object VecKernels {
     while (i < n) { val d = ga(a, i) - gb(b, i); acc += d * d; i += 1 }
     acc
   }
+
+  /** Sequential-order L1 (Manhattan) distance. */
+  def l1(a: ArrayData, b: ArrayData, ga: (ArrayData, Int) => Double,
+      gb: (ArrayData, Int) => Double): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += math.abs(ga(a, i) - gb(b, i)); i += 1 }
+    acc
+  }
 }
 
 /** Native dot product of two numeric array columns. NOTE: like
@@ -203,6 +217,20 @@ case class VecL2SqExpr(left: Expression, right: Expression)
     VecKernels.l2sq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], ga, gb)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VecL2SqExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native L1 (Manhattan) distance — roadmap metric (README.md:204-215). */
+case class VecL1Expr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "vec_l1"
+  @transient private lazy val ga = VecKernels.getter(left.dataType)
+  @transient private lazy val gb = VecKernels.getter(right.dataType)
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.l1(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], ga, gb)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecL1Expr =
     copy(left = newLeft, right = newRight)
 }
 

@@ -81,6 +81,17 @@ object vectors {
       lit(0.0),
       (acc, x) => acc + x)
 
+  /** L1 (Manhattan) distance — reference-roadmap metric. Native kernel;
+    * bit-identical to [[l1DistanceHof]]. */
+  def l1Distance(a: Column, b: Column): Column = NativeExprs.vecL1(a, b)
+
+  /** Compositional (HOF) L1 — executable spec of the kernel. */
+  def l1DistanceHof(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(asDoubleArray(a), asDoubleArray(b), (x, y) => abs(x - y)),
+      lit(0.0),
+      (acc, x) => acc + x)
+
   /** Metric-dispatched score of a store vector column against a query
     * expression. `storeInvNorm` supplies a precomputed inverse-norm column
     * when the store was built with one, and `queryInvNorm` the
@@ -94,6 +105,7 @@ object vectors {
       queryInvNorm: Option[Column] = None): Column = metric match {
     case Metric.DotProduct => dotProduct(storeVec, queryVec)
     case Metric.Euclidean  => l2Squared(storeVec, queryVec)
+    case Metric.Manhattan  => l1Distance(storeVec, queryVec)
     case Metric.Cosine =>
       val ia = storeInvNorm.getOrElse(invNorm(storeVec))
       val ib = queryInvNorm.getOrElse(invNorm(queryVec))
