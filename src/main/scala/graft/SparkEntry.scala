@@ -212,6 +212,20 @@ object SparkEntry {
         .withScoreRounding(4)
         .collect()),
 
+    // roadmap (README.md:204-215): int8 scalar quantization — first-pass
+    // scoring over 4x fewer bytes; exact f32 rerank stays available.
+    "vec_quant_dot_topk" -> ((s, dir) => {
+      val (qq, qs) = graft.ops.quant.quantizeQuery(Q1)
+      graft.ops.quant.quantized(table(s, dir, "embeddings"))
+        .select(col("vec_id"),
+          (round(graft.ops.quant.dequantizedDot(
+            col("q_vec"), col("q_scale"),
+            array(qq.map(lit): _*), lit(qs)), 4) + lit(0.0)).as("score"),
+          col("label"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // roadmap string ops (README.md:204-215): starts_with / contains /
     // ends_with metadata predicates — free as pushed Spark filters.
     "meta_string_filter" -> ((s, dir) =>
@@ -635,6 +649,21 @@ object SparkEntry {
          |)
          |SELECT vec_id, score, label FROM s
          |ORDER BY score ASC, vec_id LIMIT 10""".stripMargin,
+
+    "vec_quant_dot_topk" -> {
+      val (qq, qs) = graft.ops.quant.quantizeQuery(Q1)
+      s"""WITH s AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |sc AS (SELECT vec_id, label, e,
+         |  coalesce(list_max(list_transform(e, x -> abs(x))), 0.0) / 127.0 AS qs FROM s),
+         |v AS (SELECT vec_id, label, qs,
+         |  CASE WHEN qs > 0 THEN list_transform(e, x -> least(greatest(floor(x/qs + 0.5), -127.0), 127.0))
+         |       ELSE list_transform(e, x -> 0.0) END AS qv FROM sc),
+         |p AS (SELECT vec_id, label,
+         |  round(list_dot_product(qv, ${qq.map(_.toDouble).mkString("[", ", ", "]::DOUBLE[]")}) * qs * $qs, 4) + 0.0 AS score
+         |FROM v)
+         |SELECT vec_id, score, label FROM p
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+    },
 
     "meta_string_filter" ->
       """SELECT doc_id, source, lang FROM documents

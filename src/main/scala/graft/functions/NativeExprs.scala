@@ -148,10 +148,12 @@ object NativeExprs {
   * exactly — identical to casting the whole array first. */
 private[functions] object VecKernels {
   def getter(dt: DataType): (ArrayData, Int) => Double = dt match {
-    case ArrayType(org.apache.spark.sql.types.FloatType, _)  => (a, i) => a.getFloat(i).toDouble
-    case ArrayType(org.apache.spark.sql.types.DoubleType, _) => (a, i) => a.getDouble(i)
+    case ArrayType(org.apache.spark.sql.types.FloatType, _)   => (a, i) => a.getFloat(i).toDouble
+    case ArrayType(org.apache.spark.sql.types.DoubleType, _)  => (a, i) => a.getDouble(i)
+    case ArrayType(org.apache.spark.sql.types.ByteType, _)    => (a, i) => a.getByte(i).toDouble
+    case ArrayType(org.apache.spark.sql.types.IntegerType, _) => (a, i) => a.getInt(i).toDouble
     case other => throw new IllegalArgumentException(
-      s"vector kernel expects array<float>/array<double>, got ${other.simpleString}")
+      s"vector kernel expects array<float|double|byte|int>, got ${other.simpleString}")
   }
 
   /** Sequential-order dot product — the same fold as
