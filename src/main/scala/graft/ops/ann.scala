@@ -122,6 +122,34 @@ object ann {
       .map { case (r, i) => (i, r.getSeq[Double](0).toIndexedSeq: Seq[Double]) }
       .toIndexedSeq
 
+  /** Deterministic Lloyd's k-means over the embedding column: init from
+    * [[seedCentroids]], `iters` fixed iterations of assign → per-cluster
+    * mean. Each iteration is one scan + one k-group aggregation; only the
+    * k centroid rows ever reach the driver, so the trainer scales with
+    * partitions like everything else. Empty clusters keep their previous
+    * centroid (deterministic, no re-seeding RNG). */
+  def kmeans(
+      df: DataFrame,
+      k: Int,
+      iters: Int = 5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Seq[(Int, Seq[Double])] = {
+    var centroids = seedCentroids(df, k, idCol, vecCol)
+    val dim = centroids.head._2.length
+    (0 until iters).foreach { _ =>
+      val dims = (0 until dim).map(i =>
+        avg(col(vecCol).getItem(i).cast("double")).as(s"c$i"))
+      val means = ivfAssign(df, centroids, vecCol)
+        .groupBy(col("cluster_id"))
+        .agg(dims.head, dims.tail: _*)
+        .collect()
+        .map(r => r.getInt(0) -> ((1 to dim).map(r.getDouble).toIndexedSeq: Seq[Double]))
+        .toMap
+      centroids = centroids.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    centroids
+  }
+
   /** IVF cosine top-k: probe the `nprobe` centroids nearest to the query
     * (by squared L2), score only rows assigned to them. */
   def ivfSearch(

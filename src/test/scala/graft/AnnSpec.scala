@@ -66,6 +66,24 @@ class AnnSpec extends SparkSpec {
     assert(twoSame.select("cluster_id").head().getInt(0) == 5)
   }
 
+  test("kmeans recovers planted cluster centers; empty clusters keep old centroid") {
+    // two tight planted clusters around distinct centers
+    def around(center: Double, seed: Int) =
+      (0 until dim).map(i => center + 0.01 * math.sin(seed * 13.0 + i))
+    val pts = (0 until 50).map(i => (i.toLong, around(5.0, i).toArray)) ++
+      (50 until 100).map(i => (i.toLong, around(-5.0, i).toArray))
+    val cdf = pts.toDF("vec_id", "embedding")
+    val cents = ann.kmeans(cdf, k = 2, iters = 4)
+    val centers = cents.map(_._2.sum / dim).sorted
+    assert(math.abs(centers(0) - -5.0) < 0.1 && math.abs(centers(1) - 5.0) < 0.1,
+      s"centroids should sit near ±5, got $centers")
+    // every point lands in the cluster of its planted center
+    val assigned = ann.ivfAssign(cdf, cents).select("vec_id", "cluster_id")
+      .as[(Long, Int)].collect().toMap
+    assert(assigned.filter(_._1 < 50).values.toSet.size == 1)
+    assert(assigned.filter(_._1 >= 50).values.toSet.size == 1)
+  }
+
   test("ivfSearch with all centroids probed equals exact brute-force top-k") {
     val q = vec(7)
     val cents = ann.seedCentroids(df, 8)

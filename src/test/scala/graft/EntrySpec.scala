@@ -1,0 +1,25 @@
+package graft
+
+/** Guards the driver contract itself: `entry` must return rows on
+  * sf0.001 (the driver's smoke gate) and every registered query needs a
+  * runnable plan and a matching oracle key. */
+class EntrySpec extends SparkSpec {
+
+  test("entry() returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a query; oracle coverage is near-total") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert(os.subsetOf(qs), s"oracles without queries: ${os -- qs}")
+    assert((qs -- os).isEmpty, s"queries missing an oracle: ${qs -- os}")
+  }
+
+  test("all registered queries build an analyzable plan on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, "/root/testdata/sf0.001")
+      assert(df.schema.fields.nonEmpty, s"$name has an empty schema")
+    }
+  }
+}
