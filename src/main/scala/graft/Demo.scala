@@ -42,14 +42,34 @@ object Demo {
     store.query(q, Metric.Euclidean).take(3).collect().show(false)
 
     println("== text analysis over documents ==")
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(col("doc_id"),
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.select(col("doc_id"),
         text.tokenCount(col("text")).as("n_tok"),
         round(text.qualityScore(col("text")), 3).as("quality"),
         text.langId(col("text")).as("lang_pred"),
         text.minShingleFingerprint(col("text")).as("fp"))
       .orderBy(desc("quality"))
       .show(5, truncate = false)
+
+    println("== MinHash-LSH near-duplicate pairs (jaccard >= 0.5) ==")
+    graft.ops.dedup.minhashNearDupPairs(docs, "text", "doc_id", threshold = 0.5)
+      .orderBy(desc("jacc")).show(5, truncate = false)
+
+    println("== ANN: LSH-bucketed cosine top-3 ==")
+    graft.ops.ann.lshSearch(store, q, k = 3).show(false)
+
+    println("== int8-quantized first-pass dot top-3 ==")
+    val (qq, qs) = graft.ops.quant.quantizeQuery(q)
+    graft.ops.quant.quantized(store.df)
+      .select(col("vec_id"), round(graft.ops.quant.dequantizedDot(
+        col("q_vec"), col("q_scale"), array(qq.map(lit): _*), lit(qs)), 4).as("approx_dot"))
+      .orderBy(desc("approx_dot")).show(3, truncate = false)
+
+    println("== event stream: 5-minute windows (top rows) ==")
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    graft.streaming.EventStream.windowedAgg(events)
+      .orderBy(desc("n_events")).show(3, truncate = false)
 
     spark.stop()
   }
