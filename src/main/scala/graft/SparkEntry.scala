@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Cmp, Metric, VecStore}
 import graft.functions.{hashing, vectors}
-import graft.ops.{ann, dedup, multimodal, text}
+import graft.ops.{ann, dedup, multimodal, sample, text}
 import graft.streaming.EventStream
 
 /** Driver contract — one named query per implemented operator
@@ -443,6 +443,22 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // north-star: deterministic hash split + sampling — reproducible
+    // dataset versions with no RNG state; pure scan work.
+    "sample_split" -> ((s, dir) =>
+      sample.split(table(s, dir, "documents"), "doc_id", trainPct = 80, valPct = 10)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+        .orderBy(col("split"))),
+
+    // north-star: sequence packing by token budget (prefix-sum window).
+    "sample_pack" -> ((s, dir) =>
+      sample.packSequences(table(s, dir, "documents"), "doc_id",
+          text.tokenCount(col("text")).cast("long"), budget = 512)
+        .groupBy(col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+        .orderBy(col("pack_id"))),
+
     // §2.1 datetime ingestion: format round-trip + try-parse fallback
     // chain (ref col.rs:506-545 auto-parse).
     "datetime_parse" -> ((s, dir) =>
@@ -738,6 +754,23 @@ object SparkEntry {
         |  sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS spend_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1, 2 ORDER BY spend_cents DESC, c_custkey LIMIT 10""".stripMargin,
+
+    "sample_split" ->
+      s"""WITH k AS (SELECT doc_id,
+         |  ${hashing.sqlH32("(doc_id::VARCHAR || '/split')")} % 100 AS key FROM documents),
+         |s AS (SELECT doc_id, CASE WHEN key < 80 THEN 'train'
+         |  WHEN key < 90 THEN 'val' ELSE 'test' END AS split FROM k)
+         |SELECT split, count(*) AS n, min(doc_id) AS min_id
+         |FROM s GROUP BY split ORDER BY split""".stripMargin,
+
+    "sample_pack" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  len($SqlToks) AS n_tokens FROM documents),
+         |p AS (SELECT doc_id, n_tokens,
+         |  floor((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0)::BIGINT AS pack_id
+         |FROM t)
+         |SELECT pack_id, count(*) AS n_docs, sum(n_tokens)::BIGINT AS pack_tokens
+         |FROM p GROUP BY pack_id ORDER BY pack_id""".stripMargin,
 
     "datetime_parse" ->
       """WITH s AS (SELECT DISTINCT strftime(l_shipdate, '%Y/%m/%d') AS s FROM lineitem)

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.hashing
+
+/** Deterministic sampling, splitting, and sequence packing for
+  * training-data pipelines.
+  *
+  * All three are hash- or prefix-sum-based rather than RNG-based: the
+  * same row lands in the same sample/split/pack on every run, on any
+  * cluster size, with no seed state to ship — the property that makes
+  * dataset versions reproducible (and lets an independent engine verify
+  * results exactly).
+  */
+object sample {
+
+  /** Per-row sampling key in [0, 100): portable hash of the id and a salt
+    * (different salts → independent samples). */
+  def pctKey(id: Column, salt: String): Column =
+    hashing.h32(concat(id.cast("string"), lit("/" + salt))) % 100
+
+  /** Keep ~`pct`% of rows, deterministically by id hash — scan-parallel,
+    * no shuffle, stable across runs and engines. */
+  def deterministicSample(df: DataFrame, idCol: String, pct: Int,
+      salt: String = "sample"): DataFrame =
+    df.where(pctKey(col(idCol), salt) < pct)
+
+  /** Disjoint train/val/test split by hash band: adds a `split` column
+    * ("train"/"val"/"test"). Bands are [0, train), [train, train+val),
+    * [train+val, 100). */
+  def split(df: DataFrame, idCol: String, trainPct: Int, valPct: Int,
+      salt: String = "split"): DataFrame = {
+    require(trainPct + valPct < 100, "train + val must leave room for test")
+    val k = pctKey(col(idCol), salt)
+    df.withColumn("split",
+      when(k < trainPct, "train")
+        .when(k < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Sequence packing: assign documents (ordered by `idCol`) to packs of
+    * at most ~`budget` tokens via a running token-count prefix sum —
+    * `pack_id = floor((cumsum - n_tokens) / budget)` (each doc's pack is
+    * decided by the budget consumed BEFORE it). One window over a single
+    * global ordering; at 100 TB shard first (e.g. by date or hash bucket)
+    * and pack within shards so the window never needs one global sort.
+    * Oversized docs occupy packs alone rather than being dropped. */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: Column,
+      budget: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", tokenCol)
+      .withColumn("pack_id",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / budget.toDouble))
+  }
+}
