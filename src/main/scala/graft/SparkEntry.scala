@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Cmp, Metric, VecStore}
 import graft.functions.{hashing, vectors}
-import graft.ops.{ann, dedup, multimodal, sample, text}
+import graft.ops.{ann, dedup, multimodal, retrieval, sample, text}
 import graft.streaming.EventStream
 
 /** Driver contract — one named query per implemented operator
@@ -119,6 +119,34 @@ object SparkEntry {
     s"""SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
        |  i -> array_to_string(list_slice(toks, i, i+2), ' '))) AS grams
        |FROM (SELECT doc_id, $SqlToks AS toks FROM documents) WHERE len(toks) >= 3""".stripMargin
+
+  /** DuckDB CTE chain computing BM25 scores over `documents` for the
+    * fixed term set, ending in `sc(doc_id, score)`. Scalar folds (k1+1,
+    * 1-b) are interpolated from the SAME Scala doubles the Spark plan
+    * embeds; corpus stats (N, avgdl) are exact-integer derived, so both
+    * engines compute identical doubles. Operation shapes mirror
+    * [[retrieval.bm25]] term for term. */
+  private val SqlBm25Ctes: String = {
+    val p = graft.ops.retrieval.Bm25Params()
+    val terms = Seq("spark", "query", "window").map("'" + _ + "'").mkString(", ")
+    s"""b2 AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+       |b3 AS (SELECT doc_id, len(toks)::DOUBLE AS dl, toks FROM b2),
+       |st AS (SELECT count(*)::DOUBLE AS n, sum(dl) AS sumdl FROM b3),
+       |m AS (SELECT doc_id, dl, unnest(toks) AS term FROM b3),
+       |mm AS (SELECT * FROM m WHERE term IN ($terms)),
+       |tfq AS (SELECT doc_id, term, dl, count(*)::DOUBLE AS tf FROM mm GROUP BY 1, 2, 3),
+       |dfq AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM mm GROUP BY 1),
+       |tsq AS (SELECT tfq.doc_id,
+       |  ln((((SELECT n FROM st) - df + 0.5) / (df + 0.5)) + 1.0)
+       |    * (tf * ${p.k1 + 1.0}) / (tf + ${p.k1} * (${1.0 - p.b} + ${p.b} / (SELECT sumdl / n FROM st) * dl)) AS ts
+       |  FROM tfq JOIN dfq USING (term)),
+       |sc AS (SELECT doc_id, floor(sum(ts) * 1000000.0 + 0.5) / 1000000.0 AS score
+       |  FROM tsq GROUP BY doc_id)""".stripMargin
+  }
+
+  private def sqlBm25Top(k: Int): String =
+    s"""WITH $SqlBm25Ctes
+       |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
 
   /** DuckDB literal for a deterministic hyperplane, from the SAME
     * JVM-computed doubles the Spark plan embeds (Double.toString
@@ -443,6 +471,17 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // north-star: BM25 keyword retrieval over the documents table.
+    "text_bm25_topk" -> ((s, dir) =>
+      retrieval.bm25Search(table(s, dir, "documents"), "text", "doc_id",
+        Seq("spark", "query", "window"), k = 10)),
+
+    // north-star: hybrid retrieval — cosine ANN ranks fused with BM25
+    // ranks by reciprocal rank (exact rational arithmetic).
+    "hybrid_rrf_topk" -> ((s, dir) =>
+      retrieval.hybridSearch(embStore(s, dir), table(s, dir, "documents"),
+        "text", "doc_id", Q1, Seq("spark", "query", "window"), k = 10)),
+
     // north-star: deterministic hash split + sampling — reproducible
     // dataset versions with no RNG state; pure scan work.
     "sample_split" -> ((s, dir) =>
@@ -754,6 +793,21 @@ object SparkEntry {
         |  sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS spend_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1, 2 ORDER BY spend_cents DESC, c_custkey LIMIT 10""".stripMargin,
+
+    "text_bm25_topk" -> sqlBm25Top(10),
+
+    "hybrid_rrf_topk" ->
+      s"""WITH ${SqlBm25Ctes},
+         |b100 AS (SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 100),
+         |br AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank_b FROM b100),
+         |es AS (SELECT vec_id, ${"round(" + sqlCosine(Q1) + ", 6) + 0.0"} AS vscore FROM embeddings),
+         |v100 AS (SELECT vec_id, vscore FROM es ORDER BY vscore DESC, vec_id LIMIT 100),
+         |vr AS (SELECT vec_id, row_number() OVER (ORDER BY vscore DESC, vec_id) AS rank_a FROM v100),
+         |f AS (SELECT coalesce(vr.vec_id, br.doc_id) AS doc_id,
+         |  coalesce(1.0 / (60.0 + rank_a), 0.0) + coalesce(1.0 / (60.0 + rank_b), 0.0) AS rrf
+         |  FROM vr FULL OUTER JOIN br ON vr.vec_id = br.doc_id)
+         |SELECT doc_id, floor(rrf * 1000000.0 + 0.5) / 1000000.0 AS rrf
+         |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
 
     "sample_split" ->
       s"""WITH k AS (SELECT doc_id,

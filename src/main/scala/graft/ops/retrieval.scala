@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Metric, VecStore}
+
+/** Keyword retrieval (BM25) and hybrid keyword+vector fusion — the
+  * standard serving stack next to pure vector search. The reference has
+  * no text scoring at all; for a training-data engine BM25 doubles as a
+  * relevance/quality signal (e.g. filter documents matching a topic).
+  *
+  * Plan shape at scale: one explode of matching terms only (the query
+  * term filter lands before the shuffle, so the inverted explosion is
+  * |matching tokens|, not |all tokens|), one groupBy (doc, term), one
+  * per-term document-frequency aggregate over that same narrow set, one
+  * final per-doc sum. Document length stats are a one-pass aggregate.
+  * Fusion is rank arithmetic — exact rationals, engine-portable.
+  */
+object retrieval {
+
+  final case class Bm25Params(k1: Double = 1.2, b: Double = 0.75)
+
+  /** BM25 scores for `terms` over a document table. Returns
+    * (idCol, score) for documents matching at least one term.
+    * Scores are quantized to 6 decimals so downstream rank order is
+    * reproducible across engines (raw scores involve `ln`, which may
+    * differ in the last ulp between libm implementations). */
+  def bm25(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      terms: Seq[String],
+      params: Bm25Params = Bm25Params()): DataFrame = {
+    val toks = text.tokens(col(textCol))
+    val base = docs.select(col(idCol), toks.as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+
+    // corpus stats: N and average doc length (exact int arithmetic until
+    // the final division, identical in any engine)
+    val stats = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")).head()
+    val nDocs = stats.getLong(0).toDouble
+    val avgdl = stats.getDouble(1) / nDocs
+
+    val matches = base
+      .select(col(idCol), col("dl"), explode(col("toks")).as("term"))
+      .where(col("term").isin(terms: _*))
+    val tf = matches.groupBy(col(idCol), col("term"), col("dl"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df_ = matches.groupBy(col("term"))
+      .agg(countDistinct(col(idCol)).cast("double").as("df"))
+
+    // Scalar folds (k1+1, 1-b, b/avgdl) happen driver-side; the same
+    // shapes appear verbatim in the DuckDB oracle so every double matches.
+    val k1 = params.k1
+    val b = params.b
+    val idf = log((lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val termScore = idf * (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) / lit(avgdl) * col("dl")))
+
+    tf.join(df_, "term")
+      .withColumn("ts", termScore)
+      .groupBy(col(idCol))
+      .agg((floor(sum(col("ts")) * 1000000.0 + 0.5) / 1000000.0).as("score"))
+  }
+
+  /** BM25 top-k, ordered (score desc, id). */
+  def bm25Search(docs: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], k: Int,
+      params: Bm25Params = Bm25Params()): DataFrame =
+    bm25(docs, textCol, idCol, terms, params)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+
+  /** Reciprocal-rank fusion of two ranked lists (id, rank 1-based):
+    * `rrf = Σ 1/(c + rank)` over the lists an id appears in. Pure
+    * rational arithmetic from integer ranks — exactly reproducible. */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, c: Int = 60): DataFrame = {
+    val ra = a.select(col(idCol), col("rank").as("rank_a"))
+    val rb = b.select(col(idCol), col("rank").as("rank_b"))
+    ra.join(rb, Seq(idCol), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(c.toDouble) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c.toDouble) + col("rank_b")), lit(0.0)))
+  }
+
+  /** Hybrid search: cosine ANN ranks ⊕ BM25 ranks via RRF. `store` ids
+    * and `docs` ids must share a key space (vec_id == doc_id here). */
+  def hybridSearch(
+      store: VecStore,
+      docs: DataFrame,
+      textCol: String,
+      docIdCol: String,
+      qVec: Seq[Double],
+      terms: Seq[String],
+      k: Int,
+      candidates: Int = 100): DataFrame = {
+    val vecRanked = store.query(qVec, Metric.Cosine)
+      .take(candidates).withScoreRounding(6).collect()
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col(store.idCol))))
+      .select(col(store.idCol).as(docIdCol), col("rank"))
+    val bmRanked = bm25Search(docs, textCol, docIdCol, terms, candidates)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col(docIdCol))))
+      .select(col(docIdCol), col("rank"))
+    rrfFuse(vecRanked, bmRanked, docIdCol)
+      .select(col(docIdCol), (floor(col("rrf") * 1000000.0 + 0.5) / 1000000.0).as("rrf"))
+      .orderBy(col("rrf").desc, col(docIdCol))
+      .limit(k)
+  }
+}
