@@ -471,6 +471,27 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // north-star: text scrubbing (url/email placeholders + whitespace
+    // normalization) — checked by fingerprinting the cleaned text.
+    "text_clean" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(text.cleanText(col("text")).cast("binary")).as("clean_fp"),
+          length(text.cleanText(col("text"))).cast("long").as("clean_len"))
+        .orderBy(col("doc_id"))),
+
+    // keep-first dedup per (user, event_type) — the batch twin of
+    // streaming dropDuplicatesWithinWatermark.
+    "events_dedup_keepfirst" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"), col("event_type"))
+            .orderBy(col("ts"), col("event_id"))))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"))
+        .orderBy(col("user_id"), col("event_type"))),
+
     // north-star: BM25 keyword retrieval over the documents table.
     "text_bm25_topk" -> ((s, dir) =>
       retrieval.bm25Search(table(s, dir, "documents"), "text", "doc_id",
@@ -793,6 +814,25 @@ object SparkEntry {
         |  sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS spend_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1, 2 ORDER BY spend_cents DESC, c_custkey LIMIT 10""".stripMargin,
+
+    "text_clean" ->
+      s"""SELECT doc_id,
+         |  md5(trim(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${text.UrlPattern}', '<x>', 'g'),
+         |    '${text.EmailPattern}', '<x>', 'g'),
+         |    '\\s+', ' ', 'g'))) AS clean_fp,
+         |  length(trim(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${text.UrlPattern}', '<x>', 'g'),
+         |    '${text.EmailPattern}', '<x>', 'g'),
+         |    '\\s+', ' ', 'g'))) AS clean_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "events_dedup_keepfirst" ->
+      """WITH r AS (SELECT user_id, event_type, event_id,
+        |  row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts, event_id) AS rn FROM events)
+        |SELECT user_id, event_type, event_id FROM r WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
 
     "text_bm25_topk" -> sqlBm25Top(10),
 

@@ -119,4 +119,25 @@ object text {
 
   /** Exact 128-bit content fingerprint (hex md5). */
   def contentFingerprint(c: Column): Column = hashing.fingerprint128(c)
+
+  // ---- cleaning -------------------------------------------------------
+  // Scrub patterns use RE2-compatible syntax (no backrefs/lookaround) so
+  // the same pattern strings run in Spark (java.util.regex) and engines
+  // like DuckDB (RE2) with identical match semantics.
+
+  /** URLs (http/https/www, through following non-space). */
+  val UrlPattern = "(https?://[^\\s]+|www\\.[^\\s]+)"
+
+  /** Email addresses (pragmatic form). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Replace URLs and emails with a placeholder token, then collapse
+    * whitespace runs and trim — the standard pre-training scrub. One
+    * fused codegen expression; scan-parallel, no shuffle. */
+  def cleanText(c: Column, placeholder: String = "<x>"): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(c, UrlPattern, placeholder),
+        EmailPattern, placeholder),
+      "\\s+", " "))
 }

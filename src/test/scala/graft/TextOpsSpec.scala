@@ -64,6 +64,12 @@ class TextOpsSpec extends SparkSpec {
     assert(short.getSeq[String](0).isEmpty)
   }
 
+  test("cleanText scrubs urls and emails, collapses whitespace") {
+    val r = one("see https://ex.com/a?b=1 or www.foo.org  and mail bob@ex.co.uk   now ")
+      .select(text.cleanText(col("text"))).head().getString(0)
+    assert(r == "see <x> or <x> and mail <x> now")
+  }
+
   test("fingerprints: md5 flips on any edit; min-shingle survives a distant edit") {
     val df = Seq(
       ("a", "the quick brown fox jumps over the lazy dog again and again"),
