@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Pins the PLAN-SHAPE properties the scale story depends on — the
+  * claims in module docs ("pushed to scan", "no shuffle", "broadcast",
+  * "never O(n²)") as executable assertions, so a refactor that silently
+  * breaks one fails CI rather than a 100 TB run. */
+class PlanQualitySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  private def optimized(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan.toString
+
+  test("vector search: metadata predicate reaches the scan; top-k is TakeOrdered") {
+    val p = plan("vec_cosine_topk")
+    assert(p.contains("PushedFilters: [IsNotNull(label), GreaterThanOrEqual(label,2)]"), p.take(800))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("per-document scan ops plan with ZERO exchanges (shuffle-free claims)") {
+    // sorts in these queries are presentation-only output ordering; the
+    // claim under test is no mid-plan aggregation/join exchange beyond
+    // the final order-by's range exchange.
+    Seq("text_stats", "text_fingerprint", "dedup_simhash", "mm_features", "text_clean")
+      .foreach { q =>
+        val exchanges = "Exchange".r.findAllIn(plan(q)).length
+        assert(exchanges <= 1, s"$q should shuffle at most once (output sort), got $exchanges")
+      }
+  }
+
+  test("no candidate-pair plan ever contains a cartesian product") {
+    Seq("dedup_minhash_pairs", "dedup_emb_neardup", "ann_lsh_topk", "hybrid_rrf_topk")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("CartesianProduct"), s"$q degenerated to a cartesian product")
+      }
+  }
+
+  test("batch scoring broadcasts the query side, never the store") {
+    val p = plan("vec_batch_merge")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "query batch should be broadcast")
+  }
+
+  test("dimension joins broadcast") {
+    assert(plan("rel_join_topn").contains("BroadcastHashJoin"))
+  }
+
+  test("LSH-partitioned ANN prunes partitions at the source") {
+    val p = plan("ann_lsh_part_topk")
+    assert(p.contains("PartitionFilters") && p.contains("lsh_bucket"), p.take(800))
+  }
+
+  test("column pruning: token stats never read the embedding-sized columns") {
+    val p = plan("text_stats")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p.take(800))
+  }
+}
