@@ -503,6 +503,15 @@ object SparkEntry {
       retrieval.hybridSearch(embStore(s, dir), table(s, dir, "documents"),
         "text", "doc_id", Q1, Seq("spark", "query", "window"), k = 10)),
 
+    // roadmap (README.md:204-215): Z-order curve values — the sort key
+    // that makes row-group pruning work on two filter columns at once
+    // (layout effect proven in ZorderSpec).
+    "index_zorder_value" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.index.zorder.zValue(col("n_chars"), col("doc_id")).as("z"))
+        .orderBy(col("doc_id"))),
+
     // north-star: deterministic hash split + sampling — reproducible
     // dataset versions with no RNG state; pure scan work.
     "sample_split" -> ((s, dir) =>
@@ -848,6 +857,10 @@ object SparkEntry {
          |  FROM vr FULL OUTER JOIN br ON vr.vec_id = br.doc_id)
          |SELECT doc_id, floor(rrf * 1000000.0 + 0.5) / 1000000.0 AS rrf
          |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+
+    "index_zorder_value" ->
+      s"""SELECT doc_id, ${graft.index.zorder.sqlZValue("n_chars", "doc_id")} AS z
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "sample_split" ->
       s"""WITH k AS (SELECT doc_id,

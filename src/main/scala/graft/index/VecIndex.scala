@@ -56,6 +56,12 @@ object VecIndex {
       rowGroupBytes: Long = 16L * 1024 * 1024,
       /** Output files; at cluster scale set ≈ dataset_bytes / 512 MB. */
       numFiles: Option[Int] = None,
+      /** Z-order layout: sort by the Morton interleave of these two
+        * NON-NEGATIVE integer columns instead of a lexicographic
+        * `sortBy`, so row-group pruning bites on pushed filters over
+        * EITHER column (reference-roadmap Z-ordering). Ignored when
+        * `sortBy` is non-empty. */
+      zorderBy: Option[(String, String)] = None,
       /** When set, persist an `nbits`-wide hyperplane LSH signature
         * (table 0, [[graft.ops.ann.lshSignature]]) and PARTITION the
         * parquet layout by it. An ANN query then filters on the bucket
@@ -96,10 +102,13 @@ object VecIndex {
     // file. repartitionByRange is a full shuffle — an index build is a
     // one-time cost amortized over every query (same trade as the
     // reference's build step).
-    val laidOut = opts.sortBy match {
-      case Nil => withBucket
-      case cols =>
-        val parts = opts.numFiles.getOrElse(df.sparkSession.sparkContext.defaultParallelism)
+    val parts = opts.numFiles.getOrElse(df.sparkSession.sparkContext.defaultParallelism)
+    val laidOut = (opts.sortBy, opts.zorderBy) match {
+      case (Nil, Some((a, b))) =>
+        val z = zorder.zValue(col(a), col(b))
+        withBucket.repartitionByRange(parts, z).sortWithinPartitions(z)
+      case (Nil, None) => withBucket
+      case (cols, _) =>
         withBucket.repartitionByRange(parts, cols.map(col): _*)
           .sortWithinPartitions(cols.map(col): _*)
     }
