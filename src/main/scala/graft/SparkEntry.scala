@@ -353,6 +353,15 @@ object SparkEntry {
         .select(col("doc_id"), col("simhash"))
         .orderBy(col("doc_id"))),
 
+    // north-star + roadmap Hamming metric: SimHash near-dup pairs at
+    // 32 bits — half-signature blocking is COMPLETE for hamming <= 1
+    // (pigeonhole: one of the two 16-bit halves must match exactly).
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      dedup.simhashNearDupPairs(table(s, dir, "documents"), "text", "doc_id",
+          maxHamming = 1, bits = 32)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))),
+
     // north-star: embedding-cosine near-dup via 2x4-bit hyperplane LSH
     // blocking + exact cosine rerank >= 0.45.
     "dedup_emb_neardup" -> ((s, dir) =>
@@ -668,6 +677,23 @@ object SparkEntry {
          |SELECT doc_id, (${(0 until 16).map(j =>
         s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")})::BIGINT AS simhash
          |FROM b ORDER BY doc_id""".stripMargin,
+
+    "dedup_simhash_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+         |h AS (SELECT doc_id, ${hashing.sqlH32("tk")} AS hv FROM tok),
+         |b AS (SELECT doc_id, ${(0 until 32).map(j =>
+        s"sum(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")}
+         |FROM h GROUP BY doc_id),
+         |sh AS (SELECT doc_id, (${(0 until 32).map(j =>
+        s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")})::BIGINT AS simhash FROM b),
+         |bd AS (SELECT doc_id, simhash, 0 AS hh, simhash % 65536 AS key FROM sh
+         |       UNION ALL SELECT doc_id, simhash, 1, simhash >> 16 FROM sh),
+         |c AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+         |  bit_count(xor(a.simhash, b2.simhash))::INT AS hamming
+         |  FROM bd a JOIN bd b2 ON a.hh = b2.hh AND a.key = b2.key AND a.doc_id < b2.doc_id)
+         |SELECT id_a, id_b, hamming FROM c WHERE hamming <= 1
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_emb_neardup" ->
       s"""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -231,6 +231,12 @@ object dedup {
           struct(lit(0).as("half"), (col("simhash") % (1L << half)).as("key")),
           struct(lit(1).as("half"), shiftright(col("simhash"), half).as("key")))).as("b"))
       .select(col(idCol), col("simhash"), col("b.half").as("half"), col("b.key").as("key"))
+    // Candidates via self-join, NOT the group-by-bucket pair expansion
+    // used in minhashNearDupPairs: half-signature buckets are SKEWED when
+    // signatures correlate (similar corpora), and in-row n² expansion
+    // serializes a hot bucket into one task, while a join spreads its
+    // output across the shuffle. Rule of thumb: bucket expansion for
+    // uniform keys (minhash bands), join for skewable keys + AQE.
     banded.as("a")
       .join(banded.as("b"),
         col("a.half") === col("b.half") && col("a.key") === col("b.key") &&
