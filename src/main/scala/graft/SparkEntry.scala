@@ -809,7 +809,7 @@ object SparkEntry {
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         |  FROM events),
         |f AS (SELECT *, CASE WHEN prev_ts IS NULL
-        |    OR floor(epoch(ts))::BIGINT - floor(epoch(prev_ts))::BIGINT > 1800
+        |    OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
         |    THEN 1 ELSE 0 END AS ns FROM e),
         |g AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx FROM f)

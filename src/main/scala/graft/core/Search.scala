@@ -141,8 +141,9 @@ final case class SearchPlan(
 
   /** Assemble the DataFrame. Result shape mirrors the reference
     * (meta.rs:723-828): id, score, then metadata columns sorted by name,
-    * ordered by score (direction per take type / metric default,
-    * vec.rs:92-98), deterministic (score, id) tiebreak.
+    * ordered by score (explicit take type > metric default under take(n) >
+    * the reference's unset-take Max fallback, vec.rs:92-98),
+    * deterministic (score, id) tiebreak.
     *
     * Scale notes (100 TB discipline): the metadata predicate is applied on
     * the store BEFORE scoring so it reaches the Parquet scan as a pushed
@@ -207,7 +208,13 @@ final case class SearchPlan(
       case None           => nanFree
     }
 
-    val dir = takeType.getOrElse(metric.defaultTake)
+    // Direction: an explicit take_min/take_max wins; take(n) pins the
+    // metric's default (ref vec.rs:156-158); with NO take at all the
+    // reference's collect falls back to TakeType::Max regardless of metric
+    // (vec.rs `unwrap_or(&TakeType::Max)`) — a filter-only Euclidean plan
+    // therefore orders LARGEST-first, matching the reference.
+    val dir = takeType.getOrElse(
+      if (k.isDefined) metric.defaultTake else TakeType.Max)
     val scoreOrd = dir match {
       case TakeType.Max => col("score").desc
       case TakeType.Min => col("score").asc

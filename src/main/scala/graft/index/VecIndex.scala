@@ -87,6 +87,12 @@ object VecIndex {
     // the data itself.
     val dims = df.select(size(col(vecCol)).as("d")).where(col("d").isNotNull)
       .agg(min("d").as("lo"), max("d").as("hi"), count(lit(1)).as("n")).head()
+    // Empty store (or every embedding NULL) → min/max aggregate to NULL;
+    // fail with a descriptive ingest error like the reference's explicit
+    // validation (vec.rs:357-372), not an NPE on getInt.
+    require(!dims.isNullAt(0),
+      s"graft: cannot build index at '$path': input has no rows with a " +
+        s"non-NULL '$vecCol' vector")
     val (lo, hi, n) = (dims.getInt(0), dims.getInt(1), dims.getLong(2))
     require(lo == hi, s"embedding dimension must be uniform, found [$lo, $hi]")
 

@@ -93,10 +93,15 @@ object multimodal {
     * byte slicing is the stand-in decode). Emits (id, frame_idx, frame). */
   def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
     val nFrames = ceil(length(col("payload")) / lit(frameBytes.toDouble)).cast("int")
+    // Empty payloads emit ZERO frames. Unguarded, sequence(0, -1) yields
+    // [0, -1] (descending default step), which would fabricate two bogus
+    // frames per empty document.
+    val frames = when(nFrames > 0,
+      transform(sequence(lit(0), nFrames - 1),
+        i => col("payload").substr(i * frameBytes + 1, lit(frameBytes))))
+      .otherwise(array().cast("array<binary>"))
     media
-      .select(col("id"),
-        posexplode(transform(sequence(lit(0), nFrames - 1),
-          i => col("payload").substr(i * frameBytes + 1, lit(frameBytes)))))
+      .select(col("id"), posexplode(frames))
       .toDF("id", "frame_idx", "frame")
       .where(col("frame_idx") % stride === 0)
   }

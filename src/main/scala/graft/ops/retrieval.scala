@@ -40,6 +40,8 @@ object retrieval {
     // corpus stats: N and average doc length (exact int arithmetic until
     // the final division, identical in any engine)
     val stats = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")).head()
+    require(stats.getLong(0) > 0,
+      s"graft: BM25 requires a non-empty corpus (no rows in '$textCol')")
     val nDocs = stats.getLong(0).toDouble
     val avgdl = stats.getDouble(1) / nDocs
 

@@ -41,7 +41,13 @@ object EventStream {
     * session while gaps stay under `gapMinutes`. Classic two-pass window
     * plan (lag → gap flag → running sum = session index), one shuffle on
     * user_id. Emits one row per session: (user_id, session_idx,
-    * session_start, session_end, n_events, sum_value). */
+    * session_start, session_end, n_events, sum_value).
+    *
+    * Gaps compare at MICROSECOND precision — the timestamp's full stored
+    * resolution — so this path and [[sessionizeStream]] draw identical
+    * session boundaries on the same input (a second-truncated comparison
+    * here would disagree with the stream on sub-second gaps straddling
+    * the threshold). */
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -49,7 +55,7 @@ object EventStream {
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
-          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapMinutes * 60L,
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapMinutes * 60000000L,
           1).otherwise(0))
       .withColumn("session_idx", sum(col("new_session")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -66,9 +72,12 @@ object EventStream {
   /** One event on the stateful-sessionization path. */
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
 
-  /** Open-session state kept per user between micro-batches. */
+  /** Open-session state kept per user between micro-batches. `start` and
+    * `last` are epoch MICROSECONDS (the same precision the batch
+    * [[sessionize]] compares at). */
   final case class SessionState(
       start: Long, last: Long, nEvents: Long, sumValue: Double)
+
 
   /** A closed session. */
   final case class ClosedSession(
@@ -96,13 +105,24 @@ object EventStream {
       useTimeout: Boolean = true): org.apache.spark.sql.Dataset[ClosedSession] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import events.sparkSession.implicits._
-    val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60000000L
     val timeoutConf =
       if (useTimeout) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
 
+    // Local defs (NOT object methods): the stateful closure must not
+    // capture the enclosing non-serializable EventStream$ object.
+    // Epoch micros = the timestamp's full stored resolution; getTime alone
+    // truncates to milliseconds.
+    def epochMicros(ts: java.sql.Timestamp): Long =
+      math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    def timestampOfMicros(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
     def close(u: Long, s: SessionState) = ClosedSession(
-      u, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last),
+      u, timestampOfMicros(s.start), timestampOfMicros(s.last),
       s.nEvents, s.sumValue)
 
     events.groupByKey(_.user_id).flatMapGroupsWithState(
@@ -113,13 +133,13 @@ object EventStream {
           state.remove()
           out.iterator
         } else {
-          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          val sorted = it.toSeq.sortBy(e => epochMicros(e.ts))
           var cur = state.getOption
           val closed = Seq.newBuilder[ClosedSession]
           sorted.foreach { e =>
-            val t = e.ts.getTime
+            val t = epochMicros(e.ts)
             cur match {
-              case Some(s) if t - s.last <= gapMs =>
+              case Some(s) if t - s.last <= gapUs =>
                 cur = Some(SessionState(s.start, t, s.nEvents + 1, s.sumValue + e.value))
               case Some(s) =>
                 closed += close(user, s)
@@ -130,7 +150,7 @@ object EventStream {
           }
           cur.foreach { s =>
             state.update(s)
-            if (useTimeout) state.setTimeoutDuration(gapMs)
+            if (useTimeout) state.setTimeoutDuration(gapUs / 1000L)
           }
           closed.result().iterator
         }
