@@ -354,11 +354,12 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
 
     // north-star + roadmap Hamming metric: SimHash near-dup pairs at
-    // 32 bits — half-signature blocking is COMPLETE for hamming <= 1
-    // (pigeonhole: one of the two 16-bit halves must match exactly).
+    // 64 bits — four-block blocking is COMPLETE for hamming <= 3
+    // (pigeonhole: one of the four 16-bit blocks must match exactly; the
+    // Manku/Google simhash-dedup layout).
     "dedup_simhash_pairs" -> ((s, dir) =>
       dedup.simhashNearDupPairs(table(s, dir, "documents"), "text", "doc_id",
-          maxHamming = 1, bits = 32)
+          maxHamming = 3, bits = 64)
         .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
         .orderBy(col("id_a"), col("id_b"))),
 
@@ -678,21 +679,32 @@ object SparkEntry {
         s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")})::BIGINT AS simhash
          |FROM b ORDER BY doc_id""".stripMargin,
 
+    // 64-bit signature carried as two unsigned 32-bit halves (lo = bits
+    // 0-31 voted by h32, hi = bits 32-63 voted by the md5's second word)
+    // so no value ever touches the BIGINT sign bit; hamming = popcount of
+    // both halves' xor. Block keys q0..q3 = (lo&65535, lo>>16, hi&65535,
+    // hi>>16), matching shiftrightunsigned on the packed Spark long.
     "dedup_simhash_pairs" ->
       s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
          |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
-         |h AS (SELECT doc_id, ${hashing.sqlH32("tk")} AS hv FROM tok),
-         |b AS (SELECT doc_id, ${(0 until 32).map(j =>
-        s"sum(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")}
+         |h AS (SELECT doc_id, ${hashing.sqlH32("tk")} AS hv, ${hashing.sqlH32b("tk")} AS hv2 FROM tok),
+         |b AS (SELECT doc_id, ${(0 until 64).map(j =>
+        if (j < 32) s"sum(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j"
+        else s"sum(CASE WHEN (hv2 >> ${j - 32}) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")}
          |FROM h GROUP BY doc_id),
-         |sh AS (SELECT doc_id, (${(0 until 32).map(j =>
-        s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")})::BIGINT AS simhash FROM b),
-         |bd AS (SELECT doc_id, simhash, 0 AS hh, simhash % 65536 AS key FROM sh
-         |       UNION ALL SELECT doc_id, simhash, 1, simhash >> 16 FROM sh),
+         |sh AS (SELECT doc_id,
+         |  (${(0 until 32).map(j =>
+        s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")})::BIGINT AS lo,
+         |  (${(32 until 64).map(j =>
+        s"(CASE WHEN b$j > 0 THEN ${1L << (j - 32)} ELSE 0 END)").mkString(" + ")})::BIGINT AS hi FROM b),
+         |bd AS (SELECT doc_id, lo, hi, q,
+         |  CASE q WHEN 0 THEN lo & 65535 WHEN 1 THEN lo >> 16
+         |         WHEN 2 THEN hi & 65535 ELSE hi >> 16 END AS key
+         |  FROM sh, range(0, 4) r(q)),
          |c AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
-         |  bit_count(xor(a.simhash, b2.simhash))::INT AS hamming
-         |  FROM bd a JOIN bd b2 ON a.hh = b2.hh AND a.key = b2.key AND a.doc_id < b2.doc_id)
-         |SELECT id_a, id_b, hamming FROM c WHERE hamming <= 1
+         |  (bit_count(xor(a.lo, b2.lo)) + bit_count(xor(a.hi, b2.hi)))::INT AS hamming
+         |  FROM bd a JOIN bd b2 ON a.q = b2.q AND a.key = b2.key AND a.doc_id < b2.doc_id)
+         |SELECT id_a, id_b, hamming FROM c WHERE hamming <= 3
          |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_emb_neardup" ->

@@ -102,20 +102,40 @@ object NativeExprs {
   /** Column: h32 of a string (native twin of [[hashing.h32]]). */
   def h32(c: Column): Column = column(H32Expr(expression(c)))
 
+  /** Second 32-bit word of the md5: bytes 4-7 (hex chars 9-16) — used as
+    * the vote source for SimHash bits 32-63, so a 64-bit signature needs
+    * only ONE digest per token. Portable twin: [[hashing.sqlH32b]]. */
+  def h32bBytes(utf8: Array[Byte]): Long = {
+    val d = digest.get()
+    d.reset()
+    val h = d.digest(utf8)
+    ((h(4) & 0xffL) << 24) | ((h(5) & 0xffL) << 16) | ((h(6) & 0xffL) << 8) | (h(7) & 0xffL)
+  }
+
   /** Per-row SimHash over the token MULTISET (all occurrences vote, not
     * distinct tokens): bit j set when the sum of ±1 votes from bit j of
-    * each token's h32 is positive. Shuffle-free — the compositional
+    * the token hash is positive. Bits 0-31 vote from the token's h32
+    * (md5 bytes 0-3); bits 32-63 from the md5's second word (bytes 4-7) —
+    * one digest per token either way, and a 64-bit signature's low 32 bits
+    * equal the 32-bit signature. Shuffle-free — the compositional
     * explode+groupBy form costs a full shuffle of every token row. */
   def simhashOf(text: UTF8String, bits: Int): Long = {
+    require(bits >= 1 && bits <= 64, s"simhash bits must be in [1, 64], got $bits")
     val toks = text.toLowerCase.toString.split("\\s+", -1)
     val votes = new Array[Int](bits)
     var i = 0
     while (i < toks.length) {
       if (toks(i).nonEmpty) {
-        val h = h32Bytes(toks(i).getBytes("UTF-8"))
+        val utf8 = toks(i).getBytes("UTF-8")
+        val d = digest.get()
+        d.reset()
+        val h = d.digest(utf8)
+        val w0 = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) | ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+        val w1 = ((h(4) & 0xffL) << 24) | ((h(5) & 0xffL) << 16) | ((h(6) & 0xffL) << 8) | (h(7) & 0xffL)
         var j = 0
         while (j < bits) {
-          if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          val bit = if (j < 32) (w0 >> j) & 1L else (w1 >> (j - 32)) & 1L
+          if (bit == 1L) votes(j) += 1 else votes(j) -= 1
           j += 1
         }
       }

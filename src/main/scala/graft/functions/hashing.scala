@@ -32,6 +32,12 @@ object hashing {
   def h32s(c: Column, salt: Int): Column =
     h32(concat(c, lit("#" + salt)))
 
+  /** Second independent 32-bit word from the SAME md5 digest (hex chars
+    * 9-16 = bytes 4-7) — pairs with [[h32]] to give 64 portable hash bits
+    * per input at the cost of one digest. */
+  def h32b(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 9, 8), 16, 10).cast("long")
+
   /** Full 128-bit content fingerprint (hex). */
   def fingerprint128(c: Column): Column = md5(c.cast("binary"))
 
@@ -60,6 +66,10 @@ object hashing {
   /** DuckDB SQL fragment computing the same `h32` over expression `e`. */
   def sqlH32(e: String): String =
     s"(('0x' || substr(md5($e), 1, 8))::BIGINT)"
+
+  /** DuckDB fragment for [[h32b]] (md5 hex chars 9-16). */
+  def sqlH32b(e: String): String =
+    s"(('0x' || substr(md5($e), 9, 8))::BIGINT)"
 
   /** DuckDB SQL fragment for the salted family member. */
   def sqlH32s(e: String, salt: Int): String =

@@ -200,46 +200,63 @@ object dedup {
         graft.functions.NativeExprs.simhash(col(textCol), bits).as("simhash"))
 
   /** Compositional form of [[simhash]] (explode → per-doc vote sums) —
-    * the executable spec of the native kernel. */
+    * the executable spec of the native kernel. Bits 0-31 vote from the
+    * token's h32; bits 32-63 from the md5's second word ([[hashing.h32b]]),
+    * mirroring the kernel. */
   def simhashHof(df: DataFrame, textCol: String, idCol: String,
       bits: Int = 16): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"simhash bits must be in [1, 64], got $bits")
     val tok = df
       .select(col(idCol), explode(text.tokens(col(textCol))).as("tok"))
       .withColumn("hv", hashing.h32(col("tok")))
-    val votes = (0 until bits).map(j =>
-      sum(when(shiftright(col("hv"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j"))
+      .withColumn("hv2", hashing.h32b(col("tok")))
+    val votes = (0 until bits).map { j =>
+      val src = if (j < 32) shiftright(col("hv"), j) else shiftright(col("hv2"), j - 32)
+      sum(when(src.bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+    }
     val agg = tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    // bitwiseOR, not +: bit 63's term is Long.MinValue and the bits are
+    // disjoint anyway.
     val sig = (0 until bits).map(j =>
-      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ bitwiseOR _)
     agg.select(col(idCol), sig.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: candidates share at least one of the two
-    * 8-bit halves of the 16-bit signature (pigeonhole: complete for
-    * Hamming distance <= 1; good recall, not exhaustive, at 2-3), then
-    * exact Hamming rerank `<= maxHamming`. */
+  /** SimHash near-dup pairs via quarter blocking (Manku/Google, WWW'07):
+    * the signature splits into 4 equal disjoint blocks and candidates
+    * share at least one block exactly — pigeonhole-COMPLETE for Hamming
+    * distance <= 3 — then exact Hamming rerank `<= maxHamming`.
+    *
+    * Scale: at the default bits=64 each block key is 16 bits wide, and
+    * block keys inherit simhash's content correlation, so bucket sizes
+    * track real near-dup cluster sizes rather than n/2^16 random
+    * collisions (the old 32-bit/two-half form had 2^16 buckets TOTAL and
+    * O(n²/2^17) random candidate pairs — catastrophic at 10^9 docs).
+    * Candidate-pair growth is asserted ≪ n² in DedupSpec. */
   def simhashNearDupPairs(
       df: DataFrame,
       textCol: String,
       idCol: String,
       maxHamming: Int = 3,
-      bits: Int = 16): DataFrame = {
+      bits: Int = 64): DataFrame = {
+    require(bits % 4 == 0, s"simhash bits must split into 4 equal blocks, got $bits")
+    val part = bits / 4
+    val mask = (1L << part) - 1
     val sh = simhash(df, textCol, idCol, bits)
-    val half = bits / 2
     val banded = sh.select(col(idCol), col("simhash"),
-        explode(array(
-          struct(lit(0).as("half"), (col("simhash") % (1L << half)).as("key")),
-          struct(lit(1).as("half"), shiftright(col("simhash"), half).as("key")))).as("b"))
-      .select(col(idCol), col("simhash"), col("b.half").as("half"), col("b.key").as("key"))
+        explode(array((0 until 4).map(q =>
+          struct(lit(q).as("q"),
+            shiftrightunsigned(col("simhash"), q * part).bitwiseAND(lit(mask)).as("key"))): _*)).as("b"))
+      .select(col(idCol), col("simhash"), col("b.q").as("q"), col("b.key").as("key"))
     // Candidates via self-join, NOT the group-by-bucket pair expansion
-    // used in minhashNearDupPairs: half-signature buckets are SKEWED when
+    // used in minhashNearDupPairs: block-signature buckets are SKEWED when
     // signatures correlate (similar corpora), and in-row n² expansion
     // serializes a hot bucket into one task, while a join spreads its
     // output across the shuffle. Rule of thumb: bucket expansion for
     // uniform keys (minhash bands), join for skewable keys + AQE.
     banded.as("a")
       .join(banded.as("b"),
-        col("a.half") === col("b.half") && col("a.key") === col("b.key") &&
+        col("a.q") === col("b.q") && col("a.key") === col("b.key") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))

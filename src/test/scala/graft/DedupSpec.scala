@@ -74,6 +74,29 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("simhash quarter blocking: candidates stay far below n^2 on a planted-skew corpus") {
+    // 150 mutually-distinct docs (every token salted by row id) + a
+    // 10-doc near-identical cluster. maxHamming = 64 disables the rerank,
+    // so the result IS the blocked candidate set.
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val distinct = spark.range(150).selectExpr("id AS doc_id",
+      s"concat_ws(' ', transform(split('$base', ' '), t -> concat(t, '_', id))) AS text")
+    // exact-duplicate cluster: identical signatures = the classic hot
+    // bucket (each doc's id rides only in doc_id, not the text)
+    val cluster = spark.range(1000, 1010).selectExpr("id AS doc_id",
+      s"'$base $base $base' AS text")
+    val corpus = distinct.union(cluster)
+    val n = corpus.count()
+    val cands = dedup.simhashNearDupPairs(corpus, "text", "doc_id", maxHamming = 64)
+    val clusterPairs = cands.where(col("id_a") >= 1000).count()
+    assert(clusterPairs == 45L, s"near-identical cluster must fully block: $clusterPairs")
+    // candidate total ≪ n(n-1)/2 = 12720: correlated block keys don't
+    // randomly collide across unrelated docs
+    val total = cands.count()
+    assert(total < n * (n - 1) / 2 / 20,
+      s"blocking produced $total candidates of ${n * (n - 1) / 2} possible")
+  }
+
   test("embeddingNearDupPairs finds an identical-vector pair") {
     val v = (0 until 64).map(i => math.sin(i * 0.3)).toArray
     val w = (0 until 64).map(i => math.cos(i * 1.7)).toArray

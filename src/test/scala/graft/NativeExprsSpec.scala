@@ -39,6 +39,27 @@ class NativeExprsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("native 64-bit simhash equals the HOF composition; low 32 bits = 32-bit simhash") {
+    val a = dedup.simhash(docs, "text", "doc_id", bits = 64).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = dedup.simhashHof(docs, "text", "doc_id", bits = 64).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    val s32 = dedup.simhash(docs, "text", "doc_id", bits = 32).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    a.foreach { case (id, sig) => assert((sig & 0xffffffffL) == s32(id)) }
+  }
+
+  test("native h32b equals the conv(md5 chars 9-16) composition") {
+    import spark.implicits._
+    val sample = Seq("hello", "Grüße 北京", "").toDF("text")
+      .select(col("text"), hashing.h32b(col("text")).as("b")).collect()
+    sample.foreach { r =>
+      val expect = NativeExprs.h32bBytes(r.getString(0).getBytes("UTF-8"))
+      assert(r.getLong(1) == expect)
+    }
+  }
+
   test("native vector kernels are bit-identical to the HOF folds") {
     import graft.functions.vectors
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
