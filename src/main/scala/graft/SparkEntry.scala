@@ -363,8 +363,9 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
         .orderBy(col("id_a"), col("id_b"))),
 
-    // north-star: embedding-cosine near-dup via 2x4-bit hyperplane LSH
-    // blocking + exact cosine rerank >= 0.45.
+    // north-star: embedding-cosine near-dup via 4x16-bit hyperplane LSH
+    // blocking (bucket-capped at 256 with an observe() spill counter)
+    // + exact cosine rerank >= 0.45.
     "dedup_emb_neardup" -> ((s, dir) =>
       dedup.embeddingNearDupPairs(table(s, dir, "embeddings"), threshold = 0.45)
         .select(col("id_a"), col("id_b"), (round(col("cos"), 4) + lit(0.0)).as("cos"))
@@ -709,11 +710,15 @@ object SparkEntry {
 
     "dedup_emb_neardup" ->
       s"""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         |sg AS (SELECT vec_id, e, ${sqlLshSig(0, 4, 64)} AS sig0, ${sqlLshSig(1, 4, 64)} AS sig1 FROM s),
-         |bd AS (SELECT vec_id, e, 0 AS t, sig0 AS key FROM sg
-         |       UNION ALL SELECT vec_id, e, 1, sig1 FROM sg),
+         |sg AS (SELECT vec_id, e, ${(0 until 4).map(t =>
+        s"${sqlLshSig(t, 16, 64)} AS sig$t").mkString(", ")} FROM s),
+         |bd AS (${(0 until 4).map(t =>
+        s"SELECT vec_id, $t AS t, sig$t AS key FROM sg").mkString("\n       UNION ALL ")}),
+         |ok AS (SELECT t, key FROM (SELECT t, key, count(*) AS c FROM bd GROUP BY 1, 2)
+         |       WHERE c <= 256),
+         |bdo AS (SELECT bd.vec_id, bd.t, bd.key FROM bd JOIN ok USING (t, key)),
          |c AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM bd a JOIN bd b ON a.t = b.t AND a.key = b.key AND a.vec_id < b.vec_id),
+         |  FROM bdo a JOIN bdo b ON a.t = b.t AND a.key = b.key AND a.vec_id < b.vec_id),
          |p AS (SELECT id_a, id_b,
          |  list_dot_product(sa.e, sb.e)
          |  * (CASE WHEN list_dot_product(sa.e, sa.e) > 0 THEN 1.0/sqrt(list_dot_product(sa.e, sa.e)) ELSE 0.0 END)

@@ -269,17 +269,30 @@ object dedup {
   /** Embedding-cosine near-duplicate pairs: candidates share an LSH
     * signature in at least one of `tables` independent hyperplane tables
     * (see [[ann.lshSignature]]), then exact cosine rerank `>= threshold`.
-    * Returns (id_a, id_b, cos). Multiple small tables beat one wide one
-    * for recall at moderate cosine; candidates per bucket stay bounded
-    * because signatures distribute uniformly. */
+    * Returns (id_a, id_b, cos).
+    *
+    * Scale discipline (100 TB): LSH signatures do NOT distribute uniformly
+    * on real embeddings — clustered data concentrates whole clusters into
+    * shared buckets at any signature width, so an uncapped bucket join is
+    * O(Σ bucket²) and a single hot bucket can dominate the job. Buckets
+    * larger than `bucketCap` are therefore DROPPED from candidate
+    * generation (their members stay reachable through their other
+    * `tables − 1` buckets); the dropped-bucket count and the maximum
+    * bucket size are emitted as an `observe()` metric named
+    * `graft_emb_neardup` (columns `dropped_buckets`, `max_bucket`) so a
+    * pipeline can alert and re-parameterize. With the cap, candidate
+    * pairs are bounded by `tables · buckets · bucketCap²` — never O(n²).
+    * Defaults (4 tables × 16 bits) follow nbits ≈ log2(n) with
+    * multi-table OR-amplification for recall. */
   def embeddingNearDupPairs(
       df: DataFrame,
       threshold: Double,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       dim: Int = 64,
-      tables: Int = 2,
-      nbits: Int = 4): DataFrame = {
+      tables: Int = 4,
+      nbits: Int = 16,
+      bucketCap: Int = 256): DataFrame = {
     // Banding/joining/distinct all run on THIN rows (id + bucket key only)
     // — the 64-float embeddings never ride through the pair shuffle. The
     // per-row inverse norm is paid once per row here, not three HOF folds
@@ -294,8 +307,20 @@ object dedup {
         explode(array((0 until tables).map(t =>
           struct(lit(t).as("t"), col(s"sig$t").as("key"))): _*)).as("b"))
       .select(col(idCol), col("b.t").as("t"), col("b.key").as("key"))
-    val cands = banded.as("a")
-      .join(banded.as("b"),
+    // Bucket-size gate: one thin aggregation on (table, key); the observe
+    // node rides the same plan, so the spill counters come for free with
+    // the query's own action.
+    val allowed = banded
+      .groupBy(col("t"), col("key"))
+      .agg(count(lit(1)).as("bucket_sz"))
+      .observe("graft_emb_neardup",
+        sum(when(col("bucket_sz") > bucketCap, 1L).otherwise(0L)).as("dropped_buckets"),
+        max(col("bucket_sz")).as("max_bucket"))
+      .where(col("bucket_sz") <= bucketCap)
+      .select(col("t"), col("key"))
+    val gated = banded.join(allowed, Seq("t", "key"))
+    val cands = gated.as("a")
+      .join(gated.as("b"),
         col("a.t") === col("b.t") && col("a.key") === col("b.key") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))

@@ -105,4 +105,20 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((10L, 11L)))
   }
+
+  test("embeddingNearDupPairs bucket cap drops hot buckets, keeps small ones") {
+    val a = (0 until 64).map(i => math.sin(i * 0.3)).toArray
+    val b = (0 until 64).map(i => math.cos(i * 1.7)).toArray
+    // 300 identical copies of `a` (one hot bucket in EVERY table) + one
+    // planted pair of `b`
+    val hot = (0L until 300L).map(i => (i, a))
+    val df = (hot ++ Seq((1000L, b), (1001L, b))).toDF("vec_id", "embedding")
+    val capped = dedup.embeddingNearDupPairs(df, threshold = 0.9, bucketCap = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((1000L, 1001L)),
+      s"hot bucket must be dropped under the cap, got ${capped.size} pairs")
+    val uncapped = dedup.embeddingNearDupPairs(df, threshold = 0.9, bucketCap = 100000)
+      .count()
+    assert(uncapped == 300L * 299L / 2 + 1)
+  }
 }
