@@ -22,7 +22,8 @@ final case class VecStore(
     df: DataFrame,
     idCol: String = "vec_id",
     vecCol: String = "embedding",
-    invNormCol: Option[String] = None) {
+    invNormCol: Option[String] = None,
+    indexMeta: Option[IndexMeta] = None) {
 
   /** Start a lazy single-query plan (ref: meta.rs:569-571, vec.rs:387-399). */
   def query(q: Seq[Double], metric: Metric): SearchPlan =
@@ -77,7 +78,7 @@ final case class VecStore(
   private[core] def metaCols: Seq[String] =
     df.columns.filterNot(c =>
       c == idCol || c == vecCol || invNormCol.contains(c) ||
-        c == "lsh_bucket").sorted.toSeq
+        c == "lsh_bucket" || c == "cluster_id").sorted.toSeq
 }
 
 /** Lazy, immutable query plan — the Spark analog of `MetaQueryPlan`

@@ -26,6 +26,18 @@ object TakeType {
   case object Max extends TakeType
 }
 
+/** Physical-index metadata persisted by `VecIndex.build` alongside the
+  * parquet layout and carried by a loaded [[VecStore]]. Query-time
+  * operators VALIDATE against it instead of trusting column presence —
+  * e.g. an LSH search probes the persisted bucket column only when the
+  * index was built with the same (table, nbits), and IVF probing requires
+  * the build-time centroids (the reference stores its build config inside
+  * the store the same way, meta.rs:48-60). */
+final case class IndexMeta(
+    lshBits: Option[Int] = None,
+    lshTable: Int = 0,
+    ivfCentroids: Option[Seq[(Int, Seq[Double])]] = None)
+
 /** Score-filter comparison operators (/root/reference/src/vec.rs:24-31). */
 sealed trait Cmp
 object Cmp {

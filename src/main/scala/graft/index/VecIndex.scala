@@ -40,6 +40,13 @@ object VecIndex {
   /** Name of the persisted LSH bucket (partition) column. */
   val LshBucketCol = "lsh_bucket"
 
+  /** Name of the persisted IVF cluster (partition) column. */
+  val IvfClusterCol = "cluster_id"
+
+  /** Directory (underscore-prefixed → invisible to parquet scans of the
+    * index) holding the build-time [[graft.core.IndexMeta]]. */
+  private val MetaDir = "_graft_meta"
+
   final case class BuildOptions(
       /** Metadata columns to range-partition + sort by; drives both file
         * and row-group zonemap locality (reference chunk locality). */
@@ -50,6 +57,10 @@ object VecIndex {
       /** Expected distinct values per bloom column (sizes the filter —
         * the reference sizes via fpr/bits, meta.rs:93-110). */
       bloomNdv: Long = 100000L,
+      /** Target bloom false-positive rate (`with_bloom_fpr`,
+        * meta.rs:91-99) → `parquet.bloom.filter.fpp`; None keeps the
+        * parquet default (0.01). */
+      bloomFpp: Option[Double] = None,
       /** Bytes per Parquet row group ≈ reference chunk_size. Default 16 MB
         * keeps row groups fine-grained enough to prune well while staying
         * large enough for vectorized scans. */
@@ -68,7 +79,15 @@ object VecIndex {
         * value, which Catalyst turns into directory-level partition
         * pruning: the other `2^nbits - 1` buckets are never read at all —
         * the 100 TB path for similarity search. */
-      lshBits: Option[Int] = None)
+      lshBits: Option[Int] = None,
+      /** When set, assign every row to its nearest centroid
+        * ([[graft.ops.ann.ivfAssign]]) at BUILD time and PARTITION the
+        * layout by `cluster_id`; centroids persist in the index metadata
+        * so a query probes its `nprobe` nearest lists via directory-level
+        * partition pruning — non-probed lists are never read (the point
+        * of IVF; assignment never runs at query time). Mutually exclusive
+        * with `lshBits`. */
+      ivfCentroids: Option[Seq[(Int, Seq[Double])]] = None)
 
   final case class BuildStats(rows: Long, dim: Int, buildMs: Long, path: String)
 
@@ -96,23 +115,31 @@ object VecIndex {
     val (lo, hi, n) = (dims.getInt(0), dims.getInt(1), dims.getLong(2))
     require(lo == hi, s"embedding dimension must be uniform, found [$lo, $hi]")
 
+    require(!(opts.lshBits.isDefined && opts.ivfCentroids.isDefined),
+      "graft: lshBits and ivfCentroids are mutually exclusive partition layouts")
+
     val withInv = df.withColumn(InvNormCol, vectors.invNorm(col(vecCol)))
-    val withBucket = opts.lshBits match {
-      case Some(bits) =>
+    val withBucket = (opts.lshBits, opts.ivfCentroids) match {
+      case (Some(bits), _) =>
         withInv.withColumn(LshBucketCol,
           graft.ops.ann.lshSignature(col(vecCol), t = 0, nbits = bits, dim = lo))
-      case None => withInv
+      case (_, Some(cents)) =>
+        graft.ops.ann.ivfAssign(withInv, cents, vecCol)
+      case _ => withInv
     }
 
     // Range-partition + sort so zonemaps are tight per row group AND per
     // file. repartitionByRange is a full shuffle — an index build is a
     // one-time cost amortized over every query (same trade as the
-    // reference's build step).
+    // reference's build step). An IVF layout shuffles on the cluster id
+    // instead, so each cluster directory is written by one task.
     val parts = opts.numFiles.getOrElse(df.sparkSession.sparkContext.defaultParallelism)
     val laidOut = (opts.sortBy, opts.zorderBy) match {
       case (Nil, Some((a, b))) =>
         val z = zorder.zValue(col(a), col(b))
         withBucket.repartitionByRange(parts, z).sortWithinPartitions(z)
+      case (Nil, None) if opts.ivfCentroids.isDefined =>
+        withBucket.repartition(col(IvfClusterCol))
       case (Nil, None) => withBucket
       case (cols, _) =>
         withBucket.repartitionByRange(parts, cols.map(col): _*)
@@ -125,15 +152,45 @@ object VecIndex {
       writer = writer
         .option(s"parquet.bloom.filter.enabled#$c", "true")
         .option(s"parquet.bloom.filter.expected.ndv#$c", opts.bloomNdv.toString)
+      opts.bloomFpp.foreach(f =>
+        writer = writer.option(s"parquet.bloom.filter.fpp#$c", f.toString))
     }
     opts.lshBits.foreach(_ => writer = writer.partitionBy(LshBucketCol))
+    opts.ivfCentroids.foreach(_ => writer = writer.partitionBy(IvfClusterCol))
     writer.parquet(path)
+    writeMeta(df.sparkSession, path, opts)
 
     val store = load(df.sparkSession, path, idCol, vecCol)
     (store, BuildStats(n, lo, (System.nanoTime() - t0) / 1000000, path))
   }
 
-  /** Open a previously built index. */
+  /** Persist the build-time metadata under `_graft_meta` (underscore dir:
+    * parquet scans of the index never see it). */
+  private def writeMeta(spark: SparkSession, path: String, opts: BuildOptions): Unit = {
+    import spark.implicits._
+    Seq((opts.lshBits, 0, opts.ivfCentroids.getOrElse(Seq.empty[(Int, Seq[Double])]),
+        opts.ivfCentroids.isDefined))
+      .toDF("lsh_bits", "lsh_table", "centroids", "has_ivf")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/$MetaDir")
+  }
+
+  private def readMeta(spark: SparkSession, path: String): Option[graft.core.IndexMeta] = {
+    val metaPath = new org.apache.hadoop.fs.Path(path, MetaDir)
+    val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(metaPath)) return None
+    val r = spark.read.parquet(metaPath.toString).head()
+    val lsh = if (r.isNullAt(r.fieldIndex("lsh_bits"))) None
+      else Some(r.getInt(r.fieldIndex("lsh_bits")))
+    val cents =
+      if (r.getBoolean(r.fieldIndex("has_ivf")))
+        Some(r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("centroids"))
+          .map(cr => (cr.getInt(0), cr.getSeq[Double](1).toIndexedSeq: Seq[Double]))
+          .toIndexedSeq: Seq[(Int, Seq[Double])])
+      else None
+    Some(graft.core.IndexMeta(lsh, r.getInt(r.fieldIndex("lsh_table")), cents))
+  }
+
+  /** Open a previously built index (physical layout + build metadata). */
   def load(
       spark: SparkSession,
       path: String,
@@ -141,6 +198,6 @@ object VecIndex {
       vecCol: String = "embedding"): VecStore = {
     val df = spark.read.parquet(path)
     val inv = if (df.columns.contains(InvNormCol)) Some(InvNormCol) else None
-    VecStore(df, idCol, vecCol, inv)
+    VecStore(df, idCol, vecCol, inv, readMeta(spark, path))
   }
 }

@@ -62,8 +62,13 @@ object ann {
     * `BuildOptions(lshBits = Some(nbits))` the bucket is a PARTITION
     * column, so the filter becomes directory-level partition pruning and
     * the other `2^nbits - 1` buckets are never read — this is what makes
-    * the query viable at 100 TB. The caller must pass the same
-    * (table, nbits) the index was built with. */
+    * the query viable at 100 TB.
+    *
+    * The persisted bucket column is used ONLY when the index metadata
+    * confirms it was built with this same (table, nbits) — a mismatched
+    * width would silently probe the wrong bucket values; on mismatch (or
+    * a bucket column with no metadata) the signature is recomputed
+    * in-scan, which is correct at full-scan cost. */
   def lshSearch(
       store: VecStore,
       q: Seq[Double],
@@ -72,8 +77,10 @@ object ann {
       table: Int = 0): DataFrame = {
     val dim = q.length
     val qSig = lshSignatureOf(q, table, nbits)
+    val persistedMatches = store.indexMeta.exists(m =>
+      m.lshBits.contains(nbits) && m.lshTable == table)
     val bucketed =
-      if (table == 0 && store.df.columns.contains(graft.index.VecIndex.LshBucketCol))
+      if (persistedMatches && store.df.columns.contains(graft.index.VecIndex.LshBucketCol))
         store.df.filter(col(graft.index.VecIndex.LshBucketCol) === lit(qSig))
       else
         store.df.filter(lshSignature(col(store.vecCol), table, nbits, dim) === lit(qSig))
@@ -150,23 +157,59 @@ object ann {
     centroids
   }
 
-  /** IVF cosine top-k: probe the `nprobe` centroids nearest to the query
-    * (by squared L2), score only rows assigned to them. */
-  def ivfSearch(
-      store: VecStore,
-      centroids: Seq[(Int, Seq[Double])],
-      q: Seq[Double],
-      k: Int,
-      nprobe: Int): DataFrame = {
-    val probed = centroids
+  /** The `nprobe` centroid ids nearest to `q` by squared L2 (ties →
+    * lowest id) — the driver-side probe-list selection both IVF search
+    * forms share. */
+  private def probeIds(
+      centroids: Seq[(Int, Seq[Double])], q: Seq[Double], nprobe: Int): Seq[Int] =
+    centroids
       .map { case (cid, cvec) =>
         val d = cvec.zip(q).foldLeft(0.0) { case (acc, (a, b)) => acc + (a - b) * (a - b) }
         (cid, d)
       }
       .sortBy { case (cid, d) => (d, cid) }
       .take(nprobe).map(_._1)
+
+  /** IVF cosine top-k over a PLAIN store (no persisted assignment):
+    * assigns every row in-scan, then scores the probed clusters. Correct
+    * but full-scan cost — the ad-hoc/backfill form. Production queries
+    * use [[ivfSearchIndexed]] over an index built with
+    * `BuildOptions(ivfCentroids = ...)`, where probing is partition
+    * pruning and non-probed lists are never read. */
+  def ivfSearch(
+      store: VecStore,
+      centroids: Seq[(Int, Seq[Double])],
+      q: Seq[Double],
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val probed = probeIds(centroids, q, nprobe)
     val assigned = ivfAssign(store.df, centroids, store.vecCol)
     store.copy(df = assigned.filter(col("cluster_id").isin(probed: _*)).drop("cluster_id"))
+      .query(q, Metric.Cosine)
+      .take(k)
+      .withScoreRounding(4)
+      .collect()
+  }
+
+  /** IVF cosine top-k over an index built with
+    * `BuildOptions(ivfCentroids = ...)`: assignment already happened at
+    * build time, the layout is partitioned by `cluster_id`, and the
+    * centroids ride in the index metadata — so the probe filter becomes
+    * directory-level PARTITION PRUNING and only the `nprobe` probed
+    * lists are ever read (asserted in AnnSpec). This is IVF's entire
+    * point and the 100 TB path. */
+  def ivfSearchIndexed(
+      store: VecStore,
+      q: Seq[Double],
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val centroids = store.indexMeta.flatMap(_.ivfCentroids).getOrElse(
+      throw new IllegalArgumentException(
+        "graft: store has no persisted IVF centroids — build the index " +
+          "with BuildOptions(ivfCentroids = Some(...)) or use ivfSearch"))
+    val probed = probeIds(centroids, q, nprobe)
+    val cl = graft.index.VecIndex.IvfClusterCol
+    store.copy(df = store.df.filter(col(cl).isin(probed: _*)).drop(cl))
       .query(q, Metric.Cosine)
       .take(k)
       .withScoreRounding(4)

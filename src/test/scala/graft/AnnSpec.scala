@@ -56,6 +56,48 @@ class AnnSpec extends SparkSpec {
       physical.contains("lsh_bucket"), s"no partition pruning in:\n$physical")
   }
 
+  test("lshSearch falls back to in-scan when the persisted bucket width mismatches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshmm-").toString + "/idx"
+    val (idx, _) = graft.index.VecIndex.build(df, dir,
+      opts = graft.index.VecIndex.BuildOptions(lshBits = Some(4)))
+    val q = vec(5)
+    // query at nbits=5 against a 4-bit index: the persisted bucket values
+    // can never match a 5-bit signature — the search must recompute
+    // in-scan and return the same rows as a plain store
+    val direct = ann.lshSearch(store, q, k = 5, nbits = 5)
+      .select("vec_id").as[Long].collect().toSeq
+    val viaIndex = ann.lshSearch(idx, q, k = 5, nbits = 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(viaIndex == direct && direct.nonEmpty)
+  }
+
+  test("IVF-partitioned index: probe = partition pruning; equals ad-hoc ivfSearch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfidx-").toString + "/idx"
+    val cents = ann.seedCentroids(df, 8)
+    val (idx, _) = graft.index.VecIndex.build(df, dir,
+      opts = graft.index.VecIndex.BuildOptions(ivfCentroids = Some(cents)))
+    // centroids round-trip through the index metadata
+    val persisted = idx.indexMeta.flatMap(_.ivfCentroids)
+    assert(persisted.isDefined && persisted.get == cents)
+    val q = vec(7)
+    val viaIdx = ann.ivfSearchIndexed(idx, q, k = 10, nprobe = 3)
+    val adhoc = ann.ivfSearch(store, cents, q, k = 10, nprobe = 3)
+    assert(viaIdx.select("vec_id").as[Long].collect().toSeq ==
+      adhoc.select("vec_id").as[Long].collect().toSeq)
+    // the probe must reach the scan as a PARTITION filter (directory
+    // pruning: non-probed cluster lists are never read)
+    val physical = viaIdx.queryExecution.executedPlan.toString
+    assert(physical.contains("PartitionFilters") && physical.contains("cluster_id"),
+      s"no cluster partition pruning in:\n$physical")
+  }
+
+  test("ivfSearchIndexed refuses a store with no persisted centroids") {
+    val e = intercept[IllegalArgumentException] {
+      ann.ivfSearchIndexed(store, vec(1), k = 5, nprobe = 2)
+    }
+    assert(e.getMessage.contains("ivfCentroids"))
+  }
+
   test("ivfAssign maps each centroid's own vector to itself; ties -> lowest cid") {
     val cents = ann.seedCentroids(df, 8)
     val assigned = ann.ivfAssign(df, cents).select("vec_id", "cluster_id")

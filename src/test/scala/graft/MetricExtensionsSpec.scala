@@ -15,9 +15,15 @@ class MetricExtensionsSpec extends SparkSpec {
       vectors.vecLit(Seq(1.0, 2.0))).as("d"))
       .as[Double].collect().toSeq
     assert(d == Seq(0.0, 7.0, 0.5))
-    val order = VecStore(df).query(Seq(1.0, 2.0), Metric.Manhattan).collect()
+    // take(n) pins the metric default: distances ascend (nearest first)
+    val order = VecStore(df).query(Seq(1.0, 2.0), Metric.Manhattan).take(3).collect()
       .select("vec_id").as[Long].collect().toSeq
-    assert(order == Seq(1L, 3L, 2L)) // nearest first
+    assert(order == Seq(1L, 3L, 2L))
+    // with NO take, collect falls back to the reference's unset-take
+    // default (Max): farthest first even for a distance metric
+    val noTake = VecStore(df).query(Seq(1.0, 2.0), Metric.Manhattan).collect()
+      .select("vec_id").as[Long].collect().toSeq
+    assert(noTake == Seq(2L, 3L, 1L))
   }
 
   test("native L1 kernel is bit-identical to the HOF fold on real embeddings") {

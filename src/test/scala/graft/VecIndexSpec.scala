@@ -39,6 +39,38 @@ class VecIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("uniform"))
   }
 
+  test("bloom filter + fpp options land in the parquet footers") {
+    val df = spark.range(2000).select(
+      col("id").as("vec_id"),
+      concat(lit("name_"), col("id")).as("name"),
+      array(Seq(sin(col("id").cast("double")), cos(col("id").cast("double"))): _*).as("embedding"))
+    VecIndex.build(df, s"$tmp/bloom_idx",
+      opts = VecIndex.BuildOptions(bloomCols = Seq("name"), bloomNdv = 2000,
+        bloomFpp = Some(0.005), numFiles = Some(1)))
+    import scala.jdk.CollectionConverters._
+    val part = new java.io.File(s"$tmp/bloom_idx").listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).head
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(part.getAbsolutePath),
+      spark.sessionState.newHadoopConf())
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val block = reader.getFooter.getBlocks.asScala.head
+      val nameCol = block.getColumns.asScala.find(_.getPath.toDotString == "name").get
+      assert(nameCol.getBloomFilterOffset >= 0, "no bloom filter written for 'name'")
+      val bloom = reader.getBloomFilterDataReader(block).readBloomFilter(nameCol)
+      assert(bloom != null && bloom.getBitsetSize > 0)
+    } finally reader.close()
+  }
+
+  test("empty / all-NULL input fails the build with a descriptive error") {
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      VecIndex.build(empty, s"$tmp/empty_idx")
+    }
+    assert(e.getMessage.contains("no rows"))
+  }
+
   test("sorted index + pushed filter scans fewer rows (zonemap pruning analog)") {
     // 20k rows, label-correlated layout, small row groups so statistics
     // pruning is observable — mirrors the reference's zonemap fixture
