@@ -554,10 +554,11 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
         .orderBy(col("split"))),
 
-    // north-star: sequence packing by token budget (prefix-sum window).
+    // north-star: sequence packing by token budget — SHARDED prefix-sum
+    // windows (8 hash shards; no single-task global sort).
     "sample_pack" -> ((s, dir) =>
       sample.packSequences(table(s, dir, "documents"), "doc_id",
-          text.tokenCount(col("text")).cast("long"), budget = 512)
+          text.tokenCount(col("text")).cast("long"), budget = 512, shards = 8)
         .groupBy(col("pack_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
         .orderBy(col("pack_id"))),
@@ -937,10 +938,12 @@ object SparkEntry {
          |FROM s GROUP BY split ORDER BY split""".stripMargin,
 
     "sample_pack" ->
-      s"""WITH t AS (SELECT doc_id,
-         |  len($SqlToks) AS n_tokens FROM documents),
+      s"""WITH t AS (SELECT doc_id, len($SqlToks) AS n_tokens,
+         |  ${hashing.sqlH32("(doc_id::VARCHAR || '/pack')")} % 8 AS pack_shard FROM documents),
          |p AS (SELECT doc_id, n_tokens,
-         |  floor((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0)::BIGINT AS pack_id
+         |  pack_shard * 4294967296 +
+         |  floor((sum(n_tokens) OVER (PARTITION BY pack_shard ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0)::BIGINT AS pack_id
          |FROM t)
          |SELECT pack_id, count(*) AS n_docs, sum(n_tokens)::BIGINT AS pack_tokens
          |FROM p GROUP BY pack_id ORDER BY pack_id""".stripMargin,

