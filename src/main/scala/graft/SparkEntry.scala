@@ -573,7 +573,54 @@ object SparkEntry {
           try_to_timestamp(col("s"), lit("yyyy-MM-dd")),
           try_to_timestamp(col("s"), lit("yyyy/MM/dd"))))
         .select(col("s"), date_format(col("parsed"), "yyyy-MM-dd").as("d"))
-        .orderBy(col("s")))
+        .orderBy(col("s"))),
+
+    // north-star: EXACT n-gram Jaccard pairs — inverted-index candidate
+    // generation (complete pair set above the threshold, unlike MinHash's
+    // probabilistic recall), document-frequency cap bounds hot shingles.
+    "dedup_jaccard_pairs" -> ((s, dir) =>
+      dedup.jaccardPairs(table(s, dir, "documents"), "text", "doc_id",
+          threshold = 0.5)
+        .select(col("id_a"), col("id_b"),
+          (floor(col("jacc") * 10000.0 + 0.5) / 10000.0).as("jacc"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // north-star: deterministic percent sampling — pure scan filter on a
+    // portable id hash, no RNG state, reproducible on any engine.
+    "sample_det" -> ((s, dir) =>
+      sample.deterministicSample(table(s, dir, "documents"), "doc_id", pct = 10)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
+    // north-star: exact dedup, JOIN form — the surviving rows themselves
+    // (exactGroups gives the group summary; this keeps the min-id row).
+    "dedup_exact_keep" -> ((s, dir) =>
+      dedup.exactDedup(table(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy(col("doc_id"))),
+
+    // north-star: standalone reciprocal-rank fusion over two bounded
+    // deterministic rank lists (longest-docs vs hash-ordered) — exact
+    // rational arithmetic from integer ranks.
+    "hybrid_rrf_fuse" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = table(s, dir, "documents")
+      // k-bounded single-partition rank windows (see retrieval.scala)
+      val one = Window.partitionBy(pmod(col("doc_id"), lit(1)))
+      val a = docs.orderBy(col("n_chars").desc, col("doc_id")).limit(50)
+        .withColumn("rank",
+          row_number().over(one.orderBy(col("n_chars").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rank"))
+      val b = docs
+        .withColumn("h", hashing.h32(concat(col("doc_id").cast("string"), lit("/rrf"))))
+        .orderBy(col("h"), col("doc_id")).limit(50)
+        .withColumn("rank", row_number().over(one.orderBy(col("h"), col("doc_id"))))
+        .select(col("doc_id"), col("rank"))
+      retrieval.rrfFuse(a, b, "doc_id")
+        .select(col("doc_id"),
+          (floor(col("rrf") * 1000000.0 + 0.5) / 1000000.0).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -952,6 +999,44 @@ object SparkEntry {
       """WITH s AS (SELECT DISTINCT strftime(l_shipdate, '%Y/%m/%d') AS s FROM lineitem)
         |SELECT s, strftime(coalesce(try_strptime(s, '%Y-%m-%d'), try_strptime(s, '%Y/%m/%d')),
         |  '%Y-%m-%d') AS d
-        |FROM s ORDER BY s""".stripMargin
+        |FROM s ORDER BY s""".stripMargin,
+
+    "dedup_jaccard_pairs" ->
+      s"""WITH g AS ($SqlGrams),
+         |inv AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+         |rare AS (SELECT gram FROM (SELECT gram, count(*) AS df FROM inv GROUP BY 1)
+         |         WHERE df <= 1000 AND df >= 2),
+         |p AS (SELECT inv.doc_id, inv.gram FROM inv JOIN rare USING (gram)),
+         |c AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+         |j AS (SELECT id_a, id_b,
+         |  len(list_intersect(ga.grams, gb.grams))::DOUBLE / len(list_distinct(ga.grams || gb.grams)) AS jacc
+         |  FROM c JOIN g ga ON c.id_a = ga.doc_id JOIN g gb ON c.id_b = gb.doc_id)
+         |SELECT id_a, id_b, floor(jacc * 10000.0 + 0.5) / 10000.0 AS jacc
+         |FROM j WHERE jacc >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "sample_det" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${hashing.sqlH32("(doc_id::VARCHAR || '/sample')")} % 100 < 10
+         |ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact_keep" ->
+      """SELECT doc_id, source, lang FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+        |ORDER BY doc_id""".stripMargin,
+
+    "hybrid_rrf_fuse" ->
+      s"""WITH a AS (SELECT doc_id, rank_a FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank_a
+         |    FROM documents) WHERE rank_a <= 50),
+         |b AS (SELECT doc_id, rank_b FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY h, doc_id) AS rank_b
+         |    FROM (SELECT doc_id, ${hashing.sqlH32("(doc_id::VARCHAR || '/rrf')")} AS h
+         |          FROM documents)) WHERE rank_b <= 50)
+         |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         |  floor((coalesce(1.0 / (60.0 + rank_a), 0.0)
+         |       + coalesce(1.0 / (60.0 + rank_b), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS rrf
+         |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+         |ORDER BY rrf DESC, doc_id""".stripMargin
   )
 }
