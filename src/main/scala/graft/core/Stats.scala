@@ -24,21 +24,36 @@ final case class QueryStats(
     scannedRows: Long,
     filesRead: Long,
     bytesRead: Long,
-    scans: Int) {
+    scans: Int,
+    /** Row-group zonemap counters (the reference's pruned/evaluated
+      * chunks) — present when the listener was attached with
+      * `trackRowGroups = true`. */
+    rowGroups: Option[graft.index.PruneStats.PruneReport] = None) {
   def pretty: String =
     f"QueryStats: $durationMs%d ms, $scannedRows%d rows scanned, " +
-      f"$filesRead%d files, $bytesRead%d bytes, $scans%d scan(s)"
+      f"$filesRead%d files, $bytesRead%d bytes, $scans%d scan(s)" +
+      rowGroups.map(r => "; " + r.pretty).getOrElse("")
 }
 
-final class GraftStatsListener extends QueryExecutionListener {
+/** @param trackRowGroups also compute per-query row-group pruned/evaluated
+  *   counters from the scanned files' parquet footers (metadata-only
+  *   reads; costs one footer read per scanned file per query — the
+  *   reference pays the same bookkeeping per chunk, meta.rs:711-721). */
+final class GraftStatsListener(trackRowGroups: Boolean = false)
+    extends QueryExecutionListener {
   private val last = new AtomicReference[Option[QueryStats]](None)
 
   /** Last completed query's stats (ref `print_last_query_stats`,
     * meta.rs:546-566). */
   def lastQueryStats: Option[QueryStats] = last.get()
 
+  // Descends through AQE wrappers: QueryStageExec nodes report NO
+  // children (their subtree hangs off `plan`), so a plain child walk
+  // would silently miss every scan once an exchange materializes.
   private def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p match {
     case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scansOf(q.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => scansOf(r.child)
     case s: FileSourceScanExec    => Seq(s)
     case other                    => other.children.flatMap(scansOf)
   }
@@ -47,12 +62,18 @@ final class GraftStatsListener extends QueryExecutionListener {
     val scans = scansOf(qe.executedPlan)
     def metric(name: String): Long =
       scans.flatMap(_.metrics.get(name).map(_.value)).sum
+    val rg =
+      if (trackRowGroups && scans.nonEmpty)
+        Some(graft.index.PruneStats.forScans(scans,
+          qe.sparkSession.sessionState.newHadoopConf()))
+      else None
     last.set(Some(QueryStats(
       durationMs = durationNs / 1000000,
       scannedRows = metric("numOutputRows"),
       filesRead = metric("numFiles"),
       bytesRead = metric("filesSize"),
-      scans = scans.size)))
+      scans = scans.size,
+      rowGroups = rg)))
   }
 
   override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit =
@@ -61,8 +82,8 @@ final class GraftStatsListener extends QueryExecutionListener {
 
 object GraftStatsListener {
   /** Attach a fresh listener to the session and return it. */
-  def attach(spark: SparkSession): GraftStatsListener = {
-    val l = new GraftStatsListener
+  def attach(spark: SparkSession, trackRowGroups: Boolean = false): GraftStatsListener = {
+    val l = new GraftStatsListener(trackRowGroups)
     spark.listenerManager.register(l)
     l
   }
