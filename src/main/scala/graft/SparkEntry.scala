@@ -1001,17 +1001,21 @@ object SparkEntry {
         |  '%Y-%m-%d') AS d
         |FROM s ORDER BY s""".stripMargin,
 
+    // Counting form: c = shared shingles (df in [2, 256]) per pair;
+    // jacc = c / (n_a + n_b - c) — exact while no shingle exceeds the cap
+    // (mirrors dedup.jaccardPairs).
     "dedup_jaccard_pairs" ->
       s"""WITH g AS ($SqlGrams),
          |inv AS (SELECT doc_id, unnest(grams) AS gram FROM g),
-         |rare AS (SELECT gram FROM (SELECT gram, count(*) AS df FROM inv GROUP BY 1)
-         |         WHERE df <= 1000 AND df >= 2),
-         |p AS (SELECT inv.doc_id, inv.gram FROM inv JOIN rare USING (gram)),
-         |c AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id),
-         |j AS (SELECT id_a, id_b,
-         |  len(list_intersect(ga.grams, gb.grams))::DOUBLE / len(list_distinct(ga.grams || gb.grams)) AS jacc
-         |  FROM c JOIN g ga ON c.id_a = ga.doc_id JOIN g gb ON c.id_b = gb.doc_id)
+         |nn AS (SELECT doc_id, count(*) AS n_grams FROM inv GROUP BY 1),
+         |dfs AS (SELECT gram, count(*) AS df FROM inv GROUP BY 1),
+         |p AS (SELECT inv.doc_id, inv.gram FROM inv JOIN dfs USING (gram)
+         |      WHERE df BETWEEN 2 AND 256),
+         |sh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+         |  FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |j AS (SELECT id_a, id_b, c::DOUBLE / (na.n_grams + nb.n_grams - c) AS jacc
+         |  FROM sh JOIN nn na ON sh.id_a = na.doc_id JOIN nn nb ON sh.id_b = nb.doc_id)
          |SELECT id_a, id_b, floor(jacc * 10000.0 + 0.5) / 10000.0 AS jacc
          |FROM j WHERE jacc >= 0.5 ORDER BY id_a, id_b""".stripMargin,
 

@@ -149,35 +149,43 @@ object dedup {
       .select(col("id_a"), col("id_b"), col("jacc"))
   }
 
-  /** Exact n-gram Jaccard pairs — same rerank but candidates come from
-    * sharing at least one shingle (complete for any threshold > 0, heavier
-    * than MinHash; use when exactness of the PAIR SET matters more than
-    * cost). The inverted-index join is keyed on individual shingles;
-    * common-shingle skew is the known cost (document frequency cap
-    * `maxDf` drops shingles seen in more than that many docs, the
-    * standard trick to bound it). */
+  /** n-gram Jaccard pairs via inverted-index COUNTING: for every shingle
+    * with document frequency in [2, maxDf], expand its (sorted) posting
+    * list into pairs and count shared shingles per pair — `c = |A∩B|` —
+    * then `jacc = c / (|A| + |B| − c)` from two thin per-doc gram-count
+    * joins. The gram arrays themselves never ride a join (the naive
+    * postings self-join + array-intersect rerank re-evaluates the whole
+    * shingle pipeline per side and shuffles ~300-element string arrays
+    * per candidate — measured 5× slower).
+    *
+    * EXACT (complete pair set, exact scores) whenever no shingle exceeds
+    * `maxDf`. Shingles above the cap are excluded from both candidate
+    * generation and the intersection count — the standard df-cap bound
+    * that keeps the hottest shingle from emitting maxDf² pairs in one
+    * task; with the cap, per-shingle expansion work is ≤ maxDf²/2. */
   def jaccardPairs(
       df: DataFrame,
       textCol: String,
       idCol: String,
       threshold: Double,
       n: Int = 3,
-      maxDf: Int = 1000): DataFrame = {
-    val g = df.select(col(idCol), wordShingles(col(textCol), n).as("grams"))
-      .where(size(col("grams")) > 0)
-    val inv = g.select(col(idCol), explode(col("grams")).as("gram"))
-    val rare = inv.groupBy("gram").agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxDf && col("df") >= 2).select("gram")
-    val postings = inv.join(rare, "gram")
-    val cands = postings.as("a")
-      .join(postings.as("b"),
-        col("a.gram") === col("b.gram") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      .distinct()
-    val ga = g.select(col(idCol).as("id_a"), col("grams").as("grams_a"))
-    val gb = g.select(col(idCol).as("id_b"), col("grams").as("grams_b"))
-    cands.join(ga, "id_a").join(gb, "id_b")
-      .withColumn("jacc", jaccard(col("grams_a"), col("grams_b")))
+      maxDf: Int = 256): DataFrame = {
+    val inv = df.select(col(idCol), explode(wordShingles(col(textCol), n)).as("gram"))
+    // grams are distinct per doc, so count(*) per doc == |gram set|
+    val nGrams = inv.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    val shared = inv
+      .groupBy(col("gram"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"), count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= maxDf)
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("c"))
+    val na = nGrams.select(col(idCol).as("id_a"), col("n_grams").as("n_a"))
+    val nb = nGrams.select(col(idCol).as("id_b"), col("n_grams").as("n_b"))
+    shared.join(na, "id_a").join(nb, "id_b")
+      .withColumn("jacc",
+        col("c").cast("double") / (col("n_a") + col("n_b") - col("c")))
       .where(col("jacc") >= threshold)
       .select(col("id_a"), col("id_b"), col("jacc"))
   }

@@ -59,6 +59,18 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("jaccardPairs: exact pair set and hand-computed scores") {
+    val pairs = dedup.jaccardPairs(docs, "text", "doc_id", threshold = 0.4)
+      .select("id_a", "id_b", "jacc").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // docs 1/2 identical: 7 shingles each, all shared
+    assert(math.abs(pairs((1L, 2L)) - 1.0) < 1e-12)
+    // docs 1/3 share the first 5 of 7 shingles: 5 / (7 + 7 - 5) = 5/9
+    assert(math.abs(pairs((1L, 3L)) - 5.0 / 9.0) < 1e-12)
+    assert(pairs.contains((2L, 3L)))
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
   test("simhash: identical equal; near-dup within a few bits; unrelated far") {
     val sh = dedup.simhash(docs, "text", "doc_id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
