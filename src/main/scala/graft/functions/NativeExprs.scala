@@ -150,6 +150,10 @@ object NativeExprs {
   /** Column: native per-row SimHash (see [[SimHashExpr]]). */
   def simhash(c: Column, bits: Int): Column = column(SimHashExpr(expression(c), bits))
 
+  /** Column: fused hyperplane-LSH signature (see [[LshSigExpr]]). */
+  def lshSig(v: Column, planes: Seq[Seq[Double]]): Column =
+    column(LshSigExpr(expression(v), planes.map(_.toIndexedSeq).toIndexedSeq))
+
   /** Column: native dot product (see [[VecDotExpr]]). */
   def vecDot(a: Column, b: Column): Column =
     column(VecDotExpr(expression(a), expression(b)))
@@ -284,6 +288,40 @@ case class SimHashExpr(child: Expression, bits: Int)
   override protected def nullSafeEval(input: Any): Any =
     NativeExprs.simhashOf(input.asInstanceOf[UTF8String], bits)
   override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+}
+
+/** Fused random-hyperplane LSH signature: bit j of the result long is
+  * `[v · planes(j) > 0]`, all `planes.length` bits in ONE pass over the
+  * vector per plane — the composed form (`nbits` separate dot-product
+  * expressions summed into a long) re-reads the array per bit and costs a
+  * kernel dispatch per plane. Dot accumulation is sequential, identical
+  * to [[VecDotExpr]] and the DuckDB `list_dot_product` fold, so bucket
+  * values match the oracle bit-for-bit. `planes` is a structural-equality
+  * Seq so identical signature expressions stay semantically equal
+  * (exchange reuse on self-joins). */
+case class LshSigExpr(child: Expression, planes: IndexedSeq[IndexedSeq[Double]])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_sig"
+  @transient private lazy val g = VecKernels.getter(child.dataType)
+  @transient private lazy val mat: Array[Array[Double]] = planes.map(_.toArray).toArray
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    var sig = 0L
+    var j = 0
+    while (j < mat.length) {
+      val p = mat(j)
+      val n = math.min(a.numElements(), p.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += g(a, i) * p(i); i += 1 }
+      if (acc > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+  override protected def withNewChildInternal(newChild: Expression): LshSigExpr =
     copy(child = newChild)
 }
 

@@ -39,8 +39,17 @@ object ann {
     (0 until dim).map(i => math.sin(1000.0 * t + 100.0 * j + i))
 
   /** LSH signature of a vector column for table `t`: an `nbits`-bit code
-    * packed into a long, bit j = `[v·h_j > 0]`. */
+    * packed into a long, bit j = `[v·h_j > 0]`. One fused kernel pass
+    * over all `nbits` planes (see [[graft.functions.NativeExprs.lshSig]];
+    * the per-bit composition is kept as [[lshSignatureHof]], the
+    * executable spec). */
   def lshSignature(v: Column, t: Int, nbits: Int, dim: Int): Column =
+    graft.functions.NativeExprs.lshSig(v,
+      (0 until nbits).map(j => hyperplane(t, j, dim)))
+
+  /** Compositional (per-bit dot product) form of [[lshSignature]] — same
+    * semantics, used to cross-check the fused kernel. */
+  def lshSignatureHof(v: Column, t: Int, nbits: Int, dim: Int): Column =
     (0 until nbits).map { j =>
       when(vectors.dotProduct(v, vectors.vecLit(hyperplane(t, j, dim))) > 0,
         lit(1L << j)).otherwise(lit(0L))

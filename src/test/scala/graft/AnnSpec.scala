@@ -23,6 +23,14 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("fused lsh signature kernel equals the per-bit composed form") {
+    val diff = df.select(
+        ann.lshSignature(col("embedding"), t = 1, nbits = 12, dim = dim).as("a"),
+        ann.lshSignatureHof(col("embedding"), t = 1, nbits = 12, dim = dim).as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(diff == 0)
+  }
+
   test("lshSearch returns the bucket's brute-force order and finds an exact match") {
     val q = vec(42) // row 42 is in the store: same signature, cosine 1
     val hits = ann.lshSearch(store, q, k = 5, nbits = 4)
