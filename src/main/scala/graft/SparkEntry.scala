@@ -474,6 +474,21 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // north-star: the TYPED featurize path (mapPartitions, one decoder
+    // init per partition — the real-codec execution shape) must produce
+    // the same rows as the expression path; same oracle as mm_features.
+    "mm_features_typed" -> ((s, dir) => {
+      import s.implicits._
+      val media = multimodal.fromText(table(s, dir, "documents"), "doc_id", "text", "source")
+        .as[multimodal.MediaItem]
+      multimodal.featurize(media, dims = 4).toDF()
+        .select(col("id"), col("kind"), col("byteLen").as("byte_len"),
+          col("checksum"),
+          col("embedding")(0).as("e0"), col("embedding")(1).as("e1"),
+          col("embedding")(2).as("e2"), col("embedding")(3).as("e3"))
+        .orderBy(col("id"))
+    }),
+
     // north-star: frame-sampling plumbing — fixed-size payload frames,
     // every 2nd kept (stride), frame identity checked by md5.
     "mm_frames" -> ((s, dir) => {
@@ -598,6 +613,13 @@ object SparkEntry {
       dedup.exactDedup(table(s, dir, "documents"), "text", "doc_id")
         .select(col("doc_id"), col("source"), col("lang"))
         .orderBy(col("doc_id"))),
+
+    // roadmap fuzzy matching (ref README.md:204-215): edit-distance
+    // near-dup pairs, exact-prefix blocked, bounded-head rerank.
+    "dedup_fuzzy_pairs" -> ((s, dir) =>
+      dedup.fuzzyPairs(table(s, dir, "documents"), "text", "doc_id")
+        .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
+        .orderBy(col("id_a"), col("id_b"))),
 
     // north-star: standalone reciprocal-rank fusion over two bounded
     // deterministic rank lists (longest-docs vs hash-ordered) — exact
@@ -919,6 +941,15 @@ object SparkEntry {
         s"((('0x' || substr(md5(text), ${2 * i + 1}, 2))::INT) / 255.0)::FLOAT AS e$i").mkString(", ")}
          |FROM documents ORDER BY id""".stripMargin,
 
+    // identical oracle to mm_features: the typed mapPartitions decoder
+    // must be row-equal to the expression path
+    "mm_features_typed" ->
+      s"""SELECT doc_id AS id, 'text' AS kind,
+         |  octet_length(encode(text)) AS byte_len, md5(text) AS checksum,
+         |  ${(0 until 4).map(i =>
+        s"((('0x' || substr(md5(text), ${2 * i + 1}, 2))::INT) / 255.0)::FLOAT AS e$i").mkString(", ")}
+         |FROM documents ORDER BY id""".stripMargin,
+
     "mm_frames" ->
       """WITH f AS (SELECT doc_id AS id, u.i::INT AS frame_idx,
         |    substr(text, (u.i*64)::INT + 1, 64) AS fr
@@ -1028,6 +1059,15 @@ object SparkEntry {
       """SELECT doc_id, source, lang FROM documents
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
         |ORDER BY doc_id""".stripMargin,
+
+    "dedup_fuzzy_pairs" ->
+      """WITH p AS (SELECT doc_id, substr(text, 1, 16) AS pre,
+        |    substr(text, 1, 64) AS head FROM documents),
+        |c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    levenshtein(a.head, b.head)::INT AS dist
+        |  FROM p a JOIN p b ON a.pre = b.pre AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, dist FROM c WHERE dist <= 8
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "hybrid_rrf_fuse" ->
       s"""WITH a AS (SELECT doc_id, rank_a FROM (

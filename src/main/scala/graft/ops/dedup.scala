@@ -272,6 +272,40 @@ object dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  // ---- fuzzy (edit-distance) matching ---------------------------------
+
+  /** Edit-distance near-dup pairs — the reference roadmap's fuzzy
+    * matching (README.md:204-215). Candidates share an EXACT
+    * `prefixLen`-char text prefix (deterministic blocking, one
+    * hash-shuffle on the prefix); the rerank compares the first
+    * `headLen` chars with `levenshtein(...) <= maxDist`, so per-pair
+    * cost is O(headLen²) regardless of document size.
+    *
+    * Recall contract: complete for pairs that agree on the prefix — an
+    * edit INSIDE the prefix escapes the block (that regime belongs to
+    * [[minhashNearDupPairs]]/[[simhashNearDupPairs]]; this is the cheap
+    * exact-prefix member of the family). Prefix buckets inherit content
+    * skew (boilerplate openings); the self-join spreads a hot bucket's
+    * output across the shuffle and AQE splits skewed partitions — same
+    * reasoning as the simhash blocker. */
+  def fuzzyPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxDist: Int = 8,
+      prefixLen: Int = 16,
+      headLen: Int = 64): DataFrame = {
+    val p = df.select(col(idCol),
+      substring(col(textCol), 1, prefixLen).as("pre"),
+      substring(col(textCol), 1, headLen).as("head"))
+    p.as("a")
+      .join(p.as("b"),
+        col("a.pre") === col("b.pre") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        levenshtein(col("a.head"), col("b.head")).as("dist"))
+      .where(col("dist") <= maxDist)
+  }
+
   // ---- embedding near-dup ---------------------------------------------
 
   /** Embedding-cosine near-duplicate pairs: candidates share an LSH

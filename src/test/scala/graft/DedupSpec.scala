@@ -109,6 +109,28 @@ class DedupSpec extends SparkSpec {
       s"blocking produced $total candidates of ${n * (n - 1) / 2} possible")
   }
 
+  test("fuzzyPairs: prefix-blocked edit-distance pairs with hand-checked distances") {
+    // docs 1-3 share the 16-char prefix "the quick brown "; doc 4 blocks
+    // alone; doc 5 ("ab") blocks alone
+    val pairs = dedup.fuzzyPairs(docs, "text", "doc_id", maxDist = 8)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs((1L, 2L)) == 0) // identical
+    // "...the lazy dog" vs "...the sleepy dog": levenshtein = 3
+    val expected = {
+      val a = "the quick brown fox jumps over the lazy dog".take(64)
+      val b = "the quick brown fox jumps over the sleepy dog".take(64)
+      // tiny reference implementation
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    assert(pairs((1L, 3L)) == expected && pairs((2L, 3L)) == expected)
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L || a == 5L || b == 5L })
+  }
+
   test("embeddingNearDupPairs finds an identical-vector pair") {
     val v = (0 until 64).map(i => math.sin(i * 0.3)).toArray
     val w = (0 until 64).map(i => math.cos(i * 1.7)).toArray
