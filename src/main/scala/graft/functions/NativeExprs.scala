@@ -171,6 +171,18 @@ object NativeExprs {
   * scoring loop does no per-element type dispatch. Float widens to double
   * exactly — identical to casting the whole array first. */
 private[functions] object VecKernels {
+
+  /** Java source fragment reading element `i` of `arr` as a double —
+    * the codegen twin of [[getter]]. */
+  def getterCode(dt: DataType, arr: String, i: String): String = dt match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _)   => s"(double) $arr.getFloat($i)"
+    case ArrayType(org.apache.spark.sql.types.DoubleType, _)  => s"$arr.getDouble($i)"
+    case ArrayType(org.apache.spark.sql.types.ByteType, _)    => s"(double) $arr.getByte($i)"
+    case ArrayType(org.apache.spark.sql.types.IntegerType, _) => s"(double) $arr.getInt($i)"
+    case other => throw new IllegalArgumentException(
+      s"vector kernel expects array<float|double|byte|int>, got ${other.simpleString}")
+  }
+
   def getter(dt: DataType): (ArrayData, Int) => Double = dt match {
     case ArrayType(org.apache.spark.sql.types.FloatType, _)   => (a, i) => a.getFloat(i).toDouble
     case ArrayType(org.apache.spark.sql.types.DoubleType, _)  => (a, i) => a.getDouble(i)
@@ -213,17 +225,52 @@ private[functions] object VecKernels {
   }
 }
 
+/** Binary vector kernel with TRUE whole-stage codegen: `doGenCode` emits
+  * the accumulation loop inline in the generated stage, so the hot
+  * scoring path pays no per-row virtual call and no boxing
+  * (`CodegenFallback` costs both). The interpreted `eval` remains as the
+  * non-codegen fallback; both run the identical sequential fold
+  * (SURVEY §4 #10 — the one place this engine hand-writes what Tungsten
+  * can't derive). */
+abstract class VecBinaryKernel extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  @transient protected lazy val ga: (ArrayData, Int) => Double = VecKernels.getter(left.dataType)
+  @transient protected lazy val gb: (ArrayData, Int) => Double = VecKernels.getter(right.dataType)
+
+  /** Java statement folding elements `ae`/`be` into `acc`. */
+  protected def stepCode(ae: String, be: String, acc: String, tmp: String): String
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val tmp = ctx.freshName("tmp")
+      val ae = VecKernels.getterCode(left.dataType, a, i)
+      val be = VecKernels.getterCode(right.dataType, b, i)
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${stepCode(ae, be, acc, tmp)}
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+}
+
 /** Native dot product of two numeric array columns. NOTE: like
   * `zip_with`, a length mismatch is not an error here — the shorter
   * length wins (zip_with pads with null, which the HOF fold turns into
   * null; the SearchPlan dim guard rejects mismatches before scoring
   * either way — this kernel only ever sees validated pairs). */
-case class VecDotExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
-  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+case class VecDotExpr(left: Expression, right: Expression) extends VecBinaryKernel {
   override def prettyName: String = "vec_dot"
-  @transient private lazy val ga = VecKernels.getter(left.dataType)
-  @transient private lazy val gb = VecKernels.getter(right.dataType)
+  override protected def stepCode(ae: String, be: String, acc: String, tmp: String): String =
+    s"$acc += $ae * $be;"
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VecKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], ga, gb)
   override protected def withNewChildrenInternal(
@@ -233,12 +280,10 @@ case class VecDotExpr(left: Expression, right: Expression)
 
 /** Native squared L2 distance of two numeric array columns (no sqrt —
   * reference semantics, vec_compute.rs:34-54). */
-case class VecL2SqExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
-  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+case class VecL2SqExpr(left: Expression, right: Expression) extends VecBinaryKernel {
   override def prettyName: String = "vec_l2sq"
-  @transient private lazy val ga = VecKernels.getter(left.dataType)
-  @transient private lazy val gb = VecKernels.getter(right.dataType)
+  override protected def stepCode(ae: String, be: String, acc: String, tmp: String): String =
+    s"double $tmp = $ae - $be; $acc += $tmp * $tmp;"
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VecKernels.l2sq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], ga, gb)
   override protected def withNewChildrenInternal(
@@ -247,12 +292,10 @@ case class VecL2SqExpr(left: Expression, right: Expression)
 }
 
 /** Native L1 (Manhattan) distance — roadmap metric (README.md:204-215). */
-case class VecL1Expr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
-  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+case class VecL1Expr(left: Expression, right: Expression) extends VecBinaryKernel {
   override def prettyName: String = "vec_l1"
-  @transient private lazy val ga = VecKernels.getter(left.dataType)
-  @transient private lazy val gb = VecKernels.getter(right.dataType)
+  override protected def stepCode(ae: String, be: String, acc: String, tmp: String): String =
+    s"$acc += java.lang.Math.abs($ae - $be);"
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VecKernels.l1(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], ga, gb)
   override protected def withNewChildrenInternal(
@@ -301,7 +344,7 @@ case class SimHashExpr(child: Expression, bits: Int)
   * Seq so identical signature expressions stay semantically equal
   * (exchange reuse on self-joins). */
 case class LshSigExpr(child: Expression, planes: IndexedSeq[IndexedSeq[Double]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "lsh_sig"
   @transient private lazy val g = VecKernels.getter(child.dataType)
@@ -320,6 +363,35 @@ case class LshSigExpr(child: Expression, planes: IndexedSeq[IndexedSeq[Double]])
       j += 1
     }
     sig
+  }
+  // Inline generated nested loop — the plane matrix rides as a stage
+  // reference object, the fold order matches eval exactly.
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val matRef = ctx.addReferenceObj("lshPlanes", mat, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val sig = ctx.freshName("sig")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val p = ctx.freshName("p")
+      s"""
+         |long $sig = 0L;
+         |for (int $j = 0; $j < $matRef.length; $j++) {
+         |  double[] $p = $matRef[$j];
+         |  int $n = java.lang.Math.min($a.numElements(), $p.length);
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ${VecKernels.getterCode(child.dataType, a, i)} * $p[$i];
+         |  }
+         |  if ($acc > 0) $sig |= (1L << $j);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
   }
   override protected def withNewChildInternal(newChild: Expression): LshSigExpr =
     copy(child = newChild)
