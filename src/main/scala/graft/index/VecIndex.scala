@@ -89,7 +89,10 @@ object VecIndex {
         * with `lshBits`. */
       ivfCentroids: Option[Seq[(Int, Seq[Double])]] = None)
 
-  final case class BuildStats(rows: Long, dim: Int, buildMs: Long, path: String)
+  /** Reference `MetaBuildStats` (meta.rs:844-852): rows, dim, chunk count
+    * (row groups here), files, wall time. */
+  final case class BuildStats(
+      rows: Long, dim: Int, rowGroups: Int, files: Int, buildMs: Long, path: String)
 
   /** Write `df` as a search-ready index at `path` and return the opened
     * store + build stats (reference `MetaBuildStats`, meta.rs:844-852). */
@@ -161,7 +164,33 @@ object VecIndex {
     writeMeta(df.sparkSession, path, opts)
 
     val store = load(df.sparkSession, path, idCol, vecCol)
-    (store, BuildStats(n, lo, (System.nanoTime() - t0) / 1000000, path))
+    val (files, groups) = countRowGroups(df.sparkSession, path)
+    (store, BuildStats(n, lo, groups, files, (System.nanoTime() - t0) / 1000000, path))
+  }
+
+  /** Footer-only count of (files, row groups) under an index directory —
+    * the reference's `n_chunks` build stat (meta.rs:847). */
+  private def countRowGroups(spark: SparkSession, path: String): (Int, Int) = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val it = fs.listFiles(root, true)
+    var files = 0
+    var groups = 0
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (name.endsWith(".parquet") && !name.startsWith("_") &&
+          !f.getPath.toString.contains("/" + MetaDir + "/")) {
+        files += 1
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+        try groups += reader.getFooter.getBlocks.asScala.size
+        finally reader.close()
+      }
+    }
+    (files, groups)
   }
 
   /** Persist the build-time metadata under `_graft_meta` (underscore dir:

@@ -19,6 +19,7 @@ class VecIndexSpec extends SparkSpec {
     val (store, stats) = VecIndex.build(df, s"$tmp/emb_idx",
       opts = VecIndex.BuildOptions(sortBy = Seq("label")))
     assert(stats.rows == 500 && stats.dim == 64)
+    assert(stats.rowGroups >= 1 && stats.files >= 1 && stats.rowGroups >= stats.files)
     assert(store.invNormCol.contains("inv_norm"))
 
     val q = (0 until 64).map(i => math.sin(i + 1.0))
