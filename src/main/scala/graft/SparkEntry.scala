@@ -143,6 +143,24 @@ object SparkEntry {
        |  i -> array_to_string(list_slice(toks, i, i+2), ' '))) AS grams
        |FROM (SELECT doc_id, $SqlToks AS toks FROM documents) WHERE len(toks) >= 3""".stripMargin
 
+  /** DuckDB CTE chain ending in `mp(id_a, id_b, jacc)` — MinHash-LSH
+    * near-dup pairs at threshold 0.5 (k=16, 8 bands of r=2), mirroring
+    * [[dedup.minhashNearDupPairs]] stage for stage. Shared by the pairs
+    * oracle and the connected-components (cluster) oracle. */
+  private val SqlMinhashPairCtes =
+    s"""g AS ($SqlGrams),
+       |sg AS (SELECT doc_id, grams, list_transform(range(0, 16),
+       |  j -> list_min(list_transform(list_transform(grams, s -> ${hashing.sqlH32("s")}),
+       |       h -> ${hashing.sqlAffineVar("h", "j")}))) AS sig FROM g),
+       |bd AS (SELECT doc_id, grams, i,
+       |  array_to_string(list_transform(list_slice(sig, 2*i+1, 2*i+2), x -> x::VARCHAR), '_') AS key
+       |  FROM sg, range(0, 8) r(i)),
+       |c AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.grams AS ga, b.grams AS gb
+       |  FROM bd a JOIN bd b ON a.i = b.i AND a.key = b.key AND a.doc_id < b.doc_id),
+       |j AS (SELECT id_a, id_b,
+       |  len(list_intersect(ga, gb))::DOUBLE / len(list_distinct(ga || gb)) AS jacc FROM c),
+       |mp AS (SELECT id_a, id_b, jacc FROM j WHERE jacc >= 0.5)""".stripMargin
+
   /** DuckDB CTE chain computing BM25 scores over `documents` for the
     * fixed term set, ending in `sc(doc_id, score)`. Scalar folds (k1+1,
     * 1-b) are interpolated from the SAME Scala doubles the Spark plan
@@ -369,6 +387,17 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"),
           (floor(col("jacc") * 10000.0 + 0.5) / 10000.0).as("jacc"))
         .orderBy(col("id_a"), col("id_b"))),
+
+    // north-star: near-dup CLUSTERS — the terminal dedup stage. MinHash
+    // pairs feed alternating large-star/small-star connected components
+    // (O(log²) rounds, lineage cut per round); every clustered doc gets
+    // its component-min rep and a keep flag.
+    "dedup_cluster" -> ((s, dir) =>
+      dedup.nearDupClusters(table(s, dir, "documents"), "text", "doc_id",
+          threshold = 0.5)
+        .select(col("doc_id"), col("rep").as("rep_id"),
+          col("keep").cast("int").as("keep"))
+        .orderBy(col("doc_id"))),
 
     // north-star: 16-bit SimHash signatures (explode -> one agg per doc).
     "dedup_simhash" -> ((s, dir) =>
@@ -748,19 +777,21 @@ object SparkEntry {
          |FROM hsv ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash_pairs" ->
-      s"""WITH g AS ($SqlGrams),
-         |sg AS (SELECT doc_id, grams, list_transform(range(0, 16),
-         |  j -> list_min(list_transform(list_transform(grams, s -> ${hashing.sqlH32("s")}),
-         |       h -> ${hashing.sqlAffineVar("h", "j")}))) AS sig FROM g),
-         |bd AS (SELECT doc_id, grams, i,
-         |  array_to_string(list_transform(list_slice(sig, 2*i+1, 2*i+2), x -> x::VARCHAR), '_') AS key
-         |  FROM sg, range(0, 8) r(i)),
-         |c AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.grams AS ga, b.grams AS gb
-         |  FROM bd a JOIN bd b ON a.i = b.i AND a.key = b.key AND a.doc_id < b.doc_id),
-         |j AS (SELECT id_a, id_b,
-         |  len(list_intersect(ga, gb))::DOUBLE / len(list_distinct(ga || gb)) AS jacc FROM c)
+      s"""WITH $SqlMinhashPairCtes
          |SELECT id_a, id_b, floor(jacc * 10000.0 + 0.5) / 10000.0 AS jacc
-         |FROM j WHERE jacc >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+         |FROM mp ORDER BY id_a, id_b""".stripMargin,
+
+    // transitive closure via recursive CTE = the oracle for the
+    // large-star/small-star connected components
+    "dedup_cluster" ->
+      s"""WITH RECURSIVE $SqlMinhashPairCtes,
+         |e AS (SELECT id_a AS u, id_b AS v FROM mp
+         |      UNION SELECT id_b, id_a FROM mp),
+         |r AS (SELECT u, v FROM e
+         |      UNION SELECT r.u, e.v FROM r JOIN e ON r.v = e.u),
+         |lbl AS (SELECT u AS doc_id, least(u, min(v)) AS rep_id FROM r GROUP BY u)
+         |SELECT doc_id, rep_id, (doc_id = rep_id)::INT AS keep
+         |FROM lbl ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents),

@@ -306,6 +306,104 @@ object dedup {
       .where(col("dist") <= maxDist)
   }
 
+  // ---- near-dup clustering (connected components) ----------------------
+
+  /** Connected components over an undirected edge list — the terminal
+    * stage of the dedup pipeline: near-dup PAIRS become CLUSTERS, each
+    * member labeled with its component's minimum id so "keep one per
+    * cluster" is `where(id === rep)`.
+    *
+    * Algorithm: alternating large-star / small-star contraction (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14),
+    * the standard O(log²) -round formulation for clusters whose pair graph
+    * is a long chain (A≈B≈C≈…), where naive min-label propagation needs
+    * O(chain length) rounds. Each half-round is one thin groupBy + one
+    * join on (id, id) rows — no neighbor lists are ever collected into a
+    * single row, so a hub node with 10⁷ neighbors is just a skewed shuffle
+    * key (AQE splits it), not an OOM.
+    *
+    * Scale discipline (100 TB): the edge set is `localCheckpoint`ed every
+    * round to truncate lineage (iterative plans otherwise grow
+    * exponentially); convergence is detected by a (count, hash-sum)
+    * checksum of the canonical edge set — one cheap aggregate per round
+    * rather than a full `except` self-compare. On a multi-executor
+    * cluster, prefer `spark.sparkContext.setCheckpointDir` + reliable
+    * checkpoints for fault tolerance; local mode keeps blocks in executor
+    * storage.
+    *
+    * Returns one row per node incident to at least one edge:
+    * `(id, rep)` with `rep` = min id of the component (reps map to
+    * themselves). Singleton docs never enter the pair list and are their
+    * own trivial cluster — join back to the corpus for keep-list
+    * semantics. */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b",
+      maxIter: Int = 50): DataFrame = {
+    def canon(e: DataFrame): DataFrame = e
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    def checksum(e: DataFrame): (Long, BigDecimal) = {
+      // decimal(38,0) sum: exact and overflow-free under ANSI mode
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))).head()
+      (r.getLong(0), BigDecimal(r.getDecimal(1)))
+    }
+    var edges = canon(pairs.where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).as("u"), col(bCol).as("v"))).localCheckpoint()
+    var prev = checksum(edges)
+    var iter = 0
+    var converged = prev._1 == 0L
+    while (!converged && iter < maxIter) {
+      // large-star: every neighbor y > x links to m = min(N(x) ∪ {x}).
+      val nbrs = edges.select(col("u").as("x"), col("v").as("y"))
+        .union(edges.select(col("v").as("x"), col("u").as("y")))
+      val minAll = nbrs.groupBy(col("x")).agg(min(col("y")).as("mn"))
+        .select(col("x"), least(col("mn"), col("x")).as("m"))
+      val large = canon(nbrs.join(minAll, "x").where(col("y") > col("x"))
+        .select(col("m").as("u"), col("y").as("v")))
+      // small-star: every neighbor y < x (and x itself) links to
+      // m = min of x's smaller neighbors.
+      val nbrs2 = large.select(col("u").as("x"), col("v").as("y"))
+        .union(large.select(col("v").as("x"), col("u").as("y")))
+      val down = nbrs2.where(col("y") < col("x"))
+      val minD = down.groupBy(col("x")).agg(min(col("y")).as("m"))
+      val small = canon(down.join(minD, "x")
+        .select(col("m").as("u"), col("y").as("v"))
+        .union(minD.select(col("m").as("u"), col("x").as("v"))))
+      val next = small.localCheckpoint()
+      val cur = checksum(next)
+      converged = cur == prev
+      prev = cur
+      edges = next
+      iter += 1
+    }
+    require(converged || iter < maxIter,
+      s"connectedComponents did not converge in $maxIter rounds")
+    // Fixpoint is a star forest: every edge is (component-min, member).
+    edges.select(col("v").as("id"), col("u").as("rep"))
+      .union(edges.select(col("u").as("id"), col("u").as("rep")))
+      .distinct()
+  }
+
+  /** MinHash-LSH near-dup clusters over a text corpus: [[minhashNearDupPairs]]
+    * → [[connectedComponents]]. Returns `(id, rep, keep)` for every doc in a
+    * non-singleton cluster; `keep` marks the surviving representative. */
+  def nearDupClusters(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      k: Int = 16,
+      bands: Int = 8,
+      n: Int = 3): DataFrame =
+    connectedComponents(
+      minhashNearDupPairs(df, textCol, idCol, threshold, k, bands, n))
+      .select(col("id").as(idCol), col("rep"), (col("id") === col("rep")).as("keep"))
+
   // ---- embedding near-dup ---------------------------------------------
 
   /** Embedding-cosine near-duplicate pairs: candidates share an LSH

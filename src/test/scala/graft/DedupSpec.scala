@@ -131,6 +131,46 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L || a == 5L || b == 5L })
   }
 
+  test("connectedComponents matches union-find on a random graph and a long chain") {
+    // chain 0-1-2-...-29: worst case for naive min-label propagation
+    val chain = (0L until 29L).map(i => (i, i + 1))
+    // random sparse graph over ids 100..199, seeded for determinism
+    val rnd = new scala.util.Random(42)
+    val random = (0 until 60).map { _ =>
+      (100L + rnd.nextInt(100), 100L + rnd.nextInt(100))
+    }.filter { case (a, b) => a != b }
+    val edges = (chain ++ random).toDF("id_a", "id_b")
+
+    // reference union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    (chain ++ random).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = (chain ++ random).flatMap(e => Seq(e._1, e._2)).distinct
+      .map(x => x -> find(x)).toMap
+
+    val got = dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("connectedComponents: empty edge list yields empty result") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(dedup.connectedComponents(empty).count() == 0)
+  }
+
+  test("nearDupClusters labels the planted cluster with its min id") {
+    val r = dedup.nearDupClusters(docs, "text", "doc_id", threshold = 0.4)
+      .as[(Long, Long, Boolean)].collect().toSet
+    // docs 1,2,3 form one cluster with rep 1; 4 and 5 are singletons (absent)
+    assert(r == Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false)))
+  }
+
   test("embeddingNearDupPairs finds an identical-vector pair") {
     val v = (0 until 64).map(i => math.sin(i * 0.3)).toArray
     val w = (0 until 64).map(i => math.cos(i * 1.7)).toArray
