@@ -355,6 +355,22 @@ object SparkEntry {
         text.langId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))),
 
+    // north-star: Gopher-style repetition signals — top-2-gram char
+    // fraction, duplicate-3-gram char fraction, duplicate-line fraction,
+    // and the composite keep flag. One native kernel pass per n; zero
+    // shuffle.
+    "text_repetition" -> ((s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        (floor(text.topNgramCharFraction(col("text"), 2) * 10000.0 + 0.5) / 10000.0)
+          .as("top2_frac"),
+        (floor(text.dupNgramCharFraction(col("text"), 3) * 10000.0 + 0.5) / 10000.0)
+          .as("dup3_frac"),
+        (floor(text.dupLineFraction(col("text")) * 10000.0 + 0.5) / 10000.0)
+          .as("dup_line_frac"),
+        text.repetitionFilter(col("text")).cast("int").as("keep"))
+        .orderBy(col("doc_id"))),
+
     // north-star: exact 128-bit content fingerprint + rolling-hash
     // min-shingle fingerprint (robust to small edits).
     "text_fingerprint" -> ((s, dir) =>
@@ -758,6 +774,33 @@ object SparkEntry {
          |       WHEN es_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'es'
          |       ELSE 'fr' END AS lang_pred
          |FROM q ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, text, $SqlToks AS toks FROM documents),
+         |g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |  i -> array_to_string(list_slice(toks, i, i+1), ' '))) AS g FROM t WHERE len(toks) >= 2),
+         |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+         |m2 AS (SELECT doc_id, max(c * len(g)) AS topmass FROM c2 GROUP BY 1),
+         |g3 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+         |  i -> array_to_string(list_slice(toks, i, i+2), ' '))) AS g FROM t WHERE len(toks) >= 3),
+         |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+         |m3 AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c * len(g) ELSE 0 END) AS dupmass FROM c3 GROUP BY 1),
+         |ln AS (SELECT doc_id, list_filter(list_transform(string_split(text, chr(10)),
+         |  l -> trim(l)), l -> l != '') AS ls FROM documents),
+         |lf AS (SELECT doc_id, CASE WHEN len(ls) > 0
+         |  THEN (len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls) ELSE 0.0 END AS dlf FROM ln),
+         |v AS (SELECT d.doc_id,
+         |  CASE WHEN len(d.text) > 0 THEN coalesce(m2.topmass, 0)::DOUBLE / len(d.text) ELSE 0.0 END AS top2,
+         |  CASE WHEN len(d.text) > 0 THEN coalesce(m3.dupmass, 0)::DOUBLE / len(d.text) ELSE 0.0 END AS dup3,
+         |  lf.dlf AS dlf
+         |  FROM documents d LEFT JOIN m2 ON d.doc_id = m2.doc_id
+         |  LEFT JOIN m3 ON d.doc_id = m3.doc_id JOIN lf ON d.doc_id = lf.doc_id)
+         |SELECT doc_id,
+         |  floor(top2 * 10000.0 + 0.5) / 10000.0 AS top2_frac,
+         |  floor(dup3 * 10000.0 + 0.5) / 10000.0 AS dup3_frac,
+         |  floor(dlf * 10000.0 + 0.5) / 10000.0 AS dup_line_frac,
+         |  (dlf <= 0.3 AND top2 <= 0.2 AND dup3 <= 0.6)::INT AS keep
+         |FROM v ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->
       s"""SELECT doc_id,

@@ -147,6 +147,43 @@ object NativeExprs {
     sig
   }
 
+  /** Per-row n-gram repetition masses: (top, dup) where `top` is the max
+    * over distinct word n-grams of count·charLen and `dup` sums count·charLen
+    * over n-grams occurring more than once. One hashmap pass per row —
+    * the HOF composition ([[graft.ops.text.repetitionMassesHof]]) is
+    * O(G²) interpreted. */
+  def repetitionMassesOf(text: UTF8String, n: Int): (Long, Long) = {
+    val toks = text.toLowerCase.toString.split("\\s+", -1).filter(_.nonEmpty)
+    if (toks.length < n) return (0L, 0L)
+    val counts = new java.util.HashMap[String, Integer](toks.length * 2)
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(32)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      counts.merge(sb.toString, 1, (a: Integer, b: Integer) => Integer.valueOf(a + b))
+      i += 1
+    }
+    var top = 0L
+    var dup = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val mass = e.getValue.toLong * e.getKey.length
+      if (mass > top) top = mass
+      if (e.getValue > 1) dup += mass
+    }
+    (top, dup)
+  }
+
+  /** Column: struct(top_mass, dup_mass) of the n-gram multiset (native). */
+  def repetitionMasses(c: Column, n: Int): Column =
+    column(RepetitionMassExpr(expression(c), n))
+
   /** Column: native per-row SimHash (see [[SimHashExpr]]). */
   def simhash(c: Column, bits: Int): Column = column(SimHashExpr(expression(c), bits))
 
@@ -321,6 +358,22 @@ case class MinHashSigExpr(child: Expression, k: Int)
   override protected def nullSafeEval(input: Any): Any =
     new GenericArrayData(NativeExprs.minhash(input.asInstanceOf[ArrayData], k))
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+/** Native n-gram repetition-mass kernel (see
+  * [[NativeExprs.repetitionMassesOf]]): struct(top_mass, dup_mass). */
+case class RepetitionMassExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("top_mass", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("dup_mass", LongType, nullable = false)))
+  override def prettyName: String = "repetition_masses"
+  override protected def nullSafeEval(input: Any): Any = {
+    val (top, dup) = NativeExprs.repetitionMassesOf(input.asInstanceOf[UTF8String], n)
+    InternalRow(top, dup)
+  }
+  override protected def withNewChildInternal(newChild: Expression): RepetitionMassExpr =
     copy(child = newChild)
 }
 

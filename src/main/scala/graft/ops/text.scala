@@ -120,6 +120,98 @@ object text {
   /** Exact 128-bit content fingerprint (hex md5). */
   def contentFingerprint(c: Column): Column = hashing.fingerprint128(c)
 
+  // ---- repetition / quality filters (Gopher, Rae et al. 2021; C4) -----
+  // Per-document signals for filtering machine-generated or boilerplate
+  // text out of a training corpus. All are fused per-row expressions —
+  // zero shuffle; the n-gram counting runs as ONE native kernel pass per
+  // row (hashmap count, O(tokens)), with the HOF composition kept as the
+  // executable spec (NativeExprsSpec asserts bit-identity).
+
+  /** Non-empty trimmed lines of a document. */
+  def lines(c: Column): Column =
+    filter(transform(split(c, "\n"), l => trim(l)), l => l =!= "")
+
+  /** Fraction of lines that are duplicates of another line (0 when no
+    * lines): `1 − distinct/total`, the Gopher duplicate-line signal. */
+  def dupLineFraction(c: Column): Column = {
+    val ls = lines(c)
+    when(size(ls) > 0,
+      (size(ls) - size(array_distinct(ls))).cast("double") / size(ls))
+      .otherwise(lit(0.0))
+  }
+
+  /** Fraction of line characters that sit in lines occurring more than
+    * once (duplicate-line CHARACTER fraction — catches a short unique
+    * header over a wall of repeated boilerplate). */
+  def dupLineCharFraction(c: Column): Column = {
+    val ls = lines(c)
+    val total = aggregate(ls, lit(0), (acc, l) => acc + length(l))
+    val dup = aggregate(array_distinct(ls), lit(0), (acc, d) => {
+      val cnt = size(filter(ls, x => x === d))
+      acc + when(cnt > 1, cnt * length(d)).otherwise(lit(0))
+    })
+    when(total > 0, dup.cast("double") / total).otherwise(lit(0.0))
+  }
+
+  /** All word n-grams of a document IN ORDER (non-distinct, unlike
+    * [[dedup.wordShingles]] — repetition metrics need multiplicity). */
+  def ngramList(c: Column, n: Int): Column = {
+    val ts = tokens(c)
+    when(size(ts) >= n,
+      transform(sequence(lit(1), size(ts) - (n - 1)),
+        i => concat_ws(" ", slice(ts, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** struct(top_mass, dup_mass) of the word n-gram multiset:
+    * `top_mass` = max over distinct n-grams of count·charLen (the char
+    * mass of the most repeated n-gram), `dup_mass` = Σ count·charLen over
+    * n-grams occurring more than once. Native single-pass kernel. */
+  def repetitionMasses(c: Column, n: Int): Column =
+    graft.functions.NativeExprs.repetitionMasses(c, n)
+
+  /** HOF executable spec of [[repetitionMasses]] (interpreted, O(G²)). */
+  def repetitionMassesHof(c: Column, n: Int): Column = {
+    val tg = ngramList(c, n)
+    val dg = array_distinct(tg)
+    val top = coalesce(array_max(transform(dg,
+      g => (size(filter(tg, x => x === g)) * length(g)).cast("long"))), lit(0L))
+    val dup = aggregate(dg, lit(0L), (acc, g) => {
+      val cnt = size(filter(tg, x => x === g))
+      acc + when(cnt > 1, (cnt * length(g)).cast("long")).otherwise(lit(0L))
+    })
+    struct(top.as("top_mass"), dup.as("dup_mass"))
+  }
+
+  /** Fraction of document characters covered by the single most frequent
+    * word n-gram (count × n-gram char length / doc char length) — the
+    * Gopher "top n-gram" signal; high values mean one phrase dominates. */
+  def topNgramCharFraction(c: Column, n: Int = 2): Column =
+    when(length(c) > 0,
+      repetitionMasses(c, n).getField("top_mass").cast("double") / length(c))
+      .otherwise(lit(0.0))
+
+  /** Fraction of document characters inside word n-grams that occur more
+    * than once — the Gopher "duplicate n-gram" signal. Can exceed 1 when
+    * overlapping duplicated n-grams re-count shared characters (Gopher
+    * clamps by construction; we keep the raw ratio and threshold it). */
+  def dupNgramCharFraction(c: Column, n: Int = 3): Column =
+    when(length(c) > 0,
+      repetitionMasses(c, n).getField("dup_mass").cast("double") / length(c))
+      .otherwise(lit(0.0))
+
+  /** Gopher-style repetition keep-predicate: true when every repetition
+    * signal is under its threshold. All signals are exact integer-ratio
+    * doubles, so the comparisons are engine-portable bit-for-bit. */
+  def repetitionFilter(
+      c: Column,
+      maxDupLineFrac: Double = 0.3,
+      maxTopNgramFrac: Double = 0.2,
+      maxDupNgramFrac: Double = 0.6): Column =
+    dupLineFraction(c) <= maxDupLineFrac &&
+      topNgramCharFraction(c, 2) <= maxTopNgramFrac &&
+      dupNgramCharFraction(c, 3) <= maxDupNgramFrac
+
   // ---- cleaning -------------------------------------------------------
   // Scrub patterns use RE2-compatible syntax (no backrefs/lookaround) so
   // the same pattern strings run in Spark (java.util.regex) and engines

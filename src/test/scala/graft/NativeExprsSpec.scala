@@ -73,6 +73,24 @@ class NativeExprsSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("native repetition masses equal the HOF composition on real text") {
+    import graft.ops.text
+    for (n <- Seq(2, 3)) {
+      val diff = docs.select(
+          text.repetitionMasses(col("text"), n).as("a"),
+          text.repetitionMassesHof(col("text"), n).as("b"))
+        .where(col("a") =!= col("b")).count()
+      assert(diff == 0, s"n=$n")
+    }
+    // edge cases: empty, below-n, exact repetition
+    import spark.implicits._
+    val edge = Seq("", "a", "a b a b a b", "x x x x").toDF("text")
+    val rows = edge.select(
+      text.repetitionMasses(col("text"), 2).as("a"),
+      text.repetitionMassesHof(col("text"), 2).as("b")).collect()
+    rows.foreach(r => assert(r.getStruct(0) == r.getStruct(1)))
+  }
+
   test("native minhash signature equals the affine HOF composition") {
     val grams = docs.select(col("doc_id"), dedup.wordShingles(col("text")).as("g"))
       .where(size(col("g")) > 0)

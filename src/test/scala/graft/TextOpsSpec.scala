@@ -70,6 +70,43 @@ class TextOpsSpec extends SparkSpec {
     assert(r == "see <x> or <x> and mail <x> now")
   }
 
+  test("repetition: hand-computed n-gram masses and fractions") {
+    // "a b a b a b": 2-grams = "a b"×3, "b a"×2 → top mass 3·3=9,
+    // dup mass 9+6=15; text length 11
+    val r = one("a b a b a b").select(
+      text.repetitionMasses(col("text"), 2).as("m"),
+      text.topNgramCharFraction(col("text"), 2).as("tf"),
+      text.dupNgramCharFraction(col("text"), 2).as("df")).head()
+    assert(r.getStruct(0).getLong(0) == 9L && r.getStruct(0).getLong(1) == 15L)
+    assert(math.abs(r.getDouble(1) - 9.0 / 11.0) < 1e-12)
+    assert(math.abs(r.getDouble(2) - 15.0 / 11.0) < 1e-12) // overlap re-counts
+    // no repetition → dup mass 0
+    val c = one("w x y z").select(text.repetitionMasses(col("text"), 2).as("m")).head()
+    assert(c.getStruct(0).getLong(1) == 0L)
+  }
+
+  test("repetition: line-level metrics on a multiline fixture") {
+    val doc = "hello world\nhello world\nunique line"
+    val r = one(doc).select(
+      text.dupLineFraction(col("text")).as("f"),
+      text.dupLineCharFraction(col("text")).as("cf")).head()
+    assert(math.abs(r.getDouble(0) - 1.0 / 3.0) < 1e-12)  // 1 dup of 3 lines
+    assert(math.abs(r.getDouble(1) - 22.0 / 33.0) < 1e-12) // 2·11 of 33 chars
+    // single-line and empty docs → 0
+    val z = one("just one line").select(text.dupLineFraction(col("text"))).head()
+    assert(z.getDouble(0) == 0.0)
+    assert(one("").select(text.dupLineFraction(col("text"))).head().getDouble(0) == 0.0)
+  }
+
+  test("repetitionFilter keeps prose, drops a one-phrase spam doc") {
+    val keep = Seq(
+      "the quick brown fox jumps over the lazy dog while the cat naps today",
+      "buy now buy now buy now buy now buy now buy now")
+      .toDF("text").select(text.repetitionFilter(col("text")).as("k"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(keep == Seq(true, false))
+  }
+
   test("fingerprints: md5 flips on any edit; min-shingle survives a distant edit") {
     val df = Seq(
       ("a", "the quick brown fox jumps over the lazy dog again and again"),
