@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Cmp, Metric, VecStore}
 import graft.functions.{hashing, vectors}
-import graft.ops.{ann, dedup, multimodal, retrieval, sample, text}
+import graft.ops.{ann, decontam, dedup, multimodal, retrieval, sample, text}
 import graft.streaming.EventStream
 
 /** Driver contract — one named query per implemented operator
@@ -415,6 +415,19 @@ object SparkEntry {
           col("keep").cast("int").as("keep"))
         .orderBy(col("doc_id"))),
 
+    // north-star: benchmark decontamination — train docs (doc_id % 20 != 0)
+    // sharing distinct 8-gram shingles with the held-out slice
+    // (doc_id % 20 == 0). Bench grams broadcast: the train corpus is never
+    // shuffled; only matching rows reach the count aggregation.
+    "decontam_overlap" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      decontam.contaminationHits(
+        docs.where(col("doc_id") % 20 =!= 0),
+        docs.where(col("doc_id") % 20 === 0),
+        "text", "doc_id", n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // north-star: 16-bit SimHash signatures (explode -> one agg per doc).
     "dedup_simhash" -> ((s, dir) =>
       dedup.simhash(table(s, dir, "documents"), "text", "doc_id")
@@ -807,6 +820,16 @@ object SparkEntry {
          |  md5(text) AS fp128,
          |  list_min(list_transform(range(1, length(text) - 6), i -> ${hashing.sqlH32("substr(text, i, 8)")})) AS fp_shingle
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "decontam_overlap" ->
+      s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+         |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 6),
+         |  i -> array_to_string(list_slice(toks, i, i + 7), ' '))) AS grams
+         |  FROM t WHERE len(toks) >= 8),
+         |bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 20 = 0),
+         |tg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 20 != 0)
+         |SELECT doc_id, count(*) AS hits FROM tg JOIN bg USING (gram)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS fp128, min(doc_id) AS keep_id, count(*) AS group_size
