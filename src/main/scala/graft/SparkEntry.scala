@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Cmp, Metric, VecStore}
 import graft.functions.{hashing, vectors}
-import graft.ops.{ann, decontam, dedup, multimodal, retrieval, sample, text}
+import graft.ops.{ann, asof, decontam, dedup, multimodal, retrieval, sample, text}
 import graft.streaming.EventStream
 
 /** Driver contract — one named query per implemented operator
@@ -599,6 +599,23 @@ object SparkEntry {
         .select(col("user_id"), col("event_type"), col("event_id"))
         .orderBy(col("user_id"), col("event_type"))),
 
+    // north-star: event-time AS-OF join — each purchase annotated with the
+    // user's latest click at-or-before it. Union + running-last window:
+    // one shuffle on user_id, no per-key range explosion.
+    "events_asof_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+      asof.asofJoin(purchases, clicks, "user_id", "ts", Seq("click_id", "click_value"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+          col("value"), col("click_id"), col("click_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // north-star: BM25 keyword retrieval over the documents table.
     "text_bm25_topk" -> ((s, dir) =>
       retrieval.bm25Search(table(s, dir, "documents"), "text", "doc_id",
@@ -1077,6 +1094,19 @@ object SparkEntry {
          |    '${text.EmailPattern}', '<x>', 'g'),
          |    '\\s+', ' ', 'g'))) AS clean_len
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // DuckDB has a native ASOF JOIN — the ideal oracle for the
+    // union+running-last implementation.
+    "events_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, ts, event_id AS click_id, value AS click_value
+        |  FROM events WHERE event_type = 'click')
+        |SELECT l.event_id, l.user_id,
+        |  strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+        |  l.value, r.click_id, r.click_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin,
 
     "events_dedup_keepfirst" ->
       """WITH r AS (SELECT user_id, event_type, event_id,
