@@ -55,6 +55,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("PartitionFilters") && p.contains("lsh_bucket"), p.take(800))
   }
 
+  test("per-group top-k plans as WindowGroupLimit (bounded heap before the shuffle)") {
+    val p = plan("group_topk")
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
+
+  test("decontamination broadcasts the bench gram set; train side stays unshuffled") {
+    assert(plan("decontam_overlap").contains("BroadcastHashJoin"))
+  }
+
   test("column pruning: token stats never read the embedding-sized columns") {
     val p = plan("text_stats")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p.take(800))
