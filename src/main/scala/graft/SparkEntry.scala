@@ -629,6 +629,22 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // north-star: bucketed time-RANGE join — every (purchase, click) pair
+    // by the same user within the 30 minutes before the purchase. Both
+    // sides bucket by the window width, so this is one uniform equi-join
+    // shuffle (≤2× left duplication), never a per-key nested loop.
+    "events_range_join" -> ((s, dir) => {
+      val e = events(s, dir)
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      asof.rangeJoin(purchases, clicks, Seq("user_id"), "ts",
+          lowerUs = -30L * 60 * 1000000, upperUs = 0L, Seq("click_id"))
+        .select(col("event_id"), col("user_id"), col("click_id"))
+        .orderBy(col("event_id"), col("click_id"))
+    }),
+
     // north-star: BM25 keyword retrieval over the documents table.
     "text_bm25_topk" -> ((s, dir) =>
       retrieval.bm25Search(table(s, dir, "documents"), "text", "doc_id",
@@ -1144,6 +1160,16 @@ object SparkEntry {
         |  l.value, r.click_id, r.click_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id""".stripMargin,
+
+    "events_range_join" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, ts, event_id AS click_id FROM events
+        |  WHERE event_type = 'click')
+        |SELECT l.event_id, l.user_id, r.click_id
+        |FROM l JOIN r ON l.user_id = r.user_id
+        |  AND r.ts BETWEEN l.ts - INTERVAL 30 MINUTE AND l.ts
+        |ORDER BY event_id, click_id""".stripMargin,
 
     "events_dedup_keepfirst" ->
       """WITH r AS (SELECT user_id, event_type, event_id,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -72,5 +72,50 @@ object asof {
         last(col("__pay"), ignoreNulls = true).over(w).as("__pay"): _*)
       .where(col("__side") === 1)
       .select(lCols.map(col) ++ payloadCols.map(p => col("__pay").getField(p).as(p)): _*)
+  }
+
+  /** Time-RANGE inner join: every (left, right) pair with the same key and
+    * `right.ts ∈ [left.ts + lowerUs, left.ts + upperUs]` (inclusive,
+    * micros). The naive encoding (`l JOIN r ON key AND r.ts BETWEEN …`)
+    * leaves Spark a nested-loop per key; this one buckets BOTH sides by
+    * `w = upperUs − lowerUs` micros — each left interval covers at most 2
+    * buckets (≤ 2× row duplication), each right row exactly 1 — so the
+    * join is a plain equi-join on (key…, bucket) with uniform keys and one
+    * shuffle, followed by the exact range filter. Each qualifying pair
+    * matches in exactly one bucket: no post-join dedup.
+    *
+    * Bucket ids are the bucket START micros (`ts − pmod(ts, w)` — floor to
+    * a multiple of w) rather than a divided index: pure long arithmetic,
+    * exact at epoch-micros magnitudes where a double division would
+    * corrupt low bits (see the events nanos note in SparkEntry). */
+  def rangeJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      lowerUs: Long,
+      upperUs: Long,
+      payloadCols: Seq[String]): DataFrame = {
+    val w = upperUs - lowerUs
+    require(w > 0, s"upperUs ($upperUs) must exceed lowerUs ($lowerUs)")
+    require(payloadCols.nonEmpty, "rangeJoin needs at least one right payload column")
+    val collisions = payloadCols.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"right payload columns collide with left columns: ${collisions.mkString(", ")}")
+
+    def bstart(x: Column): Column = x - pmod(x, lit(w))
+    val lCols = left.columns.toSeq
+    val lb = left
+      .withColumn("__lo", unix_micros(col(tsCol)) + lowerUs)
+      .withColumn("__hi", unix_micros(col(tsCol)) + upperUs)
+      .withColumn("__b",
+        explode(sequence(bstart(col("__lo")), bstart(col("__hi")), lit(w))))
+    val rb = right
+      .withColumn("__rts", unix_micros(col(tsCol)))
+      .withColumn("__b", bstart(col("__rts")))
+      .select((keyCols.map(col) :+ col("__b") :+ col("__rts")) ++ payloadCols.map(col): _*)
+    lb.join(rb, keyCols :+ "__b")
+      .where(col("__rts").between(col("__lo"), col("__hi")))
+      .select(lCols.map(col) ++ payloadCols.map(col): _*)
   }
 }

@@ -58,6 +58,34 @@ class AsofSpec extends SparkSpec {
     }
   }
 
+  test("rangeJoin: inclusive bounds, bucket-boundary pairs survive, out-of-range dropped") {
+    // window [-10s, 0]; left at :20 — right rows at :10 (boundary, in),
+    // :09.999999 (just out), :15 (in, different bucket than :20), :20
+    // (equal ts, in), :21 (after, out)
+    val l = Seq((1L, 7L, ts("2024-01-01 00:00:20"))).toDF("event_id", "user_id", "ts")
+    val r = Seq(
+      (7L, ts("2024-01-01 00:00:10"), 900L),
+      (7L, Timestamp.valueOf("2024-01-01 00:00:09.999999"), 901L),
+      (7L, ts("2024-01-01 00:00:15"), 902L),
+      (7L, ts("2024-01-01 00:00:20"), 903L),
+      (7L, ts("2024-01-01 00:00:21"), 904L),
+      (8L, ts("2024-01-01 00:00:20"), 905L) // right user, wrong key
+    ).toDF("user_id", "ts", "click_id")
+    val got = asof.rangeJoin(l, r, Seq("user_id"), "ts",
+      -10L * 1000000, 0L, Seq("click_id"))
+      .select("click_id").as[Long].collect().toSet
+    assert(got == Set(900L, 902L, 903L))
+  }
+
+  test("rangeJoin plans as an equi-join on (key, bucket), not a nested loop") {
+    val l = purchases
+    val r = clicks.select(col("user_id"), col("ts"), col("click_id"))
+    val p = asof.rangeJoin(l, r, Seq("user_id"), "ts", -60000000L, 0L, Seq("click_id"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+  }
+
   test("plan: one exchange on the key, no cartesian/range explosion") {
     val p = asof.asofJoin(purchases, clicks, "user_id", "ts", Seq("click_id", "click_value"))
       .queryExecution.executedPlan.toString
