@@ -170,20 +170,24 @@ object dedup {
       threshold: Double,
       n: Int = 3,
       maxDf: Int = 256): DataFrame = {
-    val inv = df.select(col(idCol), explode(wordShingles(col(textCol), n)).as("gram"))
-    // grams are distinct per doc, so count(*) per doc == |gram set|
-    val nGrams = inv.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
-    val shared = inv
+    // Each posting carries its doc's gram-set SIZE alongside the id
+    // (grams are distinct per doc, so |gram set| = size of the shingle
+    // array, computed in the scan — no per-doc aggregation shuffle, and
+    // no count-joins after the pair count: the union size n_a + n_b − c
+    // falls out of the pair row itself).
+    val inv = df
+      .select(col(idCol), wordShingles(col(textCol), n).as("grams"))
+      .where(size(col("grams")) > 0)
+      .select(struct(col(idCol).as("id"), size(col("grams")).as("n")).as("d"),
+        explode(col("grams")).as("gram"))
+    inv
       .groupBy(col("gram"))
-      .agg(sort_array(collect_list(col(idCol))).as("ids"), count(lit(1)).as("df"))
+      .agg(sort_array(collect_list(col("d"))).as("ds"), count(lit(1)).as("df"))
       .where(col("df") >= 2 && col("df") <= maxDf)
-      .select(explode(pairsOf(col("ids"))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
+      .select(explode(pairsOf(col("ds"))).as("p"))
+      .groupBy(col("p.id_a.id").as("id_a"), col("p.id_b.id").as("id_b"),
+        col("p.id_a.n").as("n_a"), col("p.id_b.n").as("n_b"))
       .agg(count(lit(1)).as("c"))
-    val na = nGrams.select(col(idCol).as("id_a"), col("n_grams").as("n_a"))
-    val nb = nGrams.select(col(idCol).as("id_b"), col("n_grams").as("n_b"))
-    shared.join(na, "id_a").join(nb, "id_b")
       .withColumn("jacc",
         col("c").cast("double") / (col("n_a") + col("n_b") - col("c")))
       .where(col("jacc") >= threshold)
@@ -325,11 +329,12 @@ object dedup {
     * Scale discipline (100 TB): the edge set is `localCheckpoint`ed every
     * round to truncate lineage (iterative plans otherwise grow
     * exponentially); convergence is detected by a (count, hash-sum)
-    * checksum of the canonical edge set — one cheap aggregate per round
-    * rather than a full `except` self-compare. On a multi-executor
-    * cluster, prefer `spark.sparkContext.setCheckpointDir` + reliable
-    * checkpoints for fault tolerance; local mode keeps blocks in executor
-    * storage.
+    * checksum of the canonical edge set, collected via `observe()` ON the
+    * checkpoint job itself — no separate aggregation pass over the edges
+    * per round, and far cheaper than a full `except` self-compare. On a
+    * multi-executor cluster, prefer `spark.sparkContext.setCheckpointDir`
+    * + reliable checkpoints for fault tolerance; local mode keeps blocks
+    * in executor storage.
     *
     * Returns one row per node incident to at least one edge:
     * `(id, rep)` with `rep` = min id of the component (reps map to
@@ -345,16 +350,24 @@ object dedup {
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
-    def checksum(e: DataFrame): (Long, BigDecimal) = {
-      // decimal(38,0) sum: exact and overflow-free under ANSI mode
-      val r = e.agg(count(lit(1)),
-        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
-          lit(0).cast("decimal(38,0)"))).head()
-      (r.getLong(0), BigDecimal(r.getDecimal(1)))
+    // Checkpoint the edge set and read its (count, hash-sum) checksum from
+    // the SAME job via observe() — the decimal(38,0) sum is exact and
+    // overflow-free under ANSI mode.
+    var obsId = 0
+    def checkpointWithChecksum(e: DataFrame): (DataFrame, (Long, BigDecimal)) = {
+      obsId += 1
+      val obs = org.apache.spark.sql.Observation(s"graft_cc_$obsId")
+      val out = e.observe(obs, count(lit(1)).as("n"),
+          coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+            lit(0).cast("decimal(38,0)")).as("hs"))
+        .localCheckpoint()
+      val row = obs.get
+      (out, (row("n").asInstanceOf[Long],
+        BigDecimal(row("hs").asInstanceOf[java.math.BigDecimal])))
     }
-    var edges = canon(pairs.where(col(aCol).isNotNull && col(bCol).isNotNull)
-      .select(col(aCol).as("u"), col(bCol).as("v"))).localCheckpoint()
-    var prev = checksum(edges)
+    var (edges, prev) = checkpointWithChecksum(
+      canon(pairs.where(col(aCol).isNotNull && col(bCol).isNotNull)
+        .select(col(aCol).as("u"), col(bCol).as("v"))))
     var iter = 0
     var converged = prev._1 == 0L
     while (!converged && iter < maxIter) {
@@ -374,8 +387,7 @@ object dedup {
       val small = canon(down.join(minD, "x")
         .select(col("m").as("u"), col("y").as("v"))
         .union(minD.select(col("m").as("u"), col("x").as("v"))))
-      val next = small.localCheckpoint()
-      val cur = checksum(next)
+      val (next, cur) = checkpointWithChecksum(small)
       converged = cur == prev
       prev = cur
       edges = next
