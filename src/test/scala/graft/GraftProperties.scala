@@ -78,15 +78,21 @@ object GraftProperties extends Properties("graft") {
       got.map(math.abs) == expected.map(math.abs)
     }
 
-  property("euclidean: l2sq(v,v) = 0 and take direction is ascending") =
+  property("euclidean: l2sq(v,v) = 0; no-take collects Max-first; take() pins ascending") =
     forAll(genStore) { vecs =>
       val store = storeOf(vecs)
       val self = store.df.select(
         vectors.l2Squared(col("embedding"), col("embedding")).as("d"))
         .as[Double].collect()
-      val ordered = store.query(vecs.head, Metric.Euclidean).collect()
+      // with no take*(), collect falls back to the reference's
+      // TakeType::Max regardless of metric (vec.rs unwrap_or(&TakeType::Max))
+      val noTake = store.query(vecs.head, Metric.Euclidean).collect()
         .select("score").as[Double].collect().toSeq
-      self.forall(_ == 0.0) && ordered == ordered.sorted
+      // an explicit take(k) pins the metric default — ascending for L2
+      val taken = store.query(vecs.head, Metric.Euclidean).take(vecs.length)
+        .collect().select("score").as[Double].collect().toSeq
+      self.forall(_ == 0.0) &&
+        noTake == noTake.sorted.reverse && taken == taken.sorted
     }
 
   // ---- pure driver-side laws (fast, default sample count) --------------
