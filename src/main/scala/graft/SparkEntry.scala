@@ -711,6 +711,25 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // north-star: stratified sampling — rebalance a language-skewed
+    // corpus with per-stratum keep rates; still a pure scan filter.
+    "sample_stratified" -> ((s, dir) =>
+      sample.stratifiedSample(table(s, dir, "documents"), "doc_id", "lang",
+          pcts = Map("en" -> 10, "zh" -> 60), defaultPct = 30)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+        .orderBy(col("lang"))),
+
+    // north-star: leakage-safe split — band on hash(source) so all docs
+    // from one site share a split; n_sources proves no group straddles.
+    "sample_group_split" -> ((s, dir) =>
+      sample.groupSplit(table(s, dir, "documents"), "source", trainPct = 80, valPct = 10)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          min(col("doc_id")).as("min_id"))
+        .orderBy(col("split"))),
+
     // north-star: exact dedup, JOIN form — the surviving rows themselves
     // (exactGroups gives the group summary; this keeps the min-id row).
     "dedup_exact_keep" -> ((s, dir) =>
@@ -1244,6 +1263,23 @@ object SparkEntry {
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${hashing.sqlH32("(doc_id::VARCHAR || '/sample')")} % 100 < 10
          |ORDER BY doc_id""".stripMargin,
+
+    "sample_stratified" ->
+      s"""WITH k AS (SELECT doc_id, lang,
+         |  ${hashing.sqlH32("(doc_id::VARCHAR || '/strat')")} % 100 AS key FROM documents)
+         |SELECT lang, count(*) AS n, min(doc_id) AS min_id
+         |FROM k WHERE key < (CASE WHEN lang = 'en' THEN 10
+         |  WHEN lang = 'zh' THEN 60 ELSE 30 END)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "sample_group_split" ->
+      s"""WITH k AS (SELECT doc_id, source,
+         |  ${hashing.sqlH32("(source || '/gsplit')")} % 100 AS key FROM documents),
+         |s AS (SELECT doc_id, source, CASE WHEN key < 80 THEN 'train'
+         |  WHEN key < 90 THEN 'val' ELSE 'test' END AS split FROM k)
+         |SELECT split, count(*) AS n_docs, count(DISTINCT source) AS n_sources,
+         |  min(doc_id) AS min_id
+         |FROM s GROUP BY split ORDER BY split""".stripMargin,
 
     "dedup_exact_keep" ->
       """SELECT doc_id, source, lang FROM documents

@@ -27,6 +27,23 @@ object sample {
       salt: String = "sample"): DataFrame =
     df.where(pctKey(col(idCol), salt) < pct)
 
+  /** Stratified deterministic sampling: keep a different percentage per
+    * stratum (e.g. rebalance a language-skewed corpus by keeping 100% of
+    * rare languages and 10% of the dominant one). Same scan-parallel
+    * hash-filter shape as [[deterministicSample]] — the per-stratum rate
+    * is a branch on the stratum column, not a shuffle, so this stays a
+    * pure pushed-down scan at any scale. Strata not in `pcts` keep
+    * `defaultPct`%. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      pcts: Map[String, Int], defaultPct: Int,
+      salt: String = "strat"): DataFrame = {
+    val target = pcts.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (stratum, pct)) =>
+        when(col(stratumCol) === stratum, lit(pct)).otherwise(acc)
+    }
+    df.where(pctKey(col(idCol), salt) < target)
+  }
+
   /** Disjoint train/val/test split by hash band: adds a `split` column
     * ("train"/"val"/"test"). Bands are [0, train), [train, train+val),
     * [train+val, 100). */
@@ -34,6 +51,24 @@ object sample {
       salt: String = "split"): DataFrame = {
     require(trainPct + valPct < 100, "train + val must leave room for test")
     val k = pctKey(col(idCol), salt)
+    df.withColumn("split",
+      when(k < trainPct, "train")
+        .when(k < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Leakage-safe split: band on the hash of a GROUP column (source
+    * domain, dedup cluster id, …) instead of the row id, so every row of
+    * a group lands in the same split. This is the contamination guard a
+    * training pipeline needs — row-level splitting puts near-duplicate
+    * documents from one site on both sides of the train/test fence, and
+    * the eval silently measures memorization. Same zero-shuffle scan
+    * filter as [[split]]; group sizes never matter because the key is
+    * computed per row from the group column. */
+  def groupSplit(df: DataFrame, groupCol: String, trainPct: Int,
+      valPct: Int, salt: String = "gsplit"): DataFrame = {
+    require(trainPct + valPct < 100, "train + val must leave room for test")
+    val k = pctKey(col(groupCol), salt)
     df.withColumn("split",
       when(k < trainPct, "train")
         .when(k < trainPct + valPct, "val")

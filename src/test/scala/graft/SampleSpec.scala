@@ -22,6 +22,30 @@ class SampleSpec extends SparkSpec {
     assert(s20a.size > 50 && s20a.size < 150) // ~20% of 500
   }
 
+  test("stratifiedSample: per-stratum rates applied; nests in the flat sample") {
+    val st = sample.stratifiedSample(docs, "doc_id", "lang",
+      pcts = Map("en" -> 10, "zh" -> 60), defaultPct = 30, salt = "s")
+    val counts = st.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val totals = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // en kept at ~10%, zh at ~60%, others at ~30% (generous bounds at n~80-190)
+    assert(counts("en").toDouble / totals("en") < 0.25)
+    assert(counts("zh").toDouble / totals("zh") > 0.40)
+    // a stratum's pct band nests inside the same-salt flat sample at 100%
+    val flat60 = sample.deterministicSample(docs, "doc_id", 60, salt = "s")
+      .select("doc_id").as[Long].collect().toSet
+    val zhIds = st.where($"lang" === "zh").select("doc_id").as[Long].collect().toSet
+    assert(zhIds.subsetOf(flat60))
+  }
+
+  test("groupSplit: every group lands in exactly one split") {
+    val g = sample.groupSplit(docs, "source", trainPct = 80, valPct = 10)
+    val perGroup = g.groupBy("source")
+      .agg(countDistinct($"split").as("n"))
+      .as[(String, Long)].collect()
+    assert(perGroup.nonEmpty && perGroup.forall(_._2 == 1L))
+    assert(g.count() == docs.count())
+  }
+
   test("split: disjoint, exhaustive, roughly proportioned") {
     val r = sample.split(docs, "doc_id", trainPct = 80, valPct = 10)
       .groupBy("split").count().as[(String, Long)].collect().toMap
