@@ -342,6 +342,22 @@ object SparkEntry {
         (round(text.stopwordRatio(col("text")), 4) + lit(0.0)).as("stopword_ratio"))
         .orderBy(col("doc_id"))),
 
+    // north-star: overlapping token-window chunking — the text→context-
+    // window expansion step; row-local explode, no shuffle.
+    "text_chunk" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(text.tokenChunks(col("text"), window = 64, stride = 48)).as("c"))
+        .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+          size(col("c.chunk")).cast("long").as("n_toks"),
+          md5(concat_ws(" ", col("c.chunk"))).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // north-star: corpus vocabulary (tf + df) top-N — token-keyed
+    // aggregate with map-side combine; top-N via TakeOrderedAndProject.
+    "text_vocab_topn" -> ((s, dir) =>
+      text.vocabulary(table(s, dir, "documents"), "text", "doc_id", topN = 100)),
+
     // north-star: composite quality score (usable as a pushed-down scan
     // filter) + stopword-profile language-ID heuristic.
     "text_quality_langid" -> ((s, dir) =>
@@ -832,6 +848,25 @@ object SparkEntry {
          |  round(CASE WHEN length(text) > 0 THEN length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))::DOUBLE / length(text) ELSE 0.0 END, 4) + 0.0 AS punct_ratio,
          |  round(CASE WHEN len(toks) > 0 THEN ${sqlStopHits("toks", text.EnStop)}::DOUBLE / len(toks) ELSE 0.0 END, 4) + 0.0 AS stopword_ratio
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    // Same start set as text.tokenChunks: 0, 48, 96, … with the last
+    // start the first covering the tail; docs with no tokens drop out.
+    "text_chunk" ->
+      s"""WITH t AS (SELECT doc_id, toks, len(toks) AS n
+         |  FROM (SELECT doc_id, $SqlToks AS toks FROM documents) WHERE len(toks) > 0),
+         |c AS (SELECT doc_id, toks,
+         |  unnest(range(0, CASE WHEN n <= 64 THEN 1 ELSE (n - 64 + 47) // 48 + 1 END)) AS chunk_idx
+         |  FROM t),
+         |ch AS (SELECT doc_id, chunk_idx,
+         |  list_slice(toks, chunk_idx*48 + 1, chunk_idx*48 + 64) AS chunk FROM c)
+         |SELECT doc_id, chunk_idx, len(chunk) AS n_toks,
+         |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "text_vocab_topn" ->
+      s"""WITH t AS (SELECT doc_id, unnest($SqlToks) AS word FROM documents)
+         |SELECT word, count(*) AS tf, count(DISTINCT doc_id) AS df
+         |FROM t GROUP BY word ORDER BY tf DESC, word LIMIT 100""".stripMargin,
 
     "text_quality_langid" ->
       s"""WITH t AS (SELECT doc_id, text, $SqlToks AS toks FROM documents),

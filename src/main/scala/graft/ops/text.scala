@@ -232,4 +232,44 @@ object text {
         regexp_replace(c, UrlPattern, placeholder),
         EmailPattern, placeholder),
       "\\s+", " "))
+
+  /** Overlapping token-window chunks: starts at 0, `stride`, 2·`stride`, …
+    * with the last start the first one where start + `window` ≥ n (so the
+    * tail is covered exactly once); every doc with ≥1 token yields ≥1
+    * chunk, empty docs yield none. Returns `(chunk_idx, chunk)` structs to
+    * explode — chunking is row-local expression work (no shuffle), and a
+    * doc's chunks stay on its executor, which is what a 100 TB
+    * text→context-window pipeline needs: the expansion factor (~n/stride)
+    * is paid in scan-side CPU, never in exchange bytes.
+    *
+    * Guard: the `sequence` generator is only built for n > 0 —
+    * `sequence(0, -1)` would yield [0, -1] (descending step), the
+    * empty-payload trap fixed for `sampleFrames` in round 2. */
+  def tokenChunks(c: Column, window: Int, stride: Int): Column = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window, got window=$window stride=$stride")
+    val toks = tokens(c)
+    val n = size(toks)
+    val nChunks = when(n <= window, lit(1))
+      .otherwise(floor((n - window + lit(stride - 1)).cast("double") / stride).cast("int") + 1)
+    when(n > 0,
+      transform(sequence(lit(0), nChunks - 1), i =>
+        struct(i.cast("long").as("chunk_idx"),
+          slice(toks, i * stride + 1, lit(window)).as("chunk"))))
+      .otherwise(array().cast("array<struct<chunk_idx:bigint,chunk:array<string>>>"))
+  }
+
+  /** Corpus vocabulary: one row per token with total occurrences `tf` and
+    * document frequency `df`. The shuffle key is the token itself —
+    * map-side partial aggregation collapses each partition's counts before
+    * the exchange, so shuffle volume is the per-partition vocabulary (Heaps'
+    * law: ~sqrt of tokens scanned), not the corpus. Top-N selection is a
+    * TakeOrderedAndProject, never a global sort. */
+  def vocabulary(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, topN: Int): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("tf"), count_distinct(col(idCol)).as("df"))
+      .orderBy(col("tf").desc, col("word"))
+      .limit(topN)
 }

@@ -36,6 +36,33 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - 4.0) < 1e-12)         // (3 + 5)/2
   }
 
+  test("tokenChunks: coverage, overlap, tail, and empty-doc guard") {
+    def chunks(s: String, w: Int, st: Int): Seq[(Long, Seq[String])] =
+      one(s).select(explode(text.tokenChunks(col("text"), w, st)).as("c"))
+        .select($"c.chunk_idx", $"c.chunk").as[(Long, Seq[String])].collect().toSeq
+
+    assert(chunks("", 4, 2).isEmpty)                  // no [0,-1] sequence trap
+    assert(chunks("a b", 4, 2) == Seq((0L, Seq("a", "b"))))  // short doc: one chunk
+    // 7 tokens, window 4, stride 2 -> starts 0,2,4 (start 4 covers the tail)
+    val c = chunks("t0 t1 t2 t3 t4 t5 t6", 4, 2)
+    assert(c.map(_._1) == Seq(0L, 1L, 2L))
+    assert(c(0)._2 == Seq("t0", "t1", "t2", "t3"))
+    assert(c(1)._2 == Seq("t2", "t3", "t4", "t5"))
+    assert(c(2)._2 == Seq("t4", "t5", "t6"))          // tail chunk, shorter
+    // every token appears in some chunk; consecutive chunks share w-st tokens
+    assert(c.flatMap(_._2).distinct.size == 7)
+  }
+
+  test("vocabulary: tf counts occurrences, df counts documents, top-N ordered") {
+    val docs = Seq((1L, "the cat the dog"), (2L, "the bird")).toDF("doc_id", "text")
+    val v = text.vocabulary(docs, "text", "doc_id", topN = 10)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(v.head == ("the", 3L, 2L))                 // tf=3 across both docs
+    assert(v.map(r => r._1 -> ((r._2, r._3))).toMap.apply("cat") == ((1L, 1L)))
+    assert(v.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    assert(text.vocabulary(docs, "text", "doc_id", topN = 2).count() == 2)
+  }
+
   test("qualityScore stays in [0,1]; empty text scores low, prose higher") {
     val scores = Seq("", "a!!! b@@@ c###",
       "the cat and the dog sat in the house of the king and a mouse is in the hall")
