@@ -474,6 +474,12 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s, dir) =>
       ann.lshSearch(embStore(s, dir), Q1, k = 5, nbits = 6)),
 
+    // north-star: recall@k measurement for the LSH search — the tuning
+    // number behind the nbits ↔ scan-fraction trade; exact side is the
+    // ground-truth full scan, both sides k-row subplans.
+    "ann_recall_at_k" -> ((s, dir) =>
+      ann.recallAtK(embStore(s, dir), Seq(Q1, Q2), k = 10, nbits = 6)),
+
     // north-star: ANN over an LSH-PARTITIONED index — the bucket filter
     // becomes directory-level partition pruning (63 of 64 buckets never
     // read; see AnnSpec's PartitionFilters assertion).
@@ -1048,6 +1054,25 @@ object SparkEntry {
          |sc AS (SELECT vec_id, label, ${r4(sqlCosineOn("e", Q1))} AS score FROM b)
          |SELECT vec_id, score, label FROM sc
          |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin,
+
+    // Per query: exact top-10 CTE, bucket top-10 CTE, one-row hit count;
+    // recall = hits / k (single IEEE division, identical both engines).
+    "ann_recall_at_k" ->
+      s"""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |ex0 AS (SELECT vec_id FROM (SELECT vec_id, ${r4(sqlCosineOn("e", Q1))} AS score
+         |  FROM s ORDER BY score DESC, vec_id LIMIT 10)),
+         |ap0 AS (SELECT vec_id FROM (SELECT vec_id, ${r4(sqlCosineOn("e", Q1))} AS score
+         |  FROM s WHERE (${sqlLshSig(0, 6, 64)}) = ${ann.lshSignatureOf(Q1, 0, 6)}
+         |  ORDER BY score DESC, vec_id LIMIT 10)),
+         |h0 AS (SELECT 0 AS q_idx, count(*) AS hits FROM ex0 JOIN ap0 USING (vec_id)),
+         |ex1 AS (SELECT vec_id FROM (SELECT vec_id, ${r4(sqlCosineOn("e", Q2))} AS score
+         |  FROM s ORDER BY score DESC, vec_id LIMIT 10)),
+         |ap1 AS (SELECT vec_id FROM (SELECT vec_id, ${r4(sqlCosineOn("e", Q2))} AS score
+         |  FROM s WHERE (${sqlLshSig(0, 6, 64)}) = ${ann.lshSignatureOf(Q2, 0, 6)}
+         |  ORDER BY score DESC, vec_id LIMIT 10)),
+         |h1 AS (SELECT 1 AS q_idx, count(*) AS hits FROM ex1 JOIN ap1 USING (vec_id))
+         |SELECT q_idx, hits, hits::DOUBLE / 10.0::DOUBLE AS recall
+         |FROM (SELECT * FROM h0 UNION ALL SELECT * FROM h1) ORDER BY q_idx""".stripMargin,
 
     "ann_lsh_part_topk" ->
       s"""WITH s AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -224,4 +224,31 @@ object ann {
       .withScoreRounding(4)
       .collect()
   }
+
+  /** Measured recall@k of the LSH bucket search against the exact scan,
+    * per query: `|approx top-k ∩ exact top-k| / k`. This is the tuning
+    * loop for `nbits` — the number a user checks before trading scan
+    * fraction (~1/2^nbits) for recall at 100 TB. The exact side is a
+    * full-scan TakeOrderedAndProject (ground truth is inherently a scan —
+    * run the measurement on a sampled store in production); both sides
+    * are k-row subplans, so the intersection join broadcasts and each
+    * query adds one tiny one-row aggregate, unioned at the end. */
+  def recallAtK(
+      store: VecStore,
+      queries: Seq[Seq[Double]],
+      k: Int,
+      nbits: Int = 6,
+      table: Int = 0): DataFrame = {
+    require(queries.nonEmpty, "graft: recallAtK needs at least one query")
+    require(k >= 1, s"graft: recallAtK needs k >= 1, got $k")
+    queries.zipWithIndex.map { case (q, i) =>
+      val exact = store.query(q, Metric.Cosine).take(k)
+        .withScoreRounding(4).collect().select(col(store.idCol))
+      val approx = lshSearch(store, q, k, nbits, table).select(col(store.idCol))
+      exact.join(approx, Seq(store.idCol))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(i).as("q_idx"), col("hits"),
+          (col("hits") / lit(k.toDouble)).as("recall"))
+    }.reduce(_ union _).orderBy(col("q_idx"))
+  }
 }

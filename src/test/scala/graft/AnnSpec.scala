@@ -134,6 +134,23 @@ class AnnSpec extends SparkSpec {
     assert(assigned.filter(_._1 >= 50).values.toSet.size == 1)
   }
 
+  test("recallAtK equals the manually intersected exact/approx top-k") {
+    val qs = Seq(vec(7), vec(42))
+    val r = ann.recallAtK(store, qs, k = 10, nbits = 4)
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(r.map(_._1) == Seq(0, 1))
+    qs.zipWithIndex.foreach { case (q, i) =>
+      val exact = store.query(q, Metric.Cosine).take(10).withScoreRounding(4)
+        .collect().select("vec_id").as[Long].collect().toSet
+      val approx = ann.lshSearch(store, q, k = 10, nbits = 4)
+        .select("vec_id").as[Long].collect().toSet
+      val hits = (exact & approx).size
+      assert(r(i)._2 == hits.toLong && r(i)._3 == hits / 10.0, s"query $i")
+    }
+    // recall is a fraction of k
+    assert(r.forall { case (_, h, rec) => h >= 0 && h <= 10 && rec >= 0.0 && rec <= 1.0 })
+  }
+
   test("ivfSearch with all centroids probed equals exact brute-force top-k") {
     val q = vec(7)
     val cents = ann.seedCentroids(df, 8)
