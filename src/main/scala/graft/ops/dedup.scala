@@ -341,11 +341,42 @@ object dedup {
     * themselves). Singleton docs never enter the pair list and are their
     * own trivial cluster — join back to the corpus for keep-list
     * semantics. */
+  /** One-pass driver-side finish for a SMALL canonical edge set:
+    * union-find with union-by-min, so every tree root — and therefore
+    * every `find` — is the component minimum, the exact contract of the
+    * distributed fixpoint. Near-dup edge sets are typically 4-6 orders of
+    * magnitude smaller than the corpus (pairs above a 0.5+ threshold are
+    * rare by construction), so even a 100 TB run usually lands here; the
+    * distributed loop above the threshold is the safety net, not the
+    * common path. */
+  private def unionFindFinish(edges: DataFrame): DataFrame = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.select(col("u"), col("v")).collect().foreach { row =>
+      val (u, v) = (row.getLong(0), row.getLong(1))
+      parent.getOrElseUpdate(u, u)
+      parent.getOrElseUpdate(v, v)
+      val (ru, rv) = (find(u), find(v))
+      if (ru < rv) parent(rv) = ru else if (rv < ru) parent(ru) = rv
+    }
+    val out = parent.keysIterator.map(x => (x, find(x))).toSeq
+    val spark = edges.sparkSession
+    import spark.implicits._
+    out.toDF("id", "rep")
+  }
+
   def connectedComponents(
       pairs: DataFrame,
       aCol: String = "id_a",
       bCol: String = "id_b",
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50,
+      driverFinishEdges: Long = 1000000L): DataFrame = {
     def canon(e: DataFrame): DataFrame = e
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .where(col("u") =!= col("v"))
@@ -368,6 +399,13 @@ object dedup {
     var (edges, prev) = checkpointWithChecksum(
       canon(pairs.where(col(aCol).isNotNull && col(bCol).isNotNull)
         .select(col(aCol).as("u"), col(bCol).as("v"))))
+    // Small edge sets (the common case even at corpus scale — see
+    // [[unionFindFinish]]) skip the iterative rounds entirely: one
+    // bounded collect replaces ~log²(n) shuffle rounds. Long ids only;
+    // other id types take the fully distributed path.
+    if (prev._1 > 0L && prev._1 <= driverFinishEdges &&
+        edges.schema("u").dataType == org.apache.spark.sql.types.LongType)
+      return unionFindFinish(edges)
     var iter = 0
     var converged = prev._1 == 0L
     while (!converged && iter < maxIter) {

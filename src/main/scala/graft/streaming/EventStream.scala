@@ -156,4 +156,22 @@ object EventStream {
         }
     }
   }
+
+  /** Streaming twin of the batch keep-first dedup
+    * (`events_dedup_keepfirst`): emit the FIRST event per key and drop
+    * later duplicates, with dedup state BOUNDED by the event-time
+    * watermark — `dropDuplicatesWithinWatermark` evicts a key's state
+    * once the watermark passes its event time, so unbounded streams don't
+    * accumulate unbounded key state (plain `dropDuplicates` on a stream
+    * would). Within any watermark window the two paths agree on an
+    * in-event-time-order stream; the batch window-rank form remains the
+    * backfill twin (EventStreamSpec pins the agreement). */
+  def dedupKeepFirstStream(
+      events: DataFrame,
+      keyCols: Seq[String] = Seq("user_id", "event_type"),
+      tsCol: String = "ts",
+      delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
 }

@@ -157,6 +157,12 @@ class DedupSpec extends SparkSpec {
     val got = dedup.connectedComponents(edges)
       .as[(Long, Long)].collect().toMap
     assert(got == expected)
+
+    // the distributed star-contraction path (forced past the union-find
+    // fast path) must agree with the driver-side finish exactly
+    val distributed = dedup.connectedComponents(edges, driverFinishEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(distributed == expected)
   }
 
   test("connectedComponents: empty edge list yields empty result") {

@@ -81,6 +81,39 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming keep-first dedup agrees with the batch window-rank form") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val sdf = mem.toDF.toDF("user_id", "ts", "event_type", "value")
+    val q = EventStream.dedupKeepFirstStream(sdf)
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      // in-event-time order: dup of (7, click) and (8, view) arrive later
+      val rows = Seq(
+        (7L, ts("2024-01-01 00:01:00"), "click", 1.0),
+        (8L, ts("2024-01-01 00:02:00"), "view", 2.0),
+        (7L, ts("2024-01-01 00:03:00"), "click", 3.0),
+        (7L, ts("2024-01-01 00:04:00"), "view", 4.0),
+        (8L, ts("2024-01-01 00:05:00"), "view", 5.0))
+      mem.addData(rows)
+      q.processAllAvailable()
+      val streamed = spark.table("dedup_stream")
+        .select("user_id", "event_type", "value")
+        .as[(Long, String, Double)].collect().toSet
+      // batch twin: first event per (user_id, event_type) by ts
+      import org.apache.spark.sql.expressions.Window
+      val batchFirst = rows.toDF("user_id", "ts", "event_type", "value")
+        .withColumn("rn", row_number().over(Window
+          .partitionBy(col("user_id"), col("event_type")).orderBy(col("ts"))))
+        .where(col("rn") === 1)
+        .select("user_id", "event_type", "value")
+        .as[(Long, String, Double)].collect().toSet
+      assert(streamed == batchFirst)
+      assert(streamed == Set((7L, "click", 1.0), (8L, "view", 2.0), (7L, "view", 4.0)))
+    } finally q.stop()
+  }
+
   test("propInt extracts typed JSON props") {
     val ks = batch.select(EventStream.propInt("k").as("k")).as[Int].collect().toSeq
     assert(ks == Seq(1, 60, 90, 30))
