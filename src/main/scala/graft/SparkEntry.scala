@@ -358,6 +358,29 @@ object SparkEntry {
     "text_vocab_topn" -> ((s, dir) =>
       text.vocabulary(table(s, dir, "documents"), "text", "doc_id", topN = 100)),
 
+    // north-star: typed PII scrub — emails/urls/phones/IPs/card-shaped
+    // digit runs → placeholder tokens; fused regex chain, zero shuffle.
+    "text_redact" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), md5(text.redactPii(col("text"))).as("redacted_md5"))
+        .orderBy(col("doc_id"))),
+
+    // north-star: per-doc keyword extraction — smoothed TF-IDF top-3,
+    // rank window partitioned by document (WindowGroupLimit).
+    "text_tfidf_topterms" -> ((s, dir) =>
+      text.tfidfTopTerms(table(s, dir, "documents"), "text", "doc_id", k = 3)
+        .orderBy(col("doc_id"), col("rk"))),
+
+    // north-star: per-language corpus shape report — exact interpolated
+    // length quantiles; one uniform-key aggregate.
+    "text_len_quantiles" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          (floor(expr("percentile(n_chars, 0.5)") * 10000.0 + 0.5) / 10000.0).as("p50"),
+          (floor(expr("percentile(n_chars, 0.9)") * 10000.0 + 0.5) / 10000.0).as("p90"))
+        .orderBy(col("lang"))),
+
     // north-star: composite quality score (usable as a pushed-down scan
     // filter) + stopword-profile language-ID heuristic.
     "text_quality_langid" -> ((s, dir) =>
@@ -873,6 +896,41 @@ object SparkEntry {
       s"""WITH t AS (SELECT doc_id, unnest($SqlToks) AS word FROM documents)
          |SELECT word, count(*) AS tf, count(DISTINCT doc_id) AS df
          |FROM t GROUP BY word ORDER BY tf DESC, word LIMIT 100""".stripMargin,
+
+    // Same rule order as text.redactPii: email, url, ip, card-run, phone.
+    "text_redact" ->
+      s"""SELECT doc_id, md5(
+         |  regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace(
+         |        regexp_replace(
+         |          regexp_replace(text, '${text.EmailPattern}', '<email>', 'g'),
+         |          '${text.UrlPattern}', '<url>', 'g'),
+         |        '${text.Ipv4Pattern}', '<ip>', 'g'),
+         |      '${text.LongDigitPattern}', '<number>', 'g'),
+         |    '${text.PhonePattern}', '<phone>', 'g')) AS redacted_md5
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Ranking is on the ROUNDED score, so both engines agree at ulp ties.
+    "text_tfidf_topterms" ->
+      s"""WITH t AS (SELECT doc_id, unnest($SqlToks) AS word FROM documents),
+         |tf AS (SELECT doc_id, word, count(*)::DOUBLE AS tf FROM t GROUP BY 1, 2),
+         |dfs AS (SELECT word, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         |sc AS (SELECT doc_id, word,
+         |  floor(tf * ln(((SELECT n FROM n) + 1.0) / (df + 1.0)) * 1000000.0 + 0.5)
+         |    / 1000000.0 AS score
+         |  FROM tf JOIN dfs USING (word)),
+         |r AS (SELECT doc_id, word, score, row_number() OVER (
+         |  PARTITION BY doc_id ORDER BY score DESC, word) AS rk FROM sc)
+         |SELECT doc_id, word AS term, score, rk FROM r WHERE rk <= 3
+         |ORDER BY doc_id, rk""".stripMargin,
+
+    "text_len_quantiles" ->
+      """SELECT lang, count(*) AS n,
+        |  floor(quantile_cont(n_chars, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50,
+        |  floor(quantile_cont(n_chars, 0.9) * 10000.0 + 0.5) / 10000.0 AS p90
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "text_quality_langid" ->
       s"""WITH t AS (SELECT doc_id, text, $SqlToks AS toks FROM documents),

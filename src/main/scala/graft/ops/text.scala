@@ -233,6 +233,36 @@ object text {
         EmailPattern, placeholder),
       "\\s+", " "))
 
+  /** Phone numbers: international/US-ish shapes, 7+ digits with
+    * separators (kept conservative — aggressive phone regexes eat dates
+    * and ids). */
+  val PhonePattern = "\\+?[0-9]{1,3}[-. (]{1,2}[0-9]{2,4}[-. )]{1,2}[0-9]{2,4}[-. ]?[0-9]{2,6}"
+
+  /** IPv4 addresses (dotted quad). */
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Long digit runs (13-19 digits, optionally space/dash-grouped) — the
+    * card/account-number shape. */
+  val LongDigitPattern = "\\b[0-9](?:[-. ]?[0-9]){12,18}\\b"
+
+  /** PII scrub for training corpora: replace emails, URLs, phone numbers,
+    * IPv4 addresses, and card-shaped digit runs with typed placeholder
+    * tokens (typed, so downstream models see WHAT was removed). Same
+    * fused-codegen scan shape as [[cleanText]] — zero shuffle; order
+    * matters (URLs before IPv4 so a host address inside a URL is consumed
+    * by the URL rule; long digit runs before phones so a 16-digit card
+    * grouped in fours isn't half-eaten as a phone). */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(c, EmailPattern, "<email>"),
+            UrlPattern, "<url>"),
+          Ipv4Pattern, "<ip>"),
+        LongDigitPattern, "<number>"),
+      PhonePattern, "<phone>")
+
   /** Overlapping token-window chunks: starts at 0, `stride`, 2·`stride`, …
     * with the last start the first one where start + `window` ≥ n (so the
     * tail is covered exactly once); every doc with ≥1 token yields ≥1
@@ -257,6 +287,33 @@ object text {
         struct(i.cast("long").as("chunk_idx"),
           slice(toks, i * stride + 1, lit(window)).as("chunk"))))
       .otherwise(array().cast("array<struct<chunk_idx:bigint,chunk:array<string>>>"))
+  }
+
+  /** Per-document top-`k` keyword extraction by smoothed TF-IDF:
+    * `score = tf · ln((N+1)/(df+1))`. Plan shape: one token explode, a
+    * (doc, word) count, a word-keyed doc-frequency aggregate joined back
+    * on the word (word keys are near-uniform → clean shuffles), then a
+    * per-doc rank window — partitioned BY DOCUMENT, so the window is as
+    * parallel as the corpus and Spark plans it as a WindowGroupLimit
+    * (top-k per group without sorting whole partitions). Ranking uses the
+    * ROUNDED score so an independent engine ranks identically at ulp
+    * boundaries. N (total docs) is a build-time scalar — one count, the
+    * same pattern as BM25's corpus stats. */
+  def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, textCol: String,
+      idCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val n = df.count().toDouble
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("word"))
+    val tf = toks.groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfs = tf.groupBy(col("word")).agg(count(lit(1)).cast("double").as("df"))
+    val scored = tf.join(dfs, "word").withColumn("score",
+      floor(col("tf") * log(lit(n + 1.0) / (col("df") + 1.0)) * 1000000.0 + 0.5)
+        / 1000000.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score").desc, col("word"))
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col(idCol), col("word").as("term"), col("score"), col("rk"))
   }
 
   /** Corpus vocabulary: one row per token with total occurrences `tf` and

@@ -63,6 +63,35 @@ class TextOpsSpec extends SparkSpec {
     assert(text.vocabulary(docs, "text", "doc_id", topN = 2).count() == 2)
   }
 
+  test("redactPii replaces typed PII with placeholders, leaves prose alone") {
+    val in = "Call +1 (555) 123-4567 or mail bob@x.com; card 4111 1111 1111 1111 " +
+      "at 10.0.0.1 via https://x.com/a?b=1 — normal text 2024 stays."
+    val out = one(in).select(text.redactPii(col("text"))).head().getString(0)
+    assert(out.contains("<phone>") && out.contains("<email>") &&
+      out.contains("<number>") && out.contains("<ip>") && out.contains("<url>"))
+    assert(!out.contains("bob@") && !out.contains("4111") && !out.contains("10.0.0.1"))
+    assert(out.contains("normal text 2024 stays"))  // years survive
+  }
+
+  test("tfidfTopTerms ranks rare terms above common ones per doc") {
+    val docs = Seq(
+      (1L, "apple apple zebra common"),
+      (2L, "common banana"),
+      (3L, "common cherry cherry")).toDF("doc_id", "text")
+    val r = text.tfidfTopTerms(docs, "text", "doc_id", k = 2)
+      .as[(Long, String, Double, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(_._2).toSeq).toMap
+    // "common" is in all 3 docs -> lowest idf; doc terms beat it
+    assert(r(1L) == Seq("apple", "zebra"))  // tf=2 rare beats tf=1 rare
+    assert(r(2L).head == "banana")
+    assert(r(3L).head == "cherry")
+    // every score is rounded to 1e-6 fixed point and rank <= k
+    val all = text.tfidfTopTerms(docs, "text", "doc_id", k = 2)
+      .as[(Long, String, Double, Int)].collect()
+    assert(all.forall { case (_, _, s, rk) =>
+      (s * 1000000.0).round / 1000000.0 == s && rk >= 1 && rk <= 2 })
+  }
+
   test("qualityScore stays in [0,1]; empty text scores low, prose higher") {
     val scores = Seq("", "a!!! b@@@ c###",
       "the cat and the dog sat in the house of the king and a mouse is in the hall")
