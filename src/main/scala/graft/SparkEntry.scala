@@ -497,6 +497,14 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s, dir) =>
       ann.lshSearch(embStore(s, dir), Q1, k = 5, nbits = 6)),
 
+    // north-star: per-label embedding centroids (class prototypes) —
+    // order-free fixed-point sums, shuffle is labels x dims cells.
+    "vec_label_centroids" -> ((s, dir) =>
+      ann.labelCentroids(table(s, dir, "embeddings"))
+        .select(col("label"), col("pos"),
+          (floor(col("mean") * 10000.0 + 0.5) / 10000.0).as("mean"), col("n"))
+        .orderBy(col("label"), col("pos"))),
+
     // north-star: recall@k measurement for the LSH search — the tuning
     // number behind the nbits ↔ scan-fraction trade; exact side is the
     // ground-truth full scan, both sides k-row subplans.
@@ -1112,6 +1120,17 @@ object SparkEntry {
          |sc AS (SELECT vec_id, label, ${r4(sqlCosineOn("e", Q1))} AS score FROM b)
          |SELECT vec_id, score, label FROM sc
          |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin,
+
+    // Fixed-point component sums (exact integers) divided once — the
+    // same two double ops in the same order as the Spark plan.
+    "vec_label_centroids" ->
+      s"""WITH s AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |x AS (SELECT label, i AS pos, floor(e[i + 1] * 10000000.0)::BIGINT AS q
+         |  FROM s, range(0, 64) r(i)),
+         |m AS (SELECT label, pos, sum(q)::DOUBLE / (10000000.0::DOUBLE * count(*)) AS mean,
+         |  count(*) AS n FROM x GROUP BY label, pos)
+         |SELECT label, pos, floor(mean * 10000.0 + 0.5) / 10000.0 AS mean, n
+         |FROM m ORDER BY label, pos""".stripMargin,
 
     // Per query: exact top-10 CTE, bucket top-10 CTE, one-row hit count;
     // recall = hits / k (single IEEE division, identical both engines).

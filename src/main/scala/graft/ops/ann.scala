@@ -225,6 +225,27 @@ object ann {
       .collect()
   }
 
+  /** Per-label centroid of an embedding column, in long form
+    * `(label, pos, mean)` — class prototypes for classification-by-
+    * nearest-centroid, cluster drift checks, and seeding [[kmeans]].
+    *
+    * Determinism at scale: a plain `avg` of doubles depends on partition
+    * merge order (last-ulp drift between runs and engines), so components
+    * are quantized to 1e-7 fixed point and summed as LONGS — exact,
+    * associative, order-free — then divided once. The shuffle is keyed on
+    * (label, dim-position): labels × dim cells, each pre-collapsed by
+    * map-side combine, so exchange volume is O(labels · dim · partitions),
+    * independent of row count. */
+  def labelCentroids(
+      df: DataFrame,
+      labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame =
+    df.select(col(labelCol), posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "v")))
+      .groupBy(col(labelCol), col("pos"))
+      .agg(sum(floor(col("v") * 1.0e7).cast("long")).as("q"), count(lit(1)).as("n"))
+      .select(col(labelCol), col("pos"),
+        (col("q").cast("double") / (lit(1.0e7) * col("n"))).as("mean"), col("n"))
+
   /** Measured recall@k of the LSH bucket search against the exact scan,
     * per query: `|approx top-k ∩ exact top-k| / k`. This is the tuning
     * loop for `nbits` — the number a user checks before trading scan

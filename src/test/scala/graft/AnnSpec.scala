@@ -134,6 +134,20 @@ class AnnSpec extends SparkSpec {
     assert(assigned.filter(_._1 >= 50).values.toSet.size == 1)
   }
 
+  test("labelCentroids: fixed-point means match a driver-side computation") {
+    val data = Seq(
+      (0, Array(1.0, -2.0)), (0, Array(3.0, 4.0)), (1, Array(0.5, 0.25)))
+      .toDF("label", "embedding")
+    val got = ann.labelCentroids(data)
+      .as[(Int, Int, Double, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    def q(x: Double) = math.floor(x * 1.0e7).toLong
+    assert(got((0, 0)) == (((q(1.0) + q(3.0)).toDouble / (1.0e7 * 2), 2L)))
+    assert(got((0, 1)) == (((q(-2.0) + q(4.0)).toDouble / (1.0e7 * 2), 2L)))
+    assert(got((1, 0)) == ((q(0.5).toDouble / 1.0e7, 1L)))
+    assert(got((0, 0))._1 == 2.0 && got((0, 1))._1 == 1.0)
+  }
+
   test("recallAtK equals the manually intersected exact/approx top-k") {
     val qs = Seq(vec(7), vec(42))
     val r = ann.recallAtK(store, qs, k = 10, nbits = 4)

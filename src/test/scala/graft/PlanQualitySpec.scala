@@ -68,4 +68,19 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("text_stats")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"), p.take(800))
   }
+
+  test("tfidf per-doc top-k plans as WindowGroupLimit") {
+    assert(plan("text_tfidf_topterms").contains("WindowGroupLimit"))
+  }
+
+  test("vocabulary top-N is a TakeOrderedAndProject, not a global sort") {
+    assert(plan("text_vocab_topn").contains("TakeOrderedAndProject"))
+  }
+
+  test("chunking and redaction are scan-parallel (no mid-plan exchange)") {
+    Seq("text_chunk", "text_redact").foreach { q =>
+      val exchanges = "Exchange".r.findAllIn(plan(q)).length
+      assert(exchanges <= 1, s"$q should shuffle at most once (output sort), got $exchanges")
+    }
+  }
 }
