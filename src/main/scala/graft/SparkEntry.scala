@@ -619,6 +619,21 @@ object SparkEntry {
           sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("revenue_cents"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
 
+    // north-star scale pattern: skew-salted equi-join — the hot key's
+    // rows spread over (key, salt) reducers; result equals the plain
+    // join, proven by the oracle's unsalted SQL.
+    "rel_salted_join" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"), col("l_linenumber"), col("l_quantity"))
+      val ords = table(s, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_custkey"))
+      rel.saltedJoin(li, ords, "okey", saltBy = "l_linenumber", salts = 8)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // broadcast dimension join + top-n aggregate.
     "rel_join_topn" -> ((s, dir) => {
       val o = table(s, dir, "orders")
@@ -1285,6 +1300,12 @@ object SparkEntry {
         |  sum(l_quantity)::BIGINT AS sum_qty,
         |  sum(floor(l_extendedprice * 100 + 0.5)::BIGINT)::BIGINT AS revenue_cents
         |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // The UNSALTED join — salting must be result-invisible.
+    "rel_salted_join" ->
+      """SELECT o_custkey, count(*) AS n_items, sum(l_quantity)::BIGINT AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "rel_join_topn" ->
       """SELECT c_custkey, c_name, count(*) AS n_orders,

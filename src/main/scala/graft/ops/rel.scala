@@ -18,6 +18,32 @@ object rel {
     *
     * `orderCols` must define a total order within each group (append a
     * unique tiebreak column) or ranks are nondeterministic. */
+  /** Skew-salted equi-join for hot keys AQE can't fully split (e.g. one
+    * user_id owning 1% of a 100 TB event log): the LEFT (big, skewed)
+    * side gets a deterministic salt in [0, `salts`) hashed from
+    * `saltBy` — a column that spreads the hot key's rows, e.g. its
+    * unique id — and the RIGHT side is EXPLODED into `salts` copies, so
+    * the join key becomes (key, salt) and the hot key's rows land on
+    * `salts` different reducers instead of one. Results are identical to
+    * the plain join (salt columns are internal and dropped); cost is
+    * right-side duplication, so keep the right side the smaller one. Use
+    * when AQE's skew split can't apply — e.g. the skewed side feeds from
+    * an aggregation in the same stage, or deterministic task sizing
+    * matters more than adaptive re-planning. */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      saltBy: String,
+      salts: Int = 16): DataFrame = {
+    require(salts >= 1, s"salts must be positive, got $salts")
+    val l = left.withColumn("_salt",
+      pmod(graft.functions.hashing.h32(col(saltBy).cast("string")), lit(salts)).cast("int"))
+    val r = right.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    l.join(r, Seq(key, "_salt")).drop("_salt")
+  }
+
   def topKPerGroup(
       df: DataFrame,
       partitionCols: Seq[Column],
