@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Cmp, Metric, VecStore}
 import graft.functions.{hashing, vectors}
-import graft.ops.{ann, asof, decontam, dedup, multimodal, rel, retrieval, sample, text}
+import graft.ops.{ann, asof, decontam, dedup, multimodal, rel, retrieval, sample, sketch, text}
 import graft.streaming.EventStream
 
 /** Driver contract — one named query per implemented operator
@@ -548,6 +548,16 @@ object SparkEntry {
     // north-star (streaming surface, batch-checked): tumbling 5-minute
     // windows per event type; same plan works under readStream +
     // watermark (see EventStreamSpec).
+    // north-star: KMV distinct-count sketch — deterministic cardinality
+    // estimate whose shuffle carries 32-bit hashes (bounded k per group),
+    // never the values; exact below k, (k-1)·2³²/(h_k+1) above.
+    "events_distinct_kmv" -> ((s, dir) =>
+      sketch.kmvDistinct(events(s, dir), col("user_id"),
+          Seq(col("event_type")), k = 64)
+        .select(col("event_type"), col("n_min"),
+          (floor(col("distinct_est") * 10000.0 + 0.5) / 10000.0).as("distinct_est"))
+        .orderBy(col("event_type"))),
+
     "events_window_agg" -> ((s, dir) =>
       EventStream.windowedAgg(events(s, dir))
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
@@ -1244,6 +1254,20 @@ object SparkEntry {
          |)
          |SELECT vec_id, score, label FROM s
          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
+    // Same kth-hash estimator, same JVM-derived scale constant.
+    "events_distinct_kmv" ->
+      s"""WITH h AS (SELECT DISTINCT event_type,
+         |  ${hashing.sqlH32("(user_id::VARCHAR)")} AS hv FROM events),
+         |r AS (SELECT event_type, hv, row_number() OVER (
+         |  PARTITION BY event_type ORDER BY hv) AS rk FROM h),
+         |t AS (SELECT event_type, count(*) AS n_min, max(hv) AS kth
+         |  FROM r WHERE rk <= 64 GROUP BY event_type)
+         |SELECT event_type, n_min,
+         |  floor((CASE WHEN n_min < 64 THEN n_min::DOUBLE
+         |    ELSE ${63.0 * 4294967296.0} / (kth::DOUBLE + 1.0::DOUBLE) END)
+         |    * 10000.0 + 0.5) / 10000.0 AS distinct_est
+         |FROM t ORDER BY event_type""".stripMargin,
 
     "events_window_agg" ->
       """SELECT strftime(make_timestamp((floor(epoch(ts)/300)*300*1000000)::BIGINT),

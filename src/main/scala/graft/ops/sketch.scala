@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.hashing
+
+/** Deterministic cardinality sketches.
+  *
+  * The reference engine has no sketches (SURVEY.md §2.8); this is a
+  * north-star extension for the 100 TB regime, where an exact
+  * `count_distinct` shuffles every distinct value. Unlike HLL (whose
+  * register layout is engine-specific), KMV is chosen because its output
+  * is a pure deterministic function of the input set and a public hash —
+  * so an independent engine reproduces the estimate BIT-FOR-BIT, and the
+  * driver's DuckDB oracle can hash-match it like any exact query.
+  */
+object sketch {
+
+  /** KMV (k-minimum-values) distinct-count estimate per group:
+    * hash every value with the portable 32-bit [[hashing.h32]], keep the
+    * `k` smallest DISTINCT hashes per group, and estimate
+    * `(k-1) · 2³² / (h_k + 1)` from the kth smallest hash (the +1 dodges
+    * the measure-zero h=0 case); groups with fewer than `k` distinct
+    * values report the EXACT count (the sketch degrades to exact on small
+    * groups). Standard error ≈ 1/√(k-2).
+    *
+    * Plan shape at scale: one distinct on (group, 32-bit hash) — map-side
+    * combine collapses duplicates before the exchange, and the shuffle
+    * carries hashes, never the values — then the rank-filter idiom, which
+    * Spark plans as a WindowGroupLimit: each map task keeps a bounded
+    * k-heap per group, so the second exchange moves ≤ k rows per group
+    * per partition. Returns `(groupCols*, n_min, distinct_est)`. */
+  def kmvDistinct(
+      df: DataFrame,
+      valueCol: Column,
+      groupCols: Seq[Column],
+      k: Int = 256): DataFrame = {
+    require(k >= 2, s"kmvDistinct needs k >= 2, got $k")
+    val hashed = df
+      .select((groupCols :+ hashing.h32(valueCol.cast("string")).as("_h")): _*)
+      .distinct()
+    val ranked = rel.topKPerGroup(hashed, groupCols, Seq(col("_h").asc), k,
+      rankCol = "_rk")
+    val scale = (k - 1).toDouble * 4294967296.0
+    ranked.groupBy(groupCols: _*)
+      .agg(count(lit(1)).as("n_min"), max(col("_h")).as("_kth"))
+      .withColumn("distinct_est",
+        when(col("n_min") < k, col("n_min").cast("double"))
+          .otherwise(lit(scale) / (col("_kth").cast("double") + 1.0)))
+      .drop("_kth")
+  }
+}
