@@ -798,6 +798,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
         .orderBy(col("lang"))),
 
+    // north-star: weighted (quality-proportional) sampling — the data-
+    // mixing primitive; keep probability = min(n_chars/1000, 1), pure
+    // scan filter.
+    "sample_weighted" -> ((s, dir) =>
+      sample.weightedSample(table(s, dir, "documents"), "doc_id",
+          least(col("n_chars").cast("double") / lit(1000.0), lit(1.0)))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))),
+
     // north-star: leakage-safe split — band on hash(source) so all docs
     // from one site share a split; n_sources proves no group straddles.
     "sample_group_split" -> ((s, dir) =>
@@ -1452,6 +1462,15 @@ object SparkEntry {
          |SELECT lang, count(*) AS n, min(doc_id) AS min_id
          |FROM k WHERE key < (CASE WHEN lang = 'en' THEN 10
          |  WHEN lang = 'zh' THEN 60 ELSE 30 END)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Same clamp chain and multiply order as sample.weightedSample.
+    "sample_weighted" ->
+      s"""SELECT lang, count(*) AS n, sum(n_chars)::BIGINT AS sum_chars
+         |FROM documents
+         |WHERE ${hashing.sqlH32("(doc_id::VARCHAR || '/wsample')")}::DOUBLE <
+         |  least(greatest(n_chars::DOUBLE / 1000.0::DOUBLE, 0.0::DOUBLE), 1.0::DOUBLE)
+         |    * 4294967296.0::DOUBLE
          |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "sample_group_split" ->

@@ -57,6 +57,23 @@ object sample {
         .otherwise("test"))
   }
 
+  /** Per-row Bernoulli keep with probability `weight` (clamped to [0,1]),
+    * decided by the portable id hash: keep iff `h32(id/salt) < w·2³²`.
+    * This is the data-MIXING primitive — sample proportional to a quality
+    * score, downweight a dominant domain, upsample underrepresented
+    * strata by fraction — still a pure scan filter (the weight is a
+    * per-row expression, no shuffle, no RNG state), and still
+    * reproducible bit-for-bit by an independent engine. Monotone in the
+    * weight for a fixed salt: raising a row's weight can only flip it
+    * from dropped to kept. */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column,
+      salt: String = "wsample"): DataFrame = {
+    val w = least(greatest(weight.cast("double"), lit(0.0)), lit(1.0))
+    df.where(
+      hashing.h32(concat(col(idCol).cast("string"), lit("/" + salt)))
+        .cast("double") < w * lit(4294967296.0))
+  }
+
   /** Leakage-safe split: band on the hash of a GROUP column (source
     * domain, dedup cluster id, …) instead of the row id, so every row of
     * a group lands in the same split. This is the contamination guard a

@@ -37,6 +37,18 @@ class SampleSpec extends SparkSpec {
     assert(zhIds.subsetOf(flat60))
   }
 
+  test("weightedSample: clamps, edges, and monotonicity in the weight") {
+    assert(sample.weightedSample(docs, "doc_id", lit(0.0)).count() == 0)
+    assert(sample.weightedSample(docs, "doc_id", lit(1.0)).count() == docs.count())
+    assert(sample.weightedSample(docs, "doc_id", lit(5.0)).count() == docs.count())
+    val half = sample.weightedSample(docs, "doc_id", lit(0.5))
+      .select("doc_id").as[Long].collect().toSet
+    assert(half.size > 200 && half.size < 300) // ~50% of 500
+    val fifth = sample.weightedSample(docs, "doc_id", lit(0.2))
+      .select("doc_id").as[Long].collect().toSet
+    assert(fifth.subsetOf(half)) // monotone: raising weight only adds rows
+  }
+
   test("groupSplit: every group lands in exactly one split") {
     val g = sample.groupSplit(docs, "source", trainPct = 80, valPct = 10)
     val perGroup = g.groupBy("source")
