@@ -197,6 +197,22 @@ object SparkEntry {
 
   /** DuckDB fragment: packed sign-bit LSH signature of `e` for table `t`
     * — matches [[ann.lshSignature]]. */
+  /** Per-query CTE block for the IVF recall oracle: exact top-10, probe
+    * list, nearest-centroid assignment restricted to probed lists,
+    * bucket top-10, one-row hit count. Mirrors `ann_ivf_topk`'s CTEs with
+    * a numeric suffix so two queries coexist in one WITH chain. */
+  private def ivfRecallCtes(i: Int, q: Seq[Double]): String =
+    s"""ex$i AS (SELECT vec_id FROM (SELECT vec_id, ${r4(sqlCosineOn("e", q))} AS score
+       |  FROM s ORDER BY score DESC, vec_id LIMIT 10)),
+       |probe$i AS (SELECT cid FROM cent ORDER BY ${sqlL2Between("e", sqlVec(q))}, cid LIMIT 4),
+       |assign$i AS (SELECT vec_id, e FROM (
+       |  SELECT s.vec_id, s.e, c.cid, row_number() OVER (PARTITION BY s.vec_id
+       |    ORDER BY ${sqlL2Between("s.e", "c.e")}, c.cid) AS rn
+       |  FROM s, cent c) WHERE rn = 1 AND cid IN (SELECT cid FROM probe$i)),
+       |ap$i AS (SELECT vec_id FROM (SELECT vec_id, ${r4(sqlCosineOn("e", q))} AS score
+       |  FROM assign$i ORDER BY score DESC, vec_id LIMIT 10)),
+       |h$i AS (SELECT $i AS q_idx, count(*) AS hits FROM ex$i JOIN ap$i USING (vec_id))""".stripMargin
+
   private def sqlLshSig(t: Int, nbits: Int, dim: Int): String =
     (0 until nbits).map(j =>
       s"(CASE WHEN list_dot_product(e, ${sqlPlane(t, j, dim)}) > 0 THEN ${1L << j} ELSE 0 END)")
@@ -523,6 +539,11 @@ object SparkEntry {
     // partition pruning, so 12 of 16 lists are never read.
     "ann_ivf_topk" -> ((s, dir) =>
       ann.ivfSearchIndexed(embIvfIndex(s, dir), Q1, k = 10, nprobe = 4)),
+
+    // north-star: recall@k for the IVF index — the nprobe tuning loop
+    // (lists read vs recall), exact side is the full-scan ground truth.
+    "ann_ivf_recall" -> ((s, dir) =>
+      ann.ivfRecallAtK(embIvfIndex(s, dir), Seq(Q1, Q2), k = 10, nprobe = 4)),
 
     // the complete reference flagship path in one query: indexed store,
     // metadata predicate (pushed to scan), score threshold, top-k
@@ -1208,6 +1229,15 @@ object SparkEntry {
          |sc AS (SELECT vec_id, label, ${r4(sqlCosineOn("e", Q1))} AS score FROM assign)
          |SELECT vec_id, score, label FROM sc
          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
+    "ann_ivf_recall" ->
+      s"""WITH s AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e
+         |  FROM (SELECT vec_id, e FROM s ORDER BY vec_id LIMIT 16)),
+         |${ivfRecallCtes(0, Q1)},
+         |${ivfRecallCtes(1, Q2)}
+         |SELECT q_idx, hits, hits::DOUBLE / 10.0::DOUBLE AS recall
+         |FROM (SELECT * FROM h0 UNION ALL SELECT * FROM h1) ORDER BY q_idx""".stripMargin,
 
     "vec_batch_perquery" ->
       s"""WITH s AS (

@@ -259,14 +259,30 @@ object ann {
       queries: Seq[Seq[Double]],
       k: Int,
       nbits: Int = 6,
-      table: Int = 0): DataFrame = {
-    require(queries.nonEmpty, "graft: recallAtK needs at least one query")
-    require(k >= 1, s"graft: recallAtK needs k >= 1, got $k")
+      table: Int = 0): DataFrame =
+    recallOf(store, queries, k)((st, q) => lshSearch(st, q, k, nbits, table))
+
+  /** [[recallAtK]] for a persisted IVF index — the `nprobe` tuning loop
+    * (probe fewer lists → read less, recall drops; this measures by how
+    * much). */
+  def ivfRecallAtK(
+      store: VecStore,
+      queries: Seq[Seq[Double]],
+      k: Int,
+      nprobe: Int): DataFrame =
+    recallOf(store, queries, k)((st, q) => ivfSearchIndexed(st, q, k, nprobe))
+
+  /** Recall@k of ANY approximate search against the exact scan — the
+    * shared harness behind [[recallAtK]] and [[ivfRecallAtK]]. */
+  def recallOf(store: VecStore, queries: Seq[Seq[Double]], k: Int)(
+      approx: (VecStore, Seq[Double]) => DataFrame): DataFrame = {
+    require(queries.nonEmpty, "graft: recall needs at least one query")
+    require(k >= 1, s"graft: recall needs k >= 1, got $k")
     queries.zipWithIndex.map { case (q, i) =>
       val exact = store.query(q, Metric.Cosine).take(k)
         .withScoreRounding(4).collect().select(col(store.idCol))
-      val approx = lshSearch(store, q, k, nbits, table).select(col(store.idCol))
-      exact.join(approx, Seq(store.idCol))
+      val approxIds = approx(store, q).select(col(store.idCol))
+      exact.join(approxIds, Seq(store.idCol))
         .agg(count(lit(1)).as("hits"))
         .select(lit(i).as("q_idx"), col("hits"),
           (col("hits") / lit(k.toDouble)).as("recall"))

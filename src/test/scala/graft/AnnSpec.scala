@@ -165,6 +165,13 @@ class AnnSpec extends SparkSpec {
     assert(r.forall { case (_, h, rec) => h >= 0 && h <= 10 && rec >= 0.0 && rec <= 1.0 })
   }
 
+  test("recallOf against the exact search itself is 1.0") {
+    val r = ann.recallOf(store, Seq(vec(3), vec(9)), k = 5)((st, q) =>
+      st.query(q, graft.core.Metric.Cosine).take(5).withScoreRounding(4).collect())
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(r == Seq((0, 5L, 1.0), (1, 5L, 1.0)))
+  }
+
   test("ivfSearch with all centroids probed equals exact brute-force top-k") {
     val q = vec(7)
     val cents = ann.seedCentroids(df, 8)
