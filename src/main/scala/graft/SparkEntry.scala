@@ -793,6 +793,13 @@ object SparkEntry {
         .select(col("s"), date_format(col("parsed"), "yyyy-MM-dd").as("d"))
         .orderBy(col("s"))),
 
+    // north-star: span-level dedup — maximal token runs whose 5-gram
+    // repeats across >= 3 docs (boilerplate/template detection).
+    "dedup_repeated_spans" -> ((s, dir) =>
+      dedup.repeatedSpans(table(s, dir, "documents"), "text", "doc_id",
+          n = 5, minDf = 3)
+        .orderBy(col("doc_id"), col("span_start"))),
+
     // north-star: EXACT n-gram Jaccard pairs — inverted-index candidate
     // generation (complete pair set above the threshold, unlike MinHash's
     // probabilistic recall), document-frequency cap bounds hot shingles.
@@ -1462,6 +1469,22 @@ object SparkEntry {
         |SELECT s, strftime(coalesce(try_strptime(s, '%Y-%m-%d'), try_strptime(s, '%Y/%m/%d')),
         |  '%Y-%m-%d') AS d
         |FROM s ORDER BY s""".stripMargin,
+
+    // Same 1-based positions, df gate, and islands merge as
+    // dedup.repeatedSpans.
+    "dedup_repeated_spans" ->
+      s"""WITH t AS (SELECT doc_id, toks FROM (
+         |    SELECT doc_id, $SqlToks AS toks FROM documents) WHERE len(toks) >= 5),
+         |gr AS (SELECT doc_id, i, array_to_string(list_slice(toks, i, i + 4), ' ') AS g
+         |  FROM t, unnest(range(1, len(toks) - 5 + 2)) AS r(i)),
+         |hot AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df
+         |  FROM gr GROUP BY g) WHERE df >= 3),
+         |s AS (SELECT doc_id, i FROM gr WHERE g IN (SELECT g FROM hot)),
+         |r AS (SELECT doc_id, i,
+         |  i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS island FROM s)
+         |SELECT doc_id, min(i) AS span_start, max(i) + 4 AS span_end,
+         |  count(*) AS n_grams
+         |FROM r GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
 
     // Counting form: c = shared shingles (df in [2, 256]) per pair;
     // jacc = c / (n_a + n_b - c) — exact while no shingle exceeds the cap

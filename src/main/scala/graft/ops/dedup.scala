@@ -149,6 +149,52 @@ object dedup {
       .select(col("id_a"), col("id_b"), col("jacc"))
   }
 
+  /** Cross-document repeated token SPANS — the span-level (not whole-doc)
+    * dedup primitive: find every maximal run of token positions whose
+    * `n`-gram appears in at least `minDf` distinct documents, the shape
+    * of boilerplate/license/template text that whole-doc near-dup never
+    * catches (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", ACL'22 — realized here as an n-gram document-
+    * frequency pass instead of a corpus suffix array, which has no
+    * bounded-shuffle distributed form).
+    *
+    * Plan: one positional n-gram explode (row-local), a distinct
+    * (gram, doc) → per-gram df aggregate (gram-keyed shuffle, map-side
+    * combined), a semi-join of positions against the hot grams, and a
+    * gaps-and-islands window PER DOCUMENT (`island = i − row_number`)
+    * that merges adjacent hot positions into `(span_start, span_end,
+    * n_grams)` rows. Every shuffle is keyed on grams or doc ids; output
+    * is bounded by occurrences of repeated grams — at 100 TB the df
+    * aggregate is the big stage and it's exactly a word-count. Returns
+    * one row per maximal span; token positions are 1-based, `span_end`
+    * inclusive. */
+  def repeatedSpans(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 5,
+      minDf: Int = 3): DataFrame = {
+    require(n >= 1 && minDf >= 2, s"need n >= 1, minDf >= 2; got n=$n minDf=$minDf")
+    import org.apache.spark.sql.expressions.Window
+    val t = df.select(col(idCol), graft.ops.text.tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= n)
+    val grams = t.select(col(idCol), posexplode(transform(
+        sequence(lit(1), size(col("toks")) - (n - 1)),
+        i => concat_ws(" ", slice(col("toks"), i, lit(n))))).as(Seq("p", "g")))
+      .select(col(idCol), (col("p") + 1).as("i"), col("g"))
+    val hot = grams.select(col(idCol), col("g")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf).select(col("g"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("i"))
+    grams.join(hot, Seq("g"), "left_semi")
+      .withColumn("island", col("i") - row_number().over(w))
+      .groupBy(col(idCol), col("island"))
+      .agg(min(col("i")).as("span_start"),
+        (max(col("i")) + lit(n - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .drop("island")
+  }
+
   /** n-gram Jaccard pairs via inverted-index COUNTING: for every shingle
     * with document frequency in [2, maxDf], expand its (sorted) posting
     * list into pairs and count shared shingles per pair — `c = |A∩B|` —

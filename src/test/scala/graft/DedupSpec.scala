@@ -131,6 +131,23 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L || a == 5L || b == 5L })
   }
 
+  test("repeatedSpans finds planted boilerplate, merges adjacent grams, ignores unique text") {
+    // 3 docs share an 8-token license header; each has unique tail text
+    val header = "licensed under the apache license version two zero"
+    val docs = Seq(
+      (1L, s"$header alpha beta gamma delta epsilon"),
+      (2L, s"$header zeta eta theta iota kappa"),
+      (3L, s"$header lambda mu nu xi omicron"),
+      (4L, "completely different text with no shared runs at all here"))
+      .toDF("doc_id", "text")
+    val spans = dedup.repeatedSpans(docs, "text", "doc_id", n = 5, minDf = 3)
+      .as[(Long, Int, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // grams at positions 1..4 of the 8-token header are shared by docs
+    // 1-3 -> one merged span per doc covering tokens 1..8; doc 4 clean
+    assert(spans == Seq(
+      (1L, 1, 8, 4L), (2L, 1, 8, 4L), (3L, 1, 8, 4L)))
+  }
+
   test("connectedComponents matches union-find on a random graph and a long chain") {
     // chain 0-1-2-...-29: worst case for naive min-label propagation
     val chain = (0L until 29L).map(i => (i, i + 1))
