@@ -800,6 +800,14 @@ object SparkEntry {
           n = 5, minDf = 3)
         .orderBy(col("doc_id"), col("span_start"))),
 
+    // north-star: span REMOVAL — the actionable form of span detection;
+    // in-row HOF rebuild, no token-level explode.
+    "dedup_spans_removed" -> ((s, dir) =>
+      dedup.removeRepeatedSpans(table(s, dir, "documents"), "text", "doc_id",
+          n = 5, minDf = 3)
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"))
+        .orderBy(col("doc_id"))),
+
     // north-star: EXACT n-gram Jaccard pairs — inverted-index candidate
     // generation (complete pair set above the threshold, unlike MinHash's
     // probabilistic recall), document-frequency cap bounds hot shingles.
@@ -1485,6 +1493,32 @@ object SparkEntry {
          |SELECT doc_id, min(i) AS span_start, max(i) + 4 AS span_end,
          |  count(*) AS n_grams
          |FROM r GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
+
+    // Positional anti-join formulation (fine in DuckDB; the Spark plan
+    // rebuilds in-row instead) — same kept-token set, same output text.
+    "dedup_spans_removed" ->
+      s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+         |tl AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 5),
+         |gr AS (SELECT doc_id, i, array_to_string(list_slice(toks, i, i + 4), ' ') AS g
+         |  FROM tl, unnest(range(1, len(toks) - 5 + 2)) AS r(i)),
+         |hot AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df
+         |  FROM gr GROUP BY g) WHERE df >= 3),
+         |sp AS (SELECT doc_id, i FROM gr WHERE g IN (SELECT g FROM hot)),
+         |ri AS (SELECT doc_id, i,
+         |  i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS island FROM sp),
+         |spans AS (SELECT doc_id, min(i) AS span_start, max(i) + 4 AS span_end
+         |  FROM ri GROUP BY doc_id, island),
+         |pos AS (SELECT doc_id, p, toks[p] AS tok
+         |  FROM t, unnest(range(1, len(toks) + 1)) AS rr(p)),
+         |dropp AS (SELECT DISTINCT pos.doc_id, pos.p FROM pos JOIN spans
+         |  ON pos.doc_id = spans.doc_id AND pos.p BETWEEN span_start AND span_end),
+         |kept AS (SELECT pos.doc_id, pos.p, pos.tok
+         |  FROM pos ANTI JOIN dropp USING (doc_id, p)),
+         |agg AS (SELECT doc_id, array_to_string(list(tok ORDER BY p), ' ') AS clean_text
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, md5(coalesce(a.clean_text, '')) AS clean_md5
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // Counting form: c = shared shingles (df in [2, 256]) per pair;
     // jacc = c / (n_a + n_b - c) — exact while no shingle exceeds the cap

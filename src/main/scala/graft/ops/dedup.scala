@@ -195,6 +195,41 @@ object dedup {
       .drop("island")
   }
 
+  /** Rewrite each document with its [[repeatedSpans]] excised: tokens
+    * whose 1-based position falls inside any repeated span are dropped,
+    * survivors re-joined with single spaces (output is TOKEN text —
+    * original whitespace is not preserved, same as every tokenized
+    * transform here). Docs with no repeated spans pass through
+    * re-tokenized; too-short docs (< n tokens) are never spanned.
+    *
+    * Scale shape: the span list rides a (doc → array of spans) join —
+    * spans are rare, so the join side is small and broadcastable — and
+    * the rebuild is a per-row `transform` + `exists` over the token
+    * array: NO token-level explode, so the corpus never shuffles one row
+    * per token (the positional-join formulation the oracle uses would;
+    * fine for DuckDB, wrong at 100 TB). */
+  def removeRepeatedSpans(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 5,
+      minDf: Int = 3): DataFrame = {
+    val spans = repeatedSpans(df, textCol, idCol, n, minDf)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("_spans"))
+    df.join(spans, Seq(idCol), "left")
+      .withColumn("_sp", coalesce(col("_spans"),
+        array().cast("array<struct<span_start:int,span_end:int>>")))
+      .withColumn("clean_text",
+        concat_ws(" ", filter(
+          transform(graft.ops.text.tokens(col(textCol)),
+            (t, i) => when(exists(col("_sp"),
+                s => (i + 1) >= s.getField("span_start") &&
+                  (i + 1) <= s.getField("span_end")), lit(null)).otherwise(t)),
+          t => t.isNotNull)))
+      .drop("_spans", "_sp")
+  }
+
   /** n-gram Jaccard pairs via inverted-index COUNTING: for every shingle
     * with document frequency in [2, maxDf], expand its (sorted) posting
     * list into pairs and count shared shingles per pair — `c = |A∩B|` —

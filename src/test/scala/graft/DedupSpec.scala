@@ -148,6 +148,22 @@ class DedupSpec extends SparkSpec {
       (1L, 1, 8, 4L), (2L, 1, 8, 4L), (3L, 1, 8, 4L)))
   }
 
+  test("removeRepeatedSpans excises the planted header, keeps unique tails verbatim") {
+    val header = "licensed under the apache license version two zero"
+    val docs = Seq(
+      (1L, s"$header alpha beta gamma delta epsilon"),
+      (2L, s"$header zeta eta theta iota kappa"),
+      (3L, s"$header lambda mu nu xi omicron"),
+      (4L, "completely different text with no shared runs at all here"))
+      .toDF("doc_id", "text")
+    val cleaned = dedup.removeRepeatedSpans(docs, "text", "doc_id", n = 5, minDf = 3)
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    assert(cleaned(1L) == "alpha beta gamma delta epsilon")
+    assert(cleaned(2L) == "zeta eta theta iota kappa")
+    assert(cleaned(3L) == "lambda mu nu xi omicron")
+    assert(cleaned(4L) == "completely different text with no shared runs at all here")
+  }
+
   test("connectedComponents matches union-find on a random graph and a long chain") {
     // chain 0-1-2-...-29: worst case for naive min-label propagation
     val chain = (0L until 29L).map(i => (i, i + 1))
