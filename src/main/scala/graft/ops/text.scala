@@ -113,8 +113,15 @@ object text {
   /** Rolling-hash document fingerprint: the minimum portable 32-bit hash
     * over all character 8-gram shingles (winnowing with one global window
     * — robust to small edits anywhere in the document, unlike `md5(text)`
-    * which flips on a single byte). NULL for texts shorter than 8 chars. */
+    * which flips on a single byte). NULL for texts shorter than 8 chars.
+    * One fused kernel pass; [[minShingleFingerprintHof]] is the composed
+    * executable-spec twin (bit-identity in NativeExprsSpec). */
   def minShingleFingerprint(c: Column, n: Int = 8): Column =
+    graft.functions.NativeExprs.minShingleFp(c, n)
+
+  /** Compositional form of [[minShingleFingerprint]] — same semantics,
+    * used to cross-check the fused kernel. */
+  def minShingleFingerprintHof(c: Column, n: Int = 8): Column =
     array_min(transform(charShingles(c, n), s => hashing.h32(s)))
 
   /** Exact 128-bit content fingerprint (hex md5). */

@@ -17,6 +17,28 @@ class NativeExprsSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("native min-shingle fingerprint equals the HOF composition; null under n chars") {
+    val diff = docs.select(
+        graft.ops.text.minShingleFingerprint(col("text")).as("a"),
+        graft.ops.text.minShingleFingerprintHof(col("text")).as("b"))
+      .where(col("a") =!= col("b") ||
+        (col("a").isNull =!= col("b").isNull)).count()
+    assert(diff == 0)
+    import spark.implicits._
+    val short = Seq("1234567", "12345678", "").toDF("text")
+      .select(graft.ops.text.minShingleFingerprint(col("text")).as("fp"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(short(0).isEmpty && short(1).isDefined && short(2).isEmpty)
+    // non-ASCII exercises the generic (substringSQL) path, ASCII the
+    // fast byte-window path — both must match the HOF spec
+    val uni = Seq("héllo wörld déjà vu encore", "plain ascii text here")
+      .toDF("text")
+      .select(graft.ops.text.minShingleFingerprint(col("text")).as("a"),
+        graft.ops.text.minShingleFingerprintHof(col("text")).as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(uni == 0)
+  }
+
   test("native wordShingles equals the HOF composition on real text") {
     val diff = docs.select(
         dedup.wordShingles(col("text")).as("a"),
