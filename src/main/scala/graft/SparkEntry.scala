@@ -658,7 +658,7 @@ object SparkEntry {
         .select(col("l_orderkey").as("okey"), col("l_linenumber"), col("l_quantity"))
       val ords = table(s, dir, "orders")
         .select(col("o_orderkey").as("okey"), col("o_custkey"))
-      rel.saltedJoin(li, ords, "okey", saltBy = "l_linenumber", salts = 8)
+      rel.saltedJoin(li, ords, "okey", saltBy = "l_linenumber", salts = 4)
         .groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("n_items"),
           sum(col("l_quantity")).cast("long").as("sum_qty"))

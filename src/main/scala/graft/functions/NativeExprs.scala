@@ -144,6 +144,45 @@ object NativeExprs {
   /** Column: fused min-shingle fingerprint (native). */
   def minShingleFp(c: Column, n: Int): Column = column(MinShingleFpExpr(expression(c), n))
 
+  private val WsPattern = java.util.regex.Pattern.compile("\\s+")
+
+  /** One tokenize pass over a document → (token count, summed token
+    * lengths in code points, per-profile stopword hit counts). The
+    * composed form re-splits the text once per signal — a language-ID +
+    * quality expression tree tokenizes the same document ~8 times through
+    * interpreted HOF filters; this kernel does it once. Semantics match
+    * `tokens()` exactly: lowercase, split `\s+`, drop empties; length =
+    * code points (Spark `length`). */
+  def textProfileOf(text: UTF8String, profiles: Array[Array[String]]): (Long, Long, Array[Long]) = {
+    val toks = WsPattern.split(text.toLowerCase.toString, -1)
+    var n = 0L
+    var sumLen = 0L
+    val hits = new Array[Long](profiles.length)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.nonEmpty) {
+        n += 1
+        sumLen += t.codePointCount(0, t.length)
+        var p = 0
+        while (p < profiles.length) {
+          val words = profiles(p)
+          var w = 0
+          var found = false
+          while (!found && w < words.length) { found = words(w) == t; w += 1 }
+          if (found) hits(p) += 1
+          p += 1
+        }
+      }
+      i += 1
+    }
+    (n, sumLen, hits)
+  }
+
+  /** Column: fused text profile — struct(n_tokens, sum_tok_len, hits). */
+  def textProfile(c: Column, profiles: Seq[Seq[String]]): Column =
+    column(TextProfileExpr(expression(c), profiles.map(_.toIndexedSeq).toIndexedSeq))
+
   /** Second 32-bit word of the md5: bytes 4-7 (hex chars 9-16) — used as
     * the vote source for SimHash bits 32-63, so a 64-bit signature needs
     * only ONE digest per token. Portable twin: [[hashing.sqlH32b]]. */
@@ -500,6 +539,23 @@ case class MinShingleFpExpr(child: Expression, n: Int)
   override protected def nullSafeEval(input: Any): Any =
     NativeExprs.minShingleFpOf(input.asInstanceOf[UTF8String], n)
   override protected def withNewChildInternal(newChild: Expression): MinShingleFpExpr =
+    copy(child = newChild)
+}
+
+case class TextProfileExpr(child: Expression, profiles: IndexedSeq[IndexedSeq[String]])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_tokens", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("sum_tok_len", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("hits",
+      ArrayType(LongType, containsNull = false), nullable = false)))
+  override def prettyName: String = "text_profile"
+  @transient private lazy val mat: Array[Array[String]] = profiles.map(_.toArray).toArray
+  override protected def nullSafeEval(input: Any): Any = {
+    val (n, sumLen, hits) = NativeExprs.textProfileOf(input.asInstanceOf[UTF8String], mat)
+    InternalRow(n, sumLen, new GenericArrayData(hits))
+  }
+  override protected def withNewChildInternal(newChild: Expression): TextProfileExpr =
     copy(child = newChild)
 }
 

@@ -23,8 +23,14 @@ object text {
   def tokens(c: Column): Column =
     filter(split(lower(c), "\\s+"), t => t =!= "")
 
-  /** Whitespace token count. */
-  def tokenCount(c: Column): Column = size(tokens(c))
+  /** Whitespace token count. Kernel-backed (one fused pass); the
+    * compositional twin is simply `size(tokens(c))`, pinned equal in
+    * NativeExprsSpec. */
+  def tokenCount(c: Column): Column =
+    profileStats(c).getField("n_tokens").cast("int")
+
+  /** Compositional form of [[tokenCount]]. */
+  def tokenCountHof(c: Column): Column = size(tokens(c))
 
   /** BPE-ish subword segmentation via regex: runs of letters, runs of
     * digits, or a single non-alphanumeric symbol — the classic GPT-2-style
@@ -37,8 +43,18 @@ object text {
 
   def bpeTokenCount(c: Column): Column = size(bpeTokens(c))
 
-  /** Mean token length in characters (0.0 for empty docs). */
+  /** Mean token length in characters (0.0 for empty docs). One fused
+    * kernel pass; [[meanTokenLenHof]] is the executable-spec twin. */
   def meanTokenLen(c: Column): Column = {
+    val s = profileStats(c)
+    when(s.getField("n_tokens") > 0,
+      s.getField("sum_tok_len").cast("double") / s.getField("n_tokens"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Compositional form of [[meanTokenLen]] (HOF aggregate), used to
+    * cross-check the fused kernel. */
+  def meanTokenLenHof(c: Column): Column = {
     val ts = tokens(c)
     when(size(ts) > 0,
       aggregate(ts, lit(0), (acc, t) => acc + length(t)).cast("double") / size(ts))
@@ -62,9 +78,30 @@ object text {
   private def hitCount(ts: Column, words: Seq[String]): Column =
     size(filter(ts, t => t.isin(words: _*)))
 
+  /** The four language profiles, in the kernel's hits-array order. */
+  private val Profiles = Seq(EnStop, DeStop, EsStop, FrStop)
+
+  /** One fused tokenize pass → struct(n_tokens, sum_tok_len, hits[4]) —
+    * shared by every stopword/length signal so a quality+langid
+    * projection splits each document once, not ~8 times (interpreted HOF
+    * filters don't participate in codegen OR common-subexpression
+    * elimination). */
+  private def profileStats(c: Column): Column =
+    graft.functions.NativeExprs.textProfile(c, Profiles)
+
   /** Fraction of tokens that are (English) stopwords — a standard prose
-    * signal: natural text has 0.2–0.5, keyword spam ~0. */
+    * signal: natural text has 0.2–0.5, keyword spam ~0. One fused kernel
+    * pass; [[stopwordRatioHof]] is the executable-spec twin. */
   def stopwordRatio(c: Column): Column = {
+    val s = profileStats(c)
+    when(s.getField("n_tokens") > 0,
+      element_at(s.getField("hits"), 1).cast("double") / s.getField("n_tokens"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Compositional form of [[stopwordRatio]], used to cross-check the
+    * fused kernel. */
+  def stopwordRatioHof(c: Column): Column = {
     val ts = tokens(c)
     when(size(ts) > 0, hitCount(ts, EnStop).cast("double") / size(ts))
       .otherwise(lit(0.0))
@@ -78,9 +115,13 @@ object text {
     * a single fused codegen expression usable as a pushed-down filter at
     * scan time (`WHERE quality > t` prunes before any downstream work). */
   def qualityScore(c: Column): Column = {
-    val content = least(tokenCount(c).cast("double") / 50.0, lit(1.0))
+    val s = profileStats(c)
+    val n = s.getField("n_tokens")
+    val content = least(n.cast("double") / 50.0, lit(1.0))
     val clean = lit(1.0) - least(punctuationRatio(c) * 4.0, lit(1.0))
-    val prose = least(stopwordRatio(c) * 4.0, lit(1.0))
+    val prose = least(
+      when(n > 0, element_at(s.getField("hits"), 1).cast("double") / n)
+        .otherwise(lit(0.0)) * 4.0, lit(1.0))
     content * 0.4 + clean * 0.3 + prose * 0.3
   }
 
@@ -90,6 +131,22 @@ object text {
     * char-n-gram profiles over many languages; the engine primitive is the
     * same shape — a fused expression, no shuffle, no UDF. */
   def langId(c: Column, minHits: Int = 1): Column = {
+    val hits = profileStats(c).getField("hits")
+    val en = element_at(hits, 1)
+    val de = element_at(hits, 2)
+    val es = element_at(hits, 3)
+    val fr = element_at(hits, 4)
+    val top = greatest(en, de, es, fr)
+    when(top < minHits, lit("und"))
+      .when(en === top, lit("en"))
+      .when(de === top, lit("de"))
+      .when(es === top, lit("es"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Compositional form of [[langId]] (per-language HOF filters), used to
+    * cross-check the fused kernel. */
+  def langIdHof(c: Column, minHits: Int = 1): Column = {
     val ts = tokens(c)
     val en = hitCount(ts, EnStop)
     val de = hitCount(ts, DeStop)

@@ -39,6 +39,19 @@ class NativeExprsSpec extends SparkSpec {
     assert(uni == 0)
   }
 
+  test("fused text profile: langId/stopwordRatio/meanTokenLen equal their HOF twins") {
+    import graft.ops.text
+    val diff = docs.select(
+        text.langId(col("text")).as("a1"), text.langIdHof(col("text")).as("b1"),
+        text.stopwordRatio(col("text")).as("a2"), text.stopwordRatioHof(col("text")).as("b2"),
+        text.meanTokenLen(col("text")).as("a3"), text.meanTokenLenHof(col("text")).as("b3"),
+        text.tokenCount(col("text")).as("a4"), text.tokenCountHof(col("text")).as("b4"))
+      .where(col("a1") =!= col("b1") || col("a2") =!= col("b2") ||
+        col("a3") =!= col("b3") || col("a4") =!= col("b4"))
+      .count()
+    assert(diff == 0)
+  }
+
   test("native wordShingles equals the HOF composition on real text") {
     val diff = docs.select(
         dedup.wordShingles(col("text")).as("a"),
