@@ -168,6 +168,77 @@ object VecIndex {
     (store, BuildStats(n, lo, groups, files, (System.nanoTime() - t0) / 1000000, path))
   }
 
+  /** Append rows to an existing index (the reference's roadmap mutability
+    * item, README.md:204-215, realized log-structured): derive the SAME
+    * layout columns build() wrote — `inv_norm`, and the LSH bucket or IVF
+    * assignment taken from the PERSISTED index metadata, never from
+    * caller options, so appended rows land in the correct partition
+    * directories — and write additional parquet files into the same
+    * dataset. Existing files are never rewritten (append is segment-
+    * additive); new files carry their own zonemaps, so row-group pruning
+    * keeps working, though range locality across old/new segments decays
+    * with churn — re-run [[build]] to compact/re-sort when it matters.
+    * `sortBy`/bloom/row-group options apply to the NEW files only.
+    * Dimension is validated against the stored vectors up front. */
+  def append(
+      df: DataFrame,
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      opts: BuildOptions = BuildOptions()): (VecStore, BuildStats) = {
+    val t0 = System.nanoTime()
+    val spark = df.sparkSession
+    val meta = readMeta(spark, path)
+    val existing = spark.read.parquet(path)
+
+    val dims = df.select(size(col(vecCol)).as("d")).where(col("d").isNotNull)
+      .agg(min("d").as("lo"), max("d").as("hi"), count(lit(1)).as("n")).head()
+    require(!dims.isNullAt(0),
+      s"graft: cannot append to '$path': input has no rows with a " +
+        s"non-NULL '$vecCol' vector")
+    val (lo, hi, n) = (dims.getInt(0), dims.getInt(1), dims.getLong(2))
+    require(lo == hi, s"embedding dimension must be uniform, found [$lo, $hi]")
+    val storedDim = existing.select(size(col(vecCol)).as("d"))
+      .where(col("d").isNotNull).limit(1).head().getInt(0)
+    require(lo == storedDim,
+      s"graft: appended dimension $lo != stored dimension $storedDim at '$path'")
+
+    val withInv = df.withColumn(InvNormCol, vectors.invNorm(col(vecCol)))
+    val withBucket = meta match {
+      case Some(m) if m.lshBits.isDefined =>
+        withInv.withColumn(LshBucketCol,
+          graft.ops.ann.lshSignature(col(vecCol), t = m.lshTable,
+            nbits = m.lshBits.get, dim = lo))
+      case Some(m) if m.ivfCentroids.isDefined =>
+        graft.ops.ann.ivfAssign(withInv, m.ivfCentroids.get, vecCol)
+      case _ => withInv
+    }
+    // Column order must match the existing data files for parquet append.
+    val ordered = withBucket.select(existing.columns.map(col): _*)
+    val sorted =
+      if (opts.sortBy.nonEmpty) ordered.sortWithinPartitions(opts.sortBy.map(col): _*)
+      else ordered
+
+    var writer = sorted.write.mode(SaveMode.Append)
+      .option("parquet.block.size", opts.rowGroupBytes.toString)
+    opts.bloomCols.foreach { c =>
+      writer = writer
+        .option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", opts.bloomNdv.toString)
+      opts.bloomFpp.foreach(f =>
+        writer = writer.option(s"parquet.bloom.filter.fpp#$c", f.toString))
+    }
+    meta.foreach { m =>
+      if (m.lshBits.isDefined) writer = writer.partitionBy(LshBucketCol)
+      if (m.ivfCentroids.isDefined) writer = writer.partitionBy(IvfClusterCol)
+    }
+    writer.parquet(path)
+
+    val store = load(spark, path, idCol, vecCol)
+    val (files, groups) = countRowGroups(spark, path)
+    (store, BuildStats(n, lo, groups, files, (System.nanoTime() - t0) / 1000000, path))
+  }
+
   /** Footer-only count of (files, row groups) under an index directory —
     * the reference's `n_chunks` build stat (meta.rs:847). */
   private def countRowGroups(spark: SparkSession, path: String): (Int, Int) = {

@@ -32,6 +32,52 @@ class VecIndexSpec extends SparkSpec {
     assert(indexed == direct)
   }
 
+  test("append adds segments: search sees old+new rows; dim mismatch rejected") {
+    val base = (0 until 100)
+      .map(i => (i.toLong, (0 until 8).map(d => math.sin(i * 13.0 + d)).toArray, i % 4))
+      .toDF("vec_id", "embedding", "label")
+    val (_, s0) = VecIndex.build(base, s"$tmp/app_idx",
+      opts = VecIndex.BuildOptions(sortBy = Seq("label")))
+    val extra = (100 until 130)
+      .map(i => (i.toLong, (0 until 8).map(d => math.sin(i * 13.0 + d)).toArray, i % 4))
+      .toDF("vec_id", "embedding", "label")
+    val (store, s1) = VecIndex.append(extra, s"$tmp/app_idx")
+    assert(s1.rows == 30 && s1.files > s0.files)      // segment-additive
+    assert(store.df.count() == 130)
+    // an appended vector is found exactly (inv_norm derived on append)
+    val q = (0 until 8).map(d => math.sin(115 * 13.0 + d))
+    val top = store.query(q, Metric.Cosine).take(1).withScoreRounding(4)
+      .collect().select("vec_id").as[Long].head()
+    assert(top == 115L)
+
+    val ragged = Seq((999L, Array(1.0, 2.0), 0)).toDF("vec_id", "embedding", "label")
+    val e = intercept[IllegalArgumentException] {
+      VecIndex.append(ragged, s"$tmp/app_idx")
+    }
+    assert(e.getMessage.contains("dimension"))
+  }
+
+  test("append to an LSH-partitioned index lands rows in their bucket directories") {
+    val dim = 8
+    def vec(i: Int): Array[Double] = (0 until dim).map(d => math.sin(i * 7.0 + d)).toArray
+    val base = (0 until 80).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    VecIndex.build(base, s"$tmp/app_lsh", opts = VecIndex.BuildOptions(lshBits = Some(3)))
+    val extra = (80 until 100).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+    val (store, _) = VecIndex.append(extra, s"$tmp/app_lsh")
+    assert(store.indexMeta.flatMap(_.lshBits).contains(3)) // meta survives append
+    // every appended row's persisted bucket equals its recomputed signature
+    val bad = store.df.where(col("vec_id") >= 80)
+      .where(col(VecIndex.LshBucketCol) =!=
+        graft.ops.ann.lshSignature(col("embedding"), t = 0, nbits = 3, dim = dim))
+      .count()
+    assert(bad == 0 && store.df.count() == 100)
+    // bucket-pruned search still finds an appended vector exactly
+    val q = (0 until dim).map(d => math.sin(91 * 7.0 + d))
+    val hits = graft.ops.ann.lshSearch(store, q, k = 3, nbits = 3)
+      .select("vec_id").as[Long].collect()
+    assert(hits.contains(91L))
+  }
+
   test("uniform-dimension validation fails a ragged store") {
     val bad = Seq((0L, Seq(1.0, 2.0)), (1L, Seq(1.0, 2.0, 3.0))).toDF("vec_id", "embedding")
     val e = intercept[IllegalArgumentException] {
