@@ -71,6 +71,33 @@ object Demo {
     graft.streaming.EventStream.windowedAgg(events)
       .orderBy(desc("n_events")).show(3, truncate = false)
 
+    println("== ANN recall@k: LSH bucket search vs exact scan ==")
+    graft.ops.ann.recallAtK(store, Seq(q), k = 10, nbits = 6).show(false)
+
+    println("== repeated-span dedup: cross-doc boilerplate runs ==")
+    graft.ops.dedup.repeatedSpans(docs, "text", "doc_id", n = 5, minDf = 3)
+      .orderBy(desc("n_grams")).show(5, truncate = false)
+
+    println("== TF-IDF keywords of doc 0 ==")
+    graft.ops.text.tfidfTopTerms(docs, "text", "doc_id", k = 3)
+      .where(col("doc_id") === 0).show(false)
+
+    println("== PII redaction ==")
+    spark.createDataFrame(Seq(Tuple1(
+        "mail bob@example.com or call +1 (555) 123-4567 at 10.0.0.1")))
+      .toDF("text")
+      .select(text.redactPii(col("text")).as("redacted")).show(false)
+
+    println("== KMV distinct-user sketch per event type ==")
+    graft.ops.sketch.kmvDistinct(events, col("user_id"), Seq(col("event_type")), k = 64)
+      .orderBy(col("event_type")).show(false)
+
+    println("== leakage-safe split: sources never straddle train/test ==")
+    graft.ops.sample.groupSplit(docs, "source", trainPct = 80, valPct = 10)
+      .groupBy("split").agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("split")).show(false)
+
     spark.stop()
   }
 }
