@@ -579,6 +579,11 @@ object SparkEntry {
           (floor(col("distinct_est") * 10000.0 + 0.5) / 10000.0).as("distinct_est"))
         .orderBy(col("event_type"))),
 
+    // north-star: ordered funnel — per-step earliest-reach times as
+    // stacked conditional-min windows over ONE user shuffle.
+    "events_funnel" -> ((s, dir) =>
+      EventStream.funnel(events(s, dir), Seq("view", "click", "purchase"))),
+
     "events_window_agg" -> ((s, dir) =>
       EventStream.windowedAgg(events(s, dir))
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
@@ -1309,6 +1314,25 @@ object SparkEntry {
          |)
          |SELECT vec_id, score, label FROM s
          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
+    // Layered min-after-previous-step CTEs — strict event-time ordering,
+    // the same reach semantics as EventStream.funnel's stacked windows.
+    "events_funnel" ->
+      """WITH u AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t0
+        |  FROM events GROUP BY user_id),
+        |e1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e
+        |  JOIN u ON e.user_id = u.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= u.t0 GROUP BY e.user_id),
+        |e2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN e1 ON e.user_id = e1.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= e1.t1 GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT 1 AS step, 'view' AS event_type,
+        |    (SELECT count(*) FROM u WHERE t0 IS NOT NULL) AS n_users
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM e1)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM e2))
+        |ORDER BY step""".stripMargin,
 
     // Same kth-hash estimator, same JVM-derived scale constant.
     "events_distinct_kmv" ->

@@ -157,6 +157,48 @@ object EventStream {
     }
   }
 
+  /** Ordered funnel analysis: for each user, the earliest time of step 1,
+    * the earliest step 2 AT OR AFTER it, the earliest step 3 at or after
+    * that, and so on — then one row per funnel step with how many users
+    * reached it. The strict "later step must follow the earlier one in
+    * event time" semantics (not mere co-occurrence) is what product
+    * analytics means by a funnel.
+    *
+    * Plan shape: the per-step earliest times are stacked conditional-min
+    * WINDOW aggregates over the SAME user partition, so however many
+    * steps the funnel has, there is exactly ONE shuffle on user_id; the
+    * final per-step count is a tiny aggregate over distinct users.
+    * Returns `(step, event_type, n_users)` with step 1-based. */
+  def funnel(
+      events: DataFrame,
+      steps: Seq[String],
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(steps.nonEmpty, "graft: funnel needs at least one step")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(userCol))
+    val withReach = steps.zipWithIndex.foldLeft(events) { case (df, (step, i)) =>
+      val cond =
+        if (i == 0) col(typeCol) === step
+        else col(typeCol) === step && col(tsCol) >= col(s"_t${i - 1}")
+      df.withColumn(s"_t$i", min(when(cond, col(tsCol))).over(w))
+    }
+    val reachCols = steps.indices.map(i => max(col(s"_t$i")).as(s"_t$i"))
+    val perUser = withReach.groupBy(col(userCol))
+      .agg(reachCols.head, reachCols.tail: _*)
+    // one pass: explode a reached-flags array, sum per step — referencing
+    // perUser once per step would re-execute its shuffle per step
+    perUser
+      .select(posexplode(array(
+        steps.indices.map(i => col(s"_t$i").isNotNull.cast("long")): _*))
+        .as(Seq("p", "reached")))
+      .groupBy(col("p")).agg(sum(col("reached")).as("n_users"))
+      .select((col("p") + 1).cast("int").as("step"),
+        element_at(array(steps.map(lit): _*), col("p") + 1).as("event_type"),
+        col("n_users"))
+      .orderBy(col("step"))
+  }
+
   /** Streaming twin of the batch keep-first dedup
     * (`events_dedup_keepfirst`): emit the FIRST event per key and drop
     * later duplicates, with dedup state BOUNDED by the event-time

@@ -114,6 +114,24 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnel: steps must follow in event time, not merely co-occur") {
+    val rows = Seq(
+      // A: full ordered funnel
+      (1L, ts("2024-01-01 00:01:00"), "view", 0.0),
+      (1L, ts("2024-01-01 00:02:00"), "click", 0.0),
+      (1L, ts("2024-01-01 00:03:00"), "purchase", 0.0),
+      // B: click BEFORE view -> step 2 not reached (co-occurrence isn't a funnel)
+      (2L, ts("2024-01-01 00:01:00"), "click", 0.0),
+      (2L, ts("2024-01-01 00:02:00"), "view", 0.0),
+      // C: view then click, no purchase
+      (3L, ts("2024-01-01 00:01:00"), "view", 0.0),
+      (3L, ts("2024-01-01 00:02:00"), "click", 0.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val r = EventStream.funnel(rows, Seq("view", "click", "purchase"))
+      .as[(Int, String, Long)].collect().toSeq
+    assert(r == Seq((1, "view", 3L), (2, "click", 2L), (3, "purchase", 1L)))
+  }
+
   test("propInt extracts typed JSON props") {
     val ks = batch.select(EventStream.propInt("k").as("k")).as[Int].collect().toSeq
     assert(ks == Seq(1, 60, 90, 30))
