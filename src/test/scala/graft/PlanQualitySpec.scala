@@ -77,6 +77,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan("text_vocab_topn").contains("TakeOrderedAndProject"))
   }
 
+  test("funnel reuses ONE user-keyed exchange for all step windows") {
+    val p = plan("events_funnel")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    // one user shuffle (windows + per-user agg share it via reuse/sort
+    // order) + one for the tiny per-step aggregate
+    assert(exchanges <= 2, s"funnel should not shuffle per step:\n${p.take(1200)}")
+  }
+
   test("chunking and redaction are scan-parallel (no mid-plan exchange)") {
     Seq("text_chunk", "text_redact").foreach { q =>
       val exchanges = "Exchange".r.findAllIn(plan(q)).length
