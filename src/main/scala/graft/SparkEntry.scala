@@ -830,6 +830,24 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // north-star flagship: the WHOLE training-data prep pipeline as ONE
+    // declarative plan — scrub → exact-dedup → quality gate →
+    // leakage-safe split → per-split stats. Catalyst fuses the scan-side
+    // stages; the only shuffles are the dedup group and the final tiny agg.
+    "pipeline_e2e" -> ((s, dir) => {
+      val cleaned = table(s, dir, "documents")
+        .withColumn("clean", text.cleanText(col("text")))
+      val deduped = dedup.exactDedup(cleaned, "clean", "doc_id")
+      val quality = floor(text.qualityScore(col("clean")) * 10000.0 + 0.5) / 10000.0
+      sample.groupSplit(deduped.where(quality >= 0.5), "source",
+          trainPct = 80, valPct = 10)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(text.tokenCount(col("clean")).cast("long")).as("total_tokens"),
+          min(col("doc_id")).as("min_id"))
+        .orderBy(col("split"))
+    }),
+
     // north-star: stratified sampling — rebalance a language-skewed
     // corpus with per-stratum keep rates; still a pure scan filter.
     "sample_stratified" -> ((s, dir) =>
@@ -1574,6 +1592,36 @@ object SparkEntry {
          |FROM k WHERE key < (CASE WHEN lang = 'en' THEN 10
          |  WHEN lang = 'zh' THEN 60 ELSE 30 END)
          |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Clean/dedup/quality/split stages are the proven fragments from
+    // text_clean, dedup_exact_keep, text_quality_langid, and
+    // sample_group_split, chained over the SAME cleaned column.
+    "pipeline_e2e" ->
+      s"""WITH c AS (SELECT doc_id, source,
+         |    trim(regexp_replace(regexp_replace(regexp_replace(text,
+         |      '${text.UrlPattern}', '<x>', 'g'),
+         |      '${text.EmailPattern}', '<x>', 'g'),
+         |      '\\s+', ' ', 'g')) AS clean
+         |  FROM documents),
+         |d AS (SELECT * FROM c
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM c GROUP BY md5(clean))),
+         |tt AS (SELECT doc_id, source, clean,
+         |    list_filter(string_split_regex(lower(clean), '\\s+'), t -> t != '') AS toks
+         |  FROM d),
+         |q AS (SELECT doc_id, source, toks,
+         |    floor((least(len(toks)::DOUBLE / 50.0, 1.0) * 0.4
+         |      + (1.0 - least((CASE WHEN length(clean) > 0 THEN length(regexp_replace(lower(clean), '[a-z0-9\\s]', '', 'g'))::DOUBLE / length(clean) ELSE 0.0 END) * 4.0, 1.0)) * 0.3
+         |      + least((CASE WHEN len(toks) > 0 THEN ${sqlStopHits("toks", text.EnStop)}::DOUBLE / len(toks) ELSE 0.0 END) * 4.0, 1.0) * 0.3)
+         |      * 10000.0 + 0.5) / 10000.0 AS quality
+         |  FROM tt),
+         |s AS (SELECT *, CASE
+         |    WHEN ${hashing.sqlH32("(source || '/gsplit')")} % 100 < 80 THEN 'train'
+         |    WHEN ${hashing.sqlH32("(source || '/gsplit')")} % 100 < 90 THEN 'val'
+         |    ELSE 'test' END AS split
+         |  FROM q WHERE quality >= 0.5)
+         |SELECT split, count(*) AS n_docs, sum(len(toks))::BIGINT AS total_tokens,
+         |  min(doc_id) AS min_id
+         |FROM s GROUP BY split ORDER BY split""".stripMargin,
 
     // Same clamp chain and multiply order as sample.weightedSample.
     "sample_weighted" ->
