@@ -39,20 +39,34 @@ object Bench {
     // timed as bare parquet row counts. The noop sink materializes every
     // output row and column — the cost a consumer actually pays —
     // without paying disk.
+    // A query whose runs ALL throw must not masquerade as a (very fast)
+    // timing — min-of-N would otherwise record the failure latency as a
+    // speedup. Failed queries report -1 and are named in an "errors" map
+    // with the exception class+message of the last attempt.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = selected.map { case (name, fn) =>
-      val times = (0 until math.max(1, runs)).map { _ =>
+      val times = (0 until math.max(1, runs)).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case t: Throwable =>
+            errors(name) = s"${t.getClass.getSimpleName}: " +
+              Option(t.getMessage).getOrElse("").replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+            None
+        }
       }
-      name -> times.min
+      if (times.nonEmpty) errors.remove(name) // transient failure, run succeeded
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val ok = results.filter(_._2 >= 0)
+    val total = if (ok.nonEmpty) ok.values.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -68,6 +68,16 @@ object PruneStats {
 
   /** Numeric or string view of a parquet statistics endpoint / Catalyst
     * literal, for cross-type comparison. */
+  /** Exact integral view — used before [[asDouble]] so BIGINT stats never
+    * lose low bits to the double mantissa. */
+  private def asLong(v: Any): Option[Long] = v match {
+    case i: java.lang.Integer => Some(i.longValue)
+    case l: java.lang.Long    => Some(l.longValue)
+    case s: java.lang.Short   => Some(s.longValue)
+    case b: java.lang.Byte    => Some(b.longValue)
+    case _                    => None
+  }
+
   private def asDouble(v: Any): Option[Double] = v match {
     case i: java.lang.Integer => Some(i.doubleValue)
     case l: java.lang.Long    => Some(l.doubleValue)
@@ -96,12 +106,21 @@ object PruneStats {
       case "<=" => ord.gt(lo, v)
       case _    => false
     }
-    (asDouble(min), asDouble(max), asDouble(cmp.value)) match {
+    // Integral stats compare as Long: a BIGINT endpoint and literal that
+    // differ only in low bits compare EQUAL through double (2^53 mantissa),
+    // which could claim a row group prunable that the reader evaluates —
+    // violating the "never claims MORE pruning" contract. Doubles only for
+    // mixed or fractional types (where parquet stats are doubles anyway).
+    (asLong(min), asLong(max), asLong(cmp.value)) match {
       case (Some(lo), Some(hi), Some(v)) => decide(lo, hi, v)
       case _ =>
-        (asString(min), asString(max), asString(cmp.value)) match {
+        (asDouble(min), asDouble(max), asDouble(cmp.value)) match {
           case (Some(lo), Some(hi), Some(v)) => decide(lo, hi, v)
-          case _                             => false
+          case _ =>
+            (asString(min), asString(max), asString(cmp.value)) match {
+              case (Some(lo), Some(hi), Some(v)) => decide(lo, hi, v)
+              case _                             => false
+            }
         }
     }
   }

@@ -271,10 +271,22 @@ object dedup {
       .where(size(col("grams")) > 0)
       .select(struct(col(idCol).as("id"), size(col("grams")).as("n")).as("d"),
         explode(col("grams")).as("gram"))
-    inv
-      .groupBy(col("gram"))
-      .agg(sort_array(collect_list(col("d"))).as("ds"), count(lit(1)).as("df"))
+    // df-gate BEFORE collect_list: a count-only aggregate (map-side
+    // combinable, fixed-width buffers) finds grams with df in [2, maxDf],
+    // and postings semi-join against that set before any list is built —
+    // so no aggregation buffer ever exceeds maxDf entries. Collecting
+    // first and filtering after would build one unbounded in-memory array
+    // for a hot shingle (a stop-word 3-gram has df in the millions at
+    // corpus scale): an executor-OOM the pair-expansion cap can't prevent.
+    // The semi-join hash-partitions postings by gram, so the groupBy
+    // below reuses that exchange — net one extra cheap counting shuffle.
+    val keepGrams = inv.groupBy(col("gram")).agg(count(lit(1)).as("df"))
       .where(col("df") >= 2 && col("df") <= maxDf)
+      .select(col("gram"))
+    inv
+      .join(keepGrams, Seq("gram"), "left_semi")
+      .groupBy(col("gram"))
+      .agg(sort_array(collect_list(col("d"))).as("ds"))
       .select(explode(pairsOf(col("ds"))).as("p"))
       .groupBy(col("p.id_a.id").as("id_a"), col("p.id_b.id").as("id_b"),
         col("p.id_a.n").as("n_a"), col("p.id_b.n").as("n_b"))
@@ -517,7 +529,14 @@ object dedup {
         .select(col("m").as("u"), col("y").as("v"))
         .union(minD.select(col("m").as("u"), col("x").as("v"))))
       val (next, cur) = checkpointWithChecksum(small)
-      converged = cur == prev
+      // The checksum is a fast-path signal, not the convergence proof: on
+      // a match, confirm the fixpoint with one EXACT set comparison (both
+      // sides are localCheckpointed, so this reads two cached edge sets,
+      // not the lineage). A (count, hash-sum) collision between different
+      // edge sets is astronomically unlikely, but convergence is asserted
+      // as a hard guarantee below, so it must not rest on a probability.
+      converged = cur == prev &&
+        next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
       prev = cur
       edges = next
       iter += 1

@@ -37,8 +37,13 @@ object rel {
       saltBy: String,
       salts: Int = 16): DataFrame = {
     require(salts >= 1, s"salts must be positive, got $salts")
+    // coalesce: h32(NULL) is NULL, and a NULL salt would make the
+    // (key, _salt) equi-join silently drop rows the plain join keeps —
+    // NULL saltBy rows all land in salt 0 instead (no spread, but correct).
     val l = left.withColumn("_salt",
-      pmod(graft.functions.hashing.h32(col(saltBy).cast("string")), lit(salts)).cast("int"))
+      coalesce(
+        pmod(graft.functions.hashing.h32(col(saltBy).cast("string")), lit(salts)),
+        lit(0)).cast("int"))
     val r = right.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     l.join(r, Seq(key, "_salt")).drop("_salt")

@@ -21,6 +21,19 @@ class RelSpec extends SparkSpec {
     assert(salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0)
   }
 
+  test("saltedJoin keeps rows whose saltBy column is NULL") {
+    // h32(NULL) is NULL; without the coalesce the (key, _salt) equi-join
+    // would silently drop these rows — the plain join keeps them.
+    val left = Seq((0L, Some(1L)), (0L, None), (1L, None), (2L, Some(9L)))
+      .toDF("k", "row_id")
+    val right = (0L to 2L).map(k => (k, s"dim$k")).toDF("k", "payload")
+    val salted = rel.saltedJoin(left, right, "k", saltBy = "row_id", salts = 4)
+      .select("k", "row_id", "payload")
+    val plain = left.join(right, Seq("k")).select("k", "row_id", "payload")
+    assert(salted.count() == 4)
+    assert(salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0)
+  }
+
   test("saltedJoin spreads the hot key across all salt values") {
     val left = (0 until 512).map(i => (0L, i.toLong)).toDF("k", "row_id")
     val salts = left.withColumn("_salt",
