@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout through UNPREFIXED. The default
+// LoggedOutput strategy prepends "[info] " to every line, which breaks
+// any consumer that json-parses Bench's single machine-readable output
+// line (the driver's BENCH_r*.json recorded parsed:null for exactly this
+// reason in rounds 1-2).
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -60,13 +60,54 @@ object Bench {
       if (times.nonEmpty) errors.remove(name) // transient failure, run succeeded
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
-      .mkString("{", ",", "}")
     val ok = results.filter(_._2 >= 0)
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    def fmt(v: Double, dp: Int): String = {
+      val s = BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
+      s.bigDecimal.toPlainString
+    }
+    // Full-precision per-query numbers go to a FILE for humans/diffing;
+    // stdout gets ONE compact JSON line for the driver.
+    val fullJson = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    }
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+        (fullJson + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // file dump is best-effort
+    // The driver stores only the LAST 2000 chars of output and parses the
+    // metric line out of that window, so the stdout line must fit there
+    // alongside sbt's trailing "[success] ..." line. 3-decimal timings
+    // (ms resolution — noise floor is ~10ms anyway) keep ~70 queries
+    // under budget; if the map still overflows, the CHEAPEST queries are
+    // summed into "_other" (the expensive ones are the ones worth
+    // reading, and "value" stays the all-query total either way).
+    val budget = 1800
+    val sfName = new java.io.File(sfDir).getName
+    def line(qpairs: Seq[(String, Double)], nOther: Int, otherSum: Double) = {
+      val shown = qpairs.map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) } ++
+        (if (nOther > 0) Seq("\"_other_" + nOther + "\":" + fmt(otherSum, 3)) else Nil)
+      val errs =
+        if (errors.isEmpty) ""
+        else errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+          .mkString(""","errors":{""", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":${shown.mkString("{", ",", "}")}$errs,"sf":"$sfName"}"""
+    }
+    val byCost = results.toSeq.sortBy(-_._2)
+    var out = line(byCost, 0, 0.0)
+    var keep = byCost.size
+    while (out.length > budget && keep > 1) {
+      keep -= 1
+      val dropped = byCost.drop(keep)
+      out = line(byCost.take(keep), dropped.size, dropped.filter(_._2 >= 0).map(_._2).sum)
+    }
     spark.stop()
+    // Printed AFTER spark.stop() so no executor/shutdown log line can
+    // land between this and end-of-output.
+    println(out)
   }
 }

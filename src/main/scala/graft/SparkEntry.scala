@@ -835,15 +835,21 @@ object SparkEntry {
     // leakage-safe split → per-split stats. Catalyst fuses the scan-side
     // stages; the only shuffles are the dedup group and the final tiny agg.
     "pipeline_e2e" -> ((s, dir) => {
+      // fence: the 3-regex scrub is referenced by the dedup hash, the
+      // quality filter (which references it ~10×), and the token-count
+      // aggregate — without the fence, CollapseProject+PushDownPredicates
+      // inline the regex chain into every reference (measured 2.3s → 0.9s).
       val cleaned = table(s, dir, "documents")
-        .withColumn("clean", text.cleanText(col("text")))
+        .withColumn("clean", graft.functions.NativeExprs.fence(text.cleanText(col("text"))))
       val deduped = dedup.exactDedup(cleaned, "clean", "doc_id")
-      val quality = floor(text.qualityScore(col("clean")) * 10000.0 + 0.5) / 10000.0
+        .withColumn("_pf", graft.functions.NativeExprs.fence(text.profile(col("clean"))))
+      val quality =
+        floor(text.qualityScoreOf(col("_pf"), col("clean")) * 10000.0 + 0.5) / 10000.0
       sample.groupSplit(deduped.where(quality >= 0.5), "source",
           trainPct = 80, valPct = 10)
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(text.tokenCount(col("clean")).cast("long")).as("total_tokens"),
+          sum(col("_pf").getField("n_tokens")).as("total_tokens"),
           min(col("doc_id")).as("min_id"))
         .orderBy(col("split"))
     }),

@@ -183,6 +183,22 @@ object NativeExprs {
   def textProfile(c: Column, profiles: Seq[Seq[String]]): Column =
     column(TextProfileExpr(expression(c), profiles.map(_.toIndexedSeq).toIndexedSeq))
 
+  /** Identity FENCE against expression re-inlining. Catalyst's
+    * `CollapseProject` substitutes an aliased expression into EVERY
+    * downstream reference and `PushDownPredicates` clones it into pushed
+    * filter conditions — for a cheap expression that's free, but for an
+    * expensive per-row chain (multi-regex scrubbing, a fused text kernel)
+    * it multiplies the per-row cost by the reference count (measured ~10
+    * inlined copies of a 3-regex clean inside one quality filter).
+    * `fence(expr)` evaluates exactly as `expr` (same value, null, codegen
+    * — zero runtime cost) but is FLAGGED nondeterministic, which both
+    * rules treat as un-inlinable, so the column is computed once per row
+    * and downstream operators read the materialized attribute. Use only
+    * on expensive columns referenced more than once downstream; it also
+    * blocks predicate pushdown THROUGH the fenced projection, so never
+    * fence a column that a scan-level filter depends on. */
+  def fence(c: Column): Column = column(FenceExpr(expression(c)))
+
   /** Second 32-bit word of the md5: bytes 4-7 (hex chars 9-16) — used as
     * the vote source for SimHash bits 32-63, so a 64-bit signature needs
     * only ONE digest per token. Portable twin: [[hashing.sqlH32b]]. */
@@ -539,6 +555,29 @@ case class MinShingleFpExpr(child: Expression, n: Int)
   override protected def nullSafeEval(input: Any): Any =
     NativeExprs.minShingleFpOf(input.asInstanceOf[UTF8String], n)
   override protected def withNewChildInternal(newChild: Expression): MinShingleFpExpr =
+    copy(child = newChild)
+}
+
+/** See [[NativeExprs.fence]]. `deterministic = false` is the entire
+  * mechanism — evaluation and codegen delegate to the child untouched, so
+  * the only effect is on optimizer rules that test determinism before
+  * inlining/pushing. The child IS deterministic in fact; the flag is a
+  * deliberate lie to the optimizer, which is safe (it can only inhibit
+  * rewrites, never enable wrong ones). */
+case class FenceExpr(child: Expression) extends UnaryExpression {
+  override lazy val deterministic: Boolean = false
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "fence"
+  override def eval(input: InternalRow): Any = child.eval(input)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+  }
+  override protected def withNewChildInternal(newChild: Expression): FenceExpr =
     copy(child = newChild)
 }
 

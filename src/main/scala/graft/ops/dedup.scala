@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{hashing, vectors}
@@ -271,20 +272,21 @@ object dedup {
       .where(size(col("grams")) > 0)
       .select(struct(col(idCol).as("id"), size(col("grams")).as("n")).as("d"),
         explode(col("grams")).as("gram"))
-    // df-gate BEFORE collect_list: a count-only aggregate (map-side
-    // combinable, fixed-width buffers) finds grams with df in [2, maxDf],
-    // and postings semi-join against that set before any list is built —
-    // so no aggregation buffer ever exceeds maxDf entries. Collecting
-    // first and filtering after would build one unbounded in-memory array
-    // for a hot shingle (a stop-word 3-gram has df in the millions at
-    // corpus scale): an executor-OOM the pair-expansion cap can't prevent.
-    // The semi-join hash-partitions postings by gram, so the groupBy
-    // below reuses that exchange — net one extra cheap counting shuffle.
-    val keepGrams = inv.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-      .where(col("df") >= 2 && col("df") <= maxDf)
-      .select(col("gram"))
+    // df-gate BEFORE collect_list: per-gram df comes from a whole-partition
+    // count window on the SAME exchange the collect aggregation uses, and
+    // postings above/below the [2, maxDf] band are dropped before any list
+    // is built — so no aggregation buffer ever exceeds maxDf entries.
+    // Collecting first and filtering after would build one unbounded
+    // in-memory array for a hot shingle (a stop-word 3-gram has df in the
+    // millions at corpus scale): an executor-OOM the pair-expansion cap
+    // can't prevent. A count-aggregate + semi-join gate would also bound
+    // the buffer, but re-evaluates the whole shingle pipeline per join
+    // side and pays a second postings shuffle; the window form is one
+    // shuffle, one pass.
+    val wGram = Window.partitionBy(col("gram"))
     inv
-      .join(keepGrams, Seq("gram"), "left_semi")
+      .withColumn("df", count(lit(1)).over(wGram))
+      .where(col("df") >= 2 && col("df") <= maxDf)
       .groupBy(col("gram"))
       .agg(sort_array(collect_list(col("d"))).as("ds"))
       .select(explode(pairsOf(col("ds"))).as("p"))

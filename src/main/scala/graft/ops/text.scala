@@ -89,6 +89,14 @@ object text {
   private def profileStats(c: Column): Column =
     graft.functions.NativeExprs.textProfile(c, Profiles)
 
+  /** The fused one-pass profile struct `(n_tokens, sum_tok_len, hits)`
+    * behind every stopword/length signal, exposed so a pipeline that
+    * needs several signals can compute it ONCE — typically as a
+    * [[graft.functions.NativeExprs.fence]]d column — and feed
+    * [[qualityScoreOf]] / `getField("n_tokens")` from the same struct
+    * instead of paying one kernel pass per referencing expression. */
+  def profile(c: Column): Column = profileStats(c)
+
   /** Fraction of tokens that are (English) stopwords — a standard prose
     * signal: natural text has 0.2–0.5, keyword spam ~0. One fused kernel
     * pass; [[stopwordRatioHof]] is the executable-spec twin. */
@@ -114,8 +122,13 @@ object text {
     * Weights are a heuristic, not a trained model; the value is that it is
     * a single fused codegen expression usable as a pushed-down filter at
     * scan time (`WHERE quality > t` prunes before any downstream work). */
-  def qualityScore(c: Column): Column = {
-    val s = profileStats(c)
+  def qualityScore(c: Column): Column = qualityScoreOf(profileStats(c), c)
+
+  /** [[qualityScore]] from a precomputed [[profile]] struct `s` over raw
+    * text `c` — same expression, but callers holding a fenced profile
+    * column pay ONE kernel pass for quality + token counts + langid
+    * combined instead of one per reference. */
+  def qualityScoreOf(s: Column, c: Column): Column = {
     val n = s.getField("n_tokens")
     val content = least(n.cast("double") / 50.0, lit(1.0))
     val clean = lit(1.0) - least(punctuationRatio(c) * 4.0, lit(1.0))
