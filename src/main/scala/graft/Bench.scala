@@ -86,24 +86,41 @@ object Bench {
     // under budget; if the map still overflows, the CHEAPEST queries are
     // summed into "_other" (the expensive ones are the ones worth
     // reading, and "value" stays the all-query total either way).
+    // Failure visibility under truncation: -1 sentinel entries are PINNED
+    // in the shown map (never folded into _other, whose count and sum
+    // describe only dropped successes), and the errors map participates in
+    // the budget — messages are clipped to 80 chars on the compact line
+    // (bench_full.json keeps the 200-char form) and, only after the
+    // queries map is already minimal, error entries shrink to the first K
+    // plus an "_more_errors":N marker. Worst case (every query failing) is
+    // ~1 query + a handful of named errors — still a parseable line.
     val budget = 1800
     val sfName = new java.io.File(sfDir).getName
-    def line(qpairs: Seq[(String, Double)], nOther: Int, otherSum: Double) = {
-      val shown = qpairs.map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) } ++
-        (if (nOther > 0) Seq("\"_other_" + nOther + "\":" + fmt(otherSum, 3)) else Nil)
+    val failed = results.toSeq.filter(_._2 < 0).sortBy(_._1)
+    val byCost = results.toSeq.filter(_._2 >= 0).sortBy(-_._2)
+    val errSeq = errors.toSeq.map { case (k, v) => (k, v.take(80)) }
+    def line(keepQ: Int, keepE: Int) = {
+      val dropped = byCost.drop(keepQ)
+      val shown = (failed ++ byCost.take(keepQ)).map { case (k, v) =>
+        "\"" + k + "\":" + fmt(v, 3)
+      } ++ (if (dropped.nonEmpty)
+              Seq("\"_other_" + dropped.size + "\":" + fmt(dropped.map(_._2).sum, 3))
+            else Nil)
       val errs =
-        if (errors.isEmpty) ""
-        else errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
-          .mkString(""","errors":{""", ",", "}")
+        if (errSeq.isEmpty) ""
+        else {
+          val es = errSeq.take(keepE).map { case (k, v) => "\"" + k + "\":\"" + v + "\"" } ++
+            (if (errSeq.size > keepE) Seq("\"_more_errors\":" + (errSeq.size - keepE)) else Nil)
+          es.mkString(""","errors":{""", ",", "}")
+        }
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":${shown.mkString("{", ",", "}")}$errs,"sf":"$sfName"}"""
     }
-    val byCost = results.toSeq.sortBy(-_._2)
-    var out = line(byCost, 0, 0.0)
-    var keep = byCost.size
-    while (out.length > budget && keep > 1) {
-      keep -= 1
-      val dropped = byCost.drop(keep)
-      out = line(byCost.take(keep), dropped.size, dropped.filter(_._2 >= 0).map(_._2).sum)
+    var keepQ = byCost.size
+    var keepE = errSeq.size
+    var out = line(keepQ, keepE)
+    while (out.length > budget && (keepQ > 1 || keepE > 0)) {
+      if (keepQ > 1) keepQ -= 1 else keepE -= 1
+      out = line(keepQ, keepE)
     }
     spark.stop()
     // Printed AFTER spark.stop() so no executor/shutdown log line can

@@ -1361,14 +1361,14 @@ object SparkEntry {
     // Same kth-hash estimator, same JVM-derived scale constant.
     "events_distinct_kmv" ->
       s"""WITH h AS (SELECT DISTINCT event_type,
-         |  ${hashing.sqlH32("(user_id::VARCHAR)")} AS hv FROM events),
+         |  ${hashing.sqlH63("(user_id::VARCHAR)")} AS hv FROM events),
          |r AS (SELECT event_type, hv, row_number() OVER (
          |  PARTITION BY event_type ORDER BY hv) AS rk FROM h),
          |t AS (SELECT event_type, count(*) AS n_min, max(hv) AS kth
          |  FROM r WHERE rk <= 64 GROUP BY event_type)
          |SELECT event_type, n_min,
          |  floor((CASE WHEN n_min < 64 THEN n_min::DOUBLE
-         |    ELSE ${63.0 * 4294967296.0} / (kth::DOUBLE + 1.0::DOUBLE) END)
+         |    ELSE ${63.0 * 9223372036854775808.0} / (kth::DOUBLE + 1.0::DOUBLE) END)
          |    * 10000.0 + 0.5) / 10000.0 AS distinct_est
          |FROM t ORDER BY event_type""".stripMargin,
 
@@ -1655,9 +1655,12 @@ object SparkEntry {
     "dedup_fuzzy_pairs" ->
       """WITH p AS (SELECT doc_id, substr(text, 1, 16) AS pre,
         |    substr(text, 1, 64) AS head FROM documents),
+        |f AS (SELECT * FROM (SELECT p.*,
+        |    count(*) OVER (PARTITION BY pre) AS df FROM p)
+        |  WHERE df BETWEEN 2 AND 256),
         |c AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    levenshtein(a.head, b.head)::INT AS dist
-        |  FROM p a JOIN p b ON a.pre = b.pre AND a.doc_id < b.doc_id)
+        |  FROM f a JOIN f b ON a.pre = b.pre AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, dist FROM c WHERE dist <= 8
         |ORDER BY id_a, id_b""".stripMargin,
 

@@ -196,7 +196,15 @@ object NativeExprs {
     * and downstream operators read the materialized attribute. Use only
     * on expensive columns referenced more than once downstream; it also
     * blocks predicate pushdown THROUGH the fenced projection, so never
-    * fence a column that a scan-level filter depends on. */
+    * fence a column that a scan-level filter depends on.
+    *
+    * Because the nondeterministic flag IS the mechanism, analysis rejects
+    * a fenced expression anywhere Spark forbids nondeterminism — join
+    * conditions, sort/grouping keys, generally anything outside
+    * Project/Filter/Aggregate/Window — with the generic "nondeterministic
+    * expressions are only allowed in ..." CheckAnalysis error. When that
+    * happens, compute the fenced column in a `select` first and use the
+    * resulting attribute (a plain column reference) as the key. */
   def fence(c: Column): Column = column(FenceExpr(expression(c)))
 
   /** Second 32-bit word of the md5: bytes 4-7 (hex chars 9-16) — used as

@@ -41,6 +41,15 @@ object hashing {
   /** Full 128-bit content fingerprint (hex). */
   def fingerprint128(c: Column): Column = md5(c.cast("binary"))
 
+  /** Portable 63-bit hash in [0, 2^63): `h32·2³¹ + (h32b mod 2³¹)` —
+    * both words from ONE md5 digest (whole-stage codegen CSEs the
+    * digest). Max value (2³²-1)·2³¹ + 2³¹-1 = 2⁶³-1, so the result is
+    * exact in a signed Long on every engine — no unsigned-64 or
+    * double-mantissa trap. Used where 32 bits collide too often (KMV
+    * order statistics at k·√n ≳ 2¹⁶). */
+  def h63(c: Column): Column =
+    h32(c) * lit(2147483648L) + h32b(c) % lit(2147483648L)
+
   /** Largest prime below 2^32 — modulus of the affine hash family. */
   val AffineP = 4294967291L
 
@@ -70,6 +79,10 @@ object hashing {
   /** DuckDB fragment for [[h32b]] (md5 hex chars 9-16). */
   def sqlH32b(e: String): String =
     s"(('0x' || substr(md5($e), 9, 8))::BIGINT)"
+
+  /** DuckDB fragment for [[h63]]. */
+  def sqlH63(e: String): String =
+    s"(${sqlH32(e)} * 2147483648 + ${sqlH32b(e)} % 2147483648)"
 
   /** DuckDB SQL fragment for the salted family member. */
   def sqlH32s(e: String, salt: Int): String =

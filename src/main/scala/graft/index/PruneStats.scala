@@ -110,9 +110,19 @@ object PruneStats {
     // differ only in low bits compare EQUAL through double (2^53 mantissa),
     // which could claim a row group prunable that the reader evaluates —
     // violating the "never claims MORE pruning" contract. Doubles only for
-    // mixed or fractional types (where parquet stats are doubles anyway).
+    // genuinely fractional stats (where parquet stats are doubles anyway).
     (asLong(min), asLong(max), asLong(cmp.value)) match {
       case (Some(lo), Some(hi), Some(v)) => decide(lo, hi, v)
+      case (Some(lo), Some(hi), None) =>
+        // Integral stats, fractional literal: converting the Long
+        // endpoints to double would lose low bits past 2^53 — instead
+        // rewrite `x op v` over integral x into a Long bound and decide
+        // exactly. Literals beyond Long range resolve without touching
+        // the stats (every Long is below/above them).
+        asDouble(cmp.value) match {
+          case Some(v) => integralVsFractional(cmp.op, lo, hi, v)
+          case None    => false
+        }
       case _ =>
         (asDouble(min), asDouble(max), asDouble(cmp.value)) match {
           case (Some(lo), Some(hi), Some(v)) => decide(lo, hi, v)
@@ -122,6 +132,49 @@ object PruneStats {
               case _                             => false
             }
         }
+    }
+  }
+
+  /** Unsatisfiability of `x op v` for integral x in [lo, hi] against a
+    * fractional double literal v, decided in exact Long arithmetic:
+    *   x >  v  ⇔  x ≥ floor(v)+1      x ≥ v  ⇔  x ≥ ceil(v)
+    *   x <  v  ⇔  x ≤ ceil(v)-1       x ≤ v  ⇔  x ≤ floor(v)
+    *   x =  v  only possible when v is a whole number in Long range.
+    * floor/ceil of a double are exact; they convert to Long exactly when
+    * in range, and out-of-range literals dominate every Long. */
+  private[index] def integralVsFractional(
+      op: String, lo: Long, hi: Long, v: Double): Boolean = {
+    if (v.isNaN) return false // NaN comparisons match nothing; reader handles it
+    val minD = Long.MinValue.toDouble // -2^63, exact
+    val maxD = Long.MaxValue.toDouble // 2^63, exact (rounds up from 2^63-1)
+    // Greatest Long ≤ v (None when v < Long range ⇒ no such Long) and
+    // least Long ≥ v (None when v > Long range).
+    val floorL: Option[Long] =
+      if (v < minD) None
+      else if (v >= maxD) Some(Long.MaxValue)
+      else Some(Math.floor(v).toLong)
+    val ceilL: Option[Long] =
+      if (v >= maxD) None
+      else if (v < minD) Some(Long.MinValue)
+      else Some(Math.ceil(v).toLong)
+    op match {
+      case "=" =>
+        // v fractional or out of Long range ⇒ no integral x equals it.
+        if (v != Math.floor(v) || v < minD || v >= maxD) true
+        else { val w = v.toLong; w < lo || w > hi }
+      // x > v  unsat iff hi ≤ v iff hi ≤ floor(v); floorL None means v is
+      // below Long range (everything exceeds it — satisfiable).
+      case ">" => floorL.exists(f => hi <= f)
+      // x ≥ v  unsat iff hi < ceil(v); ceilL None means v is above Long
+      // range (nothing reaches it — unsat).
+      case ">=" => ceilL.forall(c => hi < c)
+      // x < v  unsat iff lo ≥ v iff lo ≥ ceil(v); ceilL None means v is
+      // above Long range (everything is below it — satisfiable).
+      case "<" => ceilL.exists(c => lo >= c)
+      // x ≤ v  unsat iff lo > floor(v); floorL None means v is below Long
+      // range (nothing is under it — unsat).
+      case "<=" => floorL.forall(f => lo > f)
+      case _ => false
     }
   }
 

@@ -394,24 +394,38 @@ object dedup {
     * edit INSIDE the prefix escapes the block (that regime belongs to
     * [[minhashNearDupPairs]]/[[simhashNearDupPairs]]; this is the cheap
     * exact-prefix member of the family). Prefix buckets inherit content
-    * skew (boilerplate openings); the self-join spreads a hot bucket's
-    * output across the shuffle and AQE splits skewed partitions — same
-    * reasoning as the simhash blocker. */
+    * skew (boilerplate openings), and unlike minhash bands the key is NOT
+    * hash-uniform — so buckets are df-gated exactly like
+    * [[jaccardPairs]]'s shingles: a whole-partition count window on the
+    * one prefix exchange drops buckets outside [2, maxBucket] BEFORE any
+    * list is built. A prefix shared by more than `maxBucket` documents is
+    * boilerplate (an n² Levenshtein block over it is wasted work against
+    * content the minhash family already catches) and is excluded from
+    * candidates rather than expanded — per-bucket work is therefore
+    * ≤ maxBucket²/2 comparisons of `headLen` chars, and no aggregation
+    * buffer exceeds maxBucket entries. One shuffle total: the window,
+    * the collect, and the in-expression pair expansion share the
+    * hash-partition on `pre`. */
   def fuzzyPairs(
       df: DataFrame,
       textCol: String,
       idCol: String,
       maxDist: Int = 8,
       prefixLen: Int = 16,
-      headLen: Int = 64): DataFrame = {
-    val p = df.select(col(idCol),
+      headLen: Int = 64,
+      maxBucket: Int = 256): DataFrame = {
+    val p = df.select(
       substring(col(textCol), 1, prefixLen).as("pre"),
-      substring(col(textCol), 1, headLen).as("head"))
-    p.as("a")
-      .join(p.as("b"),
-        col("a.pre") === col("b.pre") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        levenshtein(col("a.head"), col("b.head")).as("dist"))
+      struct(col(idCol).as("id"),
+        substring(col(textCol), 1, headLen).as("head")).as("d"))
+    val wPre = Window.partitionBy(col("pre"))
+    p.withColumn("df", count(lit(1)).over(wPre))
+      .where(col("df") >= 2 && col("df") <= maxBucket)
+      .groupBy(col("pre"))
+      .agg(sort_array(collect_list(col("d"))).as("ds"))
+      .select(explode(pairsOf(col("ds"))).as("p"))
+      .select(col("p.id_a.id").as("id_a"), col("p.id_b.id").as("id_b"),
+        levenshtein(col("p.id_a.head"), col("p.id_b.head")).as("dist"))
       .where(col("dist") <= maxDist)
   }
 

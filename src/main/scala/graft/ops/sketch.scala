@@ -18,14 +18,23 @@ import graft.functions.hashing
 object sketch {
 
   /** KMV (k-minimum-values) distinct-count estimate per group:
-    * hash every value with the portable 32-bit [[hashing.h32]], keep the
+    * hash every value with the portable 63-bit [[hashing.h63]], keep the
     * `k` smallest DISTINCT hashes per group, and estimate
-    * `(k-1) · 2³² / (h_k + 1)` from the kth smallest hash (the +1 dodges
+    * `(k-1) · 2⁶³ / (h_k + 1)` from the kth smallest hash (the +1 dodges
     * the measure-zero h=0 case); groups with fewer than `k` distinct
     * values report the EXACT count (the sketch degrades to exact on small
     * groups). Standard error ≈ 1/√(k-2).
     *
-    * Plan shape at scale: one distinct on (group, 32-bit hash) — map-side
+    * 63 bits, not 32: the kth order statistic of n uniform hashes sits
+    * near k·2ᵇ/n, so hash COLLISIONS distort the estimate once n
+    * approaches 2ᵇ/√k-ish territory — at b=32 a billion-distinct group
+    * (exactly the 100 TB regime this sketch exists for) is ~25% of the
+    * hash space and reads structurally low. At b=63 the space is 9.2·10¹⁸:
+    * collisions stay negligible past 10¹² distinct values. The hash stays
+    * exact in a signed Long and portable ([[hashing.sqlH63]]), so the
+    * estimate is still reproducible bit-for-bit by an independent engine.
+    *
+    * Plan shape at scale: one distinct on (group, 63-bit hash) — map-side
     * combine collapses duplicates before the exchange, and the shuffle
     * carries hashes, never the values — then the rank-filter idiom, which
     * Spark plans as a WindowGroupLimit: each map task keeps a bounded
@@ -38,11 +47,11 @@ object sketch {
       k: Int = 256): DataFrame = {
     require(k >= 2, s"kmvDistinct needs k >= 2, got $k")
     val hashed = df
-      .select((groupCols :+ hashing.h32(valueCol.cast("string")).as("_h")): _*)
+      .select((groupCols :+ hashing.h63(valueCol.cast("string")).as("_h")): _*)
       .distinct()
     val ranked = rel.topKPerGroup(hashed, groupCols, Seq(col("_h").asc), k,
       rankCol = "_rk")
-    val scale = (k - 1).toDouble * 4294967296.0
+    val scale = (k - 1).toDouble * 9223372036854775808.0 // (k-1)·2⁶³
     ranked.groupBy(groupCols: _*)
       .agg(count(lit(1)).as("n_min"), max(col("_h")).as("_kth"))
       .withColumn("distinct_est",

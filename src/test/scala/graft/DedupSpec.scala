@@ -131,6 +131,20 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L || a == 5L || b == 5L })
   }
 
+  test("fuzzyPairs: boilerplate prefix blocks above maxBucket are dropped, not expanded") {
+    // 10 docs share a boilerplate prefix; 2 docs share a rare one. With
+    // maxBucket = 4 the hot block contributes NOTHING (no n² expansion of
+    // boilerplate) while the rare block still pairs up.
+    val mixed = ((1L to 10L).map(i => (i, s"common boilerplate opening line $i")) ++
+      Seq((21L, "a very rare prefix doc one"), (22L, "a very rare prefix doc two")))
+      .toDF("doc_id", "text")
+    val got = dedup.fuzzyPairs(mixed, "text", "doc_id",
+        maxDist = 20, prefixLen = 16, maxBucket = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((21L, 22L)),
+      s"expected only the rare-prefix pair, got $got")
+  }
+
   test("repeatedSpans finds planted boilerplate, merges adjacent grams, ignores unique text") {
     // 3 docs share an 8-token license header; each has unique tail text
     val header = "licensed under the apache license version two zero"

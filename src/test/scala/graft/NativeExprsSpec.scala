@@ -136,4 +136,45 @@ class NativeExprsSpec extends SparkSpec {
       .where(col("a") =!= col("b")).count()
     assert(diff == 0)
   }
+
+  test("fence: value/null parity with the child") {
+    import spark.implicits._
+    val df = Seq(Some("abc"), None, Some(""), Some("xy")).toDF("s")
+    val mismatches = df.select(
+        NativeExprs.fence(upper(col("s"))).as("a"), upper(col("s")).as("b"))
+      .where(!(col("a") <=> col("b"))).count()
+    assert(mismatches == 0)
+  }
+
+  test("fence: exactly one materialized computation of the fenced child") {
+    import spark.implicits._
+    // Count Md5 expression nodes anywhere in the optimized plan — the
+    // proxy for "how many times is the expensive chain evaluated per row".
+    def md5Count(q: org.apache.spark.sql.DataFrame): Int =
+      q.queryExecution.optimizedPlan.collect { case p =>
+        p.expressions.map(_.collect {
+          case _: org.apache.spark.sql.catalyst.expressions.Md5 => 1
+        }.sum).sum
+      }.sum
+    // spark.range, not a local Seq: ConvertToLocalRelation would evaluate
+    // a LocalRelation projection at optimize time and leave zero Md5 nodes.
+    val df = spark.range(2).select(col("id").cast("string").as("s"))
+    // The duplicating rule is PushDownPredicates: a filter on a computed
+    // column is rewritten with the defining expression substituted in and
+    // pushed below the project, so the chain evaluates once in the pushed
+    // filter AND once in the project. (CollapseProject's own cost check
+    // already declines to inline a non-cheap expression twice.)
+    def filterOn(h: org.apache.spark.sql.Column) =
+      df.select(h.as("h"), col("s"))
+        .where(substring(col("h"), 1, 1) =!= lit("z"))
+    // Unfenced: the pushed filter clones the md5 — two evaluations per row.
+    assert(md5Count(filterOn(md5(col("s").cast("binary")))) == 2)
+    // Fenced: the filter cannot push through the nondeterministic alias;
+    // one computation survives and the filter reads the attribute. This is
+    // the plan shape pipeline_e2e's scrub-once speedup rests on — if a
+    // Spark upgrade changes how PushDownPredicates/CollapseProject treat
+    // nondeterminism, this pins the regression.
+    assert(md5Count(filterOn(
+      NativeExprs.fence(md5(col("s").cast("binary"))))) == 1)
+  }
 }
