@@ -98,6 +98,19 @@ object Demo {
         countDistinct(col("source")).as("n_sources"))
       .orderBy(col("split")).show(false)
 
+    println("== BPE: learned merge rules + subword encode ==")
+    val bpeRules = graft.ops.bpe.train(docs, "text", merges = 8)
+    bpeRules.orderBy("step").show(false)
+    val rulePairs = bpeRules.orderBy("step")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    docs.limit(2).select(col("doc_id"),
+      slice(graft.ops.bpe.encodeTokens(col("text"), rulePairs), 1, 12)
+        .as("first_subwords")).show(false)
+
+    println("== per-doc language consistency (mixed-language detection) ==")
+    text.langConsistency(docs, "text", "doc_id")
+      .orderBy(col("consistency").asc, col("doc_id")).limit(5).show(false)
+
     spark.stop()
   }
 }

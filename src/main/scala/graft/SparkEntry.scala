@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Cmp, Metric, VecStore}
 import graft.functions.{hashing, vectors}
-import graft.ops.{ann, asof, decontam, dedup, multimodal, rel, retrieval, sample, sketch, text}
+import graft.ops.{ann, asof, bpe, decontam, dedup, multimodal, rel, retrieval, sample, sketch, text}
 import graft.streaming.EventStream
 
 /** Driver contract — one named query per implemented operator
@@ -373,6 +373,24 @@ object SparkEntry {
     // aggregate with map-side combine; top-N via TakeOrderedAndProject.
     "text_vocab_topn" -> ((s, dir) =>
       text.vocabulary(table(s, dir, "documents"), "text", "doc_id", topN = 100)),
+
+    // north-star: learned BPE merge rules — iterative trainer; corpus
+    // read once, merge rounds run on the distributed word vocabulary.
+    // Deterministic (exact integer pair counts, fixed tie order) but not
+    // single-statement SQL — registered without an oracle, so the driver
+    // records the weaker rows-only check.
+    "text_bpe_merges" -> ((s, dir) =>
+      bpe.train(table(s, dir, "documents"), "text",
+          merges = 12, minPairCount = 2)
+        .orderBy(col("step"))),
+
+    // north-star: per-doc language consistency — chunk-level langId
+    // against the doc majority; catches code-switched docs that a
+    // doc-level langId averages into one confident label.
+    "text_lang_consistency" -> ((s, dir) =>
+      text.langConsistency(table(s, dir, "documents"), "text", "doc_id",
+          window = 64, stride = 64)
+        .orderBy(col("doc_id"))),
 
     // north-star: typed PII scrub — emails/urls/phones/IPs/card-shaped
     // digit runs → placeholder tokens; fused regex chain, zero shuffle.
@@ -1004,6 +1022,36 @@ object SparkEntry {
       s"""WITH t AS (SELECT doc_id, unnest($SqlToks) AS word FROM documents)
          |SELECT word, count(*) AS tf, count(DISTINCT doc_id) AS df
          |FROM t GROUP BY word ORDER BY tf DESC, word LIMIT 100""".stripMargin,
+
+    // Same 64-token non-overlapping chunking as tokenChunks(64, 64); lang
+    // per chunk from stopword-hit argmax over the chunk's token list.
+    "text_lang_consistency" ->
+      s"""WITH t AS (SELECT doc_id, toks, len(toks) AS n
+         |  FROM (SELECT doc_id, $SqlToks AS toks FROM documents) WHERE len(toks) > 0),
+         |c AS (SELECT doc_id,
+         |  list_slice(toks, chunk_idx*64 + 1, chunk_idx*64 + 64) AS chunk
+         |  FROM (SELECT doc_id, toks,
+         |    unnest(range(0, CASE WHEN n <= 64 THEN 1 ELSE (n - 64 + 63) // 64 + 1 END)) AS chunk_idx
+         |    FROM t)),
+         |l AS (SELECT doc_id,
+         |  CASE WHEN greatest(e, d, s, f) < 1 THEN 'und'
+         |       WHEN e = greatest(e, d, s, f) THEN 'en'
+         |       WHEN d = greatest(e, d, s, f) THEN 'de'
+         |       WHEN s = greatest(e, d, s, f) THEN 'es'
+         |       ELSE 'fr' END AS lang
+         |  FROM (SELECT doc_id,
+         |    ${sqlStopHits("chunk", text.EnStop)} AS e,
+         |    ${sqlStopHits("chunk", text.DeStop)} AS d,
+         |    ${sqlStopHits("chunk", text.EsStop)} AS s,
+         |    ${sqlStopHits("chunk", text.FrStop)} AS f FROM c)),
+         |g AS (SELECT doc_id, lang, count(*) AS c FROM l GROUP BY doc_id, lang),
+         |m AS (SELECT doc_id, lang, c,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, lang) AS rk,
+         |  (sum(c) OVER (PARTITION BY doc_id))::BIGINT AS n_chunks,
+         |  count(*) OVER (PARTITION BY doc_id) AS n_langs FROM g)
+         |SELECT doc_id, n_chunks, n_langs, lang AS major_lang,
+         |  floor(c * 10000.0 / n_chunks + 0.5) / 10000.0 AS consistency
+         |FROM m WHERE rk = 1 ORDER BY doc_id""".stripMargin,
 
     // Same rule order as text.redactPii: email, url, ip, card-run, phone.
     "text_redact" ->

@@ -96,6 +96,55 @@ object NativeExprs {
   /** Column: distinct word n-gram shingles (native). */
   def wordShingles(c: Column, n: Int): Column = column(WordShinglesExpr(expression(c), n))
 
+  /** Column: one greedy left-to-right BPE merge pass over a symbol array —
+    * each adjacent (l, r) becomes the fused symbol l+r, never re-examining
+    * the fused output in the same pass ("aaa" under (a,a) → ["aa","a"]).
+    * Compositional twin: [[graft.ops.bpe.mergePairHof]]. */
+  def bpeMergePair(syms: Column, l: String, r: String): Column =
+    column(BpeMergeExpr(expression(syms), l, r))
+
+  /** Column: full BPE encode of a TEXT column — lowercase whitespace
+    * tokens, each split to code points and run through `rules` in
+    * training order — flattened to one subword array per row. One
+    * compiled pass; the per-rule compositional twin is
+    * [[graft.ops.bpe.encodeHof]]. */
+  def bpeEncode(c: Column, rules: Seq[(String, String)]): Column =
+    column(BpeEncodeExpr(expression(c), rules.toIndexedSeq))
+
+  /** One greedy merge pass on UTF8String symbols (shared by the merge and
+    * encode kernels). */
+  private[functions] def bpeMergePassOf(
+      syms: Array[AnyRef], l: UTF8String, r: UTF8String,
+      lr: UTF8String): Array[AnyRef] = {
+    val n = syms.length
+    val out = new Array[AnyRef](n)
+    var i = 0
+    var k = 0
+    while (i < n) {
+      if (i < n - 1 && syms(i) == l && syms(i + 1) == r) {
+        out(k) = lr; k += 1; i += 2
+      } else {
+        out(k) = syms(i); k += 1; i += 1
+      }
+    }
+    if (k == n) out else java.util.Arrays.copyOf(out, k)
+  }
+
+  /** Code-point split of a word — matches Spark's `substring` semantics
+    * (code points, not Java chars), so the trainer's initial alphabet and
+    * the encoder's agree on astral-plane characters. */
+  private[functions] def codePointsOf(s: String): Array[AnyRef] = {
+    val out = new scala.collection.mutable.ArrayBuffer[AnyRef](s.length)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val len = Character.charCount(cp)
+      out += UTF8String.fromString(s.substring(i, i + len))
+      i += len
+    }
+    out.toArray
+  }
+
   /** Column: MinHash signature over a shingle array (native). */
   def minhashSig(grams: Column, k: Int): Column = column(MinHashSigExpr(expression(grams), k))
 
@@ -552,6 +601,60 @@ case class LshSigExpr(child: Expression, planes: IndexedSeq[IndexedSeq[Double]])
     })
   }
   override protected def withNewChildInternal(newChild: Expression): LshSigExpr =
+    copy(child = newChild)
+}
+
+/** See [[NativeExprs.bpeMergePair]]. */
+case class BpeMergeExpr(child: Expression, l: String, r: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_merge"
+  @transient private lazy val lU = UTF8String.fromString(l)
+  @transient private lazy val rU = UTF8String.fromString(r)
+  @transient private lazy val lrU = UTF8String.fromString(l + r)
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val syms = new Array[AnyRef](n)
+    var i = 0
+    while (i < n) { syms(i) = arr.getUTF8String(i); i += 1 }
+    new GenericArrayData(NativeExprs.bpeMergePassOf(syms, lU, rU, lrU))
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeMergeExpr =
+    copy(child = newChild)
+}
+
+/** See [[NativeExprs.bpeEncode]]: tokenize (lowercase, `\s+`, drop
+  * empties — the [[graft.ops.text.tokens]] contract), split each token to
+  * code points, apply every merge rule in training order, flatten. */
+case class BpeEncodeExpr(child: Expression, rules: IndexedSeq[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode"
+  @transient private lazy val mat: Array[(UTF8String, UTF8String, UTF8String)] =
+    rules.map { case (l, r) =>
+      (UTF8String.fromString(l), UTF8String.fromString(r), UTF8String.fromString(l + r))
+    }.toArray
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toLowerCase.toString.split("\\s+", -1)
+    val out = new scala.collection.mutable.ArrayBuffer[AnyRef]()
+    var t = 0
+    while (t < toks.length) {
+      if (toks(t).nonEmpty) {
+        var syms = NativeExprs.codePointsOf(toks(t))
+        var j = 0
+        while (j < mat.length) {
+          val (l, r, lr) = mat(j)
+          syms = NativeExprs.bpeMergePassOf(syms, l, r, lr)
+          j += 1
+        }
+        out ++= syms
+      }
+      t += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeExpr =
     copy(child = newChild)
 }
 

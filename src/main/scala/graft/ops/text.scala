@@ -406,4 +406,60 @@ object text {
       .agg(count(lit(1)).as("tf"), count_distinct(col(idCol)).as("df"))
       .orderBy(col("tf").desc, col("word"))
       .limit(topN)
+
+  /** [[langId]] over an ALREADY-TOKENIZED array (chunk windows) — same
+    * argmax and tie order as the string form. */
+  def langIdOfTokens(ts: Column, minHits: Int = 1): Column = {
+    val en = hitCount(ts, EnStop)
+    val de = hitCount(ts, DeStop)
+    val es = hitCount(ts, EsStop)
+    val fr = hitCount(ts, FrStop)
+    val top = greatest(en, de, es, fr)
+    when(top < minHits, lit("und"))
+      .when(en === top, lit("en"))
+      .when(de === top, lit("de"))
+      .when(es === top, lit("es"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Per-document language CONSISTENCY: language-ID each token-window
+    * chunk ([[tokenChunks]]) independently and report how much of the
+    * document agrees with its majority language — the mixed-language /
+    * code-switch detector a corpus filter runs before committing a doc to
+    * a single-language bucket (doc-level [[langId]] happily averages a
+    * half-English half-German page into one confident label).
+    *
+    * Plan shape at scale: chunking is in-row (zero shuffle), then one
+    * (doc, lang) count aggregate and one doc-partitioned rank window over
+    * ≤ 4+1 rows per doc — both shuffles are doc-keyed and thin (no text
+    * moves). Majority ties break lexicographically; `consistency` is the
+    * majority share of chunks, quantized floor-4dp for cross-engine
+    * reproducibility.
+    *
+    * Returns `(idCol, n_chunks, n_langs, major_lang, consistency)`,
+    * docs with at least one chunk only. */
+  def langConsistency(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      window: Int = 64,
+      stride: Int = 64,
+      minHits: Int = 1): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perChunk = df
+      .select(col(idCol), explode(tokenChunks(col(textCol), window, stride)).as("c"))
+      .select(col(idCol), langIdOfTokens(col("c.chunk"), minHits).as("lang"))
+    val counted = perChunk.groupBy(col(idCol), col("lang"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col(idCol))
+    counted
+      .withColumn("rk", row_number().over(w.orderBy(col("c").desc, col("lang"))))
+      .withColumn("n_chunks", sum(col("c")).over(w))
+      .withColumn("n_langs", count(lit(1)).over(w))
+      .where(col("rk") === 1)
+      .select(col(idCol), col("n_chunks"), col("n_langs"),
+        col("lang").as("major_lang"),
+        (floor(col("c") * 10000.0 / col("n_chunks") + 0.5) / 10000.0)
+          .as("consistency"))
+  }
 }

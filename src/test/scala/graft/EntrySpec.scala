@@ -13,7 +13,11 @@ class EntrySpec extends SparkSpec {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracles without queries: ${os -- qs}")
-    assert((qs -- os).isEmpty, s"queries missing an oracle: ${qs -- os}")
+    // The iterative BPE trainer is deterministic but not expressible as a
+    // single DuckDB statement — it is the ONE sanctioned rows-only query.
+    // Anything else missing an oracle is a coverage bug.
+    assert((qs -- os) == Set("text_bpe_merges"),
+      s"queries missing an oracle: ${qs -- os}")
   }
 
   test("all registered queries build an analyzable plan on sf0.001") {
