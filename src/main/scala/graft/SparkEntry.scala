@@ -311,6 +311,57 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // north-star: product quantization — ADC scoring (m lookups per row,
+    // no float vector read); the 64x-fewer-scan-bytes serving path.
+    "vec_pq_topk" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      graft.ops.quant.pqSearchDot(emb,
+          graft.ops.quant.pqSeedCodebooks(emb, m = 4, k = 16), Q1, k = 10)
+        .select(col("vec_id"), col("score"), col("label"))
+    }),
+
+    // north-star: embedding OOD outliers — distance to nearest centroid,
+    // one scan + TakeOrderedAndProject; the data-cleaning triage list.
+    "vec_outlier" -> ((s, dir) =>
+      ann.centroidOutliers(table(s, dir, "embeddings"),
+          ann.seedCentroids(table(s, dir, "embeddings"), 8), topN = 20)
+        .select(col("vec_id"), col("centroid_dist"), col("label"))),
+
+    // north-star: SemDeDup — semantic near-dup removal via per-cluster
+    // cosine pair search; survivors (lowest id per similar set) returned.
+    "dedup_semantic" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      dedup.semanticDedup(emb, ann.seedCentroids(emb, 8), threshold = 0.4)
+        .orderBy(col("vec_id"))
+    }),
+
+    // north-star: corpus-unigram LM quality score (CCNet-style perplexity
+    // filtering, engine-primitive form); fixed-point sums keep it exact.
+    "text_unigram_logprob" -> ((s, dir) =>
+      text.unigramLogProb(table(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // north-star: per-stratum deterministic reservoir — exactly n rows
+    // per language by portable hash rank (WindowGroupLimit bounded heap).
+    "sample_reservoir" -> ((s, dir) =>
+      sample.perGroupSample(table(s, dir, "documents"), "lang", "doc_id", n = 5)
+        .select(col("lang"), col("doc_id"), col("sample_rank"))
+        .orderBy(col("lang"), col("sample_rank"))),
+
+    // north-star: temperature-based language rebalancing (XLM/mC4 alpha
+    // sampling) — rarest language keeps 100%, dominant one downsampled.
+    "sample_temperature" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val kept = sample.temperatureMix(docs, "doc_id", "lang", alpha = 0.5)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          (round(max(col("mix_rate")), 4) + lit(0.0)).as("rate"))
+      docs.groupBy(col("lang")).agg(count(lit(1)).as("n_in"))
+        .join(kept, "lang")
+        .select(col("lang"), col("n_in"), col("n_kept"), col("rate"))
+        .orderBy(col("lang"))
+    }),
+
     // roadmap string ops (README.md:204-215): starts_with / contains /
     // ends_with metadata predicates — free as pushed Spark filters.
     "meta_string_filter" -> ((s, dir) =>
@@ -1365,6 +1416,88 @@ object SparkEntry {
          |SELECT vec_id, score, label FROM p
          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
     },
+
+    "vec_pq_topk" -> {
+      // Per-subspace CTEs: a<s> = nearest-codeword assignment (argmin L2,
+      // ties to the lower code id — same rn idiom as ann_ivf_topk), d<s> =
+      // that codeword's dot with the query's subspace slice. DuckDB
+      // derives the codebooks from the same 16 lowest-id rows the Spark
+      // plan seeds from, so both engines compute identical doubles.
+      val subs = (0 until 4).map { si =>
+        val lo = si * 16 + 1
+        def sl(e: String) = s"list_slice($e, $lo, ${lo + 15})"
+        s"""a$si AS (SELECT vec_id, c AS c$si FROM (
+           |  SELECT s.vec_id, cb.c, row_number() OVER (PARTITION BY s.vec_id
+           |    ORDER BY ${sqlL2Between(sl("s.e"), sl("cb.e"))}, cb.c) AS rn FROM s, cb) WHERE rn = 1),
+           |d$si AS (SELECT a$si.vec_id, list_dot_product(${sl("cb.e")}, ${sl(sqlVec(Q1))}) AS d
+           |  FROM a$si JOIN cb ON a$si.c$si = cb.c)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH s AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, e
+         |  FROM (SELECT vec_id, e FROM s ORDER BY vec_id LIMIT 16)),
+         |$subs,
+         |sc AS (SELECT s.vec_id, s.label, round(d0.d + d1.d + d2.d + d3.d, 4) + 0.0 AS score
+         |  FROM s JOIN d0 USING (vec_id) JOIN d1 USING (vec_id)
+         |         JOIN d2 USING (vec_id) JOIN d3 USING (vec_id))
+         |SELECT vec_id, score, label FROM sc ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+    },
+
+    "vec_outlier" ->
+      s"""WITH s AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e
+         |  FROM (SELECT vec_id, e FROM s ORDER BY vec_id LIMIT 8)),
+         |nd AS (SELECT vec_id, label, round(min(${sqlL2Between("s.e", "cent.e")}), 4) + 0.0 AS centroid_dist
+         |  FROM s, cent GROUP BY 1, 2)
+         |SELECT vec_id, centroid_dist, label FROM nd
+         |ORDER BY centroid_dist DESC, vec_id LIMIT 20""".stripMargin,
+
+    "dedup_semantic" ->
+      s"""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e
+         |  FROM (SELECT vec_id, e FROM s ORDER BY vec_id LIMIT 8)),
+         |assign AS (SELECT vec_id, e, cid AS cluster_id FROM (
+         |  SELECT s.vec_id, s.e, c.cid,
+         |    row_number() OVER (PARTITION BY s.vec_id
+         |      ORDER BY ${sqlL2Between("s.e", "c.e")}, c.cid) AS rn
+         |  FROM s, cent c) WHERE rn = 1),
+         |p AS (SELECT b.vec_id AS dropped,
+         |  list_dot_product(a.e, b.e)
+         |  * (CASE WHEN list_dot_product(a.e, a.e) > 0 THEN 1.0/sqrt(list_dot_product(a.e, a.e)) ELSE 0.0 END)
+         |  * (CASE WHEN list_dot_product(b.e, b.e) > 0 THEN 1.0/sqrt(list_dot_product(b.e, b.e)) ELSE 0.0 END) AS cos
+         |  FROM assign a JOIN assign b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id)
+         |SELECT vec_id, cluster_id FROM assign
+         |WHERE vec_id NOT IN (SELECT dropped FROM p WHERE cos >= 0.4)
+         |ORDER BY vec_id""".stripMargin,
+
+    "text_unigram_logprob" ->
+      s"""WITH t AS (SELECT doc_id, unnest($SqlToks) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM t GROUP BY 1, 2),
+         |v AS (SELECT tok, sum(tf)::BIGINT AS ctf FROM tf GROUP BY 1),
+         |tot AS (SELECT sum(ctf)::BIGINT AS n FROM v),
+         |c AS (SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+         |  sum(floor(tf * ln(ctf::DOUBLE / (SELECT n FROM tot)::DOUBLE) * 1000000.0)::BIGINT) AS q
+         |  FROM tf JOIN v USING (tok) GROUP BY 1)
+         |SELECT doc_id, n_tokens, round(q::DOUBLE / 1000000.0 / n_tokens, 4) + 0.0 AS logprob
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "sample_reservoir" ->
+      s"""SELECT lang, doc_id, sample_rank FROM (
+         |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+         |    ORDER BY ${hashing.sqlH32("(doc_id::VARCHAR || '/res')")}, doc_id) AS sample_rank
+         |  FROM documents) WHERE sample_rank <= 5
+         |ORDER BY lang, sample_rank""".stripMargin,
+
+    "sample_temperature" ->
+      s"""WITH n AS (SELECT lang, count(*)::BIGINT AS n_in FROM documents GROUP BY 1),
+         |m AS (SELECT min(n_in) AS n_min FROM n),
+         |r AS (SELECT lang, n_in,
+         |  pow(n_in::DOUBLE / (SELECT n_min FROM m)::DOUBLE, -0.5) AS rate FROM n),
+         |kept AS (SELECT d.lang FROM documents d JOIN r USING (lang)
+         |  WHERE ${hashing.sqlH32("(d.doc_id::VARCHAR || '/tmix')")}::DOUBLE < rate * 4294967296.0)
+         |SELECT r.lang, r.n_in,
+         |  (SELECT count(*) FROM kept k WHERE k.lang = r.lang)::BIGINT AS n_kept,
+         |  round(r.rate, 4) + 0.0 AS rate
+         |FROM r ORDER BY r.lang""".stripMargin,
 
     "meta_string_filter" ->
       """SELECT doc_id, source, lang FROM documents

@@ -239,6 +239,116 @@ object VecIndex {
     (store, BuildStats(n, lo, groups, files, (System.nanoTime() - t0) / 1000000, path))
   }
 
+  /** Stats returned by [[delete]]: how surgical the rewrite was. */
+  final case class DeleteStats(
+      rowsDeleted: Long, filesRewritten: Int, filesKept: Int, deleteMs: Long)
+
+  /** Delete rows matching `pred` — the reference's roadmap mutability
+    * item (README.md:204-215) in its log-structured form: only data files
+    * that actually CONTAIN matching rows are rewritten (minus the
+    * matches); every other file is left byte-identical. On a layout built
+    * with `sortBy`/`lshBits`/`ivfCentroids`, a selective predicate
+    * touches a handful of files out of a 100 TB dataset — the same
+    * pruning that serves queries bounds the rewrite.
+    *
+    * Mechanics: matching rows' `_metadata.file_path` gives the affected
+    * file list (driver-sized: a list of paths, never rows); those files
+    * are re-read with the index as `basePath` (so partition-directory
+    * columns survive), filtered, appended as fresh segment files into the
+    * same directories, and the originals are then removed. Rewrite
+    * happens BEFORE removal, so a crash mid-delete leaves transient
+    * duplicates rather than data loss (re-run the delete to converge —
+    * it is idempotent for a pure predicate). SQL three-valued logic:
+    * rows where `pred` is NULL are KEPT, exactly like `DELETE WHERE`. */
+  def delete(spark: SparkSession, path: String, pred: org.apache.spark.sql.Column): DeleteStats = {
+    val t0 = System.nanoTime()
+    val df = spark.read.parquet(path)
+    val affected = df.filter(pred)
+      .select(col("_metadata.file_path").as("f")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val (filesTotal, _) = countRowGroups(spark, path)
+    if (affected.isEmpty)
+      return DeleteStats(0L, 0, filesTotal, (System.nanoTime() - t0) / 1000000)
+
+    val partCol = readMeta(spark, path).flatMap { m =>
+      if (m.lshBits.isDefined) Some(LshBucketCol)
+      else if (m.ivfCentroids.isDefined) Some(IvfClusterCol)
+      else None
+    }
+    val sub = spark.read.option("basePath", path).parquet(affected: _*)
+    val deleted = sub.filter(pred).count()
+    val kept = sub.filter(!coalesce(pred, lit(false)))
+      .select(df.columns.map(col): _*)
+    var writer = kept.write.mode(SaveMode.Append)
+    partCol.foreach(c => writer = writer.partitionBy(c))
+    writer.parquet(path)
+
+    val conf = spark.sessionState.newHadoopConf()
+    affected.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(conf).delete(p, false)
+    }
+    DeleteStats(deleted, affected.length, filesTotal - affected.length,
+      (System.nanoTime() - t0) / 1000000)
+  }
+
+  /** Compact an index in place: rewrite the dataset with the original
+    * partition layout but fresh, right-sized files — the maintenance pass
+    * that undoes [[append]]/[[delete]] segment fragmentation (many small
+    * files → file-open overhead and loose zonemaps). Partitioned layouts
+    * rewrite one file per partition directory; flat layouts re-sort by
+    * `opts.sortBy` (restoring zonemap locality) or coalesce to
+    * `opts.numFiles`. Staged write-then-swap: the new dataset lands in a
+    * temp sibling and replaces the index with two filesystem renames, so
+    * readers never observe a half-compacted directory. Index metadata is
+    * carried over verbatim. */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      opts: BuildOptions = BuildOptions(),
+      vecCol: String = "embedding"): BuildStats = {
+    val t0 = System.nanoTime()
+    val meta = readMeta(spark, path)
+    val df = spark.read.parquet(path)
+    val partCol = meta.flatMap { m =>
+      if (m.lshBits.isDefined) Some(LshBucketCol)
+      else if (m.ivfCentroids.isDefined) Some(IvfClusterCol)
+      else None
+    }
+    val parts = opts.numFiles.getOrElse(spark.sparkContext.defaultParallelism)
+    val laidOut = partCol match {
+      case Some(c) => df.repartition(col(c))
+      case None if opts.sortBy.nonEmpty =>
+        df.repartitionByRange(parts, opts.sortBy.map(col): _*)
+          .sortWithinPartitions(opts.sortBy.map(col): _*)
+      case None => df.coalesce(parts)
+    }
+    val tmp = path + ".compact-tmp"
+    var writer = laidOut.write.mode(SaveMode.Overwrite)
+      .option("parquet.block.size", opts.rowGroupBytes.toString)
+    partCol.foreach(c => writer = writer.partitionBy(c))
+    writer.parquet(tmp)
+    meta match {
+      case Some(m) => writeMetaValues(spark, tmp, m.lshBits, m.lshTable, m.ivfCentroids)
+      case None => ()
+    }
+
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val tmpP = new org.apache.hadoop.fs.Path(tmp)
+    val fs = root.getFileSystem(conf)
+    fs.delete(root, true)
+    fs.rename(tmpP, root)
+
+    val reopened = spark.read.parquet(path)
+    val n = reopened.count()
+    val dim = reopened.select(size(col(vecCol)).as("d"))
+      .where(col("d").isNotNull).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    val (files, groups) = countRowGroups(spark, path)
+    BuildStats(n, dim, groups, files, (System.nanoTime() - t0) / 1000000, path)
+  }
+
   /** Footer-only count of (files, row groups) under an index directory —
     * the reference's `n_chunks` build stat (meta.rs:847). */
   private def countRowGroups(spark: SparkSession, path: String): (Int, Int) = {
@@ -266,10 +376,18 @@ object VecIndex {
 
   /** Persist the build-time metadata under `_graft_meta` (underscore dir:
     * parquet scans of the index never see it). */
-  private def writeMeta(spark: SparkSession, path: String, opts: BuildOptions): Unit = {
+  private def writeMeta(spark: SparkSession, path: String, opts: BuildOptions): Unit =
+    writeMetaValues(spark, path, opts.lshBits, 0, opts.ivfCentroids)
+
+  private def writeMetaValues(
+      spark: SparkSession,
+      path: String,
+      lshBits: Option[Int],
+      lshTable: Int,
+      ivfCentroids: Option[Seq[(Int, Seq[Double])]]): Unit = {
     import spark.implicits._
-    Seq((opts.lshBits, 0, opts.ivfCentroids.getOrElse(Seq.empty[(Int, Seq[Double])]),
-        opts.ivfCentroids.isDefined))
+    Seq((lshBits, lshTable, ivfCentroids.getOrElse(Seq.empty[(Int, Seq[Double])]),
+        ivfCentroids.isDefined))
       .toDF("lsh_bits", "lsh_table", "centroids", "has_ivf")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/$MetaDir")
   }

@@ -272,6 +272,28 @@ object ann {
       nprobe: Int): DataFrame =
     recallOf(store, queries, k)((st, q) => ivfSearchIndexed(st, q, k, nprobe))
 
+  /** Embedding outliers: distance to the NEAREST of the given centroids,
+    * largest first — the out-of-distribution detector a data-cleaning
+    * pipeline runs over an embedded corpus (mislabeled scrapes, encoding
+    * garbage, and off-topic documents sit far from every cluster center).
+    * Adds `centroid_dist` (squared L2, quantized 4dp). Pure scan + one
+    * TakeOrderedAndProject: the argmin is the same literal-centroid
+    * expression as [[ivfAssign]] (no join, no shuffle), so this costs one
+    * pass at any corpus size. */
+  def centroidOutliers(
+      df: DataFrame,
+      centroids: Seq[(Int, Seq[Double])],
+      topN: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val dists = array(centroids.map { case (_, cvec) =>
+      vectors.l2Squared(col(vecCol), vectors.vecLit(cvec))
+    }: _*)
+    df.withColumn("centroid_dist", round(array_min(dists), 4) + lit(0.0))
+      .orderBy(col("centroid_dist").desc, col(idCol))
+      .limit(topN)
+  }
+
   /** Recall@k of ANY approximate search against the exact scan — the
     * shared harness behind [[recallAtK]] and [[ivfRecallAtK]]. */
   def recallOf(store: VecStore, queries: Seq[Seq[Double]], k: Int)(

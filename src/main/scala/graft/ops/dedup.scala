@@ -649,4 +649,57 @@ object dedup {
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
+
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+    * embedding space, then drop every row whose cosine similarity to a
+    * LOWER-ID row in the same cluster reaches `threshold`. Unlike the
+    * LSH candidate generators above, the cluster assignment is the
+    * candidate structure — semantically redundant documents land in the
+    * same cluster, so the quadratic pair search runs per cluster, never
+    * globally. The keep rule (lowest id survives) is deterministic and
+    * chain-free: x is dropped iff ∃ y < x in its cluster with
+    * cos(x,y) ≥ τ, independent of what happens to y itself.
+    *
+    * Returns the SURVIVING rows as `(idCol, cluster_id)`.
+    *
+    * Scale discipline (100 TB): candidate pairs are O(Σ cluster²) — the
+    * operator is only as good as its clustering, so `centroids` must grow
+    * with the corpus (SemDeDup uses ~100k clusters at billions of docs;
+    * [[graft.ops.ann.kmeans]] trains them, [[graft.ops.ann.seedCentroids]]
+    * seeds them). As a hot-cluster guard, clusters larger than
+    * `clusterCap` are excluded from pair generation (their rows all
+    * survive) and counted in an `observe()` metric named
+    * `graft_semantic_dedup` (`skipped_clusters`, `max_cluster`) so a
+    * pipeline can alert and re-train with more centroids rather than
+    * silently running an n² join. The pair self-join shuffles on
+    * cluster_id once; the anti-join back is id-keyed and thin. */
+  def semanticDedup(
+      df: DataFrame,
+      centroids: Seq[(Int, Seq[Double])],
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      clusterCap: Long = 1000000L): DataFrame = {
+    val assigned = ann.ivfAssign(df, centroids, vecCol)
+      .withColumn("inv", vectors.invNorm(col(vecCol)))
+      .select(col(idCol), col("cluster_id"), col(vecCol), col("inv"))
+    val allowed = assigned.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_sz"))
+      .observe("graft_semantic_dedup",
+        sum(when(col("cluster_sz") > clusterCap, 1L).otherwise(0L)).as("skipped_clusters"),
+        max(col("cluster_sz")).as("max_cluster"))
+      .where(col("cluster_sz") <= clusterCap)
+      .select(col("cluster_id"))
+    val paired = assigned.join(allowed, Seq("cluster_id"))
+    val dropped = paired.as("a")
+      .join(paired.as("b"),
+        col("a.cluster_id") === col("b.cluster_id") &&
+          col(s"a.$idCol") < col(s"b.$idCol") &&
+          vectors.dotProduct(col(s"a.$vecCol"), col(s"b.$vecCol"))
+            * col("a.inv") * col("b.inv") >= threshold)
+      .select(col(s"b.$idCol").as(idCol))
+      .distinct()
+    assigned.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cluster_id"))
+  }
 }

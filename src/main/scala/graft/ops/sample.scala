@@ -92,6 +92,52 @@ object sample {
         .otherwise("test"))
   }
 
+  /** Deterministic per-group reservoir: keep exactly `n` rows per group
+    * (all rows of groups smaller than `n`), chosen by portable hash rank
+    * — the uniform-without-replacement sample a seeded reservoir would
+    * draw, but with no RNG state and bit-reproducible on any engine.
+    * Adds `sample_rank` (1-based within the group).
+    *
+    * Scale: the rank filter compiles to WindowGroupLimit, so each task
+    * keeps a bounded n-row heap per group — one shuffle on the group key,
+    * never a full per-group sort. This is the per-stratum "show me n
+    * examples" / eval-set carve-out primitive. */
+  def perGroupSample(df: DataFrame, groupCol: String, idCol: String, n: Int,
+      salt: String = "res"): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(
+      hashing.h32(concat(col(idCol).cast("string"), lit("/" + salt))), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .where(col("sample_rank") <= n)
+  }
+
+  /** Temperature-based source mixing (the multilingual-sampling rule of
+    * Conneau & Lample's XLM / mC4): rebalance a skewed corpus so stratum
+    * probabilities follow `p_i^alpha` instead of `p_i`. The per-stratum
+    * keep rate is `(n_i / n_min)^(alpha-1)`, normalized so the rarest
+    * stratum keeps 100% — `alpha = 1` keeps everything, `alpha → 0`
+    * flattens toward uniform. Rows are then kept by the same portable
+    * hash-Bernoulli rule as [[weightedSample]].
+    *
+    * Adds `mix_rate`. Scale: one tiny per-stratum count aggregate
+    * (map-side combined, `strata` rows) broadcast back onto the scan —
+    * the corpus itself never shuffles. */
+  def temperatureMix(df: DataFrame, idCol: String, stratumCol: String,
+      alpha: Double, salt: String = "tmix"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_n_stratum"))
+    val nMin = counts.agg(min(col("_n_stratum")).as("_n_min"))
+    val rates = broadcast(counts.crossJoin(broadcast(nMin))
+      .select(col(stratumCol),
+        pow(col("_n_stratum").cast("double") / col("_n_min").cast("double"),
+          lit(alpha - 1.0)).as("mix_rate")))
+    df.join(rates, stratumCol)
+      .where(
+        hashing.h32(concat(col(idCol).cast("string"), lit("/" + salt)))
+          .cast("double") < col("mix_rate") * lit(4294967296.0))
+  }
+
   /** Sequence packing: assign documents to packs of at most ~`budget`
     * tokens via a running token-count prefix sum —
     * `local_pack = floor((cumsum - n_tokens) / budget)` (each doc's pack

@@ -462,4 +462,45 @@ object text {
         (floor(col("c") * 10000.0 / col("n_chunks") + 0.5) / 10000.0)
           .as("consistency"))
   }
+
+  /** Per-document mean unigram log-probability under a language model
+    * trained on the corpus itself — the classic perplexity-style quality
+    * score (CCNet-style filtering ranks documents by LM fit; a
+    * corpus-trained unigram model is its engine-primitive form: documents
+    * full of globally-rare tokens score low, formulaic documents score
+    * high). No smoothing is needed — every scored token is in the corpus
+    * vocabulary by construction.
+    *
+    * Determinism at scale: per-(doc, token) contributions
+    * `tf · ln(tf_corpus / n_corpus)` are quantized to 1e-6 fixed point and
+    * summed as LONGS — exact, associative, order-free (the
+    * [[graft.ops.ann.labelCentroids]] discipline), so the score is
+    * bit-reproducible on any engine and any partitioning.
+    *
+    * Plan shape: one token explode → (doc, token) count, a token-keyed
+    * vocabulary aggregate derived from it (map-side combined; shuffle
+    * volume is vocabulary-sized, Heaps' law), a 1-row corpus total
+    * broadcast, one token-keyed join back (stopword skew → AQE skew
+    * handling), one doc-keyed sum. Returns
+    * `(idCol, n_tokens, logprob)` for docs with ≥ 1 token. */
+  def unigramLogProb(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String): org.apache.spark.sql.DataFrame = {
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy(col("tok")).agg(sum(col("tf")).as("ctf"))
+    val total = vocab.agg(sum(col("ctf")).as("n_corpus"))
+    tf.join(vocab, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        sum(floor(col("tf") * log(col("ctf").cast("double") / col("n_corpus").cast("double"))
+          * lit(1.0e6)).cast("long")).as("q"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("q").cast("double") / lit(1.0e6) / col("n_tokens"), 4)
+          .as("logprob"))
+  }
 }

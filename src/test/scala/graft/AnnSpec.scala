@@ -181,4 +181,18 @@ class AnnSpec extends SparkSpec {
       .collect().select("vec_id").as[Long].collect().toSeq
     assert(ivf == exact)
   }
+
+  test("centroidOutliers: distance to the NEAREST centroid, largest first") {
+    val cents: Seq[(Int, Seq[Double])] =
+      Seq(0 -> Seq(0.0, 0.0), 1 -> Seq(10.0, 0.0))
+    val fixture = Seq(
+      (1L, Array(1.0, 1.0)),    // nearest c0, d = 2
+      (2L, Array(3.0, 4.0)),    // nearest c0, d = 25
+      (3L, Array(9.0, 1.0)),    // nearest c1, d = 2 (21 dims away from c0)
+      (4L, Array(0.5, 0.0))     // nearest c0, d = 0.25
+    ).toDF("vec_id", "embedding")
+    val top = ann.centroidOutliers(fixture, cents, topN = 2)
+      .select("vec_id", "centroid_dist").as[(Long, Double)].collect().toSeq
+    assert(top == Seq((2L, 25.0), (1L, 2.0)))
+  }
 }

@@ -248,4 +248,24 @@ class DedupSpec extends SparkSpec {
       .count()
     assert(uncapped == 300L * 299L / 2 + 1)
   }
+
+  test("semanticDedup: lowest id survives per similar set, clusters isolate the search") {
+    val centroids: Seq[(Int, Seq[Double])] =
+      Seq(0 -> Seq(1.0, 0.0), 1 -> Seq(0.0, 1.0))
+    val df = Seq(
+      (1L, Array(1.0, 0.0)),     // cluster 0
+      (2L, Array(0.99, 0.14)),   // cluster 0, cos(1,2) ~ 0.990 -> dropped
+      (3L, Array(0.7, -0.72)),   // cluster 0, cos(1,3) ~ 0.697 -> kept
+      (4L, Array(0.0, 1.0)),     // cluster 1
+      (5L, Array(0.1, 0.995))    // cluster 1, cos(4,5) ~ 0.995 -> dropped
+    ).toDF("vec_id", "embedding")
+    val kept = dedup.semanticDedup(df, centroids, threshold = 0.9)
+      .as[(Long, Int)].collect().toMap
+    assert(kept.keySet == Set(1L, 3L, 4L))
+    assert(kept(1L) == 0 && kept(3L) == 0 && kept(4L) == 1)
+    // hot-cluster guard: clusters over the cap skip pair generation —
+    // everything survives rather than running an n^2 join
+    val capped = dedup.semanticDedup(df, centroids, threshold = 0.9, clusterCap = 1L)
+    assert(capped.count() == 5)
+  }
 }

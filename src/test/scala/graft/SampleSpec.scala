@@ -91,6 +91,43 @@ class SampleSpec extends SparkSpec {
     }
   }
 
+  test("perGroupSample: exactly n per group (or the whole group), stable, bounded plan") {
+    val r = sample.perGroupSample(docs, "lang", "doc_id", n = 3)
+    val per = r.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val totals = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    totals.foreach { case (lang, tot) =>
+      assert(per(lang) == math.min(3L, tot), s"lang $lang")
+    }
+    // ranks are 1..n and the selection is deterministic across runs
+    assert(r.agg(max("sample_rank")).head().getInt(0) <= 3)
+    val a = r.select("doc_id").as[Long].collect().toSet
+    val b = sample.perGroupSample(docs, "lang", "doc_id", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+    // the rank filter compiles to a bounded per-group heap, not a sort
+    val plan = r.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$plan")
+  }
+
+  test("temperatureMix: rarest stratum keeps all, dominant downsampled, nested in alpha") {
+    val totals = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val rarest = totals.minBy { case (l, n) => (n, l) }._1
+    val m5 = sample.temperatureMix(docs, "doc_id", "lang", alpha = 0.5)
+    val k5 = m5.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(k5(rarest) == totals(rarest))            // rate 1.0 for n_min
+    val dominant = totals.maxBy(_._2)._1
+    assert(k5(dominant) < totals(dominant))          // downsampled
+    // alpha = 1 keeps everything
+    assert(sample.temperatureMix(docs, "doc_id", "lang", alpha = 1.0).count()
+      == docs.count())
+    // same salt: lower alpha's keep-set nests inside higher alpha's
+    val ids3 = sample.temperatureMix(docs, "doc_id", "lang", alpha = 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    val ids7 = sample.temperatureMix(docs, "doc_id", "lang", alpha = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids3.subsetOf(ids7))
+  }
+
   test("packSequences: single-partition window never appears in the plan") {
     val packed = sample.packSequences(docs, "doc_id",
       graft.ops.text.tokenCount(col("text")).cast("long"), budget = 512)

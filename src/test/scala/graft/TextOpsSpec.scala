@@ -176,4 +176,20 @@ class TextOpsSpec extends SparkSpec {
     assert(rows("a")._2 == rows("b")._2)          // min-shingle robust to tail edit
     assert(rows("a")._2 != rows("c")._2)          // but separates real differences
   }
+
+  test("unigramLogProb: hand-computed fixed-point scores") {
+    // corpus: a:2 b:2 c:1, N=5. Contributions quantize per (doc, token):
+    //   d1 = floor(2*ln(0.4)*1e6) + floor(ln(0.4)*1e6) = -2748873
+    //        -> round(-2.748873 / 3, 4) = -0.9163
+    //   d2 = floor(ln(0.4)*1e6) + floor(ln(0.2)*1e6)   = -2525729
+    //        -> round(-2.525729 / 2, 4) = -1.2629
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val r = text.unigramLogProb(df, "text", "doc_id")
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n, p) => id -> ((n, p)) }.toMap
+    assert(r(1L) == ((3L, -0.9163)))
+    assert(r(2L) == ((2L, -1.2629)))
+    // rare-token documents score lower: the quality-ranking property
+    assert(r(2L)._2 < r(1L)._2)
+  }
 }

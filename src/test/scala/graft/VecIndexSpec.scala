@@ -168,4 +168,78 @@ class VecIndexSpec extends SparkSpec {
         stats.get.rowGroups.get.rowGroupsTotal > 0)
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("delete rewrites only the files that contain matches") {
+    val path = s"$tmp/del_idx"
+    val df = (0 until 200)
+      .map(i => (i.toLong, (0 until 8).map(d => math.sin(i * 7.0 + d)).toArray, i / 50))
+      .toDF("vec_id", "embedding", "label")
+    // label-sorted layout over 4 files: each label lives in ~1 file
+    VecIndex.build(df, path,
+      opts = VecIndex.BuildOptions(sortBy = Seq("label"), numFiles = Some(4)))
+    def dataFiles() = new java.io.File(path).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    val before = dataFiles()
+
+    val st = VecIndex.delete(spark, path, col("label") === 2)
+    assert(st.rowsDeleted == 50)
+    assert(st.filesRewritten < before.size,
+      s"selective delete must not rewrite the whole index: $st")
+    val after = dataFiles()
+    // untouched files survive byte-identical (same name, same mtime)
+    val untouched = before.keySet.intersect(after.keySet)
+    assert(untouched.nonEmpty)
+    untouched.foreach(k => assert(before(k) == after(k), s"$k was rewritten"))
+
+    val reopened = VecIndex.load(spark, path)
+    assert(reopened.df.count() == 150)
+    assert(reopened.df.filter(col("label") === 2).count() == 0)
+    // delete is idempotent; NULL predicates keep rows (3-valued logic)
+    assert(VecIndex.delete(spark, path, col("label") === 2).rowsDeleted == 0)
+  }
+
+  test("delete on a partitioned layout keeps bucket directories consistent") {
+    val path = s"$tmp/del_lsh"
+    val df = (0 until 120)
+      .map(i => (i.toLong, (0 until 8).map(d => math.sin(i * 3.0 + d)).toArray, i % 3))
+      .toDF("vec_id", "embedding", "label")
+    VecIndex.build(df, path, opts = VecIndex.BuildOptions(lshBits = Some(3)))
+    val st = VecIndex.delete(spark, path, col("vec_id") < 20)
+    assert(st.rowsDeleted == 20)
+    val store = VecIndex.load(spark, path)
+    assert(store.df.count() == 100)
+    // bucket column still partition-derived and search still correct
+    val q = (0 until 8).map(d => math.sin(77 * 3.0 + d))
+    val top = graft.ops.ann.lshSearch(store, q, k = 1, nbits = 3)
+      .select("vec_id").as[Long].head()
+    assert(top == 77L)
+  }
+
+  test("compact merges appended segments; search results unchanged") {
+    val path = s"$tmp/cmp_idx"
+    val mk = (r: Range) => r
+      .map(i => (i.toLong, (0 until 8).map(d => math.sin(i * 11.0 + d)).toArray, i % 4))
+      .toDF("vec_id", "embedding", "label")
+    VecIndex.build(mk(0 until 80), path,
+      opts = VecIndex.BuildOptions(sortBy = Seq("label")))
+    VecIndex.append(mk(80 until 100), path)
+    VecIndex.append(mk(100 until 120), path)
+    val (filesBefore, _) = {
+      val fs = new java.io.File(path).listFiles()
+        .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      (fs, 0)
+    }
+    val q = (0 until 8).map(d => math.sin(95 * 11.0 + d))
+    def results() = VecIndex.load(spark, path).query(q, Metric.Cosine)
+      .take(5).withScoreRounding(4).collect()
+      .select("vec_id", "score").as[(Long, Double)].collect().toSeq
+    val before = results()
+
+    val stats = VecIndex.compact(spark, path,
+      VecIndex.BuildOptions(sortBy = Seq("label"), numFiles = Some(2)))
+    assert(stats.rows == 120 && stats.dim == 8)
+    assert(stats.files < filesBefore, s"compaction must shrink file count: $stats")
+    assert(results() == before)
+  }
 }
