@@ -91,4 +91,26 @@ class PlanQualitySpec extends SparkSpec {
       assert(exchanges <= 1, s"$q should shuffle at most once (output sort), got $exchanges")
     }
   }
+
+  test("semantic dedup pairs join on cluster equality, never a cartesian product") {
+    val p = plan("dedup_semantic")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cluster pair join must be key-equal:\n${p.take(1200)}")
+  }
+
+  test("PQ and outlier scoring are scan + TakeOrdered (no join, no agg exchange)") {
+    Seq("vec_pq_topk", "vec_outlier").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q top-k shape:\n${p.take(800)}")
+      assert(!p.contains("Join"), s"$q must not join (literal argmin/LUT):\n${p.take(800)}")
+    }
+  }
+
+  test("temperature mixing broadcasts the per-stratum rates onto the scan") {
+    assert(plan("sample_temperature").contains("BroadcastHashJoin"))
+  }
+
+  test("reservoir sampling plans as WindowGroupLimit (bounded per-group heap)") {
+    assert(plan("sample_reservoir").contains("WindowGroupLimit"))
+  }
 }
