@@ -73,7 +73,9 @@ object SparkEntry {
   /** Memoized IVF-partitioned index: build-time nearest-centroid
     * assignment (16 deterministic seed centroids, persisted in the index
     * metadata), layout partitioned by cluster_id — probing = partition
-    * pruning. */
+    * pruning. Also carries PQ codes (4 subspaces × 16 seed codewords), so
+    * the same index serves plain IVF (exact in-list scoring) and IVF-PQ
+    * (ADC over `pq_code`, float column never read). */
   private val builtIvfIndexes = new scala.collection.concurrent.TrieMap[String, String]()
   private def embIvfIndex(s: SparkSession, dir: String): VecStore = {
     val path = builtIvfIndexes.getOrElseUpdate(dir, {
@@ -81,7 +83,8 @@ object SparkEntry {
       val emb = table(s, dir, "embeddings")
       graft.index.VecIndex.build(emb, out,
         opts = graft.index.VecIndex.BuildOptions(
-          ivfCentroids = Some(ann.seedCentroids(emb, 16))))._2.path
+          ivfCentroids = Some(ann.seedCentroids(emb, 16)),
+          pqCodebooks = Some(graft.ops.quant.pqSeedCodebooks(emb, m = 4, k = 16))))._2.path
       out
     })
     graft.index.VecIndex.load(s, path)
@@ -310,6 +313,13 @@ object SparkEntry {
         .orderBy(col("score").desc, col("vec_id"))
         .limit(10)
     }),
+
+    // north-star: IVF-PQ over the persisted index — partition pruning
+    // (nprobe of 16 lists read) COMPOUNDS with ADC code scoring (float
+    // vectors never read); the FAISS-style 100 TB serving layout.
+    "ann_ivfpq_topk" -> ((s, dir) =>
+      ann.ivfPqSearch(embIvfIndex(s, dir), Q1, k = 10, nprobe = 4)
+        .select(col("vec_id"), col("score"), col("label"))),
 
     // north-star: product quantization — ADC scoring (m lookups per row,
     // no float vector read); the 64x-fewer-scan-bytes serving path.
@@ -606,8 +616,11 @@ object SparkEntry {
     // ran once at build (16 deterministic seed centroids, persisted in
     // the index metadata); the probe of the 4 nearest lists is directory
     // partition pruning, so 12 of 16 lists are never read.
+    // (pq_code rides in the same index for ann_ivfpq_topk — project it
+    // away here so the exact-scoring result shape matches the oracle's.)
     "ann_ivf_topk" -> ((s, dir) =>
-      ann.ivfSearchIndexed(embIvfIndex(s, dir), Q1, k = 10, nprobe = 4)),
+      ann.ivfSearchIndexed(embIvfIndex(s, dir), Q1, k = 10, nprobe = 4)
+        .select(col("vec_id"), col("score"), col("label"))),
 
     // north-star: recall@k for the IVF index — the nprobe tuning loop
     // (lists read vs recall), exact side is the full-scan ground truth.
@@ -1415,6 +1428,38 @@ object SparkEntry {
          |FROM v)
          |SELECT vec_id, score, label FROM p
          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+    },
+
+    "ann_ivfpq_topk" -> {
+      // IVF probe CTEs (as in ann_ivf_topk) compose with the PQ
+      // assignment CTEs (as in vec_pq_topk), restricted to the probed
+      // lists — the SQL mirror of partition pruning + ADC scoring.
+      val subs = (0 until 4).map { si =>
+        val lo = si * 16 + 1
+        def sl(e: String) = s"list_slice($e, $lo, ${lo + 15})"
+        s"""a$si AS (SELECT vec_id, c AS c$si FROM (
+           |  SELECT sel.vec_id, cb.c, row_number() OVER (PARTITION BY sel.vec_id
+           |    ORDER BY ${sqlL2Between(sl("sel.e"), sl("cb.e"))}, cb.c) AS rn FROM sel, cb) WHERE rn = 1),
+           |d$si AS (SELECT a$si.vec_id, list_dot_product(${sl("cb.e")}, ${sl(sqlVec(Q1))}) AS d
+           |  FROM a$si JOIN cb ON a$si.c$si = cb.c)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH s AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e
+         |  FROM (SELECT vec_id, e FROM s ORDER BY vec_id LIMIT 16)),
+         |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, e
+         |  FROM (SELECT vec_id, e FROM s ORDER BY vec_id LIMIT 16)),
+         |probe AS (SELECT cid FROM cent
+         |  ORDER BY ${sqlL2Between("e", sqlVec(Q1))}, cid LIMIT 4),
+         |sel AS (SELECT vec_id, label, e FROM (
+         |  SELECT s.vec_id, s.label, s.e, c.cid,
+         |    row_number() OVER (PARTITION BY s.vec_id
+         |      ORDER BY ${sqlL2Between("s.e", "c.e")}, c.cid) AS rn
+         |  FROM s, cent c) WHERE rn = 1 AND cid IN (SELECT cid FROM probe)),
+         |$subs,
+         |sc AS (SELECT sel.vec_id, sel.label, round(d0.d + d1.d + d2.d + d3.d, 4) + 0.0 AS score
+         |  FROM sel JOIN d0 USING (vec_id) JOIN d1 USING (vec_id)
+         |         JOIN d2 USING (vec_id) JOIN d3 USING (vec_id))
+         |SELECT vec_id, score, label FROM sc ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
     },
 
     "vec_pq_topk" -> {

@@ -36,7 +36,10 @@ object TakeType {
 final case class IndexMeta(
     lshBits: Option[Int] = None,
     lshTable: Int = 0,
-    ivfCentroids: Option[Seq[(Int, Seq[Double])]] = None)
+    ivfCentroids: Option[Seq[(Int, Seq[Double])]] = None,
+    /** Per-subspace PQ codebooks (`codebooks(s)(c)` = codeword `c` of
+      * subspace `s`) when the index persisted a `pq_code` column. */
+    pqCodebooks: Option[Seq[Seq[Seq[Double]]]] = None)
 
 /** Score-filter comparison operators (/root/reference/src/vec.rs:24-31). */
 sealed trait Cmp

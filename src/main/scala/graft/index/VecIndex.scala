@@ -87,7 +87,14 @@ object VecIndex {
         * partition pruning — non-probed lists are never read (the point
         * of IVF; assignment never runs at query time). Mutually exclusive
         * with `lshBits`. */
-      ivfCentroids: Option[Seq[(Int, Seq[Double])]] = None)
+      ivfCentroids: Option[Seq[(Int, Seq[Double])]] = None,
+      /** When set, persist a `pq_code` column (per-subspace nearest-
+        * codeword ids, [[graft.ops.quant.pqEncode]]) and the codebooks in
+        * the index metadata. Composable with `ivfCentroids` — the
+        * IVF-PQ layout: probing prunes partitions, ADC scoring reads m
+        * small ints per row instead of the float vector. Encoding runs
+        * once at build, never at query time. */
+      pqCodebooks: Option[Seq[Seq[Seq[Double]]]] = None)
 
   /** Reference `MetaBuildStats` (meta.rs:844-852): rows, dim, chunk count
     * (row groups here), files, wall time. */
@@ -122,13 +129,17 @@ object VecIndex {
       "graft: lshBits and ivfCentroids are mutually exclusive partition layouts")
 
     val withInv = df.withColumn(InvNormCol, vectors.invNorm(col(vecCol)))
+    val withPq = opts.pqCodebooks match {
+      case Some(cbs) => graft.ops.quant.pqEncode(withInv, cbs, vecCol)
+      case None => withInv
+    }
     val withBucket = (opts.lshBits, opts.ivfCentroids) match {
       case (Some(bits), _) =>
-        withInv.withColumn(LshBucketCol,
+        withPq.withColumn(LshBucketCol,
           graft.ops.ann.lshSignature(col(vecCol), t = 0, nbits = bits, dim = lo))
       case (_, Some(cents)) =>
-        graft.ops.ann.ivfAssign(withInv, cents, vecCol)
-      case _ => withInv
+        graft.ops.ann.ivfAssign(withPq, cents, vecCol)
+      case _ => withPq
     }
 
     // Range-partition + sort so zonemaps are tight per row group AND per
@@ -329,7 +340,8 @@ object VecIndex {
     partCol.foreach(c => writer = writer.partitionBy(c))
     writer.parquet(tmp)
     meta match {
-      case Some(m) => writeMetaValues(spark, tmp, m.lshBits, m.lshTable, m.ivfCentroids)
+      case Some(m) =>
+        writeMetaValues(spark, tmp, m.lshBits, m.lshTable, m.ivfCentroids, m.pqCodebooks)
       case None => ()
     }
 
@@ -377,18 +389,20 @@ object VecIndex {
   /** Persist the build-time metadata under `_graft_meta` (underscore dir:
     * parquet scans of the index never see it). */
   private def writeMeta(spark: SparkSession, path: String, opts: BuildOptions): Unit =
-    writeMetaValues(spark, path, opts.lshBits, 0, opts.ivfCentroids)
+    writeMetaValues(spark, path, opts.lshBits, 0, opts.ivfCentroids, opts.pqCodebooks)
 
   private def writeMetaValues(
       spark: SparkSession,
       path: String,
       lshBits: Option[Int],
       lshTable: Int,
-      ivfCentroids: Option[Seq[(Int, Seq[Double])]]): Unit = {
+      ivfCentroids: Option[Seq[(Int, Seq[Double])]],
+      pqCodebooks: Option[Seq[Seq[Seq[Double]]]]): Unit = {
     import spark.implicits._
     Seq((lshBits, lshTable, ivfCentroids.getOrElse(Seq.empty[(Int, Seq[Double])]),
-        ivfCentroids.isDefined))
-      .toDF("lsh_bits", "lsh_table", "centroids", "has_ivf")
+        ivfCentroids.isDefined,
+        pqCodebooks.getOrElse(Seq.empty[Seq[Seq[Double]]]), pqCodebooks.isDefined))
+      .toDF("lsh_bits", "lsh_table", "centroids", "has_ivf", "pq_codebooks", "has_pq")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/$MetaDir")
   }
 
@@ -405,7 +419,15 @@ object VecIndex {
           .map(cr => (cr.getInt(0), cr.getSeq[Double](1).toIndexedSeq: Seq[Double]))
           .toIndexedSeq: Seq[(Int, Seq[Double])])
       else None
-    Some(graft.core.IndexMeta(lsh, r.getInt(r.fieldIndex("lsh_table")), cents))
+    // Indexes written before the PQ field existed have no pq columns —
+    // treat them as PQ-less rather than failing the read.
+    val pq =
+      if (r.schema.fieldNames.contains("has_pq") && r.getBoolean(r.fieldIndex("has_pq")))
+        Some(r.getSeq[scala.collection.Seq[scala.collection.Seq[Double]]](r.fieldIndex("pq_codebooks"))
+          .map(cb => cb.map(cw => cw.toIndexedSeq: Seq[Double]).toIndexedSeq: Seq[Seq[Double]])
+          .toIndexedSeq: Seq[Seq[Seq[Double]]])
+      else None
+    Some(graft.core.IndexMeta(lsh, r.getInt(r.fieldIndex("lsh_table")), cents, pq))
   }
 
   /** Open a previously built index (physical layout + build metadata). */

@@ -225,6 +225,39 @@ object ann {
       .collect()
   }
 
+  /** IVF-PQ search (the FAISS-style serving layout, Jégou et al. 2011)
+    * over an index built with BOTH `ivfCentroids` and `pqCodebooks`:
+    * probing prunes partition directories (only `nprobe` of the lists are
+    * ever read), and scoring is ADC over the PERSISTED `pq_code` column —
+    * m small ints per row; the float vector column is never read. This is
+    * the compounding 100 TB path: read fraction ≈ nprobe/k_lists, and
+    * bytes-per-row-read cut ~64× on top of it. Returns approximate-dot
+    * top-k; rerank the pool against the f32 column when exactness at the
+    * head matters (same two-phase shape as [[lshSearch]]). */
+  def ivfPqSearch(
+      store: VecStore,
+      q: Seq[Double],
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val meta = store.indexMeta.getOrElse(throw new IllegalArgumentException(
+      "graft: store has no index metadata — build with BuildOptions(ivfCentroids, pqCodebooks)"))
+    val centroids = meta.ivfCentroids.getOrElse(throw new IllegalArgumentException(
+      "graft: IVF-PQ needs BuildOptions(ivfCentroids = Some(...)) at build time"))
+    val cbs = meta.pqCodebooks.getOrElse(throw new IllegalArgumentException(
+      "graft: IVF-PQ needs BuildOptions(pqCodebooks = Some(...)) at build time"))
+    require(store.df.columns.contains("pq_code"),
+      "graft: index has PQ metadata but no persisted pq_code column")
+    val probed = probeIds(centroids, q, nprobe)
+    val cl = graft.index.VecIndex.IvfClusterCol
+    store.df
+      .filter(col(cl).isin(probed: _*))
+      .withColumn("score",
+        round(graft.ops.quant.pqAdcDot(col("pq_code"), cbs, q), 4) + lit(0.0))
+      .orderBy(col("score").desc, col(store.idCol))
+      .limit(k)
+      .drop(cl)
+  }
+
   /** Per-label centroid of an embedding column, in long form
     * `(label, pos, mean)` — class prototypes for classification-by-
     * nearest-centroid, cluster drift checks, and seeding [[kmeans]].

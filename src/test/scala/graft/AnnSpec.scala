@@ -182,6 +182,33 @@ class AnnSpec extends SparkSpec {
     assert(ivf == exact)
   }
 
+  test("ivfPqSearch: partition pruning + ADC over persisted codes, matches ad-hoc PQ") {
+    import graft.ops.quant
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-").toString + "/idx"
+    val cents = ann.seedCentroids(df, 8)
+    val cbs = quant.pqSeedCodebooks(df, m = 4, k = 8)
+    val (idx, _) = graft.index.VecIndex.build(df, dir,
+      opts = graft.index.VecIndex.BuildOptions(
+        ivfCentroids = Some(cents), pqCodebooks = Some(cbs)))
+    assert(idx.indexMeta.flatMap(_.pqCodebooks).contains(cbs)) // codebooks round-trip
+    val q = vec(5)
+    val res = ann.ivfPqSearch(idx, q, k = 5, nprobe = 3)
+    // probe filter must prune partition directories, not scan-and-filter
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster_id"), plan.take(800))
+    // equals the ad-hoc form: assign + restrict to the 3 probed lists,
+    // encode in-scan, ADC-score, top-5
+    val probed = cents.map { case (cid, cv) =>
+      val d = cv.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
+      (cid, d)
+    }.sortBy { case (cid, d) => (d, cid) }.take(3).map(_._1)
+    val adHoc = quant.pqSearchDot(
+        ann.ivfAssign(df, cents).filter(col("cluster_id").isin(probed: _*)),
+        cbs, q, k = 5)
+      .select("vec_id", "score").as[(Long, Double)].collect().toSeq
+    assert(res.select("vec_id", "score").as[(Long, Double)].collect().toSeq == adHoc)
+  }
+
   test("centroidOutliers: distance to the NEAREST centroid, largest first") {
     val cents: Seq[(Int, Seq[Double])] =
       Seq(0 -> Seq(0.0, 0.0), 1 -> Seq(10.0, 0.0))
