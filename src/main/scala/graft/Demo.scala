@@ -111,6 +111,35 @@ object Demo {
     text.langConsistency(docs, "text", "doc_id")
       .orderBy(col("consistency").asc, col("doc_id")).limit(5).show(false)
 
+    println("== SemDeDup: semantic near-dup removal (8 clusters, cos >= 0.4) ==")
+    val cents = graft.ops.ann.seedCentroids(store.df, 8)
+    val kept = graft.ops.dedup.semanticDedup(store.df, cents, threshold = 0.4)
+    println(s"survivors: ${kept.count()} of ${store.df.count()}")
+
+    println("== product quantization: ADC top-3 (no float vector read) ==")
+    val cbs = graft.ops.quant.pqSeedCodebooks(store.df, m = 4, k = 16)
+    graft.ops.quant.pqSearchDot(store.df, cbs, q, k = 3)
+      .select("vec_id", "score", "label").show(false)
+
+    println("== embedding OOD outliers: farthest from every cluster center ==")
+    graft.ops.ann.centroidOutliers(store.df, cents, topN = 3)
+      .select("vec_id", "centroid_dist", "label").show(false)
+
+    println("== corpus-unigram LM quality score (lowest = rare-token docs) ==")
+    text.unigramLogProb(docs, "text", "doc_id")
+      .orderBy(col("logprob").asc).show(3, truncate = false)
+
+    println("== temperature mixing (alpha=0.5): rare languages kept whole ==")
+    graft.ops.sample.temperatureMix(docs, "doc_id", "lang", alpha = 0.5)
+      .groupBy("lang").agg(count(lit(1)).as("n_kept"),
+        round(max(col("mix_rate")), 3).as("rate"))
+      .orderBy("lang").show(false)
+
+    println("== per-language reservoir: 2 example docs per language ==")
+    graft.ops.sample.perGroupSample(docs, "lang", "doc_id", n = 2)
+      .select("lang", "doc_id", "sample_rank").orderBy("lang", "sample_rank")
+      .show(6, truncate = false)
+
     spark.stop()
   }
 }
