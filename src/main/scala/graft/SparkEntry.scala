@@ -538,6 +538,21 @@ object SparkEntry {
           (floor(col("jacc") * 10000.0 + 0.5) / 10000.0).as("jacc"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // north-star: incremental (batch-vs-corpus) near-dup screening — the
+    // daily-ingest shape: new docs (id >= 400) against the persisted
+    // corpus signature table (id < 400); corpus text never re-read,
+    // corpus x corpus pairs never generated, batch bands broadcast.
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val corpusSigs = dedup.minhashed(
+        docs.where(col("doc_id") < 400), "text", "doc_id", k = 16)
+      dedup.incrementalNearDups(docs.where(col("doc_id") >= 400), corpusSigs,
+          "text", "doc_id", threshold = 0.5)
+        .select(col("corpus_id"), col("new_id"),
+          (floor(col("jacc") * 10000.0 + 0.5) / 10000.0).as("jacc"))
+        .orderBy(col("corpus_id"), col("new_id"))
+    }),
+
     // north-star: near-dup CLUSTERS — the terminal dedup stage. MinHash
     // pairs feed alternating large-star/small-star connected components
     // (O(log²) rounds, lineage cut per round); every clustered doc gets
@@ -1254,6 +1269,17 @@ object SparkEntry {
       s"""WITH $SqlMinhashPairCtes
          |SELECT id_a, id_b, floor(jacc * 10000.0 + 0.5) / 10000.0 AS jacc
          |FROM mp ORDER BY id_a, id_b""".stripMargin,
+
+    // The full-pair CTE chain restricted to straddling pairs IS the
+    // incremental result: candidate generation (shared band key) and
+    // rerank are identical whether the non-batch side pairs among itself
+    // or not — corpus-side ids < 400, batch side >= 400.
+    "dedup_incremental" ->
+      s"""WITH $SqlMinhashPairCtes
+         |SELECT id_a AS corpus_id, id_b AS new_id,
+         |  floor(jacc * 10000.0 + 0.5) / 10000.0 AS jacc
+         |FROM mp WHERE id_a < 400 AND id_b >= 400
+         |ORDER BY corpus_id, new_id""".stripMargin,
 
     // transitive closure via recursive CTE = the oracle for the
     // large-star/small-star connected components

@@ -650,6 +650,49 @@ object dedup {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Incremental near-dup screening — the daily-ingest shape: find which
+    * documents of a NEW batch are near-duplicates of an EXISTING corpus,
+    * without ever re-pairing the corpus against itself. `corpusSigs` is
+    * the persisted signature table [[minhashed]] produces (`id, grams,
+    * sig`): at 100 TB the corpus is signed ONCE at ingest and only the
+    * signature table is ever joined again; raw corpus text is never
+    * re-read, and corpus×corpus pairs are never generated.
+    *
+    * Plan shape: the batch (assumed ≪ corpus — a day's crawl against
+    * years of data) is signed in-scan and its exploded band keys are
+    * BROADCAST, so the corpus-side band scan never shuffles; candidates
+    * are exactly the cross (corpus, batch) band collisions, reranked by
+    * exact Jaccard. Returns `(corpus_id, new_id, jacc)` — anti-join the
+    * batch on `new_id` to keep only genuinely novel documents.
+    *
+    * Recall matches [[minhashNearDupPairs]] (same k/bands banding):
+    * `1-(1-j^r)^bands`. */
+  def incrementalNearDups(
+      batch: DataFrame,
+      corpusSigs: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      k: Int = 16,
+      bands: Int = 8,
+      n: Int = 3): DataFrame = {
+    val bm = minhashed(batch, textCol, idCol, k, n)
+    def bandedOf(sigs: DataFrame, as: String) = sigs
+      .select(col(idCol).as(as), explode(lshBands(col("sig"), k, bands)).as("band"))
+      .select(col(as), col("band.band_idx").as("band_idx"),
+        col("band.band_key").as("band_key"))
+    val cands = bandedOf(corpusSigs, "corpus_id")
+      .join(broadcast(bandedOf(bm, "new_id")), Seq("band_idx", "band_key"))
+      .select(col("corpus_id"), col("new_id"))
+      .distinct()
+    val ga = corpusSigs.select(col(idCol).as("corpus_id"), col("grams").as("grams_a"))
+    val gb = bm.select(col(idCol).as("new_id"), col("grams").as("grams_b"))
+    cands.join(ga, "corpus_id").join(broadcast(gb), "new_id")
+      .withColumn("jacc", jaccard(col("grams_a"), col("grams_b")))
+      .where(col("jacc") >= threshold)
+      .select(col("corpus_id"), col("new_id"), col("jacc"))
+  }
+
   /** Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
     * embedding space, then drop every row whose cosine similarity to a
     * LOWER-ID row in the same cluster reaches `threshold`. Unlike the

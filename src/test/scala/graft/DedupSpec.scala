@@ -249,6 +249,26 @@ class DedupSpec extends SparkSpec {
     assert(uncapped == 300L * 299L / 2 + 1)
   }
 
+  test("incrementalNearDups: batch-vs-corpus only; corpus pairs never generated") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),   // corpus-internal dup
+      (3L, "completely unrelated text about spark query engines and shuffles")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the sleepy dog"), // near-dup of 1 and 2
+      (11L, "novel content that matches nothing in the corpus at all today")
+    ).toDF("doc_id", "text")
+    val sigs = dedup.minhashed(corpus, "text", "doc_id", k = 16)
+    val r = dedup.incrementalNearDups(batch, sigs, "text", "doc_id", threshold = 0.5)
+    val pairs = r.select("corpus_id", "new_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 10L), (2L, 10L)))
+    // the corpus-internal dup (1,2) must NOT appear — only cross pairs
+    // the batch side rides as a broadcast; the corpus side never shuffles
+    val plan = r.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
   test("semanticDedup: lowest id survives per similar set, clusters isolate the search") {
     val centroids: Seq[(Int, Seq[Double])] =
       Seq(0 -> Seq(1.0, 0.0), 1 -> Seq(0.0, 1.0))
