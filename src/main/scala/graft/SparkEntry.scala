@@ -372,6 +372,14 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // north-star: MMR diversification re-rank — distributed cosine pool
+    // (TakeOrderedAndProject), then the inherently-sequential greedy pick
+    // driver-side over the BOUNDED pool (same class as the IVF probe list).
+    "retrieval_mmr_topk" -> ((s, dir) =>
+      retrieval.mmr(table(s, dir, "embeddings"), Q1, k = 10,
+          lambda = 0.7, poolCap = 50)
+        .orderBy(col("mmr_rank"))),
+
     // roadmap string ops (README.md:204-215): starts_with / contains /
     // ends_with metadata predicates — free as pushed Spark filters.
     "meta_string_filter" -> ((s, dir) =>
@@ -1511,6 +1519,37 @@ object SparkEntry {
          |  FROM s JOIN d0 USING (vec_id) JOIN d1 USING (vec_id)
          |         JOIN d2 USING (vec_id) JOIN d3 USING (vec_id))
          |SELECT vec_id, score, label FROM sc ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+    },
+
+    // Recursive-CTE mirror of the driver-side greedy: base case = highest
+    // relevance; each step's LATERAL argmax scores the not-yet-selected
+    // pool by lambda·rel − (1−lambda)·max-sim-to-selected. The lambda
+    // constants are interpolated from the SAME Scala doubles the driver
+    // uses (1−0.7 is NOT the double 0.3 — interpolation keeps both
+    // engines on identical bits).
+    "retrieval_mmr_topk" -> {
+      val lam = 0.7
+      s"""WITH RECURSIVE pool AS (
+         |  SELECT vec_id, e, list_dot_product(e, ${sqlVec(Q1)}) * inv * ${vectors.invNormOf(Q1)} AS rel, inv
+         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         |    (CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0
+         |      THEN 1.0/sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+         |      ELSE 0.0 END) AS inv FROM embeddings)
+         |  ORDER BY rel DESC, vec_id LIMIT 50),
+         |sel(step, sel_ids, pick_id, pick_score) AS (
+         |  SELECT 1, [p.vec_id], p.vec_id, p.rel
+         |  FROM (SELECT * FROM pool ORDER BY rel DESC, vec_id LIMIT 1) p
+         |  UNION ALL
+         |  SELECT s.step + 1, list_append(s.sel_ids, c.vec_id), c.vec_id, c.mmr
+         |  FROM sel s, LATERAL (
+         |    SELECT p.vec_id, $lam * p.rel - ${1.0 - lam} * (
+         |        SELECT max(list_dot_product(p.e, p2.e) * p.inv * p2.inv)
+         |        FROM pool p2 WHERE list_contains(s.sel_ids, p2.vec_id)) AS mmr
+         |    FROM pool p WHERE NOT list_contains(s.sel_ids, p.vec_id)
+         |    ORDER BY mmr DESC, p.vec_id LIMIT 1) c
+         |  WHERE s.step < 10)
+         |SELECT step AS mmr_rank, pick_id AS vec_id, round(pick_score, 4) + 0.0 AS mmr_score
+         |FROM sel ORDER BY mmr_rank""".stripMargin
     },
 
     "vec_outlier" ->

@@ -120,4 +120,71 @@ object retrieval {
       .orderBy(col("rrf").desc, col(docIdCol))
       .limit(k)
   }
+
+  /** Maximal Marginal Relevance re-rank (Carbonell & Goldstein, SIGIR'98):
+    * greedily pick the candidate maximizing
+    * `lambda·rel(q, d) − (1−lambda)·max_{s∈selected} sim(d, s)` — the
+    * diversification pass a retrieval stack runs so the top-k isn't k
+    * copies of the same document (near-dup corpora make this visible).
+    * Relevance and similarity are both cosine; ties break to the lower id.
+    *
+    * Scale shape: the distributed part is the pool construction — a
+    * cosine TakeOrderedAndProject of `poolCap` rows, exactly the
+    * first-pass search plan. The greedy selection is inherently
+    * sequential (each pick conditions the next), so it runs driver-side
+    * over the BOUNDED pool (`poolCap` rows of `(id, vec)` — the same
+    * bounded-driver-work class as the IVF probe list), O(poolCap·k)
+    * dot products. Returns `(mmr_rank, idCol, mmr_score)`; scores are
+    * quantized 4dp, arithmetic is plain IEEE so an independent engine
+    * reproduces the selection exactly. */
+  def mmr(
+      df: DataFrame,
+      q: Seq[Double],
+      k: Int,
+      lambda: Double = 0.7,
+      poolCap: Int = 256,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && poolCap >= k, s"need k >= 1 and poolCap >= k, got k=$k poolCap=$poolCap")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    import graft.functions.vectors
+    val invQ = vectors.invNormOf(q)
+    val pool = df
+      .select(col(idCol), vectors.asDoubleArray(col(vecCol)).as("e"),
+        vectors.invNorm(col(vecCol)).as("inv"))
+      .withColumn("rel",
+        vectors.dotProduct(col("e"), vectors.vecLit(q)) * col("inv") * lit(invQ))
+      .orderBy(col("rel").desc, col(idCol))
+      .limit(poolCap)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2), r.getDouble(3)))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val remaining = scala.collection.mutable.LinkedHashMap(pool.map(p => p._1 -> p): _*)
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+    (1 to math.min(k, pool.length)).foreach { rank =>
+      val (bestId, best) = remaining.values.map { case (id, e, inv, rel) =>
+        val score =
+          if (selected.isEmpty) rel
+          else {
+            val maxSim = selected.iterator
+              .map { case (_, se, sInv) => dot(e, se) * inv * sInv }.max
+            lambda * rel - (1.0 - lambda) * maxSim
+          }
+        (id, (score, e, remaining(id)._3))
+      }.minBy { case (id, (score, _, _)) => (-score, id) }
+      remaining.remove(bestId)
+      selected += ((bestId, best._2, best._3))
+      val quantized = math.signum(best._1) *
+        math.floor(math.abs(best._1) * 10000.0 + 0.5) / 10000.0 + 0.0
+      picks += ((rank, bestId, quantized))
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    picks.toSeq.toDF("mmr_rank", idCol, "mmr_score")
+  }
 }

@@ -46,4 +46,23 @@ class RetrievalSpec extends SparkSpec {
     val rrfs = rows.map(_.getDouble(1)).toSeq
     assert(rrfs == rrfs.sorted.reverse && rrfs.forall(_ > 0))
   }
+
+  test("mmr: rank 1 is pure relevance; diversity-weighted rank 2 skips the near-dup") {
+    val df = Seq(
+      (1L, Array(1.0, 0.049)),  // top relevance
+      (2L, Array(1.0, 0.05)),   // near-duplicate of 1 (cos ~ 1), slightly less relevant
+      (3L, Array(0.1, 1.0))     // low-relevance but diverse
+    ).toDF("vec_id", "embedding")
+    val q = Seq(1.0, 0.0)
+    // diversity-heavy lambda: the near-dup's relevance cannot compensate
+    val picks = retrieval.mmr(df, q, k = 3, lambda = 0.3, poolCap = 3)
+      .select("mmr_rank", "vec_id").as[(Int, Long)].collect().toSeq
+    assert(picks == Seq((1, 1L), (2, 3L), (3, 2L)))
+    // relevance-only lambda = plain cosine order
+    val rel = retrieval.mmr(df, q, k = 3, lambda = 1.0, poolCap = 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(rel == Seq(1L, 2L, 3L))
+    // pool smaller than k: returns the whole pool, ranks contiguous
+    assert(retrieval.mmr(df, q, k = 10, poolCap = 10).count() == 3)
+  }
 }
