@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+import graft.functions.vectors
+import graft.sources.ingest
+
+class ExtensionsAndSourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SQL functions: kernels callable from spark.sql, equal to the Column API") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |       graft_l2sq(array(0.0D, 0.0D), array(3.0D, 4.0D)) AS l2,
+        |       graft_l1(array(1.0D, -1.0D), array(-1.0D, 1.0D)) AS l1,
+        |       graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c1,
+        |       graft_cosine(array(0.0D, 0.0D), array(1.0D, 0.0D)) AS c0,
+        |       graft_simhash('the quick brown fox jumps', 32) AS sh
+        |""".stripMargin).head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getDouble(1) == 25.0)
+    assert(r.getDouble(2) == 4.0)
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
+    assert(r.getDouble(4) == 0.0)                 // zero vector -> 0, not NaN
+    // SQL path and Column path are the same expression, bit-for-bit
+    val viaSql = spark.sql(
+      "SELECT graft_minhash(graft_word_shingles('a b c d e', 3), 8) AS sig")
+      .head().getSeq[Long](0)
+    val viaCol = Seq("a b c d e").toDF("t")
+      .select(graft.functions.NativeExprs.minhashSig(
+        graft.ops.dedup.wordShingles(col("t"), 3), 8).as("sig"))
+      .head().getSeq[Long](0)
+    assert(viaSql == viaCol)
+    // sized params must be literals: a column reference is rejected
+    val e = intercept[Exception] {
+      Seq(("a b c", 3)).toDF("t", "n")
+        .createOrReplaceTempView("ext_bad")
+      spark.sql("SELECT graft_word_shingles(t, n) FROM ext_bad").collect()
+    }
+    assert(e.getMessage.contains("integer literal"))
+  }
+
+  test("jsonl ingest: schema enforced, malformed lines quarantined not dropped") {
+    val dir = Files.createTempDirectory("graft-src-").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/docs.jsonl"),
+      """{"doc_id": 1, "text": "hello world"}
+        |{"doc_id": 2, "text": "second doc"}
+        |{not json at all
+        |{"doc_id": "NOT_A_NUMBER", "text": "bad type"}
+        |""".stripMargin)
+    val schema = new StructType().add("doc_id", LongType).add("text", StringType)
+    val (good, bad) = ingest.jsonl(spark, s"$dir/docs.jsonl", schema)
+    assert(good.schema.fieldNames.toSeq == Seq("doc_id", "text"))
+    assert(good.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    val quarantined = bad.as[String].collect()
+    assert(quarantined.length == 2)
+    assert(quarantined.exists(_.contains("not json")))
+    assert(quarantined.exists(_.contains("NOT_A_NUMBER")))
+  }
+
+  test("csv ingest: header + schema; ragged row quarantined") {
+    val dir = Files.createTempDirectory("graft-src-").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/docs.csv"),
+      """doc_id,text
+        |1,hello
+        |oops_not_a_long,world
+        |2,fine
+        |""".stripMargin)
+    val schema = new StructType().add("doc_id", LongType).add("text", StringType)
+    val (good, bad) = ingest.csv(spark, s"$dir/docs.csv", schema)
+    assert(good.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(bad.as[String].collect().toSeq == Seq("oops_not_a_long,world"))
+  }
+}
