@@ -351,6 +351,12 @@ object SparkEntry {
       text.unigramLogProb(table(s, dir, "documents"), "text", "doc_id")
         .orderBy(col("doc_id"))),
 
+    // north-star: bigram conditional logprob — word-ORDER quality (word
+    // salad scores low even when every word is individually common).
+    "text_bigram_logprob" -> ((s, dir) =>
+      text.bigramLogProb(table(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("doc_id"))),
+
     // north-star: per-stratum deterministic reservoir — exactly n rows
     // per language by portable hash rank (WindowGroupLimit bounded heap).
     "sample_reservoir" -> ((s, dir) =>
@@ -1588,6 +1594,21 @@ object SparkEntry {
          |  sum(floor(tf * ln(ctf::DOUBLE / (SELECT n FROM tot)::DOUBLE) * 1000000.0)::BIGINT) AS q
          |  FROM tf JOIN v USING (tok) GROUP BY 1)
          |SELECT doc_id, n_tokens, round(q::DOUBLE / 1000000.0 / n_tokens, 4) + 0.0 AS logprob
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "text_bigram_logprob" ->
+      s"""WITH t AS (SELECT doc_id, toks FROM
+         |  (SELECT doc_id, $SqlToks AS toks FROM documents) WHERE len(toks) >= 2),
+         |b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |  i -> [toks[i], toks[i+1]])) AS bg FROM t),
+         |tf AS (SELECT doc_id, bg[1] AS t1, bg[2] AS t2, count(*)::BIGINT AS tf
+         |  FROM b GROUP BY 1, 2, 3),
+         |cb AS (SELECT t1, t2, sum(tf)::BIGINT AS cnt2 FROM tf GROUP BY 1, 2),
+         |cp AS (SELECT t1, sum(cnt2)::BIGINT AS cnt1 FROM cb GROUP BY 1),
+         |c AS (SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
+         |  sum(floor(tf * ln(cnt2::DOUBLE / cnt1::DOUBLE) * 1000000.0)::BIGINT) AS q
+         |  FROM tf JOIN cb USING (t1, t2) JOIN cp USING (t1) GROUP BY 1)
+         |SELECT doc_id, n_bigrams, round(q::DOUBLE / 1000000.0 / n_bigrams, 4) + 0.0 AS logprob
          |FROM c ORDER BY doc_id""".stripMargin,
 
     "sample_reservoir" ->

@@ -503,4 +503,47 @@ object text {
         round(col("q").cast("double") / lit(1.0e6) / col("n_tokens"), 4)
           .as("logprob"))
   }
+
+  /** Token-bigram pairs of a tokens array, in row (no explode yet):
+    * `[(t_0,t_1), (t_1,t_2), …]`. */
+  private def bigramsOf(toks: Column): Column =
+    transform(
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      (t, i) => struct(t.as("t1"), element_at(toks, i + 2).as("t2")))
+
+  /** Per-document mean BIGRAM conditional log-probability under the
+    * corpus's own MLE bigram model: mean over adjacent token pairs of
+    * `ln( c(t1,t2) / c(t1,·) )` where `c(t1,·)` counts `t1` as a
+    * predecessor. The sequel to [[unigramLogProb]]: a doc of
+    * individually-common words in an order the corpus never uses scores
+    * low (word-salad detection); formulaic word ORDER scores high. No
+    * smoothing needed — every scored bigram is in the corpus by
+    * construction. Docs need ≥ 2 tokens.
+    *
+    * Same determinism discipline (1e-6 fixed-point long sums) and the
+    * same plan shape as the unigram form with one extra thin aggregate:
+    * (doc, bigram) counts → corpus bigram counts (map-side combined) →
+    * predecessor counts derived from those → two token-keyed joins back
+    * → one doc-keyed sum. Returns `(idCol, n_bigrams, logprob)`. */
+  def bigramLogProb(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String): org.apache.spark.sql.DataFrame = {
+    val tf2 = df
+      .select(col(idCol), explode(bigramsOf(tokens(col(textCol)))).as("bg"))
+      .groupBy(col(idCol), col("bg.t1").as("t1"), col("bg.t2").as("t2"))
+      .agg(count(lit(1)).as("tf"))
+    val corpus2 = tf2.groupBy(col("t1"), col("t2")).agg(sum(col("tf")).as("c2"))
+    val corpus1 = corpus2.groupBy(col("t1")).agg(sum(col("c2")).as("c1"))
+    tf2.join(corpus2, Seq("t1", "t2"))
+      .join(corpus1, Seq("t1"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).as("n_bigrams"),
+        sum(floor(col("tf") * log(col("c2").cast("double") / col("c1").cast("double"))
+          * lit(1.0e6)).cast("long")).as("q"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("q").cast("double") / lit(1.0e6) / col("n_bigrams"), 4)
+          .as("logprob"))
+  }
 }

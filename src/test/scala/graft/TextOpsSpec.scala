@@ -192,4 +192,33 @@ class TextOpsSpec extends SparkSpec {
     // rare-token documents score lower: the quality-ranking property
     assert(r(2L)._2 < r(1L)._2)
   }
+
+  test("bigramLogProb: word ORDER matters; hand-computed conditionals") {
+    // corpus bigrams: d1 "a b a b" -> (a,b) x2, (b,a) x1; d2 "a b" -> (a,b)
+    // c(a,b)=3 c(b,a)=1; predecessors: c(a,.)=3, c(b,.)=1... wait c(b,.)=1
+    // d2 score: ln(c(a,b)/c(a,.)) = ln(3/3) = 0.0
+    val df = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
+    val r = text.bigramLogProb(df, "text", "doc_id")
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n, p) => id -> ((n, p)) }.toMap
+    assert(!r.contains(3L))                       // < 2 tokens: no bigrams
+    assert(r(2L) == ((1L, 0.0)))                  // the corpus's dominant order
+    // d1: 2*ln(3/3) + 1*ln(1/1) = 0 -> also 0; reorder the corpus so order is rare
+    val df2 = Seq((1L, "a b"), (2L, "b a"), (3L, "a b"), (4L, "a b")).toDF("doc_id", "text")
+    val r2 = text.bigramLogProb(df2, "text", "doc_id")
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n, p) => id -> p }.toMap
+    // (a,b): 3 of 3 'a'-starts -> 0.0; (b,a): 1 of 1 'b'-starts -> 0.0... both MLE-1
+    // use a corpus where the same predecessor splits: a->b twice, a->c once
+    val df3 = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val r3 = text.bigramLogProb(df3, "text", "doc_id")
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n, p) => id -> p }.toMap
+    // ln(2/3) = -0.405465...: floor(-405466)/1e6 -> -0.4055 (4dp half-up)
+    assert(r3(1L) == -0.4055 && r3(2L) == -0.4055)
+    // ln(1/3) = -1.098612...: floor(-1098613)/1e6 -> -1.0986
+    assert(r3(3L) == -1.0986)
+    assert(r3(3L) < r3(1L))                       // rare ORDER scores lower
+    assert(r2.values.forall(_ == 0.0))
+  }
 }
