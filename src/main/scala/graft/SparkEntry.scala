@@ -793,6 +793,41 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // pivot long→wide with an EXPLICIT value domain — no distinct
+    // discovery pass over the table; one groupBy shuffle of
+    // groups × values cells (quantities are integral, so the double sums
+    // are exact and order-free).
+    "rel_pivot" -> ((s, dir) =>
+      rel.pivotAgg(table(s, dir, "lineitem"), "l_returnflag", "l_linestatus",
+          Seq("F", "O"), "l_quantity")
+        .select(col("l_returnflag"),
+          col("F").cast("long").as("qty_f"),
+          col("O").cast("long").as("qty_o"))
+        .orderBy(col("l_returnflag"))),
+
+    // ROLLUP subtotals at every prefix level + grand total in ONE
+    // Expand+agg pass (no per-level rescans).
+    "rel_rollup" -> ((s, dir) =>
+      rel.rollupAgg(table(s, dir, "lineitem"),
+          Seq("l_returnflag", "l_linestatus"), "l_quantity")
+        .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+          col("sum_l_quantity").cast("long").as("sum_qty"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // trailing event-time rolling aggregate: RANGE-frame window after ONE
+    // user shuffle; fixed-point sums, single final division.
+    "events_rolling_avg" -> ((s, dir) =>
+      EventStream.rollingAgg(events(s, dir), windowSec = 3600)
+        .select(col("event_id"), col("epoch_s"), col("mov_n"),
+          col("mov_sum_micros"), col("mov_avg"))
+        .orderBy(col("event_id"))),
+
+    // weekly cohort retention triangle — distinct user-weeks collapse
+    // before the co-partitioned first-week join.
+    "events_retention" -> ((s, dir) =>
+      EventStream.retention(events(s, dir))
+        .orderBy(col("cohort_week"), col("week_offset"))),
+
     // per-group top-k via the rank-filter idiom — planned as
     // WindowGroupLimit (bounded per-group heap before the shuffle;
     // asserted in PlanQualitySpec): top-3 docs per predicted language by
@@ -1751,6 +1786,45 @@ object SparkEntry {
         |  sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS spend_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1, 2 ORDER BY spend_cents DESC, c_custkey LIMIT 10""".stripMargin,
+
+    // Conditional aggregation IS the relational meaning of pivot — the
+    // wide columns are the explicit value domain.
+    "rel_pivot" ->
+      """SELECT l_returnflag,
+        |  sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END)::BIGINT AS qty_f,
+        |  sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END)::BIGINT AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "rel_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  count(*) AS n, sum(l_quantity)::BIGINT AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // Same RANGE frame over whole-second event times; fixed-point sums,
+    // identical two-division mean.
+    "events_rolling_avg" ->
+      """WITH e AS (SELECT event_id, user_id, value,
+        |  epoch_us(ts) // 1000000 AS epoch_s FROM events),
+        |w AS (SELECT event_id, epoch_s,
+        |  count(*) OVER win AS mov_n,
+        |  sum(floor(value * 1000000.0)::BIGINT) OVER win AS mov_sum_micros
+        |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY epoch_s
+        |    RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, epoch_s, mov_n, mov_sum_micros,
+        |  round(mov_sum_micros / 1000000.0 / mov_n, 4) + 0.0 AS mov_avg
+        |FROM w ORDER BY event_id""".stripMargin,
+
+    // Integer epoch-weeks (day DIV 7 arithmetic — no calendar semantics).
+    "events_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id AS u,
+        |  epoch_us(ts) // 604800000000 AS week FROM events),
+        |f AS (SELECT u, min(week) AS cohort_week FROM uw GROUP BY u)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        |  count(*) AS n_users
+        |FROM uw JOIN f USING (u)
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
 
     "text_clean" ->
       s"""SELECT doc_id,

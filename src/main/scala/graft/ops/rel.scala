@@ -49,6 +49,48 @@ object rel {
     l.join(r, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Pivot (long → wide): one output row per `groupCol`, one column per
+    * value in `pivotValues` holding `sum(valueCol)` over the matching
+    * rows. `pivotValues` is REQUIRED here, not optional sugar: without an
+    * explicit domain Spark first runs a distinct job over the pivot
+    * column to discover it — a full extra pass over the table that a
+    * 100 TB pipeline cannot pay (and does not need to: the domain of a
+    * pivotable column is known schema-side). With values given, the whole
+    * pivot is a single groupBy with map-side partial aggregation — one
+    * shuffle of `groups × values` cells, nothing resembling table size. */
+  def pivotAgg(
+      df: DataFrame,
+      groupCol: String,
+      pivotCol: String,
+      pivotValues: Seq[String],
+      valueCol: String): DataFrame = {
+    require(pivotValues.nonEmpty, "graft: pivotAgg needs explicit pivot values")
+    df.groupBy(col(groupCol))
+      .pivot(pivotCol, pivotValues)
+      .agg(sum(col(valueCol)))
+  }
+
+  /** ROLLUP aggregate: subtotals at every prefix level of `groupCols`
+    * plus the grand total, in ONE pass (Spark expands the rollup to
+    * grouping sets inside a single Expand + partial-agg plan — it does
+    * NOT rescan per level, which is exactly why rollup beats a UNION ALL
+    * of per-level aggregates at scale). Subtotal rows carry NULL in the
+    * rolled-up columns; they are COALESCEd to the sentinel `ALL` so
+    * downstream consumers (and the oracle hash) need no NULL-vs-value
+    * disambiguation — callers whose data legitimately contains the
+    * sentinel should pass a different one. */
+  def rollupAgg(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      sentinel: String = "ALL"): DataFrame = {
+    require(groupCols.nonEmpty, "graft: rollupAgg needs at least one group column")
+    df.rollup(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as(s"sum_$valueCol"))
+      .select(groupCols.map(c => coalesce(col(c), lit(sentinel)).as(c)) ++
+        Seq(col("n"), col(s"sum_$valueCol")): _*)
+  }
+
   def topKPerGroup(
       df: DataFrame,
       partitionCols: Seq[Column],

@@ -233,6 +233,72 @@ object EventStream {
       .drop("r_key")
   }
 
+  /** Trailing event-time rolling aggregate: for every event, the count /
+    * sum / mean of `valueCol` over that user's events in the trailing
+    * `windowSec`-second interval (endpoints inclusive — the SQL
+    * `RANGE BETWEEN windowSec-1 PRECEDING AND CURRENT ROW` frame over
+    * whole-second event times). The moving-baseline primitive behind
+    * rate limiting, anomaly scoring, and feature engineering
+    * ("spend in the last hour at the moment of this event").
+    *
+    * Plan shape: ONE shuffle on `userCol`, then a RANGE-frame window —
+    * Spark evaluates it with a sliding frame over each partition's sorted
+    * run, never materializing per-row slices. A RANGE frame is keyed by
+    * the ORDER BY value itself, so ties (same second) share a frame and
+    * the result is deterministic with no tiebreak column. The sum is
+    * carried in fixed-point micros (exact long arithmetic, order-free);
+    * the mean divides once at the end — identical IEEE ops in any engine.
+    *
+    * 100 TB: state per window is O(frame rows) per task and frames never
+    * cross users, so skew follows user activity — a user with millions of
+    * events in one hour is a data-quality signal long before it is a
+    * memory problem (frames hold two scalars, not rows, for count/sum). */
+  def rollingAgg(
+      events: DataFrame,
+      windowSec: Int = 3600,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    require(windowSec >= 1, s"graft: windowSec must be positive, got $windowSec")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col("epoch_s"))
+      .rangeBetween(-(windowSec - 1L), Window.currentRow)
+    events
+      .withColumn("epoch_s", expr(s"unix_micros($tsCol) DIV 1000000"))
+      .withColumn("_vq", floor(col(valueCol) * 1e6).cast("long"))
+      .withColumn("mov_n", count(lit(1)).over(w))
+      .withColumn("mov_sum_micros", sum(col("_vq")).over(w))
+      .withColumn("mov_avg",
+        round(col("mov_sum_micros") / 1000000.0 / col("mov_n"), 4) + 0.0)
+      .drop("_vq")
+  }
+
+  /** Weekly cohort retention: users grouped by the epoch-week of their
+    * first event (the cohort), counted at each later week offset they
+    * reappear — the (cohort_week, week_offset, n_users) retention
+    * triangle. Weeks are `epoch_day DIV 7` (pure integer arithmetic, no
+    * calendar semantics to disagree across engines).
+    *
+    * Plan shape: distinct (user, week) and first-week-per-user both hash
+    * by `userCol`, so the self-derived join is co-partitioned — one
+    * logical shuffle on user, then a tiny (cohort, offset) aggregate.
+    * The distinct collapses each user-week to one row BEFORE the join,
+    * so event volume (the 100 TB axis) only pays the first scan. */
+  def retention(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val uw = events
+      .select(col(userCol).as("u"),
+        expr(s"unix_micros($tsCol) DIV 604800000000").as("week"))
+      .distinct()
+    val first = uw.groupBy(col("u")).agg(min(col("week")).as("cohort_week"))
+    uw.join(first, "u")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Streaming twin of the batch keep-first dedup
     * (`events_dedup_keepfirst`): emit the FIRST event per key and drop
     * later duplicates, with dedup state BOUNDED by the event-time

@@ -185,4 +185,45 @@ class EventStreamSpec extends SparkSpec {
     val ks = batch.select(EventStream.propInt("k").as("k")).as[Int].collect().toSeq
     assert(ks == Seq(1, 60, 90, 30))
   }
+
+  test("rollingAgg: trailing RANGE frame is inclusive at windowSec-1, ties share a frame") {
+    val rows = Seq(
+      // user 7: 00:00:00, 00:59:59 (3599 s later — inside the trailing
+      // hour), 01:00:00 (3600 s after the first — outside its frame),
+      // plus a same-second tie at 01:00:00.
+      (1L, ts("2024-01-01 00:00:00"), 7L, 1.0),
+      (2L, ts("2024-01-01 00:59:59"), 7L, 2.0),
+      (3L, ts("2024-01-01 01:00:00"), 7L, 4.0),
+      (4L, ts("2024-01-01 01:00:00"), 7L, 8.0),
+      (5L, ts("2024-01-01 00:30:00"), 8L, 16.0) // other user: frames never cross
+    ).toDF("event_id", "ts", "user_id", "value")
+    val r = EventStream.rollingAgg(rows, windowSec = 3600)
+      .select("event_id", "mov_n", "mov_sum_micros")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(r == Seq(
+      (1L, 1L, 1000000L),
+      (2L, 2L, 3000000L),          // includes event 1 (3599 s back)
+      (3L, 3L, 14000000L),         // tie peer 4 shares the frame (RANGE)
+      (4L, 3L, 14000000L),         // ... and event 1 has aged out
+      (5L, 1L, 16000000L)))
+  }
+
+  test("retention: cohort = first epoch-week, offsets count returning users once") {
+    val rows = Seq(
+      // user 1: weeks w, w+1, w+1 (second visit in a week counts once)
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-08 10:00:00")),
+      (1L, ts("2024-01-09 10:00:00")),
+      // user 2: same cohort week, never returns
+      (2L, ts("2024-01-02 10:00:00")),
+      // user 3: cohort one week later, returns at offset 2
+      (3L, ts("2024-01-08 10:00:00")), (3L, ts("2024-01-22 10:00:00"))
+    ).toDF("user_id", "ts")
+    val r = EventStream.retention(rows)
+      .orderBy("cohort_week", "week_offset")
+      .as[(Long, Long, Long)].collect().toSeq
+    val w0 = r.head._1
+    assert(r == Seq(
+      (w0, 0L, 2L), (w0, 1L, 1L),          // users 1+2 cohort; user 1 returns
+      (w0 + 1, 0L, 1L), (w0 + 1, 2L, 1L))) // user 3 cohort and its return
+  }
 }

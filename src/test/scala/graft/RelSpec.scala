@@ -41,4 +41,45 @@ class RelSpec extends SparkSpec {
       .select("_salt").distinct().count()
     assert(salts == 8, "hot key's rows must hit every salt bucket")
   }
+
+  test("pivotAgg produces one column per declared value, null where absent") {
+    val df = Seq(
+      ("a", "x", 1.0), ("a", "x", 2.0), ("a", "y", 10.0),
+      ("b", "y", 5.0)).toDF("g", "p", "v")
+    val out = rel.pivotAgg(df, "g", "p", Seq("x", "y", "z"), "v")
+      .orderBy("g").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(out(0).getDouble(1) == 3.0 && out(0).getDouble(2) == 10.0)
+    assert(out(0).isNullAt(3), "undeclared-but-absent value column is null")
+    assert(out(1).isNullAt(1) && out(1).getDouble(2) == 5.0)
+  }
+
+  test("pivotAgg ignores rows outside the declared value domain") {
+    val df = Seq(("a", "x", 1.0), ("a", "other", 99.0)).toDF("g", "p", "v")
+    val out = rel.pivotAgg(df, "g", "p", Seq("x"), "v").collect()
+    assert(out.length == 1 && out(0).getDouble(1) == 1.0)
+  }
+
+  test("rollupAgg emits every prefix level plus the grand total") {
+    val df = Seq(
+      ("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 4.0)).toDF("g1", "g2", "v")
+    val out = rel.rollupAgg(df, Seq("g1", "g2"), "v")
+      .orderBy("g1", "g2")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("ALL", "ALL", 3L, 7.0),          // grand total
+      ("a", "ALL", 2L, 3.0),            // subtotal per g1
+      ("a", "x", 1L, 1.0),
+      ("a", "y", 1L, 2.0),
+      ("b", "ALL", 1L, 4.0),
+      ("b", "x", 1L, 4.0)))
+  }
+
+  test("rollupAgg honors a custom sentinel") {
+    val df = Seq(("ALL", 1.0)).toDF("g1", "v") // data legitimately contains "ALL"
+    val out = rel.rollupAgg(df, Seq("g1"), "v", sentinel = "<total>")
+      .orderBy("g1").collect().map(_.getString(0))
+    assert(out.toSeq == Seq("<total>", "ALL"))
+  }
 }
