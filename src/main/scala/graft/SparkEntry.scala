@@ -90,10 +90,31 @@ object SparkEntry {
     graft.index.VecIndex.load(s, path)
   }
 
+  /** Memoized bucketed fact tables (lineitem/orders hashed into matching
+    * bucket files on their join keys) — the persisted-shuffle layout: the
+    * one-time write pays the exchange, `rel_bucketed_join` then plans the
+    * fact-to-fact join with NO shuffle on either side. */
+  private val builtBucketed = new scala.collection.concurrent.TrieMap[String, (String, String)]()
+  private def bucketedTables(s: SparkSession, dir: String): (String, String) = {
+    builtBucketed.getOrElseUpdate(dir, {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = java.nio.file.Files.createTempDirectory("graft-bkt-").toString
+      val (liT, ordT) = (s"graft_li$tag", s"graft_ord$tag")
+      rel.writeBucketed(
+        table(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount"),
+        liT, s"$base/li", "l_orderkey", buckets = 8)
+      rel.writeBucketed(
+        table(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        ordT, s"$base/ord", "o_orderkey", buckets = 8)
+      (liT, ordT)
+    })
+  }
+
   /** One-time index builds, callable from Bench's untimed warmup so
     * per-query numbers measure steady-state execution, not builds. */
   def prebuildIndexes(s: SparkSession, dir: String): Unit = {
     embIndex(s, dir); embLshIndex(s, dir); embIvfIndex(s, dir)
+    bucketedTables(s, dir)
   }
 
   // ---- DuckDB SQL snippet builders ------------------------------------
@@ -792,6 +813,25 @@ object SparkEntry {
         .orderBy(col("spend_cents").desc, col("c_custkey"))
         .limit(10)
     }),
+
+    // fact-to-fact join over PERSISTED bucket layouts — both scans are
+    // co-partitioned on their join keys, so the join plans no exchange
+    // (asserted in RelSpec); revenue quantized per-row, summed as longs.
+    "rel_bucketed_join" -> ((s, dir) => {
+      val (liT, ordT) = bucketedTables(s, dir)
+      s.table(liT).join(s.table(ordT), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0 + 0.5)
+            .cast("long")).as("rev_cents"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // approximate kNN GRAPH (per-vector top-k neighbor lists from shared
+    // LSH buckets) — thin-row banding, rank on the ROUNDED score.
+    "ann_knn_graph" -> ((s, dir) =>
+      ann.knnGraph(table(s, dir, "embeddings"), k = 3, nbits = 6)
+        .orderBy(col("src"), col("rnk"))),
 
     // pivot long→wide with an EXPLICIT value domain — no distinct
     // discovery pass over the table; one groupBy shuffle of
@@ -1786,6 +1826,28 @@ object SparkEntry {
         |  sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS spend_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1, 2 ORDER BY spend_cents DESC, c_custkey LIMIT 10""".stripMargin,
+
+    // The UNBUCKETED join — bucketing is a layout choice and must be
+    // result-invisible, exactly like salting.
+    "rel_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  sum(floor(((l_extendedprice * (1 - l_discount)) * 100.0) + 0.5)::BIGINT)::BIGINT
+        |    AS rev_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "ann_knn_graph" ->
+      s"""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |b AS (SELECT vec_id, e, (${sqlLshSig(0, 6, 64)}) AS sig FROM s),
+         |c AS (SELECT a.vec_id AS src, x.vec_id AS dst, a.e AS ea, x.e AS eb
+         |  FROM b a JOIN b x ON a.sig = x.sig AND a.vec_id != x.vec_id),
+         |p AS (SELECT src, dst, round(list_dot_product(ea, eb)
+         |  * (CASE WHEN list_dot_product(ea, ea) > 0 THEN 1.0/sqrt(list_dot_product(ea, ea)) ELSE 0.0 END)
+         |  * (CASE WHEN list_dot_product(eb, eb) > 0 THEN 1.0/sqrt(list_dot_product(eb, eb)) ELSE 0.0 END), 4) + 0.0 AS cos
+         |  FROM c),
+         |r AS (SELECT src, dst, cos,
+         |  row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk FROM p)
+         |SELECT src, dst, cos, rnk FROM r WHERE rnk <= 3 ORDER BY src, rnk""".stripMargin,
 
     // Conditional aggregation IS the relational meaning of pivot — the
     // wide columns are the explicit value domain.

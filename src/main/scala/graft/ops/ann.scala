@@ -327,6 +327,76 @@ object ann {
       .limit(topN)
   }
 
+  /** Approximate k-nearest-neighbor GRAPH: for every vector, its top-`k`
+    * most-cosine-similar neighbors among the vectors sharing an LSH
+    * bucket (any of `tables` sign-bit signatures). The primitive under
+    * SemDeDup-style clustering, kNN-graph community detection, and
+    * "find me training examples like these" curation.
+    *
+    * Plan shape (the same thin-row discipline as
+    * [[dedup.embeddingNearDupPairs]]): banding, bucket-cap gating and the
+    * candidate self-join all carry (id, table, key) rows only — the
+    * embeddings never ride the pair shuffle; vectors join back by id for
+    * scoring. The per-source top-k is the rank-filter idiom, so Spark
+    * plans a WindowGroupLimit: each task keeps a bounded per-source heap
+    * and only ~k rows per source cross the final shuffle.
+    *
+    * 100 TB: candidate volume is bounded by `bucketCap` (oversized
+    * buckets drop, counted on the `graft_knn_graph` observation — the
+    * trade recall-for-bound knob every production LSH join has); width
+    * `nbits` should grow with log2(n) so buckets stay sparse. Scores are
+    * rounded to `scoreDecimals` BEFORE ranking so rank order is
+    * reproducible across engines and runs; `dst` breaks remaining ties. */
+  def knnGraph(
+      df: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      dim: Int = 64,
+      tables: Int = 1,
+      nbits: Int = 6,
+      bucketCap: Int = 4096,
+      scoreDecimals: Int = 4): DataFrame = {
+    require(k >= 1, s"graft: knnGraph needs k >= 1, got $k")
+    val sigs = df.select(
+      (Seq(col(idCol), col(vecCol)) ++
+        (0 until tables).map(t =>
+          lshSignature(col(vecCol), t, nbits, dim).as(s"sig$t"))): _*)
+      .withColumn("inv", vectors.invNorm(col(vecCol)))
+    val banded = sigs.select(col(idCol),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("t"), col(s"sig$t").as("key"))): _*)).as("b"))
+      .select(col(idCol), col("b.t").as("t"), col("b.key").as("key"))
+    val allowed = banded
+      .groupBy(col("t"), col("key"))
+      .agg(count(lit(1)).as("bucket_sz"))
+      .observe("graft_knn_graph",
+        sum(when(col("bucket_sz") > bucketCap, 1L).otherwise(0L)).as("dropped_buckets"),
+        max(col("bucket_sz")).as("max_bucket"))
+      .where(col("bucket_sz") <= bucketCap)
+      .select(col("t"), col("key"))
+    val gated = banded.join(allowed, Seq("t", "key"))
+    // DIRECTED pairs (src != dst, both orientations): a neighbor list is
+    // per-source, unlike the near-dup pair set's unordered id_a < id_b.
+    val cands = gated.as("a")
+      .join(gated.as("b"),
+        col("a.t") === col("b.t") && col("a.key") === col("b.key") &&
+          col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("src"), col(s"b.$idCol").as("dst"))
+      .distinct()
+    val va = sigs.select(col(idCol).as("src"), col(vecCol).as("vs"), col("inv").as("inv_s"))
+    val vb = sigs.select(col(idCol).as("dst"), col(vecCol).as("vd"), col("inv").as("inv_d"))
+    cands.join(va, "src").join(vb, "dst")
+      .withColumn("cos",
+        round(vectors.dotProduct(col("vs"), col("vd")) * col("inv_s") * col("inv_d"),
+          scoreDecimals) + lit(0.0))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))))
+      .where(col("rnk") <= k)
+      .select(col("src"), col("dst"), col("cos"), col("rnk"))
+  }
+
   /** Recall@k of ANY approximate search against the exact scan — the
     * shared harness behind [[recallAtK]] and [[ivfRecallAtK]]. */
   def recallOf(store: VecStore, queries: Seq[Seq[Double]], k: Int)(

@@ -49,6 +49,36 @@ object rel {
     l.join(r, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Write `df` as a bucketed, bucket-sorted parquet table registered in
+    * the session catalog (external, at `path`). Bucketing PERSISTS the
+    * shuffle: rows are hash-placed into `buckets` files by `bucketCol`
+    * (Murmur3 pmod, the same function Spark's HashPartitioning uses), so
+    * every later equi-join or aggregation keyed on `bucketCol` between
+    * tables with matching bucket counts reads co-partitioned data and
+    * plans NO exchange — at 100 TB the fact-to-fact join that cannot
+    * broadcast pays its shuffle ONCE at ingest, not per query.
+    *
+    * The `repartition` before the write matters: Spark writes one file
+    * per (task, bucket) pair, and HashPartitioning by `bucketCol` into
+    * exactly `buckets` tasks aligns the two, yielding ONE file per bucket
+    * — without it, t tasks × b buckets can emit t·b small files, and the
+    * downstream sort-elimination (from `sortBy`) is lost. */
+  def writeBucketed(
+      df: DataFrame,
+      tableName: String,
+      path: String,
+      bucketCol: String,
+      buckets: Int): Unit = {
+    require(buckets >= 1, s"graft: buckets must be positive, got $buckets")
+    df.repartition(buckets, col(bucketCol))
+      .write.mode("overwrite")
+      .format("parquet")
+      .option("path", path)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(tableName)
+  }
+
   /** Pivot (long → wide): one output row per `groupCol`, one column per
     * value in `pivotValues` holding `sum(valueCol)` over the matching
     * rows. `pivotValues` is REQUIRED here, not optional sugar: without an

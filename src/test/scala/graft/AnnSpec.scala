@@ -209,6 +209,36 @@ class AnnSpec extends SparkSpec {
     assert(res.select("vec_id", "score").as[(Long, Double)].collect().toSeq == adHoc)
   }
 
+  test("knnGraph matches an independently-built bucketed top-k cross-check") {
+    import graft.functions.vectors
+    import org.apache.spark.sql.expressions.Window
+    val out = ann.knnGraph(df, k = 2, vecCol = "embedding", dim = dim,
+        tables = 1, nbits = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // twin: same bucketing, brute-force cosine, window rank
+    val sigs = df.withColumn("sig", ann.lshSignature(col("embedding"), 0, 3, dim))
+      .withColumn("inv", vectors.invNorm(col("embedding")))
+    val expected = sigs.as("a").join(sigs.as("b"),
+        col("a.sig") === col("b.sig") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        (round(vectors.dotProduct(col("a.embedding"), col("b.embedding"))
+          * col("a.inv") * col("b.inv"), 4) + lit(0.0)).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))))
+      .where(col("rnk") <= 2)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(out == expected)
+    assert(out.nonEmpty, "3-bit buckets over 200 vectors must collide")
+  }
+
+  test("knnGraph bucketCap drops oversized buckets (recall-for-bound knob)") {
+    // every bucket with >= 2 members exceeds cap 1, and singleton buckets
+    // yield no pairs — the graph must come back empty, not explode
+    val out = ann.knnGraph(df, k = 2, vecCol = "embedding", dim = dim,
+      tables = 1, nbits = 2, bucketCap = 1)
+    assert(out.count() == 0)
+  }
+
   test("centroidOutliers: distance to the NEAREST centroid, largest first") {
     val cents: Seq[(Int, Seq[Double])] =
       Seq(0 -> Seq(0.0, 0.0), 1 -> Seq(10.0, 0.0))

@@ -55,6 +55,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("PartitionFilters") && p.contains("lsh_bucket"), p.take(800))
   }
 
+  test("bucketed fact join never exchanges on the join keys (persisted shuffle)") {
+    val p = plan("rel_bucketed_join")
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey") &&
+      !p.contains("Exchange hashpartitioning(o_orderkey"),
+      s"join-key exchange means the bucket layout was ignored:\n${p.take(800)}")
+    assert(p.contains("Bucketed: true"), p.take(800))
+  }
+
   test("per-group top-k plans as WindowGroupLimit (bounded heap before the shuffle)") {
     val p = plan("group_topk")
     assert(p.contains("WindowGroupLimit"), p.take(800))

@@ -76,6 +76,29 @@ class RelSpec extends SparkSpec {
       ("b", "x", 1L, 4.0)))
   }
 
+  test("writeBucketed: matching bucket layouts join with NO exchange on either side") {
+    val base = java.nio.file.Files.createTempDirectory("graft-bkt-spec-").toString
+    val l = (1L to 200L).map(i => (i, i * 2)).toDF("k", "x")
+    val r = (1L to 200L).filter(_ % 2 == 0).map(i => (i, s"p$i")).toDF("k2", "p")
+    rel.writeBucketed(l, "graft_spec_bkt_l", s"$base/l", "k", buckets = 4)
+    rel.writeBucketed(r, "graft_spec_bkt_r", s"$base/r", "k2", buckets = 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the SMJ path
+      val j = spark.table("graft_spec_bkt_l")
+        .join(spark.table("graft_spec_bkt_r"), col("k") === col("k2"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(600))
+      assert(!p.contains("Exchange"),
+        s"bucketed join must read co-partitioned files, not shuffle:\n${p.take(600)}")
+      assert(j.count() == 100)
+      // one file per bucket: repartition-by-bucket-column aligned tasks
+      val files = new java.io.File(s"$base/l").listFiles
+        .count(f => f.getName.endsWith(".parquet"))
+      assert(files == 4, s"expected one file per bucket, got $files")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("rollupAgg honors a custom sentinel") {
     val df = Seq(("ALL", 1.0)).toDF("g1", "v") // data legitimately contains "ALL"
     val out = rel.rollupAgg(df, Seq("g1"), "v", sentinel = "<total>")
