@@ -833,6 +833,30 @@ object SparkEntry {
       ann.knnGraph(table(s, dir, "embeddings"), k = 3, nbits = 6)
         .orderBy(col("src"), col("rnk"))),
 
+    // per-group Pearson correlation from EXACT fixed-point moments —
+    // order-free long sums; the float formula runs once per group.
+    "rel_corr" -> ((s, dir) =>
+      rel.corrExact(table(s, dir, "lineitem"), "l_quantity", "l_discount",
+          Seq("l_returnflag"), xScale = 1.0, yScale = 10000.0)
+        .orderBy(col("l_returnflag"))),
+
+    // fixed-width histogram with clamped edge bins and an explicit bin
+    // spine (empty bins emitted, not omitted).
+    "events_histogram" -> ((s, dir) =>
+      sketch.histogram(events(s, dir), col("value"), lo = 0.0, hi = 500.0,
+          nbins = 25)
+        .orderBy(col("bin"))),
+
+    // exact quantile binning on a quantized grid — the rank cumsum runs
+    // over domain-bounded grid rows, never over the table.
+    "sample_quantile_bins" -> ((s, dir) =>
+      sample.quantileBins(table(s, dir, "documents"),
+          col("n_chars").cast("double"), nbins = 4, scale = 1.0)
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("lo_chars"), max(col("n_chars")).as("hi_chars"))
+        .orderBy(col("bin"))),
+
     // pivot long→wide with an EXPLICIT value domain — no distinct
     // discovery pass over the table; one groupBy shuffle of
     // groups × values cells (quantities are integral, so the double sums
@@ -1848,6 +1872,45 @@ object SparkEntry {
          |r AS (SELECT src, dst, cos,
          |  row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk FROM p)
          |SELECT src, dst, cos, rnk FROM r WHERE rnk <= 3 ORDER BY src, rnk""".stripMargin,
+
+    // Five exact integer moments (DuckDB sums BIGINT into HUGEINT —
+    // still exact; the double conversion of equal integers is identical),
+    // one float formula per group.
+    "rel_corr" ->
+      """WITH q AS (SELECT l_returnflag,
+        |  floor(l_quantity * 1.0 + 0.5)::BIGINT AS xq,
+        |  floor(l_discount * 10000.0 + 0.5)::BIGINT AS yq FROM lineitem),
+        |a AS (SELECT l_returnflag, count(*) AS n, sum(xq) AS sx, sum(yq) AS sy,
+        |  sum(xq*yq) AS sxy, sum(xq*xq) AS sxx, sum(yq*yq) AS syy
+        |  FROM q GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN n > 1 AND (n*sxx - sx*sx)::DOUBLE > 0 AND (n*syy - sy*sy)::DOUBLE > 0
+        |    THEN round((n*sxy - sx*sy)::DOUBLE
+        |      / (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE)), 4) + 0.0
+        |  END AS corr
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+
+    "events_histogram" ->
+      """WITH b AS (SELECT greatest(0, least(24, floor((value - 0.0) / 20.0)::BIGINT)) AS bin
+        |  FROM events),
+        |c AS (SELECT bin, count(*) AS n FROM b GROUP BY bin)
+        |SELECT r.bin, 0.0 + r.bin * 20.0 AS bin_lo, 0.0 + (r.bin + 1) * 20.0 AS bin_hi,
+        |  coalesce(c.n, 0) AS n
+        |FROM (SELECT unnest(range(0, 25)) AS bin) r LEFT JOIN c USING (bin)
+        |ORDER BY r.bin""".stripMargin,
+
+    // Grid histogram → exclusive-rank cumsum → integer bin arithmetic;
+    // `/` is double division in both engines, floored identically.
+    "sample_quantile_bins" ->
+      """WITH g AS (SELECT floor(n_chars * 1.0 + 0.5)::BIGINT AS gv, count(*) AS cnt
+        |  FROM documents GROUP BY 1),
+        |m AS (SELECT gv,
+        |  sum(cnt) OVER (ORDER BY gv ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS below,
+        |  sum(cnt) OVER () AS total FROM g),
+        |mp AS (SELECT gv, least(3, floor(below * 4 / total)::BIGINT) AS bin FROM m),
+        |d AS (SELECT doc_id, n_chars, floor(n_chars * 1.0 + 0.5)::BIGINT AS gv FROM documents)
+        |SELECT bin, count(*) AS n_docs, min(n_chars) AS lo_chars, max(n_chars) AS hi_chars
+        |FROM d JOIN mp USING (gv) GROUP BY bin ORDER BY bin""".stripMargin,
 
     // Conditional aggregation IS the relational meaning of pivot — the
     // wide columns are the explicit value domain.

@@ -121,6 +121,48 @@ object rel {
         Seq(col("n"), col(s"sum_$valueCol")): _*)
   }
 
+  /** Per-group Pearson correlation from EXACT fixed-point moments.
+    * Spark's `corr` (and DuckDB's) streams Welford-style updates whose
+    * float error depends on partition merge order — the same data can
+    * yield last-ulp-different results run to run, which poisons both
+    * reproducibility and cross-engine checks. Here the five moments
+    * (Σx, Σy, Σxy, Σx², Σy²) are summed as LONGS over inputs quantized at
+    * `xScale`/`yScale` (order-free, exactly associative), and the Pearson
+    * formula runs ONCE per group on the exact integers. The quantization
+    * scales cancel algebraically in the ratio, so they only bound input
+    * precision, not the result's.
+    *
+    * Caller owns overflow headroom: with n rows per group,
+    * n·max(x·xScale)·max(y·yScale) must stay under 2⁶³ — pick scales for
+    * the column domains (that's why they're parameters, not constants).
+    * One ordinary groupBy shuffle of 6 longs per group; map-side combine
+    * does the heavy summing. */
+  def corrExact(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      groupCols: Seq[String],
+      xScale: Double = 1.0,
+      yScale: Double = 10000.0): DataFrame = {
+    val xq = floor(col(xCol) * xScale + 0.5).cast("long")
+    val yq = floor(col(yCol) * yScale + 0.5).cast("long")
+    val agg = df
+      .withColumn("_xq", xq).withColumn("_yq", yq)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("_xq")).as("sx"), sum(col("_yq")).as("sy"),
+        sum(col("_xq") * col("_yq")).as("sxy"),
+        sum(col("_xq") * col("_xq")).as("sxx"),
+        sum(col("_yq") * col("_yq")).as("syy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val denx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val deny = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    agg.withColumn("corr",
+      when(col("n") > 1 && denx > 0.0 && deny > 0.0,
+        round(num / (sqrt(denx) * sqrt(deny)), 4) + lit(0.0)))
+      .select(groupCols.map(col) ++ Seq(col("n"), col("corr")): _*)
+  }
+
   def topKPerGroup(
       df: DataFrame,
       partitionCols: Seq[Column],

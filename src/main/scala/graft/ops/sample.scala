@@ -166,4 +166,46 @@ object sample {
         col("pack_shard").cast("long") * lit(4294967296L) +
           floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / budget.toDouble))
   }
+
+  /** Exact quantile binning on a QUANTIZED grid (curriculum/difficulty
+    * buckets, length-stratified batching): each row gets the bin its
+    * value's exact rank falls in —
+    * `bin = floor(rank_below · nbins / total)` — with ties (equal grid
+    * values) always sharing a bin.
+    *
+    * Scale design: the naive exact route (`ntile` over a global sort, or
+    * Spark's `percentile`) either serializes the table through one task
+    * or buffers every value per group — both die at 100 TB. Here values
+    * quantize to a grid (`scale` decimals-style factor), counts collapse
+    * to ONE ROW PER DISTINCT GRID VALUE, and the cumulative rank runs as
+    * a window over that grid histogram — whose size is bounded by the
+    * value DOMAIN (e.g. 49k cells for a [0,490]×100 grid), not by row
+    * count, at any data scale. The unpartitioned window is over those
+    * grid rows only. Rows then pick up their bin through a broadcast join
+    * on the grid value. Quantization bounds accuracy (values closer than
+    * 1/scale tie); rank arithmetic is pure integers — deterministic
+    * everywhere. Returns df + `(bin)`. */
+  def quantileBins(
+      df: DataFrame,
+      valueCol: Column,
+      nbins: Int,
+      scale: Double = 100.0): DataFrame = {
+    require(nbins >= 1, s"quantileBins needs nbins >= 1, got $nbins")
+    import org.apache.spark.sql.expressions.Window
+    val gv = floor(valueCol * scale + 0.5).cast("long")
+    val grid = df.select(gv.as("_gv")).groupBy("_gv")
+      .agg(count(lit(1)).as("_cnt"))
+    val w = Window.orderBy(col("_gv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mapping = grid
+      .withColumn("_below", sum(col("_cnt")).over(w) - col("_cnt"))
+      .withColumn("_total", sum(col("_cnt")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("_gv"),
+        least(lit(nbins - 1L), floor(col("_below") * nbins / col("_total")).cast("long"))
+          .as("bin"))
+    df.withColumn("_gv", gv)
+      .join(broadcast(mapping), Seq("_gv"))
+      .drop("_gv")
+  }
 }

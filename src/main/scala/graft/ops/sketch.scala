@@ -59,4 +59,35 @@ object sketch {
           .otherwise(lit(scale) / (col("_kth").cast("double") + 1.0)))
       .drop("_kth")
   }
+
+  /** Fixed-width histogram of a numeric column over `[lo, hi)`: `nbins`
+    * equal bins, out-of-range values CLAMPED into the edge bins (a
+    * histogram that silently drops outliers lies about the distribution).
+    * Emits every bin — including empty ones — as
+    * `(bin, bin_lo, bin_hi, n)`: the bin spine is `spark.range(nbins)`
+    * (nbins driver-known rows) broadcast-joined onto the counts, so the
+    * table side stays one scan + one groups×1 shuffle of bin cells.
+    * Binning arithmetic is `floor((v - lo) / width)` in doubles — the
+    * identical IEEE expression any other engine evaluates, so edge
+    * placement reproduces exactly. */
+  def histogram(
+      df: DataFrame,
+      valueCol: Column,
+      lo: Double,
+      hi: Double,
+      nbins: Int): DataFrame = {
+    require(nbins >= 1, s"histogram needs nbins >= 1, got $nbins")
+    require(lo < hi, s"histogram needs lo < hi, got [$lo, $hi)")
+    val width = (hi - lo) / nbins
+    val bin = greatest(lit(0L), least(lit(nbins - 1L),
+      floor((valueCol - lo) / width).cast("long")))
+    val counts = df.select(bin.as("bin")).groupBy("bin")
+      .agg(count(lit(1)).as("n"))
+    df.sparkSession.range(nbins).toDF("bin")
+      .join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        (lit(lo) + col("bin") * width).as("bin_lo"),
+        (lit(lo) + (col("bin") + 1L) * width).as("bin_hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
 }

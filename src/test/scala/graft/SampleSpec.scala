@@ -128,6 +128,26 @@ class SampleSpec extends SparkSpec {
     assert(ids3.subsetOf(ids7))
   }
 
+  test("quantileBins: exact rank quartiles; ties share a bin; degenerate data collapses to bin 0") {
+    val df = (1 to 8).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val bins = sample.quantileBins(df, col("v"), nbins = 4, scale = 1.0)
+      .select("id", "bin").as[(Long, Long)].collect().toMap
+    assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L,
+      5L -> 2L, 6L -> 2L, 7L -> 3L, 8L -> 3L))
+
+    val tied = Seq((1L, 5.0), (2L, 5.0), (3L, 5.0), (4L, 9.0)).toDF("id", "v")
+    val tb = sample.quantileBins(tied, col("v"), nbins = 4, scale = 1.0)
+      .select("id", "bin").as[(Long, Long)].collect().toMap
+    assert(tb(1L) == tb(2L) && tb(2L) == tb(3L),
+      "equal grid values must land in the same bin")
+    assert(tb(1L) == 0L && tb(4L) == 3L)
+
+    val const = Seq((1L, 2.0), (2L, 2.0)).toDF("id", "v")
+    val cb = sample.quantileBins(const, col("v"), 4).select("bin")
+      .as[Long].collect().toSet
+    assert(cb == Set(0L), "all-equal data is all rank 0")
+  }
+
   test("packSequences: single-partition window never appears in the plan") {
     val packed = sample.packSequences(docs, "doc_id",
       graft.ops.text.tokenCount(col("text")).cast("long"), budget = 512)

@@ -24,6 +24,22 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(est - 5000.0) / 5000.0 < 0.51, s"estimate $est too far from 5000")
   }
 
+  test("histogram: equal-width bins, clamped edges, empty bins emitted") {
+    import graft.ops.sketch
+    val df = (0 until 10).map(_.toDouble).toDF("v") // 0..9 → 5 bins of 2
+    val out = sketch.histogram(df, col("v"), lo = 0.0, hi = 10.0, nbins = 5)
+      .orderBy("bin").collect()
+    assert(out.map(_.getLong(3)).toSeq == Seq(2L, 2L, 2L, 2L, 2L))
+    assert(out(0).getDouble(1) == 0.0 && out(0).getDouble(2) == 2.0)
+    assert(out(4).getDouble(1) == 8.0 && out(4).getDouble(2) == 10.0)
+
+    val sparse = Seq(-5.0, 0.5, 100.0).toDF("v") // clamp below + above
+    val s = sketch.histogram(sparse, col("v"), 0.0, 10.0, 5)
+      .orderBy("bin").collect().map(_.getLong(3)).toSeq
+    assert(s == Seq(2L, 0L, 0L, 0L, 1L),
+      "outliers clamp into edge bins; middle bins emit 0")
+  }
+
   test("kmvDistinct is deterministic across runs and partitionings") {
     val df = (0 until 3000).map(v => ("g", v.toLong)).toDF("g", "v")
     def run(parts: Int): Double =
