@@ -458,8 +458,9 @@ object SparkEntry {
     // window expansion step; row-local explode, no shuffle.
     "text_chunk" -> ((s, dir) =>
       table(s, dir, "documents")
+        .select(col("doc_id"), text.tokens(col("text")).as("_toks"))
         .select(col("doc_id"),
-          explode(text.tokenChunks(col("text"), window = 64, stride = 48)).as("c"))
+          explode(text.tokenChunksOf(col("_toks"), window = 64, stride = 48)).as("c"))
         .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
           size(col("c.chunk")).cast("long").as("n_toks"),
           md5(concat_ws(" ", col("c.chunk"))).as("chunk_md5"))

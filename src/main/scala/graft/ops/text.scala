@@ -219,14 +219,34 @@ object text {
 
   /** Fraction of line characters that sit in lines occurring more than
     * once (duplicate-line CHARACTER fraction — catches a short unique
-    * header over a wall of repeated boilerplate). */
+    * header over a wall of repeated boilerplate).
+    *
+    * Computed by sorted adjacency: a line is a duplicate iff it equals a
+    * neighbor in the SORTED line array, so one `array_sort` plus two
+    * shifted `zip_with` passes count duplicate-run characters — all array
+    * references sit in top-level HOF argument position, never inside a
+    * lambda body (an in-lambda reference to a computed array re-evaluates
+    * it per element; the earlier `aggregate(distinct, … filter(ls, …))`
+    * form re-split the document O(lines²) times). */
   def dupLineCharFraction(c: Column): Column = {
     val ls = lines(c)
     val total = aggregate(ls, lit(0), (acc, l) => acc + length(l))
-    val dup = aggregate(array_distinct(ls), lit(0), (acc, d) => {
-      val cnt = size(filter(ls, x => x === d))
-      acc + when(cnt > 1, cnt * length(d)).otherwise(lit(0))
-    })
+    val srt = array_sort(ls)
+    // (len, eqNext) per sorted position; last position's next is null →
+    // `===` yields null → treated as no-match downstream.
+    val flags = zip_with(
+      srt,
+      concat(slice(srt, lit(2), greatest(size(srt) - 1, lit(0))),
+        array(lit(null).cast("string"))),
+      (a, nx) => struct(length(a).as("len"), (a === nx).as("eqNext")))
+    // shift eqNext down one to get eqPrev; dup iff either side matches
+    val prev = concat(
+      array(struct(lit(0).as("len"), lit(false).as("eqNext"))),
+      slice(flags, lit(1), greatest(size(flags) - 1, lit(0))))
+    val dup = aggregate(
+      zip_with(flags, prev, (f, pf) =>
+        when(f("eqNext") || pf("eqNext"), f("len")).otherwise(lit(0))),
+      lit(0), (acc, x) => acc + x)
     when(total > 0, dup.cast("double") / total).otherwise(lit(0.0))
   }
 
@@ -352,10 +372,19 @@ object text {
     * Guard: the `sequence` generator is only built for n > 0 —
     * `sequence(0, -1)` would yield [0, -1] (descending step), the
     * empty-payload trap fixed for `sampleFrames` in round 2. */
-  def tokenChunks(c: Column, window: Int, stride: Int): Column = {
+  def tokenChunks(c: Column, window: Int, stride: Int): Column =
+    tokenChunksOf(tokens(c), window, stride)
+
+  /** [[tokenChunks]] over an ALREADY-TOKENIZED array column. Hot paths
+    * must bind the token array to a named column and pass it here: the
+    * chunking lambda references the array per CHUNK, and a lambda
+    * re-evaluates computed argument expressions per element — handing it
+    * `tokens(text)` directly re-tokenizes the document O(n/stride) times
+    * (the `bigramsOf` lesson, caught at 2.5× on the bench). An attribute
+    * reference is free. */
+  def tokenChunksOf(toks: Column, window: Int, stride: Int): Column = {
     require(window >= 1 && stride >= 1 && stride <= window,
       s"need 1 <= stride <= window, got window=$window stride=$stride")
-    val toks = tokens(c)
     val n = size(toks)
     val nChunks = when(n <= window, lit(1))
       .otherwise(floor((n - window + lit(stride - 1)).cast("double") / stride).cast("int") + 1)
@@ -447,7 +476,8 @@ object text {
       minHits: Int = 1): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val perChunk = df
-      .select(col(idCol), explode(tokenChunks(col(textCol), window, stride)).as("c"))
+      .select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), explode(tokenChunksOf(col("_toks"), window, stride)).as("c"))
       .select(col(idCol), langIdOfTokens(col("c.chunk"), minHits).as("lang"))
     val counted = perChunk.groupBy(col(idCol), col("lang"))
       .agg(count(lit(1)).as("c"))
