@@ -242,6 +242,22 @@ object SparkEntry {
       s"(CASE WHEN list_dot_product(e, ${sqlPlane(t, j, dim)}) > 0 THEN ${1L << j} ELSE 0 END)")
       .mkString(" + ")
 
+  /** DuckDB CTE chain ending in `r(src, dst, cos, rnk)` — the
+    * LSH-bucketed kNN graph (k unbounded here; consumers filter `rnk`),
+    * mirroring [[ann.knnGraph]] stage for stage. Shared by the
+    * `ann_knn_graph` oracle and the PageRank oracle built on its edges. */
+  private lazy val SqlKnnCtes: String =
+    s"""s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |b AS (SELECT vec_id, e, (${sqlLshSig(0, 6, 64)}) AS sig FROM s),
+       |c AS (SELECT a.vec_id AS src, x.vec_id AS dst, a.e AS ea, x.e AS eb
+       |  FROM b a JOIN b x ON a.sig = x.sig AND a.vec_id != x.vec_id),
+       |p AS (SELECT src, dst, round(list_dot_product(ea, eb)
+       |  * (CASE WHEN list_dot_product(ea, ea) > 0 THEN 1.0/sqrt(list_dot_product(ea, ea)) ELSE 0.0 END)
+       |  * (CASE WHEN list_dot_product(eb, eb) > 0 THEN 1.0/sqrt(list_dot_product(eb, eb)) ELSE 0.0 END), 4) + 0.0 AS cos
+       |  FROM c),
+       |r AS (SELECT src, dst, cos,
+       |  row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk FROM p)""".stripMargin
+
   // ---- the flagship ----------------------------------------------------
 
   /** Flagship query on sf0.001: metadata-filtered cosine top-10 joined
@@ -833,6 +849,15 @@ object SparkEntry {
     "ann_knn_graph" -> ((s, dir) =>
       ann.knnGraph(table(s, dir, "embeddings"), k = 3, nbits = 6)
         .orderBy(col("src"), col("rnk"))),
+
+    // deterministic fixed-point PageRank over the kNN similarity graph —
+    // document centrality for curation; every rank is an exact long.
+    "graph_pagerank" -> ((s, dir) =>
+      graft.ops.graph.pageRank(
+          ann.knnGraph(table(s, dir, "embeddings"), k = 3, nbits = 6)
+            .select(col("src"), col("dst")),
+          iters = 3)
+        .orderBy(col("id"))),
 
     // per-group Pearson correlation from EXACT fixed-point moments —
     // order-free long sums; the float formula runs once per group.
@@ -1862,17 +1887,31 @@ object SparkEntry {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "ann_knn_graph" ->
-      s"""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         |b AS (SELECT vec_id, e, (${sqlLshSig(0, 6, 64)}) AS sig FROM s),
-         |c AS (SELECT a.vec_id AS src, x.vec_id AS dst, a.e AS ea, x.e AS eb
-         |  FROM b a JOIN b x ON a.sig = x.sig AND a.vec_id != x.vec_id),
-         |p AS (SELECT src, dst, round(list_dot_product(ea, eb)
-         |  * (CASE WHEN list_dot_product(ea, ea) > 0 THEN 1.0/sqrt(list_dot_product(ea, ea)) ELSE 0.0 END)
-         |  * (CASE WHEN list_dot_product(eb, eb) > 0 THEN 1.0/sqrt(list_dot_product(eb, eb)) ELSE 0.0 END), 4) + 0.0 AS cos
-         |  FROM c),
-         |r AS (SELECT src, dst, cos,
-         |  row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk FROM p)
+      s"""WITH $SqlKnnCtes
          |SELECT src, dst, cos, rnk FROM r WHERE rnk <= 3 ORDER BY src, rnk""".stripMargin,
+
+    // 3 unrolled integer iterations over the kNN edges; every rank is a
+    // long, so the compare is hash-exact with no float discipline at all.
+    "graph_pagerank" -> {
+      val base = "((1000000 - 850000) * 1000000000000 // 1000000) // (SELECT n FROM nn)"
+      val iterCtes = (0 until 3).map { i =>
+        s"""c$i AS (SELECT e.dst AS id, sum(r.rank // d.deg) AS s
+           |  FROM e JOIN r$i r ON e.src = r.id JOIN deg d ON e.src = d.src
+           |  GROUP BY e.dst),
+           |r${i + 1} AS (SELECT nodes.id,
+           |  ($base + (850000 * coalesce(c.s, 0)) // 1000000)::BIGINT AS rank
+           |  FROM nodes LEFT JOIN c$i c USING (id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $SqlKnnCtes,
+         |e AS (SELECT src, dst FROM r WHERE rnk <= 3),
+         |nodes AS (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |r0 AS (SELECT id, (1000000000000 // (SELECT n FROM nn))::BIGINT AS rank FROM nodes),
+         |$iterCtes
+         |SELECT id, rank FROM r3 ORDER BY id""".stripMargin
+    },
 
     // Five exact integer moments (DuckDB sums BIGINT into HUGEINT —
     // still exact; the double conversion of equal integers is identical),

@@ -1,0 +1,60 @@
+package graft
+
+import graft.ops.graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Scale = 1000000000000L
+
+  test("pageRank: a cycle is an exact fixed point (uniform mass circulates)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val r = graph.pageRank(edges, iters = 4)
+      .as[(Long, Long)].collect().toMap
+    // base + d·(scale/3) = 50_000_000_000 + 283_333_333_333 = scale/3 exactly
+    assert(r == Map(1L -> 333333333333L, 2L -> 333333333333L, 3L -> 333333333333L))
+  }
+
+  test("pageRank: star center accumulates, leaves hold the base; dangling mass leaks") {
+    val edges = Seq((1L, 2L), (3L, 2L)).toDF("src", "dst") // 2 is dangling
+    val r = graph.pageRank(edges, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r(1L) == 50000000000L && r(3L) == 50000000000L) // base only
+    assert(r(2L) == 50000000000L + 850000L * (2 * 333333333333L) / 1000000L)
+    // dangling node 2 contributed nothing: total mass < scale
+    assert(r.values.sum < Scale)
+  }
+
+  test("pageRank matches a driver-side integer twin on an irregular graph") {
+    val edgeSeq = Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L), (4L, 1L), (2L, 4L))
+    val iters = 3
+    // twin: same fixed-point arithmetic, scalar Scala
+    val nodes = edgeSeq.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size
+    val deg = edgeSeq.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val base = ((1000000L - 850000L) * Scale / 1000000L) / n
+    var rank = nodes.map(_ -> Scale / n).toMap
+    for (_ <- 0 until iters) {
+      val contrib = edgeSeq
+        .groupBy(_._2)
+        .map { case (d, es) => d -> es.map(e => rank(e._1) / deg(e._1)).sum }
+      rank = nodes.map(v =>
+        v -> (base + 850000L * contrib.getOrElse(v, 0L) / 1000000L)).toMap
+    }
+    val got = graph.pageRank(edgeSeq.toDF("src", "dst"), iters = iters)
+      .as[(Long, Long)].collect().toMap
+    assert(got == rank)
+  }
+
+  test("pageRank is exactly partition-invariant") {
+    val edges = (0 until 300).map(i => ((i % 17).toLong, (i % 23).toLong))
+      .filter(e => e._1 != e._2)
+    val a = graph.pageRank(edges.toDF("src", "dst").repartition(1))
+      .as[(Long, Long)].collect().toMap
+    val b = graph.pageRank(scala.util.Random.shuffle(edges).toDF("src", "dst")
+        .repartition(7))
+      .as[(Long, Long)].collect().toMap
+    assert(a == b, "fixed-point integer ranks must not depend on layout")
+  }
+}
