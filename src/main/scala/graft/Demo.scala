@@ -140,6 +140,41 @@ object Demo {
       .select("lang", "doc_id", "sample_rank").orderBy("lang", "sample_rank")
       .show(6, truncate = false)
 
+    println("== kNN similarity graph (top-2 neighbors per doc, LSH-bucketed) ==")
+    val knn = graft.ops.ann.knnGraph(store.df, k = 2, nbits = 4)
+    knn.orderBy("src", "rnk").show(6, truncate = false)
+
+    println("== PageRank centrality over the kNN graph (most-central docs) ==")
+    graft.ops.graph.pageRank(knn.select("src", "dst"), iters = 3)
+      .orderBy(col("rank").desc, col("id")).show(5, truncate = false)
+
+    println("== weekly retention triangle ==")
+    graft.streaming.EventStream.retention(events)
+      .orderBy("cohort_week", "week_offset").show(6, truncate = false)
+
+    println("== trailing-hour rolling spend per user (RANGE frame) ==")
+    graft.streaming.EventStream.rollingAgg(events, windowSec = 3600)
+      .select("event_id", "user_id", "mov_n", "mov_avg")
+      .orderBy("event_id").show(5, truncate = false)
+
+    println("== exact-moment correlation: value vs JSON prop k per event type ==")
+    graft.ops.rel.corrExact(
+        events.withColumn("k", graft.streaming.EventStream.propInt("k"))
+          .where(col("k").isNotNull),
+        "k", "value", Seq("event_type"), xScale = 1.0, yScale = 10000.0)
+      .orderBy("event_type").show(false)
+
+    println("== value histogram (fixed-width, clamped edges) ==")
+    graft.ops.sketch.histogram(events, col("value"), 0.0, 500.0, nbins = 10)
+      .orderBy("bin").show(false)
+
+    println("== length-quantile curriculum bins ==")
+    graft.ops.sample.quantileBins(docs, col("n_chars").cast("double"), nbins = 4,
+        scale = 1.0)
+      .groupBy("bin").agg(count(lit(1)).as("n_docs"),
+        min("n_chars").as("lo"), max("n_chars").as("hi"))
+      .orderBy("bin").show(false)
+
     spark.stop()
   }
 }
