@@ -918,6 +918,12 @@ object SparkEntry {
       EventStream.retention(events(s, dir))
         .orderBy(col("cohort_week"), col("week_offset"))),
 
+    // first-order Markov transition matrix — one user shuffle for the
+    // lag window; shares as exact fixed-point integers.
+    "events_transitions" -> ((s, dir) =>
+      EventStream.transitions(events(s, dir))
+        .orderBy(col("prev_type"), col("event_type"))),
+
     // per-group top-k via the rank-filter idiom — planned as
     // WindowGroupLimit (bounded per-group heap before the shuffle;
     // asserted in PlanQualitySpec): top-3 docs per predicted language by
@@ -1088,6 +1094,27 @@ object SparkEntry {
           sum(col("_pf").getField("n_tokens")).as("total_tokens"),
           min(col("doc_id")).as("min_id"))
         .orderBy(col("split"))
+    }),
+
+    // flagship #2: the per-language DATA CARD — doc/source counts, token
+    // volume, quality profile — ONE scan (the profile kernel runs once
+    // per doc behind a fence) and ONE lang-keyed shuffle; every reported
+    // number is an exact integer (means in fixed-point units via DIV).
+    "pipeline_corpus_report" -> ((s, dir) => {
+      val prof = table(s, dir, "documents")
+        .withColumn("_pf", graft.functions.NativeExprs.fence(text.profile(col("text"))))
+        .select(col("lang"), col("source"), col("n_chars"),
+          col("_pf").getField("n_tokens").cast("long").as("n_toks"),
+          floor(text.qualityScoreOf(col("_pf"), col("text")) * 10000.0 + 0.5)
+            .cast("long").as("q4"))
+      prof.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("n_toks")).as("n_tokens"),
+          expr("sum(q4) DIV count(1)").as("mean_quality_4dp"),
+          sum((col("q4") >= 5000).cast("long")).as("hi_quality_docs"),
+          expr("sum(n_chars) DIV count(1)").as("mean_chars"))
+        .orderBy(col("lang"))
     }),
 
     // north-star: stratified sampling — rebalance a language-skewed
@@ -1325,6 +1352,22 @@ object SparkEntry {
          |       WHEN es_hits = greatest(en_hits, de_hits, es_hits, fr_hits) THEN 'es'
          |       ELSE 'fr' END AS lang_pred
          |FROM q ORDER BY doc_id""".stripMargin,
+
+    // Quality replicated from the proven text_quality_langid fragments;
+    // integer means via // (both engines floor-divide exact sums).
+    "pipeline_corpus_report" ->
+      s"""WITH t AS (SELECT lang, source, n_chars, text, $SqlToks AS toks FROM documents),
+         |q AS (SELECT lang, source, n_chars, len(toks)::BIGINT AS n_toks,
+         |  floor((least(len(toks)::DOUBLE / 50.0, 1.0) * 0.4
+         |    + (1.0 - least((CASE WHEN length(text) > 0 THEN length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))::DOUBLE / length(text) ELSE 0.0 END) * 4.0, 1.0)) * 0.3
+         |    + least((CASE WHEN len(toks) > 0 THEN ${sqlStopHits("toks", text.EnStop)}::DOUBLE / len(toks) ELSE 0.0 END) * 4.0, 1.0) * 0.3) * 10000.0 + 0.5)::BIGINT AS q4
+         |  FROM t)
+         |SELECT lang, count(*) AS n_docs, count(DISTINCT source) AS n_sources,
+         |  sum(n_toks)::BIGINT AS n_tokens,
+         |  (sum(q4) // count(*))::BIGINT AS mean_quality_4dp,
+         |  sum(CASE WHEN q4 >= 5000 THEN 1 ELSE 0 END)::BIGINT AS hi_quality_docs,
+         |  (sum(n_chars) // count(*))::BIGINT AS mean_chars
+         |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
 
     "text_repetition" ->
       s"""WITH t AS (SELECT doc_id, text, $SqlToks AS toks FROM documents),
@@ -1980,6 +2023,17 @@ object SparkEntry {
         |SELECT event_id, epoch_s, mov_n, mov_sum_micros,
         |  round(mov_sum_micros / 1000000.0 / mov_n, 4) + 0.0 AS mov_avg
         |FROM w ORDER BY event_id""".stripMargin,
+
+    // Same lag window (event_id tiebreak), integer shares.
+    "events_transitions" ->
+      """WITH p AS (SELECT user_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |c AS (SELECT prev_type, event_type, count(*) AS n FROM p
+        |  WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, event_type, n,
+        |  ((n * 10000) // sum(n) OVER (PARTITION BY prev_type))::BIGINT AS share_4dp
+        |FROM c ORDER BY prev_type, event_type""".stripMargin,
 
     // Integer epoch-weeks (day DIV 7 arithmetic — no calendar semantics).
     "events_retention" ->

@@ -299,6 +299,38 @@ object EventStream {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Event-type transition matrix (first-order Markov counts): for every
+    * consecutive pair of events of the SAME user in event-time order,
+    * count (prev_type → type), plus each row's share of its source
+    * state's outgoing transitions in fixed-point 1e-4 units (exact
+    * integer `DIV` — no float row shares). The path-analysis primitive
+    * behind "what do users do after a view".
+    *
+    * Plan shape: ONE shuffle on the user key for the lag window (ordered
+    * by event time with the unique event id as tiebreak — deterministic
+    * on ties), then a tiny (prev, cur) aggregate; the share is a window
+    * over states² rows at most. */
+  def transitions(
+      events: DataFrame,
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val counted = events
+      .withColumn("prev_type", lag(col(typeCol), 1).over(byUser))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col(typeCol))
+      .agg(count(lit(1)).as("n"))
+    counted
+      .withColumn("_out", sum(col("n")).over(
+        Window.partitionBy(col("prev_type"))))
+      .withColumn("share_4dp", expr("(n * 10000) DIV _out"))
+      .drop("_out")
+  }
+
   /** Streaming twin of the batch keep-first dedup
     * (`events_dedup_keepfirst`): emit the FIRST event per key and drop
     * later duplicates, with dedup state BOUNDED by the event-time

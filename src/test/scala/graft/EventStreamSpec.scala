@@ -208,6 +208,32 @@ class EventStreamSpec extends SparkSpec {
       (5L, 1L, 16000000L)))
   }
 
+  test("transitions: per-user consecutive pairs, exact integer shares") {
+    val rows = Seq(
+      // user 7: view -> click -> view   user 8: view -> view
+      (1L, ts("2024-01-01 00:01:00"), 7L, "view"),
+      (2L, ts("2024-01-01 00:02:00"), 7L, "click"),
+      (3L, ts("2024-01-01 00:03:00"), 7L, "view"),
+      (4L, ts("2024-01-01 00:01:00"), 8L, "view"),
+      (5L, ts("2024-01-01 00:02:00"), 8L, "view")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val r = EventStream.transitions(rows)
+      .orderBy("prev_type", "event_type")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      ("click", "view", 1L, 10000L),       // click's only exit
+      ("view", "click", 1L, 5000L),        // view exits split 1/1
+      ("view", "view", 1L, 5000L)))
+  }
+
+  test("transitions never pair events across users") {
+    val rows = Seq(
+      (1L, ts("2024-01-01 00:01:00"), 1L, "a"),
+      (2L, ts("2024-01-01 00:02:00"), 2L, "b")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    assert(EventStream.transitions(rows).count() == 0)
+  }
+
   test("retention: cohort = first epoch-week, offsets count returning users once") {
     val rows = Seq(
       // user 1: weeks w, w+1, w+1 (second visit in a week counts once)
