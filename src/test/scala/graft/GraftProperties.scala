@@ -122,4 +122,67 @@ object GraftProperties extends Properties("graft") {
       val (jaa, jab, jba) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
       (a.isEmpty || jaa == 1.0) && jab == jba && jab >= 0.0 && jab <= 1.0
     }
+
+  private val genGroupedVals: Gen[Seq[(String, Double)]] =
+    Gen.chooseNum(1, 30).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.oneOf("a", "b", "c"), Gen.choose(-100.0, 100.0))).map(_.toSeq))
+
+  property("rollup levels are consistent: every subtotal equals the sum of its leaves") =
+    forAll(genGroupedVals) { rows =>
+      val df = rows.map { case (g, v) => (g, if (v < 0) "x" else "y", v) }
+        .toDF("g1", "g2", "v")
+      val out = graft.ops.rel.rollupAgg(df, Seq("g1", "g2"), "v")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      val leaves = out.filter { case ((a, b), _) => a != "ALL" && b != "ALL" }
+      val g1s = leaves.keySet.map(_._1)
+      val subtotalsOk = g1s.forall { g =>
+        val ls = leaves.filter(_._1._1 == g).values
+        val (n, s) = out((g, "ALL"))
+        n == ls.map(_._1).sum && math.abs(s - ls.map(_._2).sum) < 1e-6
+      }
+      val (gn, gs) = out(("ALL", "ALL"))
+      subtotalsOk && gn == rows.size &&
+        math.abs(gs - rows.map(_._2).sum) < 1e-6
+    }
+
+  property("histogram partitions the rows: bin counts sum to row count") =
+    forAll(Gen.chooseNum(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-50.0, 150.0)))) { vs =>
+      val out = graft.ops.sketch.histogram(
+          vs.toDF("v"), col("v"), lo = 0.0, hi = 100.0, nbins = 7)
+        .agg(sum("n")).head().getLong(0)
+      out == vs.size
+    }
+
+  property("quantileBins without ties: bin sizes within floor/ceil of n/k") =
+    forAll(Gen.chooseNum(4, 40)) { n =>
+      val df = (1 to n).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+      val sizes = graft.ops.sample.quantileBins(df, col("v"), nbins = 4)
+        .groupBy("bin").count().collect().map(_.getLong(1))
+      sizes.forall(s => s >= n / 4 && s <= (n + 3) / 4) && sizes.sum == n
+    }
+
+  property("corrExact: |corr| <= 1 and corr(x, x) = 1 for non-constant x") =
+    forAll(Gen.chooseNum(2, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-50.0, 50.0)).suchThat(_.distinct.size > 1))) { xs =>
+      val df = xs.map(x => ("g", x, x)).toDF("g", "x", "y")
+      val r = graft.ops.rel.corrExact(df, "x", "y", Seq("g"),
+        xScale = 100.0, yScale = 100.0).head()
+      !r.isNullAt(2) && r.getDouble(2) == 1.0
+    }
+
+  property("pageRank conserves bounded mass: base·n <= total <= scale") =
+    forAll(Gen.chooseNum(2, 12).flatMap(k =>
+      Gen.listOfN(k * 2, Gen.zip(Gen.chooseNum(0L, k.toLong), Gen.chooseNum(0L, k.toLong)))
+        .map(_.filter(e => e._1 != e._2).distinct))
+      .suchThat(_.nonEmpty)) { edges =>
+      val ranks = graft.ops.graph.pageRank(edges.toDF("src", "dst"), iters = 2)
+        .collect().map(_.getLong(1))
+      val n = ranks.length
+      val scale = 1000000000000L
+      val base = ((1000000L - 850000L) * scale / 1000000L) / n
+      ranks.sum >= base * n && ranks.sum <= scale && ranks.forall(_ >= base)
+    }
 }
