@@ -50,6 +50,43 @@ object ingest {
         .json(path),
       schema)
 
+  /** Whole-file text reader: one document per FILE (the crawl-dump /
+    * scraped-corpus landing shape), with the file path and length as
+    * provenance columns — `(path, length, text)`. Uses `wholetext`, so a
+    * file is one row and one task reads it end to end: right for corpora
+    * of many small-to-medium documents; a single multi-GB file does NOT
+    * split (that input belongs in [[jsonl]] / parquet). Path comes from
+    * the scan's `_metadata` struct — no `input_file_name()` (which is
+    * undefined under certain join/union rewrites), and no extra I/O. */
+  def textFiles(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("wholetext", "true")
+      .text(path)
+      .select(
+        col("_metadata.file_path").as("path"),
+        col("_metadata.file_size").as("length"),
+        col("value").as("text"))
+
+  /** Line-oriented text reader: one document per LINE with provenance
+    * `(path, line_no, text)` — the other common dump layout. Reads whole
+    * files and splits in-expression (`posexplode`), because that is the
+    * only way to EXACT per-file line numbers: a splittable line scan
+    * hands Spark splits it orders by SIZE, not file offset, so any
+    * window/id scheme over it numbers lines wrong on multi-split files —
+    * silently, sometimes. The cost is the same one-task-per-file bound
+    * as [[textFiles]]; 1-based line numbers, empty lines kept (position
+    * is identity here, and dropping rows silently is an ingestion
+    * anti-pattern). */
+  def textLines(spark: SparkSession, path: String): DataFrame =
+    textFiles(spark, path)
+      .select(col("path"),
+        // functions.split — the bare name resolves to this object's
+        // private quarantine splitter
+        posexplode(org.apache.spark.sql.functions.split(col("text"), "\n"))
+          .as(Seq("_pos", "text")))
+      .select(col("path"), (col("_pos") + 1).cast("long").as("line_no"),
+        col("text"))
+
   /** CSV reader with header, explicit schema, quarantine. `timestampFmt`
     * mirrors the reference's `with_datetime_fmt` (col.rs:352-355) at the
     * file boundary. */

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.ops.dedup
+
+/** Streaming document ingestion with near-duplicate screening — the
+  * production loop around [[dedup.incrementalNearDups]]: documents
+  * arrive as a stream, each micro-batch is screened against the
+  * PERSISTED corpus signature table, survivors go to the caller's sink,
+  * and the survivors' own signatures are appended so the very next
+  * batch screens against them too (cross-batch dedup, not just
+  * batch-vs-history).
+  */
+object DocIngest {
+
+  /** Build the screened writer. Start it with `.start(...)` /
+    * `.trigger(...)` as usual; `sink` receives each epoch's CLEAN rows.
+    *
+    * Scale/semantics notes:
+    *   - The corpus table never re-reads raw text: only the thin
+    *     signature table (`id, grams, sig`) is scanned per batch, and
+    *     the BATCH side of the band join broadcasts
+    *     ([[dedup.incrementalNearDups]]) — per-batch cost is
+    *     O(corpus signatures) scan + broadcast-joins, no corpus
+    *     self-pairing, no shuffle of the corpus.
+    *   - The batch is persisted for the duration of the epoch: it feeds
+    *     the dup screen, the sink, and the signature append — without
+    *     the persist each action would recompute (and a source like
+    *     Kafka would re-read) the micro-batch.
+    *   - Delivery is the usual foreachBatch contract: on retry an epoch
+    *     can run twice, so `sink` should write idempotently (e.g. keyed
+    *     by `epoch`) — and a replayed signature append only re-adds
+    *     signatures that deduplicate downstream by id.
+    *   - In-batch duplicates: rows of the SAME batch that near-dup each
+    *     other both survive (screening is batch-vs-corpus); they are
+    *     separated one batch later at most. Callers needing in-batch
+    *     dedup run [[dedup.minhashNearDupPairs]] inside `sink`. */
+  def screened(
+      docs: DataFrame,
+      corpusSigsPath: String,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      k: Int = 16,
+      bands: Int = 8,
+      n: Int = 3)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    docs.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      val spark = batch.sparkSession
+      batch.persist()
+      try {
+        // snapshot of the signature table as of batch start (the read
+        // lists files eagerly, so this epoch's append is not visible to
+        // its own screen)
+        val corpus = spark.read.parquet(corpusSigsPath)
+        val dupIds = dedup.incrementalNearDups(
+            batch, corpus, textCol, idCol, threshold, k, bands, n)
+          .select(col("new_id").as(idCol)).distinct()
+        val clean = batch.join(dupIds, Seq(idCol), "left_anti").persist()
+        try {
+          sink(clean, epoch)
+          dedup.minhashed(clean, textCol, idCol, k, n)
+            .write.mode("append").parquet(corpusSigsPath)
+        } finally clean.unpersist()
+      } finally batch.unpersist()
+    }
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.ops.dedup
+import graft.streaming.DocIngest
+
+class DocIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val boiler =
+    "the quick brown fox jumps over the lazy dog again and again today"
+
+  test("screened streaming ingestion drops corpus near-dups AND cross-batch near-dups") {
+    val sigDir = java.nio.file.Files.createTempDirectory("graft-ingest-").toString + "/sigs"
+    // seed corpus: one known document, signatures persisted
+    val corpus = Seq((100L, boiler)).toDF("doc_id", "text")
+    dedup.minhashed(corpus, "text", "doc_id", k = 16, n = 3)
+      .write.parquet(sigDir)
+
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Long)]() // (epoch, doc_id)
+    val q = DocIngest.screened(
+        in.toDF().toDF("doc_id", "text"), sigDir,
+        "text", "doc_id", threshold = 0.5) { (clean, epoch) =>
+      seen.synchronized {
+        seen ++= clean.select("doc_id").as[Long].collect().map(epoch -> _)
+      }
+    }.start()
+    try {
+      // batch 1: a near-dup of the corpus doc (one word changed) and a
+      // genuinely new doc
+      in.addData((1L, boiler.replace("dog", "cat")),
+        (2L, "completely different content about spark query planning engines"))
+      q.processAllAvailable()
+      // batch 2: a near-dup of batch 1's SURVIVOR — must be caught by the
+      // signatures appended after batch 1
+      in.addData((3L, "completely different content about spark query planning systems"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val ids = seen.map(_._2).toSet
+    assert(!ids.contains(1L), "corpus near-dup must be screened out")
+    assert(ids.contains(2L), "novel doc must survive")
+    assert(!ids.contains(3L), "near-dup of an earlier BATCH must be screened out")
+    // corpus table grew by exactly the survivor's signature
+    val sigIds = spark.read.parquet(sigDir).select("doc_id").as[Long].collect().toSet
+    assert(sigIds == Set(100L, 2L))
+  }
+}

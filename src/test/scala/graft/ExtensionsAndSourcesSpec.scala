@@ -75,4 +75,22 @@ class ExtensionsAndSourcesSpec extends SparkSpec {
     assert(good.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
     assert(bad.as[String].collect().toSeq == Seq("oops_not_a_long,world"))
   }
+
+  test("textFiles: one doc per file with path+length provenance") {
+    val dir = Files.createTempDirectory("graft-src-").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/a.txt"), "alpha doc\nline two")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/b.txt"), "beta")
+    val rows = ingest.textFiles(spark, dir)
+      .collect().map(r => (r.getString(0).split('/').last, r.getLong(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(rows == Seq(("a.txt", 18L, "alpha doc\nline two"), ("b.txt", 4L, "beta")))
+  }
+
+  test("textLines: exact 1-based per-file line numbers, empty lines kept") {
+    val dir = Files.createTempDirectory("graft-src-").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/a.txt"), "one\n\nthree")
+    val rows = ingest.textLines(spark, dir)
+      .select("line_no", "text").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, "one"), (2L, ""), (3L, "three")))
+  }
 }
