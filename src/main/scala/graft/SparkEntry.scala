@@ -679,6 +679,14 @@ object SparkEntry {
     "ann_lsh_part_topk" -> ((s, dir) =>
       ann.lshSearch(embLshIndex(s, dir), Q2, k = 5, nbits = 6)),
 
+    // north-star: MULTI-PROBE LSH — the query's bucket plus the 3
+    // lowest-margin bit-flip buckets, read as 4 pruned partition
+    // directories of the same persisted index (recall rises with probes,
+    // not with tables/storage).
+    "ann_lsh_multiprobe_topk" -> ((s, dir) =>
+      ann.lshSearchMultiProbe(embLshIndex(s, dir), Q1, k = 5, nbits = 6,
+        probes = 4)),
+
     // north-star: IVF ANN over a cluster-partitioned index — assignment
     // ran once at build (16 deterministic seed centroids, persisted in
     // the index metadata); the probe of the 4 nearest lists is directory
@@ -1570,6 +1578,16 @@ object SparkEntry {
          |h1 AS (SELECT 1 AS q_idx, count(*) AS hits FROM ex1 JOIN ap1 USING (vec_id))
          |SELECT q_idx, hits, hits::DOUBLE / 10.0::DOUBLE AS recall
          |FROM (SELECT * FROM h0 UNION ALL SELECT * FROM h1) ORDER BY q_idx""".stripMargin,
+
+    // The probe set is computed by the same driver-side margin sort the
+    // Spark path uses, injected as literals.
+    "ann_lsh_multiprobe_topk" ->
+      s"""WITH s AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |b AS (SELECT vec_id, label, e FROM s
+         |  WHERE (${sqlLshSig(0, 6, 64)}) IN (${ann.lshProbeSigsOf(Q1, 0, 6, 4).mkString(", ")})),
+         |sc AS (SELECT vec_id, label, ${r4(sqlCosineOn("e", Q1))} AS score FROM b)
+         |SELECT vec_id, score, label FROM sc
+         |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin,
 
     "ann_lsh_part_topk" ->
       s"""WITH s AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -100,6 +100,65 @@ object ann {
       .collect()
   }
 
+  /** Multi-probe probe set for a query (Lv et al. 2007): the query's own
+    * signature plus the `probes - 1` cheapest bit perturbations, where a
+    * perturbation's cost is the summed |margin| (|q·h_j|) of its flipped
+    * bits — bits the query barely cleared are the bits most likely wrong,
+    * so flipping them first buys the most recall per extra bucket.
+    * Perturbations are capped at 2 flipped bits (the standard practical
+    * cut: 1 + nbits + nbits·(nbits−1)/2 candidates, driver-side — never
+    * 2^nbits). Deterministic: cost ties break on the flip mask. */
+  def lshProbeSigsOf(
+      q: Seq[Double],
+      t: Int,
+      nbits: Int,
+      probes: Int): Seq[Long] = {
+    require(probes >= 1, s"graft: need probes >= 1, got $probes")
+    val margins = (0 until nbits).map { j =>
+      val h = hyperplane(t, j, q.length)
+      math.abs(q.zip(h).foldLeft(0.0) { case (acc, (a, b)) => acc + a * b })
+    }
+    val sig = lshSignatureOf(q, t, nbits)
+    val singles = (0 until nbits).map(j => (margins(j), 1L << j))
+    val pairs = for { a <- 0 until nbits; b <- a + 1 until nbits }
+      yield (margins(a) + margins(b), (1L << a) | (1L << b))
+    val perturbed = (singles ++ pairs).sortBy { case (cost, mask) => (cost, mask) }
+    (Seq(sig) ++ perturbed.map { case (_, mask) => sig ^ mask }).take(probes)
+  }
+
+  /** Multi-probe LSH cosine top-k: probe the query's bucket AND the
+    * lowest-margin perturbed buckets ([[lshProbeSigsOf]]) — the standard
+    * way to raise bucket-search recall WITHOUT more tables (more tables
+    * cost signature storage and an extra band join everywhere; more
+    * probes cost only extra partition reads on THIS query). On a
+    * partitioned index the `IN` filter is directory-level partition
+    * pruning of `probes` of the `2^nbits` buckets; on a plain store the
+    * signature computes in-scan. Same metadata-validated fallback as
+    * [[lshSearch]]. */
+  def lshSearchMultiProbe(
+      store: VecStore,
+      q: Seq[Double],
+      k: Int,
+      nbits: Int = 6,
+      probes: Int = 4,
+      table: Int = 0): DataFrame = {
+    val dim = q.length
+    val sigs = lshProbeSigsOf(q, table, nbits, probes)
+    val persistedMatches = store.indexMeta.exists(m =>
+      m.lshBits.contains(nbits) && m.lshTable == table)
+    val bucketed =
+      if (persistedMatches && store.df.columns.contains(graft.index.VecIndex.LshBucketCol))
+        store.df.filter(col(graft.index.VecIndex.LshBucketCol).isin(sigs: _*))
+      else
+        store.df.filter(
+          lshSignature(col(store.vecCol), table, nbits, dim).isin(sigs: _*))
+    store.copy(df = bucketed)
+      .query(q, Metric.Cosine)
+      .take(k)
+      .withScoreRounding(4)
+      .collect()
+  }
+
   /** Nearest-centroid assignment: adds `cluster_id` = argmin squared-L2
     * over the (small, broadcast) centroid table. Ties break on the lower
     * centroid id. In production this runs once at index build and the

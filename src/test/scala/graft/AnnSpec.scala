@@ -209,6 +209,43 @@ class AnnSpec extends SparkSpec {
     assert(res.select("vec_id", "score").as[(Long, Double)].collect().toSeq == adHoc)
   }
 
+  test("lshSearchMultiProbe: superset recall of the single bucket; probes ordered by margin") {
+    val q = vec(7)
+    val single = ann.lshSearch(store, q, k = 10, nbits = 4)
+      .select("vec_id").as[Long].collect().toSet
+    val multi = ann.lshSearchMultiProbe(store, q, k = 10, nbits = 4, probes = 5)
+      .select("vec_id").as[Long].collect().toSet
+    // exact top-10 for recall comparison
+    val exact = store.query(q, graft.core.Metric.Cosine).take(10)
+      .withScoreRounding(4).collect()
+      .select("vec_id").as[Long].collect().toSet
+    assert((multi & exact).size >= (single & exact).size,
+      "extra probes must never lose recall")
+    // probe set: query's own signature first, all distinct, right count
+    val sigs = ann.lshProbeSigsOf(q, t = 0, nbits = 4, probes = 5)
+    assert(sigs.head == ann.lshSignatureOf(q, 0, 4))
+    assert(sigs.distinct.size == 5)
+    // every multi-probe hit's signature is in the probe set
+    val sigOf = df.select(col("vec_id"),
+        ann.lshSignature(col("embedding"), 0, 4, dim).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    multi.foreach(id => assert(sigs.contains(sigOf(id))))
+  }
+
+  test("lshSearchMultiProbe on a partitioned index prunes to the probed directories") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshidx-").toString + "/idx"
+    val (idx, _) = graft.index.VecIndex.build(df, dir,
+      opts = graft.index.VecIndex.BuildOptions(lshBits = Some(4)))
+    val q = vec(11)
+    val direct = ann.lshSearchMultiProbe(store, q, k = 5, nbits = 4, probes = 3)
+      .select("vec_id").as[Long].collect().toSeq
+    val viaIndex = ann.lshSearchMultiProbe(idx, q, k = 5, nbits = 4, probes = 3)
+    assert(viaIndex.select("vec_id").as[Long].collect().toSeq == direct)
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lsh_bucket"),
+      plan.take(600))
+  }
+
   test("knnGraph matches an independently-built bucketed top-k cross-check") {
     import graft.functions.vectors
     import org.apache.spark.sql.expressions.Window
