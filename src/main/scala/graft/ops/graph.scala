@@ -47,6 +47,9 @@ object graph {
       s"graft: dampingPpm must be in [0, 1e6], got $dampingPpm")
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      // a null endpoint is not an edge — and a null key would silently
+      // drop from the rank join while still counting in out-degrees
+      .where(col("src").isNotNull && col("dst").isNotNull)
       .localCheckpoint(true)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))

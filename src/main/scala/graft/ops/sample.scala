@@ -193,7 +193,12 @@ object sample {
     require(nbins >= 1, s"quantileBins needs nbins >= 1, got $nbins")
     import org.apache.spark.sql.expressions.Window
     val gv = floor(valueCol * scale + 0.5).cast("long")
-    val grid = df.select(gv.as("_gv")).groupBy("_gv")
+    // Null values are EXCLUDED explicitly: a null grid key would drop out
+    // of the equi-join silently (and engines disagree on null sort order
+    // in the rank window) — an explicit filter makes the semantics a
+    // contract instead of a join artifact.
+    val rows = df.where(valueCol.isNotNull)
+    val grid = rows.select(gv.as("_gv")).groupBy("_gv")
       .agg(count(lit(1)).as("_cnt"))
     val w = Window.orderBy(col("_gv"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -204,7 +209,7 @@ object sample {
       .select(col("_gv"),
         least(lit(nbins - 1L), floor(col("_below") * nbins / col("_total")).cast("long"))
           .as("bin"))
-    df.withColumn("_gv", gv)
+    rows.withColumn("_gv", gv)
       .join(broadcast(mapping), Seq("_gv"))
       .drop("_gv")
   }

@@ -81,7 +81,10 @@ object sketch {
     val width = (hi - lo) / nbins
     val bin = greatest(lit(0L), least(lit(nbins - 1L),
       floor((valueCol - lo) / width).cast("long")))
-    val counts = df.select(bin.as("bin")).groupBy("bin")
+    // nulls excluded explicitly (a null bin would vanish in the spine
+    // join silently; clamping is for out-of-RANGE, not missing)
+    val counts = df.where(valueCol.isNotNull)
+      .select(bin.as("bin")).groupBy("bin")
       .agg(count(lit(1)).as("n"))
     df.sparkSession.range(nbins).toDF("bin")
       .join(counts, Seq("bin"), "left")
