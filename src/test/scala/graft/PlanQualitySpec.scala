@@ -121,4 +121,48 @@ class PlanQualitySpec extends SparkSpec {
   test("reservoir sampling plans as WindowGroupLimit (bounded per-group heap)") {
     assert(plan("sample_reservoir").contains("WindowGroupLimit"))
   }
+
+  test("pivot has no distinct discovery pass: one scan, group-keyed exchanges only") {
+    // Spark plans pivot as two stacked aggregates (pre-agg + pivotfirst),
+    // both keyed on the group column — the claim worth pinning is that
+    // the TABLE is scanned once and nothing exchanges on the pivot
+    // column (a value-discovery pass would add a distinct over it).
+    val p = plan("rel_pivot")
+    assert("Scan parquet".r.findAllIn(p).length == 1, p.take(800))
+    assert(!p.contains("Exchange hashpartitioning(l_linestatus"), p.take(800))
+  }
+
+  test("rollup is ONE Expand pass, not a union of per-level rescans") {
+    val p = plan("rel_rollup")
+    assert(p.contains("Expand"), p.take(600))
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"rollup must scan once:\n${p.take(800)}")
+  }
+
+  test("rolling aggregate: one user exchange feeds the RANGE window") {
+    val p = plan("events_rolling_avg")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"rolling window should shuffle once on user:\n${p.take(800)}")
+  }
+
+  test("corpus report is one scan + one lang aggregate") {
+    val p = plan("pipeline_corpus_report")
+    assert("Scan parquet".r.findAllIn(p).length == 1, p.take(800))
+  }
+
+  test("quantile binning broadcasts the grid map onto the scan") {
+    assert(plan("sample_quantile_bins").contains("BroadcastHashJoin"))
+  }
+
+  test("kNN graph: key-equal joins only, per-source top-k is WindowGroupLimit") {
+    val p = plan("ann_knn_graph")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
+
+  test("multi-probe LSH prunes to probe-set partition directories") {
+    val p = plan("ann_lsh_multiprobe_topk")
+    assert(p.contains("PartitionFilters") && p.contains("lsh_bucket"), p.take(800))
+  }
 }
