@@ -168,6 +168,17 @@ object Demo {
     graft.ops.sketch.histogram(events, col("value"), 0.0, 500.0, nbins = 10)
       .orderBy("bin").show(false)
 
+    println("== multi-probe LSH: recall from extra probes, not extra tables ==")
+    graft.ops.ann.lshSearchMultiProbe(store, q, k = 3, nbits = 6, probes = 4)
+      .select("vec_id", "score", "label").show(false)
+
+    println("== event-type transition matrix (exact integer shares) ==")
+    graft.streaming.EventStream.transitions(events)
+      .orderBy(col("prev_type"), col("event_type")).show(8, truncate = false)
+
+    println("== corpus data card: per-language profile in one scan ==")
+    SparkEntry.queries("pipeline_corpus_report")(spark, sfDir).show(false)
+
     println("== length-quantile curriculum bins ==")
     graft.ops.sample.quantileBins(docs, col("n_chars").cast("double"), nbins = 4,
         scale = 1.0)
