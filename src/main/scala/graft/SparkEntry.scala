@@ -757,10 +757,12 @@ object SparkEntry {
           col("n_events"))
         .orderBy(col("user_id"), col("session_idx"))),
 
-    // north-star: typed JSON prop extraction as a pushable scan expression.
+    // north-star: typed JSON prop extraction. The fence matters: without
+    // it, PushDownPredicates clones the parse into the filter AND the
+    // projection — every row parses twice (the pipeline_e2e lesson).
     "events_json_extract" -> ((s, dir) =>
       events(s, dir)
-        .withColumn("k", EventStream.propInt("k"))
+        .withColumn("k", graft.functions.NativeExprs.fence(EventStream.propInt("k")))
         .where(col("k") > 50)
         .select(col("event_id"), col("event_type"), col("k"))
         .orderBy(col("event_id"))),
@@ -873,6 +875,18 @@ object SparkEntry {
       rel.corrExact(table(s, dir, "lineitem"), "l_quantity", "l_discount",
           Seq("l_returnflag"), xScale = 1.0, yScale = 10000.0)
         .orderBy(col("l_returnflag"))),
+
+    // Count-Min sketch over corpus tokens + point estimates for probe
+    // words — the depth×width frequency summary is deterministic and
+    // mergeable; estimates never undercount.
+    "text_cm_tokens" -> ((s, dir) => {
+      val toks = table(s, dir, "documents")
+        .select(explode(text.tokens(col("text"))).as("tok"))
+      val sk = sketch.countMin(toks, col("tok"), depth = 4, width = 512)
+      sketch.cmEstimate(sk, Seq("the", "spark", "query", "zzzz_absent"),
+          depth = 4, width = 512)
+        .orderBy(col("value"))
+    }),
 
     // fixed-width histogram with clamped edge bins and an explicit bin
     // spine (empty bins emitted, not omitted).
@@ -1990,6 +2004,26 @@ object SparkEntry {
         |      / (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE)), 4) + 0.0
         |  END AS corr
         |FROM a ORDER BY l_returnflag""".stripMargin,
+
+    // Sketch cells rebuilt in SQL from the same portable hash family;
+    // probe cells injected as driver-computed literals (identical
+    // arithmetic to sketch.cmEstimate).
+    "text_cm_tokens" -> {
+      val probeRows = Seq("the", "spark", "query", "zzzz_absent").flatMap { v =>
+        val base = hashing.h32Of(v)
+        (0 until 4).map(i =>
+          s"('$v', $i, ${math.floorMod(hashing.affineOf(base, i), 512L)})")
+      }.mkString(", ")
+      s"""WITH toks AS (SELECT unnest($SqlToks) AS tok FROM documents),
+         |cells AS (SELECT i AS row,
+         |  ${hashing.sqlAffineVar(hashing.sqlH32("tok"), "i")} % 512 AS bucket,
+         |  count(*) AS cnt
+         |  FROM toks, range(0, 4) r(i) GROUP BY 1, 2),
+         |p(value, row, bucket) AS (VALUES $probeRows)
+         |SELECT p.value, min(coalesce(cells.cnt, 0))::BIGINT AS est
+         |FROM p LEFT JOIN cells USING (row, bucket)
+         |GROUP BY p.value ORDER BY p.value""".stripMargin
+    },
 
     "events_histogram" ->
       """WITH b AS (SELECT greatest(0, least(24, floor((value - 0.0) / 20.0)::BIGINT)) AS bin

@@ -87,4 +87,19 @@ object hashing {
   /** DuckDB SQL fragment for the salted family member. */
   def sqlH32s(e: String, salt: Int): String =
     sqlH32(s"($e || '#$salt')")
+
+  /** Driver-side twin of [[h32]] for a literal string — md5 bytes 0-3 as
+    * an unsigned 32-bit value. Used where an operator needs the cell/
+    * bucket of a HANDFUL of literal probe values computed on the driver
+    * (e.g. Count-Min point estimates) with bit-identical arithmetic. */
+  def h32Of(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** Driver-side twin of [[affine]]. */
+  def affineOf(h: Long, j: Int): Long =
+    (h * affineA(j) + affineB(j)) % AffineP
 }

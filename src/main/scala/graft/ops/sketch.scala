@@ -60,6 +60,61 @@ object sketch {
       .drop("_kth")
   }
 
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005) of a value column:
+    * `depth` hash rows × `width` buckets of exact counts — a frequency
+    * summary whose SIZE is `depth·width` regardless of data volume, and
+    * whose content is a pure deterministic function of the input multiset
+    * (portable md5-derived base hash + the affine family), so an
+    * independent engine reproduces every cell bit-for-bit.
+    *
+    * Plan shape: one explode to `depth` thin (row, bucket) cells per
+    * input value — no strings survive the shuffle — then one groupBy
+    * with map-side combine; the result is tiny and MERGEABLE (sketches
+    * of two corpora add cell-wise: union frequency summaries without
+    * re-reading either corpus — the reason to carry a sketch at 100 TB
+    * instead of a vocabulary table). Returns `(row, bucket, cnt)`. */
+  def countMin(
+      df: DataFrame,
+      valueCol: Column,
+      depth: Int = 4,
+      width: Int = 1024): DataFrame = {
+    require(depth >= 1 && width >= 1,
+      s"countMin needs depth, width >= 1, got $depth, $width")
+    // h32 base, NOT h63: the affine family's no-overflow bound is
+    // (2·depth+1)·h < 2⁶³, which holds for 32-bit bases only
+    val base = hashing.h32(valueCol.cast("string"))
+    df.select(explode(array((0 until depth).map(i =>
+        struct(lit(i).as("row"),
+          pmod(hashing.affine(base, i), lit(width.toLong)).as("bucket"))): _*))
+        .as("c"))
+      .groupBy(col("c.row").as("row"), col("c.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-frequency estimates from a [[countMin]] sketch for a small
+    * literal set of `values`: the classic `min` over each value's
+    * `depth` cells — an overestimate by at most the collision mass,
+    * never an underestimate. The probe values' cells are computed
+    * DRIVER-side (same hash arithmetic) and looked up with one tiny
+    * filtered aggregate over the `depth·width`-row sketch. */
+  def cmEstimate(
+      sketch: DataFrame,
+      values: Seq[String],
+      depth: Int = 4,
+      width: Int = 1024): DataFrame = {
+    require(values.nonEmpty, "cmEstimate needs at least one probe value")
+    val probes = values.flatMap { v =>
+      val base = hashing.h32Of(v)
+      (0 until depth).map(i =>
+        (v, i, math.floorMod(hashing.affineOf(base, i), width.toLong)))
+    }
+    val pdf = sketch.sparkSession
+      .createDataFrame(probes).toDF("value", "row", "bucket")
+    pdf.join(sketch, Seq("row", "bucket"), "left")
+      .groupBy(col("value"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
   /** Fixed-width histogram of a numeric column over `[lo, hi)`: `nbins`
     * equal bins, out-of-range values CLAMPED into the edge bins (a
     * histogram that silently drops outliers lies about the distribution).

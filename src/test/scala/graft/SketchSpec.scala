@@ -40,6 +40,36 @@ class SketchSpec extends SparkSpec {
       "outliers clamp into edge bins; middle bins emit 0")
   }
 
+  test("countMin: exact at generous width, never undercounts, zero for absent") {
+    import graft.ops.sketch
+    val words = Seq.fill(7)("alpha") ++ Seq.fill(3)("beta") ++ Seq("gamma")
+    val df = words.toDF("w")
+    val sk = sketch.countMin(df, col("w"), depth = 4, width = 4096)
+    val est = sketch.cmEstimate(sk, Seq("alpha", "beta", "gamma", "absent"),
+        depth = 4, width = 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("alpha") == 7L && est("beta") == 3L && est("gamma") == 1L)
+    assert(est("absent") == 0L)
+    // tiny width forces collisions: estimates may only go UP
+    val tight = sketch.cmEstimate(
+        sketch.countMin(df, col("w"), depth = 4, width = 2),
+        Seq("alpha", "beta", "gamma"), depth = 4, width = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tight("alpha") >= 7L && tight("beta") >= 3L && tight("gamma") >= 1L)
+  }
+
+  test("countMin sketches are mergeable: union sketch = cell-wise sum") {
+    import graft.ops.sketch
+    val a = Seq("x", "x", "y").toDF("w")
+    val b = Seq("y", "z").toDF("w")
+    val merged = sketch.countMin(a, col("w"), 4, 64)
+      .union(sketch.countMin(b, col("w"), 4, 64))
+      .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+    val direct = sketch.countMin(a.union(b), col("w"), 4, 64)
+    assert(merged.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(merged).count() == 0)
+  }
+
   test("kmvDistinct is deterministic across runs and partitionings") {
     val df = (0 until 3000).map(v => ("g", v.toLong)).toDF("g", "v")
     def run(parts: Int): Double =
