@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{
   Divide, Expression, ExpressionInfo, GreaterThan, If, Literal, Multiply, Sqrt}
 
-import graft.functions.{MinHashSigExpr, SimHashExpr, VecDotExpr, VecL1Expr, VecL2SqExpr, WordShinglesExpr}
+import graft.functions.{H32Expr, MinHashSigExpr, SimHashExpr, VecDotExpr, VecL1Expr, VecL2SqExpr, WordShinglesExpr}
 
 /** Registers the native scoring/fingerprint kernels as SQL FUNCTIONS, so
   * the engine's hot expressions are usable from pure `spark.sql(...)` —
@@ -27,6 +27,9 @@ import graft.functions.{MinHashSigExpr, SimHashExpr, VecDotExpr, VecL1Expr, VecL
   *   - `graft_word_shingles(text, n)` — distinct word n-grams
   *   - `graft_minhash(grams, k)` — k-wide MinHash signature
   *   - `graft_simhash(text, bits)` — SimHash of word shingles
+  *   - `graft_h32(s)` — the portable 32-bit base hash every graft
+  *     bucketing/sampling/sketch decision derives from (SQL users can
+  *     reproduce salt buckets, sample bands, and CM cells exactly)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -96,6 +99,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         val Seq(t, b) = arity("graft_simhash", 2)(args)
         SimHashExpr(t, intLit(b, "graft_simhash", "bits"))
+      }),
+    ("graft_h32", info("graft_h32",
+      "graft_h32(s) - portable unsigned 32-bit hash (md5 bytes 0-3) as a long"),
+      (args: Seq[Expression]) => {
+        val Seq(s) = arity("graft_h32", 1)(args)
+        H32Expr(s)
       }))
 
   /** Register into an EXISTING session (the config route only applies to

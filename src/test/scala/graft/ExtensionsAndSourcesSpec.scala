@@ -26,6 +26,11 @@ class ExtensionsAndSourcesSpec extends SparkSpec {
     assert(r.getDouble(2) == 4.0)
     assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
     assert(r.getDouble(4) == 0.0)                 // zero vector -> 0, not NaN
+    // the portable base hash: SQL function == md5-composition == driver twin
+    val h = spark.sql("SELECT graft_h32('alpha') AS h").head().getLong(0)
+    assert(h == graft.functions.hashing.h32Of("alpha"))
+    assert(h == Seq("alpha").toDF("s")
+      .select(graft.functions.hashing.h32(col("s"))).head().getLong(0))
     // SQL path and Column path are the same expression, bit-for-bit
     val viaSql = spark.sql(
       "SELECT graft_minhash(graft_word_shingles('a b c d e', 3), 8) AS sig")
