@@ -45,20 +45,25 @@ object graph {
     require(iters >= 0, s"graft: pageRank needs iters >= 0, got $iters")
     require(dampingPpm >= 0 && dampingPpm <= 1000000L,
       s"graft: dampingPpm must be in [0, 1e6], got $dampingPpm")
+    // Static inputs persist LAZILY: their lineage never grows, so the
+    // eager materialization a checkpoint costs (one blocking job each)
+    // buys nothing — only the ITERATED ranks need lineage cuts. `nodes`
+    // materializes anyway via the count() below; `withDeg` on its first
+    // iteration use.
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       // a null endpoint is not an edge — and a null key would silently
       // drop from the rank join while still counting in out-degrees
       .where(col("src").isNotNull && col("dst").isNotNull)
-      .localCheckpoint(true)
+      .persist()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
-      .localCheckpoint(true)
+      .persist()
     val n = nodes.count()
     require(n > 0, "graft: pageRank needs at least one edge")
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    val withDeg = e.join(outdeg, "src").localCheckpoint(true)
+    val withDeg = e.join(outdeg, "src").persist()
     val base = ((1000000L - dampingPpm) * scale / 1000000L) / n
     var ranks = nodes.withColumn("rank", lit(scale / n))
     for (_ <- 0 until iters) {
