@@ -150,7 +150,7 @@ object SparkEntry {
   private def sqlL2sq(q: Seq[Double]): String =
     s"list_sum(list_transform(list_zip($E, ${sqlVec(q)}), x -> (x[1]-x[2])*(x[1]-x[2])))"
 
-  private def r4(e: String): String = s"round($e, 4) + 0.0"
+  private def r4(e: String): String = s"floor(($e) * 10000.0 + 0.5) / 10000.0"
 
   /** DuckDB token-array fragment matching [[text.tokens]]. */
   private val SqlToks =
@@ -251,9 +251,9 @@ object SparkEntry {
        |b AS (SELECT vec_id, e, (${sqlLshSig(0, 6, 64)}) AS sig FROM s),
        |c AS (SELECT a.vec_id AS src, x.vec_id AS dst, a.e AS ea, x.e AS eb
        |  FROM b a JOIN b x ON a.sig = x.sig AND a.vec_id != x.vec_id),
-       |p AS (SELECT src, dst, round(list_dot_product(ea, eb)
+       |p AS (SELECT src, dst, floor((list_dot_product(ea, eb)
        |  * (CASE WHEN list_dot_product(ea, ea) > 0 THEN 1.0/sqrt(list_dot_product(ea, ea)) ELSE 0.0 END)
-       |  * (CASE WHEN list_dot_product(eb, eb) > 0 THEN 1.0/sqrt(list_dot_product(eb, eb)) ELSE 0.0 END), 4) + 0.0 AS cos
+       |  * (CASE WHEN list_dot_product(eb, eb) > 0 THEN 1.0/sqrt(list_dot_product(eb, eb)) ELSE 0.0 END)) * 10000.0 + 0.5) / 10000.0 AS cos
        |  FROM c),
        |r AS (SELECT src, dst, cos,
        |  row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk FROM p)""".stripMargin
@@ -343,9 +343,9 @@ object SparkEntry {
       val (qq, qs) = graft.ops.quant.quantizeQuery(Q1)
       graft.ops.quant.quantized(table(s, dir, "embeddings"))
         .select(col("vec_id"),
-          (round(graft.ops.quant.dequantizedDot(
+          vectors.quantize(graft.ops.quant.dequantizedDot(
             col("q_vec"), col("q_scale"),
-            array(qq.map(lit): _*), lit(qs)), 4) + lit(0.0)).as("score"),
+            array(qq.map(lit): _*), lit(qs)), 4).as("score"),
           col("label"))
         .orderBy(col("score").desc, col("vec_id"))
         .limit(10)
@@ -408,7 +408,7 @@ object SparkEntry {
       val kept = sample.temperatureMix(docs, "doc_id", "lang", alpha = 0.5)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_kept"),
-          (round(max(col("mix_rate")), 4) + lit(0.0)).as("rate"))
+          vectors.quantize(max(col("mix_rate")), 4).as("rate"))
       docs.groupBy(col("lang")).agg(count(lit(1)).as("n_in"))
         .join(kept, "lang")
         .select(col("lang"), col("n_in"), col("n_kept"), col("rate"))
@@ -465,9 +465,9 @@ object SparkEntry {
         col("doc_id"),
         text.tokenCount(col("text")).cast("long").as("n_tokens"),
         text.bpeTokenCount(col("text")).cast("long").as("n_bpe"),
-        (round(text.meanTokenLen(col("text")), 4) + lit(0.0)).as("mean_tok_len"),
-        (round(text.punctuationRatio(col("text")), 4) + lit(0.0)).as("punct_ratio"),
-        (round(text.stopwordRatio(col("text")), 4) + lit(0.0)).as("stopword_ratio"))
+        vectors.quantize(text.meanTokenLen(col("text")), 4).as("mean_tok_len"),
+        vectors.quantize(text.punctuationRatio(col("text")), 4).as("punct_ratio"),
+        vectors.quantize(text.stopwordRatio(col("text")), 4).as("stopword_ratio"))
         .orderBy(col("doc_id"))),
 
     // north-star: overlapping token-window chunking — the text→context-
@@ -650,7 +650,7 @@ object SparkEntry {
     // + exact cosine rerank >= 0.45.
     "dedup_emb_neardup" -> ((s, dir) =>
       dedup.embeddingNearDupPairs(table(s, dir, "embeddings"), threshold = 0.45)
-        .select(col("id_a"), col("id_b"), (round(col("cos"), 4) + lit(0.0)).as("cos"))
+        .select(col("id_a"), col("id_b"), vectors.quantize(col("cos"), 4).as("cos"))
         .orderBy(col("id_a"), col("id_b"))),
 
     // north-star: LSH-bucketed ANN — scan only the query's 6-bit
@@ -875,6 +875,21 @@ object SparkEntry {
       rel.corrExact(table(s, dir, "lineitem"), "l_quantity", "l_discount",
           Seq("l_returnflag"), xScale = 1.0, yScale = 10000.0)
         .orderBy(col("l_returnflag"))),
+
+    // tokenizer fertility per language (BPE-ish subwords per whitespace
+    // word) — the tokenizer-suitability signal a multilingual corpus
+    // report carries; exact integer sums, fixed-point ratio.
+    "text_fertility" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("lang"),
+          text.tokenCount(col("text")).cast("long").as("ws"),
+          text.bpeTokenCount(col("text")).cast("long").as("bpe"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws")).as("ws_tokens"),
+          sum(col("bpe")).as("bpe_tokens"),
+          expr("(sum(bpe) * 10000) DIV sum(ws)").as("fertility_4dp"))
+        .orderBy(col("lang"))),
 
     // Count-Min sketch over corpus tokens + point estimates for probe
     // words — the depth×width frequency summary is deterministic and
@@ -1266,9 +1281,9 @@ object SparkEntry {
          |SELECT doc_id,
          |  len(toks) AS n_tokens,
          |  len(regexp_extract_all(lower(text), '${text.BpeTokenPattern}')) AS n_bpe,
-         |  round(CASE WHEN len(toks) > 0 THEN list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks) ELSE 0.0 END, 4) + 0.0 AS mean_tok_len,
-         |  round(CASE WHEN length(text) > 0 THEN length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))::DOUBLE / length(text) ELSE 0.0 END, 4) + 0.0 AS punct_ratio,
-         |  round(CASE WHEN len(toks) > 0 THEN ${sqlStopHits("toks", text.EnStop)}::DOUBLE / len(toks) ELSE 0.0 END, 4) + 0.0 AS stopword_ratio
+         |  floor((CASE WHEN len(toks) > 0 THEN list_sum(list_transform(toks, t -> length(t)))::DOUBLE / len(toks) ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS mean_tok_len,
+         |  floor((CASE WHEN length(text) > 0 THEN length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))::DOUBLE / length(text) ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
+         |  floor((CASE WHEN len(toks) > 0 THEN ${sqlStopHits("toks", text.EnStop)}::DOUBLE / len(toks) ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS stopword_ratio
          |FROM t ORDER BY doc_id""".stripMargin,
 
     // Same start set as text.tokenChunks: 0, 48, 96, … with the last
@@ -1552,7 +1567,7 @@ object SparkEntry {
          |  * (CASE WHEN list_dot_product(sa.e, sa.e) > 0 THEN 1.0/sqrt(list_dot_product(sa.e, sa.e)) ELSE 0.0 END)
          |  * (CASE WHEN list_dot_product(sb.e, sb.e) > 0 THEN 1.0/sqrt(list_dot_product(sb.e, sb.e)) ELSE 0.0 END) AS cos
          |  FROM c JOIN s sa ON c.id_a = sa.vec_id JOIN s sb ON c.id_b = sb.vec_id)
-         |SELECT id_a, id_b, round(cos, 4) + 0.0 AS cos
+         |SELECT id_a, id_b, floor(cos * 10000.0 + 0.5) / 10000.0 AS cos
          |FROM p WHERE cos >= 0.45 ORDER BY id_a, id_b""".stripMargin,
 
     "ann_lsh_topk" ->
@@ -1664,7 +1679,7 @@ object SparkEntry {
          |  CASE WHEN qs > 0 THEN list_transform(e, x -> least(greatest(floor(x/qs + 0.5), -127.0), 127.0))
          |       ELSE list_transform(e, x -> 0.0) END AS qv FROM sc),
          |p AS (SELECT vec_id, label,
-         |  round(list_dot_product(qv, ${qq.map(_.toDouble).mkString("[", ", ", "]::DOUBLE[]")}) * qs * $qs, 4) + 0.0 AS score
+         |  floor((list_dot_product(qv, ${qq.map(_.toDouble).mkString("[", ", ", "]::DOUBLE[]")}) * qs * $qs) * 10000.0 + 0.5) / 10000.0 AS score
          |FROM v)
          |SELECT vec_id, score, label FROM p
          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
@@ -1696,7 +1711,7 @@ object SparkEntry {
          |      ORDER BY ${sqlL2Between("s.e", "c.e")}, c.cid) AS rn
          |  FROM s, cent c) WHERE rn = 1 AND cid IN (SELECT cid FROM probe)),
          |$subs,
-         |sc AS (SELECT sel.vec_id, sel.label, round(d0.d + d1.d + d2.d + d3.d, 4) + 0.0 AS score
+         |sc AS (SELECT sel.vec_id, sel.label, floor((d0.d + d1.d + d2.d + d3.d) * 10000.0 + 0.5) / 10000.0 AS score
          |  FROM sel JOIN d0 USING (vec_id) JOIN d1 USING (vec_id)
          |         JOIN d2 USING (vec_id) JOIN d3 USING (vec_id))
          |SELECT vec_id, score, label FROM sc ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
@@ -1721,7 +1736,7 @@ object SparkEntry {
          |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, e
          |  FROM (SELECT vec_id, e FROM s ORDER BY vec_id LIMIT 16)),
          |$subs,
-         |sc AS (SELECT s.vec_id, s.label, round(d0.d + d1.d + d2.d + d3.d, 4) + 0.0 AS score
+         |sc AS (SELECT s.vec_id, s.label, floor((d0.d + d1.d + d2.d + d3.d) * 10000.0 + 0.5) / 10000.0 AS score
          |  FROM s JOIN d0 USING (vec_id) JOIN d1 USING (vec_id)
          |         JOIN d2 USING (vec_id) JOIN d3 USING (vec_id))
          |SELECT vec_id, score, label FROM sc ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
@@ -1762,7 +1777,7 @@ object SparkEntry {
       s"""WITH s AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e
          |  FROM (SELECT vec_id, e FROM s ORDER BY vec_id LIMIT 8)),
-         |nd AS (SELECT vec_id, label, round(min(${sqlL2Between("s.e", "cent.e")}), 4) + 0.0 AS centroid_dist
+         |nd AS (SELECT vec_id, label, floor(min(${sqlL2Between("s.e", "cent.e")}) * 10000.0 + 0.5) / 10000.0 AS centroid_dist
          |  FROM s, cent GROUP BY 1, 2)
          |SELECT vec_id, centroid_dist, label FROM nd
          |ORDER BY centroid_dist DESC, vec_id LIMIT 20""".stripMargin,
@@ -1793,7 +1808,8 @@ object SparkEntry {
          |c AS (SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
          |  sum(floor(tf * ln(ctf::DOUBLE / (SELECT n FROM tot)::DOUBLE) * 1000000.0)::BIGINT) AS q
          |  FROM tf JOIN v USING (tok) GROUP BY 1)
-         |SELECT doc_id, n_tokens, round(q::DOUBLE / 1000000.0 / n_tokens, 4) + 0.0 AS logprob
+         |SELECT doc_id, n_tokens,
+         |  floor(q::DOUBLE / 1000000.0 / n_tokens * 10000.0 + 0.5) / 10000.0 AS logprob
          |FROM c ORDER BY doc_id""".stripMargin,
 
     "text_bigram_logprob" ->
@@ -1808,7 +1824,8 @@ object SparkEntry {
          |c AS (SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
          |  sum(floor(tf * ln(cnt2::DOUBLE / cnt1::DOUBLE) * 1000000.0)::BIGINT) AS q
          |  FROM tf JOIN cb USING (t1, t2) JOIN cp USING (t1) GROUP BY 1)
-         |SELECT doc_id, n_bigrams, round(q::DOUBLE / 1000000.0 / n_bigrams, 4) + 0.0 AS logprob
+         |SELECT doc_id, n_bigrams,
+         |  floor(q::DOUBLE / 1000000.0 / n_bigrams * 10000.0 + 0.5) / 10000.0 AS logprob
          |FROM c ORDER BY doc_id""".stripMargin,
 
     "sample_reservoir" ->
@@ -1827,7 +1844,7 @@ object SparkEntry {
          |  WHERE ${hashing.sqlH32("(d.doc_id::VARCHAR || '/tmix')")}::DOUBLE < rate * 4294967296.0)
          |SELECT r.lang, r.n_in,
          |  (SELECT count(*) FROM kept k WHERE k.lang = r.lang)::BIGINT AS n_kept,
-         |  round(r.rate, 4) + 0.0 AS rate
+         |  floor(r.rate * 10000.0 + 0.5) / 10000.0 AS rate
          |FROM r ORDER BY r.lang""".stripMargin,
 
     "meta_string_filter" ->
@@ -2000,10 +2017,19 @@ object SparkEntry {
         |  FROM q GROUP BY 1)
         |SELECT l_returnflag, n,
         |  CASE WHEN n > 1 AND (n*sxx - sx*sx)::DOUBLE > 0 AND (n*syy - sy*sy)::DOUBLE > 0
-        |    THEN round((n*sxy - sx*sy)::DOUBLE
-        |      / (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE)), 4) + 0.0
+        |    THEN floor((n*sxy - sx*sy)::DOUBLE
+        |      / (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE)) * 10000.0 + 0.5) / 10000.0
         |  END AS corr
         |FROM a ORDER BY l_returnflag""".stripMargin,
+
+    "text_fertility" ->
+      s"""WITH t AS (SELECT lang, len($SqlToks) AS ws,
+         |  len(regexp_extract_all(lower(text), '${text.BpeTokenPattern}')) AS bpe
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_docs, sum(ws)::BIGINT AS ws_tokens,
+         |  sum(bpe)::BIGINT AS bpe_tokens,
+         |  ((sum(bpe) * 10000) // sum(ws))::BIGINT AS fertility_4dp
+         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Sketch cells rebuilt in SQL from the same portable hash family;
     // probe cells injected as driver-computed literals (identical
@@ -2073,7 +2099,7 @@ object SparkEntry {
         |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY epoch_s
         |    RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW))
         |SELECT event_id, epoch_s, mov_n, mov_sum_micros,
-        |  round(mov_sum_micros / 1000000.0 / mov_n, 4) + 0.0 AS mov_avg
+        |  floor(mov_sum_micros / 1000000.0 / mov_n * 10000.0 + 0.5) / 10000.0 AS mov_avg
         |FROM w ORDER BY event_id""".stripMargin,
 
     // Same lag window (event_id tiebreak), integer shares.
@@ -2145,7 +2171,7 @@ object SparkEntry {
       s"""WITH ${SqlBm25Ctes},
          |b100 AS (SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 100),
          |br AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank_b FROM b100),
-         |es AS (SELECT vec_id, ${"round(" + sqlCosine(Q1) + ", 6) + 0.0"} AS vscore FROM embeddings),
+         |es AS (SELECT vec_id, ${"floor((" + sqlCosine(Q1) + ") * 1000000.0 + 0.5) / 1000000.0"} AS vscore FROM embeddings),
          |v100 AS (SELECT vec_id, vscore FROM es ORDER BY vscore DESC, vec_id LIMIT 100),
          |vr AS (SELECT vec_id, row_number() OVER (ORDER BY vscore DESC, vec_id) AS rank_a FROM v100),
          |f AS (SELECT coalesce(vr.vec_id, br.doc_id) AS doc_id,

@@ -55,7 +55,7 @@ final case class VecStore(
       .withColumn("score", vectors.score(metric, col(vecCol), col("q_vec"),
         invNormCol.map(col), Some(col("q_inv"))))
     val rounded = roundScoreDecimals match {
-      case Some(d) => scored.withColumn("score", round(col("score"), d) + lit(0.0))
+      case Some(d) => scored.withColumn("score", vectors.quantize(col("score"), d))
       case None    => scored
     }
     val scoreOrd = metric.defaultTake match {
@@ -196,7 +196,7 @@ final case class SearchPlan(
       }
 
     val rounded = roundScoreDecimals match {
-      case Some(d) => scored.withColumn("score", round(col("score"), d) + lit(0.0))
+      case Some(d) => scored.withColumn("score", vectors.quantize(col("score"), d))
       case None    => scored
     }
 

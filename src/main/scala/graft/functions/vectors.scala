@@ -119,4 +119,23 @@ object vectors {
     q.foreach(x => s += x * x)
     if (s > 0) 1.0 / math.sqrt(s) else 0.0
   }
+
+  /** Engine-portable `d`-decimal quantization:
+    * `floor(x·10ᵈ + 0.5) / 10ᵈ` — three IEEE double ops any engine
+    * evaluates bit-identically. NOT Spark's `round()`: that routes
+    * through BigDecimal HALF_UP on the double's exact decimal expansion,
+    * while other engines round the raw double — at an ulp-close half
+    * boundary the two disagree by one final decimal (observed at sf0.1
+    * on a corpus-wide logprob). Every rounded value the oracle compares
+    * goes through THIS form on both sides. Also never yields -0.0. */
+  def quantize(c: Column, d: Int): Column = {
+    val p = math.pow(10.0, d)
+    floor(c * p + 0.5) / p
+  }
+
+  /** Driver-side twin of [[quantize]]. */
+  def quantizeOf(x: Double, d: Int): Double = {
+    val p = math.pow(10.0, d)
+    math.floor(x * p + 0.5) / p
+  }
 }

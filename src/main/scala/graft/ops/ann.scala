@@ -311,7 +311,7 @@ object ann {
     store.df
       .filter(col(cl).isin(probed: _*))
       .withColumn("score",
-        round(graft.ops.quant.pqAdcDot(col("pq_code"), cbs, q), 4) + lit(0.0))
+        vectors.quantize(graft.ops.quant.pqAdcDot(col("pq_code"), cbs, q), 4))
       .orderBy(col("score").desc, col(store.idCol))
       .limit(k)
       .drop(cl)
@@ -381,7 +381,7 @@ object ann {
     val dists = array(centroids.map { case (_, cvec) =>
       vectors.l2Squared(col(vecCol), vectors.vecLit(cvec))
     }: _*)
-    df.withColumn("centroid_dist", round(array_min(dists), 4) + lit(0.0))
+    df.withColumn("centroid_dist", vectors.quantize(array_min(dists), 4))
       .orderBy(col("centroid_dist").desc, col(idCol))
       .limit(topN)
   }
@@ -447,8 +447,9 @@ object ann {
     val vb = sigs.select(col(idCol).as("dst"), col(vecCol).as("vd"), col("inv").as("inv_d"))
     cands.join(va, "src").join(vb, "dst")
       .withColumn("cos",
-        round(vectors.dotProduct(col("vs"), col("vd")) * col("inv_s") * col("inv_d"),
-          scoreDecimals) + lit(0.0))
+        vectors.quantize(
+          vectors.dotProduct(col("vs"), col("vd")) * col("inv_s") * col("inv_d"),
+          scoreDecimals))
       .withColumn("rnk", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))))

@@ -142,7 +142,7 @@ object quant {
     val encoded =
       if (df.columns.contains("pq_code")) df else pqEncode(df, codebooks, vecCol)
     encoded
-      .withColumn("score", round(pqAdcDot(col("pq_code"), codebooks, q), 4) + lit(0.0))
+      .withColumn("score", graft.functions.vectors.quantize(pqAdcDot(col("pq_code"), codebooks, q), 4))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }

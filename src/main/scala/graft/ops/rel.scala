@@ -159,7 +159,7 @@ object rel {
     val deny = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
     agg.withColumn("corr",
       when(col("n") > 1 && denx > 0.0 && deny > 0.0,
-        round(num / (sqrt(denx) * sqrt(deny)), 4) + lit(0.0)))
+        graft.functions.vectors.quantize(num / (sqrt(denx) * sqrt(deny)), 4)))
       .select(groupCols.map(col) ++ Seq(col("n"), col("corr")): _*)
   }
 

@@ -530,8 +530,12 @@ object text {
         sum(floor(col("tf") * log(col("ctf").cast("double") / col("n_corpus").cast("double"))
           * lit(1.0e6)).cast("long")).as("q"))
       .select(col(idCol), col("n_tokens"),
-        round(col("q").cast("double") / lit(1.0e6) / col("n_tokens"), 4)
-          .as("logprob"))
+        // floor-form 4dp quantization, NOT round(): Spark's round goes
+        // through BigDecimal HALF_UP while other engines round the raw
+        // double — at an ulp-close .00005 boundary they disagree (hit at
+        // sf0.1). floor(x·1e4 + 0.5)/1e4 is the same IEEE ops everywhere.
+        (floor(col("q").cast("double") / lit(1.0e6) / col("n_tokens")
+          * 10000.0 + 0.5) / 10000.0).as("logprob"))
   }
 
   /** Token-bigram pairs of a tokens array, in row (no explode yet):
@@ -586,7 +590,8 @@ object text {
         sum(floor(col("tf") * log(col("c2").cast("double") / col("c1").cast("double"))
           * lit(1.0e6)).cast("long")).as("q"))
       .select(col(idCol), col("n_bigrams"),
-        round(col("q").cast("double") / lit(1.0e6) / col("n_bigrams"), 4)
-          .as("logprob"))
+        // floor-form quantization — see [[unigramLogProb]]
+        (floor(col("q").cast("double") / lit(1.0e6) / col("n_bigrams")
+          * 10000.0 + 0.5) / 10000.0).as("logprob"))
   }
 }

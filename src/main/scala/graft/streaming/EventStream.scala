@@ -269,7 +269,7 @@ object EventStream {
       .withColumn("mov_n", count(lit(1)).over(w))
       .withColumn("mov_sum_micros", sum(col("_vq")).over(w))
       .withColumn("mov_avg",
-        round(col("mov_sum_micros") / 1000000.0 / col("mov_n"), 4) + 0.0)
+        graft.functions.vectors.quantize(col("mov_sum_micros") / 1000000.0 / col("mov_n"), 4))
       .drop("_vq")
   }
 

@@ -258,8 +258,8 @@ class AnnSpec extends SparkSpec {
     val expected = sigs.as("a").join(sigs.as("b"),
         col("a.sig") === col("b.sig") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
-        (round(vectors.dotProduct(col("a.embedding"), col("b.embedding"))
-          * col("a.inv") * col("b.inv"), 4) + lit(0.0)).as("cos"))
+        vectors.quantize(vectors.dotProduct(col("a.embedding"), col("b.embedding"))
+          * col("a.inv") * col("b.inv"), 4).as("cos"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))))
       .where(col("rnk") <= 2)
