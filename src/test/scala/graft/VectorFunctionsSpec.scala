@@ -48,6 +48,18 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(math.abs(s - (0.1f.toDouble * 0.1f.toDouble + 0.2f.toDouble * 0.2f.toDouble)) == 0.0)
   }
 
+  test("quantize: column form == driver twin, incl. negatives and boundaries") {
+    val xs = Seq(0.0, -0.0, 1.23456, -1.23456, 0.00005, -0.00005,
+      0.99995, 2.5e-5, -3.14159265, 123.456789)
+    val viaCol = xs.toDF("x")
+      .select(quantize(col("x"), 4).as("q"))
+      .collect().map(_.getDouble(0)).toSeq
+    val viaDriver = xs.map(quantizeOf(_, 4))
+    assert(viaCol == viaDriver)
+    // never -0.0 (the oracle hash distinguishes signed zero)
+    assert(viaCol.forall(v => !(v == 0.0 && 1.0 / v < 0)))
+  }
+
   test("invNormOf matches the column expression fold") {
     val q = Seq(0.3, -1.7, 2.9, 0.0001)
     val colInv = scores(Seq(q), v => invNorm(v)).head
