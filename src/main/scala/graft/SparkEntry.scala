@@ -860,6 +860,17 @@ object SparkEntry {
       ann.knnGraph(table(s, dir, "embeddings"), k = 3, nbits = 6)
         .orderBy(col("src"), col("rnk"))),
 
+    // two-corpus kNN JOIN — link a query set to a reference corpus by
+    // embedding (disjoint modulo split of the same table stands in for
+    // the two datasets).
+    "ann_knn_join" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      ann.knnJoin(
+          emb.where(col("vec_id") % 7 === 0),
+          emb.where(col("vec_id") % 7 =!= 0), k = 2, nbits = 6)
+        .orderBy(col("src"), col("rnk"))
+    }),
+
     // deterministic fixed-point PageRank over the kNN similarity graph —
     // document centrality for curation; every rank is an exact long.
     "graph_pagerank" -> ((s, dir) =>
@@ -1981,6 +1992,21 @@ object SparkEntry {
     "ann_knn_graph" ->
       s"""WITH $SqlKnnCtes
          |SELECT src, dst, cos, rnk FROM r WHERE rnk <= 3 ORDER BY src, rnk""".stripMargin,
+
+    "ann_knn_join" ->
+      s"""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |b AS (SELECT vec_id, e, (${sqlLshSig(0, 6, 64)}) AS sig FROM s),
+         |l AS (SELECT * FROM b WHERE vec_id % 7 = 0),
+         |rr AS (SELECT * FROM b WHERE vec_id % 7 != 0),
+         |c AS (SELECT l.vec_id AS src, rr.vec_id AS dst, l.e AS ea, rr.e AS eb
+         |  FROM l JOIN rr ON l.sig = rr.sig),
+         |p AS (SELECT src, dst, floor((list_dot_product(ea, eb)
+         |  * (CASE WHEN list_dot_product(ea, ea) > 0 THEN 1.0/sqrt(list_dot_product(ea, ea)) ELSE 0.0 END)
+         |  * (CASE WHEN list_dot_product(eb, eb) > 0 THEN 1.0/sqrt(list_dot_product(eb, eb)) ELSE 0.0 END)) * 10000.0 + 0.5) / 10000.0 AS cos
+         |  FROM c),
+         |r AS (SELECT src, dst, cos,
+         |  row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk FROM p)
+         |SELECT src, dst, cos, rnk FROM r WHERE rnk <= 2 ORDER BY src, rnk""".stripMargin,
 
     // 3 unrolled integer iterations over the kNN edges; every rank is a
     // long, so the compare is hash-exact with no float discipline at all.

@@ -415,36 +415,81 @@ object ann {
       tables: Int = 1,
       nbits: Int = 6,
       bucketCap: Int = 4096,
-      scoreDecimals: Int = 4): DataFrame = {
-    require(k >= 1, s"graft: knnGraph needs k >= 1, got $k")
-    val sigs = df.select(
+      scoreDecimals: Int = 4): DataFrame =
+    knnJoinImpl(df, df, excludeSelf = true, k, idCol, vecCol, dim, tables,
+      nbits, bucketCap, scoreDecimals)
+
+  /** Two-corpus approximate kNN JOIN: for every LEFT vector, its top-`k`
+    * most-cosine-similar RIGHT vectors among those sharing an LSH bucket
+    * — the "link two datasets by embedding" primitive (match queries to
+    * passages, new batch to reference corpus, product to catalog). Same
+    * thin-row/bucket-cap/rank-on-rounded-score discipline as
+    * [[knnGraph]], which is exactly this join of a corpus with itself
+    * (minus self-pairs). Sides are treated as DISJOINT inputs: ids may
+    * overlap and pairs are not excluded — callers joining a subset
+    * against its superset should pre-filter. */
+  def knnJoin(
+      left: DataFrame,
+      right: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      dim: Int = 64,
+      tables: Int = 1,
+      nbits: Int = 6,
+      bucketCap: Int = 4096,
+      scoreDecimals: Int = 4): DataFrame =
+    knnJoinImpl(left, right, excludeSelf = false, k, idCol, vecCol, dim,
+      tables, nbits, bucketCap, scoreDecimals)
+
+  private def knnJoinImpl(
+      left: DataFrame,
+      right: DataFrame,
+      excludeSelf: Boolean,
+      k: Int,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      tables: Int,
+      nbits: Int,
+      bucketCap: Int,
+      scoreDecimals: Int): DataFrame = {
+    require(k >= 1, s"graft: knn join needs k >= 1, got $k")
+    def sigsOf(df: DataFrame) = df.select(
       (Seq(col(idCol), col(vecCol)) ++
         (0 until tables).map(t =>
           lshSignature(col(vecCol), t, nbits, dim).as(s"sig$t"))): _*)
       .withColumn("inv", vectors.invNorm(col(vecCol)))
-    val banded = sigs.select(col(idCol),
-        explode(array((0 until tables).map(t =>
-          struct(lit(t).as("t"), col(s"sig$t").as("key"))): _*)).as("b"))
-      .select(col(idCol), col("b.t").as("t"), col("b.key").as("key"))
-    val allowed = banded
-      .groupBy(col("t"), col("key"))
-      .agg(count(lit(1)).as("bucket_sz"))
-      .observe("graft_knn_graph",
-        sum(when(col("bucket_sz") > bucketCap, 1L).otherwise(0L)).as("dropped_buckets"),
-        max(col("bucket_sz")).as("max_bucket"))
-      .where(col("bucket_sz") <= bucketCap)
-      .select(col("t"), col("key"))
-    val gated = banded.join(allowed, Seq("t", "key"))
-    // DIRECTED pairs (src != dst, both orientations): a neighbor list is
-    // per-source, unlike the near-dup pair set's unordered id_a < id_b.
-    val cands = gated.as("a")
-      .join(gated.as("b"),
-        col("a.t") === col("b.t") && col("a.key") === col("b.key") &&
-          col(s"a.$idCol") =!= col(s"b.$idCol"))
+    // Each side is gated by its OWN bucket-size cap: a hot bucket on
+    // either side multiplies candidates, so per-bucket pair count stays
+    // <= cap^2 regardless of which side is skewed.
+    def bandedOf(sigs: DataFrame, tag: String) = {
+      val banded = sigs.select(col(idCol),
+          explode(array((0 until tables).map(t =>
+            struct(lit(t).as("t"), col(s"sig$t").as("key"))): _*)).as("b"))
+        .select(col(idCol), col("b.t").as("t"), col("b.key").as("key"))
+      val allowed = banded
+        .groupBy(col("t"), col("key"))
+        .agg(count(lit(1)).as("bucket_sz"))
+        .observe(s"graft_knn_$tag",
+          sum(when(col("bucket_sz") > bucketCap, 1L).otherwise(0L)).as("dropped_buckets"),
+          max(col("bucket_sz")).as("max_bucket"))
+        .where(col("bucket_sz") <= bucketCap)
+        .select(col("t"), col("key"))
+      banded.join(allowed, Seq("t", "key"))
+    }
+    val (ls, rs) = (sigsOf(left), sigsOf(right))
+    // DIRECTED pairs: a neighbor list is per-source, unlike the near-dup
+    // pair set's unordered id_a < id_b.
+    val pairCond =
+      col("a.t") === col("b.t") && col("a.key") === col("b.key") &&
+        (if (excludeSelf) col(s"a.$idCol") =!= col(s"b.$idCol") else lit(true))
+    val cands = bandedOf(ls, "left").as("a")
+      .join(bandedOf(rs, "right").as("b"), pairCond)
       .select(col(s"a.$idCol").as("src"), col(s"b.$idCol").as("dst"))
       .distinct()
-    val va = sigs.select(col(idCol).as("src"), col(vecCol).as("vs"), col("inv").as("inv_s"))
-    val vb = sigs.select(col(idCol).as("dst"), col(vecCol).as("vd"), col("inv").as("inv_d"))
+    val va = ls.select(col(idCol).as("src"), col(vecCol).as("vs"), col("inv").as("inv_s"))
+    val vb = rs.select(col(idCol).as("dst"), col(vecCol).as("vd"), col("inv").as("inv_d"))
     cands.join(va, "src").join(vb, "dst")
       .withColumn("cos",
         vectors.quantize(

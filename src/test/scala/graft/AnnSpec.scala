@@ -268,6 +268,22 @@ class AnnSpec extends SparkSpec {
     assert(out.nonEmpty, "3-bit buckets over 200 vectors must collide")
   }
 
+  test("knnJoin: neighbors come only from the right side; disjoint split covers knnGraph pairs") {
+    val left = df.where(col("vec_id") % 5 === 0)
+    val right = df.where(col("vec_id") % 5 =!= 0)
+    val out = ann.knnJoin(left, right, k = 2, vecCol = "embedding",
+        dim = dim, nbits = 3)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall { case (src, dst, _, _) => src % 5 == 0 && dst % 5 != 0 })
+    // every (src, dst) the join emits is a same-bucket pair of the full
+    // graph's candidate structure (same signature function)
+    val sigOf = df.select(col("vec_id"),
+        ann.lshSignature(col("embedding"), 0, 3, dim).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (src, dst, _, _) => assert(sigOf(src) == sigOf(dst)) }
+  }
+
   test("knnGraph bucketCap drops oversized buckets (recall-for-bound knob)") {
     // every bucket with >= 2 members exceeds cap 1, and singleton buckets
     // yield no pairs — the graph must come back empty, not explode

@@ -26,4 +26,20 @@ class EntrySpec extends SparkSpec {
       assert(df.schema.fields.nonEmpty, s"$name has an empty schema")
     }
   }
+
+  test("every Spark output column is named in its oracle SQL (alias-mismatch lint)") {
+    // The driver compares columns BY NAME (sorted) — a Spark column the
+    // oracle spells differently hash-mismatches even on identical values.
+    // This lint catches the miss in `sbt test`, before a driver round:
+    // each output column name must appear as a word in the oracle text.
+    val dir = "/root/testdata/sf0.001"
+    val misses = SparkEntry.oracleSql.toSeq.flatMap { case (name, sql) =>
+      val words = "[A-Za-z_][A-Za-z0-9_]*".r.findAllIn(sql.toLowerCase).toSet
+      SparkEntry.queries(name)(spark, dir).schema.fieldNames
+        .filterNot(c => words.contains(c.toLowerCase))
+        .map(c => s"$name.$c")
+    }
+    assert(misses.isEmpty,
+      s"columns missing from their oracle SQL: ${misses.mkString(", ")}")
+  }
 }
