@@ -747,6 +747,16 @@ object SparkEntry {
           col("event_type"), col("n_events"), col("sum_value_micros"))
         .orderBy(col("wstart"), col("event_type"))),
 
+    // SLIDING windows (10-minute length, 5-minute slide): every event
+    // lands in exactly 2 overlapping windows; in streaming mode the
+    // watermark evicts closed window state.
+    "events_sliding_agg" -> ((s, dir) =>
+      EventStream.windowedAgg(events(s, dir), windowLen = "10 minutes",
+          slide = Some("5 minutes"))
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+          col("event_type"), col("n_events"), col("sum_value_micros"))
+        .orderBy(col("wstart"), col("event_type"))),
+
     // north-star: gap-based sessionization (lag -> flag -> running sum),
     // one shuffle on user_id.
     "events_sessionize" -> ((s, dir) =>
@@ -1918,6 +1928,19 @@ object SparkEntry {
         |  event_type, count(*) AS n_events,
         |  sum(floor(value * 1000000.0)::BIGINT)::BIGINT AS sum_value_micros
         |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+
+    // Each event expands to its len/slide = 2 overlapping window starts:
+    // the aligned 5-minute slot and the one before it.
+    "events_sliding_agg" ->
+      """WITH m AS (SELECT event_type, value,
+        |  (epoch_us(ts) // 300000000 - i) * 300 AS wstart_s
+        |  FROM events, range(0, 2) r(i)),
+        |w AS (SELECT strftime(make_timestamp(wstart_s * 1000000), '%Y-%m-%d %H:%M:%S') AS wstart,
+        |  event_type, count(*) AS n_events,
+        |  sum(floor(value * 1000000.0)::BIGINT)::BIGINT AS sum_value_micros
+        |  FROM m GROUP BY 1, 2)
+        |SELECT wstart, event_type, n_events, sum_value_micros
+        |FROM w ORDER BY wstart, event_type""".stripMargin,
 
     "events_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, ts,

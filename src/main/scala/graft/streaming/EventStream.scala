@@ -17,17 +17,25 @@ import org.apache.spark.sql.functions._
   */
 object EventStream {
 
-  /** Tumbling-window counts/sums per event type. For a streaming input
-    * set `watermark` (e.g. "10 minutes") so window state can close; leave
-    * it None for batch. Emits (window_start, event_type, n_events,
+  /** Tumbling- or SLIDING-window counts/sums per event type. With
+    * `slide` set below `windowLen`, windows overlap and each event lands
+    * in `windowLen / slide` of them (the moving-aggregate shape streaming
+    * dashboards plot); Spark's `window()` expands the memberships in-row,
+    * so the only shuffle is still the (window, type) aggregate, and in
+    * streaming mode state holds one row per OPEN window×type — the
+    * watermark closes and evicts them. For a streaming input set
+    * `watermark` (e.g. "10 minutes") so window state can close; leave it
+    * None for batch. Emits (window_start, event_type, n_events,
     * sum_value). */
   def windowedAgg(
       events: DataFrame,
       windowLen: String = "5 minutes",
-      watermark: Option[String] = None): DataFrame = {
+      watermark: Option[String] = None,
+      slide: Option[String] = None): DataFrame = {
     val src = watermark.map(events.withWatermark("ts", _)).getOrElse(events)
     src
-      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .groupBy(window(col("ts"), windowLen, slide.getOrElse(windowLen)).as("w"),
+        col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"),
         // Fixed-point companion: double sums depend on partition merge
         // order in the last ulps; the floored-micros long sum is exact and

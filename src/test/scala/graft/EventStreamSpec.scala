@@ -208,6 +208,21 @@ class EventStreamSpec extends SparkSpec {
       (5L, 1L, 16000000L)))
   }
 
+  test("windowedAgg sliding: each event lands in len/slide overlapping windows") {
+    val r = EventStream.windowedAgg(batch, windowLen = "10 minutes",
+        slide = Some("5 minutes"))
+      .orderBy("window_start", "event_type")
+      .select(date_format(col("window_start"), "HH:mm").as("w"),
+        col("event_type"), col("n_events"))
+      .as[(String, String, Long)].collect().toSeq
+    // events at 00:01, 00:03:30 (clicks), 00:06 (view), 01:00 (click)
+    assert(r == Seq(
+      ("23:55", "click", 2L),            // 23:55-00:05 catches both early clicks
+      ("00:00", "click", 2L), ("00:00", "view", 1L),
+      ("00:05", "view", 1L),
+      ("00:55", "click", 1L), ("01:00", "click", 1L)))
+  }
+
   test("transitions: per-user consecutive pairs, exact integer shares") {
     val rows = Seq(
       // user 7: view -> click -> view   user 8: view -> view
