@@ -757,6 +757,20 @@ object SparkEntry {
           col("event_type"), col("n_events"), col("sum_value_micros"))
         .orderBy(col("wstart"), col("event_type"))),
 
+    // NATIVE session windows (session_window + state-store merge in
+    // streaming) — must draw the same session boundaries as the
+    // gaps-and-islands form: the oracle is the sessionize chain with
+    // end = last event + gap (session_window's end semantics).
+    "events_session_window" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("s_start"),
+          date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("s_end"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("s_start"))),
+
     // north-star: gap-based sessionization (lag -> flag -> running sum),
     // one shuffle on user_id.
     "events_sessionize" -> ((s, dir) =>
@@ -1956,6 +1970,23 @@ object SparkEntry {
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS s_end,
         |  count(*) AS n_events
         |FROM g GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+
+    // Same islands as events_sessionize; session_window's end = last
+    // event + gap.
+    "events_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |f AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |    OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |    THEN 1 ELSE 0 END AS ns FROM e),
+        |g AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx FROM f)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS s_start,
+        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS s_end,
+        |  count(*) AS n_events
+        |FROM g GROUP BY user_id, session_idx ORDER BY user_id, s_start""".stripMargin,
 
     "events_json_extract" ->
       """SELECT event_id, event_type, json_extract_string(props, '$.k')::INT AS k
