@@ -179,6 +179,27 @@ object Demo {
     println("== corpus data card: per-language profile in one scan ==")
     SparkEntry.queries("pipeline_corpus_report")(spark, sfDir).show(false)
 
+    println("== two-corpus kNN join: match queries (id%7=0) to the corpus ==")
+    graft.ops.ann.knnJoin(
+        store.df.where(col("vec_id") % 7 === 0),
+        store.df.where(col("vec_id") % 7 =!= 0), k = 2, nbits = 4)
+      .orderBy("src", "rnk").show(4, truncate = false)
+
+    println("== Count-Min sketch: token frequency estimates from 4x512 cells ==")
+    val cmToks = docs.select(explode(text.tokens(col("text"))).as("tok"))
+    graft.ops.sketch.cmEstimate(
+      graft.ops.sketch.countMin(cmToks, col("tok"), 4, 512),
+      Seq("the", "data", "zzz_absent"), 4, 512).orderBy("value").show(false)
+
+    println("== tokenizer fertility per language (subwords per word) ==")
+    SparkEntry.queries("text_fertility")(spark, sfDir).show(false)
+
+    println("== native session windows (same boundaries as gaps-and-islands) ==")
+    events.groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start"), col("n"))
+      .orderBy("user_id", "start").show(3, truncate = false)
+
     println("== length-quantile curriculum bins ==")
     graft.ops.sample.quantileBins(docs, col("n_chars").cast("double"), nbins = 4,
         scale = 1.0)
