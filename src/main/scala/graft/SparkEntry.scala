@@ -110,11 +110,21 @@ object SparkEntry {
     })
   }
 
+  /** Memoized persisted inverted text index (term-bucket-partitioned
+    * postings + exact corpus stats) — build once, BM25-query many. */
+  private val builtTextIndexes = new scala.collection.concurrent.TrieMap[String, String]()
+  private def textIndex(s: SparkSession, dir: String): String =
+    builtTextIndexes.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files.createTempDirectory("graft-ti-").toString + "/docs"
+      retrieval.buildTextIndex(table(s, dir, "documents"), out, "text", "doc_id")
+      out
+    })
+
   /** One-time index builds, callable from Bench's untimed warmup so
     * per-query numbers measure steady-state execution, not builds. */
   def prebuildIndexes(s: SparkSession, dir: String): Unit = {
     embIndex(s, dir); embLshIndex(s, dir); embIvfIndex(s, dir)
-    bucketedTables(s, dir)
+    bucketedTables(s, dir); textIndex(s, dir)
   }
 
   // ---- DuckDB SQL snippet builders ------------------------------------
@@ -1066,6 +1076,13 @@ object SparkEntry {
     // north-star: BM25 keyword retrieval over the documents table.
     "text_bm25_topk" -> ((s, dir) =>
       retrieval.bm25Search(table(s, dir, "documents"), "text", "doc_id",
+        Seq("spark", "query", "window"), k = 10)),
+
+    // PERSISTED inverted index — probe-bucket partition pruning, corpus
+    // never re-tokenized; scores bit-identical to the live path (same
+    // oracle SQL as text_bm25_topk).
+    "text_bm25_indexed" -> ((s, dir) =>
+      retrieval.bm25Indexed(s, textIndex(s, dir),
         Seq("spark", "query", "window"), k = 10)),
 
     // north-star: hybrid retrieval — cosine ANN ranks fused with BM25
@@ -2246,6 +2263,9 @@ object SparkEntry {
         |ORDER BY user_id, event_type""".stripMargin,
 
     "text_bm25_topk" -> sqlBm25Top(10),
+
+    // The indexed path must reproduce the LIVE path's scores exactly.
+    "text_bm25_indexed" -> sqlBm25Top(10),
 
     "hybrid_rrf_topk" ->
       s"""WITH ${SqlBm25Ctes},

@@ -75,6 +75,86 @@ object retrieval {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
 
+  /** Build a PERSISTED inverted index for [[bm25Indexed]] — the text
+    * twin of `VecIndex.build`: tokenize ONCE at build time, land
+    * `(term, doc_id, tf, dl)` postings partitioned by
+    * `term_bucket = h32(term) mod buckets` directories, and persist the
+    * exact corpus stats (doc count, total length as a LONG) alongside.
+    * A query then reads ONLY its terms' bucket directories — at 100 TB
+    * the per-query cost is O(probed postings), not O(corpus), and the
+    * corpus text is never re-tokenized.
+    *
+    * `buckets` sizes the pruning granularity: queries read ~terms/buckets
+    * of the index; keep it well above typical query term counts and low
+    * enough that each bucket file stays row-group sized. Postings are
+    * one row per (term, doc) — the shuffle that builds them is the same
+    * (doc, term) aggregate every BM25 query would otherwise pay. */
+  def buildTextIndex(
+      docs: DataFrame,
+      path: String,
+      textCol: String,
+      idCol: String,
+      buckets: Int = 64): Unit = {
+    require(buckets >= 1, s"graft: buckets must be positive, got $buckets")
+    val base = docs.select(col(idCol).as("doc_id"), text.tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val postings = base
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("term_bucket",
+        pmod(graft.functions.hashing.h32(col("term")), lit(buckets)).cast("int"))
+    postings
+      .repartition(col("term_bucket"))
+      .write.mode("overwrite").partitionBy("term_bucket")
+      .parquet(s"$path/postings")
+    base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .withColumn("buckets", lit(buckets))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** BM25 top-k over a [[buildTextIndex]] layout: probe-bucket partition
+    * pruning + a term filter, then the identical scoring arithmetic as
+    * [[bm25]] — stored `dl`/`tf` are exact longs cast back to the same
+    * doubles the live path computes, and the persisted corpus stats are
+    * exact integers, so indexed and live scores match BIT-FOR-BIT
+    * (pinned in RetrievalSpec; the oracle is the live path's SQL). */
+  def bm25Indexed(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      terms: Seq[String],
+      k: Int,
+      params: Bm25Params = Bm25Params()): DataFrame = {
+    require(terms.nonEmpty, "graft: bm25Indexed needs at least one term")
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val nDocs = meta.getAs[Long]("n_docs").toDouble
+    val sumDl = meta.getAs[Long]("sum_dl").toDouble
+    val buckets = meta.getAs[Int]("buckets")
+    val avgdl = sumDl / nDocs
+    val probeBuckets = terms
+      .map(t => math.floorMod(graft.functions.hashing.h32Of(t), buckets.toLong).toInt)
+      .distinct
+    val posts = spark.read.parquet(s"$path/postings")
+      .where(col("term_bucket").isin(probeBuckets: _*)) // partition pruning
+      .where(col("term").isin(terms: _*))
+      .select(col("doc_id"), col("term"),
+        col("dl").cast("double").as("dl"), col("tf").cast("double").as("tf"))
+    // postings are unique per (term, doc): df is a plain count
+    val df_ = posts.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val k1 = params.k1
+    val b = params.b
+    val idf = log((lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val termScore = idf * (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) / lit(avgdl) * col("dl")))
+    posts.join(df_, "term")
+      .withColumn("ts", termScore)
+      .groupBy(col("doc_id"))
+      .agg((floor(sum(col("ts")) * 1000000.0 + 0.5) / 1000000.0).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Reciprocal-rank fusion of two ranked lists (id, rank 1-based):
     * `rrf = Σ 1/(c + rank)` over the lists an id appears in. Pure
     * rational arithmetic from integer ranks — exactly reproducible. */

@@ -47,6 +47,20 @@ class RetrievalSpec extends SparkSpec {
     assert(rrfs == rrfs.sorted.reverse && rrfs.forall(_ > 0))
   }
 
+  test("bm25Indexed: persisted index reproduces the live path bit-for-bit, via pruned buckets") {
+    val path = java.nio.file.Files.createTempDirectory("graft-ti-spec-").toString + "/idx"
+    retrieval.buildTextIndex(docs, path, "text", "doc_id", buckets = 8)
+    val live = retrieval.bm25Search(docs, "text", "doc_id",
+        Seq("spark", "query"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val indexed = retrieval.bm25Indexed(spark, path, Seq("spark", "query"), k = 10)
+    assert(indexed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == live)
+    // the probe reads only the terms' bucket directories
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("term_bucket"),
+      plan.take(600))
+  }
+
   test("mmr: rank 1 is pure relevance; diversity-weighted rank 2 skips the near-dup") {
     val df = Seq(
       (1L, Array(1.0, 0.049)),  // top relevance
