@@ -114,6 +114,48 @@ object retrieval {
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** Segment-additive APPEND to a [[buildTextIndex]] layout: the new
+    * docs' postings land as additional files in the same term-bucket
+    * directories (no rewrite of existing segments), and the corpus stats
+    * are replaced by the exact summed totals. Per-term document
+    * frequencies need no maintenance at all — [[bm25Indexed]] derives
+    * them from the probed postings at query time, so they are correct
+    * the moment the files land. Caller contract: `docs` are NEW ids
+    * (appending an existing doc would double-count its postings, exactly
+    * like `VecIndex.append`). */
+  def appendTextIndex(
+      docs: DataFrame,
+      path: String,
+      textCol: String,
+      idCol: String): Unit = {
+    val spark = docs.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val buckets = meta.getAs[Int]("buckets")
+    val base = docs.select(col(idCol).as("doc_id"), text.tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    base
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("term_bucket",
+        pmod(graft.functions.hashing.h32(col("term")), lit(buckets)).cast("int"))
+      .repartition(col("term_bucket"))
+      .write.mode("append").partitionBy("term_bucket")
+      .parquet(s"$path/postings")
+    val add = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("s")).head()
+    // Crash ordering: postings land first, stats second. A crash between
+    // the two leaves stats STALE (scores briefly use the old N/avgdl)
+    // but never corrupt — df comes from the postings themselves, and the
+    // next append or rebuild refreshes the stats.
+    spark.createDataFrame(Seq((
+        meta.getAs[Long]("n_docs") + add.getLong(0),
+        meta.getAs[Long]("sum_dl") + add.getLong(1),
+        buckets)))
+      .toDF("n_docs", "sum_dl", "buckets")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
   /** BM25 top-k over a [[buildTextIndex]] layout: probe-bucket partition
     * pruning + a term filter, then the identical scoring arithmetic as
     * [[bm25]] — stored `dl`/`tf` are exact longs cast back to the same

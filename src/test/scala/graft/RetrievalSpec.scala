@@ -61,6 +61,22 @@ class RetrievalSpec extends SparkSpec {
       plan.take(600))
   }
 
+  test("appendTextIndex: appended docs are searchable; index equals a fresh full build") {
+    val p1 = java.nio.file.Files.createTempDirectory("graft-ti-app-").toString + "/idx"
+    val first = docs.where(col("doc_id") <= 2)
+    val rest = docs.where(col("doc_id") > 2)
+    retrieval.buildTextIndex(first, p1, "text", "doc_id", buckets = 8)
+    retrieval.appendTextIndex(rest, p1, "text", "doc_id")
+    val p2 = java.nio.file.Files.createTempDirectory("graft-ti-full-").toString + "/idx"
+    retrieval.buildTextIndex(docs, p2, "text", "doc_id", buckets = 8)
+    val a = retrieval.bm25Indexed(spark, p1, Seq("spark", "query"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = retrieval.bm25Indexed(spark, p2, Seq("spark", "query"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b, "append must converge to the full-build scores")
+    assert(a.map(_._1).contains(4L), "appended doc must be searchable")
+  }
+
   test("mmr: rank 1 is pure relevance; diversity-weighted rank 2 skips the near-dup") {
     val df = Seq(
       (1L, Array(1.0, 0.049)),  // top relevance
