@@ -225,7 +225,7 @@ object VecIndex {
       case _ => withInv
     }
     // Column order must match the existing data files for parquet append.
-    val ordered = withBucket.select(existing.columns.map(col): _*)
+    val ordered = withBucket.select(existing.columns.toIndexedSeq.map(col): _*)
     val sorted =
       if (opts.sortBy.nonEmpty) ordered.sortWithinPartitions(opts.sortBy.map(col): _*)
       else ordered
@@ -286,10 +286,10 @@ object VecIndex {
       else if (m.ivfCentroids.isDefined) Some(IvfClusterCol)
       else None
     }
-    val sub = spark.read.option("basePath", path).parquet(affected: _*)
+    val sub = spark.read.option("basePath", path).parquet(affected.toIndexedSeq: _*)
     val deleted = sub.filter(pred).count()
     val kept = sub.filter(!coalesce(pred, lit(false)))
-      .select(df.columns.map(col): _*)
+      .select(df.columns.toIndexedSeq.map(col): _*)
     var writer = kept.write.mode(SaveMode.Append)
     partCol.foreach(c => writer = writer.partitionBy(c))
     writer.parquet(path)

@@ -46,6 +46,28 @@ class ErrorTaxonomySpec extends SparkSpec {
     assert(e.getMessage.contains("must not be empty"))
   }
 
+  test("round-5 operators validate their sizing arguments eagerly") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = Seq((1L, 1.0)).toDF("id", "v")
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    def msg(f: => Any): String =
+      intercept[IllegalArgumentException](f).getMessage
+    assert(msg(graft.ops.sketch.histogram(df, col("v"), 5.0, 5.0, 3)).contains("lo < hi"))
+    assert(msg(graft.ops.sketch.histogram(df, col("v"), 0.0, 1.0, 0)).contains("nbins"))
+    assert(msg(graft.ops.sketch.countMin(df, col("v"), depth = 0)).contains("depth"))
+    assert(msg(graft.ops.sample.quantileBins(df, col("v"), nbins = 0)).contains("nbins"))
+    assert(msg(graft.ops.graph.pageRank(edges, dampingPpm = 2000000L)).contains("dampingPpm"))
+    assert(msg(graft.ops.ann.knnGraph(df, k = 0)).contains("k >= 1"))
+    assert(msg(graft.ops.ann.lshProbeSigsOf(Seq(1.0), 0, 4, probes = 0)).contains("probes"))
+    assert(msg(graft.ops.rel.pivotAgg(df, "id", "v", Nil, "v")).contains("pivot values"))
+    assert(msg(graft.ops.rel.rollupAgg(df, Nil, "v")).contains("group column"))
+    assert(msg(graft.ops.rel.writeBucketed(df, "t", "/tmp/x", "id", 0)).contains("buckets"))
+    assert(msg(graft.streaming.EventStream.rollingAgg(df, windowSec = 0)).contains("windowSec"))
+    assert(msg(graft.ops.retrieval.buildTextIndex(df, "/tmp/x", "v", "id", 0)).contains("buckets"))
+    assert(msg(graft.ops.retrieval.bm25Indexed(spark, "/tmp/x", Nil, 5)).contains("term"))
+  }
+
   test("ragged query batch (mixed dims) is rejected with both dims named") {
     val e = intercept[IllegalArgumentException](
       store.queryBatch(Seq(Seq(1.0, 0.0), Seq(1.0)), Metric.Cosine).collect())
