@@ -307,6 +307,20 @@ object EventStream {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Stream-static broadcast enrichment: join an unbounded stream to a
+    * SMALL static dimension table (user → segment, device → model, …).
+    * The static side broadcasts once per micro-batch plan — no stream
+    * state, no watermark, no shuffle of the stream — which is why
+    * dimension enrichment belongs on this path and NOT on the
+    * stream-stream [[intervalJoin]] (state + watermarks are for two
+    * UNBOUNDED sides). Left join: events with no dimension row pass
+    * through with nulls — an enrichment gap must not drop events. */
+  def enrichStream(
+      stream: DataFrame,
+      dim: DataFrame,
+      key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Event-type transition matrix (first-order Markov counts): for every
     * consecutive pair of events of the SAME user in event-time order,
     * count (prev_type → type), plus each row's share of its source

@@ -208,6 +208,24 @@ class EventStreamSpec extends SparkSpec {
       (5L, 1L, 16000000L)))
   }
 
+  test("enrichStream: static dim broadcast onto a true stream; misses pass through") {
+    implicit val sql = spark.sqlContext
+    val dim = Seq((7L, "gold"), (8L, "trial")).toDF("user_id", "segment")
+    val mem = MemoryStream[(Long, Long, Double)]
+    val q = EventStream.enrichStream(
+        mem.toDF().toDF("event_id", "user_id", "value"), dim, "user_id")
+      .writeStream.format("memory").queryName("graft_enriched")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 7L, 1.0), (2L, 9L, 2.0)) // user 9 has no dim row
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("graft_enriched")
+      .select("event_id", "segment")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(rows == Map(1L -> Some("gold"), 2L -> None))
+  }
+
   test("windowedAgg sliding: each event lands in len/slide overlapping windows") {
     val r = EventStream.windowedAgg(batch, windowLen = "10 minutes",
         slide = Some("5 minutes"))
