@@ -994,6 +994,13 @@ object SparkEntry {
           col("mov_sum_micros"), col("mov_avg"))
         .orderBy(col("event_id"))),
 
+    // trailing z-score anomaly signal — exact-integer window moments,
+    // one division + sqrt at the end; zero-variance windows are null.
+    "events_anomaly" -> ((s, dir) =>
+      EventStream.rollingZScore(events(s, dir), windowSec = 3600)
+        .select(col("event_id"), col("win_n"), col("z"))
+        .orderBy(col("event_id"))),
+
     // weekly cohort retention triangle — distinct user-weeks collapse
     // before the co-partitioned first-week join.
     "events_retention" -> ((s, dir) =>
@@ -2209,6 +2216,25 @@ object SparkEntry {
         |SELECT prev_type, event_type, n,
         |  ((n * 10000) // sum(n) OVER (PARTITION BY prev_type))::BIGINT AS share_4dp
         |FROM c ORDER BY prev_type, event_type""".stripMargin,
+
+    // Same exact-integer moments; `//` not needed — one double division.
+    "events_anomaly" ->
+      """WITH e AS (SELECT event_id, user_id, value,
+        |  epoch_us(ts) // 1000000 AS epoch_s,
+        |  floor(value * 1000.0 + 0.5)::BIGINT AS vq FROM events),
+        |w AS (SELECT event_id,
+        |  count(*) OVER win AS win_n,
+        |  sum(vq) OVER win AS s1,
+        |  sum(vq * vq) OVER win AS s2,
+        |  vq
+        |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY epoch_s
+        |    RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, win_n,
+        |  CASE WHEN win_n * s2 - s1 * s1 > 0
+        |    THEN floor((win_n * vq - s1)::DOUBLE / sqrt((win_n * s2 - s1 * s1)::DOUBLE)
+        |      * 10000.0 + 0.5) / 10000.0
+        |  END AS z
+        |FROM w ORDER BY event_id""".stripMargin,
 
     // Integer epoch-weeks (day DIV 7 arithmetic — no calendar semantics).
     "events_retention" ->

@@ -281,6 +281,45 @@ object EventStream {
       .drop("_vq")
   }
 
+  /** Trailing-window z-score anomaly signal: how unusual each event's
+    * value is against that user's OWN recent history (the trailing
+    * `windowSec` RANGE frame, current event included). Algebra is
+    * arranged so every intermediate is an EXACT integer:
+    * `z = (n·v − Σv) / √(n·Σv² − (Σv)²)` over values quantized at
+    * `scale` — one float division and one sqrt at the very end,
+    * identical in any engine. Windows with zero variance (n = 1 or all
+    * values equal) yield null, not ±∞.
+    *
+    * Same plan shape as [[rollingAgg]]: ONE user shuffle, RANGE-frame
+    * window sums. Overflow headroom is the caller's via `scale`:
+    * n·Σv² ≤ frameRows²·(maxV·scale)² must stay under 2⁶³ — the default
+    * 1e3 holds to ~190k-row frames at values ≤ 500. */
+  def rollingZScore(
+      events: DataFrame,
+      windowSec: Int = 3600,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      scale: Double = 1000.0): DataFrame = {
+    require(windowSec >= 1, s"graft: windowSec must be positive, got $windowSec")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col("epoch_s"))
+      .rangeBetween(-(windowSec - 1L), Window.currentRow)
+    events
+      .withColumn("epoch_s", expr(s"unix_micros($tsCol) DIV 1000000"))
+      .withColumn("_vq", floor(col(valueCol) * scale + 0.5).cast("long"))
+      .withColumn("win_n", count(lit(1)).over(w))
+      .withColumn("_s1", sum(col("_vq")).over(w))
+      .withColumn("_s2", sum(col("_vq") * col("_vq")).over(w))
+      .withColumn("_den2", col("win_n") * col("_s2") - col("_s1") * col("_s1"))
+      .withColumn("z",
+        when(col("_den2") > 0,
+          graft.functions.vectors.quantize(
+            (col("win_n") * col("_vq") - col("_s1")).cast("double") /
+              sqrt(col("_den2").cast("double")), 4)))
+      .drop("_vq", "_s1", "_s2", "_den2")
+  }
+
   /** Weekly cohort retention: users grouped by the epoch-week of their
     * first event (the cohort), counted at each later week offset they
     * reappear — the (cohort_week, week_offset, n_users) retention

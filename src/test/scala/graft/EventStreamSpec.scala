@@ -267,6 +267,24 @@ class EventStreamSpec extends SparkSpec {
     assert(EventStream.transitions(rows).count() == 0)
   }
 
+  test("rollingZScore: hand-computed z over exact window moments; zero variance is null") {
+    val rows = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 7L, 1.0),
+      (2L, ts("2024-01-01 00:10:00"), 7L, 2.0),
+      (3L, ts("2024-01-01 00:20:00"), 7L, 4.0),
+      (4L, ts("2024-01-01 00:00:00"), 8L, 5.0),  // constant-value user
+      (5L, ts("2024-01-01 00:10:00"), 8L, 5.0)
+    ).toDF("event_id", "ts", "user_id", "value")
+    val z = EventStream.rollingZScore(rows, windowSec = 3600)
+      .select("event_id", "z")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(z(1L).isEmpty, "single-event window has no variance")
+    assert(z(2L).contains(1.0))        // (2*2000-3000)/sqrt(2*5e6-9e6) = 1000/1000
+    assert(z(3L).contains(1.3363))     // 5000/sqrt(1.4e7), quantized 4dp
+    assert(z(4L).isEmpty && z(5L).isEmpty, "zero variance must be null, not inf")
+  }
+
   test("retention: cohort = first epoch-week, offsets count returning users once") {
     val rows = Seq(
       // user 1: weeks w, w+1, w+1 (second visit in a week counts once)
