@@ -78,6 +78,11 @@ object graph {
             .as("rank"))
         .localCheckpoint(true)
     }
+    // The final ranks are materialized by their checkpoint, so the static
+    // caches can be released — a session that PageRanks many graphs must
+    // not accumulate executor storage (blocking=false: cleanup is not on
+    // the caller's critical path).
+    Seq(e, nodes, withDeg).foreach(_.unpersist(false))
     ranks
   }
 }
