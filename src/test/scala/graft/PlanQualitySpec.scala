@@ -165,4 +165,22 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("ann_lsh_multiprobe_topk")
     assert(p.contains("PartitionFilters") && p.contains("lsh_bucket"), p.take(800))
   }
+
+  test("rolling z-score and transitions shuffle exactly once on the user key") {
+    Seq("events_anomaly", "events_transitions").foreach { q =>
+      val exchanges = "Exchange hashpartitioning\\(user".r.findAllIn(plan(q)).length
+      assert(exchanges == 1, s"$q should shuffle once on user:\n${plan(q).take(800)}")
+    }
+  }
+
+  test("indexed BM25 probes bucket directories; fertility is one scan") {
+    val p = plan("text_bm25_indexed")
+    assert(p.contains("PartitionFilters") && p.contains("term_bucket"), p.take(800))
+    assert("Scan parquet".r.findAllIn(plan("text_fertility")).length == 1)
+  }
+
+  test("Count-Min probe lookup never degenerates to a cartesian product") {
+    val p = plan("text_cm_tokens")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
 }
