@@ -914,6 +914,14 @@ object SparkEntry {
           iters = 3)
         .orderBy(col("id"))),
 
+    // CUBE: all 2^k facet marginals in the same one-pass Expand shape.
+    "rel_cube" -> ((s, dir) =>
+      rel.cubeAgg(table(s, dir, "lineitem"),
+          Seq("l_returnflag", "l_linestatus"), "l_quantity")
+        .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+          col("sum_l_quantity").cast("long").as("sum_qty"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
     // per-group Pearson correlation from EXACT fixed-point moments —
     // order-free long sums; the float formula runs once per group.
     "rel_corr" -> ((s, dir) =>
@@ -2184,6 +2192,13 @@ object SparkEntry {
         |  sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END)::BIGINT AS qty_f,
         |  sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END)::BIGINT AS qty_o
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "rel_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  count(*) AS n, sum(l_quantity)::BIGINT AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "rel_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,

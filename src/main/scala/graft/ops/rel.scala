@@ -121,6 +121,26 @@ object rel {
         Seq(col("n"), col(s"sum_$valueCol")): _*)
   }
 
+  /** CUBE aggregate — every SUBSET of `groupCols` (2ᵏ grouping sets vs
+    * rollup's k+1 prefixes), still ONE Expand+agg pass over one scan.
+    * Same sentinel discipline as [[rollupAgg]]. Use rollup when the
+    * dimensions are hierarchical (year→month→day); cube when they are
+    * independent facets (region × segment × priority) and every marginal
+    * matters. Expansion factor is 2ᵏ rows into the partial aggregate —
+    * keep k small at scale (3-4 facets), which is also where cubes stop
+    * being readable anyway. */
+  def cubeAgg(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      sentinel: String = "ALL"): DataFrame = {
+    require(groupCols.nonEmpty, "graft: cubeAgg needs at least one group column")
+    df.cube(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as(s"sum_$valueCol"))
+      .select(groupCols.map(c => coalesce(col(c), lit(sentinel)).as(c)) ++
+        Seq(col("n"), col(s"sum_$valueCol")): _*)
+  }
+
   /** Per-group Pearson correlation from EXACT fixed-point moments.
     * Spark's `corr` (and DuckDB's) streams Welford-style updates whose
     * float error depends on partition merge order — the same data can

@@ -125,6 +125,19 @@ class RelSpec extends SparkSpec {
     assert(a == b, "fixed-point moments must not depend on merge order")
   }
 
+  test("cubeAgg emits every facet subset: rollup levels PLUS the column marginals") {
+    val df = Seq(
+      ("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 4.0)).toDF("g1", "g2", "v")
+    val cube = rel.cubeAgg(df, Seq("g1", "g2"), "v")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    val rollup = rel.rollupAgg(df, Seq("g1", "g2"), "v")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    rollup.foreach { case (k, v) => assert(cube(k) == v, s"cube must contain rollup row $k") }
+    // the g2 marginals are what cube adds over rollup
+    assert(cube(("ALL", "x")) == 5.0 && cube(("ALL", "y")) == 2.0)
+    assert(cube.size == rollup.size + 2)
+  }
+
   test("rollupAgg honors a custom sentinel") {
     val df = Seq(("ALL", 1.0)).toDF("g1", "v") // data legitimately contains "ALL"
     val out = rel.rollupAgg(df, Seq("g1"), "v", sentinel = "<total>")
