@@ -219,6 +219,46 @@ object SparkEntry {
        |  FROM tsq GROUP BY doc_id)""".stripMargin
   }
 
+  /** DuckDB re-derivation of [[graft.ops.bpe.train]]: the `merges`
+    * training rounds unrolled as CTEs (the pagerank-oracle trick). Round
+    * i pair-counts the word vocabulary (`p$i`), argmaxes on
+    * (count desc, l, r) (`b$i`), then applies ONE greedy left-to-right
+    * merge pass (`v${i+1}`) via non-overlapping string replace over a
+    * `|`-wrapped symbol string — `replace()` scans left-to-right and
+    * never rescans its own output, which is exactly the no-re-examination
+    * law BpeSpec pins on the Spark kernel. `|` cannot collide: tokens are
+    * whitespace-split document text and the corpus alphabet is
+    * `[a-z ]`. CTEs are MATERIALIZED — each round is referenced by the
+    * next AND by the pair scan, and inlining would re-derive the chain
+    * exponentially. Early stop mirrors the trainer: an empty `b$i`
+    * (best pair under `minPair`) leaves the vocabulary untouched and
+    * emits no row. */
+  private def sqlBpeTrain(merges: Int, minPair: Long): String = {
+    val head = Seq(
+      s"""w0 AS MATERIALIZED (SELECT t AS w, count(*) AS cnt FROM (
+         |  SELECT unnest($SqlToks) AS t FROM documents) GROUP BY t)""".stripMargin,
+      "v0 AS MATERIALIZED (SELECT cnt, string_split(w, '') AS sy FROM w0)")
+    val rounds = (0 until merges).flatMap { i =>
+      Seq(
+        s"""p$i AS MATERIALIZED (SELECT pr.l AS l, pr.r AS r, sum(cnt)::BIGINT AS pc FROM (
+           |  SELECT cnt, unnest(list_transform(range(1, len(sy)), j ->
+           |    struct_pack(l := sy[j], r := sy[j+1]))) AS pr FROM v$i)
+           |  GROUP BY pr.l, pr.r)""".stripMargin,
+        s"""b$i AS MATERIALIZED (SELECT l, r, pc FROM p$i
+           |  WHERE pc >= $minPair ORDER BY pc DESC, l, r LIMIT 1)""".stripMargin,
+        s"""v${i + 1} AS MATERIALIZED (SELECT cnt,
+           |  CASE WHEN (SELECT count(*) FROM b$i) = 1 THEN
+           |    string_split(substring(s2, 2, len(s2) - 2), '||') ELSE sy END AS sy
+           |  FROM (SELECT cnt, sy, replace('|' || array_to_string(sy, '||') || '|',
+           |    '|' || (SELECT l FROM b$i) || '||' || (SELECT r FROM b$i) || '|',
+           |    '|' || (SELECT l || r FROM b$i) || '|') AS s2 FROM v$i))""".stripMargin)
+    }
+    val emit = (0 until merges)
+      .map(i => s"""SELECT $i AS step, l AS "left", r AS "right", pc AS pair_count FROM b$i""")
+      .mkString("\nUNION ALL ")
+    (head ++ rounds).mkString("WITH ", ",\n", "\n") + emit + "\nORDER BY step"
+  }
+
   private def sqlBm25Top(k: Int): String =
     s"""WITH $SqlBm25Ctes
        |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
@@ -499,9 +539,10 @@ object SparkEntry {
 
     // north-star: learned BPE merge rules — iterative trainer; corpus
     // read once, merge rounds run on the distributed word vocabulary.
-    // Deterministic (exact integer pair counts, fixed tie order) but not
-    // single-statement SQL — registered without an oracle, so the driver
-    // records the weaker rows-only check.
+    // Deterministic (exact integer pair counts, fixed tie order); the
+    // oracle unrolls the 12 training rounds as DuckDB CTEs (see
+    // [[sqlBpeTrain]]) the same way the pagerank oracle unrolls its
+    // power iterations.
     "text_bpe_merges" -> ((s, dir) =>
       bpe.train(table(s, dir, "documents"), "text",
           merges = 12, minPairCount = 2)
@@ -1372,6 +1413,10 @@ object SparkEntry {
          |SELECT word, count(*) AS tf, count(DISTINCT doc_id) AS df
          |FROM t GROUP BY word ORDER BY tf DESC, word LIMIT 100""".stripMargin,
 
+    // The trainer's 12 rounds unrolled in DuckDB — an independent
+    // re-derivation of the merge rules, not a pinned transcript.
+    "text_bpe_merges" -> sqlBpeTrain(merges = 12, minPair = 2L),
+
     // Same 64-token non-overlapping chunking as tokenChunks(64, 64); lang
     // per chunk from stopword-hit argmax over the chunk's token list.
     "text_lang_consistency" ->
@@ -2214,7 +2259,7 @@ object SparkEntry {
         |  epoch_us(ts) // 1000000 AS epoch_s FROM events),
         |w AS (SELECT event_id, epoch_s,
         |  count(*) OVER win AS mov_n,
-        |  sum(floor(value * 1000000.0)::BIGINT) OVER win AS mov_sum_micros
+        |  (sum(floor(value * 1000000.0)::BIGINT) OVER win)::BIGINT AS mov_sum_micros
         |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY epoch_s
         |    RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW))
         |SELECT event_id, epoch_s, mov_n, mov_sum_micros,
