@@ -28,7 +28,13 @@ final case class QueryStats(
     /** Row-group zonemap counters (the reference's pruned/evaluated
       * chunks) — present when the listener was attached with
       * `trackRowGroups = true`. */
-    rowGroups: Option[graft.index.PruneStats.PruneReport] = None) {
+    rowGroups: Option[graft.index.PruneStats.PruneReport] = None,
+    /** The query's `observe()` metrics by observation name — the
+      * drop/cap counters graft operators emit (`graft_knn_left`,
+      * `graft_emb_neardup`, …) surfaced on the same stats object, so a
+      * pipeline reads its safety counters where it reads its scan
+      * counters. */
+    observed: Map[String, org.apache.spark.sql.Row] = Map.empty) {
   def pretty: String =
     f"QueryStats: $durationMs%d ms, $scannedRows%d rows scanned, " +
       f"$filesRead%d files, $bytesRead%d bytes, $scans%d scan(s)" +
@@ -73,7 +79,8 @@ final class GraftStatsListener(trackRowGroups: Boolean = false)
       filesRead = metric("numFiles"),
       bytesRead = metric("filesSize"),
       scans = scans.size,
-      rowGroups = rg)))
+      rowGroups = rg,
+      observed = qe.observedMetrics)))
   }
 
   override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit =

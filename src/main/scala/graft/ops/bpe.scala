@@ -22,9 +22,10 @@ import graft.functions.NativeExprs
   * 4-6 orders of magnitude smaller than the corpus and distributed (never
   * collected); per round one pair-count aggregate + a
   * `TakeOrderedAndProject` brings exactly ONE winning row to the driver.
-  * The symbol arrays are `localCheckpoint`ed each round to truncate
-  * lineage — the same discipline as [[dedup.connectedComponents]] (on a
-  * real cluster prefer reliable checkpoints via `setCheckpointDir`).
+  * The symbol arrays are checkpointed each round via [[ckpt.cut]] to
+  * truncate lineage — the same discipline as
+  * [[dedup.connectedComponents]]: reliable when `setCheckpointDir` is
+  * configured (the cluster/fault-tolerant path), local otherwise.
   * Determinism: pair counts are exact integer sums and the argmax
   * tie-breaks on (count desc, left asc, right asc), so the learned rules
   * are a pure function of the corpus.
@@ -49,10 +50,9 @@ object bpe {
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
     // Initial symbols: code points (matches the encode kernel's split —
     // Spark substring/length are code-point based).
-    var vocab = words.select(col("cnt"),
-        transform(sequence(lit(1), length(col("w"))), i =>
-          col("w").substr(i, lit(1))).as("syms"))
-      .localCheckpoint()
+    var vocab = ckpt.cut(words.select(col("cnt"),
+      transform(sequence(lit(1), length(col("w"))), i =>
+        col("w").substr(i, lit(1))).as("syms")))
     val rules = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var step = 0
     var done = merges == 0
@@ -76,9 +76,8 @@ object bpe {
         rules += ((step, l, r, top(0).getAs[Long]("pc")))
         // One merge pass per row; checkpoint so the next round's pair
         // count reads materialized symbols, not the whole merge lineage.
-        vocab = vocab
-          .withColumn("syms", NativeExprs.bpeMergePair(col("syms"), l, r))
-          .localCheckpoint()
+        vocab = ckpt.cut(vocab
+          .withColumn("syms", NativeExprs.bpeMergePair(col("syms"), l, r)))
         step += 1
         if (step >= merges) done = true
       }

@@ -445,15 +445,15 @@ object dedup {
     * single row, so a hub node with 10⁷ neighbors is just a skewed shuffle
     * key (AQE splits it), not an OOM.
     *
-    * Scale discipline (100 TB): the edge set is `localCheckpoint`ed every
+    * Scale discipline (100 TB): the edge set is checkpointed every
     * round to truncate lineage (iterative plans otherwise grow
     * exponentially); convergence is detected by a (count, hash-sum)
     * checksum of the canonical edge set, collected via `observe()` ON the
     * checkpoint job itself — no separate aggregation pass over the edges
-    * per round, and far cheaper than a full `except` self-compare. On a
-    * multi-executor cluster, prefer `spark.sparkContext.setCheckpointDir`
-    * + reliable checkpoints for fault tolerance; local mode keeps blocks
-    * in executor storage.
+    * per round, and far cheaper than a full `except` self-compare. With
+    * `spark.sparkContext.setCheckpointDir` set, rounds checkpoint
+    * RELIABLY instead (executor loss costs a re-read, not the job — see
+    * [[ckpt]]); without it, local mode keeps blocks in executor storage.
     *
     * Returns one row per node incident to at least one edge:
     * `(id, rep)` with `rep` = min id of the component (reps map to
@@ -502,18 +502,31 @@ object dedup {
       .distinct()
     // Checkpoint the edge set and read its (count, hash-sum) checksum from
     // the SAME job via observe() — the decimal(38,0) sum is exact and
-    // overflow-free under ANSI mode.
+    // overflow-free under ANSI mode. Under a reliable checkpoint
+    // ([[ckpt]]; fault tolerance on a real cluster) the observe() fusion
+    // is unavailable — Dataset.checkpoint materializes through an RDD
+    // action that does not fire observed-metric listeners — so the
+    // checksum runs as a follow-up aggregate over the just-checkpointed
+    // (hence cached, lineage-free) edges: one extra cheap job per round,
+    // bought only when durability was asked for.
     var obsId = 0
+    val checksumCols = Seq(count(lit(1)).as("n"),
+      coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("hs"))
     def checkpointWithChecksum(e: DataFrame): (DataFrame, (Long, BigDecimal)) = {
-      obsId += 1
-      val obs = org.apache.spark.sql.Observation(s"graft_cc_$obsId")
-      val out = e.observe(obs, count(lit(1)).as("n"),
-          coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
-            lit(0).cast("decimal(38,0)")).as("hs"))
-        .localCheckpoint()
-      val row = obs.get
-      (out, (row("n").asInstanceOf[Long],
-        BigDecimal(row("hs").asInstanceOf[java.math.BigDecimal])))
+      if (ckpt.reliable(e.sparkSession)) {
+        val out = e.checkpoint(true)
+        val row = out.agg(checksumCols.head, checksumCols.tail: _*).head()
+        (out, (row.getLong(0), BigDecimal(row.getDecimal(1))))
+      } else {
+        obsId += 1
+        val obs = org.apache.spark.sql.Observation(s"graft_cc_$obsId")
+        val out = e.observe(obs, checksumCols.head, checksumCols.tail: _*)
+          .localCheckpoint()
+        val row = obs.get
+        (out, (row("n").asInstanceOf[Long],
+          BigDecimal(row("hs").asInstanceOf[java.math.BigDecimal])))
+      }
     }
     var (edges, prev) = checkpointWithChecksum(
       canon(pairs.where(col(aCol).isNotNull && col(bCol).isNotNull)

@@ -28,11 +28,13 @@ object graph {
     * table onto edges pre-joined with out-degrees (all keyed by src —
     * co-partitioned), one dst-keyed sum, one left join back onto the node
     * spine. Ranks are 16-byte rows; the edge table is the only big
-    * operand and it is scanned, never mutated. `localCheckpoint` cuts
+    * operand and it is scanned, never mutated. [[ckpt.cut]] truncates
     * lineage each round (the iterative-plan discipline from
     * [[dedup.connectedComponents]] / [[bpe.train]]) so `iters` rounds
-    * don't compound into one mega-plan. Node count `n` is the only
-    * driver-side scalar.
+    * don't compound into one mega-plan — reliably when the session has
+    * a checkpoint dir (set one on a real cluster; see [[ckpt]] for the
+    * executor-loss argument), locally otherwise. Node count `n` is the
+    * only driver-side scalar.
     *
     * Returns `(id, rank)` — rank in `scale` fixed-point units. */
   def pageRank(
@@ -76,7 +78,7 @@ object graph {
           (lit(base) +
             expr(s"($dampingPpm * coalesce(s, CAST(0 AS BIGINT))) DIV 1000000"))
             .as("rank"))
-        .localCheckpoint(true)
+      ranks = ckpt.cut(ranks)
     }
     // The final ranks are materialized by their checkpoint, so the static
     // caches can be released — a session that PageRanks many graphs must

@@ -167,6 +167,10 @@ object rel {
     val xq = floor(col(xCol) * xScale + 0.5).cast("long")
     val yq = floor(col(yCol) * yScale + 0.5).cast("long")
     val agg = df
+      // a row with a null coordinate has no (x, y) point: it must not
+      // count in n while its moments silently drop — the same null fence
+      // as quantileBins / histogram / pageRank
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
       .withColumn("_xq", xq).withColumn("_yq", yq)
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"),

@@ -83,7 +83,11 @@ object sketch {
     // h32 base, NOT h63: the affine family's no-overflow bound is
     // (2·depth+1)·h < 2⁶³, which holds for 32-bit bases only
     val base = hashing.h32(valueCol.cast("string"))
-    df.select(explode(array((0 until depth).map(i =>
+    // h32(null) is null → a null value would emit depth (row, NULL)
+    // cells, polluting the depth×width cell set anyone merging or
+    // hashing the sketch relies on; a null is no observation at all
+    df.where(valueCol.isNotNull)
+      .select(explode(array((0 until depth).map(i =>
         struct(lit(i).as("row"),
           pmod(hashing.affine(base, i), lit(width.toLong)).as("bucket"))): _*))
         .as("c"))

@@ -34,6 +34,9 @@ object DocIngest {
     *     can run twice, so `sink` should write idempotently (e.g. keyed
     *     by `epoch`) — and a replayed signature append only re-adds
     *     signatures that deduplicate downstream by id.
+    *   - Cold start: a not-yet-existing `corpusSigsPath` is an empty
+    *     corpus, not an error — the first epoch screens nothing, passes
+    *     everything, and its signature append creates the table.
     *   - In-batch duplicates: rows of the SAME batch that near-dup each
     *     other both survive (screening is batch-vs-corpus); they are
     *     separated one batch later at most. Callers needing in-batch
@@ -54,12 +57,25 @@ object DocIngest {
       try {
         // snapshot of the signature table as of batch start (the read
         // lists files eagerly, so this epoch's append is not visible to
-        // its own screen)
-        val corpus = spark.read.parquet(corpusSigsPath)
-        val dupIds = dedup.incrementalNearDups(
-            batch, corpus, textCol, idCol, threshold, k, bands, n)
-          .select(col("new_id").as(idCol)).distinct()
-        val clean = batch.join(dupIds, Seq(idCol), "left_anti").persist()
+        // its own screen). A missing table is an EMPTY corpus, not an
+        // error: the first epoch of a fresh pipeline has nothing to
+        // screen against and must not require a pre-seeded path — it
+        // passes everything through and CREATES the table via its own
+        // signature append below.
+        val corpus =
+          try Some(spark.read.parquet(corpusSigsPath))
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getErrorClass == "PATH_NOT_FOUND" => None
+          }
+        val clean = corpus match {
+          case Some(c) =>
+            val dupIds = dedup.incrementalNearDups(
+                batch, c, textCol, idCol, threshold, k, bands, n)
+              .select(col("new_id").as(idCol)).distinct()
+            batch.join(dupIds, Seq(idCol), "left_anti").persist()
+          case None => batch.persist()
+        }
         try {
           sink(clean, epoch)
           dedup.minhashed(clean, textCol, idCol, k, n)

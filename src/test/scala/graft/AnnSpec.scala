@@ -292,6 +292,32 @@ class AnnSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("knn bucket caps are INACTIVE at oracle scale (dropped_buckets == 0)") {
+    // The ann_knn_graph / ann_knn_join / graph_pagerank DuckDB oracles
+    // have no bucket cap, so oracle parity silently depends on every
+    // bucket staying under bucketCap at the checked scales. Pin that
+    // assumption: at sf0.1 (the driver's larger gate) the observe()
+    // counters must report ZERO dropped buckets — if data or defaults
+    // ever change enough to trip the cap, this fails before the driver's
+    // hash-compare does, with a message naming the real cause.
+    val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val listener = graft.core.GraftStatsListener.attach(spark)
+    try {
+      ann.knnGraph(emb, k = 3, nbits = 6).write.format("noop").mode("overwrite").save()
+      var waited = 0
+      while (listener.lastQueryStats.forall(_.observed.isEmpty) && waited < 5000) {
+        Thread.sleep(50); waited += 50
+      }
+      val obs = listener.lastQueryStats.map(_.observed).getOrElse(Map.empty)
+      val drops = Seq("graft_knn_left", "graft_knn_right").map { name =>
+        val row = obs.getOrElse(name, fail(s"no $name observation on the stats object"))
+        name -> row.getAs[Long]("dropped_buckets")
+      }
+      assert(drops.forall(_._2 == 0L),
+        s"bucket cap active at oracle scale — oracles would diverge: $drops")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("centroidOutliers: distance to the NEAREST centroid, largest first") {
     val cents: Seq[(Int, Seq[Double])] =
       Seq(0 -> Seq(0.0, 0.0), 1 -> Seq(10.0, 0.0))

@@ -49,4 +49,27 @@ class DocIngestSpec extends SparkSpec {
     val sigIds = spark.read.parquet(sigDir).select("doc_id").as[Long].collect().toSet
     assert(sigIds == Set(100L, 2L))
   }
+
+  test("cold start: a missing signature table is an empty corpus, created by epoch 0") {
+    // No pre-seeding — the path does not exist when the stream starts.
+    val sigDir = java.nio.file.Files.createTempDirectory("graft-ingest-").toString + "/sigs"
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val seen = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = DocIngest.screened(
+        in.toDF().toDF("doc_id", "text"), sigDir,
+        "text", "doc_id", threshold = 0.5) { (clean, _) =>
+      seen.synchronized { seen ++= clean.select("doc_id").as[Long].collect() }
+    }.start()
+    try {
+      in.addData((1L, boiler))
+      q.processAllAvailable()
+      // the appended epoch-0 signatures must screen THIS near-dup
+      in.addData((2L, boiler.replace("dog", "cat")))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(seen.toSet == Set(1L), "epoch 0 passes through; epoch 1 screens against it")
+    val sigIds = spark.read.parquet(sigDir).select("doc_id").as[Long].collect().toSet
+    assert(sigIds == Set(1L))
+  }
 }

@@ -115,6 +115,23 @@ class RelSpec extends SparkSpec {
     assert(out("one").isEmpty, "single point has no defined correlation")
   }
 
+  test("corrExact: a null coordinate drops the whole row — n and moments agree") {
+    val clean = Seq(("g", 1.0, 2.0), ("g", 2.0, 4.0), ("g", 3.0, 6.0))
+    val noisy = clean ++ Seq(
+      ("g", null.asInstanceOf[Any], 9.0), ("g", 7.0, null.asInstanceOf[Any]))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(noisy.map(t => org.apache.spark.sql.Row(t._1, t._2, t._3))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("g", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("y", org.apache.spark.sql.types.DoubleType))))
+    val got = rel.corrExact(df, "x", "y", Seq("g"), xScale = 1.0, yScale = 1.0).collect()(0)
+    val want = rel.corrExact(clean.toDF("g", "x", "y"), "x", "y", Seq("g"),
+      xScale = 1.0, yScale = 1.0).collect()(0)
+    assert(got.getLong(1) == 3L, "null-coordinate rows must not count in n")
+    assert(got.getDouble(2) == want.getDouble(2))
+  }
+
   test("corrExact is exactly order- and partition-independent") {
     val rows = (0 until 200).map(i => ("g", i.toDouble, (i * 37 % 101).toDouble))
     val a = rel.corrExact(rows.toDF("g", "x", "y").repartition(7), "x", "y", Seq("g"))

@@ -58,6 +58,17 @@ class SketchSpec extends SparkSpec {
     assert(tight("alpha") >= 7L && tight("beta") >= 3L && tight("gamma") >= 1L)
   }
 
+  test("countMin: null values are no observation — no null-bucket cells") {
+    import graft.ops.sketch
+    val df = Seq(Some("x"), None, Some("x"), None).toDF("w")
+    val sk = sketch.countMin(df, col("w"), depth = 4, width = 64)
+    assert(sk.where(col("bucket").isNull).count() == 0,
+      "h32(null) cells must not pollute the depth x width cell set")
+    // the sketch equals the null-free input's sketch cell-for-cell
+    val clean = sketch.countMin(Seq("x", "x").toDF("w"), col("w"), depth = 4, width = 64)
+    assert(sk.exceptAll(clean).count() == 0 && clean.exceptAll(sk).count() == 0)
+  }
+
   test("countMin sketches are mergeable: union sketch = cell-wise sum") {
     import graft.ops.sketch
     val a = Seq("x", "x", "y").toDF("w")
