@@ -19,6 +19,34 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * actually touched. A listener snapshot after each action plays the role
   * of the reference's `RefCell<Option<MetaQueryStats>>`.
   */
+/** Per-phase timing split of one query — the Spark analog of the
+  * reference's prune/scan/score/merge breakdown in `MetaQueryStats`
+  * (meta.rs:832-842). Sourced from the executed plan's own SQL metrics:
+  *
+  *  - `pruneMs`: scan-node `metadataTime` (+ dynamic `pruningTime`) —
+  *    file listing, partition pruning, row-group stat filtering.
+  *  - `scanMs`: scan-node `scanTime` — parquet batch decode I/O.
+  *  - `scoreMs`: whole-stage-codegen `pipelineTime` NET of `scanMs`
+  *    (the pipeline meter runs while its source scan produces batches,
+  *    so the fused filter/score compute is the difference, floored
+  *    at 0).
+  *  - `mergeMs`: shuffle write + fetch-wait + remote-request time on
+  *    exchange/top-k nodes — the cross-partition merge the reference
+  *    meters as its k-way heap merge.
+  *
+  * Caveat a perf reader must know: these are TASK-SUMMED meters (Spark
+  * timing metrics add across parallel tasks), so on a many-partition
+  * plan their sum can legitimately exceed wall-clock `durationMs`;
+  * within one task they nest as documented. Driver-side planning and
+  * result pickup appear in `durationMs` only. */
+final case class QueryPhases(
+    pruneMs: Long, scanMs: Long, scoreMs: Long, mergeMs: Long) {
+  def totalMs: Long = pruneMs + scanMs + scoreMs + mergeMs
+  def pretty: String =
+    s"phases: prune ${pruneMs} ms, scan ${scanMs} ms, " +
+      s"score ${scoreMs} ms, merge ${mergeMs} ms"
+}
+
 final case class QueryStats(
     durationMs: Long,
     scannedRows: Long,
@@ -34,11 +62,15 @@ final case class QueryStats(
       * `graft_emb_neardup`, …) surfaced on the same stats object, so a
       * pipeline reads its safety counters where it reads its scan
       * counters. */
-    observed: Map[String, org.apache.spark.sql.Row] = Map.empty) {
+    observed: Map[String, org.apache.spark.sql.Row] = Map.empty,
+    /** Prune/scan/score/merge timing split (reference MetaQueryStats'
+      * per-phase durations). */
+    phases: QueryPhases = QueryPhases(0, 0, 0, 0)) {
   def pretty: String =
     f"QueryStats: $durationMs%d ms, $scannedRows%d rows scanned, " +
       f"$filesRead%d files, $bytesRead%d bytes, $scans%d scan(s)" +
-      rowGroups.map(r => "; " + r.pretty).getOrElse("")
+      rowGroups.map(r => "; " + r.pretty).getOrElse("") +
+      "; " + phases.pretty
 }
 
 /** @param trackRowGroups also compute per-query row-group pruned/evaluated
@@ -56,18 +88,33 @@ final class GraftStatsListener(trackRowGroups: Boolean = false)
   // Descends through AQE wrappers: QueryStageExec nodes report NO
   // children (their subtree hangs off `plan`), so a plain child walk
   // would silently miss every scan once an exchange materializes.
-  private def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-    case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
-    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scansOf(q.plan)
-    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => scansOf(r.child)
-    case s: FileSourceScanExec    => Seq(s)
-    case other                    => other.children.flatMap(scansOf)
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allNodes(q.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => allNodes(r.child)
+    case other => other +: other.children.flatMap(allNodes)
   }
 
+  private def scansOf(p: SparkPlan): Seq[FileSourceScanExec] =
+    allNodes(p).collect { case s: FileSourceScanExec => s }
+
+  /** Sum a named SQL metric across `nodes`; `nsTiming` metrics store
+    * nanoseconds — scale those to ms like every other timing. */
+  private def metricSum(nodes: Seq[SparkPlan], name: String): Long =
+    nodes.flatMap(_.metrics.get(name))
+      .map(m => if (m.metricType == "nsTiming") m.value / 1000000 else m.value)
+      .sum
+
   override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
-    val scans = scansOf(qe.executedPlan)
+    val nodes = allNodes(qe.executedPlan)
+    val scans = nodes.collect { case s: FileSourceScanExec => s }
     def metric(name: String): Long =
       scans.flatMap(_.metrics.get(name).map(_.value)).sum
+    val pruneMs = metric("metadataTime") + metric("pruningTime")
+    val scanMs = metric("scanTime")
+    val scoreMs = math.max(0L, metricSum(nodes, "pipelineTime") - scanMs)
+    val mergeMs = metricSum(nodes, "shuffleWriteTime") +
+      metricSum(nodes, "fetchWaitTime") + metricSum(nodes, "remoteReqsDuration")
     val rg =
       if (trackRowGroups && scans.nonEmpty)
         Some(graft.index.PruneStats.forScans(scans,
@@ -80,7 +127,8 @@ final class GraftStatsListener(trackRowGroups: Boolean = false)
       bytesRead = metric("filesSize"),
       scans = scans.size,
       rowGroups = rg,
-      observed = qe.observedMetrics)))
+      observed = qe.observedMetrics,
+      phases = QueryPhases(pruneMs, scanMs, scoreMs, mergeMs))))
   }
 
   override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit =

@@ -61,6 +61,13 @@ object VecIndex {
         * meta.rs:91-99) → `parquet.bloom.filter.fpp`; None keeps the
         * parquet default (0.01). */
       bloomFpp: Option[Double] = None,
+      /** Explicit ceiling on each bloom filter's size in BYTES
+        * (`with_bloom_bits`, meta.rs:93-110 — the reference floors at 64
+        * bits; parquet-mr instead caps: the ndv/fpp-derived size is
+        * clamped to this many bytes, rounded to a power of two) →
+        * `parquet.bloom.filter.max.bytes`. None keeps the parquet
+        * default (1 MiB). */
+      bloomMaxBytes: Option[Int] = None,
       /** Bytes per Parquet row group ≈ reference chunk_size. Default 16 MB
         * keeps row groups fine-grained enough to prune well while staying
         * large enough for vectorized scans. */
@@ -95,6 +102,27 @@ object VecIndex {
         * small ints per row instead of the float vector. Encoding runs
         * once at build, never at query time. */
       pqCodebooks: Option[Seq[Seq[Seq[Double]]]] = None)
+
+  /** Apply the bloom-filter writer options of `opts` (shared by [[build]]
+    * and [[append]]): per-column enable/ndv/fpp, plus the global size
+    * ceiling — parquet-mr keys `max.bytes` off the writer, not the
+    * column, so `bloomMaxBytes` clamps every bloom column at once. */
+  private def withBloomOptions(
+      w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
+      opts: BuildOptions): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
+    var writer = w
+    opts.bloomCols.foreach { c =>
+      writer = writer
+        .option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", opts.bloomNdv.toString)
+      opts.bloomFpp.foreach(f =>
+        writer = writer.option(s"parquet.bloom.filter.fpp#$c", f.toString))
+    }
+    if (opts.bloomCols.nonEmpty)
+      opts.bloomMaxBytes.foreach(b =>
+        writer = writer.option("parquet.bloom.filter.max.bytes", b.toString))
+    writer
+  }
 
   /** Reference `MetaBuildStats` (meta.rs:844-852): rows, dim, chunk count
     * (row groups here), files, wall time. */
@@ -160,15 +188,8 @@ object VecIndex {
           .sortWithinPartitions(cols.map(col): _*)
     }
 
-    var writer = laidOut.write.mode(SaveMode.Overwrite)
-      .option("parquet.block.size", opts.rowGroupBytes.toString)
-    opts.bloomCols.foreach { c =>
-      writer = writer
-        .option(s"parquet.bloom.filter.enabled#$c", "true")
-        .option(s"parquet.bloom.filter.expected.ndv#$c", opts.bloomNdv.toString)
-      opts.bloomFpp.foreach(f =>
-        writer = writer.option(s"parquet.bloom.filter.fpp#$c", f.toString))
-    }
+    var writer = withBloomOptions(laidOut.write.mode(SaveMode.Overwrite)
+      .option("parquet.block.size", opts.rowGroupBytes.toString), opts)
     opts.lshBits.foreach(_ => writer = writer.partitionBy(LshBucketCol))
     opts.ivfCentroids.foreach(_ => writer = writer.partitionBy(IvfClusterCol))
     writer.parquet(path)
@@ -230,15 +251,8 @@ object VecIndex {
       if (opts.sortBy.nonEmpty) ordered.sortWithinPartitions(opts.sortBy.map(col): _*)
       else ordered
 
-    var writer = sorted.write.mode(SaveMode.Append)
-      .option("parquet.block.size", opts.rowGroupBytes.toString)
-    opts.bloomCols.foreach { c =>
-      writer = writer
-        .option(s"parquet.bloom.filter.enabled#$c", "true")
-        .option(s"parquet.bloom.filter.expected.ndv#$c", opts.bloomNdv.toString)
-      opts.bloomFpp.foreach(f =>
-        writer = writer.option(s"parquet.bloom.filter.fpp#$c", f.toString))
-    }
+    var writer = withBloomOptions(sorted.write.mode(SaveMode.Append)
+      .option("parquet.block.size", opts.rowGroupBytes.toString), opts)
     meta.foreach { m =>
       if (m.lshBits.isDefined) writer = writer.partitionBy(LshBucketCol)
       if (m.ivfCentroids.isDefined) writer = writer.partitionBy(IvfClusterCol)

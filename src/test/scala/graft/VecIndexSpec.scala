@@ -110,6 +110,39 @@ class VecIndexSpec extends SparkSpec {
     } finally reader.close()
   }
 
+  test("bloomMaxBytes clamps the written filter (with_bloom_bits analog)") {
+    // Same data built twice: unconstrained vs a 64-byte ceiling. The
+    // ndv=20000 sizing wants far more than 64 bytes, so the clamped
+    // build must come back strictly smaller AND at most the ceiling
+    // (parquet rounds the bitset to a power of two <= max.bytes).
+    def bitsetSize(dir: String, maxBytes: Option[Int]): Int = {
+      val df = spark.range(20000).select(
+        col("id").as("vec_id"),
+        concat(lit("name_"), col("id")).as("name"),
+        array(Seq(sin(col("id").cast("double")), cos(col("id").cast("double"))): _*).as("embedding"))
+      VecIndex.build(df, dir,
+        opts = VecIndex.BuildOptions(bloomCols = Seq("name"), bloomNdv = 20000,
+          bloomMaxBytes = maxBytes, numFiles = Some(1)))
+      import scala.jdk.CollectionConverters._
+      val part = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).head
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(part.getAbsolutePath),
+        spark.sessionState.newHadoopConf())
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val block = reader.getFooter.getBlocks.asScala.head
+        val nameCol = block.getColumns.asScala.find(_.getPath.toDotString == "name").get
+        assert(nameCol.getBloomFilterOffset >= 0, "no bloom filter written for 'name'")
+        reader.getBloomFilterDataReader(block).readBloomFilter(nameCol).getBitsetSize
+      } finally reader.close()
+    }
+    val free = bitsetSize(s"$tmp/bloom_free", None)
+    val clamped = bitsetSize(s"$tmp/bloom_clamped", Some(64))
+    assert(clamped <= 64, s"ceiling ignored: $clamped bytes written")
+    assert(clamped < free, s"clamp had no effect ($clamped vs $free)")
+  }
+
   test("empty / all-NULL input fails the build with a descriptive error") {
     val empty = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
     val e = intercept[IllegalArgumentException] {
@@ -166,6 +199,15 @@ class VecIndexSpec extends SparkSpec {
       // listener path carries the same counters
       assert(stats.get.rowGroups.isDefined &&
         stats.get.rowGroups.get.rowGroupsTotal > 0)
+      // Per-phase split (reference MetaQueryStats prune/scan/score/merge):
+      // every meter nonnegative, at least one phase actually metered, and
+      // the task-summed total bounded by wall duration x parallelism (4
+      // local cores; x8 leaves slack for timer granularity).
+      val ph = stats.get.phases
+      assert(ph.pruneMs >= 0 && ph.scanMs >= 0 && ph.scoreMs >= 0 && ph.mergeMs >= 0)
+      assert(ph.totalMs > 0, s"phase meters all zero: ${ph.pretty}")
+      assert(ph.totalMs <= math.max(1L, stats.get.durationMs) * 8,
+        s"phases exceed task-parallel bound: ${ph.pretty} vs ${stats.get.durationMs} ms")
     } finally spark.listenerManager.unregister(listener)
   }
 
