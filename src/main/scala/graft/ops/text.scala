@@ -322,12 +322,17 @@ object text {
 
   /** Replace URLs and emails with a placeholder token, then collapse
     * whitespace runs and trim — the standard pre-training scrub. One
-    * fused codegen expression; scan-parallel, no shuffle. */
+    * fused codegen expression; scan-parallel, no shuffle. Docs that
+    * cannot contain a URL or email (no `@`/`http`/`www.`) skip those two
+    * passes behind one cheap scan — the [[redactPii]] guard discipline;
+    * the whitespace collapse always runs. */
   def cleanText(c: Column, placeholder: String = "<x>"): Column =
     trim(regexp_replace(
-      regexp_replace(
-        regexp_replace(c, UrlPattern, placeholder),
-        EmailPattern, placeholder),
+      when(c.rlike("@|http|www\\."),
+        regexp_replace(
+          regexp_replace(c, UrlPattern, placeholder),
+          EmailPattern, placeholder))
+        .otherwise(c),
       "\\s+", " "))
 
   /** Phone numbers: international/US-ish shapes, 7+ digits with
@@ -348,17 +353,28 @@ object text {
     * fused-codegen scan shape as [[cleanText]] — zero shuffle; order
     * matters (URLs before IPv4 so a host address inside a URL is consumed
     * by the URL rule; long digit runs before phones so a 16-digit card
-    * grouped in fours isn't half-eaten as a phone). */
+    * grouped in fours isn't half-eaten as a phone).
+    *
+    * A doc that can't contain ANY of the five shapes (no digit, no `@`,
+    * no `http`/`www.`) skips the whole chain behind one cheap
+    * character-class scan — PII-free text pays 1 regex pass instead
+    * of 5, PII-bearing text pays the guard (~a few % of one pass) on
+    * top. The guard tests the ORIGINAL column only, which stays valid
+    * mid-chain because no placeholder token re-introduces a guard
+    * character; `when` references `c` (an attribute, free to repeat) so
+    * no subtree is duplicated across branches. */
   def redactPii(c: Column): Column =
-    regexp_replace(
+    when(c.rlike("[0-9@]|http|www\\."),
       regexp_replace(
         regexp_replace(
           regexp_replace(
-            regexp_replace(c, EmailPattern, "<email>"),
-            UrlPattern, "<url>"),
-          Ipv4Pattern, "<ip>"),
-        LongDigitPattern, "<number>"),
-      PhonePattern, "<phone>")
+            regexp_replace(
+              regexp_replace(c, EmailPattern, "<email>"),
+              UrlPattern, "<url>"),
+            Ipv4Pattern, "<ip>"),
+          LongDigitPattern, "<number>"),
+        PhonePattern, "<phone>"))
+      .otherwise(c)
 
   /** Overlapping token-window chunks: starts at 0, `stride`, 2·`stride`, …
     * with the last start the first one where start + `window` ≥ n (so the
