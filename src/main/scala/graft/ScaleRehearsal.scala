@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scale rehearsal for the dedup/ANN family — the caps and bucket
+  * disciplines are DESIGNED for 100 TB but are only ever exercised by
+  * the driver at sf0.1; this main synthesizes a `factor`-times corpus
+  * from an sf dir and runs the family against it, printing per-op wall
+  * time, result cardinality, and every `observe()` safety counter
+  * (dropped buckets / skipped clusters / max bucket), so cap behavior
+  * at the next order of magnitude is MEASURED, not argued.
+  *
+  * Replication is deliberately adversarial for dedup:
+  *   - documents are EXACT clones (ids shifted): every clone group
+  *     shares every minhash/simhash band bucket — worst case for the
+  *     pair-generation gates, and exactly what dedup exists to find;
+  *   - embeddings get a per-replica deterministic perturbation
+  *     (`x + r·1e-4`), so clones are near- but not exact dups and the
+  *     LSH buckets densify ~10× without collapsing to identical keys.
+  *
+  * Usage: `runMain graft.ScaleRehearsal [sfDir] [factor]`; results land
+  * in BASELINE.md ("10× scale rehearsal" section).
+  */
+object ScaleRehearsal {
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val work = java.nio.file.Files.createTempDirectory("graft-scale-").toString
+    println(s"SCALE synthesizing ${factor}x of $baseDir under $work")
+
+    val docs0 = spark.read.parquet(s"$baseDir/documents.parquet")
+    val docStride = docs0.agg(max("doc_id")).head().getLong(0) + 1
+    (0 until factor).map(r => docs0.select(
+        (col("doc_id") + lit(r * docStride)).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars")))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+
+    val emb0 = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val vecStride = emb0.agg(max("vec_id")).head().getLong(0) + 1
+    (0 until factor).map(r => emb0.select(
+        (col("vec_id") + lit(r * vecStride)).as("vec_id"),
+        transform(col("embedding"),
+          x => x + lit((r * 1e-4).toFloat)).as("embedding"),
+        col("label")))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
+
+    val docs = spark.read.parquet(s"$work/documents.parquet")
+    val emb = spark.read.parquet(s"$work/embeddings.parquet")
+    println(s"SCALE documents=${docs.count()} embeddings=${emb.count()}")
+
+    /** Time one op through the noop sink, then report rows and the
+      * query's observe() counters (fresh listener per run so the
+      * captured metrics belong to this action). */
+    def run(name: String, countRows: Boolean = true)(mk: => DataFrame): Unit = {
+      val listener = graft.core.GraftStatsListener.attach(spark)
+      try {
+        val t0 = System.nanoTime()
+        val d = mk
+        d.write.format("noop").mode("overwrite").save()
+        val secs = (System.nanoTime() - t0) / 1e9
+        var waited = 0
+        while (listener.lastQueryStats.isEmpty && waited < 3000) {
+          Thread.sleep(20); waited += 20
+        }
+        val obs = listener.lastQueryStats.map(_.observed).getOrElse(Map.empty)
+        val counters = obs.toSeq.sortBy(_._1)
+          .filter(_._1.startsWith("graft_"))
+          .map { case (k, row) =>
+            row.schema.fieldNames.map(f => s"$f=${row.getAs[Any](f)}")
+              .mkString(s"$k{", ", ", "}")
+          }.mkString("  ")
+        val rows = if (countRows) d.count().toString else "-"
+        println(f"SCALE $name%-26s ${secs}%8.2f s  rows=$rows%-8s $counters")
+      } finally spark.listenerManager.unregister(listener)
+    }
+
+    import graft.ops.{ann, bpe, dedup, graph}
+
+    // ---- text dedup family (exact-clone prey) -------------------------
+    run("dedup_exact")(dedup.exactDedup(docs, "text", "doc_id"))
+    run("minhash_pairs")(
+      dedup.minhashNearDupPairs(docs, "text", "doc_id", threshold = 0.7))
+    run("simhash_pairs")(
+      dedup.simhashNearDupPairs(docs, "text", "doc_id", maxHamming = 3))
+    run("jaccard_pairs")(
+      dedup.jaccardPairs(docs, "text", "doc_id", threshold = 0.7))
+    val pairs = dedup.minhashNearDupPairs(docs, "text", "doc_id", threshold = 0.7)
+      .persist()
+    println(s"SCALE minhash pair set: ${pairs.count()} edges")
+    run("cluster_driver_finish")(dedup.connectedComponents(pairs))
+    run("cluster_distributed")(
+      dedup.connectedComponents(pairs, driverFinishEdges = 0L))
+    pairs.unpersist()
+
+    // ---- embedding family (densified buckets) -------------------------
+    run("emb_neardup")(dedup.embeddingNearDupPairs(emb, threshold = 0.999))
+    run("semantic_dedup")(dedup.semanticDedup(
+      emb, ann.seedCentroids(emb, 16), threshold = 0.999))
+    run("knn_graph")(ann.knnGraph(emb, k = 3, nbits = 6))
+    val edges = ann.knnGraph(emb, k = 3, nbits = 6)
+      .select(col("src"), col("dst")).persist()
+    println(s"SCALE knn edge set: ${edges.count()} edges")
+    run("pagerank_3it")(graph.pageRank(edges, iters = 3))
+    edges.unpersist()
+
+    // ---- persisted index paths ----------------------------------------
+    val q = (0 until 64).map(i => math.sin(i + 1.0))
+    def timeBuild(name: String)(body: => graft.index.VecIndex.BuildStats): Unit = {
+      val t0 = System.nanoTime()
+      val st = body
+      println(f"SCALE $name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s  " +
+        s"rows=${st.rows} files=${st.files} rowGroups=${st.rowGroups}")
+    }
+    timeBuild("index_build_lsh") {
+      graft.index.VecIndex.build(emb, s"$work/idx_lsh",
+        opts = graft.index.VecIndex.BuildOptions(lshBits = Some(6)))._2
+    }
+    val lshStore = graft.index.VecIndex.load(spark, s"$work/idx_lsh")
+    run("lsh_topk")(ann.lshSearch(lshStore, q, k = 10))
+    timeBuild("index_build_ivf") {
+      graft.index.VecIndex.build(emb, s"$work/idx_ivf",
+        opts = graft.index.VecIndex.BuildOptions(
+          ivfCentroids = Some(ann.seedCentroids(emb, 16))))._2
+    }
+    val ivfStore = graft.index.VecIndex.load(spark, s"$work/idx_ivf")
+    run("ivf_topk_probe4")(
+      ann.ivfSearchIndexed(ivfStore, q, k = 10, nprobe = 4))
+
+    // ---- iterative trainer --------------------------------------------
+    run("bpe_train_12")(bpe.train(docs, "text", merges = 12, minPairCount = 2))
+
+    spark.stop()
+  }
+}
