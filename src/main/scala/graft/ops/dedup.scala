@@ -254,7 +254,9 @@ object dedup {
     * `maxDf`. Shingles above the cap are excluded from both candidate
     * generation and the intersection count — the standard df-cap bound
     * that keeps the hottest shingle from emitting maxDf² pairs in one
-    * task; with the cap, per-shingle expansion work is ≤ maxDf²/2. */
+    * task; with the cap, per-shingle expansion work is ≤ maxDf²/2. A
+    * lossless size filter (jacc ≤ min(|A|,|B|)/max(|A|,|B|)) additionally
+    * drops size-mismatched pairs before the pair-count shuffle. */
   def jaccardPairs(
       df: DataFrame,
       textCol: String,
@@ -290,6 +292,14 @@ object dedup {
       .groupBy(col("gram"))
       .agg(sort_array(collect_list(col("d"))).as("ds"))
       .select(explode(pairsOf(col("ds"))).as("p"))
+      // Size filter (AllPairs/PPJoin family, Bayardo et al. WWW'07,
+      // exact): c <= min(n_a, n_b), so jacc <= min/max — a pair whose
+      // gram-set sizes differ by more than the threshold ratio can never
+      // reach it. Dropping those rows HERE, before the pair-count
+      // exchange, prunes the shuffle for size-skewed corpora and costs
+      // one comparison on values already in the pair struct.
+      .where(least(col("p.id_a.n"), col("p.id_b.n")).cast("double") >=
+        lit(threshold) * greatest(col("p.id_a.n"), col("p.id_b.n")))
       .groupBy(col("p.id_a.id").as("id_a"), col("p.id_b.id").as("id_b"),
         col("p.id_a.n").as("n_a"), col("p.id_b.n").as("n_b"))
       .agg(count(lit(1)).as("c"))
