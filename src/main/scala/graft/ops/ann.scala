@@ -38,6 +38,23 @@ object ann {
   def hyperplane(t: Int, j: Int, dim: Int): Seq[Double] =
     (0 until dim).map(i => math.sin(1000.0 * t + 100.0 * j + i))
 
+  /** Signature width that targets `targetBucket` expected members per
+    * LSH bucket for an `n`-vector corpus: `ceil(log2(n / targetBucket))`,
+    * clamped to [1, 30]. The quadratic term in every bucketed op
+    * ([[knnGraph]], [[dedup.embeddingNearDupPairs]]) is Σ bucket², so
+    * nbits must GROW with the corpus — a width tuned at 2k vectors
+    * quietly costs 100× more per bucket at 200k (the 10× rehearsal
+    * measured exactly this geometry; see BASELINE.md). Rule of thumb,
+    * not a promise: clustered embeddings skew bucket sizes, which is
+    * what `bucketCap` + the observe() counters are for. */
+  def suggestNbits(n: Long, targetBucket: Int = 256): Int = {
+    require(n > 0 && targetBucket > 0,
+      s"graft: suggestNbits needs n, targetBucket > 0, got $n, $targetBucket")
+    val raw = math.ceil(
+      math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt
+    math.min(30, math.max(1, raw))
+  }
+
   /** LSH signature of a vector column for table `t`: an `nbits`-bit code
     * packed into a long, bit j = `[v·h_j > 0]`. One fused kernel pass
     * over all `nbits` planes (see [[graft.functions.NativeExprs.lshSig]];

@@ -292,6 +292,22 @@ class AnnSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("suggestNbits targets the bucket size and grows with the corpus") {
+    // 2^nbits buckets put the EXPECTED bucket at or under target (and
+    // over target/2 — one fewer bit would overshoot).
+    for (n <- Seq(1000L, 20000L, 1000000L, 100000000L); tgt <- Seq(64, 256, 4096)) {
+      val bits = ann.suggestNbits(n, tgt)
+      val expBucket = n.toDouble / math.pow(2.0, bits)
+      assert(expBucket <= tgt, s"n=$n tgt=$tgt bits=$bits bucket=$expBucket")
+      assert(bits == 1 || bits == 30 || expBucket > tgt / 2.0,
+        s"overshot a bit: n=$n tgt=$tgt bits=$bits bucket=$expBucket")
+    }
+    assert(ann.suggestNbits(100, 256) == 1, "floor: at least one plane")
+    assert(ann.suggestNbits(Long.MaxValue, 1) == 30, "ceiling: packed long width")
+    assert(ann.suggestNbits(20000, 256) > ann.suggestNbits(2000, 256),
+      "width must grow with the corpus")
+  }
+
   test("knn bucket caps are INACTIVE at oracle scale (dropped_buckets == 0)") {
     // The ann_knn_graph / ann_knn_join / graph_pagerank DuckDB oracles
     // have no bucket cap, so oracle parity silently depends on every
