@@ -144,6 +144,19 @@ object Demo {
     val knn = graft.ops.ann.knnGraph(store.df, k = 2, nbits = 4)
     knn.orderBy("src", "rnk").show(6, truncate = false)
 
+    println("== query observability: phase split + observe() safety counters ==")
+    var waited = 0
+    while (stats.lastQueryStats.forall(_.observed.isEmpty) && waited < 3000) {
+      Thread.sleep(50); waited += 50 // listener delivery is async
+    }
+    stats.lastQueryStats.foreach { s =>
+      println(s.pretty)
+      s.observed.toSeq.sortBy(_._1).foreach { case (name, row) =>
+        println(s"  $name: " + row.schema.fieldNames
+          .map(f => s"$f=${row.getAs[Any](f)}").mkString(", "))
+      }
+    }
+
     println("== PageRank centrality over the kNN graph (most-central docs) ==")
     graft.ops.graph.pageRank(knn.select("src", "dst"), iters = 3)
       .orderBy(col("rank").desc, col("id")).show(5, truncate = false)
