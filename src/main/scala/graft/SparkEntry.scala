@@ -1289,6 +1289,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
         .orderBy(col("lang"))),
 
+    // north-star: mixture calibration — downsample to EXPLICIT target
+    // proportions (en:de:fr = 5:3:2); rates derived from exact counts,
+    // keep decision a pure scan filter. sum_chars pins which rows.
+    "sample_mixture" -> ((s, dir) =>
+      sample.toMixture(table(s, dir, "documents"), "doc_id", "lang",
+          targets = Map("en" -> 5.0, "de" -> 3.0, "fr" -> 2.0))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy(col("lang"))),
+
     // north-star: weighted (quality-proportional) sampling — the data-
     // mixing primitive; keep probability = min(n_chars/1000, 1), pure
     // scan filter.
@@ -2516,6 +2527,29 @@ object SparkEntry {
          |SELECT split, count(*) AS n_docs, sum(len(toks))::BIGINT AS total_tokens,
          |  min(doc_id) AS min_id
          |FROM s GROUP BY split ORDER BY split""".stripMargin,
+
+    // Independent re-derivation of the mixture calibration: exact
+    // counts → T = min(n/w) → rate = (w·T)/n, with the NORMALIZED
+    // weights interpolated from the same Scala doubles the operator
+    // computes (Double.toString round-trips through DuckDB's parser),
+    // and the same hash-Bernoulli keep rule as sample_weighted.
+    "sample_mixture" -> {
+      val targets = Map("en" -> 5.0, "de" -> 3.0, "fr" -> 2.0)
+      val wSum = targets.values.sum
+      val names = targets.keys.toSeq.sorted
+      val wCase = names.map(g => s"WHEN '$g' THEN ${targets(g) / wSum}")
+        .mkString("CASE lang ", " ", " END")
+      val inList = names.map("'" + _ + "'").mkString(", ")
+      s"""WITH nw AS (SELECT lang, count(*)::DOUBLE AS n, $wCase AS w
+         |  FROM documents WHERE lang IN ($inList) GROUP BY lang),
+         |tt AS (SELECT min(n / w) AS t FROM nw),
+         |r AS (SELECT lang, (w * (SELECT t FROM tt)) / n AS rate FROM nw)
+         |SELECT lang, count(*) AS n, min(doc_id) AS min_id,
+         |  sum(n_chars)::BIGINT AS sum_chars
+         |FROM documents JOIN r USING (lang)
+         |WHERE ${hashing.sqlH32("(doc_id::VARCHAR || '/mix')")}::DOUBLE < rate * 4294967296.0
+         |GROUP BY lang ORDER BY lang""".stripMargin
+    },
 
     // Same clamp chain and multiply order as sample.weightedSample.
     "sample_weighted" ->

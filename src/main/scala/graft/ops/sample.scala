@@ -138,6 +138,53 @@ object sample {
           .cast("double") < col("mix_rate") * lit(4294967296.0))
   }
 
+  /** Calibrate a corpus to EXPLICIT target mixture proportions (the
+    * "rebalance to 30% code / 70% web" primitive) by deterministic
+    * downsampling. `targets` maps stratum → weight (any positive scale —
+    * weights are normalized); strata not named are dropped. The largest
+    * total achievable by pure downsampling is `T = min_g(n_g / w_g)`;
+    * each stratum then keeps `rate_g = w_g·T / n_g` of its rows (the
+    * binding stratum keeps ~100%), decided by the same portable
+    * hash-Bernoulli rule as [[weightedSample]]. Adds `mix_rate`.
+    *
+    * [[temperatureMix]] flattens a skew by exponent; this hits NAMED
+    * proportions — the knob a data-mixture ablation actually turns.
+    *
+    * Scale: one aggregate over only the targeted strata collects
+    * `|targets|` counts to the driver (bounded by the caller's own map,
+    * the k-means-centroids class of driver state); the rates embed as
+    * literals, so the keep decision is a pure pushed-down scan filter —
+    * the corpus never shuffles. Determinism: counts are exact longs,
+    * the rate arithmetic is a fixed IEEE expression an independent
+    * engine reproduces bit-for-bit from the same literals. */
+  def toMixture(df: DataFrame, idCol: String, stratumCol: String,
+      targets: Map[String, Double], salt: String = "mix"): DataFrame = {
+    require(targets.nonEmpty, "graft: toMixture needs at least one target stratum")
+    targets.foreach { case (g, w) =>
+      require(w > 0.0, s"graft: target weight for '$g' must be > 0, got $w")
+    }
+    val wSum = targets.values.sum
+    val names = targets.keys.toSeq.sorted
+    val counts = df.where(col(stratumCol).isin(names: _*))
+      .groupBy(col(stratumCol)).agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    names.foreach(g => require(counts.getOrElse(g, 0L) > 0L,
+      s"graft: toMixture target stratum '$g' has no rows"))
+    // T = min_g(n_g / w_g); rate_g = (w_g · T) / n_g — exact expression
+    // order matters (the oracle mirrors these ops on the same literals).
+    val t = names.map(g => counts(g).toDouble / (targets(g) / wSum)).min
+    val rate = names.map(g =>
+      g -> ((targets(g) / wSum) * t) / counts(g).toDouble).toMap
+    val rateCol = names.foldLeft(lit(0.0)) { (acc, g) =>
+      when(col(stratumCol) === g, lit(rate(g))).otherwise(acc)
+    }
+    df.where(col(stratumCol).isin(names: _*))
+      .withColumn("mix_rate", rateCol)
+      .where(
+        hashing.h32(concat(col(idCol).cast("string"), lit("/" + salt)))
+          .cast("double") < col("mix_rate") * lit(4294967296.0))
+  }
+
   /** Sequence packing: assign documents to packs of at most ~`budget`
     * tokens via a running token-count prefix sum —
     * `local_pack = floor((cumsum - n_tokens) / budget)` (each doc's pack

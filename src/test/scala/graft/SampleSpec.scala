@@ -128,6 +128,38 @@ class SampleSpec extends SparkSpec {
     assert(ids3.subsetOf(ids7))
   }
 
+  test("toMixture: hits the target proportions; binding stratum kept whole; unnamed dropped") {
+    val targets = Map("en" -> 5.0, "de" -> 3.0, "fr" -> 2.0)
+    val out = sample.toMixture(docs, "doc_id", "lang", targets).persist()
+    val kept = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // only targeted strata survive
+    assert(kept.keySet == targets.keySet)
+    // achieved proportions within hash-Bernoulli tolerance of the target
+    val total = kept.values.sum.toDouble
+    val wSum = targets.values.sum
+    targets.foreach { case (g, w) =>
+      val want = w / wSum
+      val got = kept(g) / total
+      assert(math.abs(got - want) < 0.05, s"$g: want $want got $got")
+    }
+    // the binding stratum (smallest n_g/w_g) keeps ~all of its rows
+    val totals = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val binding = targets.keys.minBy(g => totals(g) / (targets(g) / wSum))
+    assert(kept(binding).toDouble / totals(binding) > 0.99,
+      s"binding stratum $binding lost rows: ${kept(binding)}/${totals(binding)}")
+    // deterministic: same inputs, same keep-set
+    val a = out.select("doc_id").as[Long].collect().toSet
+    val b = sample.toMixture(docs, "doc_id", "lang", targets)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+    out.unpersist()
+    // a target naming an absent stratum is an error, not a silent empty
+    val e = intercept[IllegalArgumentException] {
+      sample.toMixture(docs, "doc_id", "lang", Map("xx" -> 1.0)).count()
+    }
+    assert(e.getMessage.contains("no rows"))
+  }
+
   test("quantileBins: exact rank quartiles; ties share a bin; degenerate data collapses to bin 0") {
     val df = (1 to 8).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
     val bins = sample.quantileBins(df, col("v"), nbins = 4, scale = 1.0)
