@@ -236,6 +236,25 @@ object SparkEntry {
        |  FROM tsq GROUP BY doc_id)""".stripMargin
   }
 
+  /** DuckDB CTE chain ending in `d(tok, ca, cb, na, nb, v, pa, pb)` —
+    * the add-one-smoothed unigram distributions of the en/de document
+    * corpora over their union vocabulary, matching
+    * [[graft.ops.text.unigramDists]] operation for operation (same
+    * integer counts, same division order, so both engines compute
+    * identical doubles). */
+  private val SqlUnigramDists: String =
+    s"""wa AS (SELECT tok, count(*) AS ca FROM (
+       |  SELECT unnest($SqlToks) AS tok FROM documents WHERE lang = 'en') GROUP BY tok),
+       |wb AS (SELECT tok, count(*) AS cb FROM (
+       |  SELECT unnest($SqlToks) AS tok FROM documents WHERE lang = 'de') GROUP BY tok),
+       |j AS (SELECT tok, coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+       |  FROM wa FULL JOIN wb USING (tok)),
+       |t AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb, count(*) AS v FROM j),
+       |d AS (SELECT tok, ca, cb, na, nb, v,
+       |  (ca + 1)::DOUBLE / (na + v)::DOUBLE AS pa,
+       |  (cb + 1)::DOUBLE / (nb + v)::DOUBLE AS pb
+       |  FROM j, t)""".stripMargin
+
   /** DuckDB re-derivation of [[graft.ops.bpe.train]]: the `merges`
     * training rounds unrolled as CTEs (the pagerank-oracle trick). Round
     * i pair-counts the word vocabulary (`p$i`), argmaxes on
@@ -564,6 +583,22 @@ object SparkEntry {
       bpe.train(table(s, dir, "documents"), "text",
           merges = 12, minPairCount = 2)
         .orderBy(col("step"))),
+
+    // north-star: cross-corpus token shift — what changed between two
+    // domains (en vs de here); smoothed log-ratio, vocab-sized work.
+    "text_token_shift" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      text.tokenShift(docs.where(col("lang") === "en"),
+        docs.where(col("lang") === "de"), "text", k = 10)
+    }),
+
+    // north-star: corpus distribution divergence — the domain-shift /
+    // mixture-drift meter (KL both ways + bounded JS), fixed-point sums.
+    "text_corpus_divergence" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      text.corpusDivergence(docs.where(col("lang") === "en"),
+        docs.where(col("lang") === "de"), "text")
+    }),
 
     // north-star: per-doc language consistency — chunk-level langId
     // against the doc majority; catches code-switched docs that a
@@ -1445,6 +1480,30 @@ object SparkEntry {
     // The trainer's 12 rounds unrolled in DuckDB — an independent
     // re-derivation of the merge rules, not a pinned transcript.
     "text_bpe_merges" -> sqlBpeTrain(merges = 12, minPair = 2L),
+
+    // Shared smoothed-unigram CTE chain for the two cross-corpus
+    // queries: identical add-one smoothing, identical op order.
+    "text_token_shift" ->
+      s"""WITH $SqlUnigramDists
+         |SELECT tok, ca AS n_a, cb AS n_b,
+         |  floor(ln(pa / pb) * 1000000.0 + 0.5) / 1000000.0 AS shift
+         |FROM d ORDER BY abs(floor(ln(pa / pb) * 1000000.0 + 0.5) / 1000000.0) DESC, tok
+         |LIMIT 10""".stripMargin,
+
+    "text_corpus_divergence" ->
+      s"""WITH $SqlUnigramDists,
+         |q AS (SELECT na, nb, v,
+         |  floor(pa * ln(pa / pb) * 1000000000000.0)::BIGINT AS qab,
+         |  floor(pb * ln(pb / pa) * 1000000000000.0)::BIGINT AS qba,
+         |  floor(pa * ln(pa / ((pa + pb) / 2.0)) * 1000000000000.0)::BIGINT AS qja,
+         |  floor(pb * ln(pb / ((pa + pb) / 2.0)) * 1000000000000.0)::BIGINT AS qjb
+         |  FROM d)
+         |SELECT max(na) AS n_a, max(nb) AS n_b, max(v) AS vocab,
+         |  floor(sum(qab)::BIGINT::DOUBLE / 1000000000000.0 * 1000000.0 + 0.5) / 1000000.0 AS kl_ab,
+         |  floor(sum(qba)::BIGINT::DOUBLE / 1000000000000.0 * 1000000.0 + 0.5) / 1000000.0 AS kl_ba,
+         |  floor((sum(qja)::BIGINT + sum(qjb)::BIGINT)::DOUBLE / 2.0 / 1000000000000.0
+         |    * 1000000.0 + 0.5) / 1000000.0 AS js
+         |FROM q""".stripMargin,
 
     // Same 64-token non-overlapping chunking as tokenChunks(64, 64); lang
     // per chunk from stopword-hit argmax over the chunk's token list.

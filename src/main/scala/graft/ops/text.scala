@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-import graft.functions.hashing
+import graft.functions.{hashing, vectors}
 
 /** Text-analysis operators for large-scale training-data pipelines:
   * tokenization, token counting, quality scoring, language identification,
@@ -609,5 +609,88 @@ object text {
         // floor-form quantization — see [[unigramLogProb]]
         (floor(col("q").cast("double") / lit(1.0e6) / col("n_bigrams")
           * 10000.0 + 0.5) / 10000.0).as("logprob"))
+  }
+
+  /** Add-one-smoothed unigram distributions of two corpora over their
+    * UNION vocabulary: `(tok, ca, cb, na, nb, v, pa, pb)` with
+    * `p = (c + 1) / (n + v)` — the shared substrate of [[tokenShift]]
+    * and [[corpusDivergence]]. Two vocab-sized aggregates (map-side
+    * combined; the corpora themselves shuffle nothing wider than a
+    * token), one full-outer vocab join, totals broadcast back. */
+  private def unigramDists(
+      a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    def counts(df: org.apache.spark.sql.DataFrame, out: String) =
+      df.select(explode(tokens(col(textCol))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as(out))
+    val joined = counts(a, "_ca").join(counts(b, "_cb"), Seq("tok"), "full_outer")
+      .select(col("tok"),
+        coalesce(col("_ca"), lit(0L)).as("ca"),
+        coalesce(col("_cb"), lit(0L)).as("cb"))
+    val totals = joined.agg(
+      sum(col("ca")).as("na"), sum(col("cb")).as("nb"), count(lit(1)).as("v"))
+    joined.crossJoin(broadcast(totals))
+      .withColumn("pa",
+        (col("ca") + 1).cast("double") / (col("na") + col("v")).cast("double"))
+      .withColumn("pb",
+        (col("cb") + 1).cast("double") / (col("nb") + col("v")).cast("double"))
+  }
+
+  /** Top-`k` tokens by absolute smoothed log-probability ratio between
+    * two corpora — "what changed between these two crawls / domains":
+    * a token much likelier in `a` surfaces with a positive `shift`
+    * (= `ln(pa/pb)`, 6dp floor-quantized), much likelier in `b`
+    * negative. Smoothing keeps tokens absent from one side finite and
+    * ranked. Ties break on the token. Top-k via
+    * `TakeOrderedAndProject`; nothing wider than the union vocabulary
+    * ever materializes. Returns `(tok, n_a, n_b, shift)`. */
+  def tokenShift(
+      a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"graft: tokenShift needs k >= 1, got $k")
+    unigramDists(a, b, textCol)
+      .select(col("tok"), col("ca").as("n_a"), col("cb").as("n_b"),
+        vectors.quantize(log(col("pa") / col("pb")), 6).as("shift"))
+      .orderBy(abs(col("shift")).desc, col("tok"))
+      .limit(k)
+  }
+
+  /** Corpus-level distribution divergence — the domain-shift /
+    * mixture-drift meter: KL(a‖b), KL(b‖a), and the bounded symmetric
+    * Jensen-Shannon divergence (≤ ln 2) between the two corpora's
+    * smoothed unigram distributions. One row:
+    * `(n_a, n_b, vocab, kl_ab, kl_ba, js)`.
+    *
+    * Determinism discipline: each token's contribution is
+    * floor-quantized to a 1e-12 fixed-point LONG before the sum
+    * (order-free exact addition — [[unigramLogProb]]'s rule), and the
+    * final values are 6dp floor-quantized, so an independent engine
+    * reproduces every digit from the same integer counts. JS terms are
+    * ≤ ln 2 · p, so the fixed-point sums cannot overflow at any corpus
+    * size; KL ratios are bounded by the smoothed floor (1/(n+v)). */
+  def corpusDivergence(
+      a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val scale = lit(1.0e12)
+    val m = (col("pa") + col("pb")) / lit(2.0)
+    unigramDists(a, b, textCol)
+      .select(col("na"), col("nb"), col("v"),
+        floor(col("pa") * log(col("pa") / col("pb")) * scale).cast("long").as("qab"),
+        floor(col("pb") * log(col("pb") / col("pa")) * scale).cast("long").as("qba"),
+        floor(col("pa") * log(col("pa") / m) * scale).cast("long").as("qja"),
+        floor(col("pb") * log(col("pb") / m) * scale).cast("long").as("qjb"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        max(col("v")).as("vocab"),
+        sum(col("qab")).as("sab"), sum(col("qba")).as("sba"),
+        sum(col("qja")).as("sja"), sum(col("qjb")).as("sjb"))
+      .select(col("n_a"), col("n_b"), col("vocab"),
+        vectors.quantize(col("sab").cast("double") / lit(1.0e12), 6).as("kl_ab"),
+        vectors.quantize(col("sba").cast("double") / lit(1.0e12), 6).as("kl_ba"),
+        vectors.quantize(
+          (col("sja") + col("sjb")).cast("double") / lit(2.0) / lit(1.0e12), 6).as("js"))
   }
 }

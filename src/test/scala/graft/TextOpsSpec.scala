@@ -221,4 +221,41 @@ class TextOpsSpec extends SparkSpec {
     assert(r3(3L) < r3(1L))                       // rare ORDER scores lower
     assert(r2.values.forall(_ == 0.0))
   }
+
+  test("tokenShift + corpusDivergence equal a driver-side twin on a toy fixture") {
+    // a: x:2 y:1 (na=3); b: x:1 z:1 (nb=2); union vocab v=3
+    val a = Seq("x x y").toDF("text")
+    val b = Seq("x z").toDF("text")
+    val (na, nb, v) = (3L, 2L, 3L)
+    val ca = Map("x" -> 2L, "y" -> 1L, "z" -> 0L)
+    val cb = Map("x" -> 1L, "y" -> 0L, "z" -> 1L)
+    def pa(t: String) = (ca(t) + 1).toDouble / (na + v)
+    def pb(t: String) = (cb(t) + 1).toDouble / (nb + v)
+    def q6(x: Double) = math.floor(x * 1.0e6 + 0.5) / 1.0e6
+    val wantShift = Seq("x", "y", "z")
+      .map(t => t -> q6(math.log(pa(t) / pb(t)))).toMap
+
+    val gotShift = text.tokenShift(a, b, "text", k = 3)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // ranked by |shift| desc: z (|-0.875|) > y (0.511) > x (0.223)
+    assert(gotShift.map(_._1) == Seq("z", "y", "x"))
+    gotShift.foreach { case (t, nA, nB, s) =>
+      assert(nA == ca(t) && nB == cb(t))
+      assert(s == wantShift(t), s"$t: $s != ${wantShift(t)}")
+    }
+
+    def fx(x: Double) = math.floor(x * 1.0e12).toLong
+    val toks = Seq("x", "y", "z")
+    val sab = toks.map(t => fx(pa(t) * math.log(pa(t) / pb(t)))).sum
+    val sba = toks.map(t => fx(pb(t) * math.log(pb(t) / pa(t)))).sum
+    val sja = toks.map(t => fx(pa(t) * math.log(pa(t) / ((pa(t) + pb(t)) / 2.0)))).sum
+    val sjb = toks.map(t => fx(pb(t) * math.log(pb(t) / ((pa(t) + pb(t)) / 2.0)))).sum
+    val want = (na, nb, v, q6(sab.toDouble / 1.0e12), q6(sba.toDouble / 1.0e12),
+      q6((sja + sjb).toDouble / 2.0 / 1.0e12))
+    val got = text.corpusDivergence(a, b, "text")
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    assert(got == want, s"$got != $want")
+    // KL asymmetric and positive on genuinely different corpora; JS bounded
+    assert(got._4 > 0 && got._5 > 0 && got._6 > 0 && got._6 <= math.log(2.0))
+  }
 }
