@@ -616,7 +616,11 @@ object text {
     * `p = (c + 1) / (n + v)` — the shared substrate of [[tokenShift]]
     * and [[corpusDivergence]]. Two vocab-sized aggregates (map-side
     * combined; the corpora themselves shuffle nothing wider than a
-    * token), one full-outer vocab join, totals broadcast back. */
+    * token), one full-outer vocab join, totals broadcast back. The
+    * totals branch references the same aggregates a second time — a
+    * diamond AQE resolves with runtime exchange reuse (verified:
+    * 2 ReusedExchange in the adaptive plan), so each corpus is scanned
+    * ONCE per side; only the thin vocab join runs twice. */
   private def unigramDists(
       a: org.apache.spark.sql.DataFrame,
       b: org.apache.spark.sql.DataFrame,
