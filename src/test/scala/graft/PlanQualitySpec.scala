@@ -183,4 +183,29 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("text_cm_tokens")
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
+
+  test("toMixture keep-decision is a pure scan filter (zero exchanges pre-agg)") {
+    // The op itself (before the registered query's reporting aggregate)
+    // must plan as filter-on-scan: rates are literals, the stratum
+    // filter and hash threshold push into the scan pipeline.
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.ops.sample.toMixture(docs, "doc_id", "lang",
+        Map("en" -> 5.0, "de" -> 3.0, "fr" -> 2.0))
+      .queryExecution.executedPlan.toString
+    assert(!"Exchange".r.findAllIn(p).hasNext,
+      s"toMixture must not shuffle:\n${p.take(800)}")
+    assert(p.contains("PushedFilters") && p.contains("In(lang"),
+      s"stratum filter should reach the scan:\n${p.take(800)}")
+  }
+
+  test("tokenShift top-k is TakeOrderedAndProject over vocab-sized work") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.ops.text.tokenShift(docs.where(col("lang") === "en"),
+        docs.where(col("lang") === "de"), "text", k = 10)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+  }
 }
