@@ -956,6 +956,13 @@ object SparkEntry {
         .orderBy(col("o_custkey"))
     }),
 
+    // north-star: one-pass column profile — per-column rows/nulls/exact
+    // distincts/min/max from a single aggregation job + stack unpivot.
+    "rel_profile" -> ((s, dir) =>
+      rel.profileColumns(table(s, dir, "orders"),
+          Seq("o_custkey", "o_orderpriority", "o_orderstatus"))
+        .orderBy(col("column"))),
+
     // broadcast dimension join + top-n aggregate.
     "rel_join_topn" -> ((s, dir) => {
       val o = table(s, dir, "orders")
@@ -2321,6 +2328,19 @@ object SparkEntry {
 
     // Conditional aggregation IS the relational meaning of pivot — the
     // wide columns are the explicit value domain.
+    // Per-column profile re-derived as one UNION ALL branch per column;
+    // min/max compared as strings only for canonical-format types.
+    "rel_profile" -> {
+      def branch(c: String) =
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  min($c)::VARCHAR AS min_val, max($c)::VARCHAR AS max_val
+           |FROM orders""".stripMargin
+      Seq("o_custkey", "o_orderpriority", "o_orderstatus")
+        .map(branch).mkString("", "\nUNION ALL ", "\nORDER BY \"column\"")
+    },
+
     "rel_pivot" ->
       """SELECT l_returnflag,
         |  sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END)::BIGINT AS qty_f,

@@ -187,6 +187,34 @@ object rel {
       .select(groupCols.map(col) ++ Seq(col("n"), col("corr")): _*)
   }
 
+  /** One-pass column profile — the generic data-quality gate a pipeline
+    * runs before trusting a new table: per column, row count, null
+    * count, EXACT distinct count, and min/max (cast to string so one
+    * schema serves any column type). One aggregation job over the table
+    * produces a single wide row that unpivots (`stack`) into one row
+    * per profiled column — the table is never scanned per column.
+    *
+    * Scale note: multiple exact `count(DISTINCT)`s in one aggregate
+    * plan via Expand — the scan is multiplied by `cols.size` thin
+    * rows before the shuffle. That is the honest price of EXACT
+    * distincts; profile the columns you care about, not all of them
+    * (or use [[sketch.kmvDistinct]] for a one-pass estimate). Min/max
+    * string casts are for display; compare them as values only for
+    * types whose string form is canonical (ints, strings, dates). */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "graft: profileColumns needs at least one column")
+    val aggs = count(lit(1)).as("_n") +: cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_null_$c"),
+      countDistinct(col(c)).as(s"_dist_$c"),
+      min(col(c)).cast("string").as(s"_min_$c"),
+      max(col(c)).cast("string").as(s"_max_$c")))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map(c =>
+      s"'$c', _n, `_null_$c`, `_dist_$c`, `_min_$c`, `_max_$c`").mkString(", ")
+    wide.select(expr(
+      s"stack(${cols.size}, $stacked) AS (column, n_rows, n_null, n_distinct, min_val, max_val)"))
+  }
+
   def topKPerGroup(
       df: DataFrame,
       partitionCols: Seq[Column],

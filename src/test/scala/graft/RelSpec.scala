@@ -132,6 +132,23 @@ class RelSpec extends SparkSpec {
     assert(got.getDouble(2) == want.getDouble(2))
   }
 
+  test("profileColumns: one row per column with exact nulls/distincts; one scan") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(1L), Some("b")), (Some(2L), None),
+      (None, Some("b"))
+    ).toDF("k", "s")
+    val got = rel.profileColumns(df, Seq("k", "s")).orderBy("column")
+      .as[(String, Long, Long, Long, String, String)].collect().toSeq
+    assert(got == Seq(
+      ("k", 4L, 1L, 2L, "1", "2"),
+      ("s", 4L, 1L, 2L, "a", "b")))
+    // single aggregation job: the table is scanned once, not per column
+    val scans = "LocalTableScan|Scan ".r
+      .findAllIn(rel.profileColumns(df, Seq("k", "s"))
+        .queryExecution.executedPlan.toString).length
+    assert(scans == 1, s"profile must not scan per column, got $scans scans")
+  }
+
   test("corrExact is exactly order- and partition-independent") {
     val rows = (0 until 200).map(i => ("g", i.toDouble, (i * 37 % 101).toDouble))
     val a = rel.corrExact(rows.toDF("g", "x", "y").repartition(7), "x", "y", Seq("g"))
