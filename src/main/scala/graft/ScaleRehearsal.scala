@@ -141,6 +141,18 @@ object ScaleRehearsal {
     // ---- iterative trainer --------------------------------------------
     run("bpe_train_12")(bpe.train(docs, "text", merges = 12, minPairCount = 2))
 
+    // ---- round-6 additions --------------------------------------------
+    import graft.ops.{rel, sample, text}
+    run("mixture_calibrate")(sample.toMixture(docs, "doc_id", "lang",
+      targets = Map("en" -> 5.0, "de" -> 3.0, "fr" -> 2.0)))
+    run("corpus_divergence")(text.corpusDivergence(
+      docs.where(col("lang") === "en"), docs.where(col("lang") === "de"), "text"))
+    run("token_shift_top50")(text.tokenShift(
+      docs.where(col("lang") === "en"), docs.where(col("lang") === "de"),
+      "text", k = 50))
+    run("profile_columns")(rel.profileColumns(docs,
+      Seq("doc_id", "lang", "source")))
+
     spark.stop()
   }
 }

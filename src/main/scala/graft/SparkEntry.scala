@@ -956,6 +956,21 @@ object SparkEntry {
         .orderBy(col("o_custkey"))
     }),
 
+    // north-star: deterministic training-shard export — write, then
+    // verify by READING BACK the landed parquet (shard membership is the
+    // portable id hash, so the oracle recomputes it from the raw table).
+    "export_shards" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-shards-")
+        .toString + "/docs"
+      graft.sources.ingest.writeShards(table(s, dir, "documents"), out,
+        "doc_id", shards = 8)
+      s.read.parquet(out)
+        .groupBy(col("shard").cast("int").as("shard"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("doc_id")).cast("long").as("sum_ids"))
+        .orderBy(col("shard"))
+    }),
+
     // north-star: one-pass column profile — per-column rows/nulls/exact
     // distincts/min/max from a single aggregation job + stack unpivot.
     "rel_profile" -> ((s, dir) =>
@@ -2328,6 +2343,13 @@ object SparkEntry {
 
     // Conditional aggregation IS the relational meaning of pivot — the
     // wide columns are the explicit value domain.
+    // Shard membership recomputed from the raw table with the same
+    // portable hash — proves the written shards partition the corpus.
+    "export_shards" ->
+      s"""SELECT (${hashing.sqlH32("(doc_id::VARCHAR || '/shard')")} % 8)::INT AS shard,
+         |  count(*) AS n_rows, sum(doc_id)::BIGINT AS sum_ids
+         |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
+
     // Per-column profile re-derived as one UNION ALL branch per column;
     // min/max compared as strings only for canonical-format types.
     "rel_profile" -> {

@@ -104,4 +104,49 @@ object ingest {
     timestampFmt.foreach(f => r = r.option("timestampFormat", f))
     split(r.csv(path), schema)
   }
+
+  /** The back door: export a finished dataset as `shards` deterministic
+    * training shards (partition directories `shard=K`) plus a manifest.
+    * Shard assignment is the portable id hash — the same row lands in
+    * the same shard on every run and any cluster size, so shard-level
+    * resume/retry/diff works across dataset versions (an RNG or
+    * round-robin assignment would reshuffle everything on each export).
+    * One repartition on the shard key writes each shard as one file's
+    * worth of tasks; loaders stream shards independently.
+    *
+    * Returns the manifest `(shard, n_rows, files, bytes)` computed from
+    * the WRITTEN data (one metadata listing + one thin count over the
+    * landed parquet — the export is verified by reading it back, not by
+    * trusting the writer). */
+  def writeShards(
+      df: DataFrame,
+      path: String,
+      idCol: String,
+      shards: Int,
+      salt: String = "shard"): DataFrame = {
+    require(shards >= 1, s"graft: writeShards needs shards >= 1, got $shards")
+    val spark = df.sparkSession
+    df.withColumn("shard",
+        pmod(graft.functions.hashing.h32(
+          concat(col(idCol).cast("string"), lit("/" + salt))), lit(shards)))
+      .repartition(shards, col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    val written = spark.read.parquet(path)
+    val sizes = written.inputFiles.toSeq
+      .map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        val shard = f.split("/").find(_.startsWith("shard=")).map(_.stripPrefix("shard=").toInt)
+        (shard.getOrElse(-1), 1L, fs.getFileStatus(p).getLen)
+      }
+    import spark.implicits._
+    val fileStats = sizes.toDF("shard", "f", "b")
+      .groupBy(col("shard"))
+      .agg(sum(col("f")).as("files"), sum(col("b")).as("bytes"))
+    written.groupBy(col("shard")).agg(count(lit(1)).as("n_rows"))
+      .join(fileStats, Seq("shard"), "left")
+      .select(col("shard").cast("int").as("shard"), col("n_rows"),
+        coalesce(col("files"), lit(0L)).as("files"),
+        coalesce(col("bytes"), lit(0L)).as("bytes"))
+  }
 }

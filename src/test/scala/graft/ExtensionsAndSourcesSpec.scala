@@ -98,4 +98,27 @@ class ExtensionsAndSourcesSpec extends SparkSpec {
       .select("line_no", "text").as[(Long, String)].collect().sortBy(_._1).toSeq
     assert(rows == Seq((1L, "one"), (2L, ""), (3L, "three")))
   }
+
+  test("writeShards: lossless deterministic partition of the corpus + honest manifest") {
+    import org.apache.spark.sql.functions._
+    val df = (0 until 500).map(i => (i.toLong, s"doc $i")).toDF("id", "text")
+    val out = Files.createTempDirectory("graft-shards-").toString + "/t"
+    val manifest = ingest.writeShards(df, out, "id", shards = 4)
+      .as[(Int, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // manifest covers every shard; rows sum to the corpus; files+bytes real
+    assert(manifest.map(_._1) == Seq(0, 1, 2, 3))
+    assert(manifest.map(_._2).sum == 500L)
+    assert(manifest.forall(m => m._3 >= 1 && m._4 > 0), s"empty file stats: $manifest")
+    // read-back equals the input exactly (no row lost or duplicated)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 500)
+    assert(back.select("id", "text").exceptAll(df).isEmpty &&
+      df.exceptAll(back.select("id", "text")).isEmpty)
+    // determinism: a second export shards identically
+    val out2 = Files.createTempDirectory("graft-shards-").toString + "/t"
+    ingest.writeShards(df, out2, "id", shards = 4)
+    val a = spark.read.parquet(out).select("id", "shard")
+    val b = spark.read.parquet(out2).select("id", "shard")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }
