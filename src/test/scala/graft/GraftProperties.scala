@@ -173,6 +173,25 @@ object GraftProperties extends Properties("graft") {
       !r.isNullAt(2) && r.getDouble(2) == 1.0
     }
 
+  property("corpusDivergence laws: KL >= 0 (Gibbs), JS symmetric and in [0, ln 2]") =
+    forAll(
+      Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n,
+        Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))),
+      Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n,
+        Gen.nonEmptyListOf(Gen.oneOf("c", "d", "e")).map(_.mkString(" "))))) {
+      (ta, tb) =>
+        val (a, b) = (ta.toDF("text"), tb.toDF("text"))
+        val ab = graft.ops.text.corpusDivergence(a, b, "text")
+          .as[(Long, Long, Long, Double, Double, Double)].head()
+        val ba = graft.ops.text.corpusDivergence(b, a, "text")
+          .as[(Long, Long, Long, Double, Double, Double)].head()
+        // 1e-6 slack: per-term 1e-12 floors accumulate across the vocab
+        ab._4 >= -1e-6 && ab._5 >= -1e-6 &&
+          ab._6 >= -1e-6 && ab._6 <= math.log(2.0) + 1e-6 &&
+          math.abs(ab._6 - ba._6) <= 1e-6 && // JS symmetric
+          ab._4 == ba._5 && ab._5 == ba._4   // KL directions swap exactly
+    }
+
   property("pageRank conserves bounded mass: base·n <= total <= scale") =
     forAll(Gen.chooseNum(2, 12).flatMap(k =>
       Gen.listOfN(k * 2, Gen.zip(Gen.chooseNum(0L, k.toLong), Gen.chooseNum(0L, k.toLong)))
