@@ -56,9 +56,24 @@ object ScaleRehearsal {
       .reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
 
+    // Events replicate with shifted ids AND shifted user ids — 10× the
+    // users at the same per-user density, the realistic growth mode for
+    // the one-shuffle-per-user window idioms.
+    val ev0 = spark.read.parquet(s"$baseDir/events.parquet")
+    val evStride = ev0.agg(max("event_id")).head().getLong(0) + 1
+    val userStride = ev0.agg(max("user_id")).head().getLong(0) + 1
+    (0 until factor).map(r => ev0
+        .withColumn("event_id", col("event_id") + lit(r * evStride))
+        .withColumn("user_id", col("user_id") + lit(r * userStride)))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$work/events.parquet")
+
     val docs = spark.read.parquet(s"$work/documents.parquet")
     val emb = spark.read.parquet(s"$work/embeddings.parquet")
-    println(s"SCALE documents=${docs.count()} embeddings=${emb.count()}")
+    val events = spark.read.parquet(s"$work/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    println(s"SCALE documents=${docs.count()} embeddings=${emb.count()} " +
+      s"events=${events.count()}")
 
     /** Time one op through the noop sink, then report rows and the
       * query's observe() counters (fresh listener per run so the
@@ -114,6 +129,15 @@ object ScaleRehearsal {
     println(s"SCALE knn edge set: ${edges.count()} edges")
     run("pagerank_3it")(graph.pageRank(edges, iters = 3))
     edges.unpersist()
+
+    // ---- event analytics (10× users, same per-user density) -----------
+    import graft.streaming.EventStream
+    run("events_sessionize")(EventStream.sessionize(events))
+    run("events_rolling_1h")(EventStream.rollingAgg(events, windowSec = 3600))
+    run("events_funnel")(
+      EventStream.funnel(events, Seq("view", "click", "purchase")))
+    run("events_window_agg")(EventStream.windowedAgg(events))
+    run("events_retention")(EventStream.retention(events))
 
     // ---- persisted index paths ----------------------------------------
     val q = (0 until 64).map(i => math.sin(i + 1.0))

@@ -956,6 +956,21 @@ object SparkEntry {
         .orderBy(col("o_custkey"))
     }),
 
+    // north-star: line-level exact dedup (the Dolma/FineWeb paragraph
+    // stage). The corpus is single-line text, so the fixture SYNTHESIZES
+    // multi-line docs — each doc gets its successor's text as line 2
+    // (lead window; construction only, not the op) — making every line 2
+    // a guaranteed earlier-seen duplicate for the op to strip.
+    "dedup_lines" -> ((s, dir) => {
+      val win = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+      val multi = table(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n", col("text"), lead(col("text"), 1).over(win)).as("text"))
+      dedup.dedupLines(multi, "text", "doc_id")
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("n_lines"), col("n_kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     // north-star: deterministic training-shard export — write, then
     // verify by READING BACK the landed parquet (shard membership is the
     // portable id hash, so the oracle recomputes it from the raw table).
@@ -2343,6 +2358,25 @@ object SparkEntry {
 
     // Conditional aggregation IS the relational meaning of pivot — the
     // wide columns are the explicit value domain.
+    // Same synthesized multi-line fixture; the global-first winner is
+    // min(doc_id·1e6 + pos) per line — equivalent to the op's
+    // lexicographic (id, pos) struct-min at this fixture's line counts.
+    "dedup_lines" ->
+      """WITH m AS (SELECT doc_id,
+        |  concat_ws(chr(10), text, lead(text) OVER (ORDER BY doc_id)) AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id, unnest(list_transform(string_split(text, chr(10)),
+        |    (s, i) -> struct_pack(line := s, pos := i - 1))) AS u FROM m),
+        |x AS (SELECT doc_id, u.line AS line, u.pos AS pos FROM l),
+        |win AS (SELECT line, min(doc_id * 1000000 + pos) AS wk FROM x GROUP BY line),
+        |k AS (SELECT x.doc_id, x.pos, x.line,
+        |  (x.doc_id * 1000000 + x.pos = win.wk) AS keep FROM x JOIN win USING (line))
+        |SELECT doc_id,
+        |  md5(coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '')) AS text_md5,
+        |  count(*) AS n_lines,
+        |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // Shard membership recomputed from the raw table with the same
     // portable hash — proves the written shards partition the corpus.
     "export_shards" ->

@@ -72,6 +72,49 @@ object dedup {
     df.join(keep, idCol)
   }
 
+  /** LINE-level exact dedup (the Dolma/FineWeb paragraph-dedup stage —
+    * doc-level dedup misses the boilerplate line pasted into a million
+    * otherwise-distinct pages): split every document on `sep`, keep only
+    * the GLOBALLY FIRST occurrence of each distinct line — first =
+    * smallest `(id, position)` — and reassemble each document from its
+    * surviving lines in original order. A document whose every line was
+    * seen earlier comes back as the empty string (dropping it is the
+    * caller's explicit filter — silent row loss is an ingestion
+    * anti-pattern).
+    *
+    * Plan shape at 100 TB: TWO shuffles total — the global-first winner
+    * is a min window over the line-fingerprint partition (uniform
+    * 128-bit keys, computed on the exploded rows' own exchange — the
+    * [[jaccardPairs]] df-gate idiom, no second join shuffle; a
+    * boilerplate line repeated 10⁷ times is one hot but tiny-valued
+    * key), then one id-keyed reassembly whose `collect_list` is bounded
+    * by the document's own line count (nulls — the dropped lines — are
+    * skipped by collect_list). Returns `(idCol, textCol, n_lines,
+    * n_kept)`. */
+  def dedupLines(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      sep: String = "\n"): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "line")))
+    val wLine = Window.partitionBy(hashing.fingerprint128(col("line")))
+    val kept = lines
+      .withColumn("_w", min(struct(col(idCol).as("id"), col("pos").as("p"))).over(wLine))
+      .withColumn("_keep", col(idCol) === col("_w.id") && col("pos") === col("_w.p"))
+    kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("_keep"), struct(col("pos"), col("line"))))),
+            s => s.getField("line")),
+          sep).as("_t"))
+      .select(col(idCol), col("_t").as(textCol), col("n_lines"), col("n_kept"))
+  }
+
   // ---- MinHash + LSH ---------------------------------------------------
 
   /** MinHash signature over a column of PRE-HASHED shingles (HOF form,

@@ -40,6 +40,25 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 3L, 4L, 5L))
   }
 
+  test("dedupLines: each line's globally-first occurrence survives; docs reassemble in order") {
+    val df = Seq(
+      (1L, "alpha\nbeta\ngamma"),
+      (2L, "beta\ndelta"),   // beta first seen at (1, 1) -> dropped here
+      (3L, "alpha\nbeta")    // every line seen earlier -> empty doc kept
+    ).toDF("doc_id", "text")
+    val r = dedup.dedupLines(df, "text", "doc_id").orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (1L, "alpha\nbeta\ngamma", 3L, 3L),
+      (2L, "delta", 2L, 1L),
+      (3L, "", 2L, 0L)))
+    // in-doc duplicate: only the first position survives
+    val r2 = dedup.dedupLines(Seq((7L, "x\nx\ny")).toDF("doc_id", "text"),
+        "text", "doc_id")
+      .as[(Long, String, Long, Long)].head()
+    assert(r2 == ((7L, "x\ny", 3L, 2L)))
+  }
+
   test("minhash: identical docs share full signature; near-dups share most of it") {
     val mh = dedup.minhashed(docs, "text", "doc_id", k = 16)
     val sigs = mh.select(col("doc_id"), col("sig")).collect()
