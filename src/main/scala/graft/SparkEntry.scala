@@ -186,6 +186,28 @@ object SparkEntry {
   private def sqlStopHits(listExpr: String, words: Seq[String]): String =
     s"len(list_filter($listExpr, t -> t IN (${words.map("'" + _ + "'").mkString(", ")})))"
 
+  /** DuckDB CTE chain ending in `reg(event_type, register, rho)` — the
+    * full 64-register HLL spine over `user_id` per event type, mirroring
+    * [[sketch.hll]] at p=6 bit for bit: register = top 6 hash bits,
+    * rho = leading zeros of the remaining 57 bits + 1 via the portable
+    * `length(bin(w))` bit-length identity, capped at [[sketch.HllRhoCap]].
+    * Shared by the estimate oracle and the merge-law oracle. */
+  private val SqlHllRegs = {
+    val mask = (1L << 57) - 1
+    s"""hs AS (SELECT event_type, ${hashing.sqlH63("(user_id::VARCHAR)")} AS h
+       |  FROM events WHERE user_id IS NOT NULL),
+       |hr AS (SELECT event_type, h >> 57 AS register,
+       |  least(CASE WHEN (h & $mask) = 0 THEN 58
+       |        ELSE 58 - length(bin(h & $mask)) END, 40)::INTEGER AS rho0 FROM hs),
+       |hmx AS (SELECT event_type, register, max(rho0) AS rho
+       |  FROM hr GROUP BY 1, 2),
+       |hsp AS (SELECT event_type, g.range AS register
+       |  FROM (SELECT DISTINCT event_type FROM hs) CROSS JOIN range(64) g),
+       |reg AS (SELECT hsp.event_type, hsp.register,
+       |  coalesce(hmx.rho, 0::INTEGER) AS rho
+       |  FROM hsp LEFT JOIN hmx USING (event_type, register))""".stripMargin
+  }
+
   /** DuckDB CTE body: distinct word-3-gram shingle sets per document,
     * matching [[dedup.wordShingles]] (docs with < 3 tokens excluded, as in
     * [[dedup.minhashed]]). */
@@ -474,6 +496,13 @@ object SparkEntry {
       text.unigramLogProb(table(s, dir, "documents"), "text", "doc_id")
         .orderBy(col("doc_id"))),
 
+    // north-star: CCNet-style perplexity gate, applied in log space on
+    // the quantized score (exp() is libm — not oracle-portable).
+    "text_lm_filter" -> ((s, dir) =>
+      text.lmQualityFilter(table(s, dir, "documents"), "text", "doc_id",
+          minLogProb = -3.42)
+        .orderBy(col("doc_id"))),
+
     // north-star: bigram conditional logprob — word-ORDER quality (word
     // salad scores low even when every word is individually common).
     "text_bigram_logprob" -> ((s, dir) =>
@@ -732,6 +761,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // north-star: embedding-space decontamination — the paraphrase
+    // complement of the n-gram screen; bench vectors broadcast, train
+    // corpus scanned once, never shuffled.
+    "decontam_semantic" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      decontam.semanticHits(
+        emb.where(col("vec_id") >= 100),
+        emb.where(col("vec_id") < 100),
+        "vec_id", "embedding", tau = 0.45)
+        .orderBy(col("train_id"), col("bench_id"))
+    }),
+
     // north-star: 16-bit SimHash signatures (explode -> one agg per doc).
     "dedup_simhash" -> ((s, dir) =>
       dedup.simhash(table(s, dir, "documents"), "text", "doc_id")
@@ -838,6 +879,29 @@ object SparkEntry {
         .select(col("event_type"), col("n_min"),
           (floor(col("distinct_est") * 10000.0 + 0.5) / 10000.0).as("distinct_est"))
         .orderBy(col("event_type"))),
+
+    // north-star: HyperLogLog — the constant-size MERGEABLE distinct
+    // state; every register bit is a pure function of the input set and
+    // the portable hash, so the sketch itself hash-matches the oracle.
+    "events_hll_users" -> ((s, dir) =>
+      sketch.hllEstimate(
+        sketch.hll(events(s, dir), col("user_id"), Seq("event_type"), p = 6),
+        Seq("event_type"), p = 6)
+        .orderBy(col("event_type"))),
+
+    // the merge law as a checked query: register-wise max of two
+    // half-corpus sketches ≡ the from-scratch whole-corpus sketch,
+    // which is exactly what the oracle computes.
+    "events_hll_merge" -> ((s, dir) => {
+      val ev = events(s, dir)
+      sketch.hllMerge(
+        sketch.hll(ev.where(col("event_id") % 2 === 0), col("user_id"),
+          Seq("event_type"), p = 6),
+        sketch.hll(ev.where(col("event_id") % 2 === 1), col("user_id"),
+          Seq("event_type"), p = 6),
+        Seq("event_type"))
+        .orderBy(col("event_type"), col("register"))
+    }),
 
     // north-star: ordered funnel — per-step earliest-reach times as
     // stacked conditional-min windows over ONE user shuffle.
@@ -1710,6 +1774,19 @@ object SparkEntry {
          |SELECT doc_id, count(*) AS hits FROM tg JOIN bg USING (gram)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "decontam_semantic" ->
+      s"""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |b AS (SELECT vec_id AS bench_id, e AS be FROM s WHERE vec_id < 100),
+         |c AS (SELECT vec_id AS train_id, e FROM s WHERE vec_id >= 100),
+         |p AS (SELECT train_id, bench_id,
+         |  floor((list_dot_product(e, be)
+         |  * (CASE WHEN list_dot_product(e, e) > 0 THEN 1.0/sqrt(list_dot_product(e, e)) ELSE 0.0 END)
+         |  * (CASE WHEN list_dot_product(be, be) > 0 THEN 1.0/sqrt(list_dot_product(be, be)) ELSE 0.0 END))
+         |    * 10000.0 + 0.5) / 10000.0 AS cos
+         |  FROM c CROSS JOIN b)
+         |SELECT train_id, bench_id, cos FROM p WHERE cos >= 0.45
+         |ORDER BY train_id, bench_id""".stripMargin,
+
     "dedup_exact" ->
       """SELECT md5(text) AS fp128, min(doc_id) AS keep_id, count(*) AS group_size
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
@@ -2049,6 +2126,21 @@ object SparkEntry {
          |  floor(q::DOUBLE / 1000000.0 / n_tokens * 10000.0 + 0.5) / 10000.0 AS logprob
          |FROM c ORDER BY doc_id""".stripMargin,
 
+    "text_lm_filter" ->
+      s"""WITH t AS (SELECT doc_id, unnest($SqlToks) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM t GROUP BY 1, 2),
+         |v AS (SELECT tok, sum(tf)::BIGINT AS ctf FROM tf GROUP BY 1),
+         |tot AS (SELECT sum(ctf)::BIGINT AS n FROM v),
+         |c AS (SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+         |  sum(floor(tf * ln(ctf::DOUBLE / (SELECT n FROM tot)::DOUBLE) * 1000000.0)::BIGINT) AS q
+         |  FROM tf JOIN v USING (tok) GROUP BY 1),
+         |lp AS (SELECT doc_id, n_tokens,
+         |  floor(q::DOUBLE / 1000000.0 / n_tokens * 10000.0 + 0.5) / 10000.0 AS logprob
+         |  FROM c)
+         |SELECT doc_id, n_tokens, logprob,
+         |  (logprob >= -3.42::DOUBLE)::INTEGER AS keep
+         |FROM lp ORDER BY doc_id""".stripMargin,
+
     "text_bigram_logprob" ->
       s"""WITH t AS (SELECT doc_id, toks FROM
          |  (SELECT doc_id, $SqlToks AS toks FROM documents) WHERE len(toks) >= 2),
@@ -2137,6 +2229,25 @@ object SparkEntry {
          |    ELSE ${63.0 * 9223372036854775808.0} / (kth::DOUBLE + 1.0::DOUBLE) END)
          |    * 10000.0 + 0.5) / 10000.0 AS distinct_est
          |FROM t ORDER BY event_type""".stripMargin,
+
+    "events_hll_users" ->
+      s"""WITH $SqlHllRegs,
+         |e AS (SELECT event_type,
+         |  count(CASE WHEN rho = 0 THEN 1 END) AS n_zero,
+         |  (sum(1::BIGINT << (40 - rho)))::BIGINT AS harmonic_fixed
+         |  FROM reg GROUP BY 1)
+         |SELECT event_type, n_zero, harmonic_fixed,
+         |  floor((${sketch.hllEstimateNumerator(6)}::DOUBLE) / harmonic_fixed::DOUBLE
+         |    * 10000.0 + 0.5) / 10000.0 AS hll_est
+         |FROM e ORDER BY event_type""".stripMargin,
+
+    // the oracle computes the sketch FROM SCRATCH over the whole corpus;
+    // the Spark side merges two half-corpus sketches — hash-matching
+    // register tables IS the merge law merge(hll(A), hll(B)) = hll(A∪B)
+    "events_hll_merge" ->
+      s"""WITH $SqlHllRegs
+         |SELECT event_type, register, rho FROM reg
+         |ORDER BY event_type, register""".stripMargin,
 
     "events_window_agg" ->
       """SELECT strftime(make_timestamp((floor(epoch(ts)/300)*300*1000000)::BIGINT),

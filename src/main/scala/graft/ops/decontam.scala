@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.functions.vectors
+
 /** Benchmark decontamination: flag (or drop) training documents that
   * share word n-gram shingles with a held-out evaluation set — the
   * GPT-3/PaLM-style n-gram collision check, as an engine primitive.
@@ -39,6 +41,60 @@ object decontam {
       .join(broadcast(benchGrams), "gram")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("hits"))
+  }
+
+  /** Semantic (embedding-space) contamination pairs: every
+    * `(train, bench)` pair whose embedding cosine similarity — quantized
+    * to `scoreDecimals` — reaches `tau`. The complement of the n-gram
+    * check: paraphrased or reformatted benchmark leakage shares no
+    * 8-gram but sits next to the bench item in embedding space
+    * (the screen used alongside n-gram overlap in modern LLM data work).
+    *
+    * Scale shape (100 TB train, small bench): the bench side is reduced
+    * to `(id, vec)` and BROADCAST — the train corpus is scanned ONCE and
+    * never shuffled; each task scores its rows against the in-memory
+    * bench matrix inside whole-stage codegen (the
+    * [[graft.functions.vectors.cosineSimilarity]] native kernel), and
+    * only pairs at/above `tau` survive, so output volume is bounded by
+    * the contamination rate. Cost is `|train| · |bench|` kernel evals —
+    * EXACT brute-force semantics, which is what a decontamination
+    * audit wants (a probe that can miss is not a screen); bench sets
+    * are eval-suite sized (10³-10⁵), so the per-row work is a bounded
+    * constant. If a bench set ever outgrows broadcast, pre-screen with
+    * [[graft.ops.dedup.embNearDupPairs]] LSH and verify survivors here.
+    *
+    * Returns `(train_id, bench_id, cos)` sorted by ids. Zero vectors
+    * score 0.0 (never NaN), per the reference's inv-norm convention
+    * (/root/reference/src/vec.rs:365-368). */
+  def semanticHits(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tau: Double,
+      scoreDecimals: Int = 4): DataFrame = {
+    val scale = math.pow(10.0, scoreDecimals)
+    val b = bench.select(col(idCol).as("bench_id"), col(vecCol).as("_bv"))
+    val cos = floor(
+      vectors.cosineSimilarity(col(vecCol), col("_bv")) * scale + lit(0.5)) / scale
+    train.select(col(idCol).as("train_id"), col(vecCol))
+      .crossJoin(broadcast(b))
+      .select(col("train_id"), col("bench_id"), cos.as("cos"))
+      .where(col("cos") >= tau)
+  }
+
+  /** Drop training docs whose embedding matches ANY bench item at
+    * `tau`+ cosine (anti-join on the thin flagged-id list). */
+  def decontaminateSemantic(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      vecCol: String,
+      tau: Double,
+      scoreDecimals: Int = 4): DataFrame = {
+    val bad = semanticHits(train, bench, idCol, vecCol, tau, scoreDecimals)
+      .select(col("train_id").as(idCol)).distinct()
+    train.join(broadcast(bad), Seq(idCol), "left_anti")
   }
 
   /** Drop training docs with ≥ `minHits` shared n-grams (anti-join on the

@@ -152,4 +152,126 @@ object sketch {
         (lit(lo) + (col("bin") + 1L) * width).as("bin_hi"),
         coalesce(col("n"), lit(0L)).as("n"))
   }
+
+  /** Register values are capped at this rho so the harmonic sum stays an
+    * EXACT int64: `Σ_j 2^(40-rho_j) ≤ m·2⁴⁰` fits for any `p ≤ 16`. A
+    * register only exceeds 40 with probability 2⁻⁴⁰ per distinct value —
+    * beyond 10¹¹ distinct values per register (≫ any group at 100 TB),
+    * and even then the cap costs < 0.1% of one register's weight. */
+  val HllRhoCap = 40
+
+  /** `alpha_m · m² · 2⁴⁰` — the exact double the estimate divides by the
+    * integer harmonic sum. Public so the oracle SQL embeds the SAME
+    * literal (a double's shortest decimal repr round-trips identically
+    * through Spark's and DuckDB's parsers). */
+  def hllEstimateNumerator(p: Int): Double = {
+    val m = 1L << p
+    hllAlpha(m) * m.toDouble * m.toDouble * math.pow(2.0, HllRhoCap)
+  }
+
+  private def hllAlpha(m: Long): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1.0 + 1.079 / m.toDouble)
+  }
+
+  /** HyperLogLog register sketch (Flajolet et al. 2007) per group:
+    * `m = 2^p` max-rank registers over the portable 63-bit hash — the
+    * CONSTANT-SIZE, MERGEABLE distinct-count state for the 100 TB regime.
+    * [[kmvDistinct]] keeps k order statistics (exact small counts, simple
+    * union); HLL keeps `m` one-byte ranks — the sketch you SHIP (per-day /
+    * per-source cardinality rollups merged register-wise without
+    * re-reading any corpus).
+    *
+    * Unlike engine-native HLLs (whose register layout is private — the
+    * reason [[kmvDistinct]]'s doc rules them out), every bit here is a
+    * pure deterministic function of the input set and a public hash:
+    * register `j = h >> (63-p)` (top `p` bits), and
+    * `rho = leading-zeros-of-the-remaining-(63-p)-bits + 1` computed via
+    * the engine-portable bit-length identity `len(bin(w))` — so an
+    * independent engine reproduces every register bit-for-bit and the
+    * driver's DuckDB oracle hash-matches the sketch like an exact query.
+    *
+    * Plan shape at scale: one select (hash + two bit ops, all inside
+    * whole-stage codegen) → one groupBy(group, register) max — map-side
+    * combine collapses each partition to ≤ m rows per group BEFORE the
+    * exchange, so the shuffle carries ≤ m·partitions tiny rows no matter
+    * the corpus size; the value column never survives the projection.
+    * Emits the FULL m-register spine per observed group (absent register
+    * = rho 0) — zero registers carry the linear-counting signal, and a
+    * fixed-shape artifact is what register-wise merge arithmetic needs.
+    * Returns `(groupCols*, register, rho)`. */
+  def hll(
+      df: DataFrame,
+      valueCol: Column,
+      groupCols: Seq[String],
+      p: Int = 6): DataFrame = {
+    require(p >= 4 && p <= 16, s"hll needs 4 <= p <= 16, got $p")
+    val vbits = 63 - p
+    val m = 1L << p
+    val h = hashing.h63(valueCol.cast("string"))
+    val w = h.bitwiseAND(lit((1L << vbits) - 1L))
+    // w == 0 ⇒ all vbits value bits are zero ⇒ rho = vbits + 1 (the
+    // conventional all-zeros rank); otherwise vbits - bitlen(w) leading
+    // zeros. bin() is the minimal base-2 string in Spark AND DuckDB, so
+    // bitlen = length(bin(w)) is exact & portable — no log2 rounding trap.
+    val rho = when(w === 0L, lit(vbits + 1))
+      .otherwise(lit(vbits + 1) - length(bin(w)))
+    val observed = df.where(valueCol.isNotNull)
+      .select(groupCols.map(col) ++ Seq(
+        shiftright(h, vbits).as("register"),
+        least(rho, lit(HllRhoCap)).cast("int").as("_rho")): _*)
+      .groupBy((groupCols :+ "register").map(col): _*)
+      .agg(max(col("_rho")).as("rho"))
+    // full spine: observed groups × m registers (register side broadcast)
+    val spine = df.sparkSession.range(m).toDF("register")
+    df.where(valueCol.isNotNull).select(groupCols.map(col): _*).distinct()
+      .crossJoin(broadcast(spine))
+      .join(observed, groupCols :+ "register", "left")
+      .select(groupCols.map(col) ++ Seq(col("register"),
+        coalesce(col("rho"), lit(0)).as("rho")): _*)
+  }
+
+  /** Register-wise union of two [[hll]] sketches (same `p`, same group
+    * columns): max per (group, register). THE point of carrying HLL state
+    * at 100 TB — sketches of two corpora / days / sources union without
+    * re-reading either; `merge(hll(A), hll(B)) ≡ hll(A ∪ B)` exactly
+    * (max is associative, commutative, idempotent), which is also the
+    * oracle law the driver checks. */
+  def hllMerge(a: DataFrame, b: DataFrame, groupCols: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy((groupCols :+ "register").map(col): _*)
+      .agg(max(col("rho")).as("rho"))
+
+  /** Cardinality estimate from an [[hll]] register sketch:
+    * `alpha_m · m² / Σ_j 2^(-rho_j)`, with the harmonic sum carried as
+    * the EXACT integer `Σ 2^(40-rho_j)` (see [[HllRhoCap]]) so the
+    * estimate is one deterministic IEEE division from an exact int64 —
+    * bit-reproducible on any engine, no float-aggregation-order
+    * dependence. Returns `(groupCols*, n_zero, harmonic_fixed, hll_est)`
+    * with the estimate floor-quantized to 4 dp; `n_zero` (empty
+    * registers) is surfaced so callers can apply linear counting
+    * (`m·ln(m/n_zero)`) in the small-cardinality regime — ln is kept OUT
+    * of the oracle-checked columns because libm rounding is not portable
+    * across engines. Standard error ≈ 1.04/√m. */
+  def hllEstimate(
+      registers: DataFrame,
+      groupCols: Seq[String],
+      p: Int = 6): DataFrame = {
+    require(p >= 4 && p <= 16, s"hllEstimate needs 4 <= p <= 16, got $p")
+    // alpha·m²·2⁴⁰ as ONE Scala double literal, embedded identically in
+    // the SQL oracle — both engines then do a single exactly-rounded
+    // division by the exact integer harmonic sum
+    val num = hllEstimateNumerator(p)
+    registers
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(when(col("rho") === 0, 1)).as("n_zero"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllRhoCap - rho)"))
+          .as("harmonic_fixed"))
+      .withColumn("hll_est",
+        floor(lit(num) / col("harmonic_fixed").cast("double") * 10000.0 + 0.5)
+          / 10000.0)
+  }
 }

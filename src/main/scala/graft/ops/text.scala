@@ -554,6 +554,26 @@ object text {
           * 10000.0 + 0.5) / 10000.0).as("logprob"))
   }
 
+  /** CCNet-style language-model quality gate: keep documents whose mean
+    * per-token unigram log-probability under the corpus's own LM reaches
+    * `minLogProb`. Thresholding mean log-prob IS perplexity filtering —
+    * `ppl = e^(-logprob)`, monotone — but the gate is applied in LOG space
+    * on the 4-dp-quantized score, because `exp()` is a libm call whose
+    * last-ulp rounding is not portable across engines, while the log-space
+    * compare is exact. Word-salad and boilerplate-extreme docs land in the
+    * tails; `keep = 1` marks the in-distribution survivors.
+    *
+    * Same plan shape as [[unigramLogProb]] (one explode, vocabulary-sized
+    * shuffles); the verdict column is free. Returns
+    * `(idCol, n_tokens, logprob, keep)`. */
+  def lmQualityFilter(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      minLogProb: Double): org.apache.spark.sql.DataFrame =
+    unigramLogProb(df, textCol, idCol)
+      .withColumn("keep", (col("logprob") >= lit(minLogProb)).cast("int"))
+
   /** Token-bigram pairs of a tokens array, in row (no explode yet):
     * `[(t_0,t_1), (t_1,t_2), …]` — zip of the array with its own 1-shift.
     * Written as `zip_with` of two slices, NOT `transform` with an

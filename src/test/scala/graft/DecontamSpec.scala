@@ -41,4 +41,42 @@ class DecontamSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p.take(600))
   }
+
+  // ---- semantic (embedding-space) screen ----
+
+  private val benchVec = Seq(
+    (100L, Seq(1.0f, 0.0f, 0.0f)),
+    (101L, Seq(0.0f, 1.0f, 0.0f))
+  ).toDF("id", "vec")
+  private val trainVec = Seq(
+    (1L, Seq(0.99f, 0.1f, 0.0f)),  // near bench 100 (paraphrase leak)
+    (2L, Seq(0.0f, 0.0f, 1.0f)),   // orthogonal to both
+    (3L, Seq(0.0f, 0.0f, 0.0f))    // zero vector: scores 0.0, never NaN
+  ).toDF("id", "vec")
+
+  test("semanticHits flags exactly the tau+ cosine pairs") {
+    val hits = decontam.semanticHits(trainVec, benchVec, "id", "vec", tau = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(hits.map(h => (h._1, h._2)) == Set((1L, 100L)))
+    val cos = hits.head._3
+    assert(cos > 0.99 && cos <= 1.0)
+  }
+
+  test("decontaminateSemantic drops flagged docs; zero vectors never match") {
+    val kept = decontam.decontaminateSemantic(
+        trainVec, benchVec, "id", "vec", tau = 0.9)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+    // even tau = 0 keeps the zero vector (cos = 0.0 < any positive tau)
+    val all = decontam.semanticHits(trainVec, benchVec, "id", "vec", tau = 0.01)
+    assert(!all.select("train_id").as[Long].collect().contains(3L))
+  }
+
+  test("semantic screen broadcasts the bench side — train is never shuffled") {
+    val p = decontam.semanticHits(trainVec, benchVec, "id", "vec", 0.9)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(600))
+    assert(!p.contains("ShuffleExchange") && !p.contains("Exchange hashpartitioning"),
+      "train side must not shuffle:\n" + p.take(900))
+  }
 }

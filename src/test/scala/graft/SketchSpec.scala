@@ -88,4 +88,52 @@ class SketchSpec extends SparkSpec {
         .select("distinct_est").as[Double].head()
     assert(run(2) == run(7))
   }
+
+  test("hll: full register spine, duplicate-insensitive, bounded error") {
+    val rows = (0 until 5000).map(v => ("big", v.toLong)) ++
+      (0 until 5000).map(v => ("big", v.toLong)) ++ // dups change nothing
+      (0 until 30).map(v => ("small", v.toLong))
+    val regs = sketch.hll(rows.toDF("g", "v"), col("v"), Seq("g"), p = 6)
+    // exactly m = 64 registers per group, zeros included
+    assert(regs.groupBy("g").count().as[(String, Long)].collect().toMap
+      == Map("big" -> 64L, "small" -> 64L))
+    val dedupped = sketch.hll(rows.distinct.toDF("g", "v"), col("v"), Seq("g"), 6)
+    assert(regs.exceptAll(dedupped).count() == 0 &&
+      dedupped.exceptAll(regs).count() == 0,
+      "hll state is a function of the SET, not the multiset")
+    val est = sketch.hllEstimate(regs, Seq("g"), p = 6)
+      .select(col("g"), col("hll_est")).as[(String, Double)].collect().toMap
+    // stderr ~ 1.04/sqrt(64) = 13%; allow 4 sigma on the raw estimator
+    assert(math.abs(est("big") - 5000.0) / 5000.0 < 0.52,
+      s"hll_est ${est("big")} too far from 5000")
+    // small group: n_zero surfaced for linear counting
+    val nz = sketch.hllEstimate(regs, Seq("g"), 6)
+      .where(col("g") === "small").select("n_zero").as[Long].head()
+    assert(nz > 0 && nz < 64)
+  }
+
+  test("hll merge law: merge(hll(A), hll(B)) == hll(A union B) exactly") {
+    val a = (0 until 800).map(v => ("g", "a" + v)).toDF("g", "v")
+    val b = (400 until 1200).map(v => ("g", "a" + v)).toDF("g", "v") // overlap
+    val merged = sketch.hllMerge(
+      sketch.hll(a, col("v"), Seq("g"), 6),
+      sketch.hll(b, col("v"), Seq("g"), 6), Seq("g"))
+    val direct = sketch.hll(a.union(b), col("v"), Seq("g"), 6)
+    assert(merged.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(merged).count() == 0)
+  }
+
+  test("hll is deterministic across partitionings; nulls are no observation") {
+    val df = (0 until 2000).map(v => ("g", v.toString)).toDF("g", "v")
+    def run(parts: Int) =
+      sketch.hll(df.repartition(parts), col("v"), Seq("g"), 8)
+        .orderBy("register").collect().toSeq
+    assert(run(2) == run(7))
+    val withNulls = Seq(("g", Some("x")), ("g", None), ("g", Some("y")))
+      .toDF("g", "v")
+    val clean = Seq(("g", "x"), ("g", "y")).toDF("g", "v")
+    val s1 = sketch.hll(withNulls, col("v"), Seq("g"), 6)
+    val s2 = sketch.hll(clean, col("v"), Seq("g"), 6)
+    assert(s1.exceptAll(s2).count() == 0 && s2.exceptAll(s1).count() == 0)
+  }
 }

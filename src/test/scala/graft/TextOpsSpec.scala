@@ -193,6 +193,20 @@ class TextOpsSpec extends SparkSpec {
     assert(r(2L)._2 < r(1L)._2)
   }
 
+  test("lmQualityFilter: log-space perplexity gate on the quantized score") {
+    // same fixture as unigramLogProb: d1 = -0.9163, d2 = -1.2629; a
+    // threshold between them keeps d1 and rejects d2 — and the gate is
+    // inclusive on the quantized value (>= at exactly the score keeps)
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val r = text.lmQualityFilter(df, "text", "doc_id", minLogProb = -1.0)
+      .as[(Long, Long, Double, Int)].collect()
+      .map { case (id, _, lp, k) => id -> ((lp, k)) }.toMap
+    assert(r(1L) == ((-0.9163, 1)) && r(2L) == ((-1.2629, 0)))
+    val atBoundary = text.lmQualityFilter(df, "text", "doc_id", -0.9163)
+      .where(col("doc_id") === 1).select("keep").as[Int].head()
+    assert(atBoundary == 1, "gate is inclusive at the threshold")
+  }
+
   test("bigramLogProb: word ORDER matters; hand-computed conditionals") {
     // corpus bigrams: d1 "a b a b" -> (a,b) x2, (b,a) x1; d2 "a b" -> (a,b)
     // c(a,b)=3 c(b,a)=1; predecessors: c(a,.)=3, c(b,.)=1... wait c(b,.)=1
