@@ -503,6 +503,17 @@ object SparkEntry {
           minLogProb = -3.42)
         .orderBy(col("doc_id"))),
 
+    // north-star: DSIR importance weights — resample the raw corpus
+    // toward a small high-quality target distribution (Xie et al. 2023);
+    // docs whose unigram profile matches the target score high.
+    "text_dsir_weights" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      text.dsirWeights(
+        docs.where(col("doc_id") % 7 =!= 0),
+        docs.where(col("doc_id") % 7 === 0), "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // north-star: bigram conditional logprob — word-ORDER quality (word
     // salad scores low even when every word is individually common).
     "text_bigram_logprob" -> ((s, dir) =>
@@ -879,6 +890,20 @@ object SparkEntry {
         .select(col("event_type"), col("n_min"),
           (floor(col("distinct_est") * 10000.0 + 0.5) / 10000.0).as("distinct_est"))
         .orderBy(col("event_type"))),
+
+    // north-star: distinct-set OVERLAP from two KMV sketches — "how many
+    // users did BOTH view and purchase" with neither corpus re-read; the
+    // union minima are a coordinated sample, so shared-hash fraction
+    // estimates Jaccard (Beyer et al. 2007).
+    "events_kmv_overlap" -> ((s, dir) => {
+      val ev = events(s, dir)
+      sketch.kmvOverlap(
+        sketch.kmv(ev.where(col("event_type") === "view"),
+          col("user_id"), Seq.empty, k = 64),
+        sketch.kmv(ev.where(col("event_type") === "purchase"),
+          col("user_id"), Seq.empty, k = 64),
+        Seq.empty, k = 64)
+    }),
 
     // north-star: HyperLogLog — the constant-size MERGEABLE distinct
     // state; every register bit is a pure function of the input set and
@@ -2141,6 +2166,28 @@ object SparkEntry {
          |  (logprob >= -3.42::DOUBLE)::INTEGER AS keep
          |FROM lp ORDER BY doc_id""".stripMargin,
 
+    "text_dsir_weights" ->
+      s"""WITH rt AS (SELECT doc_id, unnest($SqlToks) AS tok
+         |  FROM documents WHERE doc_id % 7 <> 0),
+         |tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM rt GROUP BY 1, 2),
+         |vr AS (SELECT tok, sum(tf)::BIGINT AS ctf_r FROM tf GROUP BY 1),
+         |tt AS (SELECT unnest($SqlToks) AS tok
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |vt AS (SELECT tok, count(*)::BIGINT AS ctf_t FROM tt GROUP BY 1),
+         |un AS (SELECT coalesce(vr.tok, vt.tok) AS tok,
+         |  coalesce(ctf_r, 0::BIGINT) AS ctf_r,
+         |  coalesce(ctf_t, 0::BIGINT) AS ctf_t
+         |  FROM vr FULL OUTER JOIN vt ON vr.tok = vt.tok),
+         |tot AS (SELECT sum(ctf_r)::BIGINT AS n_r, sum(ctf_t)::BIGINT AS n_t,
+         |  count(*)::BIGINT AS v FROM un),
+         |c AS (SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+         |  sum(floor(tf * (ln((ctf_t + 1.0) / ((n_t + v)::DOUBLE))
+         |            - ln((ctf_r + 1.0) / ((n_r + v)::DOUBLE))) * 1000000.0)::BIGINT) AS q
+         |  FROM tf JOIN un USING (tok) CROSS JOIN tot GROUP BY 1)
+         |SELECT doc_id, n_tokens,
+         |  floor(q::DOUBLE / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS logw
+         |FROM c ORDER BY doc_id""".stripMargin,
+
     "text_bigram_logprob" ->
       s"""WITH t AS (SELECT doc_id, toks FROM
          |  (SELECT doc_id, $SqlToks AS toks FROM documents) WHERE len(toks) >= 2),
@@ -2229,6 +2276,32 @@ object SparkEntry {
          |    ELSE ${63.0 * 9223372036854775808.0} / (kth::DOUBLE + 1.0::DOUBLE) END)
          |    * 10000.0 + 0.5) / 10000.0 AS distinct_est
          |FROM t ORDER BY event_type""".stripMargin,
+
+    "events_kmv_overlap" ->
+      s"""WITH av AS (SELECT DISTINCT ${hashing.sqlH63("(user_id::VARCHAR)")} AS hv
+         |  FROM events WHERE event_type = 'view' AND user_id IS NOT NULL),
+         |a AS (SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS rk
+         |  FROM av) WHERE rk <= 64),
+         |bv AS (SELECT DISTINCT ${hashing.sqlH63("(user_id::VARCHAR)")} AS hv
+         |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+         |b AS (SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv) AS rk
+         |  FROM bv) WHERE rk <= 64),
+         |u AS (SELECT hv, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+         |  SELECT hv, 1 AS in_a, 0 AS in_b FROM a
+         |  UNION ALL SELECT hv, 0 AS in_a, 1 AS in_b FROM b) GROUP BY hv),
+         |r2 AS (SELECT hv, in_a, in_b, row_number() OVER (ORDER BY hv) AS rk FROM u),
+         |t AS (SELECT count(*)::BIGINT AS n_min, max(hv) AS kth,
+         |  sum(in_a * in_b)::BIGINT AS k_cap FROM r2 WHERE rk <= 64)
+         |SELECT n_min, k_cap,
+         |  floor((CASE WHEN n_min < 64 THEN n_min::DOUBLE
+         |    ELSE ${63.0 * 9223372036854775808.0} / (kth::DOUBLE + 1.0::DOUBLE) END)
+         |    * 10000.0 + 0.5) / 10000.0 AS union_est,
+         |  floor(k_cap::DOUBLE / n_min::DOUBLE * 10000.0 + 0.5) / 10000.0 AS jaccard,
+         |  floor((CASE WHEN n_min < 64 THEN k_cap::DOUBLE
+         |    ELSE (k_cap::DOUBLE / n_min::DOUBLE)
+         |      * (${63.0 * 9223372036854775808.0} / (kth::DOUBLE + 1.0::DOUBLE)) END)
+         |    * 10000.0 + 0.5) / 10000.0 AS intersect_est
+         |FROM t""".stripMargin,
 
     "events_hll_users" ->
       s"""WITH $SqlHllRegs,

@@ -153,6 +153,89 @@ object sketch {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** The `k` smallest distinct [[hashing.h63]] hashes of a value column
+    * per group — the KMV sketch STATE ([[kmvDistinct]] collapses straight
+    * to the estimate; this form is what you PERSIST at 100 TB: sketch each
+    * corpus / day / source once, then union and intersect sketches forever
+    * without re-reading anything). Mergeable ([[kmvMerge]]) and — unlike
+    * HLL registers — INTERSECTABLE ([[kmvOverlap]]): the k smallest
+    * hashes of a set are a uniform coordinated sample of its distinct
+    * values, so two sketches share exactly the hashes their sets share
+    * (Beyer et al. 2007, distinct-value synopses under multiset ops).
+    *
+    * Plan shape: identical to [[kmvDistinct]] — one (group, hash)
+    * distinct with map-side combine, then the WindowGroupLimit rank
+    * filter (bounded k-heap per map task). Returns `(groupCols*, h)`. */
+  def kmv(
+      df: DataFrame,
+      valueCol: Column,
+      groupCols: Seq[String],
+      k: Int = 256): DataFrame = {
+    require(k >= 2, s"kmv needs k >= 2, got $k")
+    val hashed = df.where(valueCol.isNotNull)
+      .select(groupCols.map(col) :+ hashing.h63(valueCol.cast("string")).as("h"): _*)
+      .distinct()
+    rel.topKPerGroup(hashed, groupCols.map(col), Seq(col("h").asc), k, "_rk")
+      .drop("_rk")
+  }
+
+  /** Union of two [[kmv]] sketches (same `k`, same group columns): the
+    * k smallest of the combined hash sets. Satisfies the merge law
+    * `kmvMerge(kmv(A), kmv(B)) ≡ kmv(A ∪ B)` exactly — the k smallest
+    * of a union are a subset of the union of each side's k smallest. */
+  def kmvMerge(a: DataFrame, b: DataFrame, groupCols: Seq[String], k: Int = 256): DataFrame =
+    rel.topKPerGroup(a.unionByName(b).distinct(), groupCols.map(col),
+      Seq(col("h").asc), k, "_rk").drop("_rk")
+
+  /** Distinct-set OVERLAP from two [[kmv]] sketches: per group, the
+    * union-size estimate, the Jaccard similarity of the two distinct-value
+    * sets, and the intersection-size estimate `J · |A∪B|` — "how many
+    * users did BOTH X and Y" answered from two constant-size sketches
+    * with neither corpus re-read (THE set operation HLL registers cannot
+    * do). Method: take the k smallest hashes of the combined sketches
+    * (a KMV sketch of A∪B, by the merge law); the fraction of those also
+    * present in both input sketches is an unbiased Jaccard estimate
+    * because the k union minima are a coordinated uniform sample of
+    * A∪B's distinct values. Standard error ≈ J·(1-J)/√k on top of the
+    * union estimate's 1/√(k-2).
+    *
+    * Degrades to EXACT when both sets hold < k distinct values (the
+    * sketches then ARE the sets): `n_min < k` ⇒ union/intersection
+    * counts are exact and `jaccard` is the exact ratio.
+    *
+    * Estimates are floor-quantized to 4 dp ([[graft.functions.vectors]]
+    * discipline) so an independent engine reproduces them bit-for-bit.
+    * Returns `(groupCols*, n_min, k_cap, union_est, jaccard,
+    * intersect_est)` where `k_cap` is the shared-hash count among the
+    * union minima. */
+  def kmvOverlap(
+      a: DataFrame,
+      b: DataFrame,
+      groupCols: Seq[String],
+      k: Int = 256): DataFrame = {
+    require(k >= 2, s"kmvOverlap needs k >= 2, got $k")
+    val gc = groupCols.map(col)
+    val tagged = a.select(gc :+ col("h") :+ lit(1).as("in_a") :+ lit(0).as("in_b"): _*)
+      .unionByName(
+        b.select(gc :+ col("h") :+ lit(0).as("in_a") :+ lit(1).as("in_b"): _*))
+      .groupBy(gc :+ col("h"): _*)
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    val ranked = rel.topKPerGroup(tagged, gc, Seq(col("h").asc), k, "_rk")
+    val scale = (k - 1).toDouble * 9223372036854775808.0 // (k-1)·2⁶³
+    val q4 = (c: Column) => floor(c * 10000.0 + 0.5) / 10000.0
+    val unionEst = when(col("n_min") < k, col("n_min").cast("double"))
+      .otherwise(lit(scale) / (col("_kth").cast("double") + 1.0))
+    val jac = col("k_cap").cast("double") / col("n_min").cast("double")
+    ranked.groupBy(gc: _*)
+      .agg(count(lit(1)).as("n_min"), max(col("h")).as("_kth"),
+        sum(col("in_a") * col("in_b")).cast("long").as("k_cap"))
+      .select(gc ++ Seq(col("n_min"), col("k_cap"),
+        q4(unionEst).as("union_est"),
+        q4(jac).as("jaccard"),
+        q4(when(col("n_min") < k, col("k_cap").cast("double"))
+          .otherwise(jac * unionEst)).as("intersect_est")): _*)
+  }
+
   /** Register values are capped at this rho so the harmonic sum stays an
     * EXACT int64: `Σ_j 2^(40-rho_j) ≤ m·2⁴⁰` fits for any `p ≤ 16`. A
     * register only exceeds 40 with probability 2⁻⁴⁰ per distinct value —
@@ -202,14 +285,19 @@ object sketch {
     * = rho 0) — zero registers carry the linear-counting signal, and a
     * fixed-shape artifact is what register-wise merge arithmetic needs.
     * Returns `(groupCols*, register, rho)`. */
-  def hll(
+  /** OBSERVED HLL registers only (no empty-register spine): the part of
+    * [[hll]] that is one stateless projection + one `max` aggregation —
+    * exactly the shape Structured Streaming supports in update mode, so
+    * this same code maintains a LIVE cardinality sketch over a stream
+    * (see [[graft.streaming.EventStream.hllStream]]) with bounded state
+    * (≤ m rows per group, forever). Batch [[hll]] = this + the spine. */
+  def hllRegisters(
       df: DataFrame,
       valueCol: Column,
       groupCols: Seq[String],
       p: Int = 6): DataFrame = {
-    require(p >= 4 && p <= 16, s"hll needs 4 <= p <= 16, got $p")
+    require(p >= 4 && p <= 16, s"hllRegisters needs 4 <= p <= 16, got $p")
     val vbits = 63 - p
-    val m = 1L << p
     val h = hashing.h63(valueCol.cast("string"))
     val w = h.bitwiseAND(lit((1L << vbits) - 1L))
     // w == 0 ⇒ all vbits value bits are zero ⇒ rho = vbits + 1 (the
@@ -218,12 +306,22 @@ object sketch {
     // bitlen = length(bin(w)) is exact & portable — no log2 rounding trap.
     val rho = when(w === 0L, lit(vbits + 1))
       .otherwise(lit(vbits + 1) - length(bin(w)))
-    val observed = df.where(valueCol.isNotNull)
+    df.where(valueCol.isNotNull)
       .select(groupCols.map(col) ++ Seq(
         shiftright(h, vbits).as("register"),
         least(rho, lit(HllRhoCap)).cast("int").as("_rho")): _*)
       .groupBy((groupCols :+ "register").map(col): _*)
       .agg(max(col("_rho")).as("rho"))
+  }
+
+  def hll(
+      df: DataFrame,
+      valueCol: Column,
+      groupCols: Seq[String],
+      p: Int = 6): DataFrame = {
+    require(p >= 4 && p <= 16, s"hll needs 4 <= p <= 16, got $p")
+    val m = 1L << p
+    val observed = hllRegisters(df, valueCol, groupCols, p)
     // full spine: observed groups × m registers (register side broadcast)
     val spine = df.sparkSession.range(m).toDF("register")
     df.where(valueCol.isNotNull).select(groupCols.map(col): _*).distinct()

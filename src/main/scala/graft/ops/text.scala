@@ -574,6 +574,62 @@ object text {
     unigramLogProb(df, textCol, idCol)
       .withColumn("keep", (col("logprob") >= lit(minLogProb)).cast("int"))
 
+  /** DSIR-style importance weight (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling") of every raw-corpus
+    * document against a small high-quality TARGET corpus:
+    * `log w(doc) = Σ_tok tf_doc(tok) · [ln p_target(tok) − ln p_raw(tok)]`
+    * under unigram LMs with Laplace smoothing over the UNION vocabulary
+    * (`p_c(tok) = (ctf_c + 1) / (N_c + V)`, `V` = union vocab size —
+    * smoothing is load-bearing: raw tokens absent from the target must
+    * score finitely low, not −∞). Feed `logw` to
+    * [[graft.ops.sample.weighted]] / temperature sampling to RESAMPLE the
+    * raw corpus toward the target distribution — the published
+    * data-selection recipe as one engine primitive.
+    *
+    * Determinism: per-(doc,tok) contributions are quantized to 1e-6 fixed
+    * point and summed as LONGS (the [[unigramLogProb]] discipline —
+    * exact, associative, order-free), and both `ln` arguments are single
+    * quotients evaluated in the same IEEE form on any engine.
+    *
+    * Plan shape at 100 TB raw + small target: the target corpus reduces
+    * to a vocabulary table (Heaps' law — sublinear in target size); the
+    * union-vocab outer join and the tf join are token-keyed (vocab-sized
+    * shuffles, stopword skew handled by AQE); the raw corpus itself is
+    * scanned once for tf and aggregated doc-keyed. The 1-row totals
+    * (N_r, N_t, V) broadcast. Returns `(idCol, n_tokens, logw)` for raw
+    * docs with ≥ 1 token, `logw` floor-quantized to 4 dp. */
+  def dsirWeights(
+      raw: org.apache.spark.sql.DataFrame,
+      target: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String): org.apache.spark.sql.DataFrame = {
+    val tf = raw.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val vocabR = tf.groupBy(col("tok")).agg(sum(col("tf")).as("ctf_r"))
+    val vocabT = target
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("ctf_t"))
+    val union = vocabR.join(vocabT, Seq("tok"), "full_outer")
+      .select(col("tok"),
+        coalesce(col("ctf_r"), lit(0L)).as("ctf_r"),
+        coalesce(col("ctf_t"), lit(0L)).as("ctf_t"))
+    val totals = union.agg(
+      sum(col("ctf_r")).as("n_r"), sum(col("ctf_t")).as("n_t"),
+      count(lit(1)).as("v"))
+    val lr = log((col("ctf_t") + 1.0) / (col("n_t") + col("v")).cast("double")) -
+      log((col("ctf_r") + 1.0) / (col("n_r") + col("v")).cast("double"))
+    tf.join(union, "tok")
+      .crossJoin(broadcast(totals))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        sum(floor(col("tf") * lr * lit(1.0e6)).cast("long")).as("q"))
+      .select(col(idCol), col("n_tokens"),
+        (floor(col("q").cast("double") / lit(1.0e6) * 10000.0 + 0.5) / 10000.0)
+          .as("logw"))
+  }
+
   /** Token-bigram pairs of a tokens array, in row (no explode yet):
     * `[(t_0,t_1), (t_1,t_2), …]` — zip of the array with its own 1-shift.
     * Written as `zip_with` of two slices, NOT `transform` with an

@@ -409,4 +409,26 @@ object EventStream {
     events
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** LIVE distinct-count state over a stream: the
+    * [[graft.ops.sketch.hllRegisters]] aggregation applied to a streaming
+    * DataFrame — one stateless projection (hash + two bit ops) and one
+    * `max` per (group, register), which Structured Streaming maintains
+    * incrementally in update mode with state BOUNDED at ≤ 2^p rows per
+    * group FOREVER (registers only ratchet upward; no watermark needed —
+    * a cardinality-over-all-time sketch has no late-data notion). An
+    * exact streaming `count_distinct` would hold every seen value in
+    * state; this holds `m` bytes-ish per group, the whole point of HLL
+    * in a 100 TB/day ingest. Registers land in the sink table;
+    * [[graft.ops.sketch.hllEstimate]] turns any snapshot into the
+    * estimate, and because the aggregation is the SAME code as batch,
+    * the stream state after n events is bit-identical to
+    * `hllRegisters` over those n events as a batch (EventStreamSpec
+    * pins this). */
+  def hllStream(
+      events: DataFrame,
+      valueCol: org.apache.spark.sql.Column,
+      groupCols: Seq[String],
+      p: Int = 6): DataFrame =
+    graft.ops.sketch.hllRegisters(events, valueCol, groupCols, p)
 }

@@ -285,6 +285,44 @@ class EventStreamSpec extends SparkSpec {
     assert(z(4L).isEmpty && z(5L).isEmpty, "zero variance must be null, not inf")
   }
 
+  test("hllStream: live register state matches the batch sketch bit-for-bit") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val sdf = mem.toDF.toDF("user_id", "event_type")
+    val q = EventStream.hllStream(sdf, col("user_id"), Seq("event_type"), p = 6)
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("complete").start()
+    try {
+      val b1 = (0 until 300).map(u => (u.toLong, "view")) ++
+        (0 until 40).map(u => (u.toLong, "click"))
+      val b2 = (200 until 600).map(u => (u.toLong, "view")) // overlap ratchets
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      val streamed = spark.table("hll_stream")
+      val batch = graft.ops.sketch.hllRegisters(
+        (b1 ++ b2).toDF("user_id", "event_type"),
+        col("user_id"), Seq("event_type"), p = 6)
+      assert(streamed.exceptAll(batch).count() == 0 &&
+        batch.exceptAll(streamed).count() == 0,
+        "stream state after n events == batch sketch of those n events")
+      // state is bounded: <= 2^p register rows per group, forever
+      val nRows = streamed.groupBy("event_type").count()
+        .as[(String, Long)].collect().toMap
+      assert(nRows.values.forall(_ <= 64L))
+      // and an estimate snapshot is sane (view saw 600 distinct users)
+      val est = graft.ops.sketch.hllEstimate(
+        streamed.unionByName( // re-spine absent registers as rho 0
+          spark.range(64).toDF("register").crossJoin(
+            streamed.select("event_type").distinct())
+            .select(col("event_type"), col("register"), lit(0).as("rho")))
+          .groupBy("event_type", "register").agg(max("rho").as("rho")),
+        Seq("event_type"), p = 6)
+        .where(col("event_type") === "view")
+        .select("hll_est").as[Double].head()
+      assert(math.abs(est - 600.0) / 600.0 < 0.52, s"hll_est $est")
+    } finally q.stop()
+  }
+
   test("retention: cohort = first epoch-week, offsets count returning users once") {
     val rows = Seq(
       // user 1: weeks w, w+1, w+1 (second visit in a week counts once)

@@ -123,6 +123,50 @@ class SketchSpec extends SparkSpec {
       direct.exceptAll(merged).count() == 0)
   }
 
+  test("kmv merge law: kmvMerge(kmv(A), kmv(B)) == kmv(A union B) exactly") {
+    val a = (0 until 900).map(v => ("g", "u" + v)).toDF("g", "v")
+    val b = (500 until 1400).map(v => ("g", "u" + v)).toDF("g", "v")
+    val merged = sketch.kmvMerge(
+      sketch.kmv(a, col("v"), Seq("g"), k = 64),
+      sketch.kmv(b, col("v"), Seq("g"), k = 64), Seq("g"), k = 64)
+    val direct = sketch.kmv(a.union(b), col("v"), Seq("g"), k = 64)
+    assert(merged.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(merged).count() == 0)
+  }
+
+  test("kmvOverlap: EXACT counts and Jaccard when both sets are below k") {
+    // A = {0..29}, B = {20..49}: |A∪B| = 50, |A∩B| = 10, J = 0.2
+    val a = (0 until 30).map(v => ("g", v.toLong)).toDF("g", "v")
+    val b = (20 until 50).map(v => ("g", v.toLong)).toDF("g", "v")
+    val r = sketch.kmvOverlap(
+      sketch.kmv(a, col("v"), Seq("g"), k = 64),
+      sketch.kmv(b, col("v"), Seq("g"), k = 64), Seq("g"), k = 64)
+      .select("n_min", "k_cap", "union_est", "jaccard", "intersect_est")
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(r == ((50L, 10L, 50.0, 0.2, 10.0)))
+  }
+
+  test("kmvOverlap: bounded error in the estimate regime; disjoint sets -> 0") {
+    // |A| = 4000, |B| = 3000, overlap 2000: union 5000, jaccard 0.4
+    val a = (0 until 4000).map(v => ("g", "x" + v)).toDF("g", "v")
+    val b = (2000 until 5000).map(v => ("g", "x" + v)).toDF("g", "v")
+    val r = sketch.kmvOverlap(
+      sketch.kmv(a, col("v"), Seq("g"), k = 256),
+      sketch.kmv(b, col("v"), Seq("g"), k = 256), Seq("g"), k = 256)
+      .select("union_est", "jaccard", "intersect_est")
+      .as[(Double, Double, Double)].head()
+    assert(math.abs(r._1 - 5000.0) / 5000.0 < 0.3, s"union ${r._1}")
+    assert(math.abs(r._2 - 0.4) < 0.15, s"jaccard ${r._2}")
+    assert(math.abs(r._3 - 2000.0) / 2000.0 < 0.45, s"intersect ${r._3}")
+    val disj = sketch.kmvOverlap(
+      sketch.kmv(a, col("v"), Seq("g"), k = 64),
+      sketch.kmv(a.select(col("g"), concat(lit("zz"), col("v")).as("v")),
+        col("v"), Seq("g"), k = 64), Seq("g"), k = 64)
+      .select("k_cap", "jaccard", "intersect_est")
+      .as[(Long, Double, Double)].head()
+    assert(disj == ((0L, 0.0, 0.0)))
+  }
+
   test("hll is deterministic across partitionings; nulls are no observation") {
     val df = (0 until 2000).map(v => ("g", v.toString)).toDF("g", "v")
     def run(parts: Int) =

@@ -207,6 +207,24 @@ class TextOpsSpec extends SparkSpec {
     assert(atBoundary == 1, "gate is inclusive at the threshold")
   }
 
+  test("dsirWeights: hand-computed importance weights against a target corpus") {
+    // raw d1 "a a b", d2 "b c"; target "a a a b"
+    // vocab_r: a:2 b:2 c:1 (N_r=5); vocab_t: a:3 b:1 (N_t=4); V=3
+    // lr(a)=ln(4/7)-ln(3/8)=0.4212135; lr(b)=ln(2/7)-ln(3/8)=-0.2719337
+    // lr(c)=ln(1/7)-ln(2/8)=-0.5596158
+    // d1: floor(2*lr(a)*1e6)+floor(lr(b)*1e6) = 842426-271934 = 570492 -> 0.5705
+    // d2: -271934-559616 = -831550 -> -0.8315
+    val raw = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val target = Seq((10L, "a a a b")).toDF("doc_id", "text")
+    val r = text.dsirWeights(raw, target, "text", "doc_id")
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n, w) => id -> ((n, w)) }.toMap
+    assert(r(1L) == ((3L, 0.5705)))
+    assert(r(2L) == ((2L, -0.8315)))
+    // the target-profile-matching doc outranks the off-profile one
+    assert(r(1L)._2 > r(2L)._2)
+  }
+
   test("bigramLogProb: word ORDER matters; hand-computed conditionals") {
     // corpus bigrams: d1 "a b a b" -> (a,b) x2, (b,a) x1; d2 "a b" -> (a,b)
     // c(a,b)=3 c(b,a)=1; predecessors: c(a,.)=3, c(b,.)=1... wait c(b,.)=1
