@@ -183,6 +183,15 @@ object SparkEntry {
   private val SqlToks =
     "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
 
+  /** Deterministic fixed-point weight vector (1e-6 units, ±1.0 range)
+    * for the hashed linear classifier query — stands in for a trained
+    * model's weights; both the Spark plan and the DuckDB oracle embed
+    * the SAME integer literals ([[graft.ops.text.linearWeightsFixed]]
+    * round-trips `LinW` back to exactly [[LinWq]]). */
+  private val LinWq: Seq[Long] =
+    (0 until 64).map(j => (j * 2654435761L) % 2000001L - 1000000L)
+  private val LinW: Seq[Double] = LinWq.map(_ / 1.0e6)
+
   private def sqlStopHits(listExpr: String, words: Seq[String]): String =
     s"len(list_filter($listExpr, t -> t IN (${words.map("'" + _ + "'").mkString(", ")})))"
 
@@ -501,6 +510,14 @@ object SparkEntry {
     "text_lm_filter" -> ((s, dir) =>
       text.lmQualityFilter(table(s, dir, "documents"), "text", "doc_id",
           minLogProb = -3.42)
+        .orderBy(col("doc_id"))),
+
+    // north-star: pretrained linear quality classifier over hashed
+    // bag-of-words features (the FineWeb-Edu-shaped gate) — zero-shuffle
+    // in-row scoring; gate on the linear score (sigmoid is monotone).
+    "text_quality_linear" -> ((s, dir) =>
+      text.linearGate(table(s, dir, "documents"), "text", "doc_id",
+          LinW, bias = 0.0, tau = 0.0)
         .orderBy(col("doc_id"))),
 
     // north-star: DSIR importance weights — resample the raw corpus
@@ -1182,6 +1199,15 @@ object SparkEntry {
       sketch.histogram(events(s, dir), col("value"), lo = 0.0, hi = 500.0,
           nbins = 25)
         .orderBy(col("bin"))),
+
+    // north-star: mergeable quantiles — derive any quantile from the
+    // (mergeable) histogram counts; no full-data sort, no rescan.
+    "events_hist_quantiles" -> ((s, dir) =>
+      sketch.histogramQuantile(
+        sketch.histogram(events(s, dir), col("value"), lo = 0.0, hi = 500.0,
+          nbins = 25),
+        Seq(0.5, 0.9, 0.99))
+        .orderBy(col("q"))),
 
     // exact quantile binning on a quantized grid — the rank cumsum runs
     // over domain-bounded grid rows, never over the table.
@@ -2166,6 +2192,19 @@ object SparkEntry {
          |  (logprob >= -3.42::DOUBLE)::INTEGER AS keep
          |FROM lp ORDER BY doc_id""".stripMargin,
 
+    "text_quality_linear" ->
+      s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+         |s AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         |  coalesce(list_sum(list_transform(toks, tk ->
+         |    list_extract([${LinWq.mkString(", ")}],
+         |      ((${hashing.sqlH32("tk")}) % 64 + 1)::INTEGER))), 0)::BIGINT AS q
+         |  FROM t),
+         |sc AS (SELECT doc_id, n_tokens,
+         |  floor((q::DOUBLE / 1000000.0 + (0.0)::DOUBLE) * 10000.0 + 0.5) / 10000.0 AS score
+         |  FROM s)
+         |SELECT doc_id, n_tokens, score, (score >= (0.0)::DOUBLE)::INTEGER AS keep
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
     "text_dsir_weights" ->
       s"""WITH rt AS (SELECT doc_id, unnest($SqlToks) AS tok
          |  FROM documents WHERE doc_id % 7 <> 0),
@@ -2526,6 +2565,23 @@ object SparkEntry {
         |  coalesce(c.n, 0) AS n
         |FROM (SELECT unnest(range(0, 25)) AS bin) r LEFT JOIN c USING (bin)
         |ORDER BY r.bin""".stripMargin,
+
+    "events_hist_quantiles" ->
+      """WITH b AS (SELECT greatest(0, least(24, floor((value - 0.0) / 20.0)::BIGINT)) AS bin
+        |  FROM events),
+        |c AS (SELECT bin, count(*) AS n FROM b GROUP BY bin),
+        |h AS (SELECT r.bin, 0.0 + r.bin * 20.0 AS bin_lo, 0.0 + (r.bin + 1) * 20.0 AS bin_hi,
+        |  coalesce(c.n, 0) AS n
+        |  FROM (SELECT unnest(range(0, 25)) AS bin) r LEFT JOIN c USING (bin)),
+        |cc AS (SELECT bin, bin_lo, bin_hi, n, sum(n) OVER (ORDER BY bin) AS cum,
+        |  sum(n) OVER () AS total FROM h),
+        |qq AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q),
+        |cand AS (SELECT q, bin_lo, bin_hi, n, cum, total,
+        |  row_number() OVER (PARTITION BY q ORDER BY bin) AS rk
+        |  FROM cc JOIN qq ON cum::DOUBLE >= q * total::DOUBLE AND n > 0)
+        |SELECT q, floor((bin_lo + (q * total::DOUBLE - (cum - n)::DOUBLE) / n::DOUBLE
+        |    * (bin_hi - bin_lo)) * 10000.0 + 0.5) / 10000.0 AS v_est
+        |FROM cand WHERE rk = 1 ORDER BY q""".stripMargin,
 
     // Grid histogram → exclusive-rank cumsum → integer bin arithmetic;
     // `/` is double division in both engines, floored identically.

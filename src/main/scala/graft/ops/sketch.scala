@@ -153,6 +153,49 @@ object sketch {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** Cell-wise union of two [[histogram]]s over the SAME `[lo, hi)` /
+    * `nbins` grid: counts add. `histogramMerge(hist(A), hist(B)) ≡
+    * hist(A ++ B)` exactly — the distribution summary rolls up across
+    * days / sources / corpora without re-reading any of them (the same
+    * mergeable-state contract as [[hllMerge]] and [[kmvMerge]], and the
+    * substrate [[histogramQuantile]] turns into mergeable QUANTILES). */
+  def histogramMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("bin", "bin_lo", "bin_hi")
+      .agg(sum(col("n")).as("n"))
+
+  /** Quantile estimates from a [[histogram]]: for each requested `q`,
+    * the first bin whose cumulative count reaches rank `q·N` (empty bins
+    * skipped), linearly interpolated within the bin —
+    * `bin_lo + (q·N − below) / n_bin · (bin_hi − bin_lo)`. Because the
+    * histogram is mergeable, this is the 100 TB quantile path: sketch
+    * each shard / day once, merge counts, derive any quantile later —
+    * no full-data sort, no per-query rescan; error is bounded by bin
+    * width. Every rank comparison is long-vs-exact-double and the
+    * interpolation is the same IEEE expression on any engine; estimates
+    * floor-quantized to 4 dp. All window work runs over `nbins`
+    * driver-bounded rows, never over data. Returns `(q, v_est)`. */
+  def histogramQuantile(hist: DataFrame, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"histogramQuantile needs quantiles in [0, 1], got $qs")
+    import org.apache.spark.sql.expressions.Window
+    val cum = hist
+      .withColumn("cum", sum(col("n")).over(
+        Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(hist.agg(sum(col("n")).as("total"))))
+    val qdf = hist.sparkSession.createDataFrame(qs.map(Tuple1.apply)).toDF("q")
+    val r = col("q") * col("total").cast("double")
+    cum.join(broadcast(qdf), col("cum").cast("double") >= r && col("n") > 0)
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col("q")).orderBy(col("bin"))))
+      .where(col("_rk") === 1)
+      .select(col("q"),
+        (floor((col("bin_lo") +
+          (r - (col("cum") - col("n")).cast("double")) / col("n").cast("double")
+            * (col("bin_hi") - col("bin_lo")))
+          * 10000.0 + 0.5) / 10000.0).as("v_est"))
+  }
+
   /** The `k` smallest distinct [[hashing.h63]] hashes of a value column
     * per group — the KMV sketch STATE ([[kmvDistinct]] collapses straight
     * to the estimate; this form is what you PERSIST at 100 TB: sketch each

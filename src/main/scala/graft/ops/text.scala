@@ -574,6 +574,55 @@ object text {
     unigramLogProb(df, textCol, idCol)
       .withColumn("keep", (col("logprob") >= lit(minLogProb)).cast("int"))
 
+  /** Driver-side fixed-point quantization of classifier weights to 1e-6
+    * units — computed ONCE on the driver and embedded as integer
+    * literals, so the distributed score involves no cross-engine float
+    * weight arithmetic at all. The +0.5 makes it round-to-nearest, and
+    * weights recovered from their own quantized form (`l/1e6`) survive
+    * round-tripping exactly. */
+  def linearWeightsFixed(ws: Seq[Double]): Seq[Long] =
+    ws.map(w => math.floor(w * 1.0e6 + 0.5).toLong)
+
+  /** Apply a PRETRAINED linear text classifier over hashed bag-of-words
+    * features — the fastText-shaped quality gate (FineWeb-Edu-style: a
+    * small model scores every document; the corpus keeps the high
+    * scorers). Feature `j = h32(token) mod F` (`F` = weights.length);
+    * `score = Σ_tok w[j(tok)] + bias`, thresholded at `tau`. The gate is
+    * applied to the LINEAR score, not a sigmoid — sigmoid is monotone,
+    * so the keep-set is identical and no libm `exp` enters the
+    * oracle-checked columns.
+    *
+    * Determinism: weights quantize to 1e-6-unit LONGS on the driver
+    * ([[linearWeightsFixed]]); per-token contributions are exact integer
+    * lookups summed in-row — order-free, partitioning-free.
+    *
+    * Plan shape at 100 TB: ZERO shuffle — the whole scorer is one
+    * `transform`/`aggregate` HOF chain over the in-row token array
+    * (weight array is a plan literal; md5 per token inside whole-stage
+    * codegen), so it composes with any scan at full width. Empty docs
+    * score `bias`. Returns `(idCol, n_tokens, score, keep)`. */
+  def linearGate(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      weights: Seq[Double],
+      bias: Double = 0.0,
+      tau: Double = 0.0): org.apache.spark.sql.DataFrame = {
+    require(weights.nonEmpty, "linearGate needs a non-empty weight vector")
+    val wq = linearWeightsFixed(weights)
+    val wArr = array(wq.map(lit): _*)
+    val f = weights.length
+    val toks = tokens(col(textCol))
+    val q = aggregate(toks, lit(0L), (acc, t) =>
+      acc + element_at(wArr,
+        (pmod(graft.functions.hashing.h32(t), lit(f.toLong)) + 1L).cast("int")))
+    val score = floor((q.cast("double") / lit(1.0e6) + lit(bias))
+      * 10000.0 + 0.5) / 10000.0
+    df.select(col(idCol), size(toks).cast("bigint").as("n_tokens"),
+        score.as("score"))
+      .withColumn("keep", (col("score") >= lit(tau)).cast("int"))
+  }
+
   /** DSIR-style importance weight (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling") of every raw-corpus
     * document against a small high-quality TARGET corpus:

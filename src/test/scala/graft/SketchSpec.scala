@@ -123,6 +123,33 @@ class SketchSpec extends SparkSpec {
       direct.exceptAll(merged).count() == 0)
   }
 
+  test("histogram merge law: cell-wise sum == histogram of the union") {
+    val a = (0 until 10).map(_.toDouble).toDF("v")
+    val b = Seq(3.0, 7.0, 50.0, -2.0).toDF("v") // incl. clamped outliers
+    val merged = sketch.histogramMerge(
+      sketch.histogram(a, col("v"), 0.0, 10.0, 5),
+      sketch.histogram(b, col("v"), 0.0, 10.0, 5))
+    val direct = sketch.histogram(a.union(b), col("v"), 0.0, 10.0, 5)
+    assert(merged.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(merged).count() == 0)
+  }
+
+  test("histogramQuantile: hand-computed interpolation, edges, empty-bin skip") {
+    // 0..9 over [0,10) x5 bins -> 2 per bin; cum 2,4,6,8,10
+    val hist = sketch.histogram((0 until 10).map(_.toDouble).toDF("v"),
+      col("v"), 0.0, 10.0, 5)
+    val r = sketch.histogramQuantile(hist, Seq(0.0, 0.25, 0.5, 1.0))
+      .orderBy("q").as[(Double, Double)].collect().toSeq
+    assert(r == Seq((0.0, 0.0), (0.25, 2.5), (0.5, 5.0), (1.0, 10.0)))
+    // empty middle bins are skipped: values only in bins 0 and 4
+    val sparse = sketch.histogram(Seq(1.0, 1.0, 9.0, 9.0).toDF("v"),
+      col("v"), 0.0, 10.0, 5)
+    val s = sketch.histogramQuantile(sparse, Seq(0.75))
+      .as[(Double, Double)].head()
+    // r=3: bin4 (cum 4, below 2), frac 0.5 -> 9.0
+    assert(s == ((0.75, 9.0)))
+  }
+
   test("kmv merge law: kmvMerge(kmv(A), kmv(B)) == kmv(A union B) exactly") {
     val a = (0 until 900).map(v => ("g", "u" + v)).toDF("g", "v")
     val b = (500 until 1400).map(v => ("g", "u" + v)).toDF("g", "v")

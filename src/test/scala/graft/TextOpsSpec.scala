@@ -207,6 +207,25 @@ class TextOpsSpec extends SparkSpec {
     assert(atBoundary == 1, "gate is inclusive at the threshold")
   }
 
+  test("linearGate: hashed-feature dot product vs a driver-side twin; empty doc = bias") {
+    val w = Seq(0.5, -0.25)
+    val wq = text.linearWeightsFixed(w)
+    assert(wq == Seq(500000L, -250000L))
+    def contrib(t: String) =
+      wq((graft.functions.hashing.h32Of(t) % 2).toInt)
+    val toks = Seq("alpha", "beta", "alpha")
+    val expScore = math.floor((toks.map(contrib).sum / 1.0e6 + 0.1)
+      * 10000.0 + 0.5) / 10000.0
+    val df = Seq((1L, "alpha beta alpha"), (2L, "")).toDF("doc_id", "text")
+    val r = text.linearGate(df, "text", "doc_id", w, bias = 0.1, tau = 0.0)
+      .as[(Long, Long, Double, Int)].collect()
+      .map { case (id, n, s, k) => id -> ((n, s, k)) }.toMap
+    assert(r(1L) == ((3L, expScore, if (expScore >= 0.0) 1 else 0)))
+    assert(r(2L) == ((0L, 0.1, 1)), "empty doc scores exactly the bias")
+    // weights quantized from their own fixed-point form round-trip exactly
+    assert(text.linearWeightsFixed(wq.map(_ / 1.0e6)) == wq)
+  }
+
   test("dsirWeights: hand-computed importance weights against a target corpus") {
     // raw d1 "a a b", d2 "b c"; target "a a a b"
     // vocab_r: a:2 b:2 c:1 (N_r=5); vocab_t: a:3 b:1 (N_t=4); V=3
