@@ -512,6 +512,12 @@ object SparkEntry {
           minLogProb = -3.42)
         .orderBy(col("doc_id"))),
 
+    // north-star: character-entropy quality signal — mash and
+    // base64/hex blobs sit in the tails prose never reaches.
+    "text_char_entropy" -> ((s, dir) =>
+      text.charEntropy(table(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("doc_id"))),
+
     // north-star: pretrained linear quality classifier over hashed
     // bag-of-words features (the FineWeb-Edu-shaped gate) — zero-shuffle
     // in-row scoring; gate on the linear score (sigmoid is monotone).
@@ -2191,6 +2197,17 @@ object SparkEntry {
          |SELECT doc_id, n_tokens, logprob,
          |  (logprob >= -3.42::DOUBLE)::INTEGER AS keep
          |FROM lp ORDER BY doc_id""".stripMargin,
+
+    "text_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+        |cf AS (SELECT doc_id, ch, count(*)::BIGINT AS cnt FROM ch GROUP BY 1, 2),
+        |a AS (SELECT doc_id, sum(cnt)::BIGINT AS n_chars,
+        |  sum(floor(cnt * ln(cnt::DOUBLE) * 1000000.0)::BIGINT)::BIGINT AS qa
+        |  FROM cf GROUP BY 1)
+        |SELECT doc_id, n_chars,
+        |  floor(-(qa::DOUBLE / 1000000.0 - n_chars::DOUBLE * ln(n_chars::DOUBLE))
+        |    / n_chars::DOUBLE * 10000.0 + 0.5) / 10000.0 AS entropy
+        |FROM a ORDER BY doc_id""".stripMargin,
 
     "text_quality_linear" ->
       s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents),

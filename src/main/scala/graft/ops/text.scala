@@ -574,6 +574,42 @@ object text {
     unigramLogProb(df, textCol, idCol)
       .withColumn("keep", (col("logprob") >= lit(minLogProb)).cast("int"))
 
+  /** Shannon entropy of each document's CHARACTER distribution (bits of
+    * nats, natural log) — the compression-ratio-shaped quality signal:
+    * keyboard mash / repeated-char spam sits far below prose (~2.9-3.2
+    * nats for English), base64/hex blobs sit above it; filter both tails.
+    *
+    * Computed via `Σ cnt·ln(cnt/n) = Σ cnt·ln(cnt) − n·ln(n)`, so the
+    * per-(doc,char) contributions `floor(cnt·ln(cnt)·1e6)` are exact
+    * longs (order-free, partition-free — the [[unigramLogProb]]
+    * discipline) and the per-doc `n·ln(n)` correction is one libm call.
+    * Plan shape: one char explode → (doc, char) count with map-side
+    * combine (shuffle volume ≤ alphabet-size rows per doc), one
+    * doc-keyed sum. Char = UTF-16 code unit via `split(text, "")` —
+    * identical to codepoints on BMP text; astral-plane chars count as 2
+    * (a fixed-width tolerance an entropy gate doesn't notice).
+    *
+    * Returns `(idCol, n_chars, entropy)` (nats, floor-quantized 4 dp)
+    * for non-empty docs. */
+  def charEntropy(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String): org.apache.spark.sql.DataFrame = {
+    val chars = filter(split(col(textCol), ""), c => c =!= "")
+    val nd = col("n_chars").cast("double")
+    df.select(col(idCol), explode(chars).as("ch"))
+      .groupBy(col(idCol), col("ch"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("cnt")).as("n_chars"),
+        sum(floor(col("cnt") * log(col("cnt").cast("double")) * lit(1.0e6))
+          .cast("long")).as("qa"))
+      .select(col(idCol), col("n_chars"),
+        (floor(-(col("qa").cast("double") / lit(1.0e6) - nd * log(nd)) / nd
+          * 10000.0 + 0.5) / 10000.0).as("entropy"))
+  }
+
   /** Driver-side fixed-point quantization of classifier weights to 1e-6
     * units — computed ONCE on the driver and embedded as integer
     * literals, so the distributed score involves no cross-engine float

@@ -207,6 +207,26 @@ class TextOpsSpec extends SparkSpec {
     assert(atBoundary == 1, "gate is inclusive at the threshold")
   }
 
+  test("charEntropy: hand-computed nats; uniform string is 0; empty doc absent") {
+    // "aab": qa = floor(2·ln2·1e6) = 1386294; H = -(1.386294 - 3·ln3)/3 -> 0.6365
+    // "aaaa": single symbol -> 0.0 exactly (qa/1e6 ~ n·ln n)
+    val df = Seq((1L, "aab"), (2L, "aaaa"), (3L, "")).toDF("doc_id", "text")
+    val r = text.charEntropy(df, "text", "doc_id")
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, n, h) => id -> ((n, h)) }.toMap
+    assert(r(1L) == ((3L, 0.6365)))
+    assert(r(2L) == ((4L, 0.0)))
+    assert(!r.contains(3L))
+    // spam scores far below prose; base64-ish far above? no — higher
+    // alphabet usage raises entropy: ordering pins the signal direction
+    val sig = text.charEntropy(Seq(
+        (10L, "the quick brown fox jumps over the lazy dog"),
+        (11L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa")).toDF("doc_id", "text"),
+      "text", "doc_id")
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> t._3).toMap
+    assert(sig(10L) > 2.5 && sig(11L) < 0.1)
+  }
+
   test("linearGate: hashed-feature dot product vs a driver-side twin; empty doc = bias") {
     val w = Seq(0.5, -0.25)
     val wq = text.linearWeightsFixed(w)
