@@ -192,6 +192,27 @@ object GraftProperties extends Properties("graft") {
           ab._4 == ba._5 && ab._5 == ba._4   // KL directions swap exactly
     }
 
+  property("kmvOverlap laws: symmetric, self-identical, bounded jaccard") =
+    forAll(
+      Gen.chooseNum(3, 40).flatMap(n => Gen.listOfN(n, Gen.chooseNum(0L, 60L))),
+      Gen.chooseNum(3, 40).flatMap(n => Gen.listOfN(n, Gen.chooseNum(30L, 90L)))) {
+      (xs, ys) =>
+        import graft.ops.sketch
+        val a = sketch.kmv(xs.map(("g", _)).toDF("g", "v"), col("v"), Seq("g"), k = 16)
+        val b = sketch.kmv(ys.map(("g", _)).toDF("g", "v"), col("v"), Seq("g"), k = 16)
+        def row(df: org.apache.spark.sql.DataFrame) =
+          df.select("n_min", "k_cap", "union_est", "jaccard", "intersect_est")
+            .as[(Long, Long, Double, Double, Double)].head()
+        val ab = row(sketch.kmvOverlap(a, b, Seq("g"), k = 16))
+        val ba = row(sketch.kmvOverlap(b, a, Seq("g"), k = 16))
+        val aa = row(sketch.kmvOverlap(a, a, Seq("g"), k = 16))
+        ab == ba &&                                   // fully symmetric
+          ab._4 >= 0.0 && ab._4 <= 1.0 &&             // jaccard in [0,1]
+          ab._5 <= ab._3 &&                           // |A∩B| <= |A∪B|
+          aa._4 == 1.0 && aa._5 == aa._3 &&           // self: J=1, ∩=∪
+          aa._2 == aa._1                              // every union-min shared
+    }
+
   property("pageRank conserves bounded mass: base·n <= total <= scale") =
     forAll(Gen.chooseNum(2, 12).flatMap(k =>
       Gen.listOfN(k * 2, Gen.zip(Gen.chooseNum(0L, k.toLong), Gen.chooseNum(0L, k.toLong)))
