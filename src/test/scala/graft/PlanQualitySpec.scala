@@ -208,4 +208,48 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
     assert(!p.contains("CartesianProduct"), p.take(800))
   }
+
+  test("semantic decontamination broadcasts the bench side; train never shuffles") {
+    val p = plan("decontam_semantic")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"bench side must broadcast:\n${p.take(800)}")
+    // the only Exchange allowed is the presentation order-by, AFTER the join
+    val joinIdx = p.indexOf("BroadcastNestedLoopJoin")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(joinIdx >= 0 && exchanges == 0,
+      s"train corpus must reach the join unshuffled:\n${p.take(800)}")
+  }
+
+  test("linear classifier gate is zero-shuffle (in-row HOF scoring)") {
+    val exchanges = "Exchange".r.findAllIn(plan("text_quality_linear")).length
+    // <=1: the presentation-only output sort
+    assert(exchanges <= 1, s"linearGate must not shuffle to score, got $exchanges")
+  }
+
+  test("global KMV sketch bounds the window: TakeOrderedAndProject before it") {
+    val p = plan("events_kmv_overlap")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global kmv must plan a per-partition top-k, not a full-data window:\n${p.take(1200)}")
+  }
+
+  test("histogram quantiles: window work happens on nbins rows, data side is one agg") {
+    val p = plan("events_hist_quantiles")
+    // the events scan feeds exactly one aggregate exchange (bin counts);
+    // cumsum/rank windows run after the spine join on driver-bounded rows
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(p.contains("BroadcastExchange"), s"spine/quantile sides broadcast:\n${p.take(800)}")
+  }
+
+  test("HLL registers: shuffle carries (group, register, partial max), never values") {
+    import org.apache.spark.sql.functions.col
+    val p = graft.ops.sketch.hllRegisters(SparkEntry.events(spark, dir),
+        col("user_id"), Seq("event_type"), p = 6)
+      .queryExecution.executedPlan.toString
+    // the map-side combine row — the only thing that crosses the wire —
+    // is (event_type, register, max); raw user_id dies at the projection
+    val partial = p.linesIterator.find(_.contains("partial_max"))
+    assert(partial.isDefined, s"register max must map-side combine:\n${p.take(900)}")
+    assert(partial.get.contains("register#") && !partial.get.contains("user_id#"),
+      s"shuffled row must be (group, register, rho), got: ${partial.get}")
+  }
 }
