@@ -96,6 +96,34 @@ object NativeExprs {
   /** Column: distinct word n-gram shingles (native). */
   def wordShingles(c: Column, n: Int): Column = column(WordShinglesExpr(expression(c), n))
 
+  /** Fused char-entropy accumulator: sort a copy of the doc's UTF-16
+    * code units, count equal runs, and accumulate the EXACT fixed-point
+    * sum `Σ floor(cnt·ln(cnt)·1e6)` — the same per-character arithmetic
+    * as the explode → groupBy(doc, char) → sum form (the run count of a
+    * sorted array IS the group count), so the result is bit-identical
+    * while the whole computation stays IN ROW: no per-character rows, no
+    * (doc, char) shuffle, O(len·log len) per doc and one char-array
+    * copy. Returns (n_chars, qa). */
+  def charEntropyOf(text: UTF8String): (Long, Long) = {
+    val chars = text.toString.toCharArray
+    java.util.Arrays.sort(chars)
+    var i = 0
+    var qa = 0L
+    while (i < chars.length) {
+      var j = i + 1
+      while (j < chars.length && chars(j) == chars(i)) j += 1
+      val cnt = j - i
+      // cnt == 1 contributes floor(1·ln1·1e6) = 0 — skip the libm call
+      if (cnt > 1)
+        qa += math.floor(cnt * math.log(cnt.toDouble) * 1.0e6).toLong
+      i = j
+    }
+    (chars.length.toLong, qa)
+  }
+
+  /** Column: struct(n_chars, qa) of the fused char-entropy kernel. */
+  def charEntropyStats(c: Column): Column = column(CharEntropyExpr(expression(c)))
+
   /** Column: one greedy left-to-right BPE merge pass over a symbol array —
     * each adjacent (l, r) becomes the fused symbol l+r, never re-examining
     * the fused output in the same pass ("aaa" under (a,a) → ["aa","a"]).
@@ -512,6 +540,22 @@ case class MinHashSigExpr(child: Expression, k: Int)
   override protected def nullSafeEval(input: Any): Any =
     new GenericArrayData(NativeExprs.minhash(input.asInstanceOf[ArrayData], k))
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+/** Fused char-entropy kernel (see [[NativeExprs.charEntropyOf]]):
+  * struct(n_chars, qa). */
+case class CharEntropyExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_chars", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("qa", LongType, nullable = false)))
+  override def prettyName: String = "char_entropy_stats"
+  override protected def nullSafeEval(input: Any): Any = {
+    val (n, qa) = NativeExprs.charEntropyOf(input.asInstanceOf[UTF8String])
+    InternalRow(n, qa)
+  }
+  override protected def withNewChildInternal(newChild: Expression): CharEntropyExpr =
     copy(child = newChild)
 }
 

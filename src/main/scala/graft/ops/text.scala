@@ -590,8 +590,34 @@ object text {
     * (a fixed-width tolerance an entropy gate doesn't notice).
     *
     * Returns `(idCol, n_chars, entropy)` (nats, floor-quantized 4 dp)
-    * for non-empty docs. */
+    * for non-empty docs.
+    *
+    * Execution: the fused
+    * [[graft.functions.NativeExprs.charEntropyStats]] kernel — sort the
+    * row's code units, count runs, accumulate the exact fixed-point sum
+    * IN ROW — so the op is pure scan work with ZERO shuffle (the explode
+    * → (doc, char) groupBy twin it replaced shuffled one row per
+    * distinct character per doc; [[charEntropyExploded]] keeps that form
+    * and NativeExprsSpec pins them bit-equal). */
   def charEntropy(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String): org.apache.spark.sql.DataFrame = {
+    val st = graft.functions.NativeExprs.charEntropyStats(col(textCol))
+    val nd = col("n_chars").cast("double")
+    df.select(col(idCol), st.getField("n_chars").as("n_chars"),
+        st.getField("qa").as("qa"))
+      .where(col("n_chars") > 0)
+      .select(col(idCol), col("n_chars"),
+        (floor(-(col("qa").cast("double") / lit(1.0e6) - nd * log(nd)) / nd
+          * 10000.0 + 0.5) / 10000.0).as("entropy"))
+  }
+
+  /** Compositional twin of [[charEntropy]] (explode → per-(doc,char)
+    * count → fixed-point sum) — the run counts of the kernel's sorted
+    * array are exactly these group counts, pinned bit-equal in
+    * NativeExprsSpec. */
+  def charEntropyExploded(
       df: org.apache.spark.sql.DataFrame,
       textCol: String,
       idCol: String): org.apache.spark.sql.DataFrame = {

@@ -137,6 +137,17 @@ class NativeExprsSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("native char-entropy kernel equals the explode twin on real text") {
+    import graft.ops.text
+    val a = text.charEntropy(docs, "text", "doc_id")
+    val b = text.charEntropyExploded(docs, "text", "doc_id")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // and the kernel's plan is shuffle-free (the whole point)
+    val exchanges = "Exchange".r
+      .findAllIn(a.queryExecution.executedPlan.toString).length
+    assert(exchanges == 0, "fused charEntropy must not shuffle")
+  }
+
   test("fence: value/null parity with the child") {
     import spark.implicits._
     val df = Seq(Some("abc"), None, Some(""), Some("xy")).toDF("s")
