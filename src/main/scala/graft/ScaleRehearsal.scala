@@ -177,6 +177,29 @@ object ScaleRehearsal {
     run("profile_columns")(rel.profileColumns(docs,
       Seq("doc_id", "lang", "source")))
 
+    // ---- session-3 additions: sketches + quality gates ----------------
+    import graft.ops.{decontam, sketch}
+    run("hll_users_p12")(sketch.hllEstimate(
+      sketch.hll(events, col("user_id"), Seq("event_type"), p = 12),
+      Seq("event_type"), p = 12))
+    run("kmv_overlap_k1024")(sketch.kmvOverlap(
+      sketch.kmv(events.where(col("event_type") === "view"),
+        col("user_id"), Seq.empty, k = 1024),
+      sketch.kmv(events.where(col("event_type") === "purchase"),
+        col("user_id"), Seq.empty, k = 1024),
+      Seq.empty, k = 1024))
+    run("char_entropy_fused")(text.charEntropy(docs, "text", "doc_id"))
+    run("linear_gate_4096f")(text.linearGate(docs, "text", "doc_id",
+      (0 until 4096).map(j => ((j * 2654435761L) % 2000001L - 1000000L) / 1.0e6)))
+    run("dsir_weights")(text.dsirWeights(
+      docs.where(col("doc_id") % 7 =!= 0), docs.where(col("doc_id") % 7 === 0),
+      "text", "doc_id"))
+    // semantic screen: bench side is 1k embeddings broadcast over the
+    // full (10×) corpus — the exact brute-force audit shape
+    run("decontam_semantic_1k")(decontam.semanticHits(
+      emb.where(col("vec_id") >= 1000), emb.where(col("vec_id") < 1000),
+      "vec_id", "embedding", tau = 0.999))
+
     spark.stop()
   }
 }
