@@ -512,6 +512,12 @@ object SparkEntry {
           minLogProb = -3.42)
         .orderBy(col("doc_id"))),
 
+    // north-star: type-token ratio — scattered-repeat templates and
+    // word salad, in row, zero shuffle.
+    "text_lexical_diversity" -> ((s, dir) =>
+      text.lexicalDiversity(table(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("doc_id"))),
+
     // north-star: character-entropy quality signal — mash and
     // base64/hex blobs sit in the tails prose never reaches.
     "text_char_entropy" -> ((s, dir) =>
@@ -2197,6 +2203,14 @@ object SparkEntry {
          |SELECT doc_id, n_tokens, logprob,
          |  (logprob >= -3.42::DOUBLE)::INTEGER AS keep
          |FROM lp ORDER BY doc_id""".stripMargin,
+
+    "text_lexical_diversity" ->
+      s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+         |s AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         |  len(list_distinct(toks))::BIGINT AS n_types FROM t)
+         |SELECT doc_id, n_tokens, n_types,
+         |  floor(n_types::DOUBLE / n_tokens::DOUBLE * 10000.0 + 0.5) / 10000.0 AS ttr
+         |FROM s WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin,
 
     "text_char_entropy" ->
       """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),

@@ -574,6 +574,28 @@ object text {
     unigramLogProb(df, textCol, idCol)
       .withColumn("keep", (col("logprob") >= lit(minLogProb)).cast("int"))
 
+  /** Type-token ratio (lexical diversity) per document: distinct tokens
+    * over total tokens — low TTR catches the repetitive/templated docs
+    * n-gram repetition metrics can miss when the repeats are scattered,
+    * high TTR on long docs flags word-salad. Entirely IN ROW
+    * (`array_distinct` on the token array — zero shuffle, composes with
+    * any scan); quantized floor-4dp. Note TTR falls with document length
+    * (Heaps' law) — gate within length bands ([[graft.ops.sample
+    * .quantileBins]]) rather than globally. Returns
+    * `(idCol, n_tokens, n_types, ttr)` for docs with ≥ 1 token. */
+  def lexicalDiversity(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(col(textCol))
+    df.select(col(idCol), size(toks).cast("bigint").as("n_tokens"),
+        size(array_distinct(toks)).cast("bigint").as("n_types"))
+      .where(col("n_tokens") > 0)
+      .withColumn("ttr",
+        floor(col("n_types").cast("double") / col("n_tokens").cast("double")
+          * 10000.0 + 0.5) / 10000.0)
+  }
+
   /** Shannon entropy of each document's CHARACTER distribution (bits of
     * nats, natural log) — the compression-ratio-shaped quality signal:
     * keyboard mash / repeated-char spam sits far below prose (~2.9-3.2

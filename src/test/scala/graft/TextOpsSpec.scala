@@ -207,6 +207,18 @@ class TextOpsSpec extends SparkSpec {
     assert(atBoundary == 1, "gate is inclusive at the threshold")
   }
 
+  test("lexicalDiversity: hand-computed TTR; empty doc absent") {
+    val df = Seq((1L, "a b a b"), (2L, "x y z"), (3L, "a a a a"), (4L, ""))
+      .toDF("doc_id", "text")
+    val r = text.lexicalDiversity(df, "text", "doc_id")
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (id, n, t, ttr) => id -> ((n, t, ttr)) }.toMap
+    assert(r(1L) == ((4L, 2L, 0.5)))
+    assert(r(2L) == ((3L, 3L, 1.0)))
+    assert(r(3L) == ((4L, 1L, 0.25)))
+    assert(!r.contains(4L))
+  }
+
   test("charEntropy: hand-computed nats; uniform string is 0; empty doc absent") {
     // "aab": qa = floor(2·ln2·1e6) = 1386294; H = -(1.386294 - 3·ln3)/3 -> 0.6365
     // "aaaa": single symbol -> 0.0 exactly (qa/1e6 ~ n·ln n)
