@@ -153,16 +153,85 @@ object sketch {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** Per-GROUP fixed-width histogram — [[histogram]] with group columns:
+    * every observed group emits the full `nbins` spine (empty bins
+    * included), so per-group sketches have a fixed shape and merge
+    * cell-wise ([[histogramMerge]] works unchanged with the group
+    * columns in its key — they ride the same groupBy). One scan → one
+    * (group, bin) aggregate with map-side combine; the spine joins onto
+    * the bounded groups×nbins grid, never onto data. Returns
+    * `(groupCols*, bin, bin_lo, bin_hi, n)`. */
+  def histogramBy(
+      df: DataFrame,
+      valueCol: Column,
+      groupCols: Seq[String],
+      lo: Double,
+      hi: Double,
+      nbins: Int): DataFrame = {
+    require(nbins >= 1, s"histogramBy needs nbins >= 1, got $nbins")
+    require(lo < hi, s"histogramBy needs lo < hi, got [$lo, $hi)")
+    val width = (hi - lo) / nbins
+    val bin = greatest(lit(0L), least(lit(nbins - 1L),
+      floor((valueCol - lo) / width).cast("long")))
+    val counts = df.where(valueCol.isNotNull)
+      .select(groupCols.map(col) :+ bin.as("bin"): _*)
+      .groupBy((groupCols :+ "bin").map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    df.where(valueCol.isNotNull)
+      .select(groupCols.map(col): _*).distinct()
+      .crossJoin(broadcast(df.sparkSession.range(nbins).toDF("bin")))
+      .join(counts, groupCols :+ "bin", "left")
+      .select(groupCols.map(col) ++ Seq(col("bin"),
+        (lit(lo) + col("bin") * width).as("bin_lo"),
+        (lit(lo) + (col("bin") + 1L) * width).as("bin_hi"),
+        coalesce(col("n"), lit(0L)).as("n")): _*)
+  }
+
+  /** Per-group quantiles from a [[histogramBy]] sketch — the
+    * [[histogramQuantile]] rank-interpolation partitioned by the group
+    * columns. All window work runs over groups×nbins sketch rows, never
+    * data. Returns `(groupCols*, q, v_est)`. */
+  def histogramQuantileBy(
+      hist: DataFrame,
+      groupCols: Seq[String],
+      qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"histogramQuantileBy needs quantiles in [0, 1], got $qs")
+    import org.apache.spark.sql.expressions.Window
+    val gc = groupCols.map(col)
+    val wCum = Window.partitionBy(gc: _*).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wTot = Window.partitionBy(gc: _*)
+    val cum = hist
+      .withColumn("cum", sum(col("n")).over(wCum))
+      .withColumn("total", sum(col("n")).over(wTot))
+    val qdf = hist.sparkSession.createDataFrame(qs.map(Tuple1.apply)).toDF("q")
+    val r = col("q") * col("total").cast("double")
+    cum.join(broadcast(qdf), col("cum").cast("double") >= r && col("n") > 0)
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(gc :+ col("q"): _*).orderBy(col("bin"))))
+      .where(col("_rk") === 1)
+      .select(gc ++ Seq(col("q"),
+        (floor((col("bin_lo") +
+          (r - (col("cum") - col("n")).cast("double")) / col("n").cast("double")
+            * (col("bin_hi") - col("bin_lo")))
+          * 10000.0 + 0.5) / 10000.0).as("v_est")): _*)
+  }
+
   /** Cell-wise union of two [[histogram]]s over the SAME `[lo, hi)` /
     * `nbins` grid: counts add. `histogramMerge(hist(A), hist(B)) ≡
     * hist(A ++ B)` exactly — the distribution summary rolls up across
     * days / sources / corpora without re-reading any of them (the same
     * mergeable-state contract as [[hllMerge]] and [[kmvMerge]], and the
     * substrate [[histogramQuantile]] turns into mergeable QUANTILES). */
-  def histogramMerge(a: DataFrame, b: DataFrame): DataFrame =
+  def histogramMerge(a: DataFrame, b: DataFrame): DataFrame = {
+    // key on every non-count column, so [[histogramBy]] sketches merge
+    // with their group columns riding the same groupBy
+    val keys = a.columns.filter(_ != "n").toSeq
     a.unionByName(b)
-      .groupBy("bin", "bin_lo", "bin_hi")
+      .groupBy(keys.map(col): _*)
       .agg(sum(col("n")).as("n"))
+  }
 
   /** Quantile estimates from a [[histogram]]: for each requested `q`,
     * the first bin whose cumulative count reaches rank `q·N` (empty bins

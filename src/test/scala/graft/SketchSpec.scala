@@ -150,6 +150,37 @@ class SketchSpec extends SparkSpec {
     assert(s == ((0.75, 9.0)))
   }
 
+  test("histogramBy: per-group full spine; merge law holds with group keys") {
+    val a = ((0 until 10).map(v => ("en", v.toDouble)) ++
+      (0 until 4).map(v => ("de", v.toDouble))).toDF("g", "v")
+    val b = Seq(("en", 3.0), ("de", 9.0)).toDF("g", "v")
+    val ha = sketch.histogramBy(a, col("v"), Seq("g"), 0.0, 10.0, 5)
+    // full 5-bin spine per observed group
+    assert(ha.groupBy("g").count().as[(String, Long)].collect().toMap
+      == Map("en" -> 5L, "de" -> 5L))
+    val merged = sketch.histogramMerge(ha,
+      sketch.histogramBy(b, col("v"), Seq("g"), 0.0, 10.0, 5))
+    val direct = sketch.histogramBy(a.union(b), col("v"), Seq("g"), 0.0, 10.0, 5)
+    assert(merged.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(merged).count() == 0)
+  }
+
+  test("histogramQuantileBy: per-group medians match the global op per slice") {
+    val df = ((0 until 10).map(v => ("en", v.toDouble)) ++
+      (0 until 20).map(v => ("de", v.toDouble / 2))).toDF("g", "v")
+    val byLang = sketch.histogramQuantileBy(
+      sketch.histogramBy(df, col("v"), Seq("g"), 0.0, 10.0, 5),
+      Seq("g"), Seq(0.5, 0.9))
+      .as[(String, Double, Double)].collect()
+      .map { case (g, q, v) => (g, q) -> v }.toMap
+    for (g <- Seq("en", "de"); q <- Seq(0.5, 0.9)) {
+      val global = sketch.histogramQuantile(
+        sketch.histogram(df.where(col("g") === g), col("v"), 0.0, 10.0, 5),
+        Seq(q)).as[(Double, Double)].head()._2
+      assert(byLang((g, q)) == global, s"($g, $q)")
+    }
+  }
+
   test("kmv merge law: kmvMerge(kmv(A), kmv(B)) == kmv(A union B) exactly") {
     val a = (0 until 900).map(v => ("g", "u" + v)).toDF("g", "v")
     val b = (500 until 1400).map(v => ("g", "u" + v)).toDF("g", "v")
