@@ -220,6 +220,38 @@ object Demo {
         min("n_chars").as("lo"), max("n_chars").as("hi"))
       .orderBy("bin").show(false)
 
+    println("== HLL distinct users per event type (64 one-byte registers) ==")
+    graft.ops.sketch.hllEstimate(
+      graft.ops.sketch.hll(events, col("user_id"), Seq("event_type")),
+      Seq("event_type")).orderBy("event_type").show(false)
+
+    println("== KMV sketch overlap: users who both viewed AND purchased ==")
+    graft.ops.sketch.kmvOverlap(
+      graft.ops.sketch.kmv(events.where(col("event_type") === "view"),
+        col("user_id"), Seq.empty, k = 64),
+      graft.ops.sketch.kmv(events.where(col("event_type") === "purchase"),
+        col("user_id"), Seq.empty, k = 64),
+      Seq.empty, k = 64).show(false)
+
+    println("== per-language length quantiles from mergeable histogram state ==")
+    graft.ops.sketch.histogramQuantileBy(
+      graft.ops.sketch.histogramBy(docs, col("n_chars").cast("double"),
+        Seq("lang"), 0.0, 640.0, 32),
+      Seq("lang"), Seq(0.5, 0.95)).orderBy("lang", "q").show(false)
+
+    println("== quality gates: entropy + TTR + linear classifier (first 5 docs) ==")
+    val lw = (0 until 64).map(j => ((j * 2654435761L) % 2000001L - 1000000L) / 1.0e6)
+    text.charEntropy(docs, "text", "doc_id")
+      .join(text.lexicalDiversity(docs, "text", "doc_id").select("doc_id", "ttr"), "doc_id")
+      .join(text.linearGate(docs, "text", "doc_id", lw)
+        .select(col("doc_id"), col("score").as("clf_score")), "doc_id")
+      .orderBy("doc_id").show(5, truncate = false)
+
+    println("== DSIR importance weights toward the doc_id%7==0 'target' slice ==")
+    text.dsirWeights(docs.where(col("doc_id") % 7 =!= 0),
+        docs.where(col("doc_id") % 7 === 0), "text", "doc_id")
+      .orderBy(col("logw").desc).show(5, truncate = false)
+
     spark.stop()
   }
 }

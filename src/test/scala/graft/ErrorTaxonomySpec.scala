@@ -66,6 +66,13 @@ class ErrorTaxonomySpec extends SparkSpec {
     assert(msg(graft.streaming.EventStream.rollingAgg(df, windowSec = 0)).contains("windowSec"))
     assert(msg(graft.ops.retrieval.buildTextIndex(df, "/tmp/x", "v", "id", 0)).contains("buckets"))
     assert(msg(graft.ops.retrieval.bm25Indexed(spark, "/tmp/x", Nil, 5)).contains("term"))
+    assert(msg(graft.ops.sketch.hll(df, col("v"), Seq("id"), p = 3)).contains("p <= 16"))
+    assert(msg(graft.ops.sketch.kmv(df, col("v"), Seq("id"), k = 1)).contains("k >= 2"))
+    assert(msg(graft.ops.sketch.kmvOverlap(df, df, Seq("id"), k = 0)).contains("k >= 2"))
+    assert(msg(graft.ops.sketch.histogramQuantile(df, Seq(1.5))).contains("[0, 1]"))
+    assert(msg(graft.ops.sketch.histogramQuantileBy(df, Seq("id"), Nil)).contains("[0, 1]"))
+    assert(msg(graft.ops.sketch.histogramBy(df, col("v"), Seq("id"), 1.0, 1.0, 3)).contains("lo < hi"))
+    assert(msg(graft.ops.text.linearGate(df, "v", "id", Nil)).contains("non-empty weight"))
   }
 
   test("ragged query batch (mixed dims) is rejected with both dims named") {
