@@ -1142,6 +1142,13 @@ object SparkEntry {
       ann.knnGraph(table(s, dir, "embeddings"), k = 3, nbits = 6)
         .orderBy(col("src"), col("rnk"))),
 
+    // north-star: hard-negative mining — nearest different-label
+    // neighbors, the informative contrastive-training examples; the
+    // label gate applies BEFORE the per-source rank.
+    "ann_hard_negatives" -> ((s, dir) =>
+      ann.hardNegatives(table(s, dir, "embeddings"), k = 2)
+        .orderBy(col("src"), col("rnk"))),
+
     // two-corpus kNN JOIN — link a query set to a reference corpus by
     // embedding (disjoint modulo split of the same table stands in for
     // the two datasets).
@@ -2512,6 +2519,20 @@ object SparkEntry {
     "ann_knn_graph" ->
       s"""WITH $SqlKnnCtes
          |SELECT src, dst, cos, rnk FROM r WHERE rnk <= 3 ORDER BY src, rnk""".stripMargin,
+
+    "ann_hard_negatives" ->
+      s"""WITH s AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |b AS (SELECT vec_id, label, e, (${sqlLshSig(0, 6, 64)}) AS sig FROM s),
+         |c AS (SELECT a.vec_id AS src, x.vec_id AS dst, a.e AS ea, x.e AS eb
+         |  FROM b a JOIN b x ON a.sig = x.sig AND a.vec_id != x.vec_id
+         |    AND a.label != x.label),
+         |p AS (SELECT src, dst, floor((list_dot_product(ea, eb)
+         |  * (CASE WHEN list_dot_product(ea, ea) > 0 THEN 1.0/sqrt(list_dot_product(ea, ea)) ELSE 0.0 END)
+         |  * (CASE WHEN list_dot_product(eb, eb) > 0 THEN 1.0/sqrt(list_dot_product(eb, eb)) ELSE 0.0 END)) * 10000.0 + 0.5) / 10000.0 AS cos
+         |  FROM c),
+         |r AS (SELECT src, dst, cos,
+         |  row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk FROM p)
+         |SELECT src, dst, cos, rnk FROM r WHERE rnk <= 2 ORDER BY src, rnk""".stripMargin,
 
     "ann_knn_join" ->
       s"""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

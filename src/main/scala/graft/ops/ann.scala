@@ -459,6 +459,31 @@ object ann {
     knnJoinImpl(left, right, excludeSelf = false, k, idCol, vecCol, dim,
       tables, nbits, bucketCap, scoreDecimals)
 
+  /** Hard-negative mining for contrastive training: for every vector,
+    * its top-`k` most-cosine-similar neighbors whose `labelCol`
+    * DIFFERS — the "semantically close but actually different" examples
+    * a bi-encoder/reranker trains against (in-batch negatives are easy;
+    * these are the informative ones). [[knnGraph]] with the
+    * label-mismatch gate applied BEFORE the per-source rank, so the k
+    * negatives are the top among different-label candidates, not a
+    * post-filter of the overall top-k (which could return fewer than k
+    * when near neighbors share the label). Same thin-row / bucket-cap /
+    * rank-on-rounded-score discipline; the label gate joins two
+    * (id, label) thin tables onto the candidate pairs. */
+  def hardNegatives(
+      df: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label",
+      dim: Int = 64,
+      tables: Int = 1,
+      nbits: Int = 6,
+      bucketCap: Int = 4096,
+      scoreDecimals: Int = 4): DataFrame =
+    knnJoinImpl(df, df, excludeSelf = true, k, idCol, vecCol, dim, tables,
+      nbits, bucketCap, scoreDecimals, negLabelCol = Some(labelCol))
+
   private def knnJoinImpl(
       left: DataFrame,
       right: DataFrame,
@@ -470,7 +495,8 @@ object ann {
       tables: Int,
       nbits: Int,
       bucketCap: Int,
-      scoreDecimals: Int): DataFrame = {
+      scoreDecimals: Int,
+      negLabelCol: Option[String] = None): DataFrame = {
     require(k >= 1, s"graft: knn join needs k >= 1, got $k")
     def sigsOf(df: DataFrame) = df.select(
       (Seq(col(idCol), col(vecCol)) ++
@@ -501,10 +527,21 @@ object ann {
     val pairCond =
       col("a.t") === col("b.t") && col("a.key") === col("b.key") &&
         (if (excludeSelf) col(s"a.$idCol") =!= col(s"b.$idCol") else lit(true))
-    val cands = bandedOf(ls, "left").as("a")
+    val cands0 = bandedOf(ls, "left").as("a")
       .join(bandedOf(rs, "right").as("b"), pairCond)
       .select(col(s"a.$idCol").as("src"), col(s"b.$idCol").as("dst"))
       .distinct()
+    // optional hard-negative gate: drop same-label pairs BEFORE ranking,
+    // via thin (id, label) joins — labels never ride the pair shuffle
+    val cands = negLabelCol match {
+      case Some(lc) =>
+        cands0
+          .join(left.select(col(idCol).as("src"), col(lc).as("_lbl_s")), "src")
+          .join(right.select(col(idCol).as("dst"), col(lc).as("_lbl_d")), "dst")
+          .where(col("_lbl_s") =!= col("_lbl_d"))
+          .select(col("src"), col("dst"))
+      case None => cands0
+    }
     val va = ls.select(col(idCol).as("src"), col(vecCol).as("vs"), col("inv").as("inv_s"))
     val vb = rs.select(col(idCol).as("dst"), col(vecCol).as("vd"), col("inv").as("inv_d"))
     cands.join(va, "src").join(vb, "dst")

@@ -284,6 +284,35 @@ class AnnSpec extends SparkSpec {
     out.foreach { case (src, dst, _, _) => assert(sigOf(src) == sigOf(dst)) }
   }
 
+  test("hardNegatives: every pair crosses labels; rank is over negatives only") {
+    import graft.functions.vectors
+    import org.apache.spark.sql.expressions.Window
+    val dfl = df.withColumn("label", (col("vec_id") % 4).cast("int"))
+    val out = ann.hardNegatives(dfl, k = 2, vecCol = "embedding",
+        dim = dim, nbits = 3)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(out.nonEmpty)
+    val labelOf = dfl.select("vec_id", "label")
+      .as[(Long, Int)].collect().toMap
+    out.foreach { case (src, dst, _, _) =>
+      assert(labelOf(src) != labelOf(dst), s"($src, $dst) share a label") }
+    // twin: the label gate applies BEFORE the rank — same bucketing,
+    // brute-force cosine over cross-label same-bucket pairs, then rank
+    val sigs = dfl.withColumn("sig", ann.lshSignature(col("embedding"), 0, 3, dim))
+      .withColumn("inv", vectors.invNorm(col("embedding")))
+    val expected = sigs.as("a").join(sigs.as("b"),
+        col("a.sig") === col("b.sig") && col("a.vec_id") =!= col("b.vec_id") &&
+          col("a.label") =!= col("b.label"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        vectors.quantize(vectors.dotProduct(col("a.embedding"), col("b.embedding"))
+          * col("a.inv") * col("b.inv"), 4).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))))
+      .where(col("rnk") <= 2)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(out.toSet == expected)
+  }
+
   test("knnGraph bucketCap drops oversized buckets (recall-for-bound knob)") {
     // every bucket with >= 2 members exceeds cap 1, and singleton buckets
     // yield no pairs — the graph must come back empty, not explode
