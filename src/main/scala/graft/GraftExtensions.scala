@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{
   Divide, Expression, ExpressionInfo, GreaterThan, If, Literal, Multiply, Sqrt}
 
-import graft.functions.{H32Expr, MinHashSigExpr, SimHashExpr, VecDotExpr, VecL1Expr, VecL2SqExpr, WordShinglesExpr}
+import graft.functions.{CharEntropyExpr, H32Expr, MinHashSigExpr, SimHashExpr, VecDotExpr, VecL1Expr, VecL2SqExpr, WordShinglesExpr}
 
 /** Registers the native scoring/fingerprint kernels as SQL FUNCTIONS, so
   * the engine's hot expressions are usable from pure `spark.sql(...)` —
@@ -105,6 +105,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         val Seq(s) = arity("graft_h32", 1)(args)
         H32Expr(s)
+      }),
+    ("graft_char_entropy", info("graft_char_entropy",
+      "graft_char_entropy(text) - struct(n_chars, qa): code-unit count and " +
+        "the exact fixed-point entropy accumulator sum(floor(cnt*ln(cnt)*1e6))"),
+      (args: Seq[Expression]) => {
+        val Seq(t) = arity("graft_char_entropy", 1)(args)
+        CharEntropyExpr(t)
       }))
 
   /** Register into an EXISTING session (the config route only applies to

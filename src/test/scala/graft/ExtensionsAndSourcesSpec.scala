@@ -40,6 +40,9 @@ class ExtensionsAndSourcesSpec extends SparkSpec {
         graft.ops.dedup.wordShingles(col("t"), 3), 8).as("sig"))
       .head().getSeq[Long](0)
     assert(viaSql == viaCol)
+    // fused char-entropy kernel from SQL == the Column path
+    val ce = spark.sql("SELECT graft_char_entropy('aab') AS s").head().getStruct(0)
+    assert(ce.getLong(0) == 3L && ce.getLong(1) == 1386294L)
     // sized params must be literals: a column reference is rejected
     val e = intercept[Exception] {
       Seq(("a b c", 3)).toDF("t", "n")
