@@ -50,6 +50,35 @@ class DocIngestSpec extends SparkSpec {
     assert(sigIds == Set(100L, 2L))
   }
 
+  test("stateless quality gates (entropy kernel + linear clf) run on a TRUE stream") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val sdf = in.toDF().toDF("doc_id", "text")
+    val w = Seq(0.5, -0.25, 0.1, 0.9)
+    // pure select/filter shapes — append mode, no state, no watermark:
+    // the scan-composable gates screen an ingest stream as-is
+    val q1 = graft.ops.text.charEntropy(sdf, "text", "doc_id")
+      .writeStream.format("memory").queryName("qual_stream")
+      .outputMode("append").start()
+    val q2 = graft.ops.text.linearGate(sdf, "text", "doc_id", w)
+      .writeStream.format("memory").queryName("clf_stream")
+      .outputMode("append").start()
+    try {
+      val rows = Seq((1L, "aab"), (2L, "aaaa"), (3L, "the quick brown fox"))
+      in.addData(rows)
+      q1.processAllAvailable(); q2.processAllAvailable()
+      val batchDf = rows.toDF("doc_id", "text")
+      val se = spark.table("qual_stream").as[(Long, Long, Double)].collect().toSet
+      val be = graft.ops.text.charEntropy(batchDf, "text", "doc_id")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(se == be && se.nonEmpty)
+      val sc = spark.table("clf_stream").as[(Long, Long, Double, Int)].collect().toSet
+      val bc = graft.ops.text.linearGate(batchDf, "text", "doc_id", w)
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(sc == bc && sc.nonEmpty)
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("cold start: a missing signature table is an empty corpus, created by epoch 0") {
     // No pre-seeding — the path does not exist when the stream starts.
     val sigDir = java.nio.file.Files.createTempDirectory("graft-ingest-").toString + "/sigs"
