@@ -1142,6 +1142,15 @@ object SparkEntry {
       ann.knnGraph(table(s, dir, "embeddings"), k = 3, nbits = 6)
         .orderBy(col("src"), col("rnk"))),
 
+    // north-star: embedding-space drift between two corpus versions —
+    // centroid cosine + squared centroid shift, exact fixed-point sums.
+    "vec_corpus_drift" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      ann.centroidDrift(
+        emb.where(col("vec_id") % 2 === 0),
+        emb.where(col("vec_id") % 2 === 1))
+    }),
+
     // north-star: hard-negative mining — nearest different-label
     // neighbors, the informative contrastive-training examples; the
     // label gate applies BEFORE the per-source rank.
@@ -2519,6 +2528,29 @@ object SparkEntry {
     "ann_knn_graph" ->
       s"""WITH $SqlKnnCtes
          |SELECT src, dst, cos, rnk FROM r WHERE rnk <= 3 ORDER BY src, rnk""".stripMargin,
+
+    "vec_corpus_drift" ->
+      """WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |d AS (SELECT unnest(range(1, 65)) AS pos),
+        |qa AS (SELECT pos, sum(floor(e[pos] * 1000000.0)::BIGINT)::BIGINT AS q_a,
+        |  count(*)::BIGINT AS n_a FROM s CROSS JOIN d WHERE vec_id % 2 = 0 GROUP BY pos),
+        |qb AS (SELECT pos, sum(floor(e[pos] * 1000000.0)::BIGINT)::BIGINT AS q_b,
+        |  count(*)::BIGINT AS n_b FROM s CROSS JOIN d WHERE vec_id % 2 = 1 GROUP BY pos),
+        |m AS (SELECT qa.pos, n_a, n_b,
+        |  q_a::DOUBLE / 1000000.0 / n_a::DOUBLE AS ma,
+        |  q_b::DOUBLE / 1000000.0 / n_b::DOUBLE AS mb
+        |  FROM qa JOIN qb ON qa.pos = qb.pos),
+        |t AS (SELECT n_a, n_b,
+        |  sum(floor(ma * mb * 1000000.0)::BIGINT)::BIGINT AS d2,
+        |  sum(floor(ma * ma * 1000000.0)::BIGINT)::BIGINT AS na,
+        |  sum(floor(mb * mb * 1000000.0)::BIGINT)::BIGINT AS nb,
+        |  sum(floor((ma - mb) * (ma - mb) * 1000000.0)::BIGINT)::BIGINT AS s2
+        |  FROM m GROUP BY 1, 2)
+        |SELECT n_a, n_b,
+        |  floor(d2::DOUBLE / 1000000.0 / (sqrt(na::DOUBLE / 1000000.0)
+        |    * sqrt(nb::DOUBLE / 1000000.0)) * 10000.0 + 0.5) / 10000.0 AS cos,
+        |  floor(s2::DOUBLE / 1000000.0 * 10000.0 + 0.5) / 10000.0 AS l2_shift
+        |FROM t""".stripMargin,
 
     "ann_hard_negatives" ->
       s"""WITH s AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

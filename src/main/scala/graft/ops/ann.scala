@@ -200,6 +200,50 @@ object ann {
       .drop("_dists")
   }
 
+  /** Embedding-space DRIFT between two corpora — the embedding analog of
+    * [[graft.ops.text.corpusDivergence]]: cosine between the corpus
+    * centroids and the squared L2 centroid shift, the two numbers a
+    * corpus-version diff or source-mix monitor watches ("did this crawl
+    * move in embedding space?").
+    *
+    * Determinism: per-dimension coordinate sums are quantized to 1e-6
+    * fixed point and summed as LONGS (exact, order-free — the
+    * [[graft.ops.text.unigramLogProb]] discipline), means divide once in
+    * doubles, and the cross-dimension reductions (dot, norms, shift) are
+    * THEMSELVES fixed-point long sums, so the only libm is the final
+    * sqrt pair — same IEEE form in the oracle. Dims ride a posexplode
+    * (rows × dim thin pairs, map-side combined to `dim` rows per side
+    * before the exchange); each corpus is scanned once.
+    *
+    * Returns one row `(n_a, n_b, cos, l2_shift)`, quantized floor-4dp. */
+  def centroidDrift(
+      a: DataFrame,
+      b: DataFrame,
+      vecCol: String = "embedding"): DataFrame = {
+    def dimSums(df: DataFrame, tag: String) =
+      df.select(posexplode(col(vecCol)).as(Seq("pos", "_v")))
+        .groupBy(col("pos"))
+        .agg(sum(floor(col("_v").cast("double") * 1.0e6).cast("long"))
+          .as(s"q_$tag"), count(lit(1)).as(s"n_$tag"))
+    val j = dimSums(a, "a").join(dimSums(b, "b"), "pos")
+    val ma = col("q_a").cast("double") / 1.0e6 / col("n_a").cast("double")
+    val mb = col("q_b").cast("double") / 1.0e6 / col("n_b").cast("double")
+    val q4 = (c: Column) => floor(c * 10000.0 + 0.5) / 10000.0
+    j.select(col("n_a"), col("n_b"),
+        floor(ma * mb * 1.0e6).cast("long").as("qd"),
+        floor(ma * ma * 1.0e6).cast("long").as("qna"),
+        floor(mb * mb * 1.0e6).cast("long").as("qnb"),
+        floor((ma - mb) * (ma - mb) * 1.0e6).cast("long").as("qs"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(sum(col("qd")).as("d"), sum(col("qna")).as("na"),
+        sum(col("qnb")).as("nb"), sum(col("qs")).as("s"))
+      .select(col("n_a"), col("n_b"),
+        q4(col("d").cast("double") / 1.0e6 /
+          (sqrt(col("na").cast("double") / 1.0e6)
+            * sqrt(col("nb").cast("double") / 1.0e6))).as("cos"),
+        q4(col("s").cast("double") / 1.0e6).as("l2_shift"))
+  }
+
   /** Deterministic stand-in for trained centroids: the embeddings of the
     * `k` lowest ids. A real pipeline would k-means; the engine contract
     * (assignment + probe plan) is identical. */

@@ -284,6 +284,19 @@ class AnnSpec extends SparkSpec {
     out.foreach { case (src, dst, _, _) => assert(sigOf(src) == sigOf(dst)) }
   }
 
+  test("centroidDrift: hand-computed centroids; identical corpora = (1, 0)") {
+    val a = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val b = Seq((3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    // mean_a = (1,0), mean_b = (0,1): cos 0, shift (1-0)^2 + (0-1)^2 = 2
+    val r = ann.centroidDrift(a, b)
+      .as[(Long, Long, Double, Double)].head()
+    assert(r == ((2L, 1L, 0.0, 2.0)))
+    val self = ann.centroidDrift(a, a)
+      .as[(Long, Long, Double, Double)].head()
+    assert(self == ((2L, 2L, 1.0, 0.0)))
+  }
+
   test("hardNegatives: every pair crosses labels; rank is over negatives only") {
     import graft.functions.vectors
     import org.apache.spark.sql.expressions.Window
