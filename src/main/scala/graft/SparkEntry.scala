@@ -512,6 +512,14 @@ object SparkEntry {
           minLogProb = -3.42)
         .orderBy(col("doc_id"))),
 
+    // north-star: score-threshold selection — keep the top 25% of docs
+    // by entropy; integer grid ranks, threshold broadcast, no data sort.
+    "sample_top_frac" -> ((s, dir) =>
+      sample.topFracByScore(
+        text.charEntropy(table(s, dir, "documents"), "text", "doc_id"),
+        col("entropy"), frac = 0.25)
+        .orderBy(col("doc_id"))),
+
     // north-star: type-token ratio — scattered-repeat templates and
     // word salad, in row, zero shuffle.
     "text_lexical_diversity" -> ((s, dir) =>
@@ -2229,6 +2237,25 @@ object SparkEntry {
          |SELECT doc_id, n_tokens, logprob,
          |  (logprob >= -3.42::DOUBLE)::INTEGER AS keep
          |FROM lp ORDER BY doc_id""".stripMargin,
+
+    "sample_top_frac" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+        |cf AS (SELECT doc_id, ch, count(*)::BIGINT AS cnt FROM ch GROUP BY 1, 2),
+        |a AS (SELECT doc_id, sum(cnt)::BIGINT AS n_chars,
+        |  sum(floor(cnt * ln(cnt::DOUBLE) * 1000000.0)::BIGINT)::BIGINT AS qa
+        |  FROM cf GROUP BY 1),
+        |ent AS (SELECT doc_id, n_chars,
+        |  floor(-(qa::DOUBLE / 1000000.0 - n_chars::DOUBLE * ln(n_chars::DOUBLE))
+        |    / n_chars::DOUBLE * 10000.0 + 0.5) / 10000.0 AS entropy FROM a),
+        |e AS (SELECT doc_id, n_chars, entropy,
+        |  floor(entropy * 10000.0 + 0.5)::BIGINT AS gv FROM ent),
+        |g AS (SELECT gv, count(*)::BIGINT AS cnt FROM e GROUP BY 1),
+        |c AS (SELECT gv, sum(cnt) OVER (ORDER BY gv DESC) AS ato,
+        |  sum(cnt) OVER () AS total FROM g),
+        |t AS (SELECT max(gv) AS thr FROM c
+        |  WHERE ato >= (total * 250000 + 999999) // 1000000)
+        |SELECT doc_id, n_chars, entropy FROM e, t WHERE gv >= thr
+        |ORDER BY doc_id""".stripMargin,
 
     "text_lexical_diversity" ->
       s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents),

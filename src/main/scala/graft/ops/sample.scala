@@ -260,4 +260,51 @@ object sample {
       .join(broadcast(mapping), Seq("_gv"))
       .drop("_gv")
   }
+
+  /** Keep the top `frac` of rows by a QUANTIZED score column — the
+    * selection step after any quality scorer (FineWeb-Edu keeps the top
+    * classifier scores; DSIR keeps the top importance weights): find the
+    * highest score threshold whose at-or-above population still reaches
+    * `ceil(frac·N)`, then keep every row at or above it. Rows TIED at
+    * the threshold are kept whole, so the kept set is the smallest
+    * threshold-superset of the target size — deterministic, total-order-
+    * free; compose with [[deterministicSample]] inside the tie value for
+    * exact counts.
+    *
+    * Exactness: scores are expected already 4-dp quantized (every graft
+    * scorer emits that), so the 1e4 grid key is exact; ranks are integer
+    * cumsums over the DESCENDING grid — no doubles anywhere in the keep
+    * decision. Plan shape: one grid aggregate (bounded by distinct 4-dp
+    * scores), the cumsum window over grid rows, a 1-row threshold
+    * broadcast onto the scan — the data is never sorted. */
+  def topFracByScore(
+      df: DataFrame,
+      scoreCol: Column,
+      frac: Double): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0,
+      s"topFracByScore needs 0 < frac <= 1, got $frac")
+    import org.apache.spark.sql.expressions.Window
+    val gv = floor(scoreCol * 10000.0 + 0.5).cast("long")
+    val rows = df.where(scoreCol.isNotNull)
+    val grid = rows.select(gv.as("_gv")).groupBy("_gv")
+      .agg(count(lit(1)).as("_cnt"))
+    val w = Window.orderBy(col("_gv").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // quota = ceil(frac·N) in exact integer arithmetic: the frac is a
+    // driver literal, so quantize it once to 1e-6 fixed point
+    val fracQ = math.floor(frac * 1.0e6 + 0.5).toLong
+    val thr = grid
+      .withColumn("_atOrAbove", sum(col("_cnt")).over(w))
+      .withColumn("_total", sum(col("_cnt")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      // ceil(fracQ·total / 1e6) without doubles (integer DIV — a double
+      // division would lose exactness past 2^53 at full corpus counts)
+      .withColumn("_quota", expr(s"(_total * ${fracQ}L + 999999L) DIV 1000000L"))
+      .where(col("_atOrAbove") >= col("_quota"))
+      .agg(max(col("_gv")).as("_thr"))
+    rows.withColumn("_gv", gv)
+      .crossJoin(broadcast(thr))
+      .where(col("_gv") >= col("_thr"))
+      .drop("_gv", "_thr")
+  }
 }

@@ -180,6 +180,23 @@ class SampleSpec extends SparkSpec {
     assert(cb == Set(0L), "all-equal data is all rank 0")
   }
 
+  test("topFracByScore: smallest threshold-superset; ties kept whole; frac=1 keeps all") {
+    // scores (4dp): 0.9 x1, 0.5 x3, 0.1 x2 -> N=6
+    val df = Seq((1L, 0.9), (2L, 0.5), (3L, 0.5), (4L, 0.5), (5L, 0.1), (6L, 0.1))
+      .toDF("id", "s")
+    def kept(frac: Double) = graft.ops.sample.topFracByScore(df, col("s"), frac)
+      .select("id").as[Long].collect().toSet
+    // quota ceil(0.25·6)=2 -> thr drops to 0.5 (at-or-above 4): ties whole
+    assert(kept(0.25) == Set(1L, 2L, 3L, 4L))
+    // quota 1 -> thr 0.9, exactly the top row
+    assert(kept(0.16) == Set(1L))
+    assert(kept(1.0) == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // null scores are excluded, not kept
+    val withNull = Seq((1L, Some(0.9)), (2L, None)).toDF("id", "s")
+    assert(graft.ops.sample.topFracByScore(withNull, col("s"), 1.0)
+      .select("id").as[Long].collect().toSet == Set(1L))
+  }
+
   test("packSequences: single-partition window never appears in the plan") {
     val packed = sample.packSequences(docs, "doc_id",
       graft.ops.text.tokenCount(col("text")).cast("long"), budget = 512)
