@@ -1461,6 +1461,16 @@ object SparkEntry {
           (floor(col("jacc") * 10000.0 + 0.5) / 10000.0).as("jacc"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // north-star: containment pairs — the asymmetric near-dup score
+    // (excerpt-inside-article) Jaccard structurally misses; no size
+    // prune, bounded by the df cap.
+    "dedup_containment_pairs" -> ((s, dir) =>
+      dedup.containmentPairs(table(s, dir, "documents"), "text", "doc_id",
+          threshold = 0.7)
+        .select(col("id_a"), col("id_b"),
+          (floor(col("containment") * 10000.0 + 0.5) / 10000.0).as("containment"))
+        .orderBy(col("id_a"), col("id_b"))),
+
     // north-star: deterministic percent sampling — pure scan filter on a
     // portable id hash, no RNG state, reproducible on any engine.
     "sample_det" -> ((s, dir) =>
@@ -3000,6 +3010,22 @@ object SparkEntry {
          |  FROM sh JOIN nn na ON sh.id_a = na.doc_id JOIN nn nb ON sh.id_b = nb.doc_id)
          |SELECT id_a, id_b, floor(jacc * 10000.0 + 0.5) / 10000.0 AS jacc
          |FROM j WHERE jacc >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_containment_pairs" ->
+      s"""WITH g AS ($SqlGrams),
+         |inv AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+         |nn AS (SELECT doc_id, count(*) AS n_grams FROM inv GROUP BY 1),
+         |dfs AS (SELECT gram, count(*) AS df FROM inv GROUP BY 1),
+         |p AS (SELECT inv.doc_id, inv.gram FROM inv JOIN dfs USING (gram)
+         |      WHERE df BETWEEN 2 AND 256),
+         |sh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+         |  FROM p a JOIN p b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |j AS (SELECT id_a, id_b,
+         |  c::DOUBLE / least(na.n_grams, nb.n_grams)::DOUBLE AS containment
+         |  FROM sh JOIN nn na ON sh.id_a = na.doc_id JOIN nn nb ON sh.id_b = nb.doc_id)
+         |SELECT id_a, id_b, floor(containment * 10000.0 + 0.5) / 10000.0 AS containment
+         |FROM j WHERE containment >= 0.7 ORDER BY id_a, id_b""".stripMargin,
 
     "sample_det" ->
       s"""SELECT doc_id, lang FROM documents

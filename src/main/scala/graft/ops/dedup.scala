@@ -306,7 +306,48 @@ object dedup {
       idCol: String,
       threshold: Double,
       n: Int = 3,
-      maxDf: Int = 256): DataFrame = {
+      maxDf: Int = 256): DataFrame =
+    sharedGramPairs(df, textCol, idCol, n, maxDf,
+      sizeRatioFloor = Some(threshold))
+      .withColumn("jacc",
+        col("c").cast("double") / (col("n_a") + col("n_b") - col("c")))
+      .where(col("jacc") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jacc"))
+
+  /** n-gram CONTAINMENT pairs: `c / min(|A|, |B|)` — the asymmetric
+    * near-dup score Jaccard structurally misses: a short document fully
+    * contained in a long one (quote + commentary, excerpt + boilerplate,
+    * article + syndicated wrapper) has jaccard ≈ |A|/|B| (tiny) but
+    * containment 1.0. The standard second screen next to [[jaccardPairs]]
+    * in corpus dedup. Same inverted-index counting and [2, maxDf] df-gate
+    * — but NO size-ratio prune: size-mismatched pairs are exactly the
+    * ones this score exists to keep. Work stays bounded by the df cap
+    * (per-shingle expansion ≤ maxDf²/2). */
+  def containmentPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      n: Int = 3,
+      maxDf: Int = 256): DataFrame =
+    sharedGramPairs(df, textCol, idCol, n, maxDf, sizeRatioFloor = None)
+      .withColumn("containment",
+        col("c").cast("double") / least(col("n_a"), col("n_b")).cast("double"))
+      .where(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+
+  /** Shared-shingle pair counting (the engine under [[jaccardPairs]] and
+    * [[containmentPairs]]): `(id_a, id_b, n_a, n_b, c)` for every pair
+    * sharing ≥ 1 shingle with df in `[2, maxDf]`. `sizeRatioFloor`
+    * applies the AllPairs/PPJoin size prune (lossless for Jaccard-style
+    * thresholds, WRONG for containment — hence optional). */
+  private def sharedGramPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      maxDf: Int,
+      sizeRatioFloor: Option[Double]): DataFrame = {
     // Each posting carries its doc's gram-set SIZE alongside the id
     // (grams are distinct per doc, so |gram set| = size of the shingle
     // array, computed in the scan — no per-doc aggregation shuffle, and
@@ -336,20 +377,20 @@ object dedup {
       .agg(sort_array(collect_list(col("d"))).as("ds"))
       .select(explode(pairsOf(col("ds"))).as("p"))
       // Size filter (AllPairs/PPJoin family, Bayardo et al. WWW'07,
-      // exact): c <= min(n_a, n_b), so jacc <= min/max — a pair whose
-      // gram-set sizes differ by more than the threshold ratio can never
-      // reach it. Dropping those rows HERE, before the pair-count
-      // exchange, prunes the shuffle for size-skewed corpora and costs
-      // one comparison on values already in the pair struct.
-      .where(least(col("p.id_a.n"), col("p.id_b.n")).cast("double") >=
-        lit(threshold) * greatest(col("p.id_a.n"), col("p.id_b.n")))
+      // exact for Jaccard): c <= min(n_a, n_b), so jacc <= min/max — a
+      // pair whose gram-set sizes differ by more than the threshold
+      // ratio can never reach it. Dropping those rows HERE, before the
+      // pair-count exchange, prunes the shuffle for size-skewed corpora
+      // and costs one comparison on values already in the pair struct.
+      .where(sizeRatioFloor match {
+        case Some(t) =>
+          least(col("p.id_a.n"), col("p.id_b.n")).cast("double") >=
+            lit(t) * greatest(col("p.id_a.n"), col("p.id_b.n"))
+        case None => lit(true)
+      })
       .groupBy(col("p.id_a.id").as("id_a"), col("p.id_b.id").as("id_b"),
         col("p.id_a.n").as("n_a"), col("p.id_b.n").as("n_b"))
       .agg(count(lit(1)).as("c"))
-      .withColumn("jacc",
-        col("c").cast("double") / (col("n_a") + col("n_b") - col("c")))
-      .where(col("jacc") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jacc"))
   }
 
   // ---- SimHash ---------------------------------------------------------

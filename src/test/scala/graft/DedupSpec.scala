@@ -90,6 +90,23 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("containmentPairs: excerpt inside a long doc scores 1.0 where jaccard misses it") {
+    // doc 20 = a 6-token excerpt of doc 21 (4 distinct 3-gram shingles,
+    // all contained); doc 21 has many more shingles -> jaccard is small
+    val excerpt = "alpha beta gamma delta epsilon zeta"
+    val long = excerpt + " eta theta iota kappa lambda mu nu xi omicron pi rho sigma"
+    val cdocs = Seq((20L, excerpt), (21L, long), (22L, "totally different words here now"))
+      .toDF("doc_id", "text")
+    val cont = dedup.containmentPairs(cdocs, "text", "doc_id", threshold = 0.9)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(cont((20L, 21L)) == 1.0, "full excerpt containment")
+    assert(cont.size == 1)
+    // jaccard at the same bar structurally misses the pair
+    val jac = dedup.jaccardPairs(cdocs, "text", "doc_id", threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(jac.isEmpty)
+  }
+
   test("simhash: identical equal; near-dup within a few bits; unrelated far") {
     val sh = dedup.simhash(docs, "text", "doc_id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
