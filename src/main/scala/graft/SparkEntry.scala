@@ -526,6 +526,14 @@ object SparkEntry {
       text.lexicalDiversity(table(s, dir, "documents"), "text", "doc_id")
         .orderBy(col("doc_id"))),
 
+    // north-star: Gopher hard-threshold rule bundle (Rae et al. 2021) —
+    // the standard pre-filter stack before any model gate; all signals
+    // from ONE bound token array, in row, zero shuffle.
+    "text_gopher_quality" -> ((s, dir) =>
+      text.gopherQuality(table(s, dir, "documents"), "text", "doc_id",
+          minWords = 20)
+        .orderBy(col("doc_id"))),
+
     // north-star: character-entropy quality signal — mash and
     // base64/hex blobs sit in the tails prose never reaches.
     "text_char_entropy" -> ((s, dir) =>
@@ -1292,6 +1300,13 @@ object SparkEntry {
       EventStream.rollingAgg(events(s, dir), windowSec = 3600)
         .select(col("event_id"), col("epoch_s"), col("mov_n"),
           col("mov_sum_micros"), col("mov_avg"))
+        .orderBy(col("event_id"))),
+
+    // per-user EWMA over the last k events — dyadic weights make the
+    // weighted numerator/denominator exact integers; one user shuffle.
+    "events_ewma" -> ((s, dir) =>
+      EventStream.ewma(events(s, dir), k = 4)
+        .select(col("event_id"), col("user_id"), col("ewma_n"), col("ewma"))
         .orderBy(col("event_id"))),
 
     // trailing z-score anomaly signal — exact-integer window moments,
@@ -2275,6 +2290,27 @@ object SparkEntry {
          |  floor(n_types::DOUBLE / n_tokens::DOUBLE * 10000.0 + 0.5) / 10000.0 AS ttr
          |FROM s WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin,
 
+    "text_gopher_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, $SqlToks AS toks FROM documents),
+         |s AS (SELECT doc_id, len(toks)::BIGINT AS n_words,
+         |  coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::BIGINT AS sum_len,
+         |  len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::BIGINT AS n_alpha,
+         |  len(list_filter(['the','be','to','of','and','that','have','with'],
+         |    w -> list_contains(toks, w)))::BIGINT AS n_stop_hits,
+         |  (length(text) - length(regexp_replace(text, '[#…]', '', 'g')))::BIGINT AS n_sym
+         |  FROM t),
+         |q AS (SELECT doc_id, n_words,
+         |  CASE WHEN n_words > 0 THEN ${r4("sum_len::DOUBLE / n_words")} ELSE 0.0 END AS mean_word_len,
+         |  CASE WHEN n_words > 0 THEN ${r4("n_alpha::DOUBLE / n_words")} ELSE 0.0 END AS alpha_frac,
+         |  CASE WHEN n_words > 0 THEN ${r4("n_sym::DOUBLE / n_words")} ELSE 0.0 END AS symbol_ratio,
+         |  n_stop_hits FROM s)
+         |SELECT doc_id, n_words, mean_word_len, alpha_frac, symbol_ratio, n_stop_hits,
+         |  (n_words >= 20 AND n_words <= 100000
+         |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |   AND alpha_frac >= 0.8 AND symbol_ratio <= 0.1
+         |   AND n_stop_hits >= 2)::INTEGER AS keep
+         |FROM q ORDER BY doc_id""".stripMargin,
+
     "text_char_entropy" ->
       """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
         |cf AS (SELECT doc_id, ch, count(*)::BIGINT AS cnt FROM ch GROUP BY 1, 2),
@@ -2820,6 +2856,21 @@ object SparkEntry {
         |    RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW))
         |SELECT event_id, epoch_s, mov_n, mov_sum_micros,
         |  floor(mov_sum_micros / 1000000.0 / mov_n * 10000.0 + 0.5) / 10000.0 AS mov_avg
+        |FROM w ORDER BY event_id""".stripMargin,
+
+    // Same frame-ordered list (event_id tiebreak); index weights 2^(i-1)
+    // via an indexed list rebuild — exact integer num/den, one division.
+    "events_ewma" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS eus,
+        |  floor(value * 1000000.0)::BIGINT AS vq FROM events),
+        |w AS (SELECT event_id, user_id,
+        |  list(vq) OVER (PARTITION BY user_id ORDER BY eus, event_id
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS l FROM e)
+        |SELECT event_id, user_id, len(l)::BIGINT AS ewma_n,
+        |  floor(list_sum(list_transform(range(1, len(l) + 1),
+        |      i -> l[i] * (1::BIGINT << (i - 1))))::DOUBLE
+        |    / ((1::BIGINT << len(l)) - 1)::DOUBLE / 1000000.0
+        |    * 10000.0 + 0.5) / 10000.0 AS ewma
         |FROM w ORDER BY event_id""".stripMargin,
 
     // Same lag window (event_id tiebreak), integer shares.

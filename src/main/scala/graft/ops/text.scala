@@ -906,4 +906,75 @@ object text {
         vectors.quantize(
           (col("sja") + col("sjb")).cast("double") / lit(2.0) / lit(1.0e12), 6).as("js"))
   }
+
+  /** The Gopher rule set's required stopwords (Rae et al. 2021, §A1.1):
+    * a doc passing the other gates but containing fewer than 2 of these
+    * is usually a listing, not prose. */
+  val GopherStop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document quality RULE BUNDLE (Rae et al. 2021, §A1.1)
+    * — the standard hard-threshold pre-filter stack applied before any
+    * model-based gate:
+    *   - word count within `[minWords, maxWords]`
+    *   - mean word length within `[minMeanLen, maxMeanLen]` (mash and
+    *     concatenated-token junk live outside 3–10 chars)
+    *   - ≥ `minAlphaFrac` of words contain an alphabetic character
+    *     (drops number/symbol tables)
+    *   - symbol-to-word ratio (`#`/`…` chars per word) ≤ `maxSymbolRatio`
+    *   - ≥ `minStopHits` DISTINCT required stopwords ([[GopherStop]] —
+    *     an English-centric rule by design, gate after language routing)
+    *
+    * Entirely IN ROW: the token array is bound ONCE per doc and every
+    * signal is an array traversal of it — zero shuffle, composes with
+    * any scan, and `WHERE keep = 1` pushes into the scan like every
+    * other row-local gate here. All surfaced ratios are exact-integer
+    * divisions floor-quantized to 4 dp, and the gate compares the
+    * QUANTIZED values, so an independent engine reproduces every flag.
+    *
+    * Returns `(idCol, n_words, mean_word_len, alpha_frac, symbol_ratio,
+    * n_stop_hits, keep)` for every doc (keep is a flag, not a filter —
+    * callers audit the near-misses before dropping 100 TB of them). */
+  def gopherQuality(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanLen: Double = 3.0,
+      maxMeanLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8,
+      maxSymbolRatio: Double = 0.1,
+      minStopHits: Int = 2): org.apache.spark.sql.DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords,
+      s"gopherQuality needs 1 <= minWords <= maxWords, got [$minWords, $maxWords]")
+    val q4 = (c: Column) => floor(c * 10000.0 + 0.5) / 10000.0
+    val nSym = length(col(textCol)) -
+      length(regexp_replace(col(textCol), "[#…]", ""))
+    val stats = df.select(col(idCol), nSym.cast("bigint").as("_n_sym"),
+        tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), col("_n_sym"),
+        size(col("_toks")).cast("bigint").as("n_words"),
+        aggregate(col("_toks"), lit(0L), (acc, t) => acc + length(t))
+          .as("_sum_len"),
+        size(filter(col("_toks"), t => t.rlike("[a-z]")))
+          .cast("bigint").as("_n_alpha"),
+        size(filter(array(GopherStop.map(lit): _*),
+            w => array_contains(col("_toks"), w)))
+          .cast("bigint").as("n_stop_hits"))
+    val n = col("n_words").cast("double")
+    val gated = stats.select(col(idCol), col("n_words"),
+      when(col("n_words") > 0, q4(col("_sum_len").cast("double") / n))
+        .otherwise(lit(0.0)).as("mean_word_len"),
+      when(col("n_words") > 0, q4(col("_n_alpha").cast("double") / n))
+        .otherwise(lit(0.0)).as("alpha_frac"),
+      when(col("n_words") > 0, q4(col("_n_sym").cast("double") / n))
+        .otherwise(lit(0.0)).as("symbol_ratio"),
+      col("n_stop_hits"))
+    gated.withColumn("keep",
+      (col("n_words") >= minWords && col("n_words") <= maxWords &&
+        col("mean_word_len") >= minMeanLen && col("mean_word_len") <= maxMeanLen &&
+        col("alpha_frac") >= minAlphaFrac &&
+        col("symbol_ratio") <= maxSymbolRatio &&
+        col("n_stop_hits") >= minStopHits).cast("int"))
+  }
 }

@@ -320,6 +320,61 @@ object EventStream {
       .drop("_vq", "_s1", "_s2", "_den2")
   }
 
+  /** Per-user exponentially weighted moving average over each user's
+    * last `k` events — the recency-weighted twin of [[rollingAgg]]'s
+    * uniform window (trend detection, per-entity rate smoothing,
+    * feature engineering where "recent" should outweigh "old").
+    *
+    * Decay is fixed at alpha = 1/2 with an explicitly NORMALIZED
+    * bounded window: event at lag `j` (0 = current) carries weight
+    * `2^(n-1-j) / (2^n − 1)` over the `n ≤ k` events present — which
+    * converges to the textbook `s_t = ½v_t + ½s_{t-1}` stream as n
+    * grows, and is well-defined from the very first event (no warmup
+    * bias). Dyadic weights are the determinism trick: values quantize
+    * to 1e-6 fixed-point longs and every weight is a power of two, so
+    * the weighted numerator `Σ q_j·2^(n-1-j)` and denominator `2^n − 1`
+    * are EXACT integers — order-free, partition-free, engine-free — and
+    * the EWMA is one exactly-rounded double division at the end.
+    *
+    * Plan shape: ONE shuffle on `userCol`, then a ROWS frame ordered by
+    * (event time, `idCol`) — the id tiebreak makes the frame a total
+    * order, so the frame-ordered list (and therefore every digit) is
+    * deterministic. Frames hold ≤ k longs per row; k ≤ 32 keeps
+    * `2^k·1e6·maxV` far inside int64 headroom.
+    *
+    * Returns the input plus `(ewma_n, ewma)` (frame size; 4 dp). */
+  def ewma(
+      events: DataFrame,
+      k: Int = 8,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      idCol: String = "event_id"): DataFrame = {
+    require(k >= 1 && k <= 32, s"graft: ewma needs 1 <= k <= 32, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("_eus"), col(idCol))
+      .rowsBetween(-(k - 1L), Window.currentRow)
+    events
+      .withColumn("_eus", expr(s"unix_micros($tsCol)"))
+      .withColumn("_vq", floor(col(valueCol) * 1e6).cast("long"))
+      .withColumn("_l", collect_list(col("_vq")).over(w))
+      .withColumn("ewma_n", size(col("_l")).cast("bigint"))
+      // oldest-first list: weight of element i (0-based) is 2^i — carried
+      // as a running power in the fold, so no column-exponent shift needed
+      .withColumn("_num", aggregate(col("_l"),
+        struct(lit(0L).as("s"), lit(1L).as("p")),
+        (acc, x) => struct(
+          (acc.getField("s") + x * acc.getField("p")).as("s"),
+          (acc.getField("p") * 2L).as("p")),
+        acc => acc.getField("s")))
+      .withColumn("ewma", graft.functions.vectors.quantize(
+        col("_num").cast("double") /
+          (expr("shiftleft(CAST(1 AS BIGINT), CAST(ewma_n AS INT))") - 1L)
+            .cast("double") / 1e6, 4))
+      .drop("_eus", "_vq", "_l", "_num")
+  }
+
   /** Weekly cohort retention: users grouped by the epoch-week of their
     * first event (the cohort), counted at each later week offset they
     * reappear — the (cohort_week, week_offset, n_users) retention

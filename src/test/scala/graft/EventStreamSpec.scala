@@ -208,6 +208,30 @@ class EventStreamSpec extends SparkSpec {
       (5L, 1L, 16000000L)))
   }
 
+  test("ewma: dyadic recency weights over the last k events, id tiebreak, per-user frames") {
+    val rows = Seq(
+      (1L, ts("2024-01-01 00:01:00"), 7L, 1.0),
+      (2L, ts("2024-01-01 00:02:00"), 7L, 2.0),
+      (3L, ts("2024-01-01 00:03:00"), 7L, 4.0),
+      (4L, ts("2024-01-01 00:04:00"), 7L, 8.0),
+      // user 8: same-second tie — event_id orders the frame
+      (5L, ts("2024-01-01 00:05:00"), 8L, 1.0),
+      (6L, ts("2024-01-01 00:05:00"), 8L, 4.0)
+    ).toDF("event_id", "ts", "user_id", "value")
+    val r = EventStream.ewma(rows, k = 3)
+      .select("event_id", "ewma_n", "ewma")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(r == Seq(
+      (1L, 1L, 1.0),               // single event: ewma = value
+      (2L, 2L, 1.6667),            // (1 + 2·2)/3 = 5/3, half-up 4dp
+      (3L, 3L, 3.0),               // (1 + 2·2 + 4·4)/7 = 21/7
+      (4L, 3L, 6.0),               // frame slid: (2 + 2·4 + 4·8)/7 = 42/7
+      (5L, 1L, 1.0),               // tie ordered by id: 5 first...
+      (6L, 2L, 3.0)))              // ...then (1 + 2·4)/3 = 3
+    // recency-weighted: after the jump to 8.0 the EWMA (6.0) sits above
+    // the uniform mean of the same frame ((2+4+8)/3 = 4.67)
+  }
+
   test("enrichStream: static dim broadcast onto a true stream; misses pass through") {
     implicit val sql = spark.sqlContext
     val dim = Seq((7L, "gold"), (8L, "trial")).toDF("user_id", "segment")

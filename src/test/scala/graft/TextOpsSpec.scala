@@ -341,4 +341,32 @@ class TextOpsSpec extends SparkSpec {
     // KL asymmetric and positive on genuinely different corpora; JS bounded
     assert(got._4 > 0 && got._5 > 0 && got._6 > 0 && got._6 <= math.log(2.0))
   }
+
+  test("gopherQuality gates each rule independently on hand-built docs") {
+    val docs = Seq(
+      // passes every gate: 6 words >= minWords=5, mean len in [3,10],
+      // all alpha, no symbols, 2 distinct required stopwords
+      (1L, "the cat sat with the dog"),
+      (2L, "one two"),                            // too few words
+      (3L, "the numbers eleven 111 222 333"),     // alpha_frac 3/6 = 0.5 < 0.8
+      (4L, "the ## cat ## sat with dog"),         // 4 '#' / 7 words > 0.1
+      (5L, "aa bb cc dd ee ff"),                  // zero required stopwords
+      (6L, "the supercalifragilistic words with extreme elongation here"),
+      (7L, ""))                                   // empty: every count 0
+      .toDF("doc_id", "text")
+    val r = text.gopherQuality(docs, "text", "doc_id", minWords = 5)
+      .as[(Long, Long, Double, Double, Double, Long, Int)]
+      .collect().map(t => t._1 -> t).toMap
+
+    assert(r(1L) == ((1L, 6L, 3.1667, 1.0, 0.0, 2L, 1)))
+    assert(r(2L)._7 == 0 && r(2L)._2 == 2L)       // word-count gate
+    assert(r(3L)._7 == 0 && r(3L)._4 == 0.5)      // alpha-fraction gate
+    assert(r(4L)._7 == 0 && r(4L)._5 == 0.5714)   // symbol-ratio gate
+    assert(r(5L)._7 == 0 && r(5L)._6 == 0L)       // stopword gate
+    // mean word length (3+20+5+4+7+10+4)/7 = 53/7 = 7.5714 in [3,10]: passes
+    assert(r(6L) == ((6L, 7L, 7.5714, 1.0, 0.0, 2L, 1)))
+    assert(r(7L) == ((7L, 0L, 0.0, 0.0, 0.0, 0L, 0)))
+    // the flag NEVER drops rows — audit-then-drop contract
+    assert(r.size == 7)
+  }
 }
