@@ -817,6 +817,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // north-star: the bench gram set as a constant-size Bloom sketch —
+    // 64 words of 63 bits; one hash-only distinct, one bit_or aggregate.
+    "decontam_bloom_sketch" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      decontam.benchGramBloom(docs.where(col("doc_id") % 20 === 0), "text")
+        .orderBy(col("word"))
+    }),
+
+    // north-star: decontamination via the bloom — the words ride the
+    // plan as a literal array; train corpus scanned once, never
+    // shuffled; false positives deterministic (same public hash family
+    // in the oracle), false negatives impossible.
+    "decontam_bloom" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val bl = decontam.benchGramBloom(docs.where(col("doc_id") % 20 === 0), "text")
+      decontam.bloomScreenHits(
+        docs.where(col("doc_id") % 20 =!= 0), bl, "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // north-star: embedding-space decontamination — the paraphrase
     // complement of the n-gram screen; bench vectors broadcast, train
     // corpus scanned once, never shuffled.
@@ -1895,6 +1915,46 @@ object SparkEntry {
          |tg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 20 != 0)
          |SELECT doc_id, count(*) AS hits FROM tg JOIN bg USING (gram)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Same 63-bit-word packing over the same affine family; bit_or
+    // aggregate onto the full 64-word spine.
+    "decontam_bloom_sketch" ->
+      s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+         |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 6),
+         |  i -> array_to_string(list_slice(toks, i, i + 7), ' '))) AS grams
+         |  FROM t WHERE len(toks) >= 8),
+         |bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 20 = 0),
+         |h AS (SELECT DISTINCT ${hashing.sqlH32("gram")} AS hb FROM bg),
+         |c AS (SELECT (${hashing.sqlAffineVar("hb", "j")}) % 4032 AS pos
+         |  FROM h CROSS JOIN range(0, 3) r(j)),
+         |w AS (SELECT pos // 63 AS word,
+         |  bit_or(1::BIGINT << (pos % 63)::INT) AS bits FROM c GROUP BY 1)
+         |SELECT s.word, coalesce(w.bits, 0)::BIGINT AS bits
+         |FROM range(0, 64) s(word) LEFT JOIN w USING (word) ORDER BY word""".stripMargin,
+
+    // The same bloom rebuilt in SQL, probed gram-by-gram: a gram is a
+    // member iff all 3 of its bits are set — false positives reproduce
+    // exactly (same public hash family).
+    "decontam_bloom" ->
+      s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+         |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 6),
+         |  i -> array_to_string(list_slice(toks, i, i + 7), ' '))) AS grams
+         |  FROM t WHERE len(toks) >= 8),
+         |bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 20 = 0),
+         |h AS (SELECT DISTINCT ${hashing.sqlH32("gram")} AS hb FROM bg),
+         |c AS (SELECT (${hashing.sqlAffineVar("hb", "j")}) % 4032 AS pos
+         |  FROM h CROSS JOIN range(0, 3) r(j)),
+         |w AS (SELECT pos // 63 AS word,
+         |  bit_or(1::BIGINT << (pos % 63)::INT) AS bits FROM c GROUP BY 1),
+         |tg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 20 != 0),
+         |th AS (SELECT doc_id, gram, ${hashing.sqlH32("gram")} AS hb FROM tg),
+         |pc AS (SELECT doc_id, gram, (${hashing.sqlAffineVar("hb", "j")}) % 4032 AS pos
+         |  FROM th CROSS JOIN range(0, 3) r(j)),
+         |ok AS (SELECT doc_id, gram FROM pc JOIN w ON pc.pos // 63 = w.word
+         |  AND (w.bits & (1::BIGINT << (pc.pos % 63)::INT)) != 0
+         |  GROUP BY doc_id, gram HAVING count(*) = 3)
+         |SELECT doc_id, count(*) AS hits FROM ok GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     "decontam_semantic" ->
       s"""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

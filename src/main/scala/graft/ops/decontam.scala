@@ -97,6 +97,55 @@ object decontam {
     train.join(broadcast(bad), Seq(idCol), "left_anti")
   }
 
+  /** [[sketch.bloom]] of a benchmark's DISTINCT word n-gram shingles —
+    * the shippable membership state for [[bloomScreenHits]]. Build once
+    * per benchmark release; `mBits/63` longs replace millions of gram
+    * strings. */
+  def benchGramBloom(
+      bench: DataFrame,
+      textCol: String,
+      n: Int = 8,
+      mBits: Int = 4032,
+      k: Int = 3): DataFrame =
+    sketch.bloom(
+      bench.select(explode(dedup.wordShingles(col(textCol), n)).as("gram")),
+      col("gram"), mBits, k)
+
+  /** [[contaminationHits]] against a BLOOM of the benchmark gram set
+    * instead of the gram strings themselves — the shape for benchmarks
+    * too large to broadcast as text (the bloom is `mBits/63` longs
+    * regardless of gram count). Guarantees of the screen:
+    *   - NO FALSE NEGATIVES: every doc [[contaminationHits]] flags is
+    *     flagged here with at least the same hit count (bloom membership
+    *     is a superset of set membership) — the property a screen needs;
+    *   - false-positive hits at the standard bloom rate, DETERMINISTIC
+    *     and engine-reproducible (public hash family), so the flagged
+    *     set is still oracle-checkable bit-for-bit. Size `mBits` for
+    *     the target rate and verify survivors with the exact check.
+    *
+    * Plan shape: the bloom words ride the plan as a LITERAL array
+    * ([[sketch.bloomMightContain]] — pure scan work); the train corpus
+    * is never shuffled, and only gram hits enter the per-doc count
+    * aggregate, whose volume is bounded by contamination + FP rate.
+    * `bloomDf` is collected driver-side — `mBits/63` rows by
+    * construction, the same bounded-state contract as the PQ codebooks. */
+  def bloomScreenHits(
+      train: DataFrame,
+      bloomDf: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 8,
+      mBits: Int = 4032,
+      k: Int = 3): DataFrame = {
+    val words = bloomDf.orderBy(col("word"))
+      .select(col("bits")).collect().map(_.getLong(0)).toSeq
+    train
+      .select(col(idCol), explode(dedup.wordShingles(col(textCol), n)).as("gram"))
+      .where(sketch.bloomMightContain(words, col("gram"), mBits, k))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("hits"))
+  }
+
   /** Drop training docs with ≥ `minHits` shared n-grams (anti-join on the
     * contaminated id list — thin, never the text payload). */
   def decontaminate(

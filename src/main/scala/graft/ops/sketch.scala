@@ -348,6 +348,100 @@ object sketch {
           .otherwise(jac * unionEst)).as("intersect_est")): _*)
   }
 
+  /** Bits per Bloom word: 63, not 64 — the highest bit index is 62, so
+    * the mask `1 << bit` stays strictly positive in a signed int64.
+    * Engines disagree at the 64th bit (DuckDB raises on
+    * `1::BIGINT << 63`; Java wraps to Long.MinValue), and a sketch
+    * whose bytes must reproduce bit-for-bit on any engine cannot sit on
+    * that edge. 63-bit words cost ~1.6% extra words and remove the
+    * entire signed-overflow class. */
+  val BloomWordBits = 63
+
+  /** Number of 63-bit words a [[bloom]] of `mBits` bits occupies. */
+  def bloomWordCount(mBits: Int): Int =
+    (mBits + BloomWordBits - 1) / BloomWordBits
+
+  /** Bloom filter of a value column as a (word, bits) table:
+    * `k` [[hashing.affine]] positions per distinct value over `mBits`
+    * bits, packed into [[BloomWordBits]]-bit words — the CONSTANT-SIZE
+    * set-membership state for the 100 TB regime. The classic use is
+    * decontamination at fleet scale: a benchmark's n-gram set can be
+    * millions of strings (too big to broadcast as text), but its bloom
+    * is `mBits/63` longs — ship the sketch, screen any corpus against
+    * it with zero false NEGATIVES ([[graft.ops.decontam.bloomScreenHits]]).
+    *
+    * Like every sketch here the content is a pure deterministic
+    * function of the input SET and a public hash family — false
+    * positives included — so an independent engine reproduces every
+    * word bit-for-bit and the driver's oracle hash-matches it.
+    *
+    * Plan shape: one distinct on the 32-bit base hash (cells derive
+    * from the hash alone, so the shuffle carries 8-byte longs, never
+    * values) → explode to `k` thin (word, mask) cells → one `bit_or`
+    * aggregate with map-side combine; emitted on the FULL word spine
+    * (absent word = 0) so the artifact has a fixed shape and merges /
+    * indexes positionally. MERGEABLE: [[bloomMerge]] is word-wise OR —
+    * `merge(bloom(A), bloom(B)) ≡ bloom(A ∪ B)` exactly. */
+  def bloom(
+      df: DataFrame,
+      valueCol: Column,
+      mBits: Int = 4032,
+      k: Int = 3): DataFrame = {
+    require(mBits >= BloomWordBits,
+      s"bloom needs mBits >= $BloomWordBits, got $mBits")
+    require(k >= 1 && k <= 16, s"bloom needs 1 <= k <= 16, got $k")
+    val cells = df.where(valueCol.isNotNull)
+      .select(hashing.h32(valueCol.cast("string")).as("_h"))
+      .distinct()
+      .select(explode(array((0 until k).map(j =>
+        pmod(hashing.affine(col("_h"), j), lit(mBits.toLong))): _*)).as("_pos"))
+      .select(floor(col("_pos") / lit(63.0)).cast("long").as("word"),
+        call_function("shiftleft", lit(1L),
+          (col("_pos") % 63L).cast("int")).as("_mask"))
+      .groupBy(col("word"))
+      .agg(expr("bit_or(_mask)").as("bits"))
+    df.sparkSession.range(bloomWordCount(mBits)).toDF("word")
+      .join(cells, Seq("word"), "left")
+      .select(col("word"), coalesce(col("bits"), lit(0L)).as("bits"))
+  }
+
+  /** Word-wise union of two [[bloom]]s (same `mBits`/`k`):
+    * `bloomMerge(bloom(A), bloom(B)) ≡ bloom(A ∪ B)` exactly (OR is
+    * associative, commutative, idempotent) — per-day / per-source
+    * membership state rolls up without re-reading any corpus. */
+  def bloomMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("word"))
+      .agg(expr("bit_or(bits)").as("bits"))
+
+  /** In-row membership test against a DRIVER-held [[bloom]] word array
+    * (`words(i)` = word `i` of the spine — `mBits/63` longs, bounded by
+    * construction like the PQ codebooks and Count-Min probe cells):
+    * true iff ALL `k` positions of `c` are set. False positives at the
+    * standard `(1-e^{-kn/m})^k` rate — and because the hash family is
+    * public and deterministic, the SAME false positives on every
+    * engine; false negatives never. The predicate is pure scan work —
+    * the probed corpus is never shuffled, the sketch rides the plan as
+    * a literal array. */
+  def bloomMightContain(
+      words: Seq[Long],
+      c: Column,
+      mBits: Int = 4032,
+      k: Int = 3): Column = {
+    require(words.length == bloomWordCount(mBits),
+      s"bloomMightContain needs ${bloomWordCount(mBits)} words for mBits=$mBits, " +
+        s"got ${words.length}")
+    require(k >= 1 && k <= 16, s"bloomMightContain needs 1 <= k <= 16, got $k")
+    val wcol = array(words.map(lit): _*)
+    val base = hashing.h32(c.cast("string"))
+    (0 until k).map { j =>
+      val pos = pmod(hashing.affine(base, j), lit(mBits.toLong))
+      val word = element_at(wcol, floor(pos / lit(63.0)).cast("int") + 1)
+      val mask = call_function("shiftleft", lit(1L), (pos % 63L).cast("int"))
+      word.bitwiseAND(mask) === mask
+    }.reduce(_ && _)
+  }
+
   /** Register values are capped at this rho so the harmonic sum stays an
     * EXACT int64: `Σ_j 2^(40-rho_j) ≤ m·2⁴⁰` fits for any `p ≤ 16`. A
     * register only exceeds 40 with probability 2⁻⁴⁰ per distinct value —

@@ -72,6 +72,26 @@ class DecontamSpec extends SparkSpec {
     assert(!all.select("train_id").as[Long].collect().contains(3L))
   }
 
+  test("bloom screen: superset of the exact screen, zero train shuffles") {
+    val bloom = decontam.benchGramBloom(bench, "text")
+    val exact = decontam.contaminationHits(train, bench, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    val screened = decontam.bloomScreenHits(train, bloom, "text", "doc_id")
+    val byBloom = screened.as[(Long, Long)].collect().toMap
+    // no false negatives: every exact hit is flagged with >= the count
+    exact.foreach { case (id, n) =>
+      assert(byBloom.contains(id) && byBloom(id) >= n,
+        s"doc $id: bloom ${byBloom.get(id)} < exact $n")
+    }
+    // on this fixture the FP odds are ~0.2%/gram — the clean doc stays clean
+    assert(!byBloom.contains(2L))
+    // scan-shaped: the probed corpus reaches its aggregate with exactly
+    // one exchange (the per-doc count) — the sketch rides as a literal
+    val exchanges = screened.queryExecution.executedPlan.toString()
+      .linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected 1 exchange (the doc-count), got $exchanges")
+  }
+
   test("semantic screen broadcasts the bench side — train is never shuffled") {
     val p = decontam.semanticHits(trainVec, benchVec, "id", "vec", 0.9)
       .queryExecution.executedPlan.toString

@@ -238,4 +238,41 @@ class SketchSpec extends SparkSpec {
     val s2 = sketch.hll(clean, col("v"), Seq("g"), 6)
     assert(s1.exceptAll(s2).count() == 0 && s2.exceptAll(s1).count() == 0)
   }
+
+  test("bloom: full spine, merge law, no false negatives, 63-bit masks") {
+    val a = (0 until 50).map(i => s"a$i").toDF("v")
+    val b = (0 until 50).map(i => s"b$i").toDF("v")
+    val both = a.unionByName(b)
+    val (m, k) = (1953, 3) // 31 words of 63 bits exactly
+
+    val bl = sketch.bloom(both, col("v"), m, k).orderBy("word")
+      .as[(Long, Long)].collect().toSeq
+    // fixed-shape artifact: the full word spine, in order
+    assert(bl.map(_._1) == (0L until 31L))
+    // no mask ever reaches bit 63: every word is non-negative
+    assert(bl.forall(_._2 >= 0L))
+
+    // merge law: word-wise OR of the halves == bloom of the union
+    val merged = sketch.bloomMerge(
+      sketch.bloom(a, col("v"), m, k), sketch.bloom(b, col("v"), m, k))
+      .orderBy("word").as[(Long, Long)].collect().toSeq
+    assert(merged == bl)
+
+    // nulls are no observation
+    val withNull = both.unionByName(Seq(Option.empty[String]).toDF("v"))
+    assert(sketch.bloom(withNull, col("v"), m, k).orderBy("word")
+      .as[(Long, Long)].collect().toSeq == bl)
+
+    // no false negatives: every inserted value tests true in-row
+    val words = bl.map(_._2)
+    val misses = both
+      .where(!sketch.bloomMightContain(words, col("v"), m, k)).count()
+    assert(misses == 0L)
+    // and the filter rejects the bulk of a disjoint probe set (FP rate
+    // at n=100, m=1953, k=3 is ~0.2% — 500 probes, allow a handful)
+    val probes = (0 until 500).map(i => s"z$i").toDF("v")
+    val fps = probes
+      .where(sketch.bloomMightContain(words, col("v"), m, k)).count()
+    assert(fps <= 10L, s"implausible bloom FP count $fps/500")
+  }
 }
