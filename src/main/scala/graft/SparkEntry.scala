@@ -1223,6 +1223,16 @@ object SparkEntry {
           col("sum_l_quantity").cast("long").as("sum_qty"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
 
+    // explicit grouping sets — the two independent marginals plus the
+    // grand total, none of the cross cells: one Expand pass, one scan.
+    "rel_grouping_sets" -> ((s, dir) =>
+      rel.groupingSetsAgg(table(s, dir, "lineitem"),
+          Seq(Seq("l_returnflag"), Seq("l_linestatus"), Seq.empty),
+          Seq("l_returnflag", "l_linestatus"), "l_quantity")
+        .select(col("l_returnflag"), col("l_linestatus"), col("n"),
+          col("sum_l_quantity").cast("long").as("sum_qty"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
     // per-group Pearson correlation from EXACT fixed-point moments —
     // order-free long sums; the float formula runs once per group.
     "rel_corr" -> ((s, dir) =>
@@ -2902,6 +2912,14 @@ object SparkEntry {
         |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
         |  count(*) AS n, sum(l_quantity)::BIGINT AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "rel_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  count(*) AS n, sum(l_quantity)::BIGINT AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     // Same RANGE frame over whole-second event times; fixed-point sums,

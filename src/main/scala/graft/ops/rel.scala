@@ -141,6 +141,32 @@ object rel {
         Seq(col("n"), col(s"sum_$valueCol")): _*)
   }
 
+  /** Explicit GROUPING SETS aggregate — the general form that
+    * [[rollupAgg]] (prefix sets) and [[cubeAgg]] (all 2ᵏ subsets)
+    * specialize: aggregate exactly the facet combinations the report
+    * needs, nothing else. Still ONE Expand+agg pass over ONE scan —
+    * `sets.size` rows per input into the partial aggregate, with
+    * map-side combine — where the naive union-of-groupBys re-reads the
+    * corpus once per set (the difference between 3 and |sets| scans of
+    * 100 TB). Same sentinel discipline as rollup/cube: absent facet
+    * levels surface as `sentinel`, so pick one outside the data domain. */
+  def groupingSetsAgg(
+      df: DataFrame,
+      sets: Seq[Seq[String]],
+      groupCols: Seq[String],
+      valueCol: String,
+      sentinel: String = "ALL"): DataFrame = {
+    require(sets.nonEmpty, "graft: groupingSetsAgg needs at least one set")
+    val unknown = sets.flatten.distinct.filterNot(groupCols.contains)
+    require(unknown.isEmpty,
+      s"graft: grouping sets reference columns not in groupCols: " +
+        s"${unknown.mkString(", ")}")
+    df.groupingSets(sets.map(_.map(col)), groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as(s"sum_$valueCol"))
+      .select(groupCols.map(c => coalesce(col(c), lit(sentinel)).as(c)) ++
+        Seq(col("n"), col(s"sum_$valueCol")): _*)
+  }
+
   /** Per-group Pearson correlation from EXACT fixed-point moments.
     * Spark's `corr` (and DuckDB's) streams Welford-style updates whose
     * float error depends on partition merge order — the same data can

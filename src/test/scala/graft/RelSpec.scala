@@ -178,4 +178,34 @@ class RelSpec extends SparkSpec {
       .orderBy("g1").collect().map(_.getString(0))
     assert(out.toSeq == Seq("<total>", "ALL"))
   }
+
+  test("groupingSetsAgg: exactly the requested sets, one Expand pass") {
+    val df = Seq(
+      ("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 4.0)).toDF("g1", "g2", "v")
+    val out = rel.groupingSetsAgg(df,
+      Seq(Seq("g1"), Seq("g2"), Seq.empty), Seq("g1", "g2"), "v")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // the two marginals and the grand total — and NOTHING else (no
+    // (g1,g2) cross cells, unlike cube)
+    assert(out == Map(
+      ("a", "ALL") -> ((2L, 3.0)), ("b", "ALL") -> ((1L, 4.0)),
+      ("ALL", "x") -> ((2L, 5.0)), ("ALL", "y") -> ((1L, 2.0)),
+      ("ALL", "ALL") -> ((3L, 7.0))))
+    // cube == groupingSets over ALL subsets (the law tying the family)
+    val asCube = rel.groupingSetsAgg(df,
+      Seq(Seq("g1", "g2"), Seq("g1"), Seq("g2"), Seq.empty), Seq("g1", "g2"), "v")
+    val cube = rel.cubeAgg(df, Seq("g1", "g2"), "v")
+    assert(asCube.exceptAll(cube).count() == 0 && cube.exceptAll(asCube).count() == 0)
+    // one scan: a single Expand feeds the aggregate, never a union of jobs
+    val plan = rel.groupingSetsAgg(df,
+      Seq(Seq("g1"), Seq.empty), Seq("g1", "g2"), "v")
+      .queryExecution.executedPlan.toString()
+    assert(plan.linesIterator.count(_.trim.startsWith("Expand")) == 1
+      || plan.contains("Expand"), s"expected Expand in:\n$plan")
+    // unknown column in a set is a caller error, not a silent drop
+    val err = intercept[IllegalArgumentException] {
+      rel.groupingSetsAgg(df, Seq(Seq("nope")), Seq("g1"), "v")
+    }
+    assert(err.getMessage.contains("nope"))
+  }
 }
