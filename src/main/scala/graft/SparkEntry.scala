@@ -1076,6 +1076,29 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // north-star: perceptual-hash media fingerprint — stubbed decode,
+    // real bit layout; pure per-row projection, zero shuffle.
+    "mm_dhash" -> ((s, dir) => {
+      val media = multimodal.fromText(table(s, dir, "documents"), "doc_id", "text", "source")
+      multimodal.dHash(media).orderBy(col("id"))
+    }),
+
+    // north-star: image near-dup pairs — dHash + the generic 4-block
+    // Hamming pairing (complete for d <= 3); stub decode makes near =
+    // byte-identical, a real decoder changes no pairing code. The
+    // corpus is seeded with id-offset byte-identical copies of the
+    // doc_id % 97 slice so the pairing is exercised at every scale
+    // (the raw corpus has no exact dups at sf0.01).
+    "mm_dhash_pairs" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val seeded = docs.unionByName(
+        docs.where(col("doc_id") % 97 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      multimodal.dhashNearDupPairs(
+          multimodal.fromText(seeded, "doc_id", "text", "source"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // north-star: frame-sampling plumbing — fixed-size payload frames,
     // every 2nd kept (stride), frame identity checked by md5.
     "mm_frames" -> ((s, dir) => {
@@ -2624,6 +2647,45 @@ object SparkEntry {
          |  ${(0 until 4).map(i =>
         s"((('0x' || substr(md5(text), ${2 * i + 1}, 2))::INT) / 255.0)::FLOAT AS e$i").mkString(", ")}
          |FROM documents ORDER BY id""".stripMargin,
+
+    // Same salted-digest pixel chain and 63-bit comparison grid.
+    "mm_dhash" ->
+      s"""WITH d AS (SELECT doc_id, ${(0 until 5).map(b =>
+        s"md5(text || '#$b') AS d$b").mkString(", ")} FROM documents),
+         |p AS (SELECT doc_id, ${(0 until 72).map(i =>
+        s"(('0x' || substr(d${i / 16}, ${2 * (i % 16) + 1}, 2))::INT) AS px$i").mkString(", ")}
+         |FROM d)
+         |SELECT doc_id AS id,
+         |  (${(0 until 63).map { j =>
+        val (r, c) = (j / 8, j % 8)
+        s"(CASE WHEN px${r * 9 + c} > px${r * 9 + c + 1} THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")})::BIGINT AS dhash
+         |FROM p ORDER BY id""".stripMargin,
+
+    // Same signature, same 16+16+16+15 block keys, same d<=3 rerank,
+    // same seeded byte-identical copies.
+    "mm_dhash_pairs" ->
+      s"""WITH u AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 97 = 0),
+         |d AS (SELECT doc_id, ${(0 until 5).map(b =>
+        s"md5(text || '#$b') AS d$b").mkString(", ")} FROM u),
+         |p AS (SELECT doc_id, ${(0 until 72).map(i =>
+        s"(('0x' || substr(d${i / 16}, ${2 * (i % 16) + 1}, 2))::INT) AS px$i").mkString(", ")}
+         |FROM d),
+         |s AS (SELECT doc_id AS id,
+         |  (${(0 until 63).map { j =>
+        val (r, c) = (j / 8, j % 8)
+        s"(CASE WHEN px${r * 9 + c} > px${r * 9 + c + 1} THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")})::BIGINT AS dhash FROM p),
+         |bd AS (SELECT id, dhash, q,
+         |  CASE q WHEN 0 THEN dhash & 65535 WHEN 1 THEN (dhash >> 16) & 65535
+         |         WHEN 2 THEN (dhash >> 32) & 65535 ELSE (dhash >> 48) & 32767 END AS key
+         |  FROM s, range(0, 4) r(q)),
+         |c AS (SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
+         |  bit_count(xor(a.dhash, b2.dhash))::INT AS hamming
+         |  FROM bd a JOIN bd b2 ON a.q = b2.q AND a.key = b2.key AND a.id < b2.id)
+         |SELECT id_a, id_b, hamming FROM c WHERE hamming <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // identical oracle to mm_features: the typed mapPartitions decoder
     // must be row-equal to the expression path

@@ -475,6 +475,43 @@ object dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Near-dup pairs on an ARBITRARY precomputed ≤63-bit signature column
+    * — the [[simhashNearDupPairs]] blocking generalized so any
+    * Hamming-space fingerprint (SimHash, image dHash/pHash, audio
+    * chroma hash) reuses the same scale shape: 4 disjoint blocks
+    * (16+16+16+15 bits), candidates share ≥ 1 block exactly
+    * (pigeonhole-COMPLETE for Hamming ≤ 3), then exact
+    * `bit_count(xor) <= maxHamming` rerank. Signatures must be
+    * non-negative (bit 63 unused — the same signed-int64 portability
+    * discipline as [[graft.ops.sketch.BloomWordBits]]).
+    *
+    * Same skew rationale as [[simhashNearDupPairs]]: a self-join spreads
+    * hot buckets across the shuffle (+ AQE), where in-row bucket
+    * expansion would serialize them. Returns `(id_a, id_b, hamming)`. */
+  def sigHammingPairs(
+      sigs: DataFrame,
+      idCol: String,
+      sigCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"graft: 4-block blocking is complete only for maxHamming <= 3, got $maxHamming")
+    val blocks = Seq((0, 0xFFFFL), (16, 0xFFFFL), (32, 0xFFFFL), (48, 0x7FFFL))
+    val banded = sigs.select(col(idCol), col(sigCol).as("_sig"),
+        explode(array(blocks.zipWithIndex.map { case ((off, mask), q) =>
+          struct(lit(q).as("q"),
+            shiftrightunsigned(col(sigCol), off).bitwiseAND(lit(mask)).as("key"))
+        }: _*)).as("b"))
+      .select(col(idCol), col("_sig"), col("b.q").as("q"), col("b.key").as("key"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.q") === col("b.q") && col("a.key") === col("b.key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        bit_count(col("a._sig").bitwiseXOR(col("b._sig"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
   // ---- fuzzy (edit-distance) matching ---------------------------------
 
   /** Edit-distance near-dup pairs — the reference roadmap's fuzzy

@@ -2,7 +2,7 @@ package graft.ops
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing for training-data pipelines: opaque `binary`
@@ -87,6 +87,45 @@ object multimodal {
       length(col("payload")).cast("long").as("byteLen"),
       ck.as("checksum"), emb.as("embedding"))
   }
+
+  /** 63-bit difference-hash (dHash) perceptual fingerprint of a media
+    * payload — the image-dedup primitive: real pipelines decode to a
+    * 9×8 grayscale grid and set bit `r·8+c` when `pixel[r][c] >
+    * pixel[r][c+1]`, so near-identical images land within a few Hamming
+    * bits. The DECODE here is the [[StubDecoder]] stand-in (this
+    * container has no image codec): the 72 "pixels" derive from a chain
+    * of 5 salted md5 digests of the payload — deterministic,
+    * expression-only, oracle-reproducible — while the bit layout, the
+    * comparison grid, and everything downstream (blocking, Hamming
+    * rerank) is exactly what a real decoder would feed. Swapping in real
+    * pixels changes no plan shape and no pairing code.
+    *
+    * 63 bits, not 64 (comparison (7,7) dropped): signatures stay
+    * non-negative in a signed int64 — the [[graft.ops.sketch.BloomWordBits]]
+    * portability discipline, and what [[graft.ops.dedup.sigHammingPairs]]
+    * requires. Pure per-row projection: zero shuffle, codegen'd md5 —
+    * at 100 TB the fingerprint is free scan work next to the decode. */
+  def dHash(media: DataFrame): DataFrame = {
+    val digs = (0 until 5).map(b =>
+      md5(concat(col("payload"), lit("#" + b).cast("binary"))))
+    def px(i: Int): Column =
+      conv(substring(digs(i / 16), 2 * (i % 16) + 1, 2), 16, 10).cast("int")
+    val sig = (0 until 63).map { j =>
+      val (r, c) = (j / 8, j % 8)
+      when(px(r * 9 + c) > px(r * 9 + c + 1), lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    media.select(col("id"), sig.as("dhash"))
+  }
+
+  /** Near-duplicate media pairs by dHash Hamming distance — the
+    * image-dedup path: [[dHash]] fingerprints fed to the generic
+    * 4-block pigeonhole pairing ([[graft.ops.dedup.sigHammingPairs]],
+    * complete for Hamming ≤ 3). With the stub decode, "visually near"
+    * degenerates to "byte-identical" (distinct payloads hash to random
+    * signatures); with a real decoder the SAME code finds re-encoded /
+    * lightly-edited copies. Returns `(id_a, id_b, hamming)`. */
+  def dhashNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    dedup.sigHammingPairs(dHash(media), "id", "dhash", maxHamming)
 
   /** Frame sampling plumbing: split a payload into fixed-size frames and
     * keep every `stride`-th one (a video keyframe-sampler stands here; the

@@ -41,4 +41,56 @@ class MultimodalSpec extends SparkSpec {
     // frame 2 spans bytes 129..192 — all inside the "b" half
     assert(new String(frames(1).getAs[Array[Byte]](2), "UTF-8") == "b" * 64)
   }
+
+  test("dHash: driver-side twin, non-negative 63-bit signature, deterministic") {
+    val fixture = Seq(
+      (1L, "text", "the quick brown fox".getBytes("UTF-8"), "s"),
+      (2L, "text", "a completely different payload".getBytes("UTF-8"), "s"))
+      .toDF("id", "kind", "payload", "source")
+    val got = multimodal.dHash(fixture)
+      .as[(Long, Long)].collect().toMap
+
+    // driver twin: same salted-digest pixel chain, same comparison grid
+    def twin(payload: Array[Byte]): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val digs = (0 until 5).map { b =>
+        md.digest(payload ++ s"#$b".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      }
+      def px(i: Int) =
+        Integer.parseInt(digs(i / 16).substring(2 * (i % 16), 2 * (i % 16) + 2), 16)
+      (0 until 63).map { j =>
+        val (r, c) = (j / 8, j % 8)
+        if (px(r * 9 + c) > px(r * 9 + c + 1)) 1L << j else 0L
+      }.reduce(_ | _)
+    }
+    assert(got(1L) == twin("the quick brown fox".getBytes("UTF-8")))
+    assert(got(2L) == twin("a completely different payload".getBytes("UTF-8")))
+    assert(got.values.forall(_ >= 0L)) // bit 63 never set
+  }
+
+  test("dhashNearDupPairs: identical payloads pair at hamming 0; sigHammingPairs reranks") {
+    val bytes = "same bytes land at hamming zero".getBytes("UTF-8")
+    val fixture = Seq(
+      (1L, "text", bytes, "s"),
+      (2L, "text", bytes, "s"), // byte-identical copy of 1
+      (3L, "text", "unrelated content entirely".getBytes("UTF-8"), "s"))
+      .toDF("id", "kind", "payload", "source")
+    val pairs = multimodal.dhashNearDupPairs(fixture)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 0)))
+
+    // hand-built signatures: block-sharing candidates survive only if
+    // the EXACT Hamming rerank passes
+    import graft.ops.dedup
+    val sigs = Seq(
+      (10L, 0L),                      // zero signature
+      (11L, 7L),                      // Hamming 3 from 10 (shares blocks 1-3)
+      (12L, (0xABL << 32) | 0x3CL))   // Hamming 9 from 10, 10 from 11
+      .toDF("id", "sig")
+    val got = dedup.sigHammingPairs(sigs, "id", "sig")
+      .as[(Long, Long, Int)].collect().toSeq.sorted
+    // (10,11) found at d=3; (10,12) and (11,12) blocked or reranked out
+    assert(got == Seq((10L, 11L, 3)))
+  }
 }
