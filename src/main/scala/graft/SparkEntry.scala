@@ -1238,6 +1238,14 @@ object SparkEntry {
           s.read.parquet(knnEdges(s, dir)), iters = 3)
         .orderBy(col("id"))),
 
+    // deterministic synchronous label propagation over the same built
+    // kNN graph — community labels travel <= iters hops; smallest-label
+    // tie rule makes every round engine-reproducible.
+    "graph_label_prop" -> ((s, dir) =>
+      graft.ops.graph.labelPropagation(
+          s.read.parquet(knnEdges(s, dir)), iters = 2)
+        .orderBy(col("id"))),
+
     // CUBE: all 2^k facet marginals in the same one-pass Expand shape.
     "rel_cube" -> ((s, dir) =>
       rel.cubeAgg(table(s, dir, "lineitem"),
@@ -1610,6 +1618,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
           sum(col("n_chars")).cast("long").as("sum_chars"))
         .orderBy(col("lang"))),
+
+    // north-star: deterministic round-robin interleave of language
+    // strata into one global training order — strict total order, pure
+    // function of the data.
+    "sample_interleave" -> ((s, dir) =>
+      sample.interleave(table(s, dir, "documents"), "lang", "doc_id")
+        .select(col("doc_id"), col("lang"), col("order_idx"))
+        .orderBy(col("doc_id"))),
 
     // north-star: weighted (quality-proportional) sampling — the data-
     // mixing primitive; keep probability = min(n_chars/1000, 1), pure
@@ -2809,6 +2825,28 @@ object SparkEntry {
          |SELECT id, rank FROM r3 ORDER BY id""".stripMargin
     },
 
+    // Same undirected edges, same count-argmax with the smallest-label
+    // tie rule, 2 unrolled synchronous rounds.
+    "graph_label_prop" -> {
+      val iterCtes = (0 until 2).map { i =>
+        s"""c$i AS (SELECT u.src AS id, l.label, count(*) AS c
+           |  FROM und u JOIN l$i l ON u.dst = l.id GROUP BY 1, 2),
+           |t$i AS (SELECT id, label FROM (SELECT id, label,
+           |  row_number() OVER (PARTITION BY id ORDER BY c DESC, label ASC) AS rk
+           |  FROM c$i) WHERE rk = 1),
+           |l${i + 1} AS (SELECT nodes.id, coalesce(t$i.label, nodes.id) AS label
+           |  FROM nodes LEFT JOIN t$i USING (id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $SqlKnnCtes,
+         |e0 AS (SELECT src, dst FROM r WHERE rnk <= 3),
+         |und AS (SELECT DISTINCT src, dst FROM
+         |  (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+         |nodes AS (SELECT DISTINCT src AS id FROM und),
+         |l0 AS (SELECT id, id AS label FROM nodes),
+         |$iterCtes
+         |SELECT id, label FROM l2 ORDER BY id""".stripMargin
+    },
+
     // Five exact integer moments (DuckDB sums BIGINT into HUGEINT —
     // still exact; the double conversion of equal integers is identical),
     // one float formula per group.
@@ -3283,6 +3321,17 @@ object SparkEntry {
          |WHERE ${hashing.sqlH32("(doc_id::VARCHAR || '/mix')")}::DOUBLE < rate * 4294967296.0
          |GROUP BY lang ORDER BY lang""".stripMargin
     },
+
+    // Same rank-within-stratum arithmetic: idx = rk·|strata| + s_idx.
+    "sample_interleave" ->
+      """WITH s AS (SELECT lang, row_number() OVER (ORDER BY lang) - 1 AS s_idx
+        |  FROM (SELECT DISTINCT lang FROM documents)),
+        |n AS (SELECT count(*) AS k FROM s),
+        |r AS (SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1 AS rk
+        |  FROM documents)
+        |SELECT doc_id, lang, (r.rk * n.k + s.s_idx)::BIGINT AS order_idx
+        |FROM r JOIN s USING (lang) CROSS JOIN n ORDER BY doc_id""".stripMargin,
 
     // Same clamp chain and multiply order as sample.weightedSample.
     "sample_weighted" ->

@@ -87,4 +87,57 @@ object graph {
     Seq(e, nodes, withDeg).foreach(_.unpersist(false))
     ranks
   }
+
+  /** Deterministic SYNCHRONOUS label propagation (Raghavan et al. 2007)
+    * over an undirected view of the edge list — community detection for
+    * curation: near-dup neighborhoods, topic clumps, source farms. Each
+    * round every node adopts the most frequent label among its
+    * neighbors, ties broken by SMALLEST label — the tie rule plus
+    * synchronous (all-nodes-at-once) updates make the result a pure
+    * function of the graph and `iters`: no vertex ordering, no
+    * randomness, engine-reproducible (asynchronous LPA, the textbook
+    * default, is order-dependent and cannot be oracle-checked).
+    *
+    * Converges toward [[dedup.connectedComponents]]' min-id labels on
+    * dense components (a k-clique settles in 2 rounds) but does NOT
+    * promise component agreement at small `iters` — that locality is
+    * the feature: labels travel ≤ `iters` hops, so loosely-bridged
+    * clumps keep distinct communities where CC would merge them.
+    *
+    * Plan shape per iteration: one join of the thin (id, label) table
+    * onto the dst-keyed undirected edges, one (node, label) count with
+    * map-side combine, one WindowGroupLimit argmax (bounded per-task
+    * heap, same idiom as [[rel.topKPerGroup]]), one left join back onto
+    * the node spine. [[ckpt.cut]] truncates lineage each round.
+    * Returns `(id, label)`. */
+  def labelPropagation(
+      edges: DataFrame,
+      iters: Int = 3,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(iters >= 0, s"graft: labelPropagation needs iters >= 0, got $iters")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    val und = e
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist()
+    val nodes = und.select(col("src").as("id")).distinct().persist()
+    var labels = nodes.withColumn("label", col("id"))
+    for (_ <- 0 until iters) {
+      val counts = und
+        .join(labels.select(col("id").as("dst"), col("label").as("_nl")), "dst")
+        .groupBy(col("src").as("id"), col("_nl"))
+        .agg(count(lit(1)).as("_c"))
+      val top = rel.topKPerGroup(counts, Seq(col("id")),
+        Seq(col("_c").desc, col("_nl").asc), 1, "_rk")
+      labels = nodes
+        .join(top.select(col("id"), col("_nl")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("_nl"), col("id")).as("label"))
+      labels = ckpt.cut(labels)
+    }
+    Seq(und, nodes).foreach(_.unpersist(false))
+    labels
+  }
 }

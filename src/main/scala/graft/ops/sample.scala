@@ -232,6 +232,40 @@ object sample {
     * on the grid value. Quantization bounds accuracy (values closer than
     * 1/scale tie); rank arithmetic is pure integers — deterministic
     * everywhere. Returns df + `(bin)`. */
+  /** Deterministic round-robin INTERLEAVE of strata into one global
+    * training order — the "don't feed the model a month of one source
+    * then a month of the next" primitive: position `k` of the output
+    * cycles through the strata (sorted lexically), each stratum serving
+    * its rows in `orderCol` order. Gradient noise then sees every
+    * source at every horizon, and the order is a pure function of the
+    * data — reshufflable, resumable, engine-reproducible.
+    *
+    * `order_idx = (rank_within_stratum − 1) · |strata| + stratum_index`
+    * — a strict total order (no two rows share an index), gapped where
+    * a stratum exhausts (small sources run out early — round-robin
+    * semantics; rebalance FIRST with [[temperatureMix]] / [[toMixture]]
+    * if proportions should survive to the end of training).
+    *
+    * Plan shape: ONE stratum-keyed shuffle for the rank window plus a
+    * broadcast of the |strata|-row index map; writing the result sorted
+    * by `order_idx` is the usual global sort a training-order sink pays
+    * ([[graft.sources.ingest.writeShards]] shards it instead). */
+  def interleave(
+      df: DataFrame,
+      stratumCol: String,
+      orderCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idx = broadcast(df.select(col(stratumCol)).distinct()
+      .withColumn("_s_idx",
+        row_number().over(Window.orderBy(col(stratumCol))).cast("long") - 1L)
+      .withColumn("_n_strata", count(lit(1)).over(Window.partitionBy())))
+    val rk = row_number().over(
+      Window.partitionBy(col(stratumCol)).orderBy(col(orderCol))).cast("long")
+    df.join(idx, stratumCol)
+      .withColumn("order_idx", (rk - 1L) * col("_n_strata") + col("_s_idx"))
+      .drop("_s_idx", "_n_strata")
+  }
+
   def quantileBins(
       df: DataFrame,
       valueCol: Column,

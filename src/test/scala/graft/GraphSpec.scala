@@ -57,4 +57,33 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(a == b, "fixed-point integer ranks must not depend on layout")
   }
+
+  test("labelPropagation: disjoint triangles settle on min ids in 2 rounds") {
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L)).toDF("src", "dst")
+    val r3 = graph.labelPropagation(tri, iters = 3)
+      .as[(Long, Long)].collect().toMap
+    // each triangle converges to its smallest member's id and stays there
+    assert(r3 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L), s"got $r3")
+    assert(graph.labelPropagation(tri, iters = 2)
+      .as[(Long, Long)].collect().toMap == r3)
+
+    // bridged triangles, hand-checked SYNCHRONOUS round 1 (min-label
+    // ties): node 1 sees {2,3} -> 2; node 3 sees {1,2,10} -> 1 (all
+    // tied, min); node 10 sees {3,11,12} -> 3 — the bridge label lands
+    val bridged = tri.unionByName(Seq((3L, 10L)).toDF("src", "dst"))
+    val r1 = graph.labelPropagation(bridged, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 2L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 10L, 12L -> 10L), s"got $r1")
+    // iters = 0 is the identity labeling
+    val r0 = graph.labelPropagation(bridged, iters = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(r0.forall { case (id, l) => id == l })
+    // partition invariance, same discipline as pageRank
+    val shuffled = graph.labelPropagation(
+      tri.repartition(7), iters = 3).as[(Long, Long)].collect().toMap
+    assert(shuffled == r3)
+  }
 }

@@ -197,6 +197,20 @@ class SampleSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet == Set(1L))
   }
 
+  test("interleave: strict total order cycling through strata; small strata exhaust") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"))
+      .toDF("id", "g")
+    val out = graft.ops.sample.interleave(df, "g", "id")
+      .select("id", "order_idx").as[(Long, Long)].collect().toMap
+    // K=2, a=idx 0 (ranks 0,1,2 -> 0,2,4), b=idx 1 (ranks 0,1 -> 1,3)
+    assert(out == Map(1L -> 0L, 2L -> 2L, 3L -> 4L, 4L -> 1L, 5L -> 3L))
+    // strict total order: no index collisions
+    assert(out.values.toSet.size == out.size)
+    // sorted by order_idx, the strata alternate until b exhausts
+    val order = out.toSeq.sortBy(_._2).map(_._1)
+    assert(order == Seq(1L, 4L, 2L, 5L, 3L))
+  }
+
   test("packSequences: single-partition window never appears in the plan") {
     val packed = sample.packSequences(docs, "doc_id",
       graft.ops.text.tokenCount(col("text")).cast("long"), budget = 512)
