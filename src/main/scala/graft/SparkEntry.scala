@@ -179,6 +179,13 @@ object SparkEntry {
 
   private def r4(e: String): String = s"floor(($e) * 10000.0 + 0.5) / 10000.0"
 
+  /** Bloom size for the decontamination SCREEN queries: 16384 words
+    * (~1M bits) keeps the gram false-positive rate ≤ ~3e-4 at sf0.1's
+    * ~25k bench grams, so flagged docs are (essentially) the truly
+    * contaminated ones — the 64-word `decontam_bloom_sketch` artifact
+    * stays small deliberately, as the mergeable-state display shape. */
+  private val ScreenBloomBits = 16384 * 63
+
   /** DuckDB token-array fragment matching [[text.tokens]]. */
   private val SqlToks =
     "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
@@ -826,14 +833,30 @@ object SparkEntry {
     }),
 
     // north-star: decontamination via the bloom — the words ride the
-    // plan as a literal array; train corpus scanned once, never
+    // plan as ONE literal array; train corpus scanned once, never
     // shuffled; false positives deterministic (same public hash family
-    // in the oracle), false negatives impossible.
+    // in the oracle), false negatives impossible. Sized so the FP rate
+    // is negligible at both oracle scales (~1M bits for <= ~25k grams),
+    // unlike the 64-word display sketch above.
     "decontam_bloom" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
-      val bl = decontam.benchGramBloom(docs.where(col("doc_id") % 20 === 0), "text")
+      val bl = decontam.benchGramBloom(docs.where(col("doc_id") % 20 === 0),
+        "text", mBits = ScreenBloomBits)
       decontam.bloomScreenHits(
-        docs.where(col("doc_id") % 20 =!= 0), bl, "text", "doc_id")
+        docs.where(col("doc_id") % 20 =!= 0), bl, "text", "doc_id",
+        mBits = ScreenBloomBits)
+        .orderBy(col("doc_id"))
+    }),
+
+    // north-star: the stateless in-row bloom gate — survivors of the
+    // screen; the same call is streaming-legal (no state, no explode).
+    "decontam_bloom_clean" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val bl = decontam.benchGramBloom(docs.where(col("doc_id") % 20 === 0),
+        "text", mBits = ScreenBloomBits)
+      decontam.bloomClean(docs.where(col("doc_id") % 20 =!= 0), bl, "text",
+        mBits = ScreenBloomBits)
+        .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1973,8 +1996,9 @@ object SparkEntry {
          |  i -> array_to_string(list_slice(toks, i, i + 7), ' '))) AS grams
          |  FROM t WHERE len(toks) >= 8),
          |bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 20 = 0),
-         |h AS (SELECT DISTINCT ${hashing.sqlH32("gram")} AS hb FROM bg),
-         |c AS (SELECT (${hashing.sqlAffineVar("hb", "j")}) % 4032 AS pos
+         |h AS (SELECT DISTINCT ${hashing.sqlH32("gram")} AS hb,
+         |  ${hashing.sqlH32b("gram")} AS hb2 FROM bg),
+         |c AS (SELECT (hb + j * hb2) % 4032 AS pos
          |  FROM h CROSS JOIN range(0, 3) r(j)),
          |w AS (SELECT pos // 63 AS word,
          |  bit_or(1::BIGINT << (pos % 63)::INT) AS bits FROM c GROUP BY 1)
@@ -1990,19 +2014,47 @@ object SparkEntry {
          |  i -> array_to_string(list_slice(toks, i, i + 7), ' '))) AS grams
          |  FROM t WHERE len(toks) >= 8),
          |bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 20 = 0),
-         |h AS (SELECT DISTINCT ${hashing.sqlH32("gram")} AS hb FROM bg),
-         |c AS (SELECT (${hashing.sqlAffineVar("hb", "j")}) % 4032 AS pos
+         |h AS (SELECT DISTINCT ${hashing.sqlH32("gram")} AS hb,
+         |  ${hashing.sqlH32b("gram")} AS hb2 FROM bg),
+         |c AS (SELECT (hb + j * hb2) % ${ScreenBloomBits} AS pos
          |  FROM h CROSS JOIN range(0, 3) r(j)),
          |w AS (SELECT pos // 63 AS word,
          |  bit_or(1::BIGINT << (pos % 63)::INT) AS bits FROM c GROUP BY 1),
          |tg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 20 != 0),
-         |th AS (SELECT doc_id, gram, ${hashing.sqlH32("gram")} AS hb FROM tg),
-         |pc AS (SELECT doc_id, gram, (${hashing.sqlAffineVar("hb", "j")}) % 4032 AS pos
+         |th AS (SELECT doc_id, gram, ${hashing.sqlH32("gram")} AS hb,
+         |  ${hashing.sqlH32b("gram")} AS hb2 FROM tg),
+         |pc AS (SELECT doc_id, gram, (hb + j * hb2) % ${ScreenBloomBits} AS pos
          |  FROM th CROSS JOIN range(0, 3) r(j)),
          |ok AS (SELECT doc_id, gram FROM pc JOIN w ON pc.pos // 63 = w.word
          |  AND (w.bits & (1::BIGINT << (pc.pos % 63)::INT)) != 0
          |  GROUP BY doc_id, gram HAVING count(*) = 3)
          |SELECT doc_id, count(*) AS hits FROM ok GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    // Complement of decontam_bloom at minHits=1: train docs with ZERO
+    // bloom-member grams (short docs have no grams and survive).
+    "decontam_bloom_clean" ->
+      s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+         |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 6),
+         |  i -> array_to_string(list_slice(toks, i, i + 7), ' '))) AS grams
+         |  FROM t WHERE len(toks) >= 8),
+         |bg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 20 = 0),
+         |h AS (SELECT DISTINCT ${hashing.sqlH32("gram")} AS hb,
+         |  ${hashing.sqlH32b("gram")} AS hb2 FROM bg),
+         |c AS (SELECT (hb + j * hb2) % ${ScreenBloomBits} AS pos
+         |  FROM h CROSS JOIN range(0, 3) r(j)),
+         |w AS (SELECT pos // 63 AS word,
+         |  bit_or(1::BIGINT << (pos % 63)::INT) AS bits FROM c GROUP BY 1),
+         |tg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 20 != 0),
+         |th AS (SELECT doc_id, gram, ${hashing.sqlH32("gram")} AS hb,
+         |  ${hashing.sqlH32b("gram")} AS hb2 FROM tg),
+         |pc AS (SELECT doc_id, gram, (hb + j * hb2) % ${ScreenBloomBits} AS pos
+         |  FROM th CROSS JOIN range(0, 3) r(j)),
+         |ok AS (SELECT doc_id, gram FROM pc JOIN w ON pc.pos // 63 = w.word
+         |  AND (w.bits & (1::BIGINT << (pc.pos % 63)::INT)) != 0
+         |  GROUP BY doc_id, gram HAVING count(*) = 3)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id % 20 != 0 AND doc_id NOT IN (SELECT DISTINCT doc_id FROM ok)
          |ORDER BY doc_id""".stripMargin,
 
     "decontam_semantic" ->

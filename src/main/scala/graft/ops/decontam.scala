@@ -146,6 +146,32 @@ object decontam {
       .agg(count(lit(1)).as("hits"))
   }
 
+  /** Drop docs with ≥ `minHits` bloom-member grams, entirely IN ROW:
+    * the gram array is built and probed inside one projection
+    * ([[sketch.bloomMightContain]] over the literal word array), so the
+    * gate is a STATELESS row-local filter — zero shuffle, pushes toward
+    * the scan, and (unlike [[bloomScreenHits]]' explode + count, the
+    * audit shape) is legal in a Structured Streaming micro-batch with
+    * no state store, no watermark, no foreachBatch: the same call
+    * screens a 100 TB batch corpus and a live ingest stream. Keeps the
+    * no-false-negative guarantee; FP-rate docs are the price of the
+    * constant-size sketch. */
+  def bloomClean(
+      df: DataFrame,
+      bloomDf: DataFrame,
+      textCol: String,
+      n: Int = 8,
+      mBits: Int = 4032,
+      k: Int = 3,
+      minHits: Int = 1): DataFrame = {
+    require(minHits >= 1, s"graft: bloomClean needs minHits >= 1, got $minHits")
+    val words = bloomDf.orderBy(col("word"))
+      .select(col("bits")).collect().map(_.getLong(0)).toSeq
+    df.where(
+      size(filter(dedup.wordShingles(col(textCol), n),
+        g => sketch.bloomMightContain(words, g, mBits, k))) < minHits)
+  }
+
   /** Drop training docs with ≥ `minHits` shared n-grams (anti-join on the
     * contaminated id list — thin, never the text payload). */
   def decontaminate(

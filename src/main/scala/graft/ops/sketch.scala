@@ -375,13 +375,30 @@ object sketch {
     * positives included — so an independent engine reproduces every
     * word bit-for-bit and the driver's oracle hash-matches it.
     *
-    * Plan shape: one distinct on the 32-bit base hash (cells derive
-    * from the hash alone, so the shuffle carries 8-byte longs, never
-    * values) → explode to `k` thin (word, mask) cells → one `bit_or`
-    * aggregate with map-side combine; emitted on the FULL word spine
-    * (absent word = 0) so the artifact has a fixed shape and merges /
-    * indexes positionally. MERGEABLE: [[bloomMerge]] is word-wise OR —
-    * `merge(bloom(A), bloom(B)) ≡ bloom(A ∪ B)` exactly. */
+    * Positions are Kirsch-Mitzenmacher double hashing
+    * (`pos_j = (h1 + j·h2) mod m` over the digest's two independent
+    * 32-bit words), NOT the [[hashing.affine]] family [[countMin]]
+    * uses: an affine family reduced mod the SAME m is structurally
+    * broken for Blooms — two base hashes congruent mod m satisfy
+    * `(2j+1)·Δ ≡ 0 (mod m)` for EVERY member j, so such a pair
+    * collides on all k positions at once and the effective
+    * false-positive rate degrades from fillᵏ to ~n/m, k buying
+    * nothing. (Observed, not hypothetical: on the sf0.01 corpus two
+    * grams with Δ = 575·m collided on all three members.) Double
+    * hashing needs BOTH words congruent (~1/m² for a full-k
+    * collision), restoring the textbook rate; Count-Min keeps the
+    * affine family because a full-depth collision there only
+    * overestimates one pair's count — the min-estimate semantics
+    * tolerate it.
+    *
+    * Plan shape: one distinct on the two 32-bit hash words (cells
+    * derive from the words alone, so the shuffle carries 16-byte rows,
+    * never values) → explode to `k` thin (word, mask) cells → one
+    * `bit_or` aggregate with map-side combine; emitted on the FULL
+    * word spine (absent word = 0) so the artifact has a fixed shape
+    * and merges / indexes positionally. MERGEABLE: [[bloomMerge]] is
+    * word-wise OR — `merge(bloom(A), bloom(B)) ≡ bloom(A ∪ B)`
+    * exactly. */
   def bloom(
       df: DataFrame,
       valueCol: Column,
@@ -391,10 +408,11 @@ object sketch {
       s"bloom needs mBits >= $BloomWordBits, got $mBits")
     require(k >= 1 && k <= 16, s"bloom needs 1 <= k <= 16, got $k")
     val cells = df.where(valueCol.isNotNull)
-      .select(hashing.h32(valueCol.cast("string")).as("_h"))
+      .select(hashing.h32(valueCol.cast("string")).as("_h1"),
+        hashing.h32b(valueCol.cast("string")).as("_h2"))
       .distinct()
       .select(explode(array((0 until k).map(j =>
-        pmod(hashing.affine(col("_h"), j), lit(mBits.toLong))): _*)).as("_pos"))
+        pmod(col("_h1") + lit(j.toLong) * col("_h2"), lit(mBits.toLong))): _*)).as("_pos"))
       .select(floor(col("_pos") / lit(63.0)).cast("long").as("word"),
         call_function("shiftleft", lit(1L),
           (col("_pos") % 63L).cast("int")).as("_mask"))
@@ -432,10 +450,14 @@ object sketch {
       s"bloomMightContain needs ${bloomWordCount(mBits)} words for mBits=$mBits, " +
         s"got ${words.length}")
     require(k >= 1 && k <= 16, s"bloomMightContain needs 1 <= k <= 16, got $k")
-    val wcol = array(words.map(lit): _*)
-    val base = hashing.h32(c.cast("string"))
+    // ONE Literal node (unsafe array data), not CreateArray with
+    // words.length children — a 16k-word bloom would otherwise blow the
+    // codegen method budget and fall back to interpreted evaluation
+    val wcol = lit(words.toArray)
+    val h1 = hashing.h32(c.cast("string"))
+    val h2 = hashing.h32b(c.cast("string"))
     (0 until k).map { j =>
-      val pos = pmod(hashing.affine(base, j), lit(mBits.toLong))
+      val pos = pmod(h1 + lit(j.toLong) * h2, lit(mBits.toLong))
       val word = element_at(wcol, floor(pos / lit(63.0)).cast("int") + 1)
       val mask = call_function("shiftleft", lit(1L), (pos % 63L).cast("int"))
       word.bitwiseAND(mask) === mask

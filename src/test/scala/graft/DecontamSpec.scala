@@ -92,6 +92,34 @@ class DecontamSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 exchange (the doc-count), got $exchanges")
   }
 
+  test("bloomClean: in-row gate equals the explode screen's complement; runs on a TRUE stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val bloom = decontam.benchGramBloom(bench, "text")
+    // batch: survivors == docs the audit screen does NOT flag
+    val surv = decontam.bloomClean(train, bloom, "text")
+      .select("doc_id").as[Long].collect().toSet
+    val flagged = decontam.bloomScreenHits(train, bloom, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(surv == train.select("doc_id").as[Long].collect().toSet -- flagged)
+
+    // the SAME call is streaming-legal: stateless row-local filter
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = decontam.bloomClean(
+        in.toDF().toDF("doc_id", "text"), bloom, "text")
+      .writeStream.format("memory").queryName("graft_bloom_clean")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, "intro words alpha bravo charlie delta echo foxtrot golf hotel outro"),
+        (2L, "completely unrelated content with no shared phrases at all here now"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("graft_bloom_clean")
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == Set(2L), "contaminated doc must be dropped in-stream")
+  }
+
   test("semantic screen broadcasts the bench side — train is never shuffled") {
     val p = decontam.semanticHits(trainVec, benchVec, "id", "vec", 0.9)
       .queryExecution.executedPlan.toString
