@@ -252,6 +252,45 @@ object Demo {
         docs.where(col("doc_id") % 7 === 0), "text", "doc_id")
       .orderBy(col("logw").desc).show(5, truncate = false)
 
+    println("== Gopher rule bundle: per-rule signals + keep flag ==")
+    text.gopherQuality(docs, "text", "doc_id", minWords = 20)
+      .orderBy("doc_id").show(5, truncate = false)
+
+    println("== per-user EWMA (alpha=1/2 over last 4 events) vs uniform mean ==")
+    graft.streaming.EventStream.ewma(events, k = 4)
+      .select("event_id", "user_id", "value", "ewma_n", "ewma")
+      .orderBy("event_id").show(5, truncate = false)
+
+    println("== benchmark bloom: constant-size membership state + in-row screen ==")
+    val bl = graft.ops.decontam.benchGramBloom(
+      docs.where(col("doc_id") % 20 === 0), "text")
+    println(s"bloom: ${bl.count()} words of 63 bits for the bench gram set")
+    val screened = graft.ops.decontam.bloomScreenHits(
+      docs.where(col("doc_id") % 20 =!= 0), bl, "text", "doc_id")
+    screened.orderBy(col("hits").desc, col("doc_id")).show(3, truncate = false)
+
+    println("== grouping sets: the two marginals + grand total, one pass ==")
+    graft.ops.rel.groupingSetsAgg(docs.withColumn("v", col("n_chars").cast("double")),
+        Seq(Seq("lang"), Seq("source"), Seq.empty), Seq("lang", "source"), "v")
+      .orderBy("lang", "source").show(5, truncate = false)
+
+    println("== image dedup plumbing: dHash + Hamming pairs (stub decode) ==")
+    val media = graft.ops.multimodal.fromText(docs, "doc_id", "text", "source")
+    val seeded = media.unionByName(media.where(col("id") % 97 === 0)
+      .withColumn("id", col("id") + 1000000L))
+    graft.ops.multimodal.dhashNearDupPairs(seeded)
+      .orderBy("id_a", "id_b").show(3, truncate = false)
+
+    println("== training-order interleave: round-robin across languages ==")
+    graft.ops.sample.interleave(docs, "lang", "doc_id")
+      .select("order_idx", "lang", "doc_id")
+      .orderBy("order_idx").show(6, truncate = false)
+
+    println("== label propagation communities over the kNN graph ==")
+    graft.ops.graph.labelPropagation(knn.select("src", "dst"), iters = 2)
+      .groupBy("label").agg(count(lit(1)).as("size"))
+      .orderBy(col("size").desc).show(5, truncate = false)
+
     spark.stop()
   }
 }

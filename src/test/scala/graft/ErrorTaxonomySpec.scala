@@ -75,6 +75,33 @@ class ErrorTaxonomySpec extends SparkSpec {
     assert(msg(graft.ops.text.linearGate(df, "v", "id", Nil)).contains("non-empty weight"))
   }
 
+  test("round-6 operators validate their sizing arguments eagerly") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = Seq((1L, 1.0)).toDF("id", "v")
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    def msg(f: => Any): String =
+      intercept[IllegalArgumentException](f).getMessage
+    assert(msg(graft.ops.text.gopherQuality(docs, "text", "doc_id",
+      minWords = 10, maxWords = 5)).contains("minWords"))
+    assert(msg(graft.streaming.EventStream.ewma(df, k = 0)).contains("k"))
+    assert(msg(graft.streaming.EventStream.ewma(df, k = 33)).contains("k"))
+    assert(msg(graft.ops.sketch.bloom(docs, col("text"), mBits = 10)).contains("mBits"))
+    assert(msg(graft.ops.sketch.bloom(docs, col("text"), k = 0)).contains("k"))
+    assert(msg(graft.ops.sketch.bloomMightContain(Seq(0L), col("text")))
+      .contains("words"))
+    assert(msg(graft.ops.decontam.bloomClean(docs,
+      Seq((0L, 0L)).toDF("word", "bits"), "text", minHits = 0)).contains("minHits"))
+    assert(msg(graft.ops.rel.groupingSetsAgg(df, Seq(Seq("nope")), Seq("id"), "v"))
+      .contains("nope"))
+    assert(msg(graft.ops.rel.groupingSetsAgg(df, Nil, Seq("id"), "v"))
+      .contains("at least one set"))
+    assert(msg(graft.ops.dedup.sigHammingPairs(df, "id", "v", maxHamming = 4))
+      .contains("maxHamming"))
+    assert(msg(graft.ops.graph.labelPropagation(edges, iters = -1)).contains("iters"))
+  }
+
   test("ragged query batch (mixed dims) is rejected with both dims named") {
     val e = intercept[IllegalArgumentException](
       store.queryBatch(Seq(Seq(1.0, 0.0), Seq(1.0)), Metric.Cosine).collect())

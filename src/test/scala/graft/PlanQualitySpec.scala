@@ -252,4 +252,32 @@ class PlanQualitySpec extends SparkSpec {
     assert(partial.get.contains("register#") && !partial.get.contains("user_id#"),
       s"shuffled row must be (group, register, rho), got: ${partial.get}")
   }
+
+  test("round-6 row-local ops shuffle at most once (output sort only)") {
+    // gopherQuality, dHash, and the bloom-clean gate are pure scan work;
+    // the single allowed exchange is the presentation order-by
+    Seq("text_gopher_quality", "mm_dhash", "decontam_bloom_clean").foreach { q =>
+      val exchanges = "Exchange".r.findAllIn(plan(q)).length
+      assert(exchanges <= 1, s"$q should shuffle at most once, got $exchanges")
+    }
+  }
+
+  test("ewma shuffles exactly once on the user key; grouping sets is one Expand pass") {
+    val pe = plan("events_ewma")
+    val userEx = pe.linesIterator.filter(_.contains("Exchange hashpartitioning(user_id"))
+    assert(userEx.size == 1, s"ewma must shuffle once on user_id:\n${pe.take(900)}")
+    val pg = plan("rel_grouping_sets")
+    assert("Expand".r.findAllIn(pg).length == 1,
+      s"grouping sets must be ONE Expand pass, not a union of jobs:\n${pg.take(900)}")
+    assert(!pg.contains("Union"), "grouping sets must not union per-set aggregates")
+  }
+
+  test("bloom screen: the sketch rides as a literal — probe side has no join") {
+    val p = plan("decontam_bloom")
+    // one exchange for the per-doc hit count, one for the output sort;
+    // crucially NO join/broadcast node — membership is in-row
+    assert(!p.contains("Join"), s"bloom probe must not join:\n${p.take(900)}")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"bloom screen: doc-count + sort only, got $exchanges")
+  }
 }
