@@ -66,8 +66,8 @@ object Demo {
       .orderBy(desc("approx_dot")).show(3, truncate = false)
 
     println("== event stream: 5-minute windows (top rows) ==")
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val events = SparkEntry.normalizeEventTs(
+      spark.read.parquet(s"$sfDir/events.parquet"))
     graft.streaming.EventStream.windowedAgg(events)
       .orderBy(desc("n_events")).show(3, truncate = false)
 

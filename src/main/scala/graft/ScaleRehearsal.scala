@@ -70,8 +70,8 @@ object ScaleRehearsal {
 
     val docs = spark.read.parquet(s"$work/documents.parquet")
     val emb = spark.read.parquet(s"$work/embeddings.parquet")
-    val events = spark.read.parquet(s"$work/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val events = SparkEntry.normalizeEventTs(
+      spark.read.parquet(s"$work/events.parquet"))
     println(s"SCALE documents=${docs.count()} embeddings=${emb.count()} " +
       s"events=${events.count()}")
 

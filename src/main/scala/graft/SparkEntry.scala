@@ -31,14 +31,26 @@ object SparkEntry {
   private[graft] def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries parquet TIMESTAMP(NANOS), which Spark's
-    * reader only accepts as a raw long (`nanosAsLong`, set in every
-    * session builder). Convert to micros with exact integer division —
-    * 2024 epoch-nanos (~1.7e18) exceed double precision, so `/ 1000.0`
-    * would corrupt low bits. */
+  /** The events table's `ts` physical type has varied across testdata
+    * generations: parquet TIMESTAMP(NANOS) (read as a raw long under
+    * `nanosAsLong`, set in every session builder) vs TIMESTAMP(MICROS)
+    * (read as TIMESTAMP_NTZ). Branch on the LOADED dtype and normalize
+    * to session-TZ TimestampType either way. The long path converts
+    * nanos→micros with exact integer division — 2024 epoch-nanos
+    * (~1.7e18) exceed double precision, so `/ 1000.0` would corrupt low
+    * bits. The NTZ→TZ cast is value-preserving because every session
+    * runs with `spark.sql.session.timeZone=UTC`. */
   private[graft] def events(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    normalizeEventTs(table(s, dir, "events"))
+
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
+  }
 
   private def embStore(s: SparkSession, dir: String): VecStore =
     VecStore(table(s, dir, "embeddings"), idCol = "vec_id", vecCol = "embedding")

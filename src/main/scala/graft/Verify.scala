@@ -26,7 +26,22 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // A swallowed failure must NOT vanish from the correctness
+        // report (round-6 postmortem: 20 broken queries were simply
+        // absent from CORRECTNESS_r06). Emit a one-row sentinel whose
+        // schema can never match any oracle, so the driver's compare
+        // records rows/schema/hash mismatches instead of omitting the
+        // query.
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        try {
+          import spark.implicits._
+          Seq(("" + e.getClass.getName + ": " +
+              String.valueOf(e.getMessage).take(500)))
+            .toDF("__graft_query_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name sentinel write failed: ${e2.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
