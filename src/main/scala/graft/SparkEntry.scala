@@ -473,6 +473,25 @@ object SparkEntry {
         .withScoreRounding(4)
         .collect()),
 
+    // extension: Johnson–Lindenstrauss random projection (Achlioptas
+    // 2001) — 64→16 dims via a deterministic ±1 matrix, cosine top-k in
+    // the PROJECTED space. The 4× byte shrink is what a 100 TB pipeline
+    // applies before any vector-heavy shuffle (clustering, kNN graphs).
+    "vec_rp_topk" -> ((s, dir) => {
+      val p = vectors.rpMatrix(64, 16)
+      val pq = vectors.projectOf(Q1, p)
+      table(s, dir, "embeddings")
+        .select(col("vec_id"),
+          vectors.quantize(
+            vectors.score(Metric.Cosine,
+              vectors.projectWith(col("embedding"), p), vectors.vecLit(pq),
+              queryInvNorm = Some(lit(vectors.invNormOf(pq)))), 4)
+            .as("score"),
+          col("label"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // roadmap (README.md:204-215): int8 scalar quantization — first-pass
     // scoring over 4x fewer bytes; exact f32 rerank stays available.
     "vec_quant_dot_topk" -> ((s, dir) => {
@@ -2278,6 +2297,23 @@ object SparkEntry {
          |)
          |SELECT vec_id, score, label FROM s
          |ORDER BY score ASC, vec_id LIMIT 10""".stripMargin,
+
+    "vec_rp_topk" -> {
+      val p = vectors.rpMatrix(64, 16)
+      val pq = vectors.projectOf(Q1, p)
+      // Projected store vector rebuilt in SQL from the same ±1 literal
+      // rows; the projected QUERY is the driver-computed double literal
+      // list the Spark plan also embeds.
+      val projE = p.map(row => s"list_dot_product($E, ${sqlVec(row)})")
+        .mkString("[", ", ", "]")
+      s"""WITH pe AS (
+         |  SELECT vec_id, label, $projE AS p FROM embeddings
+         |), s AS (
+         |  SELECT vec_id, label, ${r4(sqlCosineOn("p", pq))} AS score FROM pe
+         |)
+         |SELECT vec_id, score, label FROM s
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+    },
 
     "vec_quant_dot_topk" -> {
       val (qq, qs) = graft.ops.quant.quantizeQuery(Q1)

@@ -120,6 +120,36 @@ object vectors {
     if (s > 0) 1.0 / math.sqrt(s) else 0.0
   }
 
+  /** Deterministic signed projection matrix for Johnson–Lindenstrauss
+    * dimensionality reduction (Achlioptas 2001: ±1 entries preserve
+    * pairwise distances as well as Gaussian entries). Entry (j,i) is the
+    * sign of sin(j·dIn + i + 1) — a pure function of (dIn, dOut), so any
+    * engine (and the DuckDB oracle) reproduces the exact matrix with no
+    * RNG state to ship. Unscaled (no 1/√dOut factor): cosine is
+    * scale-invariant and downstream users rank, not measure. */
+  def rpMatrix(dIn: Int, dOut: Int): Seq[Seq[Double]] =
+    (0 until dOut).map(j => (0 until dIn).map(i =>
+      if (math.sin((j * dIn + i + 1).toDouble) >= 0) 1.0 else -1.0))
+
+  /** Project a vector column through a literal matrix: `out[j] =
+    * dot(matrix[j], v)`. One native compiled dot per output dimension —
+    * dOut·dIn multiply-adds per row, zero shuffle, stays inside
+    * whole-stage codegen. At 100 TB this is the cheap pass that shrinks
+    * every downstream shuffle (clustering, kNN graphs, near-dup) by
+    * dIn/dOut× in vector bytes. */
+  def projectWith(v: Column, matrix: Seq[Seq[Double]]): Column =
+    array(matrix.map(row => NativeExprs.vecDot(asDoubleArray(v), vecLit(row))): _*)
+
+  /** Driver-side twin of [[projectWith]] for literal query vectors (same
+    * sequential fold order as the column kernel). */
+  def projectOf(q: Seq[Double], matrix: Seq[Seq[Double]]): Seq[Double] =
+    matrix.map { row =>
+      var s = 0.0
+      var i = 0
+      while (i < row.length) { s += row(i) * q(i); i += 1 }
+      s
+    }
+
   /** Engine-portable `d`-decimal quantization:
     * `floor(x·10ᵈ + 0.5) / 10ᵈ` — three IEEE double ops any engine
     * evaluates bit-identically. NOT Spark's `round()`: that routes

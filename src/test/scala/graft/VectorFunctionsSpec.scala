@@ -65,4 +65,36 @@ class VectorFunctionsSpec extends SparkSpec {
     val colInv = scores(Seq(q), v => invNorm(v)).head
     assert(math.abs(colInv - invNormOf(q)) < 1e-15)
   }
+
+  test("rpMatrix: deterministic ±1 entries, stable across calls") {
+    val p = rpMatrix(8, 4)
+    assert(p.length == 4 && p.forall(_.length == 8))
+    assert(p.flatten.forall(x => x == 1.0 || x == -1.0))
+    assert(p == rpMatrix(8, 4))
+    // not degenerate: both signs occur and rows differ
+    assert(p.flatten.distinct.sorted == Seq(-1.0, 1.0))
+    assert(p.distinct.length == 4)
+  }
+
+  test("projectWith == driver twin projectOf, bit-exact") {
+    val p = rpMatrix(6, 3)
+    val vs = Seq(
+      Seq(1.0, -2.0, 0.5, 3.25, -0.125, 7.0),
+      Seq(0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      Seq(1e-9, -1e9, 2.75, 0.1, 0.2, 0.3))
+    val viaCol = vs.toDF("v")
+      .select(projectWith(col("v"), p).as("p"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    assert(viaCol == vs.map(projectOf(_, p)))
+  }
+
+  test("projection is linear: P(a+b) == P(a) + P(b) on exact dyadics") {
+    val p = rpMatrix(4, 2)
+    val a = Seq(1.0, 0.5, -0.25, 2.0)
+    val b = Seq(0.125, -4.0, 8.0, 0.0625)
+    val sum = a.zip(b).map { case (x, y) => x + y }
+    val got = projectOf(sum, p)
+    val exp = projectOf(a, p).zip(projectOf(b, p)).map { case (x, y) => x + y }
+    assert(got == exp) // ±1 weights on dyadic rationals: exact fp
+  }
 }
