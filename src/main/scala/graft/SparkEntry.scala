@@ -473,6 +473,42 @@ object SparkEntry {
         .withScoreRounding(4)
         .collect()),
 
+    // roadmap metric (reference README.md:211): Hamming distance over
+    // binary SIGN signatures (1 bit per coordinate — the binary-code
+    // serving shape). The signature column derives in-scan; the query is
+    // binarized driver-side; smallest-first, integral scores, id tiebreak.
+    "vec_hamming_topk" -> ((s, dir) => {
+      val sig = transform(col("embedding"),
+        x => when(x >= 0, 1.0).otherwise(0.0))
+      VecStore(
+        table(s, dir, "embeddings")
+          .select(col("vec_id"), sig.as("sig"), col("label")),
+        idCol = "vec_id", vecCol = "sig")
+        .query(Q1.map(x => if (x >= 0) 1.0 else 0.0), Metric.Hamming)
+        .take(10)
+        .collect()
+    }),
+
+    // roadmap metric (reference README.md:211): Jaccard similarity over
+    // ACTIVE-DIMENSION sets (indices with a positive coordinate) — set
+    // columns legitimately differ in size row to row, the one metric
+    // exempt from the SearchPlan dimension guard; largest-first.
+    "vec_jaccard_topk" -> ((s, dir) => {
+      val active = filter(
+        transform(col("embedding"),
+          (x, i) => when(x > 0, i.cast("double")).otherwise(lit(null))),
+        y => y.isNotNull)
+      VecStore(
+        table(s, dir, "embeddings")
+          .select(col("vec_id"), active.as("dims"), col("label")),
+        idCol = "vec_id", vecCol = "dims")
+        .query(Q1.zipWithIndex.collect { case (x, i) if x > 0 => i.toDouble },
+          Metric.Jaccard)
+        .take(10)
+        .withScoreRounding(4)
+        .collect()
+    }),
+
     // extension: Johnson–Lindenstrauss random projection (Achlioptas
     // 2001) — 64→16 dims via a deterministic ±1 matrix, cosine top-k in
     // the PROJECTED space. The 4× byte shrink is what a 100 TB pipeline
@@ -1189,13 +1225,20 @@ object SparkEntry {
 
     // north-star: line-level exact dedup (the Dolma/FineWeb paragraph
     // stage). The corpus is single-line text, so the fixture SYNTHESIZES
-    // multi-line docs — each doc gets its successor's text as line 2
-    // (lead window; construction only, not the op) — making every line 2
-    // a guaranteed earlier-seen duplicate for the op to strip.
+    // multi-line docs — each doc gets its successor's (`doc_id + 1`;
+    // ids are dense, TESTDATA.md) text as line 2, making every line 2 a
+    // guaranteed earlier-seen duplicate for the op to strip. The
+    // successor comes from an EQUI-JOIN, not a global-order lead window:
+    // a partitionless window would drag the whole table through one
+    // partition inside a timed query (and its WindowExec warning would
+    // mask real unpartitioned-window regressions elsewhere).
     "dedup_lines" -> ((s, dir) => {
-      val win = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
-      val multi = table(s, dir, "documents").select(col("doc_id"),
-        concat_ws("\n", col("text"), lead(col("text"), 1).over(win)).as("text"))
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val succ = docs.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("_next"))
+      val multi = docs.join(succ, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          concat_ws("\n", col("text"), col("_next")).as("text"))
       dedup.dedupLines(multi, "text", "doc_id")
         .select(col("doc_id"), md5(col("text")).as("text_md5"),
           col("n_lines"), col("n_kept"))
@@ -2298,6 +2341,45 @@ object SparkEntry {
          |SELECT vec_id, score, label FROM s
          |ORDER BY score ASC, vec_id LIMIT 10""".stripMargin,
 
+    // Sign-binarize both sides, count differing positions.
+    "vec_hamming_topk" -> {
+      val qb = Q1.map(x => if (x >= 0) 1.0 else 0.0)
+      s"""WITH s AS (
+         |  SELECT vec_id, label,
+         |    list_sum(list_transform(list_zip(
+         |      list_transform($E, x -> CASE WHEN x >= 0 THEN 1.0 ELSE 0.0 END),
+         |      ${sqlVec(qb)}),
+         |      p -> CASE WHEN p[1] = p[2] THEN 0.0 ELSE 1.0 END)) AS score
+         |  FROM embeddings
+         |)
+         |SELECT vec_id, score, label FROM s
+         |ORDER BY score ASC, vec_id LIMIT 10""".stripMargin
+    },
+
+    // Active-dimension sets via a literal index spine (no index lambdas);
+    // both sides are distinct sets, so |A∪B| = |A| + |B| - |A∩B|.
+    "vec_jaccard_topk" -> {
+      val idx = (0 until 64).map(_.toDouble)
+      val qset = Q1.zipWithIndex.collect { case (x, i) if x > 0 => i.toDouble }
+      s"""WITH a AS (
+         |  SELECT vec_id, label,
+         |    list_filter(list_transform(list_zip($E, ${sqlVec(idx)}),
+         |      p -> CASE WHEN p[1] > 0 THEN p[2] END), v -> v IS NOT NULL) AS dims
+         |  FROM embeddings
+         |), s AS (
+         |  SELECT vec_id, label,
+         |    len(list_intersect(dims, ${sqlVec(qset)})) AS i,
+         |    len(dims) + ${qset.length} - len(list_intersect(dims, ${sqlVec(qset)})) AS u
+         |  FROM a
+         |), sc AS (
+         |  SELECT vec_id, label,
+         |    CASE WHEN u = 0 THEN 0.0 ELSE ${r4("i * 1.0 / u")} END AS score
+         |  FROM s
+         |)
+         |SELECT vec_id, score, label FROM sc
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+    },
+
     "vec_rp_topk" -> {
       val p = vectors.rpMatrix(64, 16)
       val pq = vectors.projectOf(Q1, p)
@@ -3059,9 +3141,9 @@ object SparkEntry {
     // min(doc_id·1e6 + pos) per line — equivalent to the op's
     // lexicographic (id, pos) struct-min at this fixture's line counts.
     "dedup_lines" ->
-      """WITH m AS (SELECT doc_id,
-        |  concat_ws(chr(10), text, lead(text) OVER (ORDER BY doc_id)) AS text
-        |  FROM documents),
+      """WITH m AS (SELECT d.doc_id,
+        |  concat_ws(chr(10), d.text, n.text) AS text
+        |  FROM documents d LEFT JOIN documents n ON n.doc_id = d.doc_id + 1),
         |l AS (SELECT doc_id, unnest(list_transform(string_split(text, chr(10)),
         |    (s, i) -> struct_pack(line := s, pos := i - 1))) AS u FROM m),
         |x AS (SELECT doc_id, u.line AS line, u.pos AS pos FROM l),

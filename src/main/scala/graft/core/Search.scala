@@ -167,11 +167,16 @@ final case class SearchPlan(
     // rather than silently returning nothing (vec.rs:170-203,
     // tests/vec_store_tests.rs:52-63). zip_with would otherwise pad with
     // nulls and yield NULL scores, which `!isnan` does NOT drop.
-    def dimGuard(scoreExpr: Column): Column =
-      when(size(v) === lit(dim), scoreExpr).otherwise(raise_error(format_string(
-        s"graft: query dim $dim does not match store vector dim %s " +
-          s"(or embedding is NULL) in column '${store.vecCol}'",
-        size(v).cast("string"))))
+    // Jaccard is exempt: it scores SETS, whose cardinalities legitimately
+    // differ row to row (Metric.Jaccard scaladoc).
+    def dimGuard(scoreExpr: Column): Column = metric match {
+      case Metric.Jaccard => scoreExpr
+      case _ =>
+        when(size(v) === lit(dim), scoreExpr).otherwise(raise_error(format_string(
+          s"graft: query dim $dim does not match store vector dim %s " +
+            s"(or embedding is NULL) in column '${store.vecCol}'",
+          size(v).cast("string"))))
+    }
 
     val scored =
       if (queries.length == 1) {

@@ -17,6 +17,18 @@ object Metric {
   /** L1 distance — on the reference's roadmap (README.md:204-215), not in
     * its shipped enum; a distance, so smallest-first like Euclidean. */
   case object Manhattan extends Metric { val defaultTake: TakeType = TakeType.Min }
+
+  /** Element-wise Hamming distance over equal-length signature arrays
+    * (binary/quantized codes) — reference roadmap (README.md:211); a
+    * distance, so smallest-first. */
+  case object Hamming extends Metric { val defaultTake: TakeType = TakeType.Min }
+
+  /** Jaccard SET similarity of two array columns (distinct elements;
+    * |A∩B| / |A∪B|, empty-union → 0) — reference roadmap (README.md:211).
+    * A similarity, so largest-first; the one metric whose two sides may
+    * legitimately differ in length (sets, not coordinates), so the
+    * SearchPlan dimension guard does not apply. */
+  case object Jaccard extends Metric { val defaultTake: TakeType = TakeType.Max }
 }
 
 /** Top-k direction (/root/reference/src/vec.rs:18-22). */

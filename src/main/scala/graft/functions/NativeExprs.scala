@@ -369,6 +369,49 @@ object NativeExprs {
   /** Column: native per-row SimHash (see [[SimHashExpr]]). */
   def simhash(c: Column, bits: Int): Column = column(SimHashExpr(expression(c), bits))
 
+  /** Fused Bloom decontamination probe: word n-gram shingles + k-position
+    * membership test against a literal [[graft.ops.sketch.bloom]] word
+    * array, all in one compiled pass per document — returns the count of
+    * DISTINCT shingles whose k Kirsch-Mitzenmacher positions are all set.
+    * The compositional twin (`size(filter(wordShingles(c, n), g =>
+    * bloomMightContain(words, g, mBits, k)))`) evaluates the lambda
+    * interpreted and pays TWO md5 digests per gram (h32 + h32b are
+    * separate expressions); here one digest yields both 32-bit words.
+    * Bit-identical to the twin (same shingle set, same digest, same
+    * position arithmetic) — asserted in NativeExprsSpec and by the
+    * `decontam_bloom_clean` DuckDB oracle. */
+  def bloomGramHitsOf(
+      text: UTF8String, words: Array[Long], n: Int, mBits: Int, k: Int): Long = {
+    val grams = shingles(text, n)
+    val d = digest.get()
+    var hits = 0L
+    var gi = 0
+    while (gi < grams.length) {
+      d.reset()
+      val h = d.digest(grams(gi).getBytes)
+      val h1 = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+      val h2 = ((h(4) & 0xffL) << 24) | ((h(5) & 0xffL) << 16) |
+        ((h(6) & 0xffL) << 8) | (h(7) & 0xffL)
+      var all = true
+      var j = 0
+      while (all && j < k) {
+        // h1 + j*h2 < 2^37 for k <= 16 — no overflow, always non-negative,
+        // so plain % equals pmod.
+        val pos = (h1 + j.toLong * h2) % mBits
+        all = (words((pos / 63L).toInt) & (1L << (pos % 63L).toInt)) != 0L
+        j += 1
+      }
+      if (all) hits += 1
+      gi += 1
+    }
+    hits
+  }
+
+  /** Column: fused bloom-member shingle count (see [[BloomGramHitsExpr]]). */
+  def bloomGramHits(c: Column, words: Seq[Long], n: Int, mBits: Int, k: Int): Column =
+    column(BloomGramHitsExpr(expression(c), words.toIndexedSeq, n, mBits, k))
+
   /** Column: fused hyperplane-LSH signature (see [[LshSigExpr]]). */
   def lshSig(v: Column, planes: Seq[Seq[Double]]): Column =
     column(LshSigExpr(expression(v), planes.map(_.toIndexedSeq).toIndexedSeq))
@@ -384,6 +427,10 @@ object NativeExprs {
   /** Column: native L1 / Manhattan distance (see [[VecL1Expr]]). */
   def vecL1(a: Column, b: Column): Column =
     column(VecL1Expr(expression(a), expression(b)))
+
+  /** Column: native element-wise Hamming distance (see [[VecHammingExpr]]). */
+  def vecHamming(a: Column, b: Column): Column =
+    column(VecHammingExpr(expression(a), expression(b)))
 }
 
 /** Element accessor closed over the array element type, so the per-row
@@ -440,6 +487,16 @@ private[functions] object VecKernels {
     var acc = 0.0
     var i = 0
     while (i < n) { acc += math.abs(ga(a, i) - gb(b, i)); i += 1 }
+    acc
+  }
+
+  /** Element-wise Hamming distance: count of differing positions. */
+  def hamming(a: ArrayData, b: ArrayData, ga: (ArrayData, Int) => Double,
+      gb: (ArrayData, Int) => Double): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { if (ga(a, i) != gb(b, i)) acc += 1.0; i += 1 }
     acc
   }
 }
@@ -522,6 +579,21 @@ case class VecL1Expr(left: Expression, right: Expression) extends VecBinaryKerne
     copy(left = newLeft, right = newRight)
 }
 
+/** Native element-wise Hamming distance over signature arrays — roadmap
+  * metric (README.md:211). Counts DIFFERING coordinate positions; exact
+  * double comparison is intended (signatures are small integers / ±1
+  * codes, exactly representable). */
+case class VecHammingExpr(left: Expression, right: Expression) extends VecBinaryKernel {
+  override def prettyName: String = "vec_hamming"
+  override protected def stepCode(ae: String, be: String, acc: String, tmp: String): String =
+    s"if ($ae != $be) $acc += 1.0;"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecKernels.hamming(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], ga, gb)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecHammingExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 case class WordShinglesExpr(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -572,6 +644,23 @@ case class RepetitionMassExpr(child: Expression, n: Int)
     InternalRow(top, dup)
   }
   override protected def withNewChildInternal(newChild: Expression): RepetitionMassExpr =
+    copy(child = newChild)
+}
+
+/** Fused shingle + bloom-probe kernel (see
+  * [[NativeExprs.bloomGramHitsOf]]). `words` is an IndexedSeq (structural
+  * equality), so identical probe expressions stay semantically equal.
+  * CodegenFallback like the other digest kernels — the md5 per shingle
+  * dominates; the loop body is compiled JVM code either way. */
+case class BloomGramHitsExpr(
+    child: Expression, words: IndexedSeq[Long], n: Int, mBits: Int, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bloom_gram_hits"
+  @transient private lazy val wordArr: Array[Long] = words.toArray
+  override protected def nullSafeEval(input: Any): Any =
+    NativeExprs.bloomGramHitsOf(input.asInstanceOf[UTF8String], wordArr, n, mBits, k)
+  override protected def withNewChildInternal(newChild: Expression): BloomGramHitsExpr =
     copy(child = newChild)
 }
 

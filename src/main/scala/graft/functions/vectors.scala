@@ -92,6 +92,37 @@ object vectors {
       lit(0.0),
       (acc, x) => acc + x)
 
+  /** Element-wise Hamming distance — count of coordinate positions where
+    * the two equal-length signature arrays differ (binary sign codes,
+    * quantized codes). Reference-roadmap metric (README.md:211). Native
+    * kernel; bit-identical to [[hammingDistanceHof]]. Like the other
+    * kernels, a length mismatch is resolved by the shorter length (the
+    * SearchPlan dim guard rejects mismatches before scoring). */
+  def hammingDistance(a: Column, b: Column): Column = NativeExprs.vecHamming(a, b)
+
+  /** Compositional (HOF) Hamming — executable spec of the kernel. */
+  def hammingDistanceHof(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(asDoubleArray(a), asDoubleArray(b),
+        (x, y) => when(x === y, 0.0).otherwise(1.0)),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** Jaccard SET similarity of two array columns: |A∩B| / |A∪B| over the
+    * DISTINCT elements of each side, 0.0 when the union is empty (two
+    * empty sets score 0, never NaN — the zero-vector convention,
+    * vec.rs:365-368). Reference-roadmap metric (README.md:211). Built
+    * from `array_intersect`/`array_union` — codegen'd Spark natives; set
+    * cardinality is the whole computation, so there is no per-element
+    * fold to fuse. */
+  def jaccardSimilarity(a: Column, b: Column): Column = {
+    val ad = asDoubleArray(a)
+    val bd = asDoubleArray(b)
+    val u = size(array_union(ad, bd))
+    when(u === 0, lit(0.0))
+      .otherwise(size(array_intersect(ad, bd)).cast(DoubleType) / u.cast(DoubleType))
+  }
+
   /** Metric-dispatched score of a store vector column against a query
     * expression. `storeInvNorm` supplies a precomputed inverse-norm column
     * when the store was built with one, and `queryInvNorm` the
@@ -106,6 +137,8 @@ object vectors {
     case Metric.DotProduct => dotProduct(storeVec, queryVec)
     case Metric.Euclidean  => l2Squared(storeVec, queryVec)
     case Metric.Manhattan  => l1Distance(storeVec, queryVec)
+    case Metric.Hamming    => hammingDistance(storeVec, queryVec)
+    case Metric.Jaccard    => jaccardSimilarity(storeVec, queryVec)
     case Metric.Cosine =>
       val ia = storeInvNorm.getOrElse(invNorm(storeVec))
       val ib = queryInvNorm.getOrElse(invNorm(queryVec))

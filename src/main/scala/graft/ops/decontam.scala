@@ -147,15 +147,18 @@ object decontam {
   }
 
   /** Drop docs with ≥ `minHits` bloom-member grams, entirely IN ROW:
-    * the gram array is built and probed inside one projection
-    * ([[sketch.bloomMightContain]] over the literal word array), so the
+    * shingling and the k-position probe run as ONE fused native kernel
+    * pass per document ([[graft.functions.NativeExprs.bloomGramHits]] —
+    * one md5 per gram yields both probe words; the compositional form
+    * pays two digests per gram through interpreted HOF lambdas), so the
     * gate is a STATELESS row-local filter — zero shuffle, pushes toward
     * the scan, and (unlike [[bloomScreenHits]]' explode + count, the
     * audit shape) is legal in a Structured Streaming micro-batch with
     * no state store, no watermark, no foreachBatch: the same call
     * screens a 100 TB batch corpus and a live ingest stream. Keeps the
     * no-false-negative guarantee; FP-rate docs are the price of the
-    * constant-size sketch. */
+    * constant-size sketch. Bit-identical to [[bloomCleanHof]], the
+    * compositional executable spec (NativeExprsSpec asserts the law). */
   def bloomClean(
       df: DataFrame,
       bloomDf: DataFrame,
@@ -165,11 +168,39 @@ object decontam {
       k: Int = 3,
       minHits: Int = 1): DataFrame = {
     require(minHits >= 1, s"graft: bloomClean needs minHits >= 1, got $minHits")
-    val words = bloomDf.orderBy(col("word"))
-      .select(col("bits")).collect().map(_.getLong(0)).toSeq
+    val words = collectBloomWords(bloomDf, mBits, k)
+    df.where(graft.functions.NativeExprs
+      .bloomGramHits(col(textCol), words, n, mBits, k) < minHits)
+  }
+
+  /** Compositional (HOF) twin of [[bloomClean]] — the executable spec of
+    * the fused kernel: same shingle set, same digest-derived positions,
+    * via [[dedup.wordShingles]] + [[sketch.bloomMightContain]]. */
+  def bloomCleanHof(
+      df: DataFrame,
+      bloomDf: DataFrame,
+      textCol: String,
+      n: Int = 8,
+      mBits: Int = 4032,
+      k: Int = 3,
+      minHits: Int = 1): DataFrame = {
+    require(minHits >= 1, s"graft: bloomCleanHof needs minHits >= 1, got $minHits")
+    val words = collectBloomWords(bloomDf, mBits, k)
     df.where(
       size(filter(dedup.wordShingles(col(textCol), n),
         g => sketch.bloomMightContain(words, g, mBits, k))) < minHits)
+  }
+
+  /** Collect a [[sketch.bloom]] artifact's word spine driver-side
+    * (`mBits/63` longs by construction — bounded state, like the PQ
+    * codebooks), validating its shape against the probe parameters. */
+  private def collectBloomWords(bloomDf: DataFrame, mBits: Int, k: Int): Seq[Long] = {
+    val words = bloomDf.orderBy(col("word"))
+      .select(col("bits")).collect().map(_.getLong(0)).toSeq
+    require(words.length == sketch.bloomWordCount(mBits),
+      s"graft: bloom artifact has ${words.length} words, " +
+        s"expected ${sketch.bloomWordCount(mBits)} for mBits=$mBits")
+    words
   }
 
   /** Drop training docs with ≥ `minHits` shared n-grams (anti-join on the

@@ -106,6 +106,14 @@ class NativeExprsSpec extends SparkSpec {
         vectors.l2SquaredHof(col("embedding"), q).as("lh"))
       .where(col("dn") =!= col("dh") || col("ln") =!= col("lh")).count()
     assert(diff == 0)
+    // Hamming over sign signatures: kernel == HOF fold, and integral
+    val sig = transform(col("embedding"), x => when(x >= 0, 1.0).otherwise(0.0))
+    val qs = vectors.vecLit((0 until 64).map(i => if (math.sin(i * 0.7) >= 0) 1.0 else 0.0))
+    val hdiff = emb.select(
+        vectors.hammingDistance(sig, qs).as("hn"),
+        vectors.hammingDistanceHof(sig, qs).as("hh"))
+      .where(col("hn") =!= col("hh") || col("hn") =!= floor(col("hn"))).count()
+    assert(hdiff == 0)
   }
 
   test("native repetition masses equal the HOF composition on real text") {
@@ -187,5 +195,29 @@ class NativeExprsSpec extends SparkSpec {
     // nondeterminism, this pins the regression.
     assert(md5Count(filterOn(
       NativeExprs.fence(md5(col("s").cast("binary"))))) == 1)
+  }
+
+  test("fused bloom-probe kernel equals the HOF composition; clean gates agree") {
+    import graft.ops.{decontam, sketch}
+    // real bloom over a bench slice's grams — probed by the full corpus,
+    // so both member and non-member shingles are exercised
+    val bench = docs.where(col("doc_id") % 10 === 0)
+    val bloomDf = decontam.benchGramBloom(bench, "text", n = 8)
+    val words = bloomDf.orderBy(col("word"))
+      .select(col("bits")).collect().map(_.getLong(0)).toSeq
+    val diff = docs.select(
+        NativeExprs.bloomGramHits(col("text"), words, 8, 4032, 3).as("a"),
+        size(filter(dedup.wordShingles(col("text"), 8),
+          g => sketch.bloomMightContain(words, g, 4032, 3))).cast("long").as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(diff == 0)
+    // and the gate built on the kernel keeps exactly the HOF twin's rows
+    import spark.implicits._
+    val a = decontam.bloomClean(docs, bloomDf, "text")
+      .select("doc_id").as[Long].collect().toSet
+    val b = decontam.bloomCleanHof(docs, bloomDf, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+    assert(a.size < docs.count(), "fixture must actually drop contaminated docs")
   }
 }
