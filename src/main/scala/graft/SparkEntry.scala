@@ -63,7 +63,8 @@ object SparkEntry {
     val path = builtIndexes.getOrElseUpdate(dir, {
       val out = java.nio.file.Files.createTempDirectory("graft-idx-").toString + "/emb"
       graft.index.VecIndex.build(table(s, dir, "embeddings"), out,
-        opts = graft.index.VecIndex.BuildOptions(sortBy = Seq("label")))._2.path
+        opts = graft.index.VecIndex.BuildOptions(sortBy = Seq("label"),
+          rpDims = Some(16)))._2.path
       out
     })
     graft.index.VecIndex.load(s, path)
@@ -527,6 +528,16 @@ object SparkEntry {
         .orderBy(col("score").desc, col("vec_id"))
         .limit(10)
     }),
+
+    // north-star: the PERSISTED JL projection — `rp_vec` (64→16 dims)
+    // written at index build like `inv_norm`, matrix in the index
+    // metadata; the query projects once driver-side, scores the slim
+    // column for a 40-candidate pool, and exact-reranks on f32. Unlike
+    // vec_rp_topk (which prices the in-scan projection), this is the
+    // serving path — the projection is never recomputed per query.
+    "index_rp_topk" -> ((s, dir) =>
+      ann.rpSearch(embIndex(s, dir), Q1, k = 10)
+        .select(col("vec_id"), col("score"), col("label"))),
 
     // roadmap (README.md:204-215): int8 scalar quantization — first-pass
     // scoring over 4x fewer bytes; exact f32 rerank stays available.
@@ -2392,6 +2403,27 @@ object SparkEntry {
          |  SELECT vec_id, label, $projE AS p FROM embeddings
          |), s AS (
          |  SELECT vec_id, label, ${r4(sqlCosineOn("p", pq))} AS score FROM pe
+         |)
+         |SELECT vec_id, score, label FROM s
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+    },
+
+    // Two deterministic stages: candidate pool by QUANTIZED projected
+    // cosine + id tiebreak (matrix rebuilt from the same ±1 literals the
+    // build persisted), then exact rerank — both engines pick the same
+    // 40 candidates, so the same top 10.
+    "index_rp_topk" -> {
+      val p = vectors.rpMatrix(64, 16)
+      val pq = vectors.projectOf(Q1, p)
+      val projE = p.map(row => s"list_dot_product($E, ${sqlVec(row)})")
+        .mkString("[", ", ", "]")
+      s"""WITH pe AS (
+         |  SELECT vec_id, label, $E AS e, $projE AS p FROM embeddings
+         |), c AS (
+         |  SELECT vec_id, label, e, ${r4(sqlCosineOn("p", pq))} AS rp_score FROM pe
+         |  ORDER BY rp_score DESC, vec_id LIMIT 40
+         |), s AS (
+         |  SELECT vec_id, label, ${r4(sqlCosineOn("e", Q1))} AS score FROM c
          |)
          |SELECT vec_id, score, label FROM s
          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin

@@ -74,11 +74,13 @@ final case class VecStore(
 
   /** Metadata columns in the reference's result order: sorted by name
     * (ref: meta.rs:723-724). Index-internal columns (precomputed norm,
-    * LSH partition bucket) are not user metadata and stay out of results. */
+    * LSH partition bucket, PQ codes, persisted JL projection) are not
+    * user metadata and stay out of results. */
   private[core] def metaCols: Seq[String] =
     df.columns.filterNot(c =>
       c == idCol || c == vecCol || invNormCol.contains(c) ||
-        c == "lsh_bucket" || c == "cluster_id").sorted.toSeq
+        c == "lsh_bucket" || c == "cluster_id" || c == "pq_code" ||
+        c == "rp_vec").sorted.toSeq
 }
 
 /** Lazy, immutable query plan — the Spark analog of `MetaQueryPlan`

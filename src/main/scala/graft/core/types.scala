@@ -51,7 +51,13 @@ final case class IndexMeta(
     ivfCentroids: Option[Seq[(Int, Seq[Double])]] = None,
     /** Per-subspace PQ codebooks (`codebooks(s)(c)` = codeword `c` of
       * subspace `s`) when the index persisted a `pq_code` column. */
-    pqCodebooks: Option[Seq[Seq[Seq[Double]]]] = None)
+    pqCodebooks: Option[Seq[Seq[Seq[Double]]]] = None,
+    /** Johnson–Lindenstrauss projection matrix (`rpMatrix(j)` = row
+      * projecting input dim to output coordinate `j`) when the index
+      * persisted an `rp_vec` column — queries project once driver-side
+      * and score the slim persisted column instead of recomputing the
+      * projection per scan. */
+    rpMatrix: Option[Seq[Seq[Double]]] = None)
 
 /** Score-filter comparison operators (/root/reference/src/vec.rs:24-31). */
 sealed trait Cmp

@@ -156,13 +156,17 @@ object vectors {
   /** Deterministic signed projection matrix for Johnson–Lindenstrauss
     * dimensionality reduction (Achlioptas 2001: ±1 entries preserve
     * pairwise distances as well as Gaussian entries). Entry (j,i) is the
-    * sign of sin(j·dIn + i + 1) — a pure function of (dIn, dOut), so any
-    * engine (and the DuckDB oracle) reproduces the exact matrix with no
-    * RNG state to ship. Unscaled (no 1/√dOut factor): cosine is
-    * scale-invariant and downstream users rank, not measure. */
+    * sign of StrictMath.sin(j·dIn + i + 1) — `StrictMath` (fdlibm) is
+    * bit-specified, so the matrix is a reproducible pure function of
+    * (dIn, dOut) on any JVM. Cross-ENGINE agreement does not rest on
+    * recomputation at all: the driver computes the matrix once and embeds
+    * it as literals in both the Spark plan and the oracle SQL (and
+    * [[graft.index.VecIndex]] persists it in the index metadata).
+    * Unscaled (no 1/√dOut factor): cosine is scale-invariant and
+    * downstream users rank, not measure. */
   def rpMatrix(dIn: Int, dOut: Int): Seq[Seq[Double]] =
     (0 until dOut).map(j => (0 until dIn).map(i =>
-      if (math.sin((j * dIn + i + 1).toDouble) >= 0) 1.0 else -1.0))
+      if (StrictMath.sin((j * dIn + i + 1).toDouble) >= 0) 1.0 else -1.0))
 
   /** Project a vector column through a literal matrix: `out[j] =
     * dot(matrix[j], v)`. One native compiled dot per output dimension —

@@ -43,6 +43,9 @@ object VecIndex {
   /** Name of the persisted IVF cluster (partition) column. */
   val IvfClusterCol = "cluster_id"
 
+  /** Name of the persisted JL random-projection column. */
+  val RpVecCol = "rp_vec"
+
   /** Directory (underscore-prefixed → invisible to parquet scans of the
     * index) holding the build-time [[graft.core.IndexMeta]]. */
   private val MetaDir = "_graft_meta"
@@ -101,7 +104,15 @@ object VecIndex {
         * IVF-PQ layout: probing prunes partitions, ADC scoring reads m
         * small ints per row instead of the float vector. Encoding runs
         * once at build, never at query time. */
-      pqCodebooks: Option[Seq[Seq[Seq[Double]]]] = None)
+      pqCodebooks: Option[Seq[Seq[Seq[Double]]]] = None,
+      /** When set, persist an `rp_vec` column = the embedding projected
+        * to this many dimensions through the deterministic JL matrix
+        * ([[graft.functions.vectors.rpMatrix]]), and store the matrix in
+        * the index metadata. A query then projects ONCE driver-side and
+        * scores the slim column ([[graft.ops.ann.rpSearch]]) — the
+        * dIn/dOut× byte-and-FLOP shrink is pre-paid at build like
+        * `inv_norm`, never recomputed per scan. */
+      rpDims: Option[Int] = None)
 
   /** Apply the bloom-filter writer options of `opts` (shared by [[build]]
     * and [[append]]): per-column enable/ndv/fpp, plus the global size
@@ -157,9 +168,15 @@ object VecIndex {
       "graft: lshBits and ivfCentroids are mutually exclusive partition layouts")
 
     val withInv = df.withColumn(InvNormCol, vectors.invNorm(col(vecCol)))
-    val withPq = opts.pqCodebooks match {
-      case Some(cbs) => graft.ops.quant.pqEncode(withInv, cbs, vecCol)
+    val rpMat = opts.rpDims.map(dOut => vectors.rpMatrix(lo, dOut))
+    val withRp = rpMat match {
+      case Some(mat) =>
+        withInv.withColumn(RpVecCol, vectors.projectWith(col(vecCol), mat))
       case None => withInv
+    }
+    val withPq = opts.pqCodebooks match {
+      case Some(cbs) => graft.ops.quant.pqEncode(withRp, cbs, vecCol)
+      case None => withRp
     }
     val withBucket = (opts.lshBits, opts.ivfCentroids) match {
       case (Some(bits), _) =>
@@ -193,7 +210,8 @@ object VecIndex {
     opts.lshBits.foreach(_ => writer = writer.partitionBy(LshBucketCol))
     opts.ivfCentroids.foreach(_ => writer = writer.partitionBy(IvfClusterCol))
     writer.parquet(path)
-    writeMeta(df.sparkSession, path, opts)
+    writeMetaValues(df.sparkSession, path, opts.lshBits, 0, opts.ivfCentroids,
+      opts.pqCodebooks, rpMat)
 
     val store = load(df.sparkSession, path, idCol, vecCol)
     val (files, groups) = countRowGroups(df.sparkSession, path)
@@ -236,14 +254,26 @@ object VecIndex {
       s"graft: appended dimension $lo != stored dimension $storedDim at '$path'")
 
     val withInv = df.withColumn(InvNormCol, vectors.invNorm(col(vecCol)))
+    // Derived columns come from the PERSISTED build config (matrix,
+    // codebooks, bucket params) — never caller options — so appended rows
+    // land with the same layout semantics the original build wrote.
+    val withRp = meta.flatMap(_.rpMatrix) match {
+      case Some(mat) =>
+        withInv.withColumn(RpVecCol, vectors.projectWith(col(vecCol), mat))
+      case None => withInv
+    }
+    val withPq = meta.flatMap(_.pqCodebooks) match {
+      case Some(cbs) => graft.ops.quant.pqEncode(withRp, cbs, vecCol)
+      case None => withRp
+    }
     val withBucket = meta match {
       case Some(m) if m.lshBits.isDefined =>
-        withInv.withColumn(LshBucketCol,
+        withPq.withColumn(LshBucketCol,
           graft.ops.ann.lshSignature(col(vecCol), t = m.lshTable,
             nbits = m.lshBits.get, dim = lo))
       case Some(m) if m.ivfCentroids.isDefined =>
-        graft.ops.ann.ivfAssign(withInv, m.ivfCentroids.get, vecCol)
-      case _ => withInv
+        graft.ops.ann.ivfAssign(withPq, m.ivfCentroids.get, vecCol)
+      case _ => withPq
     }
     // Column order must match the existing data files for parquet append.
     val ordered = withBucket.select(existing.columns.toIndexedSeq.map(col): _*)
@@ -355,7 +385,8 @@ object VecIndex {
     writer.parquet(tmp)
     meta match {
       case Some(m) =>
-        writeMetaValues(spark, tmp, m.lshBits, m.lshTable, m.ivfCentroids, m.pqCodebooks)
+        writeMetaValues(spark, tmp, m.lshBits, m.lshTable, m.ivfCentroids,
+          m.pqCodebooks, m.rpMatrix)
       case None => ()
     }
 
@@ -402,21 +433,21 @@ object VecIndex {
 
   /** Persist the build-time metadata under `_graft_meta` (underscore dir:
     * parquet scans of the index never see it). */
-  private def writeMeta(spark: SparkSession, path: String, opts: BuildOptions): Unit =
-    writeMetaValues(spark, path, opts.lshBits, 0, opts.ivfCentroids, opts.pqCodebooks)
-
   private def writeMetaValues(
       spark: SparkSession,
       path: String,
       lshBits: Option[Int],
       lshTable: Int,
       ivfCentroids: Option[Seq[(Int, Seq[Double])]],
-      pqCodebooks: Option[Seq[Seq[Seq[Double]]]]): Unit = {
+      pqCodebooks: Option[Seq[Seq[Seq[Double]]]],
+      rpMatrix: Option[Seq[Seq[Double]]]): Unit = {
     import spark.implicits._
     Seq((lshBits, lshTable, ivfCentroids.getOrElse(Seq.empty[(Int, Seq[Double])]),
         ivfCentroids.isDefined,
-        pqCodebooks.getOrElse(Seq.empty[Seq[Seq[Double]]]), pqCodebooks.isDefined))
-      .toDF("lsh_bits", "lsh_table", "centroids", "has_ivf", "pq_codebooks", "has_pq")
+        pqCodebooks.getOrElse(Seq.empty[Seq[Seq[Double]]]), pqCodebooks.isDefined,
+        rpMatrix.getOrElse(Seq.empty[Seq[Double]]), rpMatrix.isDefined))
+      .toDF("lsh_bits", "lsh_table", "centroids", "has_ivf", "pq_codebooks", "has_pq",
+        "rp_matrix", "has_rp")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/$MetaDir")
   }
 
@@ -433,15 +464,21 @@ object VecIndex {
           .map(cr => (cr.getInt(0), cr.getSeq[Double](1).toIndexedSeq: Seq[Double]))
           .toIndexedSeq: Seq[(Int, Seq[Double])])
       else None
-    // Indexes written before the PQ field existed have no pq columns —
-    // treat them as PQ-less rather than failing the read.
+    // Indexes written before the PQ/RP fields existed have no such
+    // columns — treat them as PQ-/RP-less rather than failing the read.
     val pq =
       if (r.schema.fieldNames.contains("has_pq") && r.getBoolean(r.fieldIndex("has_pq")))
         Some(r.getSeq[scala.collection.Seq[scala.collection.Seq[Double]]](r.fieldIndex("pq_codebooks"))
           .map(cb => cb.map(cw => cw.toIndexedSeq: Seq[Double]).toIndexedSeq: Seq[Seq[Double]])
           .toIndexedSeq: Seq[Seq[Seq[Double]]])
       else None
-    Some(graft.core.IndexMeta(lsh, r.getInt(r.fieldIndex("lsh_table")), cents, pq))
+    val rp =
+      if (r.schema.fieldNames.contains("has_rp") && r.getBoolean(r.fieldIndex("has_rp")))
+        Some(r.getSeq[scala.collection.Seq[Double]](r.fieldIndex("rp_matrix"))
+          .map(row => row.toIndexedSeq: Seq[Double])
+          .toIndexedSeq: Seq[Seq[Double]])
+      else None
+    Some(graft.core.IndexMeta(lsh, r.getInt(r.fieldIndex("lsh_table")), cents, pq, rp))
   }
 
   /** Open a previously built index (physical layout + build metadata). */

@@ -117,6 +117,49 @@ object ann {
       .collect()
   }
 
+  /** Two-stage search over a PERSISTED Johnson–Lindenstrauss projection
+    * (index built with `BuildOptions(rpDims = Some(dOut))`): stage 1
+    * scores the slim `rp_vec` column — dOut multiply-adds per row instead
+    * of dIn, the projection itself pre-paid at build exactly like
+    * `inv_norm`, never recomputed in-scan — and keeps a `candK` candidate
+    * pool via TakeOrderedAndProject (per-partition bounded heap, k·P
+    * driver merge); stage 2 reranks ONLY the pool with exact cosine on
+    * the full-precision vector column. Candidate membership is decided on
+    * the QUANTIZED projected score with id tiebreak, so the pool (and
+    * therefore the result) is engine-reproducible. `candK = 0` (default)
+    * means `4·k` — JL at 16 dims preserves cosine order well enough that
+    * a small multiple recovers near-exact top-k; raise it for recall,
+    * measured via [[recallAtK]]. */
+  def rpSearch(
+      store: VecStore,
+      q: Seq[Double],
+      k: Int,
+      candK: Int = 0): DataFrame = {
+    val mat = store.indexMeta.flatMap(_.rpMatrix).getOrElse(
+      throw new IllegalArgumentException(
+        "graft: store has no persisted JL projection — build the index " +
+          "with BuildOptions(rpDims = Some(...))"))
+    val rpCol = graft.index.VecIndex.RpVecCol
+    require(store.df.columns.contains(rpCol),
+      s"graft: index has RP metadata but no persisted $rpCol column")
+    require(q.length == mat.head.length,
+      s"graft: query dim ${q.length} != projection input dim ${mat.head.length}")
+    val cand = math.max(k, if (candK > 0) candK else 4 * k)
+    val pq = vectors.projectOf(q, mat)
+    val rpScore = vectors.quantize(
+      vectors.score(Metric.Cosine, col(rpCol), vectors.vecLit(pq),
+        queryInvNorm = Some(lit(vectors.invNormOf(pq)))), 4)
+    val pool = store.df
+      .withColumn("_rp_score", rpScore)
+      .orderBy(col("_rp_score").desc, col(store.idCol).asc)
+      .limit(cand)
+    store.copy(df = pool.drop("_rp_score"))
+      .query(q, Metric.Cosine)
+      .take(k)
+      .withScoreRounding(4)
+      .collect()
+  }
+
   /** Multi-probe probe set for a query (Lv et al. 2007): the query's own
     * signature plus the `probes - 1` cheapest bit perturbations, where a
     * perturbation's cost is the summed |margin| (|q·h_j|) of its flipped

@@ -209,6 +209,45 @@ class AnnSpec extends SparkSpec {
     assert(res.select("vec_id", "score").as[(Long, Double)].collect().toSeq == adHoc)
   }
 
+  test("rpSearch: persisted JL column + matrix round-trip; top-k matches a manual rerank") {
+    import graft.functions.vectors
+    val dir = java.nio.file.Files.createTempDirectory("graft-rpidx-").toString + "/idx"
+    val (idx, _) = graft.index.VecIndex.build(df, dir,
+      opts = graft.index.VecIndex.BuildOptions(rpDims = Some(8)))
+    // matrix round-trips through _graft_meta bit-for-bit
+    val mat = vectors.rpMatrix(dim, 8)
+    assert(idx.indexMeta.flatMap(_.rpMatrix).contains(mat))
+    // persisted column equals an in-scan projection of the raw vectors
+    val diff = idx.df.select(col(graft.index.VecIndex.RpVecCol).as("a"),
+        vectors.projectWith(col("embedding"), mat).as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(diff == 0)
+    // rp_vec is index-internal: never leaks into SearchPlan results
+    val q = vec(7)
+    val cols = idx.query(q, Metric.Cosine).take(3).collect().columns.toSeq
+    assert(!cols.contains("rp_vec"), s"rp_vec leaked into $cols")
+    // rpSearch == manual two-stage (quantized rp pool -> exact rerank)
+    val got = ann.rpSearch(idx, q, k = 5)
+      .select("vec_id").as[Long].collect().toSeq
+    val pq = vectors.projectOf(q, mat)
+    val pool = idx.df.select(col("vec_id"),
+        vectors.quantize(vectors.score(Metric.Cosine,
+          col(graft.index.VecIndex.RpVecCol), vectors.vecLit(pq)), 4).as("rs"))
+      .orderBy(col("rs").desc, col("vec_id")).limit(20)
+      .select("vec_id").as[Long].collect().toSet
+    val manual = idx.df.where(col("vec_id").isin(pool.toSeq: _*))
+      .select(col("vec_id"),
+        vectors.quantize(vectors.score(Metric.Cosine,
+          col("embedding"), vectors.vecLit(q)), 4).as("s"))
+      .orderBy(col("s").desc, col("vec_id")).limit(5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == manual)
+    // an un-projected index refuses rpSearch with a descriptive error
+    val plain = VecStore(df)
+    val err = intercept[IllegalArgumentException](ann.rpSearch(plain, q, k = 5))
+    assert(err.getMessage.contains("rpDims"))
+  }
+
   test("lshSearchMultiProbe: superset recall of the single bucket; probes ordered by margin") {
     val q = vec(7)
     val single = ann.lshSearch(store, q, k = 10, nbits = 4)
