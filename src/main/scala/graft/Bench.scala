@@ -7,10 +7,33 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC like Verify: normalizeEventTs's NTZ->TZ cast is only
+      // value-preserving under UTC, so bench must time the same plans
+      // the correctness gate verified.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Host-load stamps make a contended artifact SELF-IDENTIFYING: the
+    // round-7 driver bench recorded scan-shaped queries 5-25x their quiet
+    // numbers and nothing in the JSON proved the host was loaded — the
+    // adjudication needed a full judge re-run (BASELINE.md's warning,
+    // machine-readable). 1/5/15-min averages at start AND end bracket the
+    // run.
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").take(3).mkString(" ")
+      catch { case _: Throwable => "unavailable" }
+    val loadStart = loadavg()
+    // Optional per-query phase split (prune/scan/score/merge from the
+    // executed plan's own SQL metrics) in bench_full.json — answers "why
+    // did X get slow" from artifacts alone. Off by default: the listener
+    // snapshot costs a post-action wait per query.
+    val phasesOn = sys.env.get("SPARK_GRAFT_PHASES").contains("1")
+    val listener =
+      if (phasesOn) Some(graft.core.GraftStatsListener.attach(spark)) else None
+    val phaseJson = scala.collection.mutable.LinkedHashMap[String, String]()
     // Untimed warmup: initialize codegen, shuffle machinery, and the
     // vectorized parquet reader once, so the first timed query measures
     // steady-state execution rather than one-time JVM/session setup
@@ -57,6 +80,18 @@ object Bench {
             None
         }
       }
+      listener.foreach { l =>
+        // listener delivery is async; bounded wait like ScaleRehearsal
+        var waited = 0
+        while (l.lastQueryStats.isEmpty && waited < 2000) {
+          Thread.sleep(20); waited += 20
+        }
+        l.lastQueryStats.foreach { st =>
+          val p = st.phases
+          phaseJson(name) = s"""{"prune_ms":${p.pruneMs},"scan_ms":${p.scanMs},""" +
+            s""""score_ms":${p.scoreMs},"merge_ms":${p.mergeMs}}"""
+        }
+      }
       if (times.nonEmpty) errors.remove(name) // transient failure, run succeeded
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
@@ -68,12 +103,21 @@ object Bench {
     }
     // Full-precision per-query numbers go to a FILE for humans/diffing;
     // stdout gets ONE compact JSON line for the driver.
+    val loadEnd = loadavg()
     val fullJson = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
       val errs = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      val phases =
+        if (phaseJson.isEmpty) ""
+        else phaseJson.map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString(""","phases":{""", ",", "}")
+      val perQuery = if (ok.nonEmpty) total / ok.size else 0.0
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},""" +
+        s""""sec_per_query":$perQuery,"runs":$runs,""" +
+        s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +
+        s""""queries":$qs,"errors":$errs$phases,"sf":"$sfDir"}"""
     }
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
@@ -113,7 +157,14 @@ object Bench {
             (if (errSeq.size > keepE) Seq("\"_more_errors\":" + (errSeq.size - keepE)) else Nil)
           es.mkString(""","errors":{""", ",", "}")
         }
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":${shown.mkString("{", ",", "}")}$errs,"sf":"$sfName"}"""
+      // 1-min load at start/end + per-query mean ride the compact line
+      // too: the driver artifact alone should reveal a contended run and
+      // normalize the total as coverage grows (suite total is count-
+      // dependent; sec/query is the comparable number).
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec",""" +
+        s""""n_queries":${ok.size},"sec_per_query":${fmt(if (ok.nonEmpty) total / ok.size else 0.0, 3)},""" +
+        s""""load1_start":"${loadStart.split(" ").head}","load1_end":"${loadEnd.split(" ").head}",""" +
+        s""""queries":${shown.mkString("{", ",", "}")}$errs,"sf":"$sfName"}"""
     }
     var keepQ = byCost.size
     var keepE = errSeq.size
