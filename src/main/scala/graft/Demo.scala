@@ -37,6 +37,8 @@ object Demo {
       .collect()
       .show(truncate = false)
     stats.lastQueryStats.foreach(s => println(s.pretty))
+    // reference-style one-call stats table (display.rs:221-249)
+    stats.lastQueryStats.foreach(s => println(s.formatTable))
 
     println("== euclidean (squared L2) nearest-3 ==")
     store.query(q, Metric.Euclidean).take(3).collect().show(false)

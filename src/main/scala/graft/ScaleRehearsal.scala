@@ -203,6 +203,36 @@ object ScaleRehearsal {
       emb.where(col("vec_id") >= 1000), emb.where(col("vec_id") < 1000),
       "vec_id", "embedding", tau = 0.999))
 
+    // ---- session-4 additions: bloom gate, interleave, LP, dHash -------
+    // Bloom family at 10×: the sketch is CONSTANT-SIZE (16384 words) no
+    // matter the corpus; the screen and the in-row clean gate must stay
+    // corpus-linear. Bench slice = every 20th doc (~2.5k docs / ~10× the
+    // sf0.1 gram count), train = the rest (~47.5k docs).
+    val screenBits = 16384 * 63
+    val bl = decontam.benchGramBloom(docs.where(col("doc_id") % 20 === 0),
+      "text", mBits = screenBits).persist()
+    println(s"SCALE bench bloom: ${bl.count()} words (constant by construction)")
+    run("decontam_bloom_screen")(decontam.bloomScreenHits(
+      docs.where(col("doc_id") % 20 =!= 0), bl, "text", "doc_id",
+      mBits = screenBits))
+    run("decontam_bloom_clean")(decontam.bloomClean(
+      docs.where(col("doc_id") % 20 =!= 0), bl, "text", mBits = screenBits))
+    bl.unpersist()
+    // interleave: one rank window per source partition + one merge sort
+    run("sample_interleave")(sample.interleave(docs, "lang", "doc_id"))
+    // label propagation over the 10× kNN edge table: synchronous rounds,
+    // state-sized like pagerank; barriers inherent to the algorithm
+    val lpEdges = ann.knnGraph(emb, k = 3, nbits = 6)
+      .select(col("src"), col("dst")).persist()
+    println(s"SCALE lp edge set: ${lpEdges.count()} edges")
+    run("label_prop_2it")(graph.labelPropagation(lpEdges, iters = 2))
+    lpEdges.unpersist()
+    // dHash near-dup pairs at 10×: signatures are row-local; the pairing
+    // rides the shared Manku sig-Hamming machinery (pigeonhole blocks)
+    import graft.ops.multimodal
+    run("mm_dhash_pairs")(multimodal.dhashNearDupPairs(
+      multimodal.fromText(docs, "doc_id", "text", "source")))
+
     spark.stop()
   }
 }

@@ -792,7 +792,13 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("rk"))),
 
     // north-star: per-language corpus shape report — exact interpolated
-    // length quantiles; one uniform-key aggregate.
+    // length quantiles; one uniform-key aggregate. SCALE NOTE: exact
+    // `percentile` buffers per-group DISTINCT values, which is safe HERE
+    // only because n_chars is a bounded integer domain (≤ ~20k distinct
+    // values per language regardless of corpus size). Do NOT copy this
+    // shape onto an unbounded-domain column (timings, scores) — use the
+    // mergeable histogram twin `sketch.histogramQuantileBy`
+    // (`docs_len_quantiles_lang`) there.
     "text_len_quantiles" -> ((s, dir) =>
       table(s, dir, "documents")
         .groupBy(col("lang"))

@@ -47,6 +47,22 @@ final case class QueryPhases(
       s"score ${scoreMs} ms, merge ${mergeMs} ms"
 }
 
+/** Two-column metric/value ASCII tables, the reference's display shape
+  * (/root/reference/src/display.rs:197-249 `format_build_stats` /
+  * `format_query_stats`): a titled box, `metric | value` rows. */
+object StatsDisplay {
+  def table(title: String, rows: Seq[(String, String)]): String = {
+    val headers = ("metric", "value")
+    val w1 = (headers._1.length +: rows.map(_._1.length)).max
+    val w2 = (headers._2.length +: rows.map(_._2.length)).max
+    val sep = s"+${"-" * (w1 + 2)}+${"-" * (w2 + 2)}+"
+    def line(a: String, b: String) =
+      s"| ${a.padTo(w1, ' ')} | ${b.reverse.padTo(w2, ' ').reverse} |"
+    (Seq(title, sep, line(headers._1, headers._2), sep) ++
+      rows.map { case (a, b) => line(a, b) } :+ sep).mkString("\n")
+  }
+}
+
 final case class QueryStats(
     durationMs: Long,
     scannedRows: Long,
@@ -71,6 +87,25 @@ final case class QueryStats(
       f"$filesRead%d files, $bytesRead%d bytes, $scans%d scan(s)" +
       rowGroups.map(r => "; " + r.pretty).getOrElse("") +
       "; " + phases.pretty
+
+  /** One-call titled metric/value table — the reference's
+    * `format_query_stats` display (display.rs:221-249). */
+  def formatTable: String = StatsDisplay.table("Last Graft Query Stats",
+    Seq(
+      "scanned_rows" -> scannedRows.toString,
+      "files_read" -> filesRead.toString,
+      "bytes_read" -> bytesRead.toString,
+      "scans" -> scans.toString) ++
+      rowGroups.toSeq.flatMap(r => Seq(
+        "total_row_groups" -> r.rowGroupsTotal.toString,
+        "pruned_row_groups" -> r.rowGroupsPruned.toString,
+        "evaluated_row_groups" -> r.rowGroupsEvaluated.toString)) ++
+      Seq(
+        "prune_ms" -> phases.pruneMs.toString,
+        "scan_ms" -> phases.scanMs.toString,
+        "score_ms" -> phases.scoreMs.toString,
+        "merge_ms" -> phases.mergeMs.toString,
+        "total_ms" -> durationMs.toString))
 }
 
 /** @param trackRowGroups also compute per-query row-group pruned/evaluated

@@ -138,7 +138,19 @@ object VecIndex {
   /** Reference `MetaBuildStats` (meta.rs:844-852): rows, dim, chunk count
     * (row groups here), files, wall time. */
   final case class BuildStats(
-      rows: Long, dim: Int, rowGroups: Int, files: Int, buildMs: Long, path: String)
+      rows: Long, dim: Int, rowGroups: Int, files: Int, buildMs: Long, path: String) {
+    /** One-call titled metric/value table — the reference's
+      * `format_build_stats` display (display.rs:196-218). */
+    def formatTable: String = graft.core.StatsDisplay.table(
+      "Graft Index Build Stats",
+      Seq(
+        "rows" -> rows.toString,
+        "dimensions" -> dim.toString,
+        "row_groups" -> rowGroups.toString,
+        "files" -> files.toString,
+        "build_total_ms" -> buildMs.toString,
+        "path" -> path))
+  }
 
   /** Write `df` as a search-ready index at `path` and return the opened
     * store + build stats (reference `MetaBuildStats`, meta.rs:844-852). */

@@ -30,6 +30,13 @@ class VecIndexSpec extends SparkSpec {
     val direct = run(VecStore(df))
     val indexed = run(store)
     assert(indexed == direct)
+
+    // reference-style one-call stats table (display.rs:196-218): titled,
+    // metric/value rows carrying the BuildStats fields
+    val tbl = stats.formatTable
+    assert(tbl.startsWith("Graft Index Build Stats"))
+    assert(tbl.contains("| rows") && tbl.contains("| 500 |"))
+    assert(tbl.contains("row_groups") && tbl.contains("build_total_ms"))
   }
 
   test("append adds segments: search sees old+new rows; dim mismatch rejected") {
