@@ -490,6 +490,22 @@ object SparkEntry {
         .collect()
     }),
 
+    // the PACKED binary-signature serving shape: sign bits in 63-bit
+    // words (2 longs for 64 dims — 16 bytes/row instead of 256), Hamming
+    // = XOR + popcount per word. The oracle computes the same score the
+    // UNPACKED way (per-coordinate sign diff count), so a hash match
+    // proves the packed kernel's bit arithmetic, not just its ordering.
+    "vec_hamming_packed_topk" -> ((s, dir) => {
+      val packed = vectors.signBitsPacked(col("embedding"), 64)
+      val qw = vectors.signBitsPackedOf(Q1)
+      table(s, dir, "embeddings")
+        .select(col("vec_id"),
+          vectors.hammingPacked(packed, vectors.longArrayLit(qw)).as("score"),
+          col("label"))
+        .orderBy(col("score").asc, col("vec_id"))
+        .limit(10)
+    }),
+
     // roadmap metric (reference README.md:211): Jaccard similarity over
     // ACTIVE-DIMENSION sets (indices with a positive coordinate) — set
     // columns legitimately differ in size row to row, the one metric
@@ -2360,6 +2376,23 @@ object SparkEntry {
 
     // Sign-binarize both sides, count differing positions.
     "vec_hamming_topk" -> {
+      val qb = Q1.map(x => if (x >= 0) 1.0 else 0.0)
+      s"""WITH s AS (
+         |  SELECT vec_id, label,
+         |    list_sum(list_transform(list_zip(
+         |      list_transform($E, x -> CASE WHEN x >= 0 THEN 1.0 ELSE 0.0 END),
+         |      ${sqlVec(qb)}),
+         |      p -> CASE WHEN p[1] = p[2] THEN 0.0 ELSE 1.0 END)) AS score
+         |  FROM embeddings
+         |)
+         |SELECT vec_id, score, label FROM s
+         |ORDER BY score ASC, vec_id LIMIT 10""".stripMargin
+    },
+
+    // Deliberately the UNPACKED form: per-coordinate sign-diff count.
+    // The Spark plan scores packed 63-bit words via XOR+popcount; value
+    // equality across the two formulations is the point of the check.
+    "vec_hamming_packed_topk" -> {
       val qb = Q1.map(x => if (x >= 0) 1.0 else 0.0)
       s"""WITH s AS (
          |  SELECT vec_id, label,

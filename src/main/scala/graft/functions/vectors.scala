@@ -108,6 +108,50 @@ object vectors {
       lit(0.0),
       (acc, x) => acc + x)
 
+  /** Pack a vector's SIGN BITS (bit = `v[i] >= 0`) into 63-bit words
+    * (array<long>) — the persisted binary-signature serving shape: a
+    * 64-dim float vector becomes 2 longs (16 bytes scanned per row
+    * instead of 256), and Hamming distance collapses to XOR + popcount
+    * ([[hammingPacked]]). 63 bits per word, not 64, for the same reason
+    * as [[graft.ops.sketch.BloomWordBits]]: engines disagree at the
+    * signed 64th bit (DuckDB raises on `1::BIGINT << 63`), and a
+    * signature that must reproduce bit-for-bit on any engine cannot sit
+    * on that edge. Pure built-ins (element_at / shiftleft / bitwise OR)
+    * — fully codegen'd, no kernel needed. */
+  def signBitsPacked(v: Column, dim: Int): Column = {
+    require(dim >= 1, s"graft: signBitsPacked needs dim >= 1, got $dim")
+    val words = (0 until dim by 63).map { w0 =>
+      (w0 until math.min(w0 + 63, dim)).map { i =>
+        when(element_at(v, i + 1) >= 0,
+          call_function("shiftleft", lit(1L), lit(i - w0))).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
+    }
+    array(words: _*)
+  }
+
+  /** Driver-side twin of [[signBitsPacked]] for literal query vectors. */
+  def signBitsPackedOf(q: Seq[Double]): Seq[Long] =
+    q.grouped(63).map { w =>
+      w.zipWithIndex.foldLeft(0L) { case (acc, (x, i)) =>
+        if (x >= 0) acc | (1L << i) else acc
+      }
+    }.toSeq
+
+  /** Hamming distance between two packed sign signatures
+    * ([[signBitsPacked]]): Σ popcount(a XOR b) over the word spine — the
+    * binary-code serving kernel, one XOR + one popcount per 63
+    * coordinates. Equals [[hammingDistance]] of the unpacked sign
+    * vectors exactly (the oracle checks the packed plan against the
+    * unpacked SQL form). Double result like every metric score. */
+  def hammingPacked(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => call_function("bit_count", x.bitwiseXOR(y))),
+      lit(0),
+      (acc, x) => acc + x).cast(DoubleType)
+
+  /** Literal array<long> column. */
+  def longArrayLit(ws: Seq[Long]): Column = array(ws.map(lit): _*)
+
   /** Jaccard SET similarity of two array columns: |A∩B| / |A∪B| over the
     * DISTINCT elements of each side, 0.0 when the union is empty (two
     * empty sets score 0, never NaN — the zero-vector convention,

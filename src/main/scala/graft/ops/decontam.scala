@@ -123,10 +123,15 @@ object decontam {
     *     set is still oracle-checkable bit-for-bit. Size `mBits` for
     *     the target rate and verify survivors with the exact check.
     *
-    * Plan shape: the bloom words ride the plan as a LITERAL array
-    * ([[sketch.bloomMightContain]] — pure scan work); the train corpus
-    * is never shuffled, and only gram hits enter the per-doc count
-    * aggregate, whose volume is bounded by contamination + FP rate.
+    * Plan shape: ZERO SHUFFLE — the per-doc distinct-member-gram count
+    * is the fused [[graft.functions.NativeExprs.bloomGramHits]] kernel
+    * (shingle + probe in one compiled pass, the sketch riding the plan
+    * as a literal), so the screen is a row-local projection + filter;
+    * the train corpus is scanned once and nothing is exploded. The
+    * compositional explode → probe-filter → groupBy count form is kept
+    * as [[bloomScreenHitsExploded]], the executable spec (identical
+    * counts: a wordShingles array is DISTINCT by construction, so the
+    * exploded row count per doc IS the kernel's member count).
     * `bloomDf` is collected driver-side — `mBits/63` rows by
     * construction, the same bounded-state contract as the PQ codebooks. */
   def bloomScreenHits(
@@ -137,8 +142,24 @@ object decontam {
       n: Int = 8,
       mBits: Int = 4032,
       k: Int = 3): DataFrame = {
-    val words = bloomDf.orderBy(col("word"))
-      .select(col("bits")).collect().map(_.getLong(0)).toSeq
+    val words = collectBloomWords(bloomDf, mBits, k)
+    train
+      .select(col(idCol), graft.functions.NativeExprs
+        .bloomGramHits(col(textCol), words, n, mBits, k).as("hits"))
+      .where(col("hits") >= 1)
+  }
+
+  /** Compositional twin of [[bloomScreenHits]] — the executable spec:
+    * explode the (distinct) shingles, keep bloom members, count per doc. */
+  def bloomScreenHitsExploded(
+      train: DataFrame,
+      bloomDf: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 8,
+      mBits: Int = 4032,
+      k: Int = 3): DataFrame = {
+    val words = collectBloomWords(bloomDf, mBits, k)
     train
       .select(col(idCol), explode(dedup.wordShingles(col(textCol), n)).as("gram"))
       .where(sketch.bloomMightContain(words, col("gram"), mBits, k))

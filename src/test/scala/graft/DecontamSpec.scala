@@ -85,11 +85,16 @@ class DecontamSpec extends SparkSpec {
     }
     // on this fixture the FP odds are ~0.2%/gram — the clean doc stays clean
     assert(!byBloom.contains(2L))
-    // scan-shaped: the probed corpus reaches its aggregate with exactly
-    // one exchange (the per-doc count) — the sketch rides as a literal
+    // kernel screen == the exploded executable-spec twin, exactly
+    val byExploded = decontam
+      .bloomScreenHitsExploded(train, bloom, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(byBloom == byExploded)
+    // row-local: the fused kernel screen needs ZERO exchanges — no
+    // explode, no per-doc count shuffle; the sketch rides as a literal
     val exchanges = screened.queryExecution.executedPlan.toString()
       .linesIterator.count(_.contains("Exchange"))
-    assert(exchanges == 1, s"expected 1 exchange (the doc-count), got $exchanges")
+    assert(exchanges == 0, s"expected 0 exchanges (row-local screen), got $exchanges")
   }
 
   test("bloomClean: in-row gate equals the explode screen's complement; runs on a TRUE stream") {

@@ -114,6 +114,17 @@ class NativeExprsSpec extends SparkSpec {
         vectors.hammingDistanceHof(sig, qs).as("hh"))
       .where(col("hn") =!= col("hh") || col("hn") =!= floor(col("hn"))).count()
     assert(hdiff == 0)
+    // packed law: XOR+popcount over 63-bit sign words == unpacked
+    // elementwise Hamming of the sign vectors
+    val q64 = (0 until 64).map(i => math.sin(i * 0.7))
+    val qw = vectors.longArrayLit(vectors.signBitsPackedOf(q64))
+    val qsv = vectors.vecLit(q64.map(x => if (x >= 0) 1.0 else 0.0))
+    val pdiff = emb.select(
+        vectors.hammingPacked(
+          vectors.signBitsPacked(col("embedding"), 64), qw).as("hp"),
+        vectors.hammingDistance(sig, qsv).as("hu"))
+      .where(col("hp") =!= col("hu")).count()
+    assert(pdiff == 0)
   }
 
   test("native repetition masses equal the HOF composition on real text") {
