@@ -274,10 +274,29 @@ class PlanQualitySpec extends SparkSpec {
 
   test("bloom screen: the sketch rides as a literal — probe side has no join") {
     val p = plan("decontam_bloom")
-    // one exchange for the per-doc hit count, one for the output sort;
-    // crucially NO join/broadcast node — membership is in-row
+    // since round 8 the screen is the fused row-local kernel: the ONLY
+    // exchange left is the output sort; NO join — membership is in-row
     assert(!p.contains("Join"), s"bloom probe must not join:\n${p.take(900)}")
     val exchanges = "Exchange".r.findAllIn(p).length
-    assert(exchanges <= 2, s"bloom screen: doc-count + sort only, got $exchanges")
+    assert(exchanges <= 1, s"bloom screen: output sort only, got $exchanges")
+  }
+
+  test("packed hamming: row-local scoring + TakeOrdered, zero exchanges") {
+    val p = plan("vec_hamming_packed_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"packed hamming must be scan + bounded top-k only:\n${p.take(900)}")
+  }
+
+  test("persisted-rp search: one index scan feeding two bounded top-k stages") {
+    val p = plan("index_rp_topk")
+    // stage 1 pool and stage 2 rerank are both TakeOrderedAndProject
+    // (bounded heaps) — no Exchange, no Join, no Window anywhere
+    assert("TakeOrderedAndProject".r.findAllIn(p).length >= 1, p.take(600))
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"rp search must not join/window:\n${p.take(900)}")
+    // the scan reads the persisted projection, not a recomputed one:
+    // rp_vec appears in the parquet ReadSchema
+    assert(p.contains("rp_vec"), s"rp_vec missing from scan:\n${p.take(900)}")
   }
 }

@@ -136,4 +136,37 @@ class SearchPlanSpec extends SparkSpec {
     assert(out.columns.toSeq ==
       Seq("vec_id", "score", "exp", "mfg", "name", "price", "version"))
   }
+
+  test("Hamming metric: distances by hand, ascending default, full combinator surface") {
+    // 3-bit sign codes as double arrays; query 〈1,1,1〉
+    val sigs = Seq(
+      0L -> Seq(1.0, 1.0, 1.0), // d = 0
+      1L -> Seq(1.0, 1.0, 0.0), // d = 1
+      2L -> Seq(0.0, 0.0, 1.0), // d = 2
+      3L -> Seq(0.0, 0.0, 0.0)) // d = 3
+    val s = store(sigs)
+    val got = idScores(s.query(Seq(1.0, 1.0, 1.0), Metric.Hamming).take(4).collect())
+    assert(got == Seq(0L -> 0.0, 1L -> 1.0, 2L -> 2.0, 3L -> 3.0))
+    // distance semantics compose with the score filter and takeMax
+    assert(ids(s.query(Seq(1.0, 1.0, 1.0), Metric.Hamming)
+      .vecFilter(2.0, Cmp.Lt).collect()).toSet == Set(0L, 1L))
+    assert(ids(s.query(Seq(1.0, 1.0, 1.0), Metric.Hamming)
+      .takeMax(1).collect()) == Seq(3L))
+  }
+
+  test("Jaccard metric: set scores by hand; ragged set sizes are legal (no dim guard)") {
+    val sets = Seq(
+      0L -> Seq(1.0, 2.0, 3.0),      // |∩|=3 |∪|=3 → 1.0
+      1L -> Seq(1.0, 2.0),           // |∩|=2 |∪|=3 → 2/3
+      2L -> Seq(1.0, 4.0, 5.0, 6.0), // |∩|=1 |∪|=6 → 1/6
+      3L -> Seq.empty[Double])       // |∩|=0 |∪|=3 → 0.0
+    val got = idScores(store(sets)
+      .query(Seq(1.0, 2.0, 3.0), Metric.Jaccard)
+      .take(4).withScoreRounding(4).collect())
+    assert(got == Seq(0L -> 1.0, 1L -> 0.6667, 2L -> 0.1667, 3L -> 0.0))
+    // two empty sets score 0.0 (empty-union convention), never NaN
+    val empty = idScores(store(Seq(9L -> Seq.empty[Double]))
+      .query(Seq.empty[Double], Metric.Jaccard).collect())
+    assert(empty == Seq(9L -> 0.0))
+  }
 }
