@@ -43,6 +43,32 @@ object Demo {
     println("== euclidean (squared L2) nearest-3 ==")
     store.query(q, Metric.Euclidean).take(3).collect().show(false)
 
+    println("== roadmap metrics: hamming over sign signatures, jaccard over active-dim sets ==")
+    val signSig = transform(col("embedding"),
+      x => when(x >= 0, 1.0).otherwise(0.0))
+    VecStore(store.df.select(col("vec_id"), signSig.as("sig"), col("label")),
+        vecCol = "sig")
+      .query(q.map(x => if (x >= 0) 1.0 else 0.0), Metric.Hamming)
+      .take(3).collect().show(false)
+    val activeDims = filter(
+      transform(col("embedding"),
+        (x, i) => when(x > 0, i.cast("double")).otherwise(lit(null))),
+      y => y.isNotNull)
+    VecStore(store.df.select(col("vec_id"), activeDims.as("dims"), col("label")),
+        vecCol = "dims")
+      .query(q.zipWithIndex.collect { case (x, i) if x > 0 => i.toDouble },
+        Metric.Jaccard)
+      .take(3).withScoreRounding(4).collect().show(false)
+
+    println("== persisted JL projection: build rp_vec once, two-stage search ==")
+    val rpDir = java.nio.file.Files.createTempDirectory("graft-demo-rp-")
+      .toString + "/idx"
+    val (rpStore, rpStats) = graft.index.VecIndex.build(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"), rpDir,
+      opts = graft.index.VecIndex.BuildOptions(rpDims = Some(16)))
+    println(rpStats.formatTable)
+    graft.ops.ann.rpSearch(rpStore, q, k = 3).show(false)
+
     println("== text analysis over documents ==")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     docs.select(col("doc_id"),

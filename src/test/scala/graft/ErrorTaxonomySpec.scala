@@ -107,4 +107,28 @@ class ErrorTaxonomySpec extends SparkSpec {
       store.queryBatch(Seq(Seq(1.0, 0.0), Seq(1.0)), Metric.Cosine).collect())
     assert(e.getMessage.contains("dimension"))
   }
+
+  test("round-8 surfaces validate eagerly: rp dims, packed dims, bloom shape") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    def msg(f: => Any): String =
+      intercept[IllegalArgumentException](f).getMessage
+    // rpSearch: query dim must match the persisted matrix's input dim
+    val dir = java.nio.file.Files.createTempDirectory("graft-rperr-").toString + "/idx"
+    val df = (0 until 20).map(i =>
+      (i.toLong, (0 until 8).map(j => math.sin(i + j * 0.5)).toArray))
+      .toDF("vec_id", "embedding")
+    val (idx, _) = graft.index.VecIndex.build(df, dir,
+      opts = graft.index.VecIndex.BuildOptions(rpDims = Some(4)))
+    assert(msg(graft.ops.ann.rpSearch(idx, Seq(1.0, 2.0), k = 3))
+      .contains("projection input dim"))
+    // signBitsPacked rejects a non-positive dim
+    assert(msg(graft.functions.vectors.signBitsPacked(col("embedding"), 0))
+      .contains("dim"))
+    // a bloom artifact whose word spine mismatches the probe's mBits is
+    // rejected before any probing (wrong-shape sketch = wrong members)
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    assert(msg(graft.ops.decontam.bloomClean(docs,
+      Seq((0L, 0L)).toDF("word", "bits"), "text")).contains("words"))
+  }
 }

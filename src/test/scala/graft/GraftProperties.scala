@@ -213,6 +213,43 @@ object GraftProperties extends Properties("graft") {
           aa._2 == aa._1                              // every union-min shared
     }
 
+  property("hamming: symmetric, zero on self, bounded by dim; packed form agrees") =
+    forAll(genStore) { vecs =>
+      val sigCol = transform(col("embedding"), x => when(x >= lit(0.0), 1.0).otherwise(0.0))
+      val q = vecs.head.map(x => if (x >= 0) 1.0 else 0.0)
+      val rows = storeOf(vecs).df
+        .select(col("vec_id"),
+          vectors.hammingDistance(sigCol, vectors.vecLit(q)).as("d"),
+          vectors.hammingDistance(vectors.vecLit(q), sigCol).as("dRev"),
+          vectors.hammingDistance(sigCol, sigCol).as("dSelf"),
+          vectors.hammingPacked(
+            vectors.signBitsPacked(col("embedding"), dim),
+            vectors.longArrayLit(vectors.signBitsPackedOf(vecs.head))).as("dp"))
+        .collect()
+      rows.forall { r =>
+        val (d, dRev, dSelf, dp) =
+          (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+        d == dRev && dSelf == 0.0 && d >= 0.0 && d <= dim && d == dp
+      }
+    }
+
+  property("jaccard: symmetric, in [0,1], 1 on self (non-empty), monotone under subset") =
+    forAll(genStore) { vecs =>
+      // integer-valued sets derived from the vectors (rounded magnitudes)
+      val setCol = array_distinct(transform(col("embedding"), x => floor(abs(x))))
+      val q = vecs.head.map(x => math.floor(math.abs(x))).distinct
+      val rows = storeOf(vecs).df
+        .select(col("vec_id"),
+          vectors.jaccardSimilarity(setCol, vectors.vecLit(q)).as("j"),
+          vectors.jaccardSimilarity(vectors.vecLit(q), setCol).as("jRev"),
+          vectors.jaccardSimilarity(setCol, setCol).as("jSelf"))
+        .collect()
+      rows.forall { r =>
+        val (j, jRev, jSelf) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+        j == jRev && j >= 0.0 && j <= 1.0 && jSelf == 1.0
+      }
+    }
+
   property("pageRank conserves bounded mass: base·n <= total <= scale") =
     forAll(Gen.chooseNum(2, 12).flatMap(k =>
       Gen.listOfN(k * 2, Gen.zip(Gen.chooseNum(0L, k.toLong), Gen.chooseNum(0L, k.toLong)))
