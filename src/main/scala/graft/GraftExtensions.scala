@@ -57,7 +57,8 @@ object GraftExtensions {
   }
 
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   /** (name, info, builder) for every registered function. */
   val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(

@@ -285,7 +285,8 @@ object retrieval {
       while (i < a.length) { s += a(i) * b(i); i += 1 }
       s
     }
-    val remaining = scala.collection.mutable.LinkedHashMap(pool.map(p => p._1 -> p): _*)
+    val remaining =
+      scala.collection.mutable.LinkedHashMap(pool.map(p => p._1 -> p).toIndexedSeq: _*)
     val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
     val picks = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
     (1 to math.min(k, pool.length)).foreach { rank =>

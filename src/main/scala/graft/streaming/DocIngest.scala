@@ -66,7 +66,7 @@ object DocIngest {
           try Some(spark.read.parquet(corpusSigsPath))
           catch {
             case e: org.apache.spark.sql.AnalysisException
-                if e.getErrorClass == "PATH_NOT_FOUND" => None
+                if e.getCondition == "PATH_NOT_FOUND" => None
           }
         val clean = corpus match {
           case Some(c) =>
