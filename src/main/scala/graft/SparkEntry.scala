@@ -1016,6 +1016,11 @@ object SparkEntry {
     "ann_recall_at_k" -> ((s, dir) =>
       ann.recallAtK(embStore(s, dir), Seq(Q1, Q2), k = 10, nbits = 6)),
 
+    // north-star: recall of the persisted-projection search — the candK
+    // tuning knob measured, not argued (same discipline as nprobe/nbits).
+    "ann_rp_recall" -> ((s, dir) =>
+      ann.rpRecallAtK(embIndex(s, dir), Seq(Q1, Q2), k = 10)),
+
     // north-star: ANN over an LSH-PARTITIONED index — the bucket filter
     // becomes directory-level partition pruning (63 of 64 buckets never
     // read; see AnnSpec's PartitionFilters assertion).
@@ -2311,6 +2316,32 @@ object SparkEntry {
          |h1 AS (SELECT 1 AS q_idx, count(*) AS hits FROM ex1 JOIN ap1 USING (vec_id))
          |SELECT q_idx, hits, hits::DOUBLE / 10.0::DOUBLE AS recall
          |FROM (SELECT * FROM h0 UNION ALL SELECT * FROM h1) ORDER BY q_idx""".stripMargin,
+
+    // Per query: exact top-10 vs the rp two-stage (rounded projected
+    // cosine pool of 40 with id tiebreak, exact rerank to 10) — the
+    // matrix rebuilt from the same ±1 literals the build persisted.
+    "ann_rp_recall" -> {
+      val p = vectors.rpMatrix(64, 16)
+      val projE = p.map(row => s"list_dot_product(e, ${sqlVec(row)})")
+        .mkString("[", ", ", "]")
+      def stages(i: Int, q: Seq[Double]): String = {
+        val pq = vectors.projectOf(q, p)
+        s"""ex$i AS (SELECT vec_id FROM (SELECT vec_id, ${r4(sqlCosineOn("e", q))} AS score
+           |  FROM s ORDER BY score DESC, vec_id LIMIT 10)),
+           |pool$i AS (SELECT vec_id, e FROM (
+           |  SELECT vec_id, e, ${r4(sqlCosineOn("p", pq))} AS rp_score
+           |  FROM (SELECT vec_id, e, $projE AS p FROM s)
+           |  ORDER BY rp_score DESC, vec_id LIMIT 40)),
+           |ap$i AS (SELECT vec_id FROM (SELECT vec_id, ${r4(sqlCosineOn("e", q))} AS score
+           |  FROM pool$i ORDER BY score DESC, vec_id LIMIT 10)),
+           |h$i AS (SELECT $i AS q_idx, count(*) AS hits FROM ex$i JOIN ap$i USING (vec_id))""".stripMargin
+      }
+      s"""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |${stages(0, Q1)},
+         |${stages(1, Q2)}
+         |SELECT q_idx, hits, hits::DOUBLE / 10.0::DOUBLE AS recall
+         |FROM (SELECT * FROM h0 UNION ALL SELECT * FROM h1) ORDER BY q_idx""".stripMargin
+    },
 
     // The probe set is computed by the same driver-side margin sort the
     // Spark path uses, injected as literals.

@@ -453,13 +453,36 @@ object VecIndex {
       ivfCentroids: Option[Seq[(Int, Seq[Double])]],
       pqCodebooks: Option[Seq[Seq[Seq[Double]]]],
       rpMatrix: Option[Seq[Seq[Double]]]): Unit = {
-    import spark.implicits._
-    Seq((lshBits, lshTable, ivfCentroids.getOrElse(Seq.empty[(Int, Seq[Double])]),
-        ivfCentroids.isDefined,
-        pqCodebooks.getOrElse(Seq.empty[Seq[Seq[Double]]]), pqCodebooks.isDefined,
-        rpMatrix.getOrElse(Seq.empty[Seq[Double]]), rpMatrix.isDefined))
-      .toDF("lsh_bits", "lsh_table", "centroids", "has_ivf", "pq_codebooks", "has_pq",
-        "rp_matrix", "has_rp")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // Explicit Row + schema, NOT a case-class/tuple .toDF: implicit
+    // product-encoder derivation for this nested shape needs runtime
+    // reflection that fails inside REPL-generated classloaders (Scala
+    // 2.13 spark-shell/console), and an index build must work there too.
+    val schema = StructType(Seq(
+      StructField("lsh_bits", IntegerType, nullable = true),
+      StructField("lsh_table", IntegerType, nullable = false),
+      StructField("centroids", ArrayType(StructType(Seq(
+        StructField("_1", IntegerType, nullable = false),
+        StructField("_2", ArrayType(DoubleType, containsNull = false), nullable = false))),
+        containsNull = false), nullable = false),
+      StructField("has_ivf", BooleanType, nullable = false),
+      StructField("pq_codebooks", ArrayType(ArrayType(
+        ArrayType(DoubleType, containsNull = false), containsNull = false),
+        containsNull = false), nullable = false),
+      StructField("has_pq", BooleanType, nullable = false),
+      StructField("rp_matrix", ArrayType(ArrayType(DoubleType, containsNull = false),
+        containsNull = false), nullable = false),
+      StructField("has_rp", BooleanType, nullable = false)))
+    val row = Row(
+      lshBits.orNull, lshTable,
+      ivfCentroids.getOrElse(Seq.empty[(Int, Seq[Double])])
+        .map { case (cid, c) => Row(cid, c) },
+      ivfCentroids.isDefined,
+      pqCodebooks.getOrElse(Seq.empty[Seq[Seq[Double]]]), pqCodebooks.isDefined,
+      rpMatrix.getOrElse(Seq.empty[Seq[Double]]), rpMatrix.isDefined)
+    spark.createDataFrame(
+        java.util.Collections.singletonList(row), schema)
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/$MetaDir")
   }
 

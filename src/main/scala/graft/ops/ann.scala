@@ -127,9 +127,18 @@ object ann {
     * the full-precision vector column. Candidate membership is decided on
     * the QUANTIZED projected score with id tiebreak, so the pool (and
     * therefore the result) is engine-reproducible. `candK = 0` (default)
-    * means `4·k` — JL at 16 dims preserves cosine order well enough that
-    * a small multiple recovers near-exact top-k; raise it for recall,
-    * measured via [[recallAtK]]. */
+    * means `4·k`.
+    *
+    * TUNE BY MEASURING ([[rpRecallAtK]]), because JL's guarantee is on
+    * DISTANCES, not on ranking near-ties: with `dOut` output dims the
+    * distortion is ε ≈ √(ln n / dOut), and projected ORDER is meaningful
+    * only where true score gaps exceed ε. Measured at sf0.1 (5k × 64→16,
+    * k=10): a well-separated query recovers 0.5 recall at candK=40 →
+    * 1.0 at 500, while a near-orthogonal query (all cosines ≈ 0, gaps ≪
+    * ε) sits at 0.1 → 0.6 — and the loss is NOT the score rounding
+    * (unrounded stage-1 measures identically); it is the projection
+    * itself. When the query regime is near-orthogonal, raise `rpDims`
+    * at build time rather than `candK` at query time. */
   def rpSearch(
       store: VecStore,
       q: Seq[Double],
@@ -467,6 +476,18 @@ object ann {
       k: Int,
       nprobe: Int): DataFrame =
     recallOf(store, queries, k)((st, q) => ivfSearchIndexed(st, q, k, nprobe))
+
+  /** [[recallAtK]] for a persisted JL projection ([[rpSearch]]) — the
+    * `candK` tuning loop: a smaller pool reranks less but can miss true
+    * top-k members whose projected rank fell below the cut; this
+    * MEASURES the miss rate instead of arguing about it (the same
+    * knob-measurement discipline as `nprobe`/`nbits`). */
+  def rpRecallAtK(
+      store: VecStore,
+      queries: Seq[Seq[Double]],
+      k: Int,
+      candK: Int = 0): DataFrame =
+    recallOf(store, queries, k)((st, q) => rpSearch(st, q, k, candK))
 
   /** Embedding outliers: distance to the NEAREST of the given centroids,
     * largest first — the out-of-distribution detector a data-cleaning
