@@ -704,6 +704,20 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // roadmap "fuzzy matching" on string metadata (README.md:210): an
+    // edit-distance predicate as an ordinary row-level filter —
+    // `levenshtein` is a codegen'd Catalyst builtin, so the typo-tolerant
+    // match ("scr1" finds src1/src11, "eng" finds en) rides the same
+    // pushed-scan + WSCG path as the exact string filters above. Not a
+    // join: each row is compared against LITERAL probe strings only.
+    "meta_fuzzy_filter" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .filter(levenshtein(col("source"), lit("scr1")) <= 2 &&
+          levenshtein(col("lang"), lit("eng")) <= 1)
+        .select(col("doc_id"), col("source"), col("lang"),
+          levenshtein(col("source"), lit("scr1")).cast("long").as("dist"))
+        .orderBy(col("doc_id"))),
+
     // §2.1: index build (precomputed inv_norm + label-sorted parquet
     // layout = chunk zonemaps); must return identical results to the
     // direct path — checked against the same oracle shape.
@@ -2789,6 +2803,12 @@ object SparkEntry {
       """SELECT doc_id, source, lang FROM documents
         |WHERE starts_with(source, 'src1') AND contains(text, 'spark')
         |  AND NOT ends_with(lang, 'h')
+        |ORDER BY doc_id""".stripMargin,
+
+    "meta_fuzzy_filter" ->
+      """SELECT doc_id, source, lang, levenshtein(source, 'scr1') AS dist
+        |FROM documents
+        |WHERE levenshtein(source, 'scr1') <= 2 AND levenshtein(lang, 'eng') <= 1
         |ORDER BY doc_id""".stripMargin,
 
     "vec_full_pipeline" ->
