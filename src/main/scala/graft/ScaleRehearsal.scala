@@ -101,10 +101,30 @@ object ScaleRehearsal {
           }.mkString("  ")
         val rows = if (countRows) d.count().toString else "-"
         println(f"SCALE $name%-26s ${secs}%8.2f s  rows=$rows%-8s $counters")
+      } catch {
+        // A mis-sized knob must not kill the rest of the rehearsal — the
+        // remaining families' measurements are independent evidence.
+        case e: Throwable =>
+          println(s"SCALE $name FAILED: ${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).linesIterator.take(1).mkString)
       } finally spark.listenerManager.unregister(listener)
     }
 
     import graft.ops.{ann, bpe, dedup, graph}
+
+    // Knobs sized by the documented disciplines, not frozen at the 10×
+    // values (the round-8 30× run proved frozen knobs produce EMPTY
+    // results once the caps trip corpus-wide):
+    //  - exact cloning multiplies every gram's df by `factor`, so the
+    //    jaccard df band scales with it (unchanged at factor <= 10);
+    //  - LSH bucket width follows nbits ≈ log2(n / targetBucketSize)
+    //    with the 10× run's ~312-row buckets as the target (6 bits at
+    //    factor 10, 8 at factor 30).
+    val jacMaxDf = math.max(256, 256 * factor / 10)
+    val embCount = emb.count()
+    val knnBits = math.max(6,
+      math.round(math.log(embCount / 312.0) / math.log(2)).toInt)
+    println(s"SCALE knobs: jacMaxDf=$jacMaxDf knnBits=$knnBits")
 
     // ---- text dedup family (exact-clone prey) -------------------------
     run("dedup_exact")(dedup.exactDedup(docs, "text", "doc_id"))
@@ -113,7 +133,8 @@ object ScaleRehearsal {
     run("simhash_pairs")(
       dedup.simhashNearDupPairs(docs, "text", "doc_id", maxHamming = 3))
     run("jaccard_pairs")(
-      dedup.jaccardPairs(docs, "text", "doc_id", threshold = 0.7))
+      dedup.jaccardPairs(docs, "text", "doc_id", threshold = 0.7,
+        maxDf = jacMaxDf))
     val pairs = dedup.minhashNearDupPairs(docs, "text", "doc_id", threshold = 0.7)
       .persist()
     println(s"SCALE minhash pair set: ${pairs.count()} edges")
@@ -126,11 +147,13 @@ object ScaleRehearsal {
     run("emb_neardup")(dedup.embeddingNearDupPairs(emb, threshold = 0.999))
     run("semantic_dedup")(dedup.semanticDedup(
       emb, ann.seedCentroids(emb, 16), threshold = 0.999))
-    run("knn_graph")(ann.knnGraph(emb, k = 3, nbits = 6))
-    val edges = ann.knnGraph(emb, k = 3, nbits = 6)
+    run("knn_graph")(ann.knnGraph(emb, k = 3, nbits = knnBits))
+    val edges = ann.knnGraph(emb, k = 3, nbits = knnBits)
       .select(col("src"), col("dst")).persist()
-    println(s"SCALE knn edge set: ${edges.count()} edges")
-    run("pagerank_3it")(graph.pageRank(edges, iters = 3))
+    val edgeCount = edges.count()
+    println(s"SCALE knn edge set: $edgeCount edges")
+    if (edgeCount > 0) run("pagerank_3it")(graph.pageRank(edges, iters = 3))
+    else println("SCALE pagerank_3it SKIPPED: empty edge set")
     edges.unpersist()
 
     // ---- event analytics (10× users, same per-user density) -----------
@@ -222,10 +245,13 @@ object ScaleRehearsal {
     run("sample_interleave")(sample.interleave(docs, "lang", "doc_id"))
     // label propagation over the 10× kNN edge table: synchronous rounds,
     // state-sized like pagerank; barriers inherent to the algorithm
-    val lpEdges = ann.knnGraph(emb, k = 3, nbits = 6)
+    val lpEdges = ann.knnGraph(emb, k = 3, nbits = knnBits)
       .select(col("src"), col("dst")).persist()
-    println(s"SCALE lp edge set: ${lpEdges.count()} edges")
-    run("label_prop_2it")(graph.labelPropagation(lpEdges, iters = 2))
+    val lpEdgeCount = lpEdges.count()
+    println(s"SCALE lp edge set: $lpEdgeCount edges")
+    if (lpEdgeCount > 0)
+      run("label_prop_2it")(graph.labelPropagation(lpEdges, iters = 2))
+    else println("SCALE label_prop_2it SKIPPED: empty edge set")
     lpEdges.unpersist()
     // dHash near-dup pairs at 10×: signatures are row-local; the pairing
     // rides the shared Manku sig-Hamming machinery (pigeonhole blocks)

@@ -171,8 +171,33 @@ final class GraftStatsListener(trackRowGroups: Boolean = false)
 }
 
 object GraftStatsListener {
-  /** Attach a fresh listener to the session and return it. */
-  def attach(spark: SparkSession, trackRowGroups: Boolean = false): GraftStatsListener = {
+  /** AQE's empty-relation propagation DELETES `observe()` CollectMetrics
+    * nodes along with the empty subtree it replaces — which is exactly
+    * the case where a graft safety cap (bucketCap, df band) dropped
+    * EVERYTHING and the counters are the only evidence of why the result
+    * is empty (measured: knnGraph with all buckets over cap reports no
+    * `graft_knn_*` observation at all under the default rule set). */
+  private val EmptyRelationRule =
+    "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation"
+
+  /** Attach a fresh listener to the session and return it.
+    *
+    * @param preserveObserved also exclude [[EmptyRelationRule]] from AQE
+    *   (appending to any exclusions already configured) so cap/drop
+    *   counters survive total-truncation plans. Attaching this listener
+    *   IS the opt-in to observability; the rule only ever saves work
+    *   when a subtree is empty, the exceptional case where the counters
+    *   are worth more than the shortcut. */
+  def attach(
+      spark: SparkSession,
+      trackRowGroups: Boolean = false,
+      preserveObserved: Boolean = true): GraftStatsListener = {
+    if (preserveObserved) {
+      val key = "spark.sql.adaptive.optimizer.excludedRules"
+      val cur = spark.conf.getOption(key).filter(_.trim.nonEmpty)
+      if (!cur.exists(_.split(",").map(_.trim).contains(EmptyRelationRule)))
+        spark.conf.set(key, (cur.toSeq :+ EmptyRelationRule).mkString(","))
+    }
     val l = new GraftStatsListener(trackRowGroups)
     spark.listenerManager.register(l)
     l

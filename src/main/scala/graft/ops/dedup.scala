@@ -372,6 +372,13 @@ object dedup {
     val wGram = Window.partitionBy(col("gram"))
     inv
       .withColumn("df", count(lit(1)).over(wGram))
+      // Cap counter (same contract as bucketCap's `graft_knn_*`): a
+      // result emptied by the df band must say so — `max_df` tells the
+      // caller what the band would need to be. Postings with df == 1
+      // are not "dropped" (a unique gram can never witness a pair).
+      .observe("graft_shared_grams",
+        sum(when(col("df") > maxDf, 1L).otherwise(0L)).as("dropped_postings"),
+        max(col("df")).as("max_df"))
       .where(col("df") >= 2 && col("df") <= maxDf)
       .groupBy(col("gram"))
       .agg(sort_array(collect_list(col("d"))).as("ds"))
