@@ -1297,6 +1297,42 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // north-star: URL-level crawl dedup (C4/CCNet stage zero). The
+    // documents table carries no URL, so synthesize a deterministic one
+    // per doc exercising every normalization rule — scheme/host case,
+    // www., explicit :443, trailing slash, tracking params (alone and
+    // mixed with real ones), fragments — with doc_id % 50 path collisions
+    // so normalization actually merges re-crawl variants.
+    "dedup_url" -> ((s, dir) => {
+      val d = col("doc_id")
+      val url = concat(
+        when(d % 2 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+        when(d % 3 === 0, lit("WWW.")).otherwise(lit("")),
+        lit("Docs-"), (d % 7).cast("string"), lit(".Example.COM"),
+        when(d % 4 === 0, lit(":443")).otherwise(lit("")),
+        lit("/Wiki/Page-"), (d % 50).cast("string"),
+        when(d % 5 === 0, lit("/")).otherwise(lit("")),
+        when(d % 5 === 1, lit("?utm_source=feed&utm_campaign=spring"))
+          .when(d % 5 === 2, lit("?page=2&utm_medium=email"))
+          .when(d % 5 === 3, lit("?page=2"))
+          .otherwise(lit("")),
+        when(d % 6 === 0, lit("#section-3")).otherwise(lit("")))
+      dedup.urlDedup(
+        table(s, dir, "documents").select(col("doc_id"), url.as("url")),
+        "url", "doc_id")
+        .orderBy(col("norm_url"))
+    }),
+
+    // north-star: token-budget mixture plan — per-source targets, sample
+    // rates, and epoch counts for an explicit weights→budget schedule
+    // (sources outside the weights map plan to zero, not pass-through).
+    "sample_token_budget" -> ((s, dir) =>
+      sample.planTokenBudget(table(s, dir, "documents"), "source",
+          text.tokenCount(col("text")),
+          Map("src0" -> 0.4, "src1" -> 0.25, "src2" -> 0.2, "src3" -> 0.15),
+          budget = 1000000L)
+        .orderBy(col("source"))),
+
     // north-star: deterministic training-shard export — write, then
     // verify by READING BACK the landed parquet (shard membership is the
     // portable id hash, so the oracle recomputes it from the raw table).
@@ -3277,6 +3313,58 @@ object SparkEntry {
         |  count(*) AS n_lines,
         |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Same synthesized URL fixture; the normalization chain is replayed
+    // step-for-step with RE2-compatible patterns (no backrefs, no
+    // engine-specific flags), so the canonical strings match exactly.
+    "dedup_url" ->
+      """WITH r AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END) ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+        |  'Docs-' || (doc_id % 7)::VARCHAR || '.Example.COM' ||
+        |  (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) ||
+        |  '/Wiki/Page-' || (doc_id % 50)::VARCHAR ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 5 = 1 THEN '?utm_source=feed&utm_campaign=spring'
+        |        WHEN doc_id % 5 = 2 THEN '?page=2&utm_medium=email'
+        |        WHEN doc_id % 5 = 3 THEN '?page=2' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 6 = 0 THEN '#section-3' ELSE '' END) AS url
+        |  FROM documents),
+        |n AS (SELECT doc_id, url, regexp_replace(trim(url), '#.*', '') AS u FROM r),
+        |p AS (SELECT doc_id, url,
+        |  lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  regexp_replace(regexp_replace(
+        |    lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)),
+        |    '^www\.', ''), ':(80|443)$', '') AS host,
+        |  substr(u, length(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', 0)) + 1) AS tail
+        |  FROM n),
+        |q AS (SELECT doc_id, url, scheme || '://' || host ||
+        |  regexp_replace(regexp_extract(tail, '^([^?]*)', 1), '/+$', '') ||
+        |  (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END) AS norm_url
+        |  FROM (SELECT *, array_to_string(list_filter(
+        |    string_split(regexp_extract(tail, '\?(.*)', 1), '&'),
+        |    x -> x <> '' AND NOT regexp_matches(x,
+        |      '^(utm_[a-z0-9]+|fbclid|gclid|msclkid|mc_eid|ref|referrer|igshid)=')),
+        |    '&') AS qs FROM p))
+        |SELECT norm_url, count(*) AS n_docs,
+        |  count(DISTINCT url) AS n_variants, min(doc_id) AS keep_id
+        |FROM q GROUP BY norm_url ORDER BY norm_url""".stripMargin,
+
+    // Plan arithmetic replayed in the same IEEE double ops: round the
+    // weight·budget product via floor(+0.5), divide by the BIGINT token
+    // sum cast to double, ceil for epochs.
+    "sample_token_budget" ->
+      s"""WITH t AS (SELECT source, count(*) AS n_docs,
+         |    sum(len($SqlToks))::BIGINT AS n_tokens
+         |  FROM documents GROUP BY source),
+         |w(source, w) AS (VALUES ('src0', 0.4), ('src1', 0.25),
+         |                        ('src2', 0.2), ('src3', 0.15))
+         |SELECT t.source, n_docs, n_tokens,
+         |  floor(coalesce(w.w, 0.0) * 1000000 + 0.5)::BIGINT AS target_tokens,
+         |  floor(coalesce(w.w, 0.0) * 1000000 + 0.5)::BIGINT::DOUBLE / n_tokens AS sample_rate,
+         |  ceil(floor(coalesce(w.w, 0.0) * 1000000 + 0.5)::BIGINT::DOUBLE / n_tokens)::BIGINT AS n_epochs
+         |FROM t LEFT JOIN w ON t.source = w.source
+         |ORDER BY t.source""".stripMargin,
 
     // Shard membership recomputed from the raw table with the same
     // portable hash — proves the written shards partition the corpus.

@@ -72,6 +72,26 @@ object dedup {
     df.join(keep, idCol)
   }
 
+  /** URL-level dedup (the C4/CCNet crawl stage that runs BEFORE any
+    * content hashing — re-crawls of one page differ in tracking params,
+    * host case, fragments, … but are the same document): group by the
+    * canonicalized URL ([[graft.ops.text.normalizeUrl]]) and keep the
+    * lowest id per page. Returns one row per distinct page:
+    * `(norm_url, n_docs, n_variants, keep_id)` — `n_variants` counts the
+    * distinct RAW spellings that collapsed, the measure of how much the
+    * normalization actually bought.
+    *
+    * Scale shape: identical to [[exactGroups]] — the normalization is
+    * row-local expression work on the scan, then ONE hash-partitioned
+    * aggregation on the canonical string (uniform keys; even a page
+    * crawled 10⁶ times is a single hot-but-cheap count/min key with
+    * map-side partials). */
+  def urlDedup(df: DataFrame, urlCol: String, idCol: String): DataFrame =
+    df.groupBy(graft.ops.text.normalizeUrl(col(urlCol)).as("norm_url"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col(urlCol)).as("n_variants"),
+        min(col(idCol)).as("keep_id"))
+
   /** LINE-level exact dedup (the Dolma/FineWeb paragraph-dedup stage —
     * doc-level dedup misses the boilerplate line pasted into a million
     * otherwise-distinct pages): split every document on `sep`, keep only
@@ -145,6 +165,32 @@ object dedup {
     array((0 until bands).map(b =>
       struct(lit(b).as("band_idx"),
         concat_ws("_", slice(sigCol, b * r + 1, r).cast("array<string>")).as("band_key"))): _*)
+  }
+
+  /** Probability that MinHash-LSH with `bands` bands of `rows` rows
+    * surfaces a pair of true Jaccard similarity `s` as a candidate:
+    * `1 - (1 - s^rows)^bands` (MMDS §3.4.2 — the S-curve). Driver-side
+    * pure math, used to size banding before a run instead of guessing. */
+  def lshCollisionProb(s: Double, bands: Int, rows: Int): Double = {
+    require(s >= 0.0 && s <= 1.0 && bands >= 1 && rows >= 1,
+      s"need s in [0,1], bands >= 1, rows >= 1; got s=$s bands=$bands rows=$rows")
+    1.0 - math.pow(1.0 - math.pow(s, rows.toDouble), bands.toDouble)
+  }
+
+  /** Pick `(bands, rows)` for a signature of length `k` so the S-curve's
+    * 50%-collision point `(1/bands)^(1/rows)` lands closest to the target
+    * Jaccard `threshold` (MMDS §3.4.3): enumerate the divisor pairs
+    * `bands·rows = k` and take the argmin — k has O(log k) divisors, so
+    * this is trivially driver-side. More bands → catches lower
+    * similarity (more candidates to rerank); more rows → stricter.
+    * Feed the result straight into [[minhashNearDupPairs]]. */
+  def lshTune(k: Int, threshold: Double): (Int, Int) = {
+    require(k >= 1 && threshold > 0.0 && threshold < 1.0,
+      s"need k >= 1, threshold in (0,1); got k=$k threshold=$threshold")
+    (1 to k).filter(k % _ == 0).map { b =>
+      val r = k / b
+      (b, r, math.abs(math.pow(1.0 / b, 1.0 / r) - threshold))
+    }.minBy(_._3) match { case (b, r, _) => (b, r) }
   }
 
   /** Near-duplicate pairs via MinHash-LSH candidate generation + exact

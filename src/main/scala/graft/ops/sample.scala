@@ -341,4 +341,58 @@ object sample {
       .where(col("_gv") >= col("_thr"))
       .drop("_gv", "_thr")
   }
+
+  /** Token-budget plan for a target training mixture: given per-source
+    * mixture `weights` (fractions of the total token `budget` each
+    * source should contribute — the DoReMi/data-schedule shape) and a
+    * token-count column, emit one planning row per source:
+    *
+    *   - `n_docs`, `n_tokens` — what the corpus holds,
+    *   - `target_tokens = round(weight · budget)` (0 for unlisted
+    *     sources — they are excluded by the plan, not silently kept),
+    *   - `sample_rate = target/available` — `< 1` means downsample,
+    *     `> 1` means the source must repeat to meet its target,
+    *   - `n_epochs = ceil(sample_rate)` — passes over the source a
+    *     repeat-then-trim schedule needs (the "epochs over source"
+    *     number data cards report).
+    *
+    * The rate itself feeds [[deterministicSample]]/[[toMixture]]; this
+    * op is the PLAN, kept separate so the decision is inspectable (and
+    * oracle-checkable) before any row is dropped or repeated.
+    *
+    * Scale shape: one hash aggregation on the source key (map-side
+    * partials; sources number in the hundreds, not billions) joined to a
+    * broadcast literal weights table — the corpus is scanned once and
+    * never reshuffled. */
+  def planTokenBudget(
+      df: DataFrame,
+      sourceCol: String,
+      tokenCol: Column,
+      weights: Map[String, Double],
+      budget: Long): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(w => w >= 0.0) && budget > 0,
+      s"need non-empty weights >= 0 and budget > 0; got $weights budget=$budget")
+    val spark = df.sparkSession
+    // explicit-schema createDataFrame, not toDF: the product-encoder
+    // TypeTag path reflects through the REPL classloader and dies there
+    // (Java 17 "Prohibited package name") — same REPL-safety discipline
+    // as VecIndex's meta writes.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+    val w = spark.createDataFrame(
+      java.util.Arrays.asList(
+        weights.toSeq.sortBy(_._1).map { case (s, d) => Row(s, d) }: _*),
+      StructType(Seq(StructField(sourceCol, StringType, nullable = false),
+        StructField("_w", DoubleType, nullable = false))))
+    df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCol).cast("long").as("n_tokens"))
+      .join(broadcast(w), Seq(sourceCol), "left")
+      .withColumn("target_tokens",
+        floor(coalesce(col("_w"), lit(0.0)) * budget + 0.5).cast("long"))
+      .withColumn("sample_rate",
+        col("target_tokens").cast("double") / col("n_tokens"))
+      .withColumn("n_epochs", ceil(col("sample_rate")).cast("long"))
+      .drop("_w")
+  }
 }

@@ -376,6 +376,54 @@ object text {
         PhonePattern, "<phone>"))
       .otherwise(c)
 
+  // ---- URL canonicalization ------------------------------------------
+
+  /** Query parameters stripped by [[normalizeUrl]]: per-click analytics
+    * attribution keys (UTM tags, ad-click ids, referrer tags) that vary
+    * across fetches of the SAME page — the C4/CCNet-style reason two raw
+    * crawl URLs should count as one document. Anchored key-match over one
+    * `key=value` pair; RE2-compatible (no backrefs) so the identical
+    * string runs in Spark and DuckDB. */
+  val TrackingParamPattern: String =
+    "^(utm_[a-z0-9]+|fbclid|gclid|msclkid|mc_eid|ref|referrer|igshid)="
+
+  /** Canonicalize an absolute http(s) URL the way crawl-dedup pipelines
+    * (C4, CCNet) do before URL-level dedup, so cosmetic variants of one
+    * page key to one string:
+    *
+    *   - drop the fragment (`#…` never reaches the server),
+    *   - lowercase the scheme and host (case-insensitive per RFC 3986),
+    *     strip a leading `www.` and an explicit default port (`:80`/`:443`),
+    *   - strip trailing `/` runs from the path (path CASE is preserved —
+    *     paths are case-sensitive),
+    *   - drop tracking query params ([[TrackingParamPattern]]), keeping
+    *     the remaining params in their original order (reordering would
+    *     conflate genuinely different server-side semantics).
+    *
+    * Pure `Column` expression — regexp surgery plus one small per-row
+    * array filter; row-local, zero shuffle, scan-parallel at 100 TB.
+    * Input must be an absolute URL with a scheme (crawl records always
+    * carry one); scheme-less strings degenerate to `://` + path and
+    * should be filtered upstream. */
+  def normalizeUrl(c: Column): Column = {
+    val u = regexp_replace(trim(c), "#.*", "")
+    val schemeHost = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", 0)
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = regexp_replace(
+      regexp_replace(
+        lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1)),
+        "^www\\.", ""),
+      ":(80|443)$", "")
+    val tail = u.substr(length(schemeHost) + 1, length(u))
+    val path = regexp_replace(regexp_extract(tail, "^([^?]*)", 1), "/+$", "")
+    val qs = array_join(
+      filter(split(regexp_extract(tail, "\\?(.*)", 1), "&"),
+        p => p =!= "" && !p.rlike(TrackingParamPattern)),
+      "&")
+    concat(scheme, lit("://"), host, path,
+      when(qs =!= "", concat(lit("?"), qs)).otherwise(lit("")))
+  }
+
   /** Overlapping token-window chunks: starts at 0, `stride`, 2·`stride`, …
     * with the last start the first one where start + `window` ≥ n (so the
     * tail is covered exactly once); every doc with ≥1 token yields ≥1
