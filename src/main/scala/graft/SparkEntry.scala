@@ -1333,6 +1333,37 @@ object SparkEntry {
           budget = 1000000L)
         .orderBy(col("source"))),
 
+    // north-star: per-language percentile rank of a score — the
+    // quality-calibration primitive (per-lang thresholds, not a global
+    // cut). n_chars is already integral, so scale=1 makes the grid key
+    // exact and the ranks match SQL percent_rank bit-for-bit.
+    "sample_pct_rank" -> ((s, dir) =>
+      sample.percentileRankBy(
+          table(s, dir, "documents").select(col("doc_id"), col("lang"),
+            col("n_chars")),
+          "lang", col("n_chars"), scale = 1.0)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("pct_rank"))
+        .orderBy(col("doc_id"))),
+
+    // north-star: corpus snapshot diff (dataset versioning). Version B
+    // is synthesized from A: every 17th doc removed, every 13th kept doc
+    // edited, every 19th doc re-added under a shifted id — exercising
+    // all four statuses with a deterministic fixture.
+    "rel_snapshot_diff" -> ((s, dir) => {
+      val aV = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bV = aV.where(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(aV.where(col("doc_id") % 19 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      rel.snapshotDiff(aV, bV, "doc_id", "text")
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("status"))
+    }),
+
     // north-star: deterministic training-shard export — write, then
     // verify by READING BACK the landed parquet (shard membership is the
     // portable id hash, so the oracle recomputes it from the raw table).
@@ -3365,6 +3396,34 @@ object SparkEntry {
          |  ceil(floor(coalesce(w.w, 0.0) * 1000000 + 0.5)::BIGINT::DOUBLE / n_tokens)::BIGINT AS n_epochs
          |FROM t LEFT JOIN w ON t.source = w.source
          |ORDER BY t.source""".stripMargin,
+
+    // percent_rank is the exact SQL semantics the grid-rank computes:
+    // strictly-below count over (n-1), ties share, single-row group = 0.
+    "sample_pct_rank" ->
+      """SELECT doc_id, lang, n_chars,
+        |  percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS pct_rank
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Same synthesized version-B fixture; the diff is replayed as a
+    // full outer join comparing the text directly (the op compares
+    // 128-bit fingerprints — equality is equality either way).
+    "rel_snapshot_diff" ->
+      """WITH a AS (SELECT doc_id, text FROM documents),
+        |b AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 19 = 0),
+        |d AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN a.doc_id IS NULL THEN 'added'
+        |       WHEN b.doc_id IS NULL THEN 'removed'
+        |       WHEN a.text = b.text THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT status, count(*) AS n_docs,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM d GROUP BY status ORDER BY status""".stripMargin,
 
     // Shard membership recomputed from the raw table with the same
     // portable hash — proves the written shards partition the corpus.

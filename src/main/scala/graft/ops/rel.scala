@@ -252,4 +252,38 @@ object rel {
         row_number().over(Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*)))
       .where(col(rankCol) <= k)
   }
+
+  /** Corpus snapshot diff — the dataset-versioning meter ("what changed
+    * between crawl v1 and v2"): one row per id present in EITHER
+    * version, labeled `added` (only in `b`), `removed` (only in `a`),
+    * `changed` (both, content fingerprint differs), or `unchanged`.
+    * Presence is tracked with explicit marker columns, not fingerprint
+    * nullness, so a legitimately-null content value can't masquerade as
+    * a missing row.
+    *
+    * Scale shape: both sides reduce to `(id, 128-bit fingerprint)` in
+    * their scans — the full-outer join shuffles THIN rows (~24 bytes),
+    * never document bodies, and id keys are unique per side so the
+    * sort-merge join has no skew. Aggregating the output by `status` is
+    * the 4-row data-card summary. */
+  def snapshotDiff(
+      a: DataFrame,
+      b: DataFrame,
+      idCol: String,
+      contentCol: String): DataFrame = {
+    val fa = a.select(col(idCol),
+      graft.functions.hashing.fingerprint128(col(contentCol)).as("_fp_a"),
+      lit(1).as("_in_a"))
+    val fb = b.select(col(idCol),
+      graft.functions.hashing.fingerprint128(col(contentCol)).as("_fp_b"),
+      lit(1).as("_in_b"))
+    fa.join(fb, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("_in_a").isNull, lit("added"))
+          .when(col("_in_b").isNull, lit("removed"))
+          // null-safe equality: two null contents are the SAME content
+          // (plain === would yield null and fall through to 'changed')
+          .when(col("_fp_a") <=> col("_fp_b"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
 }

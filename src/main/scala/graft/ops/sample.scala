@@ -342,6 +342,48 @@ object sample {
       .drop("_gv", "_thr")
   }
 
+  /** Per-group percentile rank (SQL `percent_rank` semantics: fraction
+    * of the group strictly below, ties share a rank, single-row group =
+    * 0) of a QUANTIZED score — the per-language quality calibration
+    * primitive (FineWeb-style pipelines threshold each language on its
+    * OWN score distribution; a global cut keeps only the dominant
+    * language's idea of quality).
+    *
+    * Scale design: the textbook `percent_rank().over(partitionBy(lang)
+    * .orderBy(score))` sorts every group's full row set — one language
+    * is most of the corpus, so that window is a near-global sort with
+    * skew. Here the [[quantileBins]]/[[topFracByScore]] grid idiom
+    * applies per group: counts collapse to one row per `(group, grid
+    * value)`, the rank cumsum runs over that domain-bounded grid, and
+    * rows pick up `pct_rank` through a broadcast join — exact integer
+    * rank arithmetic, the corpus itself is never sorted. Returns df +
+    * `pct_rank` (nulls excluded, same contract as [[quantileBins]]). */
+  def percentileRankBy(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: Column,
+      scale: Double = 10000.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gv = floor(scoreCol * scale + 0.5).cast("long")
+    val rows = df.where(scoreCol.isNotNull)
+    val grid = rows.select(col(groupCol), gv.as("_gv"))
+      .groupBy(col(groupCol), col("_gv"))
+      .agg(count(lit(1)).as("_cnt"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("_gv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mapping = grid
+      .withColumn("_below", sum(col("_cnt")).over(w) - col("_cnt"))
+      .withColumn("_n", sum(col("_cnt")).over(
+        Window.partitionBy(col(groupCol))))
+      .select(col(groupCol), col("_gv"),
+        when(col("_n") > 1L,
+          col("_below").cast("double") / (col("_n") - 1L).cast("double"))
+          .otherwise(lit(0.0)).as("pct_rank"))
+    rows.withColumn("_gv", gv)
+      .join(broadcast(mapping), Seq(groupCol, "_gv"))
+      .drop("_gv")
+  }
+
   /** Token-budget plan for a target training mixture: given per-source
     * mixture `weights` (fractions of the total token `budget` each
     * source should contribute — the DoReMi/data-schedule shape) and a

@@ -208,4 +208,18 @@ class RelSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("nope"))
   }
+
+  test("snapshotDiff labels added/removed/changed/unchanged; null content is content") {
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "z"), (4L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val b = Seq((2L, "y"), (3L, "z2"), (4L, null.asInstanceOf[String]), (5L, "new"))
+      .toDF("id", "text")
+    val got = rel.snapshotDiff(a, b, "id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed",
+      4L -> "unchanged", 5L -> "added"))
+    // identical versions: everything unchanged
+    assert(rel.snapshotDiff(a, a, "id", "text")
+      .where(col("status") =!= "unchanged").count() === 0)
+  }
 }

@@ -211,6 +211,40 @@ class SampleSpec extends SparkSpec {
     assert(order == Seq(1L, 4L, 2L, 5L, 3L))
   }
 
+  test("percentileRankBy matches percent_rank semantics per group") {
+    val df = Seq((1L, "en", 10.0), (2L, "en", 20.0), (3L, "en", 20.0),
+      (4L, "en", 30.0), (5L, "de", 7.0), (6L, "de", 9.0), (7L, "fr", 5.0))
+      .toDF("id", "lang", "score")
+    val got = graft.ops.sample.percentileRankBy(df, "lang", col("score"))
+      .select("id", "pct_rank").as[(Long, Double)].collect().toMap
+    // en (n=4): 10 -> 0/3, ties 20 -> 1/3 each, 30 -> 3/3
+    assert(got(1L) === 0.0)
+    assert(got(2L) === 1.0 / 3 && got(3L) === 1.0 / 3)
+    assert(got(4L) === 1.0)
+    // de (n=2): 0 and 1; fr single row = 0 (not NaN)
+    assert(got(5L) === 0.0 && got(6L) === 1.0 && got(7L) === 0.0)
+    // agrees with Spark's own percent_rank on the same data
+    import org.apache.spark.sql.expressions.Window
+    val ref = df.withColumn("pr", percent_rank().over(
+        Window.partitionBy(col("lang")).orderBy(col("score"))))
+      .select("id", "pr").as[(Long, Double)].collect().toMap
+    assert(got === ref)
+    // nulls are excluded, not ranked
+    val withNull = df.union(Seq((8L, "en", Double.NaN)).toDF("id", "lang", "score")
+      .select(col("id"), col("lang"), lit(null).cast("double").as("score")))
+    assert(graft.ops.sample.percentileRankBy(withNull, "lang", col("score"))
+      .where(col("id") === 8L).count() === 0)
+  }
+
+  test("percentileRankBy: corpus is never sorted — rank rides a grid broadcast") {
+    val plan = graft.ops.sample.percentileRankBy(docs, "lang", col("n_chars"),
+      scale = 1.0).queryExecution.executedPlan.toString
+    // the only window runs over the aggregated grid (post-HashAggregate),
+    // and rows rejoin through a broadcast, not a shuffle join
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
+  }
+
   test("packSequences: single-partition window never appears in the plan") {
     val packed = sample.packSequences(docs, "doc_id",
       graft.ops.text.tokenCount(col("text")).cast("long"), budget = 512)
