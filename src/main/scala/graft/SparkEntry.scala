@@ -1333,6 +1333,43 @@ object SparkEntry {
           budget = 1000000L)
         .orderBy(col("source"))),
 
+    // north-star: PII shape counts for the data card. The corpus text is
+    // PII-free word salad, so inject deterministic shapes (email, URL,
+    // IP, card-grouped digits, phone) on modular doc_id classes — counts
+    // then exercise every pattern including multi-hit rows.
+    "text_pii_stats" -> ((s, dir) => {
+      val d = col("doc_id")
+      val injected = table(s, dir, "documents").select(d, concat(col("text"),
+        when(d % 4 === 0, lit(" contact bob@example.com now")).otherwise(lit("")),
+        when(d % 5 === 0, lit(" see https://t.example.com/p?id=1")).otherwise(lit("")),
+        when(d % 7 === 0, lit(" from 192.168.1.100 at")).otherwise(lit("")),
+        when(d % 9 === 0, lit(" card 4111 1111 1111 1111 or 555-123-4567"))
+          .otherwise(lit(""))).as("text"))
+      injected
+        .select(d, text.piiStats(col("text")).as("_p"))
+        .select(d, col("_p.n_emails").as("n_emails"),
+          col("_p.n_urls").as("n_urls"), col("_p.n_ips").as("n_ips"),
+          col("_p.n_card_like").as("n_card_like"),
+          col("_p.n_phones").as("n_phones"))
+        .orderBy(d)
+    }),
+
+    // north-star: quality-aware canonical selection — within each
+    // near-dup cluster keep the HIGHEST-QUALITY member (longest doc,
+    // id tiebreak), not the smallest id: the FineWeb-style "keep the
+    // full article, drop the syndicated excerpt" policy.
+    "dedup_cluster_best" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val cl = dedup.nearDupClusters(docs, "text", "doc_id", threshold = 0.5)
+      val j = cl.select(col("doc_id"), col("rep"))
+        .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      rel.topKPerGroup(j, Seq(col("rep")),
+          Seq(col("n_chars").desc, col("doc_id")), 1)
+        .select(col("rep").as("rep_id"), col("doc_id").as("best_id"),
+          col("n_chars").cast("long").as("best_chars"))
+        .orderBy(col("rep_id"))
+    }),
+
     // north-star: per-language percentile rank of a score — the
     // quality-calibration primitive (per-lang thresholds, not a global
     // cut). n_chars is already integral, so scale=1 makes the grid key
@@ -3396,6 +3433,39 @@ object SparkEntry {
          |  ceil(floor(coalesce(w.w, 0.0) * 1000000 + 0.5)::BIGINT::DOUBLE / n_tokens)::BIGINT AS n_epochs
          |FROM t LEFT JOIN w ON t.source = w.source
          |ORDER BY t.source""".stripMargin,
+
+    // Same injected-PII fixture; counts via regexp_extract_all with the
+    // IDENTICAL pattern constants (RE2-compatible, no flags).
+    "text_pii_stats" ->
+      s"""WITH j AS (SELECT doc_id, text ||
+         |  (CASE WHEN doc_id % 4 = 0 THEN ' contact bob@example.com now' ELSE '' END) ||
+         |  (CASE WHEN doc_id % 5 = 0 THEN ' see https://t.example.com/p?id=1' ELSE '' END) ||
+         |  (CASE WHEN doc_id % 7 = 0 THEN ' from 192.168.1.100 at' ELSE '' END) ||
+         |  (CASE WHEN doc_id % 9 = 0 THEN ' card 4111 1111 1111 1111 or 555-123-4567' ELSE '' END)
+         |  AS text FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(text, '${text.EmailPattern}'))::INT AS n_emails,
+         |  len(regexp_extract_all(text, '${text.UrlPattern}'))::INT AS n_urls,
+         |  len(regexp_extract_all(text, '${text.Ipv4Pattern}'))::INT AS n_ips,
+         |  len(regexp_extract_all(text, '${text.LongDigitPattern}'))::INT AS n_card_like,
+         |  len(regexp_extract_all(text, '${text.PhonePattern}'))::INT AS n_phones
+         |FROM j ORDER BY doc_id""".stripMargin,
+
+    // Cluster labels re-derived with the recursive-CTE transitive
+    // closure, then the keep policy becomes a per-cluster argmax window.
+    "dedup_cluster_best" ->
+      s"""WITH RECURSIVE $SqlMinhashPairCtes,
+         |e AS (SELECT id_a AS u, id_b AS v FROM mp
+         |      UNION SELECT id_b, id_a FROM mp),
+         |r AS (SELECT u, v FROM e
+         |      UNION SELECT r.u, e.v FROM r JOIN e ON r.v = e.u),
+         |lbl AS (SELECT u AS doc_id, least(u, min(v)) AS rep_id FROM r GROUP BY u),
+         |q AS (SELECT lbl.doc_id, rep_id, n_chars
+         |      FROM lbl JOIN documents ON lbl.doc_id = documents.doc_id),
+         |w AS (SELECT rep_id, doc_id, n_chars, row_number() OVER (
+         |        PARTITION BY rep_id ORDER BY n_chars DESC, doc_id) AS rn FROM q)
+         |SELECT rep_id, doc_id AS best_id, n_chars::BIGINT AS best_chars
+         |FROM w WHERE rn = 1 ORDER BY rep_id""".stripMargin,
 
     // percent_rank is the exact SQL semantics the grid-rank computes:
     // strictly-below count over (n-1), ties share, single-row group = 0.

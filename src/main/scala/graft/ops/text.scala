@@ -376,6 +376,21 @@ object text {
         PhonePattern, "<phone>"))
       .otherwise(c)
 
+  /** Per-document PII shape counts — the data-card companion to
+    * [[redactPii]]: how MUCH of each shape a corpus carries (and where
+    * it concentrates), measured BEFORE scrubbing decides policy. Counts
+    * are per-pattern independent (a card number inside a URL counts for
+    * both — this is a measurement, not the consuming rewrite chain
+    * [[redactPii]] applies). One fused row-local pass, no shuffle; the
+    * patterns are the same RE2-compatible constants the scrubbers use,
+    * so an external engine reproduces the counts exactly. */
+  def piiStats(c: Column): Column = struct(
+    regexp_count(c, lit(EmailPattern)).as("n_emails"),
+    regexp_count(c, lit(UrlPattern)).as("n_urls"),
+    regexp_count(c, lit(Ipv4Pattern)).as("n_ips"),
+    regexp_count(c, lit(LongDigitPattern)).as("n_card_like"),
+    regexp_count(c, lit(PhonePattern)).as("n_phones"))
+
   // ---- URL canonicalization ------------------------------------------
 
   /** Query parameters stripped by [[normalizeUrl]]: per-click analytics

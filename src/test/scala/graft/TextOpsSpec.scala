@@ -73,6 +73,23 @@ class TextOpsSpec extends SparkSpec {
     assert(out.contains("normal text 2024 stays"))  // years survive
   }
 
+  test("piiStats counts every shape independently; clean prose counts zero") {
+    val in = "mail bob@x.com or sue@y.org, card 4111 1111 1111 1111, " +
+      "call 555-123-4567, host 10.0.0.1, see https://x.com/a and www.y.com/b"
+    val r = one(in).select(text.piiStats(col("text")).as("p"))
+      .select("p.n_emails", "p.n_urls", "p.n_ips", "p.n_card_like", "p.n_phones")
+      .as[(Int, Int, Int, Int, Int)].head()
+    // n_phones = 2: the card-grouped digits ALSO match the phone shape —
+    // counts are per-pattern independent (unlike redactPii's consuming
+    // chain, where the number rule eats the card before the phone rule)
+    assert(r === ((2, 2, 1, 1, 2)))
+    val clean = one("plain prose, year 2024, nothing sensitive here")
+      .select(text.piiStats(col("text")).as("p"))
+      .select("p.n_emails", "p.n_urls", "p.n_ips", "p.n_card_like", "p.n_phones")
+      .as[(Int, Int, Int, Int, Int)].head()
+    assert(clean === ((0, 0, 0, 0, 0)))
+  }
+
   test("tfidfTopTerms ranks rare terms above common ones per doc") {
     val docs = Seq(
       (1L, "apple apple zebra common"),
