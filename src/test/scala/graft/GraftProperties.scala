@@ -250,6 +250,39 @@ object GraftProperties extends Properties("graft") {
       }
     }
 
+  // Generator spanning the URL feature space: optional www./case-mixed
+  // host, default and explicit ports, path depth + trailing slashes,
+  // tracking/real params in any order, optional fragment.
+  private val genUrl: Gen[String] = for {
+    scheme <- Gen.oneOf("http", "https", "HTTP", "HTTPS")
+    www <- Gen.oneOf("", "www.", "WWW.")
+    host <- Gen.oneOf("Example.com", "a-b.org", "X.Y.NET")
+    port <- Gen.oneOf("", ":80", ":443", ":8080")
+    segs <- Gen.chooseNum(0, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("Wiki", "p", "Item-7")))
+    slash <- Gen.oneOf("", "/", "//")
+    params <- Gen.someOf("utm_source=x", "page=2", "gclid=9", "q=a+b", "ref=nav")
+    frag <- Gen.oneOf("", "#top", "#a/b?c=d")
+  } yield s"$scheme://$www$host$port" +
+    segs.map("/" + _).mkString + slash +
+    (if (params.isEmpty) "" else params.mkString("?", "&", "")) + frag
+
+  property("normalizeUrl is idempotent and strips what it promises") =
+    forAll(Gen.listOfN(4, genUrl)) { urls =>
+      val n1 = urls.toDF("u")
+        .select(graft.ops.text.normalizeUrl(col("u")).as("n"))
+        .as[String].collect().toSeq
+      val n2 = n1.toDF("n")
+        .select(graft.ops.text.normalizeUrl(col("n")).as("n"))
+        .as[String].collect().toSeq
+      n1 == n2 && n1.forall { u =>
+        !u.contains("#") && !u.contains("utm_") && !u.contains("gclid") &&
+          !u.contains(":80/") && !u.endsWith(":80") && !u.endsWith("/") &&
+          u.startsWith("http") && u.take(u.indexOf("://"))
+            .forall(c => !c.isUpper)
+      }
+    }
+
   property("pageRank conserves bounded mass: base·n <= total <= scale") =
     forAll(Gen.chooseNum(2, 12).flatMap(k =>
       Gen.listOfN(k * 2, Gen.zip(Gen.chooseNum(0L, k.toLong), Gen.chooseNum(0L, k.toLong)))
