@@ -259,6 +259,32 @@ object ScaleRehearsal {
     run("mm_dhash_pairs")(multimodal.dhashNearDupPairs(
       multimodal.fromText(docs, "doc_id", "text", "source")))
 
+    // ---- session-5 additions: URL dedup, rank grid, snapshot diff -----
+    // URL dedup at 10×: clones synthesize the SAME url per (doc_id mod
+    // stride), so every canonical key's group is `factor` deep — the
+    // hot-key shape the one-agg plan must absorb with map-side partials.
+    run("url_dedup")(dedup.urlDedup(
+      docs.select(col("doc_id"), concat(lit("https://s"),
+        (col("doc_id") % docStride % 7).cast("string"), lit(".example.com/p/"),
+        (col("doc_id") % docStride).cast("string"),
+        when(col("doc_id") % 2 === 0, lit("?utm_source=x")).otherwise(lit("")))
+        .as("url")),
+      "url", "doc_id"))
+    // percentile rank at 10×: the grid is DOMAIN-bounded (distinct
+    // n_chars per lang), so mapping size must not grow with factor
+    run("pct_rank_by_lang")(sample.percentileRankBy(
+      docs, "lang", col("n_chars"), scale = 1.0))
+    // snapshot diff at 10×: thin fingerprint join, corpus-linear
+    run("snapshot_diff")(rel.snapshotDiff(docs,
+      docs.where(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text")),
+      "doc_id", "text"))
+    // pii stats at 10×: pure row-local regexp pass, scan-parallel
+    run("pii_stats")(docs.select(col("doc_id"),
+      text.piiStats(col("text")).as("p")))
+
     spark.stop()
   }
 }

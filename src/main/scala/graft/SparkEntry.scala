@@ -1333,6 +1333,21 @@ object SparkEntry {
           budget = 1000000L)
         .orderBy(col("source"))),
 
+    // north-star: normalization-aware exact dedup. The variant corpus
+    // re-typesets every doc (uppercased, vowels accented, punctuation
+    // appended) under a shifted id — byte-exact dedup finds nothing,
+    // the match key pairs each doc with its variant.
+    "dedup_normalized" -> ((s, dir) => {
+      val base = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val variants = base.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(translate(upper(col("text")), "AEIOU", "ÀÉÎÕÜ"), lit(" !!"))
+          .as("text"))
+      dedup.normalizedExactGroups(base.unionByName(variants), "text", "doc_id")
+        .select(md5(col("match_key")).as("key_md5"), col("keep_id"),
+          col("group_size"))
+        .orderBy(col("keep_id"))
+    }),
+
     // north-star: PII shape counts for the data card. The corpus text is
     // PII-free word salad, so inject deterministic shapes (email, URL,
     // IP, card-grouped digits, phone) on modular doc_id classes — counts
@@ -3433,6 +3448,20 @@ object SparkEntry {
          |  ceil(floor(coalesce(w.w, 0.0) * 1000000 + 0.5)::BIGINT::DOUBLE / n_tokens)::BIGINT AS n_epochs
          |FROM t LEFT JOIN w ON t.source = w.source
          |ORDER BY t.source""".stripMargin,
+
+    // Same re-typeset fixture; the match key is replayed with the shared
+    // accent table ('g' flags — DuckDB regexp_replace is first-match by
+    // default where Spark's is global).
+    "dedup_normalized" ->
+      s"""WITH c AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000,
+         |    translate(upper(text), 'AEIOU', 'ÀÉÎÕÜ') || ' !!' FROM documents),
+         |k AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
+         |    translate(lower(text), '${text.AccentFrom}', '${text.AccentTo}'),
+         |    '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS mk FROM c)
+         |SELECT md5(mk) AS key_md5, min(doc_id) AS keep_id,
+         |  count(*) AS group_size
+         |FROM k GROUP BY mk ORDER BY keep_id""".stripMargin,
 
     // Same injected-PII fixture; counts via regexp_extract_all with the
     // IDENTICAL pattern constants (RE2-compatible, no flags).

@@ -72,6 +72,18 @@ object dedup {
     df.join(keep, idCol)
   }
 
+  /** Normalization-aware exact duplicate groups: [[exactGroups]] keyed
+    * on [[graft.ops.text.matchKey]] instead of raw bytes, so case /
+    * diacritic / punctuation / whitespace variants of one document count
+    * as ONE group (the canonicalization C4/CCNet/Dolma apply before
+    * their exact-dedup stages — byte-exact dedup misses a re-typeset
+    * re-crawl entirely). Same single-aggregation scale shape; the
+    * normalization is fused row-local expression work on the scan. */
+  def normalizedExactGroups(
+      df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(graft.ops.text.matchKey(col(textCol)).as("match_key"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
+
   /** URL-level dedup (the C4/CCNet crawl stage that runs BEFORE any
     * content hashing — re-crawls of one page differ in tracking params,
     * host case, fragments, … but are the same document): group by the

@@ -376,6 +376,29 @@ object text {
         PhonePattern, "<phone>"))
       .otherwise(c)
 
+  /** 1:1 accent-fold table (Latin diacritics → ASCII), applied AFTER
+    * lowercasing so only lowercase forms are listed. Kept strictly
+    * same-length (translate is per-character — multi-char folds like
+    * `ß→ss`/`œ→oe` are out of scope) and shared verbatim with SQL
+    * oracles: `translate` has Postgres semantics in every engine. */
+  val AccentFrom = "àáâãäåāăçćčďèéêëēėęěìíîïīįñńňòóôõöøōšśùúûüūůýÿžźż"
+  val AccentTo = "aaaaaaaacccdeeeeeeeeiiiiiinnnooooooossuuuuuuyyzzz"
+
+  /** Fold Latin diacritics to ASCII (expects lowercased input). */
+  def foldAccents(c: Column): Column = translate(c, AccentFrom, AccentTo)
+
+  /** Canonical MATCH KEY for normalization-aware exact dedup (the
+    * C4/CCNet/Dolma pre-dedup canonicalization): lowercase, fold
+    * accents, strip everything but `[a-z0-9]` and whitespace, collapse
+    * whitespace runs, trim. Two documents differing only in case,
+    * diacritics, punctuation, or spacing key identically — feed this to
+    * [[graft.ops.dedup.exactGroups]]-style aggregation instead of the
+    * raw text. Pure fused expression, row-local, zero shuffle. */
+  def matchKey(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(foldAccents(lower(c)), "[^a-z0-9\\s]", ""),
+      "\\s+", " "))
+
   /** Per-document PII shape counts — the data-card companion to
     * [[redactPii]]: how MUCH of each shape a corpus carries (and where
     * it concentrates), measured BEFORE scrubbing decides policy. Counts

@@ -73,6 +73,22 @@ class TextOpsSpec extends SparkSpec {
     assert(out.contains("normal text 2024 stays"))  // years survive
   }
 
+  test("matchKey conflates case/accent/punct/spacing variants; fold table is 1:1") {
+    // translate is per-character: a ragged table would silently DELETE
+    assert(text.AccentFrom.length === text.AccentTo.length)
+    def key(s: String): String =
+      one(s).select(text.matchKey(col("text"))).head().getString(0)
+    val k = key("Héllo,  Wörld! 42")
+    assert(k === "hello world 42")
+    assert(key("hello world 42") === k)
+    // punctuation is stripped, NOT turned into spacing: "world…42" keys
+    // as "world42", a genuinely different token stream than "world 42"
+    assert(key("HELLO — wórld…42") !== k)
+    assert(key("  hèllo   WORLD 42  ") === k)
+    // distinct content stays distinct
+    assert(key("hello there 42") !== k)
+  }
+
   test("piiStats counts every shape independently; clean prose counts zero") {
     val in = "mail bob@x.com or sue@y.org, card 4111 1111 1111 1111, " +
       "call 555-123-4567, host 10.0.0.1, see https://x.com/a and www.y.com/b"
