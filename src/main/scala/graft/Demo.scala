@@ -319,6 +319,52 @@ object Demo {
       .groupBy("label").agg(count(lit(1)).as("size"))
       .orderBy(col("size").desc).show(5, truncate = false)
 
+    println("== URL canonicalization: re-crawl variants collapse to one page ==")
+    graft.ops.dedup.urlDedup(
+        docs.select(col("doc_id"), concat(lit("HTTPS://WWW.Example.com/p/"),
+          (col("doc_id") % 5).cast("string"),
+          when(col("doc_id") % 2 === 0, lit("?utm_source=crawl"))
+            .otherwise(lit("#top"))).as("url")),
+        "url", "doc_id")
+      .orderBy("norm_url").show(5, truncate = false)
+
+    println("== token-budget mixture plan: targets, rates, epochs per source ==")
+    graft.ops.sample.planTokenBudget(docs, "lang",
+        text.tokenCount(col("text")),
+        Map("en" -> 0.5, "de" -> 0.3, "fr" -> 0.2), budget = 100000L)
+      .orderBy("lang").show(false)
+
+    println("== LSH band tuning: S-curve (bands, rows) for jaccard thresholds ==")
+    Seq(0.2, 0.5, 0.8, 0.9).foreach { t =>
+      val (b, r) = graft.ops.dedup.lshTune(16, t)
+      println(f"  threshold $t%.1f -> bands=$b rows=$r " +
+        f"(50%% point ${math.pow(1.0 / b, 1.0 / r)}%.3f)")
+    }
+
+    println("== per-language percentile rank: calibrate scores within groups ==")
+    graft.ops.sample.percentileRankBy(docs, "lang", col("n_chars"), scale = 1.0)
+      .select("doc_id", "lang", "n_chars", "pct_rank")
+      .orderBy(col("pct_rank").desc, col("doc_id")).show(4, truncate = false)
+
+    println("== corpus snapshot diff: v2 drops every 3rd doc, edits every 5th ==")
+    graft.ops.rel.snapshotDiff(docs,
+        docs.where(col("doc_id") % 3 =!= 0)
+          .select(col("doc_id"), when(col("doc_id") % 5 === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text")),
+        "doc_id", "text")
+      .groupBy("status").count().orderBy("status").show(false)
+
+    println("== match-key dedup: case/accent/punct variants key identically ==")
+    println("  matchKey('Héllo,  Wörld! 42') = " +
+      docs.limit(1).select(text.matchKey(lit("Héllo,  Wörld! 42")))
+        .head().getString(0))
+
+    println("== PII shape counts (injected fixture row) ==")
+    docs.limit(1)
+      .select(text.piiStats(lit("mail a@b.co card 4111 1111 1111 1111 " +
+        "at 10.0.0.1 via https://x.com/a")).as("p"))
+      .select("p.*").show(false)
+
     spark.stop()
   }
 }
