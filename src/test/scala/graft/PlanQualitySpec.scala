@@ -299,4 +299,40 @@ class PlanQualitySpec extends SparkSpec {
     // rp_vec appears in the parquet ReadSchema
     assert(p.contains("rp_vec"), s"rp_vec missing from scan:\n${p.take(900)}")
   }
+
+  test("URL and match-key dedup are aggregation-only — no join, no window") {
+    // dedup_url pays one extra uniform-keyed exchange for the
+    // countDistinct(url) two-phase rewrite ((norm_url, url) partial →
+    // norm_url final); dedup_normalized has no distinct agg, so it's the
+    // single agg exchange plus the output sort.
+    Seq("dedup_url" -> 3, "dedup_normalized" -> 2).foreach { case (q, maxEx) =>
+      val p = plan(q)
+      assert(!p.contains("Join") && !p.contains("Window"),
+        s"$q must be scan + aggregate only:\n${p.take(900)}")
+      val exchanges = "Exchange".r.findAllIn(p).length
+      assert(exchanges <= maxEx, s"$q should shuffle <= $maxEx, got $exchanges")
+    }
+  }
+
+  test("token-budget plan broadcasts the literal weights, never shuffles them") {
+    val p = plan("sample_token_budget")
+    assert(p.contains("BroadcastHashJoin"), p.take(900))
+    assert(!p.contains("SortMergeJoin"),
+      s"weights join must broadcast:\n${p.take(900)}")
+  }
+
+  test("snapshot diff joins thin fingerprints, never a nested-loop product") {
+    val p = plan("rel_snapshot_diff")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"diff must be an equi-join:\n${p.take(900)}")
+    // document bodies never cross the exchange: the join schema carries
+    // fingerprints, and 'text' appears only below the scans
+    assert(p.contains("FullOuter"), s"expected full outer equi-join:\n${p.take(900)}")
+  }
+
+  test("pii stats is a pure scan pass (no exchange beyond the output sort)") {
+    val exchanges = "Exchange".r.findAllIn(plan("text_pii_stats")).length
+    assert(exchanges <= 1,
+      s"text_pii_stats should shuffle at most once (output sort), got $exchanges")
+  }
 }
