@@ -240,17 +240,19 @@ object SparkEntry {
   /** DuckDB CTE body: distinct word-3-gram shingle sets per document,
     * matching [[dedup.wordShingles]] (docs with < 3 tokens excluded, as in
     * [[dedup.minhashed]]). */
-  private val SqlGrams =
+  private def sqlGramsFrom(src: String) =
     s"""SELECT doc_id, list_distinct(list_transform(range(1, len(toks)-1),
        |  i -> array_to_string(list_slice(toks, i, i+2), ' '))) AS grams
-       |FROM (SELECT doc_id, $SqlToks AS toks FROM documents) WHERE len(toks) >= 3""".stripMargin
+       |FROM (SELECT doc_id, $SqlToks AS toks FROM $src) WHERE len(toks) >= 3""".stripMargin
+  private val SqlGrams = sqlGramsFrom("documents")
 
   /** DuckDB CTE chain ending in `mp(id_a, id_b, jacc)` — MinHash-LSH
     * near-dup pairs at threshold 0.5 (k=16, 8 bands of r=2), mirroring
     * [[dedup.minhashNearDupPairs]] stage for stage. Shared by the pairs
-    * oracle and the connected-components (cluster) oracle. */
-  private val SqlMinhashPairCtes =
-    s"""g AS ($SqlGrams),
+    * oracle, the connected-components (cluster) oracle, and (via the
+    * `src`-parameterized form) the dedup-funnel oracle. */
+  private def sqlMinhashPairCtesFrom(src: String) =
+    s"""g AS (${sqlGramsFrom(src)}),
        |sg AS (SELECT doc_id, grams, list_transform(range(0, 16),
        |  j -> list_min(list_transform(list_transform(grams, s -> ${hashing.sqlH32("s")}),
        |       h -> ${hashing.sqlAffineVar("h", "j")}))) AS sig FROM g),
@@ -262,6 +264,15 @@ object SparkEntry {
        |j AS (SELECT id_a, id_b,
        |  len(list_intersect(ga, gb))::DOUBLE / len(list_distinct(ga || gb)) AS jacc FROM c),
        |mp AS (SELECT id_a, id_b, jacc FROM j WHERE jacc >= 0.5)""".stripMargin
+  private val SqlMinhashPairCtes = sqlMinhashPairCtesFrom("documents")
+
+  /** DuckDB fragment replaying [[graft.ops.text.matchKey]] over `e` —
+    * shared by the normalized-dedup and funnel oracles ('g' flags:
+    * DuckDB regexp_replace is first-match by default, Spark's global). */
+  private def sqlMatchKey(e: String): String =
+    s"trim(regexp_replace(regexp_replace(translate(lower($e), " +
+      s"'${text.AccentFrom}', '${text.AccentTo}'), '[^a-z0-9\\s]', '', 'g'), " +
+      s"'\\s+', ' ', 'g'))"
 
   /** DuckDB CTE chain computing BM25 scores over `documents` for the
     * fixed term set, ending in `sc(doc_id, score)`. Scalar folds (k1+1,
@@ -1332,6 +1343,43 @@ object SparkEntry {
           Map("src0" -> 0.4, "src1" -> 0.25, "src2" -> 0.2, "src3" -> 0.15),
           budget = 1000000L)
         .orderBy(col("source"))),
+
+    // flagship: the DEDUP FUNNEL data card — what each dedup stage
+    // would save, measured independently over one augmented corpus
+    // (exact clones of every 4th doc, re-typeset variants of every even
+    // doc, re-crawled URLs keyed to the original page). Per-stage
+    // independent counts, NOT a sequential pipeline: the card ranks
+    // stages before committing to an order.
+    "pipeline_dedup_funnel" -> ((s, dir) => {
+      val base = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val clones = base.where(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      val variants = base.where(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(translate(upper(col("text")), "AEIOU", "ÀÉÎÕÜ"), lit(" !!"))
+            .as("text"))
+      val corpus = base.unionByName(clones).unionByName(variants)
+      val url = concat(lit("https://x.example.com/p/"),
+        ((col("doc_id") % 1000000L) % 200L).cast("string"))
+      def stage(name: String, docsOut: DataFrame): DataFrame =
+        docsOut.select(lit(name).as("stage"), col("docs_out"))
+      val raw = stage("1_raw", corpus.agg(count(lit(1)).as("docs_out")))
+      val urlS = stage("2_url", dedup.urlDedup(
+          corpus.select(col("doc_id"), url.as("url")), "url", "doc_id")
+        .agg(count(lit(1)).as("docs_out")))
+      val exactS = stage("3_exact", dedup.exactGroups(corpus, "text", "doc_id")
+        .agg(count(lit(1)).as("docs_out")))
+      val normS = stage("4_normalized",
+        dedup.normalizedExactGroups(corpus, "text", "doc_id")
+          .agg(count(lit(1)).as("docs_out")))
+      val cl = dedup.nearDupClusters(corpus, "text", "doc_id", threshold = 0.5)
+      val ndS = stage("5_neardup", corpus.agg(count(lit(1)).as("_n"))
+        .crossJoin(cl.agg(count(lit(1)).as("_m"),
+          countDistinct(col("rep")).as("_c")))
+        .select((col("_n") - col("_m") + col("_c")).as("docs_out")))
+      raw.unionByName(urlS).unionByName(exactS).unionByName(normS)
+        .unionByName(ndS).orderBy(col("stage"))
+    }),
 
     // north-star: normalization-aware exact dedup. The variant corpus
     // re-typesets every doc (uppercased, vowels accented, punctuation
@@ -3449,6 +3497,36 @@ object SparkEntry {
          |FROM t LEFT JOIN w ON t.source = w.source
          |ORDER BY t.source""".stripMargin,
 
+    // Funnel stages re-derived independently: raw count, distinct
+    // canonical URLs, distinct texts (= exactGroups' fingerprint
+    // groups), distinct match keys, and survivors after near-dup
+    // clustering (total - clustered + clusters) via the shared minhash
+    // CTE chain parameterized over the augmented corpus.
+    "pipeline_dedup_funnel" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 2000000, text FROM documents
+         |    WHERE doc_id % 4 = 0
+         |  UNION ALL SELECT doc_id + 1000000,
+         |    translate(upper(text), 'AEIOU', 'ÀÉÎÕÜ') || ' !!' FROM documents
+         |    WHERE doc_id % 2 = 0),
+         |${sqlMinhashPairCtesFrom("corpus")},
+         |e AS (SELECT id_a AS u, id_b AS v FROM mp
+         |      UNION SELECT id_b, id_a FROM mp),
+         |r AS (SELECT u, v FROM e
+         |      UNION SELECT r.u, e.v FROM r JOIN e ON r.v = e.u),
+         |lbl AS (SELECT u AS doc_id, least(u, min(v)) AS rep_id FROM r GROUP BY u)
+         |SELECT '1_raw' AS stage, count(*) AS docs_out FROM corpus
+         |UNION ALL SELECT '2_url', count(DISTINCT 'https://x.example.com/p/' ||
+         |  ((doc_id % 1000000) % 200)::VARCHAR) FROM corpus
+         |UNION ALL SELECT '3_exact', count(DISTINCT text) FROM corpus
+         |UNION ALL SELECT '4_normalized',
+         |  count(DISTINCT ${sqlMatchKey("text")}) FROM corpus
+         |UNION ALL SELECT '5_neardup',
+         |  (SELECT count(*) FROM corpus) - (SELECT count(*) FROM lbl)
+         |    + (SELECT count(DISTINCT rep_id) FROM lbl)
+         |ORDER BY stage""".stripMargin,
+
     // Same re-typeset fixture; the match key is replayed with the shared
     // accent table ('g' flags — DuckDB regexp_replace is first-match by
     // default where Spark's is global).
@@ -3456,9 +3534,7 @@ object SparkEntry {
       s"""WITH c AS (SELECT doc_id, text FROM documents
          |  UNION ALL SELECT doc_id + 1000000,
          |    translate(upper(text), 'AEIOU', 'ÀÉÎÕÜ') || ' !!' FROM documents),
-         |k AS (SELECT doc_id, trim(regexp_replace(regexp_replace(
-         |    translate(lower(text), '${text.AccentFrom}', '${text.AccentTo}'),
-         |    '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS mk FROM c)
+         |k AS (SELECT doc_id, ${sqlMatchKey("text")} AS mk FROM c)
          |SELECT md5(mk) AS key_md5, min(doc_id) AS keep_id,
          |  count(*) AS group_size
          |FROM k GROUP BY mk ORDER BY keep_id""".stripMargin,

@@ -84,4 +84,26 @@ object DocIngest {
       } finally batch.unpersist()
     }
   }
+
+  /** Streaming URL-keyed keep-first gate — the crawl FRONT DOOR, run
+    * before any content even downloads: each arriving record keys on
+    * the CANONICAL URL ([[graft.ops.text.normalizeUrl]] — tracking
+    * params, host case, fragments collapse) and only the first
+    * occurrence within the watermark horizon passes. State is BOUNDED:
+    * `dropDuplicatesWithinWatermark` evicts a URL's key once the
+    * watermark passes its event time (plain `dropDuplicates` would
+    * accumulate one state row per distinct URL forever — unbounded on a
+    * crawl). A re-crawl arriving AFTER eviction passes again by design:
+    * that is the recrawl-cadence knob, and the batch [[graft.ops.dedup
+    * .urlDedup]] over the landed corpus is the exact backfill twin.
+    * Output carries `norm_url` so downstream sinks can key on it. */
+  def urlDeduped(
+      docs: DataFrame,
+      urlCol: String,
+      tsCol: String,
+      delay: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("norm_url", graft.ops.text.normalizeUrl(col(urlCol)))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("norm_url")
 }

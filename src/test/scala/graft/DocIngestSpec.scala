@@ -101,4 +101,33 @@ class DocIngestSpec extends SparkSpec {
     val sigIds = spark.read.parquet(sigDir).select("doc_id").as[Long].collect().toSet
     assert(sigIds == Set(1L))
   }
+
+  test("urlDeduped: canonical-URL keep-first across batches, bounded state") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = DocIngest.urlDeduped(
+        in.toDF().toDF("doc_id", "url", "ts"), "url", "ts")
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        out.synchronized { out ++= b.select("doc_id").as[Long].collect() }
+        ()
+      }.start()
+    try {
+      // batch 1: three spellings of ONE page + one distinct page
+      in.addData(
+        (1L, "HTTPS://WWW.A.com/p?utm_source=x", ts(0)),
+        (2L, "https://a.com:443/p#frag", ts(1)),
+        (3L, "https://b.com/q", ts(1)))
+      q.processAllAvailable()
+      // batch 2: yet another spelling of the same page, still within the
+      // watermark horizon -> dropped by persisted state, not batch-local
+      in.addData((4L, "https://a.com/p", ts(2)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = out.toSet
+    assert(ids.contains(3L), "distinct page must pass")
+    assert((ids & Set(1L, 2L)).size == 1, s"exactly one spelling passes: $ids")
+    assert(!ids.contains(4L), "cross-batch re-crawl must be dropped")
+  }
 }
