@@ -1344,6 +1344,15 @@ object SparkEntry {
           budget = 1000000L)
         .orderBy(col("source"))),
 
+    // north-star: empirical LSH recall meter — plant near-dups at
+    // controlled perturbation levels, run the PRODUCTION pair detector,
+    // report measured recall per level (the companion to lshTune's
+    // closed-form S-curve; re-tune on a sample before the 100 TB run).
+    "dedup_minhash_recall" -> ((s, dir) =>
+      dedup.minhashPlantedRecall(table(s, dir, "documents"), "text", "doc_id",
+          levels = Seq(1, 2, 4, 8))
+        .orderBy(col("level"))),
+
     // flagship: the DEDUP FUNNEL data card — what each dedup stage
     // would save, measured independently over one augmented corpus
     // (exact clones of every 4th doc, re-typeset variants of every even
@@ -3496,6 +3505,35 @@ object SparkEntry {
          |  ceil(floor(coalesce(w.w, 0.0) * 1000000 + 0.5)::BIGINT::DOUBLE / n_tokens)::BIGINT AS n_epochs
          |FROM t LEFT JOIN w ON t.source = w.source
          |ORDER BY t.source""".stripMargin,
+
+    // Plants replayed with inclusive-index list_slice (Spark slice is
+    // length-based: slice(toks, 5+L, n-4-L) == list_slice(toks, 5+L,
+    // len)); detection credits only the exact (orig, own-plant) id pair.
+    "dedup_minhash_recall" -> {
+      val levels = Seq(1, 2, 4, 8)
+      val plants = levels.map { l =>
+        val subs = (1 to l).map(i => s"'xsub${i}x'").mkString("[", ", ", "]")
+        s"SELECT id + ${l * 10000000L} AS id, list_slice(toks, 1, 4) || $subs" +
+          s" || list_slice(toks, ${5 + l}, len(toks)) AS toks FROM base"
+      }.mkString("\n  UNION ALL ")
+      val lvValues = levels.map(l => s"($l)").mkString(", ")
+      s"""WITH base AS (SELECT doc_id AS id, toks FROM
+         |    (SELECT doc_id, $SqlToks AS toks FROM documents)
+         |    WHERE len(toks) >= ${5 + levels.max} AND doc_id < 10000000),
+         |plants AS ($plants),
+         |corpus AS (SELECT id AS doc_id, array_to_string(toks, ' ') AS text FROM base
+         |  UNION ALL SELECT id AS doc_id, array_to_string(toks, ' ') AS text FROM plants),
+         |${sqlMinhashPairCtesFrom("corpus")},
+         |det AS (SELECT (id_b - id_a) // 10000000 AS level, count(*) AS n_detected
+         |  FROM mp WHERE id_a < 10000000 AND (id_b - id_a) % 10000000 = 0
+         |  GROUP BY 1),
+         |lv(level) AS (VALUES $lvValues)
+         |SELECT lv.level::BIGINT AS level,
+         |  (SELECT count(*) FROM base) AS n_planted,
+         |  coalesce(det.n_detected, 0) AS n_detected,
+         |  (coalesce(det.n_detected, 0) * 10000) // (SELECT count(*) FROM base) AS recall_bp
+         |FROM lv LEFT JOIN det ON lv.level = det.level ORDER BY level""".stripMargin
+    },
 
     // Funnel stages re-derived independently: raw count, distinct
     // canonical URLs, distinct texts (= exactGroups' fingerprint

@@ -372,6 +372,68 @@ object dedup {
       .where(col("jacc") >= threshold)
       .select(col("id_a"), col("id_b"), col("jacc"))
 
+  /** Empirical MinHash-LSH recall meter — the MEASURED companion to
+    * [[lshTune]]'s closed-form S-curve: plant one near-duplicate of
+    * every (long-enough) document at each perturbation `level` — a
+    * contiguous run of `level` tokens replaced at a fixed position, so
+    * the true Jaccard degrades controllably — run the production pair
+    * detector over originals + plants, and report per-level
+    * `(n_planted, n_detected, recall_bp)` (basis points, integer DIV —
+    * no doubles in the verdict). Low recall at a level the pipeline
+    * cares about means re-tune `(k, bands, threshold)` BEFORE the 100 TB
+    * run, on a corpus sample, not after.
+    *
+    * Plant ids live at `id + level·10⁷`; detection credits only the
+    * exact `(original, its own plant)` pair — natural dups and
+    * plant-plant pairs are excluded by the id arithmetic, so the meter
+    * is not inflated by corpus redundancy. Scale shape: the corpus
+    * grows ×(levels+1) through the SAME banded pair machinery the
+    * production path uses (that is the point — the meter exercises the
+    * real detector), everything else is one small aggregation. */
+  def minhashPlantedRecall(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      levels: Seq[Int] = Seq(1, 2, 4, 8),
+      threshold: Double = 0.5,
+      k: Int = 16,
+      bands: Int = 8,
+      n: Int = 3): DataFrame = {
+    require(levels.nonEmpty && levels.forall(l => l >= 1 && l < 1000),
+      s"levels must be in [1, 1000); got $levels")
+    val Stride = 10000000L
+    val base = df
+      .select(col(idCol).cast("long").as("_id"),
+        graft.ops.text.tokens(col(textCol)).as("_toks"))
+      .where(size(col("_toks")) >= lit(5 + levels.max) && col("_id") < Stride)
+    val planted = levels.map { lvl =>
+      val subs = array((1 to lvl).map(i => lit(s"xsub${i}x")): _*)
+      base.select((col("_id") + lit(lvl * Stride)).as("_id"),
+        concat(slice(col("_toks"), 1, 4), subs,
+          slice(col("_toks"), lit(5 + lvl),
+            size(col("_toks")) - lit(4 + lvl))).as("_toks"))
+    }.reduce(_ unionByName _)
+    val corpus = base.unionByName(planted)
+      .select(col("_id"), array_join(col("_toks"), " ").as("_text"))
+    val det = minhashNearDupPairs(corpus, "_text", "_id", threshold, k, bands, n)
+      .where(col("id_a") < Stride && (col("id_b") - col("id_a")) % Stride === 0)
+      .select(expr(s"(id_b - id_a) DIV ${Stride}L").as("level"))
+      .groupBy(col("level")).agg(count(lit(1)).as("n_detected"))
+    // REPL-safe literal level table (explicit schema, no product encoder)
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val lv = spark.createDataFrame(
+      java.util.Arrays.asList(levels.sorted.map(l => Row(l.toLong)): _*),
+      StructType(Seq(StructField("level", LongType, nullable = false))))
+    lv.crossJoin(broadcast(base.agg(count(lit(1)).as("n_planted"))))
+      .join(det, Seq("level"), "left")
+      .withColumn("n_detected", coalesce(col("n_detected"), lit(0L)))
+      // empty plantable corpus -> recall 0, not an ANSI divide-by-zero
+      .withColumn("recall_bp", when(col("n_planted") > 0L,
+        expr("(n_detected * 10000) DIV n_planted")).otherwise(lit(0L)))
+  }
+
   /** n-gram CONTAINMENT pairs: `c / min(|A|, |B|)` — the asymmetric
     * near-dup score Jaccard structurally misses: a short document fully
     * contained in a long one (quote + commentary, excerpt + boilerplate,

@@ -324,4 +324,28 @@ class DedupSpec extends SparkSpec {
     val capped = dedup.semanticDedup(df, centroids, threshold = 0.9, clusterCap = 1L)
     assert(capped.count() == 5)
   }
+
+  test("minhashPlantedRecall: full recall on long docs at light perturbation; monotone") {
+    // 40 distinct long documents (repetition-free token streams so the
+    // only near-dups are the plants themselves)
+    val words = ('a' to 'z').map(_.toString)
+    val docs = Seq.tabulate(40) { i =>
+      (i.toLong, (0 until 30).map(t => words((i * 31 + t * 7) % 26) + t).mkString(" "))
+    }.toDF("doc_id", "text")
+    val r = dedup.minhashPlantedRecall(docs, "text", "doc_id",
+        levels = Seq(1, 4), threshold = 0.5)
+      .orderBy("level")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(r.map(_._2).toSet === Set(40L), "every doc is long enough to plant")
+    // one replaced token in 30 -> jaccard ~ 0.8 -> per-plant collision
+    // prob ~ 0.9997; a rare banding miss is honest LSH behavior (it is
+    // what the meter measures), so pin near-full, not perfect, recall
+    assert(r(0)._1 === 1L && r(0)._4 >= 9500L, r(0).toString)
+    // recall never increases with perturbation
+    assert(r(0)._3 >= r(1)._3)
+    // short docs are excluded from planting, not mangled
+    val tiny = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(dedup.minhashPlantedRecall(tiny, "text", "doc_id", levels = Seq(1))
+      .head().getLong(1) === 0L)
+  }
 }
