@@ -1027,6 +1027,13 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s, dir) =>
       ann.lshSearch(embStore(s, dir), Q1, k = 5, nbits = 6)),
 
+    // north-star: batched ANN serving — B queries amortize ONE
+    // bucket-pruned scan; per-query top-k is a rank window
+    // (WindowGroupLimit), never a global sort.
+    "ann_lsh_batch" -> ((s, dir) =>
+      ann.lshSearchBatch(embStore(s, dir), Seq((0L, Q1), (1L, Q2)), k = 5)
+        .orderBy(col("query_id"), col("score").desc, col("vec_id"))),
+
     // north-star: per-label embedding centroids (class prototypes) —
     // order-free fixed-point sums, shuffle is labels x dims cells.
     "vec_label_centroids" -> ((s, dir) =>
@@ -2476,6 +2483,22 @@ object SparkEntry {
          |sc AS (SELECT vec_id, label, ${r4(sqlCosineOn("e", Q1))} AS score FROM b)
          |SELECT vec_id, score, label FROM sc
          |ORDER BY score DESC, vec_id LIMIT 5""".stripMargin,
+
+    // Per query: the single-query oracle form with a query_id tag,
+    // unioned — the Spark side must reproduce it from ONE shared scan.
+    "ann_lsh_batch" -> {
+      def one(qid: Int, q: Seq[Double]) =
+        s"""SELECT $qid::BIGINT AS query_id, vec_id, score FROM (
+           |  SELECT vec_id, ${r4(sqlCosineOn("e", q))} AS score FROM s
+           |  WHERE (${sqlLshSig(0, 6, 64)}) = ${ann.lshSignatureOf(q, 0, 6)}
+           |  ORDER BY score DESC, vec_id LIMIT 5)""".stripMargin
+      s"""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+         |SELECT query_id, vec_id, score FROM (
+         |${one(0, Q1)}
+         |UNION ALL
+         |${one(1, Q2)})
+         |ORDER BY query_id, score DESC, vec_id""".stripMargin
+    },
 
     // Fixed-point component sums (exact integers) divided once — the
     // same two double ops in the same order as the Spark plan.

@@ -117,6 +117,67 @@ object ann {
       .collect()
   }
 
+  /** BATCH serving over the LSH-bucketed layout: `B` queries share ONE
+    * bucket-pruned scan instead of paying `B` scans — the amortization a
+    * real serving tier needs (at 100 TB the scan setup dominates a
+    * single bucket's scoring, so per-query scans would be B× the cost
+    * for the same bytes). Buckets are computed DRIVER-side per query
+    * (same signature math as [[lshSearch]]); the scan prunes to the
+    * UNION of buckets (partition-directory pruning when the bucket
+    * column is persisted), each surviving row joins only its bucket's
+    * queries through a broadcast of the tiny query table, and per-query
+    * top-k runs as a rank window (WindowGroupLimit — bounded heap per
+    * query, no global sort). Query-side inverse norms are precomputed on
+    * the driver and shipped as literals, exactly like the single-query
+    * oracle form. Returns `(query_id, vec_id, score)`, scores 4-dp. */
+  def lshSearchBatch(
+      store: VecStore,
+      queries: Seq[(Long, Seq[Double])],
+      k: Int,
+      nbits: Int = 6,
+      table: Int = 0): DataFrame = {
+    require(queries.nonEmpty, "graft: empty query batch")
+    val dim = queries.head._2.length
+    require(queries.forall(_._2.length == dim),
+      s"graft: ragged query dims in batch (expected $dim)")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = store.df.sparkSession
+    // REPL-safe explicit schema (no product-encoder reflection)
+    val qdf = spark.createDataFrame(
+      java.util.Arrays.asList(queries.map { case (qid, q) =>
+        Row(qid, lshSignatureOf(q, table, nbits), q, vectors.invNormOf(q))
+      }: _*),
+      StructType(Seq(
+        StructField("query_id", LongType, nullable = false),
+        StructField("_q_bucket", LongType, nullable = false),
+        StructField("_q_vec", ArrayType(DoubleType, containsNull = false),
+          nullable = false),
+        StructField("_q_inv", DoubleType, nullable = false))))
+    val buckets = queries.map(q => lshSignatureOf(q._2, table, nbits)).distinct
+    val persistedMatches = store.indexMeta.exists(m =>
+      m.lshBits.contains(nbits) && m.lshTable == table)
+    val bucketExpr =
+      if (persistedMatches &&
+          store.df.columns.contains(graft.index.VecIndex.LshBucketCol))
+        col(graft.index.VecIndex.LshBucketCol)
+      else lshSignature(col(store.vecCol), table, nbits, dim)
+    val v = col(store.vecCol).cast("array<double>")
+    store.df
+      .withColumn("_bucket", bucketExpr)
+      .where(col("_bucket").isin(buckets: _*))
+      .join(broadcast(qdf), col("_bucket") === col("_q_bucket"))
+      .withColumn("score", vectors.quantize(
+        vectors.dotProduct(v, col("_q_vec"))
+          * vectors.invNorm(v) * col("_q_inv"), 4))
+      .withColumn("_rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col(store.idCol))))
+      .where(col("_rnk") <= k)
+      .select(col("query_id"), col(store.idCol), col("score"))
+  }
+
   /** Two-stage search over a PERSISTED Johnson–Lindenstrauss projection
     * (index built with `BuildOptions(rpDims = Some(dOut))`): stage 1
     * scores the slim `rp_vec` column — dOut multiply-adds per row instead

@@ -415,6 +415,31 @@ class AnnSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("lshSearchBatch agrees with per-query lshSearch; one pruned scan, no cartesian") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val store = graft.core.VecStore(df)
+    val q1 = (0 until 64).map(i => math.sin(i + 1.0))
+    val q2 = (0 until 64).map(i => math.cos(2.0 * i + 1.0))
+    val batch = ann.lshSearchBatch(store, Seq((10L, q1), (20L, q2)), k = 4)
+    val got = batch.select("query_id", "vec_id", "score")
+      .as[(Long, Long, Double)].collect().toSet
+    val want = Seq(10L -> q1, 20L -> q2).flatMap { case (qid, q) =>
+      ann.lshSearch(store, q, k = 4)
+        .select("vec_id", "score").as[(Long, Double)].collect()
+        .map { case (v, s) => (qid, v, s) }
+    }.toSet
+    assert(got === want)
+    val p = batch.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"batch must bucket-join, not cross:\n${p.take(900)}")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-query top-k must be a bounded heap:\n${p.take(900)}")
+    // ragged dims are rejected eagerly, before any job runs
+    val e = intercept[IllegalArgumentException](
+      ann.lshSearchBatch(store, Seq((1L, Seq(1.0)), (2L, Seq(1.0, 2.0))), k = 1))
+    assert(e.getMessage.contains("ragged"))
+  }
+
   test("centroidOutliers: distance to the NEAREST centroid, largest first") {
     val cents: Seq[(Int, Seq[Double])] =
       Seq(0 -> Seq(0.0, 0.0), 1 -> Seq(10.0, 0.0))

@@ -131,4 +131,22 @@ class ErrorTaxonomySpec extends SparkSpec {
     assert(msg(graft.ops.decontam.bloomClean(docs,
       Seq((0L, 0L)).toDF("word", "bits"), "text")).contains("words"))
   }
+
+  test("crawl-pipeline surfaces validate eagerly: lsh tune, budget, recall levels") {
+    import spark.implicits._
+    def msg(f: => Any): String =
+      intercept[IllegalArgumentException](f).getMessage
+    val docs = Seq((1L, "a b c", "s")).toDF("doc_id", "text", "source")
+    assert(msg(graft.ops.dedup.lshTune(0, 0.5)).contains("k >= 1"))
+    assert(msg(graft.ops.dedup.lshTune(16, 1.0)).contains("threshold"))
+    assert(msg(graft.ops.dedup.lshCollisionProb(1.5, 8, 2)).contains("s in [0,1]"))
+    assert(msg(graft.ops.sample.planTokenBudget(docs, "source",
+      org.apache.spark.sql.functions.lit(1), Map.empty[String, Double], 10L))
+      .contains("weights"))
+    assert(msg(graft.ops.sample.planTokenBudget(docs, "source",
+      org.apache.spark.sql.functions.lit(1), Map("s" -> 1.0), 0L))
+      .contains("budget"))
+    assert(msg(graft.ops.dedup.minhashPlantedRecall(docs, "text", "doc_id",
+      levels = Seq(0))).contains("levels"))
+  }
 }
