@@ -268,11 +268,16 @@ object SparkEntry {
 
   /** DuckDB fragment replaying [[graft.ops.text.matchKey]] over `e` —
     * shared by the normalized-dedup and funnel oracles ('g' flags:
-    * DuckDB regexp_replace is first-match by default, Spark's global). */
-  private def sqlMatchKey(e: String): String =
-    s"trim(regexp_replace(regexp_replace(translate(lower($e), " +
+    * DuckDB regexp_replace is first-match by default, Spark's global).
+    * Includes the non-Latin fallback: an empty Latin projection keys on
+    * the whitespace-collapsed lowercased raw text. */
+  private def sqlMatchKey(e: String): String = {
+    val latin = s"trim(regexp_replace(regexp_replace(translate(lower($e), " +
       s"'${text.AccentFrom}', '${text.AccentTo}'), '[^a-z0-9\\s]', '', 'g'), " +
       s"'\\s+', ' ', 'g'))"
+    s"(CASE WHEN $latin <> '' THEN $latin " +
+      s"ELSE trim(regexp_replace(lower($e), '\\s+', ' ', 'g')) END)"
+  }
 
   /** DuckDB CTE chain computing BM25 scores over `documents` for the
     * fixed term set, ending in `sc(doc_id, score)`. Scalar folds (k1+1,
@@ -3494,13 +3499,18 @@ object SparkEntry {
         |  (CASE WHEN doc_id % 6 = 0 THEN '#section-3' ELSE '' END) AS url
         |  FROM documents),
         |n AS (SELECT doc_id, url, regexp_replace(trim(url), '#.*', '') AS u FROM r),
-        |p AS (SELECT doc_id, url,
+        |p0 AS (SELECT doc_id, url,
         |  lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-        |  regexp_replace(regexp_replace(
+        |  regexp_replace(
         |    lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)),
-        |    '^www\.', ''), ':(80|443)$', '') AS host,
+        |    '^www\.', '') AS hostraw,
         |  substr(u, length(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', 0)) + 1) AS tail
         |  FROM n),
+        |p AS (SELECT doc_id, url, scheme,
+        |  CASE WHEN scheme = 'http' THEN regexp_replace(hostraw, ':80$', '')
+        |       WHEN scheme = 'https' THEN regexp_replace(hostraw, ':443$', '')
+        |       ELSE hostraw END AS host, tail
+        |  FROM p0),
         |q AS (SELECT doc_id, url, scheme || '://' || host ||
         |  regexp_replace(regexp_extract(tail, '^([^?]*)', 1), '/+$', '') ||
         |  (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END) AS norm_url
@@ -3524,8 +3534,8 @@ object SparkEntry {
          |                        ('src2', 0.2), ('src3', 0.15))
          |SELECT t.source, n_docs, n_tokens,
          |  floor(coalesce(w.w, 0.0) * 1000000 + 0.5)::BIGINT AS target_tokens,
-         |  floor(coalesce(w.w, 0.0) * 1000000 + 0.5)::BIGINT::DOUBLE / n_tokens AS sample_rate,
-         |  ceil(floor(coalesce(w.w, 0.0) * 1000000 + 0.5)::BIGINT::DOUBLE / n_tokens)::BIGINT AS n_epochs
+         |  CASE WHEN n_tokens > 0 THEN floor(coalesce(w.w, 0.0) * 1000000 + 0.5)::BIGINT::DOUBLE / n_tokens END AS sample_rate,
+         |  ceil(CASE WHEN n_tokens > 0 THEN floor(coalesce(w.w, 0.0) * 1000000 + 0.5)::BIGINT::DOUBLE / n_tokens END)::BIGINT AS n_epochs
          |FROM t LEFT JOIN w ON t.source = w.source
          |ORDER BY t.source""".stripMargin,
 

@@ -137,6 +137,8 @@ object ann {
       nbits: Int = 6,
       table: Int = 0): DataFrame = {
     require(queries.nonEmpty, "graft: empty query batch")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "graft: duplicate query_id in batch — each id keys one result group")
     val dim = queries.head._2.length
     require(queries.forall(_._2.length == dim),
       s"graft: ragged query dims in batch (expected $dim)")
@@ -164,13 +166,21 @@ object ann {
         col(graft.index.VecIndex.LshBucketCol)
       else lshSignature(col(store.vecCol), table, nbits, dim)
     val v = col(store.vecCol).cast("array<double>")
+    // store-side inverse norm: reuse the index's precomputed column when
+    // present (the single-query path's discipline, Search.scala) instead
+    // of recomputing dot(v,v)+sqrt per scanned row
+    val storeInv = store.invNormCol.map(col).getOrElse(vectors.invNorm(v))
     store.df
       .withColumn("_bucket", bucketExpr)
       .where(col("_bucket").isin(buckets: _*))
       .join(broadcast(qdf), col("_bucket") === col("_q_bucket"))
       .withColumn("score", vectors.quantize(
-        vectors.dotProduct(v, col("_q_vec"))
-          * vectors.invNorm(v) * col("_q_inv"), 4))
+        vectors.dotProduct(v, col("_q_vec")) * storeInv * col("_q_inv"), 4))
+      // the single-query path's NaN/null discipline (Search.collect):
+      // NaN sorts LARGEST under desc and would displace every genuine
+      // result; a null score (null/mis-dimensioned embedding) must not
+      // back-fill a sparse bucket's top-k
+      .where(col("score").isNotNull && !isnan(col("score")))
       .withColumn("_rnk", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("score").desc, col(store.idCol))))

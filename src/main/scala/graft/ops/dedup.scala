@@ -399,8 +399,9 @@ object dedup {
       k: Int = 16,
       bands: Int = 8,
       n: Int = 3): DataFrame = {
-    require(levels.nonEmpty && levels.forall(l => l >= 1 && l < 1000),
-      s"levels must be in [1, 1000); got $levels")
+    require(levels.nonEmpty && levels.forall(l => l >= 1 && l < 1000) &&
+      levels.distinct.size == levels.size,
+      s"levels must be distinct and in [1, 1000); got $levels")
     val Stride = 10000000L
     val base = df
       .select(col(idCol).cast("long").as("_id"),

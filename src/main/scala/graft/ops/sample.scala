@@ -357,7 +357,12 @@ object sample {
     * value)`, the rank cumsum runs over that domain-bounded grid, and
     * rows pick up `pct_rank` through a broadcast join — exact integer
     * rank arithmetic, the corpus itself is never sorted. Returns df +
-    * `pct_rank` (nulls excluded, same contract as [[quantileBins]]). */
+    * `pct_rank`. EXCLUDED explicitly (the [[quantileBins]] contract):
+    * rows with a null group key (a null would silently fall out of the
+    * grid equi-join anyway — the filter makes it a contract) and rows
+    * with a null or NaN score (a NaN would otherwise key to grid cell 0
+    * and rank as if the score were 0, where SQL percent_rank sorts NaN
+    * largest — neither is a rank worth emitting). */
   def percentileRankBy(
       df: DataFrame,
       groupCol: String,
@@ -365,7 +370,8 @@ object sample {
       scale: Double = 10000.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val gv = floor(scoreCol * scale + 0.5).cast("long")
-    val rows = df.where(scoreCol.isNotNull)
+    val rows = df.where(col(groupCol).isNotNull && scoreCol.isNotNull &&
+      !isnan(scoreCol.cast("double")))
     val grid = rows.select(col(groupCol), gv.as("_gv"))
       .groupBy(col(groupCol), col("_gv"))
       .agg(count(lit(1)).as("_cnt"))
@@ -432,8 +438,11 @@ object sample {
       .join(broadcast(w), Seq(sourceCol), "left")
       .withColumn("target_tokens",
         floor(coalesce(col("_w"), lit(0.0)) * budget + 0.5).cast("long"))
-      .withColumn("sample_rate",
-        col("target_tokens").cast("double") / col("n_tokens"))
+      // A weighted source with ZERO available tokens has no meaningful
+      // rate (target/0 would emit Infinity and epochs = Long.MaxValue):
+      // surface NULL so the impossible plan row is visible, not garbage.
+      .withColumn("sample_rate", when(col("n_tokens") > 0L,
+        col("target_tokens").cast("double") / col("n_tokens")))
       .withColumn("n_epochs", ceil(col("sample_rate")).cast("long"))
       .drop("_w")
   }

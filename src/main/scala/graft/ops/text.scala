@@ -393,11 +393,21 @@ object text {
     * whitespace runs, trim. Two documents differing only in case,
     * diacritics, punctuation, or spacing key identically — feed this to
     * [[graft.ops.dedup.exactGroups]]-style aggregation instead of the
-    * raw text. Pure fused expression, row-local, zero shuffle. */
-  def matchKey(c: Column): Column =
-    trim(regexp_replace(
+    * raw text. Pure fused expression, row-local, zero shuffle.
+    *
+    * Non-Latin guard: the Latin projection of a CJK/Cyrillic/Greek (or
+    * punctuation-only) document is the EMPTY string — keying on it
+    * would merge the entire non-Latin corpus into one "duplicate"
+    * group. Such documents fall back to the whitespace-collapsed
+    * lowercased raw text: still case/spacing-insensitive, never
+    * cross-document lossy. */
+  def matchKey(c: Column): Column = {
+    val latin = trim(regexp_replace(
       regexp_replace(foldAccents(lower(c)), "[^a-z0-9\\s]", ""),
       "\\s+", " "))
+    when(latin =!= "", latin)
+      .otherwise(trim(regexp_replace(lower(c), "\\s+", " ")))
+  }
 
   /** Per-document PII shape counts — the data-card companion to
     * [[redactPii]]: how MUCH of each shape a corpus carries (and where
@@ -431,7 +441,9 @@ object text {
     *
     *   - drop the fragment (`#…` never reaches the server),
     *   - lowercase the scheme and host (case-insensitive per RFC 3986),
-    *     strip a leading `www.` and an explicit default port (`:80`/`:443`),
+    *     strip a leading `www.` and the scheme's OWN default port only
+    *     (`:80` on http, `:443` on https — `http://h:443` is a genuinely
+    *     different endpoint than `http://h` and stays distinct),
     *   - strip trailing `/` runs from the path (path CASE is preserved —
     *     paths are case-sensitive),
     *   - drop tracking query params ([[TrackingParamPattern]]), keeping
@@ -447,11 +459,12 @@ object text {
     val u = regexp_replace(trim(c), "#.*", "")
     val schemeHost = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", 0)
     val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val host = regexp_replace(
-      regexp_replace(
-        lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1)),
-        "^www\\.", ""),
-      ":(80|443)$", "")
+    val hostRaw = regexp_replace(
+      lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1)),
+      "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(hostRaw, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostRaw, ":443$", ""))
+      .otherwise(hostRaw)
     val tail = u.substr(length(schemeHost) + 1, length(u))
     val path = regexp_replace(regexp_extract(tail, "^([^?]*)", 1), "/+$", "")
     val qs = array_join(

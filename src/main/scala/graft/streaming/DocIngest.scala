@@ -96,14 +96,24 @@ object DocIngest {
     * crawl). A re-crawl arriving AFTER eviction passes again by design:
     * that is the recrawl-cadence knob, and the batch [[graft.ops.dedup
     * .urlDedup]] over the landed corpus is the exact backfill twin.
-    * Output carries `norm_url` so downstream sinks can key on it. */
+    * Output carries `norm_url` so downstream sinks can key on it.
+    *
+    * Null-URL records are MALFORMED, not duplicates of one another:
+    * `dropDuplicates*` treats null as an equal key, so keying them
+    * would let the first malformed record swallow every later one.
+    * They bypass the gate (norm_url = null in the output) for the
+    * caller to quarantine — silent row loss is an ingestion
+    * anti-pattern. */
   def urlDeduped(
       docs: DataFrame,
       urlCol: String,
       tsCol: String,
-      delay: String = "10 minutes"): DataFrame =
-    docs
+      delay: String = "10 minutes"): DataFrame = {
+    val keyed = docs
       .withColumn("norm_url", graft.ops.text.normalizeUrl(col(urlCol)))
       .withWatermark(tsCol, delay)
+    keyed.where(col("norm_url").isNotNull)
       .dropDuplicatesWithinWatermark("norm_url")
+      .unionByName(keyed.where(col("norm_url").isNull))
+  }
 }

@@ -434,10 +434,29 @@ class AnnSpec extends SparkSpec {
       s"batch must bucket-join, not cross:\n${p.take(900)}")
     assert(p.contains("WindowGroupLimit"),
       s"per-query top-k must be a bounded heap:\n${p.take(900)}")
-    // ragged dims are rejected eagerly, before any job runs
+    // ragged dims and duplicate query ids are rejected eagerly
     val e = intercept[IllegalArgumentException](
       ann.lshSearchBatch(store, Seq((1L, Seq(1.0)), (2L, Seq(1.0, 2.0))), k = 1))
     assert(e.getMessage.contains("ragged"))
+    val d = intercept[IllegalArgumentException](
+      ann.lshSearchBatch(store, Seq((1L, q1), (1L, q2)), k = 1))
+    assert(d.getMessage.contains("duplicate query_id"))
+  }
+
+  test("lshSearchBatch: NaN-scoring rows are excluded, not ranked first") {
+    // vecs 1/2 are scalar multiples of q, so sign(dot(plane, v)) matches
+    // q's for EVERY hyperplane — they provably share q's bucket; the NaN
+    // vector must never surface regardless of which bucket it hashes to
+    // (NaN sorts largest under desc and would otherwise displace both)
+    val q = Seq(1.0, 0.5)
+    val df = Seq(
+      (1L, Array(1.0, 0.5)),
+      (2L, Array(2.0, 1.0)),
+      (3L, Array(Double.NaN, 0.5))).toDF("vec_id", "embedding")
+    val store = graft.core.VecStore(df)
+    val got = ann.lshSearchBatch(store, Seq((0L, q)), k = 3, nbits = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got === Set(1L, 2L), s"NaN row must not rank: $got")
   }
 
   test("centroidOutliers: distance to the NEAREST centroid, largest first") {

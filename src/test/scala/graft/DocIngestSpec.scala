@@ -121,13 +121,20 @@ class DocIngestSpec extends SparkSpec {
         (3L, "https://b.com/q", ts(1)))
       q.processAllAvailable()
       // batch 2: yet another spelling of the same page, still within the
-      // watermark horizon -> dropped by persisted state, not batch-local
-      in.addData((4L, "https://a.com/p", ts(2)))
+      // watermark horizon -> dropped by persisted state, not batch-local;
+      // plus two MALFORMED (null-url) records — they must BOTH pass
+      // (null is not a dedup key; the first malformed record must not
+      // swallow the second)
+      in.addData((4L, "https://a.com/p", ts(2)),
+        (5L, null.asInstanceOf[String], ts(2)),
+        (6L, null.asInstanceOf[String], ts(3)))
       q.processAllAvailable()
     } finally q.stop()
     val ids = out.toSet
     assert(ids.contains(3L), "distinct page must pass")
     assert((ids & Set(1L, 2L)).size == 1, s"exactly one spelling passes: $ids")
     assert(!ids.contains(4L), "cross-batch re-crawl must be dropped")
+    assert(ids.contains(5L) && ids.contains(6L),
+      s"malformed records bypass the gate, both of them: $ids")
   }
 }

@@ -276,8 +276,12 @@ object GraftProperties extends Properties("graft") {
         .select(graft.ops.text.normalizeUrl(col("n")).as("n"))
         .as[String].collect().toSeq
       n1 == n2 && n1.forall { u =>
+        val httpDefault = u.startsWith("http://") &&
+          (u.contains(":80/") || u.endsWith(":80"))
+        val httpsDefault = u.startsWith("https://") &&
+          (u.contains(":443/") || u.endsWith(":443"))
         !u.contains("#") && !u.contains("utm_") && !u.contains("gclid") &&
-          !u.contains(":80/") && !u.endsWith(":80") && !u.endsWith("/") &&
+          !httpDefault && !httpsDefault && !u.endsWith("/") &&
           u.startsWith("http") && u.take(u.indexOf("://"))
             .forall(c => !c.isUpper)
       }

@@ -229,11 +229,18 @@ class SampleSpec extends SparkSpec {
         Window.partitionBy(col("lang")).orderBy(col("score"))))
       .select("id", "pr").as[(Long, Double)].collect().toMap
     assert(got === ref)
-    // nulls are excluded, not ranked
-    val withNull = df.union(Seq((8L, "en", Double.NaN)).toDF("id", "lang", "score")
-      .select(col("id"), col("lang"), lit(null).cast("double").as("score")))
-    assert(graft.ops.sample.percentileRankBy(withNull, "lang", col("score"))
-      .where(col("id") === 8L).count() === 0)
+    // null scores, NaN scores, and null GROUP KEYS are all excluded
+    // explicitly (a NaN would otherwise rank as score 0; a null group
+    // would silently fall out of the grid join)
+    val extra = Seq((8L, "en", Double.NaN)).toDF("id", "lang", "score")
+      .select(col("id"), col("lang"), lit(null).cast("double").as("score"))
+      .union(Seq((9L, "en", Double.NaN)).toDF("id", "lang", "score"))
+      .union(Seq((10L, "xx", 5.0)).toDF("id", "lang", "score")
+        .select(col("id"), lit(null).cast("string").as("lang"), col("score")))
+    val ranked = graft.ops.sample.percentileRankBy(df.union(extra), "lang", col("score"))
+    assert(ranked.where(col("id").isin(8L, 9L, 10L)).count() === 0)
+    // and the valid rows' ranks are unaffected by the excluded ones
+    assert(ranked.where(col("id") === 4L).head().getAs[Double]("pct_rank") === 1.0)
   }
 
   test("percentileRankBy: corpus is never sorted — rank rides a grid broadcast") {

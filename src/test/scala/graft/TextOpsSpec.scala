@@ -87,6 +87,18 @@ class TextOpsSpec extends SparkSpec {
     assert(key("  hèllo   WORLD 42  ") === k)
     // distinct content stays distinct
     assert(key("hello there 42") !== k)
+    // non-Latin guard: CJK/Cyrillic docs must NOT all collapse to the
+    // empty key (that would merge the whole non-Latin corpus into one
+    // dedup group) — they fall back to spacing/case-insensitive raw text
+    val cjk1 = key("你好 世界")
+    val cjk2 = key("  你好   世界 ")
+    val cjk3 = key("再见 世界")
+    assert(cjk1.nonEmpty)
+    assert(cjk1 === cjk2)
+    assert(cjk1 !== cjk3)
+    val ru = key("Привет")
+    assert(ru.nonEmpty)
+    assert(ru === key("привет"))
   }
 
   test("piiStats counts every shape independently; clean prose counts zero") {

@@ -23,6 +23,10 @@ class UrlBudgetSpec extends SparkSpec {
     assert(norm("https://a.com:443/x/#sec") === "https://a.com/x")
     assert(norm("http://a.com:80/") === "http://a.com")
     assert(norm("https://a.com:8443/x///") === "https://a.com:8443/x")
+    // only the scheme's OWN default port is a default: http://h:443 and
+    // https://h:80 are genuinely different endpoints and stay distinct
+    assert(norm("http://a.com:443/x") === "http://a.com:443/x")
+    assert(norm("https://a.com:80/x") === "https://a.com:80/x")
   }
 
   test("normalizeUrl drops tracking params, keeps real ones in order") {
@@ -69,6 +73,14 @@ class UrlBudgetSpec extends SparkSpec {
       ("a", 20L, 80L, 300L, 3.75, 4L),   // upsample: ~4 epochs
       ("b", 20L, 80L, 100L, 1.25, 2L),   // slight upsample
       ("c", 20L, 80L, 0L, 0.0, 0L)))     // unlisted -> excluded
+    // a weighted source with ZERO available tokens plans NULL rate and
+    // epochs (not Infinity / Long.MaxValue) — visible, not garbage
+    val empty = Seq((1L, "a", ""), (2L, "b", "w x")).toDF("id", "source", "text")
+    val row = sample.planTokenBudget(empty, "source",
+        text.tokenCount(col("text")), Map("a" -> 0.5, "b" -> 0.5), 100L)
+      .where(col("source") === "a").head()
+    assert(row.getLong(3) === 50L)        // target still stated
+    assert(row.isNullAt(4) && row.isNullAt(5))
   }
 
   test("lshCollisionProb is the MMDS S-curve and is monotone in s") {
