@@ -1082,6 +1082,13 @@ object SparkEntry {
       ann.ivfSearchIndexed(embIvfIndex(s, dir), Q1, k = 10, nprobe = 4)
         .select(col("vec_id"), col("score"), col("label"))),
 
+    // north-star: batched serving over the IVF layout — B queries, ONE
+    // scan pruned to the union of probed list directories.
+    "ann_ivf_batch" -> ((s, dir) =>
+      ann.ivfSearchBatch(embIvfIndex(s, dir), Seq((0L, Q1), (1L, Q2)),
+          k = 10, nprobe = 4)
+        .orderBy(col("query_id"), col("score").desc, col("vec_id"))),
+
     // north-star: recall@k for the IVF index — the nprobe tuning loop
     // (lists read vs recall), exact side is the full-scan ground truth.
     "ann_ivf_recall" -> ((s, dir) =>
@@ -2593,6 +2600,30 @@ object SparkEntry {
          |sc AS (SELECT vec_id, label, ${r4(sqlCosineOn("e", Q1))} AS score FROM assign)
          |SELECT vec_id, score, label FROM sc
          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
+    // Shared centroid/assignment CTEs; per-query probe + top-k branches
+    // tagged with query_id and unioned.
+    "ann_ivf_batch" -> {
+      def branch(qid: Int, q: Seq[Double]) =
+        s"""SELECT $qid::BIGINT AS query_id, vec_id, score FROM (
+           |  SELECT vec_id, ${r4(sqlCosineOn("e", q))} AS score FROM assign
+           |  WHERE cid IN (SELECT cid FROM cent
+           |    ORDER BY ${sqlL2Between("e", sqlVec(q))}, cid LIMIT 4)
+           |  ORDER BY score DESC, vec_id LIMIT 10)""".stripMargin
+      s"""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e
+         |  FROM (SELECT vec_id, e FROM s ORDER BY vec_id LIMIT 16)),
+         |assign AS (SELECT vec_id, e, cid FROM (
+         |  SELECT s.vec_id, s.e, c.cid,
+         |    row_number() OVER (PARTITION BY s.vec_id
+         |      ORDER BY ${sqlL2Between("s.e", "c.e")}, c.cid) AS rn
+         |  FROM s, cent c) WHERE rn = 1)
+         |SELECT query_id, vec_id, score FROM (
+         |${branch(0, Q1)}
+         |UNION ALL
+         |${branch(1, Q2)})
+         |ORDER BY query_id, score DESC, vec_id""".stripMargin
+    },
 
     "ann_ivf_recall" ->
       s"""WITH s AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -136,13 +136,7 @@ object ann {
       k: Int,
       nbits: Int = 6,
       table: Int = 0): DataFrame = {
-    require(queries.nonEmpty, "graft: empty query batch")
-    require(queries.map(_._1).distinct.size == queries.size,
-      "graft: duplicate query_id in batch — each id keys one result group")
-    val dim = queries.head._2.length
-    require(queries.forall(_._2.length == dim),
-      s"graft: ragged query dims in batch (expected $dim)")
-    import org.apache.spark.sql.expressions.Window
+    val dim = validateBatch(queries)
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val spark = store.df.sparkSession
@@ -165,27 +159,88 @@ object ann {
           store.df.columns.contains(graft.index.VecIndex.LshBucketCol))
         col(graft.index.VecIndex.LshBucketCol)
       else lshSignature(col(store.vecCol), table, nbits, dim)
+    batchCosineTopK(
+      store.df
+        .withColumn("_bucket", bucketExpr)
+        .where(col("_bucket").isin(buckets: _*))
+        .join(broadcast(qdf), col("_bucket") === col("_q_bucket")),
+      store, k)
+  }
+
+  /** Shared scoring tail of the batch serving paths ([[lshSearchBatch]],
+    * [[ivfSearchBatch]]): rows arrive joined to their queries
+    * (`query_id`, `_q_vec`, `_q_inv`); score with the index's
+    * precomputed inverse norm when present (the single-query path's
+    * discipline) and apply its NaN/null rules — NaN sorts LARGEST under
+    * desc and would displace every genuine result; a null score
+    * (null/mis-dimensioned embedding) must not back-fill a sparse
+    * bucket's top-k. Per-query top-k is a rank window
+    * (WindowGroupLimit bounded heap), never a global sort. */
+  private def batchCosineTopK(
+      joined: DataFrame, store: VecStore, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val v = col(store.vecCol).cast("array<double>")
-    // store-side inverse norm: reuse the index's precomputed column when
-    // present (the single-query path's discipline, Search.scala) instead
-    // of recomputing dot(v,v)+sqrt per scanned row
     val storeInv = store.invNormCol.map(col).getOrElse(vectors.invNorm(v))
-    store.df
-      .withColumn("_bucket", bucketExpr)
-      .where(col("_bucket").isin(buckets: _*))
-      .join(broadcast(qdf), col("_bucket") === col("_q_bucket"))
+    joined
       .withColumn("score", vectors.quantize(
         vectors.dotProduct(v, col("_q_vec")) * storeInv * col("_q_inv"), 4))
-      // the single-query path's NaN/null discipline (Search.collect):
-      // NaN sorts LARGEST under desc and would displace every genuine
-      // result; a null score (null/mis-dimensioned embedding) must not
-      // back-fill a sparse bucket's top-k
       .where(col("score").isNotNull && !isnan(col("score")))
       .withColumn("_rnk", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("score").desc, col(store.idCol))))
       .where(col("_rnk") <= k)
       .select(col("query_id"), col(store.idCol), col("score"))
+  }
+
+  private def validateBatch(queries: Seq[(Long, Seq[Double])]): Int = {
+    require(queries.nonEmpty, "graft: empty query batch")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "graft: duplicate query_id in batch — each id keys one result group")
+    val dim = queries.head._2.length
+    require(queries.forall(_._2.length == dim),
+      s"graft: ragged query dims in batch (expected $dim)")
+    dim
+  }
+
+  /** [[lshSearchBatch]]'s twin over the PERSISTED IVF layout: each
+    * query's `nprobe` nearest lists are computed driver-side, the scan
+    * prunes to the UNION of all probed lists (partition-directory
+    * pruning — only those directories are ever read), and each row
+    * joins the queries that probed ITS list through a broadcast of the
+    * (query × probe) table — `B·nprobe` thin rows. Same amortization:
+    * B queries, one pruned scan, bounded per-query heaps. */
+  def ivfSearchBatch(
+      store: VecStore,
+      queries: Seq[(Long, Seq[Double])],
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val centroids = store.indexMeta.flatMap(_.ivfCentroids).getOrElse(
+      throw new IllegalArgumentException(
+        "graft: store has no persisted IVF centroids — build the index " +
+          "with BuildOptions(ivfCentroids = Some(...))"))
+    validateBatch(queries)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = store.df.sparkSession
+    val probeRows = queries.flatMap { case (qid, q) =>
+      val inv = vectors.invNormOf(q)
+      probeIds(centroids, q, nprobe).map(c => Row(qid, c, q, inv))
+    }
+    val qdf = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*),
+      StructType(Seq(
+        StructField("query_id", LongType, nullable = false),
+        StructField("_probe", IntegerType, nullable = false),
+        StructField("_q_vec", ArrayType(DoubleType, containsNull = false),
+          nullable = false),
+        StructField("_q_inv", DoubleType, nullable = false))))
+    val cl = graft.index.VecIndex.IvfClusterCol
+    val allProbes = probeRows.map(_.getInt(1)).distinct
+    batchCosineTopK(
+      store.df
+        .filter(col(cl).isin(allProbes: _*))
+        .join(broadcast(qdf), col(cl) === col("_probe")),
+      store, k)
   }
 
   /** Two-stage search over a PERSISTED Johnson–Lindenstrauss projection

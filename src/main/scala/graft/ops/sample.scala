@@ -342,6 +342,38 @@ object sample {
       .drop("_gv", "_thr")
   }
 
+  /** FIXED-SIZE weighted sample without replacement (Efraimidis–
+    * Spirakis A-ES, IPL 2006) — the missing cell next to
+    * [[deterministicSample]] (rate, unweighted), [[weightedSample]]
+    * (rate, weighted) and [[perGroupSample]] (fixed-size, unweighted):
+    * exactly `k` rows, selection probability proportional to weight.
+    * Each row draws a deterministic uniform `u` from its id hash and
+    * keys on `ln(u)/w` (the monotone twin of the textbook `u^(1/w)` —
+    * one transcendental instead of two); the k LARGEST keys win. Same
+    * `(id, salt)` → same sample on any engine/cluster/run.
+    *
+    * Rows with null or non-positive weight are EXCLUDED explicitly
+    * (they have no defined inclusion probability; silently keying them
+    * would rank them last-but-present). Plan shape: scan-side key
+    * computation + TakeOrderedAndProject (per-partition bounded heap,
+    * k·P driver merge) — no shuffle, no global sort. */
+  def weightedReservoir(
+      df: DataFrame,
+      idCol: String,
+      weight: Column,
+      k: Int,
+      salt: String = "wres"): DataFrame = {
+    require(k >= 1, s"weightedReservoir needs k >= 1, got $k")
+    // u in (0,1): 32-bit hash folded to [1, 10^6] over 10^6 + 1
+    val u = ((hashing.h32(concat(col(idCol).cast("string"), lit("/" + salt)))
+      % 1000000L) + 1L).cast("double") / 1000001.0
+    df.where(weight.isNotNull && weight > 0)
+      .withColumn("_wkey", log(u) / weight)
+      .orderBy(col("_wkey").desc, col(idCol))
+      .limit(k)
+      .drop("_wkey")
+  }
+
   /** Per-group percentile rank (SQL `percent_rank` semantics: fraction
     * of the group strictly below, ties share a rank, single-row group =
     * 0) of a QUANTIZED score — the per-language quality calibration

@@ -99,6 +99,27 @@ class AnnSpec extends SparkSpec {
       s"no cluster partition pruning in:\n$physical")
   }
 
+  test("ivfSearchBatch agrees with per-query ivfSearchIndexed; partition-pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfb-").toString + "/idx"
+    val (idx, _) = graft.index.VecIndex.build(df, dir,
+      opts = graft.index.VecIndex.BuildOptions(
+        ivfCentroids = Some(ann.seedCentroids(df, 8))))
+    val qs = Seq(3L -> vec(7), 4L -> vec(11))
+    val batch = ann.ivfSearchBatch(idx, qs, k = 5, nprobe = 3)
+    val got = batch.select("query_id", "vec_id", "score")
+      .as[(Long, Long, Double)].collect().toSet
+    val want = qs.flatMap { case (qid, q) =>
+      ann.ivfSearchIndexed(idx, q, k = 5, nprobe = 3)
+        .select("vec_id", "score").as[(Long, Double)].collect()
+        .map { case (v, s) => (qid, v, s) }
+    }.toSet
+    assert(got === want && got.nonEmpty)
+    val p = batch.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("cluster_id"),
+      s"no cluster partition pruning in:\n${p.take(900)}")
+    assert(p.contains("WindowGroupLimit"), s"top-k must be bounded:\n${p.take(600)}")
+  }
+
   test("ivfSearchIndexed refuses a store with no persisted centroids") {
     val e = intercept[IllegalArgumentException] {
       ann.ivfSearchIndexed(store, vec(1), k = 5, nprobe = 2)

@@ -252,6 +252,35 @@ class SampleSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
   }
 
+  test("weightedReservoir: exact k, deterministic, weight-dominant row always wins") {
+    val df = Seq.tabulate(50) { i =>
+      (i.toLong, if (i == 7) 1.0e9 else 1.0)
+    }.toDF("id", "w")
+    val pick = graft.ops.sample.weightedReservoir(df, "id", col("w"), k = 5)
+    val ids = pick.select("id").as[Long].collect().toSet
+    assert(ids.size === 5)
+    // a weight 9 orders of magnitude above the rest keys ~0 (ln(u)/w -> 0,
+    // the maximum of an all-negative key space): always selected
+    assert(ids.contains(7L))
+    // deterministic: same (id, salt) -> same sample
+    val again = graft.ops.sample.weightedReservoir(df, "id", col("w"), k = 5)
+      .select("id").as[Long].collect().toSet
+    assert(again === ids)
+    // a different salt draws a different sample (of the uniform rows)
+    val other = graft.ops.sample.weightedReservoir(df, "id", col("w"), k = 5,
+      salt = "other").select("id").as[Long].collect().toSet
+    assert(other !== ids)
+    // null / non-positive weights are excluded, not ranked
+    val bad = Seq((100L, -1.0), (101L, 0.0)).toDF("id", "w")
+      .union(Seq((102L, 1.0)).toDF("id", "w")
+        .select(col("id"), lit(null).cast("double").as("w")))
+    assert(graft.ops.sample.weightedReservoir(df.union(bad), "id", col("w"), 50)
+      .where(col("id") >= 100L).count() === 0)
+    // bounded heap, not a global sort
+    val p = pick.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+  }
+
   test("packSequences: single-partition window never appears in the plan") {
     val packed = sample.packSequences(docs, "doc_id",
       graft.ops.text.tokenCount(col("text")).cast("long"), budget = 512)
