@@ -68,6 +68,11 @@ object Bench {
     // with the exception class+message of the last attempt.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = selected.map { case (name, fn) =>
+      // reset BEFORE the timed runs: the shared listener retains the
+      // previous query's stats, and async delivery means "non-empty"
+      // alone would attribute THOSE to this query (a query whose runs
+      // all fail must record no phases at all, not stale ones)
+      listener.foreach(_.reset())
       val times = (0 until math.max(1, runs)).flatMap { _ =>
         val t0 = System.nanoTime()
         try {

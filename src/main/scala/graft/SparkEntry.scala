@@ -275,8 +275,8 @@ object SparkEntry {
     val latin = s"trim(regexp_replace(regexp_replace(translate(lower($e), " +
       s"'${text.AccentFrom}', '${text.AccentTo}'), '[^a-z0-9\\s]', '', 'g'), " +
       s"'\\s+', ' ', 'g'))"
-    s"(CASE WHEN $latin <> '' THEN $latin " +
-      s"ELSE trim(regexp_replace(lower($e), '\\s+', ' ', 'g')) END)"
+    val fb = s"trim(regexp_replace(lower($e), '\\s+', ' ', 'g'))"
+    s"(CASE WHEN length($latin) * 2 >= length($fb) THEN $latin ELSE $fb END)"
   }
 
   /** DuckDB CTE chain computing BM25 scores over `documents` for the
@@ -3563,12 +3563,13 @@ object SparkEntry {
          |  FROM documents GROUP BY source),
          |w(source, w) AS (VALUES ('src0', 0.4), ('src1', 0.25),
          |                        ('src2', 0.2), ('src3', 0.15))
-         |SELECT t.source, n_docs, n_tokens,
+         |SELECT source, coalesce(n_docs, 0) AS n_docs,
+         |  coalesce(n_tokens, 0) AS n_tokens,
          |  floor(coalesce(w.w, 0.0) * 1000000 + 0.5)::BIGINT AS target_tokens,
-         |  CASE WHEN n_tokens > 0 THEN floor(coalesce(w.w, 0.0) * 1000000 + 0.5)::BIGINT::DOUBLE / n_tokens END AS sample_rate,
-         |  ceil(CASE WHEN n_tokens > 0 THEN floor(coalesce(w.w, 0.0) * 1000000 + 0.5)::BIGINT::DOUBLE / n_tokens END)::BIGINT AS n_epochs
-         |FROM t LEFT JOIN w ON t.source = w.source
-         |ORDER BY t.source""".stripMargin,
+         |  CASE WHEN coalesce(n_tokens, 0) > 0 THEN floor(coalesce(w.w, 0.0) * 1000000 + 0.5)::BIGINT::DOUBLE / n_tokens END AS sample_rate,
+         |  ceil(CASE WHEN coalesce(n_tokens, 0) > 0 THEN floor(coalesce(w.w, 0.0) * 1000000 + 0.5)::BIGINT::DOUBLE / n_tokens END)::BIGINT AS n_epochs
+         |FROM t FULL JOIN w USING (source)
+         |ORDER BY source""".stripMargin,
 
     // Plants replayed with inclusive-index list_slice (Spark slice is
     // length-based: slice(toks, 5+L, n-4-L) == list_slice(toks, 5+L,

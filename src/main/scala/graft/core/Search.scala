@@ -172,7 +172,12 @@ final case class SearchPlan(
     // Jaccard is exempt: it scores SETS, whose cardinalities legitimately
     // differ row to row (Metric.Jaccard scaladoc).
     def dimGuard(scoreExpr: Column): Column = metric match {
-      case Metric.Jaccard => scoreExpr
+      case Metric.Jaccard =>
+        // sets legitimately differ in CARDINALITY, so only the size
+        // check is relaxed — a NULL set column must still raise: its
+        // NULL score passes !isnan and would sort FIRST under takeMin
+        when(v.isNotNull, scoreExpr).otherwise(raise_error(lit(
+          s"graft: NULL set in column '${store.vecCol}' for Jaccard scoring")))
       case _ =>
         when(size(v) === lit(dim), scoreExpr).otherwise(raise_error(format_string(
           s"graft: query dim $dim does not match store vector dim %s " +

@@ -120,6 +120,11 @@ final class GraftStatsListener(trackRowGroups: Boolean = false)
     * meta.rs:546-566). */
   def lastQueryStats: Option[QueryStats] = last.get()
 
+  /** Clear the captured stats. A shared listener reused across queries
+    * MUST reset before each one it wants to attribute — delivery is
+    * async, so "non-empty" alone can be the PREVIOUS query's stats. */
+  def reset(): Unit = last.set(None)
+
   // Descends through AQE wrappers: QueryStageExec nodes report NO
   // children (their subtree hangs off `plan`), so a plain child walk
   // would silently miss every scan once an exchange materializes.

@@ -180,6 +180,11 @@ object VecIndex {
       "graft: lshBits and ivfCentroids are mutually exclusive partition layouts")
 
     val withInv = df.withColumn(InvNormCol, vectors.invNorm(col(vecCol)))
+    // rpDims = 0 would "succeed" into a degenerate index (empty rp_vec
+    // arrays, empty persisted matrix) whose first rpSearch dies on a
+    // bare mat.head — keep the error at the build layer, descriptive
+    opts.rpDims.foreach(d => require(d >= 1,
+      s"graft: BuildOptions.rpDims must be >= 1, got $d"))
     val rpMat = opts.rpDims.map(dOut => vectors.rpMatrix(lo, dOut))
     val withRp = rpMat match {
       case Some(mat) =>

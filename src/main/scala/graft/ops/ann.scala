@@ -164,7 +164,7 @@ object ann {
         .withColumn("_bucket", bucketExpr)
         .where(col("_bucket").isin(buckets: _*))
         .join(broadcast(qdf), col("_bucket") === col("_q_bucket")),
-      store, k)
+      store, k, dim)
   }
 
   /** Shared scoring tail of the batch serving paths ([[lshSearchBatch]],
@@ -177,13 +177,21 @@ object ann {
     * bucket's top-k. Per-query top-k is a rank window
     * (WindowGroupLimit bounded heap), never a global sort. */
   private def batchCosineTopK(
-      joined: DataFrame, store: VecStore, k: Int): DataFrame = {
+      joined: DataFrame, store: VecStore, k: Int, dim: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val v = col(store.vecCol).cast("array<double>")
     val storeInv = store.invNormCol.map(col).getOrElse(vectors.invNorm(v))
     joined
-      .withColumn("score", vectors.quantize(
+      // the single-query path's dim guard (SearchPlan): the dot kernel
+      // resolves a length mismatch by the SHORTER length, so a corrupted
+      // row would otherwise score a real (wrong) prefix dot and slip
+      // into a top-k instead of raising like lshSearch does
+      .withColumn("score", when(size(v) === lit(dim), vectors.quantize(
         vectors.dotProduct(v, col("_q_vec")) * storeInv * col("_q_inv"), 4))
+        .otherwise(raise_error(format_string(
+          s"graft: query dim $dim does not match store vector dim %s " +
+            s"(or embedding is NULL) in column '${store.vecCol}'",
+          size(v).cast("string")))))
       .where(col("score").isNotNull && !isnan(col("score")))
       .withColumn("_rnk", row_number().over(
         Window.partitionBy(col("query_id"))
@@ -218,7 +226,7 @@ object ann {
       throw new IllegalArgumentException(
         "graft: store has no persisted IVF centroids — build the index " +
           "with BuildOptions(ivfCentroids = Some(...))"))
-    validateBatch(queries)
+    val dim = validateBatch(queries)
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val spark = store.df.sparkSession
@@ -240,7 +248,7 @@ object ann {
       store.df
         .filter(col(cl).isin(allProbes: _*))
         .join(broadcast(qdf), col(cl) === col("_probe")),
-      store, k)
+      store, k, dim)
   }
 
   /** Two-stage search over a PERSISTED Johnson–Lindenstrauss projection

@@ -364,9 +364,12 @@ object sample {
       k: Int,
       salt: String = "wres"): DataFrame = {
     require(k >= 1, s"weightedReservoir needs k >= 1, got $k")
-    // u in (0,1): 32-bit hash folded to [1, 10^6] over 10^6 + 1
-    val u = ((hashing.h32(concat(col(idCol).cast("string"), lit("/" + salt)))
-      % 1000000L) + 1L).cast("double") / 1000001.0
+    // u in (0,1) from the 63-bit hash: ~10^12 distinct strata, so the
+    // id TIEBREAK never decides winners at corpus scale (a 10^6 grid
+    // would put ~1000 rows of a 10^9-row corpus in the top stratum and
+    // hand the sample to the lowest ids — weight-proportionality lost)
+    val u = ((hashing.h63(concat(col(idCol).cast("string"), lit("/" + salt)))
+      % 1000000000000L) + 1L).cast("double") / 1.000000000001e12
     df.where(weight.isNotNull && weight > 0)
       .withColumn("_wkey", log(u) / weight)
       .orderBy(col("_wkey").desc, col(idCol))
@@ -464,10 +467,15 @@ object sample {
         weights.toSeq.sortBy(_._1).map { case (s, d) => Row(s, d) }: _*),
       StructType(Seq(StructField(sourceCol, StringType, nullable = false),
         StructField("_w", DoubleType, nullable = false))))
+    // FULL join, not left: a weighted source with NO corpus rows (typo'd
+    // name, empty source) must surface as a plan row with n_docs = 0 and
+    // a null rate — a left join would silently drop its budget share.
     df.groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(tokenCol).cast("long").as("n_tokens"))
-      .join(broadcast(w), Seq(sourceCol), "left")
+      .join(broadcast(w), Seq(sourceCol), "full")
+      .withColumn("n_docs", coalesce(col("n_docs"), lit(0L)))
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
       .withColumn("target_tokens",
         floor(coalesce(col("_w"), lit(0.0)) * budget + 0.5).cast("long"))
       // A weighted source with ZERO available tokens has no meaningful

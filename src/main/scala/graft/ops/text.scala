@@ -395,18 +395,21 @@ object text {
     * [[graft.ops.dedup.exactGroups]]-style aggregation instead of the
     * raw text. Pure fused expression, row-local, zero shuffle.
     *
-    * Non-Latin guard: the Latin projection of a CJK/Cyrillic/Greek (or
-    * punctuation-only) document is the EMPTY string — keying on it
-    * would merge the entire non-Latin corpus into one "duplicate"
-    * group. Such documents fall back to the whitespace-collapsed
-    * lowercased raw text: still case/spacing-insensitive, never
-    * cross-document lossy. */
+    * Non-Latin guard: the Latin projection of a CJK/Cyrillic/Greek
+    * document is (nearly) empty — keying on it would merge unrelated
+    * non-Latin documents (all of them onto "" for pure-CJK text; two
+    * different Chinese articles onto "2024" if that digit fragment is
+    * all the strip leaves). Whenever the Latin projection holds LESS
+    * THAN HALF the collapsed text's characters, the key falls back to
+    * the whitespace-collapsed lowercased raw text: still case and
+    * spacing insensitive, and fail-SAFE — the fallback can only miss a
+    * punctuation-variant dedup, never merge distinct documents. */
   def matchKey(c: Column): Column = {
     val latin = trim(regexp_replace(
       regexp_replace(foldAccents(lower(c)), "[^a-z0-9\\s]", ""),
       "\\s+", " "))
-    when(latin =!= "", latin)
-      .otherwise(trim(regexp_replace(lower(c), "\\s+", " ")))
+    val fb = trim(regexp_replace(lower(c), "\\s+", " "))
+    when(length(latin) * 2 >= length(fb), latin).otherwise(fb)
   }
 
   /** Per-document PII shape counts — the data-card companion to

@@ -148,5 +148,26 @@ class ErrorTaxonomySpec extends SparkSpec {
       .contains("budget"))
     assert(msg(graft.ops.dedup.minhashPlantedRecall(docs, "text", "doc_id",
       levels = Seq(0))).contains("levels"))
+    assert(msg(graft.ops.dedup.minhashPlantedRecall(docs, "text", "doc_id",
+      levels = Seq(2, 2))).contains("distinct"))
+    // rpDims = 0 must fail at BUILD with a descriptive error, not later
+    // in rpSearch with a bare NoSuchElementException on the empty matrix
+    val vecs = Seq((1L, Array(1.0, 2.0))).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-rp0-").toString
+    assert(msg(graft.index.VecIndex.build(vecs, dir + "/idx",
+      opts = graft.index.VecIndex.BuildOptions(rpDims = Some(0))))
+      .contains("rpDims"))
+  }
+
+  test("Jaccard scoring raises on a NULL set column instead of ranking it") {
+    import spark.implicits._
+    // a NULL set would score NULL, pass the !isnan filter, and sort
+    // FIRST under takeMin — the guard turns it into a descriptive error
+    val df = Seq((1L, Some(Seq(1.0, 2.0))), (2L, Option.empty[Seq[Double]]))
+      .toDF("vec_id", "embedding")
+    val plan = VecStore(df).query(Seq(1.0, 2.0), Metric.Jaccard)
+    val e = intercept[Exception](plan.collect().count())
+    assert(String.valueOf(e.getMessage).contains("NULL set") ||
+      Option(e.getCause).exists(c => String.valueOf(c.getMessage).contains("NULL set")))
   }
 }

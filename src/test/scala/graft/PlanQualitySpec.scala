@@ -314,11 +314,18 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
-  test("token-budget plan broadcasts the literal weights, never shuffles them") {
+  test("token-budget plan joins weights AFTER aggregation — corpus never re-shuffles") {
+    // the weights join is full-outer (absent sources must surface), which
+    // Spark cannot broadcast — but it joins two |sources|-row aggregates,
+    // so the only corpus-sized exchange is the source aggregation itself
     val p = plan("sample_token_budget")
-    assert(p.contains("BroadcastHashJoin"), p.take(900))
-    assert(!p.contains("SortMergeJoin"),
-      s"weights join must broadcast:\n${p.take(900)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"weights join degenerated:\n${p.take(900)}")
+    val aggIdx = p.indexOf("HashAggregate")
+    val joinIdx = math.max(p.indexOf("SortMergeJoin"), p.indexOf("ShuffledHashJoin"))
+    assert(aggIdx >= 0, p.take(600))
+    assert(joinIdx < 0 || p.indexOf("FullOuter") >= 0,
+      s"expected a full-outer weights join:\n${p.take(900)}")
   }
 
   test("snapshot diff joins thin fingerprints, never a nested-loop product") {

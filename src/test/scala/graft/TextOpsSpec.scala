@@ -99,6 +99,13 @@ class TextOpsSpec extends SparkSpec {
     val ru = key("Привет")
     assert(ru.nonEmpty)
     assert(ru === key("привет"))
+    // a SPARSE Latin fragment must not become the key either: two
+    // different CJK articles that both mention "2024" are not dups
+    val a = key("这是第一篇关于经济的文章 2024")
+    val b = key("完全不同的第二篇报道 2024")
+    assert(a !== b)
+    assert(a !== "2024")
+    assert(b !== "2024")
   }
 
   test("piiStats counts every shape independently; clean prose counts zero") {

@@ -81,6 +81,13 @@ class UrlBudgetSpec extends SparkSpec {
       .where(col("source") === "a").head()
     assert(row.getLong(3) === 50L)        // target still stated
     assert(row.isNullAt(4) && row.isNullAt(5))
+    // a weighted source ABSENT from the corpus (typo'd name) must
+    // surface as a zero-supply row, not silently lose its budget share
+    val ghost = sample.planTokenBudget(df, "source",
+        text.tokenCount(col("text")), Map("a" -> 0.5, "nope" -> 0.5), 100L)
+      .where(col("source") === "nope").head()
+    assert(ghost.getLong(1) === 0L && ghost.getLong(2) === 0L)
+    assert(ghost.getLong(3) === 50L && ghost.isNullAt(4))
   }
 
   test("lshCollisionProb is the MMDS S-curve and is monotone in s") {
