@@ -28,6 +28,12 @@ object SparkEntry {
   private[graft] val Q1: Seq[Double] = (0 until 64).map(i => math.sin(i + 1.0))
   private[graft] val Q2: Seq[Double] = (0 until 64).map(i => math.cos(2.0 * i + 1.0))
 
+  /** Multi-token query for MaxSim: Q1 viewed as 4 token vectors of 16
+    * dims — the same layout `retrieval_maxsim_topk` imposes on the
+    * document side. */
+  private[graft] val QTok: Seq[Seq[Double]] =
+    (0 until 4).map(j => Q1.slice(j * 16, j * 16 + 16))
+
   private[graft] def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -150,11 +156,26 @@ object SparkEntry {
       out
     })
 
+  /** Memoized persisted MinHash signature index over the corpus slice
+    * (`doc_id < 400` — the same batch/corpus split every incremental
+    * query uses): bucket-partitioned band table + signature table,
+    * build once, screen many. */
+  private val builtSigIndexes = new scala.collection.concurrent.TrieMap[String, String]()
+  private def sigIndex(s: SparkSession, dir: String): String =
+    builtSigIndexes.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files.createTempDirectory("graft-sig-").toString + "/docs"
+      dedup.writeSignatureIndex(
+        table(s, dir, "documents").where(col("doc_id") < 400),
+        "text", "doc_id", out)
+      out
+    })
+
   /** One-time index builds, callable from Bench's untimed warmup so
     * per-query numbers measure steady-state execution, not builds. */
   def prebuildIndexes(s: SparkSession, dir: String): Unit = {
     embIndex(s, dir); embLshIndex(s, dir); embIvfIndex(s, dir)
     bucketedTables(s, dir); textIndex(s, dir); knnEdges(s, dir)
+    sigIndex(s, dir)
   }
 
   // ---- DuckDB SQL snippet builders ------------------------------------
@@ -2026,6 +2047,83 @@ object SparkEntry {
         .select(col("doc_id"),
           (floor(col("rrf") * 1000000.0 + 0.5) / 1000000.0).as("rrf"))
         .orderBy(col("rrf").desc, col("doc_id"))
+    }),
+
+    // north-star: declarative data-quality gate — four constraints over
+    // orders, ONE aggregation pass (a per-rule loop would scan 4×);
+    // null predicates count as violations (three-valued logic fence).
+    "rel_check_rules" -> ((s, dir) =>
+      rel.checkRules(table(s, dir, "orders"), Seq(
+          "o1_pk_nonnull" -> col("o_orderkey").isNotNull,
+          "o2_price_band" -> (col("o_totalprice") > 0.0 && col("o_totalprice") < 400000.0),
+          "o3_status_domain" -> col("o_orderstatus").isin("F", "O", "P"),
+          "o4_urgent" -> (col("o_orderpriority") === "1-URGENT")))
+        .orderBy(col("rule"))),
+
+    // north-star: key-skew diagnostic — heaviest keys with share, skew
+    // factor vs the mean key, and the saltedJoin salt count they'd need.
+    "rel_skew_probe" -> ((s, dir) =>
+      rel.skewProbe(table(s, dir, "documents"), "lang", topN = 5)
+        .orderBy(col("cnt").desc, col("key"))),
+
+    // north-star: deterministic dense global row index with NO
+    // single-partition window — range exchange (reused across the rank
+    // and offset branches) + partition-count-bounded offset cumsum.
+    "rel_zip_index" -> ((s, dir) =>
+      rel.zipIndex(table(s, dir, "documents").select(col("doc_id"), col("lang")),
+          "doc_id")
+        .select(col("doc_id"), col("idx"))
+        .orderBy(col("doc_id"))),
+
+    // north-star: bloom-prefiltered join — the explicit runtime-filter
+    // idiom: a driver-held bloom over the rare orders' keys guards the
+    // lineitem scan, so only possibly-matching rows pay the join
+    // shuffle; false positives die in the exact join (result identical
+    // to the plain join — that IS the oracle).
+    "rel_bloom_join" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"), col("l_quantity"))
+      val ords = table(s, dir, "orders").where(col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+      rel.bloomJoin(li, ords, "okey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // north-star: late-interaction (ColBERT MaxSim) top-k — documents as
+    // bags of 4×16-dim token vectors (contiguous slices), score =
+    // Σ_q max_t dot(q, t); both loops unrolled driver-side into one
+    // codegen scan expression, zero shuffles.
+    "retrieval_maxsim_topk" -> ((s, dir) =>
+      retrieval.maxSimTopK(table(s, dir, "embeddings"), "embedding", "vec_id",
+          QTok, tokDim = 16, docDim = 64, k = 10)
+        .orderBy(col("maxsim").desc, col("vec_id"))),
+
+    // north-star: deterministic epoch shuffle — reproducible
+    // pseudo-random global training order keyed on (seed, id); the
+    // position is a pure function of the data, so any shard re-derives
+    // independently and epoch 2 is just seed+1.
+    "sample_epoch_shuffle" -> ((s, dir) =>
+      sample.epochShuffle(
+          table(s, dir, "documents").select(col("doc_id"), col("lang")),
+          "doc_id", seed = 7)
+        .select(col("doc_id"), col("epoch_pos"))
+        .orderBy(col("doc_id"))),
+
+    // north-star: ingest screening against the PERSISTED signature index
+    // — incrementalNearDups semantics (identical banding + rerank, same
+    // oracle), but the corpus side is the bucket-partitioned on-disk
+    // layout: the batch's band buckets become a literal partition filter
+    // on the index scan, corpus text never read.
+    "dedup_index_screen" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      dedup.screenAgainstIndex(docs.where(col("doc_id") >= 400),
+          sigIndex(s, dir), "text", "doc_id", threshold = 0.5)
+        .select(col("corpus_id"), col("new_id"),
+          (floor(col("jacc") * 10000.0 + 0.5) / 10000.0).as("jacc"))
+        .orderBy(col("corpus_id"), col("new_id"))
     })
   )
 
@@ -4109,6 +4207,73 @@ object SparkEntry {
          |  floor((coalesce(1.0 / (60.0 + rank_a), 0.0)
          |       + coalesce(1.0 / (60.0 + rank_b), 0.0)) * 1000000.0 + 0.5) / 1000000.0 AS rrf
          |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
-         |ORDER BY rrf DESC, doc_id""".stripMargin
+         |ORDER BY rrf DESC, doc_id""".stripMargin,
+
+    // Violation = NOT coalesce(pred, false): the identical three-valued
+    // fence the Spark op applies.
+    "rel_check_rules" ->
+      s"""WITH w AS (SELECT count(*)::BIGINT AS n_rows,
+         |  sum(CASE WHEN NOT coalesce(o_orderkey IS NOT NULL, false) THEN 1 ELSE 0 END)::BIGINT AS v1,
+         |  sum(CASE WHEN NOT coalesce(o_totalprice > 0.0 AND o_totalprice < 400000.0, false) THEN 1 ELSE 0 END)::BIGINT AS v2,
+         |  sum(CASE WHEN NOT coalesce(o_orderstatus IN ('F', 'O', 'P'), false) THEN 1 ELSE 0 END)::BIGINT AS v3,
+         |  sum(CASE WHEN NOT coalesce(o_orderpriority = '1-URGENT', false) THEN 1 ELSE 0 END)::BIGINT AS v4
+         |  FROM orders),
+         |u AS (SELECT 'o1_pk_nonnull' AS rule, n_rows, v1 AS n_viol FROM w
+         |  UNION ALL SELECT 'o2_price_band', n_rows, v2 FROM w
+         |  UNION ALL SELECT 'o3_status_domain', n_rows, v3 FROM w
+         |  UNION ALL SELECT 'o4_urgent', n_rows, v4 FROM w)
+         |SELECT rule, n_rows, n_viol,
+         |  ${r4("CASE WHEN n_rows > 0 THEN n_viol::DOUBLE / n_rows::DOUBLE ELSE 0.0 END")} AS viol_rate
+         |FROM u ORDER BY rule""".stripMargin,
+
+    "rel_skew_probe" ->
+      s"""WITH c AS (SELECT coalesce(lang, 'NULL') AS key, count(*)::BIGINT AS cnt
+         |  FROM documents GROUP BY 1),
+         |t AS (SELECT sum(cnt)::BIGINT AS total, count(*)::BIGINT AS n_keys FROM c)
+         |SELECT key, cnt,
+         |  ${r4("cnt * 100.0 / total")} AS share_pct,
+         |  ${r4("(cnt * n_keys) / total::DOUBLE")} AS skew,
+         |  ceil((cnt * n_keys) / total::DOUBLE)::INT AS rec_salts
+         |FROM c CROSS JOIN t ORDER BY cnt DESC, key LIMIT 5""".stripMargin,
+
+    // The naive global-order window IS the semantics — the Spark side
+    // just refuses to execute it single-partition.
+    "rel_zip_index" ->
+      """SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS idx
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // The UNFILTERED exact join — the bloom prefilter must be
+    // result-invisible, exactly like salting and bucketing.
+    "rel_bloom_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  sum(l_quantity)::BIGINT AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 400000.0
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "retrieval_maxsim_topk" -> {
+      val score = QTok.map { q =>
+        "greatest(" + (0 until 4).map(i =>
+          s"list_dot_product(list_slice($E, ${i * 16 + 1}, ${i * 16 + 16}), ${sqlVec(q)})")
+          .mkString(", ") + ")"
+      }.mkString("(", " + ", ")")
+      s"""WITH s AS (SELECT vec_id, ${r4(score)} AS maxsim FROM embeddings)
+         |SELECT vec_id, maxsim FROM s ORDER BY maxsim DESC, vec_id LIMIT 10""".stripMargin
+    },
+
+    "sample_epoch_shuffle" ->
+      """SELECT doc_id, row_number() OVER (
+        |    ORDER BY md5('7:' || doc_id::VARCHAR) || '_' || doc_id::VARCHAR) - 1
+        |  AS epoch_pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Identical semantics to dedup_incremental: the persisted index
+    // changes WHERE the corpus signatures live, not what they say.
+    "dedup_index_screen" ->
+      s"""WITH $SqlMinhashPairCtes
+         |SELECT id_a AS corpus_id, id_b AS new_id,
+         |  floor(jacc * 10000.0 + 0.5) / 10000.0 AS jacc
+         |FROM mp WHERE id_a < 400 AND id_b >= 400
+         |ORDER BY corpus_id, new_id""".stripMargin
   )
 }

@@ -1017,4 +1017,93 @@ object dedup {
     assigned.join(dropped, Seq(idCol), "left_anti")
       .select(col(idCol), col("cluster_id"))
   }
+
+  // ---- persisted signature index -------------------------------------
+
+  /** Persist the corpus's MinHash near-dup state as an on-disk INDEX so
+    * every future ingest screens against signatures, never against
+    * corpus text: `sigs/` holds one row per doc (`id`, shingle set,
+    * signature) and `bands/` holds the exploded LSH band keys, laid out
+    * as parquet partition directories on `bucket = h32(band_key) mod
+    * buckets`. The bucket layout is the scale lever: a screening batch
+    * only touches the bucket directories its own band keys hash into,
+    * so the corpus-side read is PARTITION-PRUNED (asserted in
+    * DedupSpec) — a small batch against a 100 TB corpus index reads a
+    * few directories, not the band table. Band keys are minhash-uniform
+    * by construction, so buckets are balanced without salting.
+    *
+    * Like [[graft.index.VecIndex]] segments the layout is additive:
+    * re-running with a new corpus slice under mode "append" extends
+    * both tables without rewriting existing files. */
+  def writeSignatureIndex(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      path: String,
+      k: Int = 16,
+      bands: Int = 8,
+      n: Int = 3,
+      buckets: Int = 64,
+      mode: String = "overwrite"): Unit = {
+    require(buckets >= 1, s"graft: buckets must be positive, got $buckets")
+    val mh = minhashed(df, textCol, idCol, k, n)
+    mh.select(col(idCol).as("id"), col("grams"), col("sig"))
+      .write.mode(mode).parquet(s"$path/sigs")
+    mh.select(col(idCol).as("id"),
+        explode(lshBands(col("sig"), k, bands)).as("band"))
+      .select(col("id"), col("band.band_idx").as("band_idx"),
+        col("band.band_key").as("band_key"))
+      .withColumn("bucket", pmod(hashing.h32(col("band_key")), lit(buckets.toLong)))
+      .write.mode(mode).partitionBy("bucket").parquet(s"$path/bands")
+  }
+
+  /** Screen an ingest batch against a [[writeSignatureIndex]] layout:
+    * returns `(corpus_id, new_id, jacc)` for every batch doc whose
+    * exact Jaccard against an indexed doc reaches `threshold` —
+    * [[incrementalNearDups]] semantics (identical banding, identical
+    * rerank, so identical results), but the corpus side is the
+    * persisted index. `k`/`bands`/`n`/`buckets` must match the build.
+    *
+    * Plan shape: the batch signs in-scan; its distinct band-key buckets
+    * (≤ `buckets` values, driver-bounded by construction) become a
+    * LITERAL `IN` filter on the index's partition column — static
+    * partition pruning, visible in the scan's PartitionFilters — and
+    * the batch bands then broadcast into the pruned read. Candidates
+    * rerank against `sigs/` rows fetched by id; batch grams broadcast.
+    * Corpus text: never read. Corpus band table: read only where the
+    * batch can possibly collide. */
+  def screenAgainstIndex(
+      batch: DataFrame,
+      indexPath: String,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      k: Int = 16,
+      bands: Int = 8,
+      n: Int = 3,
+      buckets: Int = 64): DataFrame = {
+    val s = batch.sparkSession
+    val bm = minhashed(batch, textCol, idCol, k, n)
+    val bban = bm
+      .select(col(idCol).as("new_id"), explode(lshBands(col("sig"), k, bands)).as("band"))
+      .select(col("new_id"), col("band.band_idx").as("band_idx"),
+        col("band.band_key").as("band_key"))
+      .withColumn("bucket", pmod(hashing.h32(col("band_key")), lit(buckets.toLong)))
+    // ≤ `buckets` distinct values by construction — a bounded driver
+    // pull that buys static partition pruning on the corpus index scan.
+    val hit = bban.select(col("bucket")).distinct().collect()
+      .map(_.getLong(0)).toIndexedSeq
+    val idx = s.read.parquet(s"$indexPath/bands")
+      .where(col("bucket").isin(hit: _*))
+    val cands = idx.join(broadcast(bban), Seq("bucket", "band_idx", "band_key"))
+      .select(col("id").as("corpus_id"), col("new_id"))
+      .distinct()
+    val ga = s.read.parquet(s"$indexPath/sigs")
+      .select(col("id").as("corpus_id"), col("grams").as("grams_a"))
+    val gb = bm.select(col(idCol).as("new_id"), col("grams").as("grams_b"))
+    cands.join(ga, Seq("corpus_id")).join(broadcast(gb), Seq("new_id"))
+      .withColumn("jacc", jaccard(col("grams_a"), col("grams_b")))
+      .where(col("jacc") >= threshold)
+      .select(col("corpus_id"), col("new_id"), col("jacc"))
+  }
 }

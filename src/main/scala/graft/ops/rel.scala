@@ -253,6 +253,141 @@ object rel {
       .where(col(rankCol) <= k)
   }
 
+  /** Declarative data-quality rule engine (the Deequ-shaped gate a
+    * pipeline runs before promoting a new table): each rule is a
+    * `(name, predicate)` pair; the result is one row per rule with the
+    * table's row count, the rule's violation count, and the violation
+    * rate. A row VIOLATES a rule when the predicate is false OR null —
+    * three-valued logic must not let a null sneak past a constraint
+    * (`col >= 0` on a null is unknown, and unknown is not "passes").
+    *
+    * Scale shape: ONE aggregation job over ONE scan regardless of rule
+    * count — every rule compiles to a `sum(when(...))` in the same
+    * partial aggregate (map-side combine, a single ~rules-wide row per
+    * task crosses the wire), then the wide row unfolds rule-per-row via
+    * an inline explode of a bounded struct array. The naive
+    * one-query-per-rule loop scans the corpus `rules.size` times;
+    * this scans it once. */
+  def checkRules(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "graft: checkRules needs at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size,
+      s"graft: duplicate rule names: ${rules.map(_._1).diff(rules.map(_._1).distinct).mkString(", ")}")
+    val aggs = count(lit(1)).as("_n") +: rules.zipWithIndex.map { case ((_, pred), i) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"_viol_$i")
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    wide.select(explode(array(rules.zipWithIndex.map { case ((name, _), i) =>
+        struct(lit(name).as("rule"), col("_n").as("n_rows"),
+          col(s"_viol_$i").as("n_viol"))
+      }: _*)).as("_r"))
+      .select(col("_r.rule").as("rule"), col("_r.n_rows").as("n_rows"),
+        col("_r.n_viol").as("n_viol"),
+        graft.functions.vectors.quantize(
+          when(col("_r.n_rows") > 0,
+            col("_r.n_viol").cast("double") / col("_r.n_rows").cast("double"))
+            .otherwise(lit(0.0)), 4).as("viol_rate"))
+  }
+
+  /** Key-skew diagnostic — the meter to run BEFORE choosing a join
+    * strategy on a new key: the `topN` heaviest keys with their share of
+    * the table, each key's skew factor vs the mean key, and the salt
+    * count [[saltedJoin]] would need to spread that key to average-sized
+    * reducers (`ceil(cnt / mean)` — the number of average keys this one
+    * key weighs). A top key at `share_pct` ≈ 1% of a 100 TB table is the
+    * one-reducer straggler AQE may or may not split; this makes it a
+    * number in an artifact instead of a surprise in hour three.
+    *
+    * Scale shape: one groupBy shuffle of `(key, count)` partials
+    * (map-side combine — the wire carries keys, not rows), then a
+    * `TakeOrderedAndProject` for the top-N (bounded per-task heaps, no
+    * global sort) and a single-row grand total broadcast back over the
+    * N winners. Null keys count as a real group — at scale the null key
+    * is the USUAL skew monster, so hiding it would defeat the meter;
+    * it surfaces with key = "NULL". */
+  def skewProbe(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
+    require(topN >= 1, s"graft: skewProbe needs topN >= 1, got $topN")
+    val counts = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .select(coalesce(col(keyCol).cast("string"), lit("NULL")).as("key"), col("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("_total"),
+      count(lit(1)).as("_n_keys"))
+    counts.orderBy(col("cnt").desc, col("key")).limit(topN)
+      .crossJoin(broadcast(totals))
+      .select(col("key"), col("cnt"),
+        graft.functions.vectors.quantize(
+          col("cnt") * 100.0 / col("_total"), 4).as("share_pct"),
+        graft.functions.vectors.quantize(
+          col("cnt") * col("_n_keys") / col("_total").cast("double"), 4).as("skew"),
+        ceil(col("cnt") * col("_n_keys") / col("_total").cast("double"))
+          .cast("int").as("rec_salts"))
+  }
+
+  /** Deterministic dense global row index (0-based) in `orderCol` order
+    * — the "assign every document a stable id" primitive — WITHOUT the
+    * naive `row_number() OVER (ORDER BY ...)` whose empty partitionBy
+    * drags the entire corpus through ONE task. Shape: range-repartition
+    * on `orderCol` (partition p holds keys below partition p+1's), rank
+    * locally per partition (parallel window keyed on partition id), and
+    * add per-partition offsets — cumulated over at most `parts` rows, a
+    * PARTITION-COUNT-bounded window, which is why its empty partitionBy
+    * is fine (the same domain-bounded-window argument as the grid
+    * idioms). Global index = offset + local rank - 1.
+    *
+    * The local-rank branch and the count branch both read the SAME
+    * range exchange — Spark's ReuseExchange dedupes them (asserted in
+    * RelSpec), which is load-bearing twice over: the sort shuffle runs
+    * once, AND both branches see identical sampled range boundaries, so
+    * offsets always line up with local ranks. `orderCol` must be unique
+    * and non-null or the order (hence the index) is nondeterministic. */
+  def zipIndex(df: DataFrame, orderCol: String, parts: Int = 0): DataFrame = {
+    val p = if (parts > 0) parts
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val ranged = df.repartitionByRange(p, col(orderCol))
+      .withColumn("_pid", spark_partition_id())
+    val local = ranged.withColumn("_lrank",
+      row_number().over(Window.partitionBy(col("_pid")).orderBy(col(orderCol))))
+    // ≤ `parts` rows: the cumulative window is partition-count-bounded.
+    val offsets = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
+      .withColumn("_offset", coalesce(
+        sum(col("_cnt")).over(
+          Window.orderBy(col("_pid")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("_pid"), col("_offset"))
+    local.join(broadcast(offsets), Seq("_pid"))
+      .withColumn("idx", col("_offset") + col("_lrank") - 1L)
+      .drop("_pid", "_lrank", "_offset")
+  }
+
+  /** Bloom-prefiltered join — the runtime-filter idiom for the
+    * fact-to-dim join where the dim is too big to broadcast as a hash
+    * relation but its KEY SET compresses into a bloom: build a bloom
+    * over the small side's join keys (driver-held word array, `mBits/63`
+    * longs — a 64 KB sketch summarizes millions of keys), prefilter the
+    * large side IN ITS SCAN, then run the exact join on the survivors.
+    * False positives pass the bloom and die in the join, so the result
+    * is EXACTLY the plain join; false negatives never happen. At 100 TB
+    * the win is shuffle mass: only large-side rows that can possibly
+    * match pay the exchange — with a 1%-selective key set and fpp ~1%,
+    * ~98% of the fact table never crosses the wire. (Spark's own AQE
+    * runtime bloom does this adaptively; this is the explicit,
+    * deterministic form a pipeline can pin and size.)
+    *
+    * The small side is scanned twice (bloom build + join) — by
+    * construction it is the cheap side; size `mBits` ≥ ~10 bits/key for
+    * ~1% fpp. */
+  def bloomJoin(
+      large: DataFrame,
+      small: DataFrame,
+      key: String,
+      mBits: Int = 65142,
+      k: Int = 3): DataFrame = {
+    import graft.ops.sketch
+    val words = sketch.bloom(small, col(key), mBits, k)
+      .orderBy(col("word")).collect().map(_.getLong(1)).toSeq
+    large.where(sketch.bloomMightContain(words, col(key), mBits, k))
+      .join(small, Seq(key))
+  }
+
   /** Corpus snapshot diff — the dataset-versioning meter ("what changed
     * between crawl v1 and v2"): one row per id present in EITHER
     * version, labeled `added` (only in `b`), `removed` (only in `a`),

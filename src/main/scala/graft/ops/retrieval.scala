@@ -310,4 +310,51 @@ object retrieval {
     import spark.implicits._
     picks.toSeq.toDF("mmr_rank", idCol, "mmr_score")
   }
+
+  /** Late-interaction (ColBERT-style MaxSim) top-k: the document is a
+    * BAG of token vectors — here the contiguous `tokDim`-wide slices of
+    * `vecCol` (the layout a chunk-level embedder writes: token vectors
+    * concatenated into one row) — and the score against a multi-token
+    * query is `Σ_q max_t dot(q, t)`: every query token claims its best
+    * document token. This is the retrieval scorer single-vector cosine
+    * cannot express (one vector pools away which PART of the document
+    * matched); MaxSim keeps per-token evidence and still runs as pure
+    * scan math.
+    *
+    * Scale shape: both loops (query tokens × document slices) unroll
+    * DRIVER-SIDE into one codegen'd scoring expression over the native
+    * [[graft.functions.vectors.dotProduct]] kernel — zero shuffles, no
+    * explode (an exploded token table would multiply the corpus ×tokens
+    * before aggregating it right back), and the top-k is the standard
+    * `TakeOrderedAndProject` bounded-heap path. Query-token count is
+    * bounded by construction (a query has tens of tokens); document
+    * token count is `dim / tokDim` per row. */
+  def maxSimTopK(
+      docs: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queryTokens: Seq[Seq[Double]],
+      tokDim: Int,
+      docDim: Int,
+      k: Int): DataFrame = {
+    require(queryTokens.nonEmpty, "graft: maxSimTopK needs at least one query token")
+    require(queryTokens.forall(_.length == tokDim),
+      s"graft: every query token must have tokDim=$tokDim dims")
+    require(docDim >= tokDim && docDim % tokDim == 0,
+      s"graft: docDim ($docDim) must be a positive multiple of tokDim ($tokDim)")
+    require(k >= 1, s"graft: maxSimTopK needs k >= 1, got $k")
+    val dim = graft.functions.vectors.asDoubleArray(col(vecCol))
+    val score = queryTokens.map { q =>
+      val qLit = graft.functions.vectors.vecLit(q)
+      val perTok = (0 until docDim / tokDim).map { i =>
+        graft.functions.vectors.dotProduct(
+          slice(dim, i * tokDim + 1, tokDim), qLit)
+      }
+      if (perTok.size == 1) perTok.head else greatest(perTok: _*)
+    }.reduce(_ + _)
+    docs.select(col(idCol),
+        graft.functions.vectors.quantize(score, 4).as("maxsim"))
+      .orderBy(col("maxsim").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -486,4 +486,36 @@ object sample {
       .withColumn("n_epochs", ceil(col("sample_rate")).cast("long"))
       .drop("_w")
   }
+
+  /** Deterministic epoch shuffle — the training-order primitive: give
+    * every row a pseudo-random but REPRODUCIBLE global position
+    * (`epoch_pos`, dense 0-based) keyed on `(seed, id)`, so epoch 1 and
+    * epoch 2 use different seeds, every re-run of the job yields the
+    * identical order, and any shard of the output can be re-derived
+    * independently (no RNG state threading — the order IS a pure
+    * function of the data). `ORDER BY rand()` fails all three: it is
+    * unseedable per-row, irreproducible across retries (a recomputed
+    * task re-draws), and un-auditable.
+    *
+    * The shuffle key is `md5(seed:id) || '_' || id` — md5 for mixing,
+    * the id suffix for UNIQUENESS (zipIndex's determinism contract)
+    * even in the astronomically-unlikely digest collision. Scale shape:
+    * one range exchange on the key (the same sampled-boundary sort any
+    * global sort pays) + [[graft.ops.rel.zipIndex]]'s partition-count-
+    * bounded offset math — the corpus never sees a single-partition
+    * stage. A writer that only needs shuffled SHARDS (not the audit
+    * rank) can skip zipIndex and range-write directly on the same key;
+    * `epoch_pos` is what makes the order checkable in an artifact. */
+  def epochShuffle(
+      df: DataFrame,
+      idCol: String,
+      seed: Long,
+      parts: Int = 0): DataFrame = {
+    val key = concat(
+      md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string"))),
+      lit("_"), col(idCol).cast("string"))
+    graft.ops.rel.zipIndex(df.withColumn("_ekey", key), "_ekey", parts)
+      .withColumnRenamed("idx", "epoch_pos")
+      .drop("_ekey")
+  }
 }

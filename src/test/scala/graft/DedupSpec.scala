@@ -348,4 +348,54 @@ class DedupSpec extends SparkSpec {
     assert(dedup.minhashPlantedRecall(tiny, "text", "doc_id", levels = Seq(1))
       .head().getLong(1) === 0L)
   }
+
+  test("screenAgainstIndex equals incrementalNearDups, with partition pruning") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "a completely different sentence about distributed systems design"),
+      (3L, "large language models train on deduplicated web corpora daily"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog today"), // near-dup of 1
+      (102L, "nothing like anything stored in that corpus at all ever"))
+      .toDF("doc_id", "text")
+
+    val path = java.nio.file.Files.createTempDirectory("graft-sigidx-").toString + "/idx"
+    dedup.writeSignatureIndex(corpus, "text", "doc_id", path, buckets = 16)
+
+    val live = dedup.incrementalNearDups(batch,
+        dedup.minhashed(corpus, "text", "doc_id", k = 16), "text", "doc_id",
+        threshold = 0.5)
+      .select("corpus_id", "new_id", "jacc").as[(Long, Long, Double)]
+      .collect().toSet
+    val screened = dedup.screenAgainstIndex(batch, path, "text", "doc_id",
+        threshold = 0.5, buckets = 16)
+    assert(screened.select("corpus_id", "new_id", "jacc")
+      .as[(Long, Long, Double)].collect().toSet == live)
+    assert(live.exists { case (c, n, _) => c == 1L && n == 101L },
+      "planted near-dup must surface")
+    // the batch's band buckets must reach the index read as a PARTITION
+    // filter — that is what makes a small batch skip most of a 100 TB
+    // index's directories
+    val plan = screened.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"no partition pruning on the band index scan:\n${plan.take(1200)}")
+  }
+
+  test("signature index append extends screening to the new slice") {
+    val c1 = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val c2 = Seq((2L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft-sigap-").toString + "/idx"
+    dedup.writeSignatureIndex(c1, "text", "doc_id", path, buckets = 8)
+    dedup.writeSignatureIndex(c2, "text", "doc_id", path, buckets = 8,
+      mode = "append")
+    val batch = Seq((10L, "one two three four five six seven eight ten"))
+      .toDF("doc_id", "text")
+    val hits = dedup.screenAgainstIndex(batch, path, "text", "doc_id",
+        threshold = 0.4, buckets = 8)
+      .select("corpus_id").as[Long].collect().toSeq
+    assert(hits == Seq(2L), "near-dup of the APPENDED slice must surface")
+  }
 }

@@ -222,4 +222,108 @@ class RelSpec extends SparkSpec {
     assert(rel.snapshotDiff(a, a, "id", "text")
       .where(col("status") =!= "unchanged").count() === 0)
   }
+
+  test("checkRules: null predicate counts as violation; rates exact") {
+    val df = Seq(
+      (Some(1L), "ok"), (Some(-2L), "ok"), (None, "bad"), (Some(5L), "ok"))
+      .toDF("v", "tag")
+    val got = rel.checkRules(df, Seq(
+        "r1_positive" -> (col("v") > 0L), // -2 violates, null violates
+        "r2_nonnull" -> col("v").isNotNull,
+        "r3_tag_ok" -> (col("tag") === "ok")))
+      .orderBy("rule")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("r1_positive", 4L, 2L, 0.5),
+      ("r2_nonnull", 4L, 1L, 0.25),
+      ("r3_tag_ok", 4L, 1L, 0.25)))
+  }
+
+  test("checkRules runs ALL rules in one aggregation job") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("v", "tag")
+    val out = rel.checkRules(df, Seq(
+      "a" -> (col("v") > 0L), "b" -> col("tag").isNotNull))
+    val nAggs = out.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("HashAggregate"))
+    // one partial + one final aggregate — NOT one pair per rule
+    assert(nAggs <= 2, s"expected a single aggregation, saw $nAggs HashAggregates")
+  }
+
+  test("checkRules rejects empty and duplicate rule names") {
+    val df = Seq((1L, "a")).toDF("v", "tag")
+    intercept[IllegalArgumentException] { rel.checkRules(df, Seq.empty) }
+    intercept[IllegalArgumentException] {
+      rel.checkRules(df, Seq("x" -> lit(true), "x" -> lit(false)))
+    }
+  }
+
+  test("skewProbe surfaces the hot key with its share, skew, and salt count") {
+    // key "hot" owns 80 of 100 rows across 3 keys: mean = 100/3,
+    // skew(hot) = 80·3/100 = 2.4, rec_salts = ceil(2.4) = 3
+    val df = ((0 until 80).map(_ => "hot") ++ (0 until 15).map(_ => "warm") ++
+      (0 until 5).map(_ => "cold")).toDF("k")
+    val got = rel.skewProbe(df, "k", topN = 2)
+      .as[(String, Long, Double, Double, Int)].collect().toSeq
+    assert(got == Seq(
+      ("hot", 80L, 80.0, 2.4, 3),
+      ("warm", 15L, 15.0, 0.45, 1)))
+  }
+
+  test("skewProbe counts the null key as a real group named NULL") {
+    val df = Seq(Some("a"), None, None, None, Some("b")).toDF("k")
+    val got = rel.skewProbe(df, "k", topN = 1)
+      .as[(String, Long, Double, Double, Int)].collect().toSeq
+    assert(got.head._1 == "NULL" && got.head._2 == 3L)
+  }
+
+  test("zipIndex equals the naive global row_number, with the range exchange reused") {
+    // shuffled insert order + non-contiguous keys: idx must follow key
+    // order, not insertion order
+    val keys = scala.util.Random.shuffle((0 until 500).map(i => i * 7L + 3).toList)
+    val df = keys.toDF("k")
+    val out = rel.zipIndex(df, "k", parts = 8)
+    out.collect() // materialize so AQE finalizes the stage graph
+    val got = out.orderBy("k").as[(Long, Long)].collect()
+    val want = keys.sorted.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+    assert(got.toSeq == want)
+    // load-bearing: the rank branch and the count branch must read ONE
+    // range exchange — reuse is what guarantees both see the same
+    // sampled partition boundaries (and the sort shuffle runs once).
+    // AQE prints the deduped stage as ReusedQueryStage (non-AQE:
+    // ReusedExchange).
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedQueryStage") || plan.contains("ReusedExchange"),
+      s"range exchange not reused across branches:\n${plan.take(1500)}")
+  }
+
+  test("zipIndex: empty input and single row behave") {
+    assert(rel.zipIndex(Seq.empty[Long].toDF("k"), "k", parts = 4).count() == 0)
+    val one = rel.zipIndex(Seq(42L).toDF("k"), "k", parts = 4)
+      .as[(Long, Long)].collect().toSeq
+    assert(one == Seq((42L, 0L)))
+  }
+
+  test("bloomJoin equals the plain join (false positives die in the join)") {
+    val large = (0 until 2000).map(i => (i.toLong % 500, i.toLong)).toDF("k", "row_id")
+    val small = Seq((3L, "a"), (250L, "b"), (499L, "c"), (9999L, "never")).toDF("k", "tag")
+    val got = rel.bloomJoin(large, small, "k", mBits = 1024)
+      .select("k", "row_id", "tag")
+    val want = large.join(small, Seq("k")).select("k", "row_id", "tag")
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    assert(got.count() == 12) // 3 matching keys × 4 rows each
+  }
+
+  test("bloomJoin prefilter actually drops non-candidate rows before the join") {
+    val large = (0 until 1000).map(i => (i.toLong, i.toLong)).toDF("k", "row_id")
+    val small = Seq((7L, "x")).toDF("k", "tag")
+    // with one key in the bloom, the survivor count after the prefilter
+    // is 1 + false positives — far below 1000 at mBits=1024
+    val words = graft.ops.sketch.bloom(small, col("k"), mBits = 1024, k = 3)
+      .orderBy("word").collect().map(_.getLong(1)).toIndexedSeq
+    val survivors = large
+      .where(graft.ops.sketch.bloomMightContain(words, col("k"), mBits = 1024, k = 3))
+      .count()
+    assert(survivors >= 1 && survivors < 100,
+      s"bloom prefilter not selective: $survivors of 1000 rows passed")
+  }
 }

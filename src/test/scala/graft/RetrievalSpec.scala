@@ -95,4 +95,38 @@ class RetrievalSpec extends SparkSpec {
     // pool smaller than k: returns the whole pool, ranks contiguous
     assert(retrieval.mmr(df, q, k = 10, poolCap = 10).count() == 3)
   }
+
+  test("maxSimTopK scores Σ_q max_t dot and ranks by it") {
+    // 4-dim docs = two 2-dim token vectors; two query tokens.
+    // doc 1: tokens (1,0), (0,1); doc 2: tokens (0.5,0), (0,0.1);
+    // doc 3: tokens (-1,0), (0,-1)
+    val df = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 1.0)),
+      (2L, Seq(0.5, 0.0, 0.0, 0.1)),
+      (3L, Seq(-1.0, 0.0, 0.0, -1.0))).toDF("vec_id", "embedding")
+    val q = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val got = retrieval.maxSimTopK(df, "embedding", "vec_id", q,
+        tokDim = 2, docDim = 4, k = 3)
+      .as[(Long, Double)].collect().toSeq
+    // doc1: max(1,0)+max(0,1)=2; doc2: max(.5,0)+max(0,.1)=0.6;
+    // doc3: max(-1,0... tokens (-1,0) & (0,-1): q1 dots -1, 0 → 0; q2 dots 0, -1 → 0
+    assert(got == Seq((1L, 2.0), (2L, 0.6), (3L, 0.0)))
+    // each query token claims its OWN best doc token: a single-vector
+    // pooled dot over the concatenation would score doc 1 as q·pool —
+    // MaxSim must differ from it on an anti-aligned second token
+    val antiDoc = Seq((9L, Seq(1.0, 0.0, 0.0, -1.0))).toDF("vec_id", "embedding")
+    val anti = retrieval.maxSimTopK(antiDoc, "embedding", "vec_id", q,
+        tokDim = 2, docDim = 4, k = 1)
+      .as[(Long, Double)].collect().head
+    assert(anti == ((9L, 1.0))) // max(1,0) + max(0,-1)=0 → 1.0, not 1-1=0
+    // guards: mismatched token dims and non-multiple docDim
+    intercept[IllegalArgumentException] {
+      retrieval.maxSimTopK(df, "embedding", "vec_id",
+        Seq(Seq(1.0)), tokDim = 2, docDim = 4, k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      retrieval.maxSimTopK(df, "embedding", "vec_id", q,
+        tokDim = 2, docDim = 5, k = 1)
+    }
+  }
 }

@@ -290,4 +290,22 @@ class SampleSpec extends SparkSpec {
     // partition spec and warn at runtime)
     assert(plan.contains("pack_shard"), s"window not sharded:\n$plan")
   }
+
+  test("epochShuffle is a deterministic permutation; seeds reorder it") {
+    val df = (0L until 300L).toDF("id")
+    val a1 = sample.epochShuffle(df, "id", seed = 1, parts = 4)
+      .select("id", "epoch_pos").as[(Long, Long)].collect().toMap
+    // dense 0-based permutation
+    assert(a1.values.toSeq.sorted == (0L until 300L))
+    // reproducible: same seed → identical positions
+    val a2 = sample.epochShuffle(df, "id", seed = 1, parts = 4)
+      .select("id", "epoch_pos").as[(Long, Long)].collect().toMap
+    assert(a1 == a2)
+    // a different seed produces a genuinely different order
+    val b = sample.epochShuffle(df, "id", seed = 2, parts = 4)
+      .select("id", "epoch_pos").as[(Long, Long)].collect().toMap
+    assert(a1 != b)
+    // and the order is shuffled, not id order
+    assert(a1.toSeq.sortBy(_._2).map(_._1) != (0L until 300L).toSeq)
+  }
 }
