@@ -285,6 +285,49 @@ object ScaleRehearsal {
     run("pii_stats")(docs.select(col("doc_id"),
       text.piiStats(col("text")).as("p")))
 
+    // ---- session-6 additions: rule gate, skew probe, global index, ----
+    // ---- bloom join, MaxSim, epoch shuffle, signature index -----------
+    import graft.ops.retrieval
+    // rule gate: one aggregation pass regardless of rule count —
+    // corpus-linear, zero joins
+    run("check_rules", countRows = false)(rel.checkRules(docs, Seq(
+      "nonempty" -> (length(col("text")) > 0),
+      "has_lang" -> col("lang").isNotNull,
+      "id_unique_surrogate" -> (col("doc_id") >= 0),
+      "len_sane" -> (col("n_chars") < 1000000))))
+    // skew probe: key-count shuffle + bounded top-N heap
+    run("skew_probe", countRows = false)(rel.skewProbe(docs, "lang", topN = 5))
+    // global index: range exchange (reused) + pid-bounded offset math —
+    // must stay sort-shaped, never single-partition
+    run("zip_index")(rel.zipIndex(docs.select(col("doc_id")), "doc_id"))
+    // epoch shuffle: zipIndex over the seeded hash key
+    run("epoch_shuffle")(sample.epochShuffle(
+      docs.select(col("doc_id")), "doc_id", seed = 7))
+    // MaxSim: unrolled 4×4 dot lattice, scan-parallel top-k
+    run("maxsim_topk", countRows = false)(retrieval.maxSimTopK(
+      emb, "embedding", "vec_id",
+      (0 until 4).map(j => (0 until 64).map(i => math.sin(i + 1.0))
+        .slice(j * 16, j * 16 + 16)), tokDim = 16, docDim = 64, k = 10))
+    // bloom join at factor scale: dim key set constant, fact side grows
+    // — survivors (hence join shuffle mass) must stay ~constant
+    val factOrders = spark.read.parquet(s"$baseDir/orders.parquet")
+    val factLi = spark.read.parquet(s"$baseDir/lineitem.parquet")
+    run("bloom_join")(rel.bloomJoin(
+      factLi.select(col("l_orderkey").as("okey"), col("l_quantity")),
+      factOrders.where(col("o_totalprice") > 480000.0)
+        .select(col("o_orderkey").as("okey"), col("o_orderpriority")),
+      "okey"))
+    // signature index: build over the factor-times corpus (segmented
+    // bucket dirs), then screen a constant-size batch — screen cost must
+    // track the BATCH, not the corpus
+    val sigT0 = System.nanoTime()
+    dedup.writeSignatureIndex(docs.where(col("doc_id") % 50 =!= 0),
+      "text", "doc_id", s"$work/sigidx")
+    println(f"SCALE sig_index_build        ${(System.nanoTime() - sigT0) / 1e9}%8.2f s")
+    run("sig_index_screen")(dedup.screenAgainstIndex(
+      docs.where(col("doc_id") % 50 === 0).limit(1000),
+      s"$work/sigidx", "text", "doc_id", threshold = 0.7))
+
     spark.stop()
   }
 }

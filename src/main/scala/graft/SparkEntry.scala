@@ -213,6 +213,18 @@ object SparkEntry {
 
   private def r4(e: String): String = s"floor(($e) * 10000.0 + 0.5) / 10000.0"
 
+  /** Shared oracle for both MaxSim paths (unrolled fast path and
+    * long-form token table) — the two are result-identical by design. */
+  private lazy val SqlMaxSimTopK: String = {
+    val score = QTok.map { q =>
+      "greatest(" + (0 until 4).map(i =>
+        s"list_dot_product(list_slice($E, ${i * 16 + 1}, ${i * 16 + 16}), ${sqlVec(q)})")
+        .mkString(", ") + ")"
+    }.mkString("(", " + ", ")")
+    s"""WITH s AS (SELECT vec_id, ${r4(score)} AS maxsim FROM embeddings)
+       |SELECT vec_id, maxsim FROM s ORDER BY maxsim DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   /** Bloom size for the decontamination SCREEN queries: 16384 words
     * (~1M bits) keeps the gram false-positive rate ≤ ~3e-4 at sf0.1's
     * ~25k bench grams, so flagged docs are (essentially) the truly
@@ -2083,7 +2095,7 @@ object SparkEntry {
     "rel_bloom_join" -> ((s, dir) => {
       val li = table(s, dir, "lineitem")
         .select(col("l_orderkey").as("okey"), col("l_quantity"))
-      val ords = table(s, dir, "orders").where(col("o_totalprice") > 400000.0)
+      val ords = table(s, dir, "orders").where(col("o_totalprice") > 480000.0)
         .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
       rel.bloomJoin(li, ords, "okey")
         .groupBy(col("o_orderpriority"))
@@ -2111,6 +2123,65 @@ object SparkEntry {
           "doc_id", seed = 7)
         .select(col("doc_id"), col("epoch_pos"))
         .orderBy(col("doc_id"))),
+
+    // north-star: CDC apply — yesterday's snapshot + today's
+    // upsert/delete log = today's table, latest-change-wins per key;
+    // the log shuffles (rank-filter idiom), the snapshot joins once.
+    // Fixture: lang upserts at ts=2 for doc_id%10, deletes at ts=1 for
+    // doc_id%7 — %70 docs carry BOTH, and the later upsert must win.
+    "rel_cdc_apply" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val snap = docs.select(col("doc_id"), col("lang"), col("source"))
+      val ups = docs.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), lit("xx").as("lang"), col("source"),
+          lit(2).as("ts"), lit("upsert").as("op"))
+      val dels = docs.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("lang"), col("source"),
+          lit(1).as("ts"), lit("delete").as("op"))
+      rel.cdcApply(snap, ups.unionByName(dels), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // north-star: SCD type-2 intervals from a change log — no-op writes
+    // collapsed via fingerprint lag, validity closed via lead; every
+    // window keyed on the id, no global order anywhere.
+    "rel_scd2" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val v1 = d.select(col("doc_id"), col("lang"), lit(1).as("ts"))
+      val v2 = d.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, lit("xx")).otherwise(col("lang")).as("lang"),
+        lit(2).as("ts"))
+      val v3 = d.select(col("doc_id"), col("lang"), lit(3).as("ts"))
+      rel.scd2Intervals(v1.unionByName(v2).unionByName(v3), "doc_id", "ts",
+          Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("valid_from"), col("valid_to"),
+          col("is_current").cast("int").as("is_current"))
+        .orderBy(col("doc_id"), col("valid_from"))
+    }),
+
+    // north-star: join-size estimate from Count-Min inner products —
+    // the pre-join planner meter; touches depth×width sketch cells,
+    // never the fact tables' join.
+    "sketch_cm_join_size" -> ((s, dir) => {
+      val a = sketch.countMin(table(s, dir, "lineitem"), col("l_orderkey"),
+        depth = 4, width = 512)
+      val b = sketch.countMin(table(s, dir, "orders"), col("o_orderkey"),
+        depth = 4, width = 512)
+      sketch.cmJoinSize(a, b, depth = 4)
+    }),
+
+    // north-star: long-form MaxSim over a token TABLE (variable-length
+    // multi-vector docs) — result-identical to the unrolled fast path
+    // on the sliced layout, which is exactly what this fixture checks
+    // end-to-end against the same oracle.
+    "retrieval_maxsim_long" -> ((s, dir) => {
+      val toks = table(s, dir, "embeddings").select(col("vec_id"),
+        explode(array((0 until 4).map(i =>
+          slice(vectors.asDoubleArray(col("embedding")), i * 16 + 1, 16)): _*))
+          .as("tok"))
+      retrieval.maxSimLong(toks, "vec_id", "tok", QTok, k = 10)
+        .orderBy(col("maxsim").desc, col("vec_id"))
+    }),
 
     // north-star: ingest screening against the PERSISTED signature index
     // — incrementalNearDups semantics (identical banding + rerank, same
@@ -4248,18 +4319,62 @@ object SparkEntry {
       """SELECT o_orderpriority, count(*) AS n_items,
         |  sum(l_quantity)::BIGINT AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |WHERE o_totalprice > 400000.0
+        |WHERE o_totalprice > 480000.0
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
-    "retrieval_maxsim_topk" -> {
-      val score = QTok.map { q =>
-        "greatest(" + (0 until 4).map(i =>
-          s"list_dot_product(list_slice($E, ${i * 16 + 1}, ${i * 16 + 16}), ${sqlVec(q)})")
-          .mkString(", ") + ")"
-      }.mkString("(", " + ", ")")
-      s"""WITH s AS (SELECT vec_id, ${r4(score)} AS maxsim FROM embeddings)
-         |SELECT vec_id, maxsim FROM s ORDER BY maxsim DESC, vec_id LIMIT 10""".stripMargin
-    },
+    "retrieval_maxsim_topk" -> SqlMaxSimTopK,
+
+    // the long-form token-table path must produce the IDENTICAL result
+    "retrieval_maxsim_long" -> SqlMaxSimTopK,
+
+    "rel_cdc_apply" ->
+      """WITH ch AS (
+        |  SELECT doc_id, 'xx' AS lang, source, 2 AS ts, 'upsert' AS op
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, source, 1, 'delete'
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |latest AS (SELECT * FROM (
+        |    SELECT ch.*, row_number() OVER (PARTITION BY doc_id ORDER BY ts DESC) AS rn
+        |    FROM ch) WHERE rn = 1)
+        |SELECT coalesce(s.doc_id, l.doc_id) AS doc_id,
+        |  CASE WHEN l.doc_id IS NOT NULL THEN l.lang ELSE s.lang END AS lang,
+        |  CASE WHEN l.doc_id IS NOT NULL THEN l.source ELSE s.source END AS source
+        |FROM documents s FULL OUTER JOIN latest l ON s.doc_id = l.doc_id
+        |WHERE l.op IS NULL OR l.op <> 'delete'
+        |ORDER BY doc_id""".stripMargin,
+
+    "rel_scd2" ->
+      """WITH ch AS (
+        |  SELECT doc_id, lang, 1 AS ts FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'xx' ELSE lang END, 2
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, lang, 3 FROM documents),
+        |f AS (SELECT doc_id, lang, ts,
+        |    lag(lang) OVER (PARTITION BY doc_id ORDER BY ts) AS prev FROM ch),
+        |r AS (SELECT doc_id, lang, ts FROM f WHERE prev IS NULL OR lang <> prev),
+        |iv AS (SELECT doc_id, lang, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY doc_id ORDER BY ts) AS valid_to FROM r)
+        |SELECT doc_id, lang, valid_from, valid_to,
+        |  (valid_to IS NULL)::INT AS is_current
+        |FROM iv ORDER BY doc_id, valid_from""".stripMargin,
+
+    "sketch_cm_join_size" ->
+      s"""WITH ca AS (SELECT i AS row,
+         |    ${hashing.sqlAffineVar(hashing.sqlH32("l_orderkey::VARCHAR"), "i")} % 512 AS bucket,
+         |    count(*)::BIGINT AS cnt
+         |  FROM lineitem, range(0, 4) r(i) GROUP BY 1, 2),
+         |cb AS (SELECT i AS row,
+         |    ${hashing.sqlAffineVar(hashing.sqlH32("o_orderkey::VARCHAR"), "i")} % 512 AS bucket,
+         |    count(*)::BIGINT AS cnt
+         |  FROM orders, range(0, 4) r(i) GROUP BY 1, 2),
+         |ip AS (SELECT ca.row, sum(ca.cnt * cb.cnt)::BIGINT AS ip
+         |  FROM ca JOIN cb USING (row, bucket) GROUP BY ca.row),
+         |sp AS (SELECT i AS row FROM range(0, 4) r(i))
+         |SELECT min(coalesce(ip, 0))::BIGINT AS join_size_est
+         |FROM sp LEFT JOIN ip USING (row)""".stripMargin,
 
     "sample_epoch_shuffle" ->
       """SELECT doc_id, row_number() OVER (

@@ -412,6 +412,44 @@ object NativeExprs {
   def bloomGramHits(c: Column, words: Seq[Long], n: Int, mBits: Int, k: Int): Column =
     column(BloomGramHitsExpr(expression(c), words.toIndexedSeq, n, mBits, k))
 
+  /** Fused SINGLE-VALUE Bloom membership probe — the scalar twin of
+    * [[bloomGramHitsOf]] for key prefilters ([[graft.ops.rel.bloomJoin]]):
+    * ONE md5 digest yields both Kirsch-Mitzenmacher words; the
+    * compositional form ([[graft.ops.sketch.bloomMightContain]]) builds
+    * h32 and h32b as separate md5 expressions referenced by every one of
+    * the k probes, and a filter condition gets no subexpression
+    * elimination — measured 8× slower on a 600k-row key scan.
+    * Bit-identical to the compositional twin (same digest bytes, same
+    * position arithmetic) — asserted in NativeExprsSpec. */
+  def bloomContainsOf(v: UTF8String, words: Array[Long], mBits: Int, k: Int): Boolean = {
+    val d = digest.get()
+    d.reset()
+    val h = d.digest(v.getBytes)
+    val h1 = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+      ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+    val h2 = ((h(4) & 0xffL) << 24) | ((h(5) & 0xffL) << 16) |
+      ((h(6) & 0xffL) << 8) | (h(7) & 0xffL)
+    var all = true
+    var j = 0
+    while (all && j < k) {
+      val pos = (h1 + j.toLong * h2) % mBits
+      all = (words((pos / 63L).toInt) & (1L << (pos % 63L).toInt)) != 0L
+      j += 1
+    }
+    all
+  }
+
+  /** Column: fused single-value bloom probe (see [[BloomContainsExpr]]).
+    * `c` must be a string column (cast the key first — the cast defines
+    * the hashed bytes and must match the build side's). */
+  def bloomContains(c: Column, words: Seq[Long], mBits: Int, k: Int): Column = {
+    require(words.length == graft.ops.sketch.bloomWordCount(mBits),
+      s"bloomContains needs ${graft.ops.sketch.bloomWordCount(mBits)} words " +
+        s"for mBits=$mBits, got ${words.length}")
+    require(k >= 1 && k <= 16, s"bloomContains needs 1 <= k <= 16, got $k")
+    column(BloomContainsExpr(expression(c), words.toIndexedSeq, mBits, k))
+  }
+
   /** Column: fused hyperplane-LSH signature (see [[LshSigExpr]]). */
   def lshSig(v: Column, planes: Seq[Seq[Double]]): Column =
     column(LshSigExpr(expression(v), planes.map(_.toIndexedSeq).toIndexedSeq))
@@ -661,6 +699,20 @@ case class BloomGramHitsExpr(
   override protected def nullSafeEval(input: Any): Any =
     NativeExprs.bloomGramHitsOf(input.asInstanceOf[UTF8String], wordArr, n, mBits, k)
   override protected def withNewChildInternal(newChild: Expression): BloomGramHitsExpr =
+    copy(child = newChild)
+}
+
+/** Fused single-value bloom probe (see [[NativeExprs.bloomContainsOf]]).
+  * `words` is an IndexedSeq (structural equality) like the gram kernel. */
+case class BloomContainsExpr(
+    child: Expression, words: IndexedSeq[Long], mBits: Int, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "bloom_contains"
+  @transient private lazy val wordArr: Array[Long] = words.toArray
+  override protected def nullSafeEval(input: Any): Any =
+    NativeExprs.bloomContainsOf(input.asInstanceOf[UTF8String], wordArr, mBits, k)
+  override protected def withNewChildInternal(newChild: Expression): BloomContainsExpr =
     copy(child = newChild)
 }
 

@@ -384,8 +384,89 @@ object rel {
     import graft.ops.sketch
     val words = sketch.bloom(small, col(key), mBits, k)
       .orderBy(col("word")).collect().map(_.getLong(1)).toSeq
-    large.where(sketch.bloomMightContain(words, col(key), mBits, k))
+    // fused probe (one digest per row), not sketch.bloomMightContain:
+    // a filter condition gets no subexpression elimination, so the
+    // compositional twin pays up to 2k digests per large-side row
+    large.where(graft.functions.NativeExprs.bloomContains(
+        col(key).cast("string"), words, mBits, k))
       .join(small, Seq(key))
+  }
+
+  /** Apply a change-data-capture log to a snapshot — the incremental
+    * corpus-maintenance primitive ("yesterday's table + today's
+    * upserts/deletes = today's table" without rebuilding from source):
+    * per key, the LATEST change by `tsCol` wins; a winning `deleteOp`
+    * removes the row, any other op replaces it wholesale; untouched
+    * snapshot rows pass through. `changes` must carry `idCol`, `tsCol`,
+    * `opCol`, and every snapshot value column. `(idCol, tsCol)` must be
+    * unique or the winner is nondeterministic — CDC feeds carry a
+    * log-sequence number; put it (or a composite) in `tsCol`.
+    *
+    * Scale shape: latest-change-per-key is the rank-filter idiom
+    * (`InferWindowGroupLimit` → bounded per-key heaps before the
+    * shuffle — the change LOG shuffles, which is the small side by
+    * nature), then ONE thin full-outer join against the snapshot on the
+    * unique key (no skew: ids are unique per side). The snapshot is
+    * read once and never wholesale rewritten row-by-row — pair with a
+    * partitioned sink to rewrite only touched partitions. */
+  def cdcApply(
+      snapshot: DataFrame,
+      changes: DataFrame,
+      idCol: String,
+      tsCol: String = "ts",
+      opCol: String = "op",
+      deleteOp: String = "delete"): DataFrame = {
+    val valueCols = snapshot.columns.filterNot(_ == idCol).toSeq
+    val missing = (Seq(idCol, tsCol, opCol) ++ valueCols)
+      .filterNot(changes.columns.contains)
+    require(missing.isEmpty,
+      s"graft: cdcApply changes are missing columns: ${missing.mkString(", ")}")
+    val latest = changes
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col(tsCol).desc)))
+      .where(col("_rn") === 1)
+      .select(col(idCol) +:
+        (valueCols.map(c => col(c).as(s"_ch_$c")) :+ col(opCol).as("_op")): _*)
+    snapshot.join(latest, Seq(idCol), "full_outer")
+      .where(col("_op").isNull || col("_op") =!= deleteOp)
+      .select(col(idCol) +: valueCols.map(c =>
+        when(col("_op").isNotNull, col(s"_ch_$c")).otherwise(col(c)).as(c)): _*)
+  }
+
+  /** Build type-2 slowly-changing-dimension validity intervals from a
+    * change log: per key ordered by `tsCol`, consecutive rows whose
+    * tracked `valueCols` did not actually change are collapsed
+    * (CDC feeds are full of no-op writes), and each surviving version
+    * gets `[valid_from, valid_to)` — `valid_to` null on the current
+    * version, flagged `is_current`. This is how a pipeline keeps
+    * history queryable ("what was this document's quality label when
+    * the model trained?") without snapshotting the corpus per day.
+    *
+    * Scale shape: two windows, BOTH partitioned by the key (no global
+    * order anywhere): a lag-fingerprint pass to drop no-op versions,
+    * then lead for the interval close. One shuffle on the key total —
+    * the two windows share the (key, ts) sort. Change-collapse
+    * compares a 128-bit fingerprint of the tracked columns, so wide
+    * payloads don't inflate the sort. */
+  def scd2Intervals(
+      changes: DataFrame,
+      idCol: String,
+      tsCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "graft: scd2Intervals needs tracked value columns")
+    val w = Window.partitionBy(col(idCol)).orderBy(col(tsCol))
+    val fp = graft.functions.hashing.fingerprint128(
+      concat_ws("", valueCols.map(c => coalesce(col(c).cast("string"), lit(" "))): _*))
+    val real = changes
+      .withColumn("_fp", fp)
+      .withColumn("_prev_fp", lag(col("_fp"), 1).over(w))
+      .where(col("_prev_fp").isNull || col("_fp") =!= col("_prev_fp"))
+    real
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col(idCol) +: valueCols.map(col) ++:
+        Seq(col("valid_from"), col("valid_to"), col("is_current")): _*)
   }
 
   /** Corpus snapshot diff — the dataset-versioning meter ("what changed

@@ -329,6 +329,41 @@ object retrieval {
     * `TakeOrderedAndProject` bounded-heap path. Query-token count is
     * bounded by construction (a query has tens of tokens); document
     * token count is `dim / tokDim` per row. */
+  /** General (long-form) MaxSim over a token TABLE — `(idCol, tokCol)`
+    * rows, one per document token — for corpora whose documents have
+    * VARIABLE token counts (the fixed-layout fast path is
+    * [[maxSimTopK]]; this is its executable generalization, and the
+    * two are result-identical on the sliced layout — asserted in
+    * RetrievalSpec). Per token row every query token's dot unrolls as
+    * a column (scan-parallel, native kernel); one groupBy(id) takes
+    * per-query maxima with map-side partial aggregation — the shuffle
+    * carries `|queryTokens|` doubles per document, never token
+    * vectors — and the final score is the sum of maxima, top-k'd by
+    * the bounded-heap path. One shuffle total, keyed on the unique
+    * doc id. */
+  def maxSimLong(
+      docTokens: DataFrame,
+      idCol: String,
+      tokCol: String,
+      queryTokens: Seq[Seq[Double]],
+      k: Int): DataFrame = {
+    require(queryTokens.nonEmpty, "graft: maxSimLong needs at least one query token")
+    require(k >= 1, s"graft: maxSimLong needs k >= 1, got $k")
+    val t = graft.functions.vectors.asDoubleArray(col(tokCol))
+    val scored = docTokens.select(col(idCol) +:
+      queryTokens.zipWithIndex.map { case (q, j) =>
+        graft.functions.vectors.dotProduct(t,
+          graft.functions.vectors.vecLit(q)).as(s"_q$j")
+      }: _*)
+    val maxes = queryTokens.indices.map(j => max(col(s"_q$j")).as(s"_m$j"))
+    scored.groupBy(col(idCol))
+      .agg(maxes.head, maxes.tail: _*)
+      .select(col(idCol), graft.functions.vectors.quantize(
+        queryTokens.indices.map(j => col(s"_m$j")).reduce(_ + _), 4).as("maxsim"))
+      .orderBy(col("maxsim").desc, col(idCol))
+      .limit(k)
+  }
+
   def maxSimTopK(
       docs: DataFrame,
       vecCol: String,

@@ -95,6 +95,33 @@ object sketch {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Join-cardinality estimate from two [[countMin]] sketches over the
+    * two sides' join keys (AMS/Count-Min inner product, Alon-Matias-
+    * Szegedy '96 §5 / Cormode-Muthukrishnan '05 §4.2): for each hash
+    * row, Σ_bucket cntA·cntB overestimates `|A ⋈ B|` by the collision
+    * mass; the MIN over rows is the estimate. This is the planner
+    * meter to run BEFORE a 100 TB fact-to-fact join — two sketch
+    * passes (each a thin `depth×width`-cell aggregate) answer "is this
+    * join 10⁹ or 10¹⁴ rows" without executing it, the difference
+    * between choosing a strategy and discovering a mistake.
+    *
+    * The estimate never undercounts. Accuracy: overestimate ≤
+    * `||A||₁·||B||₁ / width` per row w.h.p. — size `width` to the key
+    * cardinality, not the row count. Cost: the sketch join touches
+    * `depth·width` cells, driver-independent of either table. */
+  def cmJoinSize(a: DataFrame, b: DataFrame, depth: Int = 4): DataFrame = {
+    require(depth >= 1, s"cmJoinSize needs depth >= 1, got $depth")
+    val joined = a.select(col("row"), col("bucket"), col("cnt").as("_ca"))
+      .join(b.select(col("row"), col("bucket"), col("cnt").as("_cb")),
+        Seq("row", "bucket"))
+      .groupBy(col("row")).agg(sum(col("_ca") * col("_cb")).as("_ip"))
+    // spine join: a hash row with NO shared cells has inner product 0 —
+    // dropping it would make min() ignore the best (sparsest) row
+    a.sparkSession.range(depth).toDF("row")
+      .join(joined, Seq("row"), "left")
+      .agg(min(coalesce(col("_ip"), lit(0L))).as("join_size_est"))
+  }
+
   /** Point-frequency estimates from a [[countMin]] sketch for a small
     * literal set of `values`: the classic `min` over each value's
     * `depth` cells — an overestimate by at most the collision mass,
@@ -418,8 +445,11 @@ object sketch {
           (col("_pos") % 63L).cast("int")).as("_mask"))
       .groupBy(col("word"))
       .agg(expr("bit_or(_mask)").as("bits"))
+    // broadcast the cells onto the spine: both sides are ≤ mBits/63 rows,
+    // and the hint spares the tiny left-join a sort-merge shuffle pair
+    // (one fewer stage every time a bloom is built)
     df.sparkSession.range(bloomWordCount(mBits)).toDF("word")
-      .join(cells, Seq("word"), "left")
+      .join(broadcast(cells), Seq("word"), "left")
       .select(col("word"), coalesce(col("bits"), lit(0L)).as("bits"))
   }
 

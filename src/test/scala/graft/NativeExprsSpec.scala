@@ -231,4 +231,27 @@ class NativeExprsSpec extends SparkSpec {
     assert(a == b)
     assert(a.size < docs.count(), "fixture must actually drop contaminated docs")
   }
+
+  test("fused single-value bloom probe equals the compositional twin") {
+    import graft.ops.sketch
+    import spark.implicits._
+    val keys = (0L until 200L).filter(_ % 3 == 0).toDF("k")
+    val m = 63 * 31
+    val words = sketch.bloom(keys, col("k"), mBits = m, k = 3)
+      .orderBy(col("word")).collect().map(_.getLong(1)).toSeq
+    // probe a superset: members, non-members, and the null row
+    val probes = (0L until 400L).map(Some(_)).toDF("k")
+      .unionByName(Seq(Option.empty[Long]).toDF("k"))
+    val diff = probes.select(col("k"),
+        NativeExprs.bloomContains(col("k").cast("string"), words, m, 3).as("a"),
+        sketch.bloomMightContain(words, col("k"), m, 3).as("b"))
+      .where(not(col("a") <=> col("b"))).count()
+    assert(diff == 0, "fused probe diverged from compositional twin")
+    // members always pass (no false negatives, on-bit-identical positions)
+    val members = probes
+      .where(col("k").isNotNull && col("k") % 3 === 0 && col("k") < 200)
+      .where(!NativeExprs.bloomContains(col("k").cast("string"), words, m, 3))
+      .count()
+    assert(members == 0)
+  }
 }

@@ -342,4 +342,54 @@ class PlanQualitySpec extends SparkSpec {
     assert(exchanges <= 1,
       s"text_pii_stats should shuffle at most once (output sort), got $exchanges")
   }
+
+  test("rule gate is one aggregation pass — no join, no per-rule rescan") {
+    val p = plan("rel_check_rules")
+    assert(!p.contains("Join"), s"checkRules must not join:\n${p.take(600)}")
+    val scans = "FileScan".r.findAllIn(p).length
+    assert(scans == 1, s"checkRules must scan the table once, got $scans scans")
+  }
+
+  test("MaxSim fast path: zero shuffles, bounded-heap top-k, one scan") {
+    val p = plan("retrieval_maxsim_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+    assert(!p.contains("Join"), s"unrolled MaxSim must not join:\n${p.take(600)}")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges == 0,
+      s"unrolled MaxSim should be scan-only + TakeOrdered, got $exchanges exchanges")
+  }
+
+  test("long-form MaxSim shuffles once on the doc id (partial maxima)") {
+    val p = plan("retrieval_maxsim_long")
+    assert(p.contains("partial"), s"expected map-side partial aggregation:\n${p.take(900)}")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1,
+      s"long MaxSim should shuffle once (id agg), got $exchanges exchanges")
+  }
+
+  test("CM join-size estimate never scans a fact table into a join") {
+    // the only joins in the plan are sketch-cell-sized: assert the fact
+    // scans feed aggregates, and no exchange carries raw order keys
+    val p = plan("sketch_cm_join_size")
+    assert(!p.contains("SortMergeJoin") ||
+      !p.contains("Exchange hashpartitioning(okey"),
+      s"fact rows must not shuffle for the estimate:\n${p.take(900)}")
+    assert(p.contains("HashAggregate"), p.take(600))
+  }
+
+  test("CDC apply ranks the change log with a bounded per-key heap") {
+    val p = plan("rel_cdc_apply")
+    assert(p.contains("WindowGroupLimit"),
+      s"latest-change-per-key should plan WindowGroupLimit:\n${p.take(900)}")
+    assert(p.contains("FullOuter"), s"expected full-outer apply join:\n${p.take(900)}")
+  }
+
+  test("SCD2 windows are keyed on the id — no single-partition window") {
+    val p = plan("rel_scd2")
+    // every Window node must carry a partition spec mentioning doc_id
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty, p.take(600))
+    windows.foreach(w => assert(w.contains("doc_id"),
+      s"window not partitioned by doc_id: $w"))
+  }
 }

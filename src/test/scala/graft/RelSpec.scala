@@ -303,6 +303,41 @@ class RelSpec extends SparkSpec {
     assert(one == Seq((42L, 0L)))
   }
 
+  test("cdcApply: latest change wins; deletes remove; new keys insert; untouched pass") {
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
+    val changes = Seq(
+      (2L, "b2", 1, "upsert"),  // plain update
+      (3L, "c", 1, "delete"),   // delete
+      (4L, "dX", 1, "delete"),  // deleted at ts=1...
+      (4L, "d2", 2, "upsert"),  // ...then re-upserted later: upsert wins
+      (5L, "e", 1, "upsert"),   // brand-new key
+      (6L, "never", 1, "delete") // delete of a key not in the snapshot
+    ).toDF("id", "v", "ts", "op")
+    val got = rel.cdcApply(snap, changes, "id")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a", 2L -> "b2", 4L -> "d2", 5L -> "e"))
+  }
+
+  test("cdcApply rejects changes missing snapshot columns") {
+    val snap = Seq((1L, "a")).toDF("id", "v")
+    val bad = Seq((1L, 1, "upsert")).toDF("id", "ts", "op")
+    intercept[IllegalArgumentException] { rel.cdcApply(snap, bad, "id") }
+  }
+
+  test("scd2Intervals collapses no-op versions and closes validity with lead") {
+    val ch = Seq(
+      (1L, "a", 1), (1L, "a", 2), (1L, "b", 3), (1L, "b", 4), (1L, "a", 5),
+      (2L, "z", 1), (2L, "z", 2)).toDF("id", "v", "ts")
+    val got = rel.scd2Intervals(ch, "id", "ts", Seq("v"))
+      .orderBy("id", "valid_from")
+      .as[(Long, String, Int, Option[Int], Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, "a", 1, Some(3), false),
+      (1L, "b", 3, Some(5), false),
+      (1L, "a", 5, None, true),
+      (2L, "z", 1, None, true)))
+  }
+
   test("bloomJoin equals the plain join (false positives die in the join)") {
     val large = (0 until 2000).map(i => (i.toLong % 500, i.toLong)).toDF("k", "row_id")
     val small = Seq((3L, "a"), (250L, "b"), (499L, "c"), (9999L, "never")).toDF("k", "tag")

@@ -129,4 +129,30 @@ class RetrievalSpec extends SparkSpec {
         tokDim = 2, docDim = 5, k = 1)
     }
   }
+
+  test("maxSimLong equals the unrolled fast path on the sliced layout") {
+    val df = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 1.0)),
+      (2L, Seq(0.5, 0.3, -0.2, 0.1)),
+      (3L, Seq(-1.0, 0.7, 0.4, -1.0))).toDF("vec_id", "embedding")
+    val q = Seq(Seq(0.9, 0.1), Seq(-0.2, 0.8))
+    val fast = retrieval.maxSimTopK(df, "embedding", "vec_id", q,
+        tokDim = 2, docDim = 4, k = 3)
+      .as[(Long, Double)].collect().toSeq
+    val toks = df.select(col("vec_id"), explode(array(
+      slice(col("embedding"), 1, 2), slice(col("embedding"), 3, 2))).as("tok"))
+    val long = retrieval.maxSimLong(toks, "vec_id", "tok", q, k = 3)
+      .as[(Long, Double)].collect().toSeq
+    assert(long == fast)
+    // variable token counts — the case the fast path cannot express:
+    // doc 9 has THREE tokens, the extra one dominates one query token
+    val varToks = toks.unionByName(
+      Seq((9L, Seq(0.0, 5.0))).toDF("vec_id", "tok"))
+      .unionByName(Seq((9L, Seq(1.0, 0.0))).toDF("vec_id", "tok"))
+      .unionByName(Seq((9L, Seq(0.2, 0.2))).toDF("vec_id", "tok"))
+    val got = retrieval.maxSimLong(varToks, "vec_id", "tok", q, k = 1)
+      .as[(Long, Double)].collect().head
+    // doc 9: q1 max(0.5, 0.9, 0.2) = 0.9 + q2 max(4.0, -0.2, 0.12) = 4.0
+    assert(got == ((9L, 4.9)))
+  }
 }

@@ -275,4 +275,35 @@ class SketchSpec extends SparkSpec {
       .where(sketch.bloomMightContain(words, col("v"), m, k)).count()
     assert(fps <= 10L, s"implausible bloom FP count $fps/500")
   }
+
+  test("cmJoinSize never undercounts and is exact at collision-free width") {
+    // a: key k appears k times (k=1..20); b: each key once → true join
+    // size = Σk = 210
+    val a = (1 to 20).flatMap(k => Seq.fill(k)(k.toLong)).toDF("k")
+    val b = (1L to 20L).toDF("k")
+    val trueSize = a.join(b, Seq("k")).count()
+    assert(trueSize == 210L)
+    val est = sketch.cmJoinSize(
+      sketch.countMin(a, col("k"), depth = 4, width = 4096),
+      sketch.countMin(b, col("k"), depth = 4, width = 4096), depth = 4)
+      .head().getLong(0)
+    // 20 keys in 4096 buckets: collisions essentially impossible → exact
+    assert(est == 210L, s"expected exact estimate, got $est")
+    // narrow width: collisions only ever ADD mass
+    val estNarrow = sketch.cmJoinSize(
+      sketch.countMin(a, col("k"), depth = 4, width = 4),
+      sketch.countMin(b, col("k"), depth = 4, width = 4), depth = 4)
+      .head().getLong(0)
+    assert(estNarrow >= 210L, s"CM join estimate undercounted: $estNarrow")
+  }
+
+  test("cmJoinSize is 0 for disjoint key sets at generous width") {
+    val a = (1L to 50L).toDF("k")
+    val b = (1000L to 1050L).toDF("k")
+    val est = sketch.cmJoinSize(
+      sketch.countMin(a, col("k"), depth = 4, width = 8192),
+      sketch.countMin(b, col("k"), depth = 4, width = 8192), depth = 4)
+      .head().getLong(0)
+    assert(est == 0L, s"disjoint keys should estimate 0 at width 8192, got $est")
+  }
 }
