@@ -34,6 +34,10 @@ object SparkEntry {
   private[graft] val QTok: Seq[Seq[Double]] =
     (0 until 4).map(j => Q1.slice(j * 16, j * 16 + 16))
 
+  /** Second MaxSim query (Q2 sliced) for the batched serving path. */
+  private[graft] val QTok2: Seq[Seq[Double]] =
+    (0 until 4).map(j => Q2.slice(j * 16, j * 16 + 16))
+
   private[graft] def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -213,17 +217,21 @@ object SparkEntry {
 
   private def r4(e: String): String = s"floor(($e) * 10000.0 + 0.5) / 10000.0"
 
-  /** Shared oracle for both MaxSim paths (unrolled fast path and
-    * long-form token table) — the two are result-identical by design. */
-  private lazy val SqlMaxSimTopK: String = {
-    val score = QTok.map { q =>
+  /** MaxSim score over the 4×16 sliced layout for a given token set —
+    * shared by the single, long-form, and batched oracle SQL. */
+  private def sqlMaxSimScore(qtoks: Seq[Seq[Double]]): String =
+    qtoks.map { q =>
       "greatest(" + (0 until 4).map(i =>
         s"list_dot_product(list_slice($E, ${i * 16 + 1}, ${i * 16 + 16}), ${sqlVec(q)})")
         .mkString(", ") + ")"
     }.mkString("(", " + ", ")")
-    s"""WITH s AS (SELECT vec_id, ${r4(score)} AS maxsim FROM embeddings)
+
+  /** Shared oracle for both single-query MaxSim paths (unrolled fast
+    * path and long-form token table) — the two are result-identical by
+    * design. */
+  private lazy val SqlMaxSimTopK: String =
+    s"""WITH s AS (SELECT vec_id, ${r4(sqlMaxSimScore(QTok))} AS maxsim FROM embeddings)
        |SELECT vec_id, maxsim FROM s ORDER BY maxsim DESC, vec_id LIMIT 10""".stripMargin
-  }
 
   /** Bloom size for the decontamination SCREEN queries: 16384 words
     * (~1M bits) keeps the gram false-positive rate ≤ ~3e-4 at sf0.1's
@@ -2182,6 +2190,26 @@ object SparkEntry {
       retrieval.maxSimLong(toks, "vec_id", "tok", QTok, k = 10)
         .orderBy(col("maxsim").desc, col("vec_id"))
     }),
+
+    // north-star: token-balanced shard assignment — serpentine greedy
+    // deal by size rank (zipIndex over a (-size, id) struct key, range
+    // exchange, no single-partition window); per-shard totals land
+    // within one document of each other.
+    "sample_balanced_shards" -> ((s, dir) =>
+      sample.balancedShards(
+          table(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", col("n_chars").cast("long"), shards = 8)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy(col("shard"))),
+
+    // north-star: batched MaxSim serving — two multi-token queries in
+    // ONE corpus scan, per-query top-k via WindowGroupLimit heaps.
+    "retrieval_maxsim_batch" -> ((s, dir) =>
+      retrieval.maxSimBatch(table(s, dir, "embeddings"), "embedding", "vec_id",
+          Seq(0L -> QTok, 1L -> QTok2), tokDim = 16, docDim = 64, k = 5)
+        .orderBy(col("query_id"), col("rnk"))),
 
     // north-star: ingest screening against the PERSISTED signature index
     // — incrementalNearDups semantics (identical banding + rerank, same
@@ -4381,6 +4409,28 @@ object SparkEntry {
         |    ORDER BY md5('7:' || doc_id::VARCHAR) || '_' || doc_id::VARCHAR) - 1
         |  AS epoch_pos
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "sample_balanced_shards" ->
+      """WITH r AS (SELECT n_chars,
+        |    row_number() OVER (ORDER BY -n_chars, doc_id) - 1 AS idx
+        |  FROM documents),
+        |s AS (SELECT n_chars, (CASE WHEN (idx // 8) % 2 = 0 THEN idx % 8
+        |    ELSE 7 - (idx % 8) END)::INT AS shard FROM r)
+        |SELECT shard, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "retrieval_maxsim_batch" -> {
+      def side(qid: Long, toks: Seq[Seq[Double]]): String =
+        s"""(SELECT query_id, vec_id, maxsim,
+           |  row_number() OVER (ORDER BY maxsim DESC, vec_id) AS rnk
+           | FROM (SELECT ${qid}::BIGINT AS query_id, vec_id,
+           |   ${r4(sqlMaxSimScore(toks))} AS maxsim FROM embeddings))""".stripMargin
+      s"""SELECT query_id, vec_id, maxsim, rnk FROM (
+         |  SELECT * FROM ${side(0L, QTok)} WHERE rnk <= 5
+         |  UNION ALL
+         |  SELECT * FROM ${side(1L, QTok2)} WHERE rnk <= 5)
+         |ORDER BY query_id, rnk""".stripMargin
+    },
 
     // Identical semantics to dedup_incremental: the persisted index
     // changes WHERE the corpus signatures live, not what they say.

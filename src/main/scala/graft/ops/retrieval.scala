@@ -364,6 +364,73 @@ object retrieval {
       .limit(k)
   }
 
+  /** Batched MaxSim serving — N multi-token queries against the corpus
+    * in ONE scan (the [[graft.ops.ann.lshSearchBatch]] discipline
+    * applied to late interaction): the query set rides as a broadcast
+    * table of `(query_id, token vectors)`, every corpus row scores
+    * every query with the same driver-unrolled slice/dot lattice as
+    * [[maxSimTopK]], and per-query top-k is the rank-filter idiom
+    * (`WindowGroupLimit` bounded heaps — only ~k rows per query per
+    * task reach the shuffle). Exact over the full corpus by design —
+    * the cost is one corpus scan × |queries| score lattices; a serving
+    * deployment that needs sublinear scans prunes per TOKEN with an
+    * ANN index first, which changes recall and is a different op.
+    *
+    * All queries must share `queryTokens.length` and `tokDim` (one
+    * compiled lattice serves the batch). Returns
+    * `(query_id, idCol, maxsim, rnk)`. */
+  def maxSimBatch(
+      docs: DataFrame,
+      vecCol: String,
+      idCol: String,
+      queries: Seq[(Long, Seq[Seq[Double]])],
+      tokDim: Int,
+      docDim: Int,
+      k: Int): DataFrame = {
+    require(queries.nonEmpty, "graft: maxSimBatch needs at least one query")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "graft: duplicate query ids in maxSimBatch")
+    val nTok = queries.head._2.length
+    require(nTok >= 1 && queries.forall(_._2.length == nTok),
+      "graft: every maxSimBatch query needs the same token count")
+    require(queries.forall(_._2.forall(_.length == tokDim)),
+      s"graft: every query token must have tokDim=$tokDim dims")
+    require(docDim >= tokDim && docDim % tokDim == 0,
+      s"graft: docDim ($docDim) must be a positive multiple of tokDim ($tokDim)")
+    require(k >= 1, s"graft: maxSimBatch needs k >= 1, got $k")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = docs.sparkSession
+    // REPL-safe explicit schema, like the ANN batch paths
+    val qdf = spark.createDataFrame(
+      java.util.Arrays.asList(queries.map { case (qid, toks) =>
+        Row(qid, toks.map(_.toArray).toArray)
+      }: _*),
+      StructType(Seq(
+        StructField("query_id", LongType, nullable = false),
+        StructField("_q_toks",
+          ArrayType(ArrayType(DoubleType, containsNull = false),
+            containsNull = false), nullable = false))))
+    val dim = graft.functions.vectors.asDoubleArray(col(vecCol))
+    val score = (0 until nTok).map { j =>
+      val qTok = element_at(col("_q_toks"), j + 1)
+      val perTok = (0 until docDim / tokDim).map { i =>
+        graft.functions.vectors.dotProduct(
+          slice(dim, i * tokDim + 1, tokDim), qTok)
+      }
+      if (perTok.size == 1) perTok.head else greatest(perTok: _*)
+    }.reduce(_ + _)
+    import org.apache.spark.sql.expressions.Window
+    docs.crossJoin(broadcast(qdf))
+      .select(col("query_id"), col(idCol),
+        graft.functions.vectors.quantize(score, 4).as("maxsim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("maxsim").desc, col(idCol))))
+      .where(col("rnk") <= k)
+      .drop("_q_toks")
+  }
+
   def maxSimTopK(
       docs: DataFrame,
       vecCol: String,

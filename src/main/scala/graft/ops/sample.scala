@@ -518,4 +518,42 @@ object sample {
       .withColumnRenamed("idx", "epoch_pos")
       .drop("_ekey")
   }
+
+  /** Token-BALANCED shard assignment — the export planner for "write n
+    * files a trainer reads in parallel": hash sharding balances ROW
+    * counts, but token counts per document are heavy-tailed, so
+    * hash-balanced shards can differ by whole documents' worth of work.
+    * This is serpentine greedy assignment (the parallel-machine
+    * scheduling heuristic): rank documents by size descending and deal
+    * rank r to shard `r mod n`, direction alternating every pass —
+    * big items spread first, the boustrophedon ordering cancels the
+    * per-pass bias plain round-robin keeps. Deterministic (pure
+    * function of sizes + ids), and per-shard totals land within one
+    * document of each other for heavy-tailed inputs.
+    *
+    * Scale shape: the descending size rank is [[graft.ops.rel.zipIndex]]
+    * over a `(-size, id)` struct key — a RANGE exchange, never a
+    * single-partition window — and the shard arithmetic is row-local
+    * from the rank. Adds `shard` to the input; feed
+    * `.write.partitionBy("shard")` or
+    * [[graft.sources.ingest.writeShards]]. */
+  def balancedShards(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: Column,
+      shards: Int,
+      parts: Int = 0): DataFrame = {
+    require(shards >= 1, s"graft: balancedShards needs shards >= 1, got $shards")
+    val keyed = df.withColumn("_bkey",
+      struct((-tokenCol).as("neg_size"), col(idCol).as("tie")))
+    val n = lit(shards.toLong)
+    // integer pass number: `/` on longs is DOUBLE division in Spark —
+    // floor() it or odd passes beyond the first two reverse wrongly
+    val pass = floor(col("idx") / n).cast("long")
+    graft.ops.rel.zipIndex(keyed, "_bkey", parts)
+      .withColumn("shard",
+        when(pmod(pass, lit(2L)) === 0, pmod(col("idx"), n))
+          .otherwise(n - lit(1L) - pmod(col("idx"), n)).cast("int"))
+      .drop("_bkey", "idx")
+  }
 }

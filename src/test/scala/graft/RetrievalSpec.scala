@@ -155,4 +155,33 @@ class RetrievalSpec extends SparkSpec {
     // doc 9: q1 max(0.5, 0.9, 0.2) = 0.9 + q2 max(4.0, -0.2, 0.12) = 4.0
     assert(got == ((9L, 4.9)))
   }
+
+  test("maxSimBatch: each query's top-k equals its single-query run") {
+    val df = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 1.0)),
+      (2L, Seq(0.5, 0.3, -0.2, 0.1)),
+      (3L, Seq(-1.0, 0.7, 0.4, -1.0)),
+      (4L, Seq(0.2, -0.8, 0.9, 0.0))).toDF("vec_id", "embedding")
+    val qa = Seq(Seq(0.9, 0.1), Seq(-0.2, 0.8))
+    val qb = Seq(Seq(-1.0, 0.0), Seq(0.0, -1.0))
+    val batch = retrieval.maxSimBatch(df, "embedding", "vec_id",
+        Seq(7L -> qa, 8L -> qb), tokDim = 2, docDim = 4, k = 2)
+      .select("query_id", "vec_id", "maxsim").as[(Long, Long, Double)]
+      .collect().toSet
+    val singles = Seq(7L -> qa, 8L -> qb).flatMap { case (qid, q) =>
+      retrieval.maxSimTopK(df, "embedding", "vec_id", q, tokDim = 2,
+          docDim = 4, k = 2)
+        .as[(Long, Double)].collect().map { case (id, s) => (qid, id, s) }
+    }.toSet
+    assert(batch == singles)
+    // guards: mixed token counts and duplicate query ids
+    intercept[IllegalArgumentException] {
+      retrieval.maxSimBatch(df, "embedding", "vec_id",
+        Seq(1L -> qa, 2L -> Seq(Seq(1.0, 0.0))), tokDim = 2, docDim = 4, k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      retrieval.maxSimBatch(df, "embedding", "vec_id",
+        Seq(1L -> qa, 1L -> qb), tokDim = 2, docDim = 4, k = 1)
+    }
+  }
 }

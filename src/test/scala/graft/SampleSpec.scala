@@ -308,4 +308,27 @@ class SampleSpec extends SparkSpec {
     // and the order is shuffled, not id order
     assert(a1.toSeq.sortBy(_._2).map(_._1) != (0L until 300L).toSeq)
   }
+
+  test("balancedShards: serpentine deal, deterministic, near-equal token totals") {
+    // heavy-tailed sizes: powers-ish + a giant
+    val df = ((1L to 64L).map(i => (i, i * i)) :+ (99L, 50000L)).toDF("id", "toks")
+    val out = sample.balancedShards(df, "id", col("toks"), shards = 4, parts = 4)
+    val sums = out.groupBy("shard").agg(sum("toks").as("s"))
+      .orderBy("shard").as[(Int, Long)].collect().toSeq
+    assert(sums.map(_._1) == Seq(0, 1, 2, 3), "every shard must be used")
+    // serpentine rank-0 item (the giant) goes to shard 0; ranks 1-3 fill
+    // 1..3; ranks 4-7 come BACK 3..0 — check the two biggest non-giant
+    val assign = out.select("id", "shard").as[(Long, Int)].collect().toMap
+    assert(assign(99L) == 0)     // rank 0
+    assert(assign(64L) == 1)     // rank 1
+    assert(assign(61L) == 3)     // rank 4 (second pass, reversed) → shard 3
+    // balance: without the giant, totals within ~one largest doc
+    val nonGiant = sums.filter(_._1 != 0).map(_._2)
+    assert(nonGiant.max - nonGiant.min <= 64L * 64L,
+      s"shards unbalanced: $sums")
+    // deterministic across runs
+    val again = sample.balancedShards(df, "id", col("toks"), shards = 4, parts = 4)
+      .select("id", "shard").as[(Long, Int)].collect().toMap
+    assert(again == assign)
+  }
 }
