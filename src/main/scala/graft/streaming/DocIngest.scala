@@ -116,4 +116,55 @@ object DocIngest {
       .dropDuplicatesWithinWatermark("norm_url")
       .unionByName(keyed.where(col("norm_url").isNull))
   }
+
+  /** One CDC change record: `ts` is the log sequence (strictly
+    * increasing per key), `op` is "delete" or anything-else-is-upsert
+    * — the [[graft.ops.rel.cdcApply]] contract. */
+  final case class DocChange(doc_id: Long, ts: Long, op: String, text: String)
+
+  /** The current winner for a key, as emitted by [[upsertStream]].
+    * `deleted` rows are tombstones — the downstream materializer drops
+    * the key. */
+  final case class DocCurrent(doc_id: Long, ts: Long, deleted: Boolean, text: String)
+
+  /** Streaming keep-LATEST (CDC upsert) — the unbounded twin of the
+    * batch [[graft.ops.rel.cdcApply]]: per key, track the
+    * highest-`ts` change seen and emit a row WHENEVER THE WINNER
+    * CHANGES (a changelog of the applied state, tombstones included).
+    * Folding the emitted changelog latest-per-key and dropping
+    * tombstones equals `cdcApply(empty, allChanges)` — the
+    * batch/stream agreement law DocIngestSpec pins.
+    *
+    *   - Out-of-order and replayed changes are ABSORBED, not re-emitted:
+    *     a change with `ts` ≤ the state's is stale by the CDC contract
+    *     (ts is the log sequence) and produces no output — which is what
+    *     makes the emitted changelog idempotent under at-least-once
+    *     delivery upstream.
+    *   - State is one `(ts, deleted, text)` per live key, keyed and
+    *     hash-partitioned by doc_id — O(corpus keys), the floor for
+    *     exact keep-latest. A tombstoned key keeps its (tiny) state so a
+    *     late stale upsert cannot resurrect it; bound the horizon
+    *     upstream (e.g. compaction dropping tombstones older than the
+    *     replay window) when keys churn forever. */
+  def upsertStream(
+      changes: org.apache.spark.sql.Dataset[DocChange])
+      : org.apache.spark.sql.Dataset[DocCurrent] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_.doc_id).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (id: Long, it: Iterator[DocChange], state: GroupState[DocCurrent]) =>
+        // winner of THIS batch's slice for the key (ts unique per key
+        // by the CDC contract; (ts, op, text) tiebreak keeps even a
+        // violated contract deterministic)
+        val incoming = it.maxBy(c => (c.ts, c.op, c.text))
+        val cur = state.getOption
+        if (cur.forall(_.ts < incoming.ts)) {
+          val next = DocCurrent(id, incoming.ts,
+            incoming.op == "delete", incoming.text)
+          state.update(next)
+          Iterator.single(next)
+        } else Iterator.empty
+    }
+  }
 }

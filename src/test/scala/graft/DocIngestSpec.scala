@@ -137,4 +137,44 @@ class DocIngestSpec extends SparkSpec {
     assert(ids.contains(5L) && ids.contains(6L),
       s"malformed records bypass the gate, both of them: $ids")
   }
+
+  test("upsertStream emits winner changes only; folded changelog = batch cdcApply") {
+    import DocIngest.{DocChange, DocCurrent}
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[DocChange]
+    val q = DocIngest.upsertStream(in.toDS())
+      .writeStream.format("memory").queryName("cdc_stream")
+      .outputMode("append").start()
+    val changes = scala.collection.mutable.ArrayBuffer[DocChange]()
+    def push(cs: DocChange*): Unit = {
+      changes ++= cs; in.addData(cs); q.processAllAvailable()
+    }
+    try {
+      push(DocChange(1L, 1L, "upsert", "v1"),
+        DocChange(2L, 1L, "upsert", "w1"))
+      push(DocChange(1L, 3L, "upsert", "v2"), // newer → emit
+        DocChange(2L, 1L, "upsert", "w1"))    // replay → silent
+      push(DocChange(1L, 2L, "upsert", "vStale"), // out of order → silent
+        DocChange(2L, 2L, "delete", "w1"),        // tombstone → emit
+        DocChange(3L, 1L, "upsert", "x1"))
+      // stale upsert must NOT resurrect the tombstoned key
+      push(DocChange(2L, 1L, "upsert", "wGhost"))
+    } finally q.stop()
+
+    val emitted = spark.table("cdc_stream").as[DocCurrent].collect().toSeq
+    // per key, fold latest-emitted and drop tombstones
+    val folded = emitted.groupBy(_.doc_id).view
+      .mapValues(_.maxBy(_.ts)).values.filterNot(_.deleted)
+      .map(c => (c.doc_id, c.text)).toSet
+    // batch twin over the SAME change log applied to an empty snapshot
+    val snap = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val applied = graft.ops.rel.cdcApply(snap,
+        changes.toSeq.toDF("doc_id", "ts", "op", "text"), "doc_id", "ts", "op")
+      .as[(Long, String)].collect().toSet
+    assert(folded == applied, s"stream $folded != batch $applied")
+    assert(folded == Set((1L, "v2"), (3L, "x1")))
+    // emission discipline: replays and stale changes produced no rows
+    assert(emitted.count(_.doc_id == 1L) == 2, "id 1: v1 then v2 only")
+    assert(emitted.count(_.doc_id == 2L) == 2, "id 2: w1 then tombstone only")
+  }
 }
