@@ -365,6 +365,53 @@ object Demo {
         "at 10.0.0.1 via https://x.com/a")).as("p"))
       .select("p.*").show(false)
 
+    println("== data-quality rule gate: one pass, null-safe violations ==")
+    graft.ops.rel.checkRules(docs, Seq(
+        "nonempty" -> (length(col("text")) > 0),
+        "short_tail" -> (col("n_chars") < 500),
+        "lang_known" -> col("lang").isin("en", "fr", "de", "zh", "es")))
+      .orderBy("rule").show(false)
+
+    println("== key-skew probe: share, skew factor, salt recommendation ==")
+    graft.ops.rel.skewProbe(docs, "lang", topN = 3).show(false)
+
+    println("== deterministic epoch shuffle (seed 7): first training docs ==")
+    graft.ops.sample.epochShuffle(docs.select("doc_id"), "doc_id", seed = 7)
+      .orderBy("epoch_pos").show(3)
+
+    println("== token-balanced shards: serpentine deal by size ==")
+    graft.ops.sample.balancedShards(docs.select(col("doc_id"), col("n_chars")),
+        "doc_id", col("n_chars").cast("long"), shards = 4)
+      .groupBy("shard").agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"))
+      .orderBy("shard").show(false)
+
+    println("== MaxSim late-interaction top-3 (4x16 token slices) ==")
+    graft.ops.retrieval.maxSimTopK(store.df, "embedding", "vec_id",
+      (0 until 4).map(j => q.slice(j * 16, j * 16 + 16)),
+      tokDim = 16, docDim = 64, k = 3).show(false)
+
+    println("== CDC apply: upserts + deletes onto the corpus snapshot ==")
+    val snap = docs.select(col("doc_id"), col("lang"))
+    val log = docs.where(col("doc_id") < 3)
+      .select(col("doc_id"), lit("xx").as("lang"), lit(2).as("ts"),
+        lit("upsert").as("op"))
+      .unionByName(docs.where(col("doc_id") === 1)
+        .select(col("doc_id"), col("lang"), lit(1).as("ts"),
+          lit("delete").as("op")))
+    graft.ops.rel.cdcApply(snap, log, "doc_id")
+      .orderBy("doc_id").show(4)
+
+    println("== CM join-size estimate vs truth (lineitem x orders) ==")
+    val liD = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val ordD = spark.read.parquet(s"$sfDir/orders.parquet")
+    val est = graft.ops.sketch.cmJoinSize(
+      graft.ops.sketch.countMin(liD, col("l_orderkey"), 4, 512),
+      graft.ops.sketch.countMin(ordD, col("o_orderkey"), 4, 512), 4)
+      .head().getLong(0)
+    val truth = liD.join(ordD, liD("l_orderkey") === ordD("o_orderkey")).count()
+    println(s"  estimate=$est true=$truth (never undercounts)")
+
     spark.stop()
   }
 }
