@@ -2191,6 +2191,33 @@ object SparkEntry {
         .orderBy(col("maxsim").desc, col("vec_id"))
     }),
 
+    // north-star: incremental materialized-aggregate maintenance — the
+    // rollup refreshes from the CDC log alone (signed deltas + one thin
+    // full-outer merge); the fact table is never rescanned.
+    "rel_incremental_agg" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val base = li.where(col("l_orderkey") % 10 =!= 0)
+      val agg0 = base.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).cast("long").as("sum_l_quantity"))
+      val inserts = li.where(col("l_orderkey") % 10 === 0)
+        .select(col("l_returnflag"), col("l_quantity"), lit("insert").as("op"))
+      val deletes = base.where(col("l_partkey") % 5 === 0)
+        .select(col("l_returnflag"), col("l_quantity"), lit("delete").as("op"))
+      rel.incrementalAgg(agg0, inserts.unionByName(deletes),
+          Seq("l_returnflag"), "l_quantity")
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // north-star: TF-IDF cosine near-dup pairs — WEIGHTED similarity
+    // (rare shared vocabulary scores high) over the inverted-index pair
+    // engine; every cross-row sum is an exact integer (fixed-point
+    // discipline), so the score is engine-reproducible.
+    "dedup_tfidf_pairs" -> ((s, dir) =>
+      dedup.tfidfCosinePairs(table(s, dir, "documents"), "text", "doc_id",
+          threshold = 0.2)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // north-star: token-balanced shard assignment — serpentine greedy
     // deal by size rank (zipIndex over a (-size, id) struct key, range
     // exchange, no single-partition window); per-shard totals land
@@ -4409,6 +4436,42 @@ object SparkEntry {
         |    ORDER BY md5('7:' || doc_id::VARCHAR) || '_' || doc_id::VARCHAR) - 1
         |  AS epoch_pos
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // The from-scratch aggregate over (base − deletes + inserts) — the
+    // maintenance law the incremental path must reproduce exactly.
+    "rel_incremental_agg" ->
+      """WITH rows_after AS (
+        |  SELECT l_returnflag, l_quantity FROM lineitem
+        |  WHERE l_orderkey % 10 <> 0 AND l_partkey % 5 <> 0
+        |  UNION ALL
+        |  SELECT l_returnflag, l_quantity FROM lineitem
+        |  WHERE l_orderkey % 10 = 0)
+        |SELECT l_returnflag, count(*) AS n,
+        |  sum(l_quantity::BIGINT)::BIGINT AS sum_l_quantity
+        |FROM rows_after GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    "dedup_tfidf_pairs" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($SqlToks) AS term FROM documents),
+         |tf AS (SELECT doc_id AS id, term, count(*)::BIGINT AS tf
+         |  FROM toks GROUP BY 1, 2),
+         |nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         |dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+         |wq AS (SELECT id, tf.term, df,
+         |    floor(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0) * 1000.0 + 0.5)::BIGINT AS wq
+         |  FROM tf JOIN dfs USING (term) CROSS JOIN nn),
+         |norms AS (SELECT id, sqrt(sum(wq * wq)::DOUBLE) AS norm
+         |  FROM wq GROUP BY id),
+         |p AS (SELECT term, id,
+         |    floor(wq / norm * 1000000.0 + 0.5)::BIGINT AS nwq
+         |  FROM wq JOIN norms USING (id) WHERE df BETWEEN 2 AND 256),
+         |pr AS (SELECT a.id AS id_a, b.id AS id_b,
+         |    sum(a.nwq * b.nwq)::BIGINT AS num
+         |  FROM p a JOIN p b ON a.term = b.term AND a.id < b.id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, cos FROM (
+         |  SELECT id_a, id_b,
+         |    ${r4("num::DOUBLE / 1000000000000.0")} AS cos FROM pr)
+         |WHERE cos >= 0.2 ORDER BY id_a, id_b""".stripMargin,
 
     "sample_balanced_shards" ->
       """WITH r AS (SELECT n_chars,

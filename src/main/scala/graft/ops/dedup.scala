@@ -1018,6 +1018,79 @@ object dedup {
       .select(col(idCol), col("cluster_id"))
   }
 
+  /** WEIGHTED (TF-IDF cosine) similarity pairs via the inverted index —
+    * the similarity measure the set-based family ([[jaccardPairs]],
+    * [[containmentPairs]]) cannot express: terms contribute by
+    * informativeness (`tf · (ln((N+1)/(df+1)) + 1)`), so two docs
+    * sharing rare vocabulary score high even when their token SETS
+    * overlap modestly. Returns `(id_a, id_b, cos)` with `cos ≥
+    * threshold`, id_a < id_b.
+    *
+    * Determinism discipline (the reason this isn't a naive double
+    * pipeline): distributed float sums are merge-order-dependent, so
+    * every cross-row sum here is an EXACT integer — weights quantize to
+    * `wScale` units per (doc, term) row (row-local doubles are fine),
+    * norms are `Σ wq²` longs, normalized weights re-quantize to 1e-6,
+    * and the pair numerator is a long sum of their products. Same
+    * fixed-point discipline as [[graft.ops.rel.corrExact]]. Overflow
+    * headroom is the caller's like corrExact: `(tfMax·idfMax·wScale)²·
+    * termsPerDoc < 2⁶³` — the default wScale=1000 holds to ~5k distinct
+    * terms/doc at tf ≤ 500.
+    *
+    * Scale shape = [[jaccardPairs]]'s engine: one postings shuffle with
+    * the df band `[minDf, maxDf]` enforced by a window BEFORE any list
+    * builds (hot stop-terms never buffer), in-expression pair expansion,
+    * observe() counter on dropped postings. The reported cosine counts
+    * only banded terms in the NUMERATOR while norms keep every term —
+    * a LOWER bound on true cosine, and a tight one: the dropped
+    * high-df terms are exactly the low-idf mass. Σdf² pair cost is
+    * quadratic in term duplication, the documented [[jaccardPairs]]
+    * caveat. */
+  def tfidfCosinePairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      threshold: Double,
+      minDf: Int = 2,
+      maxDf: Int = 256,
+      wScale: Double = 1000.0): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"graft: tfidfCosinePairs threshold must be in (0,1], got $threshold")
+    require(minDf >= 2 && maxDf >= minDf,
+      s"graft: need 2 <= minDf <= maxDf, got $minDf, $maxDf")
+    val n = df.count().toDouble
+    val tf = df
+      .select(col(idCol).as("id"), explode(text.tokens(col(textCol))).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val wq = tf.join(dfs, "term")
+      .withColumn("wq", floor(
+        col("tf") * (log(lit(n + 1.0) / (col("df") + 1.0)) + 1.0) * wScale + 0.5)
+        .cast("long"))
+    val norms = wq.groupBy(col("id"))
+      .agg(sum(col("wq") * col("wq")).as("_nsq")) // exact long
+      .select(col("id"), sqrt(col("_nsq").cast("double")).as("_norm"))
+    val postings = wq.join(norms, "id")
+      .withColumn("nwq",
+        floor(col("wq") / col("_norm") * 1000000.0 + 0.5).cast("long"))
+      .select(col("term"), col("df"), struct(col("id"), col("nwq")).as("d"))
+      .observe("graft_tfidf_pairs",
+        sum(when(col("df") > maxDf, 1L).otherwise(0L)).as("dropped_postings"),
+        max(col("df")).as("max_df"))
+      .where(col("df") >= minDf && col("df") <= maxDf)
+    postings
+      .groupBy(col("term"))
+      .agg(sort_array(collect_list(col("d"))).as("ds"))
+      .select(explode(pairsOf(col("ds"))).as("p"))
+      .groupBy(col("p.id_a.id").as("id_a"), col("p.id_b.id").as("id_b"))
+      .agg(sum(col("p.id_a.nwq") * col("p.id_b.nwq")).as("_num")) // exact long
+      .withColumn("cos", vectors.quantize(
+        col("_num").cast("double") / 1.0e12, 4))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   // ---- persisted signature index -------------------------------------
 
   /** Persist the corpus's MinHash near-dup state as an on-disk INDEX so

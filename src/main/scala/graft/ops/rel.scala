@@ -433,6 +433,51 @@ object rel {
         when(col("_op").isNotNull, col(s"_ch_$c")).otherwise(col(c)).as(c)): _*)
   }
 
+  /** Incremental MATERIALIZED-AGGREGATE maintenance — keep a `(groups,
+    * n, sum_<value>)` rollup current under a change log WITHOUT
+    * rescanning the fact table: the log's rows aggregate into signed
+    * deltas (`deleteOp` rows count −1 and subtract their value; an
+    * update is delete-old + insert-new in the same log), and one thin
+    * full-outer join merges deltas into the existing aggregate. Groups
+    * whose count reaches zero disappear, brand-new groups appear. This
+    * is the 100 TB dashboard pattern: the fact table is write-once
+    * history, the rollup is maintained from the CDC feed at
+    * O(log size + touched groups) per refresh — `maintained(agg, log) ≡
+    * aggregate(apply(fact, log))` exactly (RelSpec pins the law), for
+    * the count/sum family (mins/maxes are not delta-maintainable:
+    * deleting the current max needs the runner-up, which only a rescan
+    * or an auxiliary structure knows).
+    *
+    * `agg` must carry `groupCols`, `n`, and `sum_<valueCol>` — the
+    * shape [[rollupAgg]]-style aggregates and this op itself emit, so
+    * refreshes CHAIN: today's output is tomorrow's `agg`. Value sums
+    * are exact only for integral `valueCol` (float deltas would drift
+    * run-over-run; quantize currency to cents upstream). */
+  def incrementalAgg(
+      agg: DataFrame,
+      changes: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      opCol: String = "op",
+      deleteOp: String = "delete"): DataFrame = {
+    require(groupCols.nonEmpty, "graft: incrementalAgg needs group columns")
+    val sumCol = s"sum_$valueCol"
+    val missing = (groupCols :+ "n" :+ sumCol).filterNot(agg.columns.contains)
+    require(missing.isEmpty,
+      s"graft: aggregate table is missing columns: ${missing.mkString(", ")}")
+    val sign = when(col(opCol) === deleteOp, lit(-1L)).otherwise(lit(1L))
+    val delta = changes
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(sign).as("_dn"),
+        sum(sign * col(valueCol).cast("long")).as("_dsum"))
+    agg.join(delta, groupCols, "full_outer")
+      .select(groupCols.map(col) ++ Seq(
+        (coalesce(col("n"), lit(0L)) + coalesce(col("_dn"), lit(0L))).as("n"),
+        (coalesce(col(sumCol), lit(0L)) + coalesce(col("_dsum"), lit(0L)))
+          .as(sumCol)): _*)
+      .where(col("n") > 0)
+  }
+
   /** Build type-2 slowly-changing-dimension validity intervals from a
     * change log: per key ordered by `tsCol`, consecutive rows whose
     * tracked `valueCols` did not actually change are collapsed

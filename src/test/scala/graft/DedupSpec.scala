@@ -349,6 +349,38 @@ class DedupSpec extends SparkSpec {
       .head().getLong(1) === 0L)
   }
 
+  test("tfidfCosinePairs: rare shared vocabulary outscores common; exact fixed-point") {
+    val corpus = Seq(
+      // 1 & 2 share the RARE bigram-ish vocabulary (zyzzyva, quokka)
+      (1L, "the zyzzyva quokka report alpha"),
+      (2L, "the zyzzyva quokka report beta"),
+      // 3 & 4 share only corpus-common terms
+      (3L, "the report gamma common words here"),
+      (4L, "the report delta common words there"),
+      (5L, "entirely unrelated content lives in this one"))
+      .toDF("doc_id", "text")
+    val pairs = dedup.tfidfCosinePairs(corpus, "text", "doc_id",
+        threshold = 0.05, maxDf = 256)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(pairs.contains((1L, 2L)), s"rare-vocab pair must surface: $pairs")
+    val rare = pairs((1L, 2L))
+    val common = pairs.getOrElse((3L, 4L), 0.0)
+    assert(rare > common,
+      s"idf weighting must rank rare-shared above common-shared: $rare vs $common")
+    // determinism: identical across runs (exact integer sums)
+    val again = dedup.tfidfCosinePairs(corpus, "text", "doc_id",
+        threshold = 0.05, maxDf = 256)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(again == pairs)
+    // identical docs → cosine 1.0 over the banded terms
+    val twins = Seq((1L, "aa bb cc dd"), (2L, "aa bb cc dd")).toDF("doc_id", "text")
+    val t = dedup.tfidfCosinePairs(twins, "text", "doc_id", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(t.size == 1 && t.head._3 == 1.0, t.toString)
+  }
+
   test("screenAgainstIndex equals incrementalNearDups, with partition pruning") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),

@@ -324,6 +324,39 @@ class RelSpec extends SparkSpec {
     intercept[IllegalArgumentException] { rel.cdcApply(snap, bad, "id") }
   }
 
+  test("incrementalAgg: maintained rollup equals the from-scratch aggregate") {
+    val fact = Seq(("a", 10L), ("a", 20L), ("b", 5L), ("b", 7L), ("c", 1L))
+      .toDF("g", "v")
+    val agg0 = fact.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("v").as("sum_v"))
+    val log = Seq(
+      ("a", 20L, "delete"),  // drop one of a's rows
+      ("c", 1L, "delete"),   // c's LAST row → group disappears
+      ("b", 3L, "insert"),   // grow b
+      ("d", 9L, "insert"),   // brand-new group
+      ("d", 2L, "insert")).toDF("g", "v", "op")
+    val got = rel.incrementalAgg(agg0, log, Seq("g"), "v")
+      .orderBy("g").as[(String, Long, Long)].collect().toSeq
+    // from-scratch twin over the applied fact table
+    val applied = fact.exceptAll(Seq(("a", 20L), ("c", 1L)).toDF("g", "v"))
+      .unionAll(Seq(("b", 3L), ("d", 9L), ("d", 2L)).toDF("g", "v"))
+    val want = applied.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("v").as("sum_v"))
+      .orderBy("g").as[(String, Long, Long)].collect().toSeq
+    assert(got == want)
+    assert(got == Seq(("a", 1L, 10L), ("b", 3L, 15L), ("d", 2L, 11L)))
+    // chaining: output shape feeds straight back in
+    val again = rel.incrementalAgg(
+        rel.incrementalAgg(agg0, log, Seq("g"), "v"),
+        Seq(("d", 2L, "delete")).toDF("g", "v", "op"), Seq("g"), "v")
+      .orderBy("g").as[(String, Long, Long)].collect().toSeq
+    assert(again == Seq(("a", 1L, 10L), ("b", 3L, 15L), ("d", 1L, 9L)))
+    // guard: aggregate missing the sum column
+    intercept[IllegalArgumentException] {
+      rel.incrementalAgg(agg0.drop("sum_v"), log, Seq("g"), "v")
+    }
+  }
+
   test("scd2Intervals collapses no-op versions and closes validity with lead") {
     val ch = Seq(
       (1L, "a", 1), (1L, "a", 2), (1L, "b", 3), (1L, "b", 4), (1L, "a", 5),
