@@ -328,6 +328,56 @@ object ScaleRehearsal {
       docs.where(col("doc_id") % 50 === 0).limit(1000),
       s"$work/sigidx", "text", "doc_id", threshold = 0.7))
 
+    // ---- session-7 additions: CDC, SCD2, incremental agg, ------------
+    // ---- TF-IDF pairs, balanced shards, batched MaxSim ---------------
+    // CDC apply at factor scale: the log is 10% of the corpus, the
+    // snapshot joins once on the unique key
+    run("cdc_apply")(rel.cdcApply(
+      docs.select(col("doc_id"), col("lang"), col("n_chars")),
+      docs.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), lit("xx").as("lang"), col("n_chars"),
+          lit(2).as("ts"), lit("upsert").as("op"))
+        .unionByName(docs.where(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            lit(1).as("ts"), lit("delete").as("op"))),
+      "doc_id"))
+    // SCD2: three versions per doc, id-keyed windows
+    val v1 = docs.select(col("doc_id"), col("lang"), lit(1).as("ts"))
+    val v2 = docs.select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, lit("xx")).otherwise(col("lang")).as("lang"),
+      lit(2).as("ts"))
+    run("scd2_intervals")(rel.scd2Intervals(
+      v1.unionByName(v2).unionByName(
+        docs.select(col("doc_id"), col("lang"), lit(3).as("ts"))),
+      "doc_id", "ts", Seq("lang")))
+    // incremental rollup: delta = 20% of corpus, merge is group-sized
+    run("incremental_agg", countRows = false)(rel.incrementalAgg(
+      docs.where(col("doc_id") % 10 =!= 0).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("long").as("sum_n_chars")),
+      docs.where(col("doc_id") % 10 === 0)
+        .select(col("lang"), col("n_chars"), lit("insert").as("op"))
+        .unionByName(docs.where(col("doc_id") % 9 === 0)
+          .select(col("lang"), col("n_chars"), lit("delete").as("op"))),
+      Seq("lang"), "n_chars"))
+    // TF-IDF cosine pairs: exact-clone corpus = every doc's terms at
+    // df >= factor — the df band and Σdf² behavior both exercised.
+    // Threshold 0.3, not 0.5: the banded numerator is a LOWER bound on
+    // cosine (norms keep the dropped common-term mass), and on this
+    // corpus clone pairs land ~0.35-0.45.
+    run("tfidf_pairs")(dedup.tfidfCosinePairs(docs, "text", "doc_id",
+      threshold = 0.3, maxDf = jacMaxDf))
+    // balanced shards: one range exchange + row-local arithmetic
+    run("balanced_shards")(sample.balancedShards(
+      docs.select(col("doc_id"), col("n_chars")), "doc_id",
+      col("n_chars").cast("long"), shards = 32))
+    // batched MaxSim: 8 queries, one corpus scan, WindowGroupLimit heaps
+    run("maxsim_batch", countRows = false)(retrieval.maxSimBatch(
+      emb, "embedding", "vec_id",
+      (0L until 8L).map(qi => qi -> (0 until 4).map(j =>
+        (0 until 16).map(i => math.sin(qi * 64.0 + j * 16 + i + 1.0)))),
+      tokDim = 16, docDim = 64, k = 10))
+
     spark.stop()
   }
 }

@@ -2215,7 +2215,7 @@ object SparkEntry {
     // discipline), so the score is engine-reproducible.
     "dedup_tfidf_pairs" -> ((s, dir) =>
       dedup.tfidfCosinePairs(table(s, dir, "documents"), "text", "doc_id",
-          threshold = 0.2)
+          threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
     // north-star: token-balanced shard assignment — serpentine greedy
@@ -4450,10 +4450,16 @@ object SparkEntry {
         |  sum(l_quantity::BIGINT)::BIGINT AS sum_l_quantity
         |FROM rows_after GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
 
+    // terms = word 3-grams WITH multiplicity (not the distinct shingle
+    // set — tf is real term frequency here)
     "dedup_tfidf_pairs" ->
-      s"""WITH toks AS (SELECT doc_id, unnest($SqlToks) AS term FROM documents),
+      s"""WITH tk AS (SELECT doc_id, $SqlToks AS ts FROM documents),
+         |gr AS (SELECT doc_id, unnest(CASE WHEN len(ts) >= 3
+         |    THEN list_transform(range(1, len(ts) - 1),
+         |      i -> array_to_string(list_slice(ts, i, i + 2), ' '))
+         |    ELSE [] END) AS term FROM tk),
          |tf AS (SELECT doc_id AS id, term, count(*)::BIGINT AS tf
-         |  FROM toks GROUP BY 1, 2),
+         |  FROM gr GROUP BY 1, 2),
          |nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
          |dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
          |wq AS (SELECT id, tf.term, df,
@@ -4471,7 +4477,7 @@ object SparkEntry {
          |SELECT id_a, id_b, cos FROM (
          |  SELECT id_a, id_b,
          |    ${r4("num::DOUBLE / 1000000000000.0")} AS cos FROM pr)
-         |WHERE cos >= 0.2 ORDER BY id_a, id_b""".stripMargin,
+         |WHERE cos >= 0.5 ORDER BY id_a, id_b""".stripMargin,
 
     "sample_balanced_shards" ->
       """WITH r AS (SELECT n_chars,

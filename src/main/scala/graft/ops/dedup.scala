@@ -1053,20 +1053,33 @@ object dedup {
       threshold: Double,
       minDf: Int = 2,
       maxDf: Int = 256,
-      wScale: Double = 1000.0): DataFrame = {
+      wScale: Double = 1000.0,
+      n: Int = 3): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"graft: tfidfCosinePairs threshold must be in (0,1], got $threshold")
     require(minDf >= 2 && maxDf >= minDf,
       s"graft: need 2 <= minDf <= maxDf, got $minDf, $maxDf")
-    val n = df.count().toDouble
+    require(n >= 1, s"graft: term n-gram width must be >= 1, got $n")
+    val nDocs = df.count().toDouble
+    // terms are word n-grams WITH multiplicity (tf is real), default
+    // n=3: unigram tf-idf needs a natural-language vocabulary, and on a
+    // small-vocab corpus every unigram's df blows past any useful band
+    // — the same reason the whole set-similarity family shingles first
+    val ts = text.tokens(col(textCol))
+    val terms =
+      if (n == 1) ts
+      else when(size(ts) >= n,
+        transform(sequence(lit(1), size(ts) - (n - 1)),
+          i => concat_ws(" ", slice(ts, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
     val tf = df
-      .select(col(idCol).as("id"), explode(text.tokens(col(textCol))).as("term"))
+      .select(col(idCol).as("id"), explode(terms).as("term"))
       .groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val wq = tf.join(dfs, "term")
       .withColumn("wq", floor(
-        col("tf") * (log(lit(n + 1.0) / (col("df") + 1.0)) + 1.0) * wScale + 0.5)
+        col("tf") * (log(lit(nDocs + 1.0) / (col("df") + 1.0)) + 1.0) * wScale + 0.5)
         .cast("long"))
     val norms = wq.groupBy(col("id"))
       .agg(sum(col("wq") * col("wq")).as("_nsq")) // exact long

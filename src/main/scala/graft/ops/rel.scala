@@ -501,7 +501,7 @@ object rel {
     require(valueCols.nonEmpty, "graft: scd2Intervals needs tracked value columns")
     val w = Window.partitionBy(col(idCol)).orderBy(col(tsCol))
     val fp = graft.functions.hashing.fingerprint128(
-      concat_ws("", valueCols.map(c => coalesce(col(c).cast("string"), lit(" "))): _*))
+      concat_ws("\u0001", valueCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
     val real = changes
       .withColumn("_fp", fp)
       .withColumn("_prev_fp", lag(col("_fp"), 1).over(w))

@@ -544,8 +544,11 @@ object sample {
       shards: Int,
       parts: Int = 0): DataFrame = {
     require(shards >= 1, s"graft: balancedShards needs shards >= 1, got $shards")
+    // null size = zero work, not "sorts first": the negated key would
+    // otherwise put null-sized docs at rank 0 (nulls-first ordering)
+    // and hand them the emptiest slots big documents need
     val keyed = df.withColumn("_bkey",
-      struct((-tokenCol).as("neg_size"), col(idCol).as("tie")))
+      struct((-coalesce(tokenCol, lit(0L))).as("neg_size"), col(idCol).as("tie")))
     val n = lit(shards.toLong)
     // integer pass number: `/` on longs is DOUBLE division in Spark —
     // floor() it or odd passes beyond the first two reverse wrongly

@@ -287,6 +287,63 @@ object GraftProperties extends Properties("graft") {
       }
     }
 
+  property("zipIndex is the order-isomorphic dense index for ANY key set") =
+    forAll(Gen.chooseNum(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-1000000L, 1000000L)).map(_.distinct))
+      .suchThat(_.nonEmpty)) { keys =>
+      val got = graft.ops.rel.zipIndex(keys.toDF("k"), "k", parts = 4)
+        .select("k", "idx").as[(Long, Long)].collect().toMap
+      val want = keys.sorted.zipWithIndex
+        .map { case (k, i) => k -> i.toLong }.toMap
+      got == want
+    }
+
+  property("epochShuffle is a dense permutation for any seed") =
+    forAll(Gen.chooseNum(1, 50), Gen.chooseNum(Long.MinValue, Long.MaxValue)) {
+      (n, seed) =>
+        val pos = graft.ops.sample.epochShuffle(
+            (0L until n.toLong).toDF("id"), "id", seed, parts = 4)
+          .select("epoch_pos").as[Long].collect().sorted.toSeq
+        pos == (0L until n.toLong)
+    }
+
+  property("incrementalAgg(agg(base), log) = agg(base ++ inserts -- deletes)") =
+    forAll(
+      Gen.listOfN(30, Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(1L, 50L))),
+      Gen.listOfN(10, Gen.zip(Gen.oneOf("a", "b", "c", "d"), Gen.chooseNum(1L, 50L)))
+    ) { (base, inserts) =>
+      // deletes: every base row whose value is even (guaranteed present)
+      val deletes = base.filter(_._2 % 2 == 0)
+      val agg0 = base.toDF("g", "v").groupBy("g")
+        .agg(count(lit(1)).as("n"), sum("v").as("sum_v"))
+      val log = (inserts.map { case (g, v) => (g, v, "insert") } ++
+        deletes.map { case (g, v) => (g, v, "delete") }).toDF("g", "v", "op")
+      val got = graft.ops.rel.incrementalAgg(agg0, log, Seq("g"), "v")
+        .as[(String, Long, Long)].collect().toSet
+      val after = base.diff(deletes) ++ inserts
+      val want = after.groupBy(_._1).view
+        .mapValues(vs => (vs.size.toLong, vs.map(_._2).sum)).toMap
+        .map { case (g, (n, s)) => (g, n, s) }.toSet
+      got == want
+    }
+
+  property("balancedShards totals within one max item of each other (null-free)") =
+    forAll(Gen.chooseNum(8, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1L, 500L)))) { sizes =>
+      val df = sizes.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "toks")
+      val sums = graft.ops.sample.balancedShards(df, "id", col("toks"),
+          shards = 4, parts = 4)
+        .groupBy("shard").agg(sum("toks").as("s"))
+        .select("s").as[Long].collect().toSeq
+      // serpentine bound: spread <= max item size (classic LPT-style bound
+      // for boustrophedon dealing of a sorted sequence)
+      val spread = (sums ++ Seq.fill(4 - sums.length)(0L)) match {
+        case xs => xs.max - xs.min
+      }
+      spread <= sizes.max
+    }
+
   property("pageRank conserves bounded mass: base·n <= total <= scale") =
     forAll(Gen.chooseNum(2, 12).flatMap(k =>
       Gen.listOfN(k * 2, Gen.zip(Gen.chooseNum(0L, k.toLong), Gen.chooseNum(0L, k.toLong)))

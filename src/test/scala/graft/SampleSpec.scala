@@ -331,4 +331,13 @@ class SampleSpec extends SparkSpec {
       .select("id", "shard").as[(Long, Int)].collect().toMap
     assert(again == assign)
   }
+
+  test("balancedShards: null size ranks as zero work, not first") {
+    val df = Seq((1L, Some(100L)), (2L, None), (3L, Some(50L)))
+      .toDF("id", "toks")
+    val assign = sample.balancedShards(df, "id", col("toks"), shards = 2, parts = 2)
+      .select("id", "shard").as[(Long, Int)].collect().toMap
+    // ranks: 100 → 0, 50 → 1, null(0) → last (serpentine back to 1)
+    assert(assign == Map(1L -> 0, 3L -> 1, 2L -> 1), assign.toString)
+  }
 }
