@@ -2178,6 +2178,25 @@ object SparkEntry {
       sketch.cmJoinSize(a, b, depth = 4)
     }),
 
+    // north-star: heavy hitters via the native Misra–Gries mergeable
+    // aggregate — constant capacity-entry state per partial buffer, so
+    // the exchange carries one small map per map task instead of the
+    // item universe. capacity 256 ≥ the 150 distinct users ⇒ the exact
+    // regime, where MG output equals the exact group-count top-N the
+    // oracle computes (the N/(k+1) undercount bound beyond that regime
+    // is SketchSpec's job — DuckDB has no MG to compare against).
+    "sketch_heavyhitters" -> ((s, dir) =>
+      sketch.heavyHitters(table(s, dir, "events"), col("user_id"),
+        capacity = 256, topN = 20)),
+
+    // north-star: per-group heavy hitters — one MG summary per group;
+    // the per-group top-N is a row-local slice of the already-sorted
+    // summary, no second shuffle.
+    "sketch_heavyhitters_by" -> ((s, dir) =>
+      sketch.heavyHittersBy(table(s, dir, "events"), Seq("event_type"),
+          col("user_id"), capacity = 256, topN = 5)
+        .orderBy(col("event_type"), col("est_count").desc, col("item"))),
+
     // north-star: long-form MaxSim over a token TABLE (variable-length
     // multi-vector docs) — result-identical to the unrolled fast path
     // on the sliced layout, which is exactly what this fixture checks
@@ -4430,6 +4449,21 @@ object SparkEntry {
          |sp AS (SELECT i AS row FROM range(0, 4) r(i))
          |SELECT min(coalesce(ip, 0))::BIGINT AS join_size_est
          |FROM sp LEFT JOIN ip USING (row)""".stripMargin,
+
+    // exact regime (capacity ≥ distinct users): MG counts are exact
+    "sketch_heavyhitters" ->
+      """SELECT user_id::VARCHAR AS item, count(*)::BIGINT AS est_count
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY 1 ORDER BY est_count DESC, item LIMIT 20""".stripMargin,
+
+    "sketch_heavyhitters_by" ->
+      """WITH c AS (SELECT event_type, user_id::VARCHAR AS item,
+        |    count(*)::BIGINT AS est_count
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY est_count DESC, item) AS rk FROM c)
+        |SELECT event_type, item, est_count FROM r WHERE rk <= 5
+        |ORDER BY event_type, est_count DESC, item""".stripMargin,
 
     "sample_epoch_shuffle" ->
       """SELECT doc_id, row_number() OVER (

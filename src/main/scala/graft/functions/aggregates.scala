@@ -1,0 +1,177 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.bridge.{toColumn => column, toExpression => expression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native mergeable aggregates. The sketch family in [[graft.ops.sketch]]
+  * is deliberately compositional (DataFrame ops whose state rides plans
+  * as ordinary columns); the aggregates here are the cases where a
+  * summary's update rule is inherently imperative — a bounded map with
+  * data-dependent eviction — and has no sane expression as a fold of
+  * built-in aggregates.
+  *
+  * [[MisraGriesAgg]] is the frequent-items (heavy hitters) summary of
+  * Misra & Gries (1982), with the merge rule of Agarwal, Cormode, Huang,
+  * Phillips, Wei & Yi, "Mergeable Summaries" (PODS 2012, §3.1): two
+  * MG summaries of capacity k merge by summing counters and subtracting
+  * the (k+1)-th largest count from every survivor. State is O(capacity)
+  * per partial buffer regardless of input size, so at 100 TB the shuffle
+  * carries one small map per partition, never the item universe — the
+  * exact-groupBy twin (`ops.text.vocabTopN`-style) shuffles the universe
+  * and is the verification-scale tool, not the production-scale one.
+  *
+  * Guarantees (classic MG + mergeability):
+  *   - every counter UNDERESTIMATES: est ≤ true count;
+  *   - the total undercount is bounded: true − est ≤ N/(capacity+1)
+  *     where N is total item count (null items excluded), preserved
+  *     across arbitrary merge trees;
+  *   - any item with true count > N/(capacity+1) is present in the
+  *     summary;
+  *   - EXACT REGIME: if no buffer ever evicts (global distinct-item
+  *     count ≤ capacity), every count is exact and the output is
+  *     independent of partitioning — this is the regime the DuckDB
+  *     oracle checks; the bound above is what specs check beyond it.
+  */
+object aggregates {
+
+  /** Heavy-hitter aggregate Column: array<struct<item,est_count>> sorted
+    * by est_count desc, item asc. Non-string items: cast before calling. */
+  def heavyHittersAgg(items: Column, capacity: Int): Column =
+    column(MisraGriesAgg(expression(items.cast("string")), capacity)
+      .toAggregateExpression())
+}
+
+case class MisraGriesAgg(
+    child: Expression,
+    capacity: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.HashMap[String, java.lang.Long]]
+  with UnaryLike[Expression] {
+
+  require(capacity >= 1, s"graft: MisraGriesAgg capacity must be >= 1, got $capacity")
+
+  override def prettyName: String = "mg_heavy_hitters"
+  override def nullable: Boolean = false
+  override def dataType: DataType = MisraGriesAgg.resultType
+
+  override def createAggregationBuffer(): java.util.HashMap[String, java.lang.Long] =
+    new java.util.HashMap[String, java.lang.Long]()
+
+  override def update(
+      buf: java.util.HashMap[String, java.lang.Long],
+      input: InternalRow): java.util.HashMap[String, java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.asInstanceOf[UTF8String].toString
+      val cur = buf.get(s)
+      if (cur != null) buf.put(s, cur + 1L)
+      else if (buf.size < capacity) buf.put(s, 1L)
+      else {
+        // MG step: no free slot — decrement every counter (the new item's
+        // single occurrence is the k+1'th simultaneous decrement), drop
+        // zeros. O(capacity), amortized O(1) per input item.
+        val it = buf.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue == 1L) it.remove() else e.setValue(e.getValue - 1L)
+        }
+      }
+    }
+    buf
+  }
+
+  override def merge(
+      buf: java.util.HashMap[String, java.lang.Long],
+      other: java.util.HashMap[String, java.lang.Long]): java.util.HashMap[String, java.lang.Long] = {
+    val it = other.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val cur = buf.get(e.getKey)
+      buf.put(e.getKey, if (cur == null) e.getValue else java.lang.Long.valueOf(cur + e.getValue))
+    }
+    if (buf.size > capacity) {
+      // Mergeable-summaries prune: subtract the (capacity+1)-th largest
+      // count from all, drop non-positives — at most `capacity` survive
+      // and the N/(k+1) error bound telescopes across the merge tree.
+      val counts = new Array[Long](buf.size)
+      var i = 0
+      val vit = buf.values().iterator()
+      while (vit.hasNext) { counts(i) = vit.next(); i += 1 }
+      java.util.Arrays.sort(counts)
+      val m = counts(counts.length - capacity - 1) // (capacity+1)-th largest
+      val eit = buf.entrySet().iterator()
+      while (eit.hasNext) {
+        val e = eit.next()
+        if (e.getValue <= m) eit.remove() else e.setValue(e.getValue - m)
+      }
+    }
+    buf
+  }
+
+  override def eval(buf: java.util.HashMap[String, java.lang.Long]): Any = {
+    val arr = new Array[(String, Long)](buf.size)
+    var i = 0
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); arr(i) = (e.getKey, e.getValue.longValue); i += 1 }
+    // deterministic output order: count desc, item asc
+    val sorted = arr.sortBy { case (item, c) => (-c, item) }
+    new GenericArrayData(sorted.map { case (item, c) =>
+      InternalRow(UTF8String.fromString(item), c)
+    })
+  }
+
+  override def serialize(buf: java.util.HashMap[String, java.lang.Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val kb = e.getKey.getBytes("UTF-8")
+      out.writeInt(kb.length)
+      out.write(kb)
+      out.writeLong(e.getValue)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, java.lang.Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new java.util.HashMap[String, java.lang.Long](n * 2)
+    var i = 0
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      buf.put(new String(kb, "UTF-8"), in.readLong())
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGriesAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGriesAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MisraGriesAgg =
+    copy(child = newChild)
+}
+
+object MisraGriesAgg {
+  val resultType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("item", StringType, nullable = false),
+      StructField("est_count", LongType, nullable = false))),
+    containsNull = false)
+}

@@ -630,4 +630,59 @@ object sketch {
         floor(lit(num) / col("harmonic_fixed").cast("double") * 10000.0 + 0.5)
           / 10000.0)
   }
+
+  /** Heavy hitters (frequent items) via the native Misra–Gries aggregate
+    * ([[graft.functions.MisraGriesAgg]]): top-`topN` items by estimated
+    * count, `(item, est_count)` ordered count desc, item asc.
+    *
+    * This is the 100 TB twin of an exact
+    * `groupBy(item).count().orderBy(...).limit(n)`: the exact form
+    * shuffles the full item universe (web-scale token/URL/user universes
+    * are billions of keys), while MG state is a constant
+    * `capacity`-entry map per partial buffer — the exchange carries one
+    * small map per map task, and the merge tree preserves the
+    * `true − est ≤ N/(capacity+1)` undercount bound (Agarwal et al.,
+    * PODS 2012). With `capacity` ≥ the distinct-item count nothing ever
+    * evicts and the result is exact — the regime the DuckDB oracle
+    * pins; SketchSpec asserts the error bound beyond it. */
+  def heavyHitters(
+      df: DataFrame,
+      itemCol: Column,
+      capacity: Int,
+      topN: Int): DataFrame = {
+    require(topN >= 1, s"graft: heavyHitters needs topN >= 1, got $topN")
+    require(capacity >= topN,
+      s"graft: capacity ($capacity) must be >= topN ($topN) — the summary " +
+        "cannot surface more items than it retains")
+    df.select(graft.functions.aggregates
+        .heavyHittersAgg(itemCol, capacity).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("item"), col("e.est_count").as("est_count"))
+      .orderBy(col("est_count").desc, col("item").asc)
+      .limit(topN)
+  }
+
+  /** Per-group heavy hitters: one MG summary per group key, then each
+    * group's top-`topN` items. Same state bound per group; the shuffle
+    * carries one capacity-bounded map per (map task, group) — for
+    * high-cardinality groups this is exactly the partial-aggregation
+    * shape `groupBy(group, item)` cannot have. */
+  def heavyHittersBy(
+      df: DataFrame,
+      groupCols: Seq[String],
+      itemCol: Column,
+      capacity: Int,
+      topN: Int): DataFrame = {
+    require(groupCols.nonEmpty, "graft: heavyHittersBy needs group columns")
+    require(topN >= 1 && capacity >= topN,
+      s"graft: need 1 <= topN <= capacity, got topN=$topN capacity=$capacity")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.aggregates
+        .heavyHittersAgg(itemCol, capacity).as("hh"))
+      // the summary is already count-desc/item-asc sorted; slicing it is
+      // row-local — no second shuffle for the per-group top-N
+      .withColumn("e", explode(slice(col("hh"), 1, topN)))
+      .select(groupCols.map(col) ++ Seq(
+        col("e.item").as("item"), col("e.est_count").as("est_count")): _*)
+  }
 }

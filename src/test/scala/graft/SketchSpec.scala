@@ -306,4 +306,52 @@ class SketchSpec extends SparkSpec {
       .head().getLong(0)
     assert(est == 0L, s"disjoint keys should estimate 0 at width 8192, got $est")
   }
+
+  // Zipf-ish stream: item i appears 2^(9-i) times for i in 0..9, plus
+  // 200 singleton "noise" items — heavy head, long tail.
+  private def mgStream: Seq[String] =
+    (0 until 10).flatMap(i => Seq.fill(1 << (9 - i))(s"hot_$i")) ++
+      (0 until 200).map(i => f"noise_$i%03d")
+
+  test("heavyHitters: exact regime equals exact group counts, any partitioning") {
+    val data = mgStream
+    val exact = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val top = exact.toSeq.sortBy { case (k, c) => (-c, k) }.take(10)
+    for (parts <- Seq(1, 4, 13)) {
+      val df = data.toDF("item").repartition(parts)
+      val got = sketch.heavyHitters(df, col("item"), capacity = 512, topN = 10)
+        .as[(String, Long)].collect().toSeq
+      assert(got == top, s"parts=$parts: $got")
+    }
+  }
+
+  test("heavyHitters: overflow regime — underestimates, N/(k+1) bound, " +
+      "hot head retained across partitionings") {
+    val data = mgStream
+    val n = data.size.toLong
+    val exact = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cap = 16
+    for (parts <- Seq(1, 7)) {
+      val got = sketch.heavyHitters(data.toDF("item").repartition(parts),
+          col("item"), capacity = cap, topN = cap)
+        .as[(String, Long)].collect().toMap
+      got.foreach { case (k, est) =>
+        assert(est <= exact(k), s"MG overcounted $k: $est > ${exact(k)}")
+        assert(exact(k) - est <= n / (cap + 1),
+          s"undercount bound broken for $k: ${exact(k) - est} > ${n / (cap + 1)}")
+      }
+      // any item with true count > N/(cap+1) must be present
+      exact.filter(_._2 > n / (cap + 1)).keys.foreach(k =>
+        assert(got.contains(k), s"parts=$parts: frequent item $k evicted"))
+    }
+  }
+
+  test("heavyHittersBy: per-group summaries independent; nulls skipped") {
+    val rows = Seq.fill(30)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(9)(("b", "z")) ++ Seq(("b", null.asInstanceOf[String]))
+    val got = sketch.heavyHittersBy(rows.toDF("g", "item"), Seq("g"),
+        col("item"), capacity = 8, topN = 2)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("a", "x", 30L), ("a", "y", 20L), ("b", "z", 9L)))
+  }
 }
