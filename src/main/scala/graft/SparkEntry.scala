@@ -612,6 +612,16 @@ object SparkEntry {
       ann.rpSearch(embIndex(s, dir), Q1, k = 10)
         .select(col("vec_id"), col("score"), col("label"))),
 
+    // north-star: Matryoshka prefix-dim search (Kusupati et al. 2022) —
+    // coarse cosine on the first 16 of 64 dims (a `slice` of the
+    // already-scanned array, no auxiliary column or matrix), 40-candidate
+    // pool, exact f32 rerank. Both stages deterministic (quantized score
+    // + id tiebreak), so the oracle replays them exactly.
+    "vec_matryoshka_topk" -> ((s, dir) =>
+      ann.matryoshkaSearch(embStore(s, dir), Q1, k = 10,
+          prefixDims = 16, candK = 40)
+        .select(col("vec_id"), col("score"), col("label"))),
+
     // roadmap (README.md:204-215): int8 scalar quantization — first-pass
     // scoring over 4x fewer bytes; exact f32 rerank stays available.
     "vec_quant_dot_topk" -> ((s, dir) => {
@@ -2984,6 +2994,20 @@ object SparkEntry {
          |), c AS (
          |  SELECT vec_id, label, e, ${r4(sqlCosineOn("p", pq))} AS rp_score FROM pe
          |  ORDER BY rp_score DESC, vec_id LIMIT 40
+         |), s AS (
+         |  SELECT vec_id, label, ${r4(sqlCosineOn("e", Q1))} AS score FROM c
+         |)
+         |SELECT vec_id, score, label FROM s
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+    },
+
+    "vec_matryoshka_topk" -> {
+      val qp = Q1.take(16)
+      s"""WITH pe AS (
+         |  SELECT vec_id, label, $E AS e, list_slice($E, 1, 16) AS p FROM embeddings
+         |), c AS (
+         |  SELECT vec_id, label, e, ${r4(sqlCosineOn("p", qp))} AS mrl_score FROM pe
+         |  ORDER BY mrl_score DESC, vec_id LIMIT 40
          |), s AS (
          |  SELECT vec_id, label, ${r4(sqlCosineOn("e", Q1))} AS score FROM c
          |)

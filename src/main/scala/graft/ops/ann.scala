@@ -303,6 +303,48 @@ object ann {
       .collect()
   }
 
+  /** Matryoshka (prefix-dimension) two-stage cosine top-k: coarse-score
+    * on the FIRST `prefixDims` dimensions only, keep the top `candK`
+    * candidates, exact-rerank on the full vector (Kusupati et al. 2022,
+    * "Matryoshka Representation Learning" — embeddings trained so that
+    * prefixes are themselves usable embeddings).
+    *
+    * Same two-stage shape as [[rpSearch]], but the coarse stage needs NO
+    * stored auxiliary column or projection matrix: `slice` reads a
+    * prefix of the already-scanned array. At 100 TB the win is
+    * arithmetic (prefixDims/dim of the multiply-adds) rather than I/O —
+    * Parquet stores the array as one cell, so pair this with the
+    * persisted-RP index when scan bytes, not FLOPs, are the bottleneck.
+    * Candidate cut is driver-free: coarse top-candK is a
+    * TakeOrderedAndProject (per-partition heaps + one merge), rerank
+    * scores only `candK` rows. Recall is a property of how the
+    * embeddings were trained; measure it with [[recallAtK]] before
+    * trusting a prefix width. */
+  def matryoshkaSearch(
+      store: VecStore,
+      q: Seq[Double],
+      k: Int,
+      prefixDims: Int,
+      candK: Int = 0): DataFrame = {
+    require(prefixDims >= 1 && prefixDims <= q.length,
+      s"graft: need 1 <= prefixDims <= ${q.length}, got $prefixDims")
+    val cand = math.max(k, if (candK > 0) candK else 4 * k)
+    val qp = q.take(prefixDims)
+    val prefix = slice(vectors.asDoubleArray(col(store.vecCol)), 1, prefixDims)
+    val coarse = vectors.quantize(
+      vectors.score(Metric.Cosine, prefix, vectors.vecLit(qp),
+        queryInvNorm = Some(lit(vectors.invNormOf(qp)))), 4)
+    val pool = store.df
+      .withColumn("_mrl_score", coarse)
+      .orderBy(col("_mrl_score").desc, col(store.idCol).asc)
+      .limit(cand)
+    store.copy(df = pool.drop("_mrl_score"))
+      .query(q, Metric.Cosine)
+      .take(k)
+      .withScoreRounding(4)
+      .collect()
+  }
+
   /** Multi-probe probe set for a query (Lv et al. 2007): the query's own
     * signature plus the `probes - 1` cheapest bit perturbations, where a
     * perturbation's cost is the summed |margin| (|q·h_j|) of its flipped

@@ -493,4 +493,28 @@ class AnnSpec extends SparkSpec {
       .select("vec_id", "centroid_dist").as[(Long, Double)].collect().toSeq
     assert(top == Seq((2L, 25.0), (1L, 2.0)))
   }
+
+  test("matryoshkaSearch: full-width prefix equals exact search; pool cut works") {
+    val q = vec(1000)
+    val exact = store.query(q, Metric.Cosine).take(5).withScoreRounding(4)
+      .collect().select("vec_id", "score").as[(Long, Double)].collect().toSeq
+    // prefixDims = dim → coarse stage IS the exact ranking; any candK >= k
+    // must return exactly the exact top-k
+    val full = ann.matryoshkaSearch(store, q, k = 5, prefixDims = dim, candK = 8)
+      .select("vec_id", "score").as[(Long, Double)].collect().toSeq
+    assert(full == exact)
+    // narrow prefix with candK = all rows → rerank sees everything, so the
+    // result is again the exact top-k regardless of prefix quality
+    val wide = ann.matryoshkaSearch(store, q, k = 5, prefixDims = 4, candK = 200)
+      .select("vec_id", "score").as[(Long, Double)].collect().toSeq
+    assert(wide == exact)
+    // narrow prefix + tight pool: still k rows, scores are true cosines
+    // (every returned score must appear in the exact full ranking)
+    val allScores = store.query(q, Metric.Cosine).take(200).withScoreRounding(4)
+      .collect().select("vec_id", "score").as[(Long, Double)].collect().toMap
+    val tight = ann.matryoshkaSearch(store, q, k = 5, prefixDims = 4, candK = 10)
+      .select("vec_id", "score").as[(Long, Double)].collect().toSeq
+    assert(tight.size == 5)
+    tight.foreach { case (id, s) => assert(allScores(id) == s, s"id $id") }
+  }
 }
