@@ -2160,6 +2160,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // north-star: ANSI/Delta-style MERGE with all three clauses and SQL
+    // precedence (matched DELETE before unconditional UPDATE; INSERT for
+    // source-only keys). Source: keys %10==0 / %15==0 carry 'U'/'D'
+    // status at half price; shifted keys (+1 of %10==3) mostly insert —
+    // the ones landing on real orders exercise update-despite-'I'.
+    "rel_merge" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val srcUd = table(s, dir, "orders")
+        .where(col("o_orderkey") % 10 === 0 || col("o_orderkey") % 15 === 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 15 === 0, lit("D")).otherwise(lit("U"))
+            .as("o_orderstatus"),
+          (col("o_totalprice") / 2).as("o_totalprice"))
+      val srcIns = table(s, dir, "orders")
+        .where(col("o_orderkey") % 10 === 3)
+        .select((col("o_orderkey") + 1).as("o_orderkey"),
+          lit("I").as("o_orderstatus"), col("o_totalprice"))
+      rel.merge(o, srcUd.unionByName(srcIns), Seq("o_orderkey"),
+          whenMatchedUpdate = Some(lit(true)),
+          whenMatchedDelete = Some(col("s.o_orderstatus") === "D"),
+          whenNotMatchedInsert = Some(lit(true)))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // north-star: SCD type-2 intervals from a change log — no-op writes
     // collapsed via fingerprint lag, validity closed via lead; every
     // window keyed on the id, no global order anywhere.
@@ -4441,6 +4466,36 @@ object SparkEntry {
         |FROM documents s FULL OUTER JOIN latest l ON s.doc_id = l.doc_id
         |WHERE l.op IS NULL OR l.op <> 'delete'
         |ORDER BY doc_id""".stripMargin,
+
+    // Clause-by-clause replay of the MERGE: target-only rows survive,
+    // matched rows delete on 'D' else take source values, source-only
+    // rows insert. Keys are unique in every branch, so UNION ALL + sort
+    // is deterministic.
+    "rel_merge" ->
+      """WITH src AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 15 = 0 THEN 'D' ELSE 'U' END AS o_orderstatus,
+        |    o_totalprice / 2 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 0 OR o_orderkey % 15 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 1, 'I', o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 3),
+        |kept AS (
+        |  SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice
+        |  FROM orders o LEFT JOIN src s USING (o_orderkey)
+        |  WHERE s.o_orderkey IS NULL),
+        |upd AS (
+        |  SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice
+        |  FROM src s JOIN orders o USING (o_orderkey)
+        |  WHERE s.o_orderstatus <> 'D'),
+        |ins AS (
+        |  SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice
+        |  FROM src s LEFT JOIN orders o USING (o_orderkey)
+        |  WHERE o.o_orderkey IS NULL)
+        |SELECT * FROM (
+        |  SELECT * FROM kept UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM ins)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "rel_scd2" ->
       """WITH ch AS (

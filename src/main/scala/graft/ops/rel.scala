@@ -433,6 +433,65 @@ object rel {
         when(col("_op").isNotNull, col(s"_ch_$c")).otherwise(col(c)).as(c)): _*)
   }
 
+  /** ANSI/Delta-style MERGE: apply `source` to `target` on `keyCols`
+    * with the three standard clauses, conditions written against the
+    * aliases `t` (target) and `s` (source) — e.g.
+    * `whenMatchedDelete = Some(col("s.status") === "D")`. Clause
+    * precedence is SQL MERGE's: matched rows test DELETE first, then
+    * UPDATE (update takes the source row's values), else keep the
+    * target row unchanged; source-only rows INSERT when their
+    * condition holds; target-only rows always survive. A null
+    * condition is "not satisfied" (SQL three-valued logic), and rows
+    * with null keys never match (plain equality, as in MERGE).
+    *
+    * `source` must be unique on `keyCols` — SQL MERGE raises on
+    * multiple matches; here a duplicate source key would apply
+    * nondeterministically, so dedup upstream ([[cdcApply]]'s keep-latest
+    * window is the standard preamble for CDC feeds).
+    *
+    * Scale shape: ONE full-outer sort-merge join, both sides shuffled
+    * on the key once, everything else row-local — the semantic core of
+    * what table formats execute. At 100 TB the production win layered
+    * on top is touched-file pruning (join the source's key range/bloom
+    * against file stats first, rewrite only matched files); compose
+    * with [[bloomJoin]]/partition filters for that — this op is the
+    * per-row merge those prunings funnel into. */
+  def merge(
+      target: DataFrame,
+      source: DataFrame,
+      keyCols: Seq[String],
+      whenMatchedUpdate: Option[Column] = None,
+      whenMatchedDelete: Option[Column] = None,
+      whenNotMatchedInsert: Option[Column] = None): DataFrame = {
+    require(keyCols.nonEmpty, "graft: merge needs key columns")
+    val valueCols = target.columns.filterNot(keyCols.contains).toSeq
+    val missing = (keyCols ++ valueCols).filterNot(source.columns.contains)
+    require(missing.isEmpty,
+      s"graft: merge source is missing columns: ${missing.mkString(", ")}")
+    require(
+      Seq(whenMatchedUpdate, whenMatchedDelete, whenNotMatchedInsert).exists(_.isDefined),
+      "graft: merge with no WHEN clause is the identity — pass at least one")
+    val t = target.withColumn("_t_present", lit(true)).alias("t")
+    val s = source.withColumn("_s_present", lit(true)).alias("s")
+    val on = keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _)
+    val matched = col("t._t_present").isNotNull && col("s._s_present").isNotNull
+    val tOnly = col("t._t_present").isNotNull && col("s._s_present").isNull
+    // null condition = clause not satisfied, exactly as SQL MERGE
+    def cond(c: Option[Column]): Column =
+      coalesce(c.getOrElse(lit(false)), lit(false))
+    val doDelete = cond(whenMatchedDelete)
+    val doUpdate = !doDelete && cond(whenMatchedUpdate)
+    val doInsert = cond(whenNotMatchedInsert)
+    t.join(s, on, "full_outer")
+      .where((matched && !doDelete) || tOnly || (!matched && !tOnly && doInsert))
+      .select(
+        keyCols.map(k => coalesce(col(s"t.$k"), col(s"s.$k")).as(k)) ++
+          valueCols.map(c =>
+            when(matched && doUpdate, col(s"s.$c"))
+              .when(matched || tOnly, col(s"t.$c"))
+              .otherwise(col(s"s.$c")).as(c)): _*)
+  }
+
   /** Incremental MATERIALIZED-AGGREGATE maintenance — keep a `(groups,
     * n, sum_<value>)` rollup current under a change log WITHOUT
     * rescanning the fact table: the log's rows aggregate into signed

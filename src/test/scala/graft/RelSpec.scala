@@ -394,4 +394,41 @@ class RelSpec extends SparkSpec {
     assert(survivors >= 1 && survivors < 100,
       s"bloom prefilter not selective: $survivors of 1000 rows passed")
   }
+
+  test("merge: clause precedence, null conditions, null keys, target-only") {
+    val target = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
+      (4L, "d", 40L)).toDF("k", "v", "n")
+    // key 1: matched, delete cond true AND update cond true → DELETE wins
+    // key 2: matched, delete cond NULL (three-valued) → update applies
+    // key 3: matched, no clause satisfied → target row unchanged
+    // key 5: source-only, insert cond true → inserted
+    // key 6: source-only, insert cond false → dropped
+    // null key: never matches → not-matched, insert cond true → inserted
+    val source = Seq(
+      (Option(1L), "del", 0L), (Option(2L), "upd", 99L), (Option(3L), "no", 0L),
+      (Option(5L), "ins", 50L), (Option(6L), "skip", 60L),
+      (Option.empty[Long], "nullkey", 70L)).toDF("k", "v", "n")
+    val got = rel.merge(target, source, Seq("k"),
+        whenMatchedUpdate = Some(col("s.n") === 99L),
+        whenMatchedDelete = Some(when(col("s.v") === "del", lit(true))
+          .when(col("s.v") === "upd", lit(null).cast("boolean"))
+          .otherwise(lit(false))),
+        whenNotMatchedInsert = Some(col("s.v") =!= "skip"))
+      .collect().map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+        r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (Some(2L), "upd", 99L),   // updated (null delete cond not satisfied)
+      (Some(3L), "c", 30L),     // matched, no clause → unchanged
+      (Some(4L), "d", 40L),     // target-only survives
+      (Some(5L), "ins", 50L),   // inserted
+      (None, "nullkey", 70L)),  // null key never matches → inserted
+      got.toString)
+  }
+
+  test("merge: no clauses at all is refused") {
+    val df = Seq((1L, "a")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      rel.merge(df, df, Seq("k"))
+    }
+  }
 }
