@@ -622,6 +622,15 @@ object SparkEntry {
           prefixDims = 16, candK = 40)
         .select(col("vec_id"), col("score"), col("label"))),
 
+    // north-star: greedy k-center (farthest-point) coreset selection —
+    // 6 rounds, each one full scan with the chosen centers riding the
+    // plan as literals and a single-row TakeOrderedAndProject; the
+    // quantize-before-argmax discipline makes the greedy trajectory
+    // engine-reproducible, so the oracle replays all 6 rounds as
+    // unrolled CTEs and must select the identical centers.
+    "ann_kcenter_select" -> ((s, dir) =>
+      ann.kCenterSelect(table(s, dir, "embeddings"), k = 6)),
+
     // roadmap (README.md:204-215): int8 scalar quantization — first-pass
     // scoring over 4x fewer bytes; exact f32 rerank stays available.
     "vec_quant_dot_topk" -> ((s, dir) => {
@@ -3038,6 +3047,29 @@ object SparkEntry {
          |)
          |SELECT vec_id, score, label FROM s
          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+    },
+
+    // Gonzalez greedy unrolled: d_r = least(d_{r-1}, quantized pairwise
+    // L2 to the newest center), winner by (d desc, id asc) — exactly the
+    // Spark op's per-round computation.
+    "ann_kcenter_select" -> {
+      val k = 6
+      val head =
+        s"""WITH e AS (SELECT vec_id, $E AS v FROM embeddings),
+           |c0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+           |d1 AS (SELECT e.vec_id, e.v, ${r4(sqlL2Between("e.v", "c.v"))} AS d
+           |  FROM e, c0 c),
+           |c1 AS (SELECT vec_id, v, d FROM d1 ORDER BY d DESC, vec_id LIMIT 1)""".stripMargin
+      val rounds = (2 until k).map(r =>
+        s""",
+           |d$r AS (SELECT d.vec_id, d.v,
+           |  least(d.d, ${r4(sqlL2Between("d.v", "c.v"))}) AS d
+           |  FROM d${r - 1} d, c${r - 1} c),
+           |c$r AS (SELECT vec_id, v, d FROM d$r ORDER BY d DESC, vec_id LIMIT 1)""".stripMargin).mkString
+      val sel = "SELECT 0 AS round, vec_id AS center_id, 0.0::DOUBLE AS dist_sq FROM c0" +
+        (1 until k).map(r =>
+          s" UNION ALL SELECT $r, vec_id, d FROM c$r").mkString
+      s"$head$rounds\n$sel ORDER BY round"
     },
 
     "vec_quant_dot_topk" -> {

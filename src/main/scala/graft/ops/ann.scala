@@ -856,4 +856,53 @@ object ann {
           (col("hits") / lit(k.toDouble)).as("recall"))
     }.reduce(_ union _).orderBy(col("q_idx"))
   }
+
+  /** Greedy k-center (farthest-point) coreset selection, Gonzalez 1985:
+    * seed with the lowest-id vector, then `k−1` rounds of "pick the
+    * point farthest from its nearest already-chosen center" — the
+    * classic 2-approximation for max-coverage diversity, used to pick
+    * maximally-spread exemplars / eval probes from an embedding corpus
+    * (complementary to [[graft.ops.sample.mmr]]-style relevance-diversity
+    * and to [[kmeans]]' mass-seeking centroids: k-center chases the
+    * FRINGE).
+    *
+    * Distributed shape: each round is one full scan — distances to the
+    * ≤k chosen centers are LITERAL arrays riding the plan (no join, no
+    * shuffle), the round's winner is a TakeOrderedAndProject of ONE row.
+    * k driver-side single-row collects total, k·n·k distance evals —
+    * for the k ≤ ~64 coreset regime the stateless recompute beats
+    * carrying a running-min column through k checkpoints. Distances are
+    * quantized (4 dp) BEFORE the argmax with id tiebreak, so the greedy
+    * trajectory is engine-reproducible — the DuckDB oracle replays every
+    * round as an unrolled CTE and must pick the identical centers.
+    *
+    * Returns one row per round: `(round, center_id, dist_sq)` where
+    * `dist_sq` is the squared L2 from the chosen point to its nearest
+    * prior center (0 for the seed) — the standard k-center radius curve
+    * (reading it tells you when extra centers stop buying coverage). */
+  def kCenterSelect(
+      df: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && k <= 64,
+      s"graft: kCenterSelect is the bounded-k coreset tool — need 1 <= k <= 64, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = vectors.asDoubleArray(col(vecCol))
+    val seedRow = df.select(col(idCol).cast("long"), v)
+      .orderBy(col(idCol)).limit(1).collect()(0)
+    var centers = Vector((seedRow.getLong(0), seedRow.getSeq[Double](1).toSeq, 0.0))
+    while (centers.size < k) {
+      val minDist = centers.map { case (_, cv, _) =>
+        vectors.quantize(vectors.l2Squared(v, vectors.vecLit(cv)), 4)
+      }.reduce(least(_, _))
+      val w = df.select(col(idCol).cast("long"), v, minDist.as("_d"))
+        .orderBy(col("_d").desc, col(idCol).asc).limit(1).collect()(0)
+      centers :+= ((w.getLong(0), w.getSeq[Double](1).toSeq, w.getDouble(2)))
+    }
+    centers.zipWithIndex
+      .map { case ((id, _, d), r) => (r, id, d) }
+      .toDF("round", "center_id", "dist_sq")
+  }
 }

@@ -517,4 +517,25 @@ class AnnSpec extends SparkSpec {
     assert(tight.size == 5)
     tight.foreach { case (id, s) => assert(allScores(id) == s, s"id $id") }
   }
+
+  test("kCenterSelect: planted clusters each get a center; radius non-increasing") {
+    // 4 tight clusters at the corners of a 100×100 square; ids ordered so
+    // the seed (min id) sits in cluster (0,0)
+    val pts = for {
+      (cx, cy) <- Seq((0.0, 0.0), (100.0, 0.0), (0.0, 100.0), (100.0, 100.0))
+      j <- 0 until 5
+    } yield (cx, cy, j)
+    val df = pts.zipWithIndex.map { case ((cx, cy, j), i) =>
+      (i.toLong, Array(cx + j * 0.1, cy - j * 0.1))
+    }.toDF("vec_id", "embedding")
+    val got = ann.kCenterSelect(df, k = 4)
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq(0, 1, 2, 3))
+    assert(got(0)._2 == 0L && got(0)._3 == 0.0) // seed = min id, dist 0
+    // one center per planted cluster (ids 0-4, 5-9, 10-14, 15-19)
+    assert(got.map(_._2 / 5).toSet == Set(0L, 1L, 2L, 3L), got.mkString(","))
+    // the k-center radius curve never increases after round 1
+    val radii = got.drop(1).map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a }, radii.toSeq)
+  }
 }
