@@ -2241,6 +2241,19 @@ object SparkEntry {
           col("user_id"), capacity = 256, topN = 5)
         .orderBy(col("event_type"), col("est_count").desc, col("item"))),
 
+    // north-star: trending items — MG heavy hitters composed with
+    // event-time tumbling windows (top users per hour). The same plan
+    // runs under Structured Streaming (EventStreamSpec pins it on a
+    // MemoryStream): windowed MG state is capacity-bounded per open
+    // window, the canonical "trending now" shape at firehose scale.
+    "events_trending_hh" -> ((s, dir) =>
+      sketch.heavyHittersBy(
+          events(s, dir).withColumn("wstart",
+            date_format(window(col("ts"), "1 hour").getField("start"),
+              "yyyy-MM-dd HH:mm:ss")),
+          Seq("wstart"), col("user_id"), capacity = 256, topN = 3)
+        .orderBy(col("wstart"), col("est_count").desc, col("item"))),
+
     // north-star: long-form MaxSim over a token TABLE (variable-length
     // multi-vector docs) — result-identical to the unrolled fast path
     // on the sliced layout, which is exactly what this fixture checks
@@ -4575,6 +4588,17 @@ object SparkEntry {
         |    ORDER BY est_count DESC, item) AS rk FROM c)
         |SELECT event_type, item, est_count FROM r WHERE rk <= 5
         |ORDER BY event_type, est_count DESC, item""".stripMargin,
+
+    "events_trending_hh" ->
+      """WITH c AS (SELECT
+        |    strftime(make_timestamp((floor(epoch(ts)/3600)*3600*1000000)::BIGINT),
+        |      '%Y-%m-%d %H:%M:%S') AS wstart,
+        |    user_id::VARCHAR AS item, count(*)::BIGINT AS est_count
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY wstart
+        |    ORDER BY est_count DESC, item) AS rk FROM c)
+        |SELECT wstart, item, est_count FROM r WHERE rk <= 3
+        |ORDER BY wstart, est_count DESC, item""".stripMargin,
 
     "sample_epoch_shuffle" ->
       """SELECT doc_id, row_number() OVER (

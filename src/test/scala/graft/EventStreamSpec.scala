@@ -365,4 +365,29 @@ class EventStreamSpec extends SparkSpec {
       (w0, 0L, 2L), (w0, 1L, 1L),          // users 1+2 cohort; user 1 returns
       (w0 + 1, 0L, 1L), (w0 + 1, 2L, 1L))) // user 3 cohort and its return
   }
+
+  test("windowed MG heavy hitters runs as a REAL stream and matches batch") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val sdf = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // streaming groupBy(window) with the custom TypedImperativeAggregate:
+    // partial MG maps merge into the window's state store entry — state
+    // is capacity-bounded per open window
+    val q = sdf.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("wstart"))
+      .agg(graft.functions.aggregates.heavyHittersAgg(col("user_id"), 16).as("hh"))
+      .writeStream.format("memory").queryName("hh_stream")
+      .outputMode("complete").start()
+    try {
+      mem.addData(batch.as[(Long, Timestamp, Long, String, Double, String)].collect().toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("hh_stream")
+        .select(date_format(col("wstart"), "HH:mm").as("w"), expr("inline(hh)"))
+        .as[(String, String, Long)].collect().toSet
+      // hour 00: user 7 twice, user 8 once; hour 01: user 7 once — exact
+      // regime (2 distinct users < capacity 16), so counts are exact
+      assert(streamed == Set(("00:00", "7", 2L), ("00:00", "8", 1L),
+        ("01:00", "7", 1L)))
+    } finally q.stop()
+  }
 }
