@@ -378,6 +378,46 @@ object ScaleRehearsal {
         (0 until 16).map(i => math.sin(qi * 64.0 + j * 16 + i + 1.0)))),
       tokDim = 16, docDim = 64, k = 10))
 
+    // ---- session-8 additions: MG heavy hitters, MERGE, k-center, -----
+    // ---- matryoshka ---------------------------------------------------
+    // MG heavy hitters DEEP in the overflow regime: factor× users
+    // against a fixed 256-entry capacity — state stays 256 entries per
+    // partial buffer no matter the corpus size; only the merge count
+    // grows. The interesting number is wall time staying corpus-linear.
+    run("mg_heavy_hitters", countRows = false)(graft.ops.sketch.heavyHitters(
+      events, col("user_id"), capacity = 256, topN = 20))
+    // per-window trending at factor× users: state = capacity × open
+    // windows, the streaming-budget shape
+    run("mg_trending", countRows = false)(graft.ops.sketch.heavyHittersBy(
+      events.withColumn("wstart",
+        date_format(window(col("ts"), "1 hour").getField("start"),
+          "yyyy-MM-dd HH:mm:ss")),
+      Seq("wstart"), col("user_id"), capacity = 256, topN = 3))
+    // MERGE at factor scale: source = 10% updates + deletes + shifted
+    // inserts; one full-outer SMJ on the key
+    run("merge_apply")(rel.merge(
+      docs.select(col("doc_id"), col("lang"), col("n_chars")),
+      docs.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 30 === 0, lit("DEL")).otherwise(lit("xx"))
+            .as("lang"), col("n_chars"))
+        .unionByName(docs.where(col("doc_id") % 10 === 3)
+          .select((col("doc_id") + 1).as("doc_id"), lit("ins").as("lang"),
+            col("n_chars"))
+          .join(docs.select(col("doc_id")), Seq("doc_id"), "left_anti")),
+      Seq("doc_id"),
+      whenMatchedUpdate = Some(lit(true)),
+      whenMatchedDelete = Some(col("s.lang") === "DEL"),
+      whenNotMatchedInsert = Some(lit(true))))
+    // greedy k-center: 6 rounds × one scan each over factor× vectors —
+    // cost is k scans, centers ride as literals, no shuffle anywhere
+    run("kcenter_select", countRows = false)(
+      ann.kCenterSelect(emb, k = 6))
+    // matryoshka: coarse prefix-16 scan + 40-candidate exact rerank
+    run("matryoshka_topk", countRows = false)(ann.matryoshkaSearch(
+      graft.core.VecStore(emb), (0 until 64).map(i => math.sin(i + 1.0)),
+      k = 10, prefixDims = 16, candK = 40))
+
     spark.stop()
   }
 }
