@@ -51,10 +51,16 @@ object dedup {
 
   /** Exact Jaccard similarity of two (already-distinct) string-array
     * columns: |a ∩ b| / |a ∪ b|. */
-  def jaccard(a: Column, b: Column): Column =
-    when(size(array_union(a, b)) > 0,
-      size(array_intersect(a, b)).cast("double") / size(array_union(a, b)))
-      .otherwise(lit(0.0))
+  def jaccard(a: Column, b: Column): Column = {
+    // |a ∪ b| = |a| + |b| − |a ∩ b| for the distinct arrays this
+    // contract requires — one hash-set build per pair instead of the
+    // three that literal intersect+union(×2 via the zero guard) cost;
+    // the rerank joins evaluate this per candidate pair, so it's the
+    // single hottest scalar in the dedup family
+    val inter = size(array_intersect(a, b))
+    val uni = size(a) + size(b) - inter
+    when(uni > 0, inter.cast("double") / uni).otherwise(lit(0.0))
+  }
 
   // ---- exact dedup -----------------------------------------------------
 
@@ -223,7 +229,8 @@ object dedup {
       threshold: Double,
       k: Int = 16,
       bands: Int = 8,
-      n: Int = 3): DataFrame = {
+      n: Int = 3,
+      pairFilter: Option[Column] = None): DataFrame = {
     val mh = minhashed(df, textCol, idCol, k, n)
     val banded = mh
       .select(col(idCol), explode(lshBands(col("sig"), k, bands)).as("band"))
@@ -242,6 +249,11 @@ object dedup {
       .where(size(col("ids")) > 1)
       .select(explode(pairsOf(col("ids"))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      // caller-supplied candidate gate (e.g. planted-pair alignment in
+      // [[minhashPlantedRecall]]) applies BEFORE distinct + the grams
+      // rerank joins — filtering an (id,id) pair costs nothing here and
+      // a set-intersection per pair after
+      .where(pairFilter.getOrElse(lit(true)))
       .distinct()
     val ga = mh.select(col(idCol).as("id_a"), col("grams").as("grams_a"))
     val gb = mh.select(col(idCol).as("id_b"), col("grams").as("grams_b"))
@@ -416,8 +428,13 @@ object dedup {
     }.reduce(_ unionByName _)
     val corpus = base.unionByName(planted)
       .select(col("_id"), array_join(col("_toks"), " ").as("_text"))
-    val det = minhashNearDupPairs(corpus, "_text", "_id", threshold, k, bands, n)
-      .where(col("id_a") < Stride && (col("id_b") - col("id_a")) % Stride === 0)
+    // the planted-alignment gate rides INTO the pair generator: only
+    // (base, its-own-planted-copy) candidates reach the Jaccard rerank —
+    // cross-level and noise candidates (the majority on this clone-dense
+    // corpus) drop as bare id pairs
+    val det = minhashNearDupPairs(corpus, "_text", "_id", threshold, k, bands, n,
+        pairFilter = Some(col("id_a") < Stride &&
+          (col("id_b") - col("id_a")) % Stride === 0))
       .select(expr(s"(id_b - id_a) DIV ${Stride}L").as("level"))
       .groupBy(col("level")).agg(count(lit(1)).as("n_detected"))
     // REPL-safe literal level table (explicit schema, no product encoder)
