@@ -80,16 +80,20 @@ object sketch {
       width: Int = 1024): DataFrame = {
     require(depth >= 1 && width >= 1,
       s"countMin needs depth, width >= 1, got $depth, $width")
-    // h32 base, NOT h63: the affine family's no-overflow bound is
-    // (2·depth+1)·h < 2⁶³, which holds for 32-bit bases only
-    val base = hashing.h32(valueCol.cast("string"))
     // h32(null) is null → a null value would emit depth (row, NULL)
     // cells, polluting the depth×width cell set anyone merging or
-    // hashing the sketch relies on; a null is no observation at all
+    // hashing the sketch relies on; a null is no observation at all.
+    // The h32 base (NOT h63: the affine family's no-overflow bound is
+    // (2·depth+1)·h < 2⁶³, which holds for 32-bit bases only) is
+    // materialized in its own projection BEFORE the explode — generator
+    // expressions get no common-subexpression elimination, so inlining
+    // it would run the md5 digest `depth` times per row ([[bloom]]
+    // hashes before its explode for the same reason)
     df.where(valueCol.isNotNull)
+      .select(hashing.h32(valueCol.cast("string")).as("_h"))
       .select(explode(array((0 until depth).map(i =>
         struct(lit(i).as("row"),
-          pmod(hashing.affine(base, i), lit(width.toLong)).as("bucket"))): _*))
+          pmod(hashing.affine(col("_h"), i), lit(width.toLong)).as("bucket"))): _*))
         .as("c"))
       .groupBy(col("c.row").as("row"), col("c.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
