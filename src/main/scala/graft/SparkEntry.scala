@@ -2241,6 +2241,16 @@ object SparkEntry {
           col("user_id"), capacity = 256, topN = 5)
         .orderBy(col("event_type"), col("est_count").desc, col("item"))),
 
+    // north-star: WEIGHTED heavy hitters — top users by total event
+    // VALUE (micros, exact integer weights), not event count. Exact
+    // regime again (capacity ≥ distinct users), so MG totals equal the
+    // exact group sums.
+    "sketch_heavyhitters_weighted" -> ((s, dir) =>
+      sketch.heavyHittersWeighted(
+        table(s, dir, "events").where(col("value").isNotNull),
+        col("user_id"), floor(col("value") * 1000000.0).cast("long"),
+        capacity = 256, topN = 20)),
+
     // north-star: trending items — MG heavy hitters composed with
     // event-time tumbling windows (top users per hour). The same plan
     // runs under Structured Streaming (EventStreamSpec pins it on a
@@ -4588,6 +4598,13 @@ object SparkEntry {
         |    ORDER BY est_count DESC, item) AS rk FROM c)
         |SELECT event_type, item, est_count FROM r WHERE rk <= 5
         |ORDER BY event_type, est_count DESC, item""".stripMargin,
+
+    "sketch_heavyhitters_weighted" ->
+      """SELECT user_id::VARCHAR AS item,
+        |  sum(greatest(floor(value * 1000000.0)::BIGINT, 0))::BIGINT AS est_weight
+        |FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |GROUP BY 1 HAVING est_weight > 0
+        |ORDER BY est_weight DESC, item LIMIT 20""".stripMargin,
 
     "events_trending_hh" ->
       """WITH c AS (SELECT

@@ -6,7 +6,6 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.bridge.{toColumn => column, toExpression => expression}
 import org.apache.spark.sql.types._
@@ -48,21 +47,38 @@ object aggregates {
   def heavyHittersAgg(items: Column, capacity: Int): Column =
     column(MisraGriesAgg(expression(items.cast("string")), capacity)
       .toAggregateExpression())
+
+  /** WEIGHTED heavy hitters: each observation carries a long weight
+    * (token counts, bytes, spend micros) and the summary tracks total
+    * weight per item — the standard weighted MG generalization: an
+    * arriving item with no slot subtracts the minimum of (all counters,
+    * its own weight) from everything, keeping the undercount bound
+    * `true − est ≤ W/(capacity+1)` for TOTAL weight W. Rows with null
+    * item, null weight, or weight <= 0 are no observation. */
+  def heavyHittersWeightedAgg(items: Column, weight: Column, capacity: Int): Column =
+    column(MisraGriesAgg(expression(items.cast("string")), capacity,
+        weightChild = Some(expression(weight.cast("long"))))
+      .toAggregateExpression())
 }
 
 case class MisraGriesAgg(
     child: Expression,
     capacity: Int,
+    weightChild: Option[Expression] = None,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.HashMap[String, java.lang.Long]]
-  with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[java.util.HashMap[String, java.lang.Long]] {
 
   require(capacity >= 1, s"graft: MisraGriesAgg capacity must be >= 1, got $capacity")
 
   override def prettyName: String = "mg_heavy_hitters"
   override def nullable: Boolean = false
   override def dataType: DataType = MisraGriesAgg.resultType
+  override def children: Seq[Expression] = child +: weightChild.toSeq
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MisraGriesAgg =
+    copy(child = newChildren(0),
+      weightChild = if (newChildren.length > 1) Some(newChildren(1)) else None)
 
   override def createAggregationBuffer(): java.util.HashMap[String, java.lang.Long] =
     new java.util.HashMap[String, java.lang.Long]()
@@ -72,18 +88,33 @@ case class MisraGriesAgg(
       input: InternalRow): java.util.HashMap[String, java.lang.Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val s = v.asInstanceOf[UTF8String].toString
-      val cur = buf.get(s)
-      if (cur != null) buf.put(s, cur + 1L)
-      else if (buf.size < capacity) buf.put(s, 1L)
-      else {
-        // MG step: no free slot — decrement every counter (the new item's
-        // single occurrence is the k+1'th simultaneous decrement), drop
-        // zeros. O(capacity), amortized O(1) per input item.
-        val it = buf.entrySet().iterator()
-        while (it.hasNext) {
-          val e = it.next()
-          if (e.getValue == 1L) it.remove() else e.setValue(e.getValue - 1L)
+      val w: Long = weightChild match {
+        case None => 1L
+        case Some(e) =>
+          val x = e.eval(input)
+          if (x == null) 0L else x.asInstanceOf[Long]
+      }
+      if (w > 0L) {
+        val s = v.asInstanceOf[UTF8String].toString
+        val cur = buf.get(s)
+        if (cur != null) buf.put(s, cur + w)
+        else if (buf.size < capacity) buf.put(s, w)
+        else {
+          // weighted MG step: no free slot — subtract m = min(all
+          // counters, w) from everything including the newcomer, drop
+          // zeros, and insert the newcomer's remainder if any (a slot is
+          // guaranteed free then, because m was some counter's value).
+          // With w=1 this is exactly classic MG's decrement-all.
+          // O(capacity), amortized O(1) per unit of weight.
+          var m = w
+          val vit = buf.values().iterator()
+          while (vit.hasNext) { val c = vit.next().longValue; if (c < m) m = c }
+          val it = buf.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            if (e.getValue <= m) it.remove() else e.setValue(e.getValue - m)
+          }
+          if (w > m) buf.put(s, w - m)
         }
       }
     }
@@ -164,8 +195,6 @@ case class MisraGriesAgg(
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): MisraGriesAgg =
     copy(inputAggBufferOffset = newOffset)
-  override protected def withNewChildInternal(newChild: Expression): MisraGriesAgg =
-    copy(child = newChild)
 }
 
 object MisraGriesAgg {

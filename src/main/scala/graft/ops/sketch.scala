@@ -666,6 +666,28 @@ object sketch {
       .limit(topN)
   }
 
+  /** WEIGHTED heavy hitters: top-`topN` items by total long weight
+    * (token counts, bytes, spend micros — quantize floats upstream).
+    * Same constant-state/mergeability story as [[heavyHitters]] with the
+    * bound on total weight W: `true − est ≤ W/(capacity+1)`; exact when
+    * distinct items ≤ capacity. Null/non-positive weights are no
+    * observation. */
+  def heavyHittersWeighted(
+      df: DataFrame,
+      itemCol: Column,
+      weightCol: Column,
+      capacity: Int,
+      topN: Int): DataFrame = {
+    require(topN >= 1 && capacity >= topN,
+      s"graft: need 1 <= topN <= capacity, got topN=$topN capacity=$capacity")
+    df.select(graft.functions.aggregates
+        .heavyHittersWeightedAgg(itemCol, weightCol, capacity).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("item"), col("e.est_count").as("est_weight"))
+      .orderBy(col("est_weight").desc, col("item").asc)
+      .limit(topN)
+  }
+
   /** Per-group heavy hitters: one MG summary per group key, then each
     * group's top-`topN` items. Same state bound per group; the shuffle
     * carries one capacity-bounded map per (map task, group) — for

@@ -346,6 +346,36 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("heavyHittersWeighted: exact regime equals exact sums; w<=0/null no-op") {
+    val df = (Seq(("a", Option(100L)), ("b", Option(50L)), ("a", Option(1L)),
+      ("c", Option(0L)), ("b", Option(-7L)), ("d", Option.empty[Long])))
+      .toDF("item", "w")
+    val got = sketch.heavyHittersWeighted(df, col("item"), col("w"),
+        capacity = 8, topN = 8)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 101L), ("b", 50L)), got.toString)
+  }
+
+  test("heavyHittersWeighted: overflow regime — W/(k+1) bound, heavy item kept") {
+    // one heavy item (weight 1000 spread over 100 rows) + 40 singleton
+    // items of weight 10 each; capacity 4 → W = 1400, bound = 280
+    val rows = Seq.fill(100)(("heavy", 10L)) ++
+      (0 until 40).map(i => (f"n$i%02d", 10L))
+    val exact = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val w = rows.map(_._2).sum
+    for (parts <- Seq(1, 5)) {
+      val got = sketch.heavyHittersWeighted(
+          rows.toDF("item", "w").repartition(parts), col("item"), col("w"),
+          capacity = 4, topN = 4)
+        .as[(String, Long)].collect().toMap
+      got.foreach { case (k, est) =>
+        assert(est <= exact(k) && exact(k) - est <= w / 5,
+          s"parts=$parts item=$k est=$est exact=${exact(k)}")
+      }
+      assert(got.contains("heavy"), s"parts=$parts: heavy item evicted")
+    }
+  }
+
   test("heavyHittersBy: per-group summaries independent; nulls skipped") {
     val rows = Seq.fill(30)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
       Seq.fill(9)(("b", "z")) ++ Seq(("b", null.asInstanceOf[String]))
