@@ -2194,6 +2194,25 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // north-star: POINT-IN-TIME join — each fact picks the SCD2 version
+    // valid at its own timestamp (left join: fact_ts=0 predates every
+    // version and keeps a null lang — the anti-leakage contract). One
+    // key equi-join with the interval as residual predicate.
+    "rel_pit_join" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val v1 = d.select(col("doc_id"), col("lang"), lit(1).as("ts"))
+      val v2 = d.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, lit("xx")).otherwise(col("lang")).as("lang"),
+        lit(2).as("ts"))
+      val v3 = d.select(col("doc_id"), col("lang"), lit(3).as("ts"))
+      val dim = rel.scd2Intervals(v1.unionByName(v2).unionByName(v3),
+        "doc_id", "ts", Seq("lang"))
+      val facts = d.select(col("doc_id"),
+        (col("doc_id") % 4).cast("int").as("fact_ts"))
+      rel.pitJoin(facts, dim, "doc_id", "fact_ts")
+        .orderBy(col("doc_id"))
+    }),
+
     // north-star: SCD type-2 intervals from a change log — no-op writes
     // collapsed via fingerprint lag, validity closed via lead; every
     // window keyed on the id, no global order anywhere.
@@ -4551,6 +4570,26 @@ object SparkEntry {
         |  SELECT * FROM kept UNION ALL SELECT * FROM upd
         |  UNION ALL SELECT * FROM ins)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "rel_pit_join" ->
+      """WITH ch AS (
+        |  SELECT doc_id, lang, 1 AS ts FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'xx' ELSE lang END, 2
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, lang, 3 FROM documents),
+        |f AS (SELECT doc_id, lang, ts,
+        |    lag(lang) OVER (PARTITION BY doc_id ORDER BY ts) AS prev FROM ch),
+        |r AS (SELECT doc_id, lang, ts FROM f WHERE prev IS NULL OR lang <> prev),
+        |iv AS (SELECT doc_id, lang, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY doc_id ORDER BY ts) AS valid_to FROM r),
+        |facts AS (SELECT doc_id, (doc_id % 4)::INT AS fact_ts FROM documents)
+        |SELECT fa.doc_id, fa.fact_ts, iv.lang
+        |FROM facts fa LEFT JOIN iv
+        |  ON fa.doc_id = iv.doc_id AND fa.fact_ts >= iv.valid_from
+        |  AND (iv.valid_to IS NULL OR fa.fact_ts < iv.valid_to)
+        |ORDER BY fa.doc_id""".stripMargin,
 
     "rel_scd2" ->
       """WITH ch AS (

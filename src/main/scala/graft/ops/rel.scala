@@ -573,6 +573,50 @@ object rel {
         Seq(col("valid_from"), col("valid_to"), col("is_current")): _*)
   }
 
+  /** POINT-IN-TIME join — the feature-store primitive: attach to each
+    * fact row the dimension version that was valid AT THE FACT'S OWN
+    * TIMESTAMP (`valid_from <= fact_ts < valid_to`, open `valid_to` =
+    * current), against an [[scd2Intervals]]-shaped dimension. This is
+    * what makes offline training features match what online serving saw
+    * ("what was this document's quality label when the model trained on
+    * it?") — joining on `is_current` instead is the classic
+    * feature-leakage bug.
+    *
+    * Left join: facts predating the key's first version (or with no key
+    * match) keep null dimension values — dropping them silently would
+    * bias the training set toward old entities.
+    *
+    * Scale shape: ONE equi-join on the key with the interval predicate
+    * as a residual filter — both sides shuffle once on the key, and
+    * since version counts per key are small (that's what the SCD2
+    * no-op-collapse is for), the per-key match scan is bounded. No
+    * window, no range-explode. `dim` must share ONLY `keyCol` with
+    * `facts`, carry non-overlapping intervals per key
+    * ([[scd2Intervals]] guarantees both), and every fact matches at
+    * most one version. */
+  def pitJoin(
+      facts: DataFrame,
+      dim: DataFrame,
+      keyCol: String,
+      factTsCol: String,
+      validFromCol: String = "valid_from",
+      validToCol: String = "valid_to"): DataFrame = {
+    val dimMissing = Seq(keyCol, validFromCol, validToCol)
+      .filterNot(dim.columns.contains)
+    require(dimMissing.isEmpty,
+      s"graft: pitJoin dimension is missing columns: ${dimMissing.mkString(", ")}")
+    val overlap = dim.columns.toSet.intersect(facts.columns.toSet) - keyCol
+    require(overlap.isEmpty,
+      s"graft: pitJoin fact/dimension column collision: ${overlap.mkString(", ")}")
+    val d = dim.withColumnRenamed(keyCol, "_pit_key")
+    facts.join(d,
+        col(keyCol) === col("_pit_key") &&
+          col(factTsCol) >= col(validFromCol) &&
+          (col(validToCol).isNull || col(factTsCol) < col(validToCol)),
+        "left")
+      .drop("_pit_key", validFromCol, validToCol, "is_current")
+  }
+
   /** Corpus snapshot diff — the dataset-versioning meter ("what changed
     * between crawl v1 and v2"): one row per id present in EITHER
     * version, labeled `added` (only in `b`), `removed` (only in `a`),

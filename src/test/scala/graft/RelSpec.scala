@@ -425,6 +425,37 @@ class RelSpec extends SparkSpec {
       got.toString)
   }
 
+  test("pitJoin: version at fact time, pre-history null, open current interval") {
+    val dim = Seq(
+      (1L, "v1", 10, Option(20), false),
+      (1L, "v2", 20, Option(30), false),
+      (1L, "v3", 30, Option.empty[Int], true),
+      (2L, "w1", 15, Option.empty[Int], true))
+      .toDF("k", "tag", "valid_from", "valid_to", "is_current")
+    val facts = Seq((1L, 5), (1L, 10), (1L, 29), (1L, 30), (1L, 99),
+      (2L, 14), (3L, 50)).toDF("k", "fact_ts")
+    val got = rel.pitJoin(facts, dim, "k", "fact_ts")
+      .collect().map(r => (r.getLong(0), r.getInt(1), Option(r.getString(2)))).toSet
+    assert(got == Set(
+      (1L, 5, None),          // predates history → null, row kept
+      (1L, 10, Some("v1")),   // inclusive valid_from
+      (1L, 29, Some("v2")),
+      (1L, 30, Some("v3")),   // exclusive valid_to boundary
+      (1L, 99, Some("v3")),   // open current interval
+      (2L, 14, None),         // before key 2's first version
+      (3L, 50, None)),        // unknown key survives with null
+      got.toString)
+  }
+
+  test("pitJoin refuses fact/dim column collisions beyond the key") {
+    val dim = Seq((1L, "a", 1, Option.empty[Int]))
+      .toDF("k", "tag", "valid_from", "valid_to")
+    val facts = Seq((1L, 5, "x")).toDF("k", "fact_ts", "tag")
+    intercept[IllegalArgumentException] {
+      rel.pitJoin(facts, dim, "k", "fact_ts")
+    }
+  }
+
   test("merge: no clauses at all is refused") {
     val df = Seq((1L, "a")).toDF("k", "v")
     intercept[IllegalArgumentException] {
