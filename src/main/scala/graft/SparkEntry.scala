@@ -1605,6 +1605,13 @@ object SparkEntry {
       ann.knnGraph(table(s, dir, "embeddings"), k = 3, nbits = 6)
         .orderBy(col("src"), col("rnk"))),
 
+    // north-star: label-noise screen — points whose kNN neighbors
+    // mostly carry a different label, ranked by integer basis-point
+    // disagreement. The audit queue for label quality.
+    "vec_label_noise" -> ((s, dir) =>
+      ann.labelNoise(table(s, dir, "embeddings"), k = 3, nbits = 6,
+        topN = 50)),
+
     // north-star: embedding-space drift between two corpus versions —
     // centroid cosine + squared centroid shift, exact fixed-point sums.
     "vec_corpus_drift" -> ((s, dir) => {
@@ -3654,6 +3661,20 @@ object SparkEntry {
     "ann_knn_graph" ->
       s"""WITH $SqlKnnCtes
          |SELECT src, dst, cos, rnk FROM r WHERE rnk <= 3 ORDER BY src, rnk""".stripMargin,
+
+    "vec_label_noise" ->
+      s"""WITH $SqlKnnCtes,
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |ed AS (SELECT src, dst FROM r WHERE rnk <= 3),
+         |j AS (SELECT ed.src, (la.label <> lb.label)::INT AS mism
+         |  FROM ed JOIN lab la ON ed.src = la.vec_id
+         |  JOIN lab lb ON ed.dst = lb.vec_id),
+         |a AS (SELECT src AS vec_id, count(*)::BIGINT AS n_nb,
+         |  coalesce(sum(mism), 0)::BIGINT AS n_mismatch FROM j GROUP BY 1)
+         |SELECT vec_id, n_nb, n_mismatch,
+         |  (n_mismatch * 10000) // n_nb AS mismatch_bp
+         |FROM a WHERE n_mismatch > 0
+         |ORDER BY mismatch_bp DESC, vec_id LIMIT 50""".stripMargin,
 
     "vec_corpus_drift" ->
       """WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -857,6 +857,52 @@ object ann {
     }.reduce(_ union _).orderBy(col("q_idx"))
   }
 
+  /** Label-noise screen via kNN label disagreement (Confident-Learning-
+    * adjacent, the kNN form: Zhu et al. 2022 "Detecting Corrupted
+    * Labels Without Training a Model to Predict"): a point whose
+    * embedding neighbors mostly carry a DIFFERENT label is either
+    * mislabeled or sits on a class boundary — either way it's what a
+    * label-audit queue should read first. Returns the `topN` most
+    * disagreeing points as `(id, n_nb, n_mismatch, mismatch_bp)` with
+    * the rate in integer basis points (engine-portable, no float
+    * division).
+    *
+    * Built ON [[knnGraph]] — the edge list is the expensive part and
+    * shares its bucket-cap discipline; this adds two thin label joins
+    * (id → label, both sides keyed on unique ids) and one per-source
+    * count — nothing here outgrows the graph itself. Null labels
+    * compare as no-mismatch on both engines (three-valued `<>` drops
+    * to 0 under the sum). */
+  def labelNoise(
+      df: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label",
+      dim: Int = 64,
+      tables: Int = 1,
+      nbits: Int = 6,
+      bucketCap: Int = 4096,
+      topN: Int = 50): DataFrame = {
+    require(topN >= 1, s"graft: labelNoise needs topN >= 1, got $topN")
+    val edges = knnGraph(df, k, idCol, vecCol, dim, tables, nbits, bucketCap)
+      .select(col("src"), col("dst"))
+    val lab = df.select(col(idCol), col(labelCol))
+    edges
+      .join(lab.select(col(idCol).as("src"), col(labelCol).as("_l_src")), "src")
+      .join(lab.select(col(idCol).as("dst"), col(labelCol).as("_l_dst")), "dst")
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_nb"),
+        sum(when(col("_l_src") =!= col("_l_dst"), 1L).otherwise(0L))
+          .as("n_mismatch"))
+      .where(col("n_mismatch") > 0)
+      .withColumn("mismatch_bp", expr("n_mismatch * 10000 DIV n_nb"))
+      .select(col("src").as(idCol), col("n_nb"), col("n_mismatch"),
+        col("mismatch_bp"))
+      .orderBy(col("mismatch_bp").desc, col(idCol))
+      .limit(topN)
+  }
+
   /** Greedy k-center (farthest-point) coreset selection, Gonzalez 1985:
     * seed with the lowest-id vector, then `k−1` rounds of "pick the
     * point farthest from its nearest already-chosen center" — the

@@ -518,6 +518,22 @@ class AnnSpec extends SparkSpec {
     tight.foreach { case (id, s) => assert(allScores(id) == s, s"id $id") }
   }
 
+  test("labelNoise: a planted flipped label tops the queue at 10000 bp") {
+    // two tight, well-separated clusters with uniform labels; flip one
+    // point in cluster 0 → all its neighbors disagree
+    val pts = (0 until 10).map(j => (j.toLong,
+        Array.fill(16)(0.0).updated(0, 10.0 + j * 0.01), if (j == 3) 1 else 0)) ++
+      (10 until 20).map(j => (j.toLong,
+        Array.fill(16)(0.0).updated(1, 10.0 + j * 0.01), 1))
+    val df = pts.toDF("vec_id", "embedding", "label")
+    val got = ann.labelNoise(df, k = 3, dim = 16, nbits = 4, topN = 5)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty && got.head._1 == 3L, got.mkString(","))
+    assert(got.head._4 == 10000L, s"flipped point not fully disagreeing: ${got.head}")
+    // its neighbors each see exactly one noisy neighbor — below the top
+    got.tail.foreach(r => assert(r._4 < 10000L, r.toString))
+  }
+
   test("kCenterSelect: planted clusters each get a center; radius non-increasing") {
     // 4 tight clusters at the corners of a 100×100 square; ids ordered so
     // the seed (min id) sits in cluster (0,0)
