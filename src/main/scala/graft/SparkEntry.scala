@@ -2201,6 +2201,19 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // north-star: referential-integrity audit — lineitems orphaned by a
+    // half-missing orders parent; the distinct-key anti-join reduces the
+    // parent to thin keys in-scan, and the data card aggregates the
+    // orphan rows.
+    "rel_fk_orphans" -> ((s, dir) =>
+      rel.fkOrphans(table(s, dir, "lineitem"),
+          table(s, dir, "orders").where(col("o_orderkey") % 2 === 0),
+          Seq("l_orderkey"), Seq("o_orderkey"))
+        .agg(count(lit(1)).as("n_orphans"),
+          countDistinct(col("l_orderkey")).as("n_orphan_keys"),
+          min(col("l_orderkey")).as("min_key"),
+          max(col("l_orderkey")).as("max_key"))),
+
     // north-star: POINT-IN-TIME join — each fact picks the SCD2 version
     // valid at its own timestamp (left join: fact_ts=0 predates every
     // version and keeps a null lang — the anti-leakage contract). One
@@ -4591,6 +4604,15 @@ object SparkEntry {
         |  SELECT * FROM kept UNION ALL SELECT * FROM upd
         |  UNION ALL SELECT * FROM ins)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "rel_fk_orphans" ->
+      """SELECT count(*)::BIGINT AS n_orphans,
+        |  count(DISTINCT l.l_orderkey)::BIGINT AS n_orphan_keys,
+        |  min(l.l_orderkey) AS min_key, max(l.l_orderkey) AS max_key
+        |FROM lineitem l LEFT JOIN (
+        |  SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey % 2 = 0) o
+        |  ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderkey IS NULL""".stripMargin,
 
     "rel_pit_join" ->
       """WITH ch AS (

@@ -573,6 +573,34 @@ object rel {
         Seq(col("valid_from"), col("valid_to"), col("is_current")): _*)
   }
 
+  /** Referential-integrity check: child rows whose foreign key has NO
+    * match in the parent (orphans) — the cross-table data-quality
+    * primitive next to the row-local [[checkRules]]. Returns the orphan
+    * child rows themselves; aggregate for the data-card count, or feed
+    * them straight to a quarantine sink.
+    *
+    * Scale shape: the parent reduces to its DISTINCT key projection in
+    * its own scan (thin rows), then ONE left-anti join — Spark
+    * broadcasts it when small, falls back to key-partitioned SMJ when
+    * not; null child keys are orphans by definition here (they
+    * reference nothing) and are kept, unlike SQL's IN-subquery
+    * three-valued trap. */
+  def fkOrphans(
+      child: DataFrame,
+      parent: DataFrame,
+      childKeys: Seq[String],
+      parentKeys: Seq[String]): DataFrame = {
+    require(childKeys.nonEmpty && childKeys.length == parentKeys.length,
+      s"graft: fkOrphans needs matching key lists, got $childKeys vs $parentKeys")
+    val p = parent
+      .select(parentKeys.zip(childKeys).map { case (pk, ck) => col(pk).as(ck) }: _*)
+      .distinct()
+    // left_anti with null-safe equality would treat null==null as a
+    // match; FK semantics want null child keys flagged, so plain
+    // equality (nulls never match → always orphaned) is correct
+    child.join(p, childKeys, "left_anti")
+  }
+
   /** POINT-IN-TIME join — the feature-store primitive: attach to each
     * fact row the dimension version that was valid AT THE FACT'S OWN
     * TIMESTAMP (`valid_from <= fact_ts < valid_to`, open `valid_to` =

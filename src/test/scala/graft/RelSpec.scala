@@ -456,6 +456,16 @@ class RelSpec extends SparkSpec {
     }
   }
 
+  test("fkOrphans: null child keys are orphans; parent dups collapse") {
+    val child = Seq(
+      (Option(1L), "ok"), (Option(2L), "orphan"),
+      (Option.empty[Long], "nullkey")).toDF("fk", "tag")
+    val parent = Seq(1L, 1L, 3L).toDF("pk") // dup parent keys collapse
+    val got = rel.fkOrphans(child, parent, Seq("fk"), Seq("pk"))
+      .select("tag").as[String].collect().toSet
+    assert(got == Set("orphan", "nullkey"), got.toString)
+  }
+
   test("merge: no clauses at all is refused") {
     val df = Seq((1L, "a")).toDF("k", "v")
     intercept[IllegalArgumentException] {
