@@ -1735,6 +1735,37 @@ object SparkEntry {
         Seq(0.5, 0.9, 0.99))
         .orderBy(col("q"))),
 
+    // north-star: robust (IQR-fence) anomaly card per event type —
+    // Tukey's fence Q3 + 1.5·IQR from MERGEABLE histogram quantiles
+    // (both windows run over the 25-bin grid, never the table), then one
+    // broadcast of 4 fences back onto the scan. The robust complement
+    // to events_anomaly's rolling z-score: means move with the outliers
+    // they're trying to catch, quartiles don't.
+    "events_anomaly_iqr" -> ((s, dir) => {
+      val ev = events(s, dir).where(col("value").isNotNull)
+      val hist = sketch.histogramBy(ev, col("value"), Seq("event_type"),
+        lo = 0.0, hi = 500.0, nbins = 25)
+      val qs = sketch.histogramQuantileBy(hist, Seq("event_type"),
+        Seq(0.25, 0.75))
+      val f = qs.where(col("q") === 0.25)
+        .select(col("event_type"), col("v_est").as("q1"))
+        .join(qs.where(col("q") === 0.75)
+          .select(col("event_type"), col("v_est").as("q3")), "event_type")
+        .withColumn("fence", col("q3") + (col("q3") - col("q1")) * 1.5)
+      val out = ev.join(broadcast(f.select(col("event_type"), col("fence"))),
+          "event_type")
+        .where(col("value") > col("fence"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_outliers"), max(col("value")).as("_mx"))
+      f.join(out, Seq("event_type"), "left")
+        .select(col("event_type"),
+          (floor(col("fence") * 10000.0 + 0.5) / 10000.0).as("fence"),
+          coalesce(col("n_outliers"), lit(0L)).as("n_outliers"),
+          (floor(coalesce(col("_mx"), lit(0.0)) * 10000.0 + 0.5) / 10000.0)
+            .as("max_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // exact quantile binning on a quantized grid — the rank cumsum runs
     // over domain-bounded grid rows, never over the table.
     "sample_quantile_bins" -> ((s, dir) =>
@@ -3878,6 +3909,40 @@ object SparkEntry {
         |SELECT q, floor((bin_lo + (q * total::DOUBLE - (cum - n)::DOUBLE) / n::DOUBLE
         |    * (bin_hi - bin_lo)) * 10000.0 + 0.5) / 10000.0 AS v_est
         |FROM cand WHERE rk = 1 ORDER BY q""".stripMargin,
+
+    "events_anomaly_iqr" ->
+      """WITH tt AS (SELECT DISTINCT event_type FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT event_type,
+        |    greatest(0, least(24, floor((value - 0.0) / 20.0)::BIGINT)) AS bin
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT event_type, bin, count(*) AS n FROM b GROUP BY 1, 2),
+        |h AS (SELECT tt.event_type, r.bin, 0.0 + r.bin * 20.0 AS bin_lo,
+        |    0.0 + (r.bin + 1) * 20.0 AS bin_hi, coalesce(c.n, 0) AS n
+        |  FROM tt CROSS JOIN (SELECT unnest(range(0, 25)) AS bin) r
+        |  LEFT JOIN c ON c.event_type = tt.event_type AND c.bin = r.bin),
+        |cc AS (SELECT *, sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+        |    sum(n) OVER (PARTITION BY event_type) AS total FROM h),
+        |qq AS (SELECT unnest([0.25::DOUBLE, 0.75::DOUBLE]) AS q),
+        |cand AS (SELECT event_type, q, bin_lo, bin_hi, n, cum, total,
+        |    row_number() OVER (PARTITION BY event_type, q ORDER BY bin) AS rk
+        |  FROM cc JOIN qq ON cum::DOUBLE >= q * total::DOUBLE AND n > 0),
+        |vq AS (SELECT event_type, q,
+        |    floor((bin_lo + (q * total::DOUBLE - (cum - n)::DOUBLE) / n::DOUBLE
+        |      * (bin_hi - bin_lo)) * 10000.0 + 0.5) / 10000.0 AS v
+        |  FROM cand WHERE rk = 1),
+        |f AS (SELECT a.event_type, b.v + (b.v - a.v) * 1.5 AS fence
+        |  FROM vq a JOIN vq b ON a.event_type = b.event_type
+        |  WHERE a.q = 0.25 AND b.q = 0.75),
+        |o AS (SELECT e.event_type, count(*)::BIGINT AS n_outliers,
+        |    max(value) AS mx
+        |  FROM events e JOIN f ON e.event_type = f.event_type
+        |  WHERE e.value > f.fence GROUP BY 1)
+        |SELECT f.event_type,
+        |  floor(f.fence * 10000.0 + 0.5) / 10000.0 AS fence,
+        |  coalesce(o.n_outliers, 0)::BIGINT AS n_outliers,
+        |  floor(coalesce(o.mx, 0.0) * 10000.0 + 0.5) / 10000.0 AS max_value
+        |FROM f LEFT JOIN o ON f.event_type = o.event_type
+        |ORDER BY f.event_type""".stripMargin,
 
     // Grid histogram → exclusive-rank cumsum → integer bin arithmetic;
     // `/` is double division in both engines, floored identically.
