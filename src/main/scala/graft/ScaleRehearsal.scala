@@ -417,6 +417,29 @@ object ScaleRehearsal {
     run("matryoshka_topk", countRows = false)(ann.matryoshkaSearch(
       graft.core.VecStore(emb), (0 until 64).map(i => math.sin(i + 1.0)),
       k = 10, prefixDims = 16, candK = 40))
+    // weighted MG over event value micros at factor x users
+    run("mg_weighted", countRows = false)(graft.ops.sketch.heavyHittersWeighted(
+      events.where(col("value").isNotNull), col("user_id"),
+      floor(col("value") * 1000000.0).cast("long"), capacity = 256, topN = 20))
+    // point-in-time join: facts = the full corpus, dim = 2-version SCD2
+    run("pit_join")(rel.pitJoin(
+      docs.select(col("doc_id"), (col("doc_id") % 4).cast("int").as("fact_ts")),
+      rel.scd2Intervals(
+        docs.select(col("doc_id"), col("lang"), lit(1).as("ts"))
+          .unionByName(docs.select(col("doc_id"),
+            when(col("doc_id") % 3 === 0, lit("xx")).otherwise(col("lang"))
+              .as("lang"), lit(2).as("ts"))),
+        "doc_id", "ts", Seq("lang")),
+      "doc_id", "fact_ts"))
+    // FK orphan audit: distinct-key anti-join at factor scale
+    run("fk_orphans")(rel.fkOrphans(
+      docs.select(col("doc_id"), col("lang")),
+      docs.where(col("doc_id") % 2 === 0).select(col("doc_id")),
+      Seq("doc_id"), Seq("doc_id")))
+    // label-noise screen rides the kNN graph (the expensive part is the
+    // graph itself, already measured above)
+    run("label_noise", countRows = false)(ann.labelNoise(
+      emb, k = 3, nbits = knnBits, topN = 50))
 
     spark.stop()
   }

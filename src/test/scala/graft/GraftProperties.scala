@@ -344,6 +344,47 @@ object GraftProperties extends Properties("graft") {
       spread <= sizes.max
     }
 
+  property("MG heavy hitters: underestimate + N/(k+1) bound + frequent-item " +
+      "retention for ANY stream and partitioning") =
+    forAll(
+      Gen.listOfN(150, Gen.frequency(
+        3 -> Gen.chooseNum(0, 3),      // heavy head
+        1 -> Gen.chooseNum(10, 60))),  // long tail
+      Gen.chooseNum(1, 6)) { (xs, parts) =>
+      val cap = 8
+      val n = xs.size.toLong
+      val exact = xs.groupBy(identity).view
+        .mapValues(_.size.toLong).map { case (k, c) => k.toString -> c }.toMap
+      val got = graft.ops.sketch.heavyHitters(
+          xs.map(_.toString).toDF("item").repartition(parts),
+          col("item"), capacity = cap, topN = cap)
+        .as[(String, Long)].collect().toMap
+      got.forall { case (k, est) =>
+        est <= exact(k) && exact(k) - est <= n / (cap + 1) } &&
+        exact.forall { case (k, c) => c <= n / (cap + 1) || got.contains(k) }
+    }
+
+  property("MERGE is idempotent on re-application of the same source " +
+      "(update/insert clauses, no delete)") =
+    forAll(
+      Gen.listOfN(20, Gen.zip(Gen.chooseNum(0L, 30L), Gen.chooseNum(0L, 99L)))
+        .map(_.distinctBy(_._1)),
+      Gen.listOfN(10, Gen.zip(Gen.chooseNum(0L, 40L), Gen.chooseNum(100L, 199L)))
+        .map(_.distinctBy(_._1))) { (tgt, src) =>
+      val target = tgt.toDF("k", "v")
+      val source = src.toDF("k", "v")
+      def apply(t: org.apache.spark.sql.DataFrame) =
+        graft.ops.rel.merge(t, source, Seq("k"),
+          whenMatchedUpdate = Some(lit(true)),
+          whenNotMatchedInsert = Some(lit(true)))
+      val once = apply(target).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val twice = apply(apply(target)).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      once == twice &&
+        once == (src.toMap ++ tgt.toMap.view.filterKeys(k => !src.toMap.contains(k)))
+          .map { case (k, v) => (k, v) }.toSet
+    }
+
   property("pageRank conserves bounded mass: base·n <= total <= scale") =
     forAll(Gen.chooseNum(2, 12).flatMap(k =>
       Gen.listOfN(k * 2, Gen.zip(Gen.chooseNum(0L, k.toLong), Gen.chooseNum(0L, k.toLong)))
