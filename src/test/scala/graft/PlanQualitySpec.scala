@@ -392,4 +392,43 @@ class PlanQualitySpec extends SparkSpec {
     windows.foreach(w => assert(w.contains("doc_id"),
       s"window not partitioned by doc_id: $w"))
   }
+
+  test("MG heavy hitters run as ObjectHashAggregate with map-side partials") {
+    Seq("sketch_heavyhitters", "sketch_heavyhitters_weighted").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("ObjectHashAggregate"),
+        s"$q: typed-imperative aggregate should plan ObjectHashAggregate:\n${p.take(600)}")
+      assert(p.contains("partial_mg_heavy_hitters"),
+        s"$q: no map-side partial MG — the exchange would carry raw items:\n${p.take(900)}")
+    }
+  }
+
+  test("MERGE is one full-outer join — no cartesian, no window") {
+    val p = plan("rel_merge")
+    assert(p.contains("FullOuter"), p.take(900))
+    assert(!p.contains("CartesianProduct") && !p.contains("Window ["),
+      s"MERGE grew an unexpected node:\n${p.take(900)}")
+    assert("SortMergeJoin".r.findAllIn(p).length +
+      "BroadcastHashJoin".r.findAllIn(p).length == 1,
+      s"MERGE should be exactly one join:\n${p.take(900)}")
+  }
+
+  test("point-in-time join is one key join with residual interval predicate") {
+    val p = plan("rel_pit_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"PIT join must stay a key equi-join:\n${p.take(900)}")
+  }
+
+  test("FK orphan check plans an anti join over a distinct thin parent") {
+    val p = plan("rel_fk_orphans")
+    assert(p.contains("LeftAnti"), s"expected anti join:\n${p.take(900)}")
+  }
+
+  test("matryoshka search: both stages are bounded top-k, no agg exchange") {
+    val p = plan("vec_matryoshka_topk")
+    assert("TakeOrderedAndProject".r.findAllIn(p).length >= 2,
+      s"coarse pool and rerank should both be TakeOrdered:\n${p.take(900)}")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+  }
 }
