@@ -96,6 +96,34 @@ object NativeExprs {
   /** Column: distinct word n-gram shingles (native). */
   def wordShingles(c: Column, n: Int): Column = column(WordShinglesExpr(expression(c), n))
 
+  /** All word n-grams IN ORDER WITH MULTIPLICITY — the term-frequency
+    * twin of [[shingles]] (which dedups): same tokenization (lowercase,
+    * split `\s+`, drop empties), no set. The tf/idf family needs real
+    * term frequencies, and the compositional form
+    * (`transform(sequence(...), i => concat_ws(slice(...)))`) evaluates
+    * interpreted per gram — this is one compiled pass per document. */
+  def wordGramsOf(text: UTF8String, n: Int): Array[UTF8String] = {
+    val toks = text.toLowerCase.toString.split("\\s+", -1).filter(_.nonEmpty)
+    if (toks.length < n) return Array.empty
+    val out = new Array[UTF8String](toks.length - n + 1)
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(32)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    out
+  }
+
+  /** Column: word n-grams with multiplicity (native). */
+  def wordGrams(c: Column, n: Int): Column = column(WordGramsExpr(expression(c), n))
+
   /** Fused char-entropy accumulator: sort a copy of the doc's UTF-16
     * code units, count equal runs, and accumulate the EXACT fixed-point
     * sum `Σ floor(cnt·ln(cnt)·1e6)` — the same per-character arithmetic
@@ -640,6 +668,17 @@ case class WordShinglesExpr(child: Expression, n: Int)
     new GenericArrayData(
       NativeExprs.shingles(input.asInstanceOf[UTF8String], n).asInstanceOf[Array[Any]])
   override protected def withNewChildInternal(newChild: Expression): WordShinglesExpr =
+    copy(child = newChild)
+}
+
+case class WordGramsExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_grams"
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      NativeExprs.wordGramsOf(input.asInstanceOf[UTF8String], n).asInstanceOf[Array[Any]])
+  override protected def withNewChildInternal(newChild: Expression): WordGramsExpr =
     copy(child = newChild)
 }
 

@@ -1081,29 +1081,37 @@ object dedup {
     // terms are word n-grams WITH multiplicity (tf is real), default
     // n=3: unigram tf-idf needs a natural-language vocabulary, and on a
     // small-vocab corpus every unigram's df blows past any useful band
-    // — the same reason the whole set-similarity family shingles first
-    val ts = text.tokens(col(textCol))
-    val terms =
-      if (n == 1) ts
-      else when(size(ts) >= n,
-        transform(sequence(lit(1), size(ts) - (n - 1)),
-          i => concat_ws(" ", slice(ts, i, lit(n)))))
-        .otherwise(array().cast("array<string>"))
+    // — the same reason the whole set-similarity family shingles first.
+    // Native kernel ([[graft.functions.NativeExprs.wordGrams]]): the
+    // compositional transform/slice/concat_ws form evaluates interpreted
+    // per gram and dominated this op's wall time (NativeExprsSpec pins
+    // bit-identity against it)
+    val terms = graft.functions.NativeExprs.wordGrams(col(textCol), n)
     val tf = df
       .select(col(idCol).as("id"), explode(terms).as("term"))
       .groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val wq = tf.join(dfs, "term")
+    // df and the norm are WINDOW aggregates over the one tf table, not
+    // join-backs: the aggregate-then-self-join form evaluates the whole
+    // explode+count subtree once per branch (Catalyst's exchange reuse
+    // does not survive the branches' differing column pruning), which
+    // tripled this op's scan cost. Linear pipeline instead: one explode,
+    // then term-keyed and id-keyed exchanges, each stage computed once.
+    // A term's window buffer holds its df postings — the banding that
+    // caps pair expansion caps that same buffer's useful size, and
+    // WindowExec spills past it.
+    import org.apache.spark.sql.expressions.Window
+    val wq = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .withColumn("wq", floor(
         col("tf") * (log(lit(nDocs + 1.0) / (col("df") + 1.0)) + 1.0) * wScale + 0.5)
         .cast("long"))
-    val norms = wq.groupBy(col("id"))
-      .agg(sum(col("wq") * col("wq")).as("_nsq")) // exact long
-      .select(col("id"), sqrt(col("_nsq").cast("double")).as("_norm"))
-    val postings = wq.join(norms, "id")
+    val postings = wq
+      .withColumn("_nsq",
+        sum(col("wq") * col("wq")).over(Window.partitionBy(col("id")))) // exact long
       .withColumn("nwq",
-        floor(col("wq") / col("_norm") * 1000000.0 + 0.5).cast("long"))
+        floor(col("wq") / sqrt(col("_nsq").cast("double")) * 1000000.0 + 0.5)
+          .cast("long"))
       .select(col("term"), col("df"), struct(col("id"), col("nwq")).as("d"))
       .observe("graft_tfidf_pairs",
         sum(when(col("df") > maxDf, 1L).otherwise(0L)).as("dropped_postings"),

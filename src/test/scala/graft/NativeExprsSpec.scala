@@ -66,6 +66,32 @@ class NativeExprsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
   }
 
+  test("native wordGrams equals the HOF composition, keeps multiplicity and order") {
+    def hof(n: Int) = {
+      val ts = graft.ops.text.tokens(col("text"))
+      if (n == 1) ts
+      else when(size(ts) >= n,
+        transform(sequence(lit(1), size(ts) - (n - 1)),
+          i => concat_ws(" ", slice(ts, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    }
+    for (n <- Seq(1, 3)) {
+      val diff = docs.select(NativeExprs.wordGrams(col("text"), n).as("a"),
+          hof(n).as("b"))
+        .where(col("a") =!= col("b")).count()
+      assert(diff == 0, s"n=$n")
+    }
+    import spark.implicits._
+    val edge = Seq("", "a b", "A  B\tC  a b c", "x x x x").toDF("text")
+    val rows = edge.select(NativeExprs.wordGrams(col("text"), 3).as("a"),
+      hof(3).as("b")).collect()
+    rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    // repeated grams survive (the tf point of the kernel)
+    val rep = Seq("x x x x").toDF("text")
+      .select(NativeExprs.wordGrams(col("text"), 3)).head().getSeq[String](0)
+    assert(rep == Seq("x x x", "x x x"))
+  }
+
   test("native simhash equals the explode+groupBy composition") {
     val a = dedup.simhash(docs, "text", "doc_id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
