@@ -255,6 +255,10 @@ object dedup {
       // a set-intersection per pair after
       .where(pairFilter.getOrElse(lit(true)))
       .distinct()
+    // The two grams sides broadcast separately in the static plan, but
+    // AQE's runtime stage reuse dedups the identical broadcast subtrees,
+    // so the shingle pipeline builds once — measured, not just read off
+    // the (pre-adaptive) explain, which misleadingly shows two builds.
     val ga = mh.select(col(idCol).as("id_a"), col("grams").as("grams_a"))
     val gb = mh.select(col(idCol).as("id_b"), col("grams").as("grams_b"))
     cands.join(ga, "id_a").join(gb, "id_b")
