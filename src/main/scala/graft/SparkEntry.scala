@@ -1649,6 +1649,14 @@ object SparkEntry {
           s.read.parquet(knnEdges(s, dir)), iters = 3)
         .orderBy(col("id"))),
 
+    // north-star: exact triangle count over the kNN graph via the
+    // degree-ordered node-iterator — each triangle has ONE apex under
+    // the (degree, id) total order, so no /3 correction; orientation
+    // bounds the wedge stage against hubs. The oracle uses the simple
+    // a<b<c three-way join: orientation changes the plan, not the count.
+    "graph_triangles" -> ((s, dir) =>
+      graft.ops.graph.triangleCount(s.read.parquet(knnEdges(s, dir)))),
+
     // deterministic synchronous label propagation over the same built
     // kNN graph — community labels travel <= iters hops; smallest-label
     // tie rule makes every round engine-reproducible.
@@ -3705,6 +3713,14 @@ object SparkEntry {
     "ann_knn_graph" ->
       s"""WITH $SqlKnnCtes
          |SELECT src, dst, cos, rnk FROM r WHERE rnk <= 3 ORDER BY src, rnk""".stripMargin,
+
+    "graph_triangles" ->
+      s"""WITH $SqlKnnCtes,
+         |ed AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM r WHERE rnk <= 3 GROUP BY 1, 2)
+         |SELECT count(*)::BIGINT AS n_triangles
+         |FROM ed e1 JOIN ed e2 ON e1.b = e2.a
+         |JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
 
     "vec_label_noise" ->
       s"""WITH $SqlKnnCtes,

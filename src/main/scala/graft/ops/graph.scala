@@ -140,4 +140,50 @@ object graph {
     Seq(und, nodes).foreach(_.unpersist(false))
     labels
   }
+
+  /** Exact global triangle count via the degree-ordered node-iterator
+    * (Schank & Wagner 2005 / "compact-forward"): orient every undirected
+    * edge from its lower-(degree, id) endpoint to the higher one, build
+    * wedges as ordered out-neighbor pairs of each apex, and close each
+    * wedge against the undirected edge set. Each triangle has exactly
+    * ONE apex under the total order, so the count is exact with no /3 or
+    * /6 correction. The clustering meter for near-dup / kNN graphs: a
+    * duplicate-heavy corpus shows up as triangle inflation long before
+    * cluster extraction runs.
+    *
+    * Scale shape: degree orientation is what makes the wedge stage
+    * survive skew — a hub of degree d contributes wedges only through
+    * its LOW-degree endpoints, bounding wedge count by arboricity-style
+    * Sigma outdeg^2 with outdeg = O(sqrt(m)) instead of d^2 for the hub.
+    * Three shuffles total: degree count, the apex-keyed wedge self-join,
+    * and the closing join against the normalized edge table. Input may
+    * be directed/duplicated/self-looped; it is normalized first. */
+  def triangleCount(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    // orient by (degree, id): u -> v iff (d(u), u) < (d(v), v)
+    val withDeg = und
+      .join(deg.select(col("v").as("a"), col("d").as("_da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("_db")), "b")
+    val oriented = withDeg.select(
+      when(col("_da") < col("_db") ||
+          (col("_da") === col("_db") && col("a") < col("b")),
+        struct(col("a").as("u"), col("b").as("v")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    val o2 = oriented.select(col("u"), col("v").as("w"))
+    val wedges = oriented.join(o2, "u").where(col("v") < col("w"))
+      .select(least(col("v"), col("w")).as("a"),
+        greatest(col("v"), col("w")).as("b"))
+    wedges.join(und, Seq("a", "b"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
 }

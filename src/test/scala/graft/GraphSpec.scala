@@ -86,4 +86,18 @@ class GraphSpec extends SparkSpec {
       tri.repartition(7), iters = 3).as[(Long, Long)].collect().toMap
     assert(shuffled == r3)
   }
+
+  test("triangleCount: K4 has 4, path has 0; robust to direction/dups/loops") {
+    // K4 on {0,1,2,3} = C(4,3) = 4 triangles, plus a pendant path 3-4-5
+    val k4 = for { a <- 0 to 3; b <- 0 to 3 if a < b } yield (a.toLong, b.toLong)
+    val edges = (k4 ++ Seq((3L, 4L), (4L, 5L), (6L, 6L)) ++ // loop dropped
+      k4.map(_.swap) ++ k4).toDF("src", "dst")              // reversed + dup
+    val n = graph.triangleCount(edges).head().getLong(0)
+    assert(n == 4L, s"K4 + pendant path should have 4 triangles, got $n")
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(graph.triangleCount(path).head().getLong(0) == 0L)
+    // a hub star (no triangles) + one closing edge = exactly 1
+    val star = (1 to 20).map(i => (0L, i.toLong)) :+ ((1L, 2L))
+    assert(graph.triangleCount(star.toDF("src", "dst")).head().getLong(0) == 1L)
+  }
 }
