@@ -1911,6 +1911,15 @@ object SparkEntry {
       retrieval.bm25Search(table(s, dir, "documents"), "text", "doc_id",
         Seq("spark", "query", "window"), k = 10)),
 
+    // north-star: pseudo-relevance-feedback expansion — mine the top-5
+    // BM25 docs for 5 expansion terms (all-integer ranking: feedback df
+    // desc, corpus df asc, term) and re-run; the oracle replays both
+    // rounds including the term mining.
+    "text_bm25_prf" -> ((s, dir) =>
+      retrieval.prfExpand(table(s, dir, "documents"), "text", "doc_id",
+        Seq("spark", "query", "window"), k = 10,
+        feedbackK = 5, expandTerms = 5)),
+
     // PERSISTED inverted index — probe-bucket partition pruning, corpus
     // never re-tokenized; scores bit-identical to the live path (same
     // oracle SQL as text_bm25_topk).
@@ -4344,6 +4353,40 @@ object SparkEntry {
         |ORDER BY user_id, event_type""".stripMargin,
 
     "text_bm25_topk" -> sqlBm25Top(10),
+
+    // Two full BM25 rounds + the integer-ranked term mining between them.
+    "text_bm25_prf" -> {
+      val p = graft.ops.retrieval.Bm25Params()
+      val terms = Seq("spark", "query", "window").map("'" + _ + "'").mkString(", ")
+      def sc(mm: String, o: String) =
+        s"""tf_$o AS (SELECT doc_id, term, dl, count(*)::DOUBLE AS tf FROM $mm GROUP BY 1, 2, 3),
+           |df_$o AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM $mm GROUP BY 1),
+           |ts_$o AS (SELECT tf_$o.doc_id,
+           |  ln((((SELECT n FROM st) - df + 0.5) / (df + 0.5)) + 1.0)
+           |    * (tf * ${p.k1 + 1.0}) / (tf + ${p.k1} * (${1.0 - p.b} + ${p.b} / (SELECT sumdl / n FROM st) * dl)) AS ts
+           |  FROM tf_$o JOIN df_$o USING (term)),
+           |sc_$o AS (SELECT doc_id, floor(sum(ts) * 1000000.0 + 0.5) / 1000000.0 AS score
+           |  FROM ts_$o GROUP BY doc_id)""".stripMargin
+      s"""WITH b2 AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+         |b3 AS (SELECT doc_id, len(toks)::DOUBLE AS dl, toks FROM b2),
+         |st AS (SELECT count(*)::DOUBLE AS n, sum(dl) AS sumdl FROM b3),
+         |m AS (SELECT doc_id, dl, unnest(toks) AS term FROM b3),
+         |q1 AS (SELECT unnest([$terms]) AS term),
+         |mm1 AS (SELECT m.* FROM m JOIN q1 USING (term)),
+         |${sc("mm1", "1")},
+         |fbk AS (SELECT doc_id FROM sc_1 ORDER BY score DESC, doc_id LIMIT 5),
+         |cand AS (SELECT term, count(DISTINCT m.doc_id)::BIGINT AS fdf
+         |  FROM m JOIN fbk USING (doc_id)
+         |  WHERE term NOT IN (SELECT term FROM q1) GROUP BY term),
+         |dfall AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS dfa FROM m GROUP BY term),
+         |ex AS (SELECT cand.term FROM cand JOIN dfall USING (term)
+         |  ORDER BY fdf DESC, dfa ASC, term LIMIT 5),
+         |q2 AS (SELECT term FROM q1 UNION SELECT term FROM ex),
+         |mm2 AS (SELECT m.* FROM m JOIN q2 USING (term)),
+         |${sc("mm2", "2")}
+         |SELECT doc_id, score FROM sc_2
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+    },
 
     // The indexed path must reproduce the LIVE path's scores exactly.
     "text_bm25_indexed" -> sqlBm25Top(10),

@@ -75,6 +75,51 @@ object retrieval {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
 
+  /** Pseudo-relevance-feedback query expansion (Rocchio/RM3-lite): run
+    * the query, mine the top `feedbackK` documents for the
+    * `expandTerms` best co-occurring terms, and re-run BM25 with the
+    * expanded term set — the classic one-round recall lift when queries
+    * under-specify corpus vocabulary.
+    *
+    * Expansion terms rank by the ALL-INTEGER key (feedback-set document
+    * frequency DESC, corpus document frequency ASC, term ASC) — rarer
+    * corpus-wide but common in the feedback set wins. Integer ranking is
+    * deliberate: a float weight (tf·idf) puts engine `ln` ulp noise
+    * inside an argsort, and a flipped selection cascades into a
+    * different final ranking; integers make the whole two-round
+    * trajectory engine-reproducible.
+    *
+    * The ≤`expandTerms` selected terms come to the driver (a serving
+    * decision, like [[ann.lshProbeSigsOf]] probe sets) — both rounds
+    * stay fully distributed. */
+  def prfExpand(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      terms: Seq[String],
+      k: Int,
+      feedbackK: Int = 5,
+      expandTerms: Int = 5,
+      params: Bm25Params = Bm25Params()): DataFrame = {
+    require(terms.nonEmpty, "graft: prfExpand needs at least one query term")
+    require(feedbackK >= 1 && expandTerms >= 0,
+      s"graft: need feedbackK >= 1, expandTerms >= 0; got $feedbackK, $expandTerms")
+    val fb = bm25Search(docs, textCol, idCol, terms, feedbackK, params)
+      .select(col(idCol))
+    val m = docs.select(col(idCol), explode(text.tokens(col(textCol))).as("term"))
+    val dfAll = m.groupBy(col("term"))
+      .agg(countDistinct(col(idCol)).as("dfa"))
+    val expansion = m.join(fb, idCol)
+      .where(!col("term").isin(terms: _*))
+      .groupBy(col("term"))
+      .agg(countDistinct(col(idCol)).as("fdf"))
+      .join(dfAll, "term")
+      .orderBy(col("fdf").desc, col("dfa").asc, col("term").asc)
+      .limit(expandTerms)
+      .collect().map(_.getString(0)).toSeq
+    bm25Search(docs, textCol, idCol, (terms ++ expansion).distinct, k, params)
+  }
+
   /** Build a PERSISTED inverted index for [[bm25Indexed]] — the text
     * twin of `VecIndex.build`: tokenize ONCE at build time, land
     * `(term, doc_id, tf, dl)` postings partitioned by

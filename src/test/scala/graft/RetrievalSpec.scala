@@ -184,4 +184,24 @@ class RetrievalSpec extends SparkSpec {
         Seq(1L -> qa, 1L -> qb), tokDim = 2, docDim = 4, k = 1)
     }
   }
+
+  test("prfExpand: expansion recovers a synonym doc the raw query misses") {
+    // docs 1-3 match "engine" and all share the co-occurring term
+    // "turbine"; doc 4 says only "turbine" — invisible to the raw query,
+    // reachable after expansion. Filler docs keep turbine's corpus df low.
+    val docs = (Seq(
+      (1L, "engine turbine power"),
+      (2L, "engine turbine speed"),
+      (3L, "engine turbine heat"),
+      (4L, "turbine blade maintenance")) ++
+      (5L to 30L).map(i => (i, s"filler_$i words about nothing")))
+      .toDF("doc_id", "text")
+    val raw = retrieval.bm25Search(docs, "text", "doc_id", Seq("engine"), k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(raw == Set(1L, 2L, 3L))
+    val prf = retrieval.prfExpand(docs, "text", "doc_id", Seq("engine"),
+        k = 10, feedbackK = 3, expandTerms = 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(prf == Set(1L, 2L, 3L, 4L), prf.toString)
+  }
 }
