@@ -412,6 +412,38 @@ object Demo {
     val truth = liD.join(ordD, liD("l_orderkey") === ordD("o_orderkey")).count()
     println(s"  estimate=$est true=$truth (never undercounts)")
 
+    println("== Misra-Gries heavy hitters: top-5 users by event count ==")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    graft.ops.sketch.heavyHitters(ev, col("user_id"),
+      capacity = 256, topN = 5).show()
+
+    println("== MERGE: delete 'D' rows, update the rest, insert new keys ==")
+    val tgt = docs.where(col("doc_id") < 6).select(col("doc_id"), col("lang"))
+    val src = docs.where(col("doc_id") < 3)
+      .select(col("doc_id"),
+        when(col("doc_id") === 0, lit("D")).otherwise(lit("upd")).as("lang"))
+      .unionByName(docs.where(col("doc_id") === 7)
+        .select(col("doc_id"), lit("ins").as("lang")))
+    graft.ops.rel.merge(tgt, src, Seq("doc_id"),
+        whenMatchedUpdate = Some(lit(true)),
+        whenMatchedDelete = Some(col("s.lang") === "D"),
+        whenNotMatchedInsert = Some(lit(true)))
+      .orderBy("doc_id").show()
+
+    println("== k-center coreset: 4 farthest-point exemplars + radius curve ==")
+    graft.ops.ann.kCenterSelect(store.df, k = 4).show()
+
+    println("== Matryoshka: prefix-16 coarse + exact rerank top-3 ==")
+    graft.ops.ann.matryoshkaSearch(store, q, k = 3, prefixDims = 16).show(false)
+
+    println("== kNN label-noise audit queue (top 5 disagreeing points) ==")
+    graft.ops.ann.labelNoise(store.df, k = 3, topN = 5).show()
+
+    println("== Triangle count of the kNN graph ==")
+    graft.ops.graph.triangleCount(
+      graft.ops.ann.knnGraph(store.df, k = 3).select(col("src"), col("dst")))
+      .show()
+
     spark.stop()
   }
 }

@@ -154,6 +154,9 @@ object ScaleRehearsal {
     println(s"SCALE knn edge set: $edgeCount edges")
     if (edgeCount > 0) run("pagerank_3it")(graph.pageRank(edges, iters = 3))
     else println("SCALE pagerank_3it SKIPPED: empty edge set")
+    // land the edge table for the later graph-analytics runs (triangles)
+    // so they price THEIR op, not a graph rebuild
+    edges.write.mode("overwrite").parquet(s"$work/knn_edges")
     edges.unpersist()
 
     // ---- event analytics (10× users, same per-user density) -----------
@@ -440,6 +443,12 @@ object ScaleRehearsal {
     // graph itself, already measured above)
     run("label_noise", countRows = false)(ann.labelNoise(
       emb, k = 3, nbits = knnBits, topN = 50))
+    // triangle count over the saved kNN edges: degree-ordered wedges
+    run("triangle_count", countRows = false)(graph.triangleCount(
+      spark.read.parquet(s"$work/knn_edges")))
+    // PRF: two BM25 rounds + integer term mining
+    run("bm25_prf", countRows = false)(graft.ops.retrieval.prfExpand(
+      docs, "text", "doc_id", Seq("spark", "query", "window"), k = 10))
 
     spark.stop()
   }
