@@ -1118,6 +1118,12 @@ object SparkEntry {
     "ann_rp_recall" -> ((s, dir) =>
       ann.rpRecallAtK(embIndex(s, dir), Seq(Q1, Q2), k = 10)),
 
+    // recall meter for the prefix-dim path — the number that tells you
+    // whether these embeddings were matryoshka-trained at all.
+    "ann_matryoshka_recall" -> ((s, dir) =>
+      ann.matryoshkaRecallAtK(embStore(s, dir), Seq(Q1, Q2), k = 10,
+        prefixDims = 16, candK = 40)),
+
     // north-star: ANN over an LSH-PARTITIONED index — the bucket filter
     // becomes directory-level partition pruning (63 of 64 buckets never
     // read; see AnnSpec's PartitionFilters assertion).
@@ -1949,6 +1955,14 @@ object SparkEntry {
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
         .orderBy(col("split"))),
+
+    // north-star: hash-stable k-fold CV assignment — a document's fold
+    // never changes as the corpus grows (row_number % k can't say that).
+    "sample_kfold" -> ((s, dir) =>
+      sample.kfold(table(s, dir, "documents"), "doc_id", k = 5)
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+        .orderBy(col("fold"))),
 
     // north-star: sequence packing by token budget — SHARDED prefix-sum
     // windows (8 hash shards; no single-task global sort).
@@ -2954,6 +2968,26 @@ object SparkEntry {
            |  SELECT vec_id, e, ${r4(sqlCosineOn("p", pq))} AS rp_score
            |  FROM (SELECT vec_id, e, $projE AS p FROM s)
            |  ORDER BY rp_score DESC, vec_id LIMIT 40)),
+           |ap$i AS (SELECT vec_id FROM (SELECT vec_id, ${r4(sqlCosineOn("e", q))} AS score
+           |  FROM pool$i ORDER BY score DESC, vec_id LIMIT 10)),
+           |h$i AS (SELECT $i AS q_idx, count(*) AS hits FROM ex$i JOIN ap$i USING (vec_id))""".stripMargin
+      }
+      s"""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |${stages(0, Q1)},
+         |${stages(1, Q2)}
+         |SELECT q_idx, hits, hits::DOUBLE / 10.0::DOUBLE AS recall
+         |FROM (SELECT * FROM h0 UNION ALL SELECT * FROM h1) ORDER BY q_idx""".stripMargin
+    },
+
+    "ann_matryoshka_recall" -> {
+      def stages(i: Int, q: Seq[Double]): String = {
+        val qp = q.take(16)
+        s"""ex$i AS (SELECT vec_id FROM (SELECT vec_id, ${r4(sqlCosineOn("e", q))} AS score
+           |  FROM s ORDER BY score DESC, vec_id LIMIT 10)),
+           |pool$i AS (SELECT vec_id, e FROM (
+           |  SELECT vec_id, e, ${r4(sqlCosineOn("p", qp))} AS mrl_score
+           |  FROM (SELECT vec_id, e, list_slice(e, 1, 16) AS p FROM s)
+           |  ORDER BY mrl_score DESC, vec_id LIMIT 40)),
            |ap$i AS (SELECT vec_id FROM (SELECT vec_id, ${r4(sqlCosineOn("e", q))} AS score
            |  FROM pool$i ORDER BY score DESC, vec_id LIMIT 10)),
            |h$i AS (SELECT $i AS q_idx, count(*) AS hits FROM ex$i JOIN ap$i USING (vec_id))""".stripMargin
@@ -4415,6 +4449,13 @@ object SparkEntry {
          |  WHEN key < 90 THEN 'val' ELSE 'test' END AS split FROM k)
          |SELECT split, count(*) AS n, min(doc_id) AS min_id
          |FROM s GROUP BY split ORDER BY split""".stripMargin,
+
+    "sample_kfold" ->
+      s"""WITH k AS (SELECT doc_id,
+         |  (${hashing.sqlH32("(doc_id::VARCHAR || '/kfold')")} % 5)::INT AS fold
+         |  FROM documents)
+         |SELECT fold, count(*) AS n, min(doc_id) AS min_id
+         |FROM k GROUP BY fold ORDER BY fold""".stripMargin,
 
     "sample_pack" ->
       s"""WITH t AS (SELECT doc_id, len($SqlToks) AS n_tokens,

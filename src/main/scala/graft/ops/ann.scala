@@ -857,6 +857,18 @@ object ann {
     }.reduce(_ union _).orderBy(col("q_idx"))
   }
 
+  /** Recall@k of [[matryoshkaSearch]] against the exact scan — run this
+    * before trusting a prefix width: matryoshka recall is a property of
+    * how the embeddings were trained, not of the algorithm. */
+  def matryoshkaRecallAtK(
+      store: VecStore,
+      queries: Seq[Seq[Double]],
+      k: Int,
+      prefixDims: Int,
+      candK: Int = 0): DataFrame =
+    recallOf(store, queries, k)((st, q) =>
+      matryoshkaSearch(st, q, k, prefixDims, candK))
+
   /** Label-noise screen via kNN label disagreement (Confident-Learning-
     * adjacent, the kNN form: Zhu et al. 2022 "Detecting Corrupted
     * Labels Without Training a Model to Predict"): a point whose

@@ -57,6 +57,20 @@ object sample {
         .otherwise("test"))
   }
 
+  /** Deterministic k-fold assignment by portable id hash: adds `fold` in
+    * `[0, k)` — cross-validation splits that are scan-parallel,
+    * engine-reproducible, and stable under corpus growth (a document's
+    * fold never changes when other documents arrive, unlike
+    * row_number % k). Fold i's train set is `fold =!= i` — a scan
+    * filter, no materialized copies. */
+  def kfold(df: DataFrame, idCol: String, k: Int,
+      salt: String = "kfold"): DataFrame = {
+    require(k >= 2, s"graft: kfold needs k >= 2, got $k")
+    df.withColumn("fold",
+      (hashing.h32(concat(col(idCol).cast("string"), lit("/" + salt))) % k)
+        .cast("int"))
+  }
+
   /** Per-row Bernoulli keep with probability `weight` (clamped to [0,1]),
     * decided by the portable id hash: keep iff `h32(id/salt) < w·2³²`.
     * This is the data-MIXING primitive — sample proportional to a quality
