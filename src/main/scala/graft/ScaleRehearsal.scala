@@ -439,10 +439,11 @@ object ScaleRehearsal {
       docs.select(col("doc_id"), col("lang")),
       docs.where(col("doc_id") % 2 === 0).select(col("doc_id")),
       Seq("doc_id"), Seq("doc_id")))
-    // label-noise screen rides the kNN graph (the expensive part is the
-    // graph itself, already measured above)
-    run("label_noise", countRows = false)(ann.labelNoise(
-      emb, k = 3, nbits = knnBits, topN = 50))
+    // label-noise screen over the SAVED edge table — the production
+    // shape: the graph is the persisted artifact, audits read it
+    run("label_noise", countRows = false)(ann.labelNoiseFromEdges(
+      spark.read.parquet(s"$work/knn_edges"),
+      emb.select(col("vec_id"), col("label")), topN = 50))
     // triangle count over the saved kNN edges: degree-ordered wedges
     run("triangle_count", countRows = false)(graph.triangleCount(
       spark.read.parquet(s"$work/knn_edges")))

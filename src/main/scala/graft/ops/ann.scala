@@ -897,10 +897,24 @@ object ann {
       bucketCap: Int = 4096,
       topN: Int = 50): DataFrame = {
     require(topN >= 1, s"graft: labelNoise needs topN >= 1, got $topN")
-    val edges = knnGraph(df, k, idCol, vecCol, dim, tables, nbits, bucketCap)
-      .select(col("src"), col("dst"))
-    val lab = df.select(col(idCol), col(labelCol))
-    edges
+    labelNoiseFromEdges(
+      knnGraph(df, k, idCol, vecCol, dim, tables, nbits, bucketCap)
+        .select(col("src"), col("dst")),
+      df.select(col(idCol), col(labelCol)), idCol, labelCol, topN)
+  }
+
+  /** [[labelNoise]] over an ALREADY-BUILT edge table — the production
+    * path: the kNN graph is the expensive artifact and gets persisted
+    * once, then every audit (noise, communities, centrality) reads it. */
+  def labelNoiseFromEdges(
+      edges: DataFrame,
+      labels: DataFrame,
+      idCol: String = "vec_id",
+      labelCol: String = "label",
+      topN: Int = 50): DataFrame = {
+    require(topN >= 1, s"graft: labelNoiseFromEdges needs topN >= 1, got $topN")
+    val lab = labels.select(col(idCol), col(labelCol))
+    edges.select(col("src"), col("dst"))
       .join(lab.select(col(idCol).as("src"), col(labelCol).as("_l_src")), "src")
       .join(lab.select(col(idCol).as("dst"), col(labelCol).as("_l_dst")), "dst")
       .groupBy(col("src"))
