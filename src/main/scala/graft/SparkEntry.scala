@@ -160,6 +160,20 @@ object SparkEntry {
       out
     })
 
+  /** Memoized Z-ORDER-CLUSTERED document layout (Morton of
+    * (n_chars, doc_id), small row groups): pushed range filters on
+    * EITHER column prune row groups — the multi-dimensional zonemap
+    * story, priced by `index_zorder_range`. */
+  private val builtZorderLayout = new scala.collection.concurrent.TrieMap[String, String]()
+  private def zorderLayout(s: SparkSession, dir: String): String =
+    builtZorderLayout.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files.createTempDirectory("graft-zo-").toString + "/docs"
+      graft.index.zorder.writeClustered(
+        table(s, dir, "documents").select(col("doc_id"), col("n_chars"), col("lang")),
+        out, "n_chars", "doc_id", bits = 12, files = 4)
+      out
+    })
+
   /** Memoized persisted MinHash signature index over the corpus slice
     * (`doc_id < 400` — the same batch/corpus split every incremental
     * query uses): bucket-partitioned band table + signature table,
@@ -1947,6 +1961,20 @@ object SparkEntry {
         .select(col("doc_id"),
           graft.index.zorder.zValue(col("n_chars"), col("doc_id")).as("z"))
         .orderBy(col("doc_id"))),
+
+    // north-star: 2-D range query over the Z-CLUSTERED layout — both
+    // range predicates push to the scan, and because the layout is
+    // Morton-sorted the row-group min/max stats stay narrow in BOTH
+    // dimensions (VecIndexSpec asserts most groups prune). Results are
+    // layout-independent, so the oracle filters the logical table.
+    "index_zorder_range" -> ((s, dir) =>
+      s.read.parquet(zorderLayout(s, dir))
+        .where(col("n_chars") >= 120 && col("n_chars") <= 200 &&
+          col("doc_id") >= 100 && col("doc_id") <= 220)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("lang"))),
 
     // north-star: deterministic hash split + sampling — reproducible
     // dataset versions with no RNG state; pure scan work.
@@ -4441,6 +4469,13 @@ object SparkEntry {
     "index_zorder_value" ->
       s"""SELECT doc_id, ${graft.index.zorder.sqlZValue("n_chars", "doc_id")} AS z
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "index_zorder_range" ->
+      """SELECT lang, count(*)::BIGINT AS n, min(doc_id) AS min_id,
+        |  max(n_chars) AS max_chars
+        |FROM documents
+        |WHERE n_chars BETWEEN 120 AND 200 AND doc_id BETWEEN 100 AND 220
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "sample_split" ->
       s"""WITH k AS (SELECT doc_id,

@@ -34,4 +34,30 @@ object zorder {
     (0 until bits).map { i =>
       s"((($a >> $i) & 1) * ${1L << (2 * i)} + (($b >> $i) & 1) * ${1L << (2 * i + 1)})"
     }.mkString("(", " + ", ")")
+
+  /** Write `df` as a Z-ORDER-CLUSTERED parquet layout: range-partition
+    * and sort by the Morton value of `(a, b)`, drop the helper column,
+    * and land small row groups — after this, pushed min/max filters on
+    * EITHER column prune row groups (the multi-dimensional version of
+    * `VecIndex`'s sortBy zonemaps; Delta/Iceberg OPTIMIZE ZORDER does
+    * exactly this dance). The curve only helps columns whose low `bits`
+    * carry the signal — bucket/offset wide-range columns first. */
+  def writeClustered(
+      df: org.apache.spark.sql.DataFrame,
+      path: String,
+      a: String,
+      b: String,
+      bits: Int = 16,
+      files: Int = 8,
+      rowGroupBytes: Long = 64 * 1024): Unit = {
+    require(files >= 1 && rowGroupBytes >= 16 * 1024,
+      s"graft: need files >= 1 and rowGroupBytes >= 16KiB, got $files, $rowGroupBytes")
+    df.withColumn("_z", zValue(col(a), col(b), bits))
+      .repartitionByRange(files, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite")
+      .option("parquet.block.size", rowGroupBytes.toString)
+      .parquet(path)
+  }
 }

@@ -292,4 +292,25 @@ class VecIndexSpec extends SparkSpec {
     assert(stats.files < filesBefore, s"compaction must shrink file count: $stats")
     assert(results() == before)
   }
+
+  test("z-order clustering: range filters on EITHER dimension prune row groups") {
+    import graft.index.{zorder, PruneStats}
+    // two independent uniform dims: a plain single-column sort would
+    // leave the other dimension's zonemaps useless
+    val df = (0 until 16384).map { i =>
+      (i.toLong % 4096L, ((i * 2654435761L) % 4096L), s"r$i")
+    }.toDF("x", "y", "tag")
+    val path = Files.createTempDirectory("graft-zo-spec-").toString + "/t"
+    zorder.writeClustered(df, path, "x", "y", bits = 12, files = 4,
+      rowGroupBytes = 16 * 1024)
+    val t = spark.read.parquet(path)
+    // same rows back
+    assert(t.count() == 16384)
+    // a narrow range on EACH dimension must prune most row groups
+    val rx = PruneStats.forQuery(t.where(col("x") >= 100 && col("x") <= 160))
+    val ry = PruneStats.forQuery(t.where(col("y") >= 100 && col("y") <= 160))
+    assert(rx.rowGroupsTotal >= 8, s"fixture too coarse: ${rx.pretty}")
+    assert(rx.rowGroupsPruned > rx.rowGroupsTotal / 2, rx.pretty)
+    assert(ry.rowGroupsPruned > ry.rowGroupsTotal / 2, ry.pretty)
+  }
 }
