@@ -146,6 +146,40 @@ object DocIngest {
     *     late stale upsert cannot resurrect it; bound the horizon
     *     upstream (e.g. compaction dropping tombstones older than the
     *     replay window) when keys churn forever. */
+  final case class SourceDoc(source: String, doc_id: Long, text: String)
+  final case class QuotaState(admitted: Long)
+
+  /** Per-source ingestion QUOTA gate — the crawl front door that stops
+    * one domain from flooding an epoch's corpus (the C4/RefinedWeb
+    * per-domain cap, as a stream): admit at most `maxPerSource`
+    * documents per source over the stream's lifetime, drop the rest.
+    * State per source is ONE counter — `flatMapGroupsWithState` keyed by
+    * source, constant memory per key, no timeout (a lifetime budget; run
+    * per epoch and restart the query to reset, or wrap with a window
+    * upstream for rolling quotas).
+    *
+    * Within one micro-batch the group's slice admits in (doc_id, text)
+    * order, so replaying the same batches reproduces the same admitted
+    * set — the determinism contract everything in this module keeps. */
+  def quotaGate(
+      docs: org.apache.spark.sql.Dataset[SourceDoc],
+      maxPerSource: Long): org.apache.spark.sql.Dataset[SourceDoc] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import docs.sparkSession.implicits._
+    require(maxPerSource >= 1,
+      s"graft: quotaGate needs maxPerSource >= 1, got $maxPerSource")
+    docs.groupByKey(_.source).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (_: String, it: Iterator[SourceDoc], state: GroupState[QuotaState]) =>
+        val used = state.getOption.map(_.admitted).getOrElse(0L)
+        val room = (maxPerSource - used).max(0L)
+        val admitted = it.toSeq.sortBy(d => (d.doc_id, d.text))
+          .take(math.min(room, Int.MaxValue.toLong).toInt)
+        state.update(QuotaState(used + admitted.size))
+        admitted.iterator
+    }
+  }
+
   def upsertStream(
       changes: org.apache.spark.sql.Dataset[DocChange])
       : org.apache.spark.sql.Dataset[DocCurrent] = {

@@ -177,4 +177,27 @@ class DocIngestSpec extends SparkSpec {
     assert(emitted.count(_.doc_id == 1L) == 2, "id 1: v1 then v2 only")
     assert(emitted.count(_.doc_id == 2L) == 2, "id 2: w1 then tombstone only")
   }
+
+  test("quotaGate: per-source lifetime cap across batches, deterministic admit order") {
+    import DocIngest.SourceDoc
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[SourceDoc]
+    val q = DocIngest.quotaGate(in.toDS(), maxPerSource = 3)
+      .writeStream.format("memory").queryName("quota_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: source a sends 5 (only lowest 3 ids admitted), b sends 1
+      in.addData((1 to 5).map(i => SourceDoc("a", i.toLong, s"a$i")) :+
+        SourceDoc("b", 10L, "b10"))
+      q.processAllAvailable()
+      // batch 2: a is exhausted (all dropped); b admits 2 more then drops
+      in.addData(Seq(SourceDoc("a", 6L, "a6"), SourceDoc("b", 11L, "b11"),
+        SourceDoc("b", 12L, "b12"), SourceDoc("b", 13L, "b13")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("quota_stream").as[SourceDoc].collect()
+      .map(d => (d.source, d.doc_id)).toSet
+    assert(got == Set(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 10L), ("b", 11L), ("b", 12L)), got.toString)
+  }
 }
