@@ -1984,6 +1984,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
         .orderBy(col("split"))),
 
+    // north-star: semantic training order (related-document packing) —
+    // nearest-centroid clusters laid out contiguously, quantized
+    // distance then id inside each; seq_pos is the range-partitioned
+    // dense rank, no single-partition stage.
+    "sample_semantic_order" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      sample.semanticOrder(emb, ann.seedCentroids(emb, 8))
+        .select(col("vec_id"), col("cluster_id"), col("seq_pos"))
+        .orderBy(col("seq_pos"))
+    }),
+
     // north-star: hash-stable k-fold CV assignment — a document's fold
     // never changes as the corpus grows (row_number % k can't say that).
     "sample_kfold" -> ((s, dir) =>
@@ -4484,6 +4495,20 @@ object SparkEntry {
          |  WHEN key < 90 THEN 'val' ELSE 'test' END AS split FROM k)
          |SELECT split, count(*) AS n, min(doc_id) AS min_id
          |FROM s GROUP BY split ORDER BY split""".stripMargin,
+
+    "sample_semantic_order" ->
+      s"""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e
+         |  FROM (SELECT vec_id, e FROM s ORDER BY vec_id LIMIT 8)),
+         |assign AS (SELECT vec_id, cluster_id, cdist FROM (
+         |  SELECT s.vec_id, c.cid AS cluster_id,
+         |    ${r4(sqlL2Between("s.e", "c.e"))} AS cdist,
+         |    row_number() OVER (PARTITION BY s.vec_id
+         |      ORDER BY ${sqlL2Between("s.e", "c.e")}, c.cid) AS rn
+         |  FROM s, cent c) WHERE rn = 1)
+         |SELECT vec_id, cluster_id,
+         |  row_number() OVER (ORDER BY cluster_id, cdist, vec_id) - 1 AS seq_pos
+         |FROM assign ORDER BY seq_pos""".stripMargin,
 
     "sample_kfold" ->
       s"""WITH k AS (SELECT doc_id,

@@ -520,6 +520,45 @@ object sample {
     * stage. A writer that only needs shuffled SHARDS (not the audit
     * rank) can skip zipIndex and range-write directly on the same key;
     * `epoch_pos` is what makes the order checkable in an artifact. */
+  /** SEMANTIC training order (related-document packing, "In-Context
+    * Pretraining", Shi et al. 2023): assign every document to its
+    * nearest centroid and emit a dense global `seq_pos` ordered by
+    * `(cluster, centroid distance, id)` — adjacent training positions
+    * hold semantically adjacent documents, so long-context batches see
+    * related material instead of a random bag. The inverse knob of
+    * [[epochShuffle]]; run one or the other per epoch.
+    *
+    * Scale shape: the argmin is a literal-centroid expression in-scan
+    * (no join), distance is QUANTIZED (4dp) before ordering so the
+    * sequence is engine-reproducible, and the dense position is
+    * [[graft.ops.rel.zipIndex]]'s range-partitioned rank — no
+    * single-partition stage anywhere. */
+  def semanticOrder(
+      df: DataFrame,
+      centroids: Seq[(Int, Seq[Double])],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      parts: Int = 0): DataFrame = {
+    require(centroids.nonEmpty, "graft: semanticOrder needs centroids")
+    val v = graft.functions.vectors.asDoubleArray(col(vecCol))
+    val dists = array(centroids.map { case (_, cvec) =>
+      graft.functions.vectors.l2Squared(v, graft.functions.vectors.vecLit(cvec))
+    }: _*)
+    val cids = array(centroids.map { case (cid, _) => lit(cid) }: _*)
+    val assigned = df
+      .withColumn("_d", dists)
+      .withColumn("cluster_id", element_at(cids,
+        array_position(col("_d"), array_min(col("_d"))).cast("int")))
+      .withColumn("_cdist",
+        graft.functions.vectors.quantize(array_min(col("_d")), 4))
+      .drop("_d")
+      .withColumn("_ord",
+        struct(col("cluster_id"), col("_cdist"), col(idCol)))
+    graft.ops.rel.zipIndex(assigned, "_ord", parts)
+      .withColumnRenamed("idx", "seq_pos")
+      .drop("_ord", "_cdist")
+  }
+
   def epochShuffle(
       df: DataFrame,
       idCol: String,
