@@ -1763,6 +1763,14 @@ object SparkEntry {
         Seq(0.5, 0.9, 0.99))
         .orderBy(col("q"))),
 
+    // north-star: quantiles from a deterministic bottom-k-hash sample —
+    // no domain knob (histogramQuantile's [lo,hi)), mergeable, and
+    // exactly reproducible by an independent engine (no RNG, no
+    // interpolation: nearest-rank over the value-sorted sample).
+    "events_sample_quantiles" -> ((s, dir) =>
+      sketch.sampleQuantiles(table(s, dir, "events"), col("value"),
+        col("event_id"), k = 256, qs = Seq(0.1, 0.5, 0.9, 0.99))),
+
     // north-star: robust (IQR-fence) anomaly card per event type —
     // Tukey's fence Q3 + 1.5·IQR from MERGEABLE histogram quantiles
     // (both windows run over the 25-bin grid, never the table), then one
@@ -1983,6 +1991,24 @@ object SparkEntry {
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
         .orderBy(col("split"))),
+
+    // north-star: scorer calibration table — quantized cosine-to-query
+    // as the "classifier score", label >= 5 as the outcome; per-bin
+    // empirical rate in integer basis points. One bin-keyed groupBy.
+    "vec_score_calibration" -> ((s, dir) => {
+      val score = vectors.quantize(
+        vectors.score(Metric.Cosine,
+          vectors.asDoubleArray(col("embedding")), vectors.vecLit(Q1),
+          queryInvNorm = Some(lit(vectors.invNormOf(Q1)))), 4)
+      sample.calibrationMap(table(s, dir, "embeddings"),
+          score, col("label") >= 5, lo = -1.0, hi = 1.0, nbins = 20)
+        // bin edges as integer milli-units for the compare: the double
+        // edges differ by an ulp across engines (DuckDB decimal literals)
+        .select(col("bin"), (lit(-1000L) + col("bin") * 100L).as("lo_milli"),
+          (lit(-1000L) + (col("bin") + 1L) * 100L).as("hi_milli"),
+          col("n"), col("n_pos"), col("rate_bp"))
+        .orderBy(col("bin"))
+    }),
 
     // north-star: semantic training order (related-document packing) —
     // nearest-centroid clusters laid out contiguously, quantized
@@ -4008,6 +4034,17 @@ object SparkEntry {
         |    * (bin_hi - bin_lo)) * 10000.0 + 0.5) / 10000.0 AS v_est
         |FROM cand WHERE rk = 1 ORDER BY q""".stripMargin,
 
+    "events_sample_quantiles" ->
+      s"""WITH sm AS (SELECT ${hashing.sqlH63("event_id::VARCHAR")} AS h,
+         |    value::DOUBLE AS v
+         |  FROM events WHERE value IS NOT NULL ORDER BY h LIMIT 256),
+         |n AS (SELECT count(*)::BIGINT AS sz FROM sm),
+         |rk AS (SELECT v, row_number() OVER (ORDER BY v, h) AS r FROM sm),
+         |qq AS (SELECT unnest([0.1::DOUBLE, 0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q)
+         |SELECT q, v FROM rk JOIN qq
+         |  ON rk.r = (floor(q * ((SELECT sz FROM n) - 1)) + 1)::INT
+         |ORDER BY q""".stripMargin,
+
     "events_anomaly_iqr" ->
       """WITH tt AS (SELECT DISTINCT event_type FROM events WHERE value IS NOT NULL),
         |b AS (SELECT event_type,
@@ -4495,6 +4532,18 @@ object SparkEntry {
          |  WHEN key < 90 THEN 'val' ELSE 'test' END AS split FROM k)
          |SELECT split, count(*) AS n, min(doc_id) AS min_id
          |FROM s GROUP BY split ORDER BY split""".stripMargin,
+
+    "vec_score_calibration" ->
+      s"""WITH s AS (SELECT label, ${r4(sqlCosine(Q1))} AS score FROM embeddings),
+         |b AS (SELECT label,
+         |    greatest(0, least(19, floor((score - (-1.0)) / 0.1)::BIGINT)) AS bin
+         |  FROM s)
+         |SELECT bin, -1000 + bin * 100 AS lo_milli,
+         |  -1000 + (bin + 1) * 100 AS hi_milli,
+         |  count(*)::BIGINT AS n,
+         |  sum(CASE WHEN label >= 5 THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+         |  (sum(CASE WHEN label >= 5 THEN 1 ELSE 0 END) * 10000) // count(*) AS rate_bp
+         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
 
     "sample_semantic_order" ->
       s"""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -520,6 +520,37 @@ object sample {
     * stage. A writer that only needs shuffled SHARDS (not the audit
     * rank) can skip zipIndex and range-write directly on the same key;
     * `epoch_pos` is what makes the order checkable in an artifact. */
+  /** Binned CALIBRATION map for a scorer against binary outcomes: equal-
+    * width score bins, per-bin count / positives / empirical rate in
+    * integer basis points — the table that tells you whether a quality
+    * classifier's 0.9 means 90% (and the lookup a pipeline applies as a
+    * monotone score → probability correction before thresholding).
+    * Histogram-style one-pass groupBy on the bin id; everything integer
+    * after the bin floor, so engine-exact. Returns
+    * `(bin, bin_lo, bin_hi, n, n_pos, rate_bp)` for non-empty bins. */
+  def calibrationMap(
+      df: DataFrame,
+      scoreCol: Column,
+      positiveCol: Column,
+      lo: Double,
+      hi: Double,
+      nbins: Int): DataFrame = {
+    require(nbins >= 1 && lo < hi,
+      s"graft: calibrationMap needs nbins >= 1 and lo < hi, got $nbins, [$lo, $hi)")
+    val width = (hi - lo) / nbins
+    val bin = greatest(lit(0L), least(lit(nbins - 1L),
+      floor((scoreCol - lo) / width).cast("long")))
+    df.where(scoreCol.isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(positiveCol, 1L).otherwise(0L)).as("n_pos"))
+      .select(col("bin"),
+        (lit(lo) + col("bin") * width).as("bin_lo"),
+        (lit(lo) + (col("bin") + 1L) * width).as("bin_hi"),
+        col("n"), col("n_pos"),
+        expr("n_pos * 10000 DIV n").as("rate_bp"))
+  }
+
   /** SEMANTIC training order (related-document packing, "In-Context
     * Pretraining", Shi et al. 2023): assign every document to its
     * nearest centroid and emit a dense global `seq_pos` ordered by

@@ -635,6 +635,51 @@ object sketch {
           / 10000.0)
   }
 
+  /** Quantiles from a DETERMINISTIC uniform sample: keep the `k` rows
+    * with the smallest portable id-hashes (a bottom-k sample — uniform
+    * because the hash is, mergeable because bottom-k of a union is the
+    * bottom-k of the parts' bottom-ks, deterministic because no RNG),
+    * then read nearest-rank quantiles off the sorted sample values.
+    * Unlike [[histogramQuantile]] this needs NO [lo, hi) domain knob,
+    * and unlike engine `approx_percentile` sketches the result is
+    * reproducible bit-for-bit by an independent engine — the oracle
+    * checks the exact sample. Standard error ~ 1/√k per quantile.
+    *
+    * Plan shape: one TakeOrderedAndProject of k thin (hash, value) rows
+    * — per-partition bounded heaps, no full shuffle — then quantile
+    * arithmetic over the k-row result. Returns `(q, v)` with v exact
+    * from the sampled row (nearest-rank, index `floor(q·(k−1))` of the
+    * value-sorted sample — no interpolation, so no float arithmetic to
+    * match across engines). */
+  def sampleQuantiles(
+      df: DataFrame,
+      valueCol: Column,
+      idCol: Column,
+      k: Int,
+      qs: Seq[Double]): DataFrame = {
+    require(k >= 2, s"graft: sampleQuantiles needs k >= 2, got $k")
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"graft: quantiles must be in [0, 1], got $qs")
+    val spark = df.sparkSession
+    val sample = df.where(valueCol.isNotNull)
+      .select(hashing.h63(idCol.cast("string")).as("_h"),
+        valueCol.cast("double").as("v"))
+      .orderBy(col("_h"))
+      .limit(k)
+    // the global window runs over the ALREADY-BOUNDED k-row sample (the
+    // same domain-bounded-window argument as the histogram grid ranks)
+    val ranked = sample
+      .withColumn("_rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("v"), col("_h"))))
+    val qdf = spark.createDataFrame(qs.map(Tuple1.apply)).toDF("q")
+    // nearest-rank index over the ACTUAL sample size
+    val sz = sample.count()
+    ranked.join(broadcast(qdf),
+        col("_rk") === (floor(col("q") * (lit(sz) - 1L)) + 1L).cast("int"))
+      .select(col("q"), col("v"))
+      .orderBy(col("q"))
+  }
+
   /** Heavy hitters (frequent items) via the native Misra–Gries aggregate
     * ([[graft.functions.MisraGriesAgg]]): top-`topN` items by estimated
     * count, `(item, est_count)` ordered count desc, item asc.
