@@ -1677,6 +1677,14 @@ object SparkEntry {
     "graph_triangles" -> ((s, dir) =>
       graft.ops.graph.triangleCount(s.read.parquet(knnEdges(s, dir)))),
 
+    // north-star: 3-core of the kNN graph by 4 synchronous peeling
+    // rounds (fixed-round semantics, oracle unrolls the same rounds) —
+    // the dense-subgraph screen: template farms live in high cores.
+    "graph_kcore" -> ((s, dir) =>
+      graft.ops.graph.kCorePeel(s.read.parquet(knnEdges(s, dir)),
+          k = 3, rounds = 4)
+        .orderBy(col("id"))),
+
     // deterministic synchronous label propagation over the same built
     // kNN graph — community labels travel <= iters hops; smallest-label
     // tie rule makes every round engine-reproducible.
@@ -3829,6 +3837,22 @@ object SparkEntry {
          |SELECT count(*)::BIGINT AS n_triangles
          |FROM ed e1 JOIN ed e2 ON e1.b = e2.a
          |JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
+
+    "graph_kcore" -> {
+      val rounds = (1 to 4).map(i =>
+        s""",
+           |d$i AS (SELECT src AS id, count(*) AS d FROM u${i - 1} GROUP BY 1),
+           |s$i AS (SELECT id FROM d$i WHERE d >= 3),
+           |u$i AS (SELECT u.src, u.dst FROM u${i - 1} u
+           |  JOIN s$i x ON u.src = x.id JOIN s$i y ON u.dst = y.id)""".stripMargin)
+        .mkString
+      s"""WITH $SqlKnnCtes,
+         |e0 AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM r WHERE rnk <= 3 GROUP BY 1, 2),
+         |u0 AS (SELECT a AS src, b AS dst FROM e0
+         |  UNION ALL SELECT b, a FROM e0)$rounds
+         |SELECT DISTINCT src AS id FROM u4 ORDER BY id""".stripMargin
+    },
 
     "vec_label_noise" ->
       s"""WITH $SqlKnnCtes,

@@ -141,6 +141,48 @@ object graph {
     labels
   }
 
+  /** k-core membership by `rounds` SYNCHRONOUS peeling rounds: each
+    * round drops every node whose degree among SURVIVORS is < k, then
+    * restricts the edge set to survivors. With enough rounds this is the
+    * exact k-core (each round peels at least one node until fixpoint, so
+    * `rounds` ≥ peel depth converges — GraphSpec pins a planted case);
+    * fixed-round semantics keep the result engine-reproducible the same
+    * way [[labelPropagation]]'s fixed iterations do, and the DuckDB
+    * oracle unrolls the identical rounds. The dense-subgraph screen for
+    * near-dup graphs: template farms and mirror rings live in high
+    * cores, organic near-dups don't.
+    *
+    * Plan per round: one degree aggregation + two semi-joins, all keyed
+    * on node ids; [[ckpt.cut]] truncates lineage so rounds don't
+    * compound. Returns the surviving `(id)` rows. */
+  def kCorePeel(
+      edges: DataFrame,
+      k: Int,
+      rounds: Int,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(k >= 1 && rounds >= 0,
+      s"graft: kCorePeel needs k >= 1, rounds >= 0; got $k, $rounds")
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+    var und = e0.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .select(col("a").as("src"), col("b").as("dst"))
+    und = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
+    for (_ <- 0 until rounds) {
+      val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("_d"))
+      val surv = deg.where(col("_d") >= k).select(col("id"))
+      und = und
+        .join(surv.select(col("id").as("src")), "src")
+        .join(surv.select(col("id").as("dst")), "dst")
+        .select(col("src"), col("dst"))
+      und = ckpt.cut(und)
+    }
+    und.select(col("src").as("id")).distinct()
+  }
+
   /** Exact global triangle count via the degree-ordered node-iterator
     * (Schank & Wagner 2005 / "compact-forward"): orient every undirected
     * edge from its lower-(degree, id) endpoint to the higher one, build

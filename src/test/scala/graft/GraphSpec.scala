@@ -87,6 +87,23 @@ class GraphSpec extends SparkSpec {
     assert(shuffled == r3)
   }
 
+  test("kCorePeel: planted K5 survives 3-core peeling, pendant tree peels away") {
+    // K5 on {0..4} (4-regular) + a tree hung off node 0: 0-10, 10-11,
+    // 10-12, 11-13 — every tree node has degree <= 3 transiently but
+    // below 3 after its leaves peel; cascade needs MULTIPLE rounds
+    val k5 = for { a <- 0 to 4; b <- 0 to 4 if a < b } yield (a.toLong, b.toLong)
+    val tree = Seq((0L, 10L), (10L, 11L), (10L, 12L), (11L, 13L))
+    val edges = (k5 ++ tree).toDF("src", "dst")
+    val core = graph.kCorePeel(edges, k = 3, rounds = 4)
+      .as[Long].collect().toSet
+    assert(core == Set(0L, 1L, 2L, 3L, 4L), core.toString)
+    // zero rounds = no peeling: every non-isolated node survives
+    val all = graph.kCorePeel(edges, k = 3, rounds = 0).as[Long].collect().toSet
+    assert(all == (0L to 4L).toSet ++ Set(10L, 11L, 12L, 13L))
+    // k=5: even K5 dissolves (max degree 4)
+    assert(graph.kCorePeel(edges, k = 5, rounds = 3).count() == 0L)
+  }
+
   test("triangleCount: K4 has 4, path has 0; robust to direction/dups/loops") {
     // K4 on {0,1,2,3} = C(4,3) = 4 triangles, plus a pendant path 3-4-5
     val k4 = for { a <- 0 to 3; b <- 0 to 3 if a < b } yield (a.toLong, b.toLong)
