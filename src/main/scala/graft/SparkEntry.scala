@@ -1360,6 +1360,20 @@ object SparkEntry {
         .orderBy(col("id"), col("frame_idx"))
     }),
 
+    // north-star: within-asset frame dedup meter — static scenes and
+    // duplicated segments show as repeated frame checksums; the number
+    // that decides whether to keyframe-sample a video before featurize.
+    "mm_frame_dedup" -> ((s, dir) => {
+      val media = multimodal.fromText(table(s, dir, "documents"),
+        "doc_id", "text", "source")
+      multimodal.sampleFrames(media, frameBytes = 64, stride = 1)
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_frames"),
+          countDistinct(md5(col("frame"))).as("n_distinct"))
+        .withColumn("dup_frames", col("n_frames") - col("n_distinct"))
+        .orderBy(col("id"))
+    }),
+
     // relational coverage a pipeline needs around the vector core: grouped
     // aggregation (Q1 shape) — doubles summed as exact fixed-point cents.
     "rel_groupby_agg" -> ((s, dir) =>
@@ -3798,6 +3812,15 @@ object SparkEntry {
         |  FROM documents, unnest(range(0, ceil(length(text)/64.0)::BIGINT)) u(i))
         |SELECT id, frame_idx, md5(fr) AS frame_ck
         |FROM f WHERE frame_idx % 2 = 0 ORDER BY id, frame_idx""".stripMargin,
+
+    "mm_frame_dedup" ->
+      """WITH f AS (SELECT doc_id AS id,
+        |    substr(text, (u.i*64)::INT + 1, 64) AS fr
+        |  FROM documents, unnest(range(0, ceil(length(text)/64.0)::BIGINT)) u(i))
+        |SELECT id, count(*)::BIGINT AS n_frames,
+        |  count(DISTINCT md5(fr))::BIGINT AS n_distinct,
+        |  (count(*) - count(DISTINCT md5(fr)))::BIGINT AS dup_frames
+        |FROM f GROUP BY id ORDER BY id""".stripMargin,
 
     "rel_groupby_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
