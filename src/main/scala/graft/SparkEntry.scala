@@ -1691,6 +1691,16 @@ object SparkEntry {
     "graph_triangles" -> ((s, dir) =>
       graft.ops.graph.triangleCount(s.read.parquet(knnEdges(s, dir)))),
 
+    // north-star: personalized PageRank from a 5-doc seed set — the
+    // expand-a-curated-set primitive: restart mass teleports to seeds,
+    // so rank = multi-hop relevance, decaying with graph distance.
+    "graph_ppr" -> ((s, dir) =>
+      graft.ops.graph.personalizedPageRank(
+          s.read.parquet(knnEdges(s, dir)), seeds = Seq(0L, 1L, 2L, 3L, 4L),
+          iters = 3)
+        .where(col("rank") > 0)
+        .orderBy(col("id"))),
+
     // north-star: 3-core of the kNN graph by 4 synchronous peeling
     // rounds (fixed-round semantics, oracle unrolls the same rounds) —
     // the dense-subgraph screen: template farms live in high cores.
@@ -3860,6 +3870,29 @@ object SparkEntry {
          |SELECT count(*)::BIGINT AS n_triangles
          |FROM ed e1 JOIN ed e2 ON e1.b = e2.a
          |JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
+
+    "graph_ppr" -> {
+      val seeds = "(0, 1, 2, 3, 4)"
+      val base = "((1000000 - 850000) * 1000000000000 // 1000000) // 5"
+      val iterCtes = (0 until 3).map { i =>
+        s"""c$i AS (SELECT e.dst AS id, sum(r.rank // d.deg) AS s
+           |  FROM e JOIN r$i r ON e.src = r.id JOIN deg d ON e.src = d.src
+           |  GROUP BY e.dst),
+           |r${i + 1} AS (SELECT nodes.id,
+           |  ((CASE WHEN nodes.id IN $seeds THEN $base ELSE 0 END)
+           |    + (850000 * coalesce(c.s, 0)) // 1000000)::BIGINT AS rank
+           |  FROM nodes LEFT JOIN c$i c USING (id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $SqlKnnCtes,
+         |e AS (SELECT src, dst FROM r WHERE rnk <= 3),
+         |nodes AS (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |r0 AS (SELECT id, (CASE WHEN id IN $seeds
+         |  THEN 1000000000000 // 5 ELSE 0 END)::BIGINT AS rank FROM nodes),
+         |$iterCtes
+         |SELECT id, rank FROM r3 WHERE rank > 0 ORDER BY id""".stripMargin
+    },
 
     "graph_kcore" -> {
       val rounds = (1 to 4).map(i =>

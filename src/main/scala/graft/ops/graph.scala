@@ -88,6 +88,60 @@ object graph {
     ranks
   }
 
+  /** PERSONALIZED PageRank: restart mass teleports to the `seeds` only
+    * (uniformly among them) instead of to every node — ranks become
+    * "relevance to the seed set", the find-documents-like-these /
+    * expand-a-curated-set primitive over the kNN graph (and the
+    * random-walk cousin of [[graft.ops.ann.knnJoin]]'s one-hop
+    * neighbors: PPR reaches multi-hop structure). Same fixed-point
+    * integer arithmetic, iteration shape, and lineage discipline as
+    * [[pageRank]]; the seed set rides the plan as a literal IN-set
+    * (bounded — a large seed table should aggregate its mass with a
+    * join variant instead). Non-seed nodes get base 0, so mass decays
+    * with graph distance from the seeds. */
+  def personalizedPageRank(
+      edges: DataFrame,
+      seeds: Seq[Long],
+      iters: Int = 3,
+      dampingPpm: Long = 850000L,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      scale: Long = 1000000000000L): DataFrame = {
+    require(seeds.nonEmpty && seeds.size <= 10000,
+      s"graft: personalizedPageRank needs 1..10000 literal seeds, got ${seeds.size}")
+    require(iters >= 0, s"graft: personalizedPageRank needs iters >= 0, got $iters")
+    require(dampingPpm >= 0 && dampingPpm <= 1000000L,
+      s"graft: dampingPpm must be in [0, 1e6], got $dampingPpm")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .persist()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .persist()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val withDeg = e.join(outdeg, "src").persist()
+    val isSeed = col("id").isin(seeds: _*)
+    val base = ((1000000L - dampingPpm) * scale / 1000000L) / seeds.size
+    var ranks = nodes.withColumn("rank",
+      when(isSeed, lit(scale / seeds.size)).otherwise(lit(0L)))
+    for (_ <- 0 until iters) {
+      val summed = withDeg
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), expr("rank DIV deg").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("s"))
+      ranks = nodes.join(summed, Seq("id"), "left")
+        .select(col("id"),
+          (when(isSeed, lit(base)).otherwise(lit(0L)) +
+            expr(s"($dampingPpm * coalesce(s, CAST(0 AS BIGINT))) DIV 1000000"))
+            .as("rank"))
+      ranks = ckpt.cut(ranks)
+    }
+    Seq(e, nodes, withDeg).foreach(_.unpersist(false))
+    ranks
+  }
+
   /** Deterministic SYNCHRONOUS label propagation (Raghavan et al. 2007)
     * over an undirected view of the edge list — community detection for
     * curation: near-dup neighborhoods, topic clumps, source farms. Each

@@ -87,6 +87,26 @@ class GraphSpec extends SparkSpec {
     assert(shuffled == r3)
   }
 
+  test("personalizedPageRank: mass decays with distance from seeds; " +
+      "disconnected nodes get zero") {
+    // seed 0 fans out to 1 and 2; 1 fans to 3 and 4; 20→0 is UPSTREAM of
+    // the seed (unreachable by forward walk); 10→11 is disconnected
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 3L), (1L, 4L),
+      (20L, 0L), (10L, 11L)).toDF("src", "dst")
+    val r = graph.personalizedPageRank(edges, seeds = Seq(0L), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    // seed keeps restart mass; each fan-out child splits its parent's
+    // pushed mass, so sits strictly below the seed
+    assert(r(0L) > 0L && r(1L) > 0L && r(3L) > 0L)
+    assert(r(1L) < r(0L) && r(3L) < r(1L), s"fan-out must divide mass: $r")
+    assert(r(1L) == r(2L) && r(3L) == r(4L), s"symmetric children equal: $r")
+    // nodes the forward walk cannot reach carry NOTHING (plain pageRank
+    // would give both nonzero base mass)
+    assert(r(10L) == 0L && r(11L) == 0L && r(20L) == 0L, r.toString)
+    val pr = graph.pageRank(edges, iters = 3).as[(Long, Long)].collect().toMap
+    assert(pr(10L) > 0L && pr(20L) > 0L)
+  }
+
   test("kCorePeel: planted K5 survives 3-core peeling, pendant tree peels away") {
     // K5 on {0..4} (4-regular) + a tree hung off node 0: 0-10, 10-11,
     // 10-12, 11-13 — every tree node has degree <= 3 transiently but
