@@ -1691,6 +1691,14 @@ object SparkEntry {
     "graph_triangles" -> ((s, dir) =>
       graft.ops.graph.triangleCount(s.read.parquet(knnEdges(s, dir)))),
 
+    // north-star: TextRank corpus keywords — PageRank over the token
+    // co-occurrence graph (window 2), fixed-point integer ranks over
+    // h63 term ids; centrality rewards context-bridging terms TF-IDF's
+    // per-document lens misses.
+    "text_textrank" -> ((s, dir) =>
+      graft.ops.text.textRankTerms(table(s, dir, "documents"), "text",
+        window = 2, iters = 3, topN = 20)),
+
     // north-star: personalized PageRank from a 5-doc seed set — the
     // expand-a-curated-set primitive: restart mass teleports to seeds,
     // so rank = multi-hop relevance, decaying with graph distance.
@@ -3870,6 +3878,38 @@ object SparkEntry {
          |SELECT count(*)::BIGINT AS n_triangles
          |FROM ed e1 JOIN ed e2 ON e1.b = e2.a
          |JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
+
+    "text_textrank" -> {
+      val base = "((1000000 - 850000) * 1000000000000 // 1000000) // (SELECT n FROM nn)"
+      val iterCtes = (0 until 3).map { i =>
+        s"""c$i AS (SELECT e.dst AS id, sum(r.rank // d.deg) AS s
+           |  FROM e JOIN r$i r ON e.src = r.id JOIN deg d ON e.src = d.src
+           |  GROUP BY e.dst),
+           |r${i + 1} AS (SELECT nodes.id,
+           |  ($base + (850000 * coalesce(c.s, 0)) // 1000000)::BIGINT AS rank
+           |  FROM nodes LEFT JOIN c$i c USING (id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tk AS (SELECT doc_id, $SqlToks AS ts FROM documents),
+         |p1 AS (SELECT least(ts[i], ts[i+1]) AS a, greatest(ts[i], ts[i+1]) AS b
+         |  FROM tk, unnest(range(1, len(ts))) u(i) WHERE ts[i] <> ts[i+1]),
+         |p2 AS (SELECT least(ts[i], ts[i+2]), greatest(ts[i], ts[i+2])
+         |  FROM tk, unnest(range(1, len(ts) - 1)) u(i) WHERE ts[i] <> ts[i+2]),
+         |und AS (SELECT DISTINCT a, b FROM
+         |  (SELECT * FROM p1 UNION ALL SELECT * FROM p2)),
+         |e AS (SELECT ${hashing.sqlH63("a")} AS src, ${hashing.sqlH63("b")} AS dst FROM und
+         |  UNION ALL SELECT ${hashing.sqlH63("b")}, ${hashing.sqlH63("a")} FROM und),
+         |nodes AS (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |r0 AS (SELECT id, (1000000000000 // (SELECT n FROM nn))::BIGINT AS rank FROM nodes),
+         |$iterCtes,
+         |terms AS (SELECT DISTINCT term FROM
+         |  (SELECT a AS term FROM und UNION ALL SELECT b FROM und)),
+         |tid AS (SELECT term, ${hashing.sqlH63("term")} AS id FROM terms)
+         |SELECT term, rank FROM r3 JOIN tid USING (id)
+         |ORDER BY rank DESC, term LIMIT 20""".stripMargin
+    },
 
     "graph_ppr" -> {
       val seeds = "(0, 1, 2, 3, 4)"

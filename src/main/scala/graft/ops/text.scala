@@ -1079,4 +1079,53 @@ object text {
         col("symbol_ratio") <= maxSymbolRatio &&
         col("n_stop_hits") >= minStopHits).cast("int"))
   }
+
+  /** Corpus-level TextRank keywords (Mihalcea & Tarau 2004, unweighted
+    * variant): build the token CO-OCCURRENCE graph (terms adjacent
+    * within `window` positions in any document), PageRank it with the
+    * engine's fixed-point integer [[graft.ops.graph.pageRank]], and
+    * return the `topN` terms by rank — corpus keywords that TF-IDF's
+    * per-document lens misses (centrality rewards terms that bridge
+    * contexts, not just frequent ones).
+    *
+    * Scale shape: pair generation is IN-ROW (a per-document transform,
+    * no self-join), the undirected edge set dedups on the term pair, and
+    * the walk runs over vocab-sized nodes keyed by the portable 63-bit
+    * term hash — both engines rank the same integers, so the oracle
+    * replays graph build and iterations exactly. */
+  def textRankTerms(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      window: Int = 2,
+      iters: Int = 3,
+      topN: Int = 20): org.apache.spark.sql.DataFrame = {
+    require(window >= 1 && window <= 8,
+      s"graft: textRank window must be in [1, 8], got $window")
+    require(topN >= 1, s"graft: textRank needs topN >= 1, got $topN")
+    val ts = tokens(col(textCol))
+    def pairsAt(o: Int) = when(size(ts) > o,
+      transform(sequence(lit(1), size(ts) - o), i =>
+        struct(
+          least(element_at(ts, i), element_at(ts, i + o)).as("a"),
+          greatest(element_at(ts, i), element_at(ts, i + o)).as("b"))))
+      .otherwise(array().cast("array<struct<a:string,b:string>>"))
+    val und = df
+      .select(explode(concat((1 to window).map(pairsAt): _*)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val edges = und
+      .select(graft.functions.hashing.h63(col("a")).as("src"),
+        graft.functions.hashing.h63(col("b")).as("dst"))
+    val both = edges.unionAll(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+    val ranks = graph.pageRank(both, iters)
+    val terms = und
+      .select(explode(array(col("a"), col("b"))).as("term")).distinct()
+      .select(col("term"), graft.functions.hashing.h63(col("term")).as("id"))
+    ranks.join(terms, "id")
+      .select(col("term"), col("rank"))
+      .orderBy(col("rank").desc, col("term"))
+      .limit(topN)
+  }
 }
