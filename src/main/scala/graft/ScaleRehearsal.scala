@@ -450,6 +450,24 @@ object ScaleRehearsal {
     // PRF: two BM25 rounds + integer term mining
     run("bm25_prf", countRows = false)(graft.ops.retrieval.prfExpand(
       docs, "text", "doc_id", Seq("spark", "query", "window"), k = 10))
+    // personalized PageRank + k-core over the same saved graph
+    run("ppr_3it")(graph.personalizedPageRank(
+      spark.read.parquet(s"$work/knn_edges"), seeds = Seq(0L, 1L, 2L, 3L, 4L),
+      iters = 3))
+    run("kcore_peel4")(graph.kCorePeel(
+      spark.read.parquet(s"$work/knn_edges"), k = 3, rounds = 4))
+    // TextRank keywords: vocab-sized co-occurrence walk over factor docs
+    run("textrank_top20", countRows = false)(graft.ops.text.textRankTerms(
+      docs, "text", window = 2, iters = 3, topN = 20))
+    // deterministic sample quantiles + calibration map + semantic order
+    run("sample_quantiles", countRows = false)(graft.ops.sketch.sampleQuantiles(
+      events, col("value"), col("event_id"), k = 256,
+      qs = Seq(0.1, 0.5, 0.9, 0.99)))
+    run("calibration_map", countRows = false)(sample.calibrationMap(
+      emb, col("label").cast("double") / 10.0, col("label") % 2 === 0,
+      lo = 0.0, hi = 1.0, nbins = 10))
+    run("semantic_order")(sample.semanticOrder(
+      emb, ann.seedCentroids(emb, 8)))
 
     spark.stop()
   }
