@@ -1102,16 +1102,24 @@ object text {
     require(window >= 1 && window <= 8,
       s"graft: textRank window must be in [1, 8], got $window")
     require(topN >= 1, s"graft: textRank needs topN >= 1, got $topN")
-    val ts = tokens(col(textCol))
+    // Pair generation with NO per-element lambda: zip the token array
+    // against its o-shifted slice (one vectorized array op per offset),
+    // normalize (least, greatest) AFTER the explode where it runs as
+    // row-level codegen. The token array also binds to a named column
+    // first — a lambda-free zip still re-evaluates computed inputs once
+    // per offset, and the first cut of this op handed `tokens(text)`
+    // into per-element lambdas and re-tokenized each document O(n²)
+    // times (30× on the bench, the tokenChunksOf lesson).
+    val ts = col("_ts")
     def pairsAt(o: Int) = when(size(ts) > o,
-      transform(sequence(lit(1), size(ts) - o), i =>
-        struct(
-          least(element_at(ts, i), element_at(ts, i + o)).as("a"),
-          greatest(element_at(ts, i), element_at(ts, i + o)).as("b"))))
-      .otherwise(array().cast("array<struct<a:string,b:string>>"))
+      arrays_zip(slice(ts, lit(1), size(ts) - o),
+        slice(ts, lit(o + 1), size(ts) - o)))
+      .otherwise(array().cast("array<struct<`0`:string,`1`:string>>"))
     val und = df
+      .select(tokens(col(textCol)).as("_ts"))
       .select(explode(concat((1 to window).map(pairsAt): _*)).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .select(least(col("p.0"), col("p.1")).as("a"),
+        greatest(col("p.0"), col("p.1")).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
     val edges = und
