@@ -1543,6 +1543,17 @@ object SparkEntry {
     // near-dup cluster keep the HIGHEST-QUALITY member (longest doc,
     // id tiebreak), not the smallest id: the FineWeb-style "keep the
     // full article, drop the syndicated excerpt" policy.
+    // north-star: mass-preserving dedup — keep one representative per
+    // near-dup cluster but carry the cluster SIZE as its training
+    // weight (upweight-the-survivor instead of silently shrinking the
+    // distribution; the D4/SemDeDup follow-up move).
+    "dedup_cluster_weights" -> ((s, dir) =>
+      dedup.nearDupClusters(table(s, dir, "documents"), "text", "doc_id",
+          threshold = 0.5)
+        .groupBy(col("rep").as("rep_id"))
+        .agg(count(lit(1)).as("weight"))
+        .orderBy(col("rep_id"))),
+
     "dedup_cluster_best" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
       val cl = dedup.nearDupClusters(docs, "text", "doc_id", threshold = 0.5)
@@ -2945,6 +2956,18 @@ object SparkEntry {
          |lbl AS (SELECT u AS doc_id, least(u, min(v)) AS rep_id FROM r GROUP BY u)
          |SELECT doc_id, rep_id, (doc_id = rep_id)::INT AS keep
          |FROM lbl ORDER BY doc_id""".stripMargin,
+
+    // Same connected components, one weight row per component rep;
+    // un-clustered docs implicitly keep weight 1 downstream.
+    "dedup_cluster_weights" ->
+      s"""WITH RECURSIVE $SqlMinhashPairCtes,
+         |e AS (SELECT id_a AS u, id_b AS v FROM mp
+         |      UNION SELECT id_b, id_a FROM mp),
+         |r AS (SELECT u, v FROM e
+         |      UNION SELECT r.u, e.v FROM r JOIN e ON r.v = e.u),
+         |lbl AS (SELECT u AS doc_id, least(u, min(v)) AS rep_id FROM r GROUP BY u)
+         |SELECT rep_id, count(*)::BIGINT AS weight
+         |FROM lbl GROUP BY rep_id ORDER BY rep_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
