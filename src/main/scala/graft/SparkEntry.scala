@@ -1822,6 +1822,12 @@ object SparkEntry {
       sketch.sampleQuantiles(table(s, dir, "events"), col("value"),
         col("event_id"), k = 256, qs = Seq(0.1, 0.5, 0.9, 0.99))),
 
+    // per-type medians/tails from independent per-group bottom-k
+    // samples — WindowGroupLimit bounds the heap before the exchange.
+    "events_sample_quantiles_by" -> ((s, dir) =>
+      sketch.sampleQuantilesBy(table(s, dir, "events"), col("value"),
+        col("event_id"), Seq("event_type"), k = 128, qs = Seq(0.5, 0.95))),
+
     // north-star: robust (IQR-fence) anomaly card per event type —
     // Tukey's fence Q3 + 1.5·IQR from MERGEABLE histogram quantiles
     // (both windows run over the 25-bin grid, never the table), then one
@@ -4187,6 +4193,22 @@ object SparkEntry {
          |SELECT q, v FROM rk JOIN qq
          |  ON rk.r = (floor(q * ((SELECT sz FROM n) - 1)) + 1)::INT
          |ORDER BY q""".stripMargin,
+
+    "events_sample_quantiles_by" ->
+      s"""WITH h AS (SELECT event_type,
+         |    ${hashing.sqlH63("event_id::VARCHAR")} AS h, value::DOUBLE AS v,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY ${hashing.sqlH63("event_id::VARCHAR")}) AS sr
+         |  FROM events WHERE value IS NOT NULL),
+         |sm AS (SELECT event_type, h, v FROM h WHERE sr <= 128),
+         |sz AS (SELECT event_type, count(*)::BIGINT AS n FROM sm GROUP BY 1),
+         |rk AS (SELECT event_type, v, row_number() OVER (
+         |    PARTITION BY event_type ORDER BY v, h) AS r FROM sm),
+         |qq AS (SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE]) AS q)
+         |SELECT rk.event_type, q, v
+         |FROM rk JOIN sz USING (event_type) JOIN qq
+         |  ON rk.r = (floor(q * (sz.n - 1)) + 1)::INT
+         |ORDER BY event_type, q""".stripMargin,
 
     "events_anomaly_iqr" ->
       """WITH tt AS (SELECT DISTINCT event_type FROM events WHERE value IS NOT NULL),

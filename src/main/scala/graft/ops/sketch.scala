@@ -680,6 +680,41 @@ object sketch {
       .orderBy(col("q"))
   }
 
+  /** Per-group [[sampleQuantiles]]: an independent bottom-k-hash sample
+    * per group (the rank filter plans as WindowGroupLimit — bounded
+    * per-group heaps before the exchange), then nearest-rank quantiles
+    * within each group's sample. Groups with fewer than k rows sample
+    * everything, so their quantiles are exact. */
+  def sampleQuantilesBy(
+      df: DataFrame,
+      valueCol: Column,
+      idCol: Column,
+      groupCols: Seq[String],
+      k: Int,
+      qs: Seq[Double]): DataFrame = {
+    require(groupCols.nonEmpty, "graft: sampleQuantilesBy needs group columns")
+    require(k >= 2, s"graft: sampleQuantilesBy needs k >= 2, got $k")
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"graft: quantiles must be in [0, 1], got $qs")
+    import org.apache.spark.sql.expressions.Window
+    val gc = groupCols.map(col)
+    val sample = df.where(valueCol.isNotNull)
+      .select(gc :+ hashing.h63(idCol.cast("string")).as("_h") :+
+        valueCol.cast("double").as("v"): _*)
+      .withColumn("_sr", row_number().over(
+        Window.partitionBy(gc: _*).orderBy(col("_h"))))
+      .where(col("_sr") <= k)
+    val sized = sample.withColumn("_sz",
+      count(lit(1)).over(Window.partitionBy(gc: _*)))
+    val ranked = sized.withColumn("_rk", row_number().over(
+      Window.partitionBy(gc: _*).orderBy(col("v"), col("_h"))))
+    val qdf = df.sparkSession.createDataFrame(qs.map(Tuple1.apply)).toDF("q")
+    ranked.join(broadcast(qdf),
+        col("_rk") === (floor(col("q") * (col("_sz") - 1L)) + 1L).cast("int"))
+      .select(gc ++ Seq(col("q"), col("v")): _*)
+      .orderBy(gc :+ col("q"): _*)
+  }
+
   /** Heavy hitters (frequent items) via the native Misra–Gries aggregate
     * ([[graft.functions.MisraGriesAgg]]): top-`topN` items by estimated
     * count, `(item, est_count)` ordered count desc, item asc.
