@@ -431,4 +431,21 @@ class PlanQualitySpec extends SparkSpec {
       s"coarse pool and rerank should both be TakeOrdered:\n${p.take(900)}")
     assert(!p.contains("CartesianProduct"), p.take(600))
   }
+
+  test("per-group bottom-k samples bound their heaps before the exchange") {
+    val p = plan("events_sample_quantiles_by")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-group bottom-k should plan WindowGroupLimit:\n${p.take(900)}")
+  }
+
+  test("sample quantiles: global bottom-k is a TakeOrderedAndProject") {
+    val p = plan("events_sample_quantiles")
+    assert(p.contains("TakeOrderedAndProject"), p.take(900))
+  }
+
+  test("triangle count and k-core never degenerate to cartesian products") {
+    Seq("graph_triangles", "graph_kcore", "graph_ppr").foreach { q =>
+      assert(!plan(q).contains("CartesianProduct"), s"$q")
+    }
+  }
 }
