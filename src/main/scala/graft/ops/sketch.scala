@@ -651,6 +651,32 @@ object sketch {
     * from the sampled row (nearest-rank, index `floor(q·(k−1))` of the
     * value-sorted sample — no interpolation, so no float arithmetic to
     * match across engines). */
+  /** The deterministic bottom-k-hash sample itself, as `(_h, v)` rows —
+    * the mergeable state under [[sampleQuantiles]]. Persist per
+    * day/source and fold with [[sampleMerge]]; the law
+    * `sampleMerge(bottomKSample(A), bottomKSample(B), k) ≡
+    * bottomKSample(A ∪ B, k)` is exact (bottom-k of a union is the
+    * bottom-k of the parts' bottom-ks) and pinned in SketchSpec. */
+  def bottomKSample(
+      df: DataFrame,
+      valueCol: Column,
+      idCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"graft: bottomKSample needs k >= 1, got $k")
+    df.where(valueCol.isNotNull)
+      .select(hashing.h63(idCol.cast("string")).as("_h"),
+        valueCol.cast("double").as("v"))
+      .orderBy(col("_h"))
+      .limit(k)
+  }
+
+  /** Fold two [[bottomKSample]]s (ids must be globally unique across
+    * inputs, as everywhere in this family). */
+  def sampleMerge(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"graft: sampleMerge needs k >= 1, got $k")
+    a.unionByName(b).orderBy(col("_h")).limit(k)
+  }
+
   def sampleQuantiles(
       df: DataFrame,
       valueCol: Column,
@@ -661,11 +687,7 @@ object sketch {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       s"graft: quantiles must be in [0, 1], got $qs")
     val spark = df.sparkSession
-    val sample = df.where(valueCol.isNotNull)
-      .select(hashing.h63(idCol.cast("string")).as("_h"),
-        valueCol.cast("double").as("v"))
-      .orderBy(col("_h"))
-      .limit(k)
+    val sample = bottomKSample(df, valueCol, idCol, k)
     // the global window runs over the ALREADY-BOUNDED k-row sample (the
     // same domain-bounded-window argument as the histogram grid ranks)
     val ranked = sample

@@ -376,6 +376,20 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("bottom-k sample merge law: merge(sample(A), sample(B)) == sample(A++B)") {
+    val a = (0 until 300).map(i => (i.toLong, i * 1.5)).toDF("id", "v")
+    val b = (300 until 700).map(i => (i.toLong, i * 0.5)).toDF("id", "v")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("_h", "v").as[(Long, Double)].collect().toSet
+    val merged = sketch.sampleMerge(
+      sketch.bottomKSample(a, col("v"), col("id"), 64),
+      sketch.bottomKSample(b, col("v"), col("id"), 64), 64)
+    val direct = sketch.bottomKSample(a.unionByName(b), col("v"), col("id"), 64)
+    assert(key(merged) == key(direct))
+    // quantiles off either path agree — the sample IS the state
+    assert(key(merged).size == 64)
+  }
+
   test("heavyHittersBy: per-group summaries independent; nulls skipped") {
     val rows = Seq.fill(30)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
       Seq.fill(9)(("b", "z")) ++ Seq(("b", null.asInstanceOf[String]))
