@@ -53,6 +53,16 @@ def main():
         else:
             for c in got.columns:
                 g, e = got[c], exp[c]
+                # The driver hashes TYPED values: int64 vs float64 diverges
+                # even when every value compares equal (the round-8
+                # vec_score_calibration HUGEINT artifact). Mirror that.
+                if (pd.api.types.is_float_dtype(g) !=
+                        pd.api.types.is_float_dtype(e)):
+                    ok = False
+                    msgs.append(
+                        f"col {c}: dtype kind mismatch got {g.dtype} exp {e.dtype}"
+                        " (driver typed hash would diverge)")
+                    continue
                 if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(e):
                     ge = g.astype(float); ee = e.astype(float)
                     if not ((ge == ee) | (ge.isna() & ee.isna())).all():

@@ -2442,7 +2442,7 @@ object SparkEntry {
         depth = 4, width = 512)
       val b = sketch.countMin(table(s, dir, "orders"), col("o_orderkey"),
         depth = 4, width = 512)
-      sketch.cmJoinSize(a, b, depth = 4)
+      sketch.cmJoinSize(a, b, depth = 4, width = 512)
     }),
 
     // north-star: heavy hitters via the native Misra–Gries mergeable
@@ -4707,7 +4707,7 @@ object SparkEntry {
          |  -1000 + (bin + 1) * 100 AS hi_milli,
          |  count(*)::BIGINT AS n,
          |  sum(CASE WHEN label >= 5 THEN 1 ELSE 0 END)::BIGINT AS n_pos,
-         |  (sum(CASE WHEN label >= 5 THEN 1 ELSE 0 END) * 10000) // count(*) AS rate_bp
+         |  ((sum(CASE WHEN label >= 5 THEN 1 ELSE 0 END) * 10000) // count(*))::BIGINT AS rate_bp
          |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
 
     "sample_semantic_order" ->
@@ -4718,7 +4718,7 @@ object SparkEntry {
          |  SELECT s.vec_id, c.cid AS cluster_id,
          |    ${r4(sqlL2Between("s.e", "c.e"))} AS cdist,
          |    row_number() OVER (PARTITION BY s.vec_id
-         |      ORDER BY ${sqlL2Between("s.e", "c.e")}, c.cid) AS rn
+         |      ORDER BY ${r4(sqlL2Between("s.e", "c.e"))}, c.cid) AS rn
          |  FROM s, cent c) WHERE rn = 1)
          |SELECT vec_id, cluster_id,
          |  row_number() OVER (ORDER BY cluster_id, cdist, vec_id) - 1 AS seq_pos

@@ -316,9 +316,13 @@ object rel {
       .select(col("key"), col("cnt"),
         graft.functions.vectors.quantize(
           col("cnt") * 100.0 / col("_total"), 4).as("share_pct"),
+        // cnt·n_keys in DOUBLE: at the billions-of-keys scale this meter
+        // is pitched for, the long·long product overflows Int64 and
+        // would report a negative skew (share_pct already does this)
         graft.functions.vectors.quantize(
-          col("cnt") * col("_n_keys") / col("_total").cast("double"), 4).as("skew"),
-        ceil(col("cnt") * col("_n_keys") / col("_total").cast("double"))
+          col("cnt").cast("double") * col("_n_keys") / col("_total").cast("double"),
+          4).as("skew"),
+        ceil(col("cnt").cast("double") * col("_n_keys") / col("_total").cast("double"))
           .cast("int").as("rec_salts"))
   }
 
@@ -349,8 +353,8 @@ object rel {
     // ≤ `parts` rows: the cumulative window is partition-count-bounded.
     val offsets = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
       .withColumn("_offset", coalesce(
-        sum(col("_cnt")).over(
-          Window.orderBy(col("_pid")).rowsBetween(Window.unboundedPreceding, -1)),
+        sum(col("_cnt")).over(windows.boundedGlobal("parts", col("_pid"))
+          .orderBy(col("_pid")).rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
       .select(col("_pid"), col("_offset"))
     local.join(broadcast(offsets), Seq("_pid"))

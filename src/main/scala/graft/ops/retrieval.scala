@@ -356,24 +356,6 @@ object retrieval {
     picks.toSeq.toDF("mmr_rank", idCol, "mmr_score")
   }
 
-  /** Late-interaction (ColBERT-style MaxSim) top-k: the document is a
-    * BAG of token vectors — here the contiguous `tokDim`-wide slices of
-    * `vecCol` (the layout a chunk-level embedder writes: token vectors
-    * concatenated into one row) — and the score against a multi-token
-    * query is `Σ_q max_t dot(q, t)`: every query token claims its best
-    * document token. This is the retrieval scorer single-vector cosine
-    * cannot express (one vector pools away which PART of the document
-    * matched); MaxSim keeps per-token evidence and still runs as pure
-    * scan math.
-    *
-    * Scale shape: both loops (query tokens × document slices) unroll
-    * DRIVER-SIDE into one codegen'd scoring expression over the native
-    * [[graft.functions.vectors.dotProduct]] kernel — zero shuffles, no
-    * explode (an exploded token table would multiply the corpus ×tokens
-    * before aggregating it right back), and the top-k is the standard
-    * `TakeOrderedAndProject` bounded-heap path. Query-token count is
-    * bounded by construction (a query has tens of tokens); document
-    * token count is `dim / tokDim` per row. */
   /** General (long-form) MaxSim over a token TABLE — `(idCol, tokCol)`
     * rows, one per document token — for corpora whose documents have
     * VARIABLE token counts (the fixed-layout fast path is
@@ -476,6 +458,24 @@ object retrieval {
       .drop("_q_toks")
   }
 
+  /** Late-interaction (ColBERT-style MaxSim) top-k: the document is a
+    * BAG of token vectors — here the contiguous `tokDim`-wide slices of
+    * `vecCol` (the layout a chunk-level embedder writes: token vectors
+    * concatenated into one row) — and the score against a multi-token
+    * query is `Σ_q max_t dot(q, t)`: every query token claims its best
+    * document token. This is the retrieval scorer single-vector cosine
+    * cannot express (one vector pools away which PART of the document
+    * matched); MaxSim keeps per-token evidence and still runs as pure
+    * scan math.
+    *
+    * Scale shape: both loops (query tokens × document slices) unroll
+    * DRIVER-SIDE into one codegen'd scoring expression over the native
+    * [[graft.functions.vectors.dotProduct]] kernel — zero shuffles, no
+    * explode (an exploded token table would multiply the corpus ×tokens
+    * before aggregating it right back), and the top-k is the standard
+    * `TakeOrderedAndProject` bounded-heap path. Query-token count is
+    * bounded by construction (a query has tens of tokens); document
+    * token count is `dim / tokDim` per row. */
   def maxSimTopK(
       docs: DataFrame,
       vecCol: String,

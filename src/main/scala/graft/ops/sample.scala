@@ -269,10 +269,13 @@ object sample {
       stratumCol: String,
       orderCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // |strata|-bounded global windows (distinct stratum keys, not rows)
     val idx = broadcast(df.select(col(stratumCol)).distinct()
       .withColumn("_s_idx",
-        row_number().over(Window.orderBy(col(stratumCol))).cast("long") - 1L)
-      .withColumn("_n_strata", count(lit(1)).over(Window.partitionBy())))
+        row_number().over(windows.boundedGlobal("strata", col(stratumCol))
+          .orderBy(col(stratumCol))).cast("long") - 1L)
+      .withColumn("_n_strata",
+        count(lit(1)).over(windows.boundedGlobal("strata", col(stratumCol)))))
     val rk = row_number().over(
       Window.partitionBy(col(stratumCol)).orderBy(col(orderCol))).cast("long")
     df.join(idx, stratumCol)
@@ -295,12 +298,14 @@ object sample {
     val rows = df.where(valueCol.isNotNull)
     val grid = rows.select(gv.as("_gv")).groupBy("_gv")
       .agg(count(lit(1)).as("_cnt"))
-    val w = Window.orderBy(col("_gv"))
+    // grid-bounded global windows: rows = distinct quantized score keys
+    val w = windows.boundedGlobal("score-grid", col("_gv")).orderBy(col("_gv"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val mapping = grid
       .withColumn("_below", sum(col("_cnt")).over(w) - col("_cnt"))
       .withColumn("_total", sum(col("_cnt")).over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        windows.boundedGlobal("score-grid", col("_gv"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .select(col("_gv"),
         least(lit(nbins - 1L), floor(col("_below") * nbins / col("_total")).cast("long"))
           .as("bin"))
@@ -336,7 +341,8 @@ object sample {
     val rows = df.where(scoreCol.isNotNull)
     val grid = rows.select(gv.as("_gv")).groupBy("_gv")
       .agg(count(lit(1)).as("_cnt"))
-    val w = Window.orderBy(col("_gv").desc)
+    // grid-bounded global windows: rows = distinct 4-dp score keys
+    val w = windows.boundedGlobal("score-grid", col("_gv")).orderBy(col("_gv").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // quota = ceil(frac·N) in exact integer arithmetic: the frac is a
     // driver literal, so quantize it once to 1e-6 fixed point
@@ -344,7 +350,8 @@ object sample {
     val thr = grid
       .withColumn("_atOrAbove", sum(col("_cnt")).over(w))
       .withColumn("_total", sum(col("_cnt")).over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        windows.boundedGlobal("score-grid", col("_gv"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       // ceil(fracQ·total / 1e6) without doubles (integer DIV — a double
       // division would lose exactness past 2^53 at full corpus counts)
       .withColumn("_quota", expr(s"(_total * ${fracQ}L + 999999L) DIV 1000000L"))
@@ -501,25 +508,6 @@ object sample {
       .drop("_w")
   }
 
-  /** Deterministic epoch shuffle — the training-order primitive: give
-    * every row a pseudo-random but REPRODUCIBLE global position
-    * (`epoch_pos`, dense 0-based) keyed on `(seed, id)`, so epoch 1 and
-    * epoch 2 use different seeds, every re-run of the job yields the
-    * identical order, and any shard of the output can be re-derived
-    * independently (no RNG state threading — the order IS a pure
-    * function of the data). `ORDER BY rand()` fails all three: it is
-    * unseedable per-row, irreproducible across retries (a recomputed
-    * task re-draws), and un-auditable.
-    *
-    * The shuffle key is `md5(seed:id) || '_' || id` — md5 for mixing,
-    * the id suffix for UNIQUENESS (zipIndex's determinism contract)
-    * even in the astronomically-unlikely digest collision. Scale shape:
-    * one range exchange on the key (the same sampled-boundary sort any
-    * global sort pays) + [[graft.ops.rel.zipIndex]]'s partition-count-
-    * bounded offset math — the corpus never sees a single-partition
-    * stage. A writer that only needs shuffled SHARDS (not the audit
-    * rank) can skip zipIndex and range-write directly on the same key;
-    * `epoch_pos` is what makes the order checkable in an artifact. */
   /** Binned CALIBRATION map for a scorer against binary outcomes: equal-
     * width score bins, per-bin count / positives / empirical rate in
     * integer basis points — the table that tells you whether a quality
@@ -572,16 +560,23 @@ object sample {
       parts: Int = 0): DataFrame = {
     require(centroids.nonEmpty, "graft: semanticOrder needs centroids")
     val v = graft.functions.vectors.asDoubleArray(col(vecCol))
+    // Each per-centroid distance is QUANTIZED before the argmin — not
+    // just the surfaced ordering distance. Near-tie cluster assignment
+    // must not hinge on bit-identical float evaluation across engines;
+    // on the 4-dp grid the argmin (first-index tiebreak = lowest
+    // centroid id) is exactly reproducible, the same discipline
+    // [[graft.ops.ann.kCenterSelect]] applies before its argmax.
     val dists = array(centroids.map { case (_, cvec) =>
-      graft.functions.vectors.l2Squared(v, graft.functions.vectors.vecLit(cvec))
+      graft.functions.vectors.quantize(
+        graft.functions.vectors.l2Squared(v, graft.functions.vectors.vecLit(cvec)),
+        4)
     }: _*)
     val cids = array(centroids.map { case (cid, _) => lit(cid) }: _*)
     val assigned = df
       .withColumn("_d", dists)
       .withColumn("cluster_id", element_at(cids,
         array_position(col("_d"), array_min(col("_d"))).cast("int")))
-      .withColumn("_cdist",
-        graft.functions.vectors.quantize(array_min(col("_d")), 4))
+      .withColumn("_cdist", array_min(col("_d"))) // already 4-dp quantized
       .drop("_d")
       .withColumn("_ord",
         struct(col("cluster_id"), col("_cdist"), col(idCol)))
@@ -590,6 +585,25 @@ object sample {
       .drop("_ord", "_cdist")
   }
 
+  /** Deterministic epoch shuffle — the training-order primitive: give
+    * every row a pseudo-random but REPRODUCIBLE global position
+    * (`epoch_pos`, dense 0-based) keyed on `(seed, id)`, so epoch 1 and
+    * epoch 2 use different seeds, every re-run of the job yields the
+    * identical order, and any shard of the output can be re-derived
+    * independently (no RNG state threading — the order IS a pure
+    * function of the data). `ORDER BY rand()` fails all three: it is
+    * unseedable per-row, irreproducible across retries (a recomputed
+    * task re-draws), and un-auditable.
+    *
+    * The shuffle key is `md5(seed:id) || '_' || id` — md5 for mixing,
+    * the id suffix for UNIQUENESS (zipIndex's determinism contract)
+    * even in the astronomically-unlikely digest collision. Scale shape:
+    * one range exchange on the key (the same sampled-boundary sort any
+    * global sort pays) + [[graft.ops.rel.zipIndex]]'s partition-count-
+    * bounded offset math — the corpus never sees a single-partition
+    * stage. A writer that only needs shuffled SHARDS (not the audit
+    * rank) can skip zipIndex and range-write directly on the same key;
+    * `epoch_pos` is what makes the order checkable in an artifact. */
   def epochShuffle(
       df: DataFrame,
       idCol: String,

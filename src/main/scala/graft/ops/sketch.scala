@@ -112,11 +112,33 @@ object sketch {
     * The estimate never undercounts. Accuracy: overestimate ≤
     * `||A||₁·||B||₁ / width` per row w.h.p. — size `width` to the key
     * cardinality, not the row count. Cost: the sketch join touches
-    * `depth·width` cells, driver-independent of either table. */
-  def cmJoinSize(a: DataFrame, b: DataFrame, depth: Int = 4): DataFrame = {
+    * `depth·width` cells, driver-independent of either table.
+    *
+    * CONTRACT: both sketches must come from [[countMin]] builds with the
+    * SAME `width` and `depth` — the inner product pairs cells
+    * positionally, so mismatched widths silently join unrelated buckets
+    * and return a meaningless number. Pass `width` to have the plan
+    * enforce it (a `raise_error` guard on every cell, codegen'd, no
+    * extra pass); `width = 0` skips the guard for pre-validated
+    * sketches. */
+  def cmJoinSize(a: DataFrame, b: DataFrame, depth: Int = 4,
+      width: Int = 0): DataFrame = {
     require(depth >= 1, s"cmJoinSize needs depth >= 1, got $depth")
-    val joined = a.select(col("row"), col("bucket"), col("cnt").as("_ca"))
-      .join(b.select(col("row"), col("bucket"), col("cnt").as("_cb")),
+    def guard(df: DataFrame, side: String): DataFrame =
+      if (width <= 0) df
+      else df.select(
+        when(col("bucket") >= width || col("row") >= depth,
+          raise_error(concat(
+            lit(s"graft: cmJoinSize $side sketch cell (row="), col("row"),
+            lit(", bucket="), col("bucket"),
+            lit(s") outside depth=$depth x width=$width — built with " +
+              "different dimensions"))))
+          .otherwise(col("row")).as("row"),
+        col("bucket"), col("cnt"))
+    val joined = guard(a, "left")
+      .select(col("row"), col("bucket"), col("cnt").as("_ca"))
+      .join(guard(b, "right")
+          .select(col("row"), col("bucket"), col("cnt").as("_cb")),
         Seq("row", "bucket"))
       .groupBy(col("row")).agg(sum(col("_ca") * col("_cb")).as("_ip"))
     // spine join: a hash row with NO shared cells has inner product 0 —
@@ -281,7 +303,8 @@ object sketch {
     import org.apache.spark.sql.expressions.Window
     val cum = hist
       .withColumn("cum", sum(col("n")).over(
-        Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, 0)))
+        windows.boundedGlobal("nbins", col("bin")).orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
       .crossJoin(broadcast(hist.agg(sum(col("n")).as("total"))))
     val qdf = hist.sparkSession.createDataFrame(qs.map(Tuple1.apply)).toDF("q")
     val r = col("q") * col("total").cast("double")
@@ -688,16 +711,21 @@ object sketch {
       s"graft: quantiles must be in [0, 1], got $qs")
     val spark = df.sparkSession
     val sample = bottomKSample(df, valueCol, idCol, k)
-    // the global window runs over the ALREADY-BOUNDED k-row sample (the
-    // same domain-bounded-window argument as the histogram grid ranks)
+    // Global windows run over the ALREADY-BOUNDED k-row sample (the same
+    // domain-bounded-window argument as the histogram grid ranks). The
+    // actual sample size is derived with a second bounded window — NOT a
+    // driver-side count(), which would both recompute the uncached
+    // sample and make this builder eagerly execute (as sampleQuantilesBy
+    // already does with _sz).
     val ranked = sample
       .withColumn("_rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("v"), col("_h"))))
+        windows.boundedGlobal("k-sample", col("_h")).orderBy(col("v"), col("_h"))))
+      .withColumn("_sz",
+        count(lit(1)).over(windows.boundedGlobal("k-sample", col("_h"))))
     val qdf = spark.createDataFrame(qs.map(Tuple1.apply)).toDF("q")
     // nearest-rank index over the ACTUAL sample size
-    val sz = sample.count()
     ranked.join(broadcast(qdf),
-        col("_rk") === (floor(col("q") * (lit(sz) - 1L)) + 1L).cast("int"))
+        col("_rk") === (floor(col("q") * (col("_sz") - 1L)) + 1L).cast("int"))
       .select(col("q"), col("v"))
       .orderBy(col("q"))
   }

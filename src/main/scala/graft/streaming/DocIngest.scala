@@ -160,7 +160,13 @@ object DocIngest {
     *
     * Within one micro-batch the group's slice admits in (doc_id, text)
     * order, so replaying the same batches reproduces the same admitted
-    * set — the determinism contract everything in this module keeps. */
+    * set — the determinism contract everything in this module keeps.
+    * The selection is a size-`room` bounded heap (k-smallest by
+    * (doc_id, text)), NOT a full sort of the group's slice: a hot source
+    * in a large micro-batch would otherwise buffer its whole slice in
+    * executor memory. Memory is O(min(room, slice)) regardless of how
+    * skewed the batch is; the admitted set is identical to the sorted
+    * prefix. */
   def quotaGate(
       docs: org.apache.spark.sql.Dataset[SourceDoc],
       maxPerSource: Long): org.apache.spark.sql.Dataset[SourceDoc] = {
@@ -172,9 +178,18 @@ object DocIngest {
       OutputMode.Append, GroupStateTimeout.NoTimeout) {
       (_: String, it: Iterator[SourceDoc], state: GroupState[QuotaState]) =>
         val used = state.getOption.map(_.admitted).getOrElse(0L)
-        val room = (maxPerSource - used).max(0L)
-        val admitted = it.toSeq.sortBy(d => (d.doc_id, d.text))
-          .take(math.min(room, Int.MaxValue.toLong).toInt)
+        val room = math.min((maxPerSource - used).max(0L),
+          Int.MaxValue.toLong).toInt
+        // k-smallest by (doc_id, text) via a bounded max-heap: keep the
+        // `room` best seen so far, evicting the current worst.
+        val worstFirst = Ordering.by[SourceDoc, (Long, String)](
+          d => (d.doc_id, d.text))
+        val heap = scala.collection.mutable.PriorityQueue.empty(worstFirst)
+        if (room > 0) it.foreach { d =>
+          if (heap.size < room) heap.enqueue(d)
+          else if (worstFirst.lt(d, heap.head)) { heap.dequeue(); heap.enqueue(d) }
+        }
+        val admitted = heap.dequeueAll.reverse // ascending (doc_id, text)
         state.update(QuotaState(used + admitted.size))
         admitted.iterator
     }

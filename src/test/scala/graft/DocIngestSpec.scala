@@ -200,4 +200,28 @@ class DocIngestSpec extends SparkSpec {
     assert(got == Set(("a", 1L), ("a", 2L), ("a", 3L),
       ("b", 10L), ("b", 11L), ("b", 12L)), got.toString)
   }
+
+  test("quotaGate: hot source in one skewed batch — bounded heap admits the sorted prefix") {
+    // One source floods a single micro-batch with 50k docs in descending
+    // id order (worst case for a bounded k-smallest heap: every element
+    // displaces the current worst). The gate must admit exactly the k
+    // lowest (doc_id, text) — identical to a full sort's prefix — while
+    // holding only O(k) per-group memory (the heap never sees more than
+    // `room` elements at once; the old full-sort buffered all 50k).
+    import DocIngest.SourceDoc
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[SourceDoc]
+    val q = DocIngest.quotaGate(in.toDS(), maxPerSource = 7)
+      .writeStream.format("memory").queryName("quota_skew_stream")
+      .outputMode("append").start()
+    try {
+      in.addData((50000 to 1 by -1).map(i =>
+        SourceDoc("hot", i.toLong, s"d$i")) :+ SourceDoc("cold", 99L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("quota_skew_stream").as[SourceDoc].collect()
+    assert(got.filter(_.source == "hot").map(_.doc_id).sorted.toSeq ==
+      (1L to 7L), got.filter(_.source == "hot").mkString(", "))
+    assert(got.count(_.source == "cold") == 1)
+  }
 }

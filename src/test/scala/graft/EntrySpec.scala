@@ -1,5 +1,74 @@
 package graft
 
+/** The uncast-sum oracle lint, shared between the registry-wide test and
+  * its own regression test. DuckDB widens `sum(BIGINT)` to HUGEINT
+  * (int128) while Spark emits LONG; values compare equal but the driver's
+  * typed hash diverges (the `events_rolling_avg` red row round 5,
+  * `vec_score_calibration` round 8). The round-8 recurrence disproved the
+  * lint's original premise ("a sum consumed by later arithmetic is
+  * fine"): HUGEINT propagates through `*`, `+`, `-` and `//`. The rule is
+  * therefore taint-based: an aliased expression anywhere in the SQL is
+  * tainted if it contains `sum(` or references a tainted alias, UNLESS
+  * the whole expression carries a terminal `::TYPE` cast or its outermost
+  * operation is a guaranteed double-producer (`/` true division,
+  * `round()`, `avg()`) — those match Spark's double on both engines. Any
+  * surfaced output column that ends up tainted must be cast.
+  */
+object UncastSumLint {
+  private val word = "[A-Za-z_][A-Za-z0-9_]*"
+
+  /** (alias, expr) for every `expr AS alias` in the SQL, expr recovered by
+    * a backward depth-0 walk to the enclosing comma / paren / SELECT. */
+  def aliasedExprs(sql: String): Seq[(String, String)] = {
+    val asRe = s"(?i)\\bAS\\s+($word)".r
+    asRe.findAllMatchIn(sql).flatMap { m =>
+      var i = m.start - 1; var depth = 0; var start = 0; var found = false
+      while (i >= 0 && !found) {
+        sql.charAt(i) match {
+          case ')' => depth += 1
+          case '(' =>
+            if (depth == 0) { start = i + 1; found = true } else depth -= 1
+          case ',' if depth == 0 => start = i + 1; found = true
+          case _ =>
+        }
+        i -= 1
+      }
+      val expr = sql.substring(start, m.start)
+        .replaceAll("(?is)^.*\\b(select|distinct)\\b", "").trim
+      if (expr.isEmpty) None else Some(m.group(1).toLowerCase -> expr)
+    }.toSeq
+  }
+
+  def terminallyTyped(e: String): Boolean =
+    e.matches("(?s).*::\\s*[A-Za-z]+\\s*$") ||            // ::BIGINT cast
+    e.matches("(?is)\\s*(round|avg)\\s*\\(.*\\)\\s*$") || // double-producing
+    e.matches("(?s).*[^/]/\\s*[^/].*") && !e.contains("//") // true division → DOUBLE
+
+  /** Output columns of `out` transitively carrying an uncast sum(). */
+  def flagged(name: String, sql: String, out: Set[String]): Seq[String] = {
+    val defs = aliasedExprs(sql)
+    var tainted = defs.collect {
+      case (a, e) if "(?i)\\bsum\\s*\\(".r.findFirstIn(e).isDefined &&
+        !terminallyTyped(e) => a
+    }.toSet
+    var changed = true
+    while (changed) {
+      changed = false
+      defs.foreach { case (a, e) =>
+        if (!tainted(a) && !terminallyTyped(e)) {
+          // Strip string literals ('\s+' tokenizes as identifier `s`) and
+          // skip qualifier words (`b2.doc_id` references column doc_id,
+          // not an alias named b2) before extracting references.
+          val cleaned = e.toLowerCase.replaceAll("'[^']*'", " ")
+          val refs = s"\\b($word)\\b(?!\\s*\\.)".r.findAllIn(cleaned).toSet
+          if (refs.exists(tainted)) { tainted += a; changed = true }
+        }
+      }
+    }
+    (out & tainted).toSeq.map(a => s"$name.$a")
+  }
+}
+
 /** Guards the driver contract itself: `entry` must return rows on
   * sf0.001 (the driver's smoke gate) and every registered query needs a
   * runnable plan and a matching oracle key. */
@@ -27,23 +96,35 @@ class EntrySpec extends SparkSpec {
   }
 
   test("no surfaced uncast SUM in oracle SQL (integer-widening lint)") {
-    // DuckDB widens sum(BIGINT) to HUGEINT (int128) while Spark emits LONG;
-    // values compare equal but the driver's typed hash diverges (the
-    // events_rolling_avg red row, round 5). A sum consumed by later
-    // arithmetic is fine — the hazard is a sum aliased DIRECTLY to an
-    // output column. Require those to carry an explicit cast:
-    // `(sum(...) OVER w)::BIGINT AS c` / `sum(...)::BIGINT AS c`.
     val dir = "/root/testdata/sf0.001"
-    val sumAliased =
-      """(?is)\bsum\s*\((?:[^()]|\([^()]*\))*\)\s*(?:over\s*(?:\w+|\([^()]*\))\s*)?as\s+(\w+)""".r
     val hits = SparkEntry.oracleSql.toSeq.flatMap { case (name, sql) =>
       val out = SparkEntry.queries(name)(spark, dir).schema.fieldNames
         .map(_.toLowerCase).toSet
-      sumAliased.findAllMatchIn(sql).map(_.group(1).toLowerCase)
-        .filter(out.contains).map(a => s"$name.$a").toSeq
+      UncastSumLint.flagged(name, sql, out)
     }
     assert(hits.isEmpty,
-      s"uncast sum() aliased straight to an output column: ${hits.mkString(", ")}")
+      s"surfaced column transitively carries an uncast sum(): ${hits.mkString(", ")}")
+  }
+
+  test("uncast-sum lint catches the round-8 vec_score_calibration shape") {
+    // Regression: the exact pre-fix expression — a sum flowing through
+    // `*` and `//` without a terminal cast — must be flagged; the fixed
+    // form with the terminal ::BIGINT must pass.
+    val pre =
+      """SELECT bin,
+        |  (sum(CASE WHEN label >= 5 THEN 1 ELSE 0 END) * 10000) // count(*) AS rate_bp
+        |FROM b GROUP BY bin""".stripMargin
+    assert(UncastSumLint.flagged("q", pre, Set("rate_bp")) == Seq("q.rate_bp"))
+    val post =
+      """SELECT bin,
+        |  ((sum(CASE WHEN label >= 5 THEN 1 ELSE 0 END) * 10000) // count(*))::BIGINT AS rate_bp
+        |FROM b GROUP BY bin""".stripMargin
+    assert(UncastSumLint.flagged("q", post, Set("rate_bp")).isEmpty)
+    // Transitive taint through a CTE alias is caught too.
+    val transitive =
+      """WITH t AS (SELECT k, sum(v) AS s FROM x GROUP BY k)
+        |SELECT k, s * 2 AS doubled FROM t""".stripMargin
+    assert(UncastSumLint.flagged("q", transitive, Set("doubled")) == Seq("q.doubled"))
   }
 
   test("every Spark output column is named in its oracle SQL (alias-mismatch lint)") {

@@ -307,6 +307,26 @@ class SketchSpec extends SparkSpec {
     assert(est == 0L, s"disjoint keys should estimate 0 at width 8192, got $est")
   }
 
+  test("cmJoinSize width guard rejects sketches built with a different width") {
+    val a = (1L to 50L).toDF("k")
+    // left built at width 4096, right at 64: positionally meaningless —
+    // the guard must fail the job instead of returning a number
+    val wide = sketch.countMin(a, col("k"), depth = 4, width = 4096)
+    val narrow = sketch.countMin(a, col("k"), depth = 4, width = 64)
+    val e = intercept[Exception] {
+      sketch.cmJoinSize(wide, narrow, depth = 4, width = 64).head()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("cmJoinSize")), e.getMessage)
+    // matching widths with the guard on still work
+    val ok = sketch.cmJoinSize(wide,
+      sketch.countMin(a, col("k"), depth = 4, width = 4096),
+      depth = 4, width = 4096).head().getLong(0)
+    assert(ok == 50L)
+  }
+
   // Zipf-ish stream: item i appears 2^(9-i) times for i in 0..9, plus
   // 200 singleton "noise" items — heavy head, long tail.
   private def mgStream: Seq[String] =
