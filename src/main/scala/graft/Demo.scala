@@ -444,6 +444,75 @@ object Demo {
       graft.ops.ann.knnGraph(store.df, k = 3).select(col("src"), col("dst")))
       .show()
 
+    // =====================================================================
+    // CRAWL → TRAINING ORDER: the end-to-end LLM-data walkthrough.
+    // Chains the pipeline a 100 TB pretraining corpus actually runs:
+    //   1. URL dedup          (drop re-crawls before touching content)
+    //   2. MinHash clusters   (near-dup groups across the survivors)
+    //   3. Cluster weights    (keep one rep, carry cluster mass as weight)
+    //   4. Token-budget plan  (per-source rates for an explicit mixture)
+    //   5. Interleave         (round-robin sources into one stream)
+    //   6. Epoch shuffle      (seeded, reproducible global permutation)
+    //   7. Balanced shards    (token-equal files for the trainer)
+    // Every stage is a scan/one-shuffle shape audited at 10x/30x in
+    // BASELINE.md; this demo runs it at sf scale end to end.
+    // =====================================================================
+    println("== crawl -> training order: URL dedup ==")
+    import graft.ops.{dedup, sample}
+    // synthesize a crawl-ish URL per document (7 sites, tracking params
+    // on half the fetches) — in production this is the crawl metadata
+    val crawl = docs.select(col("doc_id"), col("text"), col("lang"),
+      col("source"), col("n_chars"),
+      concat(lit("https://S"), (col("doc_id") % 7).cast("string"),
+        lit(".example.com/page/"), (col("doc_id") % 40).cast("string"),
+        when(col("doc_id") % 2 === 0, lit("?utm_source=feed")).otherwise(lit("")))
+        .as("url"))
+    val pages = dedup.urlDedup(crawl, "url", "doc_id")
+    println(s"  ${crawl.count()} fetches -> ${pages.count()} distinct pages")
+    val stage1 = crawl.join(
+      pages.select(col("keep_id").as("doc_id")), Seq("doc_id"))
+
+    println("== crawl -> training order: near-dup clusters + mass weights ==")
+    val clusters = dedup.nearDupClusters(stage1, "text", "doc_id",
+      threshold = 0.5)
+    val weights = clusters.groupBy(col("rep").as("doc_id"))
+      .agg(count(lit(1)).cast("double").as("dup_weight"))
+    // survivors = cluster reps + docs in no cluster, each with its mass
+    val stage2 = stage1
+      .join(clusters.where(!col("keep")).select(col("doc_id")), Seq("doc_id"),
+        "left_anti")
+      .join(weights, Seq("doc_id"), "left")
+      .withColumn("dup_weight", coalesce(col("dup_weight"), lit(1.0)))
+    println(s"  ${stage1.count()} pages -> ${stage2.count()} survivors " +
+      "(cluster mass preserved in dup_weight)")
+
+    println("== crawl -> training order: token-budget mixture plan ==")
+    val plan = sample.planTokenBudget(stage2, "source",
+      text.tokenCount(col("text")),
+      Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.3), budget = 200000L)
+    plan.orderBy(col("source")).show()
+
+    println("== crawl -> training order: interleave sources ==")
+    val inter = sample.interleave(stage2, "source", "doc_id")
+    inter.orderBy(col("order_idx")).select("order_idx", "source", "doc_id")
+      .show(8)
+
+    println("== crawl -> training order: epoch shuffle (seed 1 vs seed 2) ==")
+    val ep1 = sample.epochShuffle(stage2.select(col("doc_id")), "doc_id", seed = 1)
+    val ep2 = sample.epochShuffle(stage2.select(col("doc_id")), "doc_id", seed = 2)
+    println("  epoch 1 head: " + ep1.orderBy(col("epoch_pos")).limit(5)
+      .collect().map(_.getLong(0)).mkString(", "))
+    println("  epoch 2 head: " + ep2.orderBy(col("epoch_pos")).limit(5)
+      .collect().map(_.getLong(0)).mkString(", "))
+
+    println("== crawl -> training order: token-balanced shards ==")
+    sample.balancedShards(
+        stage2.select(col("doc_id"), text.tokenCount(col("text")).as("toks")),
+        "doc_id", col("toks"), shards = 4)
+      .groupBy(col("shard")).agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"))
+      .orderBy(col("shard")).show()
+
     spark.stop()
   }
 }

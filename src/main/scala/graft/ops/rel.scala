@@ -248,9 +248,22 @@ object rel {
       k: Int,
       rankCol: String = "rnk"): DataFrame = {
     require(k >= 0, s"k must be >= 0, got $k")
-    df.withColumn(rankCol,
-        row_number().over(Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*)))
-      .where(col(rankCol) <= k)
+    if (partitionCols.nonEmpty)
+      df.withColumn(rankCol,
+          row_number().over(Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*)))
+        .where(col(rankCol) <= k)
+    else {
+      // GLOBAL top-k (ungrouped kmv/kmvMerge/kmvOverlap land here):
+      // declare it as orderBy+limit so it plans as TakeOrderedAndProject
+      // — per-partition bounded k-heaps, no full-data exchange, no
+      // WindowExec — then rank the surviving ≤k rows with a k-bounded
+      // window ([[graft.ops.windows.boundedGlobal]]). `orderCols` must be
+      // a total order (same determinism contract as the grouped path).
+      df.orderBy(orderCols: _*).limit(k)
+        .withColumn(rankCol, row_number().over(
+          graft.ops.windows.boundedGlobal("k-limit", col(df.columns.head))
+            .orderBy(orderCols: _*)))
+    }
   }
 
   /** Declarative data-quality rule engine (the Deequ-shaped gate a
