@@ -2453,15 +2453,22 @@ object SparkEntry {
     // oracle computes (the N/(k+1) undercount bound beyond that regime
     // is SketchSpec's job — DuckDB has no MG to compare against).
     "sketch_heavyhitters" -> ((s, dir) =>
+      // capacity 4096 >= distinct users at EVERY test sf (sf0.1 has
+      // 1500): the oracle is an exact GROUP BY, and MG only equals it —
+      // independent of Spark's partial-merge order — in the exact
+      // (no-eviction) regime. The round-9 sf0.1 sweep caught capacity
+      // 256 silently leaving that regime above sf0.01. The eviction
+      // regime stays exercised where exactness isn't hashed: SketchSpec
+      // error-bound asserts + the 10x/30x rehearsals at capacity 256.
       sketch.heavyHitters(table(s, dir, "events"), col("user_id"),
-        capacity = 256, topN = 20)),
+        capacity = 4096, topN = 20)),
 
     // north-star: per-group heavy hitters — one MG summary per group;
     // the per-group top-N is a row-local slice of the already-sorted
     // summary, no second shuffle.
     "sketch_heavyhitters_by" -> ((s, dir) =>
       sketch.heavyHittersBy(table(s, dir, "events"), Seq("event_type"),
-          col("user_id"), capacity = 256, topN = 5)
+          col("user_id"), capacity = 4096, topN = 5)
         .orderBy(col("event_type"), col("est_count").desc, col("item"))),
 
     // north-star: WEIGHTED heavy hitters — top users by total event
@@ -2472,7 +2479,7 @@ object SparkEntry {
       sketch.heavyHittersWeighted(
         table(s, dir, "events").where(col("value").isNotNull),
         col("user_id"), floor(col("value") * 1000000.0).cast("long"),
-        capacity = 256, topN = 20)),
+        capacity = 4096, topN = 20)),
 
     // north-star: trending items — MG heavy hitters composed with
     // event-time tumbling windows (top users per hour). The same plan
@@ -2484,7 +2491,9 @@ object SparkEntry {
           events(s, dir).withColumn("wstart",
             date_format(window(col("ts"), "1 hour").getField("start"),
               "yyyy-MM-dd HH:mm:ss")),
-          Seq("wstart"), col("user_id"), capacity = 256, topN = 3)
+          // 4096 like the other oracle-checked MG queries: exact regime
+          // must hold per window at every test sf, not just sf0.01
+          Seq("wstart"), col("user_id"), capacity = 4096, topN = 3)
         .orderBy(col("wstart"), col("est_count").desc, col("item"))),
 
     // north-star: long-form MaxSim over a token TABLE (variable-length
