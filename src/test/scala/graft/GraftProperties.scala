@@ -385,6 +385,31 @@ object GraftProperties extends Properties("graft") {
           .map { case (k, v) => (k, v) }.toSet
     }
 
+  property("boundedGlobal window ≡ naked global window for ANY data") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 1000L),
+        Gen.chooseNum(-50L, 50L))).map(_.distinctBy(_._1))) { rows =>
+      // The warning-free constant-key window must be SEMANTICALLY the
+      // global window: identical row_number ranks and identical
+      // whole-frame aggregates, for any data — the contract that makes
+      // routing a bounded site through the helper a pure refactor.
+      import org.apache.spark.sql.expressions.Window
+      val df = rows.toDF("id", "v")
+      val naked = df.select(col("id"),
+          row_number().over(Window.orderBy(col("id"))).as("r"),
+          sum(col("v")).over(
+            Window.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)).as("t"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val bounded = df.select(col("id"),
+          row_number().over(graft.ops.windows.boundedGlobal("prop", col("id"))
+            .orderBy(col("id"))).as("r"),
+          sum(col("v")).over(graft.ops.windows.boundedGlobal("prop", col("id"))
+            .rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)).as("t"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      naked == bounded
+    }
+
   property("pageRank conserves bounded mass: base·n <= total <= scale") =
     forAll(Gen.chooseNum(2, 12).flatMap(k =>
       Gen.listOfN(k * 2, Gen.zip(Gen.chooseNum(0L, k.toLong), Gen.chooseNum(0L, k.toLong)))
