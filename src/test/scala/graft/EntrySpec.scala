@@ -39,9 +39,28 @@ object UncastSumLint {
     }.toSeq
   }
 
+  /** True when `e` is `round(...)`/`avg(...)` wrapping the WHOLE
+    * expression — the open paren's match must be the final char, else
+    * `round(a) + sum(b)` would slip through. */
+  private def wrappedByDoubleFn(e: String): Boolean = {
+    val m = "(?is)^\\s*(round|avg)\\s*\\(".r.findFirstMatchIn(e)
+    m.exists { mm =>
+      var depth = 1; var i = mm.end
+      while (i < e.length && depth > 0) {
+        e.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ =>
+        }
+        i += 1
+      }
+      depth == 0 && e.substring(i).trim.isEmpty
+    }
+  }
+
   def terminallyTyped(e: String): Boolean =
     e.matches("(?s).*::\\s*[A-Za-z]+\\s*$") ||            // ::BIGINT cast
-    e.matches("(?is)\\s*(round|avg)\\s*\\(.*\\)\\s*$") || // double-producing
+    wrappedByDoubleFn(e) ||                               // double-producing
     e.matches("(?s).*[^/]/\\s*[^/].*") && !e.contains("//") // true division → DOUBLE
 
   /** Output columns of `out` transitively carrying an uncast sum(). */
@@ -125,6 +144,14 @@ class EntrySpec extends SparkSpec {
       """WITH t AS (SELECT k, sum(v) AS s FROM x GROUP BY k)
         |SELECT k, s * 2 AS doubled FROM t""".stripMargin
     assert(UncastSumLint.flagged("q", transitive, Set("doubled")) == Seq("q.doubled"))
+    // round() only clears taint when it wraps the WHOLE expression:
+    // `round(x, 4) + sum(y)` must stay flagged.
+    val partialRound =
+      "SELECT round(x, 4) + sum(y) AS mixed FROM t"
+    assert(UncastSumLint.flagged("q", partialRound, Set("mixed")) == Seq("q.mixed"))
+    val fullRound =
+      "SELECT round(sum(y) * 1.5, 4) AS ok FROM t"
+    assert(UncastSumLint.flagged("q", fullRound, Set("ok")).isEmpty)
   }
 
   test("every Spark output column is named in its oracle SQL (alias-mismatch lint)") {
