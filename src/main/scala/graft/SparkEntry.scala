@@ -258,6 +258,11 @@ object SparkEntry {
   private val SqlToks =
     "list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')"
 
+  /** Blocklist fixture for the C4-style wordlist gate queries — one
+    * single token, one bigram, one trigram phrase, all present in the
+    * synthetic corpus so every match length is exercised. */
+  private val BlockTerms = Seq("slow", "big query", "merge batch part")
+
   /** Deterministic fixed-point weight vector (1e-6 units, ±1.0 range)
     * for the hashed linear classifier query — stands in for a trained
     * model's weights; both the Spark plan and the DuckDB oracle embed
@@ -845,6 +850,24 @@ object SparkEntry {
         vectors.quantize(text.punctuationRatio(col("text")), 4).as("punct_ratio"),
         vectors.quantize(text.stopwordRatio(col("text")), 4).as("stopword_ratio"))
         .orderBy(col("doc_id"))),
+
+    // north-star: C4-style blocklist content gate — word-boundary
+    // occurrence counts for a mixed-length term/phrase list via the
+    // fused hash-set kernel; one row-local pass, zero shuffle.
+    "text_blocklist_stats" -> ((s, dir) =>
+      table(s, dir, "documents").select(col("doc_id"),
+          text.blocklistHits(col("text"), BlockTerms).as("n_hits"))
+        .where(col("n_hits") > 0)
+        .orderBy(col("doc_id"))),
+
+    // the gate summary: corpus size, survivors, total flagged mass in
+    // ONE aggregation over ONE scan.
+    "text_blocklist_clean" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(text.blocklistHits(col("text"), BlockTerms).as("h"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("h") === 0L, 1L).otherwise(0L)).as("n_clean"),
+          sum(col("h")).as("total_hits"))),
 
     // north-star: overlapping token-window chunking — the text→context-
     // window expansion step; row-local explode, no shuffle.
@@ -2635,6 +2658,32 @@ object SparkEntry {
          |  floor((CASE WHEN length(text) > 0 THEN length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))::DOUBLE / length(text) ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
          |  floor((CASE WHEN len(toks) > 0 THEN ${sqlStopHits("toks", text.EnStop)}::DOUBLE / len(toks) ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS stopword_ratio
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_blocklist_stats" ->
+      s"""WITH tk AS (SELECT doc_id, $SqlToks AS ts FROM documents),
+         |g1 AS (SELECT doc_id FROM tk, unnest(ts) u(t) WHERE t IN ('slow')),
+         |g2 AS (SELECT doc_id FROM tk, unnest(range(1, len(ts))) u(i)
+         |  WHERE ts[i] || ' ' || ts[i+1] IN ('big query')),
+         |g3 AS (SELECT doc_id FROM tk, unnest(range(1, len(ts) - 1)) u(i)
+         |  WHERE ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] IN ('merge batch part'))
+         |SELECT doc_id, count(*)::BIGINT AS n_hits FROM
+         |  (SELECT * FROM g1 UNION ALL SELECT * FROM g2 UNION ALL SELECT * FROM g3)
+         |GROUP BY doc_id HAVING count(*) > 0 ORDER BY doc_id""".stripMargin,
+
+    "text_blocklist_clean" ->
+      s"""WITH tk AS (SELECT doc_id, $SqlToks AS ts FROM documents),
+         |g1 AS (SELECT doc_id FROM tk, unnest(ts) u(t) WHERE t IN ('slow')),
+         |g2 AS (SELECT doc_id FROM tk, unnest(range(1, len(ts))) u(i)
+         |  WHERE ts[i] || ' ' || ts[i+1] IN ('big query')),
+         |g3 AS (SELECT doc_id FROM tk, unnest(range(1, len(ts) - 1)) u(i)
+         |  WHERE ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] IN ('merge batch part')),
+         |h AS (SELECT doc_id, count(*) AS n_hits FROM
+         |  (SELECT * FROM g1 UNION ALL SELECT * FROM g2 UNION ALL SELECT * FROM g3)
+         |  GROUP BY doc_id)
+         |SELECT count(*)::BIGINT AS n_total,
+         |  sum(CASE WHEN coalesce(h.n_hits, 0) = 0 THEN 1 ELSE 0 END)::BIGINT AS n_clean,
+         |  sum(coalesce(h.n_hits, 0))::BIGINT AS total_hits
+         |FROM tk LEFT JOIN h USING (doc_id)""".stripMargin,
 
     // Same start set as text.tokenChunks: 0, 48, 96, … with the last
     // start the first covering the tail; docs with no tokens drop out.

@@ -440,6 +440,54 @@ object NativeExprs {
   def bloomGramHits(c: Column, words: Seq[Long], n: Int, mBits: Int, k: Int): Column =
     column(BloomGramHitsExpr(expression(c), words.toIndexedSeq, n, mBits, k))
 
+  /** Blocklist OCCURRENCE count in one compiled pass: tokenize the
+    * document ([[graft.ops.text.tokens]] semantics — lowercase, `\s+`
+    * split, empties dropped), then for every phrase length present in
+    * `terms` probe each positional token n-gram against a hash set of
+    * the normalized terms. Counts OCCURRENCES (a phrase repeated five
+    * times scores 5), overlaps included — the mass measure a C4-style
+    * wordlist gate thresholds on.
+    *
+    * A 2,000-term list as an `isin`/`array_contains` literal is an
+    * O(|list|) linear scan per probed gram (codegen'd but still a 2,000-
+    * branch walk); the set probe here is O(1) per gram with the set
+    * built once per executor from the broadcast-closure terms. The
+    * compositional HOF twin is kept in [[graft.ops.text]] and pinned
+    * equal in NativeExprsSpec. */
+  def termSetHitsOf(text: UTF8String, set: java.util.HashSet[String],
+      lengths: Array[Int]): Long = {
+    val toks = text.toLowerCase.toString.split("\\s+", -1).filter(_.nonEmpty)
+    var hits = 0L
+    var li = 0
+    while (li < lengths.length) {
+      val n = lengths(li)
+      var i = 0
+      val last = toks.length - n
+      while (i <= last) {
+        if (n == 1) {
+          if (set.contains(toks(i))) hits += 1
+        } else {
+          val sb = new java.lang.StringBuilder(32)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          if (set.contains(sb.toString)) hits += 1
+        }
+        i += 1
+      }
+      li += 1
+    }
+    hits
+  }
+
+  /** Column: fused blocklist occurrence count (see [[TermSetHitsExpr]]). */
+  def termSetHits(c: Column, terms: Seq[String]): Column =
+    column(TermSetHitsExpr(expression(c),
+      terms.map(_.toLowerCase.trim.split("\\s+").mkString(" ")).toIndexedSeq))
+
   /** Fused SINGLE-VALUE Bloom membership probe — the scalar twin of
     * [[bloomGramHitsOf]] for key prefilters ([[graft.ops.rel.bloomJoin]]):
     * ONE md5 digest yields both Kirsch-Mitzenmacher words; the
@@ -930,6 +978,28 @@ case class TextProfileExpr(child: Expression, profiles: IndexedSeq[IndexedSeq[St
     InternalRow(n, sumLen, new GenericArrayData(hits))
   }
   override protected def withNewChildInternal(newChild: Expression): TextProfileExpr =
+    copy(child = newChild)
+}
+
+/** Fused blocklist occurrence counter (see [[NativeExprs.termSetHitsOf]]).
+  * `terms` is an IndexedSeq of NORMALIZED phrases (lowercase,
+  * single-space-joined) so structurally equal gate expressions stay
+  * semantically equal; the probe set and the distinct phrase lengths are
+  * derived lazily per executor. */
+case class TermSetHitsExpr(child: Expression, terms: IndexedSeq[String])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "term_set_hits"
+  @transient private lazy val set: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](terms.size * 2)
+    terms.foreach(s.add)
+    s
+  }
+  @transient private lazy val lengths: Array[Int] =
+    terms.map(t => t.count(_ == ' ') + 1).distinct.sorted.toArray
+  override protected def nullSafeEval(input: Any): Any =
+    NativeExprs.termSetHitsOf(input.asInstanceOf[UTF8String], set, lengths)
+  override protected def withNewChildInternal(newChild: Expression): TermSetHitsExpr =
     copy(child = newChild)
 }
 

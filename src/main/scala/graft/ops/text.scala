@@ -335,6 +335,52 @@ object text {
         .otherwise(c),
       "\\s+", " "))
 
+  /** Blocklist OCCURRENCE count — the C4-style wordlist content gate
+    * (Raffel et al. 2020 §2.2 drop any page containing a listed word;
+    * also the "lorem ipsum" / placeholder-boilerplate screen): count how
+    * many token positions start a listed term or phrase. Terms are
+    * normalized (lowercase, single-space-joined) and matched on WORD
+    * BOUNDARIES against [[tokens]] — `"ass"` does not hit "class", which
+    * is exactly why substring `contains` is the wrong tool for this
+    * gate. Phrases supported (any mixed lengths); occurrences counted
+    * with overlaps, so thresholding on density (`hits / n_tokens`) works.
+    *
+    * Scale shape: ONE compiled row-local pass
+    * ([[graft.functions.NativeExprs.termSetHitsOf]]) with an O(1) hash
+    * probe per positional n-gram — a 2,000-term list as an
+    * `array_contains` literal would walk all 2,000 entries per gram.
+    * Zero shuffle; streaming-legal (stateless). */
+  def blocklistHits(c: Column, terms: Seq[String]): Column = {
+    require(terms.nonEmpty && terms.forall(_.trim.nonEmpty),
+      "graft: blocklistHits needs non-empty terms")
+    graft.functions.NativeExprs.termSetHits(c, terms)
+  }
+
+  /** Compositional HOF twin of [[blocklistHits]] — the executable spec
+    * (pinned bit-equal in NativeExprsSpec): per distinct phrase length n,
+    * count positional n-grams that appear in that length's term list. */
+  def blocklistHitsHof(c: Column, terms: Seq[String]): Column = {
+    require(terms.nonEmpty, "graft: blocklistHitsHof needs terms")
+    val norm = terms.map(_.toLowerCase.trim.split("\\s+").toSeq)
+    val toks = tokens(c)
+    norm.groupBy(_.length).toSeq.sortBy(_._1).map { case (n, ts) =>
+      val lits = array(ts.map(t => lit(t.mkString(" "))): _*)
+      val grams = transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))
+      // sequence(1, stop) DESCENDS when stop < 1 — guard the short-doc
+      // case explicitly instead of feeding it a backwards range
+      when(size(toks) >= n,
+          size(filter(grams, g => array_contains(lits, g))))
+        .otherwise(lit(0)).cast("long")
+    }.reduce(_ + _)
+  }
+
+  /** Keep only documents with ZERO blocklist hits — the gate form. */
+  def blocklistClean(df: org.apache.spark.sql.DataFrame, textCol: String,
+      terms: Seq[String]): org.apache.spark.sql.DataFrame =
+    df.where(blocklistHits(col(textCol), terms) === 0L)
+
   /** Phone numbers: international/US-ish shapes, 7+ digits with
     * separators (kept conservative — aggressive phone regexes eat dates
     * and ids). */

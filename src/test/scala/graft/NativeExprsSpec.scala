@@ -280,4 +280,20 @@ class NativeExprsSpec extends SparkSpec {
       .count()
     assert(members == 0)
   }
+
+  test("fused blocklist kernel equals the HOF composition on real text") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val terms = Seq("slow", "big query", "merge batch part", "ZZZ absent")
+    val diff = docs.select(
+        graft.ops.text.blocklistHits(col("text"), terms).as("a"),
+        graft.ops.text.blocklistHitsHof(col("text"), terms).as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(diff == 0, "blocklist kernel diverged from HOF twin")
+    // and the corpus actually exercises every phrase length
+    val perLen = Seq(Seq("slow"), Seq("big query"), Seq("merge batch part"))
+      .map(t => docs.select(sum(
+        graft.ops.text.blocklistHits(col("text"), t)).cast("long"))
+        .head().getLong(0))
+    assert(perLen.forall(_ > 0), s"fixture lengths not all hit: $perLen")
+  }
 }

@@ -421,4 +421,27 @@ class TextOpsSpec extends SparkSpec {
     // the flag NEVER drops rows — audit-then-drop contract
     assert(r.size == 7)
   }
+
+  test("blocklistHits: word boundaries, phrases, overlaps, case, gate") {
+    val docs = Seq(
+      (1L, "the slow classic slowly turns"),  // 1: only the exact token
+      (2L, "Big Query beats big query"),      // 2 bigram hits, case-folded
+      (3L, "a b a b a"),                      // overlapping bigrams "a b": 2
+      (4L, "merge batch part merge batch"),   // trigram 1 + trailing partial 0
+      (5L, "slow slow slow"),                 // occurrences, not distinct: 3
+      (6L, ""),                               // empty text: 0
+      (7L, "nothing here"))                   // clean survivor
+      .toDF("doc_id", "text")
+    val terms = Seq("slow", "a b", "Big  Query", "merge batch part")
+    val hits = docs.select(col("doc_id"),
+        text.blocklistHits(col("text"), terms).as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(hits == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 3L,
+      6L -> 0L, 7L -> 0L), hits.toString)
+    // "classic"/"slowly" not hit by "slow": boundary semantics, the
+    // reason a substring contains() is the wrong tool for this gate
+    val kept = text.blocklistClean(docs, "text", terms)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(6L, 7L))
+  }
 }
