@@ -869,6 +869,33 @@ object SparkEntry {
           sum(when(col("h") === 0L, 1L).otherwise(0L)).as("n_clean"),
           sum(col("h")).as("total_hits"))),
 
+    // north-star: C4 line-level cleanup — the synthetic corpus is
+    // single-line and unpunctuated, so the query first manufactures
+    // deterministic sentence/line structure (every ' table ' becomes
+    // '.\n', both engines verbatim), then keeps only terminal-punctuated
+    // >= 3-word lines; one fused row-local HOF pass.
+    "text_c4_line_clean" -> ((s, dir) =>
+      table(s, dir, "documents").select(col("doc_id"),
+          text.c4LineClean(
+            regexp_replace(col("text"), " table ", ".\n"), minWords = 3)
+            .as("clean"))
+        .select(col("doc_id"), md5(col("clean")).as("clean_md5"),
+          length(col("clean")).cast("long").as("clean_len"))
+        .orderBy(col("doc_id"))),
+
+    // north-star: FineWeb-style line-shape signals over the same
+    // manufactured line structure (bullets via ' row ' -> '\n- ').
+    "text_line_stats" -> ((s, dir) =>
+      table(s, dir, "documents").select(col("doc_id"),
+          text.lineStats(regexp_replace(
+            regexp_replace(col("text"), " table ", ".\n"),
+            " row ", "\n- ")).as("ls"))
+        .select(col("doc_id"), col("ls.n_lines").as("n_lines"),
+          col("ls.frac_bullet").as("frac_bullet"),
+          col("ls.frac_ellipsis").as("frac_ellipsis"),
+          col("ls.frac_terminal").as("frac_terminal"))
+        .orderBy(col("doc_id"))),
+
     // north-star: overlapping token-window chunking — the text→context-
     // window expansion step; row-local explode, no shuffle.
     "text_chunk" -> ((s, dir) =>
@@ -2684,6 +2711,40 @@ object SparkEntry {
          |  sum(CASE WHEN coalesce(h.n_hits, 0) = 0 THEN 1 ELSE 0 END)::BIGINT AS n_clean,
          |  sum(coalesce(h.n_hits, 0))::BIGINT AS total_hits
          |FROM tk LEFT JOIN h USING (doc_id)""".stripMargin,
+
+    "text_c4_line_clean" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  replace(text, ' table ', '.' || chr(10)) AS tx FROM documents),
+         |c AS (SELECT doc_id, coalesce(array_to_string(list_filter(
+         |  string_split(tx, chr(10)),
+         |  l -> regexp_matches(trim(l), '[.!?"]$$')
+         |    AND len(list_filter(string_split_regex(trim(l), '\\s+'),
+         |          w -> w != '')) >= 3
+         |    AND NOT contains(lower(trim(l)), 'lorem ipsum')
+         |    AND NOT contains(lower(trim(l)), 'javascript')
+         |    AND NOT contains(trim(l), '{')), chr(10)), '') AS clean FROM t)
+         |SELECT doc_id, md5(clean) AS clean_md5,
+         |  length(clean)::BIGINT AS clean_len
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "text_line_stats" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  replace(replace(text, ' table ', '.' || chr(10)),
+         |          ' row ', chr(10) || '- ') AS tx FROM documents),
+         |l AS (SELECT doc_id, list_filter(
+         |  list_transform(string_split(tx, chr(10)), x -> trim(x)),
+         |  x -> x != '') AS ls FROM t)
+         |SELECT doc_id, len(ls)::BIGINT AS n_lines,
+         |  CASE WHEN len(ls) > 0 THEN floor(len(list_filter(ls,
+         |    x -> regexp_matches(x, '^[-*•]')))::DOUBLE / len(ls)
+         |    * 10000.0 + 0.5) / 10000.0 ELSE 0.0 END AS frac_bullet,
+         |  CASE WHEN len(ls) > 0 THEN floor(len(list_filter(ls,
+         |    x -> regexp_matches(x, '(\\.\\.\\.|…)$$')))::DOUBLE / len(ls)
+         |    * 10000.0 + 0.5) / 10000.0 ELSE 0.0 END AS frac_ellipsis,
+         |  CASE WHEN len(ls) > 0 THEN floor(len(list_filter(ls,
+         |    x -> regexp_matches(x, '[.!?"]$$')))::DOUBLE / len(ls)
+         |    * 10000.0 + 0.5) / 10000.0 ELSE 0.0 END AS frac_terminal
+         |FROM l ORDER BY doc_id""".stripMargin,
 
     // Same start set as text.tokenChunks: 0, 48, 96, … with the last
     // start the first covering the tail; docs with no tokens drop out.

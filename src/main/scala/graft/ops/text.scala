@@ -381,6 +381,53 @@ object text {
       terms: Seq[String]): org.apache.spark.sql.DataFrame =
     df.where(blocklistHits(col(textCol), terms) === 0L)
 
+  /** C4's LINE-level cleanup (Raffel et al. 2020 §2.2): keep only lines
+    * that end in terminal punctuation (`.`/`!`/`?`/`"`), have at least
+    * `minWords` words, and contain neither "lorem ipsum" nor
+    * "javascript" (case-blind) nor a curly brace; surviving lines are
+    * reassembled in order with the same separator. A document whose
+    * every line fails comes back as the empty string — dropping it is
+    * the caller's explicit filter, same no-silent-row-loss contract as
+    * [[graft.ops.dedup.dedupLines]].
+    *
+    * One fused row-local HOF expression (split → filter → concat_ws):
+    * zero shuffle, streaming-legal, scan-parallel at any scale. */
+  def c4LineClean(c: Column, minWords: Int = 5, sep: String = "\n"): Column = {
+    require(minWords >= 1, s"graft: c4LineClean needs minWords >= 1, got $minWords")
+    val kept = filter(split(c, java.util.regex.Pattern.quote(sep)), l => {
+      val t = trim(l)
+      t.rlike("[.!?\"]$") &&
+        size(filter(split(t, "\\s+"), w => w =!= "")) >= minWords &&
+        !lower(t).contains("lorem ipsum") &&
+        !lower(t).contains("javascript") &&
+        !t.contains("{")
+    })
+    concat_ws(sep, kept)
+  }
+
+  /** Line-SHAPE signals (the FineWeb/RefinedWeb heuristics a quality
+    * gate thresholds on): over the non-empty trimmed lines of a
+    * document — `n_lines`, the fraction starting with a bullet marker
+    * (`-`, `*`, `•`), the fraction ending in an ellipsis (`...`/`…`),
+    * and the fraction ending in terminal punctuation. Fractions
+    * 4-dp-quantized ([[graft.functions.vectors.quantize]] discipline);
+    * a document with no non-empty lines reports all zeros. Row-local,
+    * zero shuffle. */
+  def lineStats(c: Column, sep: String = "\n"): Column = {
+    val lines = filter(
+      transform(split(c, java.util.regex.Pattern.quote(sep)), l => trim(l)),
+      t => t =!= "")
+    val n = size(lines)
+    def frac(cnt: Column): Column =
+      when(n > 0, vectors.quantize(cnt.cast("double") / n.cast("double"), 4))
+        .otherwise(lit(0.0))
+    struct(
+      n.cast("long").as("n_lines"),
+      frac(size(filter(lines, t => t.rlike("^[-*•]")))).as("frac_bullet"),
+      frac(size(filter(lines, t => t.rlike("(\\.\\.\\.|…)$")))).as("frac_ellipsis"),
+      frac(size(filter(lines, t => t.rlike("[.!?\"]$")))).as("frac_terminal"))
+  }
+
   /** Phone numbers: international/US-ish shapes, 7+ digits with
     * separators (kept conservative — aggressive phone regexes eat dates
     * and ids). */

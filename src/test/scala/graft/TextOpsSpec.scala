@@ -444,4 +444,39 @@ class TextOpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(6L, 7L))
   }
+
+  test("c4LineClean: terminal punct, min words, lorem/javascript/brace lines dropped") {
+    val docs = Seq(
+      (1L, "This line survives the cleanup fine.\nno punct here at all\n" +
+        "Too short.\nHe said \"hello there my friend\"\n" +
+        "This has lorem ipsum filler inside.\n" +
+        "Enable JavaScript to view this page.\n" +
+        "function f() { return 1; } is code.\n" +
+        "A very last good line stands here!"),
+      (2L, "every line fails\nno terminal punct"),
+      (3L, ""))
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        text.c4LineClean(col("text"), minWords = 4).as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) ==
+      "This line survives the cleanup fine.\n" +
+      "He said \"hello there my friend\"\n" +
+      "A very last good line stands here!", out(1L))
+    assert(out(2L) == "" && out(3L) == "")
+  }
+
+  test("lineStats: bullets, ellipses, terminal fractions; empty doc all zero") {
+    val docs = Seq(
+      (1L, "- first bullet\n* second bullet\nplain line\nended properly.\nwait for it...\n  \n"),
+      (2L, ""))
+      .toDF("doc_id", "text")
+    val r = docs.select(col("doc_id"), text.lineStats(col("text")).as("ls"))
+      .select(col("doc_id"), col("ls.n_lines"), col("ls.frac_bullet"),
+        col("ls.frac_ellipsis"), col("ls.frac_terminal"))
+      .as[(Long, Long, Double, Double, Double)].collect().map(t => t._1 -> t).toMap
+    // 5 non-empty lines: 2 bullets, 1 ellipsis, 2 terminal ('.' and '...')
+    assert(r(1L) == ((1L, 5L, 0.4, 0.2, 0.4)), r(1L).toString)
+    assert(r(2L) == ((2L, 0L, 0.0, 0.0, 0.0)))
+  }
 }
