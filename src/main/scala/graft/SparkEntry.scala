@@ -869,6 +869,14 @@ object SparkEntry {
           sum(when(col("h") === 0L, 1L).otherwise(0L)).as("n_clean"),
           sum(col("h")).as("total_hits"))),
 
+    // north-star: winnowing (MOSS) partial-copy pairs — local
+    // fingerprint selection with the w+n-1 shared-run guarantee; the
+    // detector whole-doc MinHash dilutes and exact dedup misses.
+    "dedup_winnow_pairs" -> ((s, dir) =>
+      dedup.winnowPairs(table(s, dir, "documents"), "text", "doc_id",
+          n = 4, w = 4, minShared = 2)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // north-star: C4 line-level cleanup — the synthetic corpus is
     // single-line and unpunctuated, so the query first manufactures
     // deterministic sentence/line structure (every ' table ' becomes
@@ -2711,6 +2719,25 @@ object SparkEntry {
          |  sum(CASE WHEN coalesce(h.n_hits, 0) = 0 THEN 1 ELSE 0 END)::BIGINT AS n_clean,
          |  sum(coalesce(h.n_hits, 0))::BIGINT AS total_hits
          |FROM tk LEFT JOIN h USING (doc_id)""".stripMargin,
+
+    "dedup_winnow_pairs" ->
+      s"""WITH tk AS (SELECT doc_id, $SqlToks AS ts FROM documents),
+         |g AS (SELECT doc_id, list_transform(range(1, len(ts) - 2),
+         |    i -> ${hashing.sqlH32("array_to_string(list_slice(ts, i, i + 3), ' ')")})
+         |  AS hs FROM tk WHERE len(ts) >= 4),
+         |f AS (SELECT doc_id, CASE WHEN len(hs) >= 4
+         |  THEN list_distinct(list_transform(range(1, len(hs) - 2),
+         |    i -> list_min(list_slice(hs, i, i + 3))))
+         |  ELSE [list_min(hs)] END AS fps FROM g),
+         |e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+         |d AS (SELECT fp FROM e GROUP BY fp HAVING count(*) <= 256),
+         |eo AS (SELECT e.doc_id, e.fp FROM e JOIN d USING (fp)),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    count(*)::BIGINT AS n_shared
+         |  FROM eo a JOIN eo b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= 2
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "text_c4_line_clean" ->
       s"""WITH t AS (SELECT doc_id,

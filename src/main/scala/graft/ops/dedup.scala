@@ -542,6 +542,67 @@ object dedup {
       .agg(count(lit(1)).as("c"))
   }
 
+  // ---- winnowing (local fingerprints) ----------------------------------
+
+  /** WINNOWING document fingerprints (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD
+    * 2003 — the MOSS algorithm): hash every positional word `n`-gram,
+    * slide a window of `w` consecutive gram hashes, select each window's
+    * MINIMUM, and keep the distinct selected values. The local-selection
+    * guarantee: any shared token run of at least `w + n − 1` tokens
+    * shares at least one fingerprint — so PARTIAL copies (a paragraph
+    * lifted into an otherwise different document) are caught with a
+    * bounded, position-robust signature, where whole-doc MinHash dilutes
+    * the shared span into noise and exact/line dedup needs byte-equal
+    * boundaries.
+    *
+    * Row-local (native gram kernel + HOF window mins, no shuffle);
+    * signature size ≤ grams/w expected (2/(w+1) selection density).
+    * Empty/short docs: fewer grams than `w` yields the single global
+    * min; no grams yields an empty array. */
+  def winnowFingerprints(c: Column, n: Int = 4, w: Int = 4): Column = {
+    require(n >= 1 && w >= 1, s"graft: winnow needs n >= 1, w >= 1; got $n, $w")
+    val hashes = transform(graft.functions.NativeExprs.wordGrams(c, n),
+      g => hashing.h32(g))
+    when(size(hashes) >= w,
+        array_distinct(transform(
+          sequence(lit(1), size(hashes) - (w - 1)),
+          i => array_min(slice(hashes, i, lit(w))))))
+      .when(size(hashes) > 0, array(array_min(hashes)))
+      .otherwise(array().cast("array<long>"))
+  }
+
+  /** Partial-copy candidate pairs from shared winnowing fingerprints:
+    * docs sharing at least `minShared` fingerprints, with the shared
+    * count as evidence mass. The inverted-index shape of
+    * [[jaccardPairs]]: explode the (distinct) fingerprints, drop
+    * fingerprints shared by more than `maxDf` docs (boilerplate — at
+    * 100 TB an uncapped hot fingerprint is an O(df²) pair bomb; the cap
+    * is reported via the same df-band discipline), self-join on the
+    * fingerprint, count per pair. Returns `(id_a, id_b, n_shared)`. */
+  def winnowPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 4,
+      w: Int = 4,
+      minShared: Int = 2,
+      maxDf: Int = 256): DataFrame = {
+    require(minShared >= 1 && maxDf >= 2,
+      s"graft: winnowPairs needs minShared >= 1, maxDf >= 2; got $minShared, $maxDf")
+    val fp = df.select(col(idCol),
+        explode(winnowFingerprints(col(textCol), n, w)).as("fp"))
+    val ok = fp.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
+      .where(col("_df") <= maxDf).select(col("fp"))
+    val fpo = fp.join(ok, "fp")
+    val a = fpo.select(col("fp"), col(idCol).as("id_a"))
+    val b = fpo.select(col("fp"), col(idCol).as("id_b"))
+    a.join(b, Seq("fp")).where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   // ---- SimHash ---------------------------------------------------------
 
   /** Per-document SimHash: bit j of the signature is set when the sum of

@@ -430,4 +430,32 @@ class DedupSpec extends SparkSpec {
       .select("corpus_id").as[Long].collect().toSeq
     assert(hits == Seq(2L), "near-dup of the APPENDED slice must surface")
   }
+
+  test("winnowing: shared run >= w+n-1 tokens guarantees a shared fingerprint; partial copy caught") {
+    // doc 1 and doc 2 share a 12-token span (> w+n-1 = 7) inside
+    // otherwise-different documents; doc 3 is unrelated.
+    val span = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (1L, s"intro words here $span closing remarks follow now"),
+      (2L, s"completely different opening $span and another different tail"),
+      (3L, "unrelated content about streams windows joins aggregates shuffles"))
+      .toDF("doc_id", "text")
+    val fps = docs.select(col("doc_id"),
+        dedup.winnowFingerprints(col("text"), n = 4, w = 4).as("f"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert((fps(1L).toSet intersect fps(2L).toSet).nonEmpty,
+      "the winnowing guarantee: a 12-token shared run must share a fingerprint")
+    assert((fps(1L).toSet intersect fps(3L).toSet).isEmpty)
+    // density sanity: ~2/(w+1) of grams selected, never more than grams
+    assert(fps(1L).size < 20 && fps(1L).nonEmpty)
+    val pairs = dedup.winnowPairs(docs, "text", "doc_id",
+        n = 4, w = 4, minShared = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), pairs.toString)
+    // short docs: fewer grams than w still fingerprint (global min)
+    val short = Seq((9L, "just five little words here")).toDF("doc_id", "text")
+    val sf = short.select(dedup.winnowFingerprints(col("text"), 4, 4))
+      .as[Seq[Long]].head()
+    assert(sf.size == 1)
+  }
 }
