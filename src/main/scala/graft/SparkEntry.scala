@@ -2280,6 +2280,14 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("order_idx"))
         .orderBy(col("doc_id"))),
 
+    // north-star: training-order diversity meter — one number telling
+    // whether the order a trainer consumes is the intended one: the
+    // round-robin interleave must read near-zero adjacent-same-stratum.
+    "sample_order_diversity" -> ((s, dir) =>
+      sample.orderDiversity(
+        sample.interleave(table(s, dir, "documents"), "lang", "doc_id"),
+        "order_idx", "lang")),
+
     // north-star: weighted (quality-proportional) sampling — the data-
     // mixing primitive; keep probability = min(n_chars/1000, 1), pure
     // scan filter.
@@ -5046,6 +5054,25 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, lang, (r.rk * n.k + s.s_idx)::BIGINT AS order_idx
         |FROM r JOIN s USING (lang) CROSS JOIN n ORDER BY doc_id""".stripMargin,
+
+    "sample_order_diversity" ->
+      """WITH s AS (SELECT lang, row_number() OVER (ORDER BY lang) - 1 AS s_idx
+        |  FROM (SELECT DISTINCT lang FROM documents)),
+        |n AS (SELECT count(*) AS k FROM s),
+        |r AS (SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1 AS rk
+        |  FROM documents),
+        |o AS (SELECT doc_id, lang, (r.rk * n.k + s.s_idx)::BIGINT AS p
+        |  FROM r JOIN s USING (lang) CROSS JOIN n),
+        |j AS (SELECT a.lang AS sa, b.lang AS sb
+        |  FROM o a JOIN o b ON b.p = a.p + 1)
+        |SELECT count(*)::BIGINT AS n_pairs,
+        |  coalesce(sum(CASE WHEN sa IS NOT DISTINCT FROM sb THEN 1 ELSE 0 END), 0)::BIGINT AS n_same,
+        |  CASE WHEN count(*) > 0 THEN
+        |    floor(sum(CASE WHEN sa IS NOT DISTINCT FROM sb THEN 1 ELSE 0 END)::DOUBLE
+        |      / count(*) * 10000.0 + 0.5) / 10000.0
+        |  ELSE 0.0 END AS frac_same
+        |FROM j""".stripMargin,
 
     // Same clamp chain and multiply order as sample.weightedSample.
     "sample_weighted" ->

@@ -617,6 +617,38 @@ object sample {
       .drop("_ekey")
   }
 
+  /** Training-ORDER diversity meter — the audit twin of the ordering
+    * family ([[interleave]] / [[epochShuffle]] / [[semanticOrder]]):
+    * over consecutive positions of an ordered corpus, the fraction of
+    * adjacent pairs drawn from the SAME stratum. A fresh [[interleave]]
+    * reads ~0 (round-robin by construction), a good [[epochShuffle]]
+    * reads ~Σpᵢ² (the collision mass of the stratum mix), and a
+    * [[semanticOrder]] reads deliberately HIGH — so one number says
+    * whether the order a trainer is about to consume is the one the
+    * pipeline intended, from the artifact instead of a spot check.
+    *
+    * Scale shape: two thin `(pos, stratum)` projections hash-joined on
+    * `pos = pos+1` — no global window, no sort; positions with gaps
+    * simply contribute no pair (identical on any engine). Returns one
+    * row `(n_pairs, n_same, frac_same)`, fraction 4-dp quantized. */
+  def orderDiversity(df: DataFrame, posCol: String,
+      stratumCol: String): DataFrame = {
+    val a = df.select(col(posCol).cast("long").as("_p"),
+      col(stratumCol).as("_sa"))
+    val b = df.select((col(posCol).cast("long") - 1L).as("_p"),
+      col(stratumCol).as("_sb"))
+    a.join(b, "_p")
+      .agg(count(lit(1)).as("n_pairs"),
+        // coalesce: an order with no adjacent pairs at all (gapped or
+        // single-row input) sums over zero rows → NULL, not 0
+        coalesce(sum(when(col("_sa") <=> col("_sb"), 1L).otherwise(0L)),
+          lit(0L)).as("n_same"))
+      .select(col("n_pairs"), col("n_same"),
+        when(col("n_pairs") > 0, graft.functions.vectors.quantize(
+            col("n_same").cast("double") / col("n_pairs").cast("double"), 4))
+          .otherwise(lit(0.0)).as("frac_same"))
+  }
+
   /** Token-BALANCED shard assignment — the export planner for "write n
     * files a trainer reads in parallel": hash sharding balances ROW
     * counts, but token counts per document are heavy-tailed, so

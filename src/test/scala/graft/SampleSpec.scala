@@ -340,4 +340,24 @@ class SampleSpec extends SparkSpec {
     // ranks: 100 → 0, 50 → 1, null(0) → last (serpentine back to 1)
     assert(assign == Map(1L -> 0, 3L -> 1, 2L -> 1), assign.toString)
   }
+
+  test("orderDiversity: interleave reads ~0, blocked order reads ~1, gaps drop pairs") {
+    val docs = (0L until 30L).map(i => (i, "s" + (i % 3))).toDF("id", "src")
+    // blocked order (all of s0, then s1, then s2): 27/29 adjacent same
+    val blocked = docs.withColumn("pos",
+      (col("src").substr(2, 1).cast("long") * 10L) + col("id") / 3L)
+    val rb = sample.orderDiversity(blocked, "pos", "src")
+      .as[(Long, Long, Double)].head()
+    assert(rb == ((29L, 27L, 0.931)), rb.toString)
+    // round-robin interleave: zero adjacent-same
+    val inter = sample.interleave(docs, "src", "id")
+    val ri = sample.orderDiversity(inter, "order_idx", "src")
+      .as[(Long, Long, Double)].head()
+    assert(ri._2 == 0L && ri._3 == 0.0, ri.toString)
+    // gapped positions contribute no pair
+    val gap = Seq((0L, "a"), (5L, "a")).toDF("pos2", "src")
+    val rg = sample.orderDiversity(gap, "pos2", "src")
+      .as[(Long, Long, Double)].head()
+    assert(rg == ((0L, 0L, 0.0)))
+  }
 }
