@@ -459,6 +459,29 @@ object ScaleRehearsal {
     // TextRank keywords: vocab-sized co-occurrence walk over factor docs
     run("textrank_top20", countRows = false)(graft.ops.text.textRankTerms(
       docs, "text", window = 2, iters = 3, topN = 20))
+    // ---- round-9 additions: blocklist, line ops, winnowing, order ----
+    // blocklist gate: row-local hash-set probe — must stay corpus-linear
+    run("blocklist_hits")(docs.select(col("doc_id"),
+      text.blocklistHits(col("text"),
+        Seq("slow", "big query", "merge batch part")).as("h")))
+    // C4 line cleanup + line stats over manufactured line structure
+    run("c4_line_clean", countRows = false)(docs.select(col("doc_id"),
+      md5(text.c4LineClean(
+        regexp_replace(col("text"), " table ", ".\n"), minWords = 3))
+        .as("m")))
+    run("line_stats", countRows = false)(docs.select(col("doc_id"),
+      text.lineStats(regexp_replace(col("text"), " table ", ".\n")).as("ls")))
+    // winnowing pairs on the 30x clone corpus: every clone group shares
+    // EVERY fingerprint — worst case for the fp df cap (fingerprints of
+    // cloned docs hit df = factor x base-dup count; the 256 cap must
+    // bound the pair stage, same discipline as jaccard's gram band)
+    run("winnow_pairs")(graft.ops.dedup.winnowPairs(
+      docs, "text", "doc_id", n = 4, w = 4, minShared = 2,
+      maxDf = math.max(256, 256 * factor / 10)))
+    // order-diversity meter over the interleave of the factor corpus
+    run("order_diversity", countRows = false)(sample.orderDiversity(
+      sample.interleave(docs, "lang", "doc_id"), "order_idx", "lang"))
+
     // deterministic sample quantiles + calibration map + semantic order
     run("sample_quantiles", countRows = false)(graft.ops.sketch.sampleQuantiles(
       events, col("value"), col("event_id"), k = 256,
