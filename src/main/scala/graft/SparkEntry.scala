@@ -869,6 +869,27 @@ object SparkEntry {
           sum(when(col("h") === 0L, 1L).otherwise(0L)).as("n_clean"),
           sum(col("h")).as("total_hits"))),
 
+    // north-star: chromaprint-shaped audio fingerprints — per-frame
+    // band-energy double differences (band x time); frame explode
+    // row-local, time diff one id-keyed lag window.
+    "mm_audio_fp" -> ((s, dir) =>
+      multimodal.audioFingerprint(
+        multimodal.fromText(table(s, dir, "documents"), "doc_id", "text",
+          "source"))
+        .orderBy(col("id"), col("frame_idx"))),
+
+    // north-star: audio near-dup by SHARED sub-fingerprints (the
+    // Shazam/chromaprint matching discipline) — planted byte-identical
+    // copies must pair; minShared=2 kills random 15-bit collisions.
+    "mm_audio_neardup" -> ((s, dir) => {
+      val base = table(s, dir, "documents")
+      val planted = base.unionByName(base.where(col("doc_id") % 97 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+      multimodal.audioNearDupPairs(
+        multimodal.fromText(planted, "doc_id", "text", "source"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // north-star: winnowing (MOSS) partial-copy pairs — local
     // fingerprint selection with the w+n-1 shared-run guarantee; the
     // detector whole-doc MinHash dilutes and exact dedup misses.
@@ -2727,6 +2748,55 @@ object SparkEntry {
          |  sum(CASE WHEN coalesce(h.n_hits, 0) = 0 THEN 1 ELSE 0 END)::BIGINT AS n_clean,
          |  sum(coalesce(h.n_hits, 0))::BIGINT AS total_hits
          |FROM tk LEFT JOIN h USING (doc_id)""".stripMargin,
+
+    "mm_audio_fp" -> {
+      val energies = (0 until 16).map(b =>
+        s"(('0x' || substr(md5(frame), ${2 * b + 1}, 2))::INT) AS e$b").mkString(", ")
+      val diffs = (0 until 15).map(b => s"(e$b - e${b + 1}) AS d$b").mkString(", ")
+      val bits = (0 until 15).map(b =>
+        s"(CASE WHEN d$b - lag(d$b, 1) OVER w > 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH f AS (SELECT doc_id, i AS frame_idx,
+         |    substr(text, i * 64 + 1, 64) AS frame
+         |  FROM documents, unnest(range(0,
+         |    CAST(ceil(length(text) / 64.0) AS INT))) u(i)
+         |  WHERE length(text) > 0),
+         |e AS (SELECT doc_id, frame_idx, $energies FROM f),
+         |d AS (SELECT doc_id, frame_idx, $diffs FROM e),
+         |p AS (SELECT doc_id AS id, frame_idx, ($bits)::BIGINT AS fp
+         |  FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx))
+         |SELECT id, frame_idx, fp FROM p WHERE frame_idx > 0
+         |ORDER BY id, frame_idx""".stripMargin
+    },
+
+    "mm_audio_neardup" -> {
+      val energies = (0 until 16).map(b =>
+        s"(('0x' || substr(md5(frame), ${2 * b + 1}, 2))::INT) AS e$b").mkString(", ")
+      val diffs = (0 until 15).map(b => s"(e$b - e${b + 1}) AS d$b").mkString(", ")
+      val bits = (0 until 15).map(b =>
+        s"(CASE WHEN d$b - lag(d$b, 1) OVER w > 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH u AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+         |    WHERE doc_id % 97 = 0),
+         |f AS (SELECT doc_id, i AS frame_idx,
+         |    substr(text, i * 64 + 1, 64) AS frame
+         |  FROM u, unnest(range(0,
+         |    CAST(ceil(length(text) / 64.0) AS INT))) u2(i)
+         |  WHERE length(text) > 0),
+         |e AS (SELECT doc_id, frame_idx, $energies FROM f),
+         |d AS (SELECT doc_id, frame_idx, $diffs FROM e),
+         |p AS (SELECT doc_id AS id, ($bits)::BIGINT AS fp
+         |  FROM d WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+         |  QUALIFY frame_idx > 0),
+         |fp AS (SELECT DISTINCT id, fp FROM p),
+         |ok AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 256),
+         |fo AS (SELECT fp.id, fp.fp FROM fp JOIN ok USING (fp)),
+         |pr AS (SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS n_shared
+         |  FROM fo a JOIN fo b ON a.fp = b.fp AND a.id < b.id GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_shared FROM pr WHERE n_shared >= 2
+         |ORDER BY id_a, id_b""".stripMargin
+    },
 
     "dedup_winnow_pairs" ->
       s"""WITH tk AS (SELECT doc_id, $SqlToks AS ts FROM documents),

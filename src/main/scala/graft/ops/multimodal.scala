@@ -127,6 +127,59 @@ object multimodal {
   def dhashNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
     dedup.sigHammingPairs(dHash(media), "id", "dhash", maxHamming)
 
+  /** Chromaprint-SHAPED audio fingerprints: frame the payload, derive
+    * per-frame band "energies" (stub: the 16 bytes of the frame's md5 —
+    * a real pipeline puts mel/chroma band energies here; nothing
+    * downstream changes), then fingerprint bit `b` of frame `t` is the
+    * classic double difference `(E_b−E_{b+1})(t) − (E_b−E_{b+1})(t−1) >
+    * 0` — energy structure across BOTH band and time, which is what
+    * makes audio fingerprints robust to level/offset changes (Haitsma &
+    * Kalker 2002; chromaprint). Emits one 15-bit sub-fingerprint per
+    * frame from the second frame on: `(id, frame_idx, fp)`.
+    *
+    * Scale shape: frame explode is row-local; the time difference is one
+    * id-keyed window (lag over frame_idx) — a single shuffle on the
+    * media id, the same per-item-sequence idiom as the event family. */
+  def audioFingerprint(media: DataFrame, frameBytes: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = md5(col("frame"))
+    def e(b: Int): Column = conv(substring(d, 2 * b + 1, 2), 16, 10).cast("int")
+    val framed = sampleFrames(media, frameBytes, stride = 1)
+      .select(Seq(col("id"), col("frame_idx")) ++
+        (0 until 15).map(b => (e(b) - e(b + 1)).as(s"_d$b")): _*)
+    val w = Window.partitionBy(col("id")).orderBy(col("frame_idx"))
+    framed
+      .select(Seq(col("id"), col("frame_idx")) ++
+        (0 until 15).map(b =>
+          when(col(s"_d$b") - lag(col(s"_d$b"), 1).over(w) > 0, lit(1L << b))
+            .otherwise(lit(0L)).as(s"_b$b")): _*)
+      .where(col("frame_idx") > 0) // no predecessor, no fingerprint
+      .select(col("id"), col("frame_idx"),
+        (0 until 15).map(b => col(s"_b$b")).reduce(_ bitwiseOR _).as("fp"))
+  }
+
+  /** Audio near-dup pairs by SHARED sub-fingerprints — the
+    * Shazam/chromaprint matching discipline (count common
+    * sub-fingerprints, not Hamming over one signature): explode each
+    * item's DISTINCT fps, drop fps shared by more than `maxDf` items
+    * (the silence/boilerplate frame of audio — same df-cap rule as every
+    * inverted-index pair stage here), join, count per pair. Returns
+    * `(id_a, id_b, n_shared)` with `n_shared >= minShared`. */
+  def audioNearDupPairs(media: DataFrame, frameBytes: Int = 64,
+      minShared: Int = 2, maxDf: Int = 256): DataFrame = {
+    val fp = audioFingerprint(media, frameBytes)
+      .select(col("id"), col("fp")).distinct()
+    val ok = fp.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
+      .where(col("_df") <= maxDf).select(col("fp"))
+    val fpo = fp.join(ok, "fp")
+    val a = fpo.select(col("fp"), col("id").as("id_a"))
+    val b = fpo.select(col("fp"), col("id").as("id_b"))
+    a.join(b, Seq("fp")).where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Frame sampling plumbing: split a payload into fixed-size frames and
     * keep every `stride`-th one (a video keyframe-sampler stands here; the
     * byte slicing is the stand-in decode). Emits (id, frame_idx, frame). */

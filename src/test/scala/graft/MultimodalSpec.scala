@@ -93,4 +93,28 @@ class MultimodalSpec extends SparkSpec {
     // (10,11) found at d=3; (10,12) and (11,12) blocked or reranked out
     assert(got == Seq((10L, 11L, 3)))
   }
+
+  test("audioFingerprint: one 15-bit fp per frame after the first; copies pair, shorts silent") {
+    val long1 = ("alpha " * 40).trim          // ~239 bytes -> 4 frames -> 3 fps
+    val long2 = ("other words here " * 16).trim
+    val fixture = Seq(
+      (1L, "audio", long1.getBytes("UTF-8"), "s"),
+      (2L, "audio", long1.getBytes("UTF-8"), "s"),   // byte-identical copy
+      (3L, "audio", long2.getBytes("UTF-8"), "s"),
+      (4L, "audio", "short".getBytes("UTF-8"), "s"), // 1 frame -> 0 fps
+      (5L, "audio", Array.empty[Byte], "s"))         // empty -> 0 frames
+      .toDF("id", "kind", "payload", "source")
+    val fps = multimodal.audioFingerprint(fixture)
+      .as[(Long, Int, Long)].collect()
+    val byId = fps.groupBy(_._1)
+    assert(byId(1L).map(_._2).sorted.toSeq == Seq(1, 2, 3), "frames 1..n-1")
+    assert(fps.forall(f => f._3 >= 0 && f._3 < (1 << 15)), "15-bit fps")
+    // determinism + copy identity: id 2's sequence equals id 1's
+    assert(byId(1L).map(t => (t._2, t._3)).sortBy(_._1).toSeq ==
+      byId(2L).map(t => (t._2, t._3)).sortBy(_._1).toSeq)
+    assert(!byId.contains(4L) && !byId.contains(5L))
+    val pairs = multimodal.audioNearDupPairs(fixture)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)), pairs.toString)
+  }
 }
