@@ -869,6 +869,15 @@ object SparkEntry {
           sum(when(col("h") === 0L, 1L).otherwise(0L)).as("n_clean"),
           sum(col("h")).as("total_hits"))),
 
+    // north-star: video scene-change detection — per-frame dHash, then
+    // the Hamming distance to the previous frame via one id-keyed lag
+    // window; the oracle replays the identical digest/bit arithmetic.
+    "mm_scene_changes" -> ((s, dir) =>
+      multimodal.sceneChanges(
+        multimodal.fromText(table(s, dir, "documents"), "doc_id", "text",
+          "source"))
+        .orderBy(col("id"), col("frame_idx"))),
+
     // north-star: chromaprint-shaped audio fingerprints — per-frame
     // band-energy double differences (band x time); frame explode
     // row-local, time diff one id-keyed lag window.
@@ -2748,6 +2757,30 @@ object SparkEntry {
          |  sum(CASE WHEN coalesce(h.n_hits, 0) = 0 THEN 1 ELSE 0 END)::BIGINT AS n_clean,
          |  sum(coalesce(h.n_hits, 0))::BIGINT AS total_hits
          |FROM tk LEFT JOIN h USING (doc_id)""".stripMargin,
+
+    "mm_scene_changes" -> {
+      val digs = (0 until 5).map(b => s"md5(frame || '#$b') AS dg$b").mkString(", ")
+      val pxs = (0 until 72).map(i =>
+        s"(('0x' || substr(dg${i / 16}, ${2 * (i % 16) + 1}, 2))::INT) AS px$i")
+        .mkString(", ")
+      val sig = (0 until 63).map { j =>
+        val (r, c) = (j / 8, j % 8)
+        s"(CASE WHEN px${r * 9 + c} > px${r * 9 + c + 1} THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH f AS (SELECT doc_id, i AS frame_idx,
+         |    substr(text, i * 64 + 1, 64) AS frame
+         |  FROM documents, unnest(range(0,
+         |    CAST(ceil(length(text) / 64.0) AS INT))) u(i)
+         |  WHERE length(text) > 0),
+         |d AS (SELECT doc_id, frame_idx, $digs FROM f),
+         |p AS (SELECT doc_id, frame_idx, $pxs FROM d),
+         |h AS (SELECT doc_id AS id, frame_idx, ($sig)::BIGINT AS hv FROM p),
+         |x AS (SELECT id, frame_idx,
+         |    bit_count(xor(hv, lag(hv, 1) OVER w))::INT AS hamming
+         |  FROM h WINDOW w AS (PARTITION BY id ORDER BY frame_idx))
+         |SELECT id, frame_idx, hamming, hamming > 16 AS is_cut
+         |FROM x WHERE frame_idx > 0 ORDER BY id, frame_idx""".stripMargin
+    },
 
     "mm_audio_fp" -> {
       val energies = (0 until 16).map(b =>

@@ -180,6 +180,40 @@ object multimodal {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Video SCENE-CHANGE detection over sampled frames: per-frame dHash
+    * (same 63-bit difference-grid construction as [[dHash]], here over
+    * each frame's stub pixels), then the Hamming distance to the
+    * PREVIOUS frame via one id-keyed lag window; a distance above
+    * `cutThreshold` flags a cut. This is the shot-boundary primitive a
+    * video pipeline keyframes on (pick one frame per scene instead of
+    * every nth) — with a real decoder the same plan finds real cuts; the
+    * stub makes every distinct frame a "cut", which the spec pins.
+    * Returns `(id, frame_idx, hamming, is_cut)` from frame 1 on.
+    *
+    * Scale shape: frame explode + fingerprint are row-local; the only
+    * shuffle is the per-id lag window — identical to
+    * [[audioFingerprint]]'s. */
+  def sceneChanges(media: DataFrame, frameBytes: Int = 64,
+      cutThreshold: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val digs = (0 until 5).map(b =>
+      md5(concat(col("frame"), lit("#" + b).cast("binary"))))
+    def px(i: Int): Column =
+      conv(substring(digs(i / 16), 2 * (i % 16) + 1, 2), 16, 10).cast("int")
+    val sig = (0 until 63).map { j =>
+      val (r, c) = (j / 8, j % 8)
+      when(px(r * 9 + c) > px(r * 9 + c + 1), lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    val w = Window.partitionBy(col("id")).orderBy(col("frame_idx"))
+    sampleFrames(media, frameBytes, stride = 1)
+      .select(col("id"), col("frame_idx"), sig.as("_h"))
+      .select(col("id"), col("frame_idx"),
+        bit_count(col("_h").bitwiseXOR(lag(col("_h"), 1).over(w)))
+          .cast("int").as("hamming"))
+      .where(col("frame_idx") > 0)
+      .withColumn("is_cut", col("hamming") > cutThreshold)
+  }
+
   /** Frame sampling plumbing: split a payload into fixed-size frames and
     * keep every `stride`-th one (a video keyframe-sampler stands here; the
     * byte slicing is the stand-in decode). Emits (id, frame_idx, frame). */

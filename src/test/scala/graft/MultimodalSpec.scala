@@ -117,4 +117,19 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)), pairs.toString)
   }
+
+  test("sceneChanges: repeated frame reads hamming 0 (no cut), distinct frames cut") {
+    // payload = frame A, frame A again, then a different frame B:
+    // boundary A->A is hamming 0 / no cut; A->B is a cut (stub pixels
+    // are md5-random, E[hamming] ~ 31 >> 16)
+    val a = "x" * 64
+    val b = "y" * 64
+    val fixture = Seq((1L, "video", (a + a + b).getBytes("UTF-8"), "s"))
+      .toDF("id", "kind", "payload", "source")
+    val r = multimodal.sceneChanges(fixture)
+      .as[(Long, Int, Int, Boolean)].collect().sortBy(_._2)
+    assert(r.length == 2)
+    assert(r(0) == ((1L, 1, 0, false)), r(0).toString)
+    assert(r(1)._3 > 16 && r(1)._4, r(1).toString)
+  }
 }
