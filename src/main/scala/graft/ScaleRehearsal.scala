@@ -481,6 +481,17 @@ object ScaleRehearsal {
     // order-diversity meter over the interleave of the factor corpus
     run("order_diversity", countRows = false)(sample.orderDiversity(
       sample.interleave(docs, "lang", "doc_id"), "order_idx", "lang"))
+    // audio/video frame families: frame explode row-local, one id-keyed
+    // lag window each; pairs bounded by the fp df cap on the clone corpus
+    run("audio_fp", countRows = false)(multimodal.audioFingerprint(
+      multimodal.fromText(docs, "doc_id", "text", "source")))
+    run("audio_neardup")(multimodal.audioNearDupPairs(
+      multimodal.fromText(docs, "doc_id", "text", "source"),
+      maxDf = math.max(256, 256 * factor / 10)))
+    run("scene_changes", countRows = false)(multimodal.sceneChanges(
+      multimodal.fromText(docs, "doc_id", "text", "source")))
+    run("winnow_fps", countRows = false)(docs.select(col("doc_id"),
+      graft.ops.dedup.winnowFingerprints(col("text")).as("f")))
 
     // deterministic sample quantiles + calibration map + semantic order
     run("sample_quantiles", countRows = false)(graft.ops.sketch.sampleQuantiles(

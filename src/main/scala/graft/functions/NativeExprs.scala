@@ -488,6 +488,47 @@ object NativeExprs {
     column(TermSetHitsExpr(expression(c),
       terms.map(_.toLowerCase.trim.split("\\s+").mkString(" ")).toIndexedSeq))
 
+  /** Winnowing fingerprints in ONE compiled pass (Schleimer et al.
+    * SIGMOD'03): gram-hash the document once, slide the w-window minima,
+    * collect distinct selections in first-occurrence order. The HOF twin
+    * ([[graft.ops.dedup.winnowFingerprintsHof]]) embeds the gram-hash
+    * array inside the window lambda, and HOF lambdas get no
+    * common-subexpression elimination — the md5 array is recomputed PER
+    * WINDOW ELEMENT, an O(G²) digest blowup (measured 30 s for the
+    * sf0.1 pair query vs ~1 s fused; the round-5 once-bound-token-column
+    * lesson, kernel edition). Hash = [[h32Bytes]], identical to
+    * `hashing.h32` and the DuckDB oracle fragment. */
+  def winnowFpOf(text: UTF8String, n: Int, w: Int): Array[Long] = {
+    val grams = wordGramsOf(text, n)
+    if (grams.length == 0) return Array.empty
+    val hs = new Array[Long](grams.length)
+    var i = 0
+    while (i < grams.length) { hs(i) = h32Bytes(grams(i).getBytes); i += 1 }
+    if (hs.length < w) {
+      var m = hs(0); i = 1
+      while (i < hs.length) { if (hs(i) < m) m = hs(i); i += 1 }
+      return Array(m)
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long](hs.length)
+    i = 0
+    while (i <= hs.length - w) {
+      var m = hs(i)
+      var j = i + 1
+      while (j < i + w) { if (hs(j) < m) m = hs(j); j += 1 }
+      seen.add(m)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next().longValue; o += 1 }
+    out
+  }
+
+  /** Column: fused winnowing fingerprints (see [[WinnowFpExpr]]). */
+  def winnowFp(c: Column, n: Int, w: Int): Column =
+    column(WinnowFpExpr(expression(c), n, w))
+
   /** Fused SINGLE-VALUE Bloom membership probe — the scalar twin of
     * [[bloomGramHitsOf]] for key prefilters ([[graft.ops.rel.bloomJoin]]):
     * ONE md5 digest yields both Kirsch-Mitzenmacher words; the
@@ -978,6 +1019,18 @@ case class TextProfileExpr(child: Expression, profiles: IndexedSeq[IndexedSeq[St
     InternalRow(n, sumLen, new GenericArrayData(hits))
   }
   override protected def withNewChildInternal(newChild: Expression): TextProfileExpr =
+    copy(child = newChild)
+}
+
+/** Fused winnowing-fingerprint kernel (see [[NativeExprs.winnowFpOf]]). */
+case class WinnowFpExpr(child: Expression, n: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fp"
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      NativeExprs.winnowFpOf(input.asInstanceOf[UTF8String], n, w))
+  override protected def withNewChildInternal(newChild: Expression): WinnowFpExpr =
     copy(child = newChild)
 }
 

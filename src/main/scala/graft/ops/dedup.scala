@@ -556,11 +556,23 @@ object dedup {
     * the shared span into noise and exact/line dedup needs byte-equal
     * boundaries.
     *
-    * Row-local (native gram kernel + HOF window mins, no shuffle);
-    * signature size ≤ grams/w expected (2/(w+1) selection density).
-    * Empty/short docs: fewer grams than `w` yields the single global
-    * min; no grams yields an empty array. */
+    * Row-local ([[graft.functions.NativeExprs.winnowFpOf]] — ONE
+    * compiled pass: gram-hash once, slide the window minima, distinct in
+    * first-occurrence order); signature size ≤ grams/w expected
+    * (2/(w+1) selection density). Empty/short docs: fewer grams than
+    * `w` yields the single global min; no grams yields an empty array.
+    * [[winnowFingerprintsHof]] is the executable spec twin — do NOT use
+    * it in a hot path: its window lambda re-evaluates the md5 gram-hash
+    * array per element (no CSE inside HOF lambdas), an O(G²) digest
+    * blowup measured at 30× the kernel's cost. */
   def winnowFingerprints(c: Column, n: Int = 4, w: Int = 4): Column = {
+    require(n >= 1 && w >= 1, s"graft: winnow needs n >= 1, w >= 1; got $n, $w")
+    graft.functions.NativeExprs.winnowFp(c, n, w)
+  }
+
+  /** Compositional HOF twin of [[winnowFingerprints]] — the executable
+    * spec (pinned element-equal in DedupSpec), not the production path. */
+  def winnowFingerprintsHof(c: Column, n: Int = 4, w: Int = 4): Column = {
     require(n >= 1 && w >= 1, s"graft: winnow needs n >= 1, w >= 1; got $n, $w")
     val hashes = transform(graft.functions.NativeExprs.wordGrams(c, n),
       g => hashing.h32(g))

@@ -457,5 +457,12 @@ class DedupSpec extends SparkSpec {
     val sf = short.select(dedup.winnowFingerprints(col("text"), 4, 4))
       .as[Seq[Long]].head()
     assert(sf.size == 1)
+    // the fused kernel IS the HOF twin, element-for-element (order too)
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val diff = real.select(
+        dedup.winnowFingerprints(col("text"), 4, 4).as("a"),
+        dedup.winnowFingerprintsHof(col("text"), 4, 4).as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(diff == 0, "winnow kernel diverged from HOF twin")
   }
 }
