@@ -410,6 +410,37 @@ object GraftProperties extends Properties("graft") {
       naked == bounded
     }
 
+  property("winnowing guarantee: ANY shared token run >= w+n-1 shares a fingerprint") =
+    forAll(
+      Gen.listOfN(10, Gen.identifier.map(_.take(6))),
+      Gen.listOfN(10, Gen.identifier.map(_.take(6))),
+      Gen.listOfN(7, Gen.identifier.map(_.take(6)))) { (pre, post, span) =>
+      // n = 4, w = 4: a shared run of 7 tokens is the exact guarantee
+      // boundary. Random prefixes/suffixes around the same random span.
+      val docs = Seq(
+        (1L, (pre ++ span).mkString(" ")),
+        (2L, (span ++ post).mkString(" ")))
+        .toDF("doc_id", "text")
+      val fps = docs.select(col("doc_id"),
+          graft.ops.dedup.winnowFingerprints(col("text"), 4, 4))
+        .as[(Long, Seq[Long])].collect().toMap
+      (fps(1L).toSet intersect fps(2L).toSet).nonEmpty
+    }
+
+  property("blocklistHits equals the brute-force occurrence count for ANY doc") =
+    forAll(
+      Gen.listOfN(30, Gen.oneOf("aa", "bb", "cc", "dd")),
+      Gen.chooseNum(1, 3)) { (toks, phraseLen) =>
+      val doc = toks.mkString(" ")
+      val term = toks.take(phraseLen).mkString(" ") // guaranteed present
+      val brute = (0 to toks.length - phraseLen).count(i =>
+        toks.slice(i, i + phraseLen).mkString(" ") == term).toLong
+      val got = Seq(Tuple1(doc)).toDF("text")
+        .select(graft.ops.text.blocklistHits(col("text"), Seq(term)))
+        .as[Long].head()
+      got == brute && brute >= 1L
+    }
+
   property("pageRank conserves bounded mass: base·n <= total <= scale") =
     forAll(Gen.chooseNum(2, 12).flatMap(k =>
       Gen.listOfN(k * 2, Gen.zip(Gen.chooseNum(0L, k.toLong), Gen.chooseNum(0L, k.toLong)))
