@@ -472,18 +472,25 @@ object Demo {
     val stage1 = crawl.join(
       pages.select(col("keep_id").as("doc_id")), Seq("doc_id"))
 
+    println("== crawl -> training order: blocklist content gate ==")
+    // C4-style wordlist gate between URL dedup and near-dup clustering —
+    // flagged docs never pay the shingling cost downstream
+    val gated = text.blocklistClean(stage1, "text",
+      Seq("slow", "merge batch part"))
+    println(s"  ${stage1.count()} pages -> ${gated.count()} past the wordlist gate")
+
     println("== crawl -> training order: near-dup clusters + mass weights ==")
-    val clusters = dedup.nearDupClusters(stage1, "text", "doc_id",
+    val clusters = dedup.nearDupClusters(gated, "text", "doc_id",
       threshold = 0.5)
     val weights = clusters.groupBy(col("rep").as("doc_id"))
       .agg(count(lit(1)).cast("double").as("dup_weight"))
     // survivors = cluster reps + docs in no cluster, each with its mass
-    val stage2 = stage1
+    val stage2 = gated
       .join(clusters.where(!col("keep")).select(col("doc_id")), Seq("doc_id"),
         "left_anti")
       .join(weights, Seq("doc_id"), "left")
       .withColumn("dup_weight", coalesce(col("dup_weight"), lit(1.0)))
-    println(s"  ${stage1.count()} pages -> ${stage2.count()} survivors " +
+    println(s"  ${gated.count()} pages -> ${stage2.count()} survivors " +
       "(cluster mass preserved in dup_weight)")
 
     println("== crawl -> training order: token-budget mixture plan ==")

@@ -79,6 +79,27 @@ class DocIngestSpec extends SparkSpec {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("blocklist gate is streaming-legal: stateless filter on a TRUE stream") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val terms = Seq("bad", "very bad phrase")
+    val q = graft.ops.text.blocklistClean(
+        in.toDF().toDF("doc_id", "text"), "text", terms)
+      .writeStream.format("memory").queryName("blk_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(Seq(
+        (1L, "a clean document here"),
+        (2L, "this one is bad indeed"),       // single-token hit
+        (3L, "contains a very bad phrase ok"), // phrase hit
+        (4L, "badly is a different word")))    // boundary: survives
+      q.processAllAvailable()
+      val kept = spark.table("blk_stream").as[(Long, String)]
+        .collect().map(_._1).toSet
+      assert(kept == Set(1L, 4L), kept.toString)
+    } finally q.stop()
+  }
+
   test("cold start: a missing signature table is an empty corpus, created by epoch 0") {
     // No pre-seeding — the path does not exist when the stream starts.
     val sigDir = java.nio.file.Files.createTempDirectory("graft-ingest-").toString + "/sigs"
