@@ -448,4 +448,29 @@ class PlanQualitySpec extends SparkSpec {
       assert(!plan(q).contains("CartesianProduct"), s"$q")
     }
   }
+
+  test("blocklist gate is a pure scan: one aggregation, no join, no window") {
+    val p = plan("text_blocklist_clean")
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(800))
+    // one partial/final agg pair over the scan → exactly one exchange
+    assert("Exchange".r.findAllIn(p).length == 1, p.take(800))
+  }
+
+  test("frame-family queries shuffle exactly once (the id-keyed lag window)") {
+    Seq("mm_audio_fp", "mm_scene_changes").foreach { q =>
+      val p = plan(q)
+      // one hash exchange on id for the lag window + the presentation
+      // order-by's range exchange — nothing else
+      val exchanges = "Exchange".r.findAllIn(p).length
+      assert(exchanges <= 2, s"$q: got $exchanges exchanges\n${p.take(900)}")
+      assert(p.contains("hashpartitioning(id"), s"$q must window per id")
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
+  test("winnowing pairs: inverted-index join, never a cartesian; fp stage windowless") {
+    val p = plan("dedup_winnow_pairs")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("WindowExec"), "fingerprints must be in-row (fused kernel)")
+  }
 }
