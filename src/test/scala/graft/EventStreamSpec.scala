@@ -47,6 +47,46 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedAgg APPEND mode: watermark closes windows; LATE data is dropped, not counted") {
+    // The complete-mode test above checks values; this one checks the
+    // EVICTION contract bounded state depends on: a window only emits
+    // once the watermark passes its end, and an event arriving behind
+    // the watermark never mutates an already-closed window.
+    implicit val sql = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s"2024-01-01 $s")
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val sdf = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStream.windowedAgg(sdf, watermark = Some("10 minutes"))
+      .writeStream.format("memory").queryName("win_agg_append")
+      .outputMode("append").start()
+    try {
+      // batch 1: one event in [00:00, 00:05), one at 00:20 that will
+      // push the watermark to 00:10 at batch end
+      mem.addData(Seq(
+        (1L, ts("00:00:30"), 1L, "click", 1.0, ""),
+        (2L, ts("00:20:00"), 1L, "click", 2.0, "")))
+      q.processAllAvailable()
+      // batch 2: a LATE event for the (about-to-close) first window —
+      // behind the 00:10 watermark, must be dropped — plus a fresh event
+      // that advances the watermark to 00:30
+      mem.addData(Seq(
+        (3L, ts("00:01:00"), 1L, "click", 100.0, ""),
+        (4L, ts("00:40:00"), 1L, "click", 4.0, "")))
+      q.processAllAvailable()
+      // batch 3: advance once more so the 00:20 window closes too
+      mem.addData(Seq((5L, ts("01:00:00"), 1L, "click", 8.0, "")))
+      q.processAllAvailable()
+      val got = spark.table("win_agg_append")
+        .select(date_format(col("window_start"), "HH:mm"),
+          col("n_events"), col("sum_value"))
+        .as[(String, Long, Double)].collect().toSet
+      // 00:00 window emitted WITHOUT the late 100.0; 00:20 and 00:40
+      // windows closed by later watermarks; 01:00 still open (absent)
+      assert(got == Set(("00:00", 1L, 1.0), ("00:20", 1L, 2.0),
+        ("00:40", 1L, 4.0)), got.toString)
+    } finally q.stop()
+  }
+
   test("intervalJoin (batch) agrees with the oracle-checked rangeJoin on real events") {
     val e = SparkEntry.events(spark, "/root/testdata/sf0.001")
     val purchases = e.where(col("event_type") === "purchase")
