@@ -154,6 +154,15 @@ class EntrySpec extends SparkSpec {
     assert(UncastSumLint.flagged("q", fullRound, Set("ok")).isEmpty)
   }
 
+  test("the 40 core baseline queries remain registered under their round-1 names") {
+    // core_total (the like-for-like number vs the 51.99 s round-1
+    // recording) sums these by NAME — a rename would silently shrink the
+    // comparable instead of failing the bench.
+    val missing = Bench.CoreBaselineQueries -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"renamed/removed core queries: $missing")
+    assert(Bench.CoreBaselineQueries.size == 40)
+  }
+
   test("every Spark output column is named in its oracle SQL (alias-mismatch lint)") {
     // The driver compares columns BY NAME (sorted) — a Spark column the
     // oracle spells differently hash-mismatches even on identical values.
