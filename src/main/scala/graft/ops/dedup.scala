@@ -602,11 +602,18 @@ object dedup {
       maxDf: Int = 256): DataFrame = {
     require(minShared >= 1 && maxDf >= 2,
       s"graft: winnowPairs needs minShared >= 1, maxDf >= 2; got $minShared, $maxDf")
-    val fp = df.select(col(idCol),
-        explode(winnowFingerprints(col(textCol), n, w)).as("fp"))
-    val ok = fp.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
-      .where(col("_df") <= maxDf).select(col("fp"))
-    val fpo = fp.join(ok, "fp")
+    // The df cap rides a fingerprint-partitioned WINDOW on the same
+    // fp-keyed exchange the self-join needs — not a separate aggregate
+    // semi-joined back (which re-evaluates the fingerprint scan: the
+    // agg+join form planned FOUR winnow_fp corpus scans; this shape is
+    // one scan + one exchange, with the join's two sides structurally
+    // identical so AQE stage reuse dedupes them). Fingerprints are md5-
+    // uniform, so per-fp window groups are bounded by construction.
+    val fpo = df
+      .select(col(idCol), explode(winnowFingerprints(col(textCol), n, w)).as("fp"))
+      .withColumn("_df", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .where(col("_df") <= maxDf)
+      .select(col("fp"), col(idCol))
     val a = fpo.select(col("fp"), col(idCol).as("id_a"))
     val b = fpo.select(col("fp"), col(idCol).as("id_b"))
     a.join(b, Seq("fp")).where(col("id_a") < col("id_b"))

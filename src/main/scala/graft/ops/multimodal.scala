@@ -167,11 +167,17 @@ object multimodal {
     * `(id_a, id_b, n_shared)` with `n_shared >= minShared`. */
   def audioNearDupPairs(media: DataFrame, frameBytes: Int = 64,
       minShared: Int = 2, maxDf: Int = 256): DataFrame = {
-    val fp = audioFingerprint(media, frameBytes)
+    import org.apache.spark.sql.expressions.Window
+    // df cap as an fp-partitioned window on the distinct table — the
+    // same one-exchange discipline as dedup.winnowPairs: the aggregate
+    // semi-joined back would re-run the whole fingerprint pipeline per
+    // reference, and the self-join's two sides stay structurally
+    // identical for AQE stage reuse.
+    val fpo = audioFingerprint(media, frameBytes)
       .select(col("id"), col("fp")).distinct()
-    val ok = fp.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
-      .where(col("_df") <= maxDf).select(col("fp"))
-    val fpo = fp.join(ok, "fp")
+      .withColumn("_df", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .where(col("_df") <= maxDf)
+      .select(col("fp"), col("id"))
     val a = fpo.select(col("fp"), col("id").as("id_a"))
     val b = fpo.select(col("fp"), col("id").as("id_b"))
     a.join(b, Seq("fp")).where(col("id_a") < col("id_b"))
