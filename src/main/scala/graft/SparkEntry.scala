@@ -921,6 +921,24 @@ object SparkEntry {
           length(col("clean")).cast("long").as("clean_len"))
         .orderBy(col("doc_id"))),
 
+    // north-star: the FAITHFUL C4 composition (Raffel et al. §2.2) —
+    // "lorem ipsum" and `{` discard the whole PAGE, then the line
+    // cleanup runs on survivors. Signals are manufactured
+    // deterministically (doc_id % 7 appends 'lorem ipsum', % 11 a
+    // brace) so the page gate actually fires; two row-local passes,
+    // zero shuffle.
+    "text_c4_page_gate" -> ((s, dir) => {
+      val t = table(s, dir, "documents").withColumn("tx", concat(col("text"),
+        when(col("doc_id") % 7 === 0, lit(" lorem ipsum")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" {code}")).otherwise(lit(""))))
+      t.where(!text.c4PageDiscard(col("tx")))
+        .select(col("doc_id"),
+          md5(text.c4LineClean(
+            regexp_replace(col("tx"), " table ", ".\n"), minWords = 3))
+            .as("clean_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // north-star: FineWeb-style line-shape signals over the same
     // manufactured line structure (bullets via ' row ' -> '\n- ').
     "text_line_stats" -> ((s, dir) =>
@@ -2865,6 +2883,25 @@ object SparkEntry {
          |  length(clean)::BIGINT AS clean_len
          |FROM c ORDER BY doc_id""".stripMargin,
 
+    "text_c4_page_gate" ->
+      s"""WITH s AS (SELECT doc_id, text
+         |    || CASE WHEN doc_id % 7 = 0 THEN ' lorem ipsum' ELSE '' END
+         |    || CASE WHEN doc_id % 11 = 0 THEN ' {code}' ELSE '' END AS tx0
+         |  FROM documents),
+         |k AS (SELECT doc_id, tx0 FROM s
+         |  WHERE NOT (contains(lower(tx0), 'lorem ipsum') OR contains(tx0, '{'))),
+         |t AS (SELECT doc_id, replace(tx0, ' table ', '.' || chr(10)) AS tx FROM k),
+         |c AS (SELECT doc_id, coalesce(array_to_string(list_filter(
+         |  string_split(tx, chr(10)),
+         |  l -> regexp_matches(trim(l), '[.!?"]$$')
+         |    AND len(list_filter(string_split_regex(trim(l), '\\s+'),
+         |          w -> w != '')) >= 3
+         |    AND NOT contains(lower(trim(l)), 'lorem ipsum')
+         |    AND NOT contains(lower(trim(l)), 'javascript')
+         |    AND NOT contains(trim(l), '{')), chr(10)), '') AS clean FROM t)
+         |SELECT doc_id, md5(clean) AS clean_md5
+         |FROM c ORDER BY doc_id""".stripMargin,
+
     "text_line_stats" ->
       s"""WITH t AS (SELECT doc_id,
          |  replace(replace(text, ' table ', '.' || chr(10)),
@@ -4507,8 +4544,8 @@ object SparkEntry {
       """WITH g AS (SELECT floor(n_chars * 1.0 + 0.5)::BIGINT AS gv, count(*) AS cnt
         |  FROM documents GROUP BY 1),
         |m AS (SELECT gv,
-        |  sum(cnt) OVER (ORDER BY gv ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS below,
-        |  sum(cnt) OVER () AS total FROM g),
+        |  (sum(cnt) OVER (ORDER BY gv ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt)::BIGINT AS below,
+        |  (sum(cnt) OVER ())::BIGINT AS total FROM g),
         |mp AS (SELECT gv, least(3, floor(below * 4 / total)::BIGINT) AS bin FROM m),
         |d AS (SELECT doc_id, n_chars, floor(n_chars * 1.0 + 0.5)::BIGINT AS gv FROM documents)
         |SELECT bin, count(*) AS n_docs, min(n_chars) AS lo_chars, max(n_chars) AS hi_chars
@@ -4820,8 +4857,8 @@ object SparkEntry {
         |  floor(value * 1000.0 + 0.5)::BIGINT AS vq FROM events),
         |w AS (SELECT event_id,
         |  count(*) OVER win AS win_n,
-        |  sum(vq) OVER win AS s1,
-        |  sum(vq * vq) OVER win AS s2,
+        |  (sum(vq) OVER win)::BIGINT AS s1,
+        |  (sum(vq * vq) OVER win)::BIGINT AS s2,
         |  vq
         |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY epoch_s
         |    RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW))

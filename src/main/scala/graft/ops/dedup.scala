@@ -602,17 +602,26 @@ object dedup {
       maxDf: Int = 256): DataFrame = {
     require(minShared >= 1 && maxDf >= 2,
       s"graft: winnowPairs needs minShared >= 1, maxDf >= 2; got $minShared, $maxDf")
-    // The df cap rides a fingerprint-partitioned WINDOW on the same
-    // fp-keyed exchange the self-join needs — not a separate aggregate
-    // semi-joined back (which re-evaluates the fingerprint scan: the
-    // agg+join form planned FOUR winnow_fp corpus scans; this shape is
-    // one scan + one exchange, with the join's two sides structurally
-    // identical so AQE stage reuse dedupes them). Fingerprints are md5-
-    // uniform, so per-fp window groups are bounded by construction.
-    val fpo = df
+    // The df cap: count per fingerprint with a STREAMED hash aggregate
+    // (map-side partials absorb a hot key; constant state per fp), keep
+    // only the tiny over-cap list, broadcast it, anti-join it off. The
+    // round-8 window form (`count().over(partitionBy(fp))`) rode the
+    // same exchange but BUFFERED each fingerprint's whole group in
+    // WindowExec before filtering — a boilerplate fingerprint shared by
+    // millions of docs became one skewed, spill-prone window partition
+    // (md5 uniformity bounds hash buckets, not duplication-driven df).
+    // This shape pins the exchange explicitly: the aggregate and the
+    // anti-join probe both consume the SAME repartition(fp) subtree, so
+    // ReuseExchange plans ONE corpus fingerprint scan; the hot list is
+    // ≤ total_fps/maxDf rows by construction — broadcastable at any
+    // corpus size.
+    val fpx = df
       .select(col(idCol), explode(winnowFingerprints(col(textCol), n, w)).as("fp"))
-      .withColumn("_df", count(lit(1)).over(Window.partitionBy(col("fp"))))
-      .where(col("_df") <= maxDf)
+      .repartition(col("fp"))
+    val hot = fpx.groupBy(col("fp"))
+      .agg(count(lit(1)).as("_df")).where(col("_df") > maxDf)
+      .select(col("fp"))
+    val fpo = fpx.join(broadcast(hot), Seq("fp"), "left_anti")
       .select(col("fp"), col(idCol))
     val a = fpo.select(col("fp"), col(idCol).as("id_a"))
     val b = fpo.select(col("fp"), col(idCol).as("id_b"))

@@ -167,16 +167,20 @@ object multimodal {
     * `(id_a, id_b, n_shared)` with `n_shared >= minShared`. */
   def audioNearDupPairs(media: DataFrame, frameBytes: Int = 64,
       minShared: Int = 2, maxDf: Int = 256): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // df cap as an fp-partitioned window on the distinct table — the
-    // same one-exchange discipline as dedup.winnowPairs: the aggregate
-    // semi-joined back would re-run the whole fingerprint pipeline per
-    // reference, and the self-join's two sides stay structurally
-    // identical for AQE stage reuse.
-    val fpo = audioFingerprint(media, frameBytes)
+    // df cap as a streamed count + broadcast hot-fp anti-join on ONE
+    // pinned repartition(fp) of the distinct table — the same
+    // discipline as [[graft.ops.dedup.winnowPairs]]: the aggregate and
+    // the anti-join probe share the exchange (ReuseExchange → one
+    // fingerprint-pipeline scan), and the silence/boilerplate frame of
+    // audio (one fp across millions of items) is absorbed by map-side
+    // partials instead of buffering as a single window partition.
+    val fpx = audioFingerprint(media, frameBytes)
       .select(col("id"), col("fp")).distinct()
-      .withColumn("_df", count(lit(1)).over(Window.partitionBy(col("fp"))))
-      .where(col("_df") <= maxDf)
+      .repartition(col("fp"))
+    val hot = fpx.groupBy(col("fp"))
+      .agg(count(lit(1)).as("_df")).where(col("_df") > maxDf)
+      .select(col("fp"))
+    val fpo = fpx.join(broadcast(hot), Seq("fp"), "left_anti")
       .select(col("fp"), col("id"))
     val a = fpo.select(col("fp"), col("id").as("id_a"))
     val b = fpo.select(col("fp"), col("id").as("id_b"))

@@ -72,7 +72,14 @@ object sketch {
     * with map-side combine; the result is tiny and MERGEABLE (sketches
     * of two corpora add cell-wise: union frequency summaries without
     * re-reading either corpus — the reason to carry a sketch at 100 TB
-    * instead of a vocabulary table). Returns `(row, bucket, cnt)`. */
+    * instead of a vocabulary table; use [[cmMerge]], which preserves
+    * the dimension stamp). Returns `(row, bucket, cnt, cm_depth,
+    * cm_width)` — the build dimensions ride the sketch as constant
+    * columns so consumers ([[cmJoinSize]], [[cmEstimate]]) can ENFORCE
+    * dimensional compatibility instead of trusting the caller: a
+    * sketch built narrower than declared has every cell inside the
+    * declared bounds, so positional range checks alone cannot catch
+    * the mismatch. */
   def countMin(
       df: DataFrame,
       valueCol: Column,
@@ -97,7 +104,51 @@ object sketch {
         .as("c"))
       .groupBy(col("c.row").as("row"), col("c.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
+      .select(col("row"), col("bucket"), col("cnt"),
+        lit(depth).as("cm_depth"), lit(width).as("cm_width"))
   }
+
+  /** Cell-wise sum of two [[countMin]] sketches — the mergeability that
+    * makes a sketch worth carrying at 100 TB (combine per-corpus
+    * frequency summaries without re-reading either corpus). Dimension
+    * stamps participate in the grouping key, so mismatched builds never
+    * silently combine: their cells stay distinct and the next
+    * [[cmEstimate]]/[[cmJoinSize]] guard raises on the foreign stamp. */
+  def cmMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("row"), col("bucket"), col("cm_depth"), col("cm_width"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .select(col("row"), col("bucket"), col("cnt"),
+        col("cm_depth"), col("cm_width"))
+
+  /** In-plan dimension guard for a [[countMin]]-derived frame: raises
+    * (codegen'd, no extra pass) on the first cell whose stamp differs
+    * from the declared `depth`×`width`. Frames WITHOUT the stamp
+    * columns (external sketches) fall back to the positional
+    * best-effort bound — that check can prove a sketch too WIDE but
+    * never too narrow. */
+  private def dimGuard(df: DataFrame, what: String, depth: Int,
+      width: Int): DataFrame =
+    if (df.columns.contains("cm_width") && df.columns.contains("cm_depth")) {
+      df.select(
+        when(col("cm_depth") =!= depth || col("cm_width") =!= width,
+          raise_error(concat(
+            lit(s"graft: $what sketch built at depth="), col("cm_depth"),
+            lit(" x width="), col("cm_width"),
+            lit(s" but declared depth=$depth x width=$width"))))
+          .otherwise(col("row")).as("row"),
+        col("bucket"), col("cnt"))
+    } else {
+      df.select(
+        when(col("bucket") >= width || col("row") >= depth,
+          raise_error(concat(
+            lit(s"graft: $what sketch cell (row="), col("row"),
+            lit(", bucket="), col("bucket"),
+            lit(s") outside depth=$depth x width=$width — built with " +
+              "different dimensions"))))
+          .otherwise(col("row")).as("row"),
+        col("bucket"), col("cnt"))
+    }
 
   /** Join-cardinality estimate from two [[countMin]] sketches over the
     * two sides' join keys (AMS/Count-Min inner product, Alon-Matias-
@@ -117,30 +168,48 @@ object sketch {
     * CONTRACT: both sketches must come from [[countMin]] builds with the
     * SAME `width` and `depth` — the inner product pairs cells
     * positionally, so mismatched widths silently join unrelated buckets
-    * and return a meaningless number. Pass `width` to have the plan
-    * enforce it (a `raise_error` guard on every cell, codegen'd, no
-    * extra pass); `width = 0` skips the guard for pre-validated
-    * sketches. */
+    * and return a meaningless number. ENFORCED, not trusted: sketches
+    * carrying [[countMin]]'s `cm_depth`/`cm_width` stamp are checked
+    * in-plan (a codegen'd `raise_error` per cell, no extra pass) —
+    * against the declared `width` when one is passed, and against EACH
+    * OTHER on every paired cell when `width = 0`. Stamp-less external
+    * frames get the positional best-effort bound only, which can prove
+    * a sketch too wide but never too narrow (a width-64 build declared
+    * 4096 places every cell in range) — stamp such sketches at build
+    * time to get the real guarantee. */
   def cmJoinSize(a: DataFrame, b: DataFrame, depth: Int = 4,
       width: Int = 0): DataFrame = {
     require(depth >= 1, s"cmJoinSize needs depth >= 1, got $depth")
-    def guard(df: DataFrame, side: String): DataFrame =
-      if (width <= 0) df
-      else df.select(
-        when(col("bucket") >= width || col("row") >= depth,
+    def stamped(df: DataFrame): Boolean =
+      df.columns.contains("cm_width") && df.columns.contains("cm_depth")
+    def side(df: DataFrame, name: String, cntAs: String): DataFrame = {
+      val g = if (width > 0) dimGuard(df, s"cmJoinSize $name", depth, width)
+        else df
+      val cols = Seq(col("row"), col("bucket"), col("cnt").as(cntAs)) ++
+        (if (width <= 0 && stamped(g))
+           Seq(col("cm_depth").as(s"_d_$name"), col("cm_width").as(s"_w_$name"))
+         else Nil)
+      g.select(cols: _*)
+    }
+    val la = side(a, "left", "_ca")
+    val lb = side(b, "right", "_cb")
+    val crossChecked = la.join(lb, Seq("row", "bucket"))
+    val prod =
+      if (crossChecked.columns.contains("_d_left") &&
+          crossChecked.columns.contains("_d_right"))
+        // cross-side stamp equality, raised on the first PAIRED cell
+        // whose builds disagree (mismatched builds of non-trivial data
+        // always pair in the shared bucket range)
+        when(col("_d_left") =!= col("_d_right") ||
+            col("_w_left") =!= col("_w_right"),
           raise_error(concat(
-            lit(s"graft: cmJoinSize $side sketch cell (row="), col("row"),
-            lit(", bucket="), col("bucket"),
-            lit(s") outside depth=$depth x width=$width — built with " +
-              "different dimensions"))))
-          .otherwise(col("row")).as("row"),
-        col("bucket"), col("cnt"))
-    val joined = guard(a, "left")
-      .select(col("row"), col("bucket"), col("cnt").as("_ca"))
-      .join(guard(b, "right")
-          .select(col("row"), col("bucket"), col("cnt").as("_cb")),
-        Seq("row", "bucket"))
-      .groupBy(col("row")).agg(sum(col("_ca") * col("_cb")).as("_ip"))
+            lit("graft: cmJoinSize sides built at different dimensions — left "),
+            col("_d_left"), lit("x"), col("_w_left"), lit(", right "),
+            col("_d_right"), lit("x"), col("_w_right"))))
+          .otherwise(col("_ca") * col("_cb"))
+      else col("_ca") * col("_cb")
+    val joined = crossChecked
+      .groupBy(col("row")).agg(sum(prod).as("_ip"))
     // spine join: a hash row with NO shared cells has inner product 0 —
     // dropping it would make min() ignore the best (sparsest) row
     a.sparkSession.range(depth).toDF("row")
@@ -167,7 +236,10 @@ object sketch {
     }
     val pdf = sketch.sparkSession
       .createDataFrame(probes).toDF("value", "row", "bucket")
-    pdf.join(sketch, Seq("row", "bucket"), "left")
+    // the probe arithmetic bakes in depth×width — a sketch built at
+    // other dimensions would answer nonsense, so the stamp is enforced
+    pdf.join(dimGuard(sketch, "cmEstimate", depth, width),
+        Seq("row", "bucket"), "left")
       .groupBy(col("value"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }

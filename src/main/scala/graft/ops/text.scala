@@ -376,19 +376,32 @@ object text {
     }.reduce(_ + _)
   }
 
-  /** Keep only documents with ZERO blocklist hits — the gate form. */
+  /** Keep only documents with ZERO blocklist hits — the gate form.
+    *
+    * NULL contract (explicit): a NULL text has no tokens, hence no
+    * hits — it passes the gate. [[blocklistHits]]'s kernel is
+    * null-propagating (NULL in → NULL hits), so the gate coalesces to 0
+    * here; without it `NULL === 0` is NULL and the doc is silently
+    * dropped, diverging from the LEFT JOIN + `coalesce(n_hits, 0)`
+    * shape every SQL twin of this gate takes. */
   def blocklistClean(df: org.apache.spark.sql.DataFrame, textCol: String,
       terms: Seq[String]): org.apache.spark.sql.DataFrame =
-    df.where(blocklistHits(col(textCol), terms) === 0L)
+    df.where(coalesce(blocklistHits(col(textCol), terms), lit(0L)) === 0L)
 
-  /** C4's LINE-level cleanup (Raffel et al. 2020 §2.2): keep only lines
-    * that end in terminal punctuation (`.`/`!`/`?`/`"`), have at least
-    * `minWords` words, and contain neither "lorem ipsum" nor
-    * "javascript" (case-blind) nor a curly brace; surviving lines are
-    * reassembled in order with the same separator. A document whose
-    * every line fails comes back as the empty string — dropping it is
-    * the caller's explicit filter, same no-silent-row-loss contract as
-    * [[graft.ops.dedup.dedupLines]].
+  /** C4-STYLE line cleanup — a deliberate LINE-level adaptation of
+    * Raffel et al. 2020 §2.2, not a verbatim reimplementation: keep
+    * only lines that end in terminal punctuation (`.`/`!`/`?`/`"`),
+    * have at least `minWords` words, and contain neither "lorem ipsum"
+    * nor "javascript" (case-blind) nor a curly brace; surviving lines
+    * are reassembled in order with the same separator. In the paper,
+    * only the "javascript" signal is line-level — "lorem ipsum" and
+    * `{` discard the whole PAGE; this operator applies all three
+    * per-line (salvaging the rest of a page one bad line would have
+    * killed), and [[c4PageClean]] is the faithful page-level companion
+    * for pipelines that want the cited behavior exactly. A document
+    * whose every line fails comes back as the empty string — dropping
+    * it is the caller's explicit filter, same no-silent-row-loss
+    * contract as [[graft.ops.dedup.dedupLines]].
     *
     * One fused row-local HOF expression (split → filter → concat_ws):
     * zero shuffle, streaming-legal, scan-parallel at any scale. */
@@ -404,6 +417,20 @@ object text {
     })
     concat_ws(sep, kept)
   }
+
+  /** C4's PAGE-level discards (Raffel et al. 2020 §2.2, faithful): true
+    * when the whole document must go — it contains "lorem ipsum"
+    * (case-blind) or a curly brace (the code signal) anywhere, in any
+    * line. The paper drops the page for these two signals and only
+    * treats "javascript" per-line; use this gate together with
+    * [[c4LineClean]] (page gate first, then line cleanup on survivors)
+    * to reproduce the cited pipeline exactly.
+    *
+    * Null contract: NULL text has no signals — not discarded (same
+    * rule as [[blocklistClean]]). One row-local predicate, zero
+    * shuffle, streaming-legal. */
+  def c4PageDiscard(c: Column): Column =
+    coalesce(lower(c).contains("lorem ipsum") || c.contains("{"), lit(false))
 
   /** Line-SHAPE signals (the FineWeb/RefinedWeb heuristics a quality
     * gate thresholds on): over the non-empty trimmed lines of a

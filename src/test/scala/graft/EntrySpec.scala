@@ -58,10 +58,44 @@ object UncastSumLint {
     }
   }
 
-  def terminallyTyped(e: String): Boolean =
+  private def stripStrings(e: String): String =
+    e.replaceAll("'[^']*'", " ")
+
+  /** True when a depth-0 true-division makes the WHOLE expression
+    * DOUBLE: after stripping string literals (a '/' inside a quoted
+    * regex is not an operator), some depth-0 `/` (not `//`) exists and
+    * no depth-0 binary `+`/`-` sits beside it — `sum(a) + b/2` keeps
+    * the sum out of the division (round-9 advisor counterexample), so
+    * "a '/' anywhere" is NOT a safe escape. Unary minus (expression
+    * start, or after `(`/`,`/another operator) is not a precedence
+    * breaker and is ignored. Conservative by design: a false positive
+    * just forces an explicit no-op cast in the oracle. */
+  private def outermostDivision(e: String): Boolean = {
+    var depth = 0; var div = false; var addSub = false; var i = 0
+    while (i < e.length) {
+      e.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case '/' if depth == 0 =>
+          if (i + 1 < e.length && e.charAt(i + 1) == '/') i += 1
+          else div = true
+        case '+' | '-' if depth == 0 =>
+          val prev = e.substring(0, i).trim.lastOption
+          if (prev.exists(p => p.isLetterOrDigit || p == ')' || p == '_'))
+            addSub = true
+        case _ =>
+      }
+      i += 1
+    }
+    div && !addSub
+  }
+
+  def terminallyTyped(e0: String): Boolean = {
+    val e = stripStrings(e0)
     e.matches("(?s).*::\\s*[A-Za-z]+\\s*$") ||            // ::BIGINT cast
     wrappedByDoubleFn(e) ||                               // double-producing
-    e.matches("(?s).*[^/]/\\s*[^/].*") && !e.contains("//") // true division → DOUBLE
+    outermostDivision(e)                                  // true division → DOUBLE
+  }
 
   /** Output columns of `out` transitively carrying an uncast sum(). */
   def flagged(name: String, sql: String, out: Set[String]): Seq[String] = {
@@ -152,6 +186,20 @@ class EntrySpec extends SparkSpec {
     val fullRound =
       "SELECT round(sum(y) * 1.5, 4) AS ok FROM t"
     assert(UncastSumLint.flagged("q", fullRound, Set("ok")).isEmpty)
+    // round-9 advisor counterexamples: a '/' that is NOT the outermost
+    // operator must not clear taint — in `sum(a) + b/2` only the
+    // division subterm is DOUBLE, the sum still widens.
+    val sideDivision = "SELECT sum(a) + b/2 AS x FROM t"
+    assert(UncastSumLint.flagged("q", sideDivision, Set("x")) == Seq("q.x"))
+    // ...and a '/' inside a string literal is not an operator at all.
+    val literalSlash = "SELECT sum(regexp_extract(s, 'a/b')::BIGINT) AS y FROM t"
+    assert(UncastSumLint.flagged("q", literalSlash, Set("y")) == Seq("q.y"))
+    // whole-expression division still clears taint (both engines DOUBLE),
+    // including with a unary minus in front.
+    val wholeDiv = "SELECT sum(a) / count(*) AS r FROM t"
+    assert(UncastSumLint.flagged("q", wholeDiv, Set("r")).isEmpty)
+    val unaryDiv = "SELECT -sum(a) / count(*) AS r FROM t"
+    assert(UncastSumLint.flagged("q", unaryDiv, Set("r")).isEmpty)
   }
 
   test("the 40 core baseline queries remain registered under their round-1 names") {

@@ -471,6 +471,29 @@ class PlanQualitySpec extends SparkSpec {
   test("winnowing pairs: inverted-index join, never a cartesian; fp stage windowless") {
     val p = plan("dedup_winnow_pairs")
     assert(!p.contains("CartesianProduct"), p.take(800))
-    assert(!p.contains("WindowExec"), "fingerprints must be in-row (fused kernel)")
+    // physical WindowExec prints as `Window [`; WindowGroupLimit is a
+    // different (bounded) node and does not match
+    assert(!"\\bWindow \\[".r.findFirstIn(p).isDefined,
+      "fingerprints must be in-row (fused kernel) and the df cap streamed")
+  }
+
+  test("inverted-index df caps stream: broadcast hot-fp anti-join, no window buffer") {
+    // round-9 advisor: count().over(partitionBy(fp)) buffered a hot
+    // fingerprint's whole group in WindowExec — the cap must instead be
+    // a streamed hash-agg hot list broadcast-anti-joined off, so a
+    // boilerplate fp shared by millions of docs never materializes as
+    // one window partition.
+    Seq("dedup_winnow_pairs", "mm_audio_neardup").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("LeftAnti"), s"$q: df cap must be an anti-join")
+      // the audio query's FINGERPRINT stage legitimately windows (lag
+      // per media id; statically re-planned under the hot agg and both
+      // self-join sides — AQE stage reuse dedupes at runtime); the CAP
+      // itself must never window, i.e. no window partitioned by fp
+      assert(!p.contains("windowspecdefinition(fp"),
+        s"$q: df cap buffered in an fp-partitioned window")
+      if (q != "mm_audio_neardup")
+        assert(!"\\bWindow \\[".r.findFirstIn(p).isDefined, s"$q: unexpected window")
+    }
   }
 }

@@ -73,12 +73,45 @@ class SketchSpec extends SparkSpec {
     import graft.ops.sketch
     val a = Seq("x", "x", "y").toDF("w")
     val b = Seq("y", "z").toDF("w")
-    val merged = sketch.countMin(a, col("w"), 4, 64)
-      .union(sketch.countMin(b, col("w"), 4, 64))
-      .groupBy("row", "bucket").agg(sum("cnt").as("cnt"))
+    val merged = sketch.cmMerge(
+      sketch.countMin(a, col("w"), 4, 64),
+      sketch.countMin(b, col("w"), 4, 64))
     val direct = sketch.countMin(a.union(b), col("w"), 4, 64)
     assert(merged.exceptAll(direct).count() == 0 &&
       direct.exceptAll(merged).count() == 0)
+  }
+
+  test("countMin dimension stamp: narrow-build-wide-declare is caught") {
+    import graft.ops.sketch
+    val df = Seq("x", "y", "z").toDF("w")
+    // built at 64, declared 4096: every cell is positionally in range,
+    // so only the stamp can catch this (the round-9 advisor case)
+    val narrow = sketch.countMin(df, col("w"), depth = 4, width = 64)
+    val ex = intercept[Exception] {
+      sketch.cmEstimate(narrow, Seq("x"), depth = 4, width = 4096).collect()
+    }
+    assert(ex.getMessage.contains("built at depth"), ex.getMessage)
+    // cmJoinSize with declared width: same stamp check, both sides
+    val wide = sketch.countMin(df, col("w"), depth = 4, width = 4096)
+    val ex2 = intercept[Exception] {
+      sketch.cmJoinSize(narrow, wide, depth = 4, width = 4096).collect()
+    }
+    assert(ex2.getMessage.contains("built at depth"), ex2.getMessage)
+    // ...and with width = 0 the sides are checked against EACH OTHER on
+    // every PAIRED cell — use enough keys that the mismatched builds
+    // actually collide in the shared bucket range (3 values may produce
+    // disjoint cells, the documented best-effort edge of this form)
+    val big = (0 until 300).map(i => s"k$i").toDF("w")
+    val ex3 = intercept[Exception] {
+      sketch.cmJoinSize(
+        sketch.countMin(big, col("w"), depth = 4, width = 64),
+        sketch.countMin(big, col("w"), depth = 4, width = 4096),
+        depth = 4).collect()
+    }
+    assert(ex3.getMessage.contains("different dimensions"), ex3.getMessage)
+    // matching builds sail through both forms
+    assert(sketch.cmJoinSize(narrow,
+      sketch.countMin(df, col("w"), 4, 64), depth = 4).count() == 1)
   }
 
   test("kmvDistinct is deterministic across runs and partitionings") {
