@@ -2682,7 +2682,57 @@ object SparkEntry {
         .select(col("corpus_id"), col("new_id"),
           (floor(col("jacc") * 10000.0 + 0.5) / 10000.0).as("jacc"))
         .orderBy(col("corpus_id"), col("new_id"))
-    })
+    }),
+
+    // ---- round 10: annotation, preference, readability, series, ----
+    // ---- clustering-quality families                             ----
+
+    // north-star: Flesch reading-ease gate — row-local regex counts +
+    // one double expression; sentences manufactured deterministically
+    // (' table ' -> '. ') since the synthetic corpus is unpunctuated.
+    "text_readability" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          text.readability(regexp_replace(col("text"), " table ", ". "))
+            .as("r"))
+        .select(col("doc_id"), col("r.n_words").as("n_words"),
+          col("r.n_sentences").as("n_sentences"),
+          col("r.n_syllables").as("n_syllables"),
+          col("r.flesch").as("flesch"))
+        .orderBy(col("doc_id"))),
+
+    // north-star: majority-vote label adjudication — items synthesized
+    // as event_id % 200 (≈50 votes each), label = event_type; two
+    // map-side-combined aggregates, lex-min tie-break, no window.
+    "rel_majority_label" -> ((s, dir) =>
+      rel.majorityLabel(
+        table(s, dir, "events")
+          .select((col("event_id") % 200).as("item"), col("event_type")),
+        "item", "event_type")
+        .orderBy(col("item"))),
+
+    // north-star: DPO preference-pair construction — per user (the
+    // prompt-group stand-in), best-vs-worst scored event with margin;
+    // ONE group aggregate, struct-extrema tie-breaks, ties dropped.
+    "sample_preference_pairs" -> ((s, dir) =>
+      sample.preferencePairs(table(s, dir, "events"),
+          "user_id", "event_id", "value")
+        .orderBy(col("user_id"))),
+
+    // north-star: simplified silhouette over the labeled embeddings —
+    // clustering-quality meter; centroids baked as literals into one
+    // scan, per-label mean via exact fixed-point longs.
+    "vec_silhouette" -> ((s, dir) =>
+      ann.silhouetteSimplified(table(s, dir, "embeddings"))
+        .orderBy(col("label"))),
+
+    // north-star: autocorrelation of the hourly event-count series per
+    // type — seasonality diagnostic over a DENSIFIED domain-bounded
+    // series; exact long sufficient statistics, one double combine.
+    "events_acf" -> ((s, dir) =>
+      EventStream.autocorr(events(s, dir), bucketSec = 3600,
+          maxLag = 3)
+        .orderBy(col("event_type"), col("lag")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5528,6 +5578,106 @@ object SparkEntry {
          |SELECT id_a AS corpus_id, id_b AS new_id,
          |  floor(jacc * 10000.0 + 0.5) / 10000.0 AS jacc
          |FROM mp WHERE id_a < 400 AND id_b >= 400
-         |ORDER BY corpus_id, new_id""".stripMargin
+         |ORDER BY corpus_id, new_id""".stripMargin,
+
+    // ---- round 10 ----
+
+    "text_readability" ->
+      s"""WITH t AS (SELECT doc_id, replace(text, ' table ', '. ') AS tx
+         |  FROM documents),
+         |c AS (SELECT doc_id,
+         |  len(list_filter(string_split_regex(lower(tx), '\\s+'), x -> x != ''))::BIGINT AS n_words,
+         |  len(regexp_extract_all(tx, '[.!?]+'))::BIGINT AS n_sentences,
+         |  len(regexp_extract_all(lower(tx), '[aeiouy]+'))::BIGINT AS n_syllables
+         |  FROM t)
+         |SELECT doc_id, n_words, n_sentences, n_syllables,
+         |  CASE WHEN n_words > 0 AND n_sentences > 0 THEN
+         |    ${r4("206.835 - 1.015 * n_words::DOUBLE / n_sentences::DOUBLE" +
+              " - 84.6 * n_syllables::DOUBLE / n_words::DOUBLE")}
+         |  END AS flesch
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "rel_majority_label" ->
+      s"""WITH v AS (SELECT event_id % 200 AS item, event_type AS label,
+         |    count(*)::BIGINT AS n
+         |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+         |r AS (SELECT item, label, n,
+         |  row_number() OVER (PARTITION BY item ORDER BY n DESC, label ASC) AS rk,
+         |  (sum(n) OVER (PARTITION BY item))::BIGINT AS n_total FROM v)
+         |SELECT item, label, n AS n_votes, n_total,
+         |  ${r4("n::DOUBLE / n_total::DOUBLE")} AS agreement
+         |FROM r WHERE rk = 1 ORDER BY item""".stripMargin,
+
+    "sample_preference_pairs" ->
+      s"""WITH e AS (SELECT user_id, event_id, value FROM events
+         |  WHERE value IS NOT NULL),
+         |r AS (SELECT user_id, event_id, value,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY value DESC, event_id ASC) AS rc,
+         |  row_number() OVER (PARTITION BY user_id
+         |    ORDER BY value ASC, event_id DESC) AS rr,
+         |  count(*) OVER (PARTITION BY user_id) AS n FROM e)
+         |SELECT c.user_id, c.event_id AS chosen_id, j.event_id AS rejected_id,
+         |  c.value AS chosen_score, j.value AS rejected_score,
+         |  c.value - j.value AS margin
+         |FROM (SELECT * FROM r WHERE rc = 1 AND n >= 2) c
+         |JOIN (SELECT * FROM r WHERE rr = 1) j USING (user_id)
+         |WHERE c.value > j.value ORDER BY c.user_id""".stripMargin,
+
+    "vec_silhouette" ->
+      s"""WITH s AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |x AS (SELECT label, i AS pos, floor(e[i + 1] * 10000000.0)::BIGINT AS q
+         |  FROM s, range(0, 64) r(i)),
+         |m AS (SELECT label, pos,
+         |  sum(q)::DOUBLE / (10000000.0::DOUBLE * count(*)) AS c
+         |  FROM x GROUP BY label, pos),
+         |cv AS (SELECT label AS clabel, list(c ORDER BY pos) AS cvec
+         |  FROM m GROUP BY label),
+         |d AS (SELECT s.vec_id, s.label, cv.clabel,
+         |  sqrt(${sqlL2Between("s.e", "cv.cvec")}) AS dist FROM s, cv),
+         |ab AS (SELECT vec_id, label,
+         |  min(CASE WHEN label = clabel THEN dist END) AS a,
+         |  min(CASE WHEN label != clabel THEN dist END) AS b
+         |  FROM d GROUP BY vec_id, label),
+         |sil AS (SELECT label,
+         |  CASE WHEN greatest(a, b) > 0.0 THEN (b - a) / greatest(a, b)
+         |    ELSE 0.0 END AS sv FROM ab)
+         |SELECT label, count(*)::BIGINT AS n,
+         |  ${r4("sum(floor(sv * 10000000.0)::BIGINT)::DOUBLE / (10000000.0::DOUBLE * count(*))")} AS silhouette
+         |FROM sil GROUP BY label ORDER BY label""".stripMargin,
+
+    "events_acf" ->
+      s"""WITH c AS (SELECT event_type, epoch_us(ts) // ${1000000L * 3600} AS t,
+         |    count(*)::BIGINT AS n
+         |  FROM events GROUP BY 1, 2),
+         |sp AS (SELECT event_type, unnest(range(t0, t1 + 1)) AS t
+         |  FROM (SELECT event_type, min(t) AS t0, max(t) AS t1 FROM c
+         |        GROUP BY event_type)),
+         |ds AS (SELECT sp.event_type, sp.t, coalesce(c.n, 0)::BIGINT AS n
+         |  FROM sp LEFT JOIN c USING (event_type, t)),
+         |ld AS (SELECT event_type, n AS x,
+         |  lead(n, 1) OVER w AS l1, lead(n, 2) OVER w AS l2,
+         |  lead(n, 3) OVER w AS l3
+         |  FROM ds WINDOW w AS (PARTITION BY event_type ORDER BY t)),
+         |p AS (
+         |  SELECT event_type, 1 AS lag, x, l1 AS y FROM ld WHERE l1 IS NOT NULL
+         |  UNION ALL
+         |  SELECT event_type, 2, x, l2 FROM ld WHERE l2 IS NOT NULL
+         |  UNION ALL
+         |  SELECT event_type, 3, x, l3 FROM ld WHERE l3 IS NOT NULL),
+         |a AS (SELECT event_type, lag, count(*)::BIGINT AS m,
+         |  sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         |  sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+         |  sum(x * y)::BIGINT AS sxy
+         |  FROM p GROUP BY 1, 2)
+         |SELECT event_type, lag, m,
+         |  CASE WHEN m::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0.0
+         |    AND m::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE > 0.0 THEN
+         |    ${r4("(m::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) / " +
+              "(sqrt(m::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) * " +
+              "sqrt(m::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))")}
+         |  END AS acf
+         |FROM a ORDER BY event_type, lag""".stripMargin
   )
 }

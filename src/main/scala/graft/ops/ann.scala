@@ -627,6 +627,59 @@ object ann {
       .select(col(labelCol), col("pos"),
         (col("q").cast("double") / (lit(1.0e7) * col("n"))).as("mean"), col("n"))
 
+  /** Simplified silhouette — the clustering-quality meter over labeled
+    * (or k-means-assigned) embeddings, centroid-based (Rousseeuw 1987's
+    * full silhouette needs all pairwise distances, O(n²) and dead at
+    * scale; the centroid form is the standard large-data surrogate):
+    * per point, `a` = L2 distance to its OWN label's centroid, `b` =
+    * distance to the nearest OTHER centroid, `s = (b − a)/max(a, b)`;
+    * returned per label as `(label, n, silhouette)` with the mean `s`
+    * quantized floor-4dp. Near +1 = compact and separated; near 0 =
+    * touching clusters; negative = points closer to a foreign centroid
+    * (mislabeled mass — route to [[labelNoiseScreen]]).
+    *
+    * Scale shape: centroids are the [[labelCentroids]] fixed-point
+    * means — a labels×dims collect, same driver-bounded discipline as
+    * PQ codebooks — baked into ONE projection as literal vectors, so
+    * the whole meter is a single corpus scan (k distance kernels per
+    * row, zero joins) plus one label-keyed aggregate whose mean rides
+    * exact `floor(s·1e7)` longs (order-free, partition-free). */
+  def silhouetteSimplified(
+      df: DataFrame,
+      labelCol: String = "label",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = labelCentroids(df, labelCol, vecCol)
+      .select(col(labelCol).cast("long").as("l"), col("pos"), col("mean"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (l, rows) =>
+        l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
+      .toSeq.sortBy(_._1)
+    require(cents.size >= 2,
+      s"graft: silhouette needs >= 2 labels, got ${cents.size}")
+    require(cents.size <= 4096,
+      s"graft: ${cents.size} label centroids exceed the literal-scan bound")
+    val e = vectors.asDoubleArray(col(vecCol))
+    val lbl = col(labelCol).cast("long")
+    val dists = cents.map { case (l, c) =>
+      l -> sqrt(vectors.l2Squared(e, vectors.vecLit(c))) }
+    val own = dists.map { case (l, d) => when(lbl === l, d) }
+      .reduce((x, y) => coalesce(x, y))
+    // least() skips nulls: each branch nulls its own label's distance
+    val other = least(dists.map { case (l, d) =>
+      when(lbl =!= l, d) }: _*)
+    val s = when(greatest(own, other) > 0.0,
+      (other - own) / greatest(own, other)).otherwise(lit(0.0))
+    df.where(col(vecCol).isNotNull)
+      .select(col(labelCol), floor(s * 1.0e7).cast("long").as("_sq"))
+      .groupBy(col(labelCol))
+      .agg(count(lit(1)).as("n"), sum(col("_sq")).as("_q"))
+      .select(col(labelCol), col("n"),
+        vectors.quantize(
+          col("_q").cast("double") / (lit(1.0e7) * col("n")), 4)
+          .as("silhouette"))
+  }
+
   /** Measured recall@k of the LSH bucket search against the exact scan,
     * per query: `|approx top-k ∩ exact top-k| / k`. This is the tuning
     * loop for `nbits` — the number a user checks before trading scan

@@ -695,4 +695,39 @@ object rel {
           .when(col("_fp_a") <=> col("_fp_b"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
+
+  /** Majority-vote label consolidation — the multi-annotator primitive
+    * behind RLHF/eval label pipelines (one row per (item, annotator
+    * vote) in, one adjudicated row per item out): per item, the label
+    * with the most votes, vote counts, and the agreement share
+    * (`n_votes / n_total`, floor-4dp) — the per-item confidence a
+    * downstream filter thresholds on (drop items below 2/3 agreement,
+    * route them to re-annotation, etc.). Ties break on the
+    * lexicographically smallest label — deterministic, engine-neutral.
+    * Null votes are abstentions: excluded from both counts.
+    *
+    * Plan shape: one (item, label) hash aggregate with map-side combine
+    * — a hot item's million votes collapse to ≤ label-domain rows
+    * before the wire — then one item-keyed aggregate over those
+    * per-label counts only (struct extrema sort-aggregate, but over the
+    * already-collapsed ≤ items×labels rows, not the vote stream). The
+    * tie-break rides that second aggregate as `min(struct(−votes,
+    * label))`: no window, no per-item buffering. Returns
+    * `(itemCol, label, n_votes, n_total, agreement)`. */
+  def majorityLabel(
+      df: DataFrame,
+      itemCol: String,
+      labelCol: String): DataFrame = {
+    val votes = df.where(col(labelCol).isNotNull)
+      .groupBy(col(itemCol), col(labelCol).as("label"))
+      .agg(count(lit(1)).as("_n"))
+    votes.groupBy(col(itemCol))
+      .agg(min(struct((-col("_n")).as("neg"), col("label"))).as("_w"),
+        sum(col("_n")).as("n_total"))
+      .select(col(itemCol), col("_w.label").as("label"),
+        (-col("_w.neg")).as("n_votes"), col("n_total"),
+        graft.functions.vectors.quantize(
+          (-col("_w.neg")).cast("double") / col("n_total").cast("double"),
+          4).as("agreement"))
+  }
 }

@@ -689,4 +689,43 @@ object sample {
           .otherwise(n - lit(1L) - pmod(col("idx"), n)).cast("int"))
       .drop("_bkey", "idx")
   }
+
+  /** Preference-pair construction — the DPO/RLHF data-prep primitive:
+    * per group (prompt, conversation, query), pair the best-scored
+    * response with the worst as `(chosen, rejected)` with the score
+    * margin. Groups with fewer than two responses, or where best and
+    * worst tie exactly, emit nothing — an equal-score pair teaches a
+    * preference model nothing and a tie would make chosen/rejected
+    * assignment arbitrary. Null scores are excluded. Tie-breaks within
+    * equal scores are deterministic and engine-neutral: chosen takes the
+    * SMALLEST id at the top score, rejected the LARGEST id at the bottom
+    * score (max/min over `struct(score, −id)` — no window, no sort).
+    *
+    * Plan shape: ONE narrow-projected group aggregate. Struct extrema
+    * are not hash-bufferable, so Spark plans SortAggregate — the
+    * partial still combines map-side after a LOCAL spillable sort of
+    * the two projected columns, and what crosses the wire is two
+    * constant-size struct extrema and a count per (group × partition),
+    * never the responses themselves; a prompt with a million candidates
+    * costs local sort CPU, not shuffle mass. Margin is one double
+    * subtraction of two parquet-exact values — deterministic
+    * everywhere. Returns `(groupCol, chosen_id, rejected_id,
+    * chosen_score, rejected_score, margin)`. */
+  def preferencePairs(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      scoreCol: String): DataFrame =
+    df.where(col(scoreCol).isNotNull)
+      .select(col(groupCol),
+        struct(col(scoreCol).cast("double").as("score"),
+          (-col(idCol).cast("long")).as("neg")).as("_sv"))
+      .groupBy(col(groupCol))
+      .agg(max(col("_sv")).as("_c"), min(col("_sv")).as("_r"),
+        count(lit(1)).as("_n"))
+      .where(col("_n") >= 2 && col("_c.score") > col("_r.score"))
+      .select(col(groupCol),
+        (-col("_c.neg")).as("chosen_id"), (-col("_r.neg")).as("rejected_id"),
+        col("_c.score").as("chosen_score"), col("_r.score").as("rejected_score"),
+        (col("_c.score") - col("_r.score")).as("margin"))
 }

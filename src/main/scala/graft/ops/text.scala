@@ -1256,4 +1256,31 @@ object text {
       .orderBy(col("rank").desc, col("term"))
       .limit(topN)
   }
+
+  /** Flesch reading-ease signals — the classic readability gate a
+    * curriculum/quality pipeline thresholds on (Flesch 1948; the same
+    * formula C4-era corpus reports quote): per document, word count,
+    * sentence count (runs of `.`/`!`/`?`), a deterministic syllable
+    * proxy (vowel-GROUP count `[aeiouy]+` over the lowercased text —
+    * the standard heuristic; exact syllabification needs a dictionary
+    * and gains nothing for corpus-level gating), and
+    * `flesch = 206.835 − 1.015·words/sentences − 84.6·syllables/words`
+    * quantized floor-4dp. Documents with no words or no sentence mark
+    * yield a null score rather than ±∞ — the caller's filter decides.
+    *
+    * All three counts are integers from single regex passes; the score
+    * is one double expression — order-free, partition-free, identical
+    * in any engine. Row-local, zero shuffle, streaming-legal. */
+  def readability(c: Column): Column = {
+    val words = size(tokens(c)).cast("long")
+    val sents = regexp_count(c, lit("[.!?]+")).cast("long")
+    val sylls = regexp_count(lower(c), lit("[aeiouy]+")).cast("long")
+    val score = when(words > 0 && sents > 0,
+      vectors.quantize(
+        lit(206.835)
+          - lit(1.015) * words.cast("double") / sents.cast("double")
+          - lit(84.6) * sylls.cast("double") / words.cast("double"), 4))
+    struct(words.as("n_words"), sents.as("n_sentences"),
+      sylls.as("n_syllables"), score.as("flesch"))
+  }
 }

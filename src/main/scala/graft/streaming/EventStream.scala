@@ -375,6 +375,72 @@ object EventStream {
       .drop("_eus", "_vq", "_l", "_num")
   }
 
+  /** Autocorrelation of the per-bucket event-count series, per event
+    * type — the seasonality/burstiness diagnostic (a daily-cycled
+    * stream shows a spike at lag 24h; a memoryless one decays to ~0
+    * immediately): bucket the stream into `bucketSec` counts, DENSIFY
+    * the series (an ACF over a series whose empty buckets were silently
+    * skipped is wrong — zeros carry the signal), pair each bucket with
+    * its lag-ℓ successor via `lead` for ℓ ∈ [1, maxLag], and emit
+    * Pearson `r` per (type, lag), floor-4dp quantized; zero-variance
+    * series yield null, not ±∞.
+    *
+    * Determinism discipline: the five sufficient statistics (Σx, Σy,
+    * Σx², Σy², Σxy) accumulate as EXACT longs (counts are integers);
+    * the correlation is then one double expression over them —
+    * order-free, partition-free, engine-identical while the sums fit
+    * 2⁶³ and their magnitudes stay below 2⁵³ (buckets sized for ~1e6
+    * rows hold to ~1e9 buckets).
+    *
+    * Scale shape: one (type, bucket) hash aggregate collapses event
+    * volume to DOMAIN-bounded series rows (timespan/bucketSec per type
+    * — independent of row count); the dense spine is a bounded
+    * `sequence` explode of the same size; the lead window partitions by
+    * type over those series rows only. Returns
+    * `(typeCol, lag, m, acf)`. */
+  def autocorr(
+      events: DataFrame,
+      bucketSec: Int = 3600,
+      maxLag: Int = 3,
+      typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(bucketSec >= 1, s"graft: bucketSec must be positive, got $bucketSec")
+    require(maxLag >= 1, s"graft: maxLag must be positive, got $maxLag")
+    import org.apache.spark.sql.expressions.Window
+    val counts = events
+      .withColumn("_t", expr(s"unix_micros($tsCol) DIV ${1000000L * bucketSec}"))
+      .groupBy(col(typeCol), col("_t")).agg(count(lit(1)).as("_c"))
+    val spine = counts.groupBy(col(typeCol))
+      .agg(min(col("_t")).as("_t0"), max(col("_t")).as("_t1"))
+      .select(col(typeCol), explode(sequence(col("_t0"), col("_t1"))).as("_t"))
+    val dense = spine.join(counts, Seq(typeCol, "_t"), "left")
+      .withColumn("_c", coalesce(col("_c"), lit(0L)))
+    val w = Window.partitionBy(col(typeCol)).orderBy(col("_t"))
+    val leads = dense.select(
+      Seq(col(typeCol), col("_c")) ++
+        (1 to maxLag).map(l => lead(col("_c"), l).over(w).as(s"_l$l")): _*)
+    val pairs = leads.select(col(typeCol), explode(array((1 to maxLag).map(l =>
+        struct(lit(l).as("lag"), col("_c").as("x"), col(s"_l$l").as("y"))): _*))
+        .as("p"))
+      .select(col(typeCol), col("p.lag").as("lag"),
+        col("p.x").as("x"), col("p.y").as("y"))
+      .where(col("y").isNotNull)
+    val agg = pairs.groupBy(col(typeCol), col("lag"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("x")).as("_sx"), sum(col("y")).as("_sy"),
+        sum(col("x") * col("x")).as("_sxx"),
+        sum(col("y") * col("y")).as("_syy"),
+        sum(col("x") * col("y")).as("_sxy"))
+    def d(c: String): org.apache.spark.sql.Column = col(c).cast("double")
+    val vx = d("m") * d("_sxx") - d("_sx") * d("_sx")
+    val vy = d("m") * d("_syy") - d("_sy") * d("_sy")
+    agg.select(col(typeCol), col("lag"), col("m"),
+      when(vx > 0.0 && vy > 0.0,
+        graft.functions.vectors.quantize(
+          (d("m") * d("_sxy") - d("_sx") * d("_sy")) / (sqrt(vx) * sqrt(vy)),
+          4)).as("acf"))
+  }
+
   /** Weekly cohort retention: users grouped by the epoch-week of their
     * first event (the cohort), counted at each later week offset they
     * reappear — the (cohort_week, week_offset, n_users) retention

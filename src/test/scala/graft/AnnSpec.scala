@@ -554,4 +554,26 @@ class AnnSpec extends SparkSpec {
     val radii = got.drop(1).map(_._3)
     assert(radii.zip(radii.tail).forall { case (a, b) => b <= a }, radii.toSeq)
   }
+
+  test("silhouetteSimplified: separated clusters ~ +1, mislabeled mass goes negative") {
+    import spark.implicits._
+    // two tight clusters far apart on axis 0; 64-dim vectors
+    def v(base: Double, jit: Double): Seq[Float] =
+      (0 until 64).map(d => if (d == 0) (base + jit).toFloat else 0.0f)
+    val clean = ((0 until 5).map(i => (i.toLong, v(0.0, i * 0.01), 0)) ++
+      (0 until 5).map(i => (100L + i, v(10.0, i * 0.01), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val s0 = ann.silhouetteSimplified(clean)
+      .orderBy("label").as[(Int, Long, Double)].collect().toSeq
+    assert(s0.map(_._2) == Seq(5L, 5L))
+    assert(s0.forall(_._3 > 0.99), s0.toString)
+    // plant a mislabeled point: cluster-1 coordinates, label 0 — its
+    // label's mean drops well below the clean +1
+    val noisy = clean.union(Seq((999L, v(10.0, 0.0), 0)).toDF(
+      "vec_id", "embedding", "label"))
+    val m = ann.silhouetteSimplified(noisy).orderBy("label")
+      .as[(Int, Long, Double)].collect().map(t => t._1 -> t._3).toMap
+    assert(m(0) < 0.7, m.toString) // dragged down by the negative point
+    assert(m(1) > 0.9, m.toString)
+  }
 }

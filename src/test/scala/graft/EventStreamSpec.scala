@@ -430,4 +430,21 @@ class EventStreamSpec extends SparkSpec {
         ("01:00", "7", 1L)))
     } finally q.stop()
   }
+
+  test("autocorr: alternating series -> acf(1)=-1, acf(2)=+1; constant series -> null") {
+    def hr(h: Int) = new Timestamp(h * 3600L * 1000L)
+    // type p: 2 events at even hours 0,2,4; empty odd hours must count
+    // as zeros (densified) -> series [2,0,2,0,2]
+    val p = Seq(0, 0, 2, 2, 4, 4).map(h => ("p", hr(h)))
+    // type c: one event every hour -> zero variance -> null acf
+    val c = (0 to 4).map(h => ("c", hr(h)))
+    val ev = (p ++ c).toDF("event_type", "ts")
+    val got = EventStream.autocorr(ev, bucketSec = 3600, maxLag = 3)
+      .orderBy("event_type", "lag")
+      .as[(String, Int, Long, Option[Double])].collect().toSeq
+    assert(got == Seq(
+      ("c", 1, 4L, None), ("c", 2, 3L, None), ("c", 3, 2L, None),
+      ("p", 1, 4L, Some(-1.0)), ("p", 2, 3L, Some(1.0)),
+      ("p", 3, 2L, Some(-1.0))), got.toString)
+  }
 }

@@ -477,6 +477,28 @@ class PlanQualitySpec extends SparkSpec {
       "fingerprints must be in-row (fused kernel) and the df cap streamed")
   }
 
+  test("round-10 families: claimed plan shapes hold") {
+    // readability is row-local: no exchange beyond the output sort
+    assert("Exchange".r.findAllIn(plan("text_readability")).length <= 1)
+    // majority vote: first collapse is a HASH agg (vote stream never
+    // sorts); no window anywhere
+    val ml = plan("rel_majority_label")
+    assert(ml.contains("HashAggregate"), ml.take(600))
+    assert(!"\\bWindow \\[".r.findFirstIn(ml).isDefined)
+    // preference pairs: one aggregate pass over a 2-column projection,
+    // no window, no join
+    val pp = plan("sample_preference_pairs")
+    assert(!"\\bWindow \\[".r.findFirstIn(pp).isDefined)
+    assert(!pp.contains("Join"), pp.take(600))
+    // silhouette: centroids are literals — the scoring scan joins NOTHING
+    val sil = plan("vec_silhouette")
+    assert(!sil.contains("Join"), sil.take(600))
+    // acf: the lead window partitions by the type column, never global
+    val acf = plan("events_acf")
+    assert(acf.contains("windowspecdefinition(event_type"), acf.take(900))
+    assert(!acf.contains("CartesianProduct"))
+  }
+
   test("inverted-index df caps stream: broadcast hot-fp anti-join, no window buffer") {
     // round-9 advisor: count().over(partitionBy(fp)) buffered a hot
     // fingerprint's whole group in WindowExec — the cap must instead be

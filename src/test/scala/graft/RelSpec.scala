@@ -472,4 +472,21 @@ class RelSpec extends SparkSpec {
       rel.merge(df, df, Seq("k"))
     }
   }
+
+  test("majorityLabel: winner, counts, agreement; lex-min tie-break; null abstains") {
+    val votes = Seq(
+      (1L, "cat"), (1L, "cat"), (1L, "dog"),          // clear majority
+      (2L, "b"), (2L, "a"),                            // tie -> lex min "a"
+      (3L, "x"), (3L, null.asInstanceOf[String]),      // null abstains
+      (4L, "solo")
+    ).toDF("item", "vote")
+    val got = rel.majorityLabel(votes, "item", "vote")
+      .orderBy("item")
+      .as[(Long, String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, "cat", 2L, 3L, 0.6667),
+      (2L, "a", 1L, 2L, 0.5),
+      (3L, "x", 1L, 1L, 1.0),
+      (4L, "solo", 1L, 1L, 1.0)), got.toString)
+  }
 }

@@ -360,4 +360,29 @@ class SampleSpec extends SparkSpec {
       .as[(Long, Long, Double)].head()
     assert(rg == ((0L, 0L, 0.0)))
   }
+
+  test("preferencePairs: extrema + margin; tie-breaks; degenerate groups dropped") {
+    val resp = Seq(
+      (10L, 1L, 0.9), (10L, 2L, 0.1), (10L, 3L, 0.5),   // clear best/worst
+      (20L, 4L, 0.7), (20L, 5L, 0.7),                    // all tied -> dropped
+      (30L, 6L, 0.3),                                    // singleton -> dropped
+      (40L, 7L, 0.8), (40L, 8L, 0.8), (40L, 9L, 0.2), (40L, 10L, 0.2)
+    ).toDF("grp", "rid", "score")
+    val got = sample.preferencePairs(resp, "grp", "rid", "score")
+      .orderBy("grp")
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+    // grp 40: chosen = smallest id at top score (7), rejected = largest
+    // id at bottom score (10); margins are raw IEEE subtraction
+    // (0.8 - 0.2 = 0.6000000000000001), identical bits in any engine
+    assert(got == Seq(
+      (10L, 1L, 2L, 0.9, 0.1, 0.8),
+      (40L, 7L, 10L, 0.8, 0.2, 0.8 - 0.2)), got.toString)
+    // null scores are abstentions, not extrema
+    val withNull = resp.union(Seq((10L, 99L, Option.empty[Double]))
+      .toDF("grp", "rid", "score"))
+    val g2 = sample.preferencePairs(withNull, "grp", "rid", "score")
+      .where(col("grp") === 10L)
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    assert(g2 == ((10L, 1L, 2L, 0.9, 0.1, 0.8)), g2.toString)
+  }
 }

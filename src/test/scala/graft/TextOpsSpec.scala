@@ -479,4 +479,25 @@ class TextOpsSpec extends SparkSpec {
     assert(r(1L) == ((1L, 5L, 0.4, 0.2, 0.4)), r(1L).toString)
     assert(r(2L) == ((2L, 0L, 0.0, 0.0, 0.0)))
   }
+
+  test("readability: hand-counted Flesch signals; degenerate docs yield null score") {
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran away! Did it?"),  // 9 words, 3 sentences
+      (2L, "no terminal punctuation here"),            // no sentence mark
+      (3L, ""),                                        // empty
+      (4L, "xyz.")                                     // 1 word, 0 vowel groups
+    ).toDF("doc_id", "text")
+    val r = docs.select(col("doc_id"), text.readability(col("text")).as("r"))
+      .select(col("doc_id"), col("r.n_words"), col("r.n_sentences"),
+        col("r.n_syllables"), col("r.flesch"))
+      .as[(Long, Long, Long, Long, Option[Double])]
+      .collect().map(t => t._1 -> t).toMap
+    // doc 1: words=9, sentences=3, vowel groups: e,a,a,e,o,a,a,a,i,i = 10
+    assert(r(1L)._2 == 9L && r(1L)._3 == 3L && r(1L)._4 == 10L, r(1L).toString)
+    val expected = 206.835 - 1.015 * 9.0 / 3.0 - 84.6 * 10.0 / 9.0
+    assert(math.abs(r(1L)._5.get - math.floor(expected * 1e4 + 0.5) / 1e4) < 1e-9)
+    assert(r(2L)._5.isEmpty && r(3L)._5.isEmpty, "no sentences/words -> null")
+    // 'y' counts as a vowel-group char: "xyz." has one group ('y')
+    assert(r(4L)._4 == 1L && r(4L)._5.isDefined)
+  }
 }
