@@ -2732,7 +2732,34 @@ object SparkEntry {
     "events_acf" -> ((s, dir) =>
       EventStream.autocorr(events(s, dir), bucketSec = 3600,
           maxLag = 3)
-        .orderBy(col("event_type"), col("lag")))
+        .orderBy(col("event_type"), col("lag"))),
+
+    // north-star: sliding two-sample change-point statistic over the
+    // same densified series — mean-shift detection with exact long
+    // window sums; full-window buckets only.
+    "events_changepoint" -> ((s, dir) =>
+      EventStream.changepoints(events(s, dir), bucketSec = 3600, w = 6)
+        .orderBy(col("event_type"), col("t"))),
+
+    // north-star: Lee-et-al-style n-gram novelty — fraction of each
+    // doc's distinct 5-grams first seen in an earlier doc; planted
+    // copies (doc_id % 97 -> +1e6) must report seen_frac = 1. No
+    // gram-keyed join-back: seen = n_grams - owned first occurrences.
+    "dedup_ngram_novelty" -> ((s, dir) => {
+      val base = table(s, dir, "documents")
+      val planted = base.select(col("doc_id"), col("text")).unionByName(
+        base.where(col("doc_id") % 97 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      dedup.ngramNovelty(planted, "text", "doc_id", n = 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // north-star: corpus boilerplate audit — the k most-duplicated word
+    // trigrams by document frequency; one gram explode, one combine-
+    // collapsed aggregate, TakeOrdered.
+    "text_top_ngrams" -> ((s, dir) =>
+      dedup.topNgrams(table(s, dir, "documents"), "text", "doc_id",
+        n = 3, k = 20))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5678,6 +5705,66 @@ object SparkEntry {
               "(sqrt(m::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) * " +
               "sqrt(m::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE))")}
          |  END AS acf
-         |FROM a ORDER BY event_type, lag""".stripMargin
+         |FROM a ORDER BY event_type, lag""".stripMargin,
+
+    "events_changepoint" ->
+      s"""WITH c AS (SELECT event_type, epoch_us(ts) // ${1000000L * 3600} AS t,
+         |    count(*)::BIGINT AS n
+         |  FROM events GROUP BY 1, 2),
+         |sp AS (SELECT event_type, unnest(range(t0, t1 + 1)) AS t
+         |  FROM (SELECT event_type, min(t) AS t0, max(t) AS t1 FROM c
+         |        GROUP BY event_type)),
+         |ds AS (SELECT sp.event_type, sp.t, coalesce(c.n, 0)::BIGINT AS n
+         |  FROM sp LEFT JOIN c USING (event_type, t)),
+         |f AS (SELECT event_type, t,
+         |  (count(*) OVER pre)::BIGINT AS n_pre,
+         |  (sum(n) OVER pre)::BIGINT AS s1p, (sum(n * n) OVER pre)::BIGINT AS s2p,
+         |  (count(*) OVER post)::BIGINT AS n_post,
+         |  (sum(n) OVER post)::BIGINT AS s1q, (sum(n * n) OVER post)::BIGINT AS s2q
+         |  FROM ds WINDOW
+         |    pre AS (PARTITION BY event_type ORDER BY t
+         |      ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING),
+         |    post AS (PARTITION BY event_type ORDER BY t
+         |      ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING))
+         |SELECT event_type, t, n_pre, n_post,
+         |  ${r4("((s1q::DOUBLE - s1p::DOUBLE) / 6.0) / " +
+              "sqrt(((6.0 * s2p::DOUBLE - s1p::DOUBLE * s1p::DOUBLE) / 36.0 + " +
+              "(6.0 * s2q::DOUBLE - s1q::DOUBLE * s1q::DOUBLE) / 36.0) / 6.0 + 1.0)")}
+         |    AS stat
+         |FROM f WHERE n_pre = 6 AND n_post = 6
+         |ORDER BY event_type, t""".stripMargin,
+
+    "dedup_ngram_novelty" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 97 = 0),
+         |tk AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS ts
+         |  FROM base),
+         |g AS (SELECT doc_id, list_distinct(list_transform(
+         |    range(1, len(ts) - 3),
+         |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]
+         |      || ' ' || ts[i+4])) AS gs
+         |  FROM tk WHERE len(ts) >= 5),
+         |pd AS (SELECT doc_id, len(gs)::BIGINT AS n_grams FROM g),
+         |e AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+         |fo AS (SELECT gram, min(doc_id) AS fid FROM e GROUP BY gram),
+         |nf AS (SELECT fid AS doc_id, count(*)::BIGINT AS n_first FROM fo
+         |  GROUP BY fid)
+         |SELECT pd.doc_id, pd.n_grams,
+         |  (pd.n_grams - coalesce(nf.n_first, 0))::BIGINT AS n_seen,
+         |  ${r4("(pd.n_grams - coalesce(nf.n_first, 0))::DOUBLE / pd.n_grams::DOUBLE")}
+         |    AS seen_frac
+         |FROM pd LEFT JOIN nf USING (doc_id) ORDER BY pd.doc_id""".stripMargin,
+
+    "text_top_ngrams" ->
+      s"""WITH tk AS (SELECT doc_id, $SqlToks AS ts FROM documents),
+         |e AS (SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
+         |  FROM tk, unnest(range(1, len(ts) - 1)) u(i))
+         |SELECT gram, count(DISTINCT doc_id)::BIGINT AS doc_freq,
+         |  count(*)::BIGINT AS occurrences
+         |FROM e GROUP BY gram
+         |ORDER BY doc_freq DESC, occurrences DESC, gram LIMIT 20""".stripMargin
   )
 }

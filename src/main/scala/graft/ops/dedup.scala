@@ -1310,4 +1310,74 @@ object dedup {
       .where(col("jacc") >= threshold)
       .select(col("corpus_id"), col("new_id"), col("jacc"))
   }
+
+  /** Per-document n-gram NOVELTY against the corpus in id order — the
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better") style memorization meter: what fraction of a
+    * document's distinct word n-grams already occurred in an
+    * EARLIER-id document? High `seen_frac` = near-copy or heavy
+    * boilerplate; the corpus-level mean is the number dedup moves.
+    * Documents shorter than `n` tokens have no grams and are excluded
+    * (they carry no n-gram evidence either way).
+    *
+    * Scale shape — NO gram-keyed join-back and NO gram window (a
+    * boilerplate gram is exactly the hot key the round-9 advisor
+    * flagged): a doc's seen count is derivable from first-occurrence
+    * ownership alone, `n_seen = n_grams − |{g : min_id(g) = id}|`. One
+    * explode of per-doc DISTINCT gram hashes (thin longs), one
+    * gram-keyed hash aggregate `min(id)` (map-side combine absorbs hot
+    * grams), one doc-keyed count of owned firsts, one doc-keyed join of
+    * two tiny per-doc aggregates. Returns `(idCol, n_grams, n_seen,
+    * seen_frac)` floor-4dp. */
+  def ngramNovelty(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 1, s"graft: ngramNovelty needs n >= 1, got $n")
+    // bind the gram-hash array ONCE (HOF lambdas get no CSE), distinct
+    // per doc: novelty is a set metric
+    val grams = df.select(col(idCol),
+      array_distinct(transform(
+        graft.functions.NativeExprs.wordGrams(col(textCol), n),
+        g => hashing.h63(g))).as("_gs"))
+      .where(size(col("_gs")) > 0)
+    val perDoc = grams.select(col(idCol), size(col("_gs")).cast("long").as("n_grams"))
+    val exploded = grams.select(col(idCol), explode(col("_gs")).as("_g"))
+    val firsts = exploded.groupBy(col("_g"))
+      .agg(min(col(idCol)).as("_fid"))
+      .groupBy(col("_fid")).agg(count(lit(1)).as("_n_first"))
+    perDoc.join(firsts, perDoc(idCol) === firsts("_fid"), "left")
+      .select(col(idCol), col("n_grams"),
+        (col("n_grams") - coalesce(col("_n_first"), lit(0L))).as("n_seen"))
+      .withColumn("seen_frac", graft.functions.vectors.quantize(
+        col("n_seen").cast("double") / col("n_grams").cast("double"), 4))
+  }
+
+  /** Corpus-wide most-duplicated n-grams — the boilerplate/memorization
+    * audit table (which exact spans dominate the corpus; the spans a
+    * [[repeatedSpans]]/blocklist pass should target): per distinct word
+    * n-gram, the number of documents containing it (`df`) and total
+    * occurrences, top `k` by df with deterministic tie-break (occurrence
+    * count desc, then gram text asc). One gram explode → one hash
+    * aggregate (map-side combine collapses hot grams per partition) →
+    * TakeOrderedAndProject; only the final k rows reach the driver.
+    * Gram STRINGS survive the shuffle here by design — this is a
+    * reporting surface and the aggregate collapses before the wire
+    * (same contract as the vocab table). */
+  def topNgrams(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 5,
+      k: Int = 20): DataFrame = {
+    require(n >= 1 && k >= 1, s"graft: topNgrams needs n, k >= 1; got $n, $k")
+    df.select(col(idCol),
+        explode(graft.functions.NativeExprs.wordGrams(col(textCol), n)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(countDistinct(col(idCol)).as("doc_freq"),
+        count(lit(1)).as("occurrences"))
+      .orderBy(col("doc_freq").desc, col("occurrences").desc, col("gram"))
+      .limit(k)
+  }
 }

@@ -398,6 +398,27 @@ object EventStream {
     * `sequence` explode of the same size; the lead window partitions by
     * type over those series rows only. Returns
     * `(typeCol, lag, m, acf)`. */
+  /** Densified per-bucket count series: `(typeCol, _t, _c)` for EVERY
+    * bucket in each type's [min, max] range, zeros included. The series
+    * length is DOMAIN-bounded (timespan / bucketSec per type —
+    * independent of event volume): one hash aggregate collapses the
+    * stream, then a bounded `sequence` explode supplies the spine. The
+    * shared substrate of [[autocorr]] and [[changepoints]]. */
+  private[graft] def denseSeries(
+      events: DataFrame,
+      bucketSec: Int,
+      typeCol: String,
+      tsCol: String): DataFrame = {
+    val counts = events
+      .withColumn("_t", expr(s"unix_micros($tsCol) DIV ${1000000L * bucketSec}"))
+      .groupBy(col(typeCol), col("_t")).agg(count(lit(1)).as("_c"))
+    counts.groupBy(col(typeCol))
+      .agg(min(col("_t")).as("_t0"), max(col("_t")).as("_t1"))
+      .select(col(typeCol), explode(sequence(col("_t0"), col("_t1"))).as("_t"))
+      .join(counts, Seq(typeCol, "_t"), "left")
+      .withColumn("_c", coalesce(col("_c"), lit(0L)))
+  }
+
   def autocorr(
       events: DataFrame,
       bucketSec: Int = 3600,
@@ -407,14 +428,7 @@ object EventStream {
     require(bucketSec >= 1, s"graft: bucketSec must be positive, got $bucketSec")
     require(maxLag >= 1, s"graft: maxLag must be positive, got $maxLag")
     import org.apache.spark.sql.expressions.Window
-    val counts = events
-      .withColumn("_t", expr(s"unix_micros($tsCol) DIV ${1000000L * bucketSec}"))
-      .groupBy(col(typeCol), col("_t")).agg(count(lit(1)).as("_c"))
-    val spine = counts.groupBy(col(typeCol))
-      .agg(min(col("_t")).as("_t0"), max(col("_t")).as("_t1"))
-      .select(col(typeCol), explode(sequence(col("_t0"), col("_t1"))).as("_t"))
-    val dense = spine.join(counts, Seq(typeCol, "_t"), "left")
-      .withColumn("_c", coalesce(col("_c"), lit(0L)))
+    val dense = denseSeries(events, bucketSec, typeCol, tsCol)
     val w = Window.partitionBy(col(typeCol)).orderBy(col("_t"))
     val leads = dense.select(
       Seq(col(typeCol), col("_c")) ++
@@ -439,6 +453,58 @@ object EventStream {
         graft.functions.vectors.quantize(
           (d("m") * d("_sxy") - d("_sx") * d("_sy")) / (sqrt(vx) * sqrt(vy)),
           4)).as("acf"))
+  }
+
+  /** Change-point signal over the per-bucket count series — the sliding
+    * two-sample split statistic (the practical mean-shift detector a
+    * monitoring pipeline thresholds on): at every bucket `t` with `w`
+    * full buckets on each side, compare the trailing window
+    * `[t−w, t−1]` against the leading window `[t, t+w−1]`:
+    * `stat = (mean_post − mean_pre) / sqrt((var_pre + var_post)/w + 1)`
+    * — a regularized Welch-style t; the `+1` floor keeps quiet series
+    * finite and deterministic (counts are integers, so a genuine level
+    * shift of k events/bucket scores ≈ k·√w against stable noise).
+    * Positive = level shift UP at `t`; the caller thresholds |stat| and
+    * takes local maxima. Series densified via [[denseSeries]] — a gap
+    * IS a level shift and must be visible, not skipped.
+    *
+    * Determinism discipline: the four window sufficient statistics
+    * (Σx, Σx² per side) accumulate as exact longs over ROWS frames; the
+    * statistic is one double expression — order-free, engine-identical.
+    *
+    * Scale shape: one stream-collapsing hash aggregate, one bounded
+    * spine explode, ONE type-keyed window over domain-bounded series
+    * rows carrying both frames. Returns `(typeCol, t, n_pre, n_post,
+    * stat)` for full-window buckets only, stat floor-4dp. */
+  def changepoints(
+      events: DataFrame,
+      bucketSec: Int = 3600,
+      w: Int = 6,
+      typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(bucketSec >= 1, s"graft: bucketSec must be positive, got $bucketSec")
+    require(w >= 2, s"graft: window must be >= 2 buckets, got $w")
+    import org.apache.spark.sql.expressions.Window
+    val dense = denseSeries(events, bucketSec, typeCol, tsCol)
+    val base = Window.partitionBy(col(typeCol)).orderBy(col("_t"))
+    val pre = base.rowsBetween(-w, -1)
+    val post = base.rowsBetween(0, w - 1)
+    val stats = dense.select(col(typeCol), col("_t"),
+      count(lit(1)).over(pre).as("n_pre"),
+      sum(col("_c")).over(pre).as("_s1p"),
+      sum(col("_c") * col("_c")).over(pre).as("_s2p"),
+      count(lit(1)).over(post).as("n_post"),
+      sum(col("_c")).over(post).as("_s1q"),
+      sum(col("_c") * col("_c")).over(post).as("_s2q"))
+    def d(c: String): org.apache.spark.sql.Column = col(c).cast("double")
+    val wd = lit(w.toDouble)
+    val varPre = (wd * d("_s2p") - d("_s1p") * d("_s1p")) / (wd * wd)
+    val varPost = (wd * d("_s2q") - d("_s1q") * d("_s1q")) / (wd * wd)
+    stats.where(col("n_pre") === w && col("n_post") === w)
+      .select(col(typeCol), col("_t").as("t"), col("n_pre"), col("n_post"),
+        graft.functions.vectors.quantize(
+          ((d("_s1q") - d("_s1p")) / wd) / sqrt((varPre + varPost) / wd + 1.0),
+          4).as("stat"))
   }
 
   /** Weekly cohort retention: users grouped by the epoch-week of their

@@ -465,4 +465,32 @@ class DedupSpec extends SparkSpec {
       .where(col("a") =!= col("b")).count()
     assert(diff == 0, "winnow kernel diverged from HOF twin")
   }
+
+  test("ngramNovelty: copies fully seen, partial overlap counted, short docs excluded") {
+    val d = Seq(
+      (1L, "a b c d e f"),   // grams: abc bcd cde def
+      (2L, "a b c d e f"),   // exact copy -> all 4 seen
+      (3L, "a b c x y z"),   // shares only 'a b c' -> 1/4 seen
+      (4L, "a b")            // < n tokens: no grams, excluded
+    ).toDF("doc_id", "text")
+    val got = dedup.ngramNovelty(d, "text", "doc_id", n = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 0L, 0.0),
+      (2L, 4L, 4L, 1.0),
+      (3L, 4L, 1L, 0.25)), got.toString)
+  }
+
+  test("topNgrams: df/occurrence counts and the deterministic tie-break") {
+    val d = Seq(
+      (1L, "x y z x y z"),   // 'x y z' twice in one doc, 'y z x' once...
+      (2L, "x y z"),
+      (3L, "p q r")
+    ).toDF("doc_id", "text")
+    val got = dedup.topNgrams(d, "text", "doc_id", n = 3, k = 3)
+      .as[(String, Long, Long)].collect().toSeq
+    // 'x y z': df 2, occ 3; the four df-1/occ-1 grams tie -> lex order
+    assert(got == Seq(("x y z", 2L, 3L), ("p q r", 1L, 1L), ("y z x", 1L, 1L)),
+      got.toString)
+  }
 }

@@ -447,4 +447,22 @@ class EventStreamSpec extends SparkSpec {
       ("p", 1, 4L, Some(-1.0)), ("p", 2, 3L, Some(1.0)),
       ("p", 3, 2L, Some(-1.0))), got.toString)
   }
+
+  test("changepoints: clean level shift scores (diff)/sqrt(1)=4 at the boundary") {
+    def hr(h: Int) = new Timestamp(h * 3600L * 1000L)
+    // 1 event/hour for hours 0-5, then 5/hour for 6-11: series
+    // [1,1,1,1,1,1,5,5,5,5,5,5]; w=3 -> full windows at t in [3, 9]
+    val ev = ((0 to 5).flatMap(h => Seq.fill(1)(("s", hr(h)))) ++
+      (6 to 11).flatMap(h => Seq.fill(5)(("s", hr(h))))).toDF("event_type", "ts")
+    val got = EventStream.changepoints(ev, bucketSec = 3600, w = 3)
+      .orderBy("t").as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(_._2) == (3L to 9L), got.toString)
+    val stats = got.map(t => t._2 -> t._5).toMap
+    // at the exact boundary both windows are constant: (5-1)/sqrt(0+1)=4
+    assert(stats(6L) == 4.0, stats.toString)
+    // far from the shift, both windows identical: stat 0
+    assert(stats(3L) == 0.0, stats.toString)
+    // the boundary is the argmax
+    assert(stats.values.max == stats(6L))
+  }
 }

@@ -497,6 +497,17 @@ class PlanQualitySpec extends SparkSpec {
     val acf = plan("events_acf")
     assert(acf.contains("windowspecdefinition(event_type"), acf.take(900))
     assert(!acf.contains("CartesianProduct"))
+    // changepoint: same series substrate, same window discipline
+    val cp = plan("events_changepoint")
+    assert(cp.contains("windowspecdefinition(event_type"), cp.take(900))
+    assert(!cp.contains("CartesianProduct"))
+    // novelty: NO window and no gram-keyed join-back — the seen count
+    // derives from first-occurrence ownership (two doc-keyed aggs)
+    val nv = plan("dedup_ngram_novelty")
+    assert(!"\\bWindow \\[".r.findFirstIn(nv).isDefined, nv.take(600))
+    // top-ngrams: k rows via TakeOrdered, never a global sort
+    val tn = plan("text_top_ngrams")
+    assert(tn.contains("TakeOrderedAndProject"), tn.take(600))
   }
 
   test("inverted-index df caps stream: broadcast hot-fp anti-join, no window buffer") {
