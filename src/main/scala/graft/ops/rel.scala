@@ -359,8 +359,21 @@ object rel {
   def zipIndex(df: DataFrame, orderCol: String, parts: Int = 0): DataFrame = {
     val p = if (parts > 0) parts
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    val ranged = df.repartitionByRange(p, col(orderCol))
-      .withColumn("_pid", spark_partition_id())
+    // The range exchange SAMPLES its bounds per physical execution
+    // (seed derives from the rdd id), and this subtree feeds TWO
+    // consumers — the local-rank window and the per-partition count
+    // aggregate. When exchange reuse fails (column pruning makes the
+    // two subplans differ), each consumer executes its own exchange
+    // with its own sampled bounds, and offsets computed under one
+    // partitioning added to ranks computed under another yield
+    // duplicate/gapped indices (caught by the sf0.1 oracle sweep,
+    // round 10 — shard counts off by ±3). Cutting lineage here
+    // materializes ONE partitioning that both consumers read; same
+    // [[graft.ops.ckpt.cut]] policy the iterative ops use (reliable
+    // checkpoint on a configured cluster, local blocks otherwise).
+    val ranged = graft.ops.ckpt.cut(
+      df.repartitionByRange(p, col(orderCol))
+        .withColumn("_pid", spark_partition_id()))
     val local = ranged.withColumn("_lrank",
       row_number().over(Window.partitionBy(col("_pid")).orderBy(col(orderCol))))
     // ≤ `parts` rows: the cumulative window is partition-count-bounded.

@@ -287,13 +287,17 @@ class RelSpec extends SparkSpec {
     val want = keys.sorted.zipWithIndex.map { case (k, i) => (k, i.toLong) }
     assert(got.toSeq == want)
     // load-bearing: the rank branch and the count branch must read ONE
-    // range exchange — reuse is what guarantees both see the same
-    // sampled partition boundaries (and the sort shuffle runs once).
-    // AQE prints the deduped stage as ReusedQueryStage (non-AQE:
-    // ReusedExchange).
+    // materialized range partitioning. Exchange reuse used to be the
+    // mechanism, but reuse is best-effort (column pruning can make the
+    // two subplans differ) and when it failed each branch sampled its
+    // own range bounds — duplicate/gapped indices at sf0.1 (round 10).
+    // The lineage cut makes it structural: both branches scan the
+    // checkpointed RDD, and the range exchange appears in NEITHER.
     val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("ReusedQueryStage") || plan.contains("ReusedExchange"),
-      s"range exchange not reused across branches:\n${plan.take(1500)}")
+    assert(plan.contains("ExistingRDD"),
+      s"ranged subtree must be a materialized lineage cut:\n${plan.take(1500)}")
+    assert(!plan.contains("rangepartitioning"),
+      s"no branch may re-execute its own range exchange:\n${plan.take(1500)}")
   }
 
   test("zipIndex: empty input and single row behave") {
@@ -471,6 +475,23 @@ class RelSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       rel.merge(df, df, Seq("k"))
     }
+  }
+
+  test("zipIndex: indices dense and unique, identical across partition counts") {
+    // Regression (round 10, caught by the sf0.1 sweep): the range
+    // exchange samples bounds per physical execution, and zipIndex's
+    // two consumers of the ranged subtree could each execute their own
+    // exchange — offsets from one partitioning + ranks from another =
+    // duplicate/gapped indices. The lineage cut pins ONE partitioning;
+    // this asserts the observable contract.
+    val df = (0 until 3000).map(i => (i.toLong, s"k${(i * 2654435761L) % 3000}%05d"))
+      .toDF("id", "key")
+    def run(parts: Int): Map[Long, Long] =
+      rel.zipIndex(df, "key", parts).select(col("id"), col("idx"))
+        .as[(Long, Long)].collect().toMap
+    val a = run(3)
+    assert(a.values.toSeq.sorted == (0L until 3000L), "indices must be dense 0..n-1")
+    assert(run(11) == a, "idx must not depend on the partition count")
   }
 
   test("majorityLabel: winner, counts, agreement; lex-min tie-break; null abstains") {
