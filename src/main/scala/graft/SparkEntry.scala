@@ -2759,7 +2759,99 @@ object SparkEntry {
     // collapsed aggregate, TakeOrdered.
     "text_top_ngrams" -> ((s, dir) =>
       dedup.topNgrams(table(s, dir, "documents"), "text", "doc_id",
-        n = 3, k = 20))
+        n = 3, k = 20)),
+
+    // north-star: link prediction over the kNN graph — non-adjacent pairs
+    // ranked by common-neighbor count and the fixed-point resource-
+    // allocation index; the "dup cluster the pair detector missed"
+    // candidate generator.
+    "graph_linkpred" -> ((s, dir) =>
+      graft.ops.graph.linkPredict(s.read.parquet(knnEdges(s, dir)))
+        .orderBy(col("a"), col("b"))),
+
+    // north-star: HITS hubs/authorities on the directed kNN graph with
+    // deterministic integer rescaling — hub = doc whose neighborhood
+    // covers the corpus, authority = doc many neighborhoods agree on.
+    "graph_hits" -> ((s, dir) =>
+      graft.ops.graph.hits(s.read.parquet(knnEdges(s, dir)), iters = 2)
+        .orderBy(col("id"))),
+
+    // north-star: bipartite co-occurrence projection — the co-purchase
+    // graph from order->part membership, whole-basket capped, pairs
+    // appearing in >= 2 baskets.
+    "graph_bipartite" -> ((s, dir) =>
+      graft.ops.graph.bipartiteProject(table(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", maxBasket = 1000L, minCount = 2L)
+        .orderBy(col("item_a"), col("item_b"))),
+
+    // north-star: encoding-quality screen — replacement/control/mojibake
+    // counts per doc over a deterministically dirtied corpus (the clean
+    // synthetic corpus can't exercise the counters on its own).
+    "text_encoding_quality" -> ((s, dir) => {
+      val d = col("doc_id")
+      val dirtied = concat(col("text"),
+        when(d % 7 === 0, lit(" caf\u00C3\u00A9 \u00E2\u20AC\u0153x"))
+          .otherwise(lit("")),
+        when(d % 11 === 0, lit(" \uFFFD\uFFFD")).otherwise(lit("")),
+        when(d % 13 === 0, lit(" a\u0007b")).otherwise(lit("")))
+      table(s, dir, "documents")
+        .select(d, text.encodingQuality(dirtied).as("q"))
+        .select(d, col("q.n_repl"), col("q.n_ctrl"), col("q.n_moji"),
+          col("q.enc_clean"))
+        .orderBy(d)
+    }),
+
+    // north-star: DoReMi-lite domain reweighting — integer mixture plan
+    // from observed token mass to literal target shares, epoch-capped,
+    // with realized shares over the effective stream; "srcX" is a
+    // deliberately absent domain (full-join zero row).
+    "sample_domain_reweight" -> ((s, dir) =>
+      sample.domainReweight(table(s, dir, "documents"), "source",
+          col("n_chars"),
+          Map("src0" -> 2500L, "src1" -> 2000L, "src2" -> 1500L,
+            "src3" -> 1000L, "src4" -> 1000L, "src5" -> 1000L,
+            "src6" -> 500L, "src7" -> 500L, "srcX" -> 0L),
+          capBp = 30000L)
+        .orderBy(col("source"))),
+
+    // north-star: freshness-decay selection — quality weight halved per
+    // 7-day half-life from a PINNED as-of date, top-5 per event type;
+    // the recency-tiered curation order.
+    "sample_freshness" -> ((s, dir) =>
+      sample.freshnessTopK(events(s, dir), "event_type", "event_id", "ts",
+          floor(col("value") * 100).cast("long"),
+          asOf = "2024-01-31", halfLifeDays = 7, k = 5)
+        .orderBy(col("event_type"), col("rnk"))),
+
+    // north-star: provenance decontamination — drop train docs whose URL
+    // host appears among the held-out slice's hosts (doc_id % 530 == 0
+    // is the "benchmark scrape"); hosts synthesized over a 37-residue
+    // space so the screen is selective but non-trivial at every SF, with
+    // casing/www/port noise the canonicalizer must fold.
+    "decontam_domain_screen" -> ((s, dir) => {
+      val d = col("doc_id")
+      val url = concat(lit("https://"),
+        when(d % 2 === 0, lit("WWW.")).otherwise(lit("")),
+        lit("docs-"), (d % 37).cast("string"), lit(".Example.com"),
+        when(d % 3 === 0, lit(":443")).otherwise(lit("")),
+        lit("/p/"), d.cast("string"))
+      val docs = table(s, dir, "documents").select(d, url.as("url"))
+      decontam.domainScreen(
+          docs.where(d % 530 =!= 0), docs.where(d % 530 === 0), "url")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // north-star: conversation assembly — per-user chronological
+    // transcript (first 16 turns) with span stats; the interaction-log →
+    // training-dialogue primitive.
+    "events_dialogs" -> ((s, dir) =>
+      EventStream.assembleDialogs(events(s, dir), maxTurns = 16)
+        .select(col("user_id"), col("n_turns"),
+          unix_micros(col("first_ts")).as("first_us"),
+          unix_micros(col("last_ts")).as("last_us"),
+          col("span_sec"), col("transcript"))
+        .orderBy(col("user_id")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -5765,6 +5857,153 @@ object SparkEntry {
          |SELECT gram, count(DISTINCT doc_id)::BIGINT AS doc_freq,
          |  count(*)::BIGINT AS occurrences
          |FROM e GROUP BY gram
-         |ORDER BY doc_freq DESC, occurrences DESC, gram LIMIT 20""".stripMargin
+         |ORDER BY doc_freq DESC, occurrences DESC, gram LIMIT 20""".stripMargin,
+
+    // Same normalized undirected kNN edges, symmetric adjacency, fixed-
+    // point resource-allocation weights (scale // deg — all integer), a
+    // wedge self-join on the shared neighbor, and an anti-join against
+    // the edge set. maxDeg = 1000 never trips on a k=3 kNN graph; the cap
+    // is exercised by GraphSpec.
+    "graph_linkpred" ->
+      s"""WITH $SqlKnnCtes,
+         |e0 AS (SELECT src, dst FROM r WHERE rnk <= 3),
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM e0 WHERE src != dst),
+         |adj AS (SELECT a AS z, b AS x FROM und
+         |  UNION ALL SELECT b AS z, a AS x FROM und),
+         |deg AS (SELECT z, count(*)::BIGINT AS d FROM adj GROUP BY z),
+         |ak AS (SELECT adj.z, adj.x, (1000000000000 // d)::BIGINT AS w
+         |  FROM adj JOIN deg USING (z) WHERE d <= 1000),
+         |pr AS (SELECT l.x AS a, rt.x AS b, count(*)::BIGINT AS cn,
+         |    sum(l.w)::BIGINT AS ra
+         |  FROM ak l JOIN ak rt ON l.z = rt.z AND l.x < rt.x GROUP BY 1, 2)
+         |SELECT a, b, cn, ra FROM pr
+         |WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.a = pr.a AND und.b = pr.b)
+         |ORDER BY a, b""".stripMargin,
+
+    // HITS with the impl's exact half-step order (auth from hub, hub
+    // from the NEW auth) and the deterministic integer rescale
+    // q = 1 + (max-1) // scale, unrolled 2 iterations.
+    "graph_hits" -> {
+      def rescale(src: String, c: String): String =
+        s"(SELECT id, ($c // (1 + (greatest((SELECT max($c) FROM $src), 1) - 1)" +
+          s" // 1000000))::BIGINT AS $c FROM $src)"
+      val iterCtes = (0 until 2).map { i =>
+        s"""ar$i AS (SELECT nodes.id, coalesce(s.v, 0)::BIGINT AS auth
+           |  FROM nodes LEFT JOIN (SELECT e0.dst AS id, sum(h$i.hub)::BIGINT AS v
+           |    FROM e0 JOIN h$i ON e0.src = h$i.id GROUP BY 1) s USING (id)),
+           |a${i + 1} AS ${rescale(s"ar$i", "auth")},
+           |hr$i AS (SELECT nodes.id, coalesce(s.v, 0)::BIGINT AS hub
+           |  FROM nodes LEFT JOIN (SELECT e0.src AS id, sum(a${i + 1}.auth)::BIGINT AS v
+           |    FROM e0 JOIN a${i + 1} ON e0.dst = a${i + 1}.id GROUP BY 1) s USING (id)),
+           |h${i + 1} AS ${rescale(s"hr$i", "hub")}""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $SqlKnnCtes,
+         |e0 AS (SELECT DISTINCT src, dst FROM r WHERE rnk <= 3),
+         |nodes AS (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM e0 UNION ALL SELECT dst AS id FROM e0)),
+         |h0 AS (SELECT id, 1000000::BIGINT AS hub FROM nodes),
+         |$iterCtes
+         |SELECT nodes.id, h2.hub, a2.auth FROM nodes
+         |JOIN h2 USING (id) JOIN a2 USING (id) ORDER BY id""".stripMargin
+    },
+
+    // Whole-basket cap, distinct membership, one self-join on the basket.
+    "graph_bipartite" ->
+      """WITH m AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |sz AS (SELECT bk, count(*)::BIGINT AS s FROM m GROUP BY bk),
+        |k AS (SELECT m.bk, m.it FROM m JOIN sz USING (bk) WHERE s <= 1000)
+        |SELECT a.it AS item_a, b.it AS item_b, count(*)::BIGINT AS n_baskets
+        |FROM k a JOIN k b ON a.bk = b.bk AND a.it < b.it
+        |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2""".stripMargin,
+
+    // Same deterministic dirtying (chr() spells the exact codepoints the
+    // Spark side injects), length-difference marker counts, C0-control
+    // regexp. length() is code points on both engines.
+    "text_encoding_quality" ->
+      """WITH d AS (SELECT doc_id, text ||
+        |  (CASE WHEN doc_id % 7 = 0 THEN ' caf' || chr(195) || chr(169) || ' '
+        |    || chr(226) || chr(8364) || chr(339) || 'x' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 11 = 0 THEN ' ' || chr(65533) || chr(65533) ELSE '' END) ||
+        |  (CASE WHEN doc_id % 13 = 0 THEN ' a' || chr(7) || 'b' ELSE '' END) AS tx
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |  (length(tx) - length(replace(tx, chr(65533), '')))::BIGINT AS n_repl,
+        |  len(regexp_extract_all(tx, '[\x00-\x08\x0B\x0C\x0E-\x1F]'))::BIGINT AS n_ctrl,
+        |  ((length(tx) - length(replace(tx, chr(195), '')))
+        |    + (length(tx) - length(replace(tx, chr(226) || chr(8364), ''))) // 2
+        |  )::BIGINT AS n_moji
+        |  FROM d)
+        |SELECT doc_id, n_repl, n_ctrl, n_moji,
+        |  (n_repl = 0 AND n_ctrl = 0 AND n_moji <= 0) AS enc_clean
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Integer basis-point mixture plan; sums cast ::BIGINT immediately
+    // (HUGEINT discipline), NULL epochs for the zero-token full-join row.
+    "sample_domain_reweight" ->
+      """WITH tgt(source, target_bp) AS (VALUES
+        |  ('src0', 2500), ('src1', 2000), ('src2', 1500), ('src3', 1000),
+        |  ('src4', 1000), ('src5', 1000), ('src6', 500), ('src7', 500),
+        |  ('srcX', 0)),
+        |agg AS (SELECT source, sum(n_chars)::BIGINT AS n_tokens
+        |  FROM documents GROUP BY source),
+        |j AS (SELECT coalesce(a.source, t.source) AS source,
+        |    coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+        |    coalesce(t.target_bp, 0)::BIGINT AS target_bp
+        |  FROM agg a FULL JOIN tgt t ON a.source = t.source),
+        |tot AS (SELECT sum(n_tokens)::BIGINT AS total FROM j),
+        |e AS (SELECT source, n_tokens, target_bp,
+        |    (CASE WHEN total > 0 THEN n_tokens * 10000 // total ELSE 0 END)::BIGINT AS share_bp,
+        |    (CASE WHEN n_tokens > 0
+        |      THEN least(target_bp * total // n_tokens, 30000) END)::BIGINT AS epochs_bp
+        |  FROM j CROSS JOIN tot),
+        |f AS (SELECT source, n_tokens, target_bp, share_bp, epochs_bp,
+        |    coalesce(n_tokens * epochs_bp // 10000, 0)::BIGINT AS eff_tokens FROM e),
+        |ft AS (SELECT sum(eff_tokens)::BIGINT AS efft FROM f)
+        |SELECT source, n_tokens, target_bp, share_bp, epochs_bp, eff_tokens,
+        |  (CASE WHEN efft > 0 THEN eff_tokens * 10000 // efft ELSE 0 END)::BIGINT AS realized_bp
+        |FROM f CROSS JOIN ft ORDER BY source""".stripMargin,
+
+    // Half-life decay as an arithmetic right shift (both engines shift
+    // BIGINT arithmetically; scores non-negative), pinned as-of date.
+    "sample_freshness" ->
+      """WITH f AS (SELECT event_type, event_id,
+        |  date_diff('day', CAST(ts AS DATE), DATE '2024-01-31')::BIGINT AS age_days,
+        |  (floor(value * 100)::BIGINT >>
+        |    least(62, date_diff('day', CAST(ts AS DATE), DATE '2024-01-31') // 7)::INT
+        |  )::BIGINT AS score
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND CAST(ts AS DATE) <= DATE '2024-01-31'),
+        |r AS (SELECT *, row_number() OVER
+        |  (PARTITION BY event_type ORDER BY score DESC, event_id ASC) AS rk FROM f)
+        |SELECT event_type, event_id, age_days, score, rk::INT AS rnk
+        |FROM r WHERE rk <= 5 ORDER BY event_type, rnk""".stripMargin,
+
+    // Ground-truth twin: the synthesized host is a pure function of
+    // doc_id (residue mod 37), so the oracle screens on residues — the
+    // Spark side must reach the same set THROUGH url synthesis + host
+    // canonicalization (www/port/case folding).
+    "decontam_domain_screen" ->
+      """SELECT doc_id FROM documents
+        |WHERE doc_id % 530 != 0
+        |  AND doc_id % 37 NOT IN
+        |    (SELECT DISTINCT doc_id % 37 FROM documents WHERE doc_id % 530 = 0)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Turn cap first (row_number <= 16 on the same (ts, event_id) total
+    // order), then per-user assembly; span in whole seconds from
+    // microsecond epochs.
+    "events_dialogs" ->
+      """WITH rk AS (SELECT user_id, event_type, ts, event_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS turn
+        |  FROM events),
+        |c AS (SELECT * FROM rk WHERE turn <= 16)
+        |SELECT user_id, count(*)::BIGINT AS n_turns,
+        |  epoch_us(min(ts))::BIGINT AS first_us,
+        |  epoch_us(max(ts))::BIGINT AS last_us,
+        |  ((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000)::BIGINT AS span_sec,
+        |  string_agg(event_type, ' > ' ORDER BY ts, event_id) AS transcript
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

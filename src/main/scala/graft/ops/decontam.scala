@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.vectors
@@ -237,5 +237,44 @@ object decontam {
       .where(col("hits") >= minHits)
       .select(col(idCol))
     train.join(broadcast(bad), Seq(idCol), "left_anti")
+  }
+
+  /** Canonical host of a URL: lowercased authority with the `www.`
+    * prefix and scheme-default port stripped — [[text.normalizeUrl]]'s
+    * host rules, factored out for provenance-level screening (a true
+    * registrable-domain cut needs the public-suffix list; the host is
+    * the deterministic, list-free conservative unit). */
+  def urlHost(url: Column): Column = {
+    val scheme = lower(regexp_extract(trim(url), "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostRaw = regexp_replace(
+      lower(regexp_extract(trim(url), "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)),
+      "^www\\.", "")
+    when(scheme === "http", regexp_replace(hostRaw, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostRaw, ":443$", ""))
+      .otherwise(hostRaw)
+  }
+
+  /** Provenance decontamination: drop every training doc whose URL HOST
+    * appears among the held-out set's hosts — the coarse screen run
+    * BEFORE n-gram collision checks (if the benchmark was scraped from
+    * a site, every page of that site is suspect, not just colliding
+    * shingles; the GPT-4-era eval-hygiene practice). Host extraction is
+    * row-local regexp work; the eval side reduces to its DISTINCT host
+    * set and BROADCASTS, so the 100 TB train side is never shuffled —
+    * the [[contaminationHits]] discipline at domain granularity. Docs
+    * with un-parseable URLs (no `scheme://host`) yield an empty host
+    * and are KEPT: absence of provenance is not evidence of overlap. */
+  def domainScreen(
+      train: DataFrame,
+      bench: DataFrame,
+      urlCol: String): DataFrame = {
+    val benchHosts = bench
+      .select(urlHost(col(urlCol)).as("_host"))
+      .where(col("_host") =!= "")
+      .distinct()
+    train
+      .withColumn("_host", urlHost(col(urlCol)))
+      .join(broadcast(benchHosts), Seq("_host"), "left_anti")
+      .drop("_host")
   }
 }

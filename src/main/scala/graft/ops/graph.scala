@@ -282,4 +282,160 @@ object graph {
     wedges.join(und, Seq("a", "b"))
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Link prediction by common-neighbor evidence: for every NON-adjacent
+    * pair (a, b) sharing at least one neighbor, emit the common-neighbor
+    * count and the resource-allocation index (Zhou, Lü & Zhang 2009)
+    * `ra = Σ_z 1/deg(z)` in fixed-point units `floor(scale / deg(z))` —
+    * exact integer arithmetic, so an independent SQL engine reproduces
+    * it bit-for-bit (the [[pageRank]] determinism discipline; Adamic-Adar
+    * would drag in `ln`, whose last-ulp varies across engines). The
+    * candidate-generation primitive for near-dup graphs: a pair with
+    * heavy shared neighborhoods is a dup cluster the pairwise detector
+    * missed.
+    *
+    * Plan shape: one wedge self-join of the symmetric adjacency keyed on
+    * the shared neighbor z, one pair aggregation, one anti-join against
+    * the edge set. Skew bound: a hub z of degree d contributes C(d,2)
+    * wedges, so common neighbors with deg > `maxDeg` are DROPPED before
+    * the self-join (the df-band discipline from dedup's gram band) —
+    * principled, not just expedient: a node adjacent to everything
+    * carries ~zero RA weight (1/deg ≈ 0) and no discriminative signal.
+    * Dropped-hub count surfaces via `observe` metric `linkpred_hub_drop`.
+    *
+    * Returns `(a, b, cn, ra)`, a < b, ra in `scale` fixed-point units. */
+  def linkPredict(
+      edges: DataFrame,
+      maxDeg: Long = 1000L,
+      minCn: Long = 1L,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      scale: Long = 1000000000000L): DataFrame = {
+    require(maxDeg >= 1, s"graft: linkPredict needs maxDeg >= 1, got $maxDeg")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+      .persist()
+    val adj = und.select(col("a").as("z"), col("b").as("x"))
+      .union(und.select(col("b").as("z"), col("a").as("x")))
+    val deg = adj.groupBy("z").agg(count(lit(1)).as("_d"))
+    val keep = deg
+      .observe("linkpred_hub_drop",
+        sum(when(col("_d") > maxDeg, 1L).otherwise(0L)).as("hubs_dropped"))
+      .where(col("_d") <= maxDeg)
+    val adjK = adj.join(keep, "z")
+      .select(col("z"), col("x"), expr(s"CAST($scale AS BIGINT) DIV _d").as("_w"))
+    val right = adjK.select(col("z"), col("x").as("y"))
+    val pairs = adjK.join(right, "z").where(col("x") < col("y"))
+      .groupBy(col("x").as("a"), col("y").as("b"))
+      .agg(count(lit(1)).as("cn"), sum(col("_w")).as("ra"))
+      .where(col("cn") >= minCn)
+    val out = pairs.join(und, Seq("a", "b"), "left_anti")
+    und.unpersist(false)
+    out
+  }
+
+  /** HITS hubs & authorities (Kleinberg 1999) with fixed-point integer
+    * arithmetic and DETERMINISTIC rescaling: after each half-step the
+    * raw scores are divided by `q = ceil(max_raw / scale)` — an integer
+    * quotient both engines compute identically — instead of the usual
+    * float L2 normalization. Relative ordering (all HITS is used for)
+    * is preserved; every intermediate stays ≤ n·scale, so with the
+    * default `scale`=1e6 there is no overflow below ~9e12 nodes.
+    *
+    * Per iteration: two thin joins of (id, score) onto the edge table
+    * (src-keyed then dst-keyed), two sums, two 1-row max aggregations
+    * broadcast back via cross join (the plan stays one lazy DAG — no
+    * driver collect). [[ckpt.cut]] truncates lineage each round.
+    *
+    * Returns `(id, hub, auth)` in `scale` fixed-point units. */
+  def hits(
+      edges: DataFrame,
+      iters: Int = 2,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, s"graft: hits needs iters >= 1, got $iters")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .persist()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .persist()
+    def rescale(df: DataFrame, c: String): DataFrame = {
+      val m = df.agg(max(col(c)).as("_m"))
+      df.crossJoin(broadcast(m))
+        .select(col("id"),
+          // q = ceil(max/scale); greatest guards the all-zero column so the
+          // (m-1) operand never goes negative (Spark DIV truncates toward
+          // zero, DuckDB // floors — they only agree on non-negatives)
+          expr(s"$c DIV (1 + (greatest(_m, CAST(1 AS BIGINT)) - 1)" +
+            s" DIV CAST($scale AS BIGINT))").as(c))
+    }
+    var hub = nodes.withColumn("hub", lit(scale))
+    var auth = nodes.withColumn("auth", lit(scale))
+    for (_ <- 0 until iters) {
+      val aRaw = nodes
+        .join(e.join(hub.select(col("id").as("src"), col("hub")), "src")
+          .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("auth")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("auth"), lit(0L)).as("auth"))
+      auth = ckpt.cut(rescale(aRaw, "auth"))
+      val hRaw = nodes
+        .join(e.join(auth.select(col("id").as("dst"), col("auth")), "dst")
+          .groupBy(col("src").as("id")).agg(sum(col("auth")).as("hub")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("hub"), lit(0L)).as("hub"))
+      hub = ckpt.cut(rescale(hRaw, "hub"))
+    }
+    val out = nodes
+      .join(hub, "id").join(auth, "id")
+      .select(col("id"), col("hub"), col("auth"))
+    Seq(e, nodes).foreach(_.unpersist(false))
+    out
+  }
+
+  /** Bipartite co-occurrence projection: from (basket, item) membership
+    * rows, emit item pairs that co-occur in ≥ `minCount` baskets with
+    * their co-occurrence count — the co-purchase / co-citation graph
+    * builder. A basket of size s contributes C(s,2) pairs, so baskets
+    * larger than `maxBasket` are dropped whole before the self-join
+    * (a crawl dump or catalog-wide order would otherwise detonate the
+    * pair stage); the drop count surfaces via `observe` metric
+    * `bipartite_basket_drop`. Within the cap the pair stage is ONE
+    * self-join keyed on the basket id riding a single exchange.
+    *
+    * Returns `(item_a, item_b, n_baskets)`, item_a < item_b. */
+  def bipartiteProject(
+      df: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      maxBasket: Long = 1000L,
+      minCount: Long = 1L): DataFrame = {
+    require(maxBasket >= 2, s"graft: bipartiteProject needs maxBasket >= 2, got $maxBasket")
+    val m = df
+      .select(col(basketCol).as("_bk"), col(itemCol).as("_it"))
+      .where(col("_bk").isNotNull && col("_it").isNotNull)
+      .distinct()
+      // pin the exchange: the size aggregate and the anti-join probe both
+      // consume the SAME repartition(_bk) subtree, so ReuseExchange plans
+      // one membership scan (the winnowPairs df-cap shape — a streamed
+      // hash aggregate, never a WindowExec buffering a whole hot basket)
+      .repartition(col("_bk"))
+    val hot = m.groupBy(col("_bk"))
+      .agg(count(lit(1)).as("_sz")).where(col("_sz") > maxBasket)
+      .observe("bipartite_basket_drop", count(lit(1)).as("baskets_dropped"))
+      .select(col("_bk"))
+    val kept = m.join(broadcast(hot), Seq("_bk"), "left_anti")
+    val right = kept.select(col("_bk"), col("_it").as("_it2"))
+    kept.join(right, "_bk").where(col("_it") < col("_it2"))
+      .groupBy(col("_it").as("item_a"), col("_it2").as("item_b"))
+      .agg(count(lit(1)).as("n_baskets"))
+      .where(col("n_baskets") >= minCount)
+  }
 }

@@ -728,4 +728,116 @@ object sample {
         (-col("_c.neg")).as("chosen_id"), (-col("_r.neg")).as("rejected_id"),
         col("_c.score").as("chosen_score"), col("_r.score").as("rejected_score"),
         (col("_c.score") - col("_r.score")).as("margin"))
+
+  /** Domain-reweighting plan (the DoReMi / data-mixture shape, Xie et
+    * al. 2023 simplified to its serving half): given per-domain TARGET
+    * shares in basis points and an epoch cap, compute from the observed
+    * token mass what sampling weight each domain needs so the training
+    * stream matches the target mixture. All integer basis-point
+    * arithmetic — `epochs_bp = (target_bp · total_tokens) DIV
+    * (10000 · tokens) · 10000`-style ratios collapse to one BIGINT
+    * divide per domain, engine-exact. A domain needing more than
+    * `capBp/10000` epochs is capped (upsampling a tiny domain 50× is a
+    * memorization bug, not a mixture fix — Muennighoff et al. 2023 put
+    * the useful-repeat ceiling near 4), and the realized share after
+    * capping is reported so the gap is visible, not silent.
+    *
+    * Plan shape: ONE hash aggregate over the corpus (map-side partials
+    * absorb domain skew), a broadcast of the ≤|domains| target rows, a
+    * 1-row total broadcast back via cross join — no second corpus scan,
+    * no window. Returns `(domain, n_tokens, share_bp, target_bp,
+    * epochs_bp, eff_tokens, realized_bp)` sorted by the caller. */
+  def domainReweight(
+      df: DataFrame,
+      domainCol: String,
+      tokenCol: Column,
+      targetBp: Map[String, Long],
+      capBp: Long = 40000L): DataFrame = {
+    require(targetBp.nonEmpty && targetBp.values.forall(_ >= 0L),
+      s"graft: domainReweight needs non-empty targets >= 0, got $targetBp")
+    require(capBp >= 10000L,
+      s"graft: domainReweight cap below 1 epoch makes every domain short, got $capBp")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    // explicit-schema createDataFrame — the planTokenBudget REPL-safety
+    // discipline (product-encoder TypeTags die under Java 17 REPL loaders)
+    val tgt = spark.createDataFrame(
+      java.util.Arrays.asList(
+        targetBp.toSeq.sortBy(_._1).map { case (d, b) => Row(d, b) }: _*),
+      StructType(Seq(StructField(domainCol, StringType, nullable = false),
+        StructField("target_bp", LongType, nullable = false))))
+    val perDomain = df.groupBy(col(domainCol))
+      .agg(sum(tokenCol).cast("long").as("n_tokens"))
+      // FULL join: a targeted domain absent from the corpus must surface
+      // as a zero-token plan row, not vanish (planTokenBudget's rule).
+      // No broadcast hint — Spark can't broadcast-build a full outer
+      // join; both sides here are already ≤|domains| rows, so the sort-
+      // merge it plans shuffles plan rows, never the corpus.
+      .join(tgt, Seq(domainCol), "full")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+      .withColumn("target_bp", coalesce(col("target_bp"), lit(0L)))
+    // totals via bounded global windows over the ≤|domains| plan rows —
+    // a second aggregate branch would re-scan the corpus; a window over
+    // post-aggregation rows costs one 1-partition pass over plan rows
+    perDomain
+      .withColumn("_total", sum(col("n_tokens")).over(
+        windows.boundedGlobal("domains", col(domainCol))))
+      .withColumn("share_bp",
+        when(col("_total") > 0L, expr("n_tokens * 10000 DIV _total"))
+          .otherwise(lit(0L)))
+      // epochs_bp = how many passes (in bp) over the domain the target
+      // share demands; NULL when the domain has no tokens (impossible
+      // plan row — visible, not Infinity), capped at capBp otherwise
+      .withColumn("epochs_bp", when(col("n_tokens") > 0L,
+        least(expr("target_bp * _total DIV n_tokens"), lit(capBp))))
+      .withColumn("eff_tokens",
+        coalesce(expr("n_tokens * epochs_bp DIV 10000"), lit(0L)))
+      .drop("_total")
+      // realized share is over the EFFECTIVE stream (what training sees),
+      // so its denominator is Σ eff — a global window over the ≤|domains|
+      // plan rows, bounded by construction
+      .withColumn("_eff_total", sum(col("eff_tokens")).over(
+        windows.boundedGlobal("domains", col(domainCol))))
+      .withColumn("realized_bp", when(col("_eff_total") > 0L,
+        expr("eff_tokens * 10000 DIV _eff_total")).otherwise(lit(0L)))
+      .drop("_eff_total")
+  }
+
+  /** Freshness-decay scoring: halve a document's quality weight every
+    * `halfLifeDays` of age, entirely in integer arithmetic —
+    * `score = weight >> min(62, age_days DIV halfLifeDays)` — so the
+    * decay curve is a step-exponential both engines reproduce bit-for-
+    * bit (a float `exp(-age/τ)` would be the textbook form; the
+    * half-life shift is its engine-portable twin, and recency tiers are
+    * all a curation order consumes). Emits the top `k` per group by
+    * `(score, -id)` — WindowGroupLimit prunes to per-partition heaps,
+    * nothing global sorts. `asOf` pins NOW as an explicit instant so
+    * the query is deterministic and re-runnable (wall-clock NOW inside
+    * a data pipeline is a reproducibility bug).
+    *
+    * Returns the group/id/age/score columns plus `rnk` (1-based). */
+  def freshnessTopK(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      tsCol: String,
+      weight: Column,
+      asOf: String,
+      halfLifeDays: Int,
+      k: Int): DataFrame = {
+    require(halfLifeDays >= 1 && k >= 1,
+      s"graft: freshnessTopK needs halfLifeDays >= 1, k >= 1; got $halfLifeDays, $k")
+    val age = datediff(lit(asOf).cast("date"), col(tsCol).cast("date")).cast("long")
+    val halvings = least(lit(62L), age.divide(lit(halfLifeDays)).cast("long"))
+      .cast("int")
+    val scored = df
+      .where(col(tsCol).isNotNull && col(tsCol).cast("date") <= lit(asOf).cast("date"))
+      .select(col(groupCol), col(idCol), age.as("age_days"),
+        // dynamic shift amount, so the registry form (the Int-literal
+        // functions.shiftright overload can't take a per-row column)
+        call_function("shiftright", weight.cast("long"), halvings).as("score"))
+    rel.topKPerGroup(scored, Seq(col(groupCol)),
+      Seq(col("score").desc, col(idCol).asc), k, "rnk")
+  }
 }

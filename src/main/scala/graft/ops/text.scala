@@ -1283,4 +1283,39 @@ object text {
     struct(words.as("n_words"), sents.as("n_sentences"),
       sylls.as("n_syllables"), score.as("flesch"))
   }
+
+  /** Encoding-quality signals per document — the mojibake / transcoding-
+    * damage screen a crawl pipeline runs before any content filter (a
+    * page that survived a bad charset round-trip is unsalvageable text):
+    *
+    *  - `n_repl`: U+FFFD replacement characters (a decoder already gave
+    *    up on those bytes);
+    *  - `n_ctrl`: C0 control characters other than tab/newline/CR (raw
+    *    binary bleeding into "text");
+    *  - `n_moji`: UTF-8-read-as-Latin-1 leader bytes — 'Ã' (0xC3, the
+    *    2-byte-sequence leader that renders as 'Ã©', 'Ã¼'…) and 'â€'
+    *    (0xE2 0x80, the punctuation-block leader behind 'â€™'/'â€œ') —
+    *    the classic double-encoding fingerprints;
+    *  - `enc_clean`: no replacement or control chars and ≤ `maxMoji`
+    *    mojibake markers.
+    *
+    * All four are length-difference / regexp counts over the row — one
+    * codegen'd pass, no shuffle, streaming-legal. Counting by
+    * `length(x) - length(replace(x, m, ''))` (divided by marker length)
+    * is engine-portable where regexp escapes for non-ASCII classes are
+    * not. NULL text yields zero counts and enc_clean = true — the gate
+    * contract is "nothing proven dirty", matching blocklistClean's
+    * explicit null contract. */
+  def encodingQuality(c: Column, maxMoji: Int = 0): Column = {
+    val t = coalesce(c, lit(""))
+    def occurrences(marker: String): Column =
+      ((length(t) - length(replace(t, lit(marker), lit("")))) /
+        lit(marker.length)).cast("long")
+    val nRepl = occurrences("�")
+    val nCtrl = regexp_count(t, lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"))
+      .cast("long")
+    val nMoji = (occurrences("Ã") + occurrences("â€")).as("n_moji")
+    struct(nRepl.as("n_repl"), nCtrl.as("n_ctrl"), nMoji,
+      (nRepl === 0 && nCtrl === 0 && nMoji <= maxMoji).as("enc_clean"))
+  }
 }

@@ -579,6 +579,138 @@ object EventStream {
       .drop("_out")
   }
 
+  /** Conversation assembly: per user, the chronological transcript of
+    * their first `maxTurns` events as one joined string plus turn/span
+    * stats — the interaction-log → training-dialogue primitive (chat
+    * fine-tuning data is exactly this shape: ordered turns flattened to
+    * one sequence per conversation).
+    *
+    * Bound discipline: a user's whole history must never sit in one
+    * aggregation buffer (a bot with 10M events would). The turn cap
+    * rides [[rel.topKPerGroup]] FIRST — row_number ≤ k collapses to
+    * WindowGroupLimit per-partition heaps, O(maxTurns) state — and only
+    * the capped rows reach the collect_list, whose per-group state is
+    * ≤ maxTurns by construction. Both stages key on the user, so
+    * ReuseExchange plans one shuffle. Ordering is total via the
+    * (ts, id) tiebreak, so the transcript string is deterministic. */
+  def assembleDialogs(
+      events: DataFrame,
+      maxTurns: Int = 64,
+      sep: String = " > ",
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    require(maxTurns >= 1, s"graft: assembleDialogs needs maxTurns >= 1, got $maxTurns")
+    val capped = graft.ops.rel.topKPerGroup(
+      events.select(col(userCol), col(typeCol), col(tsCol), col(idCol)),
+      Seq(col(userCol)), Seq(col(tsCol).asc, col(idCol).asc), maxTurns, "_turn")
+    capped
+      .groupBy(col(userCol))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        min(col(tsCol)).as("first_ts"),
+        max(col(tsCol)).as("last_ts"),
+        sort_array(collect_list(struct(col(tsCol), col(idCol), col(typeCol))))
+          .as("_seq"))
+      .select(col(userCol), col("n_turns"), col("first_ts"), col("last_ts"),
+        (unix_micros(col("last_ts")) - unix_micros(col("first_ts")))
+          .divide(lit(1000000L)).cast("long").as("span_sec"),
+        array_join(transform(col("_seq"), t => t.getField(typeCol)), sep)
+          .as("transcript"))
+  }
+
+  /** One event on the stateful dialog-assembly path. */
+  final case class TurnEvent(
+      user_id: Long, ts: java.sql.Timestamp, event_id: Long, event_type: String)
+
+  /** Open-dialog state: epoch-microsecond bounds plus the ≤ maxTurns kept
+    * turn labels. `lastUs` tracks the latest event INCLUDING ones beyond
+    * the cap (they keep the session alive); `capLastUs` is the last KEPT
+    * turn's time — span is reported over kept turns, matching the batch
+    * [[assembleDialogs]] contract. */
+  final case class DialogState(
+      startUs: Long, lastUs: Long, capLastUs: Long,
+      turns: Seq[String], nSeen: Long)
+
+  /** A closed dialog. */
+  final case class ClosedDialog(
+      user_id: Long, n_turns: Long, span_sec: Long, transcript: String,
+      truncated: Boolean)
+
+  /** TRUE streaming dialog assembly: the [[assembleDialogs]] twin for
+    * unbounded interaction logs — per-user state via
+    * `flatMapGroupsWithState`, a dialog closing either by an in-stream
+    * gap (a new event more than `gapMinutes` after the last) or by the
+    * processing-time timeout firing with no new data. On a
+    * single-session-per-user input the two paths agree on
+    * (n_turns, span_sec, transcript) — EventStreamSpec pins it.
+    *
+    * Unbounded-state discipline: state per user is the ≤ `maxTurns` kept
+    * turn labels plus three scalars — O(maxTurns), NOT O(events): turns
+    * past the cap bump `nSeen`/`lastUs` (the session stays alive, the
+    * truncation surfaces in `truncated`) but are never buffered. The
+    * per-batch slice is sorted in memory like [[sessionizeStream]]'s —
+    * bounded by one user's events in ONE micro-batch, not their
+    * history. */
+  def assembleDialogsStream(
+      events: org.apache.spark.sql.Dataset[TurnEvent],
+      gapMinutes: Int = 30,
+      maxTurns: Int = 64,
+      sep: String = " > ",
+      useTimeout: Boolean = true): org.apache.spark.sql.Dataset[ClosedDialog] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    require(maxTurns >= 1, s"graft: assembleDialogsStream needs maxTurns >= 1")
+    val gapUs = gapMinutes * 60000000L
+    val timeoutConf =
+      if (useTimeout) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+
+    // Local defs, not object methods — the sessionizeStream
+    // serializability discipline.
+    def epochMicros(ts: java.sql.Timestamp): Long =
+      math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+    def close(u: Long, s: DialogState) = ClosedDialog(
+      u, s.turns.length.toLong, (s.capLastUs - s.startUs) / 1000000L,
+      s.turns.mkString(sep), s.nSeen > maxTurns)
+
+    events.groupByKey(_.user_id).flatMapGroupsWithState(
+      OutputMode.Append, timeoutConf) {
+      (user: Long, it: Iterator[TurnEvent], state: GroupState[DialogState]) =>
+        if (state.hasTimedOut) {
+          val out = state.getOption.map(close(user, _)).toSeq
+          state.remove()
+          out.iterator
+        } else {
+          val sorted = it.toSeq.sortBy(e => (epochMicros(e.ts), e.event_id))
+          var cur = state.getOption
+          val closed = Seq.newBuilder[ClosedDialog]
+          sorted.foreach { e =>
+            val t = epochMicros(e.ts)
+            cur match {
+              case Some(s) if t - s.lastUs <= gapUs =>
+                cur = Some(
+                  if (s.nSeen < maxTurns)
+                    DialogState(s.startUs, t, t, s.turns :+ e.event_type, s.nSeen + 1)
+                  else
+                    DialogState(s.startUs, t, s.capLastUs, s.turns, s.nSeen + 1))
+              case Some(s) =>
+                closed += close(user, s)
+                cur = Some(DialogState(t, t, t, Seq(e.event_type), 1L))
+              case None =>
+                cur = Some(DialogState(t, t, t, Seq(e.event_type), 1L))
+            }
+          }
+          cur.foreach { s =>
+            state.update(s)
+            if (useTimeout) state.setTimeoutDuration(gapUs / 1000L)
+          }
+          closed.result().iterator
+        }
+    }
+  }
+
   /** Streaming twin of the batch keep-first dedup
     * (`events_dedup_keepfirst`): emit the FIRST event per key and drop
     * later duplicates, with dedup state BOUNDED by the event-time

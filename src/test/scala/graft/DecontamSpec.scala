@@ -132,4 +132,31 @@ class DecontamSpec extends SparkSpec {
     assert(!p.contains("ShuffleExchange") && !p.contains("Exchange hashpartitioning"),
       "train side must not shuffle:\n" + p.take(900))
   }
+
+  test("urlHost: scheme-default ports and www stripped, case folded, path ignored") {
+    def host(u: String): String =
+      Seq(u).toDF("url").select(decontam.urlHost(col("url"))).head().getString(0)
+    assert(host("HTTPS://WWW.Example.COM:443/path?q=1#f") == "example.com")
+    assert(host("http://example.com:80/") == "example.com")
+    assert(host("http://example.com:8080/x") == "example.com:8080") // non-default kept
+    assert(host("https://sub.example.com/a") == "sub.example.com")  // hosts, not PSL
+    assert(host("not a url") == "")
+  }
+
+  test("domainScreen drops train docs sharing a host with the bench set; keeps unparseable") {
+    val train = Seq(
+      (1L, "https://www.leaky.com/page/1"),
+      (2L, "http://LEAKY.com:80/other"),     // same host, different casing/port
+      (3L, "https://safe.org/x"),
+      (4L, "garbage-no-scheme")              // no provenance -> kept
+    ).toDF("doc_id", "url")
+    val bench = Seq((100L, "https://leaky.com/eval/questions"))
+      .toDF("qid", "url")
+    val kept = decontam.domainScreen(train, bench, "url")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L))
+    // the schema passes through untouched (no helper columns leak)
+    assert(decontam.domainScreen(train, bench, "url").columns.toSeq ==
+      Seq("doc_id", "url"))
+  }
 }

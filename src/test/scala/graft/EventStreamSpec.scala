@@ -465,4 +465,66 @@ class EventStreamSpec extends SparkSpec {
     // the boundary is the argmax
     assert(stats.values.max == stats(6L))
   }
+
+  test("assembleDialogs: chronological transcript per user, turn cap, exact span") {
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2026-01-01 10:00:00"), 7L, "view"),
+      (2L, ts("2026-01-01 10:00:05"), 7L, "click"),
+      (3L, ts("2026-01-01 10:01:00"), 7L, "purchase"),
+      // same-ts pair: event_id breaks the tie deterministically
+      (5L, ts("2026-01-02 09:00:00"), 8L, "view"),
+      (4L, ts("2026-01-02 09:00:00"), 8L, "login"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventStream.assembleDialogs(ev)
+      .select("user_id", "n_turns", "span_sec", "transcript")
+      .as[(Long, Long, Long, String)].collect().map(t => t._1 -> t).toMap
+    assert(got(7L) == ((7L, 3L, 60L, "view > click > purchase")))
+    assert(got(8L) == ((8L, 2L, 0L, "login > view")))
+    // the turn cap keeps the FIRST maxTurns events, not an arbitrary subset
+    val capped = EventStream.assembleDialogs(ev, maxTurns = 2)
+      .where(col("user_id") === 7L)
+      .select("n_turns", "transcript").as[(Long, String)].head()
+    assert(capped == ((2L, "view > click")))
+  }
+
+  test("streaming dialog assembly agrees with batch; cap bounds state, gap closes") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String)]
+    val sdf = mem.toDF.toDF("user_id", "ts", "event_id", "event_type")
+      .as[EventStream.TurnEvent]
+    val q = EventStream.assembleDialogsStream(sdf, gapMinutes = 30,
+        maxTurns = 3, useTimeout = false)
+      .writeStream.format("memory").queryName("dialog_stream")
+      .outputMode("append").start()
+    try {
+      // user 7: four turns inside the gap (4th exceeds the cap of 3),
+      // then a later event an hour on closes the dialog
+      mem.addData(Seq(
+        (7L, ts("2024-01-01 00:01:00"), 1L, "view"),
+        (7L, ts("2024-01-01 00:02:00"), 2L, "click")))
+      q.processAllAvailable()
+      mem.addData(Seq(
+        (7L, ts("2024-01-01 00:03:00"), 3L, "purchase"),
+        (7L, ts("2024-01-01 00:04:00"), 4L, "error")))
+      q.processAllAvailable()
+      mem.addData(Seq((7L, ts("2024-01-01 01:30:00"), 5L, "view")))
+      q.processAllAvailable()
+      val closed = spark.table("dialog_stream")
+        .select("user_id", "n_turns", "span_sec", "transcript", "truncated")
+        .as[(Long, Long, Long, String, Boolean)].collect().toSeq
+      // span over KEPT turns (00:01 -> 00:03), truncated flagged; the
+      // batch twin on the same capped session agrees
+      assert(closed == Seq((7L, 3L, 120L, "view > click > purchase", true)))
+      val batchTwin = EventStream.assembleDialogs(
+          Seq((1L, ts("2024-01-01 00:01:00"), 7L, "view"),
+            (2L, ts("2024-01-01 00:02:00"), 7L, "click"),
+            (3L, ts("2024-01-01 00:03:00"), 7L, "purchase"),
+            (4L, ts("2024-01-01 00:04:00"), 7L, "error"))
+            .toDF("event_id", "ts", "user_id", "event_type"), maxTurns = 3)
+        .select("n_turns", "span_sec", "transcript")
+        .as[(Long, Long, String)].head()
+      assert(batchTwin == ((3L, 120L, "view > click > purchase")))
+    } finally q.stop()
+  }
 }

@@ -137,4 +137,71 @@ class GraphSpec extends SparkSpec {
     val star = (1 to 20).map(i => (0L, i.toLong)) :+ ((1L, 2L))
     assert(graph.triangleCount(star.toDF("src", "dst")).head().getLong(0) == 1L)
   }
+
+  test("linkPredict: RA index matches hand arithmetic; adjacent pairs excluded") {
+    // path 1-2-3 plus 2-4: non-adjacent pairs through z=2 (deg 3):
+    // (1,3), (1,4), (3,4) each with cn=1, ra = scale/3
+    val edges = Seq((1L, 2L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+    val got = graph.linkPredict(edges)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val ra = 1000000000000L / 3
+    assert(got == Set((1L, 3L, 1L, ra), (1L, 4L, 1L, ra), (3L, 4L, 1L, ra)))
+    // close 1-3: that pair is now an edge and must disappear; (1,4) stays
+    val got2 = graph.linkPredict(
+        edges.union(Seq((3L, 1L)).toDF("src", "dst")))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(!got2.contains((1L, 3L)) && got2.contains((1L, 4L)))
+  }
+
+  test("linkPredict: hub neighbors above maxDeg are dropped from evidence") {
+    // hub 0 adjacent to 1..9 (deg 9); side path 1-100-2 (deg(100)=2)
+    val hub = (1 to 9).map(i => (0L, i.toLong))
+    val edges = (hub ++ Seq((1L, 100L), (100L, 2L))).toDF("src", "dst")
+    // maxDeg=5 drops z=0 as evidence: (1,2) survives via z=100 only, and
+    // (0,100) closes through BOTH of the deg-2 bridges z=1 and z=2
+    val got = graph.linkPredict(edges, maxDeg = 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 2L, 1L, 500000000000L),
+      (0L, 100L, 2L, 1000000000000L)))
+    // with the hub allowed, (1,2) has cn=2 (z=0 and z=100)
+    val loose = graph.linkPredict(edges, maxDeg = 1000)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(loose((1L, 2L)) == 2L)
+  }
+
+  test("hits: hubs point, authorities receive; fixed-point is layout-invariant") {
+    // two hubs 1,2 each point at authorities 10,11; 3 points only at 10
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (3L, 10L))
+      .toDF("src", "dst")
+    val r = graph.hits(edges, iters = 2)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // 10 has 3 in-edges vs 11's 2: strictly more authority
+    assert(r(10L)._2 > r(11L)._2 && r(11L)._2 > 0L)
+    // 1 and 2 are symmetric twin hubs: identical scores, both above 3
+    assert(r(1L) == r(2L) && r(1L)._1 > r(3L)._1)
+    // pure authorities have zero hub mass, pure hubs zero authority
+    assert(r(10L)._1 == 0L && r(1L)._2 == 0L)
+    val b = graph.hits(edges.repartition(7), iters = 2)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(b == r, "fixed-point HITS must not depend on layout")
+  }
+
+  test("bipartiteProject: co-occurrence counts with whole-basket cap") {
+    val rows = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"),       // basket 1: ab ac bc
+      (2L, "a"), (2L, "b"),                  // basket 2: ab
+      (3L, "a"), (3L, "b"), (3L, "b"),       // dup membership collapses
+      (4L, "x"), (4L, "y"), (4L, "z"), (4L, "w")) // size 4: dropped at cap 3
+      .toDF("basket", "item")
+    val got = graph.bipartiteProject(rows, "basket", "item", maxBasket = 3)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("a", "b", 3L), ("a", "c", 1L), ("b", "c", 1L)))
+    val min2 = graph.bipartiteProject(rows, "basket", "item",
+        maxBasket = 3, minCount = 2)
+      .as[(String, String, Long)].collect().toSet
+    assert(min2 == Set(("a", "b", 3L)))
+  }
 }

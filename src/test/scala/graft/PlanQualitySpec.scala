@@ -529,4 +529,35 @@ class PlanQualitySpec extends SparkSpec {
         assert(!"\\bWindow \\[".r.findFirstIn(p).isDefined, s"$q: unexpected window")
     }
   }
+
+  test("round-10 ops: plan shapes hold") {
+    // domain screen: bench host set broadcasts; the train side is
+    // filter + projection over ONE scan — no shuffle before the anti-join
+    val ds = plan("decontam_domain_screen")
+    assert(ds.contains("BroadcastExchange"), ds.take(800))
+    assert(ds.contains("LeftAnti"), ds.take(800))
+    // dialogs: the turn cap collapses to WindowGroupLimit heaps, and the
+    // cap + assembly share the user-keyed exchange (≤1 hash exchange
+    // before the output sort)
+    val dl = plan("events_dialogs")
+    assert(dl.contains("WindowGroupLimit"), dl.take(800))
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(dl).length <= 1,
+      dl.take(1200))
+    // bipartite: the basket-size cap is the streamed anti-join shape,
+    // never an fp-window buffer
+    val bp = plan("graph_bipartite")
+    assert(bp.contains("LeftAnti"), bp.take(800))
+    assert(!"\\bWindow \\[".r.findFirstIn(bp).isDefined, bp.take(800))
+    // encoding quality: row-local — zero exchanges beyond the output sort
+    val eq = plan("text_encoding_quality")
+    assert("Exchange".r.findAllIn(eq).length <= 1, eq.take(800))
+    // freshness: per-group heaps, no global sort of the corpus
+    val fr = plan("sample_freshness")
+    assert(fr.contains("WindowGroupLimit"), fr.take(800))
+    // reweight: ONE corpus scan feeds the whole plan — the target full
+    // join and both total windows operate on ≤|domains| plan rows
+    val rw = plan("sample_domain_reweight")
+    assert("Scan parquet|FileScan".r.findAllIn(rw).length == 1, rw.take(1200))
+    assert(!rw.contains("CartesianProduct"), rw.take(1200))
+  }
 }

@@ -385,4 +385,68 @@ class SampleSpec extends SparkSpec {
       .as[(Long, Long, Long, Double, Double, Double)].head()
     assert(g2 == ((10L, 1L, 2L, 0.9, 0.1, 0.8)), g2.toString)
   }
+
+  test("domainReweight: integer mixture plan with epoch cap and realized shares") {
+    // corpus: web 8000 tokens, code 1500, books 500 (total 10000)
+    val df = Seq(("web", 8000L), ("code", 1500L), ("books", 500L))
+      .toDF("domain", "toks")
+    val got = sample.domainReweight(df, "domain", col("toks"),
+        Map("web" -> 5000L, "code" -> 3000L, "books" -> 2000L), capBp = 30000L)
+      .select("domain", "n_tokens", "share_bp", "target_bp", "epochs_bp",
+        "eff_tokens", "realized_bp")
+      .orderBy("domain")
+      .as[(String, Long, Long, Long, Option[Long], Long, Long)].collect().toSeq
+    // epochs_bp: web 5000*10000/8000 = 6250; code 3000*10000/1500 = 20000;
+    // books 2000*10000/500 = 40000 -> CAPPED at 30000
+    // eff: web 8000*6250/10000 = 5000; code 1500*2 = 3000; books 500*3 = 1500
+    // eff total 9500 -> realized: 5263 / 3157 / 1578
+    assert(got == Seq(
+      ("books", 500L, 500L, 2000L, Some(30000L), 1500L, 1578L),
+      ("code", 1500L, 1500L, 3000L, Some(20000L), 3000L, 3157L),
+      ("web", 8000L, 8000L, 5000L, Some(6250L), 5000L, 5263L)), got.toString)
+    // a targeted domain with no corpus rows surfaces as a zero row (full join)
+    val missing = sample.domainReweight(df, "domain", col("toks"),
+        Map("web" -> 5000L, "wiki" -> 5000L))
+      .select("domain", "n_tokens", "share_bp", "target_bp", "epochs_bp",
+        "eff_tokens", "realized_bp")
+      .where(col("domain") === "wiki")
+      .as[(String, Long, Long, Long, Option[Long], Long, Long)].head()
+    assert(missing == (("wiki", 0L, 0L, 5000L, None, 0L, 0L)), missing.toString)
+    // an un-targeted corpus domain gets target_bp 0, epochs 0, eff 0
+    val untargeted = sample.domainReweight(df, "domain", col("toks"),
+        Map("web" -> 10000L))
+      .select("domain", "n_tokens", "share_bp", "target_bp", "epochs_bp",
+        "eff_tokens", "realized_bp")
+      .where(col("domain") === "code")
+      .as[(String, Long, Long, Long, Option[Long], Long, Long)].head()
+    assert(untargeted._4 == 0L && untargeted._5 == Some(0L) && untargeted._6 == 0L)
+  }
+
+  test("freshnessTopK: half-life shifts are exact; future rows excluded; top-k per group") {
+    val rows = Seq(
+      // (group, id, ts, weight)
+      ("a", 1L, "2026-08-01 10:00:00", 1000L), // age 13d, 0 halvings (hl=30)
+      ("a", 2L, "2026-06-01 10:00:00", 1000L), // age 74d, 2 halvings -> 250
+      ("a", 3L, "2025-08-10 10:00:00", 9000L), // age 369d, 12 halvings -> 2
+      ("a", 4L, "2026-09-01 10:00:00", 5000L), // future: excluded
+      ("b", 5L, "2026-08-14 00:00:00", 7L))    // age 0 -> 7
+      .toDF("grp", "id", "ts_s", "w")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val got = sample.freshnessTopK(rows, "grp", "id", "ts", col("w"),
+        asOf = "2026-08-14", halfLifeDays = 30, k = 2)
+      .orderBy("grp", "rnk")
+      .as[(String, Long, Long, Long, Int)].collect().toSeq
+    assert(got == Seq(
+      ("a", 1L, 13L, 1000L, 1),
+      ("a", 2L, 74L, 250L, 2),
+      ("b", 5L, 0L, 7L, 1)), got.toString)
+    // deep age saturates the shift at 62 instead of overflowing
+    val ancient = Seq(("c", 9L, "1970-01-01 00:00:00", Long.MaxValue))
+      .toDF("grp", "id", "ts_s", "w")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val s = sample.freshnessTopK(ancient, "grp", "id", "ts", col("w"),
+        asOf = "2026-08-14", halfLifeDays = 1, k = 1)
+      .select("score").as[Long].head()
+    assert(s == (Long.MaxValue >> 62), s.toString)
+  }
 }

@@ -500,4 +500,32 @@ class TextOpsSpec extends SparkSpec {
     // 'y' counts as a vowel-group char: "xyz." has one group ('y')
     assert(r(4L)._4 == 1L && r(4L)._5.isDefined)
   }
+
+  test("encodingQuality: counts replacement/control/mojibake chars; null text is clean") {
+    val docs = Seq(
+      (1L, Some("clean ascii text")),
+      (2L, Some("bad � bytes � here")),
+      (3L, Some("ctrl and bells")), // \t \n \r are NOT control hits
+      (4L, Some("tab\tnl\nok\r fine")),
+      (5L, Some("double-encoded: caf\u00C3\u00A9 and \u00E2\u20AC\u0153quoted\u00E2\u20AC")),
+      (6L, None)
+    ).toDF("doc_id", "text")
+    val r = docs.select(col("doc_id"), text.encodingQuality(col("text")).as("q"))
+      .select(col("doc_id"), col("q.n_repl"), col("q.n_ctrl"), col("q.n_moji"),
+        col("q.enc_clean"))
+      .as[(Long, Long, Long, Long, Boolean)]
+      .collect().map(t => t._1 -> t).toMap
+    assert(r(1L) == ((1L, 0L, 0L, 0L, true)))
+    assert(r(2L) == ((2L, 2L, 0L, 0L, false)))
+    assert(r(3L) == ((3L, 0L, 2L, 0L, false)))
+    assert(r(4L) == ((4L, 0L, 0L, 0L, true)), "tab/newline/cr are legitimate")
+    // '\u00C3' once + '\u00E2\u20AC' twice = 3 mojibake markers
+    assert(r(5L) == ((5L, 0L, 0L, 3L, false)))
+    assert(r(6L) == ((6L, 0L, 0L, 0L, true)), "null text: nothing proven dirty")
+    // a loosened marker budget admits light mojibake
+    val loose = docs.where(col("doc_id") === 5L)
+      .select(text.encodingQuality(col("text"), maxMoji = 3).getField("enc_clean"))
+      .as[Boolean].head()
+    assert(loose)
+  }
 }
