@@ -2842,6 +2842,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // north-star: Newman modularity of the label-propagation partition
+    // over the kNN graph — exact integer numerators (Q = Σ q_num / 4m²);
+    // the did-clustering-actually-find-structure meter.
+    "graph_modularity" -> ((s, dir) => {
+      val edges = s.read.parquet(knnEdges(s, dir))
+      graft.ops.graph.modularity(
+          edges, graft.ops.graph.labelPropagation(edges, iters = 2))
+        .orderBy(col("label"))
+    }),
+
+    // north-star: bot-regularity signals — per-user inter-event gap
+    // moments and coefficient of variation; scripted clients show LOW cv
+    // at high rate. The pre-training interaction-log hygiene filter.
+    "events_bot_score" -> ((s, dir) =>
+      EventStream.botSignals(events(s, dir), minGaps = 10)
+        .orderBy(col("user_id"))),
+
+    // north-star: last-touch attribution — each purchase credited to the
+    // user's latest prior click's campaign (props.k % 10), organic = -1;
+    // revenue in exact integer cents. One user-keyed asof shuffle.
+    "events_attribution" -> ((s, dir) =>
+      EventStream.lastTouchAttribution(events(s, dir), "purchase", "click",
+          get_json_object(col("props"), "$.k").cast("long") % 10)
+        .orderBy(col("campaign"))),
+
     // north-star: conversation assembly — per-user chronological
     // transcript (first 16 turns) with span stats; the interaction-log →
     // training-dialogue primitive.
@@ -5990,6 +6015,88 @@ object SparkEntry {
         |  AND doc_id % 37 NOT IN
         |    (SELECT DISTINCT doc_id % 37 FROM documents WHERE doc_id % 530 = 0)
         |ORDER BY doc_id""".stripMargin,
+
+    // Label-prop l2 labels (same unrolled rounds as graph_label_prop),
+    // then exact modularity numerators over the normalized undirected
+    // edge set: q_num = 4·m·e_c − d_c².
+    "graph_modularity" -> {
+      val iterCtes = (0 until 2).map { i =>
+        s"""c$i AS (SELECT u.src AS id, l.label, count(*) AS c
+           |  FROM und u JOIN l$i l ON u.dst = l.id GROUP BY 1, 2),
+           |t$i AS (SELECT id, label FROM (SELECT id, label,
+           |  row_number() OVER (PARTITION BY id ORDER BY c DESC, label ASC) AS rk
+           |  FROM c$i) WHERE rk = 1),
+           |l${i + 1} AS (SELECT nodes.id, coalesce(t$i.label, nodes.id) AS label
+           |  FROM nodes LEFT JOIN t$i USING (id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $SqlKnnCtes,
+         |e0 AS (SELECT src, dst FROM r WHERE rnk <= 3),
+         |und AS (SELECT DISTINCT src, dst FROM
+         |  (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+         |nodes AS (SELECT DISTINCT src AS id FROM und),
+         |l0 AS (SELECT id, id AS label FROM nodes),
+         |$iterCtes,
+         |u2 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM e0 WHERE src != dst),
+         |mm AS (SELECT count(*)::BIGINT AS m FROM u2),
+         |degs AS (SELECT id, count(*)::BIGINT AS d FROM
+         |  (SELECT a AS id FROM u2 UNION ALL SELECT b AS id FROM u2) GROUP BY id),
+         |ei AS (SELECT la.label, count(*)::BIGINT AS e_c FROM u2
+         |  JOIN l2 la ON u2.a = la.id JOIN l2 lb ON u2.b = lb.id
+         |  WHERE la.label = lb.label GROUP BY 1),
+         |ds AS (SELECT l2.label, count(*)::BIGINT AS n_nodes,
+         |    sum(d)::BIGINT AS degree_sum
+         |  FROM l2 JOIN degs USING (id) GROUP BY 1),
+         |f AS (SELECT ds.label, ds.n_nodes,
+         |    coalesce(ei.e_c, 0)::BIGINT AS intra_edges, ds.degree_sum,
+         |    (4 * (SELECT m FROM mm) * coalesce(ei.e_c, 0)
+         |      - ds.degree_sum * ds.degree_sum)::BIGINT AS q_num
+         |  FROM ds LEFT JOIN ei USING (label))
+         |SELECT label, n_nodes, intra_edges, degree_sum, q_num,
+         |  floor(q_num::DOUBLE / (4.0 * (SELECT m FROM mm)::DOUBLE
+         |    * (SELECT m FROM mm)::DOUBLE) * 10000.0 + 0.5) / 10000.0 AS q_4dp
+         |FROM f ORDER BY label""".stripMargin
+    },
+
+    // Exact integer gap moments (gaps in clamped whole seconds), then
+    // one rounded float formula each for mean and cv — the rel_corr
+    // discipline; the cv numerator multiplies as doubles on both sides.
+    "events_bot_score" ->
+      """WITH g0 AS (SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |g AS (SELECT user_id,
+        |    least((epoch_us(ts) - epoch_us(prev)) // 1000000, 86400)::BIGINT AS gs
+        |  FROM g0 WHERE prev IS NOT NULL),
+        |a AS (SELECT user_id, count(*)::BIGINT AS n_gaps,
+        |    sum(gs)::BIGINT AS sg, sum(gs * gs)::BIGINT AS sgg
+        |  FROM g GROUP BY 1)
+        |SELECT user_id, n_gaps,
+        |  floor(sg::DOUBLE / n_gaps::DOUBLE * 10000.0 + 0.5) / 10000.0 AS mean_gap_s,
+        |  CASE WHEN sg > 0 THEN
+        |    floor(sqrt(n_gaps::DOUBLE * sgg::DOUBLE - sg::DOUBLE * sg::DOUBLE)
+        |      / sg::DOUBLE * 10000.0 + 0.5) / 10000.0
+        |  END AS cv_gap
+        |FROM a WHERE n_gaps >= 10 ORDER BY user_id""".stripMargin,
+
+    // Decorrelated twin of the asof attribution: per purchase, the
+    // latest prior click by (ts, event_id), ties at the purchase instant
+    // inclusive; integer-cent revenue keeps the bucket sums exact.
+    "events_attribution" ->
+      """WITH conv AS (SELECT user_id, ts, event_id, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, ts, event_id,
+        |    json_extract_string(props, '$.k')::BIGINT % 10 AS camp
+        |  FROM events WHERE event_type = 'click'),
+        |a AS (SELECT c.event_id AS ceid, c.value,
+        |    (SELECT t.camp FROM t
+        |     WHERE t.user_id = c.user_id AND t.ts <= c.ts
+        |     ORDER BY t.ts DESC, t.event_id DESC LIMIT 1) AS camp
+        |  FROM conv c)
+        |SELECT coalesce(camp, -1)::BIGINT AS campaign,
+        |  count(*)::BIGINT AS n_conv,
+        |  sum(floor(value * 100)::BIGINT)::BIGINT AS revenue_c
+        |FROM a GROUP BY 1 ORDER BY campaign""".stripMargin,
 
     // Turn cap first (row_number <= 16 on the same (ts, event_id) total
     // order), then per-user assembly; span in whole seconds from

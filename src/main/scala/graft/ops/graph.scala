@@ -438,4 +438,60 @@ object graph {
       .agg(count(lit(1)).as("n_baskets"))
       .where(col("n_baskets") >= minCount)
   }
+
+  /** Newman modularity per community, EXACT: for community c with
+    * `e_c` intra-community edges and total degree `d_c` over an
+    * undirected graph of `m` edges, the contribution is
+    * `e_c/m − (d_c/2m)²`; this emits the integer numerator
+    * `q_num = 4·m·e_c − d_c²` (so `Q = Σ q_num / 4m²` — every term
+    * exact BIGINT arithmetic, q_4dp is the one rounded float alongside).
+    * The partition-quality meter for [[labelPropagation]] /
+    * [[dedup.connectedComponents]] output: dup-cluster labels that
+    * score near zero are no better than random grouping.
+    *
+    * Plan shape: edge normalization + one degree aggregation + two thin
+    * label joins keyed on node ids + two small label-keyed aggregates.
+    * `m` is the only driver-side scalar (the [[pageRank]] `n`
+    * discipline). Overflow: `4·m·e_c ≤ 4m²` stays in BIGINT below
+    * ~1.5e9 edges — beyond that, bump to DecimalType upstream.
+    *
+    * Returns `(label, n_nodes, intra_edges, degree_sum, q_num, q_4dp)`. */
+  def modularity(
+      edges: DataFrame,
+      labels: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      idCol: String = "id",
+      labelCol: String = "label"): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+      .persist()
+    val m = und.count()
+    require(m > 0, "graft: modularity needs at least one edge")
+    val deg = und.select(explode(array(col("a"), col("b"))).as("_id"))
+      .groupBy("_id").agg(count(lit(1)).as("_d"))
+    val lab = labels.select(col(idCol).as("_id"), col(labelCol).as("label"))
+    val intra = und
+      .join(lab.select(col("_id").as("a"), col("label").as("_la")), "a")
+      .join(lab.select(col("_id").as("b"), col("label").as("_lb")), "b")
+      .where(col("_la") === col("_lb"))
+      .groupBy(col("_la").as("label"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val out = lab.join(deg, "_id")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("_d")).as("degree_sum"))
+      .join(intra, Seq("label"), "left")
+      .withColumn("intra_edges", coalesce(col("intra_edges"), lit(0L)))
+      .select(col("label"), col("n_nodes"), col("intra_edges"), col("degree_sum"),
+        (lit(4L * m) * col("intra_edges") - col("degree_sum") * col("degree_sum"))
+          .as("q_num"))
+      .withColumn("q_4dp",
+        floor(col("q_num").cast("double") / lit(4.0 * m.toDouble * m.toDouble)
+          * 10000.0 + 0.5) / 10000.0)
+    und.unpersist(false)
+    out
+  }
 }

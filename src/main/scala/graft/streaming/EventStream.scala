@@ -620,6 +620,103 @@ object EventStream {
           .as("transcript"))
   }
 
+  /** Last-touch attribution: credit each conversion event to the LATEST
+    * `touchType` event of the same user at or before it (the marketing-
+    * analytics primitive; ties at the exact conversion instant count —
+    * the touch "happened first" at equal timestamps, matching
+    * [[graft.ops.asof.asofJoin]]'s right-before-left tie order, with
+    * `(touch ts, touch id)` breaking same-timestamp touch ties
+    * deterministically). Conversions with no prior touch land in the
+    * `-1` organic bucket, visible rather than dropped. Revenue is
+    * aggregated in integer cents (`floor(value·100)`) so the per-bucket
+    * sums are exact and engine-reproducible — float sums depend on
+    * reduction order.
+    *
+    * Plan shape: ONE shuffle on the user (the asof union-window idiom),
+    * then one small aggregate on the campaign key. No per-conversion
+    * subquery, no range self-join. Returns
+    * `(campaign, n_conv, revenue_c)`. */
+  def lastTouchAttribution(
+      events: DataFrame,
+      convType: String,
+      touchType: String,
+      campaign: org.apache.spark.sql.Column,
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      idCol: String = "event_id",
+      valueCol: String = "value"): DataFrame = {
+    val conv = events.where(col(typeCol) === convType)
+      .select(col(userCol), col(tsCol), col(idCol), col(valueCol))
+    val touch = events.where(col(typeCol) === touchType)
+      .select(col(userCol), col(tsCol), col(tsCol).as("_touch_ts"),
+        col(idCol).as("_touch_id"), campaign.cast("long").as("_campaign"))
+    graft.ops.asof.asofJoin(conv, touch, userCol, tsCol,
+        Seq("_touch_ts", "_touch_id", "_campaign"))
+      .groupBy(coalesce(col("_campaign"), lit(-1L)).as("campaign"))
+      .agg(count(lit(1)).as("n_conv"),
+        sum(floor(col(valueCol) * 100).cast("long")).as("revenue_c"))
+  }
+
+  /** Bot-regularity signals per user: inter-event gap statistics — gap
+    * count, mean gap, and the coefficient of variation (stddev/mean) of
+    * gaps. A scripted client fires on a timer, so its gaps are nearly
+    * constant: LOW cv at high rate is the classic bot fingerprint, and
+    * crawl/interaction corpora are filtered on exactly this signal
+    * before training. Gaps are whole seconds clamped at `capGapSec`
+    * (bounds Σg² so the integer moments never overflow: with the 86400 s
+    * default cap the sums stay in BIGINT past 10⁹ events per user).
+    *
+    * Determinism: moments (n, Σg, Σg²) are exact BIGINT; mean and cv are
+    * each ONE rounded float formula over those integers (the `rel.corr`
+    * discipline), so both engines reproduce them bit-for-bit. The cv
+    * numerator multiplies AS DOUBLES (`n·Σg²` would wrap BIGINT for a
+    * billion-event user; the double product is IEEE-identical on both
+    * engines and exact below 2⁵³ anyway).
+    * cv = sqrt(n·Σg² − (Σg)²)/Σg (population), NULL when Σg = 0 — an
+    * all-zero-gap burst has no meaningful scale and surfaces via
+    * `mean_gap_s` = 0 instead.
+    *
+    * Plan shape: one user-keyed window (lag) and one aggregation on the
+    * SAME key — a single shuffle. Returns
+    * `(userCol, n_gaps, mean_gap_s, cv_gap)` for users with ≥ `minGaps`
+    * gaps. */
+  def botSignals(
+      events: DataFrame,
+      minGaps: Int = 10,
+      capGapSec: Long = 86400L,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    require(minGaps >= 1 && capGapSec >= 1,
+      s"graft: botSignals needs minGaps >= 1, capGapSec >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val gaps = events
+      .withColumn("_prev", lag(col(tsCol), 1).over(byUser))
+      .where(col("_prev").isNotNull)
+      .select(col(userCol),
+        least(
+          (unix_micros(col(tsCol)) - unix_micros(col("_prev")))
+            .divide(lit(1000000L)).cast("long"),
+          lit(capGapSec)).as("_g"))
+    def r4(c: org.apache.spark.sql.Column) =
+      floor(c * 10000.0 + 0.5) / 10000.0
+    gaps.groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("_g")).as("_sg"),
+        sum(col("_g") * col("_g")).as("_sgg"))
+      .where(col("n_gaps") >= minGaps)
+      .select(col(userCol), col("n_gaps"),
+        r4(col("_sg").cast("double") / col("n_gaps").cast("double"))
+          .as("mean_gap_s"),
+        when(col("_sg") > 0L, r4(
+          sqrt(col("n_gaps").cast("double") * col("_sgg").cast("double")
+            - col("_sg").cast("double") * col("_sg").cast("double"))
+            / col("_sg").cast("double")))
+          .as("cv_gap"))
+  }
+
   /** One event on the stateful dialog-assembly path. */
   final case class TurnEvent(
       user_id: Long, ts: java.sql.Timestamp, event_id: Long, event_type: String)

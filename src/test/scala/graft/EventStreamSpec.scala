@@ -488,6 +488,50 @@ class EventStreamSpec extends SparkSpec {
     assert(capped == ((2L, "view > click")))
   }
 
+  test("botSignals: constant gaps -> cv 0; irregular humans score higher; cap clamps") {
+    // user 1 (bot): 6 events exactly 60 s apart -> 5 gaps, cv = 0
+    val bot = (0 until 6).map(i => (1L, ts(f"2024-01-01 00:${i}%02d:00"), i.toLong))
+    // user 2 (human): gaps 10, 300, 30, 2000, 50 s
+    val offs = Seq(0L, 10L, 310L, 340L, 2340L, 2390L)
+    val human = offs.zipWithIndex.map { case (o, i) =>
+      (2L, Timestamp.from(ts("2024-01-01 01:00:00").toInstant.plusSeconds(o)), 10L + i) }
+    val ev = (bot ++ human).toDF("user_id", "ts", "event_id")
+    val got = EventStream.botSignals(ev, minGaps = 5)
+      .orderBy("user_id")
+      .as[(Long, Long, Double, Option[Double])].collect().toSeq
+    assert(got.map(t => (t._1, t._2)) == Seq((1L, 5L), (2L, 5L)))
+    assert(got(0)._4.contains(0.0), "constant cadence must give cv exactly 0")
+    assert(got(0)._3 == 60.0)
+    assert(got(1)._4.get > 1.0, s"irregular gaps must score high, got ${got(1)._4}")
+    // the day cap clamps a pathological gap so moments stay bounded
+    val wide = Seq((3L, ts("2024-01-01 00:00:00"), 1L),
+      (3L, ts("2024-03-01 00:00:00"), 2L))
+    val capped = EventStream.botSignals(wide.toDF("user_id", "ts", "event_id"),
+        minGaps = 1)
+      .select("mean_gap_s").as[Double].head()
+    assert(capped == 86400.0)
+  }
+
+  test("lastTouchAttribution: latest prior touch wins, instant ties count, organic = -1") {
+    def ev(u: Long, t: String, ty: String, id: Long, v: Double, c: Long) =
+      (u, ts(t), ty, id, v, c)
+    val events = Seq(
+      ev(7L, "2024-01-01 00:01:00", "click", 1L, 0.0, 3L),
+      ev(7L, "2024-01-01 00:05:00", "click", 2L, 0.0, 5L),
+      // converts AFTER both clicks -> latest (camp 5)
+      ev(7L, "2024-01-01 00:06:00", "purchase", 3L, 2.5, -9L),
+      // converts at EXACTLY the first click's instant -> inclusive tie (camp 3)
+      ev(7L, "2024-01-01 00:01:00", "purchase", 4L, 1.0, -9L),
+      // user 8 never clicked -> organic bucket
+      ev(8L, "2024-01-01 00:02:00", "purchase", 5L, 4.0, -9L))
+      .toDF("user_id", "ts", "event_type", "event_id", "value", "camp")
+    val got = EventStream.lastTouchAttribution(
+        events, "purchase", "click", col("camp"))
+      .orderBy("campaign")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((-1L, 1L, 400L), (3L, 1L, 100L), (5L, 1L, 250L)), got.toString)
+  }
+
   test("streaming dialog assembly agrees with batch; cap bounds state, gap closes") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String)]

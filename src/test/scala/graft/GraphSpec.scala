@@ -189,6 +189,30 @@ class GraphSpec extends SparkSpec {
     assert(b == r, "fixed-point HITS must not depend on layout")
   }
 
+  test("modularity: exact integer numerators; two cliques + bridge score high") {
+    // two triangles joined by one bridge edge; labels = the two triangles
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L),
+      (6L, 4L), (3L, 4L)).toDF("src", "dst")
+    val labels = Seq((1L, 10L), (2L, 10L), (3L, 10L),
+      (4L, 20L), (5L, 20L), (6L, 20L)).toDF("id", "label")
+    // m=7; community 10: e_c=3, d_c = 2+2+3 = 7 -> q_num = 4*7*3 - 49 = 35
+    val got = graph.modularity(edges, labels)
+      .select("label", "n_nodes", "intra_edges", "degree_sum", "q_num")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((10L, 3L, 3L, 7L, 35L), (20L, 3L, 3L, 7L, 35L)))
+    // Q = (35+35)/(4*49) = 0.3571... — strong structure
+    val q = graph.modularity(edges, labels)
+      .agg(org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions
+        .col("q_num"))).as[Long].head()
+    assert(q == 70L)
+    // a random-ish partition (everyone its own community) scores <= 0
+    val solo = (1L to 6L).map(i => (i, i)).toDF("id", "label")
+    val qSolo = graph.modularity(edges, solo)
+      .agg(org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions
+        .col("q_num"))).as[Long].head()
+    assert(qSolo < 0L, s"singleton partition must score negative, got $qSolo")
+  }
+
   test("bipartiteProject: co-occurrence counts with whole-basket cap") {
     val rows = Seq(
       (1L, "a"), (1L, "b"), (1L, "c"),       // basket 1: ab ac bc
