@@ -503,6 +503,78 @@ object ScaleRehearsal {
     run("semantic_order")(sample.semanticOrder(
       emb, ann.seedCentroids(emb, 8)))
 
+    // ---- round-10 additions: graph analytics, curation meters, -------
+    // ---- interaction-log ops ------------------------------------------
+    // n-gram novelty: gram explode + first-occurrence ownership aggs on
+    // the clone corpus — every clone's grams are all "seen"
+    run("ngram_novelty")(dedup.ngramNovelty(docs, "text", "doc_id", n = 5))
+    run("top_ngrams", countRows = false)(dedup.topNgrams(
+      docs, "text", "doc_id", n = 3, k = 20))
+    // link prediction over the saved kNN graph: the wedge self-join is
+    // the op under test — hub cap must bound it on densified buckets
+    run("linkpred", countRows = false)(graph.linkPredict(
+      spark.read.parquet(s"$work/knn_edges"), maxDeg = 1000))
+    run("hits_2it")(graph.hits(
+      spark.read.parquet(s"$work/knn_edges"), iters = 2))
+    run("modularity", countRows = false)(graph.modularity(
+      spark.read.parquet(s"$work/knn_edges"),
+      graph.labelPropagation(spark.read.parquet(s"$work/knn_edges"), iters = 2)))
+    // bipartite projection: baskets = users, items = event-id residues —
+    // per-basket size equals per-user event density; the whole-basket
+    // cap is the discipline under test
+    run("bipartite_proj", countRows = false)(graph.bipartiteProject(
+      events.select(col("user_id"), (col("event_id") % 10000).as("item")),
+      "user_id", "item", maxBasket = 1000L, minCount = 2L))
+    // row-local screens: must stay corpus-linear
+    run("encoding_quality", countRows = false)(docs.select(col("doc_id"),
+      text.encodingQuality(col("text")).as("q")))
+    run("readability", countRows = false)(docs.select(col("doc_id"),
+      text.readability(col("text")).as("r")))
+    // mixture plan: ONE corpus aggregate however large the corpus
+    run("domain_reweight", countRows = false)(sample.domainReweight(
+      docs, "source", col("n_chars"),
+      Map("src0" -> 2500L, "src1" -> 2000L, "src2" -> 1500L, "srcX" -> 0L)))
+    run("freshness_topk", countRows = false)(sample.freshnessTopK(
+      events, "event_type", "event_id", "ts",
+      floor(col("value") * 100).cast("long"),
+      asOf = "2024-01-31", halfLifeDays = 7, k = 5))
+    // provenance screen: bench hosts broadcast, factor-x train side
+    // never shuffles
+    run("domain_screen")(decontam.domainScreen(
+      docs.where(col("doc_id") % 530 =!= 0)
+        .select(col("doc_id"), concat(lit("https://docs-"),
+          (col("doc_id") % 37).cast("string"), lit(".example.com/p/"),
+          col("doc_id").cast("string")).as("url")),
+      docs.where(col("doc_id") % 530 === 0)
+        .select(col("doc_id"), concat(lit("https://docs-"),
+          (col("doc_id") % 37).cast("string"), lit(".example.com/p/"),
+          col("doc_id").cast("string")).as("url")),
+      "url"))
+    // interaction-log family: one user-keyed shuffle each at factor-x
+    // users; dialog state capped at maxTurns
+    run("assemble_dialogs")(EventStream.assembleDialogs(events, maxTurns = 16))
+    run("attribution", countRows = false)(EventStream.lastTouchAttribution(
+      events, "purchase", "click",
+      get_json_object(col("props"), "$.k").cast("long") % 10))
+    run("bot_signals")(EventStream.botSignals(events, minGaps = 10))
+    run("preference_pairs", countRows = false)(sample.preferencePairs(
+      events.where(col("value").isNotNull)
+        .select((col("event_id") % 100000).as("grp"), col("event_id"),
+          col("value")),
+      "grp", "event_id", "value"))
+    run("acf_24", countRows = false)(EventStream.autocorr(
+      events, bucketSec = 3600, maxLag = 24))
+    run("changepoints", countRows = false)(EventStream.changepoints(
+      events, bucketSec = 3600, w = 6))
+    run("silhouette", countRows = false)(ann.silhouetteSimplified(emb))
+    run("chunk_pool", countRows = false)(ann.poolEmbeddings(
+      emb.withColumn("doc_id", col("vec_id") % 100000), "doc_id"))
+    run("time_to_convert", countRows = false)(EventStream.timeToConvert(
+      events, "view", "purchase", bucketSec = 3600L))
+    run("cluster_balance", countRows = false)(ann.ivfAssign(
+        emb, ann.seedCentroids(emb, 16))
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n")))
+
     spark.stop()
   }
 }

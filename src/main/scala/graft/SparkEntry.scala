@@ -2842,6 +2842,42 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // north-star: chunk→doc embedding rollup — fixed-point exact mean
+    // pooling (vec_id % 100 stands in for the doc of each chunk); the
+    // long-doc coarse-index builder.
+    "vec_chunk_pool" -> ((s, dir) =>
+      ann.poolEmbeddings(
+          table(s, dir, "embeddings")
+            .withColumn("doc_id", col("vec_id") % 100),
+          "doc_id")
+        .orderBy(col("doc_id"))),
+
+    // north-star: conversion-latency histogram — first view → first
+    // subsequent purchase per user, hour buckets; the funnel's "how
+    // long" companion.
+    "events_time_to_convert" -> ((s, dir) =>
+      EventStream.timeToConvert(events(s, dir), "view", "purchase",
+          bucketSec = 3600L)
+        .orderBy(col("bucket"))),
+
+    // north-star: IVF cluster-balance meter — vectors per centroid with
+    // share and load (10000 bp = perfectly even); the partition-pruning
+    // health check before trusting nprobe math.
+    "ann_cluster_balance" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val counts = ann.ivfAssign(emb, ann.seedCentroids(emb, 16))
+        .groupBy(col("cluster_id").cast("long").as("cluster_id"))
+        .agg(count(lit(1)).as("n"))
+      val w = graft.ops.windows.boundedGlobal("k-clusters", col("cluster_id"))
+      counts
+        .withColumn("_total", sum(col("n")).over(w))
+        .withColumn("_k", count(lit(1)).over(w))
+        .select(col("cluster_id"), col("n"),
+          expr("n * 10000 DIV _total").as("share_bp"),
+          expr("n * _k * 10000 DIV _total").as("load_bp"))
+        .orderBy(col("cluster_id"))
+    }),
+
     // north-star: Newman modularity of the label-propagation partition
     // over the kNN graph — exact integer numerators (Q = Σ q_num / 4m²);
     // the did-clustering-actually-find-structure meter.
@@ -6015,6 +6051,52 @@ object SparkEntry {
         |  AND doc_id % 37 NOT IN
         |    (SELECT DISTINCT doc_id % 37 FROM documents WHERE doc_id % 530 = 0)
         |ORDER BY doc_id""".stripMargin,
+
+    // Fixed-point micro-unit sums per (doc, dim), exact BIGINT, one
+    // rounded float per component; ordinality orders the list like
+    // posexplode's pos.
+    "vec_chunk_pool" ->
+      """WITH e AS (SELECT vec_id % 100 AS doc_id,
+        |    CAST(embedding AS DOUBLE[])[i] AS x, i
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)),
+        |a AS (SELECT doc_id, i, sum(floor(x * 1000000.0)::BIGINT)::BIGINT AS s,
+        |    count(*)::BIGINT AS n
+        |  FROM e GROUP BY 1, 2)
+        |SELECT doc_id, max(n)::BIGINT AS n_chunks,
+        |  list(floor(s::DOUBLE / n::DOUBLE / 100.0 + 0.5) / 10000.0
+        |    ORDER BY i) AS pooled
+        |FROM a GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // First-from, first-to-at-or-after, integer second/bucket floors.
+    "events_time_to_convert" ->
+      """WITH v AS (SELECT user_id, min(ts) AS fv FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS fp, min(v.fv) AS fv
+        |  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts >= v.fv
+        |  WHERE e.event_type = 'purchase' GROUP BY 1),
+        |d AS (SELECT user_id,
+        |    ((epoch_us(fp) - epoch_us(fv)) // 1000000) // 3600 AS bucket
+        |  FROM p)
+        |SELECT bucket, count(*)::BIGINT AS n_users
+        |FROM d GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // The IVF assignment argmin (ORDER BY dist, cid — ivfAssign's
+    // first-minimum tie rule), then integer share/load basis points over
+    // non-empty clusters.
+    "ann_cluster_balance" ->
+      s"""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e
+         |  FROM (SELECT vec_id, e FROM s ORDER BY vec_id LIMIT 16)),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT s.vec_id, c.cid, row_number() OVER (PARTITION BY s.vec_id
+         |    ORDER BY ${sqlL2Between("s.e", "c.e")}, c.cid) AS rn
+         |  FROM s, cent c) WHERE rn = 1),
+         |a AS (SELECT cid, count(*)::BIGINT AS n FROM asg GROUP BY 1),
+         |t AS (SELECT sum(n)::BIGINT AS total, count(*)::BIGINT AS k FROM a)
+         |SELECT cid::BIGINT AS cluster_id, n,
+         |  (n * 10000 // total)::BIGINT AS share_bp,
+         |  (n * k * 10000 // total)::BIGINT AS load_bp
+         |FROM a CROSS JOIN t ORDER BY cluster_id""".stripMargin,
 
     // Label-prop l2 labels (same unrolled rounds as graph_label_prop),
     // then exact modularity numerators over the normalized undirected

@@ -1030,4 +1030,44 @@ object ann {
       .map { case ((id, _, d), r) => (r, id, d) }
       .toDF("round", "center_id", "dist_sq")
   }
+
+  /** Chunk→document embedding rollup: mean-pool the chunk vectors of
+    * each document into one document vector — the standard long-doc
+    * retrieval shape (embed overlapping chunks, pool to doc level for
+    * the coarse index, keep chunks for rerank). Means are computed in
+    * 1e-6 FIXED POINT: each component is floored to micro-units, summed
+    * exactly as BIGINT, divided by the chunk count, and surfaced as an
+    * r4-rounded double — so the pooled vector is bit-identical on any
+    * engine and any partitioning (a float mean depends on reduction
+    * order; GraftProperties pins partition invariance for exactly this
+    * reason elsewhere).
+    *
+    * Plan shape: posexplode to (doc, dim) — row-local, the expansion is
+    * scan-side CPU — then ONE (doc, dim)-keyed exact sum and one
+    * doc-keyed reassembly whose per-group state is `dim` entries,
+    * bounded by construction. Works on ragged inputs but expects equal
+    * dims (the usual contract); NULL vectors are skipped.
+    *
+    * Returns `(docCol, n_chunks, pooled)` with `pooled` ordered by
+    * component index. */
+  def poolEmbeddings(
+      df: DataFrame,
+      docCol: String,
+      vecCol: String = "embedding"): DataFrame = {
+    val exploded = df
+      .where(col(vecCol).isNotNull)
+      .select(col(docCol), posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("_pos", "_x")))
+      .groupBy(col(docCol), col("_pos"))
+      .agg(sum(floor(col("_x") * 1000000.0).cast("long")).as("_s"),
+        count(lit(1)).as("_n"))
+    exploded
+      .groupBy(col(docCol))
+      .agg(max(col("_n")).as("n_chunks"),
+        sort_array(collect_list(struct(col("_pos"),
+          (floor(col("_s").cast("double") / col("_n").cast("double")
+            / 100.0 + 0.5) / 10000.0).as("_v")))).as("_pv"))
+      .select(col(docCol), col("n_chunks"),
+        transform(col("_pv"), p => p.getField("_v")).as("pooled"))
+  }
 }

@@ -717,6 +717,44 @@ object EventStream {
           .as("cv_gap"))
   }
 
+  /** Time-to-convert distribution: for each user, the gap between their
+    * FIRST `fromType` event and the first `toType` event at or after it,
+    * bucketed to `bucketSec` — one histogram row per bucket. The funnel-
+    * latency companion to [[funnel]] (which counts WHO converts; this
+    * measures HOW LONG conversion takes — the number an activation or
+    * crawl-recrawl scheduler actually consumes). Users who never convert
+    * after their first `fromType` simply have no row; count them via
+    * [[funnel]].
+    *
+    * All integer: epoch-microsecond difference, floor seconds, floor
+    * bucket — engine-exact. Plan shape: two user-keyed aggregations and
+    * one user-keyed join (one exchange reused across all three), then a
+    * tiny bucket-keyed count. Returns `(bucket, n_users)` where bucket
+    * `b` covers `[b·bucketSec, (b+1)·bucketSec)`. */
+  def timeToConvert(
+      events: DataFrame,
+      fromType: String,
+      toType: String,
+      bucketSec: Long = 3600L,
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(bucketSec >= 1, s"graft: timeToConvert needs bucketSec >= 1")
+    val firstFrom = events.where(col(typeCol) === fromType)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("_from_ts"))
+    val conv = events.where(col(typeCol) === toType)
+      .select(col(userCol), col(tsCol).as("_to_ts"))
+      .join(firstFrom, userCol)
+      .where(col("_to_ts") >= col("_from_ts"))
+      .groupBy(col(userCol))
+      .agg(min(col("_to_ts")).as("_to_ts"), min(col("_from_ts")).as("_from_ts"))
+    conv
+      .select(expr(s"((unix_micros(_to_ts) - unix_micros(_from_ts))" +
+        s" DIV 1000000) DIV $bucketSec").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** One event on the stateful dialog-assembly path. */
   final case class TurnEvent(
       user_id: Long, ts: java.sql.Timestamp, event_id: Long, event_type: String)

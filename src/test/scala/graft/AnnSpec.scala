@@ -576,4 +576,23 @@ class AnnSpec extends SparkSpec {
     assert(m(0) < 0.7, m.toString) // dragged down by the negative point
     assert(m(1) > 0.9, m.toString)
   }
+
+  test("poolEmbeddings: exact fixed-point means, null chunks skipped, layout-invariant") {
+    val rows = Seq(
+      (1L, Some(Seq(1.0f, 2.0f))),
+      (1L, Some(Seq(3.0f, 4.0f))),
+      (2L, Some(Seq(0.5f, -0.5f))),
+      (2L, None))
+      .toDF("doc_id", "embedding")
+    val got = ann.poolEmbeddings(rows, "doc_id")
+      .orderBy("doc_id")
+      .as[(Long, Long, Seq[Double])].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, Seq(2.0, 3.0)),
+      (2L, 1L, Seq(0.5, -0.5))), got.toString)
+    // partition layout must not change a single component (exact sums)
+    val shuffled = ann.poolEmbeddings(rows.repartition(7), "doc_id")
+      .orderBy("doc_id").as[(Long, Long, Seq[Double])].collect().toSeq
+    assert(shuffled == got)
+  }
 }

@@ -488,6 +488,22 @@ class EventStreamSpec extends SparkSpec {
     assert(capped == ((2L, "view > click")))
   }
 
+  test("timeToConvert: first-view to first-subsequent-purchase, bucketed; non-converters absent") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:30:00"), "purchase"),   // 30 min -> bucket 0
+      (1L, ts("2024-01-01 12:00:00"), "purchase"),   // later purchase ignored
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 12:00:00"), "purchase"),   // 2 h -> bucket 2
+      (3L, ts("2024-01-01 09:00:00"), "purchase"),   // purchase BEFORE view
+      (3L, ts("2024-01-01 10:00:00"), "view"),       //   -> never converts
+      (4L, ts("2024-01-01 10:00:00"), "view"))       // view only
+      .toDF("user_id", "ts", "event_type")
+    val got = EventStream.timeToConvert(ev, "view", "purchase", bucketSec = 3600L)
+      .orderBy("bucket").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 1L), (2L, 1L)), got.toString)
+  }
+
   test("botSignals: constant gaps -> cv 0; irregular humans score higher; cap clamps") {
     // user 1 (bot): 6 events exactly 60 s apart -> 5 gaps, cv = 0
     val bot = (0 until 6).map(i => (1L, ts(f"2024-01-01 00:${i}%02d:00"), i.toLong))
