@@ -574,6 +574,23 @@ object ScaleRehearsal {
     run("cluster_balance", countRows = false)(ann.ivfAssign(
         emb, ann.seedCentroids(emb, 16))
       .groupBy(col("cluster_id")).agg(count(lit(1)).as("n")))
+    // per-node triangles: wedge stage bounded by the degree orientation
+    run("clustering_coef", countRows = false)(graph.clusteringCoef(
+      spark.read.parquet(s"$work/knn_edges")))
+    // screens/meters that must stay one-hash-agg shaped at factor-x
+    run("k_anonymity", countRows = false)(rel.kAnonymity(
+      docs, Seq("source", "lang"), "n_chars", k = 8))
+    run("fleiss_kappa")(rel.fleissKappa(
+      events.select((col("event_id") % 200).as("item"), col("user_id"),
+        col("event_type")),
+      "item", "user_id", "event_type"))
+    run("trend")(EventStream.trend(events, bucketSec = 3600L))
+    // the full pair detector feeding the leakage meter — the banded
+    // pair stage is the cost under test, the meter adds two id joins
+    run("split_leakage")(sample.splitLeakage(
+      dedup.minhashNearDupPairs(docs, "text", "doc_id", threshold = 0.5),
+      sample.groupSplit(docs, "source", trainPct = 80, valPct = 10),
+      "doc_id"))
 
     spark.stop()
   }

@@ -2878,6 +2878,54 @@ object SparkEntry {
         .orderBy(col("cluster_id"))
     }),
 
+    // north-star: per-node local clustering coefficient over the kNN
+    // graph — exact integer basis points; a high-degree LOW-cc node is
+    // a boilerplate hub stitching unrelated docs, a high-cc node sits
+    // inside a genuine duplicate clique. Same degree-oriented wedge
+    // plan as graph_triangles, credited to all three corners.
+    "graph_clustering" -> ((s, dir) =>
+      graft.ops.graph.clusteringCoef(s.read.parquet(knnEdges(s, dir)))
+        .orderBy(col("id"))),
+
+    // north-star: k-anonymity / l-diversity privacy screen — equivalence
+    // classes of the (nation, segment) quasi-identifiers with account
+    // balance as the sensitive attribute; ONE hash agg at any scale.
+    "rel_k_anonymity" -> ((s, dir) =>
+      rel.kAnonymity(table(s, dir, "customer"),
+          Seq("c_nationkey", "c_mktsegment"), "c_acctbal", k = 8)
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))),
+
+    // north-star: Fleiss' kappa inter-annotator agreement over the same
+    // ratings shaping as rel_majority_label — one exact-integer row;
+    // kappa surfaced as num/den (signed integer division is an engine
+    // trap: Spark DIV truncates, DuckDB // floors).
+    "rel_fleiss_kappa" -> ((s, dir) =>
+      rel.fleissKappa(
+        table(s, dir, "events")
+          .select((col("event_id") % 200).as("item"), col("user_id"),
+            col("event_type")),
+        "item", "user_id", "event_type")),
+
+    // north-star: per-type OLS volume trend over hour buckets — exact
+    // integer slope as a num/den pair; the growing-or-dying meter a
+    // crawl scheduler consumes.
+    "events_trend" -> ((s, dir) =>
+      EventStream.trend(events(s, dir), bucketSec = 3600L)
+        .orderBy(col("series"))),
+
+    // north-star: split-leakage meter — the production minhash pair
+    // detector crossed with the leakage-safe source split; any
+    // crosses=1 row means a near-duplicate straddles the train/test
+    // fence and held-out metrics measure memorization.
+    "sample_split_leakage" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      sample.splitLeakage(
+          dedup.minhashNearDupPairs(docs, "text", "doc_id", threshold = 0.5),
+          sample.groupSplit(docs, "source", trainPct = 80, valPct = 10),
+          "doc_id")
+        .orderBy(col("split_a"), col("split_b"))
+    }),
+
     // north-star: Newman modularity of the label-propagation partition
     // over the kNN graph — exact integer numerators (Q = Σ q_num / 4m²);
     // the did-clustering-actually-find-structure meter.
@@ -6097,6 +6145,83 @@ object SparkEntry {
          |  (n * 10000 // total)::BIGINT AS share_bp,
          |  (n * k * 10000 // total)::BIGINT AS load_bp
          |FROM a CROSS JOIN t ORDER BY cluster_id""".stripMargin,
+
+    // The simple a<b<c three-way triangle join (like graph_triangles),
+    // but keeping corners: each triangle credits all three nodes.
+    "graph_clustering" ->
+      s"""WITH $SqlKnnCtes,
+         |ed AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM r WHERE rnk <= 3 GROUP BY 1, 2),
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM ed e1 JOIN ed e2 ON e1.b = e2.a
+         |  JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |tv AS (SELECT v, count(*)::BIGINT AS t FROM (
+         |  SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+         |  UNION ALL SELECT z FROM tri) GROUP BY 1),
+         |deg AS (SELECT v, count(*)::BIGINT AS d FROM (
+         |  SELECT a AS v FROM ed UNION ALL SELECT b FROM ed) GROUP BY 1)
+         |SELECT deg.v AS id, d AS deg, coalesce(t, 0)::BIGINT AS n_tri,
+         |  (coalesce(t, 0) * 2 * 10000 // (d * (d - 1)))::BIGINT AS cc_bp
+         |FROM deg LEFT JOIN tv ON deg.v = tv.v
+         |WHERE d >= 2 ORDER BY id""".stripMargin,
+
+    "rel_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS n,
+        |  count(DISTINCT c_acctbal)::BIGINT AS l_div,
+        |  (CASE WHEN count(*) < 8 THEN 1 ELSE 0 END)::BIGINT AS at_risk
+        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Every quotient is on non-negative integers (// == DIV there);
+    // the one signed quantity, kappa, stays a num/den pair.
+    "rel_fleiss_kappa" ->
+      """WITH src AS (SELECT event_id % 200 AS item, user_id, event_type
+        |  FROM events),
+        |cells AS (SELECT item, event_type AS label, count(*)::BIGINT AS nij
+        |  FROM src WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        |items AS (SELECT item, sum(nij)::BIGINT AS ni,
+        |    sum(nij * nij)::BIGINT AS si
+        |  FROM cells GROUP BY 1 HAVING sum(nij) >= 2),
+        |pi AS (SELECT ni, ((si - ni) * 1000000) // (ni * (ni - 1)) AS pi_ppm
+        |  FROM items),
+        |tot AS (SELECT count(*)::BIGINT AS n_items, sum(pi_ppm)::BIGINT AS sp,
+        |  sum(ni)::BIGINT AS n_ratings FROM pi),
+        |marg AS (SELECT c.label, sum(c.nij)::BIGINT AS cj
+        |  FROM cells c JOIN items i USING (item) GROUP BY 1),
+        |pj AS (SELECT (cj * 1000000) // (SELECT n_ratings FROM tot) AS pj_ppm
+        |  FROM marg),
+        |pe AS (SELECT (sum(pj_ppm * pj_ppm) // 1000000)::BIGINT AS pe_ppm FROM pj)
+        |SELECT n_items, n_ratings, (sp // n_items)::BIGINT AS pbar_ppm, pe_ppm,
+        |  ((sp // n_items) - pe_ppm)::BIGINT AS kappa_num,
+        |  (1000000 - pe_ppm)::BIGINT AS kappa_den
+        |FROM tot CROSS JOIN pe""".stripMargin,
+
+    // Rebase x per series so the OLS sums stay small; slope stays a
+    // num/den pair (signed division is the engine trap).
+    "events_trend" ->
+      """WITH b AS (SELECT event_type AS series,
+        |    (epoch_us(ts) // 1000000) // 3600 AS x, count(*)::BIGINT AS y
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT series, x - min(x) OVER (PARTITION BY series) AS xs, y
+        |  FROM b)
+        |SELECT series, count(*)::BIGINT AS n_buckets,
+        |  (count(*) * sum(xs * y) - sum(xs) * sum(y))::BIGINT AS slope_num,
+        |  (count(*) * sum(xs * xs) - sum(xs) * sum(xs))::BIGINT AS slope_den
+        |FROM r GROUP BY series ORDER BY series""".stripMargin,
+
+    // The full minhash pair chain, then each side's group-split key.
+    "sample_split_leakage" ->
+      s"""WITH $SqlMinhashPairCtes,
+         |k AS (SELECT doc_id,
+         |  ${hashing.sqlH32("(source || '/gsplit')")} % 100 AS key FROM documents),
+         |asg AS (SELECT doc_id, CASE WHEN key < 80 THEN 'train'
+         |  WHEN key < 90 THEN 'val' ELSE 'test' END AS split FROM k),
+         |p AS (SELECT least(a.split, b.split) AS split_a,
+         |    greatest(a.split, b.split) AS split_b
+         |  FROM mp JOIN asg a ON mp.id_a = a.doc_id
+         |  JOIN asg b ON mp.id_b = b.doc_id)
+         |SELECT split_a, split_b, count(*)::BIGINT AS n_pairs,
+         |  (CASE WHEN split_a <> split_b THEN 1 ELSE 0 END)::BIGINT AS crosses
+         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Label-prop l2 labels (same unrolled rounds as graph_label_prop),
     // then exact modularity numerators over the normalized undirected

@@ -743,4 +743,82 @@ object rel {
           (-col("_w.neg")).cast("double") / col("n_total").cast("double"),
           4).as("agreement"))
   }
+
+  /** k-anonymity / l-diversity screen (Sweeney 2002; Machanavajjhala et
+    * al. 2007): group rows by their quasi-identifier columns and report
+    * each equivalence class's size `n` and the number of distinct
+    * sensitive values `l_div` it contains; `at_risk` = 1 when `n < k`
+    * (a class small enough to re-identify someone). The
+    * release-this-table-or-not meter a privacy review runs before a
+    * dataset with user attributes leaves the pipeline — the PII story's
+    * structural counterpart to [[graft.ops.text.redact]]'s value-level
+    * scrubbing.
+    *
+    * Plan shape: ONE hash aggregation keyed on the quasi columns, with
+    * map-side partials — corpus-linear at any scale; the output is at
+    * most the quasi-identifier cross-product, which is what the meter
+    * measures. Returns the quasi columns + `(n, l_div, at_risk)`. */
+  def kAnonymity(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "graft: kAnonymity needs quasi columns")
+    require(k >= 2, s"graft: kAnonymity needs k >= 2, got $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col(sensitiveCol)).as("l_div"))
+      .withColumn("at_risk", (col("n") < k).cast("long"))
+  }
+
+  /** Fleiss' kappa (Fleiss 1971, generalized to per-item rater counts):
+    * chance-corrected inter-annotator agreement over a ratings table of
+    * one row per (item, rater) vote. [[majorityLabel]] resolves each
+    * item; this scores whether the raters agree more than label
+    * marginals predict — the is-this-labeling-process-trustworthy meter
+    * run before majority votes become training labels.
+    *
+    * All arithmetic is exact-integer: per-item agreement `P_i` and the
+    * marginal expectation `P_e` are parts-per-million integer quotients
+    * (`ppm`), and kappa is surfaced as a NUMERATOR/DENOMINATOR pair
+    * (`kappa = kappa_num / kappa_den`) rather than one more quotient —
+    * kappa can be negative, and Spark's `DIV` truncates toward zero
+    * while other engines floor, so a signed division would diverge
+    * engine-to-engine on the last digit. Items with fewer than 2
+    * ratings carry no agreement evidence and are excluded everywhere
+    * (including the marginals).
+    *
+    * Plan shape: two hash aggregations (cells, then items), two 1-row
+    * reductions combined by broadcast cross join — no windows, no
+    * driver collect. Returns one row
+    * `(n_items, n_ratings, pbar_ppm, pe_ppm, kappa_num, kappa_den)`. */
+  def fleissKappa(
+      df: DataFrame,
+      itemCol: String,
+      raterCol: String,
+      labelCol: String): DataFrame = {
+    val scale = 1000000L
+    val cells = df.where(col(labelCol).isNotNull)
+      .groupBy(col(itemCol).as("_item"), col(labelCol).as("_label"))
+      .agg(count(lit(1)).as("_nij"))
+    val items = cells.groupBy(col("_item"))
+      .agg(sum(col("_nij")).as("_ni"),
+        sum(col("_nij") * col("_nij")).as("_si"))
+      .where(col("_ni") >= 2)
+    val tot = items
+      .select(col("_item"), col("_ni"),
+        expr(s"((_si - _ni) * ${scale}L) DIV (_ni * (_ni - 1))").as("_pi"))
+      .agg(count(lit(1)).as("n_items"), sum(col("_pi")).as("_sp"),
+        sum(col("_ni")).as("n_ratings"))
+    val pe = cells.join(items.select(col("_item")), "_item")
+      .groupBy(col("_label")).agg(sum(col("_nij")).as("_cj"))
+      .crossJoin(broadcast(tot.select(col("n_ratings").as("_total"))))
+      .select(expr(s"(_cj * ${scale}L) DIV _total").as("_pj"))
+      .agg(expr(s"sum(_pj * _pj) DIV ${scale}L").as("pe_ppm"))
+    broadcast(tot).crossJoin(pe)
+      .select(col("n_items"), col("n_ratings"),
+        expr("_sp DIV n_items").as("pbar_ppm"), col("pe_ppm"),
+        (expr("_sp DIV n_items") - col("pe_ppm")).as("kappa_num"),
+        (lit(scale) - col("pe_ppm")).as("kappa_den"))
+  }
 }

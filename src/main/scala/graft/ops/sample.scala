@@ -840,4 +840,34 @@ object sample {
     rel.topKPerGroup(scored, Seq(col(groupCol)),
       Seq(col("score").desc, col(idCol).asc), k, "rnk")
   }
+
+  /** Split-leakage meter: cross near-dup pairs (from any detector —
+    * [[graft.ops.dedup.minhashNearDupPairs]], simhash, embedding
+    * pairs...) with a per-id split assignment and count pairs per
+    * unordered split combination. A nonzero `crosses = 1` row is a
+    * leaked eval set: a document's near-duplicate sits across the
+    * train/test fence, so held-out metrics silently measure
+    * memorization — the failure [[groupSplit]] prevents for SAME-group
+    * dups and this detects for cross-group ones (mirror sites, syndicated
+    * articles). Run after splitting, before training.
+    *
+    * Plan shape: two id-keyed joins of the (already banded, never
+    * O(n²)) pair table against the id→split map, then a ≤ |splits|²
+    * aggregation. Returns `(split_a, split_b, n_pairs, crosses)` with
+    * `split_a <= split_b`. */
+  def splitLeakage(
+      pairs: DataFrame,
+      assign: DataFrame,
+      idCol: String,
+      splitCol: String = "split",
+      idACol: String = "id_a",
+      idBCol: String = "id_b"): DataFrame = {
+    val a = assign.select(col(idCol).as(idACol), col(splitCol).as("_sa"))
+    val b = assign.select(col(idCol).as(idBCol), col(splitCol).as("_sb"))
+    pairs.join(a, idACol).join(b, idBCol)
+      .groupBy(least(col("_sa"), col("_sb")).as("split_a"),
+        greatest(col("_sa"), col("_sb")).as("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("crosses", (col("split_a") =!= col("split_b")).cast("long"))
+  }
 }

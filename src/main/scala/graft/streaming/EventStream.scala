@@ -755,6 +755,44 @@ object EventStream {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Per-series OLS trend of event volume: bucket each series' events to
+    * `bucketSec`, rebase bucket indexes to the series' first bucket, and
+    * fit count-vs-time by least squares — surfaced as the EXACT integer
+    * pair `slope = slope_num / slope_den` (`n·Σxy − Σx·Σy` over
+    * `n·Σx² − (Σx)²`), since the slope is signed and a signed integer
+    * division rounds differently across engines. The
+    * is-this-source-growing-or-dying meter behind crawl scheduling and
+    * mixture rebalancing; [[ewma]] smooths level, this measures drift.
+    *
+    * Plan shape: one (series, bucket) hash count, one series-keyed
+    * window for the rebase (per-series state = its bucket count, bounded
+    * by time-range/bucketSec), one series-keyed aggregation of the five
+    * OLS sums. With rebased x ≤ buckets-per-series, the BIGINT sums
+    * overflow only past ~10⁶ buckets per series — centuries of hourly
+    * data. Returns `(series, n_buckets, slope_num, slope_den)`;
+    * `slope_den` = 0 iff the series has one bucket (slope undefined). */
+  def trend(
+      events: DataFrame,
+      bucketSec: Long = 3600L,
+      seriesCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(bucketSec >= 1, s"graft: trend needs bucketSec >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val b = events
+      .select(col(seriesCol).as("series"),
+        expr(s"(unix_micros($tsCol) DIV 1000000) DIV $bucketSec").as("_x"))
+      .groupBy(col("series"), col("_x"))
+      .agg(count(lit(1)).as("_y"))
+    val rebased = b.withColumn("_xs",
+      col("_x") - min(col("_x")).over(Window.partitionBy(col("series"))))
+    rebased.groupBy(col("series"))
+      .agg(count(lit(1)).as("n_buckets"),
+        (count(lit(1)) * sum(col("_xs") * col("_y"))
+          - sum(col("_xs")) * sum(col("_y"))).as("slope_num"),
+        (count(lit(1)) * sum(col("_xs") * col("_xs"))
+          - sum(col("_xs")) * sum(col("_xs"))).as("slope_den"))
+  }
+
   /** One event on the stateful dialog-assembly path. */
   final case class TurnEvent(
       user_id: Long, ts: java.sql.Timestamp, event_id: Long, event_type: String)

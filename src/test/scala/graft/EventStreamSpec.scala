@@ -504,6 +504,26 @@ class EventStreamSpec extends SparkSpec {
     assert(got == Seq((0L, 1L), (2L, 1L)), got.toString)
   }
 
+  test("trend: exact OLS num/den per series; one-bucket series has den 0") {
+    val ev = (
+      // "up": counts 1, 2, 3 in hours 0, 1, 2 -> slope exactly 1 (6/6)
+      Seq((1L, ts("2024-01-01 00:00:00"), "up")) ++
+      Seq.fill(2)((1L, ts("2024-01-01 01:00:00"), "up")) ++
+      Seq.fill(3)((1L, ts("2024-01-01 02:00:00"), "up")) ++
+      // "flat": 2 then 2 -> slope 0/1
+      Seq.fill(2)((2L, ts("2024-01-01 00:00:00"), "flat")) ++
+      Seq.fill(2)((2L, ts("2024-01-01 01:00:00"), "flat")) ++
+      // "once": a single bucket -> slope undefined, den 0
+      Seq((3L, ts("2024-01-01 00:00:00"), "once")))
+      .toDF("user_id", "ts", "event_type")
+    val got = EventStream.trend(ev, bucketSec = 3600L)
+      .orderBy("series").as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("flat", 2L, 0L, 1L),
+      ("once", 1L, 0L, 0L),
+      ("up", 3L, 6L, 6L)), got.toString)
+  }
+
   test("botSignals: constant gaps -> cv 0; irregular humans score higher; cap clamps") {
     // user 1 (bot): 6 events exactly 60 s apart -> 5 gaps, cv = 0
     val bot = (0 until 6).map(i => (1L, ts(f"2024-01-01 00:${i}%02d:00"), i.toLong))

@@ -228,4 +228,26 @@ class GraphSpec extends SparkSpec {
       .as[(String, String, Long)].collect().toSet
     assert(min2 == Set(("a", "b", 3L)))
   }
+
+  test("clusteringCoef: triangle corners are cliques, bridge dilutes, pendant excluded") {
+    // triangle 1-2-3 plus pendant edge 3-4
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst")
+    val got = graph.clusteringCoef(edges)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (id, d, t, cc) => id -> ((d, t, cc)) }.toMap
+    assert(got == Map(
+      1L -> ((2L, 1L, 10000L)),          // both neighbors linked
+      2L -> ((2L, 1L, 10000L)),
+      3L -> ((3L, 1L, 3333L))),          // 1 of 3 neighbor pairs linked
+      got.toString)                       // node 4: deg 1, excluded
+  }
+
+  test("clusteringCoef: direction and duplicate edges are normalized away") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val got = graph.clusteringCoef(edges)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1L, 2L, 1L, 10000L), (2L, 2L, 1L, 10000L),
+      (3L, 2L, 1L, 10000L)), got.toString)
+  }
 }

@@ -510,4 +510,34 @@ class RelSpec extends SparkSpec {
       (3L, "x", 1L, 1L, 1.0),
       (4L, "solo", 1L, 1L, 1.0)), got.toString)
   }
+
+  test("kAnonymity: class sizes, sensitive diversity, and the k flag") {
+    val rows = Seq(
+      ("20s", "94110", 100), ("20s", "94110", 100), ("20s", "94110", 200),
+      ("30s", "94110", 300),                        // singleton: at risk
+      ("30s", "10001", 400), ("30s", "10001", 400)) // l_div = 1: no diversity
+      .toDF("age_band", "zip", "salary")
+    val got = rel.kAnonymity(rows, Seq("age_band", "zip"), "salary", k = 2)
+      .orderBy("age_band", "zip")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("20s", "94110", 3L, 2L, 0L),
+      ("30s", "10001", 2L, 1L, 0L),
+      ("30s", "94110", 1L, 1L, 1L)), got.toString)
+  }
+
+  test("fleissKappa: textbook two-item case; single-rating items excluded") {
+    // item 1: unanimous (a, a); item 2: split (a, b); item 3: one rating
+    // P1 = 1, P2 = 0 -> pbar = .5; marginals over kept: a=3/4, b=1/4 ->
+    // pe = .625; kappa = (.5 - .625)/(1 - .625) = -1/3
+    val votes = Seq(
+      (1L, 10L, "a"), (1L, 11L, "a"),
+      (2L, 10L, "a"), (2L, 11L, "b"),
+      (3L, 10L, "c"))
+      .toDF("item", "rater", "label")
+    val got = rel.fleissKappa(votes, "item", "rater", "label")
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(got == ((2L, 4L, 500000L, 625000L, -125000L, 375000L)),
+      got.toString)
+  }
 }

@@ -449,4 +449,21 @@ class SampleSpec extends SparkSpec {
       .select("score").as[Long].head()
     assert(s == (Long.MaxValue >> 62), s.toString)
   }
+
+  test("splitLeakage: pair counts per unordered split combination, crosses flagged") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (4L, 5L), (6L, 7L))
+      .toDF("id_a", "id_b")
+    val assign = Seq(
+      (1L, "train"), (2L, "train"), (3L, "test"),
+      (4L, "test"), (5L, "train"), (6L, "val"), (7L, "val"))
+      .toDF("doc_id", "split")
+    val got = sample.splitLeakage(pairs, assign, "doc_id")
+      .orderBy("split_a", "split_b")
+      .as[(String, String, Long, Long)].collect().toSeq
+    // (4,5) lands in the same unordered (test, train) cell as (1,3)
+    assert(got == Seq(
+      ("test", "train", 2L, 1L),
+      ("train", "train", 1L, 0L),
+      ("val", "val", 1L, 0L)), got.toString)
+  }
 }
