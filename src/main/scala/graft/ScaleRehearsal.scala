@@ -591,6 +591,14 @@ object ScaleRehearsal {
       dedup.minhashNearDupPairs(docs, "text", "doc_id", threshold = 0.5),
       sample.groupSplit(docs, "source", trainPct = 80, valPct = 10),
       "doc_id"))
+    // binary-quantized serving: the coarse packed-Hamming scan is the
+    // cost under test — must stay one bounded top-k pass at factor-x
+    run("binary_topk", countRows = false)(ann.binarySearch(
+      graft.core.VecStore(emb), (0 until 64).map(i => math.sin(i + 1.0)),
+      k = 10, candK = 40))
+    run("cuped")(EventStream.cuped(events, cutoff = "2024-01-15",
+      variant = col("user_id") % 2))
+    run("top_paths")(EventStream.topPaths(events, n = 3, topK = 20))
 
     spark.stop()
   }

@@ -641,6 +641,22 @@ object SparkEntry {
           prefixDims = 16, candK = 40)
         .select(col("vec_id"), col("score"), col("label"))),
 
+    // north-star: binary-quantization serving — coarse stage is packed
+    // sign-bit Hamming (XOR + popcount per 63 dims, 16 bytes scanned
+    // per row instead of 256), exact cosine rerank on the 40-candidate
+    // pool; the oracle computes the SAME coarse score the unpacked way,
+    // so a hash match proves the packed kernel feeding candidate
+    // selection, not just final ordering.
+    "vec_binary_topk" -> ((s, dir) =>
+      ann.binarySearch(embStore(s, dir), Q1, k = 10, candK = 40)
+        .select(col("vec_id"), col("score"), col("label"))),
+
+    // north-star: binary-quantization recall meter — run before
+    // persisting sign-bit codes; recall is a property of the space.
+    "ann_binary_recall" -> ((s, dir) =>
+      ann.binaryRecallAtK(embStore(s, dir), Seq(Q1, Q2), k = 10,
+        candK = 40)),
+
     // north-star: greedy k-center (farthest-point) coreset selection —
     // 6 rounds, each one full scan with the chosen centers riding the
     // plan as literals and a single-row TakeOrderedAndProject; the
@@ -2913,6 +2929,19 @@ object SparkEntry {
       EventStream.trend(events(s, dir), bucketSec = 3600L)
         .orderBy(col("series"))),
 
+    // north-star: CUPED experiment readout — per-variant exact sums of
+    // pre-period X / post-period Y plus the pooled theta as num/den;
+    // the variance-reduced A/B number assembles downstream in floats.
+    "events_cuped" -> ((s, dir) =>
+      EventStream.cuped(events(s, dir), cutoff = "2024-01-15",
+          variant = col("user_id") % 2)
+        .orderBy(col("variant"))),
+
+    // north-star: top entry paths — each user's first 3 events joined
+    // into a path string, counted; deterministic (ts, event_id) order.
+    "events_top_paths" -> ((s, dir) =>
+      EventStream.topPaths(events(s, dir), n = 3, topK = 20)),
+
     // north-star: split-leakage meter — the production minhash pair
     // detector crossed with the leakage-safe source split; any
     // crosses=1 row means a near-duplicate straddles the train/test
@@ -3897,6 +3926,49 @@ object SparkEntry {
          |)
          |SELECT vec_id, score, label FROM s
          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+    },
+
+    // Coarse score computed the UNPACKED way (per-coordinate sign
+    // mismatch count) against the packed-kernel plan.
+    "vec_binary_topk" -> {
+      val qb = Q1.map(x => if (x >= 0) 1.0 else 0.0)
+      s"""WITH h AS (
+         |  SELECT vec_id, label, $E AS e,
+         |    list_sum(list_transform(list_zip(
+         |      list_transform($E, x -> CASE WHEN x >= 0 THEN 1.0 ELSE 0.0 END),
+         |      ${sqlVec(qb)}),
+         |      p -> CASE WHEN p[1] = p[2] THEN 0.0 ELSE 1.0 END)) AS ham
+         |  FROM embeddings
+         |), c AS (
+         |  SELECT vec_id, label, e FROM h ORDER BY ham ASC, vec_id LIMIT 40
+         |), s AS (
+         |  SELECT vec_id, label, ${r4(sqlCosineOn("e", Q1))} AS score FROM c
+         |)
+         |SELECT vec_id, score, label FROM s
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+    },
+
+    "ann_binary_recall" -> {
+      def stages(i: Int, q: Seq[Double]): String = {
+        val qb = q.map(x => if (x >= 0) 1.0 else 0.0)
+        s"""ex$i AS (SELECT vec_id FROM (SELECT vec_id, ${r4(sqlCosineOn("e", q))} AS score
+           |  FROM s ORDER BY score DESC, vec_id LIMIT 10)),
+           |pool$i AS (SELECT vec_id, e FROM (
+           |  SELECT vec_id, e,
+           |    list_sum(list_transform(list_zip(
+           |      list_transform(e, x -> CASE WHEN x >= 0 THEN 1.0 ELSE 0.0 END),
+           |      ${sqlVec(qb)}),
+           |      p -> CASE WHEN p[1] = p[2] THEN 0.0 ELSE 1.0 END)) AS ham
+           |  FROM s ORDER BY ham ASC, vec_id LIMIT 40)),
+           |ap$i AS (SELECT vec_id FROM (SELECT vec_id, ${r4(sqlCosineOn("e", q))} AS score
+           |  FROM pool$i ORDER BY score DESC, vec_id LIMIT 10)),
+           |h$i AS (SELECT $i AS q_idx, count(*) AS hits FROM ex$i JOIN ap$i USING (vec_id))""".stripMargin
+      }
+      s"""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |${stages(0, Q1)},
+         |${stages(1, Q2)}
+         |SELECT q_idx, hits, hits::DOUBLE / 10.0::DOUBLE AS recall
+         |FROM (SELECT * FROM h0 UNION ALL SELECT * FROM h1) ORDER BY q_idx""".stripMargin
     },
 
     // Gonzalez greedy unrolled: d_r = least(d_{r-1}, quantized pairwise
@@ -6207,6 +6279,31 @@ object SparkEntry {
         |  (count(*) * sum(xs * y) - sum(xs) * sum(y))::BIGINT AS slope_num,
         |  (count(*) * sum(xs * xs) - sum(xs) * sum(xs))::BIGINT AS slope_den
         |FROM r GROUP BY series ORDER BY series""".stripMargin,
+
+    // Pooled theta over ALL users' (x, y); signed, so num/den only.
+    "events_cuped" ->
+      """WITH per AS (SELECT user_id, user_id % 2 AS variant,
+        |    sum(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END)::BIGINT AS x,
+        |    sum(CASE WHEN ts >= TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END)::BIGINT AS y
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |  sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+        |  sum(x * x)::BIGINT AS sxx FROM per)
+        |SELECT variant, count(*)::BIGINT AS n_users, sum(x)::BIGINT AS sum_x,
+        |  sum(y)::BIGINT AS sum_y,
+        |  (SELECT n * sxy - sx * sy FROM t)::BIGINT AS theta_num,
+        |  (SELECT n * sxx - sx * sx FROM t)::BIGINT AS theta_den
+        |FROM per GROUP BY variant ORDER BY variant""".stripMargin,
+
+    // string_agg ordered by the same (ts, event_id) rank.
+    "events_top_paths" ->
+      """WITH r AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (SELECT user_id, string_agg(event_type, ' > ' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 3 GROUP BY user_id)
+        |SELECT path, count(*)::BIGINT AS n_users FROM p
+        |GROUP BY path ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
 
     // The full minhash pair chain, then each side's group-split key.
     "sample_split_leakage" ->

@@ -922,6 +922,55 @@ object ann {
     recallOf(store, queries, k)((st, q) =>
       matryoshkaSearch(st, q, k, prefixDims, candK))
 
+  /** Binary-quantization serving (the sign-bit codes of
+    * [[graft.functions.vectors.signBitsPacked]], the scheme behind
+    * "binary embeddings": Charikar 2002 hyperplane rounding at the
+    * coordinate axes): coarse stage scans 63-bit PACKED words — one XOR
+    * + popcount per 63 dims, a 16× scan-byte reduction at 64 dims —
+    * pools the `candK` Hamming-closest rows, and an exact cosine rerank
+    * orders the final `k`. Same two-stage contract as
+    * [[matryoshkaSearch]], both stages bounded top-k
+    * (TakeOrderedAndProject), no shuffle beyond them.
+    *
+    * On a 100 TB corpus the packed codes are what you PERSIST (16
+    * bytes/row vs 256); here they're derived in-scan from the float
+    * column so the query stays self-contained — the kernel and its
+    * candidate math are identical either way. */
+  def binarySearch(
+      store: VecStore,
+      q: Seq[Double],
+      k: Int,
+      dim: Int = 64,
+      candK: Int = 0): DataFrame = {
+    require(k >= 1, s"graft: binarySearch needs k >= 1, got $k")
+    val cand = math.max(k, if (candK > 0) candK else 4 * k)
+    val coarse = vectors.hammingPacked(
+      vectors.signBitsPacked(col(store.vecCol), dim),
+      vectors.longArrayLit(vectors.signBitsPackedOf(q)))
+    val pool = store.df
+      .withColumn("_bq_score", coarse)
+      .orderBy(col("_bq_score").asc, col(store.idCol).asc)
+      .limit(cand)
+    store.copy(df = pool.drop("_bq_score"))
+      .query(q, Metric.Cosine)
+      .take(k)
+      .withScoreRounding(4)
+      .collect()
+  }
+
+  /** Recall@k of [[binarySearch]] against the exact scan — the
+    * is-1-bit-enough meter to run before persisting sign-bit codes:
+    * binary recall is a property of how the embedding space uses its
+    * signs, not of the algorithm. */
+  def binaryRecallAtK(
+      store: VecStore,
+      queries: Seq[Seq[Double]],
+      k: Int,
+      dim: Int = 64,
+      candK: Int = 0): DataFrame =
+    recallOf(store, queries, k)((st, q) =>
+      binarySearch(st, q, k, dim, candK))
+
   /** Label-noise screen via kNN label disagreement (Confident-Learning-
     * adjacent, the kNN form: Zhu et al. 2022 "Detecting Corrupted
     * Labels Without Training a Model to Predict"): a point whose

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Event-stream operators, written once against the unified
@@ -791,6 +791,84 @@ object EventStream {
           - sum(col("_xs")) * sum(col("_y"))).as("slope_num"),
         (count(lit(1)) * sum(col("_xs") * col("_xs"))
           - sum(col("_xs")) * sum(col("_xs"))).as("slope_den"))
+  }
+
+  /** CUPED experiment readout (Deng, Xu, Kohavi & Walker, WSDM 2013):
+    * per-user pre-period activity X (events before `cutoff`) and
+    * post-period metric Y, per-variant exact sums, and the pooled
+    * regression coefficient `theta = cov(X,Y)/var(X)` as a NUM/DEN pair
+    * (`n·Σxy − Σx·Σy` over `n·Σx² − (Σx)²` — the [[trend]] OLS shape;
+    * theta is signed, so no integer quotient is taken). The
+    * variance-reduction readout an experimentation platform computes:
+    * adjusted variant mean = `mean(Y) − θ·(mean(X) − mean(X_all))`,
+    * assembled downstream in floats from these exact sums.
+    *
+    * Plan shape: one user-keyed aggregation (variant rides the group
+    * key), then a per-variant rollup and a 1-row pooled reduction glued
+    * back by broadcast — no windows, no second pass over the events.
+    * Returns `(variant, n_users, sum_x, sum_y, theta_num, theta_den)`. */
+  def cuped(
+      events: DataFrame,
+      cutoff: String,
+      variant: Column,
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val per = events.groupBy(col(userCol), variant.as("variant"))
+      .agg(
+        sum(when(col(tsCol) < lit(cutoff).cast("timestamp"), 1L)
+          .otherwise(0L)).as("_x"),
+        sum(when(col(tsCol) >= lit(cutoff).cast("timestamp"), 1L)
+          .otherwise(0L)).as("_y"))
+    val pooled = per.agg(count(lit(1)).as("_n"),
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum(col("_x") * col("_y")).as("_sxy"),
+        sum(col("_x") * col("_x")).as("_sxx"))
+      .select(
+        (col("_n") * col("_sxy") - col("_sx") * col("_sy")).as("theta_num"),
+        (col("_n") * col("_sxx") - col("_sx") * col("_sx")).as("theta_den"))
+    per.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("_x")).as("sum_x"), sum(col("_y")).as("sum_y"))
+      .crossJoin(broadcast(pooled))
+  }
+
+  /** Top entry paths: each user's first `n` events in event-time order,
+    * joined into one `a > b > c` path string, counted across users —
+    * the what-do-people-do-first product-analytics staple
+    * ([[transitions]] is the one-step Markov view; this keeps order up
+    * to depth `n`). Ties in `ts` break on the event id, so the path is
+    * deterministic on any engine.
+    *
+    * Plan shape: the rank filter compiles to WindowGroupLimit (per-task
+    * n-row heaps per user — never a full per-user sort), then one
+    * user-keyed assembly whose state is ≤ n entries, then a tiny
+    * path-keyed count with a bounded top-`topK`. Returns
+    * `(path, n_users)`. */
+  def topPaths(
+      events: DataFrame,
+      n: Int = 3,
+      topK: Int = 20,
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    require(n >= 1 && topK >= 1,
+      s"graft: topPaths needs n >= 1 and topK >= 1, got $n, $topK")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val paths = events
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= n)
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(
+        struct(col("_rn"), col(typeCol).as("_t")))).as("_s"))
+      .select(array_join(
+        transform(col("_s"), p => p.getField("_t")), " > ").as("path"))
+    paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(topK)
   }
 
   /** One event on the stateful dialog-assembly path. */

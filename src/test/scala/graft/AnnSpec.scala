@@ -518,6 +518,29 @@ class AnnSpec extends SparkSpec {
     tight.foreach { case (id, s) => assert(allScores(id) == s, s"id $id") }
   }
 
+  test("binarySearch: sign-faithful coarse stage; full pool equals exact search") {
+    val q = vec(1000)
+    val exact = store.query(q, Metric.Cosine).take(5).withScoreRounding(4)
+      .collect().select("vec_id", "score").as[(Long, Double)].collect().toSeq
+    // candK = all rows → the rerank sees everything: exact top-k back
+    val wide = ann.binarySearch(store, q, k = 5, dim = dim, candK = 200)
+      .select("vec_id", "score").as[(Long, Double)].collect().toSeq
+    assert(wide == exact)
+    // tight pool: still k rows, every score is a true cosine from the
+    // exact full ranking (the coarse stage only selects, never scores)
+    val allScores = store.query(q, Metric.Cosine).take(200).withScoreRounding(4)
+      .collect().select("vec_id", "score").as[(Long, Double)].collect().toMap
+    val tight = ann.binarySearch(store, q, k = 5, dim = dim, candK = 10)
+      .select("vec_id", "score").as[(Long, Double)].collect().toSeq
+    assert(tight.size == 5)
+    tight.foreach { case (id, s) => assert(allScores(id) == s, s"id $id") }
+    // the recall meter agrees with a hand count of the tight pool
+    val r = ann.binaryRecallAtK(store, Seq(q), k = 5, dim = dim, candK = 10)
+      .select("hits").as[Long].head()
+    val tightIds = tight.map(_._1).toSet
+    assert(r == exact.map(_._1).count(tightIds), r.toString)
+  }
+
   test("labelNoise: a planted flipped label tops the queue at 10000 bp") {
     // two tight, well-separated clusters with uniform labels; flip one
     // point in cluster 0 → all its neighbors disagree

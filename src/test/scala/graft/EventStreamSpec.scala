@@ -524,6 +524,40 @@ class EventStreamSpec extends SparkSpec {
       ("up", 3L, 6L, 6L)), got.toString)
   }
 
+  test("cuped: per-variant exact sums plus pooled theta num/den") {
+    val ev = (
+      Seq.fill(2)((1L, ts("2024-01-10 10:00:00"))) ++  // u1: x=2
+      Seq((1L, ts("2024-01-20 10:00:00"))) ++          //     y=1
+      Seq((2L, ts("2024-01-10 10:00:00"))) ++          // u2: x=1
+      Seq.fill(3)((2L, ts("2024-01-20 10:00:00"))) ++  //     y=3
+      Seq.fill(2)((3L, ts("2024-01-20 10:00:00"))))    // u3: x=0, y=2
+      .toDF("user_id", "ts")
+    // pooled: n=3 sx=3 sy=6 sxy=5 sxx=5 -> theta = -3/6
+    val got = EventStream.cuped(ev, cutoff = "2024-01-15",
+        variant = col("user_id") % 2)
+      .orderBy("variant")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 1L, 1L, 3L, -3L, 6L),
+      (1L, 2L, 2L, 3L, -3L, 6L)), got.toString)
+  }
+
+  test("topPaths: first-n path strings in (ts, event_id) order, counted") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "click"),
+      (1L, ts("2024-01-01 10:02:00"), 3L, "buy"),
+      (1L, ts("2024-01-01 10:03:00"), 4L, "view"),   // beyond n=3: ignored
+      (2L, ts("2024-01-01 11:00:00"), 5L, "view"),
+      (2L, ts("2024-01-01 11:00:00"), 6L, "click"),  // ts tie -> event_id
+      (2L, ts("2024-01-01 11:05:00"), 7L, "buy"),
+      (3L, ts("2024-01-01 12:00:00"), 8L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventStream.topPaths(ev, n = 3, topK = 20)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("view > click > buy", 2L), ("view", 1L)), got.toString)
+  }
+
   test("botSignals: constant gaps -> cv 0; irregular humans score higher; cap clamps") {
     // user 1 (bot): 6 events exactly 60 s apart -> 5 gaps, cv = 0
     val bot = (0 until 6).map(i => (1L, ts(f"2024-01-01 00:${i}%02d:00"), i.toLong))

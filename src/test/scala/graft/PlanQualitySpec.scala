@@ -560,4 +560,29 @@ class PlanQualitySpec extends SparkSpec {
     assert("Scan parquet|FileScan".r.findAllIn(rw).length == 1, rw.take(1200))
     assert(!rw.contains("CartesianProduct"), rw.take(1200))
   }
+
+  test("round-10 session-4 ops: plan shapes hold") {
+    // clustering coefficient: the wedge stage stays a keyed join
+    val cc = plan("graph_clustering")
+    assert(!cc.contains("CartesianProduct"), cc.take(1200))
+    // k-anonymity: ONE hash aggregation over one scan, no join anywhere
+    val ka = plan("rel_k_anonymity")
+    assert(!ka.contains("Join"), ka.take(1200))
+    assert("Scan parquet|FileScan".r.findAllIn(ka).length == 1, ka.take(1200))
+    // kappa: the 1-row reductions combine by broadcast, never cartesian
+    val fk = plan("rel_fleiss_kappa")
+    assert(fk.contains("BroadcastNestedLoopJoin") || fk.contains("BroadcastExchange"),
+      fk.take(1200))
+    assert(!fk.contains("CartesianProduct"), fk.take(1200))
+    // trend: pure aggregation pipeline — no join; the rebase window is
+    // series-keyed, not global
+    val tr = plan("events_trend")
+    assert(!tr.contains("Join"), tr.take(1200))
+    assert(!tr.contains("Window [") || tr.contains("windowspecdefinition(series"),
+      tr.take(1500))
+    // split leakage: the pair detector's banded shape survives the two
+    // assignment joins — still no cartesian
+    val sl = plan("sample_split_leakage")
+    assert(!sl.contains("CartesianProduct"), sl.take(1200))
+  }
 }
