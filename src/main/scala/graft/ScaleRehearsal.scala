@@ -599,6 +599,14 @@ object ScaleRehearsal {
     run("cuped")(EventStream.cuped(events, cutoff = "2024-01-15",
       variant = col("user_id") % 2))
     run("top_paths")(EventStream.topPaths(events, n = 3, topK = 20))
+    // components on the densified 1-NN graph: CC rounds + driver gate
+    // are the discipline under test
+    run("components", countRows = false)(dedup.connectedComponents(
+      ann.knnGraph(emb, k = 1, nbits = 6)
+        .select(col("src").as("id_a"), col("dst").as("id_b")))
+      .groupBy(col("rep")).agg(count(lit(1)).as("n_nodes")))
+    run("dim_stats", countRows = false)(ann.dimStats(emb))
+    run("seasonality", countRows = false)(EventStream.seasonality(events))
 
     spark.stop()
   }

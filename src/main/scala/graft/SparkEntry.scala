@@ -2955,6 +2955,33 @@ object SparkEntry {
         .orderBy(col("split_a"), col("split_b"))
     }),
 
+    // north-star: connected components of the 1-NN graph (each vector's
+    // single nearest neighbor) — NN-chain micro-clusters, surfaced as a
+    // component-size table; the CC machinery is the audited large-star/
+    // small-star loop dedup clustering runs.
+    "graph_components" -> ((s, dir) => {
+      val edges = ann.knnGraph(table(s, dir, "embeddings"), k = 1, nbits = 6)
+        .select(col("src").as("id_a"), col("dst").as("id_b"))
+      dedup.connectedComponents(edges)
+        .groupBy(col("rep").as("component"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("component"))
+    }),
+
+    // north-star: per-dimension embedding health — dead/collapsed-dim
+    // screen with exact fixed-point sums; variance quotient is the one
+    // division and its numerator is non-negative by Cauchy-Schwarz.
+    "vec_dim_stats" -> ((s, dir) =>
+      ann.dimStats(table(s, dir, "embeddings"))
+        .orderBy(col("dim"))),
+
+    // north-star: day-of-week × hour-of-day traffic profile — pure
+    // integer calendar arithmetic, basis-point shares over the ≤168-row
+    // grid.
+    "events_seasonality" -> ((s, dir) =>
+      EventStream.seasonality(events(s, dir))
+        .orderBy(col("dow"), col("hod"))),
+
     // north-star: Newman modularity of the label-propagation partition
     // over the kNN graph — exact integer numerators (Q = Σ q_num / 4m²);
     // the did-clustering-actually-find-structure meter.
@@ -6304,6 +6331,43 @@ object SparkEntry {
         |  FROM r WHERE rn <= 3 GROUP BY user_id)
         |SELECT path, count(*)::BIGINT AS n_users FROM p
         |GROUP BY path ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
+
+    // Transitive closure over the rnk<=1 edge set; rep = least reachable
+    // id (the dedup_cluster recursive-CTE pattern on the kNN CTEs).
+    "graph_components" ->
+      s"""WITH RECURSIVE $SqlKnnCtes,
+         |ed AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM r WHERE rnk <= 1 GROUP BY 1, 2),
+         |e AS (SELECT a AS u, b AS v FROM ed UNION SELECT b, a FROM ed),
+         |cl AS (SELECT u, v FROM e
+         |       UNION SELECT cl.u, e.v FROM cl JOIN e ON cl.v = e.u),
+         |lbl AS (SELECT u AS id, least(u, min(v)) AS rep FROM cl GROUP BY u)
+         |SELECT rep AS component, count(*)::BIGINT AS n_nodes
+         |FROM lbl GROUP BY 1 ORDER BY component""".stripMargin,
+
+    // 1e-3 fixed point; var numerator non-negative, so // == DIV.
+    "vec_dim_stats" ->
+      s"""WITH e AS (SELECT i - 1 AS dim, $E[i] AS x
+         |  FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)
+         |  WHERE embedding IS NOT NULL),
+         |m AS (SELECT dim, x, floor(x * 1000.0)::BIGINT AS xm FROM e)
+         |SELECT dim, count(*)::BIGINT AS n,
+         |  sum(CASE WHEN x = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
+         |  sum(xm)::BIGINT AS sum_milli,
+         |  ((count(*) * sum(xm * xm) - sum(xm) * sum(xm))
+         |    // (count(*) * count(*)))::BIGINT AS var_milli2
+         |FROM m GROUP BY dim ORDER BY dim""".stripMargin,
+
+    // Arithmetic dow/hod (no calendar functions), grid-total shares.
+    "events_seasonality" ->
+      """WITH b AS (SELECT
+        |    ((epoch_us(ts) // 1000000 // 86400) + 4) % 7 AS dow,
+        |    (epoch_us(ts) // 1000000 // 3600) % 24 AS hod
+        |  FROM events),
+        |g AS (SELECT dow, hod, count(*)::BIGINT AS n FROM b GROUP BY 1, 2),
+        |t AS (SELECT sum(n)::BIGINT AS total FROM g)
+        |SELECT dow, hod, n, (n * 10000 // total)::BIGINT AS share_bp
+        |FROM g CROSS JOIN t ORDER BY dow, hod""".stripMargin,
 
     // The full minhash pair chain, then each side's group-split key.
     "sample_split_leakage" ->

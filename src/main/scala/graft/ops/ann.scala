@@ -444,6 +444,38 @@ object ann {
     * before the exchange); each corpus is scanned once.
     *
     * Returns one row `(n_a, n_b, cos, l2_shift)`, quantized floor-4dp. */
+  /** Per-dimension embedding health stats — the dead-dim / collapsed-dim
+    * screen run before trusting any projection, quantization, or prefix
+    * (matryoshka) decision: a dimension with `var_milli2` ≈ 0 carries no
+    * signal and is free to drop; `n_zero` ≈ n flags hard zeros
+    * (ReLU-dead or masked features). All exact integers in 1e-3 fixed
+    * point: `sum_milli` is the signed exact sum (mean = sum/n downstream
+    * — signed integer division is an engine trap, so no quotient here),
+    * `var_milli2 = (n·Σx² − (Σx)²) DIV n²` whose numerator is
+    * non-negative by Cauchy-Schwarz, so the one quotient taken is safe.
+    *
+    * Plan shape: posexplode is scan-side row-local work, then ONE
+    * (dim)-keyed hash aggregation — `dim` groups total, corpus-linear.
+    * Overflow: Σ(x_milli)² stays in BIGINT below ~9e12 rows per dim at
+    * |x| ≤ 1 — beyond that, sample first (it's a meter). Returns
+    * `(dim, n, n_zero, sum_milli, var_milli2)`. */
+  def dimStats(
+      df: DataFrame,
+      vecCol: String = "embedding"): DataFrame =
+    df.where(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("dim", "_x")))
+      .select(col("dim").cast("long").as("dim"),
+        floor(col("_x") * 1000.0).cast("long").as("_xm"), col("_x"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_x") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        sum(col("_xm")).as("sum_milli"),
+        sum(col("_xm") * col("_xm")).as("_sq"))
+      .select(col("dim"), col("n"), col("n_zero"), col("sum_milli"),
+        expr("(n * _sq - sum_milli * sum_milli) DIV (n * n)")
+          .as("var_milli2"))
+
   def centroidDrift(
       a: DataFrame,
       b: DataFrame,

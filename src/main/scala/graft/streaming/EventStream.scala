@@ -871,6 +871,36 @@ object EventStream {
       .limit(topK)
   }
 
+  /** Day-of-week × hour-of-day seasonality profile: event counts over
+    * the 7×24 calendar grid with integer basis-point shares — the
+    * traffic-shape heatmap behind capacity planning and anomaly
+    * baselines ([[autocorr]] detects that seasonality exists; this is
+    * the profile itself). Both coordinates are ARITHMETIC, not calendar
+    * functions — `dow = (days_since_epoch + 4) mod 7` (0 = Sunday;
+    * 1970-01-01 was a Thursday) and `hod = hours mod 24` — because
+    * calendar functions disagree across engines on week numbering while
+    * integer arithmetic cannot.
+    *
+    * Plan shape: one hash aggregation to the ≤168-row grid; the share
+    * window rides [[graft.ops.windows.boundedGlobal]] over those grid
+    * rows only. Returns `(dow, hod, n, share_bp)`. */
+  def seasonality(
+      events: DataFrame,
+      tsCol: String = "ts"): DataFrame = {
+    val g = events
+      .select(
+        expr(s"((unix_micros($tsCol) DIV 1000000 DIV 86400) + 4) % 7")
+          .as("dow"),
+        expr(s"(unix_micros($tsCol) DIV 1000000 DIV 3600) % 24").as("hod"))
+      .groupBy(col("dow"), col("hod"))
+      .agg(count(lit(1)).as("n"))
+    val w = graft.ops.windows.boundedGlobal("dow-hod grid <= 168 rows",
+      col("dow"))
+    g.withColumn("_total", sum(col("n")).over(w))
+      .select(col("dow"), col("hod"), col("n"),
+        expr("n * 10000 DIV _total").as("share_bp"))
+  }
+
   /** One event on the stateful dialog-assembly path. */
   final case class TurnEvent(
       user_id: Long, ts: java.sql.Timestamp, event_id: Long, event_type: String)

@@ -541,6 +541,21 @@ class AnnSpec extends SparkSpec {
     assert(r == exact.map(_._1).count(tightIds), r.toString)
   }
 
+  test("dimStats: exact fixed-point sums, dead dims flagged, nulls skipped") {
+    val rows = Seq(
+      (1L, Some(Seq(1.0, 0.0))),
+      (2L, Some(Seq(3.0, 0.0))),
+      (3L, None))
+      .toDF("vec_id", "embedding")
+    val got = ann.dimStats(rows).orderBy("dim")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      // dim 0: sums 1000+3000, var = (2*(1e6+9e6) - 16e6) / 4 = 1e6
+      (0L, 2L, 0L, 4000L, 1000000L),
+      // dim 1: all zeros -> dead dim
+      (1L, 2L, 2L, 0L, 0L)), got.toString)
+  }
+
   test("labelNoise: a planted flipped label tops the queue at 10000 bp") {
     // two tight, well-separated clusters with uniform labels; flip one
     // point in cluster 0 → all its neighbors disagree

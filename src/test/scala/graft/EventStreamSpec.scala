@@ -558,6 +558,18 @@ class EventStreamSpec extends SparkSpec {
     assert(got == Seq(("view > click > buy", 2L), ("view", 1L)), got.toString)
   }
 
+  test("seasonality: arithmetic dow/hod grid with basis-point shares") {
+    // 2024-01-01 is a Monday -> dow 1 under the 0=Sunday convention
+    val ev = (
+      Seq.fill(3)((1L, ts("2024-01-01 10:15:00"))) ++
+      Seq((2L, ts("2024-01-01 11:59:59"))))
+      .toDF("user_id", "ts")
+    val got = EventStream.seasonality(ev).orderBy("dow", "hod")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 10L, 3L, 7500L), (1L, 11L, 1L, 2500L)),
+      got.toString)
+  }
+
   test("botSignals: constant gaps -> cv 0; irregular humans score higher; cap clamps") {
     // user 1 (bot): 6 events exactly 60 s apart -> 5 gaps, cv = 0
     val bot = (0 until 6).map(i => (1L, ts(f"2024-01-01 00:${i}%02d:00"), i.toLong))
