@@ -607,6 +607,8 @@ object ScaleRehearsal {
       .groupBy(col("rep")).agg(count(lit(1)).as("n_nodes")))
     run("dim_stats", countRows = false)(ann.dimStats(emb))
     run("seasonality", countRows = false)(EventStream.seasonality(events))
+    run("active_users", countRows = false)(EventStream.activeUsers(events))
+    run("concentration", countRows = false)(EventStream.concentration(events))
 
     spark.stop()
   }

@@ -2942,6 +2942,19 @@ object SparkEntry {
     "events_top_paths" -> ((s, dir) =>
       EventStream.topPaths(events(s, dir), n = 3, topK = 20)),
 
+    // north-star: exact DAU / rolling-7 actives / stickiness — the
+    // rolling distinct is a bounded ×7 fan-out of the (user, day) set,
+    // never a per-day re-scan.
+    "events_active_users" -> ((s, dir) =>
+      EventStream.activeUsers(events(s, dir), windowDays = 7)
+        .orderBy(col("day"))),
+
+    // north-star: event concentration — top-10 heaviest users' share of
+    // all events in basis points, with the cumulative curve.
+    "events_concentration" -> ((s, dir) =>
+      EventStream.concentration(events(s, dir), k = 10)
+        .orderBy(col("rnk"))),
+
     // north-star: split-leakage meter — the production minhash pair
     // detector crossed with the leakage-safe source split; any
     // crosses=1 row means a near-duplicate straddles the train/test
@@ -6368,6 +6381,36 @@ object SparkEntry {
         |t AS (SELECT sum(n)::BIGINT AS total FROM g)
         |SELECT dow, hod, n, (n * 10000 // total)::BIGINT AS share_bp
         |FROM g CROSS JOIN t ORDER BY dow, hod""".stripMargin,
+
+    // Rolling distinct = the same ×7 day fan-out of the distinct
+    // (user, day) set, trimmed at the corpus max day.
+    "events_active_users" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u,
+        |    epoch_us(ts) // 1000000 // 86400 AS d FROM events),
+        |dau AS (SELECT d AS day, count(*)::BIGINT AS dau FROM ud GROUP BY 1),
+        |mx AS (SELECT max(d) AS m FROM ud),
+        |r AS (SELECT DISTINCT u, d + i AS day FROM ud, range(0, 7) t(i)),
+        |rl AS (SELECT day, count(*)::BIGINT AS rolling FROM r
+        |  WHERE day <= (SELECT m FROM mx) GROUP BY 1)
+        |SELECT day, dau, rolling,
+        |  (dau * 10000 // rolling)::BIGINT AS stickiness_bp
+        |FROM dau JOIN rl USING (day) ORDER BY day""".stripMargin,
+
+    "events_concentration" ->
+      """WITH per AS (SELECT user_id, count(*)::BIGINT AS n_events
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT sum(n_events)::BIGINT AS total FROM per),
+        |top AS (SELECT user_id, n_events,
+        |    row_number() OVER (ORDER BY n_events DESC, user_id) AS rnk
+        |  FROM per ORDER BY n_events DESC, user_id LIMIT 10),
+        |c AS (SELECT rnk, user_id, n_events,
+        |  sum(n_events) OVER (ORDER BY rnk
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM top)
+        |SELECT rnk, user_id, n_events,
+        |  (n_events * 10000 // (SELECT total FROM t))::BIGINT AS share_bp,
+        |  (cum * 10000 // (SELECT total FROM t))::BIGINT AS cum_share_bp
+        |FROM c ORDER BY rnk""".stripMargin,
 
     // The full minhash pair chain, then each side's group-split key.
     "sample_split_leakage" ->

@@ -901,6 +901,81 @@ object EventStream {
         expr("n * 10000 DIV _total").as("share_bp"))
   }
 
+  /** Rolling active users: per day, exact DAU and exact `windowDays`-day
+    * rolling actives (WAU at the default 7), plus `stickiness_bp =
+    * DAU·10000 / rolling` — the engagement ratio product dashboards
+    * track. Exact, not sketched: the (user, day) distinct set is built
+    * once (the big shuffle), then each user-day fans out to the ≤
+    * `windowDays` day-windows it belongs to and a second distinct
+    * collapses (user, window-day) — an exact rolling distinct with a
+    * bounded ×windowDays expansion instead of a per-day re-scan. For
+    * sketch-sized state at very long windows use [[hllMerge]]-style
+    * approximation instead; this is the exact meter.
+    *
+    * Days are epoch-arithmetic (`epoch_sec DIV 86400`), engine-portable.
+    * Returns `(day, dau, rolling, stickiness_bp)`; `day` is the epoch
+    * day index, and the first `windowDays − 1` days of the data simply
+    * have smaller windows (no padding rows). */
+  def activeUsers(
+      events: DataFrame,
+      windowDays: Int = 7,
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    require(windowDays >= 1,
+      s"graft: activeUsers needs windowDays >= 1, got $windowDays")
+    val ud = events
+      .select(col(userCol).as("_u"),
+        expr(s"unix_micros($tsCol) DIV 1000000 DIV 86400").as("_d"))
+      .distinct()
+    val dau = ud.groupBy(col("_d").as("day"))
+      .agg(count(lit(1)).as("dau"))
+    val maxDay = ud.agg(max(col("_d")).as("_max"))
+    val rolling = ud
+      .select(col("_u"), explode(sequence(col("_d"),
+        col("_d") + lit(windowDays - 1))).as("day"))
+      .distinct()
+      .crossJoin(broadcast(maxDay))
+      .where(col("day") <= col("_max"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("rolling"))
+    dau.join(rolling, "day")
+      .select(col("day"), col("dau"), col("rolling"),
+        expr("dau * 10000 DIV rolling").as("stickiness_bp"))
+  }
+
+  /** Event concentration: the share of all events produced by the
+    * top-`k` heaviest users, in integer basis points — the
+    * is-my-corpus-a-few-power-users screen run before trusting
+    * engagement metrics (and, on a crawl, the is-one-host-dominating
+    * screen with `userCol` = host). One user-keyed count, one bounded
+    * global top-k (TakeOrderedAndProject), one 1-row total broadcast
+    * back. Returns the top-k rows `(rnk, userCol, n_events, share_bp)`
+    * plus their cumulative share. */
+  def concentration(
+      events: DataFrame,
+      k: Int = 10,
+      userCol: String = "user_id"): DataFrame = {
+    require(k >= 1, s"graft: concentration needs k >= 1, got $k")
+    val per = events.groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_events"))
+    val total = per.agg(sum(col("n_events")).cast("long").as("_total"))
+    val top = per
+      .orderBy(col("n_events").desc, col(userCol).asc)
+      .limit(k)
+    val w = graft.ops.windows.boundedGlobal(s"top-k = $k rows",
+      col(userCol))
+    top.crossJoin(broadcast(total))
+      .withColumn("rnk", row_number().over(
+        w.orderBy(col("n_events").desc, col(userCol).asc)))
+      .withColumn("_cum", sum(col("n_events")).over(
+        w.orderBy(col("n_events").desc, col(userCol).asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+      .select(col("rnk"), col(userCol), col("n_events"),
+        expr("n_events * 10000 DIV _total").as("share_bp"),
+        expr("_cum * 10000 DIV _total").as("cum_share_bp"))
+  }
+
   /** One event on the stateful dialog-assembly path. */
   final case class TurnEvent(
       user_id: Long, ts: java.sql.Timestamp, event_id: Long, event_type: String)

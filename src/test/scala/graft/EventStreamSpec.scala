@@ -570,6 +570,30 @@ class EventStreamSpec extends SparkSpec {
       got.toString)
   }
 
+  test("activeUsers: exact rolling distinct via bounded day fan-out") {
+    val ev = Seq(
+      (1L, ts("1970-01-01 10:00:00")), (1L, ts("1970-01-01 11:00:00")),
+      (1L, ts("1970-01-02 10:00:00")),
+      (2L, ts("1970-01-01 09:00:00")))
+      .toDF("user_id", "ts")
+    val got = EventStream.activeUsers(ev, windowDays = 2)
+      .orderBy("day").as[(Long, Long, Long, Long)].collect().toSeq
+    // day 0: dau 2, window {u1,u2}; day 1: dau 1, window still {u1,u2}
+    assert(got == Seq((0L, 2L, 2L, 10000L), (1L, 1L, 2L, 5000L)),
+      got.toString)
+  }
+
+  test("concentration: top-k user shares with cumulative curve") {
+    val ev = (Seq.fill(3)(1L) ++ Seq.fill(2)(2L) ++ Seq(3L))
+      .zipWithIndex.map { case (u, i) => (u, ts("2024-01-01 10:00:00"), i.toLong) }
+      .toDF("user_id", "ts", "event_id")
+    val got = EventStream.concentration(ev, k = 2)
+      .orderBy("rnk").as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1, 1L, 3L, 5000L, 5000L),
+      (2, 2L, 2L, 3333L, 8333L)), got.toString)
+  }
+
   test("botSignals: constant gaps -> cv 0; irregular humans score higher; cap clamps") {
     // user 1 (bot): 6 events exactly 60 s apart -> 5 gaps, cv = 0
     val bot = (0 until 6).map(i => (1L, ts(f"2024-01-01 00:${i}%02d:00"), i.toLong))
