@@ -609,6 +609,11 @@ object ScaleRehearsal {
     run("seasonality", countRows = false)(EventStream.seasonality(events))
     run("active_users", countRows = false)(EventStream.activeUsers(events))
     run("concentration", countRows = false)(EventStream.concentration(events))
+    run("srm", countRows = false)(EventStream.srm(events,
+      variant = col("user_id") % 2))
+    // vocab broadcast membership: the token stream must never shuffle
+    run("oov_rate", countRows = false)(text.oovStats(
+      docs, "text", "doc_id", topN = 200))
 
     spark.stop()
   }

@@ -2955,6 +2955,20 @@ object SparkEntry {
       EventStream.concentration(events(s, dir), k = 10)
         .orderBy(col("rnk"))),
 
+    // north-star: sample-ratio-mismatch check — distinct users per
+    // variant vs uniform, chi-square as exact num/den; the broken-
+    // randomizer guard run before any experiment readout.
+    "events_srm" -> ((s, dir) =>
+      EventStream.srm(events(s, dir), variant = col("user_id") % 2)),
+
+    // north-star: per-doc OOV rate against the corpus's own top-200
+    // vocabulary — the will-the-tokenizer-cope screen; vocab broadcasts,
+    // the token stream never shuffles for membership.
+    "text_oov_rate" -> ((s, dir) =>
+      text.oovStats(table(s, dir, "documents"), "text", "doc_id",
+          topN = 200)
+        .orderBy(col("doc_id"))),
+
     // north-star: split-leakage meter — the production minhash pair
     // detector crossed with the leakage-safe source split; any
     // crosses=1 row means a near-duplicate straddles the train/test
@@ -6411,6 +6425,29 @@ object SparkEntry {
         |  (n_events * 10000 // (SELECT total FROM t))::BIGINT AS share_bp,
         |  (cum * 10000 // (SELECT total FROM t))::BIGINT AS cum_share_bp
         |FROM c ORDER BY rnk""".stripMargin,
+
+    "events_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id % 2 AS variant, user_id FROM events),
+        |per AS (SELECT variant, count(*)::BIGINT AS n FROM u GROUP BY 1),
+        |t AS (SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS tot FROM per)
+        |SELECT k AS n_variants, tot AS n_units,
+        |  sum((k * n - tot) * (k * n - tot))::BIGINT AS chi2_num,
+        |  (k * tot)::BIGINT AS chi2_den
+        |FROM per CROSS JOIN t GROUP BY k, tot""".stripMargin,
+
+    // The same head vocabulary as text_vocab_topn (tf desc, word ties),
+    // then a membership left join and per-doc counts.
+    "text_oov_rate" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($SqlToks) AS word FROM documents),
+         |v AS (SELECT word FROM (SELECT word, count(*) AS tf FROM tk
+         |  GROUP BY 1 ORDER BY tf DESC, word LIMIT 200)),
+         |j AS (SELECT t.doc_id, (v.word IS NOT NULL) AS inv
+         |  FROM tk t LEFT JOIN v ON t.word = v.word)
+         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         |  sum(CASE WHEN NOT inv THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+         |  (sum(CASE WHEN NOT inv THEN 1 ELSE 0 END) * 10000
+         |    // count(*))::BIGINT AS oov_bp
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // The full minhash pair chain, then each side's group-split key.
     "sample_split_leakage" ->

@@ -674,6 +674,35 @@ object text {
       .orderBy(col("tf").desc, col("word"))
       .limit(topN)
 
+  /** Per-document out-of-vocabulary rate against the corpus's own
+    * top-`topN` vocabulary ([[vocabulary]]) — the
+    * will-the-tokenizer-cope meter: a doc whose tokens are mostly
+    * outside the head vocabulary is jargon, another language, or noise,
+    * and will fragment into long byte-level token sequences
+    * ([[fertility]] measures the cost; this predicts it from words).
+    * `oov_bp` is integer basis points. Docs with zero tokens emit no
+    * row (no denominator).
+    *
+    * Plan shape: the vocabulary is one word-count aggregate cut to
+    * `topN` rows, BROADCAST back against the token stream (the corpus
+    * never shuffles for membership), then one doc-keyed count.
+    * Returns `(idCol, n_tokens, n_oov, oov_bp)`. */
+  def oovStats(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      topN: Int = 1000): org.apache.spark.sql.DataFrame = {
+    require(topN >= 1, s"graft: oovStats needs topN >= 1, got $topN")
+    val vocab = vocabulary(df, textCol, idCol, topN)
+      .select(col("word"), lit(1L).as("_inv"))
+    df.select(col(idCol), explode(tokens(col(textCol))).as("word"))
+      .join(broadcast(vocab), Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_bp", expr("n_oov * 10000 DIV n_tokens"))
+  }
+
   /** [[langId]] over an ALREADY-TOKENIZED array (chunk windows) — same
     * argmax and tie order as the string form. */
   def langIdOfTokens(ts: Column, minHits: Int = 1): Column = {

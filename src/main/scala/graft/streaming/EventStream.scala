@@ -976,6 +976,33 @@ object EventStream {
         expr("_cum * 10000 DIV _total").as("cum_share_bp"))
   }
 
+  /** Sample-ratio-mismatch (SRM) check for an experiment allocation:
+    * distinct UNITS (users) per variant against the uniform expectation,
+    * with the chi-square statistic as an exact integer NUM/DEN pair —
+    * `chi2 = Σ(n_i − t/k)²/(t/k) = Σ(k·n_i − t)² / (k·t)` — the guard
+    * an experimentation platform runs before believing any readout
+    * ([[cuped]] reduces variance; this catches a broken randomizer,
+    * where no amount of variance reduction saves the experiment).
+    *
+    * Plan shape: one distinct on (variant, unit), one variant-keyed
+    * count, a 1-row (k, total) reduction broadcast back. Returns one
+    * row `(n_variants, n_units, chi2_num, chi2_den)`. */
+  def srm(
+      events: DataFrame,
+      variant: Column,
+      userCol: String = "user_id"): DataFrame = {
+    val per = events.select(variant.as("variant"), col(userCol)).distinct()
+      .groupBy(col("variant")).agg(count(lit(1)).as("_n"))
+    val tot = per.agg(count(lit(1)).as("_k"), sum(col("_n")).as("_t"))
+    per.crossJoin(broadcast(tot))
+      .select(col("_k"), col("_t"),
+        ((col("_k") * col("_n") - col("_t"))
+          * (col("_k") * col("_n") - col("_t"))).as("_d2"))
+      .groupBy(col("_k").as("n_variants"), col("_t").as("n_units"))
+      .agg(sum(col("_d2")).as("chi2_num"))
+      .withColumn("chi2_den", expr("n_variants * n_units"))
+  }
+
   /** One event on the stateful dialog-assembly path. */
   final case class TurnEvent(
       user_id: Long, ts: java.sql.Timestamp, event_id: Long, event_type: String)

@@ -594,6 +594,18 @@ class EventStreamSpec extends SparkSpec {
       (2, 2L, 2L, 3333L, 8333L)), got.toString)
   }
 
+  test("srm: chi-square num/den over distinct units per variant") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 11:00:00")),
+      (2L, ts("2024-01-01 10:00:00")),
+      (3L, ts("2024-01-01 10:00:00")))
+      .toDF("user_id", "ts")
+    // variants: v0 = {2}, v1 = {1, 3}; k=2 t=3 -> chi2 = 2/6 = 1/3
+    val got = EventStream.srm(ev, variant = col("user_id") % 2)
+      .as[(Long, Long, Long, Long)].head()
+    assert(got == ((2L, 3L, 2L, 6L)), got.toString)
+  }
+
   test("botSignals: constant gaps -> cv 0; irregular humans score higher; cap clamps") {
     // user 1 (bot): 6 events exactly 60 s apart -> 5 gaps, cv = 0
     val bot = (0 until 6).map(i => (1L, ts(f"2024-01-01 00:${i}%02d:00"), i.toLong))

@@ -528,4 +528,16 @@ class TextOpsSpec extends SparkSpec {
       .as[Boolean].head()
     assert(loose)
   }
+
+  test("oovStats: membership against the head vocabulary, exact bp") {
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, ""))
+      .toDF("doc_id", "text")
+    // topN = 1 -> vocabulary is just "a" (tf 3)
+    val got = text.oovStats(docs, "text", "doc_id", topN = 1)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // doc 3 has no tokens -> no row (no denominator)
+    assert(got == Seq((1L, 3L, 1L, 3333L), (2L, 2L, 1L, 5000L)),
+      got.toString)
+  }
 }
