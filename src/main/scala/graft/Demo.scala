@@ -520,6 +520,34 @@ object Demo {
         sum(col("toks")).as("n_tokens"))
       .orderBy(col("shard")).show()
 
+    // EXPERIMENT READOUT: the guard-then-measure order an A/B platform
+    // runs — SRM first (a broken randomizer invalidates everything),
+    // CUPED second (exact sums + pooled theta), trend/seasonality for
+    // the volume context the metrics sit in.
+    println("== experiment readout: SRM guard -> CUPED -> volume context ==")
+    val evAll = SparkEntry.normalizeEventTs(
+      spark.read.parquet(s"$sfDir/events.parquet"))
+    graft.streaming.EventStream.srm(evAll, variant = col("user_id") % 2).show()
+    graft.streaming.EventStream.cuped(evAll, cutoff = "2024-01-15",
+      variant = col("user_id") % 2).orderBy(col("variant")).show()
+    graft.streaming.EventStream.trend(evAll).orderBy(col("series")).show()
+    graft.streaming.EventStream.activeUsers(evAll)
+      .orderBy(col("day")).show(5)
+    graft.streaming.EventStream.concentration(evAll, k = 5).show()
+
+    // EMBEDDING HEALTH: dead-dim screen, then whether 1-bit codes are
+    // enough to serve from (recall), then cluster balance before
+    // trusting IVF pruning math.
+    println("== embedding health: dim stats -> binary recall -> balance ==")
+    val embAll = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    graft.ops.ann.dimStats(embAll).orderBy(col("var_milli2").asc).show(5)
+    val probeQ = (0 until 64).map(i => math.sin(i + 1.0))
+    graft.ops.ann.binaryRecallAtK(VecStore(embAll), Seq(probeQ), k = 10,
+      candK = 40).show()
+    graft.ops.ann.ivfAssign(embAll, graft.ops.ann.seedCentroids(embAll, 8))
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+      .orderBy(col("cluster_id")).show()
+
     spark.stop()
   }
 }
