@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Cmp, Metric, VecStore}
 import graft.functions.{hashing, vectors}
-import graft.ops.{ann, asof, bpe, decontam, dedup, multimodal, rel, retrieval, sample, sketch, text}
+import graft.ops.{ann, asof, bpe, decontam, dedup, evals, multimodal, rel, retrieval, sample, sketch, text}
 import graft.streaming.EventStream
 
 /** Driver contract — one named query per implemented operator
@@ -230,6 +230,21 @@ object SparkEntry {
     s"list_sum(list_transform(list_zip($E, ${sqlVec(q)}), x -> (x[1]-x[2])*(x[1]-x[2])))"
 
   private def r4(e: String): String = s"floor(($e) * 10000.0 + 0.5) / 10000.0"
+
+  /** 4-dp-quantized cosine as an exact INTEGER score (units of 1e-4) —
+    * the shared scorer of the `eval_*` family: the same three IEEE ops
+    * as [[vectors.quantize]] but staying in the integer domain, so the
+    * score is a grouping/threshold key, not a float. */
+  private def scoreQ4(v: org.apache.spark.sql.Column, q: Seq[Double]) =
+    floor(vectors.cosineSimilarity(v, lit(q.toArray)) * 10000.0 + 0.5)
+      .cast("long")
+
+  /** DuckDB twin of [[scoreQ4]]. */
+  private def sqlScoreQ4(q: Seq[Double]): String =
+    s"floor(${sqlCosineOn(E, q)} * 10000.0 + 0.5)::BIGINT"
+
+  /** Literal threshold grid for `eval_confusion` (score units of 1e-4). */
+  private val EvalThresholds = Seq(-5000L, -2500L, 0L, 2500L, 5000L, 7500L)
 
   /** MaxSim score over the 4×16 sliced layout for a given token set —
     * shared by the single, long-form, and batched oracle SQL. */
@@ -3043,7 +3058,47 @@ object SparkEntry {
           unix_micros(col("first_ts")).as("first_us"),
           unix_micros(col("last_ts")).as("last_us"),
           col("span_sec"), col("transcript"))
-        .orderBy(col("user_id")))
+        .orderBy(col("user_id"))),
+
+    // north-star: ROC AUC of a cosine scorer against binary labels —
+    // tie-corrected Mann-Whitney rank-sum as exact num/den integers.
+    // Scores quantize to a 4-dp grid first, so the one cumulative
+    // window runs over a ≤20k-row domain, never the corpus.
+    "eval_auc" -> ((s, dir) =>
+      evals.aucRank(table(s, dir, "embeddings"),
+        scoreQ4(col("embedding"), Q1), col("label") < 5)),
+
+    // north-star: operating-point sweep — exact confusion counts and
+    // ppm precision/recall/F1 at a literal threshold grid; one scan,
+    // map-side combine absorbs the ×|grid| fan-out.
+    "eval_confusion" -> ((s, dir) =>
+      evals.confusionGrid(table(s, dir, "embeddings"),
+          scoreQ4(col("embedding"), Q1), col("label") < 5, EvalThresholds)
+        .orderBy(col("threshold"))),
+
+    // north-star: NDCG@10 for two query vectors with graded relevance —
+    // integer discount table shared driver-side with the oracle; both
+    // the actual and ideal top-10 are WindowGroupLimit heap shapes.
+    "eval_ndcg" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      def run(qid: Long, q: Seq[Double], rel2: Int, rel1: Int) =
+        e.select(lit(qid).as("qid"), col("vec_id"),
+          when(col("label") === rel2, 2L)
+            .when(col("label") === rel1, 1L).otherwise(0L).as("rel"),
+          scoreQ4(col("embedding"), q).as("s"))
+      evals.ndcgAtK(run(0L, Q1, 3, 7).unionAll(run(1L, Q2, 5, 1)),
+          col("qid"), col("rel"), col("s"), col("vec_id"), k = 10)
+        .orderBy(col("qid"))
+    }),
+
+    // north-star: log-loss + Brier of a linearly calibrated cosine
+    // scorer — per-row terms quantize before summing, so both sums are
+    // exact integers; clamped ppm probabilities keep ln finite.
+    "eval_logloss" -> ((s, dir) => {
+      val sq4 = scoreQ4(col("embedding"), Q1)
+      evals.loglossBrier(table(s, dir, "embeddings"),
+        (sq4 + lit(10000L)) * lit(50L), col("label") < 5)
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6559,6 +6614,92 @@ object SparkEntry {
         |  epoch_us(max(ts))::BIGINT AS last_us,
         |  ((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000)::BIGINT AS span_sec,
         |  string_agg(event_type, ' > ' ORDER BY ts, event_id) AS transcript
-        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Tie-corrected rank-sum AUC over the 4-dp score grid; doubled
+    // mid-ranks keep everything integer. All quantities non-negative, so
+    // Spark DIV (truncate) == DuckDB // (floor).
+    "eval_auc" ->
+      s"""WITH sc AS (SELECT ${sqlScoreQ4(Q1)} AS s, (label < 5)::BIGINT AS y
+         |  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL),
+         |g AS (SELECT s, count(*)::BIGINT AS n, sum(y)::BIGINT AS np
+         |  FROM sc GROUP BY 1),
+         |c AS (SELECT s, n, np, coalesce(sum(n) OVER (ORDER BY s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS below
+         |  FROM g),
+         |a AS (SELECT sum(np)::BIGINT AS n_pos, sum(n - np)::BIGINT AS n_neg,
+         |  sum(np * (2 * below + n + 1))::BIGINT AS r2 FROM c)
+         |SELECT n_pos, n_neg,
+         |  (r2 - n_pos * (n_pos + 1))::BIGINT AS auc_num,
+         |  (2 * n_pos * n_neg)::BIGINT AS auc_den,
+         |  CASE WHEN n_pos * n_neg > 0 THEN
+         |    ((r2 - n_pos * (n_pos + 1)) * 1000000 // (2 * n_pos * n_neg))::BIGINT
+         |  END AS auc_ppm
+         |FROM a""".stripMargin,
+
+    // Literal-grid confusion sweep; predict positive iff s >= t.
+    "eval_confusion" ->
+      s"""WITH sc AS (SELECT ${sqlScoreQ4(Q1)} AS s, (label < 5)::BIGINT AS y
+         |  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL),
+         |t AS (SELECT unnest([${EvalThresholds.mkString(", ")}]::BIGINT[]) AS threshold),
+         |f AS (SELECT t.threshold, (sc.s >= t.threshold)::BIGINT AS p, sc.y
+         |  FROM sc CROSS JOIN t),
+         |g AS (SELECT threshold, sum(p * y)::BIGINT AS tp,
+         |    sum(p * (1 - y))::BIGINT AS fp, sum((1 - p) * y)::BIGINT AS fn,
+         |    sum((1 - p) * (1 - y))::BIGINT AS tn
+         |  FROM f GROUP BY 1)
+         |SELECT threshold, tp, fp, fn, tn,
+         |  CASE WHEN tp + fp > 0 THEN (tp * 1000000 // (tp + fp))::BIGINT END AS prec_ppm,
+         |  CASE WHEN tp + fn > 0 THEN (tp * 1000000 // (tp + fn))::BIGINT END AS rec_ppm,
+         |  CASE WHEN 2 * tp + fp + fn > 0 THEN
+         |    (2 * tp * 1000000 // (2 * tp + fp + fn))::BIGINT END AS f1_ppm
+         |FROM g ORDER BY threshold""".stripMargin,
+
+    // NDCG@10: the SAME driver-computed integer discount table as the
+    // Spark plan (floor(1e6/log2(r+1)) literals), actual and ideal
+    // rankings tie-broken by vec_id.
+    "eval_ndcg" -> {
+      val disc = evals.ndcgDiscounts(10).zipWithIndex
+        .map { case (d, i) => s"(${i + 1}, ${d})" }.mkString(", ")
+      s"""WITH d AS (SELECT * FROM (VALUES $disc) v(rnk, disc)),
+         |r0 AS (
+         |  SELECT 0::BIGINT AS qid, vec_id,
+         |    (CASE WHEN label = 3 THEN 2 WHEN label = 7 THEN 1 ELSE 0 END)::BIGINT AS rel,
+         |    ${sqlScoreQ4(Q1)} AS s FROM embeddings
+         |  UNION ALL
+         |  SELECT 1::BIGINT, vec_id,
+         |    (CASE WHEN label = 5 THEN 2 WHEN label = 1 THEN 1 ELSE 0 END)::BIGINT,
+         |    ${sqlScoreQ4(Q2)} FROM embeddings),
+         |a AS (SELECT qid, rel, row_number() OVER (PARTITION BY qid
+         |    ORDER BY s DESC, vec_id) AS rnk FROM r0),
+         |dcg AS (SELECT qid, sum(rel * disc)::BIGINT AS dcg_q6
+         |  FROM a JOIN d USING (rnk) WHERE rnk <= 10 GROUP BY 1),
+         |i AS (SELECT qid, rel, row_number() OVER (PARTITION BY qid
+         |    ORDER BY rel DESC, vec_id) AS rnk FROM r0),
+         |idcg AS (SELECT qid, sum(rel * disc)::BIGINT AS idcg_q6
+         |  FROM i JOIN d USING (rnk) WHERE rnk <= 10 GROUP BY 1)
+         |SELECT qid, dcg_q6, idcg_q6,
+         |  CASE WHEN idcg_q6 > 0 THEN (dcg_q6 * 1000000 // idcg_q6)::BIGINT
+         |  END AS ndcg_ppm
+         |FROM dcg JOIN idcg USING (qid) ORDER BY qid""".stripMargin
+    },
+
+    // Log-loss/Brier with clamped ppm probabilities; per-row floor
+    // quantization before the sums keeps both totals exact integers.
+    "eval_logloss" ->
+      s"""WITH sc AS (SELECT ${sqlScoreQ4(Q1)} AS s, (label < 5)::BIGINT AS y
+         |  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL),
+         |p AS (SELECT least(greatest((s + 10000) * 50, 1), 999999)::BIGINT AS p, y
+         |  FROM sc),
+         |r AS (SELECT y,
+         |    floor(-ln((CASE WHEN y = 1 THEN p ELSE 1000000 - p END)::DOUBLE
+         |      / 1000000.0) * 1000000.0)::BIGINT AS ll,
+         |    ((p - y * 1000000) * (p - y * 1000000) // 1000000)::BIGINT AS br
+         |  FROM p)
+         |SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos,
+         |  sum(ll)::BIGINT AS logloss_q6_sum, sum(br)::BIGINT AS brier_micro_sum,
+         |  (sum(ll)::BIGINT // count(*))::BIGINT AS logloss_mean_q6,
+         |  (sum(br)::BIGINT // count(*))::BIGINT AS brier_mean_micro
+         |FROM r""".stripMargin
   )
 }

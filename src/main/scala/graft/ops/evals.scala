@@ -1,0 +1,178 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-scale model/retrieval evaluation meters — the read-out side of
+  * a training-data pipeline: once a filter model, reward model, or
+  * retriever is scored over held-out data, these turn (score, label)
+  * columns into the exact metrics a launch review consumes (AUC,
+  * confusion/PR grids, NDCG, log-loss/Brier).
+  *
+  * Reference scope note: otters-rs scores vectors and filters metadata
+  * (vec.rs:92-168 take/score-filter); it has no evaluation surface. These
+  * are north-star extensions in the same determinism discipline as the
+  * rest of graft: exact integers end-to-end (ranks, counts, ppm
+  * quotients via truncating integer division), floats only inside
+  * per-element quantized transforms (`floor(f(x)·10^k)`) whose integer
+  * results then sum order-free — so every meter is engine-exact and
+  * oracle-checkable.
+  */
+object evals {
+
+  /** ROC AUC by tie-corrected rank-sum (the Mann-Whitney identity):
+    * `AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻)` where `R⁺` is the sum of
+    * mid-ranks of positives, ties sharing their group's mid-rank.
+    * Surfaced EXACTLY as `auc_num / auc_den` with doubled-rank integers
+    * (mid-ranks are half-integers; ×2 keeps everything in longs):
+    * `auc_num = Σ⁺(minrank+maxrank) − 2·n⁺(n⁺+1)/2`,
+    * `auc_den = 2·n⁺·n⁻`, plus the truncated `auc_ppm` quotient.
+    *
+    * Scale shape: scores are treated as EXACT grouping keys — quantize a
+    * continuous score first (e.g. 4-dp fixed point), which bounds the
+    * domain of the one global cumulative window (`boundedGlobal`,
+    * ≤ 20k rows for a 4-dp score in [-1,1]) the ranks come from. The
+    * event-volume axis pays only the first hash aggregate. Rank sums
+    * stay in int64 for eval sets up to ~2·10⁹ rows — an eval SET, not a
+    * corpus; for larger, pre-sample.
+    *
+    * Returns one row `(n_pos, n_neg, auc_num, auc_den, auc_ppm)`. */
+  def aucRank(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
+    val g = df
+      .select(scoreCol.as("_s"), labelCol.cast("boolean").cast("long").as("_y"))
+      .where(col("_s").isNotNull && col("_y").isNotNull)
+      .groupBy(col("_s"))
+      .agg(count(lit(1)).as("_n"), sum(col("_y")).as("_np"))
+    val w = windows.boundedGlobal("score-grid", col("_s")).orderBy(col("_s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = g.withColumn("_below", coalesce(sum(col("_n")).over(w), lit(0L)))
+    // positives in a tie group of n rows after `_below` smaller scores
+    // occupy ranks _below+1 .. _below+n: doubled mid-rank = 2·_below+n+1.
+    ranked
+      .select(
+        sum(col("_np")).as("n_pos"),
+        sum(col("_n") - col("_np")).as("n_neg"),
+        sum(col("_np") * (lit(2L) * col("_below") + col("_n") + lit(1L))).as("_r2"))
+      .select(col("n_pos"), col("n_neg"),
+        (col("_r2") - col("n_pos") * (col("n_pos") + lit(1L))).as("auc_num"),
+        (lit(2L) * col("n_pos") * col("n_neg")).as("auc_den"))
+      .withColumn("auc_ppm",
+        when(col("auc_den") > 0L,
+          expr("(auc_num * 1000000) DIV auc_den")).cast("long"))
+  }
+
+  /** Thresholded confusion/PR grid: for each threshold `t` in a
+    * driver-literal grid, predict positive iff `score >= t`, and emit
+    * exact TP/FP/FN/TN plus precision/recall/F1 in truncated ppm. The
+    * operating-point sweep behind a filter-model launch decision.
+    *
+    * Plan shape: one scan fanned out ×|grid| by an in-row `explode` of
+    * the literal threshold array, collapsed by ONE hash aggregate —
+    * map-side partial aggregation absorbs the fan-out, so the shuffle
+    * carries |grid| rows per task, never the corpus. */
+  def confusionGrid(
+      df: DataFrame,
+      scoreCol: Column,
+      labelCol: Column,
+      thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty, "graft: confusionGrid needs >= 1 threshold")
+    val fan = df
+      .select(scoreCol.cast("long").as("_s"),
+        labelCol.cast("boolean").cast("long").as("_y"))
+      .where(col("_s").isNotNull && col("_y").isNotNull)
+      .withColumn("threshold", explode(lit(thresholds.toArray)))
+    val g = fan
+      .withColumn("_p", (col("_s") >= col("threshold")).cast("long"))
+      .groupBy(col("threshold"))
+      .agg(
+        sum(col("_p") * col("_y")).as("tp"),
+        sum(col("_p") * (lit(1L) - col("_y"))).as("fp"),
+        sum((lit(1L) - col("_p")) * col("_y")).as("fn"),
+        sum((lit(1L) - col("_p")) * (lit(1L) - col("_y"))).as("tn"))
+    g.select(col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
+      when(col("tp") + col("fp") > 0L,
+        expr("(tp * 1000000) DIV (tp + fp)")).cast("long").as("prec_ppm"),
+      when(col("tp") + col("fn") > 0L,
+        expr("(tp * 1000000) DIV (tp + fn)")).cast("long").as("rec_ppm"),
+      when(lit(2L) * col("tp") + col("fp") + col("fn") > 0L,
+        expr("(2 * tp * 1000000) DIV (2 * tp + fp + fn)")).cast("long")
+        .as("f1_ppm"))
+  }
+
+  /** Integer discount table for [[ndcgAtK]]: `D(r) = floor(10⁶ /
+    * log2(r+1))` for ranks 1..k, computed ONCE on the driver so both the
+    * Spark plan and any oracle share the SAME literal integers — no
+    * engine-side transcendental ever runs. */
+  def ndcgDiscounts(k: Int): Seq[Long] =
+    (1 to k).map(r => math.floor(1.0e6 / (math.log(r + 1.0) / math.log(2.0))).toLong)
+
+  /** NDCG@k per query over a run table `(qid, relevance, score, tie)`:
+    * rank results by `(score desc, tie asc)`, discount integer relevance
+    * grades by the literal [[ndcgDiscounts]] table, and normalize by the
+    * ideal ordering `(relevance desc, tie asc)` of the SAME result set.
+    * `ndcg_ppm = dcg·10⁶ DIV idcg` (null when the query has no relevant
+    * results). Everything is exact integers.
+    *
+    * Plan shape: both the actual and ideal top-k are the rank-filter
+    * idiom — `row_number` over the per-qid window then `rnk <= k` —
+    * which Spark's `InferWindowGroupLimit` turns into bounded per-group
+    * heaps BEFORE the shuffle; only ~k rows per qid per task cross the
+    * wire even when each query has millions of scored candidates. */
+  def ndcgAtK(
+      runs: DataFrame,
+      qidCol: Column,
+      relCol: Column,
+      scoreCol: Column,
+      tieCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"graft: ndcgAtK needs k >= 1, got $k")
+    val disc = ndcgDiscounts(k)
+    val base = runs.select(qidCol.as("qid"), relCol.cast("long").as("_rel"),
+      scoreCol.as("_s"), tieCol.as("_tie"))
+    def dcgOf(order: Seq[Column], name: String): DataFrame = {
+      val w = Window.partitionBy(col("qid")).orderBy(order: _*)
+      base.withColumn("_rnk", row_number().over(w))
+        .where(col("_rnk") <= k)
+        .withColumn("_d", element_at(lit(disc.toArray), col("_rnk").cast("int")))
+        .groupBy(col("qid"))
+        .agg(sum(col("_rel") * col("_d")).as(name))
+    }
+    val dcg = dcgOf(Seq(col("_s").desc, col("_tie").asc), "dcg_q6")
+    val idcg = dcgOf(Seq(col("_rel").desc, col("_tie").asc), "idcg_q6")
+    dcg.join(idcg, "qid")
+      .withColumn("ndcg_ppm",
+        when(col("idcg_q6") > 0L,
+          expr("(dcg_q6 * 1000000) DIV idcg_q6")).cast("long"))
+  }
+
+  /** Log-loss + Brier score over per-row probabilities in ppm: one row
+    * `(n, n_pos, logloss_q6_sum, brier_micro_sum, logloss_mean_q6,
+    * brier_mean_micro)`. Per-row terms quantize BEFORE summing
+    * (`floor(−ln(p)·10⁶)`; squared-error ppm² scaled DIV 10⁶ back to
+    * micro units), so the sums are exact integers and order-free —
+    * engine-identical regardless of partitioning. Probabilities clamp to
+    * [1, 999999] ppm: a hard 0/1 prediction that is wrong costs ln(10⁶)
+    * ≈ 13.8, not ∞ (the standard eval-harness clamp). One scan, one
+    * 1-row reduction. */
+  def loglossBrier(df: DataFrame, probPpmCol: Column, labelCol: Column): DataFrame = {
+    val p = least(greatest(probPpmCol.cast("long"), lit(1L)), lit(999999L))
+    val y = labelCol.cast("boolean").cast("long")
+    val pTrue = when(y === 1L, p).otherwise(lit(1000000L) - p)
+    val llq6 = floor(-log(pTrue.cast("double") / 1.0e6) * 1.0e6).cast("long")
+    val err = p - y * lit(1000000L)
+    // err² ≤ 10¹² is exact in double and r/10⁶ ≥ 10⁻⁶ dominates the
+    // ≤1.2e-10 division ulp, so floor(double-quotient) == integer DIV —
+    // matching the oracle's `(err*err) // 1000000` exactly.
+    val brierMicro = floor(err * err / 1000000L).cast("long")
+    df.select(llq6.as("_ll"), brierMicro.as("_br"), y.as("_y"))
+      .where(col("_y").isNotNull)
+      .agg(count(lit(1)).as("n"), sum(col("_y")).as("n_pos"),
+        sum(col("_ll")).as("logloss_q6_sum"),
+        sum(col("_br")).as("brier_micro_sum"))
+      .withColumn("logloss_mean_q6",
+        when(col("n") > 0L, expr("logloss_q6_sum DIV n")).cast("long"))
+      .withColumn("brier_mean_micro",
+        when(col("n") > 0L, expr("brier_micro_sum DIV n")).cast("long"))
+  }
+}
