@@ -3098,7 +3098,36 @@ object SparkEntry {
       val sq4 = scoreQ4(col("embedding"), Q1)
       evals.loglossBrier(table(s, dir, "embeddings"),
         (sq4 + lit(10000L)) * lit(50L), col("label") < 5)
-    })
+    }),
+
+    // north-star: Kaplan-Meier signup→purchase survival with censoring
+    // at study end — survival surfaced in exact-integer log space; the
+    // one cumulative window runs over day buckets, never users.
+    "events_kaplan_meier" -> ((s, dir) =>
+      EventStream.kaplanMeier(events(s, dir), "signup", "purchase",
+          bucketSec = 86400L)
+        .orderBy(col("t"))),
+
+    // north-star: difference-in-differences 2×2 readout — exact
+    // per-cell user counts and cent sums, one rounded interaction term.
+    "events_did" -> ((s, dir) =>
+      EventStream.diffInDiff(events(s, dir), cutoff = "2024-01-15",
+        variant = col("user_id") % 2)),
+
+    // north-star: dense gap-filled hourly value series with forward
+    // fill — the equal-spacing primitive downstream forecasters need;
+    // fills are flagged, never silent.
+    "events_gapfill" -> ((s, dir) =>
+      EventStream.gapFill(events(s, dir), bucketSec = 3600L)
+        .orderBy(col("series"), col("t"))),
+
+    // north-star: seasonal-naive forecast backtest vs the lag-1
+    // persistence baseline — exact integer MAE pair per series plus the
+    // ppm skill quotient; the is-seasonality-real meter.
+    "events_snaive" -> ((s, dir) =>
+      EventStream.snaiveBacktest(events(s, dir), bucketSec = 3600,
+          season = 168)
+        .orderBy(col("series")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6700,6 +6729,108 @@ object SparkEntry {
          |  sum(ll)::BIGINT AS logloss_q6_sum, sum(br)::BIGINT AS brier_micro_sum,
          |  (sum(ll)::BIGINT // count(*))::BIGINT AS logloss_mean_q6,
          |  (sum(br)::BIGINT // count(*))::BIGINT AS brier_mean_micro
-         |FROM r""".stripMargin
+         |FROM r""".stripMargin,
+
+    // KM estimator: entry = first signup, conversion = first purchase at
+    // or after it, censoring at global max ts; survival as the running
+    // exact-integer sum of per-bucket floor-quantized ln terms, null
+    // from the first curve-zero bucket onward.
+    "events_kaplan_meier" ->
+      """WITH entry AS (SELECT user_id, min(ts) AS fts FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |conv AS (SELECT e.user_id, min(c.ts) AS tts FROM entry e
+        |  JOIN events c ON c.user_id = e.user_id
+        |    AND c.event_type = 'purchase' AND c.ts >= e.fts GROUP BY 1),
+        |d AS (SELECT
+        |    ((epoch_us(coalesce(c.tts, (SELECT max(ts) FROM events)))
+        |      - epoch_us(e.fts)) // 1000000) // 86400 AS t,
+        |    (c.tts IS NOT NULL)::BIGINT AS obs
+        |  FROM entry e LEFT JOIN conv c USING (user_id)),
+        |bt AS (SELECT t, count(*)::BIGINT AS n_all, sum(obs)::BIGINT AS n_event,
+        |    sum(1 - obs)::BIGINT AS n_censored FROM d GROUP BY 1),
+        |r AS (SELECT t, n_event, n_censored,
+        |    ((SELECT sum(n_all) FROM bt)::BIGINT - coalesce(sum(n_all)
+        |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0))::BIGINT AS n_risk
+        |  FROM bt),
+        |q AS (SELECT t, n_risk, n_event, n_censored,
+        |    CASE WHEN n_event > 0 AND n_event < n_risk THEN
+        |      floor(ln((n_risk - n_event)::DOUBLE / n_risk::DOUBLE)
+        |        * 1000000000.0)::BIGINT
+        |    WHEN n_event = 0 THEN 0 END AS term,
+        |    max(CASE WHEN n_event >= n_risk THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS dead
+        |  FROM r)
+        |SELECT t, n_risk, n_event, n_censored,
+        |  CASE WHEN dead = 0 THEN sum(term)
+        |    OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |  END AS ln_surv_q9
+        |FROM q ORDER BY t""".stripMargin,
+
+    // 2×2 DiD cells as exact integers; the interaction is the one
+    // documented float formula, both engines dividing the SAME exact
+    // cent/user integers.
+    "events_did" ->
+      """WITH per AS (SELECT user_id % 2 AS v,
+        |    (ts >= TIMESTAMP '2024-01-15 00:00:00')::BIGINT AS post, user_id,
+        |    sum(floor(value * 100)::BIGINT)::BIGINT AS s
+        |  FROM events GROUP BY 1, 2, 3),
+        |w AS (SELECT
+        |  sum(CASE WHEN v = 0 AND post = 0 THEN 1 ELSE 0 END)::BIGINT AS u00,
+        |  sum(CASE WHEN v = 0 AND post = 0 THEN s ELSE 0 END)::BIGINT AS cents00,
+        |  sum(CASE WHEN v = 0 AND post = 1 THEN 1 ELSE 0 END)::BIGINT AS u01,
+        |  sum(CASE WHEN v = 0 AND post = 1 THEN s ELSE 0 END)::BIGINT AS cents01,
+        |  sum(CASE WHEN v = 1 AND post = 0 THEN 1 ELSE 0 END)::BIGINT AS u10,
+        |  sum(CASE WHEN v = 1 AND post = 0 THEN s ELSE 0 END)::BIGINT AS cents10,
+        |  sum(CASE WHEN v = 1 AND post = 1 THEN 1 ELSE 0 END)::BIGINT AS u11,
+        |  sum(CASE WHEN v = 1 AND post = 1 THEN s ELSE 0 END)::BIGINT AS cents11
+        |  FROM per)
+        |SELECT u00, cents00, u01, cents01, u10, cents10, u11, cents11,
+        |  CASE WHEN u00 > 0 AND u01 > 0 AND u10 > 0 AND u11 > 0 THEN
+        |    floor(((cents11::DOUBLE / u11::DOUBLE - cents10::DOUBLE / u10::DOUBLE)
+        |      - (cents01::DOUBLE / u01::DOUBLE - cents00::DOUBLE / u00::DOUBLE))
+        |      * 10000.0 + 0.5) / 10000.0
+        |  END AS did_4dp
+        |FROM w""".stripMargin,
+
+    // Dense spine per series, forward fill via IGNORE NULLS last_value;
+    // fills flagged by observed = 0.
+    "events_gapfill" ->
+      """WITH sums AS (SELECT event_type AS series,
+        |    (epoch_us(ts) // 1000000) // 3600 AS t,
+        |    sum(floor(value * 100)::BIGINT)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT series, unnest(generate_series(min(t), max(t))) AS t
+        |  FROM sums GROUP BY series),
+        |j AS (SELECT sp.series, sp.t, sums.c
+        |  FROM sp LEFT JOIN sums USING (series, t))
+        |SELECT series, t,
+        |  last_value(c IGNORE NULLS) OVER (PARTITION BY series ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cents,
+        |  (c IS NOT NULL)::BIGINT AS observed
+        |FROM j ORDER BY series, t""".stripMargin,
+
+    // Seasonal-naive vs lag-1 persistence on the densified count series;
+    // evaluable rows are exactly those with the seasonal lag defined.
+    "events_snaive" ->
+      """WITH counts AS (SELECT event_type AS series,
+        |    (epoch_us(ts) // 1000000) // 3600 AS t, count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT series, unnest(generate_series(min(t), max(t))) AS t
+        |  FROM counts GROUP BY series),
+        |d AS (SELECT sp.series, sp.t, coalesce(counts.c, 0)::BIGINT AS c
+        |  FROM sp LEFT JOIN counts USING (series, t)),
+        |l AS (SELECT series, c,
+        |    lag(c, 168) OVER (PARTITION BY series ORDER BY t) AS ls,
+        |    lag(c, 1) OVER (PARTITION BY series ORDER BY t) AS l1
+        |  FROM d)
+        |SELECT series, count(*)::BIGINT AS n_eval,
+        |  sum(abs(c - ls))::BIGINT AS mae_num, count(*)::BIGINT AS mae_den,
+        |  sum(abs(c - l1))::BIGINT AS naive_num,
+        |  CASE WHEN sum(abs(c - l1)) > 0 THEN
+        |    (sum(abs(c - ls))::BIGINT * 1000000 // sum(abs(c - l1))::BIGINT)::BIGINT
+        |  END AS skill_ppm
+        |FROM l WHERE ls IS NOT NULL GROUP BY series ORDER BY series""".stripMargin
   )
 }

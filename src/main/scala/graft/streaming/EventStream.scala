@@ -1,7 +1,10 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.ops.windows
 
 /** Event-stream operators, written once against the unified
   * batch/streaming DataFrame surface: the same function builds the plan
@@ -1001,6 +1004,192 @@ object EventStream {
       .groupBy(col("_k").as("n_variants"), col("_t").as("n_units"))
       .agg(sum(col("_d2")).as("chi2_num"))
       .withColumn("chi2_den", expr("n_variants * n_units"))
+  }
+
+  /** Kaplan-Meier survival over time-to-convert WITH censoring — the
+    * estimator [[timeToConvert]] cannot give you: users who have not
+    * converted by the end of the observation window still carry
+    * information (they survived at least that long) and are censored at
+    * the study end instead of dropped. Per user: entry = first
+    * `fromType` event, conversion = first `toType` at/after entry,
+    * duration = whole `bucketSec` buckets; non-converters censor at the
+    * global max event time.
+    *
+    * Determinism discipline: per-bucket counts are exact integers;
+    * survival is surfaced IN LOG SPACE as the running exact-integer sum
+    * `ln_surv_q9 = Σ floor(ln((n_risk−n_event)/n_risk)·10⁹)` — a
+    * per-element quantized transform summed order-free, never a float
+    * product (`S(t) = exp(ln_surv_q9/10⁹)` downstream). Once the curve
+    * hits zero (`n_event = n_risk`) the log diverges; from that bucket
+    * on `ln_surv_q9` is null — a windowed degeneracy flag, not a
+    * silently skipped term.
+    *
+    * Plan shape: two user-keyed aggregations and one user-keyed join
+    * (exchange reused), a 1-row study-end reduction broadcast back,
+    * then ONE cumulative window over duration buckets — domain-bounded
+    * by timespan/bucketSec ([[windows.boundedGlobal]]), independent of
+    * event volume. Returns
+    * `(t, n_risk, n_event, n_censored, ln_surv_q9)`. */
+  def kaplanMeier(
+      events: DataFrame,
+      fromType: String,
+      toType: String,
+      bucketSec: Long = 86400L,
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(bucketSec >= 1, s"graft: kaplanMeier needs bucketSec >= 1")
+    val entry = events.where(col(typeCol) === fromType)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("_from_ts"))
+    val conv = events.where(col(typeCol) === toType)
+      .select(col(userCol), col(tsCol).as("_to_ts"))
+      .join(entry, userCol)
+      .where(col("_to_ts") >= col("_from_ts"))
+      .groupBy(col(userCol)).agg(min(col("_to_ts")).as("_to_ts"))
+    val end = events.agg(max(col(tsCol)).as("_end_ts"))
+    val durations = entry.join(conv, Seq(userCol), "left")
+      .crossJoin(broadcast(end))
+      .select(
+        expr(s"((unix_micros(coalesce(_to_ts, _end_ts))" +
+          s" - unix_micros(_from_ts)) DIV 1000000) DIV $bucketSec").as("t"),
+        col("_to_ts").isNotNull.cast("long").as("_obs"))
+    val byT = durations.groupBy(col("t"))
+      .agg(count(lit(1)).as("_n_all"), sum(col("_obs")).as("n_event"),
+        sum(lit(1L) - col("_obs")).as("n_censored"))
+    val wPrev = windows.boundedGlobal("study-buckets", col("t"))
+      .orderBy(col("t"))
+    val risked = byT
+      .withColumn("_total", sum(col("_n_all")).over(
+        wPrev.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("n_risk", col("_total") - coalesce(
+        sum(col("_n_all")).over(wPrev.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("_term_q9",
+        when(col("n_event") > 0L && col("n_event") < col("n_risk"),
+          floor(log((col("n_risk") - col("n_event")).cast("double")
+            / col("n_risk").cast("double")) * 1.0e9).cast("long"))
+          .when(col("n_event") === 0L, lit(0L)))
+      .withColumn("_dead", max((col("n_event") >= col("n_risk")).cast("long"))
+        .over(wPrev.rowsBetween(Window.unboundedPreceding, 0)))
+    risked
+      .withColumn("ln_surv_q9",
+        when(col("_dead") === 0L,
+          sum(col("_term_q9")).over(wPrev.rowsBetween(Window.unboundedPreceding, 0))))
+      .select(col("t"), col("n_risk"), col("n_event"), col("n_censored"),
+        col("ln_surv_q9"))
+  }
+
+  /** Difference-in-differences readout: the 2×2 (variant × pre/post)
+    * experiment table as ONE wide row of exact integers — per-cell
+    * distinct users and value sums in integer cents —
+    * plus the interaction estimate `did_4dp = (m̄₁₁−m̄₁₀) − (m̄₀₁−m̄₀₀)`
+    * (cell means of cents-per-user) as the single rounded float, the
+    * [[cuped]] discipline: exact sums first, one documented float
+    * formula last. The parallel-trends readout for a rollout that
+    * wasn't randomized.
+    *
+    * Plan shape: one (user, variant, period) aggregation, a 4-row
+    * conditional rollup — no windows, one exchange. */
+  def diffInDiff(
+      events: DataFrame,
+      cutoff: String,
+      variant: Column,
+      valueCol: String = "value",
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val per = events
+      .select(variant.as("_v"),
+        (col(tsCol) >= lit(cutoff).cast("timestamp")).cast("long").as("_post"),
+        col(userCol).as("_u"),
+        floor(col(valueCol) * 100.0).cast("long").as("_c"))
+      .groupBy(col("_v"), col("_post"), col("_u"))
+      .agg(sum(col("_c")).as("_s"))
+    def cell(v: Int, p: Int, c: Column) =
+      sum(when(col("_v") === v && col("_post") === p, c).otherwise(lit(0L)))
+    val wide = per.agg(
+      cell(0, 0, lit(1L)).as("u00"), cell(0, 0, col("_s")).as("cents00"),
+      cell(0, 1, lit(1L)).as("u01"), cell(0, 1, col("_s")).as("cents01"),
+      cell(1, 0, lit(1L)).as("u10"), cell(1, 0, col("_s")).as("cents10"),
+      cell(1, 1, lit(1L)).as("u11"), cell(1, 1, col("_s")).as("cents11"))
+    def m(s: String, u: String) = col(s).cast("double") / col(u).cast("double")
+    wide.withColumn("did_4dp",
+      when(col("u00") > 0L && col("u01") > 0L && col("u10") > 0L && col("u11") > 0L,
+        graft.functions.vectors.quantize(
+          (m("cents11", "u11") - m("cents10", "u10"))
+            - (m("cents01", "u01") - m("cents00", "u00")), 4)))
+  }
+
+  /** Dense gap-filled value series: per-series `bucketSec` buckets over
+    * the series' own [min, max] range, missing buckets supplied by the
+    * bounded `sequence` spine and forward-filled with the last observed
+    * sum (`observed = 0` marks fills; leading gaps before the first
+    * observation cannot exist by construction since the range starts at
+    * an observed bucket). The upstream primitive for any
+    * equal-spacing consumer — [[autocorr]], [[changepoints]],
+    * [[snaiveBacktest]] — when the metric is a VALUE (integer cents),
+    * not a count where absence already means zero.
+    *
+    * Plan shape: the [[denseSeries]] contract — one stream-collapsing
+    * hash aggregate, a domain-bounded spine explode, one series-keyed
+    * window for the fill. Returns `(series, t, cents, observed)`. */
+  def gapFill(
+      events: DataFrame,
+      bucketSec: Long = 3600L,
+      seriesCol: String = "event_type",
+      valueCol: String = "value",
+      tsCol: String = "ts"): DataFrame = {
+    require(bucketSec >= 1, s"graft: gapFill needs bucketSec >= 1")
+    val sums = events
+      .select(col(seriesCol).as("series"),
+        expr(s"(unix_micros($tsCol) DIV 1000000) DIV $bucketSec").as("t"),
+        floor(col(valueCol) * 100.0).cast("long").as("_c"))
+      .groupBy(col("series"), col("t")).agg(sum(col("_c")).as("_cents"))
+    val spine = sums.groupBy(col("series"))
+      .agg(min(col("t")).as("_t0"), max(col("t")).as("_t1"))
+      .select(col("series"), explode(sequence(col("_t0"), col("_t1"))).as("t"))
+    val w = Window.partitionBy(col("series")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(sums, Seq("series", "t"), "left")
+      .select(col("series"), col("t"),
+        last(col("_cents"), ignoreNulls = true).over(w).as("cents"),
+        col("_cents").isNotNull.cast("long").as("observed"))
+  }
+
+  /** Seasonal-naive forecast backtest: predict each bucket's event count
+    * by the count one `season` earlier (lag-`season` persistence — the
+    * canonical baseline every fancier forecaster must beat), scored
+    * against the lag-1 persistence baseline. Per series:
+    * `mae_num/mae_den` = exact Σ|y − y_{t−season}| over evaluable
+    * buckets, `naive_num` = Σ|y − y_{t−1}| on the SAME buckets, and
+    * `skill_ppm = mae_num·10⁶ DIV naive_num` (< 10⁶ means seasonality
+    * is real and a seasonal scheduler beats a flat one). Series densify
+    * via [[denseSeries]] — a silent gap is a zero, not a skipped lag.
+    *
+    * Plan shape: one hash aggregate, bounded spine, ONE series-keyed
+    * window carrying both lags over domain-bounded series rows, then a
+    * per-series rollup. Returns
+    * `(series, n_eval, mae_num, mae_den, naive_num, skill_ppm)`. */
+  def snaiveBacktest(
+      events: DataFrame,
+      bucketSec: Int = 3600,
+      season: Int = 168,
+      seriesCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(season >= 2, s"graft: snaiveBacktest needs season >= 2, got $season")
+    val dense = denseSeries(events, bucketSec, seriesCol, tsCol)
+    val w = Window.partitionBy(col(seriesCol)).orderBy(col("_t"))
+    val lagged = dense.select(col(seriesCol).as("series"), col("_c"),
+      lag(col("_c"), season).over(w).as("_ls"),
+      lag(col("_c"), 1).over(w).as("_l1"))
+      .where(col("_ls").isNotNull)
+    lagged.groupBy(col("series"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("_c") - col("_ls"))).as("mae_num"),
+        count(lit(1)).as("mae_den"),
+        sum(abs(col("_c") - col("_l1"))).as("naive_num"))
+      .withColumn("skill_ppm",
+        when(col("naive_num") > 0L,
+          expr("(mae_num * 1000000) DIV naive_num")).cast("long"))
   }
 
   /** One event on the stateful dialog-assembly path. */

@@ -1,0 +1,95 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStream
+
+/** Known-answer tests for the survival / experiment / forecasting event
+  * meters added round 10: Kaplan-Meier with censoring, the DiD 2×2,
+  * gap fill, and the seasonal-naive backtest. */
+class EventMetersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(day: Int, hour: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-${day}%02d $hour%02d:00:00")
+
+  private def ev(rows: (Long, Timestamp, Long, String, Double)*) =
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("kaplanMeier: textbook ladder with one censored user") {
+    // u1 converts day 1, u2 day 1, u3 day 3, u4 never (censored at max
+    // ts = day 5). Classic S: after t=1: 2/4 survive; t=3: 1/2 of the
+    // remaining 2 → ln terms ln(2/4)+... per bucket.
+    val df = ev(
+      (1, ts(1), 1, "signup", 0.0), (2, ts(2), 1, "purchase", 1.0),
+      (3, ts(1), 2, "signup", 0.0), (4, ts(2, 12), 2, "purchase", 1.0),
+      (5, ts(1), 3, "signup", 0.0), (6, ts(4), 3, "purchase", 1.0),
+      (7, ts(1), 4, "signup", 0.0), (8, ts(5), 4, "view", 1.0))
+    val rows = EventStream.kaplanMeier(df, "signup", "purchase",
+      bucketSec = 86400L).orderBy("t").collect()
+    // durations: u1=1, u2=1 (1.5 floors to 1), u3=3, u4 censored at 4
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 3L, 4L))
+    val byT = rows.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(byT(1L) == ((4L, 2L, 0L)), "4 at risk, 2 convert on day 1")
+    assert(byT(3L) == ((2L, 1L, 0L)), "2 at risk, 1 converts on day 3")
+    assert(byT(4L) == ((1L, 0L, 1L)), "last user censored")
+    val expectT1 = math.floor(math.log(2.0 / 4.0) * 1e9).toLong
+    val expectT3 = expectT1 + math.floor(math.log(1.0 / 2.0) * 1e9).toLong
+    assert(rows(0).getLong(4) == expectT1)
+    assert(rows(1).getLong(4) == expectT3)
+    assert(rows(2).getLong(4) == expectT3, "censoring does not move S")
+  }
+
+  test("kaplanMeier: curve reaching zero nulls the log from there on") {
+    val df = ev(
+      (1, ts(1), 1, "signup", 0.0), (2, ts(2), 1, "purchase", 1.0),
+      (3, ts(1), 2, "signup", 0.0), (4, ts(2), 2, "purchase", 1.0))
+    val rows = EventStream.kaplanMeier(df, "signup", "purchase",
+      bucketSec = 86400L).orderBy("t").collect()
+    assert(rows.length == 1 && rows(0).getLong(2) == rows(0).getLong(1))
+    assert(rows(0).isNullAt(4), "S = 0 has no finite log")
+  }
+
+  test("diffInDiff: hand-computed 2x2 interaction") {
+    // variant = user_id % 2; pre/post around Jan 15.
+    val df = ev(
+      (1, ts(10), 0, "view", 1.00), (2, ts(20), 0, "view", 2.00),
+      (3, ts(10), 1, "view", 1.00), (4, ts(20), 1, "view", 4.00))
+    val r = EventStream.diffInDiff(df, "2024-01-15", col("user_id") % 2)
+      .head()
+    // cells: u*=1 each; cents 100/200 (v0), 100/400 (v1)
+    assert(Seq(0, 2, 4, 6).map(r.getLong) == Seq(1L, 1L, 1L, 1L))
+    assert(Seq(1, 3, 5, 7).map(r.getLong) == Seq(100L, 200L, 100L, 400L))
+    // did = (400-100) - (200-100) = 200 cents
+    assert(r.getDouble(8) == 200.0)
+  }
+
+  test("gapFill: holes carry the last observed value, flagged") {
+    val df = ev(
+      (1, ts(1, 0), 1, "view", 1.50),
+      (2, ts(1, 3), 1, "view", 2.25))
+    val rows = EventStream.gapFill(df, bucketSec = 3600L)
+      .orderBy("t").collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getLong(2)).toSeq == Seq(150L, 150L, 150L, 225L))
+    assert(rows.map(_.getLong(3)).toSeq == Seq(1L, 0L, 0L, 1L))
+  }
+
+  test("snaiveBacktest: perfect weekly pattern scores skill 0") {
+    // counts repeat with period 2 → lag-2 forecast is exact, lag-1 isn't.
+    val rows = (0 until 12).flatMap { h =>
+      val n = if (h % 2 == 0) 3 else 1
+      (0 until n).map(i => (h.toLong * 10 + i, ts(1, h), 1L, "view", 0.0))
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = EventStream.snaiveBacktest(df, bucketSec = 3600, season = 2)
+      .head()
+    assert(r.getLong(1) == 10L, "12 buckets, first 2 not evaluable")
+    assert(r.getLong(2) == 0L, "seasonal forecast exact")
+    assert(r.getLong(4) == 20L, "lag-1 misses by 2 per bucket")
+    assert(r.getLong(5) == 0L, "skill ppm = 0")
+  }
+}
