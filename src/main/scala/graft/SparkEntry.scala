@@ -3127,7 +3127,40 @@ object SparkEntry {
     "events_snaive" -> ((s, dir) =>
       EventStream.snaiveBacktest(events(s, dir), bucketSec = 3600,
           season = 168)
-        .orderBy(col("series")))
+        .orderBy(col("series"))),
+
+    // north-star: Theil-Sen robust trend — the median pairwise slope
+    // per daily series, surfaced as the selected pair's exact rational;
+    // the pair stage is time-range-bounded, not data-bounded.
+    "events_theilsen" -> ((s, dir) =>
+      EventStream.theilSen(events(s, dir), bucketSec = 86400)
+        .orderBy(col("series"))),
+
+    // north-star: one-level a-priori association rules over order
+    // baskets of part brands — exact support counts, ppm confidence
+    // and lift; infrequent items pruned before the pair stage.
+    "rel_assoc_rules" -> ((s, dir) =>
+      rel.assocRules(
+          table(s, dir, "lineitem").join(table(s, dir, "part"),
+            col("l_partkey") === col("p_partkey")),
+          "l_orderkey", "p_brand", minSupport = 150L)
+        .orderBy(col("ante"), col("cons"))),
+
+    // north-star: leakage-free out-of-fold target encoding of order
+    // priority against order value — exact cents sums per (cat, fold),
+    // one documented float quotient.
+    "rel_target_encode" -> ((s, dir) =>
+      rel.targetEncode(table(s, dir, "orders"), "o_orderpriority",
+          "o_totalprice", "o_orderkey", k = 5)
+        .orderBy(col("o_orderpriority"), col("fold"))),
+
+    // north-star: RFM segmentation with grid-quantile scores — ties
+    // share scores, every grid is value-bounded, the score maps
+    // broadcast back onto the customer scan.
+    "rel_rfm" -> ((s, dir) =>
+      rel.rfm(table(s, dir, "orders"), "o_custkey", "o_orderdate",
+          "o_totalprice", buckets = 5, binCents = 100000L)
+        .orderBy(col("o_custkey")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6831,6 +6864,98 @@ object SparkEntry {
         |  CASE WHEN sum(abs(c - l1)) > 0 THEN
         |    (sum(abs(c - ls))::BIGINT * 1000000 // sum(abs(c - l1))::BIGINT)::BIGINT
         |  END AS skill_ppm
-        |FROM l WHERE ls IS NOT NULL GROUP BY series ORDER BY series""".stripMargin
+        |FROM l WHERE ls IS NOT NULL GROUP BY series ORDER BY series""".stripMargin,
+
+    // Median pairwise slope selected (never computed): pairs ordered by
+    // the one-IEEE-division key with exact-integer tie-breaks, lower
+    // median surfaced as its exact rational.
+    "events_theilsen" ->
+      """WITH counts AS (SELECT event_type AS series,
+        |    (epoch_us(ts) // 1000000) // 86400 AS t, count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT series, unnest(generate_series(min(t), max(t))) AS t
+        |  FROM counts GROUP BY series),
+        |d AS (SELECT sp.series, sp.t, coalesce(counts.c, 0)::BIGINT AS c
+        |  FROM sp LEFT JOIN counts USING (series, t)),
+        |p AS (SELECT a.series, (b.c - a.c)::BIGINT AS num,
+        |    (b.t - a.t)::BIGINT AS den, a.t AS t1
+        |  FROM d a JOIN d b ON a.series = b.series AND a.t < b.t),
+        |r AS (SELECT series, num, den,
+        |    row_number() OVER (PARTITION BY series
+        |      ORDER BY num::DOUBLE / den::DOUBLE, num, den, t1) AS rnk,
+        |    count(*) OVER (PARTITION BY series) AS np
+        |  FROM p)
+        |SELECT series, np::BIGINT AS n_pairs, num AS med_num, den AS med_den
+        |FROM r WHERE rnk = (np + 1) // 2 ORDER BY series""".stripMargin,
+
+    // One-level a-priori: frequent items pruned before the pair stage,
+    // both rule directions, all-positive ppm quotients.
+    "rel_assoc_rules" ->
+      """WITH it AS (SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |itn AS (SELECT i, count(*)::BIGINT AS n FROM it GROUP BY 1
+        |  HAVING count(*) >= 150),
+        |nb AS (SELECT count(DISTINCT b)::BIGINT AS n_baskets FROM it),
+        |pr AS (SELECT it.b, it.i FROM it JOIN itn ON it.i = itn.i),
+        |pn AS (SELECT a.i AS x, c.i AS y, count(*)::BIGINT AS pair_n
+        |  FROM pr a JOIN pr c ON a.b = c.b AND a.i < c.i GROUP BY 1, 2
+        |  HAVING count(*) >= 150),
+        |dirs AS (SELECT x AS ante, y AS cons, pair_n FROM pn
+        |  UNION ALL SELECT y, x, pair_n FROM pn)
+        |SELECT bo.ante, bo.cons, bo.pair_n, ia.n AS ante_n, ic.n AS cons_n,
+        |  nb.n_baskets,
+        |  (bo.pair_n * 1000000 // ia.n)::BIGINT AS conf_ppm,
+        |  (bo.pair_n * nb.n_baskets * 1000000 // (ia.n * ic.n))::BIGINT AS lift_ppm
+        |FROM dirs bo JOIN itn ia ON bo.ante = ia.i
+        |  JOIN itn ic ON bo.cons = ic.i CROSS JOIN nb
+        |ORDER BY ante, cons""".stripMargin,
+
+    // Out-of-fold encode: the same portable fold hash as sample_kfold,
+    // exact complements per (cat, fold), one floor-4dp quotient.
+    "rel_target_encode" ->
+      s"""WITH f AS (SELECT o_orderpriority,
+         |    (${graft.functions.hashing.sqlH32("(o_orderkey::VARCHAR || '/te')")} % 5)::INT AS fold,
+         |    floor(o_totalprice * 100)::BIGINT AS c FROM orders),
+         |cells AS (SELECT o_orderpriority, fold, count(*)::BIGINT AS n_fold,
+         |    sum(c)::BIGINT AS s FROM f GROUP BY 1, 2),
+         |t AS (SELECT o_orderpriority, sum(n_fold)::BIGINT AS nn,
+         |    sum(s)::BIGINT AS ss FROM cells GROUP BY 1)
+         |SELECT c.o_orderpriority, c.fold, c.n_fold,
+         |  (t.nn - c.n_fold)::BIGINT AS oof_n, (t.ss - c.s)::BIGINT AS oof_cents,
+         |  CASE WHEN t.nn - c.n_fold > 0 THEN
+         |    floor((t.ss - c.s)::DOUBLE / (t.nn - c.n_fold)::DOUBLE * 10000.0)
+         |      / 10000.0 END AS oof_mean_q4
+         |FROM cells c JOIN t USING (o_orderpriority)
+         |ORDER BY 1, 2""".stripMargin,
+
+    // Grid-quantile RFM: cumulative counts over bounded value grids,
+    // score maps joined back; ties share scores by construction.
+    "rel_rfm" ->
+      """WITH per AS (SELECT o_custkey, max(o_orderdate) AS lastd,
+        |    count(*)::BIGINT AS n_orders,
+        |    sum(floor(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT o_custkey,
+        |    date_diff('day', lastd, (SELECT max(o_orderdate) FROM orders))::BIGINT
+        |      AS recency_days, n_orders, cents FROM per),
+        |gr AS (SELECT -recency_days AS v, count(*)::BIGINT AS cnt FROM b GROUP BY 1),
+        |mr AS (SELECT v, ((coalesce(sum(cnt) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT * 5)
+        |    // (sum(cnt) OVER ())::BIGINT + 1)::BIGINT AS r_score FROM gr),
+        |gf AS (SELECT n_orders AS v, count(*)::BIGINT AS cnt FROM b GROUP BY 1),
+        |mf AS (SELECT v, ((coalesce(sum(cnt) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT * 5)
+        |    // (sum(cnt) OVER ())::BIGINT + 1)::BIGINT AS f_score FROM gf),
+        |gm AS (SELECT cents // 100000 AS v, count(*)::BIGINT AS cnt FROM b GROUP BY 1),
+        |mm AS (SELECT v, ((coalesce(sum(cnt) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT * 5)
+        |    // (sum(cnt) OVER ())::BIGINT + 1)::BIGINT AS m_score FROM gm)
+        |SELECT b.o_custkey, b.recency_days, b.n_orders, b.cents,
+        |  mr.r_score, mf.f_score, mm.m_score,
+        |  (mr.r_score * 100 + mf.f_score * 10 + mm.m_score)::BIGINT AS rfm
+        |FROM b JOIN mr ON -b.recency_days = mr.v
+        |  JOIN mf ON b.n_orders = mf.v
+        |  JOIN mm ON b.cents // 100000 = mm.v
+        |ORDER BY o_custkey""".stripMargin
   )
 }

@@ -821,4 +821,178 @@ object rel {
         (expr("_sp DIV n_items") - col("pe_ppm")).as("kappa_num"),
         (lit(scale) - col("pe_ppm")).as("kappa_den"))
   }
+
+  /** Market-basket association rules (Agrawal & Srikant, VLDB 1994 —
+    * the one-level a-priori pass): for every ordered item pair (a → b)
+    * whose co-occurrence clears `minSupport` baskets, the exact support
+    * counts plus `conf_ppm = P(b|a)` and `lift_ppm = P(a,b)/(P(a)P(b))`
+    * as parts-per-million integer quotients (all counts positive, so
+    * truncating division is engine-identical). The
+    * what-co-occurs-with-what miner behind recommendation seeds and
+    * curriculum pairing.
+    *
+    * Scale shape — the a-priori property does the pruning: items below
+    * `minSupport` cannot appear in a frequent pair, so they are removed
+    * BEFORE the pair stage by a broadcast semi-join (the frequent-item
+    * list is vocab-bounded by construction). The pair stage self-joins
+    * baskets on the basket key — per-basket cost is quadratic in the
+    * basket's DISTINCT frequent items, which the item vocabulary bounds,
+    * never in basket count. Two hash aggregations otherwise; the rule
+    * assembly joins the vocab-bounded item counts back by broadcast.
+    * `lift_ppm` multiplies `pair_n · n_baskets` — exact to ~3·10⁹
+    * baskets (past that, derive lift downstream from the surfaced
+    * counts). Returns
+    * `(ante, cons, pair_n, ante_n, cons_n, n_baskets, conf_ppm,
+    * lift_ppm)` for both directions of each pair. */
+  def assocRules(
+      baskets: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      minSupport: Long = 10L,
+      minConfPpm: Long = 0L): DataFrame = {
+    require(minSupport >= 1, s"graft: assocRules needs minSupport >= 1")
+    val items = baskets
+      .select(col(basketCol).as("_b"), col(itemCol).cast("string").as("_i"))
+      .where(col("_b").isNotNull && col("_i").isNotNull)
+      .distinct()
+    val itemN = items.groupBy(col("_i")).agg(count(lit(1)).as("_in"))
+      .where(col("_in") >= minSupport)
+    val nB = items.select(col("_b")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val pruned = items.join(broadcast(itemN.select(col("_i"))), Seq("_i"),
+      "left_semi")
+    val pairN = pruned.as("a")
+      .join(pruned.as("b"), col("a._b") === col("b._b")
+        && col("a._i") < col("b._i"))
+      .groupBy(col("a._i").as("_x"), col("b._i").as("_y"))
+      .agg(count(lit(1)).as("pair_n"))
+      .where(col("pair_n") >= minSupport)
+    val both = pairN.select(col("_x").as("ante"), col("_y").as("cons"),
+        col("pair_n"))
+      .union(pairN.select(col("_y"), col("_x"), col("pair_n")))
+    both
+      .join(broadcast(itemN.select(col("_i").as("ante"), col("_in").as("ante_n"))),
+        "ante")
+      .join(broadcast(itemN.select(col("_i").as("cons"), col("_in").as("cons_n"))),
+        "cons")
+      .crossJoin(broadcast(nB))
+      .withColumn("conf_ppm", expr("(pair_n * 1000000L) DIV ante_n"))
+      .withColumn("lift_ppm",
+        expr("(pair_n * n_baskets * 1000000L) DIV (ante_n * cons_n)"))
+      .where(col("conf_ppm") >= minConfPpm)
+      .select(col("ante"), col("cons"), col("pair_n"), col("ante_n"),
+        col("cons_n"), col("n_baskets"), col("conf_ppm"), col("lift_ppm"))
+  }
+
+  /** Leakage-free target encoding: the per-category mean of a numeric
+    * target computed OUT-OF-FOLD — row r's encode excludes every row in
+    * r's own fold, so the feature carries no information about r's own
+    * label (in-fold target means are the classic train-set leak; Micci-
+    * Barreca SIGKDD Expl. 2001 is the smoothed ancestor). Folds come
+    * from the portable id hash ([[graft.ops.sample.kfold]]) — stable
+    * under corpus growth and engine-reproducible.
+    *
+    * Exactness: targets quantize to integer cents once, then everything
+    * is exact sums — the encode surfaces as `(oof_cents, oof_n)` plus
+    * the one documented float quotient `oof_mean_q4` (floor-4dp of
+    * cents/n, null when a category lives entirely in one fold).
+    *
+    * Plan shape: one (category, fold) hash aggregate, then category
+    * totals by a fold-count-bounded window (≤ k rows per category) —
+    * the encoder table is (categories × k) rows, broadcast-joinable
+    * onto the training scan. Returns
+    * `(catCol, fold, n_fold, oof_n, oof_cents, oof_mean_q4)`. */
+  def targetEncode(
+      df: DataFrame,
+      catCol: String,
+      targetCol: String,
+      idCol: String,
+      k: Int = 5,
+      salt: String = "te"): DataFrame = {
+    val folded = graft.ops.sample.kfold(df, idCol, k, salt)
+      .select(col(catCol), col("fold"),
+        floor(col(targetCol) * 100.0).cast("long").as("_c"))
+    val cells = folded.groupBy(col(catCol), col("fold"))
+      .agg(count(lit(1)).as("n_fold"), sum(col("_c")).as("_s"))
+    val w = Window.partitionBy(col(catCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cells
+      .withColumn("oof_n", sum(col("n_fold")).over(w) - col("n_fold"))
+      .withColumn("oof_cents", sum(col("_s")).over(w) - col("_s"))
+      .withColumn("oof_mean_q4", when(col("oof_n") > 0L,
+        floor(col("oof_cents").cast("double") / col("oof_n").cast("double")
+          * 10000.0) / 10000.0))
+      .select(col(catCol), col("fold"), col("n_fold"), col("oof_n"),
+        col("oof_cents"), col("oof_mean_q4"))
+  }
+
+  /** RFM segmentation (recency / frequency / monetary) with GRID
+    * quantile scores: per customer, days since last order (against the
+    * corpus max date), order count, and exact cents; each metric scored
+    * 1..`buckets` by its position in the cumulative distribution. The
+    * classic customer-value / contributor-value segmenter.
+    *
+    * Scores come from a VALUE-GRID cumulative count, not `ntile`: a
+    * global ntile is one unpartitioned window over every customer (the
+    * non-scalable shape), and it splits ties arbitrarily. Here each
+    * metric aggregates to its bounded value grid — recency is bounded
+    * by the corpus time range, frequency by max orders-per-customer,
+    * monetary by `binCents` bins — a cumulative count runs over GRID
+    * rows only ([[windows.boundedGlobal]]), and the score map
+    * (`score = (customers-below · buckets) DIV n + 1`) broadcasts back
+    * onto the customer scan. Equal values always share a score, and
+    * monetary's quantile resolution is `binCents` (the documented
+    * grid-vs-exactness trade every grid idiom in this library makes).
+    *
+    * Returns `(custCol, recency_days, n_orders, cents, r_score,
+    * f_score, m_score, rfm)` — `rfm` = r·100 + f·10 + m, recency scored
+    * so HIGHER = more recent. */
+  def rfm(
+      orders: DataFrame,
+      custCol: String,
+      dateCol: String,
+      amountCol: String,
+      buckets: Int = 5,
+      binCents: Long = 100000L): DataFrame = {
+    require(buckets >= 2, s"graft: rfm needs buckets >= 2, got $buckets")
+    require(binCents >= 1, s"graft: rfm needs binCents >= 1")
+    val per = orders.groupBy(col(custCol))
+      .agg(max(col(dateCol)).as("_last"), count(lit(1)).as("n_orders"),
+        sum(floor(col(amountCol) * 100.0).cast("long")).as("cents"))
+    val asof = orders.agg(max(col(dateCol)).as("_asof"))
+    // Persisted LAZILY: three grid builds and the final join all scan it.
+    val base = per.crossJoin(broadcast(asof))
+      .withColumn("recency_days", datediff(col("_asof"), col("_last")).cast("long"))
+      .drop("_last", "_asof")
+      .persist()
+    // One bounded-grid score map per metric: value -> customers strictly
+    // below it, broadcast back. The customer total rides the same bounded
+    // window (no driver-side count). `neg` flips the order so higher =
+    // better for recency without a signed-division rounding hazard.
+    def scoreMap(v: Column, name: String, neg: Boolean): DataFrame = {
+      val key = if (neg) -v else v
+      val grid = base.groupBy(key.as("_v")).agg(count(lit(1)).as("_cnt"))
+      val wg = windows.boundedGlobal(s"rfm-$name-grid", col("_v")).orderBy(col("_v"))
+      grid
+        .withColumn("_below", coalesce(
+          sum(col("_cnt")).over(wg.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .withColumn("_total", sum(col("_cnt")).over(
+          wg.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("_v").as(s"_k_$name"),
+          (expr(s"(_below * $buckets) DIV _total") + 1L).as(s"${name}_score"))
+    }
+    base
+      .withColumn("_bin", expr(s"cents DIV ${binCents}L"))
+      .join(broadcast(scoreMap(col("recency_days"), "r", neg = true)),
+        (-col("recency_days")) === col("_k_r"))
+      .join(broadcast(scoreMap(col("n_orders"), "f", neg = false)),
+        col("n_orders") === col("_k_f"))
+      .join(broadcast(scoreMap(expr(s"cents DIV ${binCents}L"), "m", neg = false)),
+        col("_bin") === col("_k_m"))
+      .withColumn("rfm", col("r_score") * 100L + col("f_score") * 10L
+        + col("m_score"))
+      .select(col(custCol), col("recency_days"), col("n_orders"), col("cents"),
+        col("r_score"), col("f_score"), col("m_score"), col("rfm"))
+  }
 }

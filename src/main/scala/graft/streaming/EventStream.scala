@@ -1192,6 +1192,52 @@ object EventStream {
           expr("(mae_num * 1000000) DIV naive_num")).cast("long"))
   }
 
+  /** Theil-Sen robust trend per series: the MEDIAN of all pairwise
+    * bucket-count slopes `(c_j − c_i) / (t_j − t_i)` over the densified
+    * series — the outlier-immune companion to [[trend]]'s OLS (one
+    * traffic spike drags a least-squares slope arbitrarily; it moves
+    * the pairwise-slope median by at most one rank). Sen 1968.
+    *
+    * Determinism discipline: a signed integer quotient per pair would
+    * round differently across engines, so each slope stays an exact
+    * `(num, den)` rational and the median is SELECTED, not computed —
+    * pairs totally ordered by (num/den as ONE IEEE division — exactly
+    * rounded, engine-identical; equal-valued fractions then tie-break
+    * on num, den, t₁), and the lower-median pair's exact rational is
+    * surfaced. No arithmetic on floats ever aggregates.
+    *
+    * Plan shape: one hash aggregate collapses event volume to
+    * DOMAIN-bounded series rows (timespan/bucketSec — independent of
+    * row count), the pair stage is a series-keyed self-join emitting
+    * O(B²) rows for B buckets (B ≈ 30 daily / 720 hourly: the pair
+    * count is a function of the TIME RANGE, not the data volume), and
+    * one series-keyed window ranks them. Returns
+    * `(series, n_pairs, med_num, med_den)` — slope = med_num/med_den in
+    * counts per bucket. */
+  def theilSen(
+      events: DataFrame,
+      bucketSec: Int = 86400,
+      seriesCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(bucketSec >= 1, s"graft: theilSen needs bucketSec >= 1")
+    val dense = denseSeries(events, bucketSec, seriesCol, tsCol)
+      .select(col(seriesCol).as("series"), col("_t"), col("_c"))
+    val lo = dense.select(col("series"), col("_t").as("_t1"), col("_c").as("_c1"))
+    val hi = dense.select(col("series"), col("_t").as("_t2"), col("_c").as("_c2"))
+    val pairs = lo.join(hi, Seq("series")).where(col("_t1") < col("_t2"))
+      .select(col("series"), (col("_c2") - col("_c1")).as("num"),
+        (col("_t2") - col("_t1")).as("den"), col("_t1"))
+    val w = Window.partitionBy(col("series"))
+    pairs
+      .withColumn("_key", col("num").cast("double") / col("den").cast("double"))
+      .withColumn("_rnk", row_number().over(
+        w.orderBy(col("_key"), col("num"), col("den"), col("_t1"))))
+      .withColumn("n_pairs", count(lit(1)).over(w))
+      .where(col("_rnk") === expr("(n_pairs + 1) DIV 2"))
+      .select(col("series"), col("n_pairs"),
+        col("num").as("med_num"), col("den").as("med_den"))
+  }
+
   /** One event on the stateful dialog-assembly path. */
   final case class TurnEvent(
       user_id: Long, ts: java.sql.Timestamp, event_id: Long, event_type: String)

@@ -92,4 +92,31 @@ class EventMetersSpec extends SparkSpec {
     assert(r.getLong(4) == 20L, "lag-1 misses by 2 per bucket")
     assert(r.getLong(5) == 0L, "skill ppm = 0")
   }
+
+  test("theilSen: median slope ignores the outlier OLS would chase") {
+    // counts per hour: 1,2,3,4,100,6 — a clean +1/hour drift with one
+    // spike. Pairwise-slope median stays near 1; OLS would report ~9.
+    val counts = Seq(1, 2, 3, 4, 100, 6)
+    val rows = counts.zipWithIndex.flatMap { case (n, h) =>
+      (0 until n).map(i => (h.toLong * 1000 + i, ts(1, h), 1L, "view", 0.0))
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = EventStream.theilSen(df, bucketSec = 3600).head()
+    assert(r.getLong(1) == 15L, "C(6,2) pairs")
+    val slope = r.getLong(2).toDouble / r.getLong(3).toDouble
+    assert(slope >= 0.5 && slope <= 1.5, s"robust slope ~1, got $slope")
+  }
+
+  test("theilSen: exact lower median on a tiny even-pair series") {
+    // 3 buckets -> 3 pairs with slopes 1, 2, 3 -> median selects 2.
+    val counts = Seq(1, 3, 3) // pairs: (0,1)=2, (0,2)=1 (den 2), (1,2)=0
+    val rows = counts.zipWithIndex.flatMap { case (n, h) =>
+      (0 until n).map(i => (h.toLong * 100 + i, ts(1, h), 1L, "view", 0.0))
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = EventStream.theilSen(df, bucketSec = 3600).head()
+    // slopes: 2/1, 2/2(=1), 0/1 -> ordered 0, 1, 2 -> median = 1 = 2/2
+    assert(r.getLong(1) == 3L)
+    assert(r.getLong(2) == 2L && r.getLong(3) == 2L, "median pair 2/2")
+  }
 }

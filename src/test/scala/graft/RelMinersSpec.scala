@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.rel
+
+/** Known-answer tests for the relational mining ops added round 10:
+  * association rules, out-of-fold target encoding, grid-quantile RFM. */
+class RelMinersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("assocRules: supports, confidence, and lift on a hand basket set") {
+    // 4 baskets: {a,b}, {a,b}, {a,c}, {b}. With minSupport=2:
+    // items a=3, b=3 (c=1 pruned); pair (a,b)=2.
+    val df = Seq(
+      (1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"),
+      (3L, "a"), (3L, "c"), (4L, "b"), (2L, "a") // dup row: presence only
+    ).toDF("basket", "item")
+    val rows = rel.assocRules(df, "basket", "item", minSupport = 2L)
+      .orderBy("ante").collect()
+    assert(rows.length == 2)
+    val ab = rows(0)
+    assert(ab.getString(0) == "a" && ab.getString(1) == "b")
+    assert(ab.getLong(2) == 2L && ab.getLong(3) == 3L && ab.getLong(4) == 3L)
+    assert(ab.getLong(5) == 4L, "4 baskets")
+    assert(ab.getLong(6) == 666666L, "conf = 2/3")
+    assert(ab.getLong(7) == 888888L, "lift = 2*4/(3*3)")
+    val ba = rows(1)
+    assert(ba.getString(0) == "b" && ba.getLong(6) == 666666L)
+  }
+
+  test("assocRules: minConfPpm filters low-confidence directions") {
+    // a in 4 baskets, b in 2, pair in 2: conf a->b = 1/2, b->a = 1.
+    val df = Seq(
+      (1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (3L, "a"), (4L, "a")
+    ).toDF("basket", "item")
+    val rows = rel.assocRules(df, "basket", "item", minSupport = 2L,
+      minConfPpm = 900000L).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getString(0) == "b" && rows(0).getString(1) == "a")
+  }
+
+  test("targetEncode: each fold's encode excludes exactly its own rows") {
+    // one category, ids 0..9, target = id dollars. Whatever the fold
+    // assignment, oof_cents + own cents = total, oof_n + n_fold = 10.
+    val df = (0 until 10).map(i => (i.toLong, "x", i.toDouble))
+      .toDF("id", "cat", "y")
+    val rows = rel.targetEncode(df, "cat", "y", "id", k = 3).collect()
+    val totalCents = (0 until 10).map(_ * 100L).sum
+    rows.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) == 10L, "n_fold + oof_n = n")
+    }
+    assert(rows.map(_.getLong(2)).sum == 10L, "folds partition the rows")
+    val anyFold = rows.head
+    // reconstruct own-fold cents from the complement and check the mean
+    val own = totalCents - anyFold.getLong(4)
+    assert(own >= 0 && own <= totalCents)
+    val q4 = anyFold.getDouble(5)
+    assert(q4 == math.floor(anyFold.getLong(4).toDouble /
+      anyFold.getLong(3).toDouble * 10000.0) / 10000.0)
+  }
+
+  test("rfm: grid scores are monotone and ties share a score") {
+    // 5 customers, one order each on distinct days with distinct value;
+    // plus two customers tied on every metric.
+    val df = Seq(
+      (1L, "2024-01-01", 100.0), (2L, "2024-01-02", 200.0),
+      (3L, "2024-01-03", 300.0), (4L, "2024-01-04", 400.0),
+      (5L, "2024-01-05", 500.0),
+      (6L, "2024-01-05", 500.0), (7L, "2024-01-05", 500.0)
+    ).toDF("cust", "d", "amt")
+      .withColumn("d", col("d").cast("timestamp"))
+    val rows = rel.rfm(df, "cust", "d", "amt", buckets = 5,
+      binCents = 10000L).orderBy("cust").collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    // customer 1 is oldest and cheapest: lowest r and m scores
+    assert(byId(1L).getLong(4) == 1L && byId(1L).getLong(6) == 1L)
+    // 5, 6, 7 are identical -> identical scores (ntile would split them)
+    val s567 = Seq(5L, 6L, 7L).map(i => (byId(i).getLong(4),
+      byId(i).getLong(5), byId(i).getLong(6)))
+    assert(s567.distinct.length == 1, "ties share scores")
+    // monotone: later day -> higher r score
+    val rScores = Seq(1L, 2L, 3L, 4L, 5L).map(byId(_).getLong(4))
+    assert(rScores == rScores.sorted)
+    // frequency identical for everyone -> all f scores equal
+    assert(rows.map(_.getLong(5)).distinct.length == 1)
+  }
+}
