@@ -3160,7 +3160,34 @@ object SparkEntry {
     "rel_rfm" -> ((s, dir) =>
       rel.rfm(table(s, dir, "orders"), "o_custkey", "o_orderdate",
           "o_totalprice", buckets = 5, binCents = 100000L)
-        .orderBy(col("o_custkey")))
+        .orderBy(col("o_custkey"))),
+
+    // north-star: multi-source BFS hop rings over the symmetrized kNN
+    // graph — exact integer distances, seeds as bounded literals, one
+    // thin join per round.
+    "graph_bfs" -> ((s, dir) => {
+      val e = s.read.parquet(knnEdges(s, dir))
+      graft.ops.graph.bfsDistances(
+          e.union(e.select(col("dst").as("src"), col("src").as("dst"))),
+          seeds = Seq(0L, 1L, 2L, 3L, 4L), maxHops = 3)
+        .orderBy(col("id"))
+    }),
+
+    // north-star: hashing-trick featurization — vocabulary-free sparse
+    // vectors, sign-cancelled collisions, one (doc, bucket) aggregate.
+    "text_feature_hash" -> ((s, dir) =>
+      graft.ops.text.featureHash(
+          table(s, dir, "documents").where(col("doc_id") < 50),
+          "text", "doc_id", nBuckets = 256)
+        .orderBy(col("doc_id"), col("bucket"))),
+
+    // north-star: exact fixed-point Gram matrix of the embedding corpus
+    // — the one-pass second-moment substrate for PCA and anisotropy
+    // reads; every entry an exact integer.
+    "vec_gram" -> ((s, dir) =>
+      graft.ops.linalg.gram(table(s, dir, "embeddings"), "embedding",
+          dim = 64, q = 10000L)
+        .orderBy(col("i"), col("j")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6956,6 +6983,53 @@ object SparkEntry {
         |FROM b JOIN mr ON -b.recency_days = mr.v
         |  JOIN mf ON b.n_orders = mf.v
         |  JOIN mm ON b.cents // 100000 = mm.v
-        |ORDER BY o_custkey""".stripMargin
+        |ORDER BY o_custkey""".stripMargin,
+
+    // Synchronous unit-weight Bellman-Ford unrolled 3 rounds over the
+    // symmetrized kNN edges; distances are exact integer mins.
+    "graph_bfs" -> {
+      val rounds = (1 to 3).map(h =>
+        s""",
+           |d$h AS (SELECT id, min(dist)::BIGINT AS dist FROM (
+           |  SELECT id, dist FROM d${h - 1}
+           |  UNION ALL
+           |  SELECT u.dst AS id, d.dist + 1 AS dist
+           |  FROM u0 u JOIN d${h - 1} d ON u.src = d.id) GROUP BY id)""".stripMargin)
+        .mkString
+      s"""WITH $SqlKnnCtes,
+         |e0 AS (SELECT src, dst FROM r WHERE rnk <= 3),
+         |u0 AS (SELECT src, dst FROM e0
+         |  UNION ALL SELECT dst, src FROM e0),
+         |d0 AS (SELECT unnest([0, 1, 2, 3, 4])::BIGINT AS id, 0::BIGINT AS dist)$rounds
+         |SELECT id, dist FROM d3 ORDER BY id""".stripMargin
+    },
+
+    // The same portable token hash pair: bucket from h32, sign from one
+    // h32b bit; zero-sum buckets dropped on both engines.
+    "text_feature_hash" -> {
+      val h = graft.functions.hashing.sqlH32("(tok || '/fh')")
+      val hb = graft.functions.hashing.sqlH32b("(tok || '/fh')")
+      s"""WITH t AS (SELECT doc_id, unnest($SqlToks) AS tok
+         |  FROM documents WHERE doc_id < 50),
+         |s AS (SELECT doc_id, ($h % 256)::BIGINT AS bucket,
+         |    (1 - 2 * ($hb % 2))::BIGINT AS sign FROM t),
+         |a AS (SELECT doc_id, bucket, sum(sign)::BIGINT AS v
+         |  FROM s GROUP BY 1, 2)
+         |SELECT doc_id, bucket, v FROM a WHERE v != 0
+         |ORDER BY doc_id, bucket""".stripMargin
+    },
+
+    // Upper-triangle exact integer Gram entries: quantize once per
+    // element, multiply, sum — order-free on both engines.
+    "vec_gram" ->
+      """WITH s AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        |q AS (SELECT list_transform(e, v -> floor(v * 10000)::BIGINT) AS qa FROM s),
+        |d AS (SELECT unnest(range(0, 64))::INT AS i)
+        |SELECT di.i AS i, dj.i AS j, count(*)::BIGINT AS n,
+        |  sum(qa[di.i + 1] * qa[dj.i + 1])::BIGINT AS g
+        |FROM q CROSS JOIN d di CROSS JOIN d dj
+        |WHERE dj.i >= di.i
+        |GROUP BY 1, 2 ORDER BY i, j""".stripMargin
   )
 }

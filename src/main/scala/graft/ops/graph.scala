@@ -237,6 +237,50 @@ object graph {
     und.select(col("src").as("id")).distinct()
   }
 
+  /** Multi-source BFS: exact hop distance from the nearest of `seeds`
+    * to every node within `maxHops`, over DIRECTED edges (symmetrize at
+    * the call site for undirected semantics). The
+    * how-far-is-everything-from-my-curated-set meter — [[
+    * personalizedPageRank]] weights multi-hop relevance smoothly; this
+    * answers the sharper "reachable in ≤ h hops?" (crawl frontiers,
+    * contamination blast radius, labeling-budget rings).
+    *
+    * Semantics per round (synchronous Bellman-Ford on unit weights):
+    * `dist'(v) = min(dist(v), min over u→v of dist(u) + 1)` — after
+    * round h every node within h hops holds its exact distance; nodes
+    * beyond `maxHops` don't appear. All-integer, order-free mins: the
+    * result is engine-exact by construction.
+    *
+    * Plan shape: the [[pageRank]] iteration discipline — per round ONE
+    * src-keyed join of the thin (id, dist) table onto the edge table,
+    * one dst-keyed min, and a [[ckpt.cut]] lineage cut; the reached set
+    * (never the graph) is the iterated state, and the seed list rides
+    * the plan as a bounded literal. Returns `(id, dist)`. */
+  def bfsDistances(
+      edges: DataFrame,
+      seeds: Seq[Long],
+      maxHops: Int = 3,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(seeds.nonEmpty, "graft: bfsDistances needs at least one seed")
+    require(maxHops >= 0, s"graft: bfsDistances needs maxHops >= 0")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .persist()
+    var dist = seeds.distinct.toDF("id").withColumn("dist", lit(0L))
+    for (_ <- 0 until maxHops) {
+      val hop = e.join(dist.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), (col("dist") + 1L).as("dist"))
+      dist = ckpt.cut(
+        dist.union(hop).groupBy(col("id")).agg(min(col("dist")).as("dist")))
+    }
+    e.unpersist(false)
+    dist
+  }
+
   /** Exact global triangle count via the degree-ordered node-iterator
     * (Schank & Wagner 2005 / "compact-forward"): orient every undirected
     * edge from its lower-(degree, id) endpoint to the higher one, build

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{hashing, vectors}
@@ -1346,5 +1346,37 @@ object text {
     val nMoji = (occurrences("Ã") + occurrences("â€")).as("n_moji")
     struct(nRepl.as("n_repl"), nCtrl.as("n_ctrl"), nMoji,
       (nRepl === 0 && nCtrl === 0 && nMoji <= maxMoji).as("enc_clean"))
+  }
+
+  /** The hashing trick (Weinberger et al., ICML 2009): each document as
+    * a sparse `nBuckets`-dimensional feature vector — every token hashes
+    * to a bucket via the portable id hash, a second independent hash bit
+    * gives it sign ±1, and the bucket value is the exact signed count
+    * sum. The fixed-width featurizer that needs NO vocabulary pass: new
+    * tokens never resize anything, two corpora hashed with the same
+    * (nBuckets, salt) are directly comparable, and the signed sum makes
+    * collisions cancel in expectation (the unsigned variant biases up).
+    *
+    * Plan shape: tokenize → explode → one (doc, bucket) hash aggregate —
+    * token hashing is row-local inside the scan, and map-side partial
+    * aggregation collapses each document's repeats before the exchange.
+    * Zero-sum buckets (sign-cancelled) are dropped: the output is the
+    * sparse representation. Returns `(idCol, bucket, v)`. */
+  def featureHash(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      nBuckets: Int = 1024,
+      salt: String = "fh"): DataFrame = {
+    require(nBuckets >= 2, s"graft: featureHash needs nBuckets >= 2")
+    val tok = explode(tokens(col(textCol))).as("_tok")
+    val key = concat(col("_tok"), lit("/" + salt))
+    df.select(col(idCol), tok)
+      .select(col(idCol),
+        (hashing.h32(key) % nBuckets).as("bucket"),
+        (lit(1L) - lit(2L) * (hashing.h32b(key) % 2L)).as("_sign"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("_sign")).as("v"))
+      .where(col("v") =!= 0L)
   }
 }

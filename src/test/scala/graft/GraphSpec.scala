@@ -250,4 +250,21 @@ class GraphSpec extends SparkSpec {
     assert(got == Seq((1L, 2L, 1L, 10000L), (2L, 2L, 1L, 10000L),
       (3L, 2L, 1L, 10000L)), got.toString)
   }
+
+  test("bfsDistances: hop rings on a path, nearest seed wins, horizon cut") {
+    // path 1-2-3-4-5-6 (directed chain) with seeds {1, 5}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("src", "dst")
+    val d = graph.bfsDistances(edges, seeds = Seq(1L, 5L), maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(d == Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 6L -> 1L, 3L -> 2L))
+    // 4 is 3 hops from seed 1 (directed) -> beyond maxHops, absent
+  }
+
+  test("bfsDistances: maxHops 0 returns exactly the seed set") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val d = graph.bfsDistances(edges, seeds = Seq(7L), maxHops = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(d == Map(7L -> 0L))
+  }
 }

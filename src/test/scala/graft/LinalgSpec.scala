@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.linalg
+
+/** Known-answer tests for the Gram/PCA primitives. */
+class LinalgSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gram: exact integer entries on hand vectors") {
+    // rows (1.0, 2.0) and (0.5, -1.0); q=10 -> quantized (10,20), (5,-10)
+    val df = Seq(Seq(1.0, 2.0), Seq(0.5, -1.0)).toDF("v")
+    val g = linalg.gram(df, "v", dim = 2, q = 10L)
+      .orderBy("i", "j").as[(Int, Int, Long, Long)].collect().toSeq
+    // G00 = 100+25, G01 = 200-50, G11 = 400+100
+    assert(g == Seq((0, 0, 2L, 125L), (0, 1, 2L, 150L), (1, 1, 2L, 500L)))
+  }
+
+  test("gram: wrong-dim and null vectors are excluded, not mangled") {
+    val df = Seq(Some(Seq(1.0, 1.0)), Some(Seq(1.0)), None)
+      .toDF("v")
+    val g = linalg.gram(df, "v", dim = 2, q = 10L).collect()
+    assert(g.forall(_.getLong(2) == 1L), "only the dim-2 row counts")
+  }
+
+  test("pcaTopComponent: recovers the dominant axis of a diagonal Gram") {
+    // Gram = diag(100, 1): top component is e0 up to sign (fixed +).
+    val gramDf = Seq((0, 0, 2L, 100L), (0, 1, 2L, 0L), (1, 1, 2L, 1L))
+      .toDF("i", "j", "n", "g")
+    val pc = linalg.pcaTopComponent(gramDf, dim = 2)
+    assert(math.abs(pc(0) - 1.0) < 1e-12 && math.abs(pc(1)) < 1e-12)
+  }
+
+  test("pcaTopComponent + project: separates a planted 2-cluster corpus") {
+    // cluster A along +x, cluster B along +y; top PC of the SECOND
+    // moment matrix lands in the x/y plane and project() separates
+    // nothing orthogonal (z stays ~0).
+    val rows = (0 until 20).map { i =>
+      if (i % 2 == 0) Seq(1.0 + 0.01 * i, 0.1, 0.0)
+      else Seq(0.1, 0.5, 0.0)
+    }
+    val df = rows.toDF("v")
+    val pc = linalg.pcaTopComponent(linalg.gram(df, "v", dim = 3), dim = 3)
+    assert(math.abs(pc(2)) < 1e-9, "unused dim gets ~0 weight")
+    val scores = df.select(linalg.project(col("v"), pc).as("s"))
+      .as[Double].collect()
+    assert(scores.forall(s => !s.isNaN))
+    // A-rows (larger x) score strictly above B-rows under the top PC
+    val (a, b) = scores.zipWithIndex.partition(_._2 % 2 == 0)
+    assert(a.map(_._1).min > b.map(_._1).max)
+  }
+}

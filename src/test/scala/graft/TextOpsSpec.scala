@@ -540,4 +540,23 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Seq((1L, 3L, 1L, 3333L), (2L, 2L, 1L, 5000L)),
       got.toString)
   }
+
+  test("featureHash: repeats pile into one bucket with a consistent sign") {
+    val docs = Seq((1L, "x x x"), (2L, "x")).toDF("doc_id", "text")
+    val got = text.featureHash(docs, "text", "doc_id", nBuckets = 16)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got.length == 2, "one token -> one bucket per doc")
+    val (r1, r2) = (got(0), got(1))
+    assert(r1._2 == r2._2, "same token, same bucket across docs")
+    assert(math.abs(r1._3) == 3L && math.abs(r2._3) == 1L)
+    assert(r1._3.sign == r2._3.sign, "sign is a token property")
+  }
+
+  test("featureHash: zero-sum buckets vanish; totals bound by token count") {
+    val docs = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val got = text.featureHash(docs, "text", "doc_id", nBuckets = 4)
+    val sumAbs = got.agg(sum(abs(col("v")))).head().getLong(0)
+    assert(sumAbs <= 8L, "collision cancellation can only shrink mass")
+    assert(got.where(col("v") === 0L).count() == 0L)
+  }
 }
