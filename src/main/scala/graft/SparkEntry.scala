@@ -3187,7 +3187,32 @@ object SparkEntry {
     "vec_gram" -> ((s, dir) =>
       graft.ops.linalg.gram(table(s, dir, "embeddings"), "embedding",
           dim = 64, q = 10000L)
-        .orderBy(col("i"), col("j")))
+        .orderBy(col("i"), col("j"))),
+
+    // north-star: embedding anisotropy — exact off-diagonal vs trace
+    // mass of the Gram matrix; the is-cosine-trustworthy-here screen.
+    "vec_anisotropy" -> ((s, dir) =>
+      graft.ops.linalg.anisotropy(
+        graft.ops.linalg.gram(table(s, dir, "embeddings"), "embedding",
+          dim = 64, q = 10000L))),
+
+    // north-star: degree assortativity of the kNN graph — hub-to-hub
+    // vs hub-to-leaf wiring as one exact-moment correlation.
+    "graph_assortativity" -> ((s, dir) =>
+      graft.ops.graph.assortativity(s.read.parquet(knnEdges(s, dir)))),
+
+    // north-star: mergeable moments sketch — exact power sums per
+    // event type plus the quantized skewness read.
+    "sketch_moments" -> ((s, dir) =>
+      graft.ops.sketch.moments(events(s, dir), "value",
+          Seq("event_type"), q = 1.0)
+        .orderBy(col("event_type"))),
+
+    // north-star: minimum-detectable-effect sizing readout for the
+    // user_id%2 split — exact per-user cents moments, one documented
+    // float formula.
+    "events_mde" -> ((s, dir) =>
+      EventStream.mdeReadout(events(s, dir), variant = col("user_id") % 2))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7030,6 +7055,105 @@ object SparkEntry {
         |  sum(qa[di.i + 1] * qa[dj.i + 1])::BIGINT AS g
         |FROM q CROSS JOIN d di CROSS JOIN d dj
         |WHERE dj.i >= di.i
-        |GROUP BY 1, 2 ORDER BY i, j""".stripMargin
+        |GROUP BY 1, 2 ORDER BY i, j""".stripMargin,
+
+    // Trace vs doubled |off-diagonal| mass of the same exact Gram;
+    // the ratio is the one quantized float.
+    "vec_anisotropy" ->
+      """WITH s AS (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+        |q AS (SELECT list_transform(e, v -> floor(v * 10000)::BIGINT) AS qa FROM s),
+        |d AS (SELECT unnest(range(0, 64))::INT AS i),
+        |g AS (SELECT di.i AS i, dj.i AS j,
+        |    sum(qa[di.i + 1] * qa[dj.i + 1])::BIGINT AS g
+        |  FROM q CROSS JOIN d di CROSS JOIN d dj WHERE dj.i >= di.i
+        |  GROUP BY 1, 2),
+        |t AS (SELECT
+        |    sum(CASE WHEN i = j THEN g ELSE 0 END)::BIGINT AS trace,
+        |    sum(CASE WHEN i != j THEN abs(g) * 2 ELSE 0 END)::BIGINT AS offdiag_abs
+        |  FROM g)
+        |SELECT trace, offdiag_abs,
+        |  CASE WHEN trace > 0 THEN
+        |    floor(offdiag_abs::DOUBLE / trace::DOUBLE * 1000000.0 + 0.5) / 1000000.0
+        |  END AS aniso_q6
+        |FROM t""".stripMargin,
+
+    // Endpoint-degree Pearson over the symmetrized kNN edges — exact
+    // integer moments, corrExact's quantized float at the end.
+    "graph_assortativity" ->
+      s"""WITH $SqlKnnCtes,
+         |e0 AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM r WHERE rnk <= 3 GROUP BY 1, 2),
+         |u0 AS (SELECT a AS src, b AS dst FROM e0
+         |  UNION ALL SELECT b, a FROM e0),
+         |deg AS (SELECT src AS id, count(*)::BIGINT AS d FROM u0 GROUP BY 1),
+         |pr AS (SELECT dx.d AS x, dy.d AS y FROM u0
+         |  JOIN deg dx ON u0.src = dx.id JOIN deg dy ON u0.dst = dy.id),
+         |m AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+         |    sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+         |    sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy FROM pr)
+         |SELECT n,
+         |  CASE WHEN n > 1 AND (n * sxx - sx * sx)::DOUBLE > 0.0
+         |      AND (n * syy - sy * sy)::DOUBLE > 0.0 THEN
+         |    floor((n * sxy - sx * sy)::DOUBLE
+         |      / (sqrt((n * sxx - sx * sx)::DOUBLE)
+         |        * sqrt((n * syy - sy * sy)::DOUBLE)) * 10000.0 + 0.5) / 10000.0
+         |  END AS corr
+         |FROM m""".stripMargin,
+
+    // Exact power sums of floor(value) per type; skewness is the one
+    // engine-identical float chain over them.
+    "sketch_moments" ->
+      """WITH b AS (SELECT event_type, floor(value * 1.0)::BIGINT AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |a AS (SELECT event_type, count(*)::BIGINT AS n, sum(v)::BIGINT AS s1,
+        |    sum(v * v)::BIGINT AS s2, sum(v * v * v)::BIGINT AS s3
+        |  FROM b GROUP BY 1)
+        |SELECT event_type, n, s1, s2, s3,
+        |  CASE WHEN n > 0 AND (s2::DOUBLE / n::DOUBLE
+        |      - (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE)) > 0.0 THEN
+        |    floor((s3::DOUBLE / n::DOUBLE
+        |        - 3.0 * (s1::DOUBLE / n::DOUBLE) * (s2::DOUBLE / n::DOUBLE)
+        |        + 2.0 * (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE)
+        |          * (s1::DOUBLE / n::DOUBLE))
+        |      / ((s2::DOUBLE / n::DOUBLE
+        |          - (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE))
+        |        * sqrt(s2::DOUBLE / n::DOUBLE
+        |          - (s1::DOUBLE / n::DOUBLE) * (s1::DOUBLE / n::DOUBLE)))
+        |      * 10000.0 + 0.5) / 10000.0
+        |  END AS skew_q4
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    // Two-sample MDE at alpha=.05/power=.8 (z-sum literal 2.801585):
+    // exact per-user cents moments, sample variances, pooled, sqrt.
+    "events_mde" ->
+      """WITH per AS (SELECT user_id % 2 AS v, user_id,
+        |    sum(floor(value * 100)::BIGINT)::BIGINT AS s
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT
+        |  sum(CASE WHEN v = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+        |  sum(CASE WHEN v = 0 THEN s ELSE 0 END)::BIGINT AS cents0,
+        |  sum(CASE WHEN v = 0 THEN s * s ELSE 0 END)::BIGINT AS ss0,
+        |  sum(CASE WHEN v = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+        |  sum(CASE WHEN v = 1 THEN s ELSE 0 END)::BIGINT AS cents1,
+        |  sum(CASE WHEN v = 1 THEN s * s ELSE 0 END)::BIGINT AS ss1
+        |  FROM per),
+        |f AS (SELECT n0, n1, cents0, cents1,
+        |  2.801585 * sqrt((((n0::DOUBLE - 1.0)
+        |      * ((n0::DOUBLE * ss0::DOUBLE - cents0::DOUBLE * cents0::DOUBLE)
+        |        / (n0::DOUBLE * (n0::DOUBLE - 1.0)))
+        |    + (n1::DOUBLE - 1.0)
+        |      * ((n1::DOUBLE * ss1::DOUBLE - cents1::DOUBLE * cents1::DOUBLE)
+        |        / (n1::DOUBLE * (n1::DOUBLE - 1.0))))
+        |    / (n0::DOUBLE + n1::DOUBLE - 2.0))
+        |    * (1.0 / n0::DOUBLE + 1.0 / n1::DOUBLE)) AS mde
+        |  FROM w)
+        |SELECT n0, n1, cents0, cents1,
+        |  CASE WHEN n0 > 1 AND n1 > 1 THEN
+        |    floor(mde * 100.0 + 0.5) / 100.0 END AS mde_cents_q2,
+        |  CASE WHEN n0 > 1 AND n1 > 1 AND cents0 > 0 THEN
+        |    floor(mde / (cents0::DOUBLE / n0::DOUBLE) * 10000.0 + 0.5) / 10000.0
+        |  END AS mde_rel_q4
+        |FROM f""".stripMargin
   )
 }

@@ -281,6 +281,41 @@ object graph {
     dist
   }
 
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over the undirected edge list (each edge counted
+    * in both orientations, the standard convention). Positive = hubs
+    * link to hubs (social/citation shape); negative = hubs link to
+    * leaves (star/crawl shape). On a kNN similarity graph a strongly
+    * negative value flags hub-and-spoke template clusters the flat
+    * near-dup counts miss.
+    *
+    * Deterministic by composition: edges normalize exactly as
+    * [[kCorePeel]] (dedup, self-loops dropped, symmetrized), degrees
+    * are exact counts, and the correlation is [[rel.corrExact]]'s exact
+    * integer moments with its one quantized float at the end.
+    *
+    * Plan shape: one degree aggregation, two src/dst-keyed joins to
+    * decorate the edge list, one global moment reduction. Returns one
+    * row `(n, corr)` — n = directed edge count = 2·undirected. */
+  def assortativity(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+    var und = e0.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .select(col("a").as("src"), col("b").as("dst"))
+    und = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = und.groupBy(col("src").as("_id")).agg(count(lit(1)).as("_deg"))
+    val pairs = und
+      .join(deg.select(col("_id").as("src"), col("_deg").as("_dx")), "src")
+      .join(deg.select(col("_id").as("dst"), col("_deg").as("_dy")), "dst")
+    rel.corrExact(pairs, "_dx", "_dy", Seq.empty, xScale = 1.0, yScale = 1.0)
+  }
+
   /** Exact global triangle count via the degree-ordered node-iterator
     * (Schank & Wagner 2005 / "compact-forward"): orient every undirected
     * edge from its lower-(degree, id) endpoint to the higher one, build

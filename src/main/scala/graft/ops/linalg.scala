@@ -95,4 +95,24 @@ object linalg {
     import graft.functions.vectors
     vectors.dotProduct(vecCol, vectors.vecLit(dir))
   }
+
+  /** Anisotropy read over a [[gram]] result: trace (diagonal mass,
+    * always ≥ 0), total absolute off-diagonal mass (each unordered pair
+    * counted twice — the full-matrix convention), and their ratio. An
+    * isotropic embedding space scores ~0; a collapsed/cone-shaped one
+    * (the common contrastive-training pathology, Ethayarajh EMNLP 2019)
+    * scores high — run it before trusting cosine top-k on a new
+    * embedding column. Sums stay exact integers; the ratio is the one
+    * quantized float at the end (6 dp — the ratio is scale-free).
+    * One d²-row reduction. Returns `(trace, offdiag_abs, aniso_q6)`. */
+  def anisotropy(gramDf: DataFrame): DataFrame =
+    gramDf
+      .agg(
+        sum(when(col("i") === col("j"), col("g")).otherwise(lit(0L)))
+          .as("trace"),
+        sum(when(col("i") =!= col("j"), abs(col("g")) * 2L).otherwise(lit(0L)))
+          .as("offdiag_abs"))
+      .withColumn("aniso_q6",
+        when(col("trace") > 0L, graft.functions.vectors.quantize(
+          col("offdiag_abs").cast("double") / col("trace").cast("double"), 6)))
 }

@@ -913,4 +913,48 @@ object sketch {
       .select(groupCols.map(col) ++ Seq(
         col("e.item").as("item"), col("e.est_count").as("est_count")): _*)
   }
+
+  /** Moments sketch: per group the EXACT fixed-point power sums
+    * `(n, s1, s2, s3)` of `floor(value·q)` — the 4-long mergeable
+    * summary behind mean / variance / skewness at any rollup level
+    * (moments of a union are element-wise sums, so partial aggregation,
+    * re-grouping, and cross-day merges are all exact — the property
+    * sketches buy and samples don't). Skewness is surfaced as the one
+    * documented float expression over the exact sums
+    * (`m3c / (m2c·√m2c)`, 4-dp floor-quantized; q cancels, so the knob
+    * never biases the shape read) — the
+    * is-this-metric-distribution-lopsided screen that mean/stddev
+    * profiles miss.
+    *
+    * Headroom dial: `s3 ≤ n·(q·max|v|)³` must fit int64 — at q = 1 and
+    * values ≤ 10³ that is ~10⁹ rows per group; drop q (coarser
+    * quantization) for bigger groups, the same trade every fixed-point
+    * op here documents. One hash aggregate, no window, no second pass.
+    * Returns `(groupCols..., n, s1, s2, s3, skew_q4)` — skew null when
+    * the variance is 0. */
+  def moments(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      q: Double = 1.0): DataFrame = {
+    require(q > 0.0, s"graft: moments needs q > 0, got $q")
+    val base = df.where(col(valueCol).isNotNull)
+      .withColumn("_v", floor(col(valueCol) * q).cast("long"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col("_v")).as("s1"),
+        sum(col("_v") * col("_v")).as("s2"),
+        sum(col("_v") * col("_v") * col("_v")).as("s3"))
+    // One float expression over exact sums, identical on every engine:
+    // mean = s1/n, m2c = s2/n - mean^2,
+    // m3c = s3/n - 3 mean (s2/n) + 2 mean^3, skew = m3c/(m2c*sqrt(m2c)).
+    val nd = col("n").cast("double")
+    val mean = col("s1").cast("double") / nd
+    val m2c = col("s2").cast("double") / nd - mean * mean
+    val m3c = col("s3").cast("double") / nd -
+      lit(3.0) * mean * (col("s2").cast("double") / nd) +
+      lit(2.0) * mean * mean * mean
+    base.withColumn("skew_q4",
+      when(col("n") > 0L && m2c > 0.0,
+        graft.functions.vectors.quantize(m3c / (m2c * sqrt(m2c)), 4)))
+  }
 }

@@ -1119,6 +1119,60 @@ object EventStream {
             - (m("cents01", "u01") - m("cents00", "u00")), 4)))
   }
 
+  /** Minimum-detectable-effect readout: the experiment-SIZING meter run
+    * BEFORE a test ships — given the current variant split and the
+    * per-user value distribution, the smallest absolute (cents) and
+    * relative lift a two-sample test at α = 0.05 / power = 0.8 can
+    * resolve: `mde = (z_{α/2} + z_β)·√(s²_pooled·(1/n₀ + 1/n₁))` with
+    * the z-sum as the single literal 2.801585. An experiment whose
+    * expected effect is below this number is not worth running — the
+    * [[cuped]]/[[srm]]/[[diffInDiff]] family's fourth leg.
+    *
+    * Exactness discipline: per-user cents and their squares accumulate
+    * as exact integer sums (one user-keyed aggregation, then a 1-row
+    * conditional rollup — the [[diffInDiff]] shape); the MDE is one
+    * documented float expression over those sums (sample variances,
+    * pooled, sqrt — each step exactly-rounded IEEE, engine-identical),
+    * floor-quantized at the end. Returns one row
+    * `(n0, n1, cents0, cents1, mde_cents_q2, mde_rel_q4)` — nulls when
+    * a variant has < 2 users (no variance) or control mean is 0 (no
+    * relative base). */
+  def mdeReadout(
+      events: DataFrame,
+      variant: Column,
+      valueCol: String = "value",
+      userCol: String = "user_id"): DataFrame = {
+    val per = events
+      .select(variant.as("_v"), col(userCol).as("_u"),
+        floor(col(valueCol) * 100.0).cast("long").as("_c"))
+      .groupBy(col("_v"), col("_u"))
+      .agg(sum(col("_c")).as("_s"))
+    def cell(v: Int, c: Column) =
+      sum(when(col("_v") === v, c).otherwise(lit(0L)))
+    val wide = per.agg(
+      cell(0, lit(1L)).as("n0"), cell(0, col("_s")).as("cents0"),
+      cell(0, col("_s") * col("_s")).as("_ss0"),
+      cell(1, lit(1L)).as("n1"), cell(1, col("_s")).as("cents1"),
+      cell(1, col("_s") * col("_s")).as("_ss1"))
+    def nd(c: String) = col(c).cast("double")
+    def sv(n: String, s: String, ss: String) =
+      (nd(n) * nd(ss) - nd(s) * nd(s)) / (nd(n) * (nd(n) - lit(1.0)))
+    val pooled = ((nd("n0") - lit(1.0)) * sv("n0", "cents0", "_ss0")
+      + (nd("n1") - lit(1.0)) * sv("n1", "cents1", "_ss1")) /
+      (nd("n0") + nd("n1") - lit(2.0))
+    val mde = lit(2.801585) * sqrt(pooled * (lit(1.0) / nd("n0")
+      + lit(1.0) / nd("n1")))
+    val ok = col("n0") > 1L && col("n1") > 1L
+    wide
+      .withColumn("mde_cents_q2",
+        when(ok, graft.functions.vectors.quantize(mde, 2)))
+      .withColumn("mde_rel_q4",
+        when(ok && col("cents0") > 0L, graft.functions.vectors.quantize(
+          mde / (nd("cents0") / nd("n0")), 4)))
+      .select(col("n0"), col("n1"), col("cents0"), col("cents1"),
+        col("mde_cents_q2"), col("mde_rel_q4"))
+  }
+
   /** Dense gap-filled value series: per-series `bucketSec` buckets over
     * the series' own [min, max] range, missing buckets supplied by the
     * bounded `sequence` spine and forward-filled with the last observed

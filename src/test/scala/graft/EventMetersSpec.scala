@@ -119,4 +119,28 @@ class EventMetersSpec extends SparkSpec {
     assert(r.getLong(1) == 3L)
     assert(r.getLong(2) == 2L && r.getLong(3) == 2L, "median pair 2/2")
   }
+
+  test("mdeReadout: hand-computed pooled MDE on a tiny balanced split") {
+    // users 0,2 (variant 0) spend 1.00/3.00; users 1,3 (variant 1)
+    // spend 2.00/2.00 -> cents {100,300} vs {200,200}.
+    val df = ev(
+      (1, ts(1), 0, "purchase", 1.00), (2, ts(2), 2, "purchase", 3.00),
+      (3, ts(1), 1, "purchase", 2.00), (4, ts(2), 3, "purchase", 2.00))
+    val r = EventStream.mdeReadout(df, col("user_id") % 2).head()
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 2L)))
+    assert((r.getLong(2), r.getLong(3)) == ((400L, 400L)))
+    // variances: v0 = 20000, v1 = 0; pooled = 10000; mde =
+    // 2.801585*sqrt(10000*(1/2+1/2)) = 280.1585 -> q2 = 280.16
+    assert(r.getDouble(4) == 280.16)
+    // control mean 200 cents -> rel = 1.400793 -> q4 1.4008
+    assert(r.getDouble(5) == 1.4008)
+  }
+
+  test("mdeReadout: a singleton variant yields null (no variance)") {
+    val df = ev(
+      (1, ts(1), 0, "purchase", 1.00), (2, ts(1), 1, "purchase", 2.00),
+      (3, ts(2), 3, "purchase", 2.00))
+    val r = EventStream.mdeReadout(df, col("user_id") % 2).head()
+    assert(r.isNullAt(4) && r.isNullAt(5))
+  }
 }

@@ -267,4 +267,14 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(d == Map(7L -> 0L))
   }
+
+  test("assortativity: a star is perfectly disassortative, a cycle flat") {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val rs = graph.assortativity(star).head()
+    assert(rs.getLong(0) == 6L, "3 undirected edges, both directions")
+    assert(rs.getDouble(1) == -1.0, "hub only meets leaves")
+    // a cycle has constant degree -> zero variance -> corr null
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    assert(graph.assortativity(cyc).head().isNullAt(1))
+  }
 }

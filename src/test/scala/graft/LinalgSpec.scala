@@ -50,4 +50,16 @@ class LinalgSpec extends SparkSpec {
     val (a, b) = scores.zipWithIndex.partition(_._2 % 2 == 0)
     assert(a.map(_._1).min > b.map(_._1).max)
   }
+
+  test("anisotropy: axis-aligned corpus scores 0, correlated corpus high") {
+    // one-hot rows -> diagonal Gram -> zero off-diagonal mass
+    val axis = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)).toDF("v")
+    val a = linalg.anisotropy(linalg.gram(axis, "v", dim = 2, q = 10L)).head()
+    assert(a.getLong(1) == 0L && a.getDouble(2) == 0.0)
+    // every row on the diagonal direction -> |offdiag| = trace
+    val cone = Seq(Seq(1.0, 1.0), Seq(2.0, 2.0)).toDF("v")
+    val c = linalg.anisotropy(linalg.gram(cone, "v", dim = 2, q = 10L)).head()
+    assert(c.getLong(1) == c.getLong(0), "offdiag mass equals trace")
+    assert(c.getDouble(2) == 1.0)
+  }
 }

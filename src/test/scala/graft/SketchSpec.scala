@@ -451,4 +451,31 @@ class SketchSpec extends SparkSpec {
       .as[(String, String, Long)].collect().toSet
     assert(got == Set(("a", "x", 30L), ("a", "y", 20L), ("b", "z", 9L)))
   }
+
+  test("moments: exact power sums; symmetric data has skew 0") {
+    val df = Seq(1.0, 2.0, 3.0).map(("g", _)).toDF("g", "v")
+    val r = sketch.moments(df, "v", Seq("g")).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      == ((3L, 6L, 14L, 36L)))
+    assert(r.getDouble(5) == 0.0, "1,2,3 is symmetric")
+  }
+
+  test("moments: merge law — sums of halves equal sums of the whole") {
+    val all = (1 to 40).map(i => ("g", (i * i % 17).toDouble))
+    val whole = sketch.moments(all.toDF("g", "v"), "v", Seq("g")).head()
+    val (h1, h2) = all.splitAt(17)
+    val p1 = sketch.moments(h1.toDF("g", "v"), "v", Seq("g")).head()
+    val p2 = sketch.moments(h2.toDF("g", "v"), "v", Seq("g")).head()
+    (1 to 4).foreach { i =>
+      assert(p1.getLong(i) + p2.getLong(i) == whole.getLong(i),
+        s"moment column $i merges by addition")
+    }
+  }
+
+  test("moments: right-skewed data scores positive, left-skewed negative") {
+    val right = Seq(1.0, 1.0, 1.0, 1.0, 10.0).map(("g", _)).toDF("g", "v")
+    val left = Seq(10.0, 10.0, 10.0, 10.0, 1.0).map(("g", _)).toDF("g", "v")
+    assert(sketch.moments(right, "v", Seq("g")).head().getDouble(5) > 1.0)
+    assert(sketch.moments(left, "v", Seq("g")).head().getDouble(5) < -1.0)
+  }
 }
