@@ -585,4 +585,38 @@ class PlanQualitySpec extends SparkSpec {
     val sl = plan("sample_split_leakage")
     assert(!sl.contains("CartesianProduct"), sl.take(1200))
   }
+
+  test("round-10 session-5 ops: plan shapes hold") {
+    // RFM: all three grid score maps broadcast back onto the customer
+    // scan — never a shuffled join on a score key
+    val rfm = plan("rel_rfm")
+    assert("BroadcastHashJoin".r.findAllIn(rfm).length >= 3, rfm.take(1500))
+    // feature hashing: tokenize + ONE (doc, bucket) hash aggregate;
+    // partial aggregation collapses repeats before its single exchange
+    val fh = plan("text_feature_hash")
+    assert(!fh.contains("Join"), fh.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(fh).length == 1, fh.take(1500))
+    // Gram: one scan, one (i, j)-keyed exchange fed by partial_count/
+    // partial_sum — the map-side collapse the docstring promises
+    val g = plan("vec_gram")
+    assert("Exchange hashpartitioning".r.findAllIn(g).length == 1, g.take(1500))
+    assert(g.contains("partial_sum") || g.contains("partial_count"), g.take(1500))
+    // association rules: the frequent-item prune is a broadcast
+    // semi-join and the pair stage joins on the basket key, never
+    // a cartesian
+    val ar = plan("rel_assoc_rules")
+    assert(ar.contains("BroadcastHashJoin") && !ar.contains("CartesianProduct"),
+      ar.take(1500))
+    // Theil-Sen: the pair stage joins on series equality (keyed), and
+    // the rank window is series-keyed, not global
+    val ts = plan("events_theilsen")
+    assert(!ts.contains("CartesianProduct"), ts.take(1200))
+    assert(ts.contains("windowspecdefinition(series"), ts.take(1500))
+    // MDE / DiD: one user-keyed aggregation then 1-row rollups — no
+    // window, no join beyond the final broadcast assembly
+    Seq("events_mde", "events_did").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window ["), s"$q should have no window\n" + p.take(1200))
+    }
+  }
 }
