@@ -81,7 +81,12 @@ object ScaleRehearsal {
     /** Time one op through the noop sink, then report rows and the
       * query's observe() counters (fresh listener per run so the
       * captured metrics belong to this action). */
+    // local-iteration filter, same contract as Verify's SPARK_GRAFT_ONLY:
+    // comma-separated op names; unset runs the whole rehearsal
+    val onlyOps = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     def run(name: String, countRows: Boolean = true)(mk: => DataFrame): Unit = {
+      if (!onlyOps.forall(_.contains(name))) return
       val listener = graft.core.GraftStatsListener.attach(spark)
       try {
         val t0 = System.nanoTime()
@@ -614,6 +619,57 @@ object ScaleRehearsal {
     // vocab broadcast membership: the token stream must never shuffle
     run("oov_rate", countRows = false)(text.oovStats(
       docs, "text", "doc_id", topN = 200))
+
+    // ---- session-5 additions: survival/experiment meters, miners, ----
+    // ---- linear algebra ------------------------------------------------
+    // survival + experiment readouts at factor-x users: each is one or
+    // two user-keyed aggregations; KM's cumulative window runs over DAY
+    // buckets (domain-bounded), never users
+    run("kaplan_meier", countRows = false)(EventStream.kaplanMeier(
+      events, "signup", "purchase", bucketSec = 86400L))
+    run("diff_in_diff")(EventStream.diffInDiff(events, cutoff = "2024-01-15",
+      variant = col("user_id") % 2))
+    run("mde_readout")(EventStream.mdeReadout(events,
+      variant = col("user_id") % 2))
+    // dense-series family: series rows are timespan-bounded — factor-x
+    // events collapse into the SAME spine sizes
+    run("gap_fill", countRows = false)(EventStream.gapFill(events,
+      bucketSec = 3600L))
+    run("snaive_backtest", countRows = false)(EventStream.snaiveBacktest(
+      events, bucketSec = 3600, season = 24))
+    run("theil_sen", countRows = false)(EventStream.theilSen(events,
+      bucketSec = 3600))
+    // association rules: baskets = factor-x users, items = event-id
+    // residues (~50-deep baskets); the frequent-item prune and the
+    // basket-keyed pair stage are the disciplines under test
+    run("assoc_rules", countRows = false)(rel.assocRules(
+      events.select(col("user_id"), (col("event_id") % 50).as("item")),
+      "user_id", "item", minSupport = 100L * factor))
+    // OOF target encode: one (cat, fold) aggregate however large
+    run("target_encode")(rel.targetEncode(
+      docs.withColumn("y", col("n_chars").cast("double")),
+      "lang", "y", "doc_id", k = 5))
+    // RFM over the factor-x event log as an order history: one customer
+    // aggregate, three bounded grid maps broadcast back
+    run("rfm_grid", countRows = false)(rel.rfm(
+      events, "user_id", "ts", "value", buckets = 5, binCents = 10000L))
+    // BFS hop rings over the saved kNN edges: per round one thin join
+    run("bfs_3hop", countRows = false)(graph.bfsDistances(
+      spark.read.parquet(s"$work/knn_edges"), seeds = Seq(0L, 1L, 2L, 3L, 4L),
+      maxHops = 3))
+    run("assortativity")(graph.assortativity(
+      spark.read.parquet(s"$work/knn_edges")))
+    // hashing-trick features: tokenize + one (doc, bucket) aggregate
+    run("feature_hash", countRows = false)(text.featureHash(
+      docs, "text", "doc_id", nBuckets = 1024))
+    // Gram matrix: per-task output is <= d(d+1)/2 rows regardless of
+    // corpus size — wall time must stay scan-linear, exchange constant
+    import graft.ops.linalg
+    run("gram_64d", countRows = false)(linalg.gram(emb, "embedding", dim = 64))
+    run("anisotropy")(linalg.anisotropy(linalg.gram(emb, "embedding", dim = 64)))
+    // moments sketch: one hash aggregate, 4 longs per group
+    run("moments", countRows = false)(graft.ops.sketch.moments(
+      events, "value", Seq("event_type"), q = 1.0))
 
     spark.stop()
   }
