@@ -198,6 +198,44 @@ object SparkEntry {
 
   // ---- DuckDB SQL snippet builders ------------------------------------
 
+  /** Unrolled exact-integer GD oracle for [[graft.ops.linalg
+    * .linearProbeTrain]]: per round one gradient CTE over the corpus
+    * and one 1-row weight-update CTE whose signed division mirrors the
+    * driver's Scala truncation with explicit sign CASE logic. */
+  private def sqlLinearProbe(dims: Int, iters: Int, q: Long, lrInv: Long): String = {
+    val cols = 0 until dims
+    val base =
+      s"""b AS (SELECT list_transform((CAST(embedding AS DOUBLE[]))[1:$dims],
+         |    v -> floor(v * $q)::BIGINT) AS qx, (label >= 5)::BIGINT AS y
+         |  FROM embeddings
+         |  WHERE embedding IS NOT NULL AND len(embedding) >= $dims),
+         |nn AS (SELECT count(*)::BIGINT AS n FROM b),
+         |w0 AS (SELECT ${cols.map(j => s"0::BIGINT AS w$j").mkString(", ")})""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      val pred = cols.map(j => s"qx[${j + 1}] * w.w$j").mkString(" + ") +
+        s" - y * ${q * 1000000L}"
+      val grads = cols.map(j =>
+        s"sum(qx[${j + 1}] * ($pred))::BIGINT AS g$j").mkString(",\n|    ")
+      val den = s"($q * $q * nn.n * $lrInv)"
+      val ups = cols.map(j =>
+        s"""(w.w$j - (CASE WHEN g.g$j >= 0 THEN g.g$j // $den
+           | ELSE -((-g.g$j) // $den) END))::BIGINT AS w$j""".stripMargin
+          .replace("\n", "")).mkString(",\n|    ")
+      s""",
+         |g$t AS (SELECT
+         |    $grads
+         |  FROM b, w${t - 1} w),
+         |w$t AS (SELECT
+         |    $ups
+         |  FROM g$t g, w${t - 1} w, nn)""".stripMargin
+    }.mkString
+    val out = cols.map(j => s"SELECT $j::INT AS j, w$j AS w_ppm FROM w$iters")
+      .mkString("\n|  UNION ALL ")
+    s"""WITH $base$rounds
+       |$out
+       |ORDER BY j""".stripMargin
+  }
+
   private def sqlVec(q: Seq[Double]): String =
     q.mkString("[", ", ", "]::DOUBLE[]")
 
@@ -3212,7 +3250,22 @@ object SparkEntry {
     // user_id%2 split — exact per-user cents moments, one documented
     // float formula.
     "events_mde" -> ((s, dir) =>
-      EventStream.mdeReadout(events(s, dir), variant = col("user_id") % 2))
+      EventStream.mdeReadout(events(s, dir), variant = col("user_id") % 2)),
+
+    // north-star: deterministic Poisson bootstrap — 40 hash-seeded
+    // resamples of the mean event value in ONE pass; error bars with
+    // no data copies and no RNG state.
+    "events_bootstrap_ci" -> ((s, dir) =>
+      sample.bootstrapCI(events(s, dir), "value", "event_id", reps = 40)
+        .orderBy(col("rep"))),
+
+    // north-star: in-engine linear-probe training — 2 rounds of exact
+    // integer full-batch GD on the first 8 embedding dims vs the
+    // label>=5 target; the whole run engine-reproducible bit-for-bit.
+    "vec_linear_probe" -> ((s, dir) =>
+      graft.ops.linalg.linearProbeTrain(table(s, dir, "embeddings"),
+          "embedding", col("label") >= 5, dims = 8, iters = 2, q = 100L)
+        .orderBy(col("j")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7154,6 +7207,32 @@ object SparkEntry {
         |  CASE WHEN n0 > 1 AND n1 > 1 AND cents0 > 0 THEN
         |    floor(mde / (cents0::DOUBLE / n0::DOUBLE) * 10000.0 + 0.5) / 10000.0
         |  END AS mde_rel_q4
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+
+    // Hash-seeded Poisson multiplicities from the SAME injected CDF
+    // literals; one pass, map-side collapse to 40 rows per task.
+    "events_bootstrap_ci" -> {
+      val h = graft.functions.hashing.sqlH32(
+        "(event_id::VARCHAR || '#' || rep::VARCHAR || '/boot')")
+      val cdf = graft.ops.sample.PoissonCdf
+      val w = cdf.zipWithIndex
+        .map { case (t, k) => s"WHEN uu < $t THEN $k" }
+        .mkString("CASE ", " ", " ELSE 6 END")
+      s"""WITH r AS (SELECT event_id, floor(value * 100)::BIGINT AS c,
+         |    unnest(range(0, 40)) AS rep
+         |  FROM events WHERE value IS NOT NULL),
+         |u AS (SELECT rep, c, ($h)::DOUBLE / 4294967296.0 AS uu FROM r),
+         |ww AS (SELECT rep, c, ($w)::BIGINT AS w FROM u),
+         |a AS (SELECT rep, sum(w)::BIGINT AS n_eff,
+         |    sum(w * c)::BIGINT AS cents FROM ww GROUP BY 1)
+         |SELECT rep, n_eff, cents,
+         |  CASE WHEN n_eff > 0 THEN
+         |    floor(cents::DOUBLE / n_eff::DOUBLE * 10000.0) / 10000.0
+         |  END AS mean_q4
+         |FROM a ORDER BY rep""".stripMargin
+    },
+
+    "vec_linear_probe" -> sqlLinearProbe(dims = 8, iters = 2, q = 100L,
+      lrInv = 1L)
   )
 }

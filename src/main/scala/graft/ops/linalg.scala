@@ -105,6 +105,66 @@ object linalg {
     * embedding column. Sums stay exact integers; the ratio is the one
     * quantized float at the end (6 dp — the ratio is scale-free).
     * One d²-row reduction. Returns `(trace, offdiag_abs, aniso_q6)`. */
+  /** In-engine linear-probe training: `iters` rounds of full-batch
+    * gradient descent on squared loss, ALL-INTEGER — the
+    * train-a-quality-probe-on-the-corpus primitive (the reading
+    * companion to [[graft.ops.text.linearGate]], which only SCORES
+    * pretrained weights). Per round: one scan computes the exact
+    * integer gradient `gⱼ = Σᵢ qxᵢⱼ·(predᵢ − yᵢ)` with
+    * `pred = Σⱼ qxⱼ·wⱼ` kept in raw `q·ppm` units (NO in-plan division
+    * — a signed integer quotient truncates in Spark but floors in
+    * DuckDB, so signed division happens only on the driver, where
+    * Scala `/` truncates and the oracle mirrors it with explicit sign
+    * CASE logic); the d-long gradient is collected (the [[
+    * pcaTopComponent]] bounded-driver discipline) and
+    * `wⱼ ← wⱼ − gⱼ/(q²·n·lrInv)` updates in exact driver integers, so
+    * the whole training run is engine-reproducible bit-for-bit.
+    *
+    * Headroom: |g| ≤ n·q·max|resid| with resid ≤ d·q·max|w| + q·10⁶ —
+    * at q = 100, d = 8 that is ~10⁸ rows before int64 strain; lower q
+    * (or pre-scale y) beyond. Cost: `iters` scans, each one aggregate
+    * emitting d longs; weights ride every scan as literals. Returns
+    * `(j, w_ppm)` — the trained probe, feed to [[project]]-style
+    * scoring or persist. */
+  def linearProbeTrain(
+      df: DataFrame,
+      vecCol: String,
+      labelCol: Column,
+      dims: Int,
+      iters: Int = 2,
+      q: Long = 100L,
+      lrInv: Long = 1L): DataFrame = {
+    require(dims >= 1 && iters >= 0 && q >= 1 && lrInv >= 1,
+      s"graft: linearProbeTrain needs dims, iters, q, lrInv sane")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df
+      .where(col(vecCol).isNotNull && size(col(vecCol)) >= dims)
+      .select(expr(s"transform(slice($vecCol, 1, $dims)," +
+        s" v -> CAST(floor(v * ${q}L) AS BIGINT))").as("_qx"),
+        labelCol.cast("long").as("_y"))
+      .persist()
+    val n = base.count()
+    require(n > 0, "graft: linearProbeTrain needs rows")
+    val w = Array.fill(dims)(0L)
+    for (_ <- 0 until iters) {
+      // pred - y in raw q*ppm units: sum_j qx[j]*w[j] - y*q*1e6
+      val pred = (0 until dims).map(j => col("_qx")(j) * lit(w(j)))
+        .reduce(_ + _) - col("_y") * lit(q * 1000000L)
+      val sums = base.withColumn("_r", pred)
+        .agg(lit(0L).as("_z"),
+          (0 until dims).map(j =>
+            sum(col("_qx")(j) * col("_r")).as(s"_g$j")): _*)
+        .head()
+      val den = q * q * n * lrInv
+      (0 until dims).foreach { j =>
+        w(j) -= sums.getLong(j + 1) / den // Scala /: truncation toward 0
+      }
+    }
+    base.unpersist(false)
+    w.toSeq.zipWithIndex.map { case (v, j) => (j, v) }.toDF("j", "w_ppm")
+  }
+
   def anisotropy(gramDf: DataFrame): DataFrame =
     gramDf
       .agg(

@@ -51,6 +51,41 @@ class LinalgSpec extends SparkSpec {
     assert(a.map(_._1).min > b.map(_._1).max)
   }
 
+  test("linearProbeTrain: hand-computed GD steps on a separable fixture") {
+    // qx = +-100 at q=100; y follows sign. Round 1 from w=0:
+    // g = sum qx*(0 - y*1e8) = 2 * 100 * (-1e8) = -2e10;
+    // dw = -g/(q^2*n) = 2e10/(1e4*4) = 5e5. Round 2: pos resid -5e7,
+    // neg resid -5e7, gradients cancel exactly -> w stays put.
+    val df = Seq((Seq(1.0), 1L), (Seq(1.0), 1L), (Seq(-1.0), 0L),
+      (Seq(-1.0), 0L)).toDF("v", "label")
+    val w1 = linalg.linearProbeTrain(df, "v", col("label") === 1L,
+      dims = 1, iters = 1).head()
+    assert(w1.getLong(1) == 500000L, "first step exactly as computed")
+    val w2 = linalg.linearProbeTrain(df, "v", col("label") === 1L,
+      dims = 1, iters = 2).head()
+    assert(w2.getLong(1) == 500000L, "gradients cancel at equilibrium")
+    val w0 = linalg.linearProbeTrain(df, "v", col("label") === 1L,
+      dims = 1, iters = 0).head()
+    assert(w0.getLong(1) == 0L, "zero iterations -> zero weights")
+  }
+
+  test("linearProbeTrain: trained probe separates the planted classes") {
+    val rows = (0 until 40).map { i =>
+      if (i % 2 == 0) (Seq(0.8 + 0.001 * i, -0.2), 1L)
+      else (Seq(-0.7 - 0.001 * i, 0.3), 0L)
+    }
+    val df = rows.toDF("v", "label")
+    val w = linalg.linearProbeTrain(df, "v", col("label") === 1L,
+        dims = 2, iters = 3)
+      .orderBy("j").as[(Int, Long)].collect().map(_._2)
+    val scores = rows.map { case (v, y) =>
+      (v(0) * w(0) + v(1) * w(1), y)
+    }
+    val posMin = scores.filter(_._2 == 1L).map(_._1).min
+    val negMax = scores.filter(_._2 == 0L).map(_._1).max
+    assert(posMin > negMax, s"probe separates: posMin=$posMin negMax=$negMax")
+  }
+
   test("anisotropy: axis-aligned corpus scores 0, correlated corpus high") {
     // one-hot rows -> diagonal Gram -> zero off-diagonal mass
     val axis = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)).toDF("v")

@@ -466,4 +466,29 @@ class SampleSpec extends SparkSpec {
       ("train", "train", 1L, 0L),
       ("val", "val", 1L, 0L)), got.toString)
   }
+
+  test("bootstrapCI: deterministic, Poisson-mean-1 mass, constant corpus") {
+    val df = (0 until 500).map(i => (i.toLong, 2.5)).toDF("id", "v")
+    val a = sample.bootstrapCI(df, "v", "id", reps = 20).orderBy("rep")
+      .collect().toSeq
+    val b = sample.bootstrapCI(df, "v", "id", reps = 20).orderBy("rep")
+      .collect().toSeq
+    assert(a.map(_.toSeq) == b.map(_.toSeq), "hash-seeded: reruns identical")
+    // E[n_eff] = n per rep; across 20 reps of 500 rows the total weight
+    // concentrates hard around 10000
+    val total = a.map(_.getLong(1)).sum
+    assert(total > 9000 && total < 11000, s"Poisson(1) mass, got $total")
+    // constant metric -> every resample mean is exactly the value
+    a.filter(_.getLong(1) > 0).foreach(r => assert(r.getDouble(3) == 250.0))
+  }
+
+  test("bootstrapCI: resample means bracket the true mean") {
+    val df = (0 until 400).map(i => (i.toLong, (i % 10).toDouble))
+      .toDF("id", "v")
+    val means = sample.bootstrapCI(df, "v", "id", reps = 40)
+      .where(col("n_eff") > 0).select("mean_q4").as[Double].collect()
+    // true mean = 4.5 (=450 cents); spread should straddle it
+    assert(means.min < 450.0 && means.max > 450.0,
+      s"CI straddles the mean: [${means.min}, ${means.max}]")
+  }
 }
