@@ -548,6 +548,42 @@ object Demo {
       .groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
       .orderBy(col("cluster_id")).show()
 
+    // EXPERIMENT DESIGN-TO-DECISION: size it (MDE) -> did the split
+    // behave (SRM, above) -> survival to conversion (KM) -> effect with
+    // parallel-trends framing (DiD) -> error bars with no resampled
+    // copies (Poisson bootstrap).
+    println("== experiment design-to-decision: MDE -> KM -> DiD -> bootstrap ==")
+    graft.streaming.EventStream.mdeReadout(evAll,
+      variant = col("user_id") % 2).show()
+    graft.streaming.EventStream.kaplanMeier(evAll, "signup", "purchase")
+      .orderBy(col("t")).show(5)
+    graft.streaming.EventStream.diffInDiff(evAll, cutoff = "2024-01-15",
+      variant = col("user_id") % 2).show()
+    val boots = sample.bootstrapCI(evAll, "value", "event_id", reps = 40)
+      .where(col("n_eff") > 0).select("mean_q4").collect().map(_.getDouble(0))
+      .sorted
+    println(s"  mean-value bootstrap (cents): [${boots.head}, ${boots.last}]" +
+      s" over ${boots.length} resamples")
+
+    // FORECAST SANITY: is the volume trend real under outliers
+    // (Theil-Sen vs OLS), and does seasonality actually predict
+    // (seasonal-naive skill < 1e6 ppm beats persistence)?
+    println("== forecast sanity: robust trend -> seasonal skill ==")
+    graft.streaming.EventStream.theilSen(evAll).orderBy(col("series")).show()
+    graft.streaming.EventStream.snaiveBacktest(evAll, bucketSec = 3600,
+      season = 24).orderBy(col("series")).show()
+
+    // EMBEDDING GEOMETRY: exact Gram -> anisotropy (is cosine OK here?)
+    // -> top PC by driver power iteration -> a linear probe TRAINED
+    // in-engine on exact integer gradients.
+    println("== embedding geometry: gram -> anisotropy -> PCA -> probe ==")
+    val gramDf = graft.ops.linalg.gram(embAll, "embedding", dim = 64)
+    graft.ops.linalg.anisotropy(gramDf).show()
+    val pc = graft.ops.linalg.pcaTopComponent(gramDf, dim = 64)
+    println(s"  top PC leading dims: ${pc.take(4).map(v => f"$v%.4f").mkString(", ")}")
+    graft.ops.linalg.linearProbeTrain(embAll, "embedding",
+      col("label") >= 5, dims = 8, iters = 2).orderBy(col("j")).show()
+
     spark.stop()
   }
 }

@@ -3265,7 +3265,13 @@ object SparkEntry {
     "vec_linear_probe" -> ((s, dir) =>
       graft.ops.linalg.linearProbeTrain(table(s, dir, "embeddings"),
           "embedding", col("label") >= 5, dims = 8, iters = 2, q = 100L)
-        .orderBy(col("j")))
+        .orderBy(col("j"))),
+
+    // north-star: weekly-cohort LTV triangle — exact cents accumulated
+    // by cohort age, cohort-keyed window over domain-bounded cells.
+    "events_cohort_ltv" -> ((s, dir) =>
+      EventStream.cohortLtv(events(s, dir), bucketSec = 604800L)
+        .orderBy(col("cohort"), col("age")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -6901,9 +6907,9 @@ object SparkEntry {
         |      AS dead
         |  FROM r)
         |SELECT t, n_risk, n_event, n_censored,
-        |  CASE WHEN dead = 0 THEN sum(term)
-        |    OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
-        |  END AS ln_surv_q9
+        |  (CASE WHEN dead = 0 THEN sum(term)
+        |    OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  END)::BIGINT AS ln_surv_q9
         |FROM q ORDER BY t""".stripMargin,
 
     // 2×2 DiD cells as exact integers; the interaction is the one
@@ -6966,9 +6972,9 @@ object SparkEntry {
         |SELECT series, count(*)::BIGINT AS n_eval,
         |  sum(abs(c - ls))::BIGINT AS mae_num, count(*)::BIGINT AS mae_den,
         |  sum(abs(c - l1))::BIGINT AS naive_num,
-        |  CASE WHEN sum(abs(c - l1)) > 0 THEN
-        |    (sum(abs(c - ls))::BIGINT * 1000000 // sum(abs(c - l1))::BIGINT)::BIGINT
-        |  END AS skill_ppm
+        |  (CASE WHEN sum(abs(c - l1)) > 0 THEN
+        |    sum(abs(c - ls))::BIGINT * 1000000 // sum(abs(c - l1))::BIGINT
+        |  END)::BIGINT AS skill_ppm
         |FROM l WHERE ls IS NOT NULL GROUP BY series ORDER BY series""".stripMargin,
 
     // Median pairwise slope selected (never computed): pairs ordered by
@@ -7233,6 +7239,31 @@ object SparkEntry {
     },
 
     "vec_linear_probe" -> sqlLinearProbe(dims = 8, iters = 2, q = 100L,
-      lrInv = 1L)
+      lrInv = 1L),
+
+    // Cohort = first-event week, age = whole weeks since; exact cents,
+    // cumulative over age, one floor-4dp per-user quotient.
+    "events_cohort_ltv" ->
+      """WITH f AS (SELECT user_id, min(ts) AS fts FROM events GROUP BY 1),
+        |aged AS (SELECT e.user_id,
+        |    (epoch_us(f.fts) // 1000000) // 604800 AS cohort,
+        |    ((epoch_us(e.ts) - epoch_us(f.fts)) // 1000000) // 604800 AS age,
+        |    floor(coalesce(e.value, 0) * 100)::BIGINT AS c
+        |  FROM events e JOIN f USING (user_id)),
+        |cells AS (SELECT cohort, age, count(DISTINCT user_id)::BIGINT AS n_active,
+        |    sum(c)::BIGINT AS cents FROM aged GROUP BY 1, 2),
+        |sizes AS (SELECT (epoch_us(fts) // 1000000) // 604800 AS cohort,
+        |    count(*)::BIGINT AS cohort_users FROM f GROUP BY 1),
+        |cum AS (SELECT cohort, age, n_active, cents,
+        |    sum(cents) OVER (PARTITION BY cohort ORDER BY age
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |      AS cum_cents
+        |  FROM cells)
+        |SELECT c.cohort, c.age, c.n_active, c.cents, c.cum_cents,
+        |  s.cohort_users,
+        |  floor(c.cum_cents::DOUBLE / s.cohort_users::DOUBLE * 10000.0)
+        |    / 10000.0 AS ltv_q4
+        |FROM cum c JOIN sizes s USING (cohort)
+        |ORDER BY cohort, age""".stripMargin
   )
 }

@@ -1246,6 +1246,63 @@ object EventStream {
           expr("(mae_num * 1000000) DIV naive_num")).cast("long"))
   }
 
+  /** Cohort LTV curves: users grouped by the week of their FIRST event
+    * (the cohort), value accumulated by weeks-since-joining (the age) —
+    * the `(cohort, age) → cumulative cents per cohort user` triangle
+    * behind every retention-revenue read ("do newer cohorts monetize
+    * faster?"). [[retention]] counts who comes back; this weighs what
+    * they're worth.
+    *
+    * Exactness: per-cell distinct-user counts and cent sums are exact
+    * integers; the cumulative sum runs over AGE buckets (bounded by
+    * timespan/bucket — the [[kaplanMeier]] window argument), and
+    * `ltv_q4` = cumulative cents / cohort size is the one floor-4dp
+    * float at the end.
+    *
+    * Plan shape: one user-keyed min (cohort assignment), one user-keyed
+    * join back onto the stream (same key — the exchange reuses), one
+    * (cohort, age) hash aggregate, a cohort-keyed cumulative window
+    * over domain-bounded cells, and a broadcast of the grid-sized
+    * cohort totals. Returns `(cohort, age, n_active, cents, cum_cents,
+    * cohort_users, ltv_q4)`. */
+  def cohortLtv(
+      events: DataFrame,
+      bucketSec: Long = 604800L,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    require(bucketSec >= 1, s"graft: cohortLtv needs bucketSec >= 1")
+    val first = events.groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("_first_ts"))
+    val aged = events
+      .select(col(userCol), col(tsCol),
+        floor(coalesce(col(valueCol), lit(0.0)) * 100.0).cast("long").as("_c"))
+      .join(first, userCol)
+      .select(col(userCol),
+        expr(s"(unix_micros(_first_ts) DIV 1000000) DIV $bucketSec")
+          .as("cohort"),
+        expr(s"((unix_micros($tsCol) - unix_micros(_first_ts))" +
+          s" DIV 1000000) DIV $bucketSec").as("age"),
+        col("_c"))
+    val cells = aged.groupBy(col("cohort"), col("age"))
+      .agg(countDistinct(col(userCol)).as("n_active"),
+        sum(col("_c")).as("cents"))
+    val sizes = first
+      .select(expr(s"(unix_micros(_first_ts) DIV 1000000) DIV $bucketSec")
+        .as("cohort"))
+      .groupBy(col("cohort")).agg(count(lit(1)).as("cohort_users"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells
+      .withColumn("cum_cents", sum(col("cents")).over(w))
+      .join(broadcast(sizes), "cohort")
+      .withColumn("ltv_q4",
+        floor(col("cum_cents").cast("double") / col("cohort_users").cast("double")
+          * 10000.0) / 10000.0)
+      .select(col("cohort"), col("age"), col("n_active"), col("cents"),
+        col("cum_cents"), col("cohort_users"), col("ltv_q4"))
+  }
+
   /** Theil-Sen robust trend per series: the MEDIAN of all pairwise
     * bucket-count slopes `(c_j − c_i) / (t_j − t_i)` over the densified
     * series — the outlier-immune companion to [[trend]]'s OLS (one

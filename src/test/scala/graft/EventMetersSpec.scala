@@ -143,4 +143,25 @@ class EventMetersSpec extends SparkSpec {
     val r = EventStream.mdeReadout(df, col("user_id") % 2).head()
     assert(r.isNullAt(4) && r.isNullAt(5))
   }
+
+  test("cohortLtv: cumulative cents per cohort user, hand-built triangle") {
+    // daily cohorts/ages (bucketSec=86400). u1 joins day 1, spends 1.00
+    // then 2.00 on day 2; u2 joins day 1, spends 4.00, never returns;
+    // u3 joins day 2, spends 8.00.
+    val df = ev(
+      (1, ts(1), 1, "view", 1.00), (2, ts(2), 1, "view", 2.00),
+      (3, ts(1), 2, "view", 4.00), (4, ts(2), 3, "view", 8.00))
+    val rows = EventStream.cohortLtv(df, bucketSec = 86400L)
+      .orderBy("cohort", "age").collect()
+    assert(rows.length == 3)
+    val d1 = rows(0) // cohort day1, age 0: u1+u2 spend 500
+    assert((d1.getLong(2), d1.getLong(3), d1.getLong(4), d1.getLong(5))
+      == ((2L, 500L, 500L, 2L)))
+    assert(d1.getDouble(6) == 250.0)
+    val d2 = rows(1) // cohort day1, age 1: u1 spends 200 -> cum 700
+    assert((d2.getLong(2), d2.getLong(3), d2.getLong(4)) == ((1L, 200L, 700L)))
+    assert(d2.getDouble(6) == 350.0)
+    val c2 = rows(2) // cohort day2, age 0: u3
+    assert((c2.getLong(2), c2.getLong(4), c2.getLong(5)) == ((1L, 800L, 1L)))
+  }
 }
