@@ -7218,16 +7218,17 @@ object SparkEntry {
     // Hash-seeded Poisson multiplicities from the SAME injected CDF
     // literals; one pass, map-side collapse to 40 rows per task.
     "events_bootstrap_ci" -> {
-      val h = graft.functions.hashing.sqlH32(
-        "(event_id::VARCHAR || '#' || rep::VARCHAR || '/boot')")
+      val h = graft.functions.hashing.sqlH32("(event_id::VARCHAR || '/boot')")
+      val aff = graft.functions.hashing.sqlAffineVar("h", "rep")
+      val p = graft.functions.hashing.AffineP
       val cdf = graft.ops.sample.PoissonCdf
       val w = cdf.zipWithIndex
         .map { case (t, k) => s"WHEN uu < $t THEN $k" }
         .mkString("CASE ", " ", " ELSE 6 END")
-      s"""WITH r AS (SELECT event_id, floor(value * 100)::BIGINT AS c,
+      s"""WITH r AS (SELECT floor(value * 100)::BIGINT AS c, ($h)::BIGINT AS h,
          |    unnest(range(0, 40)) AS rep
          |  FROM events WHERE value IS NOT NULL),
-         |u AS (SELECT rep, c, ($h)::DOUBLE / 4294967296.0 AS uu FROM r),
+         |u AS (SELECT rep, c, ($aff)::DOUBLE / $p.0 AS uu FROM r),
          |ww AS (SELECT rep, c, ($w)::BIGINT AS w FROM u),
          |a AS (SELECT rep, sum(w)::BIGINT AS n_eff,
          |    sum(w * c)::BIGINT AS cents FROM ww GROUP BY 1)
