@@ -3271,7 +3271,60 @@ object SparkEntry {
     // by cohort age, cohort-keyed window over domain-bounded cells.
     "events_cohort_ltv" -> ((s, dir) =>
       EventStream.cohortLtv(events(s, dir), bucketSec = 604800L)
-        .orderBy(col("cohort"), col("age")))
+        .orderBy(col("cohort"), col("age"))),
+
+    // TPC-H Q6 shape (forecast revenue change): pure scan + one global
+    // aggregate; every predicate reaches PushedFilters, revenue is an
+    // exact integer (cents x rounded discount-hundredths).
+    "rel_tpch_q6" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+          && col("l_quantity") < 24.0)
+        .select((floor(col("l_extendedprice") * 100.0).cast("long")
+          * floor(col("l_discount") * 100.0 + 0.5).cast("long")).as("_r"),
+          floor(col("l_discount") * 100.0 + 0.5).cast("long").as("_dq"))
+        .where(col("_dq").between(5L, 7L))
+        .agg(count(lit(1)).as("n_rows"), sum(col("_r")).as("revenue_qc"))),
+
+    // TPC-H Q3 shape (unshipped-orders revenue): segment-filtered
+    // customer broadcast onto orders, lineitem joined on the order key,
+    // top-10 by exact revenue via TakeOrderedAndProject.
+    "rel_tpch_q3" -> ((s, dir) => {
+      val cust = table(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val ord = table(s, dir, "orders")
+        .where(col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      table(s, dir, "lineitem")
+        .where(col("l_shipdate") > lit("1996-07-01").cast("timestamp"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(floor(col("l_extendedprice") * 100.0).cast("long")
+          * (lit(100L) - floor(col("l_discount") * 100.0 + 0.5).cast("long")))
+          .as("revenue_qc"))
+        .orderBy(col("revenue_qc").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q14 shape (promo revenue share): one month of lineitem
+    // against the part dimension, share as a ppm quotient of exact
+    // integer revenues.
+    "rel_tpch_q14" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-09-01").cast("timestamp")
+          && col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .join(table(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .select((floor(col("l_extendedprice") * 100.0).cast("long")
+          * (lit(100L) - floor(col("l_discount") * 100.0 + 0.5).cast("long")))
+          .as("_r"), col("p_type"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", col("_r")).otherwise(lit(0L)))
+            .as("promo_qc"),
+          sum(col("_r")).as("total_qc"))
+        .withColumn("promo_ppm",
+          expr("(promo_qc * 1000000L) DIV total_qc")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7265,6 +7318,45 @@ object SparkEntry {
         |  floor(c.cum_cents::DOUBLE / s.cohort_users::DOUBLE * 10000.0)
         |    / 10000.0 AS ltv_q4
         |FROM cum c JOIN sizes s USING (cohort)
-        |ORDER BY cohort, age""".stripMargin
+        |ORDER BY cohort, age""".stripMargin,
+
+    "rel_tpch_q6" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+        |  sum(floor(l_extendedprice * 100)::BIGINT
+        |    * floor(l_discount * 100 + 0.5)::BIGINT)::BIGINT AS revenue_qc
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_quantity < 24
+        |  AND floor(l_discount * 100 + 0.5)::BIGINT BETWEEN 5 AND 7""".stripMargin,
+
+    "rel_tpch_q3" ->
+      """SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+        |  sum(floor(l.l_extendedprice * 100)::BIGINT
+        |    * (100 - floor(l.l_discount * 100 + 0.5)::BIGINT))::BIGINT
+        |    AS revenue_qc
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND l.l_shipdate > TIMESTAMP '1996-07-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_qc DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "rel_tpch_q14" ->
+      """WITH r AS (SELECT
+        |    floor(l_extendedprice * 100)::BIGINT
+        |      * (100 - floor(l_discount * 100 + 0.5)::BIGINT) AS rev,
+        |    p.p_type
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        |    AND l_shipdate < TIMESTAMP '1996-10-01')
+        |SELECT
+        |  sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)::BIGINT AS promo_qc,
+        |  sum(rev)::BIGINT AS total_qc,
+        |  (sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)::BIGINT * 1000000
+        |    // sum(rev)::BIGINT)::BIGINT AS promo_ppm
+        |FROM r""".stripMargin
   )
 }

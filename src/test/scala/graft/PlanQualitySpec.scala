@@ -619,4 +619,17 @@ class PlanQualitySpec extends SparkSpec {
       assert(!p.contains("Window ["), s"$q should have no window\n" + p.take(1200))
     }
   }
+
+  test("TPC-H shapes: Q6 scan-only with pushed range, Q3 broadcast + TakeOrdered") {
+    val q6 = plan("rel_tpch_q6")
+    assert(q6.contains("PushedFilters") && q6.contains("l_shipdate"),
+      q6.take(1200))
+    assert(!q6.contains("Join"), "Q6 is scan + aggregate only")
+    val q3 = plan("rel_tpch_q3")
+    assert(q3.contains("TakeOrderedAndProject"), q3.take(1200))
+    assert(q3.contains("BroadcastHashJoin"), q3.take(1200))
+    val q14 = plan("rel_tpch_q14")
+    assert(q14.contains("PushedFilters") && !q14.contains("CartesianProduct"),
+      q14.take(1200))
+  }
 }
