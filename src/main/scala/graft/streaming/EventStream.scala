@@ -1479,4 +1479,21 @@ object EventStream {
       groupCols: Seq[String],
       p: Int = 6): DataFrame =
     graft.ops.sketch.hllRegisters(events, valueCol, groupCols, p)
+
+  /** Live trending items: the Misra-Gries heavy-hitter summary as a
+    * STREAMING aggregation — the same unified-surface delegation as
+    * [[hllStream]] (one builder, batch or stream). State per group is
+    * the capacity-bounded MG buffer forever, whatever the stream volume.
+    * In the exact regime (capacity ≥ distinct items per group) the
+    * streamed state equals the batch summary of the same events
+    * BIT-FOR-BIT (asserted in EventStreamSpec); past capacity both are
+    * valid ε = n/capacity summaries (PODS'12 merge rule) that may order
+    * evictions differently. Run in complete/update output mode. */
+  def heavyHittersStream(
+      events: DataFrame,
+      itemCol: org.apache.spark.sql.Column,
+      groupCols: Seq[String],
+      capacity: Int = 256,
+      topN: Int = 10): DataFrame =
+    graft.ops.sketch.heavyHittersBy(events, groupCols, itemCol, capacity, topN)
 }

@@ -387,6 +387,35 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("heavyHittersStream: exact-regime state equals the batch summary") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val sdf = mem.toDF.toDF("src", "item")
+    val q = EventStream.heavyHittersStream(sdf, col("item"), Seq("src"),
+        capacity = 64, topN = 3)
+      .writeStream.format("memory").queryName("hh_stream")
+      .outputMode("complete").start()
+    try {
+      // two batches, 20 distinct items per group (< capacity: exact)
+      val b1 = (0 until 200).map(i => ("a", (i % 20).toLong)) ++
+        (0 until 90).map(i => ("b", (i % 3).toLong))
+      val b2 = (0 until 150).map(i => ("a", (i % 5).toLong))
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      val streamed = spark.table("hh_stream")
+      val batch = graft.ops.sketch.heavyHittersBy(
+        (b1 ++ b2).toDF("src", "item"), Seq("src"), col("item"),
+        capacity = 64, topN = 3)
+      assert(streamed.exceptAll(batch).count() == 0 &&
+        batch.exceptAll(streamed).count() == 0,
+        "stream MG state == batch MG summary in the exact regime")
+      // top item of group a: items 0..4 got 10 + 30 each = 40
+      val top = streamed.where(col("src") === "a")
+        .orderBy(col("est_count").desc, col("item")).head()
+      assert(top.getString(1) == "0" && top.getLong(2) == 40L)
+    } finally q.stop()
+  }
+
   test("retention: cohort = first epoch-week, offsets count returning users once") {
     val rows = Seq(
       // user 1: weeks w, w+1, w+1 (second visit in a week counts once)
