@@ -670,6 +670,18 @@ object ScaleRehearsal {
     // moments sketch: one hash aggregate, 4 longs per group
     run("moments", countRows = false)(graft.ops.sketch.moments(
       events, "value", Seq("event_type"), q = 1.0))
+    // Poisson bootstrap: reps-x scan compute, shuffle mass tasks*reps
+    run("bootstrap_ci", countRows = false)(sample.bootstrapCI(
+      events, "value", "event_id", reps = 40))
+    // linear probe: iters scans, each one d-long gradient aggregate
+    run("linear_probe", countRows = false)(linalg.linearProbeTrain(
+      emb, "embedding", col("label") >= 5, dims = 8, iters = 2))
+    // cohort LTV: user-keyed join + domain-bounded triangle window
+    run("cohort_ltv", countRows = false)(EventStream.cohortLtv(
+      events, bucketSec = 604800L))
+    // streaming-MG batch twin at factor-x: capacity-bounded state
+    run("hh_stream_twin", countRows = false)(EventStream.heavyHittersStream(
+      events, col("user_id"), Seq("event_type"), capacity = 256, topN = 5))
 
     spark.stop()
   }
