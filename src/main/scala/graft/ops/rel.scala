@@ -961,6 +961,9 @@ object rel {
         sum(floor(col(amountCol) * 100.0).cast("long")).as("cents"))
     val asof = orders.agg(max(col(dateCol)).as("_asof"))
     // Persisted LAZILY: three grid builds and the final join all scan it.
+    // The cache lives until the session drops it (one row per customer —
+    // disk-spillable; clear between jobs if the customer universe is
+    // billions and the session is long-lived).
     val base = per.crossJoin(broadcast(asof))
       .withColumn("recency_days", datediff(col("_asof"), col("_last")).cast("long"))
       .drop("_last", "_asof")

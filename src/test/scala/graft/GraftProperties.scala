@@ -441,6 +441,24 @@ object GraftProperties extends Properties("graft") {
       got == brute && brute >= 1L
     }
 
+  property("gram is mergeable: gram(A ++ B) = entrywise sums of the parts") =
+    forAll(Gen.zip(
+      Gen.listOfN(4, Gen.listOfN(3, Gen.chooseNum(-2.0, 2.0))),
+      Gen.listOfN(5, Gen.listOfN(3, Gen.chooseNum(-2.0, 2.0))))) {
+      case (a, b) =>
+        def g(rows: Seq[Seq[Double]]): Map[(Int, Int), (Long, Long)] =
+          graft.ops.linalg.gram(rows.toDF("v"), "v", dim = 3, q = 100L)
+            .collect()
+            .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+            .toMap
+        val (ga, gb, gu) = (g(a), g(b), g(a ++ b))
+        gu.forall { case (k, (n, s)) =>
+          val (na, sa) = ga.getOrElse(k, (0L, 0L))
+          val (nb, sb) = gb.getOrElse(k, (0L, 0L))
+          n == na + nb && s == sa + sb
+        }
+    }
+
   property("pageRank conserves bounded mass: base·n <= total <= scale") =
     forAll(Gen.chooseNum(2, 12).flatMap(k =>
       Gen.listOfN(k * 2, Gen.zip(Gen.chooseNum(0L, k.toLong), Gen.chooseNum(0L, k.toLong)))
