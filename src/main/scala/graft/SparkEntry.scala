@@ -3308,6 +3308,27 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // north-star: cross-corpus novelty — gate a candidate slice against
+    // the existing corpus: reference collapses to its distinct gram-hash
+    // set once, candidates probe it with one semi-join.
+    "dedup_cross_novelty" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      dedup.crossNovelty(
+          docs.where(col("doc_id") % 5 === 0),
+          docs.where(col("doc_id") % 5 =!= 0),
+          "text", "doc_id", n = 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // north-star: per-community structure readout over the label-prop
+    // assignment — size, exact internal edges, ppm density.
+    "graph_community_stats" -> ((s, dir) => {
+      val e = s.read.parquet(knnEdges(s, dir))
+      graft.ops.graph.communityStats(e,
+          graft.ops.graph.labelPropagation(e, iters = 2))
+        .orderBy(col("label"))
+    }),
+
     // TPC-H Q14 shape (promo revenue share): one month of lineitem
     // against the part dimension, share as a ppm quotient of exact
     // integer revenues.
@@ -7343,6 +7364,61 @@ object SparkEntry {
         |  AND l.l_shipdate > TIMESTAMP '1996-07-01'
         |GROUP BY 1, 2, 3
         |ORDER BY revenue_qc DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    // Candidate 5-grams vs the reference's distinct gram set; same
+    // tokenizer, counts exact, one floor-4dp fraction.
+    "dedup_cross_novelty" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |  list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS ts
+         |  FROM documents),
+         |g AS (SELECT doc_id, list_distinct(list_transform(
+         |    range(1, len(ts) - 3),
+         |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]
+         |      || ' ' || ts[i+4])) AS gs
+         |  FROM tk WHERE len(ts) >= 5),
+         |cand AS (SELECT * FROM g WHERE doc_id % 5 = 0),
+         |refset AS (SELECT DISTINCT unnest(gs) AS gram FROM g
+         |  WHERE doc_id % 5 != 0),
+         |pd AS (SELECT doc_id, len(gs)::BIGINT AS n_grams FROM cand),
+         |ce AS (SELECT doc_id, unnest(gs) AS gram FROM cand),
+         |kn AS (SELECT ce.doc_id, count(*)::BIGINT AS n_known
+         |  FROM ce JOIN refset USING (gram) GROUP BY 1)
+         |SELECT pd.doc_id, pd.n_grams, coalesce(kn.n_known, 0)::BIGINT AS n_known,
+         |  ${r4("(pd.n_grams - coalesce(kn.n_known, 0))::DOUBLE / pd.n_grams::DOUBLE")}
+         |    AS novel_frac
+         |FROM pd LEFT JOIN kn USING (doc_id) ORDER BY pd.doc_id""".stripMargin,
+
+    // Community sizes + exact internal undirected edges + ppm density
+    // over the SAME unrolled label-prop rounds as graph_label_prop.
+    "graph_community_stats" -> {
+      val iterCtes = (0 until 2).map { i =>
+        s"""c$i AS (SELECT u.src AS id, l.label, count(*) AS c
+           |  FROM und u JOIN l$i l ON u.dst = l.id GROUP BY 1, 2),
+           |t$i AS (SELECT id, label FROM (SELECT id, label,
+           |  row_number() OVER (PARTITION BY id ORDER BY c DESC, label ASC) AS rk
+           |  FROM c$i) WHERE rk = 1),
+           |l${i + 1} AS (SELECT nodes.id, coalesce(t$i.label, nodes.id) AS label
+           |  FROM nodes LEFT JOIN t$i USING (id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $SqlKnnCtes,
+         |e0 AS (SELECT src, dst FROM r WHERE rnk <= 3),
+         |und AS (SELECT DISTINCT src, dst FROM
+         |  (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+         |nodes AS (SELECT DISTINCT src AS id FROM und),
+         |l0 AS (SELECT id, id AS label FROM nodes),
+         |$iterCtes,
+         |sizes AS (SELECT label, count(*)::BIGINT AS n_nodes FROM l2 GROUP BY 1),
+         |internal AS (SELECT ls.label, (count(*) // 2)::BIGINT AS internal_edges
+         |  FROM und u JOIN l2 ls ON u.src = ls.id JOIN l2 ld ON u.dst = ld.id
+         |  WHERE ls.label = ld.label GROUP BY 1)
+         |SELECT s.label, s.n_nodes,
+         |  coalesce(i.internal_edges, 0)::BIGINT AS internal_edges,
+         |  (CASE WHEN s.n_nodes > 1 THEN
+         |    coalesce(i.internal_edges, 0) * 1000000
+         |      // ((s.n_nodes * (s.n_nodes - 1)) // 2) END)::BIGINT AS density_ppm
+         |FROM sizes s LEFT JOIN internal i USING (label)
+         |ORDER BY label""".stripMargin
+    },
 
     "rel_tpch_q14" ->
       """WITH r AS (SELECT

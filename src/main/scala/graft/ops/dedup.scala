@@ -1354,6 +1354,46 @@ object dedup {
         col("n_seen").cast("double") / col("n_grams").cast("double"), 4))
   }
 
+  /** Cross-corpus n-gram novelty: for each CANDIDATE document, how much
+    * of it the REFERENCE corpus has already seen — the
+    * is-this-crawl-worth-ingesting meter ([[ngramNovelty]] answers the
+    * within-corpus version; this one gates a new source against the
+    * existing training set). Per candidate: distinct word n-grams,
+    * how many exist anywhere in the reference, and the novel fraction.
+    *
+    * Scale shape: the reference collapses to its DISTINCT gram-hash set
+    * once (one hash aggregate — at 100 TB this is the expensive pass,
+    * pay it per reference version, not per candidate batch); candidates
+    * probe it with one semi-join on the uniform 63-bit gram hash. Gram
+    * strings never cross the wire. Returns
+    * `(idCol, n_grams, n_known, novel_frac)` (floor-4dp). */
+  def crossNovelty(
+      candidates: DataFrame,
+      reference: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 5): DataFrame = {
+    require(n >= 1, s"graft: crossNovelty needs n >= 1, got $n")
+    def gramsOf(d: DataFrame) = d.select(col(idCol),
+      array_distinct(transform(
+        graft.functions.NativeExprs.wordGrams(col(textCol), n),
+        g => hashing.h63(g))).as("_gs"))
+      .where(size(col("_gs")) > 0)
+    val cand = gramsOf(candidates)
+    val perDoc = cand.select(col(idCol), size(col("_gs")).cast("long").as("n_grams"))
+    val refSet = gramsOf(reference)
+      .select(explode(col("_gs")).as("_g")).distinct()
+    val known = cand.select(col(idCol), explode(col("_gs")).as("_g"))
+      .join(refSet, Seq("_g"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_known"))
+    perDoc.join(known, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_known"), lit(0L)).as("n_known"))
+      .withColumn("novel_frac", graft.functions.vectors.quantize(
+        (col("n_grams") - col("n_known")).cast("double")
+          / col("n_grams").cast("double"), 4))
+  }
+
   /** Corpus-wide most-duplicated n-grams — the boilerplate/memorization
     * audit table (which exact spans dominate the corpus; the spans a
     * [[repeatedSpans]]/blocklist pass should target): per distinct word

@@ -316,6 +316,48 @@ object graph {
     rel.corrExact(pairs, "_dx", "_dy", Seq.empty, xScale = 1.0, yScale = 1.0)
   }
 
+  /** Per-community structure readout over a `(id, label)` assignment
+    * (e.g. [[labelPropagation]] output): community size, exact internal
+    * undirected edge count, and density in ppm — the
+    * are-these-communities-real companion to [[modularity]]'s one-number
+    * partition score (a high-modularity split can still hide sparse
+    * giant components; this table shows each one). Edges normalize
+    * exactly as [[kCorePeel]].
+    *
+    * Plan shape: two label joins decorate the edge list (src-keyed,
+    * dst-keyed), one label-keyed count each for nodes and internal
+    * edges. All-integer; density is a positive ppm quotient
+    * (`internal·10⁶ DIV (n(n−1)/2)`, null for singletons). Returns
+    * `(label, n_nodes, internal_edges, density_ppm)`. */
+  def communityStats(
+      edges: DataFrame,
+      labels: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val e0 = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+    var und = e0.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .select(col("a").as("src"), col("b").as("dst"))
+    und = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
+    val lab = labels.select(col("id"), col("label"))
+    val sizes = lab.groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
+    val internal = und
+      .join(lab.select(col("id").as("src"), col("label").as("_ls")), "src")
+      .join(lab.select(col("id").as("dst"), col("label").as("_ld")), "dst")
+      .where(col("_ls") === col("_ld"))
+      .groupBy(col("_ls").as("label"))
+      // und carries both directions, so each undirected edge counts twice
+      .agg((count(lit(1)) / 2).cast("long").as("internal_edges"))
+    sizes.join(internal, Seq("label"), "left")
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("internal_edges"), lit(0L)).as("internal_edges"))
+      .withColumn("density_ppm", when(col("n_nodes") > 1L,
+        expr("(internal_edges * 1000000L) DIV ((n_nodes * (n_nodes - 1)) DIV 2)")))
+  }
+
   /** Exact global triangle count via the degree-ordered node-iterator
     * (Schank & Wagner 2005 / "compact-forward"): orient every undirected
     * edge from its lower-(degree, id) endpoint to the higher one, build

@@ -493,4 +493,18 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq(("x y z", 2L, 3L), ("p q r", 1L, 1L), ("y z x", 1L, 1L)),
       got.toString)
   }
+
+  test("crossNovelty: copy of reference scores 0, fresh text scores 1") {
+    val ref = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val cand = Seq(
+      (1L, "the quick brown fox jumps"),          // every 3-gram known
+      (2L, "completely novel words appear here"), // none known
+      (3L, "too short")                           // < n tokens: excluded
+    ).toDF("doc_id", "text")
+    val got = dedup.crossNovelty(cand, ref, "text", "doc_id", n = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 3L, 3L, 0.0), (2L, 3L, 0L, 1.0)), got.toString)
+  }
 }

@@ -268,6 +268,19 @@ class GraphSpec extends SparkSpec {
     assert(d == Map(7L -> 0L))
   }
 
+  test("communityStats: triangle community is dense, path community is not") {
+    // labels: {1,2,3} -> 1 (triangle), {4,5,6} -> 4 (path 4-5-6)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L))
+      .toDF("src", "dst")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("id", "label")
+    val got = graph.communityStats(edges, labels)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(got(1L) == ((3L, 3L, 1000000L)), "triangle: 3/3 edges, density 1")
+    assert(got(4L) == ((3L, 2L, 666666L)), "path: 2/3 edges")
+  }
+
   test("assortativity: a star is perfectly disassortative, a cycle flat") {
     val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
     val rs = graph.assortativity(star).head()
