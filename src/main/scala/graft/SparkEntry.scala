@@ -188,12 +188,25 @@ object SparkEntry {
       out
     })
 
+  /** Memoized persisted gram-hash set over the reference slice
+    * (`doc_id % 5 != 0` — the [[dedup.crossNovelty]] reference):
+    * build once, screen every candidate batch. */
+  private val builtGramSets = new scala.collection.concurrent.TrieMap[String, String]()
+  private def gramSet(s: SparkSession, dir: String): String =
+    builtGramSets.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files.createTempDirectory("graft-gs-").toString + "/grams"
+      dedup.writeGramSet(
+        table(s, dir, "documents").where(col("doc_id") % 5 =!= 0),
+        "text", out, n = 5)
+      out
+    })
+
   /** One-time index builds, callable from Bench's untimed warmup so
     * per-query numbers measure steady-state execution, not builds. */
   def prebuildIndexes(s: SparkSession, dir: String): Unit = {
     embIndex(s, dir); embLshIndex(s, dir); embIvfIndex(s, dir)
     bucketedTables(s, dir); textIndex(s, dir); knnEdges(s, dir)
-    sigIndex(s, dir)
+    sigIndex(s, dir); gramSet(s, dir)
   }
 
   // ---- DuckDB SQL snippet builders ------------------------------------
@@ -268,6 +281,29 @@ object SparkEntry {
     s"list_sum(list_transform(list_zip($E, ${sqlVec(q)}), x -> (x[1]-x[2])*(x[1]-x[2])))"
 
   private def r4(e: String): String = s"floor(($e) * 10000.0 + 0.5) / 10000.0"
+
+  /** Shared oracle for the live and index-backed novelty gates — the
+    * persisted gram set is value-identical to a live reference build. */
+  private lazy val SqlCrossNovelty: String =
+    s"""WITH tk AS (SELECT doc_id,
+       |  list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS ts
+       |  FROM documents),
+       |g AS (SELECT doc_id, list_distinct(list_transform(
+       |    range(1, len(ts) - 3),
+       |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]
+       |      || ' ' || ts[i+4])) AS gs
+       |  FROM tk WHERE len(ts) >= 5),
+       |cand AS (SELECT * FROM g WHERE doc_id % 5 = 0),
+       |refset AS (SELECT DISTINCT unnest(gs) AS gram FROM g
+       |  WHERE doc_id % 5 != 0),
+       |pd AS (SELECT doc_id, len(gs)::BIGINT AS n_grams FROM cand),
+       |ce AS (SELECT doc_id, unnest(gs) AS gram FROM cand),
+       |kn AS (SELECT ce.doc_id, count(*)::BIGINT AS n_known
+       |  FROM ce JOIN refset USING (gram) GROUP BY 1)
+       |SELECT pd.doc_id, pd.n_grams, coalesce(kn.n_known, 0)::BIGINT AS n_known,
+       |  ${r4("(pd.n_grams - coalesce(kn.n_known, 0))::DOUBLE / pd.n_grams::DOUBLE")}
+       |    AS novel_frac
+       |FROM pd LEFT JOIN kn USING (doc_id) ORDER BY pd.doc_id""".stripMargin
 
   /** 4-dp-quantized cosine as an exact INTEGER score (units of 1e-4) —
     * the shared scorer of the `eval_*` family: the same three IEEE ops
@@ -3327,6 +3363,29 @@ object SparkEntry {
       graft.ops.graph.communityStats(e,
           graft.ops.graph.labelPropagation(e, iters = 2))
         .orderBy(col("label"))
+    }),
+
+    // north-star: the same novelty gate against the PERSISTED gram-set
+    // artifact — reference never rescanned; value-identical to the live
+    // build, so it shares dedup_cross_novelty's oracle SQL.
+    "dedup_novelty_indexed" -> ((s, dir) =>
+      dedup.crossNoveltyIndexed(
+          table(s, dir, "documents").where(col("doc_id") % 5 === 0),
+          gramSet(s, dir), "text", "doc_id", n = 5)
+        .orderBy(col("doc_id"))),
+
+    // north-star: deterministic rejection matching — calibrate the 'de'
+    // slice's length distribution to the 'en' slice; bounded grid, rates
+    // broadcast, keep decision a pure scan filter.
+    "sample_match_dist" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      sample.matchDistribution(
+          docs.where(col("lang") === "de"), col("n_chars"),
+          docs.where(col("lang") === "en"), col("n_chars"),
+          "doc_id", binWidth = 200L)
+        .groupBy(col("bin"), col("keep_ppm"))
+        .agg(count(lit(1)).as("n_src"), sum(col("kept")).as("n_kept"))
+        .orderBy(col("bin"))
     }),
 
     // TPC-H Q14 shape (promo revenue share): one month of lineitem
@@ -7367,26 +7426,9 @@ object SparkEntry {
 
     // Candidate 5-grams vs the reference's distinct gram set; same
     // tokenizer, counts exact, one floor-4dp fraction.
-    "dedup_cross_novelty" ->
-      s"""WITH tk AS (SELECT doc_id,
-         |  list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS ts
-         |  FROM documents),
-         |g AS (SELECT doc_id, list_distinct(list_transform(
-         |    range(1, len(ts) - 3),
-         |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]
-         |      || ' ' || ts[i+4])) AS gs
-         |  FROM tk WHERE len(ts) >= 5),
-         |cand AS (SELECT * FROM g WHERE doc_id % 5 = 0),
-         |refset AS (SELECT DISTINCT unnest(gs) AS gram FROM g
-         |  WHERE doc_id % 5 != 0),
-         |pd AS (SELECT doc_id, len(gs)::BIGINT AS n_grams FROM cand),
-         |ce AS (SELECT doc_id, unnest(gs) AS gram FROM cand),
-         |kn AS (SELECT ce.doc_id, count(*)::BIGINT AS n_known
-         |  FROM ce JOIN refset USING (gram) GROUP BY 1)
-         |SELECT pd.doc_id, pd.n_grams, coalesce(kn.n_known, 0)::BIGINT AS n_known,
-         |  ${r4("(pd.n_grams - coalesce(kn.n_known, 0))::DOUBLE / pd.n_grams::DOUBLE")}
-         |    AS novel_frac
-         |FROM pd LEFT JOIN kn USING (doc_id) ORDER BY pd.doc_id""".stripMargin,
+    "dedup_cross_novelty" -> SqlCrossNovelty,
+
+    "dedup_novelty_indexed" -> SqlCrossNovelty,
 
     // Community sizes + exact internal undirected edges + ppm density
     // over the SAME unrolled label-prop rounds as graph_label_prop.
@@ -7418,6 +7460,36 @@ object SparkEntry {
          |      // ((s.n_nodes * (s.n_nodes - 1)) // 2) END)::BIGINT AS density_ppm
          |FROM sizes s LEFT JOIN internal i USING (label)
          |ORDER BY label""".stripMargin
+    },
+
+    // Rejection rates from the same exact-count double chain (fixed op
+    // order), floor-ppm; keep decision replays the portable hash.
+    "sample_match_dist" -> {
+      val h = graft.functions.hashing.sqlH32("(s.doc_id::VARCHAR || '/mdist')")
+      s"""WITH src AS (SELECT doc_id,
+         |    floor(n_chars::DOUBLE / 200.0)::BIGINT AS bin
+         |  FROM documents WHERE lang = 'de' AND n_chars IS NOT NULL),
+         |tgt AS (SELECT floor(n_chars::DOUBLE / 200.0)::BIGINT AS bin
+         |  FROM documents WHERE lang = 'en' AND n_chars IS NOT NULL),
+         |sh AS (SELECT bin, count(*)::BIGINT AS ns FROM src GROUP BY 1),
+         |th AS (SELECT bin, count(*)::BIGINT AS nt FROM tgt GROUP BY 1),
+         |r0 AS (SELECT sh.bin, sh.ns, coalesce(th.nt, 0)::BIGINT AS nt
+         |  FROM sh LEFT JOIN th USING (bin)),
+         |r1 AS (SELECT bin, ns, nt,
+         |    (nt::DOUBLE / (SELECT sum(nt) FROM r0)::DOUBLE)
+         |      / (ns::DOUBLE / (SELECT sum(ns) FROM r0)::DOUBLE) AS ratio
+         |  FROM r0),
+         |r2 AS (SELECT bin, ns,
+         |    (CASE WHEN (SELECT max(ratio) FROM r1) > 0 THEN
+         |      floor(ratio / (SELECT max(ratio) FROM r1) * 1000000.0)
+         |    ELSE 0 END)::BIGINT AS keep_ppm
+         |  FROM r1),
+         |k AS (SELECT r2.bin, r2.keep_ppm,
+         |    count(*)::BIGINT AS n_src,
+         |    sum(($h % 1000000 < r2.keep_ppm)::BIGINT)::BIGINT AS n_kept
+         |  FROM src s JOIN r2 ON s.bin = r2.bin
+         |  GROUP BY 1, 2)
+         |SELECT bin, keep_ppm, n_src, n_kept FROM k ORDER BY bin""".stripMargin
     },
 
     "rel_tpch_q14" ->

@@ -1394,6 +1394,53 @@ object dedup {
           / col("n_grams").cast("double"), 4))
   }
 
+  /** Persist the reference side of [[crossNovelty]]: the corpus's
+    * distinct 63-bit gram-hash set as parquet. At 100 TB the reference
+    * pass is THE cost of the novelty gate — this pays it once per
+    * reference version (like [[writeSignatureIndex]] pays the signature
+    * shuffle once); every incoming crawl batch then probes the artifact
+    * via [[crossNoveltyIndexed]]. Append new grams with a plain
+    * mode-append write of the same projection. */
+  def writeGramSet(
+      reference: DataFrame,
+      textCol: String,
+      path: String,
+      n: Int = 5): Unit =
+    reference.select(explode(array_distinct(transform(
+        graft.functions.NativeExprs.wordGrams(col(textCol), n),
+        g => hashing.h63(g)))).as("g"))
+      .distinct()
+      .write.mode("overwrite").parquet(path)
+
+  /** [[crossNovelty]] against a [[writeGramSet]] artifact: identical
+    * output (the persisted set is value-identical to a live build), but
+    * the reference corpus is never rescanned — candidates semi-join the
+    * gram parquet on the uniform hash. */
+  def crossNoveltyIndexed(
+      candidates: DataFrame,
+      gramSetPath: String,
+      textCol: String,
+      idCol: String,
+      n: Int = 5): DataFrame = {
+    val spark = candidates.sparkSession
+    val cand = candidates.select(col(idCol),
+      array_distinct(transform(
+        graft.functions.NativeExprs.wordGrams(col(textCol), n),
+        g => hashing.h63(g))).as("_gs"))
+      .where(size(col("_gs")) > 0)
+    val perDoc = cand.select(col(idCol), size(col("_gs")).cast("long").as("n_grams"))
+    val known = cand.select(col(idCol), explode(col("_gs")).as("_g"))
+      .join(spark.read.parquet(gramSetPath).select(col("g").as("_g")),
+        Seq("_g"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_known"))
+    perDoc.join(known, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_known"), lit(0L)).as("n_known"))
+      .withColumn("novel_frac", graft.functions.vectors.quantize(
+        (col("n_grams") - col("n_known")).cast("double")
+          / col("n_grams").cast("double"), 4))
+  }
+
   /** Corpus-wide most-duplicated n-grams — the boilerplate/memorization
     * audit table (which exact spans dominate the corpus; the spans a
     * [[repeatedSpans]]/blocklist pass should target): per distinct word

@@ -871,6 +871,71 @@ object sample {
       .withColumn("crosses", (col("split_a") =!= col("split_b")).cast("long"))
   }
 
+  /** Distribution matching by deterministic rejection: filter `df` so a
+    * bounded numeric feature's distribution matches a TARGET corpus's —
+    * the continuous-feature companion to [[toMixture]]'s categorical
+    * calibration (match a new crawl's length/score profile to the
+    * existing training set before mixing it in). Feature values bucket
+    * to a `binWidth` grid; per bin the acceptance rate is the classic
+    * rejection form `p(bin) = ratio(bin)/M` with
+    * `ratio = targetFrac/sourceFrac` and `M = max ratio` (maximal
+    * acceptance), and each row keeps iff
+    * `h32(id/salt) % 10⁶ < keep_ppm(bin)` — a pure scan filter,
+    * reproducible bit-for-bit, stable under corpus growth.
+    *
+    * Determinism: ratios are single IEEE divisions of exact integer
+    * counts in a FIXED expression order, the max runs over grid rows,
+    * and the final `keep_ppm` is floor-quantized — engine-identical.
+    * Both histograms and the rate table are GRID-bounded
+    * (feature-range/binWidth — [[graft.ops.windows.boundedGlobal]]);
+    * the rates broadcast back onto the scan. Bins the target never
+    * saw keep nothing. Returns `df` plus `(bin, keep_ppm, kept)`. */
+  def matchDistribution(
+      df: DataFrame,
+      feature: Column,
+      target: DataFrame,
+      targetFeature: Column,
+      idCol: String,
+      binWidth: Long = 1L,
+      salt: String = "mdist"): DataFrame = {
+    require(binWidth >= 1, s"graft: matchDistribution needs binWidth >= 1")
+    import org.apache.spark.sql.expressions.Window
+    // floor-division binning: floor(f/w) over exact integer doubles is
+    // misrounding-free below 2^53 and matches DuckDB's integer `//`
+    // (floor) for every sign
+    def binOf(f: Column) =
+      floor(f.cast("long").cast("double") / lit(binWidth.toDouble)).cast("long")
+    def hist(d: DataFrame, f: Column) =
+      d.where(f.isNotNull)
+        .groupBy(binOf(f).as("bin"))
+        .agg(count(lit(1)).as("_n"))
+    val s = hist(df, feature)
+    val t = hist(target, targetFeature)
+    val wg = windows.boundedGlobal("feature-grid", col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // note: Spark resolves column names case-insensitively — the totals
+    // must NOT be spelled `_Ns`/`_Nt` or withColumn REPLACES the per-bin
+    // counts (observed: every ratio collapsed to 1.0)
+    val rates = s.withColumnRenamed("_n", "_ns")
+      .join(t.withColumnRenamed("_n", "_nt"), Seq("bin"), "left")
+      .withColumn("_nt", coalesce(col("_nt"), lit(0L)))
+      .withColumn("_tot_s", sum(col("_ns")).over(wg))
+      .withColumn("_tot_t", sum(col("_nt")).over(wg))
+      .withColumn("_ratio",
+        (col("_nt").cast("double") / col("_tot_t").cast("double"))
+          / (col("_ns").cast("double") / col("_tot_s").cast("double")))
+      .withColumn("_m", max(col("_ratio")).over(wg))
+      .select(col("bin"), when(col("_m") > 0.0,
+        floor(col("_ratio") / col("_m") * 1000000.0).cast("long"))
+        .otherwise(lit(0L)).as("keep_ppm"))
+    df.withColumn("bin", binOf(feature))
+      .join(broadcast(rates), Seq("bin"), "left")
+      .withColumn("keep_ppm", coalesce(col("keep_ppm"), lit(0L)))
+      .withColumn("kept",
+        (hashing.h32(concat(col(idCol).cast("string"), lit("/" + salt)))
+          % 1000000L < col("keep_ppm")).cast("long"))
+  }
+
   /** Cumulative Poisson(1) CDF thresholds for [[bootstrapCI]]'s
     * hash-uniform inverse transform (`P(X ≤ k)` for k = 0..5; weights
     * cap at 6). Computed once and injected as the SAME double literals

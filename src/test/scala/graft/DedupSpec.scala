@@ -507,4 +507,20 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(got == Seq((1L, 3L, 3L, 0.0), (2L, 3L, 0L, 1.0)), got.toString)
   }
+
+  test("crossNoveltyIndexed: persisted gram set reproduces the live gate") {
+    val ref = Seq((100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "pack my box with five dozen liquor jugs"))
+      .toDF("doc_id", "text")
+    val cand = Seq((1L, "the quick brown fox runs"),
+      (2L, "entirely new material here today")).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft-gs-test-")
+      .toString + "/grams"
+    dedup.writeGramSet(ref, "text", path, n = 3)
+    val live = dedup.crossNovelty(cand, ref, "text", "doc_id", n = 3)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val indexed = dedup.crossNoveltyIndexed(cand, path, "text", "doc_id", n = 3)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(live.toSeq == indexed.toSeq, "index round-trip is value-identical")
+  }
 }

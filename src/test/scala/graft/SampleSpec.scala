@@ -467,6 +467,32 @@ class SampleSpec extends SparkSpec {
       ("val", "val", 1L, 0L)), got.toString)
   }
 
+  test("matchDistribution: rates follow target/source, absent bins drop") {
+    // source: bins 0 and 1 each 100 rows; target: 3:1 toward bin 0;
+    // source bin 2 has no target mass -> keep_ppm 0.
+    val src = ((0 until 100).map(i => (i.toLong, 5L)) ++
+      (0 until 100).map(i => (1000L + i, 15L)) ++
+      Seq((5000L, 25L))).toDF("id", "f")
+    val tgt = ((0 until 75).map(i => (i.toLong, 5L)) ++
+      (0 until 25).map(i => (i.toLong, 15L))).toDF("id", "f")
+    val got = sample.matchDistribution(src, col("f"), tgt, col("f"), "id",
+        binWidth = 10L)
+      .select("bin", "keep_ppm").distinct()
+      .as[(Long, Long)].collect().toMap
+    // ratios: bin0 (75/100)/(100/201), bin1 (25/100)/(100/201),
+    // bin2 0 -> normalized by max (bin0): 1e6, 333333, 0
+    assert(got(0L) == 1000000L && got(2L) == 0L)
+    assert(got(1L) == 333333L, got.toString)
+    // kept rows: every bin-2 row dropped; bin-0 keeps everything
+    val kept = sample.matchDistribution(src, col("f"), tgt, col("f"), "id",
+        binWidth = 10L)
+      .groupBy("bin").agg(sum("kept").as("k"), count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(kept(0L) == ((100L, 100L)), "max-ratio bin keeps all")
+    assert(kept(2L)._1 == 0L)
+    assert(kept(1L)._1 > 15L && kept(1L)._1 < 55L, s"~1/3 kept: ${kept(1L)}")
+  }
+
   test("bootstrapCI: deterministic, Poisson-mean-1 mass, constant corpus") {
     val df = (0 until 500).map(i => (i.toLong, 2.5)).toDF("id", "v")
     val a = sample.bootstrapCI(df, "v", "id", reps = 20).orderBy("rep")
