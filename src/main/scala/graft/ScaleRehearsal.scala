@@ -682,6 +682,28 @@ object ScaleRehearsal {
     // streaming-MG batch twin at factor-x: capacity-bounded state
     run("hh_stream_twin", countRows = false)(EventStream.heavyHittersStream(
       events, col("user_id"), Seq("event_type"), capacity = 256, topN = 5))
+    // cross-corpus novelty: the reference pass is the cost; the clone
+    // corpus makes every candidate gram "seen"
+    run("cross_novelty", countRows = false)(dedup.crossNovelty(
+      docs.where(col("doc_id") % 5 === 0), docs.where(col("doc_id") % 5 =!= 0),
+      "text", "doc_id", n = 5))
+    // persisted gram set: pay the reference once, probe a batch
+    val gsT0 = System.nanoTime()
+    dedup.writeGramSet(docs.where(col("doc_id") % 5 =!= 0), "text",
+      s"$work/gramset", n = 5)
+    println(f"SCALE gramset_build          ${(System.nanoTime() - gsT0) / 1e9}%8.2f s")
+    run("novelty_indexed", countRows = false)(dedup.crossNoveltyIndexed(
+      docs.where(col("doc_id") % 5 === 0).limit(2000), s"$work/gramset",
+      "text", "doc_id", n = 5))
+    // distribution matching: two bounded grids + a broadcast scan filter
+    run("match_dist", countRows = false)(sample.matchDistribution(
+      docs.where(col("doc_id") % 2 === 0), col("n_chars"),
+      docs.where(col("doc_id") % 2 =!= 0), col("n_chars"),
+      "doc_id", binWidth = 200L))
+    // community structure over the label-prop assignment
+    run("community_stats", countRows = false)(graph.communityStats(
+      spark.read.parquet(s"$work/knn_edges"),
+      graph.labelPropagation(spark.read.parquet(s"$work/knn_edges"), iters = 2)))
 
     spark.stop()
   }
