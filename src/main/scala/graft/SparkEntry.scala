@@ -3374,6 +3374,20 @@ object SparkEntry {
           gramSet(s, dir), "text", "doc_id", n = 5)
         .orderBy(col("doc_id"))),
 
+    // north-star: funnel with a conversion deadline — purchase counts
+    // only within an hour of the click; the unlimited funnel's numbers
+    // sit alongside for the deadline's bite to be visible.
+    "events_funnel_windowed" -> ((s, dir) =>
+      EventStream.funnelWindowed(events(s, dir),
+          Seq("view", "click", "purchase"), maxGapSec = 3600L)
+        .orderBy(col("step"))),
+
+    // north-star: hour-of-week seasonal anomaly screen — exact cell
+    // stats, one float z chain, densified so silence is a reading too.
+    "events_seasonal_anomaly" -> ((s, dir) =>
+      EventStream.seasonalAnomaly(events(s, dir), zMin = 2.0)
+        .orderBy(col("series"), col("t"))),
+
     // north-star: deterministic rejection matching — calibrate the 'de'
     // slice's length distribution to the 'en' slice; bounded grid, rates
     // broadcast, keep decision a pure scan filter.
@@ -7461,6 +7475,55 @@ object SparkEntry {
          |FROM sizes s LEFT JOIN internal i USING (label)
          |ORDER BY label""".stripMargin
     },
+
+    // Same greedy ladder as events_funnel plus the per-step deadline.
+    "events_funnel_windowed" ->
+      """WITH u AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t0
+        |  FROM events GROUP BY user_id),
+        |e1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e
+        |  JOIN u ON e.user_id = u.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= u.t0
+        |    AND epoch_us(e.ts) - epoch_us(u.t0) <= 3600000000
+        |  GROUP BY e.user_id),
+        |e2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN e1 ON e.user_id = e1.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= e1.t1
+        |    AND epoch_us(e.ts) - epoch_us(e1.t1) <= 3600000000
+        |  GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT 1 AS step, 'view' AS event_type,
+        |    (SELECT count(*) FROM u WHERE t0 IS NOT NULL) AS n_users
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM e1)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM e2))
+        |ORDER BY step""".stripMargin,
+
+    // Hour-of-week cells over the densified hourly series; z is the one
+    // float chain over exact integer cell stats.
+    "events_seasonal_anomaly" ->
+      """WITH counts AS (SELECT event_type AS series,
+        |    (epoch_us(ts) // 1000000) // 3600 AS t, count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT series, unnest(generate_series(min(t), max(t))) AS t
+        |  FROM counts GROUP BY series),
+        |d AS (SELECT sp.series, sp.t, coalesce(counts.c, 0)::BIGINT AS c,
+        |    sp.t % 168 AS cell
+        |  FROM sp LEFT JOIN counts USING (series, t)),
+        |st AS (SELECT series, cell, count(*)::BIGINT AS n,
+        |    sum(c)::BIGINT AS s1, sum(c * c)::BIGINT AS s2
+        |  FROM d GROUP BY 1, 2),
+        |z AS (SELECT d.series, d.t, d.c, d.cell,
+        |    CASE WHEN (st.s2::DOUBLE / st.n::DOUBLE
+        |        - (st.s1::DOUBLE / st.n::DOUBLE) * (st.s1::DOUBLE / st.n::DOUBLE))
+        |        > 0.0 THEN
+        |      floor((d.c::DOUBLE - st.s1::DOUBLE / st.n::DOUBLE)
+        |        / sqrt(st.s2::DOUBLE / st.n::DOUBLE
+        |          - (st.s1::DOUBLE / st.n::DOUBLE) * (st.s1::DOUBLE / st.n::DOUBLE))
+        |        * 10000.0 + 0.5) / 10000.0
+        |    END AS z_q4
+        |  FROM d JOIN st USING (series, cell))
+        |SELECT series, t, c, cell, z_q4 FROM z
+        |WHERE abs(z_q4) >= 2.0 ORDER BY series, t""".stripMargin,
 
     // Rejection rates from the same exact-count double chain (fixed op
     // order), floor-ppm; keep decision replays the portable hash.

@@ -210,6 +210,83 @@ object EventStream {
       .orderBy(col("step"))
   }
 
+  /** [[funnel]] with a conversion deadline: step i counts only when it
+    * happens within `maxGapSec` of the user's step-(i−1) reach time —
+    * the real product-funnel semantics ("purchased within an hour of
+    * clicking"), where the unlimited form happily credits a purchase
+    * three weeks after the click. Same greedy earliest-qualifying-event
+    * semantics, same ONE user-keyed exchange feeding every step window,
+    * same one-pass flags explode. */
+  def funnelWindowed(
+      events: DataFrame,
+      steps: Seq[String],
+      maxGapSec: Long,
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(steps.nonEmpty, "graft: funnelWindowed needs at least one step")
+    require(maxGapSec >= 1, "graft: funnelWindowed needs maxGapSec >= 1")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(userCol))
+    val withReach = steps.zipWithIndex.foldLeft(events) { case (df, (step, i)) =>
+      val cond =
+        if (i == 0) col(typeCol) === step
+        else col(typeCol) === step && col(tsCol) >= col(s"_t${i - 1}") &&
+          expr(s"unix_micros($tsCol) - unix_micros(_t${i - 1})") <=
+            maxGapSec * 1000000L
+      df.withColumn(s"_t$i", min(when(cond, col(tsCol))).over(w))
+    }
+    val reachCols = steps.indices.map(i => max(col(s"_t$i")).as(s"_t$i"))
+    val perUser = withReach.groupBy(col(userCol))
+      .agg(reachCols.head, reachCols.tail: _*)
+    perUser
+      .select(posexplode(array(
+        steps.indices.map(i => col(s"_t$i").isNotNull.cast("long")): _*))
+        .as(Seq("p", "reached")))
+      .groupBy(col("p")).agg(sum(col("reached")).as("n_users"))
+      .select((col("p") + 1).cast("int").as("step"),
+        element_at(array(steps.map(lit): _*), col("p") + 1).as("event_type"),
+        col("n_users"))
+      .orderBy(col("step"))
+  }
+
+  /** Seasonal-baseline anomaly screen: score every HOURLY bucket of
+    * every series against its hour-of-week cell (same hour, same
+    * weekday, all weeks) — the which-hour-broke detector that rolling
+    * z-scores miss (a Monday-9am spike is normal FOR Monday 9am;
+    * a 3am one is not). Series densify ([[denseSeries]] — an absent
+    * bucket is a zero observation, and skipping it would bias every
+    * cell mean); per (series, hour-of-week) the exact integer
+    * sufficient statistics accumulate, and each bucket's z-score is the
+    * one engine-identical float chain over them, floor-4dp. Cells with
+    * zero variance yield null z (not ±∞).
+    *
+    * Plan shape: one hash aggregate to DOMAIN-bounded series rows, the
+    * bounded spine, one (series, cell)-keyed stats aggregate (≤ 168
+    * cells per series) joined back by broadcast. Returns
+    * `(series, t, c, cell, z_q4)` for buckets with `|z| ≥ zMin`. */
+  def seasonalAnomaly(
+      events: DataFrame,
+      zMin: Double = 2.0,
+      seriesCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val dense = denseSeries(events, 3600, seriesCol, tsCol)
+      .select(col(seriesCol).as("series"), col("_t"), col("_c"),
+        pmod(col("_t"), lit(168L)).as("cell"))
+    val stats = dense.groupBy(col("series"), col("cell"))
+      .agg(count(lit(1)).as("_n"), sum(col("_c")).as("_s1"),
+        sum(col("_c") * col("_c")).as("_s2"))
+    val nd = col("_n").cast("double")
+    val mean = col("_s1").cast("double") / nd
+    val variance = col("_s2").cast("double") / nd - mean * mean
+    dense.join(broadcast(stats), Seq("series", "cell"))
+      .withColumn("z_q4", when(variance > 0.0,
+        graft.functions.vectors.quantize(
+          (col("_c").cast("double") - mean) / sqrt(variance), 4)))
+      .where(abs(col("z_q4")) >= zMin)
+      .select(col("series"), col("_t").as("t"), col("_c").as("c"),
+        col("cell"), col("z_q4"))
+  }
+
   /** Event-time interval join (stream-stream capable): each left event
     * joins the right-side events of the SAME key whose timestamp falls in
     * `[left.ts - lookback, left.ts]` — the attribution/enrichment join

@@ -144,6 +144,44 @@ class EventMetersSpec extends SparkSpec {
     assert(r.isNullAt(4) && r.isNullAt(5))
   }
 
+  test("funnelWindowed: the deadline drops late conversions the plain funnel keeps") {
+    // u1: view -> click +30min -> purchase +30min (all within 1h gaps)
+    // u2: view -> click +2h (misses the 1h deadline) -> purchase
+    val df = ev(
+      (1, ts(1, 0), 1, "view", 0.0), (2, Timestamp.valueOf("2024-01-01 00:30:00"), 1, "click", 0.0),
+      (3, ts(1, 1), 1, "purchase", 1.0),
+      (4, ts(1, 0), 2, "view", 0.0), (5, ts(1, 2), 2, "click", 0.0),
+      (6, ts(1, 3), 2, "purchase", 1.0))
+    val windowed = EventStream.funnelWindowed(df,
+      Seq("view", "click", "purchase"), maxGapSec = 3600L)
+      .orderBy("step").collect().map(_.getLong(2)).toSeq
+    assert(windowed == Seq(2L, 1L, 1L), "u2's 2h click misses the deadline")
+    val plain = EventStream.funnel(df, Seq("view", "click", "purchase"))
+      .orderBy("step").collect().map(_.getLong(2)).toSeq
+    assert(plain == Seq(2L, 2L, 2L), "the unlimited funnel keeps both")
+  }
+
+  test("seasonalAnomaly: a spike against its own hour-of-week cell flags") {
+    // series with hourly counts: 1 everywhere for two weeks, except one
+    // cell gets 50 in week two -> that bucket's cell stats flag it.
+    val rows = (0 until 336).flatMap { h =>
+      val n = if (h == 200) 50 else 1
+      (0 until n).map(i =>
+        (h.toLong * 100 + i, Timestamp.valueOf("2024-01-01 00:00:00"), 1L,
+          "view", 0.0))
+    }.zipWithIndex.map { case ((id, _, u, t, v), _) => (id, u, t, v) }
+    val df = rows.zipWithIndex.map { case ((id, u, t, v), _) =>
+      val h = id / 100
+      (id, new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime
+        + h * 3600L * 1000L), u, t, v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventStream.seasonalAnomaly(df, zMin = 0.5).collect()
+    assert(got.length == 2, "the spike and its week-one twin cell flag")
+    // the hour-200 bucket is the positive outlier
+    val spike = got.filter(_.getLong(2) == 50L)
+    assert(spike.length == 1 && spike(0).getDouble(4) > 0.0)
+  }
+
   test("cohortLtv: cumulative cents per cohort user, hand-built triangle") {
     // daily cohorts/ages (bucketSec=86400). u1 joins day 1, spends 1.00
     // then 2.00 on day 2; u2 joins day 1, spends 4.00, never returns;
