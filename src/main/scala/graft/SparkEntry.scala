@@ -3385,7 +3385,7 @@ object SparkEntry {
     // north-star: hour-of-week seasonal anomaly screen — exact cell
     // stats, one float z chain, densified so silence is a reading too.
     "events_seasonal_anomaly" -> ((s, dir) =>
-      EventStream.seasonalAnomaly(events(s, dir), zMin = 2.0)
+      EventStream.seasonalAnomaly(events(s, dir), zMin = 1.5)
         .orderBy(col("series"), col("t"))),
 
     // north-star: deterministic rejection matching — calibrate the 'de'
@@ -7523,7 +7523,7 @@ object SparkEntry {
         |    END AS z_q4
         |  FROM d JOIN st USING (series, cell))
         |SELECT series, t, c, cell, z_q4 FROM z
-        |WHERE abs(z_q4) >= 2.0 ORDER BY series, t""".stripMargin,
+        |WHERE abs(z_q4) >= 1.5 ORDER BY series, t""".stripMargin,
 
     // Rejection rates from the same exact-count double chain (fixed op
     // order), floor-ppm; keep decision replays the portable hash.
