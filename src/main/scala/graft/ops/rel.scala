@@ -822,6 +822,31 @@ object rel {
         (lit(scale) - col("pe_ppm")).as("kappa_den"))
   }
 
+  /** Schema drift report between two corpus versions: one row per
+    * added / removed / retyped column — the metadata companion to
+    * [[snapshotDiff]]'s value diff, run before a pipeline trusts a new
+    * drop of an externally-produced table (a silently retyped column
+    * breaks every downstream cast at full-corpus scale; this catches it
+    * at plan time). Pure schema metadata — no data is read, no job runs;
+    * the result is a literal DataFrame. Returns
+    * `(column, change, from_type, to_type)`, change ∈
+    * {added, removed, retyped}. */
+  def schemaDiff(before: DataFrame, after: DataFrame): DataFrame = {
+    val spark = before.sparkSession
+    import spark.implicits._
+    val b = before.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val a = after.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val rows =
+      a.keySet.diff(b.keySet).toSeq.sorted.map(c =>
+        (c, "added", null: String, a(c))) ++
+      b.keySet.diff(a.keySet).toSeq.sorted.map(c =>
+        (c, "removed", b(c), null: String)) ++
+      b.keySet.intersect(a.keySet).toSeq.sorted
+        .filter(c => b(c) != a(c))
+        .map(c => (c, "retyped", b(c), a(c)))
+    rows.toDF("column", "change", "from_type", "to_type")
+  }
+
   /** Market-basket association rules (Agrawal & Srikant, VLDB 1994 —
     * the one-level a-priori pass): for every ordered item pair (a → b)
     * whose co-occurrence clears `minSupport` baskets, the exact support

@@ -60,6 +60,18 @@ class RelMinersSpec extends SparkSpec {
       anyFold.getLong(3).toDouble * 10000.0) / 10000.0)
   }
 
+  test("schemaDiff: added, removed, and retyped columns; no data read") {
+    val before = Seq((1L, "a", 1.0)).toDF("id", "keep", "retype")
+    val after = Seq((1L, "a", 1, "new")).toDF("id", "keep", "retype", "extra")
+    val got = rel.schemaDiff(before, after)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("extra", "added"), ("retype", "retyped")))
+    val r = rel.schemaDiff(before, after)
+      .where(col("column") === "retype").head()
+    assert(r.getString(2) == "double" && r.getString(3) == "int")
+    assert(rel.schemaDiff(before, before).count() == 0L)
+  }
+
   test("rfm: grid scores are monotone and ties share a score") {
     // 5 customers, one order each on distinct days with distinct value;
     // plus two customers tied on every metric.
