@@ -3374,6 +3374,22 @@ object SparkEntry {
           gramSet(s, dir), "text", "doc_id", n = 5)
         .orderBy(col("doc_id"))),
 
+    // north-star: exact Gini over per-user value — the whole Lorenz
+    // curve as one number, cumulative counts via the distributed
+    // prefix-sum (no global window).
+    "events_gini" -> ((s, dir) =>
+      rel.gini(
+        events(s, dir).groupBy(col("user_id"))
+          .agg(sum(floor(col("value") * 100.0).cast("long")).as("_c")),
+        col("_c"))),
+
+    // north-star: Benford first-digit screen over order totals — exact
+    // digit counts, micro-quantized chi-square terms.
+    "rel_benford" -> ((s, dir) =>
+      rel.benford(table(s, dir, "orders"),
+          floor(col("o_totalprice") * 100.0).cast("long"))
+        .orderBy(col("digit"))),
+
     // north-star: funnel with a conversion deadline — purchase counts
     // only within an hour of the click; the unlimited funnel's numbers
     // sit alongside for the deadline's bite to be visible.
@@ -7474,6 +7490,52 @@ object SparkEntry {
          |      // ((s.n_nodes * (s.n_nodes - 1)) // 2) END)::BIGINT AS density_ppm
          |FROM sizes s LEFT JOIN internal i USING (label)
          |ORDER BY label""".stripMargin
+    },
+
+    // Grouped-value Gini identity: cumulative counts over the distinct
+    // value grid, one float chain over three exact integers.
+    "events_gini" ->
+      """WITH per AS (SELECT user_id,
+        |    sum(floor(value * 100)::BIGINT)::BIGINT AS c
+        |  FROM events GROUP BY 1),
+        |grid AS (SELECT c AS v, count(*)::BIGINT AS nv FROM per
+        |  WHERE c IS NOT NULL AND c >= 0 GROUP BY 1),
+        |cum AS (SELECT v, nv, coalesce(sum(nv) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS b
+        |  FROM grid),
+        |a AS (SELECT sum(nv)::BIGINT AS n, sum(v * nv)::BIGINT AS total,
+        |    sum(v * (nv * b + (nv * (nv + 1)) // 2))::BIGINT AS r FROM cum)
+        |SELECT n, total,
+        |  CASE WHEN n > 0 AND total > 0 THEN
+        |    floor((2.0 * r::DOUBLE - (n + 1)::DOUBLE * total::DOUBLE)
+        |      / (n::DOUBLE * total::DOUBLE) * 10000.0 + 0.5) / 10000.0
+        |  END AS gini_q4
+        |FROM a""".stripMargin,
+
+    // Benford expectations injected as the SAME Scala-computed double
+    // literals; chi-square terms micro-quantized before the sum.
+    "rel_benford" -> {
+      val pCase = (1 to 9).map(d =>
+        s"WHEN ${d} THEN ${math.log10(1.0 + 1.0 / d)}")
+        .mkString("CASE sp.digit ", " ", " END")
+      s"""WITH c AS (SELECT floor(o_totalprice * 100)::BIGINT AS v FROM orders),
+         |obs AS (SELECT substr(v::VARCHAR, 1, 1)::INT AS digit,
+         |    count(*)::BIGINT AS n_obs FROM c WHERE v > 0 GROUP BY 1),
+         |sp AS (SELECT unnest(range(1, 10))::INT AS digit),
+         |dn AS (SELECT sp.digit, coalesce(obs.n_obs, 0)::BIGINT AS n_obs,
+         |    ($pCase) AS p
+         |  FROM sp LEFT JOIN obs USING (digit)),
+         |t AS (SELECT digit, n_obs, p,
+         |    (SELECT sum(n_obs) FROM dn)::BIGINT AS n FROM dn),
+         |q AS (SELECT digit, n_obs, p,
+         |    floor((n_obs::DOUBLE - n::DOUBLE * p)
+         |      * (n_obs::DOUBLE - n::DOUBLE * p)
+         |      / (n::DOUBLE * p) * 1000000.0)::BIGINT AS tq
+         |  FROM t)
+         |SELECT digit, n_obs, floor(p * 1000000.0)::BIGINT AS expected_ppm,
+         |  floor((SELECT sum(tq) FROM q)::DOUBLE / 1000000.0 * 10000.0 + 0.5)
+         |    / 10000.0 AS chi2_q4
+         |FROM q ORDER BY digit""".stripMargin
     },
 
     // Same greedy ladder as events_funnel plus the per-step deadline.

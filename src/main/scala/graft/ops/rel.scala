@@ -388,6 +388,118 @@ object rel {
       .drop("_pid", "_lrank", "_offset")
   }
 
+  /** Distributed EXCLUSIVE prefix sum in `orderCol` order — the
+    * cumulative-sum primitive WITHOUT `sum() OVER (ORDER BY ...)`'s
+    * single-partition window: the [[zipIndex]] discipline (one pinned
+    * range exchange, per-partition local cumsum, partition offsets
+    * cumulated over a partition-COUNT-bounded window and broadcast
+    * back). Adds `cum_before` = Σ of `value` over all rows strictly
+    * below this row's `orderCol`. `orderCol` must be unique and
+    * non-null (group first — a cumulative over distinct keys is the
+    * usual shape, e.g. [[gini]]'s value grid). */
+  def prefixSum(df: DataFrame, orderCol: String, value: Column,
+      parts: Int = 0): DataFrame = {
+    val p = if (parts > 0) parts
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    // same lineage-cut rationale as zipIndex: both consumers (local
+    // cumsum + per-partition totals) must read ONE materialized range
+    // partitioning or their sampled bounds can disagree
+    val ranged = graft.ops.ckpt.cut(
+      df.withColumn("_pv", value)
+        .repartitionByRange(p, col(orderCol))
+        .withColumn("_pid", spark_partition_id()))
+    val w = Window.partitionBy(col("_pid")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = ranged.withColumn("_lcum",
+      coalesce(sum(col("_pv")).over(w), lit(0L)))
+    val offsets = ranged.groupBy(col("_pid")).agg(sum(col("_pv")).as("_psum"))
+      .withColumn("_offset", coalesce(
+        sum(col("_psum")).over(windows.boundedGlobal("parts", col("_pid"))
+          .orderBy(col("_pid")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("_pid"), col("_offset"))
+    local.join(broadcast(offsets), Seq("_pid"))
+      .withColumn("cum_before", col("_offset") + col("_lcum"))
+      .drop("_pid", "_pv", "_lcum", "_offset")
+  }
+
+  /** Exact Gini coefficient of a non-negative integer metric — the
+    * whole-distribution inequality meter behind "5% of users are 80% of
+    * revenue" ([[graft.streaming.EventStream.concentration]] reads one
+    * top-k point; this integrates the whole Lorenz curve). Uses the
+    * grouped-value identity: with distinct values v ascending, counts
+    * n_v, and B_v = count strictly below, the rank-weighted sum is
+    * `R = Σ v·(n_v·B_v + n_v(n_v+1)/2)` — exact, tie-stable, and
+    * needing only a cumulative count over DISTINCT values, which
+    * [[prefixSum]] supplies without a global window. Then
+    * `G = (2R − (n+1)S) / (n·S)`, surfaced as the one floor-4dp float
+    * over exact integers.
+    *
+    * Headroom: R ≤ max(v)·n² — exact to ~10⁸ rows at cent scale
+    * (quantize the metric coarser beyond; it is a meter). Returns one
+    * row `(n, total, gini_q4)`; null when n = 0 or S = 0. */
+  def gini(df: DataFrame, value: Column): DataFrame = {
+    val grid = df.select(value.cast("long").as("_v"))
+      .where(col("_v").isNotNull && col("_v") >= 0L)
+      .groupBy(col("_v")).agg(count(lit(1)).as("_nv"))
+    val withCum = prefixSum(grid, "_v", col("_nv"))
+    val agg = withCum.agg(
+      sum(col("_nv")).as("n"),
+      sum(col("_v") * col("_nv")).as("total"),
+      sum(col("_v") * (col("_nv") * col("cum_before")
+        + expr("(_nv * (_nv + 1)) DIV 2"))).as("_r"))
+    agg.select(col("n"), col("total"),
+      when(col("n") > 0L && col("total") > 0L,
+        graft.functions.vectors.quantize(
+          (lit(2.0) * col("_r").cast("double")
+            - (col("n") + lit(1L)).cast("double") * col("total").cast("double"))
+            / (col("n").cast("double") * col("total").cast("double")), 4))
+        .as("gini_q4"))
+  }
+
+  /** First-digit Benford screen (Benford 1938; the classic fabricated-
+    * numbers tripwire): observed leading-digit counts of a positive
+    * integer metric against the log₁₀(1 + 1/d) expectation, plus the
+    * chi-square statistic as one engine-identical float chain over the
+    * exact counts (the 8-df critical value at α=0.05 is ~15.51 — read
+    * downstream). Digit extraction is string-based (`substr(v::string,
+    * 1, 1)`) — portable where float log10 binning is not. One hash
+    * aggregate over a 9-row digit grid. Returns
+    * `(digit, n_obs, expected_ppm, chi2_q4)` — chi2 repeated per row
+    * (it is a distribution-level stat; the grid is the readout). */
+  def benford(df: DataFrame, value: Column): DataFrame = {
+    val probs = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+    val counts = df.select(value.cast("long").as("_v"))
+      .where(col("_v") > 0L)
+      .groupBy(substring(col("_v").cast("string"), 1, 1).cast("int").as("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+    // densify to all 9 digits: an absent digit is evidence, not a gap
+    val spine = df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+    val pExpr = (1 to 9).foldRight(lit(0.0)) { case (d, rest) =>
+      when(col("digit") === d, lit(probs(d - 1))).otherwise(rest)
+    }
+    val dense = spine.join(counts, Seq("digit"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .withColumn("_p", pExpr)
+    val wg = windows.boundedGlobal("digit-grid", col("digit"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    dense
+      .withColumn("_n", sum(col("n_obs")).over(wg))
+      // per-term micro-quantization BEFORE the window sum: a float sum
+      // over an unordered window frame is order-dependent in its last
+      // ulp on any engine; quantized longs sum order-free
+      .withColumn("_term_q6", floor(
+        (col("n_obs").cast("double") - col("_n").cast("double") * col("_p"))
+          * (col("n_obs").cast("double") - col("_n").cast("double") * col("_p"))
+          / (col("_n").cast("double") * col("_p")) * 1000000.0).cast("long"))
+      .withColumn("chi2_q4", graft.functions.vectors.quantize(
+        sum(col("_term_q6")).over(wg).cast("double") / 1000000.0, 4))
+      .select(col("digit"), col("n_obs"),
+        floor(col("_p") * 1000000.0).cast("long").as("expected_ppm"),
+        col("chi2_q4"))
+  }
+
   /** Bloom-prefiltered join — the runtime-filter idiom for the
     * fact-to-dim join where the dim is too big to broadcast as a hash
     * relation but its KEY SET compresses into a bloom: build a bloom

@@ -60,6 +60,43 @@ class RelMinersSpec extends SparkSpec {
       anyFold.getLong(3).toDouble * 10000.0) / 10000.0)
   }
 
+  test("prefixSum: exclusive cumulative equals the naive window") {
+    val df = Seq((1L, 10L), (3L, 20L), (5L, 5L), (9L, 7L), (12L, 1L))
+      .toDF("k", "v")
+    val got = rel.prefixSum(df, "k", col("v"), parts = 3)
+      .orderBy("k").select("k", "cum_before")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L), (3L, 10L), (5L, 30L), (9L, 35L), (12L, 42L)))
+  }
+
+  test("gini: uniform is 0, total concentration approaches 1") {
+    val uniform = Seq.fill(10)(100L).toDF("v")
+    val u = rel.gini(uniform, col("v")).head()
+    assert(u.getLong(0) == 10L && u.getDouble(2) == 0.0)
+    // one holder of everything: G = (n-1)/n = 0.9
+    val conc = (Seq.fill(9)(0L) :+ 1000L).toDF("v")
+    assert(rel.gini(conc, col("v")).head().getDouble(2) == 0.9)
+    // hand case: values 1,2,3 -> G = 2/9 = 0.2222 floor-4dp
+    val hand = Seq(1L, 2L, 3L).toDF("v")
+    assert(rel.gini(hand, col("v")).head().getDouble(2) == 0.2222)
+  }
+
+  test("benford: a perfectly Benford corpus scores ~0; uniform digits high") {
+    // build counts proportional to Benford: digit d appears round(p_d*1e4)
+    val rows = (1 to 9).flatMap { d =>
+      val n = math.round(math.log10(1.0 + 1.0 / d) * 10000).toInt
+      Seq.fill(n)(d.toLong * 1000L)
+    }
+    val b = rel.benford(rows.toDF("v"), col("v"))
+    val chi = b.select("chi2_q4").head().getDouble(0)
+    assert(chi < 1.0, s"near-Benford chi2 should be tiny, got $chi")
+    assert(b.count() == 9L, "all nine digits surface")
+    // uniform first digits: strongly non-Benford
+    val u = (1 to 9).flatMap(d => Seq.fill(100)(d.toLong * 10L)).toDF("v")
+    val chiU = rel.benford(u, col("v")).select("chi2_q4").head().getDouble(0)
+    assert(chiU > 15.51, s"uniform digits must reject, got $chiU")
+  }
+
   test("schemaDiff: added, removed, and retyped columns; no data read") {
     val before = Seq((1L, "a", 1.0)).toDF("id", "keep", "retype")
     val after = Seq((1L, "a", 1, "new")).toDF("id", "keep", "retype", "extra")
