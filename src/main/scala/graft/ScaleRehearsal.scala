@@ -704,6 +704,18 @@ object ScaleRehearsal {
     run("community_stats", countRows = false)(graph.communityStats(
       spark.read.parquet(s"$work/knn_edges"),
       graph.labelPropagation(spark.read.parquet(s"$work/knn_edges"), iters = 2)))
+    // Gini: per-user rollup then the prefix-sum grid — the range
+    // exchange is the cost, never a single-partition window
+    run("gini", countRows = false)(rel.gini(
+      events.groupBy(col("user_id"))
+        .agg(sum(floor(col("value") * 100.0).cast("long")).as("_c")),
+      col("_c")))
+    run("benford", countRows = false)(rel.benford(events,
+      floor(col("value") * 100.0).cast("long")))
+    run("funnel_windowed", countRows = false)(EventStream.funnelWindowed(
+      events, Seq("view", "click", "purchase"), maxGapSec = 3600L))
+    run("seasonal_anomaly", countRows = false)(
+      EventStream.seasonalAnomaly(events, zMin = 1.5))
 
     spark.stop()
   }
