@@ -3374,6 +3374,20 @@ object SparkEntry {
           gramSet(s, dir), "text", "doc_id", n = 5)
         .orderBy(col("doc_id"))),
 
+    // north-star: session-scoped funnel — the ladder must complete in
+    // one visit; one user-keyed exchange feeds tagging and steps.
+    "events_session_funnel" -> ((s, dir) =>
+      EventStream.sessionFunnel(events(s, dir),
+          Seq("view", "click", "purchase"), gapMinutes = 30)
+        .orderBy(col("step"))),
+
+    // north-star: first-order Markov predictability — majority next
+    // event per state, exact bp accuracy; the is-this-stream-mechanical
+    // meter.
+    "events_markov_acc" -> ((s, dir) =>
+      EventStream.markovPredictability(events(s, dir))
+        .orderBy(col("prev_type"))),
+
     // north-star: exact Gini over per-user value — the whole Lorenz
     // curve as one number, cumulative counts via the distributed
     // prefix-sum (no global window).
@@ -7491,6 +7505,52 @@ object SparkEntry {
          |FROM sizes s LEFT JOIN internal i USING (label)
          |ORDER BY label""".stripMargin
     },
+
+    // Session tagging replayed (lag + gap + cumsum), ladder per
+    // (user, session), sessions counted per step.
+    "events_session_funnel" ->
+      """WITH t AS (SELECT user_id, event_id, event_type, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+        |  FROM events),
+        |n AS (SELECT *, CASE WHEN pv IS NULL
+        |      OR epoch_us(ts) - epoch_us(pv) > 1800000000 THEN 1 ELSE 0 END
+        |    AS nw FROM t),
+        |sid AS (SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY ts,
+        |    event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        |  FROM n),
+        |u AS (SELECT user_id, s,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t0
+        |  FROM sid GROUP BY 1, 2),
+        |e1 AS (SELECT d.user_id, d.s, min(d.ts) AS t1 FROM sid d
+        |  JOIN u ON d.user_id = u.user_id AND d.s = u.s
+        |  WHERE d.event_type = 'click' AND d.ts >= u.t0 GROUP BY 1, 2),
+        |e2 AS (SELECT d.user_id, d.s, min(d.ts) AS t2 FROM sid d
+        |  JOIN e1 ON d.user_id = e1.user_id AND d.s = e1.s
+        |  WHERE d.event_type = 'purchase' AND d.ts >= e1.t1 GROUP BY 1, 2)
+        |SELECT * FROM (
+        |  SELECT 1 AS step, 'view' AS event_type,
+        |    (SELECT count(*) FROM u WHERE t0 IS NOT NULL) AS n_sessions
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM e1)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM e2))
+        |ORDER BY step""".stripMargin,
+
+    // Majority next-event per state over the same lag pairs; exact bp.
+    "events_markov_acc" ->
+      """WITH p AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT prev AS prev_type, event_type AS cur,
+        |    count(*)::BIGINT AS n FROM p WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT prev_type, cur, n, row_number() OVER (
+        |    PARTITION BY prev_type ORDER BY n DESC, cur) AS rk FROM c),
+        |pr AS (SELECT prev_type, cur AS predicted, n AS n_correct
+        |  FROM r WHERE rk = 1),
+        |tot AS (SELECT prev_type, sum(n)::BIGINT AS n_total FROM c GROUP BY 1)
+        |SELECT t.prev_type, pr.predicted, t.n_total, pr.n_correct,
+        |  (pr.n_correct * 10000 // t.n_total)::BIGINT AS acc_bp
+        |FROM tot t JOIN pr USING (prev_type)
+        |ORDER BY prev_type""".stripMargin,
 
     // Grouped-value Gini identity: cumulative counts over the distinct
     // value grid, one float chain over three exact integers.

@@ -249,6 +249,95 @@ object EventStream {
       .orderBy(col("step"))
   }
 
+  /** Session-scoped funnel: the step ladder must complete INSIDE one
+    * session (gap-bounded, [[sessionize]] semantics) — the strictest of
+    * the three funnel scopes (lifetime [[funnel]], deadline
+    * [[funnelWindowed]], single-visit this). Counts SESSIONS reaching
+    * each step, so a user converting in two visits counts twice at step
+    * 1 and once at step 3 — the per-visit conversion rate product teams
+    * actually mean by "funnel".
+    *
+    * Plan shape: session tagging is the sessionize lag+cumsum pass (one
+    * user-keyed exchange); the step windows then partition by
+    * (user, session) — the SAME user-keyed partitioning, so the one
+    * exchange feeds everything; one flags explode at the end. */
+  def sessionFunnel(
+      events: DataFrame,
+      steps: Seq[String],
+      gapMinutes: Int = 30,
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    require(steps.nonEmpty, "graft: sessionFunnel needs at least one step")
+    val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val tagged = events
+      .withColumn("_prev", lag(col(tsCol), 1).over(byUser))
+      .withColumn("_new", when(col("_prev").isNull ||
+        unix_micros(col(tsCol)) - unix_micros(col("_prev"))
+          > gapMinutes * 60000000L, 1).otherwise(0))
+      .withColumn("_sid", sum(col("_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val w = Window.partitionBy(col(userCol), col("_sid"))
+    val withReach = steps.zipWithIndex.foldLeft(tagged) { case (df, (step, i)) =>
+      val cond =
+        if (i == 0) col(typeCol) === step
+        else col(typeCol) === step && col(tsCol) >= col(s"_t${i - 1}")
+      df.withColumn(s"_t$i", min(when(cond, col(tsCol))).over(w))
+    }
+    val reachCols = steps.indices.map(i => max(col(s"_t$i")).as(s"_t$i"))
+    val perSession = withReach.groupBy(col(userCol), col("_sid"))
+      .agg(reachCols.head, reachCols.tail: _*)
+    perSession
+      .select(posexplode(array(
+        steps.indices.map(i => col(s"_t$i").isNotNull.cast("long")): _*))
+        .as(Seq("p", "reached")))
+      .groupBy(col("p")).agg(sum(col("reached")).as("n_sessions"))
+      .select((col("p") + 1).cast("int").as("step"),
+        element_at(array(steps.map(lit): _*), col("p") + 1).as("event_type"),
+        col("n_sessions"))
+      .orderBy(col("step"))
+  }
+
+  /** First-order Markov predictability: fit the [[transitions]] matrix
+    * and score it IN-SAMPLE — per source state, the majority next event
+    * and the fraction of transitions it explains. High accuracy = the
+    * stream is mechanical (bots, scripted flows); low = genuinely
+    * exploratory behavior. (In-sample by design: this meters the
+    * STREAM's predictability, not a held-out model — split first for
+    * that.)
+    *
+    * Plan shape: one user-keyed lag window (the transitions pass), one
+    * (prev, cur) aggregate, and a states²-bounded rank — the majority
+    * pick is a WindowGroupLimit heap. All-integer; `acc_bp` is a
+    * positive quotient. Returns
+    * `(prev_type, predicted, n_total, n_correct, acc_bp)`. */
+  def markovPredictability(
+      events: DataFrame,
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .withColumn("_prev", lag(col(typeCol), 1).over(byUser))
+      .where(col("_prev").isNotNull)
+      .groupBy(col("_prev").as("prev_type"), col(typeCol).as("_cur"))
+      .agg(count(lit(1)).as("_n"))
+    val ranked = pairs.withColumn("_rk", row_number().over(
+      Window.partitionBy(col("prev_type"))
+        .orderBy(col("_n").desc, col("_cur"))))
+    val pred = ranked.where(col("_rk") === 1)
+      .select(col("prev_type"), col("_cur").as("predicted"),
+        col("_n").as("n_correct"))
+    pairs.groupBy(col("prev_type")).agg(sum(col("_n")).as("n_total"))
+      .join(pred, "prev_type")
+      .withColumn("acc_bp", expr("(n_correct * 10000L) DIV n_total"))
+      .select(col("prev_type"), col("predicted"), col("n_total"),
+        col("n_correct"), col("acc_bp"))
+  }
+
   /** Seasonal-baseline anomaly screen: score every HOURLY bucket of
     * every series against its hour-of-week cell (same hour, same
     * weekday, all weeks) — the which-hour-broke detector that rolling

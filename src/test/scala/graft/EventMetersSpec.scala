@@ -182,6 +182,40 @@ class EventMetersSpec extends SparkSpec {
     assert(spike.length == 1 && spike(0).getDouble(4) > 0.0)
   }
 
+  test("sessionFunnel: cross-session ladders do not count; two visits count twice") {
+    // u1 visit 1: view+click; (gap > 30min) visit 2: view+click+purchase.
+    // A purchase in visit 2 must not complete visit 1's ladder.
+    val df = ev(
+      (1, Timestamp.valueOf("2024-01-01 00:00:00"), 1, "view", 0.0),
+      (2, Timestamp.valueOf("2024-01-01 00:05:00"), 1, "click", 0.0),
+      (3, Timestamp.valueOf("2024-01-01 02:00:00"), 1, "view", 0.0),
+      (4, Timestamp.valueOf("2024-01-01 02:01:00"), 1, "click", 0.0),
+      (5, Timestamp.valueOf("2024-01-01 02:02:00"), 1, "purchase", 1.0))
+    val got = EventStream.sessionFunnel(df, Seq("view", "click", "purchase"),
+      gapMinutes = 30).orderBy("step").collect().map(_.getLong(2)).toSeq
+    assert(got == Seq(2L, 2L, 1L), "two sessions reach click, one converts")
+  }
+
+  test("markovPredictability: majority next-event and exact accuracy") {
+    // user 1 path: a b a b a  -> transitions a->b x2, b->a x2
+    // user 2 path: a c        -> a->c x1
+    val rows = Seq(
+      (1L, 1, "a"), (2L, 2, "b"), (3L, 3, "a"), (4L, 4, "b"), (5L, 5, "a"),
+      (6L, 1, "a"), (7L, 2, "c")
+    ).zipWithIndex.map { case ((id, h, t), i) =>
+      (id, ts(1, h), if (id <= 5) 1L else 2L, t, 0.0)
+    }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventStream.markovPredictability(df).orderBy("prev_type")
+      .collect()
+    val a = got(0)
+    assert(a.getString(0) == "a" && a.getString(1) == "b")
+    assert(a.getLong(2) == 3L && a.getLong(3) == 2L && a.getLong(4) == 6666L)
+    val b = got(1)
+    assert(b.getString(0) == "b" && b.getString(1) == "a"
+      && b.getLong(4) == 10000L)
+  }
+
   test("cohortLtv: cumulative cents per cohort user, hand-built triangle") {
     // daily cohorts/ages (bucketSec=86400). u1 joins day 1, spends 1.00
     // then 2.00 on day 2; u2 joins day 1, spends 4.00, never returns;
