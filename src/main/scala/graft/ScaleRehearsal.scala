@@ -716,6 +716,10 @@ object ScaleRehearsal {
       events, Seq("view", "click", "purchase"), maxGapSec = 3600L))
     run("seasonal_anomaly", countRows = false)(
       EventStream.seasonalAnomaly(events, zMin = 1.5))
+    run("session_funnel", countRows = false)(EventStream.sessionFunnel(
+      events, Seq("view", "click", "purchase"), gapMinutes = 30))
+    run("markov_acc", countRows = false)(
+      EventStream.markovPredictability(events))
 
     spark.stop()
   }
