@@ -3374,6 +3374,19 @@ object SparkEntry {
           gramSet(s, dir), "text", "doc_id", n = 5)
         .orderBy(col("doc_id"))),
 
+    // north-star: reciprocal rank @10 per query — the first-relevant
+    // position as an exact ppm; average downstream for MRR.
+    "eval_mrr" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      def run(qid: Long, q: Seq[Double], rel: Int) =
+        e.select(lit(qid).as("qid"), col("vec_id"),
+          (col("label") === rel).cast("long").as("rel"),
+          scoreQ4(col("embedding"), q).as("s"))
+      evals.mrrAtK(run(0L, Q1, 3).unionAll(run(1L, Q2, 5)),
+          col("qid"), col("rel"), col("s"), col("vec_id"), k = 10)
+        .orderBy(col("qid"))
+    }),
+
     // north-star: session-scoped funnel — the ladder must complete in
     // one visit; one user-keyed exchange feeds tagging and steps.
     "events_session_funnel" -> ((s, dir) =>
@@ -7506,6 +7519,23 @@ object SparkEntry {
          |ORDER BY label""".stripMargin
     },
 
+    // First relevant rank within the top 10 under the same 4dp scorer.
+    "eval_mrr" ->
+      s"""WITH r0 AS (
+         |  SELECT 0::BIGINT AS qid, vec_id, (label = 3)::BIGINT AS rel,
+         |    ${sqlScoreQ4(Q1)} AS s FROM embeddings
+         |  UNION ALL
+         |  SELECT 1::BIGINT, vec_id, (label = 5)::BIGINT,
+         |    ${sqlScoreQ4(Q2)} FROM embeddings),
+         |a AS (SELECT qid, rel, row_number() OVER (PARTITION BY qid
+         |    ORDER BY s DESC, vec_id) AS rnk FROM r0),
+         |f AS (SELECT qid, min(CASE WHEN rel > 0 THEN rnk END)::BIGINT
+         |    AS first_rank
+         |  FROM a WHERE rnk <= 10 GROUP BY 1)
+         |SELECT qid, first_rank,
+         |  coalesce(1000000 // first_rank, 0)::BIGINT AS rr_ppm
+         |FROM f ORDER BY qid""".stripMargin,
+
     // Session tagging replayed (lag + gap + cumsum), ladder per
     // (user, session), sessions counted per step.
     "events_session_funnel" ->
@@ -7593,8 +7623,8 @@ object SparkEntry {
          |      / (n::DOUBLE * p) * 1000000.0)::BIGINT AS tq
          |  FROM t)
          |SELECT digit, n_obs, floor(p * 1000000.0)::BIGINT AS expected_ppm,
-         |  floor((SELECT sum(tq) FROM q)::DOUBLE / 1000000.0 * 10000.0 + 0.5)
-         |    / 10000.0 AS chi2_q4
+         |  (floor((SELECT sum(tq) FROM q)::DOUBLE / 1000000.0 * 10000.0 + 0.5)
+         |    / 10000.0)::DOUBLE AS chi2_q4
          |FROM q ORDER BY digit""".stripMargin
     },
 

@@ -175,4 +175,35 @@ object evals {
       .withColumn("brier_mean_micro",
         when(col("n") > 0L, expr("brier_micro_sum DIV n")).cast("long"))
   }
+
+  /** Reciprocal rank at k per query: the rank of the FIRST relevant
+    * item under (score desc, tie asc) within the top k, and its
+    * reciprocal in exact ppm (`10⁶ DIV rank` — positive division, no
+    * float). Average `rr_ppm` downstream for MRR — the
+    * did-anything-relevant-surface-near-the-top readout that NDCG's
+    * graded gains smooth over. Queries whose top k holds nothing
+    * relevant surface `first_rank` null / `rr_ppm` 0 (a miss is a
+    * reading, not an absent row).
+    *
+    * Plan shape: one rank window per query group — the rank-filter
+    * idiom, so WindowGroupLimit keeps a k-row heap per group before the
+    * shuffle — then a group-keyed min. Returns
+    * `(qidCol, first_rank, rr_ppm)`. */
+  def mrrAtK(
+      runs: DataFrame,
+      qidCol: Column,
+      relCol: Column,
+      scoreCol: Column,
+      tieCol: Column,
+      k: Int = 10): DataFrame = {
+    require(k >= 1, s"graft: mrrAtK needs k >= 1, got $k")
+    val w = Window.partitionBy(qidCol).orderBy(scoreCol.desc, tieCol)
+    runs
+      .withColumn("_rk", row_number().over(w))
+      .where(col("_rk") <= k)
+      .groupBy(qidCol.as("qid"))
+      .agg(min(when(relCol > 0L, col("_rk"))).cast("long").as("first_rank"))
+      .withColumn("rr_ppm",
+        coalesce(expr("1000000 DIV first_rank"), lit(0L)))
+  }
 }

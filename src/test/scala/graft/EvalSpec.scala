@@ -99,4 +99,18 @@ class EvalSpec extends SparkSpec {
     assert(b.getLong(2) == 2L * 13815510L, s"clamped logloss, got $b")
     assert(b.getLong(3) == 2L * (999999L * 999999L / 1000000L))
   }
+
+  test("mrrAtK: first-relevant rank, ties broken, misses surface as 0") {
+    // qid 0: relevant at rank 2; qid 1: nothing relevant in top-2
+    val runs = Seq(
+      (0L, 10L, 0L, 9.0), (0L, 11L, 1L, 8.0), (0L, 12L, 1L, 7.0),
+      (1L, 20L, 0L, 9.0), (1L, 21L, 0L, 8.0), (1L, 22L, 1L, 7.0)
+    ).toDF("qid", "id", "rel", "s")
+    val got = evals.mrrAtK(runs, col("qid"), col("rel"), col("s"),
+        col("id"), k = 2)
+      .orderBy("qid").collect()
+    assert(got(0).getLong(1) == 2L && got(0).getLong(2) == 500000L)
+    assert(got(1).isNullAt(1) && got(1).getLong(2) == 0L,
+      "a top-k miss is a 0 reading, not an absent row")
+  }
 }
