@@ -33,10 +33,41 @@ object UncastSumLint {
         }
         i -= 1
       }
-      val expr = sql.substring(start, m.start)
-        .replaceAll("(?is)^.*\\b(select|distinct)\\b", "").trim
+      // Strip through the last DEPTH-0 `select` only: the old greedy
+      // `^.*\b(select|distinct)\b` also ate into scalar subqueries in
+      // the surfaced expression (`floor((SELECT sum(x) FROM q)...) / c`
+      // — those are parenthesized, hence depth > 0), leaving unbalanced
+      // parens that broke the depth-0 division check and false-flagged
+      // a correctly-double column (rel_benford, round 10). Depth-0
+      // selects are genuine clause starts the backward comma/paren walk
+      // can cross (a preceding CTE body ends in `)` before `SELECT`).
+      val expr = stripToClause(sql.substring(start, m.start))
       if (expr.isEmpty) None else Some(m.group(1).toLowerCase -> expr)
     }.toSeq
+  }
+
+  /** Cut everything through the LAST select keyword at paren depth ≤ 0
+    * (clause starts the backward walk crossed), leaving subquery selects
+    * (depth > 0) intact; then drop a leading `distinct`. */
+  private def stripToClause(raw: String): String = {
+    val lower = raw.toLowerCase
+    var depth = 0; var cut = -1; var i = 0
+    def wordAt(j: Int, w: String): Boolean =
+      lower.regionMatches(j, w, 0, w.length) &&
+        (j == 0 || { val c = lower.charAt(j - 1); !c.isLetterOrDigit && c != '_' }) &&
+        (j + w.length >= lower.length || {
+          val c = lower.charAt(j + w.length); !c.isLetterOrDigit && c != '_' })
+    while (i < lower.length) {
+      lower.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case 's' if depth <= 0 && wordAt(i, "select") => cut = i + 6
+        case _ =>
+      }
+      i += 1
+    }
+    (if (cut >= 0) raw.substring(cut) else raw)
+      .replaceAll("(?is)^\\s*distinct\\b", "").trim
   }
 
   /** True when `e` is `round(...)`/`avg(...)` wrapping the WHOLE
