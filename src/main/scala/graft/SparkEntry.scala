@@ -3387,6 +3387,19 @@ object SparkEntry {
         .orderBy(col("qid"))
     }),
 
+    // north-star: precision/recall @10 per query — exact ppm set
+    // overlap; completes the rank-eval family (MRR, NDCG, AUC).
+    "eval_pr_at_k" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      def run(qid: Long, q: Seq[Double], rel: Int) =
+        e.select(lit(qid).as("qid"), col("vec_id"),
+          (col("label") === rel).cast("long").as("rel"),
+          scoreQ4(col("embedding"), q).as("s"))
+      evals.precisionRecallAtK(run(0L, Q1, 3).unionAll(run(1L, Q2, 5)),
+          col("qid"), col("rel"), col("s"), col("vec_id"), k = 10)
+        .orderBy(col("qid"))
+    }),
+
     // north-star: session-scoped funnel — the ladder must complete in
     // one visit; one user-keyed exchange feeds tagging and steps.
     "events_session_funnel" -> ((s, dir) =>
@@ -7518,6 +7531,26 @@ object SparkEntry {
          |FROM sizes s LEFT JOIN internal i USING (label)
          |ORDER BY label""".stripMargin
     },
+
+    // Top-10 overlap counts under the same 4dp scorer and tie order.
+    "eval_pr_at_k" ->
+      s"""WITH r0 AS (
+         |  SELECT 0::BIGINT AS qid, vec_id, (label = 3)::BIGINT AS rel,
+         |    ${sqlScoreQ4(Q1)} AS s FROM embeddings
+         |  UNION ALL
+         |  SELECT 1::BIGINT, vec_id, (label = 5)::BIGINT,
+         |    ${sqlScoreQ4(Q2)} FROM embeddings),
+         |a AS (SELECT qid, rel, row_number() OVER (PARTITION BY qid
+         |    ORDER BY s DESC, vec_id) AS rnk FROM r0),
+         |g AS (SELECT qid, sum((rel > 0)::BIGINT)::BIGINT AS n_rel_total,
+         |    sum(CASE WHEN rnk <= 10 AND rel > 0 THEN 1 ELSE 0 END)::BIGINT
+         |      AS n_rel_topk
+         |  FROM a GROUP BY 1)
+         |SELECT qid, n_rel_total, n_rel_topk,
+         |  (n_rel_topk * 1000000 // 10)::BIGINT AS p_at_k_ppm,
+         |  (CASE WHEN n_rel_total > 0 THEN n_rel_topk * 1000000 // n_rel_total
+         |   END)::BIGINT AS r_at_k_ppm
+         |FROM g ORDER BY qid""".stripMargin,
 
     // First relevant rank within the top 10 under the same 4dp scorer.
     "eval_mrr" ->

@@ -206,4 +206,37 @@ object evals {
       .withColumn("rr_ppm",
         coalesce(expr("1000000 DIV first_rank"), lit(0L)))
   }
+
+  /** Precision and recall at k per query — the set-overlap complement
+    * to [[mrrAtK]]'s first-hit position and [[ndcgAtK]]'s graded gains:
+    * how many of the top k are relevant, and what share of ALL relevant
+    * items the top k captured. Exact ppm quotients (positive). Queries
+    * with no relevant items surface null recall (undefined, not 0 —
+    * precision still reads).
+    *
+    * Plan shape: one rank window per query group over the full
+    * candidate list (recall's denominator needs every relevant row, so
+    * no group-limit heap applies — the same full-ranking shape as
+    * [[aucRank]]), then one group-keyed conditional aggregate. Returns
+    * `(qid, n_rel_total, n_rel_topk, p_at_k_ppm, r_at_k_ppm)`. */
+  def precisionRecallAtK(
+      runs: DataFrame,
+      qidCol: Column,
+      relCol: Column,
+      scoreCol: Column,
+      tieCol: Column,
+      k: Int = 10): DataFrame = {
+    require(k >= 1, s"graft: precisionRecallAtK needs k >= 1, got $k")
+    val w = Window.partitionBy(qidCol).orderBy(scoreCol.desc, tieCol)
+    runs
+      .withColumn("_rk", row_number().over(w))
+      .groupBy(qidCol.as("qid"))
+      .agg(
+        sum((relCol > 0L).cast("long")).as("n_rel_total"),
+        sum(when(col("_rk") <= k && relCol > 0L, 1L).otherwise(0L))
+          .as("n_rel_topk"))
+      .withColumn("p_at_k_ppm", expr(s"(n_rel_topk * 1000000L) DIV ${k}L"))
+      .withColumn("r_at_k_ppm", when(col("n_rel_total") > 0L,
+        expr("(n_rel_topk * 1000000L) DIV n_rel_total")))
+  }
 }

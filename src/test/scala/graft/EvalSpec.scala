@@ -113,4 +113,20 @@ class EvalSpec extends SparkSpec {
     assert(got(1).isNullAt(1) && got(1).getLong(2) == 0L,
       "a top-k miss is a 0 reading, not an absent row")
   }
+
+  test("precisionRecallAtK: hand overlap; no-relevant query has null recall") {
+    // qid 0: 3 relevant total, 2 inside top-2 -> P@2 = 1.0, R@2 = 2/3
+    val runs = Seq(
+      (0L, 1L, 1L, 9.0), (0L, 2L, 1L, 8.0), (0L, 3L, 1L, 1.0),
+      (0L, 4L, 0L, 7.0),
+      (1L, 5L, 0L, 9.0), (1L, 6L, 0L, 8.0)
+    ).toDF("qid", "id", "rel", "s")
+    val got = evals.precisionRecallAtK(runs, col("qid"), col("rel"),
+      col("s"), col("id"), k = 2).orderBy("qid").collect()
+    val q0 = got(0)
+    assert((q0.getLong(1), q0.getLong(2)) == ((3L, 2L)))
+    assert(q0.getLong(3) == 1000000L && q0.getLong(4) == 666666L)
+    assert(got(1).getLong(3) == 0L && got(1).isNullAt(4),
+      "no relevant items -> recall undefined, precision 0")
+  }
 }
