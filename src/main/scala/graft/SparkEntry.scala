@@ -3444,6 +3444,17 @@ object SparkEntry {
       EventStream.seasonalAnomaly(events(s, dir), zMin = 1.5)
         .orderBy(col("series"), col("t"))),
 
+    // north-star: 1-D Wasserstein drift between the 'de' and 'en'
+    // length distributions — order-aware where KL is categorical;
+    // exact integer mass transport, one float quotient.
+    "sample_emd" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      sample.emd1d(
+        docs.where(col("lang") === "de"), col("n_chars"),
+        docs.where(col("lang") === "en"), col("n_chars"),
+        binWidth = 100L)
+    }),
+
     // north-star: deterministic rejection matching — calibrate the 'de'
     // slice's length distribution to the 'en' slice; bounded grid, rates
     // broadcast, keep decision a pure scan filter.
@@ -7709,6 +7720,37 @@ object SparkEntry {
         |  FROM d JOIN st USING (series, cell))
         |SELECT series, t, c, cell, z_q4 FROM z
         |WHERE abs(z_q4) >= 1.5 ORDER BY series, t""".stripMargin,
+
+    // Exact |cumA*Nb - cumB*Na| transport over the merged bin grid,
+    // one float quotient in raw-feature units.
+    "sample_emd" ->
+      """WITH ha AS (SELECT floor(n_chars::DOUBLE / 100.0)::BIGINT AS bin,
+        |    count(*)::BIGINT AS na FROM documents
+        |  WHERE lang = 'de' AND n_chars IS NOT NULL GROUP BY 1),
+        |hb AS (SELECT floor(n_chars::DOUBLE / 100.0)::BIGINT AS bin,
+        |    count(*)::BIGINT AS nb FROM documents
+        |  WHERE lang = 'en' AND n_chars IS NOT NULL GROUP BY 1),
+        |m AS (SELECT coalesce(ha.bin, hb.bin) AS bin,
+        |    coalesce(na, 0)::BIGINT AS na, coalesce(nb, 0)::BIGINT AS nb
+        |  FROM ha FULL OUTER JOIN hb ON ha.bin = hb.bin),
+        |c AS (SELECT bin, na, nb,
+        |    sum(na) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW)::BIGINT AS ca,
+        |    sum(nb) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW)::BIGINT AS cb,
+        |    (SELECT sum(na) FROM m)::BIGINT AS ta,
+        |    (SELECT sum(nb) FROM m)::BIGINT AS tb,
+        |    lead(bin) OVER (ORDER BY bin) - bin AS gap
+        |  FROM m),
+        |t AS (SELECT ta AS n_a, tb AS n_b,
+        |    sum(abs(ca * tb - cb * ta) * gap)::BIGINT AS emd_num
+        |  FROM c WHERE gap IS NOT NULL GROUP BY 1, 2)
+        |SELECT n_a, n_b, emd_num,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    floor(emd_num::DOUBLE * 100.0 / (n_a::DOUBLE * n_b::DOUBLE)
+        |      * 10000.0 + 0.5) / 10000.0
+        |  END AS emd_q4
+        |FROM t""".stripMargin,
 
     // Rejection rates from the same exact-count double chain (fixed op
     // order), floor-ppm; keep decision replays the portable hash.

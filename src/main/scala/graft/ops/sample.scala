@@ -936,6 +936,58 @@ object sample {
           % 1000000L < col("keep_ppm")).cast("long"))
   }
 
+  /** 1-D Wasserstein (earth-mover's) distance between two corpora's
+    * distributions of a bounded non-negative feature — the drift meter
+    * that respects ORDER ([[graft.ops.text.corpusDivergence]]'s KL
+    * treats 510-vs-520-char docs as unrelated categories; EMD knows
+    * they are close). Both sides bin to the `binWidth` grid; on the
+    * merged grid `EMD = Σ |CDF_a − CDF_b| · gap`, computed exactly as
+    * `Σ |cumA·N_b − cumB·N_a| · gap` in integers with the single float
+    * quotient `emd_q4 = num · binWidth / (N_a·N_b)` at the end (units
+    * of the raw feature).
+    *
+    * Plan shape: two grid histograms (bounded), one merged-grid outer
+    * join, cumulative sums and the lead-gap over GRID rows
+    * ([[graft.ops.windows.boundedGlobal]]). Returns one row
+    * `(n_a, n_b, emd_num, emd_q4)`. */
+  def emd1d(
+      a: DataFrame,
+      aFeature: Column,
+      b: DataFrame,
+      bFeature: Column,
+      binWidth: Long = 1L): DataFrame = {
+    require(binWidth >= 1, s"graft: emd1d needs binWidth >= 1")
+    import org.apache.spark.sql.expressions.Window
+    def binOf(f: Column) =
+      floor(f.cast("long").cast("double") / lit(binWidth.toDouble)).cast("long")
+    def hist(d: DataFrame, f: Column, n: String) =
+      d.where(f.isNotNull).groupBy(binOf(f).as("bin"))
+        .agg(count(lit(1)).as(n))
+    val merged = hist(a, aFeature, "_na")
+      .join(hist(b, bFeature, "_nb"), Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("_na"), lit(0L)).as("_na"),
+        coalesce(col("_nb"), lit(0L)).as("_nb"))
+    val wg = windows.boundedGlobal("feature-grid", col("bin")).orderBy(col("bin"))
+    val run = wg.rowsBetween(Window.unboundedPreceding, 0)
+    val all = wg.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    merged
+      .withColumn("_ca", sum(col("_na")).over(run))
+      .withColumn("_cb", sum(col("_nb")).over(run))
+      .withColumn("_ta", sum(col("_na")).over(all))
+      .withColumn("_tb", sum(col("_nb")).over(all))
+      .withColumn("_gap", lead(col("bin"), 1).over(wg) - col("bin"))
+      .where(col("_gap").isNotNull)
+      .select(col("_ta"), col("_tb"),
+        (abs(col("_ca") * col("_tb") - col("_cb") * col("_ta")) * col("_gap"))
+          .as("_term"))
+      .groupBy(col("_ta").as("n_a"), col("_tb").as("n_b"))
+      .agg(sum(col("_term")).as("emd_num"))
+      .withColumn("emd_q4", when(col("n_a") > 0L && col("n_b") > 0L,
+        graft.functions.vectors.quantize(
+          col("emd_num").cast("double") * lit(binWidth.toDouble)
+            / (col("n_a").cast("double") * col("n_b").cast("double")), 4)))
+  }
+
   /** Cumulative Poisson(1) CDF thresholds for [[bootstrapCI]]'s
     * hash-uniform inverse transform (`P(X ≤ k)` for k = 0..5; weights
     * cap at 6). Computed once and injected as the SAME double literals

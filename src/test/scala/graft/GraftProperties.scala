@@ -459,6 +459,29 @@ object GraftProperties extends Properties("graft") {
         }
     }
 
+  property("funnel laws: steps nonincreasing; a deadline only shrinks counts") =
+    forAll(Gen.listOfN(30, Gen.zip(
+      Gen.chooseNum(1L, 5L),                 // user
+      Gen.chooseNum(0L, 72L),                // hour offset
+      Gen.oneOf("view", "click", "purchase")))) { evs =>
+      val rows = evs.zipWithIndex.map { case ((u, h, t), i) =>
+        (i.toLong, java.sql.Timestamp.valueOf(
+          java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusHours(h.toInt)
+            .format(java.time.format.DateTimeFormatter
+              .ofPattern("yyyy-MM-dd HH:mm:ss"))), u, t, 1.0)
+      }
+      val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val steps = Seq("view", "click", "purchase")
+      def counts(d: org.apache.spark.sql.DataFrame) =
+        d.orderBy("step").collect().map(_.getLong(2)).toSeq
+      val plain = counts(graft.streaming.EventStream.funnel(df, steps))
+      val tight = counts(graft.streaming.EventStream.funnelWindowed(
+        df, steps, maxGapSec = 3600L))
+      val mono = (s: Seq[Long]) => s.zip(s.tail).forall { case (a, b) => a >= b }
+      mono(plain) && mono(tight) &&
+        plain.zip(tight).forall { case (p, t) => t <= p }
+    }
+
   property("pageRank conserves bounded mass: base·n <= total <= scale") =
     forAll(Gen.chooseNum(2, 12).flatMap(k =>
       Gen.listOfN(k * 2, Gen.zip(Gen.chooseNum(0L, k.toLong), Gen.chooseNum(0L, k.toLong)))

@@ -467,6 +467,21 @@ class SampleSpec extends SparkSpec {
       ("val", "val", 1L, 0L)), got.toString)
   }
 
+  test("emd1d: identical distributions score 0; a one-bin shift scores binWidth") {
+    val a = Seq(50L, 50L, 150L).toDF("f")
+    assert(sample.emd1d(a, col("f"), a, col("f"), binWidth = 100L)
+      .head().getDouble(3) == 0.0)
+    val lo = Seq(50L, 60L).toDF("f")
+    val hi = Seq(150L, 160L).toDF("f")
+    val r = sample.emd1d(lo, col("f"), hi, col("f"), binWidth = 100L).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L)
+    assert(r.getDouble(3) == 100.0, "all mass moves exactly one bin")
+    // asymmetric masses: emd is symmetric in its arguments
+    val fwd = sample.emd1d(lo, col("f"), hi, col("f"), 100L).head().getDouble(3)
+    val bwd = sample.emd1d(hi, col("f"), lo, col("f"), 100L).head().getDouble(3)
+    assert(fwd == bwd)
+  }
+
   test("matchDistribution: rates follow target/source, absent bins drop") {
     // source: bins 0 and 1 each 100 rows; target: 3:1 toward bin 0;
     // source bin 2 has no target mass -> keep_ppm 0.
