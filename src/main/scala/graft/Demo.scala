@@ -584,6 +584,38 @@ object Demo {
     graft.ops.linalg.linearProbeTrain(embAll, "embedding",
       col("label") >= 5, dims = 8, iters = 2).orderBy(col("j")).show()
 
+    // NEW-CRAWL INTAKE: the three questions an ingestion gate asks of an
+    // incoming slice before mixing it in — is it NEW (gram novelty), is
+    // it SHIFTED (order-aware EMD on the length profile), and if so,
+    // CALIBRATE it to the house distribution (rejection matching).
+    println("== new-crawl intake: novelty -> drift -> calibrate ==")
+    val incoming = docs.where(col("doc_id") % 5 === 0)
+    val corpus = docs.where(col("doc_id") % 5 =!= 0)
+    val nov = graft.ops.dedup.crossNovelty(incoming, corpus, "text", "doc_id")
+      .agg(sum(col("n_grams")).as("grams"),
+        sum(col("n_grams") - col("n_known")).as("novel"))
+      .head()
+    println(s"  novelty: ${nov.getLong(1)} of ${nov.getLong(0)} grams unseen")
+    graft.ops.sample.emd1d(incoming, col("n_chars"), corpus, col("n_chars"),
+      binWidth = 100L).show()
+    graft.ops.sample.matchDistribution(incoming, col("n_chars"), corpus,
+        col("n_chars"), "doc_id", binWidth = 200L)
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"), sum(col("kept")).as("kept"))
+      .orderBy(col("bin")).show(5)
+
+    // VALUE-INTEGRITY READOUT: inequality (whole Lorenz curve), digit
+    // authenticity (Benford), and stream mechanicalness (Markov) — the
+    // three is-this-data-organic screens.
+    println("== value integrity: gini -> benford -> markov ==")
+    graft.ops.rel.gini(
+      evAll.groupBy(col("user_id"))
+        .agg(sum(floor(col("value") * 100.0).cast("long")).as("c")),
+      col("c")).show()
+    graft.ops.rel.benford(evAll, floor(col("value") * 100.0).cast("long"))
+      .orderBy(col("digit")).show(3)
+    graft.streaming.EventStream.markovPredictability(evAll)
+      .orderBy(col("prev_type")).show()
+
     spark.stop()
   }
 }

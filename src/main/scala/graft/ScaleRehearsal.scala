@@ -720,6 +720,9 @@ object ScaleRehearsal {
       events, Seq("view", "click", "purchase"), gapMinutes = 30))
     run("markov_acc", countRows = false)(
       EventStream.markovPredictability(events))
+    run("emd_1d", countRows = false)(sample.emd1d(
+      docs.where(col("doc_id") % 2 === 0), col("n_chars"),
+      docs.where(col("doc_id") % 2 =!= 0), col("n_chars"), binWidth = 100L))
 
     spark.stop()
   }
