@@ -211,6 +211,48 @@ object SparkEntry {
 
   // ---- DuckDB SQL snippet builders ------------------------------------
 
+  /** Unrolled all-integer Lloyd oracle for [[graft.ops.linalg
+    * .kmeansFit]]: per round, exact integer distances with the
+    * (dist, j) tie order, per-(cluster, dim) integer sums, and centroid
+    * updates whose signed division mirrors the driver's Scala truncation
+    * (sign CASE); emptied clusters coalesce to the previous centroid. */
+  private def sqlKmeans(dim: Int, k: Int, iters: Int, q: Long): String = {
+    val dist =
+      s"""list_sum(list_transform(range(1, ${dim + 1}),
+         |    i -> (b.qx[i] - c.c[i]) * (b.qx[i] - c.c[i])))""".stripMargin
+    def assignCtes(t: String, cPrev: String): String =
+      s"""p$t AS (SELECT b.id, b.qx, c.j, $dist AS dist
+         |  FROM b CROSS JOIN $cPrev c),
+         |a$t AS (SELECT id, qx, j AS cl, dist FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, j) AS rn
+         |  FROM p$t) WHERE rn = 1)""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      s""",
+         |${assignCtes(t.toString, s"c${t - 1}")},
+         |s$t AS (SELECT cl, d.i AS pos, count(*)::BIGINT AS n,
+         |    sum(qx[d.i + 1])::BIGINT AS s
+         |  FROM a$t CROSS JOIN (SELECT unnest(range(0, $dim))::INT AS i) d
+         |  GROUP BY 1, 2),
+         |c$t AS (SELECT sp.j, coalesce(nc.c, pv.c) AS c
+         |  FROM (SELECT unnest(range(0, $k))::INT AS j) sp
+         |  LEFT JOIN (SELECT cl AS j, list(CASE WHEN s >= 0 THEN s // n
+         |      ELSE -((-s) // n) END ORDER BY pos) AS c
+         |    FROM s$t GROUP BY cl) nc ON sp.j = nc.j
+         |  LEFT JOIN c${t - 1} pv ON sp.j = pv.j)""".stripMargin
+    }.mkString
+    s"""WITH b AS (SELECT vec_id AS id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      v -> floor(v * $q)::BIGINT) AS qx
+       |  FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) = $dim),
+       |c0 AS (SELECT (row_number() OVER (ORDER BY id) - 1)::INT AS j, qx AS c
+       |  FROM (SELECT id, qx FROM b ORDER BY id LIMIT $k))$rounds,
+       |${assignCtes("F", s"c$iters")}
+       |SELECT cl AS cluster, count(*)::BIGINT AS n,
+       |  sum(dist)::BIGINT AS inertia
+       |FROM aF GROUP BY 1 ORDER BY cluster""".stripMargin
+  }
+
   /** Unrolled exact-integer GD oracle for [[graft.ops.linalg
     * .linearProbeTrain]]: per round one gradient CTE over the corpus
     * and one 1-row weight-update CTE whose signed division mirrors the
@@ -3443,6 +3485,14 @@ object SparkEntry {
     "events_seasonal_anomaly" -> ((s, dir) =>
       EventStream.seasonalAnomaly(events(s, dir), zMin = 1.5)
         .orderBy(col("series"), col("t"))),
+
+    // north-star: distributed Lloyd k-means, bit-exact — integer
+    // distances (no ulp can flip an assignment), driver-truncated
+    // centroid updates, k smallest-id init; 2 rounds + final summary.
+    "vec_kmeans" -> ((s, dir) =>
+      graft.ops.linalg.kmeansFit(table(s, dir, "embeddings"), "embedding",
+          "vec_id", dim = 64, k = 4, iters = 2)
+        .orderBy(col("cluster"))),
 
     // north-star: 1-D Wasserstein drift between the 'de' and 'en'
     // length distributions — order-aware where KL is categorical;
@@ -7720,6 +7770,8 @@ object SparkEntry {
         |  FROM d JOIN st USING (series, cell))
         |SELECT series, t, c, cell, z_q4 FROM z
         |WHERE abs(z_q4) >= 1.5 ORDER BY series, t""".stripMargin,
+
+    "vec_kmeans" -> sqlKmeans(dim = 64, k = 4, iters = 2, q = 10000L),
 
     // Exact |cumA*Nb - cumB*Na| transport over the merged bin grid,
     // one float quotient in raw-feature units.

@@ -106,6 +106,84 @@ object linalg {
     vectors.dotProduct(vecCol, vectors.vecLit(dir))
   }
 
+  /** Distributed k-means (Lloyd 1957/1982), ALL-INTEGER and therefore
+    * bit-exact across engines — the clustering complement to
+    * [[linearProbeTrain]]'s in-engine supervised training. Vectors
+    * quantize once (`floor(v·q)`); every distance is an exact integer
+    * `Σ(qxᵢ − cᵢ)²` (a long-typed HOF fold — no float enters the
+    * argmin, so assignments can never flip on an ulp); ties pick the
+    * lowest cluster id; centroids update on the DRIVER as
+    * `truncDiv(Σqxᵢ, n)` per dimension (the [[linearProbeTrain]] signed-
+    * division discipline — Scala `/` truncates, the oracle mirrors with
+    * sign CASE logic); an emptied cluster keeps its previous centroid.
+    * Init = the k rows with the smallest ids (deterministic and
+    * engine-reproducible; pre-shuffle ids upstream for k-means++-like
+    * spread, or pass ids from [[graft.ops.ann.kCenterSelect]]).
+    *
+    * Plan shape per round: ONE scan computing k fold distances + the
+    * argmin (centroids ride as literals), one (cluster, dim) aggregate
+    * whose k·d result is the bounded driver collect. Cost = `iters + 1`
+    * scans. Returns the final assignment summary
+    * `(cluster, n, inertia)` — inertia the exact integer within-cluster
+    * sum of squared quantized distances. */
+  def kmeansFit(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      dim: Int,
+      k: Int,
+      iters: Int = 2,
+      q: Long = 10000L): DataFrame = {
+    require(dim >= 1 && k >= 1 && iters >= 0 && q >= 1,
+      "graft: kmeansFit needs dim, k, q >= 1 and iters >= 0")
+    val base = df
+      .where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(col(idCol).as("_id"),
+        expr(s"transform($vecCol, v -> CAST(floor(v * ${q}L) AS BIGINT))")
+          .as("_qx"))
+      .persist()
+    // deterministic init: the k smallest-id vectors (bounded collect)
+    var cents: Array[Array[Long]] = base.orderBy(col("_id")).limit(k)
+      .collect().map(_.getSeq[Long](1).toArray)
+    require(cents.length == k, s"graft: kmeansFit needs >= $k rows")
+    def centLit(c: Array[Long]): String = c.mkString("array(", "L, ", "L)")
+    def distExpr(c: Array[Long]): String =
+      s"aggregate(zip_with(_qx, ${centLit(c)}, (x, y) -> (x - y) * (x - y))," +
+        s" 0L, (acc, v) -> acc + v)"
+    def assign(d: DataFrame): DataFrame = {
+      val withD = cents.zipWithIndex.foldLeft(d) { case (acc, (c, j)) =>
+        acc.withColumn(s"_d$j", expr(distExpr(c)))
+      }
+      val m = least(cents.indices.map(j => col(s"_d$j")): _*)
+      val cluster = cents.indices.init.foldRight(lit(k - 1): Column) {
+        case (j, rest) => when(col(s"_d$j") === m, lit(j)).otherwise(rest)
+      }
+      withD.withColumn("_cl", cluster).withColumn("_dist", m)
+    }
+    for (_ <- 0 until iters) {
+      val stats = assign(base)
+        .select(col("_cl"), posexplode(col("_qx")).as(Seq("_pos", "_v")))
+        .groupBy(col("_cl"), col("_pos"))
+        .agg(count(lit(1)).as("_n"), sum(col("_v")).as("_s"))
+        .collect()
+      val n = Array.fill(k)(0L)
+      val s = Array.fill(k, dim)(0L)
+      stats.foreach { r =>
+        val (cl, pos) = (r.getInt(0), r.getInt(1))
+        n(cl) = r.getLong(2); s(cl)(pos) = r.getLong(3)
+      }
+      cents = cents.zipWithIndex.map { case (old, j) =>
+        if (n(j) == 0L) old
+        else Array.tabulate(dim)(i => s(j)(i) / n(j)) // Scala /: trunc
+      }
+    }
+    val out = assign(base)
+      .groupBy(col("_cl").as("cluster"))
+      .agg(count(lit(1)).as("n"), sum(col("_dist")).as("inertia"))
+    base.unpersist(false)
+    out
+  }
+
   /** Anisotropy read over a [[gram]] result: trace (diagonal mass,
     * always ≥ 0), total absolute off-diagonal mass (each unordered pair
     * counted twice — the full-matrix convention), and their ratio. An

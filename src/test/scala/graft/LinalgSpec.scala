@@ -86,6 +86,32 @@ class LinalgSpec extends SparkSpec {
     assert(posMin > negMax, s"probe separates: posMin=$posMin negMax=$negMax")
   }
 
+  test("kmeansFit: planted clusters recovered; Lloyd never increases inertia") {
+    // two tight blobs far apart; init = ids 0 and 1 (one per blob)
+    val rows = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) 10.0 else -10.0
+      (i.toLong, Seq(base + 0.001 * i, base))
+    }
+    val df = rows.toDF("id", "v")
+    val r2 = graft.ops.linalg.kmeansFit(df, "v", "id", dim = 2, k = 2,
+      iters = 2).orderBy("cluster").collect()
+    assert(r2.map(_.getLong(1)).toSeq == Seq(10L, 10L), "blobs split evenly")
+    val inertia0 = graft.ops.linalg.kmeansFit(df, "v", "id", 2, 2, iters = 0)
+      .agg(sum("inertia")).head().getLong(0)
+    val inertia2 = r2.map(_.getLong(2)).sum
+    assert(inertia2 <= inertia0, "Lloyd iterations never increase inertia")
+  }
+
+  test("kmeansFit: an emptied cluster keeps its previous centroid") {
+    // k=3 but only two distinct points: one centroid starves and must
+    // keep its init value rather than divide by zero
+    val df = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(1.0, 0.0)),
+      (2L, Seq(-1.0, 0.0)), (3L, Seq(-1.0, 0.0))).toDF("id", "v")
+    val got = graft.ops.linalg.kmeansFit(df, "v", "id", dim = 2, k = 3,
+      iters = 2).collect()
+    assert(got.map(_.getLong(1)).sum == 4L, "all rows assigned somewhere")
+  }
+
   test("anisotropy: axis-aligned corpus scores 0, correlated corpus high") {
     // one-hot rows -> diagonal Gram -> zero off-diagonal mass
     val axis = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)).toDF("v")
