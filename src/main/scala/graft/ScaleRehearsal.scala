@@ -723,6 +723,9 @@ object ScaleRehearsal {
     run("emd_1d", countRows = false)(sample.emd1d(
       docs.where(col("doc_id") % 2 === 0), col("n_chars"),
       docs.where(col("doc_id") % 2 =!= 0), col("n_chars"), binWidth = 100L))
+    // Lloyd at factor-x vectors: iters+1 scans, k*d driver collects
+    run("kmeans_k4", countRows = false)(linalg.kmeansFit(
+      emb, "embedding", "vec_id", dim = 64, k = 4, iters = 2))
 
     spark.stop()
   }
