@@ -889,7 +889,10 @@ object sample {
     * Both histograms and the rate table are GRID-bounded
     * (feature-range/binWidth — [[graft.ops.windows.boundedGlobal]]);
     * the rates broadcast back onto the scan. Bins the target never
-    * saw keep nothing. Returns `df` plus `(bin, keep_ppm, kept)`. */
+    * saw keep nothing; conversely, target mass in bins the SOURCE never
+    * saw is unreachable and drops out of the target total — fractions
+    * renormalize over the source's support (rejection can only delete,
+    * never invent). Returns `df` plus `(bin, keep_ppm, kept)`. */
   def matchDistribution(
       df: DataFrame,
       feature: Column,
