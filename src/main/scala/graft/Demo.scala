@@ -583,6 +583,8 @@ object Demo {
     println(s"  top PC leading dims: ${pc.take(4).map(v => f"$v%.4f").mkString(", ")}")
     graft.ops.linalg.linearProbeTrain(embAll, "embedding",
       col("label") >= 5, dims = 8, iters = 2).orderBy(col("j")).show()
+    graft.ops.linalg.kmeansFit(embAll, "embedding", "vec_id",
+      dim = 64, k = 4, iters = 2).orderBy(col("cluster")).show()
 
     // NEW-CRAWL INTAKE: the three questions an ingestion gate asks of an
     // incoming slice before mixing it in — is it NEW (gram novelty), is
