@@ -15,8 +15,15 @@ import pandas as pd
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].reset_index(drop=True)
-    return df
+    # Mirror the driver: sort COLUMNS by name, then lexsort ROWS across
+    # all columns. A non-scalar cell (ndarray/list/dict) makes the row
+    # sort throw — exactly like the driver's harness — so output-shape
+    # traps (the round-10 vec_chunk_pool array<double> column) fail
+    # locally before they fail externally.
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -31,8 +38,13 @@ def main():
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
     for name in names:
-        got = norm(con.execute(
-            f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df())
+        try:
+            got = norm(con.execute(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df())
+        except Exception as e:
+            print(f"[FAIL] {name}: result not harness-comparable: {e}")
+            n_fail += 1
+            continue
         if name not in oracle:
             print(f"[SKIP] {name}: no oracle (rows={len(got)})")
             continue

@@ -2991,13 +2991,17 @@ object SparkEntry {
 
     // north-star: chunk→doc embedding rollup — fixed-point exact mean
     // pooling (vec_id % 100 stands in for the doc of each chunk); the
-    // long-doc coarse-index builder.
+    // long-doc coarse-index builder. Output is FLATTENED to one scalar
+    // row per (doc, component) — the driver's diff harness lexsorts all
+    // columns and cannot hash an array<double> cell (the round-10 trap).
     "vec_chunk_pool" -> ((s, dir) =>
       ann.poolEmbeddings(
           table(s, dir, "embeddings")
             .withColumn("doc_id", col("vec_id") % 100),
           "doc_id")
-        .orderBy(col("doc_id"))),
+        .select(col("doc_id"), col("n_chunks"),
+          posexplode(col("pooled")).as(Seq("pos", "v")))
+        .orderBy(col("doc_id"), col("pos"))),
 
     // north-star: conversion-latency histogram — first view → first
     // subsequent purchase per user, hour buckets; the funnel's "how
@@ -6719,19 +6723,20 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     // Fixed-point micro-unit sums per (doc, dim), exact BIGINT, one
-    // rounded float per component; ordinality orders the list like
-    // posexplode's pos.
+    // rounded float per component; flattened to scalar (doc, pos, v)
+    // rows — pos is 0-based to match posexplode.
     "vec_chunk_pool" ->
       """WITH e AS (SELECT vec_id % 100 AS doc_id,
         |    CAST(embedding AS DOUBLE[])[i] AS x, i
         |  FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)),
         |a AS (SELECT doc_id, i, sum(floor(x * 1000000.0)::BIGINT)::BIGINT AS s,
         |    count(*)::BIGINT AS n
-        |  FROM e GROUP BY 1, 2)
-        |SELECT doc_id, max(n)::BIGINT AS n_chunks,
-        |  list(floor(s::DOUBLE / n::DOUBLE / 100.0 + 0.5) / 10000.0
-        |    ORDER BY i) AS pooled
-        |FROM a GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |  FROM e GROUP BY 1, 2),
+        |nc AS (SELECT doc_id, max(n)::BIGINT AS n_chunks FROM a GROUP BY 1)
+        |SELECT a.doc_id, nc.n_chunks, (a.i - 1)::INT AS pos,
+        |  floor(s::DOUBLE / n::DOUBLE / 100.0 + 0.5) / 10000.0 AS v
+        |FROM a JOIN nc ON a.doc_id = nc.doc_id
+        |ORDER BY a.doc_id, pos""".stripMargin,
 
     // First-from, first-to-at-or-after, integer second/bucket floors.
     "events_time_to_convert" ->
@@ -6889,7 +6894,8 @@ object SparkEntry {
         |FROM g CROSS JOIN t ORDER BY dow, hod""".stripMargin,
 
     // Rolling distinct = the same ×7 day fan-out of the distinct
-    // (user, day) set, trimmed at the corpus max day.
+    // (user, day) set, trimmed at the corpus max day. LEFT join from
+    // rolling so zero-DAU engagement-gap days surface with dau = 0.
     "events_active_users" ->
       """WITH ud AS (SELECT DISTINCT user_id AS u,
         |    epoch_us(ts) // 1000000 // 86400 AS d FROM events),
@@ -6898,9 +6904,9 @@ object SparkEntry {
         |r AS (SELECT DISTINCT u, d + i AS day FROM ud, range(0, 7) t(i)),
         |rl AS (SELECT day, count(*)::BIGINT AS rolling FROM r
         |  WHERE day <= (SELECT m FROM mx) GROUP BY 1)
-        |SELECT day, dau, rolling,
-        |  (dau * 10000 // rolling)::BIGINT AS stickiness_bp
-        |FROM dau JOIN rl USING (day) ORDER BY day""".stripMargin,
+        |SELECT day, coalesce(dau, 0)::BIGINT AS dau, rolling,
+        |  (coalesce(dau, 0) * 10000 // rolling)::BIGINT AS stickiness_bp
+        |FROM rl LEFT JOIN dau USING (day) ORDER BY day""".stripMargin,
 
     "events_concentration" ->
       """WITH per AS (SELECT user_id, count(*)::BIGINT AS n_events

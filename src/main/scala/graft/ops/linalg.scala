@@ -184,15 +184,6 @@ object linalg {
     out
   }
 
-  /** Anisotropy read over a [[gram]] result: trace (diagonal mass,
-    * always ≥ 0), total absolute off-diagonal mass (each unordered pair
-    * counted twice — the full-matrix convention), and their ratio. An
-    * isotropic embedding space scores ~0; a collapsed/cone-shaped one
-    * (the common contrastive-training pathology, Ethayarajh EMNLP 2019)
-    * scores high — run it before trusting cosine top-k on a new
-    * embedding column. Sums stay exact integers; the ratio is the one
-    * quantized float at the end (6 dp — the ratio is scale-free).
-    * One d²-row reduction. Returns `(trace, offdiag_abs, aniso_q6)`. */
   /** In-engine linear-probe training: `iters` rounds of full-batch
     * gradient descent on squared loss, ALL-INTEGER — the
     * train-a-quality-probe-on-the-corpus primitive (the reading
@@ -253,6 +244,15 @@ object linalg {
     w.toSeq.zipWithIndex.map { case (v, j) => (j, v) }.toDF("j", "w_ppm")
   }
 
+  /** Anisotropy read over a [[gram]] result: trace (diagonal mass,
+    * always ≥ 0), total absolute off-diagonal mass (each unordered pair
+    * counted twice — the full-matrix convention), and their ratio. An
+    * isotropic embedding space scores ~0; a collapsed/cone-shaped one
+    * (the common contrastive-training pathology, Ethayarajh EMNLP 2019)
+    * scores high — run it before trusting cosine top-k on a new
+    * embedding column. Sums stay exact integers; the ratio is the one
+    * quantized float at the end (6 dp — the ratio is scale-free).
+    * One d²-row reduction. Returns `(trace, offdiag_abs, aniso_q6)`. */
   def anisotropy(gramDf: DataFrame): DataFrame =
     gramDf
       .agg(

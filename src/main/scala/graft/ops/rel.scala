@@ -1097,10 +1097,12 @@ object rel {
       .agg(max(col(dateCol)).as("_last"), count(lit(1)).as("n_orders"),
         sum(floor(col(amountCol) * 100.0).cast("long")).as("cents"))
     val asof = orders.agg(max(col(dateCol)).as("_asof"))
-    // Persisted LAZILY: three grid builds and the final join all scan it.
-    // The cache lives until the session drops it (one row per customer —
-    // disk-spillable; clear between jobs if the customer universe is
-    // billions and the session is long-lived).
+    // Persisted for the FUNCTION CALL only: the three bounded grid maps
+    // are materialized eagerly below while the cache is warm, then base
+    // is unpersisted before returning — a long-lived session does not
+    // accumulate executor storage across rfm calls (the graph-ops cache
+    // discipline). The final join recomputes base once at execution
+    // (one orders aggregate), the price of not leaking the cache.
     val base = per.crossJoin(broadcast(asof))
       .withColumn("recency_days", datediff(col("_asof"), col("_last")).cast("long"))
       .drop("_last", "_asof")
@@ -1122,14 +1124,24 @@ object rel {
         .select(col("_v").as(s"_k_$name"),
           (expr(s"(_below * $buckets) DIV _total") + 1L).as(s"${name}_score"))
     }
+    // Materialize each bounded grid to a driver-local relation NOW (the
+    // grids are broadcast anyway — same rows, same BroadcastHashJoin),
+    // so base's cache can be released before the function returns.
+    val spark = orders.sparkSession
+    import spark.implicits._
+    def localize(grid: DataFrame, name: String): DataFrame =
+      grid.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        .toDF(s"_k_$name", s"${name}_score")
+    val rMap = localize(scoreMap(col("recency_days"), "r", neg = true), "r")
+    val fMap = localize(scoreMap(col("n_orders"), "f", neg = false), "f")
+    val mMap = localize(
+      scoreMap(expr(s"cents DIV ${binCents}L"), "m", neg = false), "m")
+    base.unpersist(false)
     base
       .withColumn("_bin", expr(s"cents DIV ${binCents}L"))
-      .join(broadcast(scoreMap(col("recency_days"), "r", neg = true)),
-        (-col("recency_days")) === col("_k_r"))
-      .join(broadcast(scoreMap(col("n_orders"), "f", neg = false)),
-        col("n_orders") === col("_k_f"))
-      .join(broadcast(scoreMap(expr(s"cents DIV ${binCents}L"), "m", neg = false)),
-        col("_bin") === col("_k_m"))
+      .join(broadcast(rMap), (-col("recency_days")) === col("_k_r"))
+      .join(broadcast(fMap), col("n_orders") === col("_k_f"))
+      .join(broadcast(mMap), col("_bin") === col("_k_m"))
       .withColumn("rfm", col("r_score") * 100L + col("f_score") * 10L
         + col("m_score"))
       .select(col(custCol), col("recency_days"), col("n_orders"), col("cents"),

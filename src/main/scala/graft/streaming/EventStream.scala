@@ -17,6 +17,16 @@ import graft.ops.windows
   * and the watermark bounds it (late events beyond the horizon drop, state
   * for closed windows evicts), so state size is O(active keys), not
   * O(stream length).
+  *
+  * PRECONDITION for the epoch-arithmetic meters ([[seasonality]],
+  * [[activeUsers]], [[trend]], [[timeToConvert]], [[seasonalAnomaly]]):
+  * timestamps must be `>= 1970-01-01 UTC`. Their bucket/dow/hod math
+  * relies on Spark's `DIV` (truncate toward zero) agreeing with DuckDB's
+  * `//` (floor) — which holds exactly when epoch micros are non-negative;
+  * for pre-epoch timestamps the two round in opposite directions (and
+  * `pmod` vs `%` diverge on sign), so results would differ by one bucket.
+  * Event-analytics corpora are post-1970 by construction; the contract is
+  * documented rather than paid for with floor-division on every row.
   */
 object EventStream {
 
@@ -1107,9 +1117,15 @@ object EventStream {
       .where(col("day") <= col("_max"))
       .groupBy(col("day"))
       .agg(count(lit(1)).as("rolling"))
-    dau.join(rolling, "day")
-      .select(col("day"), col("dau"), col("rolling"),
-        expr("dau * 10000 DIV rolling").as("stickiness_bp"))
+    // LEFT join from rolling: every DAU day is also a rolling day (a
+    // user-day fans out to its own window), but a calendar day can have
+    // rolling actives with ZERO fresh DAU — engagement-gap days, the
+    // most interesting rows — so they must surface with dau = 0 rather
+    // than vanish through an inner join.
+    rolling.join(dau, Seq("day"), "left")
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"),
+        col("rolling"),
+        expr("coalesce(dau, 0) * 10000 DIV rolling").as("stickiness_bp"))
   }
 
   /** Event concentration: the share of all events produced by the

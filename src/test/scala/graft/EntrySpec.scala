@@ -242,6 +242,26 @@ class EntrySpec extends SparkSpec {
     assert(Bench.CoreBaselineQueries.size == 40)
   }
 
+  test("no registered query surfaces a non-scalar output column (hashability lint)") {
+    // The driver's diff harness lexsorts ALL output columns in pandas;
+    // an array/map/struct cell throws `unhashable type` before any
+    // comparison runs (the round-10 vec_chunk_pool red row). Only
+    // scalar columns are externally verifiable — queries that compute
+    // collections must flatten (posexplode) before registering.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val dir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      fn(spark, dir).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+                  f.dataType.isInstanceOf[MapType] ||
+                  f.dataType.isInstanceOf[StructType] =>
+          s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"non-scalar output columns (driver cannot hash them): ${offenders.mkString(", ")}")
+  }
+
   test("every Spark output column is named in its oracle SQL (alias-mismatch lint)") {
     // The driver compares columns BY NAME (sorted) — a Spark column the
     // oracle spells differently hash-mismatches even on identical values.
