@@ -3539,7 +3539,63 @@ object SparkEntry {
             .as("promo_qc"),
           sum(col("_r")).as("total_qc"))
         .withColumn("promo_ppm",
-          expr("(promo_qc * 1000000L) DIV total_qc")))
+          expr("(promo_qc * 1000000L) DIV total_qc"))),
+
+    // TPC-H Q1 shape (pricing summary): THE canonical scan-aggregate —
+    // one pushed date range, one hash aggregate to a ≤6-row grid, no
+    // join, no shuffle beyond the final exchange. All measures exact
+    // integers (qty is integral 1-50 in the data; price in cents;
+    // discount/tax in rounded hundredths so disc revenue is x100 scale
+    // and charge x10000); averages are truncating integer quotients —
+    // both engines truncate on non-negative operands.
+    "rel_tpch_q1" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("2001-08-06").cast("timestamp"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast("long").as("_q"),
+          floor(col("l_extendedprice") * 100.0).cast("long").as("_c"),
+          floor(col("l_discount") * 100.0 + 0.5).cast("long").as("_dh"),
+          floor(col("l_tax") * 100.0 + 0.5).cast("long").as("_th"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("_q")).as("sum_qty"),
+          sum(col("_c")).as("sum_base_qc"),
+          sum(col("_c") * (lit(100L) - col("_dh"))).as("sum_disc_qc"),
+          sum(col("_c") * (lit(100L) - col("_dh")) * (lit(100L) + col("_th")))
+            .as("sum_charge_qc"),
+          count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("sum_qty"), col("sum_base_qc"), col("sum_disc_qc"),
+          col("sum_charge_qc"),
+          expr("sum_qty * 100 DIV n_rows").as("avg_qty_x100"),
+          expr("sum_base_qc DIV n_rows").as("avg_price_c"),
+          col("n_rows"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // TPC-H Q18 shape (large-volume customers): group-filter-join — the
+    // HAVING > 300 survivor set (~0.1% of orders) keyed back onto orders
+    // and customer. Join strategy is left to Catalyst/AQE deliberately:
+    // at small SF the survivor side broadcasts at runtime; at 100 TB it
+    // exceeds the broadcast bar and AQE keeps the keyed SMJ — pinning a
+    // broadcast hint here is exactly the plan that would NOT survive a
+    // 100x scale-up. Deterministic tie-break (total_c, o_orderdate,
+    // o_orderkey) under TakeOrderedAndProject.
+    "rel_tpch_q18" -> ((s, dir) => {
+      val big = table(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("order_qty"))
+        .where(col("order_qty") > 300L)
+      table(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"),
+          floor(col("o_totalprice") * 100.0).cast("long").as("total_c"),
+          col("order_qty"))
+        .orderBy(col("total_c").desc, col("o_orderdate"), col("o_orderkey"))
+        .limit(100)
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -7853,6 +7909,36 @@ object SparkEntry {
         |  sum(rev)::BIGINT AS total_qc,
         |  (sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)::BIGINT * 1000000
         |    // sum(rev)::BIGINT)::BIGINT AS promo_ppm
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+
+    // Same quantizations as the Spark side; averages are floor
+    // quotients of non-negative integers (= Spark's truncating DIV).
+    "rel_tpch_q1" ->
+      """WITH b AS (SELECT l_returnflag, l_linestatus,
+        |    l_quantity::BIGINT AS q,
+        |    floor(l_extendedprice * 100)::BIGINT AS c,
+        |    floor(l_discount * 100 + 0.5)::BIGINT AS dh,
+        |    floor(l_tax * 100 + 0.5)::BIGINT AS th
+        |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-08-06')
+        |SELECT l_returnflag, l_linestatus,
+        |  sum(q)::BIGINT AS sum_qty,
+        |  sum(c)::BIGINT AS sum_base_qc,
+        |  sum(c * (100 - dh))::BIGINT AS sum_disc_qc,
+        |  sum(c * (100 - dh) * (100 + th))::BIGINT AS sum_charge_qc,
+        |  (sum(q) * 100 // count(*))::BIGINT AS avg_qty_x100,
+        |  (sum(c) // count(*))::BIGINT AS avg_price_c,
+        |  count(*)::BIGINT AS n_rows
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "rel_tpch_q18" ->
+      """WITH big AS (SELECT l_orderkey,
+        |    sum(l_quantity::BIGINT)::BIGINT AS order_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity::BIGINT) > 300)
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+        |  floor(o.o_totalprice * 100)::BIGINT AS total_c,
+        |  b.order_qty
+        |FROM orders o JOIN big b ON o.o_orderkey = b.l_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY total_c DESC, o_orderdate, o_orderkey LIMIT 100""".stripMargin
   )
 }

@@ -631,5 +631,21 @@ class PlanQualitySpec extends SparkSpec {
     val q14 = plan("rel_tpch_q14")
     assert(q14.contains("PushedFilters") && !q14.contains("CartesianProduct"),
       q14.take(1200))
+    // Q1: pure scan + aggregate — pushed date range, no join, and the
+    // aggregate is partial (map-side combine) before the one exchange.
+    val q1 = plan("rel_tpch_q1")
+    assert(q1.contains("PushedFilters") && q1.contains("l_shipdate"),
+      q1.take(1200))
+    assert(!q1.contains("Join"), "Q1 is scan + aggregate only\n" + q1.take(1200))
+    assert(q1.contains("partial_sum") || q1.contains("partial_count"),
+      q1.take(1500))
+    // Q18: keyed joins only (broadcast or sort-merge, AQE's choice),
+    // never a cartesian, and the top-100 is TakeOrderedAndProject, not
+    // a global sort.
+    val q18 = plan("rel_tpch_q18")
+    assert(!q18.contains("CartesianProduct"), q18.take(1200))
+    assert(q18.contains("BroadcastHashJoin") || q18.contains("SortMergeJoin"),
+      q18.take(1500))
+    assert(q18.contains("TakeOrderedAndProject"), q18.take(1500))
   }
 }
