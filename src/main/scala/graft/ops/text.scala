@@ -1199,10 +1199,15 @@ object text {
     require(minWords >= 1 && maxWords >= minWords,
       s"gopherQuality needs 1 <= minWords <= maxWords, got [$minWords, $maxWords]")
     val q4 = (c: Column) => floor(c * 10000.0 + 0.5) / 10000.0
-    val nSym = length(col(textCol)) -
-      length(regexp_replace(col(textCol), "[#…]", ""))
+    // NULL contract: a NULL text is the empty document — zeroed stats,
+    // keep = 0, row PRESENT (audit-then-drop). Without the coalesce,
+    // size(tokens(NULL)) is NULL and both n_words and keep surface as
+    // NULL — a silent drop in any downstream `keep = 1` filter, the
+    // exact divergence the blocklistClean NULL fix closed.
+    val txt = coalesce(col(textCol), lit(""))
+    val nSym = length(txt) - length(regexp_replace(txt, "[#…]", ""))
     val stats = df.select(col(idCol), nSym.cast("bigint").as("_n_sym"),
-        tokens(col(textCol)).as("_toks"))
+        tokens(txt).as("_toks"))
       .select(col(idCol), col("_n_sym"),
         size(col("_toks")).cast("bigint").as("n_words"),
         aggregate(col("_toks"), lit(0L), (acc, t) => acc + length(t))
