@@ -86,6 +86,11 @@ object Bench {
     // ambient load. So the 40-query core set is ALSO timed once FIRST,
     // immediately after warmup (the freshest this JVM gets), and
     // stamped as core_total_clean next to the in-suite core_total.
+    // NOTE (BASELINE.md r11 discontinuity): running this pass first
+    // pre-warms the 40 core plans, so the in-suite core_total measured
+    // later is warmer than rounds 1-10 and is NOT cross-round
+    // comparable — core_total_clean is the pinned comparable; in-suite
+    // core_total remains only as a same-round consistency check.
     // Skipped under SPARK_GRAFT_ONLY (iteration runs, not comparables).
     val coreClean: Map[String, Double] =
       if (only.isEmpty)

@@ -3545,9 +3545,14 @@ object SparkEntry {
     // one pushed date range, one hash aggregate to a ≤6-row grid, no
     // join, no shuffle beyond the final exchange. All measures exact
     // integers (qty is integral 1-50 in the data; price in cents;
-    // discount/tax in rounded hundredths so disc revenue is x100 scale
-    // and charge x10000); averages are truncating integer quotients —
-    // both engines truncate on non-negative operands.
+    // discount/tax in rounded hundredths so disc revenue is x100 scale);
+    // averages are truncating integer quotients — both engines truncate
+    // on non-negative operands. The charge triple product is pre-divided
+    // back to cents scale PER ROW (c*(100-dh)*(100+th) DIV 10000):
+    // summing the raw x10000 product into BIGINT would wrap silently on
+    // Spark near SF100 (~1e11/row x 1e8 rows/group) while DuckDB's
+    // HUGEINT sum errors on the ::BIGINT cast — per-row truncation keeps
+    // both engines identical and pushes the ceiling past SF1e5.
     "rel_tpch_q1" -> ((s, dir) =>
       table(s, dir, "lineitem")
         .where(col("l_shipdate") <= lit("2001-08-06").cast("timestamp"))
@@ -3560,12 +3565,12 @@ object SparkEntry {
         .agg(sum(col("_q")).as("sum_qty"),
           sum(col("_c")).as("sum_base_qc"),
           sum(col("_c") * (lit(100L) - col("_dh"))).as("sum_disc_qc"),
-          sum(col("_c") * (lit(100L) - col("_dh")) * (lit(100L) + col("_th")))
-            .as("sum_charge_qc"),
+          sum(expr("(_c * (100L - _dh) * (100L + _th)) DIV 10000L"))
+            .as("sum_charge_c"),
           count(lit(1)).as("n_rows"))
         .select(col("l_returnflag"), col("l_linestatus"),
           col("sum_qty"), col("sum_base_qc"), col("sum_disc_qc"),
-          col("sum_charge_qc"),
+          col("sum_charge_c"),
           expr("sum_qty * 100 DIV n_rows").as("avg_qty_x100"),
           expr("sum_base_qc DIV n_rows").as("avg_price_c"),
           col("n_rows"))
@@ -4785,7 +4790,8 @@ object SparkEntry {
          |FROM s WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin,
 
     "text_gopher_quality" ->
-      s"""WITH t AS (SELECT doc_id, text, $SqlToks AS toks FROM documents),
+      s"""WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+         |t AS (SELECT doc_id, text, $SqlToks AS toks FROM d),
          |s AS (SELECT doc_id, len(toks)::BIGINT AS n_words,
          |  coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::BIGINT AS sum_len,
          |  len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::BIGINT AS n_alpha,
@@ -7924,7 +7930,7 @@ object SparkEntry {
         |  sum(q)::BIGINT AS sum_qty,
         |  sum(c)::BIGINT AS sum_base_qc,
         |  sum(c * (100 - dh))::BIGINT AS sum_disc_qc,
-        |  sum(c * (100 - dh) * (100 + th))::BIGINT AS sum_charge_qc,
+        |  sum((c * (100 - dh) * (100 + th)) // 10000)::BIGINT AS sum_charge_c,
         |  (sum(q) * 100 // count(*))::BIGINT AS avg_qty_x100,
         |  (sum(c) // count(*))::BIGINT AS avg_price_c,
         |  count(*)::BIGINT AS n_rows

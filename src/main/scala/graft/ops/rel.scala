@@ -1,8 +1,11 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Generic relational utilities that round out the pipeline surface. */
 object rel {
@@ -1083,7 +1086,16 @@ object rel {
     *
     * Returns `(custCol, recency_days, n_orders, cents, r_score,
     * f_score, m_score, rfm)` — `rfm` = r·100 + f·10 + m, recency scored
-    * so HIGHER = more recent. */
+    * so HIGHER = more recent.
+    *
+    * EAGER construction: the three bounded score grids are materialized
+    * (collected + re-broadcast) inside this call — calling `rfm` runs
+    * three small Spark jobs immediately, even if the returned frame is
+    * only inspected for schema/plan. Customers whose `dateCol` or
+    * `amountCol` aggregate is NULL get a NULL grid key; those rows are
+    * counted in the grid totals (same denominators as before) but carry
+    * no score and are dropped by the inner score-map join — identical
+    * to the pre-eager lazy-join behavior. */
   def rfm(
       orders: DataFrame,
       custCol: String,
@@ -1128,10 +1140,22 @@ object rel {
     // grids are broadcast anyway — same rows, same BroadcastHashJoin),
     // so base's cache can be released before the function returns.
     val spark = orders.sparkSession
-    import spark.implicits._
-    def localize(grid: DataFrame, name: String): DataFrame =
-      grid.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-        .toDF(s"_k_$name", s"${name}_score")
+    // NULL grid keys (a customer whose date/amount aggregate is NULL)
+    // stay in the window denominators above but are dropped HERE, after
+    // the cumulative counts — the equality join they feed can never
+    // match them, so this reproduces the lazy broadcast join's silent
+    // drop instead of NPE-ing on getLong(0). Explicit-schema
+    // createDataFrame (not implicits.toDF): the reflection-based
+    // product encoder breaks under REPL classloaders (sbt console's
+    // java.sql SecurityException), and the schema is two longs anyway.
+    def localize(grid: DataFrame, name: String): DataFrame = {
+      val rows = grid.collect().iterator
+        .filterNot(r => r.isNullAt(0) || r.isNullAt(1))
+        .map(r => Row(r.getLong(0), r.getLong(1))).toSeq
+      spark.createDataFrame(rows.asJava, StructType(Seq(
+        StructField(s"_k_$name", LongType, nullable = false),
+        StructField(s"${name}_score", LongType, nullable = false))))
+    }
     val rMap = localize(scoreMap(col("recency_days"), "r", neg = true), "r")
     val fMap = localize(scoreMap(col("n_orders"), "f", neg = false), "f")
     val mMap = localize(

@@ -134,4 +134,21 @@ class RelMinersSpec extends SparkSpec {
     // frequency identical for everyone -> all f scores equal
     assert(rows.map(_.getLong(5)).distinct.length == 1)
   }
+
+  test("rfm: NULL date/amount customers drop silently, not NPE") {
+    // customer 9 has a NULL order date (NULL recency grid key) and
+    // customer 10 a NULL amount (NULL monetary key): both must be
+    // dropped by the score-map join — the lazy-join contract — rather
+    // than crash localize's getLong at construction time.
+    val df = Seq(
+      (1L, Some("2024-01-01"), Some(100.0)),
+      (2L, Some("2024-01-02"), Some(200.0)),
+      (9L, None: Option[String], Some(300.0)),
+      (10L, Some("2024-01-03"), None: Option[Double])
+    ).toDF("cust", "d", "amt")
+      .withColumn("d", col("d").cast("timestamp"))
+    val rows = rel.rfm(df, "cust", "d", "amt", buckets = 2,
+      binCents = 10000L).orderBy("cust").collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
 }
