@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Cmp, Metric, VecStore}
@@ -405,6 +405,35 @@ object SparkEntry {
 
   private def sqlStopHits(listExpr: String, words: Seq[String]): String =
     s"len(list_filter($listExpr, t -> t IN (${words.map("'" + _ + "'").mkString(", ")})))"
+
+  /** Generation-eval pair fixture: reference = the document's normalized
+    * token string, candidate = the same with every 3rd token dropped ("the
+    * model lost a third of the words") — deterministic, engine-shared, and
+    * related-but-not-identical so the overlap meters read out mid-range
+    * values. Spark's HOF index is 0-based, DuckDB's 1-based: dropping
+    * 0-based `i % 3 == 2` equals dropping 1-based `i % 3 == 0`. */
+  private def genPairs(s: SparkSession, dir: String): DataFrame = {
+    val toks = text.tokens(col("text"))
+    table(s, dir, "documents").select(col("doc_id"),
+      concat_ws(" ", filter(toks, (t, i) => i % 3 =!= 2)).as("cand"),
+      concat_ws(" ", toks).as("ref"))
+  }
+
+  /** DuckDB twin of [[genPairs]] as token LISTS (`ct`, `rt`) — the
+    * word-gram oracles consume lists directly; string consumers
+    * re-join (tokens carry no whitespace, so the round trip is exact). */
+  private val SqlGenToks =
+    s"""SELECT doc_id, list_filter(toks, (t, i) -> i % 3 != 0) AS ct,
+       |  toks AS rt
+       |FROM (SELECT doc_id, $SqlToks AS toks FROM documents)""".stripMargin
+
+  /** DuckDB word n-gram list over a token-list expression `l` — space-
+    * joined, in order, with multiplicity ([[graft.ops.text.ngramList]]).
+    * `n` may be a column reference. */
+  private def sqlNgrams(l: String, n: String): String =
+    s"CASE WHEN len($l) >= $n THEN list_transform(range(1, len($l)-($n-1)+1), " +
+      s"i -> array_to_string(list_slice($l, i, i+$n-1), ' ')) " +
+      s"ELSE []::VARCHAR[] END"
 
   /** DuckDB CTE chain ending in `reg(event_type, register, rho)` — the
     * full 64-register HLL spine over `user_id` per event type, mirroring
@@ -3444,6 +3473,55 @@ object SparkEntry {
       evals.precisionRecallAtK(run(0L, Q1, 3).unionAll(run(1L, Q2, 5)),
           col("qid"), col("rel"), col("s"), col("vec_id"), k = 10)
         .orderBy(col("qid"))
+    }),
+
+    // north-star: generation evals — ROUGE-2 P/R/F1 over the lossy-
+    // candidate fixture; clip counts are exact longs, quotients ppm.
+    "eval_rouge2" -> ((s, dir) =>
+      evals.ngramOverlap(genPairs(s, dir), col("doc_id"), col("cand"),
+          col("ref"), n = 2)
+        .orderBy(col("doc_id"))),
+
+    // north-star: segment BLEU-4, surfaced in LOG space (exp() is a
+    // libm call whose last ulp is not portable across engines; gate in
+    // log space, the lmQualityFilter precedent). Per-n ln terms are
+    // 1e-6-quantized longs, the BP term an exact rational.
+    "eval_bleu" -> ((s, dir) =>
+      evals.bleu(genPairs(s, dir), col("doc_id"), col("cand"), col("ref"),
+          maxN = 4)
+        .orderBy(col("doc_id"))),
+
+    // north-star: chrF (character 1..4-gram F-2) — the tokenizer-free
+    // generation meter; same clipped-overlap machinery at char grain.
+    "eval_chrf" -> ((s, dir) =>
+      evals.chrF(genPairs(s, dir), col("doc_id"), col("cand"), col("ref"),
+          maxN = 4, beta = 2)
+        .orderBy(col("doc_id"))),
+
+    // north-star: edit similarity on the ASCII projection — DuckDB's
+    // levenshtein is BYTE-based while Spark's is char-based; stripping
+    // non-ASCII makes byte == char so the engines agree exactly.
+    "eval_edit" -> ((s, dir) => {
+      val ascii = (c: Column) => regexp_replace(c, "[^ -~]", "")
+      genPairs(s, dir)
+        // levenshtein is O(|c|·|r|) PER ROW — the corpus scan's natural
+        // splits carry the parallelism at scale, but this small fixture
+        // reads as one file split, so spread the CPU-heavy rows by pair
+        // id (a keyed exchange of ~300-byte rows, negligible vs the
+        // quadratic row cost it parallelizes). The EXPLICIT partition
+        // count matters: byte-sized AQE coalescing would merge the tiny
+        // shuffle back into one CPU-bound task.
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), ascii(col("cand")).as("_c"),
+          ascii(col("ref")).as("_r"))
+        .select(col("doc_id"),
+          levenshtein(col("_c"), col("_r")).cast("long").as("dist"),
+          greatest(length(col("_c")), length(col("_r"))).cast("long")
+            .as("_m"))
+        .select(col("doc_id"), col("dist"),
+          when(col("_m") > 0L, expr("((_m - dist) * 1000000L) DIV _m"))
+            .as("sim_ppm"))
+        .orderBy(col("doc_id"))
     }),
 
     // north-star: session-scoped funnel — the ladder must complete in
@@ -7697,6 +7775,133 @@ object SparkEntry {
          |SELECT qid, first_rank,
          |  coalesce(1000000 // first_rank, 0)::BIGINT AS rr_ppm
          |FROM f ORDER BY qid""".stripMargin,
+
+    // ROUGE-2 both directions: clipped bigram multiset intersection.
+    "eval_rouge2" ->
+      s"""WITH t AS ($SqlGenToks),
+         |g AS (SELECT doc_id, ${sqlNgrams("ct", "2")} AS cg,
+         |  ${sqlNgrams("rt", "2")} AS rg FROM t),
+         |cc AS (SELECT doc_id, g2 AS gram, count(*)::BIGINT AS c
+         |  FROM (SELECT doc_id, unnest(cg) AS g2 FROM g) GROUP BY 1, 2),
+         |rc AS (SELECT doc_id, g2 AS gram, count(*)::BIGINT AS r
+         |  FROM (SELECT doc_id, unnest(rg) AS g2 FROM g) GROUP BY 1, 2),
+         |cl AS (SELECT cc.doc_id, sum(least(cc.c, rc.r))::BIGINT AS clip
+         |  FROM cc JOIN rc ON cc.doc_id = rc.doc_id AND cc.gram = rc.gram
+         |  GROUP BY 1),
+         |z AS (SELECT g.doc_id, len(cg)::BIGINT AS cand_n,
+         |  len(rg)::BIGINT AS ref_n, coalesce(cl.clip, 0)::BIGINT AS clip
+         |  FROM g LEFT JOIN cl ON g.doc_id = cl.doc_id)
+         |SELECT doc_id, cand_n, ref_n, clip,
+         |  (CASE WHEN cand_n > 0 THEN clip * 1000000 // cand_n
+         |   END)::BIGINT AS prec_ppm,
+         |  (CASE WHEN ref_n > 0 THEN clip * 1000000 // ref_n
+         |   END)::BIGINT AS rec_ppm,
+         |  (CASE WHEN cand_n + ref_n > 0 THEN
+         |    2 * clip * 1000000 // (cand_n + ref_n) END)::BIGINT AS f1_ppm
+         |FROM z ORDER BY doc_id""".stripMargin,
+
+    // BLEU-4 in log space: per-n clipped precision (add-one smoothing
+    // for n >= 2, unsmoothed p1 -> NULL on zero overlap), ln terms
+    // quantized to 1e-6 longs per term, exact-rational brevity penalty.
+    // max(CASE ...) pivots keep the NULL-propagating + (DuckDB's sum()
+    // would IGNORE a NULL n=1 term; Spark's reduce(+) propagates it).
+    "eval_bleu" -> {
+      val pv = (1 to 4).map(n =>
+        s"max(CASE WHEN n = $n THEN clip END)::BIGINT AS clip_$n,\n" +
+          s"  max(CASE WHEN n = $n THEN tot END)::BIGINT AS tot_$n")
+        .mkString(",\n  ")
+      val q1 = "(CASE WHEN clip_1 > 0 AND tot_1 > 0 THEN " +
+        "floor(ln(clip_1::DOUBLE / tot_1::DOUBLE) * 1000000.0)::BIGINT END)"
+      val qRest = (2 to 4).map(n =>
+        s"floor(ln((clip_$n + 1)::DOUBLE / (tot_$n + 1)::DOUBLE) " +
+          "* 1000000.0)::BIGINT").mkString(" + ")
+      val pCols = (1 to 4).map(n =>
+        s"(CASE WHEN tot_$n > 0 THEN clip_$n * 1000000 // tot_$n " +
+          s"END)::BIGINT AS p${n}_ppm").mkString(",\n  ")
+      s"""WITH t AS ($SqlGenToks),
+         |lens AS (SELECT doc_id, len(ct)::BIGINT AS cand_len,
+         |  len(rt)::BIGINT AS ref_len FROM t),
+         |g AS (SELECT doc_id, n, ${sqlNgrams("ct", "n")} AS cg,
+         |  ${sqlNgrams("rt", "n")} AS rg
+         |  FROM t CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS n)),
+         |cc AS (SELECT doc_id, n, g2 AS gram, count(*)::BIGINT AS c
+         |  FROM (SELECT doc_id, n, unnest(cg) AS g2 FROM g) GROUP BY 1, 2, 3),
+         |rc AS (SELECT doc_id, n, g2 AS gram, count(*)::BIGINT AS r
+         |  FROM (SELECT doc_id, n, unnest(rg) AS g2 FROM g) GROUP BY 1, 2, 3),
+         |cl AS (SELECT cc.doc_id, cc.n, sum(least(cc.c, rc.r))::BIGINT AS clip
+         |  FROM cc JOIN rc ON cc.doc_id = rc.doc_id AND cc.n = rc.n
+         |    AND cc.gram = rc.gram GROUP BY 1, 2),
+         |pn AS (SELECT g.doc_id, g.n, len(g.cg)::BIGINT AS tot,
+         |  coalesce(cl.clip, 0)::BIGINT AS clip
+         |  FROM g LEFT JOIN cl ON g.doc_id = cl.doc_id AND g.n = cl.n),
+         |pv AS (SELECT doc_id,
+         |  $pv
+         |  FROM pn GROUP BY 1),
+         |q AS (SELECT doc_id, tot_1, clip_1, tot_2, clip_2, tot_3, clip_3,
+         |  tot_4, clip_4, $q1 + $qRest AS qsum FROM pv)
+         |SELECT l.doc_id, l.cand_len, l.ref_len,
+         |  $pCols,
+         |  CASE WHEN l.cand_len > 0 THEN
+         |    floor((qsum::DOUBLE / 4000000.0 + least(0.0,
+         |      1.0 - l.ref_len::DOUBLE / l.cand_len::DOUBLE))
+         |      * 10000.0 + 0.5) / 10000.0 END AS logbleu
+         |FROM lens l LEFT JOIN q ON l.doc_id = q.doc_id
+         |ORDER BY l.doc_id""".stripMargin
+    },
+
+    // chrF: char 1..4-gram clipped P/R averaged over n (all orders must
+    // exist), F-2 combined with the floor-form 4dp quantization.
+    "eval_chrf" -> {
+      def cgrams(l: String) =
+        s"CASE WHEN length($l) >= n THEN list_transform(" +
+          s"range(1, length($l)-n+2), i -> $l[i:i+n-1]) " +
+          s"ELSE []::VARCHAR[] END"
+      s"""WITH t AS ($SqlGenToks),
+         |s AS (SELECT doc_id, array_to_string(ct, '') AS cs,
+         |  array_to_string(rt, '') AS rr FROM t),
+         |g AS (SELECT doc_id, n, ${cgrams("cs")} AS cg,
+         |  ${cgrams("rr")} AS rg
+         |  FROM s CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS n)),
+         |cc AS (SELECT doc_id, n, g2 AS gram, count(*)::BIGINT AS c
+         |  FROM (SELECT doc_id, n, unnest(cg) AS g2 FROM g) GROUP BY 1, 2, 3),
+         |rc AS (SELECT doc_id, n, g2 AS gram, count(*)::BIGINT AS r
+         |  FROM (SELECT doc_id, n, unnest(rg) AS g2 FROM g) GROUP BY 1, 2, 3),
+         |cl AS (SELECT cc.doc_id, cc.n, sum(least(cc.c, rc.r))::BIGINT AS clip
+         |  FROM cc JOIN rc ON cc.doc_id = rc.doc_id AND cc.n = rc.n
+         |    AND cc.gram = rc.gram GROUP BY 1, 2),
+         |pn AS (SELECT g.doc_id, g.n, len(g.cg)::BIGINT AS tot_c,
+         |  len(g.rg)::BIGINT AS tot_r, coalesce(cl.clip, 0)::BIGINT AS clip
+         |  FROM g LEFT JOIN cl ON g.doc_id = cl.doc_id AND g.n = cl.n),
+         |pr AS (SELECT doc_id,
+         |  CASE WHEN tot_c > 0 THEN clip * 1000000 // tot_c END AS p_n,
+         |  CASE WHEN tot_r > 0 THEN clip * 1000000 // tot_r END AS r_n
+         |  FROM pn),
+         |a AS (SELECT doc_id, sum(p_n)::BIGINT AS ps, count(p_n) AS pc,
+         |  sum(r_n)::BIGINT AS rsum, count(r_n) AS rcnt FROM pr GROUP BY 1),
+         |f AS (SELECT doc_id,
+         |  (CASE WHEN pc = 4 THEN ps // 4 END)::BIGINT AS chrp_ppm,
+         |  (CASE WHEN rcnt = 4 THEN rsum // 4 END)::BIGINT AS chrr_ppm
+         |  FROM a)
+         |SELECT doc_id, chrp_ppm, chrr_ppm,
+         |  CASE WHEN chrp_ppm + chrr_ppm > 0 THEN
+         |    floor(5.0 * chrp_ppm * chrr_ppm / (4 * chrp_ppm + chrr_ppm)
+         |      / 100.0 + 0.5) / 10000.0 END AS chrf
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
+
+    // Levenshtein on the ASCII projection (byte == char both engines).
+    "eval_edit" ->
+      s"""WITH t AS ($SqlGenToks),
+         |p AS (SELECT doc_id,
+         |  regexp_replace(array_to_string(ct, ' '), '[^ -~]', '', 'g') AS c,
+         |  regexp_replace(array_to_string(rt, ' '), '[^ -~]', '', 'g') AS r
+         |  FROM t),
+         |d AS (SELECT doc_id, levenshtein(c, r)::BIGINT AS dist,
+         |  greatest(length(c), length(r))::BIGINT AS m FROM p)
+         |SELECT doc_id, dist,
+         |  (CASE WHEN m > 0 THEN (m - dist) * 1000000 // m
+         |   END)::BIGINT AS sim_ppm
+         |FROM d ORDER BY doc_id""".stripMargin,
 
     // Session tagging replayed (lag + gap + cumsum), ladder per
     // (user, session), sessions counted per step.

@@ -394,6 +394,90 @@ object NativeExprs {
   def repetitionMasses(c: Column, n: Int): Column =
     column(RepetitionMassExpr(expression(c), n))
 
+  /** Clipped n-gram overlap between candidate and reference text in ONE
+    * hashmap pass per row, for every n in `ns`: a flat
+    * `[clip_n, tot_cand_n, tot_ref_n]` triple per n, in `ns` order.
+    * `clip = Σ_g min(count_cand(g), count_ref(g))` over distinct grams —
+    * computed by consuming reference counts as candidate grams stream.
+    * Word mode tokenizes exactly like [[graft.ops.text.tokens]]
+    * (lowercase, ASCII-`\s` split, empties dropped); char mode strips
+    * ASCII whitespace (the `\s` class, matching `regexp_replace(c,
+    * '\\s+', '')`) case-preserving and grams by CODEPOINT (matching
+    * Spark substr and DuckDB slicing on non-BMP input). The HOF/explode
+    * composition ([[graft.ops.evals]]'s exploded twin) evaluates
+    * interpreted lambdas per element — measured ~60 ms/doc at 4
+    * n-orders vs microseconds here. */
+  def genOverlapOf(cand: UTF8String, ref: UTF8String, ns: Array[Int],
+      charMode: Boolean): Array[Long] = {
+    def units(u: UTF8String): Array[String] =
+      if (charMode) {
+        val s = u.toString
+        val out = new scala.collection.mutable.ArrayBuffer[String](s.length)
+        var i = 0
+        while (i < s.length) {
+          val cp = s.codePointAt(i)
+          val w = Character.charCount(cp)
+          // ASCII \s class only — Java regex \s without UNICODE flags
+          if (!(cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+              cp == '\f' || cp == '\r'))
+            out += s.substring(i, i + w)
+          i += w
+        }
+        out.toArray
+      } else u.toLowerCase.toString.split("\\s+", -1).filter(_.nonEmpty)
+    val sep = if (charMode) "" else " "
+    def gramAt(ts: Array[String], i: Int, n: Int): String = {
+      val sb = new java.lang.StringBuilder(16)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(sep)
+        sb.append(ts(i + j))
+        j += 1
+      }
+      sb.toString
+    }
+    val cu = units(cand)
+    val ru = units(ref)
+    val out = new Array[Long](ns.length * 3)
+    var k = 0
+    while (k < ns.length) {
+      val n = ns(k)
+      val totC = math.max(cu.length - n + 1, 0)
+      val totR = math.max(ru.length - n + 1, 0)
+      var clip = 0L
+      if (totC > 0 && totR > 0) {
+        val refCounts = new java.util.HashMap[String, Integer](totR * 2)
+        var i = 0
+        while (i <= ru.length - n) {
+          refCounts.merge(gramAt(ru, i, n), 1,
+            (a: Integer, b: Integer) => Integer.valueOf(a + b))
+          i += 1
+        }
+        i = 0
+        while (i <= cu.length - n) {
+          val g = gramAt(cu, i, n)
+          val c = refCounts.get(g)
+          if (c != null && c > 0) {
+            clip += 1L
+            refCounts.put(g, c - 1)
+          }
+          i += 1
+        }
+      }
+      out(k * 3) = clip
+      out(k * 3 + 1) = totC.toLong
+      out(k * 3 + 2) = totR.toLong
+      k += 1
+    }
+    out
+  }
+
+  /** Column: struct(clip_n, tot_c_n, tot_r_n per n in `ns`) of the
+    * clipped n-gram overlap (native, see [[genOverlapOf]]). */
+  def genOverlap(cand: Column, ref: Column, ns: Seq[Int],
+      charMode: Boolean): Column =
+    column(GenOverlapExpr(expression(cand), expression(ref), ns, charMode))
+
   /** Column: native per-row SimHash (see [[SimHashExpr]]). */
   def simhash(c: Column, bits: Int): Column = column(SimHashExpr(expression(c), bits))
 
@@ -816,6 +900,28 @@ case class RepetitionMassExpr(child: Expression, n: Int)
   }
   override protected def withNewChildInternal(newChild: Expression): RepetitionMassExpr =
     copy(child = newChild)
+}
+
+/** Fused clipped n-gram overlap kernel (per-row hashmap pass, see
+  * [[NativeExprs.genOverlapOf]]): struct(clip_n, tot_c_n, tot_r_n) per
+  * n in `ns`. Row-local by construction — the generation-eval meters
+  * built on it ship NO shuffle at all. */
+case class GenOverlapExpr(left: Expression, right: Expression,
+    ns: Seq[Int], charMode: Boolean)
+    extends BinaryExpression with CodegenFallback {
+  require(ns.nonEmpty && ns.forall(_ >= 1), s"gen_overlap needs ns >= 1, got $ns")
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    ns.flatMap(n => Seq(
+      org.apache.spark.sql.types.StructField(s"clip_$n", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(s"tot_c_$n", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(s"tot_r_$n", LongType, nullable = false))))
+  override def prettyName: String = "gen_overlap"
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    InternalRow.fromSeq(NativeExprs.genOverlapOf(l.asInstanceOf[UTF8String],
+      r.asInstanceOf[UTF8String], ns.toArray, charMode).toSeq)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GenOverlapExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Fused quantize + upper-triangle-products kernel for

@@ -239,4 +239,201 @@ object evals {
       .withColumn("r_at_k_ppm", when(col("n_rel_total") > 0L,
         expr("(n_rel_topk * 1000000L) DIV n_rel_total")))
   }
+
+  // ————— generation-overlap metrics (candidate vs reference text) —————
+  // The read-out side of a GENERATION eval set: (id, candidate,
+  // reference) text pairs → clipped n-gram overlap (ROUGE-N / BLEU-n
+  // modified precision), character-n-gram F (chrF), edit similarity.
+  // Same exact-integer discipline as the ranking meters: overlap counts
+  // are exact longs, ratios are truncating ppm quotients, and the one
+  // transcendental (ln, for log-BLEU) is quantized PER TERM to 1e-6
+  // fixed point before the order-free long sum.
+
+  /** Word n-grams of an already-materialized token ARRAY attribute, in
+    * order with multiplicity. HOF lambdas re-evaluate captured
+    * subtrees per element (higher-order functions sit outside
+    * whole-stage codegen), so the token array must be a bound column of
+    * a prior projection, NOT `tokens(text)` inline — inline, a 50-token
+    * document re-tokenizes ~50× per n level (measured 30-70 s at sf0.1
+    * vs ~1 s with the projection). [[text.ngramList]] keeps the
+    * text-input convenience form; this is the hot-path twin. */
+  private def gramsOfToks(ts: Column, n: Int): Column =
+    when(size(ts) >= n,
+      transform(sequence(lit(1), size(ts) - (n - 1)),
+        i => concat_ws(" ", slice(ts, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  private def tagGrams(gs: Column, isCand: Boolean): Column =
+    transform(gs, g => struct(g.as("gram"),
+      lit(if (isCand) 1L else 0L).as("c"),
+      lit(if (isCand) 0L else 1L).as("r")))
+
+  /** `(_id, _ct, _rt)` — pairs with both sides tokenized ONCE into
+    * array attributes (see [[gramsOfToks]] for why this projection is
+    * load-bearing, not style). */
+  private[graft] def tokenized(pairs: DataFrame): DataFrame =
+    pairs.select(col("_id"), text.tokens(col("_cand")).as("_ct"),
+      text.tokens(col("_ref")).as("_rt"))
+
+  /** Per-(pair, n, gram) candidate/reference counts for each n in `ns` —
+    * the EXPLODED executable spec of [[graft.functions.NativeExprs
+    * .genOverlapOf]] (one explode + one hash aggregate keyed on
+    * (id, n, gram)), pinned equal to the kernel in EvalSpec. The
+    * production meters use the kernel: the overlap is pair-LOCAL, so a
+    * per-row pass beats a shuffle at any scale, and interpreted HOF
+    * lambdas made this path ~60 ms/doc at 4 n-orders. */
+  private[graft] def gramCounts(
+      toks: DataFrame, ns: Seq[Int]): DataFrame = {
+    val tagged = ns.map { n =>
+      toks.select(col("_id"), lit(n).as("n"),
+        concat(tagGrams(gramsOfToks(col("_ct"), n), isCand = true),
+          tagGrams(gramsOfToks(col("_rt"), n), isCand = false)).as("_gs"))
+    }.reduce(_ unionAll _)
+    tagged
+      .select(col("_id"), col("n"), explode(col("_gs")).as("e"))
+      .groupBy(col("_id"), col("n"), col("e.gram"))
+      .agg(sum(col("e.c")).as("c"), sum(col("e.r")).as("r"))
+  }
+
+  /** ROUGE-N, both directions: clipped n-gram overlap between candidate
+    * and reference text, per pair. `clip = Σ_g min(count_cand(g),
+    * count_ref(g))` over distinct n-grams g; precision = clip/|cand
+    * n-grams| (BLEU-n's modified precision), recall = clip/|ref n-grams|
+    * (ROUGE-N), F1 = 2·clip/(cand+ref) — all exact truncating ppm. Pairs
+    * where a side has no n-grams surface with NULL in that side's
+    * quotient (audit-then-drop; the row is present).
+    *
+    * Returns `(idCol, cand_n, ref_n, clip, prec_ppm, rec_ppm, f1_ppm)`. */
+  def ngramOverlap(
+      df: DataFrame,
+      idCol: Column,
+      candCol: Column,
+      refCol: Column,
+      n: Int): DataFrame = {
+    require(n >= 1, s"graft: ngramOverlap needs n >= 1, got $n")
+    // one fused per-row pass, NO shuffle (NULL text = empty document,
+    // the corpus-wide NULL contract): scan → project → done
+    val o = graft.functions.NativeExprs.genOverlap(
+      coalesce(candCol, lit("")), coalesce(refCol, lit("")),
+      Seq(n), charMode = false)
+    df.select(idCol.as(idCol.toString), o.as("_o"))
+      .select(col(idCol.toString),
+        col("_o").getField(s"tot_c_$n").as("cand_n"),
+        col("_o").getField(s"tot_r_$n").as("ref_n"),
+        col("_o").getField(s"clip_$n").as("clip"))
+      .withColumn("prec_ppm",
+        when(col("cand_n") > 0L, expr("(clip * 1000000L) DIV cand_n")))
+      .withColumn("rec_ppm",
+        when(col("ref_n") > 0L, expr("(clip * 1000000L) DIV ref_n")))
+      .withColumn("f1_ppm", when(col("cand_n") + col("ref_n") > 0L,
+        expr("(2L * clip * 1000000L) DIV (cand_n + ref_n)")))
+  }
+
+  /** Sentence/segment BLEU up to `maxN`-grams, surfaced in LOG space:
+    * `logbleu = min(0, 1 − ref_len/cand_len) + (1/maxN)·Σₙ ln pₙ` with
+    * Lin–Och add-one smoothing on n ≥ 2 (`pₙ = (clipₙ+1)/(totₙ+1)`) and
+    * unsmoothed p₁ — a pair with zero unigram overlap (or an empty
+    * candidate) gets NULL. `bleu = e^logbleu`, monotone, but `exp()` is
+    * a libm call whose last-ulp rounding is not portable across engines,
+    * so the surfaced score stays in log space (the [[text.lmQualityFilter]]
+    * precedent) — threshold there. Each ln pₙ is quantized to 1e-6 fixed
+    * point per term and summed as longs; the final 4-dp score uses the
+    * floor-form rounding every meter here uses.
+    *
+    * A candidate shorter than n has totₙ = 0: smoothing makes pₙ = 1
+    * (ln = 0), the conventional sentence-BLEU degeneracy, documented
+    * rather than special-cased.
+    *
+    * Returns `(idCol, cand_len, ref_len, p1_ppm..p⟨maxN⟩_ppm, logbleu)`. */
+  def bleu(
+      df: DataFrame,
+      idCol: Column,
+      candCol: Column,
+      refCol: Column,
+      maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 8,
+      s"graft: bleu needs 1 <= maxN <= 8, got $maxN")
+    // one fused per-row kernel pass over all n orders, NO shuffle; the
+    // unigram totals double as the token lengths (tot_1 = len − 1 + 1)
+    val o = graft.functions.NativeExprs.genOverlap(
+      coalesce(candCol, lit("")), coalesce(refCol, lit("")),
+      1 to maxN, charMode = false)
+    val flat = df.select(idCol.as(idCol.toString), o.as("_o"))
+      .select(Seq(col(idCol.toString),
+        col("_o").getField("tot_c_1").as("cand_len"),
+        col("_o").getField("tot_r_1").as("ref_len")) ++
+        (1 to maxN).flatMap(n => Seq(
+          col("_o").getField(s"clip_$n").as(s"clip_$n"),
+          col("_o").getField(s"tot_c_$n").as(s"tot_$n"))): _*)
+    // per-n quantized ln pₙ (1e-6 longs); NULL propagates from an
+    // unsmoothed zero p₁ through the sum into logbleu, by design
+    val qTerms = (1 to maxN).map { n =>
+      val (num, den) =
+        if (n == 1) (col("clip_1").cast("double"), col("tot_1").cast("double"))
+        else ((col(s"clip_$n") + 1L).cast("double"),
+          (col(s"tot_$n") + 1L).cast("double"))
+      val q = floor(log(num / den) * 1e6).cast("long")
+      if (n == 1) when(col("clip_1") > 0L && col("tot_1") > 0L, q) else q
+    }
+    val pPpm = (1 to maxN).map { n =>
+      when(col(s"tot_$n") > 0L,
+        expr(s"(clip_$n * 1000000L) DIV tot_$n")).as(s"p${n}_ppm")
+    }
+    flat.select(Seq(col(idCol.toString), col("cand_len"),
+      col("ref_len")) ++ pPpm :+
+      when(col("cand_len") > 0L,
+        floor((qTerms.reduce(_ + _).cast("double") / (maxN * 1e6) +
+          least(lit(0.0), lit(1.0) -
+            col("ref_len").cast("double") / col("cand_len").cast("double")))
+          * 10000.0 + 0.5) / 10000.0).as("logbleu"): _*)
+  }
+
+  /** chrF (Popović 2015): character-n-gram F-β between candidate and
+    * reference, n = 1..`maxN` averaged, β² weighting recall (β = 2 by
+    * convention). Whitespace is removed first (the chrF standard — word
+    * boundaries are the WORD metrics' job). Per-n clipped precision and
+    * recall are exact ppm longs; the n-average and F-β combine are the
+    * same floor-form 4-dp quantization as every meter here. Pairs with
+    * a side shorter than `maxN` characters after whitespace-stripping
+    * (so not all n orders exist) surface NULL for that side's average.
+    *
+    * Returns `(idCol, chrp_ppm, chrr_ppm, chrf)` where chrp/chrr are the
+    * n-averaged ppm precisions/recalls and chrf the F-β (4 dp). */
+  def chrF(
+      df: DataFrame,
+      idCol: Column,
+      candCol: Column,
+      refCol: Column,
+      maxN: Int = 4,
+      beta: Int = 2): DataFrame = {
+    require(maxN >= 1 && beta >= 1,
+      s"graft: chrF needs maxN >= 1 and beta >= 1, got ($maxN, $beta)")
+    // stripped strings are projected ONCE to bound attributes — the HOF
+    // lambdas below re-evaluate captured subtrees per element, so an
+    // one fused per-row kernel pass over all char-gram orders, NO
+    // shuffle; whitespace-stripping happens inside the kernel
+    val o = graft.functions.NativeExprs.genOverlap(
+      coalesce(candCol, lit("")), coalesce(refCol, lit("")),
+      1 to maxN, charMode = true)
+    val flat = df.select(idCol.as(idCol.toString), o.as("_o"))
+    // n-averaged ppm P/R: mean over n of exact per-n ppm quotients —
+    // integer DIV per n, then an integer DIV by the n-count, still
+    // exact. All n orders must exist on a side (tot_maxN > 0 implies
+    // the rest, but the conjunction states the contract directly).
+    val allC = (1 to maxN).map(n => col(s"_o.tot_c_$n") > 0L).reduce(_ && _)
+    val allR = (1 to maxN).map(n => col(s"_o.tot_r_$n") > 0L).reduce(_ && _)
+    def avgPpm(tot: String): Column = expr("(" +
+      (1 to maxN).map(n => s"((_o.clip_$n * 1000000L) DIV _o.${tot}_$n)")
+        .mkString(" + ") + s") DIV ${maxN}L")
+    val b2 = beta * beta
+    flat
+      .select(col(idCol.toString),
+        when(allC, avgPpm("tot_c")).as("chrp_ppm"),
+        when(allR, avgPpm("tot_r")).as("chrr_ppm"))
+      .select(col(idCol.toString), col("chrp_ppm"), col("chrr_ppm"),
+        when(col("chrp_ppm") + col("chrr_ppm") > 0L,
+          floor(lit(1.0 + b2) * col("chrp_ppm") * col("chrr_ppm") /
+            (lit(b2) * col("chrp_ppm") + col("chrr_ppm")) / 100.0 + 0.5)
+            / 10000.0).as("chrf"))
+  }
 }

@@ -129,4 +129,109 @@ class EvalSpec extends SparkSpec {
     assert(got(1).getLong(3) == 0L && got(1).isNullAt(4),
       "no relevant items -> recall undefined, precision 0")
   }
+
+  test("ngramOverlap: hand clip counts at n=1 and n=2, with multiplicity") {
+    val df = Seq(
+      (1L, "the cat sat", "the cat ate"),
+      (2L, "a a a", "a a"),
+      (3L, "", "the cat")
+    ).toDF("id", "cand", "ref")
+    val u = evals.ngramOverlap(df, col("id"), col("cand"), col("ref"), 1)
+      .orderBy("id").collect()
+    // pair 1: unigram clip = {the, cat} = 2 of 3/3
+    assert((u(0).getLong(1), u(0).getLong(2), u(0).getLong(3)) == ((3L, 3L, 2L)))
+    assert(u(0).getLong(4) == 666666L && u(0).getLong(5) == 666666L
+      && u(0).getLong(6) == 666666L)
+    // pair 2: clipping caps "a" at the reference's 2, recall is exact 1
+    assert(u(1).getLong(3) == 2L && u(1).getLong(4) == 666666L
+      && u(1).getLong(5) == 1000000L)
+    // pair 3: empty candidate -> precision NULL, recall 0, row present
+    assert(u(2).getLong(1) == 0L && u(2).isNullAt(4)
+      && u(2).getLong(5) == 0L)
+    val b = evals.ngramOverlap(df, col("id"), col("cand"), col("ref"), 2)
+      .orderBy("id").collect()
+    // pair 1 bigrams: cand {the cat, cat sat}, ref {the cat, cat ate}
+    assert(b(0).getLong(3) == 1L && b(0).getLong(4) == 500000L)
+  }
+
+  test("bleu: identity scores logbleu 0; short candidate pays exact BP") {
+    val df = Seq(
+      (1L, "the cat sat on the mat", "the cat sat on the mat"),
+      (2L, "the cat", "the cat sat"),
+      (3L, "x y z", "p q r")
+    ).toDF("id", "cand", "ref")
+    val got = evals.bleu(df, col("id"), col("cand"), col("ref"), maxN = 4)
+      .orderBy("id").collect()
+    // identity: every p_n = 1e6, BP = 0 -> logbleu exactly 0
+    assert(got(0).getLong(3) == 1000000L && got(0).getLong(6) == 1000000L)
+    assert(got(0).getDouble(7) == 0.0)
+    // pair 2: p1 = 1, p2 smoothed (1+1)/(1+1) = 1, p3/p4 degenerate 1;
+    // BP = 1 - 3/2 = -0.5 exactly
+    assert(got(1).getDouble(7) == -0.5)
+    // zero unigram overlap -> unsmoothed p1 = 0 -> NULL, row present
+    assert(got(2).isNullAt(7) && got(2).getLong(3) == 0L)
+  }
+
+  test("genOverlap kernel == exploded gramCounts twin (word, unicode)") {
+    val df = Seq(
+      (1L, "the cat sat on the mat", "the cat ate on the mat the cat"),
+      (2L, "a a a b", "a a b b"),
+      (3L, "", "x y"),
+      (4L, "é … ü tok", "é ü … tok")
+    ).toDF("id", "cand", "ref")
+    val ns = Seq(1, 2, 3)
+    val o = graft.functions.NativeExprs.genOverlap(col("cand"), col("ref"),
+      ns, charMode = false)
+    val kernel = df.select(col("id") +: ns.flatMap(n => Seq(
+        o.getField(s"clip_$n"), o.getField(s"tot_c_$n"),
+        o.getField(s"tot_r_$n"))): _*)
+      .orderBy("id").collect()
+    val toks = evals.tokenized(df.select(col("id").as("_id"),
+      col("cand").as("_cand"), col("ref").as("_ref")))
+    val exploded = evals.gramCounts(toks, ns)
+      .groupBy(col("_id"), col("n"))
+      .agg(sum(least(col("c"), col("r"))).as("clip"),
+        sum(col("c")).as("tc"), sum(col("r")).as("tr"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    for (row <- kernel; (n, j) <- ns.zipWithIndex) {
+      val got = (row.getLong(1 + j * 3), row.getLong(2 + j * 3),
+        row.getLong(3 + j * 3))
+      val want = exploded.getOrElse((row.getLong(0), n), (0L, 0L, 0L))
+      assert(got == want, s"id=${row.getLong(0)} n=$n kernel=$got hof=$want")
+    }
+  }
+
+  test("genOverlap char mode: codepoint grams, ASCII whitespace stripped") {
+    val df = Seq((1L, "ab cd", "abcd"), (2L, "a…b", "…ab"))
+      .toDF("id", "cand", "ref")
+    val o = graft.functions.NativeExprs.genOverlap(col("cand"), col("ref"),
+      Seq(1, 2), charMode = true)
+    val got = df.select(col("id"), o.getField("clip_1"), o.getField("tot_c_1"),
+        o.getField("clip_2"), o.getField("tot_c_2"))
+      .orderBy("id").collect()
+    // pair 1: both strip to "abcd" -> 4/4 unigrams, 3/3 bigrams
+    assert((got(0).getLong(1), got(0).getLong(2), got(0).getLong(3),
+      got(0).getLong(4)) == ((4L, 4L, 3L, 3L)))
+    // pair 2: unigram multisets equal ({a, ..., b}), bigrams disjoint —
+    // and the ellipsis is ONE codepoint unit, not three UTF-8 bytes
+    assert((got(1).getLong(1), got(1).getLong(3)) == ((3L, 0L)))
+  }
+
+  test("chrF: identity is 1.0; disjoint is 0; short side is NULL") {
+    val df = Seq(
+      (1L, "the cat", "the cat"),
+      (2L, "aaaaaa", "bbbbbb"),
+      (3L, "abc", "abcdef")
+    ).toDF("id", "cand", "ref")
+    val got = evals.chrF(df, col("id"), col("cand"), col("ref"),
+      maxN = 4, beta = 2).orderBy("id").collect()
+    assert(got(0).getLong(1) == 1000000L && got(0).getLong(2) == 1000000L
+      && got(0).getDouble(3) == 1.0)
+    assert(got(1).getLong(1) == 0L && got(1).isNullAt(3),
+      "0/0 F-beta is NULL, precision reads exact 0")
+    // cand "abc" has only n=1..3 grams -> not all 4 orders -> NULL avg
+    assert(got(2).isNullAt(1))
+  }
 }
