@@ -3524,6 +3524,37 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // north-star: reliability diagram of the linearly calibrated cosine
+    // scorer (the eval_logloss fixture) — per-bin exact counts and the
+    // |acc − conf| gap numerator; the whole grid is one hash aggregate.
+    "eval_reliability" -> ((s, dir) =>
+      evals.reliability(table(s, dir, "embeddings"),
+          (scoreQ4(col("embedding"), Q1) + lit(10000L)) * lit(50L),
+          col("label") < 5, bins = 10)
+        .orderBy(col("bin"))),
+
+    // north-star: expected + max calibration error — exact-integer ECE
+    // (bin weights cancel against per-bin denominators, so no float).
+    "eval_ece" -> ((s, dir) =>
+      evals.ece(table(s, dir, "embeddings"),
+        (scoreQ4(col("embedding"), Q1) + lit(10000L)) * lit(50L),
+        col("label") < 5, bins = 10)),
+
+    // north-star: exact Spearman rank agreement between two scorers
+    // (Q1 vs Q2 cosine) — doubled mid-ranks from bounded value grids,
+    // one IEEE sqrt chain for rho.
+    "eval_spearman" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      evals.spearman(e, scoreQ4(col("embedding"), Q1),
+        scoreQ4(col("embedding"), Q2))
+    }),
+
+    // north-star: corpus distinct-n generation-diversity read-out.
+    "eval_distinct_n" -> ((s, dir) =>
+      evals.distinctNgrams(table(s, dir, "documents"), col("text"),
+          Seq(1, 2))
+        .orderBy(col("n"))),
+
     // north-star: session-scoped funnel — the ladder must complete in
     // one visit; one user-keyed exchange feeds tagging and steps.
     "events_session_funnel" -> ((s, dir) =>
@@ -7902,6 +7933,76 @@ object SparkEntry {
          |  (CASE WHEN m > 0 THEN (m - dist) * 1000000 // m
          |   END)::BIGINT AS sim_ppm
          |FROM d ORDER BY doc_id""".stripMargin,
+
+    // Calibration grid over the eval_logloss scorer fixture.
+    "eval_reliability" ->
+      s"""WITH sc AS (SELECT (${sqlScoreQ4(Q1)} + 10000) * 50 AS p,
+         |  (label < 5)::BIGINT AS y
+         |  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL),
+         |b AS (SELECT least((p * 10) // 1000000, 9)::BIGINT AS bin, p, y
+         |  FROM sc),
+         |g AS (SELECT bin, count(*)::BIGINT AS n, sum(y)::BIGINT AS pos,
+         |  sum(p)::BIGINT AS conf_sum FROM b GROUP BY 1)
+         |SELECT bin, n, pos, conf_sum,
+         |  (pos * 1000000 // n)::BIGINT AS acc_ppm,
+         |  (conf_sum // n)::BIGINT AS conf_ppm,
+         |  abs(pos * 1000000 - conf_sum)::BIGINT AS gap_abs
+         |FROM g ORDER BY bin""".stripMargin,
+
+    // ECE/MCE: bin weights cancel -> one exact quotient each.
+    "eval_ece" ->
+      s"""WITH sc AS (SELECT (${sqlScoreQ4(Q1)} + 10000) * 50 AS p,
+         |  (label < 5)::BIGINT AS y
+         |  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL),
+         |b AS (SELECT least((p * 10) // 1000000, 9)::BIGINT AS bin, p, y
+         |  FROM sc),
+         |g AS (SELECT bin, count(*)::BIGINT AS n,
+         |  abs(sum(y) * 1000000 - sum(p))::BIGINT AS gap_abs FROM b GROUP BY 1)
+         |SELECT sum(n)::BIGINT AS n_total,
+         |  (sum(gap_abs) // sum(n))::BIGINT AS ece_ppm,
+         |  max(gap_abs // n)::BIGINT AS mce_ppm
+         |FROM g""".stripMargin,
+
+    // Doubled mid-ranks from value grids; rank sums are n(n+1) exactly.
+    "eval_spearman" ->
+      s"""WITH sc AS (SELECT ${sqlScoreQ4(Q1)} AS x, ${sqlScoreQ4(Q2)} AS y
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |gx AS (SELECT x AS v, count(*)::BIGINT AS cnt FROM sc GROUP BY 1),
+         |cx AS (SELECT v, (2 * coalesce(sum(cnt) OVER (ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    + cnt + 1)::BIGINT AS r FROM gx),
+         |gy AS (SELECT y AS v, count(*)::BIGINT AS cnt FROM sc GROUP BY 1),
+         |cy AS (SELECT v, (2 * coalesce(sum(cnt) OVER (ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    + cnt + 1)::BIGINT AS r FROM gy),
+         |j AS (SELECT cx.r AS rx, cy.r AS ry FROM sc
+         |  JOIN cx ON sc.x = cx.v JOIN cy ON sc.y = cy.v),
+         |a AS (SELECT count(*)::BIGINT AS n, sum(rx * ry)::BIGINT AS sxy,
+         |  sum(rx * rx)::BIGINT AS sxx, sum(ry * ry)::BIGINT AS syy FROM j),
+         |f AS (SELECT n,
+         |  (n * sxy - n * (n + 1) * n * (n + 1))::BIGINT AS num,
+         |  (n * sxx - n * (n + 1) * n * (n + 1))::BIGINT AS den_x,
+         |  (n * syy - n * (n + 1) * n * (n + 1))::BIGINT AS den_y FROM a)
+         |SELECT n, num, den_x, den_y,
+         |  CASE WHEN den_x > 0 AND den_y > 0 THEN
+         |    floor(num::DOUBLE / sqrt(den_x::DOUBLE) / sqrt(den_y::DOUBLE)
+         |      * 10000.0 + 0.5) / 10000.0 END AS rho
+         |FROM f""".stripMargin,
+
+    // Corpus distinct-n diversity: exact distinct over total grams.
+    "eval_distinct_n" ->
+      s"""WITH t AS (SELECT $SqlToks AS toks FROM documents),
+         |g1 AS (SELECT unnest(${sqlNgrams("toks", "1")}) AS g FROM t),
+         |a1 AS (SELECT 1::BIGINT AS n, count(*)::BIGINT AS total,
+         |  count(DISTINCT g)::BIGINT AS uniq FROM g1),
+         |g2 AS (SELECT unnest(${sqlNgrams("toks", "2")}) AS g FROM t),
+         |a2 AS (SELECT 2::BIGINT AS n, count(*)::BIGINT AS total,
+         |  count(DISTINCT g)::BIGINT AS uniq FROM g2),
+         |u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+         |SELECT n, total, uniq,
+         |  (CASE WHEN total > 0 THEN uniq * 1000000 // total
+         |   END)::BIGINT AS distinct_ppm
+         |FROM u ORDER BY n""".stripMargin,
 
     // Session tagging replayed (lag + gap + cumsum), ladder per
     // (user, session), sessions counted per step.

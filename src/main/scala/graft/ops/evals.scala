@@ -240,6 +240,135 @@ object evals {
         expr("(n_rel_topk * 1000000L) DIV n_rel_total")))
   }
 
+  /** Reliability diagram (calibration read-out): predictions binned by
+    * confidence into `bins` equal-width ppm buckets; per bin the exact
+    * count, positive count, confidence mass, and the |accuracy −
+    * confidence| gap. Everything is exact integers: with `probPpm` in
+    * [0, 1e6], `gap_abs = |pos_b·1e6 − Σprob_b|` is the bin's
+    * numerator over the common denominator `n_b·1e6`, so
+    * `ECE = Σ_b gap_abs / (N·1e6)` — see [[ece]] — with no float in
+    * sight. One hash aggregate to a ≤`bins`-row grid.
+    *
+    * Returns `(bin, n, pos, conf_sum, acc_ppm, conf_ppm, gap_abs)`
+    * ordered by bin; empty bins are absent (audit-then-drop: the grid
+    * is a read-out, a missing bin reads as no traffic). */
+  def reliability(
+      df: DataFrame,
+      probPpmCol: Column,
+      labelCol: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"graft: reliability needs bins >= 2, got $bins")
+    df.select(probPpmCol.cast("long").as("_p"),
+        labelCol.cast("boolean").cast("long").as("_y"))
+      .where(col("_p").isNotNull && col("_y").isNotNull)
+      .select(least(expr(s"(_p * ${bins}L) DIV 1000000L"), lit(bins - 1L))
+        .as("bin"), col("_p"), col("_y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("_y")).as("pos"),
+        sum(col("_p")).as("conf_sum"))
+      .select(col("bin"), col("n"), col("pos"), col("conf_sum"),
+        expr("(pos * 1000000L) DIV n").as("acc_ppm"),
+        expr("conf_sum DIV n").as("conf_ppm"),
+        abs(col("pos") * lit(1000000L) - col("conf_sum")).as("gap_abs"))
+  }
+
+  /** Expected + maximum calibration error from the [[reliability]] grid:
+    * `ece_ppm = (Σ_b |pos_b·1e6 − Σprob_b|) DIV N` (exact — the bin
+    * weights n_b/N cancel against the per-bin denominators) and
+    * `mce_ppm = max_b gap_abs·1e6 / (n_b·1e6)` (the worst bin's gap).
+    * One row `(n_total, ece_ppm, mce_ppm)`. */
+  def ece(
+      df: DataFrame,
+      probPpmCol: Column,
+      labelCol: Column,
+      bins: Int = 10): DataFrame =
+    reliability(df, probPpmCol, labelCol, bins)
+      .select(col("n"), col("gap_abs"),
+        expr("gap_abs DIV n").as("_bin_gap_ppm"))
+      .agg(sum(col("n")).as("n_total"), sum(col("gap_abs")).as("_g"),
+        max(col("_bin_gap_ppm")).as("mce_ppm"))
+      .select(col("n_total"), expr("_g DIV n_total").as("ece_ppm"),
+        col("mce_ppm"))
+
+  /** Exact Spearman rank correlation between two quantized scores, ties
+    * at average rank. Doubled mid-ranks keep everything in longs (the
+    * [[aucRank]] identity: a tie group of `cnt` rows after `below`
+    * smaller values has doubled mid-rank `2·below + cnt + 1`); the rank
+    * maps are VALUE GRIDS (bounded by the quantization domain, the
+    * [[graft.ops.rel.rfm]] discipline) broadcast back onto the rows, so
+    * the only row-volume costs are two grid aggregates and one final
+    * sum. `rho = (n·Sxy − Sx·Sy) / √(n·Sxx − Sx²) / √(n·Syy − Sy²)`
+    * over doubled ranks — numerator and both radicands surfaced as
+    * exact longs, rho as the one 4-dp-quantized float chain (IEEE sqrt
+    * is correctly rounded, so the chain is engine-identical).
+    *
+    * Long-exactness ceiling: `n·Sxx ≤ 4n⁴` caps the EVAL SET at ~38k
+    * rows before int64 wraps — an eval set, not a corpus; pre-sample
+    * larger sets (the [[aucRank]] guidance, tighter here because ranks
+    * enter squared).
+    *
+    * Returns one row `(n, num, den_x, den_y, rho)`. */
+  def spearman(
+      df: DataFrame,
+      xCol: Column,
+      yCol: Column): DataFrame = {
+    val rows = df.select(xCol.as("_x"), yCol.as("_y"))
+      .where(col("_x").isNotNull && col("_y").isNotNull)
+    def rankGrid(c: String): DataFrame = {
+      val g = rows.groupBy(col(c).as("_v")).agg(count(lit(1)).as("_cnt"))
+      val w = windows.boundedGlobal(s"spearman-$c-grid", col("_v"))
+        .orderBy(col("_v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      g.withColumn("_below", coalesce(sum(col("_cnt")).over(w), lit(0L)))
+        .select(col("_v").as(s"_k$c"),
+          (lit(2L) * col("_below") + col("_cnt") + lit(1L)).as(s"_r$c"))
+    }
+    rows
+      .join(broadcast(rankGrid("_x")), col("_x") === col("_k_x"))
+      .join(broadcast(rankGrid("_y")), col("_y") === col("_k_y"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_r_x") * col("_r_y")).as("_sxy"),
+        sum(col("_r_x") * col("_r_x")).as("_sxx"),
+        sum(col("_r_y") * col("_r_y")).as("_syy"))
+      .select(col("n"),
+        // Σ2r = n(n+1) identically (rank sums are fixed), so the
+        // centering terms need no extra aggregate
+        (col("n") * col("_sxy") - col("n") * (col("n") + 1L)
+          * col("n") * (col("n") + 1L)).as("num"),
+        (col("n") * col("_sxx") - col("n") * (col("n") + 1L)
+          * col("n") * (col("n") + 1L)).as("den_x"),
+        (col("n") * col("_syy") - col("n") * (col("n") + 1L)
+          * col("n") * (col("n") + 1L)).as("den_y"))
+      .withColumn("rho", when(col("den_x") > 0L && col("den_y") > 0L,
+        floor(col("num").cast("double") /
+          sqrt(col("den_x").cast("double")) /
+          sqrt(col("den_y").cast("double")) * 10000.0 + 0.5) / 10000.0))
+  }
+
+  /** Corpus n-gram diversity (distinct-n, Li et al. 2016): distinct
+    * word n-grams over total n-grams, the standard
+    * generation-diversity read-out (low distinct-2 = the model repeats
+    * itself). Exact: one explode, one distinct-aggregate keyed on the
+    * gram (map-side combined), ppm quotient. One row per n.
+    *
+    * Returns `(n, total, uniq, distinct_ppm)` ordered by n. */
+  def distinctNgrams(
+      df: DataFrame,
+      textCol: Column,
+      ns: Seq[Int] = Seq(1, 2)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1),
+      s"graft: distinctNgrams needs ns >= 1, got $ns")
+    val toks = df.select(text.tokens(textCol).as("_ts"))
+    ns.map { n =>
+      toks.select(explode(gramsOfToks(col("_ts"), n)).as("_g"))
+        .agg(count(lit(1)).as("total"),
+          count_distinct(col("_g")).as("uniq"))
+        .select(lit(n.toLong).as("n"), col("total"), col("uniq"),
+          when(col("total") > 0L, expr("(uniq * 1000000L) DIV total"))
+            .as("distinct_ppm"))
+    }.reduce(_ unionAll _)
+  }
+
   // ————— generation-overlap metrics (candidate vs reference text) —————
   // The read-out side of a GENERATION eval set: (id, candidate,
   // reference) text pairs → clipped n-gram overlap (ROUGE-N / BLEU-n

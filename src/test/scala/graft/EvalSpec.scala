@@ -172,6 +172,47 @@ class EvalSpec extends SparkSpec {
     assert(got(2).isNullAt(7) && got(2).getLong(3) == 0L)
   }
 
+  test("reliability + ece: hand-binned gaps; bin weights cancel exactly") {
+    val df = Seq((100000L, 0), (300000L, 1), (600000L, 1), (900000L, 1))
+      .toDF("p", "y")
+    val grid = evals.reliability(df, col("p"), col("y"), bins = 2)
+      .orderBy("bin").collect()
+    // bin 0: n=2 pos=1 conf_sum=400000 -> acc 500000, conf 200000,
+    // gap |1e6 - 4e5| = 600000; bin 1: n=2 pos=2 conf_sum=1500000 ->
+    // gap |2e6 - 1.5e6| = 500000
+    assert((grid(0).getLong(1), grid(0).getLong(2), grid(0).getLong(4),
+      grid(0).getLong(5), grid(0).getLong(6)) ==
+      ((2L, 1L, 500000L, 200000L, 600000L)))
+    assert(grid(1).getLong(6) == 500000L)
+    val e = evals.ece(df, col("p"), col("y"), bins = 2).head()
+    // ece = (600000 + 500000) DIV 4 = 275000; mce = 600000 DIV 2
+    assert((e.getLong(0), e.getLong(1), e.getLong(2)) ==
+      ((4L, 275000L, 300000L)))
+  }
+
+  test("spearman: monotone 1.0, inverted -1.0, perfect-tie NULL") {
+    val mono = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("x", "y")
+    val m = evals.spearman(mono, col("x"), col("y")).head()
+    assert(m.getLong(1) == m.getLong(2) && m.getDouble(4) == 1.0)
+    val inv = Seq((1L, 40L), (2L, 30L), (3L, 20L), (4L, 10L)).toDF("x", "y")
+    assert(evals.spearman(inv, col("x"), col("y")).head().getDouble(4)
+      == -1.0)
+    // all-tied x -> zero rank variance -> rho undefined, NULL
+    val tied = Seq((5L, 1L), (5L, 2L), (5L, 3L)).toDF("x", "y")
+    assert(evals.spearman(tied, col("x"), col("y")).head().isNullAt(4))
+  }
+
+  test("distinctNgrams: hand unique/total counts per n") {
+    val df = Seq(Tuple1("a b a b"), Tuple1("a b")).toDF("text")
+    val got = evals.distinctNgrams(df, col("text"), Seq(1, 2))
+      .orderBy("n").collect()
+    // 1-grams: 6 total, {a, b} unique; 2-grams: 4 total, {a b, b a} uniq
+    assert((got(0).getLong(1), got(0).getLong(2), got(0).getLong(3)) ==
+      ((6L, 2L, 333333L)))
+    assert((got(1).getLong(1), got(1).getLong(2), got(1).getLong(3)) ==
+      ((4L, 2L, 500000L)))
+  }
+
   test("genOverlap kernel == exploded gramCounts twin (word, unicode)") {
     val df = Seq(
       (1L, "the cat sat on the mat", "the cat ate on the mat the cat"),
