@@ -124,6 +124,41 @@ object NativeExprs {
   /** Column: word n-grams with multiplicity (native). */
   def wordGrams(c: Column, n: Int): Column = column(WordGramsExpr(expression(c), n))
 
+  /** DISTINCT word n-grams as h63 longs, one compiled pass — the fused
+    * form of `array_distinct(transform(wordGrams(c, n), h63))`. The
+    * compositional twin digests every gram TWICE (h32 + h32b each call
+    * md5; interpreted lambdas get no CSE) and materializes the string
+    * grams; this pays one digest per distinct gram and never surfaces
+    * the strings. Bit-identical by construction: h63 = first-word·2³¹ +
+    * (second-word mod 2³¹) of the one md5 ([[graft.functions.hashing
+    * .h63]]), pinned in NativeExprsSpec. */
+  def hashedGramSetOf(text: UTF8String, n: Int): Array[Long] = {
+    val grams = wordGramsOf(text, n)
+    if (grams.isEmpty) return Array.empty
+    val seen = new java.util.LinkedHashSet[Long](grams.length * 2)
+    var i = 0
+    while (i < grams.length) {
+      val d = digest.get()
+      d.reset()
+      val h = d.digest(grams(i).getBytes)
+      val h32 = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+      val h32b = ((h(4) & 0xffL) << 24) | ((h(5) & 0xffL) << 16) |
+        ((h(6) & 0xffL) << 8) | (h(7) & 0xffL)
+      seen.add(h32 * 2147483648L + (h32b % 2147483648L))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    out
+  }
+
+  /** Column: distinct word n-gram h63 hashes (native fused pass). */
+  def hashedGramSet(c: Column, n: Int): Column =
+    column(HashedGramSetExpr(expression(c), n))
+
   /** Fused char-entropy accumulator: sort a copy of the doc's UTF-16
     * code units, count equal runs, and accumulate the EXACT fixed-point
     * sum `Σ floor(cnt·ln(cnt)·1e6)` — the same per-character arithmetic
@@ -857,6 +892,19 @@ case class WordGramsExpr(child: Expression, n: Int)
     new GenericArrayData(
       NativeExprs.wordGramsOf(input.asInstanceOf[UTF8String], n).asInstanceOf[Array[Any]])
   override protected def withNewChildInternal(newChild: Expression): WordGramsExpr =
+    copy(child = newChild)
+}
+
+/** Fused distinct-gram h63 digest (see [[NativeExprs.hashedGramSetOf]]):
+  * one md5 per gram, longs out, no intermediate string array. */
+case class HashedGramSetExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_gram_set"
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      NativeExprs.hashedGramSetOf(input.asInstanceOf[UTF8String], n))
+  override protected def withNewChildInternal(newChild: Expression): HashedGramSetExpr =
     copy(child = newChild)
 }
 

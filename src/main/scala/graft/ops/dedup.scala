@@ -1335,18 +1335,23 @@ object dedup {
       idCol: String,
       n: Int = 8): DataFrame = {
     require(n >= 1, s"graft: ngramNovelty needs n >= 1, got $n")
-    // bind the gram-hash array ONCE (HOF lambdas get no CSE), distinct
-    // per doc: novelty is a set metric
-    val grams = df.select(col(idCol),
-      array_distinct(transform(
-        graft.functions.NativeExprs.wordGrams(col(textCol), n),
-        g => hashing.h63(g))).as("_gs"))
-      .where(size(col("_gs")) > 0)
-    val perDoc = grams.select(col(idCol), size(col("_gs")).cast("long").as("n_grams"))
-    val exploded = grams.select(col(idCol), explode(col("_gs")).as("_g"))
+    // Fused kernel: distinct gram h63s in one compiled pass (one digest
+    // per gram; the transform(wordGrams, h63) composition pays two
+    // digests per gram interpreted). Both downstream aggregates consume
+    // the SAME repartition(_g) subtree, so ReuseExchange computes the
+    // gram projection ONCE — the gram-keyed exchange is the shuffle the
+    // first-ownership aggregate needs anyway, and the per-doc count
+    // re-shuffles only thin (id, gram) longs. Docs with no grams drop
+    // at the explode (excluded by contract).
+    val exploded = df
+      .select(col(idCol), explode(
+        graft.functions.NativeExprs.hashedGramSet(col(textCol), n)).as("_g"))
+      .repartition(col("_g"))
     val firsts = exploded.groupBy(col("_g"))
       .agg(min(col(idCol)).as("_fid"))
       .groupBy(col("_fid")).agg(count(lit(1)).as("_n_first"))
+    val perDoc = exploded.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"))
     perDoc.join(firsts, perDoc(idCol) === firsts("_fid"), "left")
       .select(col(idCol), col("n_grams"),
         (col("n_grams") - coalesce(col("_n_first"), lit(0L))).as("n_seen"))
@@ -1374,16 +1379,19 @@ object dedup {
       idCol: String,
       n: Int = 5): DataFrame = {
     require(n >= 1, s"graft: crossNovelty needs n >= 1, got $n")
-    def gramsOf(d: DataFrame) = d.select(col(idCol),
-      array_distinct(transform(
-        graft.functions.NativeExprs.wordGrams(col(textCol), n),
-        g => hashing.h63(g))).as("_gs"))
-      .where(size(col("_gs")) > 0)
-    val cand = gramsOf(candidates)
-    val perDoc = cand.select(col(idCol), size(col("_gs")).cast("long").as("n_grams"))
-    val refSet = gramsOf(reference)
-      .select(explode(col("_gs")).as("_g")).distinct()
-    val known = cand.select(col(idCol), explode(col("_gs")).as("_g"))
+    // fused kernel ([[graft.functions.NativeExprs.hashedGramSet]]: one
+    // digest per gram) + the ngramNovelty exchange-reuse shape: both
+    // candidate consumers read the SAME repartition(_g) subtree, and
+    // the gram-keyed exchange is what the semi-join needs anyway
+    val cexp = candidates
+      .select(col(idCol), explode(
+        graft.functions.NativeExprs.hashedGramSet(col(textCol), n)).as("_g"))
+      .repartition(col("_g"))
+    val perDoc = cexp.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    val refSet = reference.select(explode(
+        graft.functions.NativeExprs.hashedGramSet(col(textCol), n)).as("_g"))
+      .distinct()
+    val known = cexp
       .join(refSet, Seq("_g"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_known"))
     perDoc.join(known, Seq(idCol), "left")
@@ -1406,9 +1414,8 @@ object dedup {
       textCol: String,
       path: String,
       n: Int = 5): Unit =
-    reference.select(explode(array_distinct(transform(
-        graft.functions.NativeExprs.wordGrams(col(textCol), n),
-        g => hashing.h63(g)))).as("g"))
+    reference.select(explode(
+        graft.functions.NativeExprs.hashedGramSet(col(textCol), n)).as("g"))
       .distinct()
       .write.mode("overwrite").parquet(path)
 
@@ -1423,13 +1430,12 @@ object dedup {
       idCol: String,
       n: Int = 5): DataFrame = {
     val spark = candidates.sparkSession
-    val cand = candidates.select(col(idCol),
-      array_distinct(transform(
-        graft.functions.NativeExprs.wordGrams(col(textCol), n),
-        g => hashing.h63(g))).as("_gs"))
-      .where(size(col("_gs")) > 0)
-    val perDoc = cand.select(col(idCol), size(col("_gs")).cast("long").as("n_grams"))
-    val known = cand.select(col(idCol), explode(col("_gs")).as("_g"))
+    val cexp = candidates
+      .select(col(idCol), explode(
+        graft.functions.NativeExprs.hashedGramSet(col(textCol), n)).as("_g"))
+      .repartition(col("_g"))
+    val perDoc = cexp.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    val known = cexp
       .join(spark.read.parquet(gramSetPath).select(col("g").as("_g")),
         Seq("_g"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_known"))

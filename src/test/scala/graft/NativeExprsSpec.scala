@@ -92,6 +92,22 @@ class NativeExprsSpec extends SparkSpec {
     assert(rep == Seq("x x x", "x x x"))
   }
 
+  test("fused hashedGramSet equals array_distinct(transform(wordGrams, h63))") {
+    def hof(n: Int) = array_distinct(transform(
+      NativeExprs.wordGrams(col("text"), n), g => graft.functions.hashing.h63(g)))
+    for (n <- Seq(1, 5)) {
+      val diff = docs.select(NativeExprs.hashedGramSet(col("text"), n).as("a"),
+          hof(n).as("b"))
+        .where(col("a") =!= col("b")).count()
+      assert(diff == 0, s"n=$n")
+    }
+    import spark.implicits._
+    val edge = Seq("", "a b", "x x x x", "A  B\tC").toDF("text")
+    val rows = edge.select(NativeExprs.hashedGramSet(col("text"), 3).as("a"),
+      hof(3).as("b")).collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("native simhash equals the explode+groupBy composition") {
     val a = dedup.simhash(docs, "text", "doc_id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
