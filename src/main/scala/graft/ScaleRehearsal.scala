@@ -727,6 +727,35 @@ object ScaleRehearsal {
     run("kmeans_k4", countRows = false)(linalg.kmeansFit(
       emb, "embedding", "vec_id", dim = 64, k = 4, iters = 2))
 
+    // generation evals at factor-x pairs: all per-row kernel passes
+    // (gen_overlap hashmap / levenshtein), so walls must scale linearly
+    // in PAIRS with zero shuffle-volume amplification
+    import graft.ops.evals
+    val genPairs = docs.select(col("doc_id"),
+      concat_ws(" ", filter(text.tokens(col("text")),
+        (t, i) => i % 3 =!= 2)).as("cand"),
+      concat_ws(" ", text.tokens(col("text"))).as("ref"))
+    run("gen_rouge2", countRows = false)(evals.ngramOverlap(
+      genPairs, col("doc_id"), col("cand"), col("ref"), n = 2))
+    run("gen_bleu4", countRows = false)(evals.bleu(
+      genPairs, col("doc_id"), col("cand"), col("ref"), maxN = 4))
+    run("gen_chrf", countRows = false)(evals.chrF(
+      genPairs, col("doc_id"), col("cand"), col("ref")))
+    run("gen_edit", countRows = false)(genPairs
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), levenshtein(
+        regexp_replace(col("cand"), "[^ -~]", ""),
+        regexp_replace(col("ref"), "[^ -~]", "")).as("dist")))
+    // calibration / rank agreement: grid-bounded aggregates — walls
+    // must stay flat-ish (the row volume only feeds hash aggregates)
+    run("gen_ece", countRows = false)(evals.ece(emb,
+      (floor(graft.functions.vectors.cosineSimilarity(col("embedding"),
+        lit(SparkEntry.Q1.toArray)) * 10000.0 + 0.5).cast("long")
+        + lit(10000L)) * lit(50L),
+      col("label") < 5, bins = 10))
+    run("gen_distinct_n", countRows = false)(evals.distinctNgrams(
+      docs, col("text"), Seq(1, 2)))
+
     spark.stop()
   }
 }
