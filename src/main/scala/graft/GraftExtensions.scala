@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{
   Divide, Expression, ExpressionInfo, GreaterThan, If, Literal, Multiply, Sqrt}
 
-import graft.functions.{CharEntropyExpr, H32Expr, MinHashSigExpr, SimHashExpr, VecDotExpr, VecL1Expr, VecL2SqExpr, WordShinglesExpr}
+import graft.functions.{CharEntropyExpr, GenOverlapExpr, H32Expr, HashedGramSetExpr, MinHashSigExpr, SimHashExpr, VecDotExpr, VecL1Expr, VecL2SqExpr, WordShinglesExpr}
 
 /** Registers the native scoring/fingerprint kernels as SQL FUNCTIONS, so
   * the engine's hot expressions are usable from pure `spark.sql(...)` —
@@ -113,6 +113,21 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         val Seq(t) = arity("graft_char_entropy", 1)(args)
         CharEntropyExpr(t)
+      }),
+    ("graft_gram_set", info("graft_gram_set",
+      "graft_gram_set(text, n) - DISTINCT word n-grams as portable h63 " +
+        "longs, one fused digest pass"),
+      (args: Seq[Expression]) => {
+        val Seq(t, n) = arity("graft_gram_set", 2)(args)
+        HashedGramSetExpr(t, intLit(n, "graft_gram_set", "n"))
+      }),
+    ("graft_overlap", info("graft_overlap",
+      "graft_overlap(cand, ref, n) - struct(clip_n, tot_c_n, tot_r_n): " +
+        "clipped word n-gram overlap (ROUGE-N/BLEU-n counts) in one pass"),
+      (args: Seq[Expression]) => {
+        val Seq(c, r, n) = arity("graft_overlap", 3)(args)
+        GenOverlapExpr(c, r,
+          Seq(intLit(n, "graft_overlap", "n")), charMode = false)
       }))
 
   /** Register into an EXISTING session (the config route only applies to

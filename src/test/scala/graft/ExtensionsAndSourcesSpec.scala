@@ -43,6 +43,23 @@ class ExtensionsAndSourcesSpec extends SparkSpec {
     // fused char-entropy kernel from SQL == the Column path
     val ce = spark.sql("SELECT graft_char_entropy('aab') AS s").head().getStruct(0)
     assert(ce.getLong(0) == 3L && ce.getLong(1) == 1386294L)
+    // fused gram-set digest == the compositional h63 chain
+    val gs = spark.sql(
+      "SELECT graft_gram_set('a b c a b', 2) AS g").head().getSeq[Long](0)
+    val h63 = (s: String) => {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      val a = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+      val b = ((h(4) & 0xffL) << 24) | ((h(5) & 0xffL) << 16) |
+        ((h(6) & 0xffL) << 8) | (h(7) & 0xffL)
+      a * 2147483648L + (b % 2147483648L)
+    }
+    assert(gs == Seq("a b", "b c", "c a").map(h63))
+    // clipped-overlap counts: "a a b" vs "a b b" shares {a, b} at n=1
+    val ov = spark.sql(
+      "SELECT graft_overlap('a a b', 'a b b', 1) AS o").head().getStruct(0)
+    assert((ov.getLong(0), ov.getLong(1), ov.getLong(2)) == ((2L, 3L, 3L)))
     // sized params must be literals: a column reference is rejected
     val e = intercept[Exception] {
       Seq(("a b c", 3)).toDF("t", "n")
