@@ -482,6 +482,53 @@ object GraftProperties extends Properties("graft") {
         plain.zip(tight).forall { case (p, t) => t <= p }
     }
 
+  private val genDoc: Gen[String] =
+    Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf("a", "b", "cat", "dog", "xy")).map(_.mkString(" ")))
+
+  property("ngramOverlap laws: swap(cand,ref) swaps P and R; identity is 1e6") =
+    forAll(Gen.listOfN(4, Gen.zip(genDoc, genDoc))) { ds =>
+      import spark.implicits._
+      val df = ds.zipWithIndex.map { case ((c, r), i) => (i.toLong, c, r) }
+        .toDF("id", "c", "r")
+      val fwd = graft.ops.evals.ngramOverlap(df, col("id"), col("c"), col("r"), 2)
+        .orderBy("id").collect()
+      val rev = graft.ops.evals.ngramOverlap(df, col("id"), col("r"), col("c"), 2)
+        .orderBy("id").collect()
+      val swapped = fwd.zip(rev).forall { case (f, b) =>
+        f.getLong(3) == b.getLong(3) &&                      // clip symmetric
+          f.get(4) == b.get(5) && f.get(5) == b.get(4)       // P <-> R
+      }
+      val self = graft.ops.evals.ngramOverlap(df, col("id"), col("c"), col("c"), 2)
+        .orderBy("id").collect()
+      val ident = self.forall(r => r.getLong(1) == 0L ||
+        (r.getLong(4) == 1000000L && r.getLong(6) == 1000000L))
+      swapped && ident
+    }
+
+  property("bleu law: logbleu <= 0 always; identity scores exactly 0") =
+    forAll(Gen.listOfN(4, Gen.zip(genDoc, genDoc))) { ds =>
+      import spark.implicits._
+      val df = ds.zipWithIndex.map { case ((c, r), i) => (i.toLong, c, r) }
+        .toDF("id", "c", "r")
+      val got = graft.ops.evals.bleu(df, col("id"), col("c"), col("r"))
+        .collect()
+      val bounded = got.forall(r => r.isNullAt(7) || r.getDouble(7) <= 0.0)
+      val self = graft.ops.evals.bleu(df, col("id"), col("c"), col("c"))
+        .collect()
+      val ident = self.forall(r => r.isNullAt(7) || r.getDouble(7) == 0.0)
+      bounded && ident
+    }
+
+  property("spearman(x,x) = 1 whenever x has two distinct values") =
+    forAll(Gen.listOfN(12, Gen.chooseNum(-50L, 50L))
+      .suchThat(_.distinct.length >= 2)) { xs =>
+      import spark.implicits._
+      val df = xs.toDF("x")
+      val r = graft.ops.evals.spearman(df, col("x"), col("x")).head()
+      r.getLong(2) == r.getLong(3) && r.getDouble(4) == 1.0
+    }
+
   property("pageRank conserves bounded mass: base·n <= total <= scale") =
     forAll(Gen.chooseNum(2, 12).flatMap(k =>
       Gen.listOfN(k * 2, Gen.zip(Gen.chooseNum(0L, k.toLong), Gen.chooseNum(0L, k.toLong)))
