@@ -421,11 +421,17 @@ object SparkEntry {
 
   /** DuckDB twin of [[genPairs]] as token LISTS (`ct`, `rt`) — the
     * word-gram oracles consume lists directly; string consumers
-    * re-join (tokens carry no whitespace, so the round trip is exact). */
+    * re-join (tokens carry no whitespace, so the round trip is exact).
+    * NULL text coalesces to '' HERE so `len(ct)` reads 0, matching the
+    * Spark side's NULL-as-empty-document contract (on the Spark side
+    * `concat_ws` absorbs the NULL token array; latent today — no sf
+    * corpus carries NULL text — the gopherQuality r11-advice class). */
   private val SqlGenToks =
     s"""SELECT doc_id, list_filter(toks, (t, i) -> i % 3 != 0) AS ct,
        |  toks AS rt
-       |FROM (SELECT doc_id, $SqlToks AS toks FROM documents)""".stripMargin
+       |FROM (SELECT doc_id, $SqlToks AS toks
+       |  FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents))"""
+      .stripMargin
 
   /** DuckDB word n-gram list over a token-list expression `l` — space-
     * joined, in order, with multiplicity ([[graft.ops.text.ngramList]]).
