@@ -3561,6 +3561,22 @@ object SparkEntry {
           Seq(1, 2))
         .orderBy(col("n"))),
 
+    // north-star: per-day calibration drift — the streaming reliability
+    // grid's batch twin (same reliabilityGrid code path the live
+    // calibrationStream runs), finished to per-window ECE/MCE. The
+    // scorer is a portable hash-derived probability so both engines
+    // bin identical values.
+    "events_calibration_drift" -> ((s, dir) => {
+      val grid = EventStream.calibrationStream(events(s, dir),
+        hashing.h32(col("user_id").cast("string")) % 1000001L,
+        col("event_type") === "purchase", windowDur = "1 day", bins = 10)
+      evals.eceFrom(
+          grid.withColumn("day",
+            date_format(col("win.start"), "yyyy-MM-dd")).drop("win"),
+          Seq("day"))
+        .orderBy(col("day"))
+    }),
+
     // north-star: session-scoped funnel — the ladder must complete in
     // one visit; one user-keyed exchange feeds tagging and steps.
     "events_session_funnel" -> ((s, dir) =>
@@ -7994,6 +8010,23 @@ object SparkEntry {
          |    floor(num::DOUBLE / sqrt(den_x::DOUBLE) / sqrt(den_y::DOUBLE)
          |      * 10000.0 + 0.5) / 10000.0 END AS rho
          |FROM f""".stripMargin,
+
+    // Per-day reliability grid folded to ECE/MCE; hash-derived scorer.
+    "events_calibration_drift" ->
+      s"""WITH sc AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         |  (${hashing.sqlH32("user_id::VARCHAR")}) % 1000001 AS p,
+         |  (event_type = 'purchase')::BIGINT AS y
+         |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+         |b AS (SELECT day, least((p * 10) // 1000000, 9)::BIGINT AS bin,
+         |  p, y FROM sc),
+         |g AS (SELECT day, bin, count(*)::BIGINT AS n, sum(y)::BIGINT AS pos,
+         |  sum(p)::BIGINT AS conf_sum FROM b GROUP BY 1, 2),
+         |gg AS (SELECT day, n,
+         |  abs(pos * 1000000 - conf_sum)::BIGINT AS gap FROM g)
+         |SELECT day, sum(n)::BIGINT AS n_total,
+         |  (sum(gap) // sum(n))::BIGINT AS ece_ppm,
+         |  max(gap // n)::BIGINT AS mce_ppm
+         |FROM gg GROUP BY 1 ORDER BY day""".stripMargin,
 
     // Corpus distinct-n diversity: exact distinct over total grams.
     "eval_distinct_n" ->

@@ -256,20 +256,55 @@ object evals {
       df: DataFrame,
       probPpmCol: Column,
       labelCol: Column,
-      bins: Int = 10): DataFrame = {
-    require(bins >= 2, s"graft: reliability needs bins >= 2, got $bins")
-    df.select(probPpmCol.cast("long").as("_p"),
-        labelCol.cast("boolean").cast("long").as("_y"))
-      .where(col("_p").isNotNull && col("_y").isNotNull)
-      .select(least(expr(s"(_p * ${bins}L) DIV 1000000L"), lit(bins - 1L))
-        .as("bin"), col("_p"), col("_y"))
-      .groupBy(col("bin"))
-      .agg(count(lit(1)).as("n"), sum(col("_y")).as("pos"),
-        sum(col("_p")).as("conf_sum"))
+      bins: Int = 10): DataFrame =
+    reliabilityGrid(df, probPpmCol, labelCol, Nil, bins)
       .select(col("bin"), col("n"), col("pos"), col("conf_sum"),
         expr("(pos * 1000000L) DIV n").as("acc_ppm"),
         expr("conf_sum DIV n").as("conf_ppm"),
         abs(col("pos") * lit(1000000L) - col("conf_sum")).as("gap_abs"))
+
+  /** The grouped, MERGEABLE form of [[reliability]]: per (group, bin)
+    * exact `(n, pos, conf_sum)` — three sums, so the grid is a valid
+    * streaming aggregation (watermarked window groups) and any two grid
+    * snapshots merge by addition (the [[graft.ops.sketch]] mergeable-
+    * state discipline). [[eceFrom]] turns any snapshot into per-group
+    * ECE/MCE; [[graft.streaming.EventStream.calibrationStream]] is the
+    * live delegation. Group columns must be pre-aliased (they surface
+    * under their own names). */
+  def reliabilityGrid(
+      df: DataFrame,
+      probPpmCol: Column,
+      labelCol: Column,
+      groupCols: Seq[Column],
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"graft: reliability needs bins >= 2, got $bins")
+    val base = df.select(groupCols ++ Seq(probPpmCol.cast("long").as("_p"),
+        labelCol.cast("boolean").cast("long").as("_y")): _*)
+      .where(col("_p").isNotNull && col("_y").isNotNull)
+    // group keys = whatever the caller's group columns surfaced as
+    val gNames = base.columns.dropRight(2).toSeq
+    base
+      .withColumn("bin",
+        least(expr(s"(_p * ${bins}L) DIV 1000000L"), lit(bins - 1L)))
+      .groupBy((gNames :+ "bin").map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col("_y")).as("pos"),
+        sum(col("_p")).as("conf_sum"))
+  }
+
+  /** Per-group ECE/MCE from a [[reliabilityGrid]] snapshot (or any
+    * additive merge of snapshots) — the finish step, separated exactly
+    * like [[graft.ops.sketch.hllEstimate]] so the grid can live in a
+    * streaming sink and be read out at any time. */
+  def eceFrom(grid: DataFrame, groupKeys: Seq[String]): DataFrame = {
+    val g = grid.withColumn("_gap",
+      abs(col("pos") * lit(1000000L) - col("conf_sum")))
+    val agg = if (groupKeys.isEmpty) g.groupBy() else
+      g.groupBy(groupKeys.map(col): _*)
+    agg
+      .agg(sum(col("n")).as("n_total"), sum(col("_gap")).as("_g"),
+        max(expr("_gap DIV n")).as("mce_ppm"))
+      .select(groupKeys.map(col) ++ Seq(col("n_total"),
+        expr("_g DIV n_total").as("ece_ppm"), col("mce_ppm")): _*)
   }
 
   /** Expected + maximum calibration error from the [[reliability]] grid:
@@ -282,13 +317,7 @@ object evals {
       probPpmCol: Column,
       labelCol: Column,
       bins: Int = 10): DataFrame =
-    reliability(df, probPpmCol, labelCol, bins)
-      .select(col("n"), col("gap_abs"),
-        expr("gap_abs DIV n").as("_bin_gap_ppm"))
-      .agg(sum(col("n")).as("n_total"), sum(col("gap_abs")).as("_g"),
-        max(col("_bin_gap_ppm")).as("mce_ppm"))
-      .select(col("n_total"), expr("_g DIV n_total").as("ece_ppm"),
-        col("mce_ppm"))
+    eceFrom(reliabilityGrid(df, probPpmCol, labelCol, Nil, bins), Nil)
 
   /** Exact Spearman rank correlation between two quantized scores, ties
     * at average rank. Doubled mid-ranks keep everything in longs (the

@@ -1678,4 +1678,29 @@ object EventStream {
       capacity: Int = 256,
       topN: Int = 10): DataFrame =
     graft.ops.sketch.heavyHittersBy(events, groupCols, itemCol, capacity, topN)
+
+  /** LIVE calibration-drift monitoring: the
+    * [[graft.ops.evals.reliabilityGrid]] per-(window, bin) exact counts
+    * as a watermarked streaming aggregation — the is-the-reward-model-
+    * still-calibrated meter over a scored event stream. Three sums per
+    * (window, bin), so state is `bins` rows per open window and the
+    * sink's grid rows MERGE BY ADDITION across restarts/backfills;
+    * [[graft.ops.evals.eceFrom]] turns any sink snapshot into per-window
+    * ECE/MCE (the [[hllStream]] build/finish split). Because the
+    * aggregation is the SAME code as batch, the stream's folded output
+    * equals the batch grid of the same events (EventStreamSpec pins
+    * this). Append mode once the watermark closes a window. */
+  def calibrationStream(
+      events: DataFrame,
+      probPpmCol: org.apache.spark.sql.Column,
+      labelCol: org.apache.spark.sql.Column,
+      tsCol: String = "ts",
+      windowDur: String = "1 hour",
+      delay: String = "10 minutes",
+      bins: Int = 10): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark(tsCol, delay)
+      else events
+    graft.ops.evals.reliabilityGrid(src, probPpmCol, labelCol,
+      Seq(window(col(tsCol), windowDur).as("win")), bins)
+  }
 }

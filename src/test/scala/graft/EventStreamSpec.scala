@@ -47,6 +47,41 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("calibrationStream: streamed reliability grid equals batch; ece finishes") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val sdf = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val prob = (graft.functions.hashing.h32(col("user_id").cast("string"))
+      % 1000001L)
+    val label = col("event_type") === "click"
+    val q = EventStream.calibrationStream(sdf, prob, label,
+        windowDur = "1 hour", bins = 4)
+      .writeStream.format("memory").queryName("cal_grid")
+      .outputMode("complete").start()
+    try {
+      mem.addData(batch.as[(Long, Timestamp, Long, String, Double, String)]
+        .collect().toSeq)
+      q.processAllAvailable()
+      val key = (d: org.apache.spark.sql.DataFrame) => d
+        .select(date_format(col("win.start"), "HH:mm").as("w"), col("bin"),
+          col("n"), col("pos"), col("conf_sum"))
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      val streamed = key(spark.table("cal_grid"))
+      val batched = key(EventStream.calibrationStream(batch, prob, label,
+        windowDur = "1 hour", bins = 4))
+      assert(streamed == batched && streamed.nonEmpty,
+        s"stream=$streamed batch=$batched")
+      // finish step: per-window ECE from the sink snapshot
+      val ece = graft.ops.evals.eceFrom(
+        spark.table("cal_grid")
+          .withColumn("w", date_format(col("win.start"), "HH:mm"))
+          .drop("win"),
+        Seq("w")).orderBy("w").collect()
+      assert(ece.length == 2 && ece.forall(r => r.getLong(2) >= 0L
+        && r.getLong(2) <= 1000000L), ece.mkString(","))
+    } finally q.stop()
+  }
+
   test("windowedAgg APPEND mode: watermark closes windows; LATE data is dropped, not counted") {
     // The complete-mode test above checks values; this one checks the
     // EVICTION contract bounded state depends on: a window only emits
