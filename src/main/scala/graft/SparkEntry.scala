@@ -3561,6 +3561,30 @@ object SparkEntry {
           Seq(1, 2))
         .orderBy(col("n"))),
 
+    // north-star: preference win rate — does scorer Q1 beat Q2 per
+    // item, exact counts + ppm conventions (tie-aware and not).
+    "eval_winrate" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      evals.winRate(e, scoreQ4(col("embedding"), Q1),
+        scoreQ4(col("embedding"), Q2))
+    }),
+
+    // north-star: win-rate error bars — the per-item win indicator
+    // (1 / 0.5 / 0) through the deterministic Poisson bootstrap; the
+    // rep spread IS the CI a launch review reads.
+    "eval_winrate_ci" -> ((s, dir) => {
+      val ind = when(scoreQ4(col("embedding"), Q1)
+          > scoreQ4(col("embedding"), Q2), 1.0)
+        .when(scoreQ4(col("embedding"), Q1)
+          === scoreQ4(col("embedding"), Q2), 0.5)
+        .otherwise(0.0)
+      sample.bootstrapCI(
+        table(s, dir, "embeddings").where(col("embedding").isNotNull)
+          .select(col("vec_id"), ind.as("ind")),
+        "ind", "vec_id", reps = 20, salt = "wr")
+        .orderBy(col("rep"))
+    }),
+
     // north-star: per-day calibration drift — the streaming reliability
     // grid's batch twin (same reliabilityGrid code path the live
     // calibrationStream runs), finished to per-window ECE/MCE. The
@@ -8010,6 +8034,47 @@ object SparkEntry {
          |    floor(num::DOUBLE / sqrt(den_x::DOUBLE) / sqrt(den_y::DOUBLE)
          |      * 10000.0 + 0.5) / 10000.0 END AS rho
          |FROM f""".stripMargin,
+
+    // Exact win/tie/loss between the two fixed scorers.
+    "eval_winrate" ->
+      s"""WITH sc AS (SELECT ${sqlScoreQ4(Q1)} AS a, ${sqlScoreQ4(Q2)} AS b
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |g AS (SELECT count(*)::BIGINT AS n,
+         |  sum((a > b)::BIGINT)::BIGINT AS wins,
+         |  sum((a = b)::BIGINT)::BIGINT AS ties,
+         |  sum((a < b)::BIGINT)::BIGINT AS losses FROM sc)
+         |SELECT n, wins, ties, losses,
+         |  (CASE WHEN n > 0 THEN wins * 1000000 // n END)::BIGINT AS win_ppm,
+         |  (CASE WHEN n > 0 THEN (2 * wins + ties) * 1000000 // (2 * n)
+         |   END)::BIGINT AS win_tie_ppm
+         |FROM g""".stripMargin,
+
+    // Win indicator through the same deterministic Poisson bootstrap
+    // replay as events_bootstrap_ci.
+    "eval_winrate_ci" -> {
+      val h = graft.functions.hashing.sqlH32("(vec_id::VARCHAR || '/wr')")
+      val aff = graft.functions.hashing.sqlAffineVar("h", "rep")
+      val p = graft.functions.hashing.AffineP
+      val w = graft.ops.sample.PoissonCdf.zipWithIndex
+        .map { case (t, k) => s"WHEN uu < $t THEN $k" }
+        .mkString("CASE ", " ", " ELSE 6 END")
+      s"""WITH sc AS (SELECT vec_id, ${sqlScoreQ4(Q1)} AS a,
+         |    ${sqlScoreQ4(Q2)} AS b
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |ind AS (SELECT vec_id, CASE WHEN a > b THEN 1.0
+         |    WHEN a = b THEN 0.5 ELSE 0.0 END AS v FROM sc),
+         |r AS (SELECT floor(v * 100)::BIGINT AS c, ($h)::BIGINT AS h,
+         |    unnest(range(0, 20)) AS rep FROM ind),
+         |u AS (SELECT rep, c, ($aff)::DOUBLE / $p.0 AS uu FROM r),
+         |ww AS (SELECT rep, c, ($w)::BIGINT AS w FROM u),
+         |a AS (SELECT rep, sum(w)::BIGINT AS n_eff,
+         |    sum(w * c)::BIGINT AS cents FROM ww GROUP BY 1)
+         |SELECT rep, n_eff, cents,
+         |  CASE WHEN n_eff > 0 THEN
+         |    floor(cents::DOUBLE / n_eff::DOUBLE * 10000.0) / 10000.0
+         |  END AS mean_q4
+         |FROM a ORDER BY rep""".stripMargin
+    },
 
     // Per-day reliability grid folded to ECE/MCE; hash-derived scorer.
     "events_calibration_drift" ->

@@ -374,6 +374,30 @@ object evals {
           sqrt(col("den_y").cast("double")) * 10000.0 + 0.5) / 10000.0))
   }
 
+  /** Pairwise preference win rate — the A/B readout of a generation
+    * eval: per comparison row, does scorer/system A beat B? Exact
+    * win/tie/loss counts plus `win_ppm` (ties excluded from the
+    * numerator, in the denominator) and the tie-aware
+    * `win_tie_ppm = (2·wins + ties)/(2n)` convention. Comparisons
+    * should be on QUANTIZED integer scores (the [[aucRank]] guidance) —
+    * raw-float equality would make the tie row engine-fragile. One
+    * hash-aggregate row; for error bars, feed the per-row indicator
+    * (1 / 0.5 / 0) to [[graft.ops.sample.bootstrapCI]] (the
+    * `eval_winrate_ci` query shape).
+    *
+    * Returns one row `(n, wins, ties, losses, win_ppm, win_tie_ppm)`. */
+  def winRate(df: DataFrame, aCol: Column, bCol: Column): DataFrame =
+    df.select(aCol.as("_a"), bCol.as("_b"))
+      .where(col("_a").isNotNull && col("_b").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum((col("_a") > col("_b")).cast("long")).as("wins"),
+        sum((col("_a") === col("_b")).cast("long")).as("ties"),
+        sum((col("_a") < col("_b")).cast("long")).as("losses"))
+      .withColumn("win_ppm",
+        when(col("n") > 0L, expr("(wins * 1000000L) DIV n")))
+      .withColumn("win_tie_ppm", when(col("n") > 0L,
+        expr("((2L * wins + ties) * 1000000L) DIV (2L * n)")))
+
   /** Corpus n-gram diversity (distinct-n, Li et al. 2016): distinct
     * word n-grams over total n-grams, the standard
     * generation-diversity read-out (low distinct-2 = the model repeats

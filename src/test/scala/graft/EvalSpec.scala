@@ -202,6 +202,17 @@ class EvalSpec extends SparkSpec {
     assert(evals.spearman(tied, col("x"), col("y")).head().isNullAt(4))
   }
 
+  test("winRate: hand counts, tie-aware convention, null rows excluded") {
+    val df = Seq((Some(3L), Some(1L)), (Some(2L), Some(2L)),
+      (Some(1L), Some(5L)), (Some(4L), Some(0L)),
+      (None: Option[Long], Some(1L))).toDF("a", "b")
+    val r = evals.winRate(df, col("a"), col("b")).head()
+    // 2 wins, 1 tie, 1 loss over 4 comparable rows
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((4L, 2L, 1L, 1L)))
+    assert(r.getLong(4) == 500000L && r.getLong(5) == 625000L)
+  }
+
   test("distinctNgrams: hand unique/total counts per n") {
     val df = Seq(Tuple1("a b a b"), Tuple1("a b")).toDF("text")
     val got = evals.distinctNgrams(df, col("text"), Seq(1, 2))
