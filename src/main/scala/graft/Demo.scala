@@ -618,6 +618,31 @@ object Demo {
     graft.streaming.EventStream.markovPredictability(evAll)
       .orderBy(col("prev_type")).show()
 
+    // GENERATION-EVAL READOUT: compare a "model output" (here, each doc
+    // with every 3rd token dropped) against its reference — overlap
+    // (ROUGE-2), fluency-ish (log-BLEU), char-grain (chrF), and the A/B
+    // verdict between two scorers with calibration on top. All per-row
+    // kernel passes and grid aggregates; no shuffle touches the text.
+    println("== generation evals: rouge/bleu/chrf -> winrate -> calibration ==")
+    val toks3 = graft.ops.text.tokens(col("text"))
+    val genP = docs.select(col("doc_id"),
+      concat_ws(" ", filter(toks3, (t, i) => i % 3 =!= 2)).as("cand"),
+      concat_ws(" ", toks3).as("ref"))
+    graft.ops.evals.ngramOverlap(genP, col("doc_id"), col("cand"),
+      col("ref"), n = 2).orderBy(col("doc_id")).show(3)
+    graft.ops.evals.bleu(genP, col("doc_id"), col("cand"), col("ref"))
+      .select(col("doc_id"), col("p1_ppm"), col("p4_ppm"), col("logbleu"))
+      .orderBy(col("doc_id")).show(3)
+    graft.ops.evals.chrF(genP, col("doc_id"), col("cand"), col("ref"))
+      .orderBy(col("doc_id")).show(3)
+    val sA = floor(graft.functions.vectors.cosineSimilarity(col("embedding"),
+      lit(SparkEntry.Q1.toArray)) * 10000.0 + 0.5).cast("long")
+    val sB = floor(graft.functions.vectors.cosineSimilarity(col("embedding"),
+      lit(SparkEntry.Q2.toArray)) * 10000.0 + 0.5).cast("long")
+    graft.ops.evals.winRate(store.df, sA, sB).show()
+    graft.ops.evals.ece(store.df, (sA + lit(10000L)) * lit(50L),
+      col("label") < 5).show()
+
     spark.stop()
   }
 }
