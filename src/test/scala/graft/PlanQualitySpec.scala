@@ -32,6 +32,24 @@ class PlanQualitySpec extends SparkSpec {
       }
   }
 
+  test("generation-eval meters are kernel passes: at most the output-sort exchange") {
+    // rouge/bleu/chrf are per-pair gen_overlap kernel projections — the
+    // ONLY exchange is the presentation orderBy. A reappearing explode +
+    // (id, gram) aggregate (the 77 s interpreted-HOF shape) would add
+    // exchanges and fail here.
+    Seq("eval_rouge2", "eval_bleu", "eval_chrf").foreach { q =>
+      val p = plan(q)
+      assert("Exchange".r.findAllIn(p).length <= 1,
+        s"$q should shuffle at most once (output sort)")
+      assert(p.contains("gen_overlap"), s"$q must ride the fused kernel")
+    }
+    // grid meters: one hash aggregate, no window, no join
+    Seq("eval_ece", "eval_winrate").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window") && !p.contains("Join"), s"$q shape")
+    }
+  }
+
   test("no candidate-pair plan ever contains a cartesian product") {
     Seq("dedup_minhash_pairs", "dedup_emb_neardup", "ann_lsh_topk", "hybrid_rrf_topk")
       .foreach { q =>
