@@ -34,6 +34,57 @@ import org.apache.spark.unsafe.types.UTF8String
   * surrounding generated code; the loop body itself is regular compiled
   * JVM code (and the md5 digest dominates anyway).
   */
+/** Minimal open-addressing long→int counter (power-of-two capacity,
+  * linear probing, Fibonacci-mix hash): the inner map of
+  * [[NativeExprs.genOverlapOf]]'s packed-gram path. A
+  * `java.util.HashMap[Long, Integer]` boxes every key AND count per
+  * operation; this allocates nothing after construction. Single-row
+  * lifetime, not thread-safe. */
+private[functions] final class LongCounter(expected: Int) {
+  private var cap = Integer.highestOneBit(math.max(8, expected * 2) * 2 - 1)
+  private var keys = new Array[Long](cap)
+  private var used = new Array[Boolean](cap)
+  private var cnts = new Array[Int](cap)
+  private var n = 0
+
+  private def slot(k: Long): Int = {
+    val h = k * -7046029254386353131L // golden-ratio mix
+    var i = ((h ^ (h >>> 32)).toInt) & (cap - 1)
+    while (used(i) && keys(i) != k) i = (i + 1) & (cap - 1)
+    i
+  }
+
+  def inc(k: Long): Unit = {
+    val i = slot(k)
+    if (!used(i)) {
+      used(i) = true; keys(i) = k; cnts(i) = 1; n += 1
+      if (n * 2 > cap) grow()
+    } else cnts(i) += 1
+  }
+
+  /** Decrement k's count if positive; true when a unit was consumed. */
+  def dec(k: Long): Boolean = {
+    val i = slot(k)
+    if (used(i) && cnts(i) > 0) { cnts(i) -= 1; true } else false
+  }
+
+  private def grow(): Unit = {
+    val ok = keys; val ou = used; val oc = cnts
+    cap <<= 1
+    keys = new Array[Long](cap)
+    used = new Array[Boolean](cap)
+    cnts = new Array[Int](cap)
+    var i = 0
+    while (i < ok.length) {
+      if (ou(i)) {
+        val s = slot(ok(i))
+        used(s) = true; keys(s) = ok(i); cnts(s) = oc(i)
+      }
+      i += 1
+    }
+  }
+}
+
 object NativeExprs {
 
   private val digest = new ThreadLocal[MessageDigest] {
@@ -473,6 +524,29 @@ object NativeExprs {
     }
     val cu = units(cand)
     val ru = units(ref)
+    // Dictionary-encode the units ONCE per pair: distinct unit → dense id.
+    // With ≤ 65535 distinct units (every real document), a gram of n ≤ 4
+    // units packs exactly into one long (4 × 16-bit ids, n fixed per map
+    // so no padding ambiguity), and the per-n counting runs over packed
+    // longs in a primitive open-addressing counter — zero per-gram
+    // allocation. Gram identity is preserved exactly (the id map is
+    // injective over this pair's units), so clip counts are bit-identical
+    // to the string path, which remains as the n > 4 / overflow fallback.
+    val dict = new java.util.HashMap[String, Integer]((cu.length + ru.length) * 2)
+    def idsOf(us: Array[String]): Array[Int] = {
+      val ids = new Array[Int](us.length)
+      var i = 0
+      while (i < us.length) {
+        var id = dict.get(us(i))
+        if (id == null) { id = Integer.valueOf(dict.size); dict.put(us(i), id) }
+        ids(i) = id.intValue()
+        i += 1
+      }
+      ids
+    }
+    val cid = idsOf(cu)
+    val rid = idsOf(ru)
+    val packable = dict.size <= 0xFFFF
     val out = new Array[Long](ns.length * 3)
     var k = 0
     while (k < ns.length) {
@@ -481,22 +555,39 @@ object NativeExprs {
       val totR = math.max(ru.length - n + 1, 0)
       var clip = 0L
       if (totC > 0 && totR > 0) {
-        val refCounts = new java.util.HashMap[String, Integer](totR * 2)
-        var i = 0
-        while (i <= ru.length - n) {
-          refCounts.merge(gramAt(ru, i, n), 1,
-            (a: Integer, b: Integer) => Integer.valueOf(a + b))
-          i += 1
-        }
-        i = 0
-        while (i <= cu.length - n) {
-          val g = gramAt(cu, i, n)
-          val c = refCounts.get(g)
-          if (c != null && c > 0) {
-            clip += 1L
-            refCounts.put(g, c - 1)
+        if (packable && n <= 4) {
+          def keyAt(ids: Array[Int], i: Int): Long = {
+            var key = 0L
+            var j = 0
+            while (j < n) { key = (key << 16) | ids(i + j); j += 1 }
+            key
           }
-          i += 1
+          val refCounts = new LongCounter(totR)
+          var i = 0
+          while (i < totR) { refCounts.inc(keyAt(rid, i)); i += 1 }
+          i = 0
+          while (i < totC) {
+            if (refCounts.dec(keyAt(cid, i))) clip += 1L
+            i += 1
+          }
+        } else {
+          val refCounts = new java.util.HashMap[String, Integer](totR * 2)
+          var i = 0
+          while (i <= ru.length - n) {
+            refCounts.merge(gramAt(ru, i, n), 1,
+              (a: Integer, b: Integer) => Integer.valueOf(a + b))
+            i += 1
+          }
+          i = 0
+          while (i <= cu.length - n) {
+            val g = gramAt(cu, i, n)
+            val c = refCounts.get(g)
+            if (c != null && c > 0) {
+              clip += 1L
+              refCounts.put(g, c - 1)
+            }
+            i += 1
+          }
         }
       }
       out(k * 3) = clip
@@ -512,6 +603,13 @@ object NativeExprs {
   def genOverlap(cand: Column, ref: Column, ns: Seq[Int],
       charMode: Boolean): Column =
     column(GenOverlapExpr(expression(cand), expression(ref), ns, charMode))
+
+  /** [[genOverlapOf]] boxed into an InternalRow — the call target of
+    * [[GenOverlapExpr]]'s generated code (the object's static forwarder
+    * makes it reachable from Janino). */
+  def genOverlapRow(cand: UTF8String, ref: UTF8String, ns: Array[Int],
+      charMode: Boolean): InternalRow =
+    InternalRow.fromSeq(genOverlapOf(cand, ref, ns, charMode).toSeq)
 
   /** Column: native per-row SimHash (see [[SimHashExpr]]). */
   def simhash(c: Column, bits: Int): Column = column(SimHashExpr(expression(c), bits))
@@ -953,10 +1051,15 @@ case class RepetitionMassExpr(child: Expression, n: Int)
 /** Fused clipped n-gram overlap kernel (per-row hashmap pass, see
   * [[NativeExprs.genOverlapOf]]): struct(clip_n, tot_c_n, tot_r_n) per
   * n in `ns`. Row-local by construction — the generation-eval meters
-  * built on it ship NO shuffle at all. */
+  * built on it ship NO shuffle at all. TRUE codegen (the
+  * [[VecBinaryKernel]] bar for hot kernels): the generated stage calls
+  * the same static JVM kernel the interpreted path uses, so the child
+  * expressions (the coalesce projections the eval meters wrap around
+  * it) stay inside whole-stage codegen instead of re-evaluating
+  * interpreted per row, and results are bit-identical by construction. */
 case class GenOverlapExpr(left: Expression, right: Expression,
     ns: Seq[Int], charMode: Boolean)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   require(ns.nonEmpty && ns.forall(_ >= 1), s"gen_overlap needs ns >= 1, got $ns")
   override def dataType: DataType = org.apache.spark.sql.types.StructType(
     ns.flatMap(n => Seq(
@@ -965,8 +1068,17 @@ case class GenOverlapExpr(left: Expression, right: Expression,
       org.apache.spark.sql.types.StructField(s"tot_r_$n", LongType, nullable = false))))
   override def prettyName: String = "gen_overlap"
   override protected def nullSafeEval(l: Any, r: Any): Any =
-    InternalRow.fromSeq(NativeExprs.genOverlapOf(l.asInstanceOf[UTF8String],
-      r.asInstanceOf[UTF8String], ns.toArray, charMode).toSeq)
+    NativeExprs.genOverlapRow(l.asInstanceOf[UTF8String],
+      r.asInstanceOf[UTF8String], ns.toArray, charMode)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val nsRef = ctx.addReferenceObj("genOverlapNs", ns.toArray, "int[]")
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.functions.NativeExprs.genOverlapRow(" +
+        s"$l, $r, $nsRef, $charMode);")
+  }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): GenOverlapExpr =
     copy(left = newLeft, right = newRight)
@@ -983,10 +1095,45 @@ case class GenOverlapExpr(left: Expression, right: Expression,
   * NativeExprsSpec). Rows of the wrong dimension yield null (the caller
   * filters; null here never silently truncates a product array). */
 case class GramProductsExpr(child: Expression, dim: Int, q: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // wrong-dimension rows yield null even from a non-null child — without
+  // this the consumer's generated code would skip the null check
+  override def nullable: Boolean = true
   override def prettyName: String = "gram_products"
   private lazy val get = VecKernels.getter(child.dataType)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val p = ctx.freshName("p")
+      val qi = ctx.freshName("qi")
+      val qv = ctx.freshName("qv")
+      val out = ctx.freshName("out")
+      // same arithmetic as nullSafeEval: element promoted to double,
+      // * q (double multiply), floor, (long) cast — bit-identical
+      s"""
+         |if ($a.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $qv = new long[$dim];
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    $qv[$i] = (long) java.lang.Math.floor(
+         |      ${VecKernels.getterCode(child.dataType, a, i)} * (double) ${q}L);
+         |  }
+         |  long[] $out = new long[${dim * (dim + 1) / 2}];
+         |  int $p = 0;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    long $qi = $qv[$i];
+         |    for (int $j = $i; $j < $dim; $j++) { $out[$p] = $qi * $qv[$j]; $p++; }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     if (arr.numElements() != dim) return null
