@@ -283,6 +283,12 @@ object evals {
       .where(col("_p").isNotNull && col("_y").isNotNull)
     // group keys = whatever the caller's group columns surfaced as
     val gNames = base.columns.dropRight(2).toSeq
+    // group columns resolve positionally, so a caller column named like an
+    // internal would be silently shadowed (`bin` by the withColumn below)
+    // or ambiguous (`_p`/`_y`) — reject rather than mis-bin
+    require(gNames.intersect(Seq("_p", "_y", "bin")).isEmpty,
+      "graft: reliabilityGrid group columns collide with internal names " +
+        s"(_p/_y/bin) — alias them first; got $gNames")
     base
       .withColumn("bin",
         least(expr(s"(_p * ${bins}L) DIV 1000000L"), lit(bins - 1L)))
@@ -331,10 +337,13 @@ object evals {
     * exact longs, rho as the one 4-dp-quantized float chain (IEEE sqrt
     * is correctly rounded, so the chain is engine-identical).
     *
-    * Long-exactness ceiling: `n·Sxx ≤ 4n⁴` caps the EVAL SET at ~38k
-    * rows before int64 wraps — an eval set, not a corpus; pre-sample
-    * larger sets (the [[aucRank]] guidance, tighter here because ranks
-    * enter squared).
+    * Long-exactness ceiling: `n·Sxx ≤ 4n⁴` caps the EVAL SET at
+    * [[SpearmanMaxN]] rows before int64 wraps — an eval set, not a
+    * corpus; pre-sample larger sets (the [[aucRank]] guidance, tighter
+    * here because ranks enter squared). ENFORCED in-plan (the
+    * [[graft.ops.sketch.cmJoinSize]] raise_error precedent): past the
+    * ceiling the moments would wrap SILENTLY and rho would read
+    * plausible-but-wrong, so the query errors instead.
     *
     * Returns one row `(n, num, den_x, den_y, rho)`. */
   def spearman(
@@ -368,11 +377,22 @@ object evals {
           * col("n") * (col("n") + 1L)).as("den_x"),
         (col("n") * col("_syy") - col("n") * (col("n") + 1L)
           * col("n") * (col("n") + 1L)).as("den_y"))
-      .withColumn("rho", when(col("den_x") > 0L && col("den_y") > 0L,
-        floor(col("num").cast("double") /
-          sqrt(col("den_x").cast("double")) /
-          sqrt(col("den_y").cast("double")) * 10000.0 + 0.5) / 10000.0))
+      .withColumn("rho",
+        when(col("n") > SpearmanMaxN,
+          raise_error(format_string(
+            "graft: spearman int64-exactness ceiling exceeded (n = %s > " +
+              s"$SpearmanMaxN rows) — rank moments would wrap; pre-sample " +
+              "the eval set", col("n"))).cast("double"))
+        .otherwise(when(col("den_x") > 0L && col("den_y") > 0L,
+          floor(col("num").cast("double") /
+            sqrt(col("den_x").cast("double")) /
+            sqrt(col("den_y").cast("double")) * 10000.0 + 0.5) / 10000.0)))
   }
+
+  /** [[spearman]]'s hard exactness bound: doubled mid-ranks are ≤ 2n, so
+    * the largest moment term `n·Sxx ≤ 4n⁴` stays under 2⁶³ only for
+    * n ≤ ~38968; 38000 leaves margin. */
+  val SpearmanMaxN: Long = 38000L
 
   /** Pairwise preference win rate — the A/B readout of a generation
     * eval: per comparison row, does scorer/system A beat B? Exact
@@ -525,6 +545,16 @@ object evals {
     * A candidate shorter than n has totₙ = 0: smoothing makes pₙ = 1
     * (ln = 0), the conventional sentence-BLEU degeneracy, documented
     * rather than special-cased.
+    *
+    * Portability note (ACCEPTED residual risk, the char-entropy
+    * precedent): each term quantizes `floor(ln(pₙ)·10⁶)` of a libm
+    * transcendental, and JVM `Math.log` vs an oracle engine's `ln` may
+    * differ in the last ulp — an input landing within 1 ulp of a 1e-6
+    * quantum boundary could flip the quantized term across engines. No
+    * fixture or sf sweep has produced such a landing (the quantum is
+    * ~10⁵ ulps wide at these magnitudes, so a boundary landing needs a
+    * ~10⁻⁵-probability coincidence per term); a per-term tolerance in
+    * the gate would weaken every exact comparison to cover it.
     *
     * Returns `(idCol, cand_len, ref_len, p1_ppm..p⟨maxN⟩_ppm, logbleu)`. */
   def bleu(

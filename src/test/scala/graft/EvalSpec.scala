@@ -202,6 +202,38 @@ class EvalSpec extends SparkSpec {
     assert(evals.spearman(tied, col("x"), col("y")).head().isNullAt(4))
   }
 
+  test("spearman: int64 ceiling is enforced in-plan at the boundary") {
+    // just UNDER the ceiling: runs, rho defined (monotone ids -> 1.0)
+    val under = spark.range(evals.SpearmanMaxN)
+      .selectExpr("id AS x", "id AS y")
+    assert(evals.spearman(under, col("x"), col("y")).head().getDouble(4)
+      == 1.0)
+    // just OVER: the plan must RAISE, not silently wrap the rank moments
+    val over = spark.range(evals.SpearmanMaxN + 1)
+      .selectExpr("id AS x", "id AS y")
+    val e = intercept[Exception] {
+      evals.spearman(over, col("x"), col("y")).head()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("spearman int64-exactness ceiling")),
+      s"expected the ceiling raise, got: $e")
+  }
+
+  test("reliabilityGrid rejects group columns that collide with internals") {
+    val df = Seq((500000L, 1, "a")).toDF("p", "y", "g")
+    val e = intercept[IllegalArgumentException] {
+      evals.reliabilityGrid(df, col("p"), col("y"),
+        Seq(col("g").as("bin")), bins = 2)
+    }
+    assert(e.getMessage.contains("collide with internal names"))
+    // properly aliased group columns still work
+    val ok = evals.reliabilityGrid(df, col("p"), col("y"),
+      Seq(col("g")), bins = 2)
+    assert(ok.columns.toSeq == Seq("g", "bin", "n", "pos", "conf_sum"))
+  }
+
   test("winRate: hand counts, tie-aware convention, null rows excluded") {
     val df = Seq((Some(3L), Some(1L)), (Some(2L), Some(2L)),
       (Some(1L), Some(5L)), (Some(4L), Some(0L)),
