@@ -92,6 +92,12 @@ object Bench {
     // comparable — core_total_clean is the pinned comparable; in-suite
     // core_total remains only as a same-round consistency check.
     // Skipped under SPARK_GRAFT_ONLY (iteration runs, not comparables).
+    // Each clean-pass query carries its own 1-min load stamp (taken right
+    // after its timed runs): cross-round core_total_clean claims are only
+    // comparable under a stated load ceiling (BASELINE.md "Core-bench
+    // load rule") and the max stamp is the mechanical check — the r12
+    // 15.6-18.8 s spread on identical plans was pure ambient load.
+    val coreCleanLoad = scala.collection.mutable.LinkedHashMap[String, String]()
     val coreClean: Map[String, Double] =
       if (only.isEmpty)
         CoreBaselineQueries.toSeq.sorted.flatMap { n =>
@@ -103,11 +109,17 @@ object Bench {
                 Some((System.nanoTime() - t0) / 1e9)
               } catch { case _: Throwable => None }
             }
+            coreCleanLoad(n) = loadavg().split(" ").head
             if (ts.nonEmpty) Some(n -> ts.min) else None
           }
         }.toMap
       else Map.empty
     val coreCleanTotal = coreClean.values.sum
+    val coreCleanLoadMax: Double = {
+      val vs = coreCleanLoad.values
+        .flatMap(v => scala.util.Try(v.toDouble).toOption)
+      if (vs.isEmpty) 0.0 else vs.max
+    }
     val load1AfterClean = loadavg().split(" ").head
     // The timed action is a noop-sink WRITE, not count(): count() lets
     // the optimizer prune every computed column (and eliminate
@@ -160,6 +172,14 @@ object Bench {
     // full-suite run; a SPARK_GRAFT_ONLY subset reports what it covers).
     val core = ok.filter { case (n, _) => CoreBaselineQueries(n) }
     val coreTotal = core.values.sum
+    // Per-family subtotals (prefix before the first '_'): the compact
+    // driver artifact buckets most queries into "_other_N", so a family
+    // regression needs these to attribute itself from artifacts alone.
+    val families: Seq[(String, Double)] = ok.toSeq
+      .groupBy { case (n, _) =>
+        val f = n.takeWhile(_ != '_'); if (f.isEmpty) "other" else f }
+      .map { case (f, qs) => f -> qs.map(_._2).sum }
+      .toSeq.sortBy(-_._2)
     def fmt(v: Double, dp: Int): String = {
       val s = BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
       s.bigDecimal.toPlainString
@@ -177,11 +197,19 @@ object Bench {
         else phaseJson.map { case (k, v) => "\"" + k + "\":" + v }
           .mkString(""","phases":{""", ",", "}")
       val perQuery = if (ok.nonEmpty) total / ok.size else 0.0
+      val cleanLoads = coreCleanLoad
+        .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+        .mkString("{", ",", "}")
+      val fams = families.map { case (f, v) => "\"" + f + "\":" + v }
+        .mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},""" +
         s""""sec_per_query":$perQuery,"core_total":$coreTotal,"core_n":${core.size},""" +
         s""""core_total_clean":$coreCleanTotal,"core_clean_n":${coreClean.size},""" +
+        s""""core_clean_load1_max":$coreCleanLoadMax,""" +
+        s""""core_clean_load1":$cleanLoads,""" +
         s""""load1_after_clean":"$load1AfterClean",""" +
         s""""runs":$runs,""" +
+        s""""families":$fams,""" +
         s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +
         s""""queries":$qs,"errors":$errs$phases,"sf":"$sfDir"}"""
     }
@@ -237,11 +265,15 @@ object Bench {
           if (top.isEmpty) ""
           else top.mkString(""","phases_top":{""", ",", "}")
         }
+      val fams = families.map { case (f, v) => "\"" + f + "\":" + fmt(v, 3) }
+        .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec",""" +
         s""""n_queries":${ok.size},"sec_per_query":${fmt(if (ok.nonEmpty) total / ok.size else 0.0, 3)},""" +
         s""""core_total":${fmt(coreTotal, 3)},"core_n":${core.size},""" +
         s""""core_total_clean":${fmt(coreCleanTotal, 3)},"core_clean_n":${coreClean.size},""" +
+        s""""core_clean_load1_max":${fmt(coreCleanLoadMax, 2)},""" +
         s""""load1_start":"${loadStart.split(" ").head}","load1_end":"${loadEnd.split(" ").head}",""" +
+        s""""families":$fams,""" +
         s""""queries":${shown.mkString("{", ",", "}")}$phasesTop$errs,"sf":"$sfName"}"""
     }
     var keepQ = byCost.size
