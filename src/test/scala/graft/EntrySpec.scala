@@ -153,6 +153,87 @@ object UncastSumLint {
   }
 }
 
+/** The NULL-aggregate oracle lint: DuckDB `sum()`/`avg()` SKIP NULL
+  * terms while the Spark twins of these meters often combine terms with
+  * `+`/`reduce` (which PROPAGATE NULL) — the `eval_bleu` round-12
+  * regression (its unsmoothed p₁ term must poison the total; the oracle
+  * needed a `max(CASE)` pivot + explicit `+`). Similarly DuckDB
+  * `list_sum([])` is NULL, so a token-list fold without `coalesce`
+  * silently nulls empty documents — the `text_gopher_quality` r11-advice
+  * regression. Two textual rules, conservative by design (a false
+  * positive forces an explicit whitelist entry with a justification):
+  *
+  *  A. `sum(`/`avg(` whose ARGUMENT contains `CASE WHEN` with fewer
+  *     `ELSE`s than `CASE`s and no `coalesce(` — intended-to-vanish
+  *     terms that DuckDB skips but a Spark `+` chain would propagate.
+  *     (`max(CASE ...)`/`min(CASE ...)` pivots are the sanctioned fix
+  *     and are not flagged.)
+  *  B. `list_sum(`/`list_avg(` over a token-list expression (argument
+  *     mentions `toks`/`string_split`) not directly wrapped in
+  *     `coalesce(` — NULL on the empty document.
+  */
+object NullAggLint {
+  /** Balanced-paren arguments of every standalone `fn(` call (a
+    * preceding identifier char means a different function, e.g. `sum(`
+    * inside `list_sum(`). */
+  def callArgs(sql: String, fn: String): Seq[(Int, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String)]()
+    val lower = sql.toLowerCase
+    val needle = fn + "("
+    var at = lower.indexOf(needle)
+    while (at >= 0) {
+      val okStart = at == 0 || {
+        val c = lower.charAt(at - 1); !c.isLetterOrDigit && c != '_'
+      }
+      if (okStart) {
+        var depth = 1
+        var i = at + needle.length
+        while (i < sql.length && depth > 0) {
+          sql.charAt(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case _ =>
+          }
+          i += 1
+        }
+        if (depth == 0) out += ((at, sql.substring(at + needle.length, i - 1)))
+      }
+      at = lower.indexOf(needle, at + needle.length)
+    }
+    out.toSeq
+  }
+
+  private def caseWithoutElse(arg: String): Boolean = {
+    val a = arg.toLowerCase
+    val cases = "\\bcase\\s+when\\b".r.findAllIn(a).size
+    val elses = "\\belse\\b".r.findAllIn(a).size
+    cases > 0 && elses < cases
+  }
+
+  /** True when the call at `at` is directly wrapped in `coalesce(`. */
+  private def coalesceWrapped(sql: String, at: Int): Boolean =
+    sql.substring(0, at).toLowerCase.replaceAll("\\s+", "").endsWith("coalesce(")
+
+  def flagged(name: String, sql: String): Seq[String] = {
+    val a = (callArgs(sql, "sum") ++ callArgs(sql, "avg")).collect {
+      case (_, arg) if caseWithoutElse(arg) &&
+          !arg.toLowerCase.contains("coalesce(") =>
+        s"$name: sum/avg over CASE-without-ELSE (DuckDB skips the NULL " +
+          s"term): ${arg.replaceAll("\\s+", " ").take(70)}"
+    }
+    val b = (callArgs(sql, "list_sum") ++ callArgs(sql, "list_avg")).collect {
+      case (at, arg) if {
+        val la = arg.toLowerCase
+        (la.contains("toks") || la.contains("string_split")) &&
+          !coalesceWrapped(sql, at) && !la.contains("coalesce(")
+      } =>
+        s"$name: un-coalesced list_sum/list_avg over a token list (NULL " +
+          s"on the empty document): ${arg.replaceAll("\\s+", " ").take(70)}"
+    }
+    a ++ b
+  }
+}
+
 /** Guards the driver contract itself: `entry` must return rows on
   * sf0.001 (the driver's smoke gate) and every registered query needs a
   * runnable plan and a matching oracle key. */
@@ -231,6 +312,56 @@ class EntrySpec extends SparkSpec {
     assert(UncastSumLint.flagged("q", wholeDiv, Set("r")).isEmpty)
     val unaryDiv = "SELECT -sum(a) / count(*) AS r FROM t"
     assert(UncastSumLint.flagged("q", unaryDiv, Set("r")).isEmpty)
+  }
+
+  /** Reviewed exceptions to [[NullAggLint]] — each with the reason the
+    * NULL-skip/empty-list behavior is SHARED by the Spark twin (or
+    * impossible), so the engines agree. */
+  val NullAggWhitelist: Map[String, String] = Map(
+    "rel_pivot" -> ("sum(CASE..END) IS the pivot here and Spark's pivot " +
+      "sum aggregate skips NULL cells identically — both engines drop " +
+      "non-matching rows from each cell's sum"),
+    "text_stats" -> ("the list_sum sits inside CASE WHEN len(toks) > 0, " +
+      "so the folded list is never empty in the evaluated arm; the ELSE " +
+      "arm supplies the empty-document 0.0 the Spark twin computes"))
+
+  test("no NULL-skipping aggregate in oracle SQL (NULL-aggregate lint)") {
+    val hits = SparkEntry.oracleSql.toSeq
+      .filterNot { case (name, _) => NullAggWhitelist.contains(name) }
+      .flatMap { case (name, sql) => NullAggLint.flagged(name, sql) }
+    assert(hits.isEmpty,
+      s"oracle aggregates a NULL-able term DuckDB would skip: ${hits.mkString("; ")}")
+  }
+
+  test("NULL-aggregate lint catches the eval_bleu and gopher pre-fix shapes") {
+    // the round-12 eval_bleu trap: a sum over CASE-without-ELSE terms —
+    // DuckDB's sum() SKIPS the NULL n=1 term the Spark + chain propagates
+    val bleuPre =
+      """SELECT doc_id,
+        |  sum(CASE WHEN n = 1 AND clip > 0 THEN floor(ln(p) * 1e6) END)::BIGINT AS qsum
+        |FROM pn GROUP BY 1""".stripMargin
+    assert(NullAggLint.flagged("q", bleuPre).nonEmpty)
+    // the sanctioned fix — max(CASE) pivot + explicit NULL-propagating +
+    val bleuPost =
+      """SELECT doc_id,
+        |  max(CASE WHEN n = 1 THEN q END)::BIGINT + max(CASE WHEN n = 2 THEN q END)::BIGINT AS qsum
+        |FROM pn GROUP BY 1""".stripMargin
+    assert(NullAggLint.flagged("q", bleuPost).isEmpty)
+    // a CASE with an ELSE arm has no vanishing term — legit
+    val guarded = "SELECT sum(CASE WHEN y = 1 THEN 1 ELSE 0 END)::BIGINT AS n FROM t"
+    assert(NullAggLint.flagged("q", guarded).isEmpty)
+    // the gopher trap: list_sum over a token list is NULL on the empty
+    // document (DuckDB list_sum([]) is NULL) — silent drop downstream
+    val gopherPre =
+      "SELECT doc_id, list_sum(list_transform(toks, x -> length(x)))::BIGINT AS sum_len FROM t"
+    assert(NullAggLint.flagged("q", gopherPre).nonEmpty)
+    val gopherPost =
+      "SELECT doc_id, coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::BIGINT AS sum_len FROM t"
+    assert(NullAggLint.flagged("q", gopherPost).isEmpty)
+    // vector folds (list_zip over fixed-dim embeddings) are out of scope
+    val vecFold =
+      "SELECT list_sum(list_transform(list_zip(a, b), x -> x[1]*x[2])) AS dot FROM e"
+    assert(NullAggLint.flagged("q", vecFold).isEmpty)
   }
 
   test("the 40 core baseline queries remain registered under their round-1 names") {
