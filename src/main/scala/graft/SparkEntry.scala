@@ -3569,6 +3569,17 @@ object SparkEntry {
         scoreQ4(col("embedding"), Q2))
     }),
 
+    // north-star: BERTScore-style embedding F1 — greedy max-cosine
+    // matching over the 4x16 sliced token layout (the maxSim lattice);
+    // ref side = the reversed embedding (deterministic, row-local,
+    // related-but-not-identical). Zero shuffle; F1 is one exact
+    // positive integer DIV, no float combine at all.
+    "eval_embed_f1" -> ((s, dir) =>
+      evals.embedF1(table(s, dir, "embeddings"),
+          col("vec_id"), col("embedding"), reverse(col("embedding")),
+          nTokens = 4, dim = 16)
+        .orderBy(col("vec_id"))),
+
     // north-star: win-rate error bars — the per-item win indicator
     // (1 / 0.5 / 0) through the deterministic Poisson bootstrap; the
     // rep spread IS the CI a launch review reads.
@@ -8107,6 +8118,44 @@ object SparkEntry {
          |  (CASE WHEN total > 0 THEN uniq * 1000000 // total
          |   END)::BIGINT AS distinct_ppm
          |FROM u ORDER BY n""".stripMargin,
+
+    // BERTScore-style embed F1: the 4x16 token lattice unrolled — 16
+    // quantized cosines, greedy row/col maxima, one positive integer
+    // DIV for F1. The * chain mirrors Spark's left-assoc
+    // dot*invA*invB*1e4 exactly.
+    "eval_embed_f1" -> {
+      def sl(e: String, k: Int) =
+        s"list_slice($e, ${k * 16 + 1}, ${k * 16 + 16})"
+      val slices = (0 until 4).map(i => s"${sl(E, i)} AS c$i") ++
+        (0 until 4).map(j => s"${sl(s"list_reverse($E)", j)} AS r$j")
+      def inv(c: String) =
+        s"(CASE WHEN list_dot_product($c, $c) > 0 THEN " +
+          s"1.0/sqrt(list_dot_product($c, $c)) ELSE 0.0 END)"
+      val invs = (0 until 4).map(i => s"${inv(s"c$i")} AS ic$i") ++
+        (0 until 4).map(j => s"${inv(s"r$j")} AS ir$j")
+      val coss = (for { i <- 0 until 4; j <- 0 until 4 } yield
+        s"floor(list_dot_product(c$i, r$j) * ic$i * ir$j * 10000.0 + 0.5)" +
+          s"::BIGINT AS s${i}_$j").mkString(",\n|  ")
+      val pTerms = (0 until 4)
+        .map(i => "greatest(" + (0 until 4).map(j => s"s${i}_$j").mkString(", ") + ")")
+        .mkString(" + ")
+      val rTerms = (0 until 4)
+        .map(j => "greatest(" + (0 until 4).map(i => s"s${i}_$j").mkString(", ") + ")")
+        .mkString(" + ")
+      s"""WITH s0 AS (SELECT vec_id, ${slices.mkString(",\n|  ")}
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |s1 AS (SELECT vec_id, c0, c1, c2, c3, r0, r1, r2, r3,
+         |  ${invs.mkString(",\n|  ")} FROM s0),
+         |sc AS (SELECT vec_id,
+         |  $coss FROM s1),
+         |p AS (SELECT vec_id, ($pTerms)::BIGINT AS p_sum_q4,
+         |  ($rTerms)::BIGINT AS r_sum_q4 FROM sc)
+         |SELECT vec_id, p_sum_q4, r_sum_q4,
+         |  (CASE WHEN p_sum_q4 > 0 AND r_sum_q4 > 0 THEN
+         |    (2 * p_sum_q4 * r_sum_q4) // (4 * (p_sum_q4 + r_sum_q4))
+         |   END)::BIGINT AS f1_q4
+         |FROM p ORDER BY vec_id""".stripMargin
+    },
 
     // Session tagging replayed (lag + gap + cumsum), ladder per
     // (user, session), sessions counted per step.

@@ -442,6 +442,86 @@ object evals {
     }.reduce(_ unionAll _)
   }
 
+  /** BERTScore-style embedding overlap (Zhang et al. 2020, greedy
+    * matching): candidate and reference sides are token-embedding
+    * MATRICES flattened row-major into one array column of
+    * `nTokens · dim` elements (the [[graft.ops.retrieval.maxSimTopK]]
+    * sliced layout). Per pair, precision is the mean over candidate
+    * tokens of the max cosine against any reference token, recall the
+    * symmetric direction, F1 the harmonic mean — the semantic
+    * generation-eval member the n-gram meters can't cover (a correct
+    * paraphrase scores ~0 ROUGE but high embed-F1).
+    *
+    * Exactness: each of the nTokens² cosines quantizes to a 4-dp
+    * integer (`floor(cos·10⁴ + 0.5)` — dot, two inverse norms, one
+    * IEEE-exact chain, the [[aucRank]]-family scorer discipline), maxima
+    * and sums are exact integer ops, and F1 needs NO float at all: with
+    * P = p_sum/n and R = r_sum/n over the common n,
+    * `2PR/(P+R) = 2·p_sum·r_sum / (n·(p_sum+r_sum))` — one integer DIV,
+    * guarded POSITIVE (truncating DIV and floor-`//` only agree on
+    * non-negative operands, so a pair whose summed maxima are not both
+    * positive surfaces NULL f1; the sums still read).
+    *
+    * Plan shape: token slices, their inverse norms, and the nTokens²
+    * quantized cosines are successive bound projections of ONE scan —
+    * row-local, zero shuffle (the [[ngramOverlap]] scale shape); the
+    * unrolled cosine lattice is the maxSimTopK precedent. Rows with a
+    * NULL side are dropped (unscorable); a non-NULL side of the wrong
+    * length raises in-plan (the SearchPlan dim-guard precedent — a
+    * silently short slice would truncate the dot product).
+    *
+    * Returns `(idCol, p_sum_q4, r_sum_q4, f1_q4)`. */
+  def embedF1(
+      df: DataFrame,
+      idCol: Column,
+      candCol: Column,
+      refCol: Column,
+      nTokens: Int,
+      dim: Int): DataFrame = {
+    require(nTokens >= 1 && nTokens <= 16,
+      s"graft: embedF1 needs 1 <= nTokens <= 16 (unrolled lattice), got $nTokens")
+    require(dim >= 1, s"graft: embedF1 needs dim >= 1, got $dim")
+    import graft.functions.vectors
+    val idName = idCol.toString
+    val width = nTokens * dim
+    val guardedId = when(
+      size(candCol) === lit(width) && size(refCol) === lit(width), idCol)
+      .otherwise(raise_error(format_string(
+        s"graft: embedF1 expects $width elements per side " +
+          s"($nTokens tokens x $dim dims); got cand %s / ref %s",
+        size(candCol), size(refCol))))
+    val sliced = df
+      .where(candCol.isNotNull && refCol.isNotNull)
+      .select(Seq(guardedId.as(idName)) ++
+        (0 until nTokens).map(i => slice(candCol, i * dim + 1, dim).as(s"_c$i")) ++
+        (0 until nTokens).map(j => slice(refCol, j * dim + 1, dim).as(s"_r$j")): _*)
+    val withInv = sliced.select(Seq(col(idName)) ++
+      (0 until nTokens).flatMap(i => Seq(col(s"_c$i"), col(s"_r$i"))) ++
+      (0 until nTokens).flatMap(i => Seq(
+        vectors.invNorm(col(s"_c$i")).as(s"_ic$i"),
+        vectors.invNorm(col(s"_r$i")).as(s"_ir$i"))): _*)
+    def cosQ4(i: Int, j: Int): Column =
+      floor(vectors.cosineWithInvNorms(col(s"_c$i"), col(s"_ic$i"),
+        col(s"_r$j"), col(s"_ir$j")) * 10000.0 + 0.5).cast("long")
+    val scored = withInv.select(Seq(col(idName)) ++
+      (0 until nTokens).flatMap(i =>
+        (0 until nTokens).map(j => cosQ4(i, j).as(s"_s${i}_$j"))): _*)
+    def maxOf(cs: Seq[Column]): Column =
+      if (cs.size == 1) cs.head else greatest(cs: _*)
+    val pSum = (0 until nTokens)
+      .map(i => maxOf((0 until nTokens).map(j => col(s"_s${i}_$j"))))
+      .reduce(_ + _)
+    val rSum = (0 until nTokens)
+      .map(j => maxOf((0 until nTokens).map(i => col(s"_s${i}_$j"))))
+      .reduce(_ + _)
+    scored
+      .select(col(idName), pSum.as("p_sum_q4"), rSum.as("r_sum_q4"))
+      .withColumn("f1_q4",
+        when(col("p_sum_q4") > 0L && col("r_sum_q4") > 0L,
+          expr(s"(2L * p_sum_q4 * r_sum_q4) DIV " +
+            s"(${nTokens}L * (p_sum_q4 + r_sum_q4))")))
+  }
+
   // ————— generation-overlap metrics (candidate vs reference text) —————
   // The read-out side of a GENERATION eval set: (id, candidate,
   // reference) text pairs → clipped n-gram overlap (ROUGE-N / BLEU-n

@@ -234,6 +234,42 @@ class EvalSpec extends SparkSpec {
     assert(ok.columns.toSeq == Seq("g", "bin", "n", "pos", "conf_sum"))
   }
 
+  test("embedF1: identity scores 10000, orthogonal tokens NULL f1, dim guard raises") {
+    // 2 tokens x 2 dims; identical sides: every diagonal cosine is 1.0
+    // -> maxima 10000 each, p_sum = r_sum = 20000,
+    // f1 = 2*20000*20000 DIV (2*40000) = 10000
+    val same = Seq((1L, Seq(1.0, 0.0, 0.0, 2.0), Seq(1.0, 0.0, 0.0, 2.0)))
+      .toDF("id", "c", "r")
+    val r1 = evals.embedF1(same, col("id"), col("c"), col("r"), 2, 2).head()
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3)) ==
+      ((20000L, 20000L, 10000L)))
+    // orthogonal tokens on both sides: all cosines 0 -> sums 0, f1 NULL
+    val ortho = Seq((1L, Seq(1.0, 0.0, 1.0, 0.0), Seq(0.0, 1.0, 0.0, 1.0)))
+      .toDF("id", "c", "r")
+    val r2 = evals.embedF1(ortho, col("id"), col("c"), col("r"), 2, 2).head()
+    assert(r2.getLong(1) == 0L && r2.getLong(2) == 0L && r2.isNullAt(3))
+    // mixed: cand token 0 matches ref token 1 exactly, token 1 matches
+    // ref token 0 — greedy maxima still find them (permutation-invariant)
+    val perm = Seq((1L, Seq(1.0, 0.0, 0.0, 1.0), Seq(0.0, 1.0, 1.0, 0.0)))
+      .toDF("id", "c", "r")
+    val r3 = evals.embedF1(perm, col("id"), col("c"), col("r"), 2, 2).head()
+    assert(r3.getLong(3) == 10000L)
+    // NULL side rows are dropped (unscorable), not nulled through
+    val withNull = Seq((1L, Some(Seq(1.0, 0.0, 0.0, 1.0)), None: Option[Seq[Double]]))
+      .toDF("id", "c", "r")
+    assert(evals.embedF1(withNull, col("id"), col("c"), col("r"), 2, 2).count() == 0)
+    // wrong element count raises in-plan rather than truncating the dot
+    val short = Seq((1L, Seq(1.0, 0.0, 0.0), Seq(1.0, 0.0, 0.0, 1.0)))
+      .toDF("id", "c", "r")
+    val e = intercept[Exception] {
+      evals.embedF1(short, col("id"), col("c"), col("r"), 2, 2).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("embedF1 expects 4 elements")))
+  }
+
   test("winRate: hand counts, tie-aware convention, null rows excluded") {
     val df = Seq((Some(3L), Some(1L)), (Some(2L), Some(2L)),
       (Some(1L), Some(5L)), (Some(4L), Some(0L)),

@@ -48,6 +48,14 @@ class PlanQualitySpec extends SparkSpec {
       val p = plan(q)
       assert(!p.contains("Window") && !p.contains("Join"), s"$q shape")
     }
+    // embed-F1 is an unrolled cosine lattice over one scan — row-local
+    // like the text meters: only the presentation orderBy may exchange,
+    // and nothing may join (a slice-to-token EXPLODE + self-join shape
+    // would show up here)
+    val ef = plan("eval_embed_f1")
+    assert("Exchange".r.findAllIn(ef).length <= 1,
+      "eval_embed_f1 should shuffle at most once (output sort)")
+    assert(!ef.contains("Join"), "eval_embed_f1 must stay row-local")
   }
 
   test("no candidate-pair plan ever contains a cartesian product") {
