@@ -3580,6 +3580,16 @@ object SparkEntry {
           nTokens = 4, dim = 16)
         .orderBy(col("vec_id"))),
 
+    // north-star: self-BLEU corpus diversity — each generation scored as
+    // a BLEU-2 candidate against 3 cyclic-successor generations (capped
+    // fan-out, never all-pairs); high self-BLEU = the model repeats
+    // itself. Unsmoothed p1 leaves zero-overlap pairs unscored
+    // (n_scored < n_opp reads the miss).
+    "eval_self_bleu" -> ((s, dir) =>
+      evals.selfBleu(genPairs(s, dir), col("doc_id"), col("cand"),
+          opponents = 3, maxN = 2)
+        .orderBy(col("doc_id"))),
+
     // north-star: win-rate error bars — the per-item win indicator
     // (1 / 0.5 / 0) through the deterministic Poisson bootstrap; the
     // rep spread IS the CI a launch review reads.
@@ -8156,6 +8166,62 @@ object SparkEntry {
          |   END)::BIGINT AS f1_q4
          |FROM p ORDER BY vec_id""".stripMargin
     },
+
+    // Self-BLEU-2 vs 3 cyclic-successor opponents: the eval_bleu oracle
+    // machinery per (doc, opp) pair — max(CASE) pivot + NULL-propagating
+    // + for the unsmoothed p1 term — then per-doc skip-NULL aggregation
+    // (both engines' sum() skip, intentionally: n_scored reads the drop).
+    "eval_self_bleu" ->
+      s"""WITH t AS ($SqlGenToks),
+         |d AS (SELECT doc_id, ct FROM t),
+         |b AS (SELECT min(doc_id) AS lo, count(*) AS n FROM d),
+         |f AS (SELECT d.doc_id, ((d.doc_id - b.lo + j.j) % b.n) + b.lo AS opp
+         |  FROM d CROSS JOIN b CROSS JOIN (SELECT unnest([1, 2, 3]) AS j) j
+         |  WHERE j.j < b.n),
+         |p AS (SELECT f.doc_id, f.opp, a.ct AS cl, o.ct AS rl
+         |  FROM f JOIN d a ON f.doc_id = a.doc_id JOIN d o ON f.opp = o.doc_id),
+         |g AS (SELECT doc_id, opp, n, ${sqlNgrams("cl", "n")} AS cg,
+         |  ${sqlNgrams("rl", "n")} AS rg
+         |  FROM p CROSS JOIN (SELECT unnest([1, 2]) AS n)),
+         |cc AS (SELECT doc_id, opp, n, g2 AS gram, count(*)::BIGINT AS c
+         |  FROM (SELECT doc_id, opp, n, unnest(cg) AS g2 FROM g)
+         |  GROUP BY 1, 2, 3, 4),
+         |rc AS (SELECT doc_id, opp, n, g2 AS gram, count(*)::BIGINT AS r
+         |  FROM (SELECT doc_id, opp, n, unnest(rg) AS g2 FROM g)
+         |  GROUP BY 1, 2, 3, 4),
+         |cl AS (SELECT cc.doc_id, cc.opp, cc.n,
+         |  sum(least(cc.c, rc.r))::BIGINT AS clip
+         |  FROM cc JOIN rc ON cc.doc_id = rc.doc_id AND cc.opp = rc.opp
+         |    AND cc.n = rc.n AND cc.gram = rc.gram GROUP BY 1, 2, 3),
+         |pn AS (SELECT g.doc_id, g.opp, g.n, len(g.cg)::BIGINT AS tot,
+         |  len(g.rg)::BIGINT AS rtot, coalesce(cl.clip, 0)::BIGINT AS clip
+         |  FROM g LEFT JOIN cl ON g.doc_id = cl.doc_id AND g.opp = cl.opp
+         |    AND g.n = cl.n),
+         |pv AS (SELECT doc_id, opp,
+         |  max(CASE WHEN n = 1 THEN clip END)::BIGINT AS clip_1,
+         |  max(CASE WHEN n = 1 THEN tot END)::BIGINT AS tot_1,
+         |  max(CASE WHEN n = 1 THEN rtot END)::BIGINT AS ref_len,
+         |  max(CASE WHEN n = 2 THEN clip END)::BIGINT AS clip_2,
+         |  max(CASE WHEN n = 2 THEN tot END)::BIGINT AS tot_2
+         |  FROM pn GROUP BY 1, 2),
+         |q AS (SELECT doc_id, opp, tot_1 AS cand_len, ref_len,
+         |  (CASE WHEN clip_1 > 0 AND tot_1 > 0 THEN
+         |    floor(ln(clip_1::DOUBLE / tot_1::DOUBLE) * 1000000.0)::BIGINT END)
+         |   + floor(ln((clip_2 + 1)::DOUBLE / (tot_2 + 1)::DOUBLE)
+         |       * 1000000.0)::BIGINT AS qsum
+         |  FROM pv),
+         |lb AS (SELECT doc_id,
+         |  CASE WHEN cand_len > 0 THEN
+         |    floor((qsum::DOUBLE / 2000000.0 + least(0.0,
+         |      1.0 - ref_len::DOUBLE / cand_len::DOUBLE)) * 1000000.0)::BIGINT
+         |  END AS lbq FROM q)
+         |SELECT doc_id, count(*)::BIGINT AS n_opp,
+         |  count(lbq)::BIGINT AS n_scored,
+         |  sum(lbq)::BIGINT AS self_bleu_q6_sum,
+         |  (CASE WHEN count(lbq) > 0 THEN
+         |    floor(sum(lbq)::DOUBLE / count(lbq))::BIGINT
+         |   END)::BIGINT AS self_bleu_mean_q6
+         |FROM lb GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     // Session tagging replayed (lag + gap + cumsum), ladder per
     // (user, session), sessions counted per step.

@@ -680,6 +680,95 @@ object evals {
           * 10000.0 + 0.5) / 10000.0).as("logbleu"): _*)
   }
 
+  /** Self-BLEU corpus diversity (Zhu et al. 2018): score each generation
+    * as a BLEU candidate against OTHER generations as references — high
+    * self-BLEU = the model repeats itself (the pairwise complement to
+    * [[distinctNgrams]]' corpus-level distinct ratio). NOT all-pairs:
+    * each document scores against its `opponents` cyclic successors in
+    * id space — deterministic, capped fan-out (the sampled-opponents
+    * convention; K·n pairs total, never n²).
+    *
+    * Contract: `idCol` must be integral and DENSE in [min, min+n) — the
+    * cyclic opponent `(id − min + j) mod n + min` then always exists
+    * (the generation-eval fixtures' doc_id shape). Sparse ids degrade
+    * gracefully: missing opponents drop from the inner join and
+    * `n_opp` reads < `opponents` (audit-then-drop). Corpora smaller
+    * than `opponents`+1 pair each doc with every OTHER doc once
+    * (j < n excludes self-pairing).
+    *
+    * Per pair, the [[bleu]] machinery at `maxN` orders via the fused
+    * [[graft.functions.NativeExprs.genOverlapOf]] kernel: unsmoothed p₁
+    * (zero unigram overlap → pair unscored, surfaced via `n_scored` <
+    * `n_opp`), add-one smoothing beyond, brevity penalty, the whole
+    * log-BLEU quantized PER PAIR to 1e-6 longs — so the per-doc sum is
+    * order-free and exact, and the mean divides it once
+    * (`floor(sum/n)` in double: exact below 2⁵², and floor-form matches
+    * DuckDB's `//` on negative sums where Spark's DIV truncates).
+    *
+    * Plan shape: bounds ride a broadcast 1-row aggregate (no driver
+    * scalar), the fan-out is an in-row explode of `1..opponents`, and
+    * ONE id-keyed join fetches opponent text — K·n thin rows through
+    * one exchange, kernel scoring row-local after it.
+    *
+    * Returns `(idCol, n_opp, n_scored, self_bleu_q6_sum,
+    * self_bleu_mean_q6)` — q6 = 1e-6-quantized log-BLEU units. */
+  def selfBleu(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      opponents: Int = 3,
+      maxN: Int = 2): DataFrame = {
+    require(opponents >= 1 && opponents <= 64,
+      s"graft: selfBleu needs 1 <= opponents <= 64, got $opponents")
+    require(maxN >= 1 && maxN <= 8,
+      s"graft: selfBleu needs 1 <= maxN <= 8, got $maxN")
+    val idName = idCol.toString
+    val base = df
+      .select(idCol.cast("long").as("_id"), coalesce(textCol, lit("")).as("_t"))
+      .where(col("_id").isNotNull)
+    val bounds = base.agg(min(col("_id")).as("_lo"), count(lit(1)).as("_n"))
+    val fan = base.crossJoin(broadcast(bounds))
+      .select(col("_id"), col("_t"),
+        explode(sequence(lit(1L), lit(opponents.toLong))).as("_j"),
+        col("_lo"), col("_n"))
+      .where(col("_j") < col("_n"))
+      .select(col("_id"), col("_t"),
+        (pmod(col("_id") - col("_lo") + col("_j"), col("_n")) + col("_lo"))
+          .as("_opp"))
+    val pairs = fan.join(
+      base.select(col("_id").as("_opp"), col("_t").as("_ot")), "_opp")
+    val o = graft.functions.NativeExprs.genOverlap(
+      col("_t"), col("_ot"), 1 to maxN, charMode = false)
+    val flat = pairs.select(Seq(col("_id"), o.as("_o")): _*)
+      .select(Seq(col("_id"),
+        col("_o").getField("tot_c_1").as("_cand_len"),
+        col("_o").getField("tot_r_1").as("_ref_len")) ++
+        (1 to maxN).flatMap(n => Seq(
+          col("_o").getField(s"clip_$n").as(s"_clip_$n"),
+          col("_o").getField(s"tot_c_$n").as(s"_tot_$n"))): _*)
+    val qTerms = (1 to maxN).map { n =>
+      val (num, den) =
+        if (n == 1) (col("_clip_1").cast("double"), col("_tot_1").cast("double"))
+        else ((col(s"_clip_$n") + 1L).cast("double"),
+          (col(s"_tot_$n") + 1L).cast("double"))
+      val q = floor(log(num / den) * 1e6).cast("long")
+      if (n == 1) when(col("_clip_1") > 0L && col("_tot_1") > 0L, q) else q
+    }
+    val logbleuQ6 = when(col("_cand_len") > 0L,
+      floor((qTerms.reduce(_ + _).cast("double") / (maxN * 1e6) +
+        least(lit(0.0), lit(1.0) -
+          col("_ref_len").cast("double") / col("_cand_len").cast("double")))
+        * 1e6).cast("long"))
+    flat.select(col("_id"), logbleuQ6.as("_lb"))
+      .groupBy(col("_id").as(idName))
+      .agg(count(lit(1)).as("n_opp"),
+        count(col("_lb")).as("n_scored"),
+        sum(col("_lb")).as("self_bleu_q6_sum"))
+      .withColumn("self_bleu_mean_q6", when(col("n_scored") > 0L,
+        floor(col("self_bleu_q6_sum").cast("double") / col("n_scored"))
+          .cast("long")))
+  }
+
   /** chrF (Popović 2015): character-n-gram F-β between candidate and
     * reference, n = 1..`maxN` averaged, β² weighting recall (β = 2 by
     * convention). Whitespace is removed first (the chrF standard — word

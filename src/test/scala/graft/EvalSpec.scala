@@ -270,6 +270,28 @@ class EvalSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("embedF1 expects 4 elements")))
   }
 
+  test("selfBleu: identical docs score 0, disjoint docs stay unscored") {
+    val df = Seq((0L, "a b c"), (1L, "a b c"), (2L, "x y z"))
+      .toDF("id", "t")
+    val got = evals.selfBleu(df, col("id"), col("t"), opponents = 2, maxN = 2)
+      .orderBy("id").collect()
+    // doc 0 vs {1, 2}: identical pair scores logbleu 0 (ln 1 terms, no
+    // brevity penalty); the disjoint pair has zero unigram overlap ->
+    // unscored. Same for doc 1.
+    assert((got(0).getLong(1), got(0).getLong(2), got(0).getLong(3),
+      got(0).getLong(4)) == ((2L, 1L, 0L, 0L)))
+    assert((got(1).getLong(1), got(1).getLong(2)) == ((2L, 1L)))
+    // doc 2 overlaps neither opponent: every pair unscored, sums NULL
+    assert(got(2).getLong(1) == 2L && got(2).getLong(2) == 0L)
+    assert(got(2).isNullAt(3) && got(2).isNullAt(4))
+    // corpora smaller than opponents+1: each doc pairs with every OTHER
+    // doc once (j < n excludes self-pairing)
+    val two = Seq((0L, "a b"), (1L, "a b")).toDF("id", "t")
+    val g2 = evals.selfBleu(two, col("id"), col("t"), opponents = 5, maxN = 1)
+      .orderBy("id").collect()
+    assert(g2.forall(r => r.getLong(1) == 1L && r.getLong(2) == 1L))
+  }
+
   test("winRate: hand counts, tie-aware convention, null rows excluded") {
     val df = Seq((Some(3L), Some(1L)), (Some(2L), Some(2L)),
       (Some(1L), Some(5L)), (Some(4L), Some(0L)),

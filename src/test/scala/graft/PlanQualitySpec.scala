@@ -59,7 +59,11 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("no candidate-pair plan ever contains a cartesian product") {
-    Seq("dedup_minhash_pairs", "dedup_emb_neardup", "ann_lsh_topk", "hybrid_rrf_topk")
+    // eval_self_bleu's opponent fan-out is a capped in-row explode + one
+    // id-keyed join (its only BNLJ is the 1-row bounds broadcast) — an
+    // all-pairs regression would surface as a cartesian here.
+    Seq("dedup_minhash_pairs", "dedup_emb_neardup", "ann_lsh_topk",
+      "hybrid_rrf_topk", "eval_self_bleu")
       .foreach { q =>
         val p = plan(q)
         assert(!p.contains("CartesianProduct"), s"$q degenerated to a cartesian product")
