@@ -3723,12 +3723,13 @@ object SparkEntry {
     // integers (qty is integral 1-50 in the data; price in cents;
     // discount/tax in rounded hundredths so disc revenue is x100 scale);
     // averages are truncating integer quotients — both engines truncate
-    // on non-negative operands. The charge triple product is pre-divided
-    // back to cents scale PER ROW (c*(100-dh)*(100+th) DIV 10000):
-    // summing the raw x10000 product into BIGINT would wrap silently on
-    // Spark near SF100 (~1e11/row x 1e8 rows/group) while DuckDB's
-    // HUGEINT sum errors on the ::BIGINT cast — per-row truncation keeps
-    // both engines identical and pushes the ceiling past SF1e5.
+    // on non-negative operands. The charge triple product (x10000 scale,
+    // ~1e11/row) is summed EXACTLY in wide integers — DECIMAL(38,0) on
+    // Spark, HUGEINT on DuckDB — and divided back to cents ONCE per
+    // group (IntegralDivide accepts decimal operands, yields LONG), so
+    // sum_charge_c is the exact TPC-H charge sum: no per-row truncation
+    // drift, and 38 digits give ~1e27 rows/group of headroom where a
+    // BIGINT sum would wrap silently near SF100.
     "rel_tpch_q1" -> ((s, dir) =>
       table(s, dir, "lineitem")
         .where(col("l_shipdate") <= lit("2001-08-06").cast("timestamp"))
@@ -3741,12 +3742,12 @@ object SparkEntry {
         .agg(sum(col("_q")).as("sum_qty"),
           sum(col("_c")).as("sum_base_qc"),
           sum(col("_c") * (lit(100L) - col("_dh"))).as("sum_disc_qc"),
-          sum(expr("(_c * (100L - _dh) * (100L + _th)) DIV 10000L"))
-            .as("sum_charge_c"),
+          sum(expr("CAST(_c * (100L - _dh) * (100L + _th) AS DECIMAL(38,0))"))
+            .as("_charge_q4"),
           count(lit(1)).as("n_rows"))
         .select(col("l_returnflag"), col("l_linestatus"),
           col("sum_qty"), col("sum_base_qc"), col("sum_disc_qc"),
-          col("sum_charge_c"),
+          expr("_charge_q4 DIV 10000").as("sum_charge_c"),
           expr("sum_qty * 100 DIV n_rows").as("avg_qty_x100"),
           expr("sum_base_qc DIV n_rows").as("avg_price_c"),
           col("n_rows"))
@@ -8455,7 +8456,7 @@ object SparkEntry {
         |  sum(q)::BIGINT AS sum_qty,
         |  sum(c)::BIGINT AS sum_base_qc,
         |  sum(c * (100 - dh))::BIGINT AS sum_disc_qc,
-        |  sum((c * (100 - dh) * (100 + th)) // 10000)::BIGINT AS sum_charge_c,
+        |  (sum(c * (100 - dh) * (100 + th)) // 10000)::BIGINT AS sum_charge_c,
         |  (sum(q) * 100 // count(*))::BIGINT AS avg_qty_x100,
         |  (sum(c) // count(*))::BIGINT AS avg_price_c,
         |  count(*)::BIGINT AS n_rows
