@@ -3590,6 +3590,53 @@ object SparkEntry {
           opponents = 3, maxN = 2)
         .orderBy(col("doc_id"))),
 
+    // north-star: pass@k — the HumanEval estimator per task from 503
+    // hash-bucketed tasks × ~12 samples; exact falling-factorial
+    // arithmetic in DECIMAL(38), NULL where n < k.
+    "eval_pass_at_k" -> ((s, dir) =>
+      evals.passAtK(
+        table(s, dir, "embeddings").select(
+          (col("vec_id") % 503L).as("task"), (col("label") < 4).as("ok")),
+        col("task"), col("ok"), ks = Seq(1, 2, 5))
+        .orderBy(col("task"))),
+
+    // north-star: self-consistency / majority-vote accuracy — modal
+    // answer per task vs gold, struct-max tie-break, no window.
+    "eval_majority_vote" -> ((s, dir) =>
+      evals.selfConsistency(
+        table(s, dir, "embeddings").select(
+          (col("vec_id") % 503L).as("task"),
+          pmod(scoreQ4(col("embedding"), Q1), lit(7L)).as("ans"),
+          ((col("vec_id") % 503L) % 7L).as("gold")),
+        col("task"), col("ans"), col("gold"))
+        .orderBy(col("task"))),
+
+    // north-star: Cohen's kappa between the data label and a
+    // hash-derived second rater — chance-corrected agreement, all
+    // integer, floor-division portable on the negative branch.
+    "eval_kappa" -> ((s, dir) =>
+      evals.cohenKappa(
+        table(s, dir, "embeddings").where(col("embedding").isNotNull)
+          .select(col("label").cast("long").as("a"),
+            pmod(scoreQ4(col("embedding"), Q1), lit(10L)).as("b")),
+        col("a"), col("b"))),
+
+    // north-star: Bradley-Terry arena ratings — 8 synthetic models with
+    // index-increasing skill margins, 3 MM fixed-point rounds in
+    // integer arithmetic, deterministic rescale; the leaderboard read.
+    "eval_bt_ratings" -> ((s, dir) =>
+      evals.btRatings(
+        table(s, dir, "embeddings").select(
+          (col("vec_id") % 8L).as("a"),
+          expr("(vec_id DIV 8) % 8").as("b"),
+          (scoreQ4(col("embedding"), Q1) - scoreQ4(col("embedding"), Q2)
+            + ((col("vec_id") % 8L) - expr("(vec_id DIV 8) % 8")) * 500L)
+            .as("mg"))
+          .where(col("a") =!= col("b") && col("mg") =!= 0L)
+          .withColumn("win", col("mg") > 0L),
+        col("a"), col("b"), col("win"), iters = 3)
+        .orderBy(col("model"))),
+
     // north-star: win-rate error bars — the per-item win indicator
     // (1 / 0.5 / 0) through the deterministic Poisson bootstrap; the
     // rep spread IS the CI a launch review reads.
@@ -8223,6 +8270,108 @@ object SparkEntry {
          |    floor(sum(lbq)::DOUBLE / count(lbq))::BIGINT
          |   END)::BIGINT AS self_bleu_mean_q6
          |FROM lb GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // pass@k unrolled per k: clamped falling factorials in HUGEINT
+    // (Spark's DECIMAL(38,0) twin), truncating ppm quotient, NULL
+    // where n < k.
+    "eval_pass_at_k" ->
+      """WITH b AS (SELECT vec_id % 503 AS task,
+        |    CASE WHEN label < 4 THEN 1 ELSE 0 END AS ok FROM embeddings),
+        |g AS (SELECT task, count(*)::BIGINT AS n, sum(ok)::BIGINT AS c
+        |  FROM b GROUP BY 1)
+        |SELECT task, n, c,
+        |  (1000000 - ((greatest(n - c, 0)::HUGEINT * 1000000)
+        |    // n::HUGEINT))::BIGINT AS pass_1_ppm,
+        |  (CASE WHEN n >= 2 THEN 1000000 -
+        |    ((greatest(n - c, 0)::HUGEINT * greatest(n - c - 1, 0) * 1000000)
+        |     // (n::HUGEINT * (n - 1))) END)::BIGINT AS pass_2_ppm,
+        |  (CASE WHEN n >= 5 THEN 1000000 -
+        |    ((greatest(n - c, 0)::HUGEINT * greatest(n - c - 1, 0)
+        |      * greatest(n - c - 2, 0) * greatest(n - c - 3, 0)
+        |      * greatest(n - c - 4, 0) * 1000000)
+        |     // (n::HUGEINT * (n - 1) * (n - 2) * (n - 3) * (n - 4)))
+        |   END)::BIGINT AS pass_5_ppm
+        |FROM g ORDER BY task""".stripMargin,
+
+    // Majority vote via max-count + min-answer tie-break (the
+    // struct-max twin), gold = min per task.
+    "eval_majority_vote" ->
+      s"""WITH b AS (SELECT vec_id % 503 AS task,
+         |    (((${sqlScoreQ4(Q1)}) % 7) + 7) % 7 AS ans,
+         |    (vec_id % 503) % 7 AS gold FROM embeddings),
+         |c AS (SELECT task, ans, count(*)::BIGINT AS cnt, min(gold) AS g
+         |  FROM b GROUP BY 1, 2),
+         |m AS (SELECT task, max(cnt) AS mx FROM c GROUP BY 1),
+         |mj AS (SELECT c.task, min(c.ans) AS maj FROM c
+         |  JOIN m ON c.task = m.task AND c.cnt = m.mx GROUP BY 1),
+         |t AS (SELECT task, sum(cnt)::BIGINT AS n_samples, min(g) AS gold
+         |  FROM c GROUP BY 1)
+         |SELECT t.task, t.n_samples, mj.maj::BIGINT AS maj_answer,
+         |  m.mx::BIGINT AS maj_count, t.gold::BIGINT AS gold,
+         |  (CASE WHEN mj.maj = t.gold THEN 1 ELSE 0 END)::BIGINT AS correct
+         |FROM t JOIN m ON t.task = m.task JOIN mj ON t.task = mj.task
+         |ORDER BY t.task""".stripMargin,
+
+    // Kappa from the confusion grid's marginals; DuckDB's // already
+    // floors, mirroring the Spark side's pmod floor-division identity.
+    "eval_kappa" ->
+      s"""WITH b AS (SELECT label::BIGINT AS a,
+         |    (((${sqlScoreQ4(Q1)}) % 10) + 10) % 10 AS bb
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |g AS (SELECT a, bb, count(*)::BIGINT AS n FROM b GROUP BY 1, 2),
+         |t AS (SELECT sum(n)::BIGINT AS n,
+         |  sum(CASE WHEN a = bb THEN n ELSE 0 END)::BIGINT AS agree FROM g),
+         |s AS (SELECT coalesce(sum(ra * cb), 0)::BIGINT AS s_cross FROM
+         |  (SELECT a AS k, sum(n)::BIGINT AS ra FROM g GROUP BY 1) x
+         |  JOIN (SELECT bb AS k, sum(n)::BIGINT AS cb FROM g GROUP BY 1) y
+         |  ON x.k = y.k)
+         |SELECT n, agree, s_cross,
+         |  (CASE WHEN n > 0 THEN agree * 1000000 // n END)::BIGINT AS po_ppm,
+         |  (CASE WHEN n > 0 THEN s_cross * 1000000 // (n * n)
+         |   END)::BIGINT AS pe_ppm,
+         |  (CASE WHEN n * n - s_cross > 0 THEN
+         |    (n * agree * 1000000 - s_cross * 1000000) // (n * n - s_cross)
+         |   END)::BIGINT AS kappa_ppm
+         |FROM t, s""".stripMargin,
+
+    // Bradley-Terry MM unrolled 3 rounds: per-pair quantized quotient
+    // sums + the hits-style integer rescale, HUGEINT mirroring Spark's
+    // DECIMAL(38,0) products.
+    "eval_bt_ratings" -> {
+      def iter(k: Int): String = {
+        val (p, n) = (s"r$k", s"r${k + 1}")
+        s"""d$n AS (SELECT p.i,
+           |  sum((p.nij::HUGEINT * 1000000000000) // (ri.r + rj.r)) AS d
+           |  FROM p JOIN $p ri ON p.i = ri.i JOIN $p rj ON p.j = rj.i
+           |  GROUP BY 1),
+           |w$n AS (SELECT t.i, t.games, t.wins,
+           |  CASE WHEN d.d > 0 THEN (t.wins::HUGEINT * 1000000000000) // d.d
+           |    ELSE 0 END AS raw
+           |  FROM $p t JOIN d$n d ON t.i = d.i),
+           |m$n AS (SELECT max(raw) AS mx FROM w$n),
+           |$n AS (SELECT i, games, wins,
+           |  greatest(raw // (1 + (greatest(mx, 1) - 1) // 1000000), 1) AS r
+           |  FROM w$n, m$n)""".stripMargin
+      }
+      s"""WITH mt AS (SELECT vec_id % 8 AS a, (vec_id // 8) % 8 AS b,
+         |    (${sqlScoreQ4(Q1)}) - (${sqlScoreQ4(Q2)})
+         |      + ((vec_id % 8) - ((vec_id // 8) % 8)) * 500 AS mg
+         |  FROM embeddings),
+         |f AS (SELECT a, b, mg > 0 AS w FROM mt WHERE a <> b AND mg <> 0),
+         |p AS (SELECT i, j, count(*)::BIGINT AS nij,
+         |    sum(CASE WHEN w THEN 1 ELSE 0 END)::BIGINT AS wij
+         |  FROM (SELECT a AS i, b AS j, w FROM f
+         |    UNION ALL SELECT b AS i, a AS j, NOT w FROM f)
+         |  GROUP BY 1, 2),
+         |r0 AS (SELECT i, sum(nij)::BIGINT AS games,
+         |    sum(wij)::BIGINT AS wins, 1000000::BIGINT AS r
+         |  FROM p GROUP BY 1),
+         |${iter(0)},
+         |${iter(1)},
+         |${iter(2)}
+         |SELECT i AS model, games, wins, r::BIGINT AS rating
+         |FROM r3 ORDER BY model""".stripMargin
+    },
 
     // Session tagging replayed (lag + gap + cumsum), ladder per
     // (user, session), sessions counted per step.

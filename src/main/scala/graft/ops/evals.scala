@@ -817,4 +817,262 @@ object evals {
             (lit(b2) * col("chrp_ppm") + col("chrr_ppm")) / 100.0 + 0.5)
             / 10000.0).as("chrf"))
   }
+
+  // ————— sampled-correctness & preference-aggregation meters —————
+  // The aggregation side of an LLM eval harness: n samples per task
+  // (pass@k, majority vote), raters per item (Cohen's kappa), pairwise
+  // battles per model (Bradley-Terry). Same discipline as above: exact
+  // long/decimal counts, truncating ppm quotients, in-plan overflow
+  // guards on every documented ceiling.
+
+  /** Largest per-task sample count for which [[passAtK]]'s falling
+    * factorials stay exact at order `k`: `10⁶·n^k` must fit
+    * DECIMAL(38,0) on Spark and HUGEINT on DuckDB, so n ≤ 10^(32/k)
+    * (~10¹⁶ at k=2, ~2.5M at k=5, ~1585 at k=10). */
+  def passAtKMaxN(k: Int): Long =
+    math.pow(10.0, 32.0 / k).toLong
+
+  /** pass@k (Chen et al. 2021, HumanEval §2.1): per task with n
+    * samples of which c are correct, the unbiased estimator
+    * `1 − C(n−c,k)/C(n,k)` — the probability at least one of k drawn
+    * samples is correct. Computed EXACTLY: the binomial ratio reduces
+    * to a falling-factorial quotient `ff(n−c,k)/ff(n,k)` whose terms
+    * are clamped-at-zero integers (n−c < k makes a term 0, so the
+    * estimator is exactly 1 — no special case), carried in
+    * DECIMAL(38,0) so `10⁶·ff` never wraps below [[passAtKMaxN]] rows
+    * per task, ENFORCED in-plan ([[spearman]] precedent). Tasks with
+    * n < k read NULL (estimator undefined; audit-then-drop).
+    *
+    * Plan shape: ONE hash aggregate to (task, n, c) — map-side
+    * combined, the shuffle carries one thin row per task — then the
+    * estimators are row-local integer arithmetic on the grid.
+    *
+    * Returns `(taskCol, n, c, pass_⟨k⟩_ppm per k)`. */
+  def passAtK(
+      df: DataFrame,
+      taskCol: Column,
+      correctCol: Column,
+      ks: Seq[Int] = Seq(1, 5, 10)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(k => k >= 1 && k <= 32),
+      s"graft: passAtK needs 1 <= k <= 32, got $ks")
+    val name = taskCol.toString
+    val grid = df
+      .select(taskCol.as("_task"),
+        correctCol.cast("boolean").cast("long").as("_ok"))
+      .where(col("_task").isNotNull && col("_ok").isNotNull)
+      .groupBy(col("_task").as(name))
+      .agg(count(lit(1)).as("n"), sum(col("_ok")).as("c"))
+    def ff(x: Column, k: Int): Column =
+      (0 until k).map(i => greatest(x - lit(i.toLong), lit(0L))
+        .cast("decimal(38,0)")).reduce(_ * _)
+    ks.foldLeft(grid) { (acc, k) =>
+      val bound = passAtKMaxN(k)
+      val est = acc
+        .withColumn("_num", ff(col("n") - col("c"), k))
+        .withColumn("_den", ff(col("n"), k))
+      est
+        .withColumn(s"pass_${k}_ppm",
+          when(col("n") > lit(bound),
+            raise_error(format_string(
+              s"graft: passAtK exactness ceiling exceeded at k=$k " +
+                s"(n = %s > $bound samples/task) — falling factorials " +
+                "would wrap; pre-sample per task", col("n"))).cast("long"))
+          .otherwise(when(col("n") >= lit(k.toLong),
+            lit(1000000L) - expr("(_num * 1000000) DIV _den"))))
+        .drop("_num", "_den")
+    }
+  }
+
+  /** Self-consistency / majority-vote accuracy (Wang et al. 2023):
+    * per task, the modal answer across n samples against the gold
+    * answer. Deterministic tie-break: among tied counts the SMALLEST
+    * answer wins (struct-max on (count, −answer) — no window, no
+    * sort). `gold` is expected constant per task; the deterministic
+    * pick is min (a mixed-gold task reads as whatever min gives —
+    * upstream data bug, not silently averaged).
+    *
+    * Plan shape: two hash aggregates — (task, answer) counts, then the
+    * per-task struct-max — both map-side combined; the second shuffle
+    * carries one row per DISTINCT answer per task, never the samples.
+    *
+    * Returns `(taskCol, n_samples, maj_answer, maj_count, gold,
+    * correct)` — one row per task; accuracy is
+    * `sum(correct)/count(*)` downstream. */
+  def selfConsistency(
+      df: DataFrame,
+      taskCol: Column,
+      answerCol: Column,
+      goldCol: Column): DataFrame = {
+    val name = taskCol.toString
+    val counts = df
+      .select(taskCol.as("_task"), answerCol.cast("long").as("_ans"),
+        goldCol.cast("long").as("_gold"))
+      .where(col("_task").isNotNull && col("_ans").isNotNull
+        && col("_gold").isNotNull)
+      .groupBy(col("_task"), col("_ans"))
+      .agg(count(lit(1)).as("_cnt"), min(col("_gold")).as("_g"))
+    counts
+      .groupBy(col("_task").as(name))
+      .agg(sum(col("_cnt")).as("n_samples"),
+        max(struct(col("_cnt").as("_c"), (-col("_ans")).as("_na"))).as("_m"),
+        min(col("_g")).as("gold"))
+      .select(col(name), col("n_samples"),
+        (-col("_m._na")).as("maj_answer"),
+        col("_m._c").as("maj_count"), col("gold"))
+      .withColumn("correct",
+        (col("maj_answer") === col("gold")).cast("long"))
+  }
+
+  /** [[cohenKappa]]'s int64-exactness ceiling: the chance-agreement
+    * cross term `Σ rowTotₖ·colTotₖ ≤ n²` enters scaled by 10⁶, so n
+    * must stay under √(2⁶³/10⁶) ≈ 3.03M rows; 3M leaves margin. An
+    * agreement set, not a corpus — pre-sample ([[spearman]] guidance). */
+  val KappaMaxN: Long = 3000000L
+
+  /** Cohen's kappa (1960): chance-corrected inter-rater agreement
+    * between two categorical labelings — the standard read-out for
+    * "do my two judges / my judge and my gold agree beyond chance".
+    * All-integer: observed agreement `po = agree/n` and chance
+    * agreement `pe = Σₖ rowTotₖ·colTotₖ / n²` reduce kappa to
+    * `(n·agree − S) / (n² − S)` with `S = Σₖ rowTotₖ·colTotₖ` — exact
+    * longs under [[KappaMaxN]] (ENFORCED in-plan). The numerator can
+    * be NEGATIVE (worse-than-chance agreement), where Spark's DIV
+    * truncates toward zero but an oracle's `//` floors — so the ppm
+    * quotient uses the pmod floor-division identity
+    * `(x − pmod(x,y)) / y`, exact and engine-portable on any sign.
+    *
+    * Plan shape: one hash aggregate to the (a,b) confusion grid
+    * (bounded by the label-domain square), two grid-local marginal
+    * aggregates joined on the label, three 1-row frames broadcast
+    * together — the corpus crosses the wire once, as the grid.
+    *
+    * Returns one row `(n, agree, s_cross, po_ppm, pe_ppm, kappa_ppm)`. */
+  def cohenKappa(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val grid = df
+      .select(aCol.cast("long").as("_a"), bCol.cast("long").as("_b"))
+      .where(col("_a").isNotNull && col("_b").isNotNull)
+      .groupBy(col("_a"), col("_b"))
+      .agg(count(lit(1)).as("_n"))
+    val tot = grid.agg(sum(col("_n")).as("n"),
+      sum(when(col("_a") === col("_b"), col("_n")).otherwise(0L))
+        .as("agree"))
+    val s = grid.groupBy(col("_a").as("_k")).agg(sum(col("_n")).as("_ra"))
+      .join(grid.groupBy(col("_b").as("_k")).agg(sum(col("_n")).as("_cb")),
+        "_k")
+      .agg(coalesce(sum(col("_ra") * col("_cb")), lit(0L)).as("s_cross"))
+    tot.crossJoin(broadcast(s))
+      .withColumn("_guard",
+        when(col("n") > KappaMaxN,
+          raise_error(format_string(
+            "graft: cohenKappa int64-exactness ceiling exceeded (n = %s " +
+              s"> $KappaMaxN rows) — the chance cross term would wrap; " +
+              "pre-sample the agreement set", col("n"))).cast("long"))
+        .otherwise(lit(0L)))
+      .select(col("n"), col("agree"), col("s_cross"),
+        when(col("n") > 0L, expr("(agree * 1000000 + _guard) DIV n"))
+          .as("po_ppm"),
+        when(col("n") > 0L, expr("(s_cross * 1000000) DIV (n * n)"))
+          .as("pe_ppm"),
+        when(col("n") * col("n") - col("s_cross") > 0L, expr(
+          "(n * agree * 1000000 - s_cross * 1000000" +
+            " - pmod(n * agree * 1000000 - s_cross * 1000000," +
+            " n * n - s_cross)) DIV (n * n - s_cross)"))
+          .as("kappa_ppm"))
+  }
+
+  /** [[btRatings]] model-set ceiling — the pair grid squares it. */
+  val BtMaxModels: Long = 10000L
+
+  /** [[btRatings]] per-model game-count ceiling: each pair term
+    * `nᵢⱼ·10¹² DIV (rᵢ+rⱼ)` is a LONG ≤ nᵢⱼ·5·10¹¹, and their per-model
+    * sum must stay under 2⁶³ — games ≤ 9M per model leaves 2× margin.
+    * BT is invariant to scaling all nᵢⱼ and Wᵢ by one factor, so a
+    * larger battle table pre-divides its counts instead of widening
+    * the arithmetic. */
+  val BtMaxGamesPerModel: Long = 9000000L
+
+  /** Bradley-Terry ratings from pairwise battles (the arena-leaderboard
+    * aggregate): model i's rating rᵢ satisfies
+    * `rᵢ = Wᵢ / Σⱼ nᵢⱼ/(rᵢ+rⱼ)` — solved by `iters` rounds of the
+    * classic MM fixed point (Hunter 2004), in fixed-point integer
+    * arithmetic: each pair term quantizes `nᵢⱼ·10¹² DIV (rᵢ+rⱼ)` (one
+    * truncating DIV per pair, order-free long sum), the update divides
+    * once per model, and a [[graph.hits]]-style deterministic integer
+    * rescale (divide by `q = ceil(max/scale)`, clamp at 1) keeps every
+    * rating in (0, scale] with no float normalization anywhere.
+    *
+    * Scale shape: the battle table aggregates ONCE to the ordered-pair
+    * grid (≤ models² rows, in-plan guard at [[BtMaxModels]]) — 100 TB
+    * of battles cross the wire as one map-side-combined count — and
+    * the iteration joins the tiny rating frame onto the grid
+    * ([[ckpt.cut]] per round, no driver collect). Ties: score them as
+    * half-wins upstream by duplicating the row once per side, or drop
+    * them; `aWinsCol` is a strict boolean.
+    *
+    * Returns `(model, games, wins, rating)` — rating in `scale`
+    * fixed-point units, max model at `scale`; ORDER is the caller's. */
+  def btRatings(
+      matches: DataFrame,
+      aCol: Column,
+      bCol: Column,
+      aWinsCol: Column,
+      iters: Int = 3,
+      scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1 && iters <= 64,
+      s"graft: btRatings needs 1 <= iters <= 64, got $iters")
+    val base = matches
+      .select(aCol.cast("long").as("_a"), bCol.cast("long").as("_b"),
+        aWinsCol.cast("boolean").as("_w"))
+      .where(col("_a").isNotNull && col("_b").isNotNull
+        && col("_w").isNotNull && col("_a") =!= col("_b"))
+    val pairs = base
+      .select(col("_a").as("_i"), col("_b").as("_j"), col("_w"))
+      .unionAll(base.select(col("_b").as("_i"), col("_a").as("_j"), !col("_w")))
+      .groupBy(col("_i"), col("_j"))
+      .agg(count(lit(1)).as("_nij"),
+        sum(col("_w").cast("long")).as("_wij"))
+      .persist()
+    val models = pairs.groupBy(col("_i"))
+      .agg(sum(col("_nij")).as("games"), sum(col("_wij")).as("wins"))
+    val nModels = models.agg(count(lit(1)).as("_nm"))
+    var r = ckpt.cut(models
+      .crossJoin(broadcast(nModels))
+      .select(col("_i"), col("games"), col("wins"),
+        when(col("_nm") > BtMaxModels,
+          raise_error(format_string(
+            s"graft: btRatings model-set ceiling exceeded (%s > " +
+              s"$BtMaxModels models) — the pair grid squares it; " +
+              "pre-bucket the model ids", col("_nm"))).cast("long"))
+        .when(col("games") > BtMaxGamesPerModel,
+          raise_error(format_string(
+            "graft: btRatings game-count ceiling exceeded (%s > " +
+              s"$BtMaxGamesPerModel games for model %s) — pair terms " +
+              "would wrap; pre-divide the battle counts (BT is " +
+              "invariant to a common factor)", col("games"), col("_i")))
+            .cast("long"))
+          .otherwise(lit(scale)).as("_r")))
+    val q12 = scale * scale
+    for (_ <- 0 until iters) {
+      val d = pairs
+        .join(r.select(col("_i"), col("_r").as("_ri")), "_i")
+        .join(r.select(col("_i").as("_j"), col("_r").as("_rj")), "_j")
+        .groupBy(col("_i"))
+        .agg(sum(expr(s"(CAST(_nij AS DECIMAL(38,0)) * ${q12}L)" +
+          " DIV (_ri + _rj)")).as("_d"))
+      val raw = r.join(d, "_i")
+        .select(col("_i"), col("games"), col("wins"),
+          when(col("_d") > 0L,
+            expr(s"(CAST(wins AS DECIMAL(38,0)) * ${q12}L) DIV _d"))
+            .otherwise(lit(0L)).as("_raw"))
+      val m = raw.agg(max(col("_raw")).as("_m"))
+      r = ckpt.cut(raw.crossJoin(broadcast(m))
+        .select(col("_i"), col("games"), col("wins"),
+          greatest(expr(s"_raw DIV (1 + (greatest(_m, CAST(1 AS BIGINT))" +
+            s" - 1) DIV CAST($scale AS BIGINT))"), lit(1L)).as("_r")))
+    }
+    val out = r.select(col("_i").as("model"), col("games"), col("wins"),
+      col("_r").as("rating"))
+    pairs.unpersist(false)
+    out
+  }
 }

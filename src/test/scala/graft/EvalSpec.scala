@@ -292,6 +292,81 @@ class EvalSpec extends SparkSpec {
     assert(g2.forall(r => r.getLong(1) == 1L && r.getLong(2) == 1L))
   }
 
+  test("passAtK: hand-computed estimator, degeneracies, ceiling guard") {
+    // one task: n=4, c=2 → pass@1 = c/n = 0.5; pass@2 = 1 − C(2,2)/C(4,2)
+    // = 5/6 → 833334 in truncated ppm (1e6 − 2e6 DIV 12 = 1e6 − 166666)
+    val df = Seq((7L, true), (7L, true), (7L, false), (7L, false))
+      .toDF("task", "ok")
+    val r = evals.passAtK(df, col("task"), col("ok"), Seq(1, 2)).collect()
+    assert(r.length == 1)
+    assert((r(0).getLong(1), r(0).getLong(2)) == ((4L, 2L)))
+    assert(r(0).getLong(3) == 500000L && r(0).getLong(4) == 833334L)
+    // degeneracies: n < k → NULL; all correct → exactly 1e6; none → 0
+    val d = Seq((1L, true), (2L, true), (2L, true), (3L, false), (3L, false))
+      .toDF("task", "ok")
+    val g = evals.passAtK(d, col("task"), col("ok"), Seq(2))
+      .orderBy("task").collect()
+    assert(g(0).isNullAt(3), "n=1 < k=2 must be NULL")
+    assert(g(1).getLong(3) == 1000000L && g(2).getLong(3) == 0L)
+    // ceiling: k=10 caps n at 1584 — a 1585-sample task must raise
+    assert(evals.passAtKMaxN(10) == 1584L)
+    val big = spark.range(1585).select(lit(1L).as("task"),
+      (col("id") % 2 === 0).as("ok"))
+    val e = intercept[Exception] {
+      evals.passAtK(big, col("task"), col("ok"), Seq(10)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("passAtK exactness ceiling")))
+  }
+
+  test("selfConsistency: majority vote, deterministic tie-break, gold match") {
+    val df = Seq(
+      (1L, 3L, 3L), (1L, 3L, 3L), (1L, 5L, 3L), // maj 3 (2 votes) = gold
+      (2L, 1L, 2L), (2L, 2L, 2L))               // tie 1v1 → min ans 1 ≠ gold
+      .toDF("task", "ans", "gold")
+    val r = evals.selfConsistency(df, col("task"), col("ans"), col("gold"))
+      .orderBy("task").collect()
+    assert((r(0).getLong(1), r(0).getLong(2), r(0).getLong(3),
+      r(0).getLong(4), r(0).getLong(5)) == ((3L, 3L, 2L, 3L, 1L)))
+    assert((r(1).getLong(1), r(1).getLong(2), r(1).getLong(3),
+      r(1).getLong(4), r(1).getLong(5)) == ((2L, 1L, 1L, 2L, 0L)))
+  }
+
+  test("cohenKappa: textbook grid, negative kappa floors portably") {
+    // classic 2x2: 20 yes/yes, 5 yes/no, 10 no/yes, 15 no/no →
+    // po=0.7, pe=0.5, kappa=0.4
+    val rows = Seq.fill(20)((1L, 1L)) ++ Seq.fill(5)((1L, 0L)) ++
+      Seq.fill(10)((0L, 1L)) ++ Seq.fill(15)((0L, 0L))
+    val r = evals.cohenKappa(rows.toDF("a", "b"), col("a"), col("b"))
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((50L, 35L, 1250L)))
+    assert((r.getLong(3), r.getLong(4), r.getLong(5))
+      == ((700000L, 500000L, 400000L)))
+    // perfect disagreement on 2 rows: kappa = −1 exactly — the negative
+    // branch exercises the pmod floor-division (Spark DIV alone would
+    // truncate toward zero and disagree with an oracle's floor)
+    val neg = evals.cohenKappa(Seq((0L, 1L), (1L, 0L)).toDF("a", "b"),
+      col("a"), col("b")).collect()(0)
+    assert(neg.getLong(5) == -1000000L)
+  }
+
+  test("btRatings: 3:1 head-to-head converges to the exact 3x ratio") {
+    val m = (Seq.fill(3)((1L, 2L, true)) ++ Seq((1L, 2L, false)))
+      .toDF("a", "b", "win")
+    val r = evals.btRatings(m, col("a"), col("b"), col("win"), iters = 3)
+      .orderBy("model").collect()
+    // fixed point: r1/r2 = wins ratio 3; integer rescale pins max-ish
+    // model at 750000 after the first-round q=2 division (hand-traced)
+    assert((r(0).getLong(1), r(0).getLong(2)) == ((4L, 3L)))
+    assert(r(0).getLong(3) == 750000L && r(1).getLong(3) == 250000L)
+    // self-matches and null winners are dropped, never scored
+    val junk = Seq((1L, 1L, Some(true)), (1L, 2L, None))
+      .toDF("a", "b", "win")
+    assert(evals.btRatings(junk, col("a"), col("b"), col("win")).count() == 0L)
+  }
+
   test("winRate: hand counts, tie-aware convention, null rows excluded") {
     val df = Seq((Some(3L), Some(1L)), (Some(2L), Some(2L)),
       (Some(1L), Some(5L)), (Some(4L), Some(0L)),
