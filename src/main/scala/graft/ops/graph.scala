@@ -471,18 +471,6 @@ object graph {
     * broadcast back via cross join (the plan stays one lazy DAG — no
     * driver collect). [[ckpt.cut]] truncates lineage each round.
     *
-    * The edge table is pre-exchanged ONCE per key side (repartition by
-    * src → persist, repartition by dst → persist) and `nodes` once by
-    * id, so every per-iteration join consumes a CACHED partitioning
-    * instead of re-shuffling edges each round: 3 one-off exchanges buy
-    * out 3·iters recurring ones (the exchange-reuse discipline that
-    * fixed the novelty meters — but via persisted partitioning, which
-    * unlike plain exchange reuse survives differing column pruning
-    * across consumers). The score side rides for free: checkpointed
-    * DataFrames carry their hash partitioning through LogicalRDD and
-    * alias-aware projection, so the groupBy(id) output meets the next
-    * id-keyed join already co-partitioned.
-    *
     * Returns `(id, hub, auth)` in `scale` fixed-point units. */
   def hits(
       edges: DataFrame,
@@ -495,12 +483,10 @@ object graph {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-    val eSrc = e.repartition(col("src")).persist()
-    val eDst = e.repartition(col("dst")).persist()
-    val nodes = eSrc.select(col("src").as("id"))
-      .union(eSrc.select(col("dst").as("id")))
+      .persist()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
       .distinct()
-      .repartition(col("id"))
       .persist()
     def rescale(df: DataFrame, c: String): DataFrame = {
       val m = df.agg(max(col(c)).as("_m"))
@@ -516,13 +502,13 @@ object graph {
     var auth = nodes.withColumn("auth", lit(scale))
     for (_ <- 0 until iters) {
       val aRaw = nodes
-        .join(eSrc.join(hub.select(col("id").as("src"), col("hub")), "src")
+        .join(e.join(hub.select(col("id").as("src"), col("hub")), "src")
           .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("auth")),
           Seq("id"), "left")
         .select(col("id"), coalesce(col("auth"), lit(0L)).as("auth"))
       auth = ckpt.cut(rescale(aRaw, "auth"))
       val hRaw = nodes
-        .join(eDst.join(auth.select(col("id").as("dst"), col("auth")), "dst")
+        .join(e.join(auth.select(col("id").as("dst"), col("auth")), "dst")
           .groupBy(col("src").as("id")).agg(sum(col("auth")).as("hub")),
           Seq("id"), "left")
         .select(col("id"), coalesce(col("hub"), lit(0L)).as("hub"))
@@ -531,7 +517,7 @@ object graph {
     val out = nodes
       .join(hub, "id").join(auth, "id")
       .select(col("id"), col("hub"), col("auth"))
-    Seq(eSrc, eDst, nodes).foreach(_.unpersist(false))
+    Seq(e, nodes).foreach(_.unpersist(false))
     out
   }
 

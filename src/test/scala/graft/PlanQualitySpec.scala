@@ -32,48 +32,6 @@ class PlanQualitySpec extends SparkSpec {
       }
   }
 
-  test("hits iteration consumes cached edge partitioning: edges never re-shuffle per round") {
-    // graph.hits pre-exchanges the edge table once per key side and
-    // relies on TWO Spark behaviors to keep every per-iteration join
-    // exchange-free on the edge side: (1) a cached repartition(col)
-    // serves its hash partitioning through InMemoryTableScan, and
-    // (2) checkpointed score frames carry hash(id) through LogicalRDD
-    // and alias-aware projection (id → src), so only the thin
-    // aggregated score rows re-key per round. This reconstructs one
-    // half-iteration and counts LIVE shuffles (tree collect — cached
-    // build plans don't count): exactly 1, the unavoidable groupBy
-    // re-key. A Spark upgrade dropping either behavior doubles it.
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
-      "spark.sql.adaptive.enabled").map(k => k -> spark.conf.get(k))
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    val e = spark.read.parquet(s"$dir/events.parquet")
-      .select(col("user_id").as("src"), col("event_id").as("dst"))
-      .where(col("src").isNotNull && col("dst").isNotNull).distinct()
-    val eSrc = e.repartition(col("src")).persist()
-    val nodes = eSrc.select(col("src").as("id"))
-      .union(eSrc.select(col("dst").as("id")))
-      .distinct().repartition(col("id")).persist()
-    try {
-      val hub = nodes.withColumn("hub", lit(1000000L)).localCheckpoint(true)
-      val half = nodes.join(
-        eSrc.join(hub.select(col("id").as("src"), col("hub")), "src")
-          .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("auth")),
-        Seq("id"), "left")
-      val live = half.queryExecution.executedPlan
-        .collect { case s: ShuffleExchangeExec => s }.size
-      assert(live == 1,
-        s"hits half-iteration should have exactly 1 live shuffle (the " +
-          s"score-row re-key), got $live:\n" +
-          half.queryExecution.executedPlan.toString.take(2000))
-    } finally {
-      Seq(eSrc, nodes).foreach(_.unpersist(false))
-      saved.foreach { case (k, v) => spark.conf.set(k, v) }
-    }
-  }
-
   test("generation-eval meters are kernel passes: at most the output-sort exchange") {
     // rouge/bleu/chrf are per-pair gen_overlap kernel projections — the
     // ONLY exchange is the presentation orderBy. A reappearing explode +
