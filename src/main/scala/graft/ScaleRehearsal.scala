@@ -146,6 +146,15 @@ object ScaleRehearsal {
     run("cluster_driver_finish")(dedup.connectedComponents(pairs))
     run("cluster_distributed")(
       dedup.connectedComponents(pairs, driverFinishEdges = 0L))
+    // iterative graph ops over the MINHASH pair graph — unlike the kNN
+    // edge set (whose LSH knobs cap edge counts by design, collapsing
+    // at 30×), this edge table scales ~linearly with the clone corpus
+    // (250k @10× → 2.4M @30×), so per-iteration shuffle mass actually
+    // grows with factor — the honest multi-iteration scaling probe
+    val pe = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    run("pagerank_pairs_3it")(graph.pageRank(pe, iters = 3))
+    run("hits_pairs_2it")(graph.hits(pe, iters = 2))
+    run("labelprop_pairs_2it")(graph.labelPropagation(pe, iters = 2))
     pairs.unpersist()
 
     // ---- embedding family (densified buckets) -------------------------
@@ -755,6 +764,39 @@ object ScaleRehearsal {
       col("label") < 5, bins = 10))
     run("gen_distinct_n", countRows = false)(evals.distinctNgrams(
       docs, col("text"), Seq(1, 2)))
+    // self-BLEU at factor-x: K·n pairs through ONE id-keyed join, then
+    // row-local kernel scoring — wall must scale linearly in docs
+    run("gen_self_bleu", countRows = false)(evals.selfBleu(
+      genPairs.select(col("doc_id"), col("cand")), col("doc_id"),
+      col("cand"), opponents = 3, maxN = 2))
+    run("gen_embed_f1", countRows = false)(evals.embedF1(
+      emb, col("vec_id"), col("embedding"), reverse(col("embedding")),
+      nTokens = 4, dim = 16))
+    // sampled-correctness / preference aggregates: each is one (or two)
+    // map-side-combined aggregates to a task- or grid-bounded frame —
+    // shuffle mass tracks TASKS, never samples; BT iterates on the
+    // bounded model grid after one battle-count aggregate
+    run("gen_pass_at_k", countRows = false)(evals.passAtK(
+      emb.select((col("vec_id") % 503L).as("task"),
+        (col("label") < 4).as("ok")),
+      col("task"), col("ok"), Seq(1, 2, 5)))
+    run("gen_majority_vote", countRows = false)(evals.selfConsistency(
+      emb.select((col("vec_id") % 503L).as("task"),
+        pmod(col("vec_id") * 2654435761L, lit(7L)).as("ans"),
+        ((col("vec_id") % 503L) % 7L).as("gold")),
+      col("task"), col("ans"), col("gold")))
+    run("gen_kappa")(evals.cohenKappa(
+      emb.select(col("label").cast("long").as("a"),
+        pmod(col("vec_id") * 2654435761L, lit(10L)).as("b")),
+      col("a"), col("b")))
+    run("gen_bt_ratings")(evals.btRatings(
+      emb.select((col("vec_id") % 8L).as("a"),
+        expr("(vec_id DIV 8) % 8").as("b"),
+        (pmod(col("vec_id") * 2654435761L, lit(100L))
+          < lit(45L) + ((col("vec_id") % 8L) - expr("(vec_id DIV 8) % 8")))
+          .as("win"))
+        .where(col("a") =!= col("b")),
+      col("a"), col("b"), col("win"), iters = 3))
 
     spark.stop()
   }
