@@ -1151,6 +1151,21 @@ object SparkEntry {
     "text_vocab_topn" -> ((s, dir) =>
       text.vocabulary(table(s, dir, "documents"), "text", "doc_id", topN = 100)),
 
+    // north-star: Heaps'-law vocabulary growth — new word types per
+    // corpus id-slice + cumulative curves; the diminishing-returns
+    // read for "does more data still buy new language".
+    "text_vocab_growth" -> ((s, dir) =>
+      text.vocabGrowth(table(s, dir, "documents"), "text", "doc_id",
+          buckets = 20)
+        .orderBy(col("bucket"))),
+
+    // north-star: categorical mutual information (lang vs source) —
+    // the column-leakage / skew audit; exact contingency grid, q12
+    // ln terms, 6-dp nats.
+    "rel_mutual_info" -> ((s, dir) =>
+      rel.mutualInfo(table(s, dir, "documents"), col("lang"),
+        col("source"))),
+
     // north-star: learned BPE merge rules — iterative trainer; corpus
     // read once, merge rounds run on the distributed word vocabulary.
     // Deterministic (exact integer pair counts, fixed tie order); the
@@ -4081,6 +4096,58 @@ object SparkEntry {
       s"""WITH t AS (SELECT doc_id, unnest($SqlToks) AS word FROM documents)
          |SELECT word, count(*) AS tf, count(DISTINCT doc_id) AS df
          |FROM t GROUP BY word ORDER BY tf DESC, word LIMIT 100""".stripMargin,
+
+    // Heaps curve: first occurrence = min bucket per type; cumulative
+    // sums over the 20-row grid.
+    "text_vocab_growth" ->
+      s"""WITH tk AS (SELECT doc_id AS id, $SqlToks AS toks FROM documents),
+         |b AS (SELECT min(id) AS lo, max(id) AS hi FROM tk),
+         |e AS (SELECT ((id - lo) * 20) // (hi - lo + 1) AS bucket,
+         |    unnest(toks) AS t FROM tk CROSS JOIN b),
+         |pb AS (SELECT bucket, count(*)::BIGINT AS toks FROM e GROUP BY 1),
+         |fs AS (SELECT fb AS bucket, count(*)::BIGINT AS new_types FROM
+         |  (SELECT t, min(bucket) AS fb FROM e GROUP BY 1) GROUP BY 1),
+         |g AS (SELECT pb.bucket, pb.toks,
+         |    coalesce(fs.new_types, 0)::BIGINT AS new_types
+         |  FROM pb LEFT JOIN fs ON pb.bucket = fs.bucket)
+         |SELECT bucket, toks, new_types,
+         |  sum(toks) OVER (ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         |    AS toks_cum,
+         |  sum(new_types) OVER (ORDER BY bucket
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         |    AS vocab_cum
+         |FROM g ORDER BY bucket""".stripMargin,
+
+    // MI/entropies on the corpusDivergence quantization convention:
+    // q12 floor per cell, long sums, 6-dp quantized nats.
+    "rel_mutual_info" ->
+      """WITH b AS (SELECT lang AS a, source AS bb FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL),
+        |g AS (SELECT a, bb, count(*)::BIGINT AS nij FROM b GROUP BY 1, 2),
+        |na AS (SELECT a, sum(nij)::BIGINT AS na FROM g GROUP BY 1),
+        |nb AS (SELECT bb, sum(nij)::BIGINT AS nb FROM g GROUP BY 1),
+        |t AS (SELECT sum(nij)::BIGINT AS n,
+        |  count(DISTINCT a)::BIGINT AS a_card,
+        |  count(DISTINCT bb)::BIGINT AS b_card FROM g),
+        |mi AS (SELECT sum(floor((g.nij::DOUBLE / t.n)
+        |    * ln((g.nij::DOUBLE * t.n) / (na.na::DOUBLE * nb.nb))
+        |    * 1e12))::BIGINT AS smi
+        |  FROM g JOIN na ON g.a = na.a JOIN nb ON g.bb = nb.bb CROSS JOIN t),
+        |ha AS (SELECT sum(floor((na::DOUBLE / t.n)
+        |    * ln(t.n::DOUBLE / na) * 1e12))::BIGINT AS sha
+        |  FROM na CROSS JOIN t),
+        |hb AS (SELECT sum(floor((nb::DOUBLE / t.n)
+        |    * ln(t.n::DOUBLE / nb) * 1e12))::BIGINT AS shb
+        |  FROM nb CROSS JOIN t)
+        |SELECT n, a_card, b_card,
+        |  floor(sha::DOUBLE / 1e12 * 1000000.0 + 0.5) / 1000000.0 AS h_a,
+        |  floor(shb::DOUBLE / 1e12 * 1000000.0 + 0.5) / 1000000.0 AS h_b,
+        |  floor(smi::DOUBLE / 1e12 * 1000000.0 + 0.5) / 1000000.0 AS mi,
+        |  CASE WHEN greatest(sha, shb) > 0 THEN
+        |    floor(smi::DOUBLE / greatest(sha, shb)::DOUBLE * 1000000.0 + 0.5)
+        |      / 1000000.0 END AS nmi
+        |FROM t, mi, ha, hb""".stripMargin,
 
     // The trainer's 12 rounds unrolled in DuckDB — an independent
     // re-derivation of the merge rules, not a pinned transcript.

@@ -216,6 +216,64 @@ object rel {
       .select(groupCols.map(col) ++ Seq(col("n"), col("corr")): _*)
   }
 
+  /** Mutual information between two CATEGORICAL columns, with both
+    * marginal entropies — the does-this-column-predict-that-one audit
+    * (domain↔language skew, source↔label leakage): MI ≈ 0 means the
+    * columns are independent; NMI → 1 means one determines the other.
+    * Natural-log units (nats), computed on the [[graft.ops.text
+    * .corpusDivergence]] convention: per-cell terms floor-quantized at
+    * 1e-12 and summed as longs (order-free), the single transcendental
+    * ln being the documented accepted-ulp-risk class; entropies the
+    * same way over the marginal grids. `nmi` normalizes by
+    * `max(H(a), H(b))` (MI ≤ min ≤ max, so nmi ∈ [0, 1]); one constant
+    * column reads nmi = 0 (it carries nothing to share), and only when
+    * BOTH are constant is the ratio 0/0 → NULL, not a fake verdict.
+    *
+    * Plan shape: ONE corpus scan to the (a, b) contingency grid
+    * (map-side combined, grid rows ≤ |A|·|B| — eagerly cut via
+    * [[ckpt]] so the marginal/total/term consumers reread grid rows,
+    * never the corpus), marginals and totals are grid-local
+    * aggregates, and the result is four 1-row frames broadcast
+    * together. Returns one row
+    * `(n, a_card, b_card, h_a, h_b, mi, nmi)` — entropies/MI 6-dp
+    * quantized nats. */
+  def mutualInfo(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val grid = ckpt.cut(df
+      .select(aCol.as("_a"), bCol.as("_b"))
+      .where(col("_a").isNotNull && col("_b").isNotNull)
+      .groupBy(col("_a"), col("_b"))
+      .agg(count(lit(1)).as("_nij")))
+    val na = grid.groupBy(col("_a")).agg(sum(col("_nij")).as("_na"))
+    val nb = grid.groupBy(col("_b")).agg(sum(col("_nij")).as("_nb"))
+    val tot = grid.agg(sum(col("_nij")).as("n"),
+      count_distinct(col("_a")).as("a_card"),
+      count_distinct(col("_b")).as("b_card"))
+    val q12 = lit(1.0e12)
+    val mi = grid.join(na, "_a").join(nb, "_b").crossJoin(broadcast(tot))
+      .select(floor((col("_nij").cast("double") / col("n").cast("double"))
+        * log((col("_nij").cast("double") * col("n").cast("double"))
+          / (col("_na").cast("double") * col("_nb").cast("double"))) * q12)
+        .cast("long").as("_q"))
+      .agg(sum(col("_q")).as("_smi"))
+    def entropy(m: DataFrame, c: String, out: String): DataFrame =
+      m.crossJoin(broadcast(tot))
+        .select(floor((col(c).cast("double") / col("n").cast("double"))
+          * log(col("n").cast("double") / col(c).cast("double")) * q12)
+          .cast("long").as("_q"))
+        .agg(sum(col("_q")).as(out))
+    val q = graft.functions.vectors.quantize(_: Column, 6)
+    tot.crossJoin(broadcast(entropy(na, "_na", "_sha")))
+      .crossJoin(broadcast(entropy(nb, "_nb", "_shb")))
+      .crossJoin(broadcast(mi))
+      .select(col("n"), col("a_card"), col("b_card"),
+        q(col("_sha").cast("double") / q12).as("h_a"),
+        q(col("_shb").cast("double") / q12).as("h_b"),
+        q(col("_smi").cast("double") / q12).as("mi"),
+        when(greatest(col("_sha"), col("_shb")) > 0L,
+          q(col("_smi").cast("double")
+            / greatest(col("_sha"), col("_shb")).cast("double"))).as("nmi"))
+  }
+
   /** One-pass column profile — the generic data-quality gate a pipeline
     * runs before trusting a new table: per column, row count, null
     * count, EXACT distinct count, and min/max (cast to string so one

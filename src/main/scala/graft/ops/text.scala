@@ -674,6 +674,53 @@ object text {
       .orderBy(col("tf").desc, col("word"))
       .limit(topN)
 
+  /** Heaps'-law vocabulary growth curve: the corpus, ordered by
+    * `idCol`, is cut into `buckets` equal id-range slices, and each
+    * slice reports its token volume plus how many NEW word types it
+    * introduces (types whose FIRST occurrence falls in that slice) —
+    * the diminishing-returns read for "does more data still buy new
+    * language", and the empirical Heaps exponent when plotted
+    * log-log. Exact: first occurrence is `min(bucket)` per type, an
+    * order-free aggregate; no sampling anywhere.
+    *
+    * Plan shape: one explode + ONE type-keyed aggregate (map-side
+    * combined — the shuffle carries distinct types, not tokens), one
+    * bucket-grid count, then cumulative sums over the ≤`buckets`-row
+    * grid via a documented bounded global window. Id slices with no
+    * tokens emit no row (their cumulative values are readable from the
+    * next present bucket).
+    *
+    * Returns `(bucket, toks, new_types, toks_cum, vocab_cum)` ordered
+    * by bucket. */
+  def vocabGrowth(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      buckets: Int = 20): org.apache.spark.sql.DataFrame = {
+    require(buckets >= 1 && buckets <= 100000,
+      s"graft: vocabGrowth needs 1 <= buckets <= 100000, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df
+      .select(col(idCol).cast("long").as("_id"), tokens(col(textCol)).as("_ts"))
+      .where(col("_id").isNotNull)
+    val bounds = toks.agg(min(col("_id")).as("_lo"), max(col("_id")).as("_hi"))
+    val tok = toks.crossJoin(broadcast(bounds))
+      .select(expr(s"((_id - _lo) * ${buckets}L) DIV (_hi - _lo + 1)")
+        .as("bucket"), explode(col("_ts")).as("_t"))
+    val perBucket = tok.groupBy(col("bucket")).agg(count(lit(1)).as("toks"))
+    val firsts = tok.groupBy(col("_t")).agg(min(col("bucket")).as("_fb"))
+      .groupBy(col("_fb").as("bucket")).agg(count(lit(1)).as("new_types"))
+    val w = windows.boundedGlobal("buckets", col("bucket"))
+      .orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.join(firsts, Seq("bucket"), "left")
+      .select(col("bucket"), col("toks"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .select(col("bucket"), col("toks"), col("new_types"),
+        sum(col("toks")).over(w).as("toks_cum"),
+        sum(col("new_types")).over(w).as("vocab_cum"))
+  }
+
   /** Per-document out-of-vocabulary rate against the corpus's own
     * top-`topN` vocabulary ([[vocabulary]]) — the
     * will-the-tokenizer-cope meter: a doc whose tokens are mostly

@@ -540,4 +540,29 @@ class RelSpec extends SparkSpec {
     assert(got == ((2L, 4L, 500000L, 625000L, -125000L, 375000L)),
       got.toString)
   }
+
+  test("mutualInfo: determined columns give MI = H and NMI = 1; independent give 0") {
+    // b mirrors a exactly: every cell term equals the matching marginal
+    // entropy term INCLUDING the floor quantization, so mi == h_a
+    // exactly and nmi is exactly 1
+    val det = Seq((0L, "x"), (0L, "x"), (1L, "y"), (1L, "y")).toDF("a", "b")
+    val r = rel.mutualInfo(det, col("a"), col("b")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 2L, 2L)))
+    assert(r.getDouble(5) == r.getDouble(3), "MI == H(a) when b determines a")
+    assert(r.getDouble(3) == 0.693147, "H = ln 2 at 6dp")
+    assert(r.getDouble(6) == 1.0)
+    // uniform independent 2x2: every cell ratio is exactly 1, ln = 0
+    val ind = Seq((0L, "x"), (0L, "y"), (1L, "x"), (1L, "y")).toDF("a", "b")
+    val ri = rel.mutualInfo(ind, col("a"), col("b")).head()
+    assert(ri.getDouble(5) == 0.0 && ri.getDouble(6) == 0.0)
+    // one constant column: H(b) = 0, MI = 0, nmi = 0 (max-normalized);
+    // BOTH constant is the only genuine 0/0 -> NULL
+    val const = Seq((0L, "x"), (1L, "x")).toDF("a", "b")
+    val rc = rel.mutualInfo(const, col("a"), col("b")).head()
+    assert(rc.getDouble(4) == 0.0 && rc.getDouble(5) == 0.0
+      && rc.getDouble(6) == 0.0)
+    val both = Seq((0L, "x"), (0L, "x")).toDF("a", "b")
+    val rb = rel.mutualInfo(both, col("a"), col("b")).head()
+    assert(rb.getDouble(5) == 0.0 && rb.isNullAt(6))
+  }
 }

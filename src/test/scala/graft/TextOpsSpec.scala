@@ -559,4 +559,17 @@ class TextOpsSpec extends SparkSpec {
     assert(sumAbs <= 8L, "collision cancellation can only shrink mass")
     assert(got.where(col("v") === 0L).count() == 0L)
   }
+
+  test("vocabGrowth: first occurrences bucket correctly, curves accumulate") {
+    // ids 0..3 into 2 buckets: {0,1} -> bucket 0, {2,3} -> bucket 1.
+    // bucket 0 sees types {a,b}; bucket 1 re-sees a,b and adds {c}.
+    val docs = Seq((0L, "a b"), (1L, "a"), (2L, "b c"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val got = text.vocabGrowth(docs, "text", "doc_id", buckets = 2)
+      .orderBy("bucket").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 3L, 2L, 3L, 2L), (1L, 4L, 1L, 7L, 3L)))
+    // a type whose docs all land in one slice is new exactly once
+    val tot = got.map(_._3).sum
+    assert(tot == 3L, "every distinct type is counted new exactly once")
+  }
 }
