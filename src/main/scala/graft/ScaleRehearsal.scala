@@ -789,6 +789,10 @@ object ScaleRehearsal {
       emb.select(col("label").cast("long").as("a"),
         pmod(col("vec_id") * 2654435761L, lit(10L)).as("b")),
       col("a"), col("b")))
+    // Heaps curve: one type-keyed aggregate (shuffle = distinct types,
+    // sub-linear in tokens on a clone corpus); MI: grid-bounded
+    run("vocab_growth")(text.vocabGrowth(docs, "text", "doc_id", 20))
+    run("mutual_info")(rel.mutualInfo(docs, col("lang"), col("source")))
     run("gen_bt_ratings")(evals.btRatings(
       emb.select((col("vec_id") % 8L).as("a"),
         expr("(vec_id DIV 8) % 8").as("b"),
