@@ -643,6 +643,29 @@ object Demo {
     graft.ops.evals.ece(store.df, (sA + lit(10000L)) * lit(50L),
       col("label") < 5).show()
 
+    println("== eval harness: pass@k -> majority vote -> kappa -> arena BT ==")
+    val runs = store.df.select((col("vec_id") % 97L).as("task"),
+      (col("label") < 4).as("ok"), pmod(sA, lit(7L)).as("ans"),
+      ((col("vec_id") % 97L) % 7L).as("gold"))
+    graft.ops.evals.passAtK(runs, col("task"), col("ok"), Seq(1, 5, 10))
+      .orderBy(col("task")).show(3)
+    val sc = graft.ops.evals.selfConsistency(runs, col("task"), col("ans"),
+      col("gold"))
+    println(s"  majority-vote accuracy: ${sc.where(col("correct") === 1L).count()}" +
+      s" / ${sc.count()} tasks")
+    graft.ops.evals.cohenKappa(store.df, col("label"), pmod(sA, lit(10L))).show()
+    val battles = store.df.select((col("vec_id") % 8L).as("a"),
+      expr("(vec_id DIV 8) % 8").as("b"), (sA - sB).as("mg"))
+      .where(col("a") =!= col("b") && col("mg") =!= 0L)
+    graft.ops.evals.btRatings(battles, col("a"), col("b"), col("mg") > 0L)
+      .orderBy(col("rating").desc).show(8)
+    println("== corpus audits: self-BLEU diversity -> Heaps curve -> MI ==")
+    graft.ops.evals.selfBleu(genP.select(col("doc_id"), col("cand")),
+      col("doc_id"), col("cand")).orderBy(col("doc_id")).show(3)
+    graft.ops.text.vocabGrowth(docs, "text", "doc_id", buckets = 5)
+      .orderBy(col("bucket")).show()
+    graft.ops.rel.mutualInfo(docs, col("lang"), col("source")).show()
+
     spark.stop()
   }
 }

@@ -541,4 +541,48 @@ object GraftProperties extends Properties("graft") {
       val base = ((1000000L - 850000L) * scale / 1000000L) / n
       ranks.sum >= base * n && ranks.sum <= scale && ranks.forall(_ >= base)
     }
+
+  property("passAtK: pass@1 = c/n exactly; estimator nondecreasing in k") =
+    forAll(Gen.chooseNum(1, 25)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(true, false)))) { oks =>
+      val df = oks.map(ok => (1L, ok)).toDF("task", "ok")
+      val r = graft.ops.evals.passAtK(df, col("task"), col("ok"), Seq(1, 2, 3))
+        .head()
+      val n = oks.length.toLong
+      val c = oks.count(identity).toLong
+      r.getLong(3) == 1000000L - ((n - c) * 1000000L) / n &&
+        (n < 2 || r.getLong(3) <= r.getLong(4)) &&
+        (n < 3 || r.getLong(4) <= r.getLong(5))
+    }
+
+  property("cohenKappa: perfect agreement is exactly 1e6 ppm for ANY labeling") =
+    forAll(Gen.listOfN(12, Gen.chooseNum(0L, 3L))
+      .suchThat(_.distinct.length >= 2)) { xs =>
+      val df = xs.map(x => (x, x)).toDF("a", "b")
+      graft.ops.evals.cohenKappa(df, col("a"), col("b"))
+        .head().getLong(5) == 1000000L
+    }
+
+  property("mutualInfo laws: 0 <= MI <= min(H) up to quantization, ANY columns") =
+    forAll(Gen.listOfN(15,
+      Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 2L)))) { rows =>
+      val r = graft.ops.rel.mutualInfo(rows.toDF("a", "b"),
+        col("a"), col("b")).head()
+      val (ha, hb, mi) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      mi >= -1.0e-4 && mi <= math.min(ha, hb) + 1.0e-4
+    }
+
+  property("vocabGrowth: curves end at exact corpus totals for ANY id layout") =
+    forAll(Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.chooseNum(0L, 100L),
+        Gen.listOfN(4, Gen.oneOf("a", "b", "c", "d", "e")))))) { rows =>
+      val df = rows.map { case (id, ws) => (id, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val g = graft.ops.text.vocabGrowth(df, "text", "doc_id", buckets = 3)
+        .orderBy("bucket").collect()
+      val types = rows.flatMap(_._2).distinct.length.toLong
+      g.last.getLong(3) == rows.length * 4L &&
+        g.last.getLong(4) == types &&
+        g.map(_.getLong(2)).sum == types
+    }
 }
