@@ -942,17 +942,19 @@ object evals {
     * `(x − pmod(x,y)) / y`, exact and engine-portable on any sign.
     *
     * Plan shape: one hash aggregate to the (a,b) confusion grid
-    * (bounded by the label-domain square), two grid-local marginal
-    * aggregates joined on the label, three 1-row frames broadcast
-    * together — the corpus crosses the wire once, as the grid.
+    * (bounded by the label-domain square) — eagerly cut via [[ckpt]]
+    * so the total/marginal/cross consumers reread GRID rows instead of
+    * re-scanning the corpus once each (measured: the lazy form planned
+    * 6 parquet scans) — then two grid-local marginal aggregates joined
+    * on the label and three 1-row frames broadcast together.
     *
     * Returns one row `(n, agree, s_cross, po_ppm, pe_ppm, kappa_ppm)`. */
   def cohenKappa(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
-    val grid = df
+    val grid = ckpt.cut(df
       .select(aCol.cast("long").as("_a"), bCol.cast("long").as("_b"))
       .where(col("_a").isNotNull && col("_b").isNotNull)
       .groupBy(col("_a"), col("_b"))
-      .agg(count(lit(1)).as("_n"))
+      .agg(count(lit(1)).as("_n")))
     val tot = grid.agg(sum(col("_n")).as("n"),
       sum(when(col("_a") === col("_b"), col("_n")).otherwise(0L))
         .as("agree"))

@@ -683,12 +683,15 @@ object text {
     * log-log. Exact: first occurrence is `min(bucket)` per type, an
     * order-free aggregate; no sampling anywhere.
     *
-    * Plan shape: one explode + ONE type-keyed aggregate (map-side
-    * combined — the shuffle carries distinct types, not tokens), one
-    * bucket-grid count, then cumulative sums over the ≤`buckets`-row
-    * grid via a documented bounded global window. Id slices with no
-    * tokens emit no row (their cumulative values are readable from the
-    * next present bucket).
+    * Plan shape: one explode + ONE (type, bucket)-keyed aggregate
+    * (map-side combined — the shuffle carries distinct type-bucket
+    * pairs, not tokens), eagerly cut via [[ckpt]] so BOTH readers
+    * (bucket totals, first-occurrence counts) reread the
+    * ≤types·buckets grid instead of re-tokenizing the corpus once
+    * each; then cumulative sums over the ≤`buckets`-row grid via a
+    * documented bounded global window. Id slices with no tokens emit
+    * no row (their cumulative values are readable from the next
+    * present bucket).
     *
     * Returns `(bucket, toks, new_types, toks_cum, vocab_cum)` ordered
     * by bucket. */
@@ -707,8 +710,10 @@ object text {
     val tok = toks.crossJoin(broadcast(bounds))
       .select(expr(s"((_id - _lo) * ${buckets}L) DIV (_hi - _lo + 1)")
         .as("bucket"), explode(col("_ts")).as("_t"))
-    val perBucket = tok.groupBy(col("bucket")).agg(count(lit(1)).as("toks"))
-    val firsts = tok.groupBy(col("_t")).agg(min(col("bucket")).as("_fb"))
+    val grid = ckpt.cut(tok.groupBy(col("_t"), col("bucket"))
+      .agg(count(lit(1)).as("_c")))
+    val perBucket = grid.groupBy(col("bucket")).agg(sum(col("_c")).as("toks"))
+    val firsts = grid.groupBy(col("_t")).agg(min(col("bucket")).as("_fb"))
       .groupBy(col("_fb").as("bucket")).agg(count(lit(1)).as("new_types"))
     val w = windows.boundedGlobal("buckets", col("bucket"))
       .orderBy(col("bucket"))

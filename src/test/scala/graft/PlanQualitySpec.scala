@@ -58,6 +58,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(!ef.contains("Join"), "eval_embed_f1 must stay row-local")
   }
 
+  test("grid-cut audits scan the corpus once: consumers read the checkpointed grid") {
+    // cohenKappa / mutualInfo / vocabGrowth aggregate the corpus to a
+    // domain-bounded grid and cut it via ckpt — their final plans must
+    // contain NO parquet scan at all (every consumer reads the
+    // checkpointed RDD; the lazy form planned 6 corpus scans for kappa).
+    Seq("eval_kappa", "rel_mutual_info", "text_vocab_growth").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Scan parquet"),
+        s"$q must not re-scan the corpus per grid consumer:\n${p.take(1200)}")
+    }
+    // sampled-correctness meters: task-grid aggregates, no window, and
+    // pass@k must not join at all (the estimator is row-local on the grid)
+    val pk = plan("eval_pass_at_k")
+    assert(!pk.contains("Join") && !pk.contains("Window"), pk.take(800))
+    assert(!plan("eval_majority_vote").contains("Window"),
+      "majority vote must use struct-max, never a window")
+  }
+
   test("no candidate-pair plan ever contains a cartesian product") {
     // eval_self_bleu's opponent fan-out is a capped in-row explode + one
     // id-keyed join (its only BNLJ is the 1-row bounds broadcast) — an
