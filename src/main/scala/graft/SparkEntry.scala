@@ -3684,6 +3684,20 @@ object SparkEntry {
         .orderBy(col("day"))
     }),
 
+    // north-star: per-day preference drift — the streaming win-rate
+    // grid's batch twin (same winRateGrid path the live winRateStream
+    // runs), finished to the ppm conventions. Scorers are portable
+    // hash-derived so both engines compare identical integers.
+    "events_winrate_drift" -> ((s, dir) => {
+      val a = hashing.h32(concat(col("user_id").cast("string"), lit("a"))) % 1000L
+      val b = hashing.h32(concat(col("user_id").cast("string"), lit("b"))) % 1000L
+      evals.winRateFrom(
+        EventStream.winRateStream(events(s, dir), a, b, windowDur = "1 day")
+          .withColumn("day", date_format(col("win.start"), "yyyy-MM-dd"))
+          .drop("win"),
+        Seq("day")).orderBy(col("day"))
+    }),
+
     // north-star: session-scoped funnel — the ladder must complete in
     // one visit; one user-keyed exchange feeds tagging and steps.
     "events_session_funnel" -> ((s, dir) =>
@@ -8228,6 +8242,23 @@ object SparkEntry {
          |  (sum(gap) // sum(n))::BIGINT AS ece_ppm,
          |  max(gap // n)::BIGINT AS mce_ppm
          |FROM gg GROUP BY 1 ORDER BY day""".stripMargin,
+
+    // Per-day win/tie/loss of the two hash-derived scorers; truncating
+    // ppm conventions identical to eval_winrate.
+    "events_winrate_drift" ->
+      s"""WITH sc AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         |  (${hashing.sqlH32("user_id::VARCHAR || 'a'")}) % 1000 AS a,
+         |  (${hashing.sqlH32("user_id::VARCHAR || 'b'")}) % 1000 AS b
+         |  FROM events WHERE user_id IS NOT NULL),
+         |g AS (SELECT day, count(*)::BIGINT AS n,
+         |  sum((a > b)::BIGINT)::BIGINT AS wins,
+         |  sum((a = b)::BIGINT)::BIGINT AS ties,
+         |  sum((a < b)::BIGINT)::BIGINT AS losses FROM sc GROUP BY 1)
+         |SELECT day, n, wins, ties, losses,
+         |  (CASE WHEN n > 0 THEN wins * 1000000 // n END)::BIGINT AS win_ppm,
+         |  (CASE WHEN n > 0 THEN (2 * wins + ties) * 1000000 // (2 * n)
+         |   END)::BIGINT AS win_tie_ppm
+         |FROM g ORDER BY day""".stripMargin,
 
     // Corpus distinct-n diversity: exact distinct over total grams.
     "eval_distinct_n" ->

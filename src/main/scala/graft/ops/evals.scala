@@ -418,6 +418,50 @@ object evals {
       .withColumn("win_tie_ppm", when(col("n") > 0L,
         expr("((2L * wins + ties) * 1000000L) DIV (2L * n)")))
 
+  /** Grouped MERGEABLE win-rate counts — [[winRate]]'s build step, the
+    * [[reliabilityGrid]] shape: per group, exact `(n, wins, ties,
+    * losses)` sums. Four sums make it a legal watermarked STREAMING
+    * aggregation (the [[graft.streaming.EventStream.winRateStream]]
+    * delegate), and sink snapshots MERGE BY ADDITION across
+    * restarts/backfills; [[winRateFrom]] finishes any snapshot into the
+    * ppm conventions. Same name-collision fence as [[reliabilityGrid]]
+    * (positional group-column resolution would silently shadow
+    * `_a`/`_b`). */
+  def winRateGrid(
+      df: DataFrame,
+      aCol: Column,
+      bCol: Column,
+      groupCols: Seq[Column]): DataFrame = {
+    val base = df.select(groupCols ++ Seq(aCol.as("_a"), bCol.as("_b")): _*)
+      .where(col("_a").isNotNull && col("_b").isNotNull)
+    val gNames = base.columns.dropRight(2).toSeq
+    require(gNames.intersect(Seq("_a", "_b")).isEmpty,
+      "graft: winRateGrid group columns collide with internal names " +
+        s"(_a/_b) — alias them first; got $gNames")
+    val agg = if (gNames.isEmpty) base.groupBy()
+      else base.groupBy(gNames.map(col): _*)
+    agg.agg(count(lit(1)).as("n"),
+      sum((col("_a") > col("_b")).cast("long")).as("wins"),
+      sum((col("_a") === col("_b")).cast("long")).as("ties"),
+      sum((col("_a") < col("_b")).cast("long")).as("losses"))
+  }
+
+  /** Per-group win-rate conventions from a [[winRateGrid]] snapshot (or
+    * any additive merge of snapshots) — the finish step, separated like
+    * [[eceFrom]] so the grid can live in a streaming sink and be read
+    * out at any time. Returns per key `(n, wins, ties, losses, win_ppm,
+    * win_tie_ppm)` — the [[winRate]] conventions exactly. */
+  def winRateFrom(grid: DataFrame, groupKeys: Seq[String]): DataFrame = {
+    val agg = if (groupKeys.isEmpty) grid.groupBy()
+      else grid.groupBy(groupKeys.map(col): _*)
+    agg.agg(sum(col("n")).as("n"), sum(col("wins")).as("wins"),
+        sum(col("ties")).as("ties"), sum(col("losses")).as("losses"))
+      .withColumn("win_ppm",
+        when(col("n") > 0L, expr("(wins * 1000000L) DIV n")))
+      .withColumn("win_tie_ppm", when(col("n") > 0L,
+        expr("((2L * wins + ties) * 1000000L) DIV (2L * n)")))
+  }
+
   /** Corpus n-gram diversity (distinct-n, Li et al. 2016): distinct
     * word n-grams over total n-grams, the standard
     * generation-diversity read-out (low distinct-2 = the model repeats

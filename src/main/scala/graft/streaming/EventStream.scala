@@ -1703,4 +1703,27 @@ object EventStream {
     graft.ops.evals.reliabilityGrid(src, probPpmCol, labelCol,
       Seq(window(col(tsCol), windowDur).as("win")), bins)
   }
+
+  /** LIVE preference-drift monitoring: [[graft.ops.evals.winRateGrid]]
+    * per event-time window as a watermarked streaming aggregation — the
+    * is-the-new-model-still-winning meter over a stream of paired
+    * scores (A/B eval traffic, reward-model shadow scoring). Four sums
+    * per window, so state is one thin row per open window and sink
+    * snapshots merge by addition; [[graft.ops.evals.winRateFrom]] turns
+    * any snapshot into the ppm win-rate conventions (the
+    * [[calibrationStream]] build/finish split). Same code path as
+    * batch, so stream ≡ batch on the same events (EventStreamSpec pins
+    * this). Append mode once the watermark closes a window. */
+  def winRateStream(
+      events: DataFrame,
+      aCol: org.apache.spark.sql.Column,
+      bCol: org.apache.spark.sql.Column,
+      tsCol: String = "ts",
+      windowDur: String = "1 hour",
+      delay: String = "10 minutes"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark(tsCol, delay)
+      else events
+    graft.ops.evals.winRateGrid(src, aCol, bCol,
+      Seq(window(col(tsCol), windowDur).as("win")))
+  }
 }

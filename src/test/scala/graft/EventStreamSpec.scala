@@ -82,6 +82,42 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("winRateStream: streamed win-rate grid equals batch; finish yields conventions") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val sdf = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val a = graft.functions.hashing.h32(
+      concat(col("user_id").cast("string"), lit("a"))) % 1000L
+    val b = graft.functions.hashing.h32(
+      concat(col("user_id").cast("string"), lit("b"))) % 1000L
+    val q = EventStream.winRateStream(sdf, a, b, windowDur = "1 hour")
+      .writeStream.format("memory").queryName("wr_grid")
+      .outputMode("complete").start()
+    try {
+      mem.addData(batch.as[(Long, Timestamp, Long, String, Double, String)]
+        .collect().toSeq)
+      q.processAllAvailable()
+      val key = (d: org.apache.spark.sql.DataFrame) => d
+        .select(date_format(col("win.start"), "HH:mm").as("w"),
+          col("n"), col("wins"), col("ties"), col("losses"))
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      val streamed = key(spark.table("wr_grid"))
+      val batched = key(EventStream.winRateStream(batch, a, b,
+        windowDur = "1 hour"))
+      assert(streamed == batched && streamed.nonEmpty,
+        s"stream=$streamed batch=$batched")
+      // finish step: the sink snapshot folds to the winRate conventions
+      val wr = graft.ops.evals.winRateFrom(
+        spark.table("wr_grid")
+          .withColumn("w", date_format(col("win.start"), "HH:mm")).drop("win"),
+        Seq("w")).orderBy("w").collect()
+      assert(wr.nonEmpty && wr.forall { r =>
+        r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(4) &&
+          r.getLong(5) >= 0L && r.getLong(5) <= 1000000L
+      }, wr.mkString(","))
+    } finally q.stop()
+  }
+
   test("windowedAgg APPEND mode: watermark closes windows; LATE data is dropped, not counted") {
     // The complete-mode test above checks values; this one checks the
     // EVICTION contract bounded state depends on: a window only emits
