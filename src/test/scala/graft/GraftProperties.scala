@@ -572,6 +572,19 @@ object GraftProperties extends Properties("graft") {
       mi >= -1.0e-4 && mi <= math.min(ha, hb) + 1.0e-4
     }
 
+  property("winRateGrid merges by addition: parts folded = whole, ANY split") =
+    forAll(Gen.listOfN(14,
+      Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(0L, 5L)))) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((a, b), i) => (i.toLong % 3L, a, b) }
+        .toDF("part", "a", "b")
+      val folded = graft.ops.evals.winRateFrom(
+        graft.ops.evals.winRateGrid(df, col("a"), col("b"),
+          Seq(col("part"))), Seq.empty).head()
+      val whole = graft.ops.evals.winRate(df, col("a"), col("b")).head()
+      (0 to 5).forall(i => folded.get(i) == whole.get(i))
+    }
+
   property("vocabGrowth: curves end at exact corpus totals for ANY id layout") =
     forAll(Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n,
       Gen.zip(Gen.chooseNum(0L, 100L),
