@@ -666,6 +666,29 @@ object Demo {
       .orderBy(col("bucket")).show()
     graft.ops.rel.mutualInfo(docs, col("lang"), col("source")).show()
 
+    println("== distribution drift: KS gate -> per-day PSI -> embedding MMD ==")
+    graft.ops.sample.ksStat(
+      docs.where(col("lang") === "de"), col("n_chars"),
+      docs.where(col("lang") === "en"), col("n_chars")).show()
+    val evs = spark.read.parquet(s"$sfDir/events.parquet")
+      .where(col("value").isNotNull)
+    val evCents = floor(col("value") * 100.0).cast("long")
+    graft.ops.sample.psiFrom(
+      graft.ops.sample.histGrid(
+        evs.where(col("ts") < lit("2024-01-02").cast("timestamp")),
+        evCents, Seq.empty, 1000L),
+      graft.streaming.EventStream.histDriftStream(evs, evCents, 1000L,
+          windowDur = "1 day")
+        .withColumn("day", date_format(col("win.start"), "yyyy-MM-dd"))
+        .drop("win"),
+      Seq("day")).orderBy(col("day")).show(5)
+    val embDriftSrc = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    graft.ops.linalg.embedDrift(
+      graft.ops.linalg.momentGrid(
+        embDriftSrc.where(col("label") % 2 === 0), "embedding", 64),
+      graft.ops.linalg.momentGrid(
+        embDriftSrc.where(col("label") % 2 === 1), "embedding", 64)).show()
+
     spark.stop()
   }
 }

@@ -802,6 +802,26 @@ object ScaleRehearsal {
         .where(col("a") =!= col("b")),
       col("a"), col("b"), col("win"), iters = 3))
 
+    // Distribution drift meters: everything downstream of the scans is
+    // grid-bounded (value grid / bin grid / d-row moment grid), so the
+    // cost must stay scan-shaped — linear in rows, flat in grid size.
+    val evCents = floor(col("value") * 100.0).cast("long")
+    run("drift_ks", countRows = false)(sample.ksStat(
+      events.where(col("ts") < lit("2024-01-16").cast("timestamp")), evCents,
+      events.where(col("ts") >= lit("2024-01-16").cast("timestamp")),
+      evCents))
+    run("drift_psi_daily", countRows = false)(sample.psiFrom(
+      sample.histGrid(
+        events.where(col("value").isNotNull
+          && col("ts") < lit("2024-01-02").cast("timestamp")),
+        evCents, Seq.empty, 1000L),
+      sample.histGrid(events.where(col("value").isNotNull), evCents,
+        Seq(date_format(col("ts"), "yyyy-MM-dd").as("day")), 1000L),
+      Seq("day")))
+    run("drift_embed_mmd", countRows = false)(linalg.embedDrift(
+      linalg.momentGrid(emb.where(col("label") % 2 === 0), "embedding", 64),
+      linalg.momentGrid(emb.where(col("label") % 2 === 1), "embedding", 64)))
+
     spark.stop()
   }
 }

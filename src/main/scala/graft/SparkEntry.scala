@@ -3366,6 +3366,18 @@ object SparkEntry {
         graft.ops.linalg.gram(table(s, dir, "embeddings"), "embedding",
           dim = 64, q = 10000L))),
 
+    // north-star: embedding-corpus drift (diagonal FID family) between
+    // the even- and odd-label halves — two d-row moment grids, linear
+    // MMD² + per-dim variance gap; the corpora never move.
+    "ann_embed_drift" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      graft.ops.linalg.embedDrift(
+        graft.ops.linalg.momentGrid(
+          emb.where(col("label") % 2 === 0), "embedding", 64),
+        graft.ops.linalg.momentGrid(
+          emb.where(col("label") % 2 === 1), "embedding", 64))
+    }),
+
     // north-star: degree assortativity of the kNN graph — hub-to-hub
     // vs hub-to-leaf wiring as one exact-moment correlation.
     "graph_assortativity" -> ((s, dir) =>
@@ -3503,6 +3515,14 @@ object SparkEntry {
           col("ref"), n = 2)
         .orderBy(col("doc_id"))),
 
+    // north-star: ROUGE-L — in-order LCS F-measure, one compiled O(32²)
+    // DP kernel per row, capped token prefixes on both sides, zero
+    // shuffle; the oracle replays the DP as a recursive CTE.
+    "eval_rouge_l" -> ((s, dir) =>
+      evals.rougeL(genPairs(s, dir), col("doc_id"), col("cand"),
+          col("ref"), maxToks = 32)
+        .orderBy(col("doc_id"))),
+
     // north-star: segment BLEU-4, surfaced in LOG space (exp() is a
     // libm call whose last ulp is not portable across engines; gate in
     // log space, the lmQualityFilter precedent). Per-n ln terms are
@@ -3567,6 +3587,15 @@ object SparkEntry {
     "eval_spearman" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
       evals.spearman(e, scoreQ4(col("embedding"), Q1),
+        scoreQ4(col("embedding"), Q2))
+    }),
+
+    // north-star: Kendall tau-b between the same two scorers — exact
+    // concordant/discordant masses over the joint value grid (cell
+    // pairs, never row pairs), in-plan grid guard.
+    "eval_kendall" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      evals.kendallTau(e, scoreQ4(col("embedding"), Q1),
         scoreQ4(col("embedding"), Q2))
     }),
 
@@ -3759,6 +3788,44 @@ object SparkEntry {
         docs.where(col("lang") === "de"), col("n_chars"),
         docs.where(col("lang") === "en"), col("n_chars"),
         binWidth = 100L)
+    }),
+
+    // north-star: exact two-sample KS on the shared value grid — the
+    // emd1d rational discipline with max instead of the gap-weighted
+    // sum; no division before the final quantized readout.
+    "sample_ks" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      sample.ksStat(
+        docs.where(col("lang") === "de"), col("n_chars"),
+        docs.where(col("lang") === "en"), col("n_chars"))
+    }),
+
+    // north-star: temporal drift gate — KS between the first and second
+    // half-month of the event stream's value distribution (cents grid).
+    "events_ks_drift" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val cents = floor(col("value") * 100.0).cast("long")
+      val cut = lit("2024-01-16").cast("timestamp")
+      sample.ksStat(
+        ev.where(col("ts") < cut), cents,
+        ev.where(col("ts") >= cut), cents)
+    }),
+
+    // north-star: per-day PSI against a pinned day-1 reference
+    // histogram — histGrid snapshots (the streaming histDriftStream
+    // path) finished by psiFrom; everything downstream of the two
+    // grids is bin-bounded.
+    "events_psi_drift" -> ((s, dir) => {
+      val ev = events(s, dir).where(col("value").isNotNull)
+      val cents = floor(col("value") * 100.0).cast("long")
+      val ref = sample.histGrid(
+        ev.where(col("ts") < lit("2024-01-02").cast("timestamp")),
+        cents, Seq.empty, binWidth = 1000L)
+      val cur = EventStream.histDriftStream(ev, cents, binWidth = 1000L,
+          windowDur = "1 day")
+        .withColumn("day", date_format(col("win.start"), "yyyy-MM-dd"))
+        .drop("win")
+      sample.psiFrom(ref, cur, Seq("day")).orderBy(col("day"))
     }),
 
     // north-star: deterministic rejection matching — calibrate the 'de'
@@ -8027,6 +8094,36 @@ object SparkEntry {
          |    2 * clip * 1000000 // (cand_n + ref_n) END)::BIGINT AS f1_ppm
          |FROM z ORDER BY doc_id""".stripMargin,
 
+    // ROUGE-L: the LCS DP replayed as a recursive CTE over the capped
+    // token prefixes — row i is the full DP row after consuming ref
+    // token i, via the prefix-max form dp[i][j] = max(dp[i-1][j],
+    // max_{k<=j}(dp[i-1][k-1] + eq(c[k], r[i]))).
+    "eval_rouge_l" ->
+      s"""WITH RECURSIVE t AS ($SqlGenToks),
+         |p AS (SELECT doc_id, list_slice(ct, 1, 32) AS c,
+         |  list_slice(rt, 1, 32) AS r FROM t),
+         |dp AS (
+         |  SELECT doc_id, c, r, 0 AS i,
+         |    list_transform(range(0, len(c) + 1), x -> 0::BIGINT) AS dpr
+         |  FROM p
+         |  UNION ALL
+         |  SELECT doc_id, c, r, i + 1,
+         |    list_transform(range(0, len(c) + 1), j ->
+         |      CASE WHEN j = 0 THEN 0::BIGINT ELSE
+         |        greatest(dpr[j + 1],
+         |          list_max(list_transform(range(1, j + 1), k ->
+         |            dpr[k] + (CASE WHEN c[k] = r[i + 1] THEN 1 ELSE 0
+         |              END)::BIGINT)))
+         |      END)
+         |  FROM dp WHERE i < len(r)),
+         |f AS (SELECT doc_id, dpr[len(c) + 1] AS lcs,
+         |    len(c)::BIGINT AS m_cand, len(r)::BIGINT AS n_ref
+         |  FROM dp WHERE i = len(r))
+         |SELECT doc_id, lcs, m_cand, n_ref,
+         |  (CASE WHEN m_cand + n_ref > 0 THEN
+         |    (2 * lcs * 1000000) // (m_cand + n_ref) END)::BIGINT AS f_ppm
+         |FROM f ORDER BY doc_id""".stripMargin,
+
     // BLEU-4 in log space: per-n clipped precision (add-one smoothing
     // for n >= 2, unsmoothed p1 -> NULL on zero overlap), ln terms
     // quantized to 1e-6 longs per term, exact-rational brevity penalty.
@@ -8184,6 +8281,31 @@ object SparkEntry {
          |    floor(num::DOUBLE / sqrt(den_x::DOUBLE) / sqrt(den_y::DOUBLE)
          |      * 10000.0 + 0.5) / 10000.0 END AS rho
          |FROM f""".stripMargin,
+
+    // Exact C/D masses over the joint grid's cell pairs; tie terms from
+    // the marginals; spearman's division chain at the readout.
+    "eval_kendall" ->
+      s"""WITH sc AS (SELECT ${sqlScoreQ4(Q1)} AS x, ${sqlScoreQ4(Q2)} AS y
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |g AS (SELECT x, y, count(*)::BIGINT AS c FROM sc GROUP BY 1, 2),
+         |cd AS (SELECT
+         |    coalesce(sum(CASE WHEN a.y < b.y THEN a.c * b.c END),
+         |      0)::BIGINT AS conc,
+         |    coalesce(sum(CASE WHEN a.y > b.y THEN a.c * b.c END),
+         |      0)::BIGINT AS disc
+         |  FROM g a JOIN g b ON a.x < b.x),
+         |tx AS (SELECT (coalesce(sum(t * (t - 1)), 0) // 2)::BIGINT AS tie_x
+         |  FROM (SELECT count(*)::BIGINT AS t FROM sc GROUP BY x)),
+         |ty AS (SELECT (coalesce(sum(t * (t - 1)), 0) // 2)::BIGINT AS tie_y
+         |  FROM (SELECT count(*)::BIGINT AS t FROM sc GROUP BY y)),
+         |m AS (SELECT count(*)::BIGINT AS n,
+         |  ((count(*) * (count(*) - 1)) // 2)::BIGINT AS n0 FROM sc)
+         |SELECT n, conc, disc, tie_x, tie_y,
+         |  CASE WHEN n0 > tie_x AND n0 > tie_y THEN
+         |    floor((conc - disc)::DOUBLE / sqrt((n0 - tie_x)::DOUBLE)
+         |      / sqrt((n0 - tie_y)::DOUBLE) * 10000.0 + 0.5) / 10000.0
+         |  END AS tau_q4
+         |FROM m, tx, ty, cd""".stripMargin,
 
     // Exact win/tie/loss between the two fixed scorers.
     "eval_winrate" ->
@@ -8644,6 +8766,137 @@ object SparkEntry {
         |      * 10000.0 + 0.5) / 10000.0
         |  END AS emd_q4
         |FROM t""".stripMargin,
+
+    // Exact KS from the same full-outer value grid: cross-multiplied
+    // integer CDF gaps, one division at the quantized readout.
+    "sample_ks" ->
+      """WITH ha AS (SELECT n_chars::BIGINT AS v, count(*)::BIGINT AS na
+        |  FROM documents WHERE lang = 'de' AND n_chars IS NOT NULL
+        |  GROUP BY 1),
+        |hb AS (SELECT n_chars::BIGINT AS v, count(*)::BIGINT AS nb
+        |  FROM documents WHERE lang = 'en' AND n_chars IS NOT NULL
+        |  GROUP BY 1),
+        |m AS (SELECT coalesce(ha.v, hb.v) AS v,
+        |    coalesce(na, 0)::BIGINT AS na, coalesce(nb, 0)::BIGINT AS nb
+        |  FROM ha FULL OUTER JOIN hb ON ha.v = hb.v),
+        |c AS (SELECT v,
+        |    sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW)::BIGINT AS ca,
+        |    sum(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW)::BIGINT AS cb,
+        |    (SELECT sum(na) FROM m)::BIGINT AS ta,
+        |    (SELECT sum(nb) FROM m)::BIGINT AS tb
+        |  FROM m)
+        |SELECT ta AS n_a, tb AS n_b,
+        |  max(abs(ca * tb - cb * ta))::BIGINT AS ks_num,
+        |  CASE WHEN ta > 0 AND tb > 0 THEN
+        |    floor(max(abs(ca * tb - cb * ta))::DOUBLE
+        |      / (ta::DOUBLE * tb::DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS ks_q6
+        |FROM c GROUP BY 1, 2""".stripMargin,
+
+    // Same KS chain on the event stream's cents grid, split at the
+    // mid-month cut.
+    "events_ks_drift" ->
+      """WITH ha AS (SELECT floor(value * 100.0)::BIGINT AS v,
+        |    count(*)::BIGINT AS na FROM events
+        |  WHERE value IS NOT NULL AND ts < TIMESTAMP '2024-01-16'
+        |  GROUP BY 1),
+        |hb AS (SELECT floor(value * 100.0)::BIGINT AS v,
+        |    count(*)::BIGINT AS nb FROM events
+        |  WHERE value IS NOT NULL AND ts >= TIMESTAMP '2024-01-16'
+        |  GROUP BY 1),
+        |m AS (SELECT coalesce(ha.v, hb.v) AS v,
+        |    coalesce(na, 0)::BIGINT AS na, coalesce(nb, 0)::BIGINT AS nb
+        |  FROM ha FULL OUTER JOIN hb ON ha.v = hb.v),
+        |c AS (SELECT v,
+        |    sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW)::BIGINT AS ca,
+        |    sum(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW)::BIGINT AS cb,
+        |    (SELECT sum(na) FROM m)::BIGINT AS ta,
+        |    (SELECT sum(nb) FROM m)::BIGINT AS tb
+        |  FROM m)
+        |SELECT ta AS n_a, tb AS n_b,
+        |  max(abs(ca * tb - cb * ta))::BIGINT AS ks_num,
+        |  CASE WHEN ta > 0 AND tb > 0 THEN
+        |    floor(max(abs(ca * tb - cb * ta))::DOUBLE
+        |      / (ta::DOUBLE * tb::DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS ks_q6
+        |FROM c GROUP BY 1, 2""".stripMargin,
+
+    // Per-day PSI vs the pinned day-1 reference: union bin domain per
+    // day (days x ref-bins full-outer the per-day grid), add-one
+    // smoothing over that domain, 1e-12 fixed-point terms.
+    "events_psi_drift" ->
+      """WITH ref AS (SELECT
+        |    floor(floor(value * 100.0)::BIGINT::DOUBLE / 1000.0)::BIGINT
+        |      AS bin, count(*)::BIGINT AS nr
+        |  FROM events WHERE value IS NOT NULL
+        |    AND ts < TIMESTAMP '2024-01-02' GROUP BY 1),
+        |cur AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    floor(floor(value * 100.0)::BIGINT::DOUBLE / 1000.0)::BIGINT
+        |      AS bin, count(*)::BIGINT AS nc
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |dom AS (SELECT day, bin, nr
+        |  FROM (SELECT DISTINCT day FROM cur) CROSS JOIN ref),
+        |j AS (SELECT coalesce(dom.day, cur.day) AS day,
+        |    coalesce(dom.bin, cur.bin) AS bin,
+        |    coalesce(nr, 0)::BIGINT AS nr, coalesce(nc, 0)::BIGINT AS nc
+        |  FROM dom FULL OUTER JOIN cur
+        |    ON dom.day = cur.day AND dom.bin = cur.bin),
+        |t AS (SELECT day, sum(nr)::BIGINT AS tr, sum(nc)::BIGINT AS tc,
+        |    count(*)::BIGINT AS vb FROM j GROUP BY 1),
+        |terms AS (SELECT j.day, tc, vb,
+        |    floor(((nc::DOUBLE + 1.0) / (tc::DOUBLE + vb::DOUBLE)
+        |        - (nr::DOUBLE + 1.0) / (tr::DOUBLE + vb::DOUBLE))
+        |      * ln(((nc::DOUBLE + 1.0) / (tc::DOUBLE + vb::DOUBLE))
+        |        / ((nr::DOUBLE + 1.0) / (tr::DOUBLE + vb::DOUBLE)))
+        |      * 1000000000000.0)::BIGINT AS term
+        |  FROM j JOIN t USING (day))
+        |SELECT day, max(tc)::BIGINT AS n_cur, max(vb)::BIGINT AS bins,
+        |  floor(sum(term)::DOUBLE / 1000000000000.0 * 1000000.0 + 0.5)
+        |    / 1000000.0 AS psi_q6
+        |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Diagonal-FID drift: per-dim exact integer moments of each label
+    // half, fixed-order double readout, 1e-12 fixed-point terms.
+    "ann_embed_drift" ->
+      """WITH qa AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+        |      v -> floor(v * 10000.0)::BIGINT) AS qx
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |    AND len(embedding) = 64 AND label % 2 = 0),
+        |qb AS (SELECT list_transform(CAST(embedding AS DOUBLE[]),
+        |      v -> floor(v * 10000.0)::BIGINT) AS qx
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |    AND len(embedding) = 64 AND label % 2 = 1),
+        |d AS (SELECT unnest(range(0, 64))::INT AS i),
+        |ga AS (SELECT d.i AS pos, count(*)::BIGINT AS n_a,
+        |    sum(qx[d.i + 1])::BIGINT AS s_a,
+        |    sum(qx[d.i + 1] * qx[d.i + 1])::BIGINT AS s2_a
+        |  FROM qa CROSS JOIN d GROUP BY 1),
+        |gb AS (SELECT d.i AS pos, count(*)::BIGINT AS n_b,
+        |    sum(qx[d.i + 1])::BIGINT AS s_b,
+        |    sum(qx[d.i + 1] * qx[d.i + 1])::BIGINT AS s2_b
+        |  FROM qb CROSS JOIN d GROUP BY 1),
+        |e AS (SELECT n_a, n_b,
+        |    s_a::DOUBLE / (n_a::DOUBLE * 10000.0) AS mua,
+        |    s_b::DOUBLE / (n_b::DOUBLE * 10000.0) AS mub,
+        |    s2_a::DOUBLE / (n_a::DOUBLE * 10000.0 * 10000.0) AS ra,
+        |    s2_b::DOUBLE / (n_b::DOUBLE * 10000.0 * 10000.0) AS rb
+        |  FROM ga JOIN gb ON ga.pos = gb.pos),
+        |t AS (SELECT n_a, n_b,
+        |    floor((mua - mub) * (mua - mub)
+        |      * 1000000000000.0)::BIGINT AS tm,
+        |    floor(abs((ra - mua * mua) - (rb - mub * mub))
+        |      * 1000000000000.0)::BIGINT AS tv
+        |  FROM e)
+        |SELECT n_a, n_b, count(*)::BIGINT AS dim,
+        |  floor(sum(tm)::DOUBLE / 1000000000000.0 * 1000000.0 + 0.5)
+        |    / 1000000.0 AS mmd2_q6,
+        |  floor(sum(tv)::DOUBLE / 1000000000000.0 * 1000000.0 + 0.5)
+        |    / 1000000.0 AS vargap_q6
+        |FROM t GROUP BY 1, 2""".stripMargin,
 
     // Rejection rates from the same exact-count double chain (fixed op
     // order), floor-ppm; keep decision replays the portable hash.

@@ -611,6 +611,45 @@ object NativeExprs {
       charMode: Boolean): InternalRow =
     InternalRow.fromSeq(genOverlapOf(cand, ref, ns, charMode).toSeq)
 
+  /** Token-LCS substrate for ROUGE-L: classic two-row O(m·n) dynamic
+    * program over whitespace tokens (tokenized exactly like
+    * [[graft.ops.text.tokens]] — lowercase, ASCII-`\s` split, empties
+    * dropped), each side capped at its FIRST `maxToks` tokens so the
+    * per-row cost is a knob (`maxToks²` cells), never document-length-
+    * quadratic. Returns `(lcs, m, n)` with `m`/`n` the CAPPED candidate/
+    * reference token counts the F-measure downstream must use. */
+  def lcsRowOf(cand: UTF8String, ref: UTF8String, maxToks: Int): InternalRow = {
+    def toks(u: UTF8String): Array[String] = {
+      val all = u.toLowerCase.toString.split("\\s+", -1).filter(_.nonEmpty)
+      if (all.length > maxToks) java.util.Arrays.copyOf(all, maxToks) else all
+    }
+    val c = toks(cand)
+    val r = toks(ref)
+    val m = c.length
+    var prev = new Array[Long](m + 1)
+    var curr = new Array[Long](m + 1)
+    var i = 0
+    while (i < r.length) {
+      val ri = r(i)
+      var j = 1
+      while (j <= m) {
+        val diag = if (c(j - 1) == ri) prev(j - 1) + 1L else 0L
+        val keep = if (prev(j) > curr(j - 1)) prev(j) else curr(j - 1)
+        curr(j) = if (diag > keep) diag else keep
+        j += 1
+      }
+      val t = prev; prev = curr; curr = t
+      java.util.Arrays.fill(curr, 0L)
+      i += 1
+    }
+    InternalRow(prev(m), m.toLong, r.length.toLong)
+  }
+
+  /** Column: struct(lcs, m, n) of the capped token-LCS (native, see
+    * [[lcsRowOf]]). */
+  def lcsRow(cand: Column, ref: Column, maxToks: Int): Column =
+    column(LcsRowExpr(expression(cand), expression(ref), maxToks))
+
   /** Column: native per-row SimHash (see [[SimHashExpr]]). */
   def simhash(c: Column, bits: Int): Column = column(SimHashExpr(expression(c), bits))
 
@@ -1081,6 +1120,32 @@ case class GenOverlapExpr(left: Expression, right: Expression,
   }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): GenOverlapExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** ROUGE-L substrate (see [[NativeExprs.lcsRowOf]]): struct(lcs, m, n)
+  * of the capped token-LCS between candidate and reference text —
+  * TRUE codegen (the GenOverlapExpr dispatch shape; the DP itself is a
+  * straight JVM loop either way). */
+case class LcsRowExpr(left: Expression, right: Expression, maxToks: Int)
+    extends BinaryExpression {
+  require(maxToks >= 1, s"lcs_row needs maxToks >= 1, got $maxToks")
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("lcs", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("m", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n", LongType, nullable = false)))
+  override def prettyName: String = "lcs_row"
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    NativeExprs.lcsRowOf(l.asInstanceOf[UTF8String],
+      r.asInstanceOf[UTF8String], maxToks)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.functions.NativeExprs.lcsRowOf($l, $r, $maxToks);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LcsRowExpr =
     copy(left = newLeft, right = newRight)
 }
 

@@ -394,6 +394,73 @@ object evals {
     * n ≤ ~38968; 38000 leaves margin. */
   val SpearmanMaxN: Long = 38000L
 
+  /** Kendall's τ-b — the concordance twin of [[spearman]] (rank
+    * correlation robust to monotone transforms, the standard agreement
+    * readout between two scorers/judges): exact concordant/discordant
+    * pair masses `C = Σ_{x↑,y↑} n_a·n_b`, `D = Σ_{x↑,y↓} n_a·n_b`
+    * counted over the JOINT value grid (cells, not rows — `n_a·n_b`
+    * covers every row pair at once), tie corrections from the marginal
+    * grids, and `τ_b = (C−D)/(√(n₀−n₁)·√(n₀−n₂))` as the one quantized
+    * float at the end (spearman's division chain).
+    *
+    * Scale shape: one (x, y) hash-aggregate to the joint grid, then a
+    * BROADCAST nested-loop self-pairing of grid CELLS — quadratic in
+    * the grid, never in rows, which is why inputs must be QUANTIZED
+    * integer scores (the [[aucRank]] guidance). The grid bound is
+    * ENFORCED in-plan (`maxGrid`, default 8192 → ≤ 67M cell pairs;
+    * raise_error past it — the cmJoinSize discipline): pre-sample or
+    * coarsen the quantization for wider eval sets. Exact while
+    * pair masses stay under 2⁶³ (n ≤ ~3·10⁹ rows).
+    *
+    * Returns one row `(n, conc, disc, tie_x, tie_y, tau_q4)`. */
+  def kendallTau(
+      df: DataFrame,
+      xCol: Column,
+      yCol: Column,
+      maxGrid: Int = 8192): DataFrame = {
+    require(maxGrid >= 1, s"graft: kendallTau needs maxGrid >= 1")
+    val rows = df.select(xCol.cast("long").as("_x"), yCol.cast("long").as("_y"))
+      .where(col("_x").isNotNull && col("_y").isNotNull)
+    val wAll = windows.boundedGlobal("joint-grid", col("_x"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val grid = rows.groupBy(col("_x"), col("_y"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_gn", count(lit(1)).over(wAll))
+      .select(col("_x"), col("_y"),
+        when(col("_gn") > maxGrid.toLong,
+          raise_error(format_string(
+            "graft: kendallTau joint grid exceeds maxGrid (%s > " +
+              s"$maxGrid cells) — coarsen the score quantization or " +
+              "pre-sample the eval set", col("_gn"))).cast("long"))
+          .otherwise(col("_c")).as("_c"))
+    val a = grid.select(col("_x").as("_ax"), col("_y").as("_ay"),
+      col("_c").as("_ac"))
+    val b = grid.select(col("_x").as("_bx"), col("_y").as("_by"),
+      col("_c").as("_bc"))
+    val cd = a.join(broadcast(b), col("_ax") < col("_bx"))
+      .agg(
+        coalesce(sum(when(col("_ay") < col("_by"),
+          col("_ac") * col("_bc"))), lit(0L)).as("conc"),
+        coalesce(sum(when(col("_ay") > col("_by"),
+          col("_ac") * col("_bc"))), lit(0L)).as("disc"))
+    def tiePairs(c: String, as: String) = rows.groupBy(col(c))
+      .agg(count(lit(1)).as("_t"))
+      .agg(coalesce(sum(col("_t") * (col("_t") - 1L)), lit(0L)).as("_tt"))
+      .select(expr("_tt DIV 2").as(as))
+    val tot = rows.agg(count(lit(1)).as("n"))
+      .crossJoin(tiePairs("_x", "tie_x"))
+      .crossJoin(tiePairs("_y", "tie_y"))
+    tot.crossJoin(cd)
+      .withColumn("_n0", expr("(n * (n - 1)) DIV 2"))
+      .select(col("n"), col("conc"), col("disc"),
+        col("tie_x"), col("tie_y"),
+        when(col("_n0") > col("tie_x") && col("_n0") > col("tie_y"),
+          floor((col("conc") - col("disc")).cast("double") /
+            sqrt((col("_n0") - col("tie_x")).cast("double")) /
+            sqrt((col("_n0") - col("tie_y")).cast("double"))
+            * 10000.0 + 0.5) / 10000.0).as("tau_q4"))
+  }
+
   /** Pairwise preference win rate — the A/B readout of a generation
     * eval: per comparison row, does scorer/system A beat B? Exact
     * win/tie/loss counts plus `win_ppm` (ties excluded from the
@@ -654,6 +721,33 @@ object evals {
       .withColumn("f1_ppm", when(col("cand_n") + col("ref_n") > 0L,
         expr("(2L * clip * 1000000L) DIV (cand_n + ref_n)")))
   }
+
+  /** ROUGE-L per pair — the longest-common-subsequence F-measure that
+    * rewards in-order (not necessarily contiguous) content overlap,
+    * completing the ROUGE family next to [[ngramOverlap]]'s ROUGE-n:
+    * `f_ppm = 2·LCS·10⁶ DIV (m+n)` (the β=1 Lin 2004 form), exact
+    * integers end-to-end. The DP runs in ONE compiled per-row kernel
+    * ([[graft.functions.NativeExprs.lcsRowOf]]) with BOTH sides capped
+    * at their first `maxToks` tokens — per-row cost is `maxToks²`
+    * cells by construction (the knob every quadratic per-row kernel
+    * here exposes), and `m`/`n` in the readout are the capped counts
+    * the F-measure uses. NULL text = empty document (the corpus NULL
+    * contract). Zero shuffle: scan → project → done. */
+  def rougeL(
+      df: DataFrame,
+      idCol: Column,
+      candCol: Column,
+      refCol: Column,
+      maxToks: Int = 32): DataFrame =
+    df.select(idCol,
+        graft.functions.NativeExprs.lcsRow(
+          coalesce(candCol, lit("")), coalesce(refCol, lit("")),
+          maxToks).as("_s"))
+      .select(col(idCol.toString), col("_s").getField("lcs").as("lcs"),
+        col("_s").getField("m").as("m_cand"),
+        col("_s").getField("n").as("n_ref"))
+      .withColumn("f_ppm", when(col("m_cand") + col("n_ref") > 0L,
+        expr("(2L * lcs * 1000000L) DIV (m_cand + n_ref)")))
 
   /** Sentence/segment BLEU up to `maxN`-grams, surfaced in LOG space:
     * `logbleu = min(0, 1 − ref_len/cand_len) + (1/maxN)·Σₙ ln pₙ` with

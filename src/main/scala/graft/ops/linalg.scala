@@ -263,4 +263,66 @@ object linalg {
       .withColumn("aniso_q6",
         when(col("trace") > 0L, graft.functions.vectors.quantize(
           col("offdiag_abs").cast("double") / col("trace").cast("double"), 6)))
+
+  /** Per-dimension first/second moments of an embedding corpus as exact
+    * fixed-point integer sums — the mergeable substrate for
+    * [[embedDrift]]. Each component is quantized ONCE (`floor(v·q)`)
+    * and the d-row grid carries `(pos, n, s, s2)`; snapshots of two
+    * corpora (or two dates of one) feed the drift readout. Exact to
+    * ~9·10¹⁸/q² rows on `s2` (9·10¹⁰ at q = 10⁴ with |v| ≲ 1 — the
+    * [[gram]] headroom dial). One scan, one d-row hash aggregate. */
+  def momentGrid(
+      df: DataFrame,
+      vecCol: String,
+      dim: Int,
+      q: Long = 10000L): DataFrame = {
+    require(dim >= 1, s"graft: momentGrid needs dim >= 1, got $dim")
+    require(q >= 1, s"graft: momentGrid needs q >= 1, got $q")
+    df.where(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(posexplode(transform(col(vecCol),
+        v => floor(v.cast("double") * q).cast("long"))).as(Seq("pos", "_qv")))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("_qv")).as("s"),
+        sum(col("_qv") * col("_qv")).as("s2"))
+  }
+
+  /** Embedding-corpus drift between two [[momentGrid]] snapshots — the
+    * did-the-encoder-or-the-data-move meter (FID-family, diagonal):
+    * linear-kernel MMD² `Σ_d (μa_d − μb_d)²` plus the per-dimension
+    * variance L1 gap `Σ_d |σ²a_d − σ²b_d|` (population variance; no
+    * square roots, so every per-dim term is the same fixed-order
+    * arithmetic on exact integers in any engine). Per-dim terms are
+    * floor-quantized to 1e-12 fixed-point LONGs before the d-row sum
+    * (order-free addition), readout at 6dp.
+    *
+    * Scale shape: both inputs are d-row grids — the corpora never move,
+    * only their moments do (the [[pcaTopComponent]] discipline). Returns
+    * one row `(n_a, n_b, dim, mmd2_q6, vargap_q6)`. */
+  def embedDrift(
+      gridA: DataFrame,
+      gridB: DataFrame,
+      q: Long = 10000L): DataFrame = {
+    val qd = lit(q.toDouble)
+    val scale = lit(1.0e12)
+    def mu(side: String) = col(s"s_$side").cast("double") /
+      (col(s"n_$side").cast("double") * qd)
+    def va(side: String) = col(s"s2_$side").cast("double") /
+      (col(s"n_$side").cast("double") * qd * qd) - mu(side) * mu(side)
+    gridA.select(col("pos"), col("n").as("n_a"), col("s").as("s_a"),
+        col("s2").as("s2_a"))
+      .join(gridB.select(col("pos"), col("n").as("n_b"), col("s").as("s_b"),
+        col("s2").as("s2_b")), "pos")
+      .select(col("n_a"), col("n_b"),
+        floor((mu("a") - mu("b")) * (mu("a") - mu("b")) * scale)
+          .cast("long").as("_tm"),
+        floor(abs(va("a") - va("b")) * scale).cast("long").as("_tv"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("dim"), sum(col("_tm")).as("_m"),
+        sum(col("_tv")).as("_v"))
+      .select(col("n_a"), col("n_b"), col("dim"),
+        graft.functions.vectors.quantize(
+          col("_m").cast("double") / lit(1.0e12), 6).as("mmd2_q6"),
+        graft.functions.vectors.quantize(
+          col("_v").cast("double") / lit(1.0e12), 6).as("vargap_q6"))
+  }
 }

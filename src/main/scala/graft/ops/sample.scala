@@ -1048,4 +1048,132 @@ object sample {
         floor(col("cents").cast("double") / col("n_eff").cast("double")
           * 10000.0) / 10000.0))
   }
+
+  /** Two-sample Kolmogorov–Smirnov statistic — the did-the-distribution-
+    * move meter (release gating on score drift, slice-vs-slice skew).
+    * `D = max_v |F_a(v) − F_b(v)|` computed EXACTLY over the value grid:
+    * per-value counts from each side, full-outer-joined, cumulated, and
+    * compared as the cross-multiplied integers `|ca·n_b − cb·n_a|` so no
+    * division happens before the final quantized readout (the
+    * [[emd1d]] rational discipline — same grid, max instead of
+    * gap-weighted sum).
+    *
+    * Scale shape: two hash-aggregates (one scan each side), one
+    * full-outer join on the value grid, one bounded-global window — the
+    * grid is value-domain-sized (callers pass QUANTIZED values: cents,
+    * char counts, ppm scores), never row-sized. Exact while
+    * `n_a·n_b < 2⁶³` (~3·10⁹ rows per side). Returns one row
+    * `(n_a, n_b, ks_num, ks_q6)` with `ks_q6 = ks_num/(n_a·n_b)`
+    * floor-quantized to 6dp. */
+  def ksStat(
+      a: DataFrame,
+      aFeature: Column,
+      b: DataFrame,
+      bFeature: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def hist(d: DataFrame, f: Column, n: String) =
+      d.where(f.isNotNull).groupBy(f.cast("long").as("v"))
+        .agg(count(lit(1)).as(n))
+    val merged = hist(a, aFeature, "_na")
+      .join(hist(b, bFeature, "_nb"), Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("_na"), lit(0L)).as("_na"),
+        coalesce(col("_nb"), lit(0L)).as("_nb"))
+    val wg = windows.boundedGlobal("value-grid", col("v")).orderBy(col("v"))
+    val run = wg.rowsBetween(Window.unboundedPreceding, 0)
+    val all = wg.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    merged
+      .withColumn("_ca", sum(col("_na")).over(run))
+      .withColumn("_cb", sum(col("_nb")).over(run))
+      .withColumn("_ta", sum(col("_na")).over(all))
+      .withColumn("_tb", sum(col("_nb")).over(all))
+      .groupBy(col("_ta").as("n_a"), col("_tb").as("n_b"))
+      .agg(max(abs(col("_ca") * col("_tb") - col("_cb") * col("_ta")))
+        .as("ks_num"))
+      .withColumn("ks_q6", when(col("n_a") > 0L && col("n_b") > 0L,
+        graft.functions.vectors.quantize(
+          col("ks_num").cast("double")
+            / (col("n_a").cast("double") * col("n_b").cast("double")), 6)))
+  }
+
+  /** Per-(group, bin) exact histogram counts — the mergeable substrate
+    * for [[psiFrom]] and the streaming hist-drift meter
+    * ([[graft.streaming.EventStream.histDriftStream]]): one count per
+    * row, so grid snapshots MERGE BY ADDITION across restarts/backfills
+    * and the same code runs as a watermarked streaming aggregation.
+    * Returns `(groupCols…, bin, n)`. */
+  def histGrid(
+      df: DataFrame,
+      valueCol: Column,
+      groupCols: Seq[Column],
+      binWidth: Long): DataFrame = {
+    require(binWidth >= 1, s"graft: histGrid needs binWidth >= 1")
+    val bin = floor(valueCol.cast("long").cast("double")
+      / lit(binWidth.toDouble)).cast("long").as("bin")
+    df.where(valueCol.isNotNull)
+      .groupBy((groupCols :+ bin): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Population Stability Index per group against one reference
+    * histogram — the classic drift score over [[histGrid]] snapshots:
+    * `PSI_g = Σ_bins (p_cur − p_ref)·ln(p_cur/p_ref)` with add-one
+    * smoothing over the group's union bin domain
+    * (`p = (n+1)/(total+|bins|)`, so bins absent from one side stay
+    * finite and the score is exactly reproducible from integer counts).
+    * Each bin's term is floor-quantized to a 1e-12 fixed-point LONG
+    * before the sum (the [[graft.ops.text.corpusDivergence]] order-free
+    * addition rule), then the total reads out at 6dp.
+    *
+    * Scale shape: `ref` is a bounded bin grid (broadcast onto the
+    * per-group domain); the full-outer join and both aggregates are
+    * grid-sized, never row-sized. PSI conventions: < 0.1 stable,
+    * 0.1–0.25 moderate shift, > 0.25 major shift. Returns
+    * `(groupKeys…, n_cur, bins, psi_q6)`. */
+  def psiFrom(
+      ref: DataFrame,
+      cur: DataFrame,
+      groupKeys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val reserved = groupKeys.intersect(Seq("bin", "n", "_nr", "_nc"))
+    require(reserved.isEmpty,
+      s"graft: psiFrom group keys collide with grid columns: $reserved")
+    val scale = lit(1.0e12)
+    // Union-domain construction WITHOUT a full-outer self-join (ref and
+    // cur often derive from the same grid — e.g. scoring a sink snapshot
+    // against its own first window — and a join between frames sharing
+    // lineage hits Spark's conflicting-reference resolution): every
+    // group is crossed with the ref bins, cur rows union in, and one
+    // (group, bin) aggregate folds the two tags. max(_nr) is exact —
+    // each ref bin appears once per group.
+    val domain = cur.select(groupKeys.map(col): _*).distinct()
+      .crossJoin(broadcast(ref.select(col("bin"), col("n").as("_nr"))))
+      .withColumn("_nc", lit(0L))
+    val grid = domain
+      .unionByName(cur.select((groupKeys.map(col) :+ col("bin")
+        :+ lit(0L).as("_nr") :+ col("n").as("_nc")): _*))
+      .groupBy((groupKeys.map(col) :+ col("bin")): _*)
+      .agg(max(col("_nr")).as("_nr"), sum(col("_nc")).as("_nc"))
+    // Group totals via a group-partitioned window (bins-bounded frames),
+    // so the term pass reuses the aggregate's exchange — one shuffle for
+    // the whole finish.
+    val wg = Window.partitionBy(groupKeys.map(col): _*)
+    val pr = (col("_nr").cast("double") + lit(1.0)) /
+      (col("_tr").cast("double") + col("_vb").cast("double"))
+    val pc = (col("_nc").cast("double") + lit(1.0)) /
+      (col("_tc").cast("double") + col("_vb").cast("double"))
+    grid
+      .withColumn("_tr", sum(col("_nr")).over(wg))
+      .withColumn("_tc", sum(col("_nc")).over(wg))
+      .withColumn("_vb", count(lit(1)).over(wg))
+      .select((groupKeys.map(col) :+ col("_tc") :+ col("_vb")
+        :+ floor((pc - pr) * log(pc / pr) * scale).cast("long")
+          .as("_term")): _*)
+      .groupBy(groupKeys.map(col): _*)
+      .agg(max(col("_tc")).as("n_cur"), max(col("_vb")).as("bins"),
+        sum(col("_term")).as("_psi_fp"))
+      .withColumn("psi_q6", graft.functions.vectors.quantize(
+        col("_psi_fp").cast("double") / lit(1.0e12), 6))
+      .drop("_psi_fp")
+  }
 }

@@ -1726,4 +1726,30 @@ object EventStream {
     graft.ops.evals.winRateGrid(src, aCol, bCol,
       Seq(window(col(tsCol), windowDur).as("win")))
   }
+
+  /** LIVE distribution-drift monitoring: the [[graft.ops.sample
+    * .histGrid]] per-(window, bin) exact counts as a watermarked
+    * streaming aggregation — the is-the-input-distribution-still-the-
+    * training-distribution meter over any quantized value stream
+    * (score cents, token counts, ppm rates). One count per (window,
+    * bin), so state is bins-per-open-window rows and sink snapshots
+    * MERGE BY ADDITION; [[graft.ops.sample.psiFrom]] scores any
+    * snapshot against a pinned reference histogram (the
+    * [[calibrationStream]] build/finish split), and
+    * [[graft.ops.sample.ksStat]] gates two snapshots exactly. Same
+    * code path as batch, so stream ≡ batch on the same events
+    * (EventStreamSpec pins this). Append mode once the watermark
+    * closes a window. */
+  def histDriftStream(
+      events: DataFrame,
+      valueCol: org.apache.spark.sql.Column,
+      binWidth: Long,
+      tsCol: String = "ts",
+      windowDur: String = "1 hour",
+      delay: String = "10 minutes"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark(tsCol, delay)
+      else events
+    graft.ops.sample.histGrid(src, valueCol,
+      Seq(window(col(tsCol), windowDur).as("win")), binWidth)
+  }
 }

@@ -202,6 +202,57 @@ class EvalSpec extends SparkSpec {
     assert(evals.spearman(tied, col("x"), col("y")).head().isNullAt(4))
   }
 
+  test("rougeL: hand LCS cases, order sensitivity, token cap, empty sides") {
+    val pairs = Seq(
+      (1L, "a b c d", "a c d e"),   // LCS "a c d" = 3
+      (2L, "a b", "b a"),           // LCS 1 either way
+      (3L, "", "x y"),              // empty candidate
+      (4L, "x y", "x y")            // identity
+    ).toDF("doc_id", "cand", "ref")
+    val got = evals.rougeL(pairs, col("doc_id"), col("cand"), col("ref"))
+      .orderBy("doc_id").as[(Long, Long, Long, Long, Long)].collect()
+    assert(got(0) == ((1L, 3L, 4L, 4L, 750000L)), got(0).toString)
+    assert(got(1) == ((2L, 1L, 2L, 2L, 500000L)))
+    assert(got(2) == ((3L, 0L, 0L, 2L, 0L)))
+    assert(got(3) == ((4L, 2L, 2L, 2L, 1000000L)))
+    // cap: with maxToks = 2 only the first two tokens of each side count
+    val capped = evals.rougeL(pairs.where(col("doc_id") === 1L),
+      col("doc_id"), col("cand"), col("ref"), maxToks = 2).head()
+    // "a b" vs "a c": LCS = 1, m = n = 2 -> f = 2/4
+    assert(capped.getLong(1) == 1L && capped.getLong(2) == 2L
+      && capped.getLong(3) == 2L && capped.getLong(4) == 500000L,
+      capped.toString)
+  }
+
+  test("kendallTau: hand-counted C/D, tie terms, grid guard raises") {
+    // monotone -> tau 1; one swapped pair -> (C-D)/n0 = 1/3
+    val mono = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("x", "y")
+    val m = evals.kendallTau(mono, col("x"), col("y")).head()
+    assert(m.getLong(0) == 3L && m.getLong(1) == 3L && m.getLong(2) == 0L)
+    assert(m.getDouble(5) == 1.0)
+    val swap = Seq((1L, 1L), (2L, 3L), (3L, 2L)).toDF("x", "y")
+    val s = evals.kendallTau(swap, col("x"), col("y")).head()
+    assert(s.getLong(1) == 2L && s.getLong(2) == 1L
+      && s.getDouble(5) == 0.3333, s.toString)
+    // x-tie: C=2, tie_x=1 -> tau-b = 2/(sqrt(2)*sqrt(3)) = 0.8165
+    val tied = Seq((1L, 1L), (1L, 2L), (2L, 3L)).toDF("x", "y")
+    val t = evals.kendallTau(tied, col("x"), col("y")).head()
+    assert(t.getLong(1) == 2L && t.getLong(3) == 1L && t.getLong(4) == 0L)
+    assert(t.getDouble(5) == 0.8165, t.toString)
+    // all-tied x: denominator hits zero -> NULL, not a crash
+    val flat = Seq((7L, 1L), (7L, 2L)).toDF("x", "y")
+    assert(evals.kendallTau(flat, col("x"), col("y")).head().isNullAt(5))
+    // grid guard: 3 distinct cells through maxGrid=2 must RAISE
+    val e = intercept[Exception] {
+      evals.kendallTau(mono, col("x"), col("y"), maxGrid = 2).head()
+    }
+    def messages(t2: Throwable): Seq[String] =
+      Option(t2).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("kendallTau joint grid exceeds")),
+      s"expected the grid raise, got: $e")
+  }
+
   test("spearman: int64 ceiling is enforced in-plan at the boundary") {
     // just UNDER the ceiling: runs, rho defined (monotone ids -> 1.0)
     val under = spark.range(evals.SpearmanMaxN)

@@ -118,6 +118,42 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("histDriftStream: streamed bin grid equals batch; psiFrom finishes a snapshot") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val sdf = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val cents = floor(col("value") * 100.0).cast("long")
+    val q = EventStream.histDriftStream(sdf, cents, binWidth = 200L,
+        windowDur = "1 hour")
+      .writeStream.format("memory").queryName("hist_grid")
+      .outputMode("complete").start()
+    try {
+      mem.addData(batch.as[(Long, Timestamp, Long, String, Double, String)]
+        .collect().toSeq)
+      q.processAllAvailable()
+      val key = (d: org.apache.spark.sql.DataFrame) => d
+        .select(date_format(col("win.start"), "HH:mm").as("w"),
+          col("bin"), col("n"))
+        .as[(String, Long, Long)].collect().toSet
+      val streamed = key(spark.table("hist_grid"))
+      val batched = key(EventStream.histDriftStream(batch, cents,
+        binWidth = 200L, windowDur = "1 hour"))
+      assert(streamed == batched && streamed.nonEmpty,
+        s"stream=$streamed batch=$batched")
+      // finish step: score each window's snapshot against the first
+      // window's grid; every PSI is finite and the self-window reads 0
+      val snap = spark.table("hist_grid")
+        .withColumn("w", date_format(col("win.start"), "HH:mm")).drop("win")
+      val w0 = snap.orderBy("w").select("w").head().getString(0)
+      val ref = snap.where(col("w") === w0).select("bin", "n")
+      val psi = graft.ops.sample.psiFrom(ref, snap, Seq("w"))
+        .orderBy("w").collect()
+      assert(psi.nonEmpty && psi.head.getDouble(3) == 0.0,
+        s"reference window scores 0 against itself: ${psi.mkString(",")}")
+      assert(psi.forall(_.getDouble(3) >= 0.0), psi.mkString(","))
+    } finally q.stop()
+  }
+
   test("windowedAgg APPEND mode: watermark closes windows; LATE data is dropped, not counted") {
     // The complete-mode test above checks values; this one checks the
     // EVICTION contract bounded state depends on: a window only emits

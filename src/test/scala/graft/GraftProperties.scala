@@ -585,6 +585,36 @@ object GraftProperties extends Properties("graft") {
       (0 to 5).forall(i => folded.get(i) == whole.get(i))
     }
 
+  property("ksStat laws: symmetric, in [0,1], identically 0 on self, ANY samples") =
+    forAll(Gen.zip(
+      Gen.nonEmptyListOf(Gen.chooseNum(-20L, 20L)),
+      Gen.nonEmptyListOf(Gen.chooseNum(-20L, 20L)))) { case (xs, ys) =>
+      val a = xs.toDF("f"); val b = ys.toDF("f")
+      val ab = graft.ops.sample.ksStat(a, col("f"), b, col("f")).head()
+      val ba = graft.ops.sample.ksStat(b, col("f"), a, col("f")).head()
+      val self = graft.ops.sample.ksStat(a, col("f"), a, col("f")).head()
+      ab.getDouble(3) == ba.getDouble(3) &&
+        ab.getDouble(3) >= 0.0 && ab.getDouble(3) <= 1.0 &&
+        self.getDouble(3) == 0.0 &&
+        ab.getLong(0) == xs.length.toLong && ab.getLong(1) == ys.length.toLong
+    }
+
+  property("psiFrom: 0 against itself, >= 0 against ANY current grid") =
+    forAll(Gen.zip(
+      Gen.nonEmptyListOf(Gen.chooseNum(0L, 99L)),
+      Gen.nonEmptyListOf(Gen.chooseNum(0L, 99L)))) { case (xs, ys) =>
+      val ref = graft.ops.sample.histGrid(xs.toDF("f"), col("f"),
+        Seq.empty, 10L)
+      val cur = graft.ops.sample.histGrid(
+        (xs.map(("self", _)) ++ ys.map(("other", _))).toDF("g", "f"),
+        col("f"), Seq(col("g")), 10L)
+      val got = graft.ops.sample.psiFrom(ref, cur, Seq("g"))
+        .orderBy("g").collect()
+      got.length == 2 &&
+        got(1).getDouble(3) == 0.0 &&          // "self" sorts after "other"
+        got.forall(_.getDouble(3) >= 0.0)
+    }
+
   property("vocabGrowth: curves end at exact corpus totals for ANY id layout") =
     forAll(Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n,
       Gen.zip(Gen.chooseNum(0L, 100L),

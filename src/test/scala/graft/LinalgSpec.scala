@@ -123,4 +123,33 @@ class LinalgSpec extends SparkSpec {
     assert(c.getLong(1) == c.getLong(0), "offdiag mass equals trace")
     assert(c.getDouble(2) == 1.0)
   }
+
+  test("momentGrid: exact integer sums; wrong-dim and null rows excluded") {
+    val df = Seq(Some(Seq(0.25, 0.5)), Some(Seq(0.75, -0.5)),
+      Some(Seq(1.0)), None).toDF("v")
+    val g = linalg.momentGrid(df, "v", dim = 2, q = 100L)
+      .orderBy("pos").as[(Int, Long, Long, Long)].collect().toSeq
+    // quantized rows: (25, 50), (75, -50)
+    assert(g == Seq((0, 2L, 100L, 25 * 25 + 75 * 75L),
+      (1, 2L, 0L, 2L * 50 * 50)))
+  }
+
+  test("embedDrift: 0 on identical corpora; exact mean-shift readout") {
+    val a = Seq(Seq(0.25, 0.5), Seq(0.25, 0.5)).toDF("v")
+    val b = Seq(Seq(0.5, 0.5), Seq(0.5, 0.5)).toDF("v")
+    val ga = linalg.momentGrid(a, "v", dim = 2)
+    val gb = linalg.momentGrid(b, "v", dim = 2)
+    val self = linalg.embedDrift(ga, ga).head()
+    assert(self.getDouble(3) == 0.0 && self.getDouble(4) == 0.0)
+    val r = linalg.embedDrift(ga, gb).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 2L && r.getLong(2) == 2L)
+    // dim-0 means 0.25 vs 0.5 (both exact in binary): mmd2 = 0.0625;
+    // zero variance on both sides
+    assert(r.getDouble(3) == 0.0625, s"mmd2: $r")
+    assert(r.getDouble(4) == 0.0, s"vargap: $r")
+    // symmetry of both readouts
+    val rev = linalg.embedDrift(gb, ga).head()
+    assert(rev.getDouble(3) == r.getDouble(3)
+      && rev.getDouble(4) == r.getDouble(4))
+  }
 }

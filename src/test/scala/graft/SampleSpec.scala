@@ -482,6 +482,56 @@ class SampleSpec extends SparkSpec {
     assert(fwd == bwd)
   }
 
+  test("ksStat: 0 on identical, 1 on disjoint, exact 1/3 on unit shift") {
+    val a = Seq(1L, 2L, 3L).toDF("f")
+    val b = Seq(2L, 3L, 4L).toDF("f")
+    assert(sample.ksStat(a, col("f"), a, col("f")).head().getDouble(3) == 0.0)
+    val r = sample.ksStat(a, col("f"), b, col("f")).head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(r.getLong(2) == 3L, "max |ca*tb - cb*ta| = 3 on the unit shift")
+    assert(r.getDouble(3) == 0.333333, "quantized D = 1/3")
+    val dis = sample.ksStat(Seq(1L, 2L).toDF("f"), col("f"),
+      Seq(30L, 40L).toDF("f"), col("f")).head()
+    assert(dis.getDouble(3) == 1.0, "disjoint supports separate fully")
+    // symmetry: D(a,b) == D(b,a)
+    assert(sample.ksStat(b, col("f"), a, col("f")).head().getDouble(3)
+      == 0.333333)
+  }
+
+  test("histGrid snapshots merge by addition (the streaming sink law)") {
+    val full = Seq(5L, 15L, 25L, 35L, 45L, 55L).toDF("f")
+    val p1 = Seq(5L, 15L, 25L).toDF("f")
+    val p2 = Seq(35L, 45L, 55L).toDF("f")
+    def key(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Long, Long)].collect().toMap
+    val whole = key(sample.histGrid(full, col("f"), Seq.empty, 20L))
+    val merged = key(
+      sample.histGrid(p1, col("f"), Seq.empty, 20L)
+        .unionByName(sample.histGrid(p2, col("f"), Seq.empty, 20L))
+        .groupBy(col("bin")).agg(sum(col("n")).as("n")))
+    assert(whole == merged && whole.values.sum == 6L)
+  }
+
+  test("psiFrom: 0 on matching grids, positive on a shifted day, union domain") {
+    val ref = sample.histGrid(Seq(5L, 5L, 25L, 25L).toDF("f"),
+      col("f"), Seq.empty, 10L)
+    // day d1 matches ref exactly; day d2 piles everything into one bin
+    val cur = sample.histGrid(
+      Seq(("d1", 5L), ("d1", 5L), ("d1", 25L), ("d1", 25L),
+        ("d2", 5L), ("d2", 5L), ("d2", 5L), ("d2", 5L)).toDF("day", "x"),
+      col("x"), Seq(col("day")), 10L)
+    val got = sample.psiFrom(ref, cur, Seq("day"))
+      .orderBy(col("day")).collect()
+    assert(got.length == 2)
+    val d1 = got(0); val d2 = got(1)
+    assert(d1.getString(0) == "d1" && d1.getLong(1) == 4L
+      && d1.getLong(2) == 2L && d1.getDouble(3) == 0.0,
+      s"identical day scores exactly 0: $d1")
+    assert(d2.getString(0) == "d2" && d2.getLong(1) == 4L
+      && d2.getLong(2) == 2L && d2.getDouble(3) > 0.5,
+      s"collapsed day scores a major shift: $d2")
+  }
+
   test("matchDistribution: rates follow target/source, absent bins drop") {
     // source: bins 0 and 1 each 100 rows; target: 3:1 toward bin 0;
     // source bin 2 has no target mass -> keep_ppm 0.
