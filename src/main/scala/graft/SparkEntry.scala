@@ -3828,6 +3828,23 @@ object SparkEntry {
       sample.psiFrom(ref, cur, Seq("day")).orderBy(col("day"))
     }),
 
+    // north-star: per-day KS against the same pinned day-1 reference —
+    // the second readout of the one histDriftStream sink ($1 bins for
+    // CDF resolution); cross-multiplied integers, one division at the
+    // quantized readout.
+    "events_ks_daily" -> ((s, dir) => {
+      val ev = events(s, dir).where(col("value").isNotNull)
+      val cents = floor(col("value") * 100.0).cast("long")
+      val ref = sample.histGrid(
+        ev.where(col("ts") < lit("2024-01-02").cast("timestamp")),
+        cents, Seq.empty, binWidth = 100L)
+      val cur = EventStream.histDriftStream(ev, cents, binWidth = 100L,
+          windowDur = "1 day")
+        .withColumn("day", date_format(col("win.start"), "yyyy-MM-dd"))
+        .drop("win")
+      sample.ksFrom(ref, cur, Seq("day")).orderBy(col("day"))
+    }),
+
     // north-star: deterministic rejection matching — calibrate the 'de'
     // slice's length distribution to the 'en' slice; bounded grid, rates
     // broadcast, keep decision a pure scan filter.
@@ -8858,6 +8875,42 @@ object SparkEntry {
         |  floor(sum(term)::DOUBLE / 1000000000000.0 * 1000000.0 + 0.5)
         |    / 1000000.0 AS psi_q6
         |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Per-day KS from the same union-domain grid chain, $1 bins.
+    "events_ks_daily" ->
+      """WITH ref AS (SELECT
+        |    floor(floor(value * 100.0)::BIGINT::DOUBLE / 100.0)::BIGINT
+        |      AS bin, count(*)::BIGINT AS nr
+        |  FROM events WHERE value IS NOT NULL
+        |    AND ts < TIMESTAMP '2024-01-02' GROUP BY 1),
+        |cur AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    floor(floor(value * 100.0)::BIGINT::DOUBLE / 100.0)::BIGINT
+        |      AS bin, count(*)::BIGINT AS nc
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |dom AS (SELECT day, bin, nr
+        |  FROM (SELECT DISTINCT day FROM cur) CROSS JOIN ref),
+        |j AS (SELECT coalesce(dom.day, cur.day) AS day,
+        |    coalesce(dom.bin, cur.bin) AS bin,
+        |    coalesce(nr, 0)::BIGINT AS nr, coalesce(nc, 0)::BIGINT AS nc
+        |  FROM dom FULL OUTER JOIN cur
+        |    ON dom.day = cur.day AND dom.bin = cur.bin),
+        |c AS (SELECT day,
+        |    sum(nr) OVER (PARTITION BY day ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |      AS ca,
+        |    sum(nc) OVER (PARTITION BY day ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |      AS cc,
+        |    sum(nr) OVER (PARTITION BY day)::BIGINT AS tr,
+        |    sum(nc) OVER (PARTITION BY day)::BIGINT AS tc
+        |  FROM j)
+        |SELECT day, tr AS n_ref, tc AS n_cur,
+        |  max(abs(ca * tc - cc * tr))::BIGINT AS ks_num,
+        |  CASE WHEN tr > 0 AND tc > 0 THEN
+        |    floor(max(abs(ca * tc - cc * tr))::DOUBLE
+        |      / (tr::DOUBLE * tc::DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS ks_q6
+        |FROM c GROUP BY 1, 2, 3 ORDER BY day""".stripMargin,
 
     // Diagonal-FID drift: per-dim exact integer moments of each label
     // half, fixed-order double readout, 1e-12 fixed-point terms.

@@ -1130,30 +1130,39 @@ object sample {
     * grid-sized, never row-sized. PSI conventions: < 0.1 stable,
     * 0.1–0.25 moderate shift, > 0.25 major shift. Returns
     * `(groupKeys…, n_cur, bins, psi_q6)`. */
+  /** Shared union-domain construction for the grid-drift readouts
+    * ([[psiFrom]], [[ksFrom]], [[emdFrom]]): per group, the union of the
+    * reference grid's bins and the group's own bins, each row carrying
+    * `(_nr, _nc)` exact counts — built WITHOUT a full-outer self-join
+    * (ref and cur often derive from the same grid — e.g. scoring a sink
+    * snapshot against its own first window — and a join between frames
+    * sharing lineage hits Spark's conflicting-reference resolution):
+    * every group is crossed with the broadcast ref bins, cur rows union
+    * in, and one (group, bin) aggregate folds the two tags. max(_nr) is
+    * exact — each ref bin appears once per group. */
+  private def unionGrid(
+      ref: DataFrame,
+      cur: DataFrame,
+      groupKeys: Seq[String],
+      what: String): DataFrame = {
+    val reserved = groupKeys.intersect(Seq("bin", "n", "_nr", "_nc"))
+    require(reserved.isEmpty,
+      s"graft: $what group keys collide with grid columns: $reserved")
+    cur.select(groupKeys.map(col): _*).distinct()
+      .crossJoin(broadcast(ref.select(col("bin"), col("n").as("_nr"))))
+      .withColumn("_nc", lit(0L))
+      .unionByName(cur.select((groupKeys.map(col) :+ col("bin")
+        :+ lit(0L).as("_nr") :+ col("n").as("_nc")): _*))
+      .groupBy((groupKeys.map(col) :+ col("bin")): _*)
+      .agg(max(col("_nr")).as("_nr"), sum(col("_nc")).as("_nc"))
+  }
+
   def psiFrom(
       ref: DataFrame,
       cur: DataFrame,
       groupKeys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val reserved = groupKeys.intersect(Seq("bin", "n", "_nr", "_nc"))
-    require(reserved.isEmpty,
-      s"graft: psiFrom group keys collide with grid columns: $reserved")
     val scale = lit(1.0e12)
-    // Union-domain construction WITHOUT a full-outer self-join (ref and
-    // cur often derive from the same grid — e.g. scoring a sink snapshot
-    // against its own first window — and a join between frames sharing
-    // lineage hits Spark's conflicting-reference resolution): every
-    // group is crossed with the ref bins, cur rows union in, and one
-    // (group, bin) aggregate folds the two tags. max(_nr) is exact —
-    // each ref bin appears once per group.
-    val domain = cur.select(groupKeys.map(col): _*).distinct()
-      .crossJoin(broadcast(ref.select(col("bin"), col("n").as("_nr"))))
-      .withColumn("_nc", lit(0L))
-    val grid = domain
-      .unionByName(cur.select((groupKeys.map(col) :+ col("bin")
-        :+ lit(0L).as("_nr") :+ col("n").as("_nc")): _*))
-      .groupBy((groupKeys.map(col) :+ col("bin")): _*)
-      .agg(max(col("_nr")).as("_nr"), sum(col("_nc")).as("_nc"))
     // Group totals via a group-partitioned window (bins-bounded frames),
     // so the term pass reuses the aggregate's exchange — one shuffle for
     // the whole finish.
@@ -1162,7 +1171,7 @@ object sample {
       (col("_tr").cast("double") + col("_vb").cast("double"))
     val pc = (col("_nc").cast("double") + lit(1.0)) /
       (col("_tc").cast("double") + col("_vb").cast("double"))
-    grid
+    unionGrid(ref, cur, groupKeys, "psiFrom")
       .withColumn("_tr", sum(col("_nr")).over(wg))
       .withColumn("_tc", sum(col("_nc")).over(wg))
       .withColumn("_vb", count(lit(1)).over(wg))
@@ -1175,5 +1184,72 @@ object sample {
       .withColumn("psi_q6", graft.functions.vectors.quantize(
         col("_psi_fp").cast("double") / lit(1.0e12), 6))
       .drop("_psi_fp")
+  }
+
+  /** Per-group Kolmogorov–Smirnov statistic against one reference
+    * [[histGrid]] — [[ksStat]]'s finish over grid snapshots, so the SAME
+    * streaming sink ([[graft.streaming.EventStream.histDriftStream]])
+    * feeds PSI, KS, and EMD readouts. On binWidth-1 grids this equals
+    * [[ksStat]] on the raw values exactly (SampleSpec pins the law);
+    * coarser bins measure KS of the binned distributions — the standard
+    * streaming tradeoff, and monotone bins keep it a lower bound of the
+    * raw D. Same cross-multiplied-integer discipline: no division before
+    * the quantized readout. Returns `(groupKeys…, n_ref, n_cur, ks_num,
+    * ks_q6)`. */
+  def ksFrom(
+      ref: DataFrame,
+      cur: DataFrame,
+      groupKeys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wg = Window.partitionBy(groupKeys.map(col): _*)
+    val run = wg.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    unionGrid(ref, cur, groupKeys, "ksFrom")
+      .withColumn("_ca", sum(col("_nr")).over(run))
+      .withColumn("_cc", sum(col("_nc")).over(run))
+      .withColumn("_tr", sum(col("_nr")).over(wg))
+      .withColumn("_tc", sum(col("_nc")).over(wg))
+      .groupBy((groupKeys.map(col) :+ col("_tr").as("n_ref")
+        :+ col("_tc").as("n_cur")): _*)
+      .agg(max(abs(col("_ca") * col("_tc") - col("_cc") * col("_tr")))
+        .as("ks_num"))
+      .withColumn("ks_q6", when(col("n_ref") > 0L && col("n_cur") > 0L,
+        graft.functions.vectors.quantize(
+          col("ks_num").cast("double")
+            / (col("n_ref").cast("double") * col("n_cur").cast("double")),
+          6)))
+  }
+
+  /** Per-group 1-D earth mover's distance against one reference
+    * [[histGrid]] — [[emd1d]]'s finish over grid snapshots (the third
+    * readout of the drift sink). `binWidth` scales bin gaps back to
+    * value units and must be the width the grids were built with.
+    * Returns `(groupKeys…, n_ref, n_cur, emd_num, emd_q4)`. */
+  def emdFrom(
+      ref: DataFrame,
+      cur: DataFrame,
+      groupKeys: Seq[String],
+      binWidth: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(binWidth >= 1, s"graft: emdFrom needs binWidth >= 1")
+    val wg = Window.partitionBy(groupKeys.map(col): _*)
+    val wo = wg.orderBy(col("bin"))
+    val run = wo.rowsBetween(Window.unboundedPreceding, 0)
+    unionGrid(ref, cur, groupKeys, "emdFrom")
+      .withColumn("_ca", sum(col("_nr")).over(run))
+      .withColumn("_cc", sum(col("_nc")).over(run))
+      .withColumn("_tr", sum(col("_nr")).over(wg))
+      .withColumn("_tc", sum(col("_nc")).over(wg))
+      .withColumn("_gap", lead(col("bin"), 1).over(wo) - col("bin"))
+      .where(col("_gap").isNotNull)
+      .groupBy((groupKeys.map(col) :+ col("_tr").as("n_ref")
+        :+ col("_tc").as("n_cur")): _*)
+      .agg(sum(abs(col("_ca") * col("_tc") - col("_cc") * col("_tr"))
+        * col("_gap")).as("emd_num"))
+      .withColumn("emd_q4", when(col("n_ref") > 0L && col("n_cur") > 0L,
+        graft.functions.vectors.quantize(
+          col("emd_num").cast("double") * lit(binWidth.toDouble)
+            / (col("n_ref").cast("double") * col("n_cur").cast("double")),
+          4)))
   }
 }

@@ -599,6 +599,30 @@ object GraftProperties extends Properties("graft") {
         ab.getLong(0) == xs.length.toLong && ab.getLong(1) == ys.length.toLong
     }
 
+  property("grid KS/EMD finishes equal the raw two-sample meters at binWidth 1") =
+    forAll(Gen.zip(
+      Gen.nonEmptyListOf(Gen.chooseNum(-20L, 20L)),
+      Gen.nonEmptyListOf(Gen.chooseNum(-20L, 20L)))) { case (xs, ys) =>
+      val a = xs.toDF("f"); val b = ys.toDF("f")
+      val refG = graft.ops.sample.histGrid(a, col("f"), Seq.empty, 1L)
+      val curG = graft.ops.sample.histGrid(
+        b.withColumn("g", lit("w1")), col("f"), Seq(col("g")), 1L)
+      val ksRaw = graft.ops.sample.ksStat(a, col("f"), b, col("f")).head()
+      val ksG = graft.ops.sample.ksFrom(refG, curG, Seq("g")).head()
+      val ksOk = ksG.getLong(1) == ksRaw.getLong(0) &&
+        ksG.getLong(2) == ksRaw.getLong(1) &&
+        ksG.getLong(3) == ksRaw.getLong(2) &&
+        ksG.getDouble(4) == ksRaw.getDouble(3)
+      val emdRaw = graft.ops.sample.emd1d(a, col("f"), b, col("f"), 1L)
+        .collect()
+      val emdG = graft.ops.sample.emdFrom(refG, curG, Seq("g"), 1L).collect()
+      // single-bin grids have no gap rows on either path (same contract)
+      val emdOk = (emdRaw.isEmpty && emdG.isEmpty) ||
+        (emdG.head.getLong(3) == emdRaw.head.getLong(2) &&
+          emdG.head.getDouble(4) == emdRaw.head.getDouble(3))
+      ksOk && emdOk
+    }
+
   property("psiFrom: 0 against itself, >= 0 against ANY current grid") =
     forAll(Gen.zip(
       Gen.nonEmptyListOf(Gen.chooseNum(0L, 99L)),
