@@ -56,6 +56,31 @@ class PlanQualitySpec extends SparkSpec {
     assert("Exchange".r.findAllIn(ef).length <= 1,
       "eval_embed_f1 should shuffle at most once (output sort)")
     assert(!ef.contains("Join"), "eval_embed_f1 must stay row-local")
+    // ROUGE-L rides the compiled LCS kernel: row-local like the others
+    val rl = plan("eval_rouge_l")
+    assert("Exchange".r.findAllIn(rl).length <= 1,
+      "eval_rouge_l should shuffle at most once (output sort)")
+    assert(rl.contains("lcs_row") && !rl.contains("Join"),
+      "eval_rouge_l must ride the fused LCS kernel, no join")
+  }
+
+  test("drift meters: grid-bounded joins broadcast; kendall pairs cells, not rows") {
+    // kendall's self-pairing must be a BROADCAST nested-loop over the
+    // joint GRID (cells), never a shuffled row-level product
+    val kt = plan("eval_kendall")
+    assert(kt.contains("BroadcastNestedLoopJoin"),
+      s"kendall pairs grid cells via BNLJ: ${kt.take(600)}")
+    // the PSI/KS daily finishes broadcast the bounded ref grid onto the
+    // day domain; no sort-merge join anywhere
+    Seq("events_psi_drift", "events_ks_daily").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastExchange"), s"$q broadcasts the ref grid")
+      assert(!p.contains("SortMergeJoin"), s"$q must not sort-merge join")
+    }
+    // embedding drift joins two d-row moment grids — broadcast-sized
+    val ed = plan("ann_embed_drift")
+    assert(!ed.contains("SortMergeJoin"),
+      "embedDrift joins d-row grids, never sort-merge")
   }
 
   test("grid-cut audits scan the corpus once: consumers read the checkpointed grid") {
