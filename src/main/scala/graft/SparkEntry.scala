@@ -3665,6 +3665,20 @@ object SparkEntry {
             pmod(scoreQ4(col("embedding"), Q1), lit(10L)).as("b")),
         col("a"), col("b"))),
 
+    // north-star: Fleiss' kappa — a fixed 3-rater panel (hash-derived
+    // labels over 4 categories) per unit; exact DECIMAL(38) combine,
+    // floor-ppm readouts on both engines.
+    "eval_fleiss" -> ((s, dir) => {
+      val rated = table(s, dir, "embeddings")
+        .where(col("vec_id").isNotNull)
+        .select(col("vec_id"),
+          explode(sequence(lit(0L), lit(2L))).as("r"))
+        .select(col("vec_id"),
+          (hashing.h32(concat(col("vec_id").cast("string"), lit("/fl"),
+            col("r").cast("string"))) % 4L).as("lab"))
+      evals.fleissKappa(rated, col("vec_id"), col("lab"), m = 3)
+    }),
+
     // north-star: Bradley-Terry arena ratings — 8 synthetic models with
     // index-increasing skill margins, 3 MM fixed-point rounds in
     // integer arithmetic, deterministic rescale; the leaderboard read.
@@ -8570,6 +8584,34 @@ object SparkEntry {
          |    (n * agree * 1000000 - s_cross * 1000000) // (n * n - s_cross)
          |   END)::BIGINT AS kappa_ppm
          |FROM t, s""".stripMargin,
+
+    // Fleiss over the synthetic 3-rater panel: HUGEINT mirrors the
+    // Spark side's DECIMAL(38,0) exact combine; // floors like the
+    // pmod identity.
+    "eval_fleiss" -> {
+      val h = graft.functions.hashing.sqlH32(
+        "(vec_id::VARCHAR || '/fl' || rr::VARCHAR)")
+      s"""WITH r AS (SELECT vec_id, unnest(range(0, 3)) AS rr
+         |  FROM embeddings WHERE vec_id IS NOT NULL),
+         |sc AS (SELECT vec_id AS u, ($h) % 4 AS l FROM r),
+         |g AS (SELECT u, l, count(*)::BIGINT AS n FROM sc GROUP BY 1, 2),
+         |ua AS (SELECT u, sum(n * n)::BIGINT AS sq FROM g GROUP BY 1),
+         |a AS (SELECT count(*)::HUGEINT AS nu,
+         |  coalesce(sum(sq), 0)::HUGEINT AS ssq FROM ua),
+         |b AS (SELECT coalesce(sum(s * s), 0)::HUGEINT AS bb
+         |  FROM (SELECT sum(n)::BIGINT AS s FROM g GROUP BY l)),
+         |f AS (SELECT nu, ssq - nu * 3 AS aa, (nu * 3) * 2 AS d1,
+         |  bb, nu * 3 AS t FROM a, b)
+         |SELECT nu::BIGINT AS n_units, 3::BIGINT AS m,
+         |  (CASE WHEN d1 > 0 THEN (aa * 1000000) // d1
+         |   END)::BIGINT AS po_ppm,
+         |  (CASE WHEN t > 0 THEN (bb * 1000000) // (t * t)
+         |   END)::BIGINT AS pe_ppm,
+         |  (CASE WHEN d1 > 0 AND t * t - bb > 0 THEN
+         |    ((aa * t * t - bb * d1) * 1000000) // (d1 * (t * t - bb))
+         |   END)::BIGINT AS kappa_ppm
+         |FROM f""".stripMargin
+    },
 
     // Bradley-Terry MM unrolled 3 rounds: per-pair quantized quotient
     // sums + the hits-style integer rescale, HUGEINT mirroring Spark's

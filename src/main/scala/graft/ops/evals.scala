@@ -1120,6 +1120,80 @@ object evals {
           .as("kappa_ppm"))
   }
 
+  /** [[fleissKappa]] unit-count ceiling: the cross term `A·T²` is
+    * ≲ N³·m⁴, which stays inside DECIMAL(38,0) for N ≤ 10⁹ at any
+    * m ≤ 100 (10²⁷·10⁸ = 10³⁵ < 10³⁸). */
+  val FleissMaxUnits: Long = 1000000000L
+
+  /** Fleiss' kappa — chance-corrected agreement for a FIXED panel of
+    * `m` raters per unit (the multi-annotator generalization of
+    * [[cohenKappa]]; Fleiss 1971): from per-(unit, label) counts
+    * `n_uc`, observed agreement `P̄o = (Σ n² − N·m)/(N·m(m−1))` and
+    * chance agreement `P̄e = Σ_c S_c²/(N·m)²`, combined EXACTLY over a
+    * common denominator — `κ = (A·T² − B·D₁)/(D₁·(T² − B))` with
+    * `A = Σn² − Nm`, `B = ΣS_c²`, `T = Nm`, `D₁ = Nm(m−1)` — in
+    * DECIMAL(38,0) (the [[passAtK]] widening), surfaced as ppm via the
+    * pmod floor-division identity (negative κ must floor identically
+    * on both engines — the [[cohenKappa]] discipline).
+    *
+    * The fixed-panel contract is ENFORCED in-plan: a unit whose rating
+    * count ≠ m raises (a variable-rater table silently reweights units
+    * otherwise — use Krippendorff-style weighting upstream instead).
+    * Plan shape: one (unit, label) aggregate, two grid-sized folds, a
+    * broadcast of three 1-row frames. Returns one row
+    * `(n_units, m, po_ppm, pe_ppm, kappa_ppm)`. */
+  def fleissKappa(
+      df: DataFrame,
+      unitCol: Column,
+      labelCol: Column,
+      m: Int): DataFrame = {
+    require(m >= 2 && m <= 100,
+      s"graft: fleissKappa needs 2 <= m <= 100 raters, got $m")
+    val grid = ckpt.cut(df
+      .select(unitCol.cast("long").as("_u"), labelCol.cast("long").as("_l"))
+      .where(col("_u").isNotNull && col("_l").isNotNull)
+      .groupBy(col("_u"), col("_l"))
+      .agg(count(lit(1)).as("_n")))
+    val units = grid.groupBy(col("_u"))
+      .agg(sum(col("_n")).as("_mu"), sum(col("_n") * col("_n")).as("_sq"))
+      .select(col("_u"),
+        when(col("_mu") =!= m.toLong,
+          raise_error(format_string(
+            s"graft: fleissKappa fixed-panel contract broken — unit %s " +
+              s"has %s ratings, expected m=$m", col("_u"), col("_mu"))))
+          .otherwise(col("_sq")).as("_sq"))
+    val a = units.agg(count(lit(1)).as("n_units"),
+      coalesce(sum(col("_sq")), lit(0L)).as("_sumsq"))
+      .select(col("n_units"),
+        when(col("n_units") > FleissMaxUnits,
+          raise_error(format_string(
+            "graft: fleissKappa decimal ceiling exceeded (%s units > " +
+              s"$FleissMaxUnits) — pre-sample the unit set",
+            col("n_units"))).cast("long"))
+        .otherwise(col("_sumsq")).as("_sumsq"))
+    val b = grid.groupBy(col("_l")).agg(sum(col("_n")).as("_sc"))
+      .agg(coalesce(sum(col("_sc") * col("_sc")), lit(0L)).as("_b"))
+    a.crossJoin(broadcast(b))
+      .select(col("n_units"), lit(m.toLong).as("m"),
+        col("_sumsq").cast("decimal(38,0)").as("_sq"),
+        col("_b").cast("decimal(38,0)").as("_bb"),
+        (col("n_units") * m.toLong).cast("decimal(38,0)").as("_t"))
+      .withColumn("_a", col("_sq") - col("_t"))
+      .withColumn("_d1", col("_t") * lit((m - 1).toLong))
+      .withColumn("po_ppm", when(col("_d1") > 0,
+        expr("CAST((_a * 1000000) DIV _d1 AS LONG)")))
+      .withColumn("pe_ppm", when(col("_t") > 0,
+        expr("CAST((_bb * 1000000) DIV (_t * _t) AS LONG)")))
+      .withColumn("kappa_ppm",
+        when(col("_d1") > 0 && (col("_t") * col("_t") - col("_bb")) > 0,
+          expr("CAST(((_a * _t * _t - _bb * _d1) * 1000000" +
+            " - pmod((_a * _t * _t - _bb * _d1) * 1000000," +
+            " _d1 * (_t * _t - _bb))) DIV (_d1 * (_t * _t - _bb))" +
+            " AS LONG)")))
+      .select(col("n_units"), col("m"), col("po_ppm"), col("pe_ppm"),
+        col("kappa_ppm"))
+  }
+
   /** [[btRatings]] model-set ceiling — the pair grid squares it. */
   val BtMaxModels: Long = 10000L
 

@@ -202,6 +202,35 @@ class EvalSpec extends SparkSpec {
     assert(evals.spearman(tied, col("x"), col("y")).head().isNullAt(4))
   }
 
+  test("fleissKappa: textbook hand case; fixed-panel contract raises") {
+    // unit 1: (a,a,a); unit 2: (a,b,b) with a=0, b=1 and m=3:
+    // A = 14-6 = 8, B = 16+4 = 20, T = 6 -> po = 8/12, pe = 20/36,
+    // kappa = 48/192 = 0.25 exactly
+    val rated = Seq((1L, 0L), (1L, 0L), (1L, 0L),
+      (2L, 0L), (2L, 1L), (2L, 1L)).toDF("u", "l")
+    val r = evals.fleissKappa(rated, col("u"), col("l"), m = 3).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 3L)
+    assert(r.getLong(2) == 666666L, s"po: $r")
+    assert(r.getLong(3) == 555555L, s"pe: $r")
+    assert(r.getLong(4) == 250000L, s"kappa: $r")
+    // perfect agreement -> kappa exactly 1e6
+    val perfect = Seq((1L, 0L), (1L, 0L), (2L, 1L), (2L, 1L))
+      .toDF("u", "l")
+    assert(evals.fleissKappa(perfect, col("u"), col("l"), m = 2)
+      .head().getLong(4) == 1000000L)
+    // a unit with the wrong rater count must RAISE, not reweight
+    val ragged = Seq((1L, 0L), (1L, 0L), (1L, 0L), (2L, 1L))
+      .toDF("u", "l")
+    val e = intercept[Exception] {
+      evals.fleissKappa(ragged, col("u"), col("l"), m = 3).head()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("fixed-panel contract broken")),
+      s"expected the panel raise, got: $e")
+  }
+
   test("rougeL: hand LCS cases, order sensitivity, token cap, empty sides") {
     val pairs = Seq(
       (1L, "a b c d", "a c d e"),   // LCS "a c d" = 3
