@@ -3665,6 +3665,25 @@ object SparkEntry {
             pmod(scoreQ4(col("embedding"), Q1), lit(10L)).as("b")),
         col("a"), col("b"))),
 
+    // north-star: split-conformal threshold at 90% coverage — exact
+    // order-statistic selection over the score grid, integer rank from
+    // the ceiling-division identity.
+    "eval_conformal" -> ((s, dir) =>
+      evals.conformalThreshold(
+        table(s, dir, "embeddings").where(col("embedding").isNotNull),
+        scoreQ4(col("embedding"), Q1), alphaPpm = 100000L)),
+
+    // north-star: fairness table for a boolean screen across label%3
+    // slices — per-group exact confusion counts, demographic-parity and
+    // equalized-odds ppm rates.
+    "eval_fairness" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+        .where(col("embedding").isNotNull && col("label").isNotNull)
+      evals.fairnessGaps(e, pmod(col("label"), lit(3)).cast("long"),
+          scoreQ4(col("embedding"), Q1) > 0L, col("label") < 5)
+        .orderBy(col("grp"))
+    }),
+
     // north-star: Fleiss' kappa — a fixed 3-rater panel (hash-derived
     // labels over 4 categories) per unit; exact DECIMAL(38) combine,
     // floor-ppm readouts on both engines.
@@ -8320,9 +8339,9 @@ object SparkEntry {
          |  FROM embeddings WHERE embedding IS NOT NULL),
          |g AS (SELECT x, y, count(*)::BIGINT AS c FROM sc GROUP BY 1, 2),
          |cd AS (SELECT
-         |    coalesce(sum(CASE WHEN a.y < b.y THEN a.c * b.c END),
+         |    coalesce(sum(CASE WHEN a.y < b.y THEN a.c * b.c ELSE 0 END),
          |      0)::BIGINT AS conc,
-         |    coalesce(sum(CASE WHEN a.y > b.y THEN a.c * b.c END),
+         |    coalesce(sum(CASE WHEN a.y > b.y THEN a.c * b.c ELSE 0 END),
          |      0)::BIGINT AS disc
          |  FROM g a JOIN g b ON a.x < b.x),
          |tx AS (SELECT (coalesce(sum(t * (t - 1)), 0) // 2)::BIGINT AS tie_x
@@ -8584,6 +8603,46 @@ object SparkEntry {
          |    (n * agree * 1000000 - s_cross * 1000000) // (n * n - s_cross)
          |   END)::BIGINT AS kappa_ppm
          |FROM t, s""".stripMargin,
+
+    // Conformal rank k = ceil((n+1)(1-alpha)) in integer arithmetic;
+    // threshold is the k-th order statistic off the value grid.
+    "eval_conformal" ->
+      s"""WITH sc AS (SELECT ${sqlScoreQ4(Q1)} AS s
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |g AS (SELECT s, count(*)::BIGINT AS c FROM sc GROUP BY 1),
+         |c AS (SELECT s,
+         |    sum(c) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND CURRENT ROW)::BIGINT AS cum,
+         |    (SELECT sum(c) FROM g)::BIGINT AS n
+         |  FROM g),
+         |k AS (SELECT n, (((n + 1) * 900000 + 999999) // 1000000)::BIGINT
+         |    AS k_rank
+         |  FROM (SELECT DISTINCT n FROM c))
+         |SELECT c.n, k.k_rank, min(s)::BIGINT AS threshold,
+         |  ((k.k_rank * 1000000) // (c.n + 1))::BIGINT AS coverage_min_ppm
+         |FROM c, k WHERE cum >= k_rank GROUP BY 1, 2""".stripMargin,
+
+    // Per-slice confusion counts and ppm rates; empty denominators stay
+    // NULL on both engines.
+    "eval_fairness" ->
+      s"""WITH b AS (SELECT ((label % 3) + 3) % 3 AS grp,
+         |    (${sqlScoreQ4(Q1)}) > 0 AS p, label < 5 AS y
+         |  FROM embeddings WHERE embedding IS NOT NULL
+         |    AND label IS NOT NULL),
+         |g AS (SELECT grp, count(*)::BIGINT AS n,
+         |    sum((p AND y)::BIGINT)::BIGINT AS tp,
+         |    sum((p AND NOT y)::BIGINT)::BIGINT AS fp,
+         |    sum((NOT p AND y)::BIGINT)::BIGINT AS fn,
+         |    sum((NOT p AND NOT y)::BIGINT)::BIGINT AS tn
+         |  FROM b GROUP BY 1)
+         |SELECT grp::BIGINT AS grp, n, tp, fp, fn, tn,
+         |  (CASE WHEN tp + fn > 0 THEN tp * 1000000 // (tp + fn)
+         |   END)::BIGINT AS tpr_ppm,
+         |  (CASE WHEN fp + tn > 0 THEN fp * 1000000 // (fp + tn)
+         |   END)::BIGINT AS fpr_ppm,
+         |  (CASE WHEN n > 0 THEN (tp + fp) * 1000000 // n
+         |   END)::BIGINT AS ppr_ppm
+         |FROM g ORDER BY grp""".stripMargin,
 
     // Fleiss over the synthetic 3-rater panel: HUGEINT mirrors the
     // Spark side's DECIMAL(38,0) exact combine; // floors like the

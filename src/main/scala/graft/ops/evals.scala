@@ -439,10 +439,10 @@ object evals {
       col("_c").as("_bc"))
     val cd = a.join(broadcast(b), col("_ax") < col("_bx"))
       .agg(
-        coalesce(sum(when(col("_ay") < col("_by"),
-          col("_ac") * col("_bc"))), lit(0L)).as("conc"),
-        coalesce(sum(when(col("_ay") > col("_by"),
-          col("_ac") * col("_bc"))), lit(0L)).as("disc"))
+        coalesce(sum(when(col("_ay") < col("_by"), col("_ac") * col("_bc"))
+          .otherwise(lit(0L))), lit(0L)).as("conc"),
+        coalesce(sum(when(col("_ay") > col("_by"), col("_ac") * col("_bc"))
+          .otherwise(lit(0L))), lit(0L)).as("disc"))
     def tiePairs(c: String, as: String) = rows.groupBy(col(c))
       .agg(count(lit(1)).as("_t"))
       .agg(coalesce(sum(col("_t") * (col("_t") - 1L)), lit(0L)).as("_tt"))
@@ -1118,6 +1118,80 @@ object evals {
             " - pmod(n * agree * 1000000 - s_cross * 1000000," +
             " n * n - s_cross)) DIV (n * n - s_cross)"))
           .as("kappa_ppm"))
+  }
+
+  /** Split-conformal threshold (Vovk et al.; the finite-sample-valid
+    * prediction-set cutoff): the `⌈(n+1)(1−α)⌉`-th smallest calibration
+    * nonconformity score, so flagging everything above it guarantees
+    * ≥ 1−α coverage on exchangeable data. Exact order-statistic
+    * selection over the VALUE GRID (per-value counts + running sum —
+    * never a global sort of rows), with the rank computed in integer
+    * arithmetic from `alphaPpm`: `k = ⌈(n+1)·(10⁶−α)/10⁶⌉` via the
+    * ceiling-division identity. Scores must be QUANTIZED integers (the
+    * [[aucRank]] guidance). EMPTY result when `k > n` — the calibration
+    * set is too small for the requested coverage (standard conformal
+    * requires n ≥ k); size n ≥ (1/α) − 1 before gating on the output.
+    *
+    * Returns one row `(n, k_rank, threshold, coverage_min_ppm)` with
+    * `coverage_min_ppm = k·10⁶ DIV (n+1)`, the guaranteed coverage
+    * floor. */
+  def conformalThreshold(
+      df: DataFrame,
+      scoreCol: Column,
+      alphaPpm: Long): DataFrame = {
+    require(alphaPpm > 0 && alphaPpm < 1000000L,
+      s"graft: conformalThreshold needs 0 < alphaPpm < 1e6, got $alphaPpm")
+    val rows = df.select(scoreCol.cast("long").as("_s"))
+      .where(col("_s").isNotNull)
+    val wg = windows.boundedGlobal("score-grid", col("_s"))
+    val run = wg.orderBy(col("_s"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val all = wg.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    rows.groupBy(col("_s")).agg(count(lit(1)).as("_c"))
+      .withColumn("_cum", sum(col("_c")).over(run))
+      .withColumn("n", sum(col("_c")).over(all))
+      .withColumn("_k",
+        expr(s"((n + 1) * ${1000000L - alphaPpm} + 999999) DIV 1000000"))
+      .where(col("_cum") >= col("_k"))
+      .groupBy(col("n"), col("_k").as("k_rank"))
+      .agg(min(col("_s")).as("threshold"))
+      .withColumn("coverage_min_ppm",
+        expr("(k_rank * 1000000) DIV (n + 1)"))
+  }
+
+  /** Per-group classification-fairness readout — the demographic-parity
+    * and equalized-odds table for a boolean screen (a quality filter, a
+    * safety gate) across corpus slices: one hash-aggregate to per-group
+    * exact confusion counts, ppm rates by truncating division. Gaps
+    * (max−min across groups) are one tiny fold downstream of this
+    * grid. Returns per group `(groupCol, n, tp, fp, fn, tn, tpr_ppm,
+    * fpr_ppm, ppr_ppm)` — `ppr` is the predicted-positive rate
+    * (demographic parity), `tpr`/`fpr` the equalized-odds pair; a rate
+    * with an empty denominator is NULL, never 0 (absent ≠ zero). */
+  def fairnessGaps(
+      df: DataFrame,
+      groupCol: Column,
+      predCol: Column,
+      labelCol: Column): DataFrame = {
+    val base = df.select(groupCol.as("grp"),
+        predCol.cast("boolean").as("_p"), labelCol.cast("boolean").as("_y"))
+      .where(col("grp").isNotNull && col("_p").isNotNull
+        && col("_y").isNotNull)
+    base.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_p") && col("_y"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("_p") && !col("_y"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("_p") && col("_y"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("_p") && !col("_y"), 1L).otherwise(0L)).as("tn"))
+      .withColumn("tpr_ppm",
+        when(col("tp") + col("fn") > 0L,
+          expr("(tp * 1000000) DIV (tp + fn)")))
+      .withColumn("fpr_ppm",
+        when(col("fp") + col("tn") > 0L,
+          expr("(fp * 1000000) DIV (fp + tn)")))
+      .withColumn("ppr_ppm",
+        when(col("n") > 0L, expr("((tp + fp) * 1000000) DIV n")))
   }
 
   /** [[fleissKappa]] unit-count ceiling: the cross term `A·T²` is

@@ -202,6 +202,51 @@ class EvalSpec extends SparkSpec {
     assert(evals.spearman(tied, col("x"), col("y")).head().isNullAt(4))
   }
 
+  test("conformalThreshold: exact order statistic, coverage floor, small-n empty") {
+    // scores 1..10, alpha = 0.2: k = ceil(11 * 0.8) = 9 -> threshold 9
+    val sc = (1L to 10L).toDF("s")
+    val r = evals.conformalThreshold(sc, col("s"), alphaPpm = 200000L)
+      .head()
+    assert(r.getLong(0) == 10L && r.getLong(1) == 9L
+      && r.getLong(2) == 9L, r.toString)
+    assert(r.getLong(3) == 818181L, s"floor 9e6 DIV 11: $r")
+    // ties: duplicate values select the same threshold value
+    val tied = Seq(1L, 2L, 2L, 2L, 3L).toDF("s")
+    val t = evals.conformalThreshold(tied, col("s"), alphaPpm = 500000L)
+      .head()
+    // k = ceil(6 * 0.5) = 3 -> 3rd smallest = 2
+    assert(t.getLong(1) == 3L && t.getLong(2) == 2L, t.toString)
+    // n too small for the coverage: k = ceil(4 * 0.9) = 4 > 3 -> EMPTY
+    assert(evals.conformalThreshold((1L to 3L).toDF("s"), col("s"),
+      alphaPpm = 100000L).count() == 0L)
+  }
+
+  test("fairnessGaps: hand confusion counts per group; empty denominators NULL") {
+    val rows = Seq(
+      // group 0: tp, fp, fn, tn -> tpr 1/2, fpr 1/2, ppr 2/4
+      (0L, true, true), (0L, true, false), (0L, false, true),
+      (0L, false, false),
+      // group 1: all predicted positive, all labeled positive
+      (1L, true, true), (1L, true, true),
+      // group 2: no positives labeled -> tpr NULL
+      (2L, false, false), (2L, true, false)
+    ).toDF("g", "p", "y")
+    val got = evals.fairnessGaps(rows, col("g"), col("p"), col("y"))
+      .orderBy("grp").collect()
+    assert(got.length == 3)
+    val g0 = got(0)
+    assert(g0.getLong(1) == 4L && g0.getLong(2) == 1L && g0.getLong(3) == 1L
+      && g0.getLong(4) == 1L && g0.getLong(5) == 1L)
+    assert(g0.getLong(6) == 500000L && g0.getLong(7) == 500000L
+      && g0.getLong(8) == 500000L)
+    val g1 = got(1)
+    assert(g1.getLong(6) == 1000000L && g1.isNullAt(7)
+      && g1.getLong(8) == 1000000L, s"g1: $g1")
+    val g2 = got(2)
+    assert(g2.isNullAt(6) && g2.getLong(7) == 500000L
+      && g2.getLong(8) == 500000L, s"g2: $g2")
+  }
+
   test("fleissKappa: textbook hand case; fixed-panel contract raises") {
     // unit 1: (a,a,a); unit 2: (a,b,b) with a=0, b=1 and m=3:
     // A = 14-6 = 8, B = 16+4 = 20, T = 6 -> po = 8/12, pe = 20/36,
