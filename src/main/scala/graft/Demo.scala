@@ -635,6 +635,8 @@ object Demo {
       .orderBy(col("doc_id")).show(3)
     graft.ops.evals.chrF(genP, col("doc_id"), col("cand"), col("ref"))
       .orderBy(col("doc_id")).show(3)
+    graft.ops.evals.wer(genP, col("doc_id"), col("cand"), col("ref"))
+      .orderBy(col("doc_id")).show(3)
     val sA = floor(graft.functions.vectors.cosineSimilarity(col("embedding"),
       lit(SparkEntry.Q1.toArray)) * 10000.0 + 0.5).cast("long")
     val sB = floor(graft.functions.vectors.cosineSimilarity(col("embedding"),
@@ -654,6 +656,14 @@ object Demo {
     println(s"  majority-vote accuracy: ${sc.where(col("correct") === 1L).count()}" +
       s" / ${sc.count()} tasks")
     graft.ops.evals.cohenKappa(store.df, col("label"), pmod(sA, lit(10L))).show()
+    graft.ops.evals.krippendorffAlpha(
+      store.df.select(col("vec_id").as("u"),
+        explode(array(col("label"), pmod(sA, lit(10L)))).as("l")),
+      col("u"), col("l")).show()
+    val apRuns = store.df.select(lit(0L).as("qid"), col("vec_id"),
+      (col("label") < 2L).cast("long").as("rel"), sA.as("s"))
+    graft.ops.evals.averagePrecision(apRuns, col("qid"), col("rel"),
+      col("s"), col("vec_id")).show()
     val battles = store.df.select((col("vec_id") % 8L).as("a"),
       expr("(vec_id DIV 8) % 8").as("b"), (sA - sB).as("mg"))
       .where(col("a") =!= col("b") && col("mg") =!= 0L)

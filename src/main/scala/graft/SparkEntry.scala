@@ -3523,6 +3523,14 @@ object SparkEntry {
           col("ref"), maxToks = 32)
         .orderBy(col("doc_id"))),
 
+    // north-star: token-level WER — the edit-distance DP kernel at word
+    // grain (eval_edit is the char meter); capped prefixes, zero
+    // shuffle; the oracle replays the DP via the prefix-min identity.
+    "eval_wer" -> ((s, dir) =>
+      evals.wer(genPairs(s, dir), col("doc_id"), col("cand"),
+          col("ref"), maxToks = 32)
+        .orderBy(col("doc_id"))),
+
     // north-star: segment BLEU-4, surfaced in LOG space (exp() is a
     // libm call whose last ulp is not portable across engines; gate in
     // log space, the lmQualityFilter precedent). Per-n ln terms are
@@ -3696,6 +3704,35 @@ object SparkEntry {
           (hashing.h32(concat(col("vec_id").cast("string"), lit("/fl"),
             col("r").cast("string"))) % 4L).as("lab"))
       evals.fleissKappa(rated, col("vec_id"), col("lab"), m = 3)
+    }),
+
+    // north-star: average precision per query (the MAP building block)
+    // over the eval_ndcg run fixture — per-term ppm quantization makes
+    // the surfaced AP engine-exact; one window per qid, full ranking.
+    "eval_map" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      def run(qid: Long, q: Seq[Double], rel2: Int, rel1: Int) =
+        e.select(lit(qid).as("qid"), col("vec_id"),
+          when(col("label") === rel2, 2L)
+            .when(col("label") === rel1, 1L).otherwise(0L).as("rel"),
+          scoreQ4(col("embedding"), q).as("s"))
+      evals.averagePrecision(run(0L, Q1, 3, 7).unionAll(run(1L, Q2, 5, 1)),
+          col("qid"), col("rel"), col("s"), col("vec_id"))
+        .orderBy(col("qid"))
+    }),
+
+    // north-star: Krippendorff's alpha — variable raters per unit
+    // (1..3 hash-derived ratings; single-rating units drop, exercising
+    // the missing-data path Fleiss' fixed panel can't represent).
+    "eval_krippendorff" -> ((s, dir) => {
+      val rated = table(s, dir, "embeddings")
+        .where(col("vec_id").isNotNull)
+        .select(col("vec_id"),
+          explode(sequence(lit(0L), pmod(col("vec_id"), lit(3L)))).as("r"))
+        .select(col("vec_id"),
+          (hashing.h32(concat(col("vec_id").cast("string"), lit("/kr"),
+            col("r").cast("string"))) % 4L).as("lab"))
+      evals.krippendorffAlpha(rated, col("vec_id"), col("lab"))
     }),
 
     // north-star: Bradley-Terry arena ratings — 8 synthetic models with
@@ -8174,6 +8211,36 @@ object SparkEntry {
          |    (2 * lcs * 1000000) // (m_cand + n_ref) END)::BIGINT AS f_ppm
          |FROM f ORDER BY doc_id""".stripMargin,
 
+    // Token-level WER: the Levenshtein DP replayed as a recursive CTE —
+    // per ref token, the row update splits into vertical/diagonal
+    // candidates then a prefix-min with unit horizontal cost
+    // (D[i][j] = min_{k<=j}(tmp[k] + j - k), exact by the
+    // one-insertion-per-step identity).
+    "eval_wer" ->
+      s"""WITH RECURSIVE t AS ($SqlGenToks),
+         |p AS (SELECT doc_id, list_slice(ct, 1, 32) AS c,
+         |  list_slice(rt, 1, 32) AS r FROM t),
+         |dp AS (
+         |  SELECT doc_id, c, r, 0 AS i,
+         |    list_transform(range(0, len(c) + 1), x -> x::BIGINT) AS dpr
+         |  FROM p
+         |  UNION ALL
+         |  SELECT doc_id, c, r, i + 1,
+         |    list_transform(range(0, len(c) + 1), j ->
+         |      list_min(list_transform(range(0, j + 1), k ->
+         |        (CASE WHEN k = 0 THEN (i + 1)::BIGINT
+         |         ELSE least(dpr[k + 1] + 1, dpr[k] +
+         |           (CASE WHEN c[k] = r[i + 1] THEN 0 ELSE 1 END)::BIGINT)
+         |         END) + (j - k))))
+         |  FROM dp WHERE i < len(r)),
+         |f AS (SELECT doc_id, dpr[len(c) + 1] AS dist,
+         |    len(c)::BIGINT AS m_cand, len(r)::BIGINT AS n_ref
+         |  FROM dp WHERE i = len(r))
+         |SELECT doc_id, dist, m_cand, n_ref,
+         |  (CASE WHEN n_ref > 0 THEN (dist * 1000000) // n_ref
+         |   END)::BIGINT AS wer_ppm
+         |FROM f ORDER BY doc_id""".stripMargin,
+
     // BLEU-4 in log space: per-n clipped precision (add-one smoothing
     // for n >= 2, unsmoothed p1 -> NULL on zero overlap), ln terms
     // quantized to 1e-6 longs per term, exact-rational brevity penalty.
@@ -8669,6 +8736,64 @@ object SparkEntry {
          |  (CASE WHEN d1 > 0 AND t * t - bb > 0 THEN
          |    ((aa * t * t - bb * d1) * 1000000) // (d1 * (t * t - bb))
          |   END)::BIGINT AS kappa_ppm
+         |FROM f""".stripMargin
+    },
+
+    // AP per query: rank + running relevant count in one window pair,
+    // per-term ppm quantization ((relcnt * 1e6) // rk on relevant rows
+    // only — positive DIV), mean by one positive integer division.
+    "eval_map" ->
+      s"""WITH r0 AS (
+         |  SELECT 0::BIGINT AS qid, vec_id,
+         |    (CASE WHEN label = 3 THEN 2 WHEN label = 7 THEN 1 ELSE 0 END)::BIGINT AS rel,
+         |    ${sqlScoreQ4(Q1)} AS s FROM embeddings
+         |  UNION ALL
+         |  SELECT 1::BIGINT, vec_id,
+         |    (CASE WHEN label = 5 THEN 2 WHEN label = 1 THEN 1 ELSE 0 END)::BIGINT,
+         |    ${sqlScoreQ4(Q2)} FROM embeddings),
+         |a AS (SELECT qid, (rel > 0)::BIGINT AS rel,
+         |    row_number() OVER (PARTITION BY qid ORDER BY s DESC, vec_id)
+         |      AS rk,
+         |    sum((rel > 0)::BIGINT) OVER (PARTITION BY qid
+         |      ORDER BY s DESC, vec_id ROWS UNBOUNDED PRECEDING) AS relcnt
+         |  FROM r0),
+         |t AS (SELECT qid, rel,
+         |    CASE WHEN rel = 1 THEN (relcnt * 1000000) // rk ELSE NULL END
+         |      AS term
+         |  FROM a)
+         |SELECT qid, count(*)::BIGINT AS n_cand, sum(rel)::BIGINT AS n_rel,
+         |  coalesce(sum(term), 0)::BIGINT AS ap_ppm_sum,
+         |  (CASE WHEN sum(rel) > 0
+         |    THEN coalesce(sum(term), 0) // sum(rel) END)::BIGINT AS ap_ppm
+         |FROM t GROUP BY qid ORDER BY qid""".stripMargin,
+
+    // Krippendorff alpha (nominal, variable raters): per-unit Do terms
+    // quantized by one positive `//` each, marginals over kept units,
+    // alpha as the final 4-dp float chain.
+    "eval_krippendorff" -> {
+      val h = graft.functions.hashing.sqlH32(
+        "(vec_id::VARCHAR || '/kr' || rr::VARCHAR)")
+      s"""WITH r AS (SELECT vec_id, unnest(range(0, (vec_id % 3) + 1)) AS rr
+         |  FROM embeddings WHERE vec_id IS NOT NULL),
+         |sc AS (SELECT vec_id AS u, ($h) % 4 AS l FROM r),
+         |g AS (SELECT u, l, count(*)::BIGINT AS n FROM sc GROUP BY 1, 2),
+         |un AS (SELECT u, sum(n)::BIGINT AS mu, sum(n * n)::BIGINT AS sq
+         |  FROM g GROUP BY 1 HAVING sum(n) >= 2),
+         |ds AS (SELECT count(*)::BIGINT AS n_units,
+         |    coalesce(sum(mu), 0)::BIGINT AS n_total,
+         |    coalesce(sum(((mu * mu - sq) * 1000000) // (mu - 1)), 0)::BIGINT
+         |      AS do_q6
+         |  FROM un),
+         |de AS (SELECT coalesce(sum(nc * nc), 0)::BIGINT AS sumc2
+         |  FROM (SELECT sum(g.n)::BIGINT AS nc FROM g JOIN un USING (u)
+         |    GROUP BY g.l)),
+         |f AS (SELECT n_units, n_total, do_q6,
+         |    n_total * n_total - sumc2 AS de_num FROM ds, de)
+         |SELECT n_units, n_total, do_q6, de_num,
+         |  (CASE WHEN de_num > 0 AND n_total > 1 THEN
+         |    floor((1.0 - do_q6::DOUBLE * (n_total - 1)::DOUBLE
+         |      / 1000000.0 / de_num::DOUBLE) * 10000.0 + 0.5) / 10000.0
+         |   END)::DOUBLE AS alpha_q4
          |FROM f""".stripMargin
     },
 

@@ -650,6 +650,52 @@ object NativeExprs {
   def lcsRow(cand: Column, ref: Column, maxToks: Int): Column =
     column(LcsRowExpr(expression(cand), expression(ref), maxToks))
 
+  /** Token-level Levenshtein substrate for WER ([[graft.ops.evals.wer]]):
+    * the classic two-row O(m·n) edit-distance dynamic program over
+    * whitespace tokens (tokenized exactly like [[lcsRowOf]] — lowercase,
+    * ASCII-`\s` split, empties dropped; Spark's built-in `levenshtein`
+    * is CHARACTER-level, which double-counts long-token substitutions),
+    * each side capped at its first `maxToks` tokens so per-row cost is a
+    * knob. Returns `(dist, m, n)` with `m`/`n` the CAPPED candidate/
+    * reference token counts — the WER denominator downstream must use
+    * `n`. */
+  def editRowOf(cand: UTF8String, ref: UTF8String, maxToks: Int): InternalRow = {
+    def toks(u: UTF8String): Array[String] = {
+      val all = u.toLowerCase.toString.split("\\s+", -1).filter(_.nonEmpty)
+      if (all.length > maxToks) java.util.Arrays.copyOf(all, maxToks) else all
+    }
+    val c = toks(cand)
+    val r = toks(ref)
+    val m = c.length
+    var prev = new Array[Long](m + 1)
+    var curr = new Array[Long](m + 1)
+    var j = 0
+    while (j <= m) { prev(j) = j.toLong; j += 1 }
+    var i = 0
+    while (i < r.length) {
+      val ri = r(i)
+      curr(0) = i + 1L
+      var k = 1
+      while (k <= m) {
+        val sub = prev(k - 1) + (if (c(k - 1) == ri) 0L else 1L)
+        val del = prev(k) + 1L
+        val ins = curr(k - 1) + 1L
+        var v = if (del < ins) del else ins
+        if (sub < v) v = sub
+        curr(k) = v
+        k += 1
+      }
+      val t = prev; prev = curr; curr = t
+      i += 1
+    }
+    InternalRow(prev(m), m.toLong, r.length.toLong)
+  }
+
+  /** Column: struct(dist, m, n) of the capped token edit distance
+    * (native, see [[editRowOf]]). */
+  def editRow(cand: Column, ref: Column, maxToks: Int): Column =
+    column(EditRowExpr(expression(cand), expression(ref), maxToks))
+
   /** Column: native per-row SimHash (see [[SimHashExpr]]). */
   def simhash(c: Column, bits: Int): Column = column(SimHashExpr(expression(c), bits))
 
@@ -1146,6 +1192,31 @@ case class LcsRowExpr(left: Expression, right: Expression, maxToks: Int)
       s"${ev.value} = graft.functions.NativeExprs.lcsRowOf($l, $r, $maxToks);")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): LcsRowExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** WER substrate (see [[NativeExprs.editRowOf]]): struct(dist, m, n)
+  * of the capped token-level Levenshtein distance — the [[LcsRowExpr]]
+  * shape with the edit-distance recurrence. */
+case class EditRowExpr(left: Expression, right: Expression, maxToks: Int)
+    extends BinaryExpression {
+  require(maxToks >= 1, s"edit_row needs maxToks >= 1, got $maxToks")
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("dist", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("m", LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("n", LongType, nullable = false)))
+  override def prettyName: String = "edit_row"
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    NativeExprs.editRowOf(l.asInstanceOf[UTF8String],
+      r.asInstanceOf[UTF8String], maxToks)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.functions.NativeExprs.editRowOf($l, $r, $maxToks);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): EditRowExpr =
     copy(left = newLeft, right = newRight)
 }
 

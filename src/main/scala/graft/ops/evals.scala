@@ -749,6 +749,37 @@ object evals {
       .withColumn("f_ppm", when(col("m_cand") + col("n_ref") > 0L,
         expr("(2L * lcs * 1000000L) DIV (m_cand + n_ref)")))
 
+  /** Word error rate per pair — TOKEN-level Levenshtein distance over
+    * the reference length, the ASR/transcription-eval standard (and the
+    * token twin of the `eval_edit` character meter: char distance
+    * double-counts a single long-token substitution; WER charges 1).
+    * The DP runs in one compiled per-row kernel
+    * ([[graft.functions.NativeExprs.editRowOf]], the [[rougeL]] kernel
+    * shape) with BOTH sides capped at their first `maxToks` tokens —
+    * per-row cost is `maxToks²` cells by construction, and `m`/`n` in
+    * the readout are the capped counts the rate uses. `wer_ppm =
+    * dist·10⁶ DIV n_ref` (positive DIV; can exceed 10⁶ — WER is not
+    * bounded by 1), NULL when the reference is empty (undefined, not
+    * 0). NULL text = empty document (the corpus NULL contract). Zero
+    * shuffle: scan → project → done.
+    *
+    * Returns `(idCol, dist, m_cand, n_ref, wer_ppm)`. */
+  def wer(
+      df: DataFrame,
+      idCol: Column,
+      candCol: Column,
+      refCol: Column,
+      maxToks: Int = 32): DataFrame =
+    df.select(idCol,
+        graft.functions.NativeExprs.editRow(
+          coalesce(candCol, lit("")), coalesce(refCol, lit("")),
+          maxToks).as("_s"))
+      .select(col(idCol.toString), col("_s").getField("dist").as("dist"),
+        col("_s").getField("m").as("m_cand"),
+        col("_s").getField("n").as("n_ref"))
+      .withColumn("wer_ppm", when(col("n_ref") > 0L,
+        expr("(dist * 1000000L) DIV n_ref")))
+
   /** Sentence/segment BLEU up to `maxN`-grams, surfaced in LOG space:
     * `logbleu = min(0, 1 − ref_len/cand_len) + (1/maxN)·Σₙ ln pₙ` with
     * Lin–Och add-one smoothing on n ≥ 2 (`pₙ = (clipₙ+1)/(totₙ+1)`) and
@@ -1267,6 +1298,122 @@ object evals {
       .select(col("n_units"), col("m"), col("po_ppm"), col("pe_ppm"),
         col("kappa_ppm"))
   }
+
+  /** Average precision per query (the MAP building block) — the one
+    * classic IR aggregate next to [[ndcgAtK]]/[[mrrAtK]]/
+    * [[precisionRecallAtK]]: over the full ranking by (score desc, tie
+    * asc), each RELEVANT row at rank k contributes precision@k, and AP
+    * is their mean over all relevant items. Exact-integer form: each
+    * term quantizes to ppm FIRST (`(relcnt@k · 10⁶) DIV k`, positive
+    * truncating DIV), the per-query sum of terms is an order-free long,
+    * and the mean divides once (`ap_ppm_sum DIV n_rel`, positive) — so
+    * the surfaced AP is engine-exact, the per-term-quantize discipline
+    * of [[loglossBrier]]. Mean the `ap_ppm` column downstream for MAP.
+    *
+    * Plan shape: ONE window per query group — rank and the running
+    * relevant count share the same (partition, order), so Catalyst
+    * plans a single sort + window — then one group-keyed aggregate.
+    * Recall's denominator needs every relevant row, so no group-limit
+    * heap applies (the [[precisionRecallAtK]] full-ranking shape).
+    * Queries with no relevant rows surface NULL `ap_ppm` (undefined,
+    * not 0 — audit-then-drop).
+    *
+    * Returns `(qid, n_cand, n_rel, ap_ppm_sum, ap_ppm)`. */
+  def averagePrecision(
+      runs: DataFrame,
+      qidCol: Column,
+      relCol: Column,
+      scoreCol: Column,
+      tieCol: Column): DataFrame = {
+    val base = runs.select(qidCol.as("qid"),
+      (relCol > 0L).cast("long").as("_rel"), scoreCol.as("_s"),
+      tieCol.as("_tie"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("_s").desc, col("_tie"))
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    base
+      .withColumn("_rk", row_number().over(w))
+      .withColumn("_relcnt", sum(col("_rel")).over(run))
+      .withColumn("_term",
+        when(col("_rel") === 1L, expr("(_relcnt * 1000000L) DIV _rk")))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_cand"), sum(col("_rel")).as("n_rel"),
+        coalesce(sum(col("_term")), lit(0L)).as("ap_ppm_sum"))
+      .withColumn("ap_ppm",
+        when(col("n_rel") > 0L, expr("ap_ppm_sum DIV n_rel")))
+  }
+
+  /** Krippendorff's alpha, nominal data — the agreement coefficient
+    * that tolerates VARIABLE raters per unit and missing ratings (the
+    * gap between [[cohenKappa]]'s two fixed raters and [[fleissKappa]]'s
+    * fixed panel; Krippendorff 2004). From per-(unit, label) counts
+    * `n_uc` with unit totals `m_u` (units with a single rating carry no
+    * pair information and drop — the standard convention, surfaced via
+    * `n_units` vs the caller's unit count):
+    * observed disagreement mass `Do = Σ_u (m_u² − Σ_c n_uc²)/(m_u−1)`,
+    * expected `De = (n² − Σ_c n_c²)/(n−1)` over the coincidence
+    * marginals `n_c = Σ_u n_uc` and total `n = Σ_u m_u`, and
+    * `α = 1 − Do/De = 1 − Do·(n−1)/(n² − Σ n_c²)`.
+    *
+    * Exactness: each unit's Do term quantizes to 1e-6 fixed point
+    * (`((m_u² − Σn_uc²)·10⁶) DIV (m_u−1)` — non-negative integers, one
+    * positive truncating DIV per unit, the [[loglossBrier]] per-term
+    * discipline), marginals and `de_num = n² − Σn_c²` are exact longs,
+    * and alpha is the one final quantized float chain (long→double is
+    * IEEE-deterministic, so the 4-dp result is engine-identical).
+    * `do_q6 ≤ n·10⁶` keeps the sum exact to n ≈ 9·10¹² ratings — no
+    * practical ceiling; `de_num` squares n, so the in-plan guard raises
+    * past [[KrippendorffMaxN]] (the [[spearman]] precedent).
+    *
+    * Plan shape: one (unit, label) hash aggregate (map-side combined —
+    * 100 TB of rating rows cross the wire as one thin grid), cut via
+    * [[ckpt]] so the unit-fold and marginal-fold consumers reread GRID
+    * rows (the [[cohenKappa]] discipline), then two grid-sized folds
+    * broadcast together.
+    *
+    * Returns one row `(n_units, n_total, do_q6, de_num, alpha_q4)`. */
+  def krippendorffAlpha(
+      df: DataFrame,
+      unitCol: Column,
+      labelCol: Column): DataFrame = {
+    val grid = ckpt.cut(df
+      .select(unitCol.cast("long").as("_u"), labelCol.cast("long").as("_l"))
+      .where(col("_u").isNotNull && col("_l").isNotNull)
+      .groupBy(col("_u"), col("_l"))
+      .agg(count(lit(1)).as("_n")))
+    val units = grid.groupBy(col("_u"))
+      .agg(sum(col("_n")).as("_mu"), sum(col("_n") * col("_n")).as("_sq"))
+      .where(col("_mu") >= 2L)
+    val doSide = units.agg(count(lit(1)).as("n_units"),
+      coalesce(sum(col("_mu")), lit(0L)).as("n_total"),
+      coalesce(sum(expr("((_mu * _mu - _sq) * 1000000L) DIV (_mu - 1L)")),
+        lit(0L)).as("do_q6"))
+    // marginals over KEPT units only — a dropped singleton must not
+    // bias the chance model it can't contribute pairs to
+    val deSide = grid.join(units.select(col("_u")), "_u")
+      .groupBy(col("_l")).agg(sum(col("_n")).as("_nc"))
+      .agg(coalesce(sum(col("_nc") * col("_nc")), lit(0L)).as("_sumc2"))
+    doSide.crossJoin(broadcast(deSide))
+      .withColumn("de_num",
+        when(col("n_total") > KrippendorffMaxN,
+          raise_error(format_string(
+            "graft: krippendorffAlpha int64-exactness ceiling exceeded " +
+              s"(n = %s > $KrippendorffMaxN ratings) — de_num = n² would " +
+              "wrap; pre-sample the rating set", col("n_total")))
+            .cast("long"))
+        .otherwise(col("n_total") * col("n_total") - col("_sumc2")))
+      .select(col("n_units"), col("n_total"), col("do_q6"), col("de_num"))
+      .withColumn("alpha_q4",
+        when(col("de_num") > 0L && col("n_total") > 1L,
+          floor((lit(1.0) -
+            col("do_q6").cast("double") * (col("n_total") - 1L).cast("double")
+              / 1.0e6 / col("de_num").cast("double")) * 10000.0 + 0.5)
+            / 10000.0))
+  }
+
+  /** [[krippendorffAlpha]]'s exactness ceiling: `de_num = n² − Σn_c²`
+    * with n total ratings stays in int64 for n ≤ √(2⁶³) ≈ 3.03·10⁶;
+    * 3M leaves margin (the [[KappaMaxN]] bound, same square). */
+  val KrippendorffMaxN: Long = 3000000L
 
   /** [[btRatings]] model-set ceiling — the pair grid squares it. */
   val BtMaxModels: Long = 10000L

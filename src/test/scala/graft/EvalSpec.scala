@@ -576,4 +576,77 @@ class EvalSpec extends SparkSpec {
     // cand "abc" has only n=1..3 grams -> not all 4 orders -> NULL avg
     assert(got(2).isNullAt(1))
   }
+
+  test("wer: hand edit distances, token grain, cap, empty-ref NULL") {
+    val df = Seq(
+      (1L, "The CAT sat", "the cat sat"),   // identity (case-folded)
+      (2L, "the dog sat", "the cat sat"),   // 1 substitution
+      (3L, "the cat", "the big cat"),       // 1 deletion vs ref
+      (4L, "a b c d", "x"),                 // 1 sub + 3 dels -> WER 4.0
+      (5L, "left over", "")                 // empty ref: rate undefined
+    ).toDF("id", "cand", "ref")
+    val got = evals.wer(df, col("id"), col("cand"), col("ref"), maxToks = 32)
+      .orderBy("id").collect()
+    assert(got(0).getLong(1) == 0L && got(0).getLong(4) == 0L)
+    assert(got(1).getLong(1) == 1L && got(1).getLong(4) == 333333L)
+    assert(got(2).getLong(1) == 1L && got(2).getLong(4) == 333333L)
+    assert(got(3).getLong(1) == 4L && got(3).getLong(4) == 4000000L,
+      "WER is not bounded by 1")
+    assert(got(4).getLong(1) == 2L && got(4).getLong(3) == 0L
+      && got(4).isNullAt(4))
+    // the cap truncates BOTH prefixes before the DP: equal 2-prefixes
+    val capped = evals.wer(Seq((1L, "a b c", "a b")).toDF("id", "cand", "ref"),
+      col("id"), col("cand"), col("ref"), maxToks = 2).head()
+    assert(capped.getLong(1) == 0L && capped.getLong(2) == 2L)
+  }
+
+  test("averagePrecision: hand terms, per-term ppm floor, no-rel NULL") {
+    val runs = Seq(
+      (0L, 1L, 10L, 1L), (0L, 0L, 9L, 2L), (0L, 1L, 8L, 3L), (0L, 0L, 7L, 4L),
+      (1L, 0L, 5L, 1L), (1L, 0L, 4L, 2L)).toDF("qid", "rel", "s", "tie")
+    val out = evals.averagePrecision(runs, col("qid"), col("rel"),
+      col("s"), col("tie")).orderBy("qid").collect()
+    // qid 0: relevant at ranks 1 and 3 -> terms 1e6 and (2e6 DIV 3)
+    assert(out(0).getLong(1) == 4L && out(0).getLong(2) == 2L)
+    assert(out(0).getLong(3) == 1000000L + 666666L)
+    assert(out(0).getLong(4) == 833333L)
+    // qid 1: no relevant rows -> sum 0, AP undefined (NULL, not 0)
+    assert(out(1).getLong(2) == 0L && out(1).getLong(3) == 0L
+      && out(1).isNullAt(4))
+  }
+
+  test("averagePrecision: tie column breaks equal scores deterministically") {
+    // equal scores: tie asc puts the relevant row FIRST -> AP 1.0
+    val runs = Seq((0L, 1L, 5L, 1L), (0L, 0L, 5L, 2L)).toDF("qid", "rel", "s", "tie")
+    assert(evals.averagePrecision(runs, col("qid"), col("rel"), col("s"),
+      col("tie")).head().getLong(4) == 1000000L)
+  }
+
+  test("krippendorffAlpha: hand coincidence case; singletons drop; identity 1") {
+    // u1 [a,a] agree, u2 [a,b] disagree, u3 [b,b] agree, u9 [c] dropped:
+    // Do = 2 (q6 2e6), marginals a=3 b=3 -> de_num = 36-18 = 18,
+    // alpha = 1 - 2*5/18 = 0.4444 (coincidence-matrix hand computation)
+    val r = Seq((1L, 0L), (1L, 0L), (2L, 0L), (2L, 1L), (3L, 1L), (3L, 1L),
+      (9L, 2L)).toDF("u", "l")
+    val Row(nu: Long, nt: Long, doq: Long, de: Long, a: Double) =
+      evals.krippendorffAlpha(r, col("u"), col("l")).head()
+    assert(nu == 3L && nt == 6L, "singleton unit must drop")
+    assert(doq == 2000000L && de == 18L)
+    assert(a == 0.4444)
+    val perfect = Seq((1L, 0L), (1L, 0L), (2L, 1L), (2L, 1L)).toDF("u", "l")
+    assert(evals.krippendorffAlpha(perfect, col("u"), col("l"))
+      .head().getDouble(4) == 1.0)
+  }
+
+  test("krippendorffAlpha: variable panel sizes weight by 1/(m-1) exactly") {
+    // u1 has 3 ratings [a,a,b]: (9 - 5) * 1e6 DIV 2 = 2e6;
+    // u2 has 2 ratings [a,b]: (4 - 2) * 1e6 DIV 1 = 2e6
+    val r = Seq((1L, 0L), (1L, 0L), (1L, 1L), (2L, 0L), (2L, 1L)).toDF("u", "l")
+    val row = evals.krippendorffAlpha(r, col("u"), col("l")).head()
+    assert(row.getLong(2) == 4000000L, s"do_q6 = ${row.getLong(2)}")
+    // marginals a=3 b=2 over n=5 -> de_num = 25 - 13 = 12
+    assert(row.getLong(3) == 12L)
+    // alpha = 1 - 4*4/12 = -1/3 -> floor(-3333.33 + 0.5)/1e4 = -0.3333
+    assert(row.getDouble(4) == -0.3333)
+  }
 }
