@@ -755,6 +755,28 @@ object ScaleRehearsal {
       .select(col("doc_id"), levenshtein(
         regexp_replace(col("cand"), "[^ -~]", ""),
         regexp_replace(col("ref"), "[^ -~]", "")).as("dist")))
+    // token-WER and ROUGE-L: capped 32² DP cells per row — per-pair cost
+    // a constant, wall linear in pairs, zero shuffle
+    run("gen_wer", countRows = false)(evals.wer(
+      genPairs, col("doc_id"), col("cand"), col("ref"), maxToks = 32))
+    run("gen_rouge_l", countRows = false)(evals.rougeL(
+      genPairs, col("doc_id"), col("cand"), col("ref"), maxToks = 32))
+    // AP: one window per qid over the full candidate ranking — the
+    // window sort is the cost and it shuffles once on qid
+    run("gen_map", countRows = false)(evals.averagePrecision(
+      emb.select(pmod(col("vec_id"), lit(2L)).as("qid"), col("vec_id"),
+        (col("label") < 2L).cast("long").as("rel"),
+        floor(graft.functions.vectors.cosineSimilarity(col("embedding"),
+          lit(SparkEntry.Q1.toArray)) * 10000.0 + 0.5).cast("long").as("s")),
+      col("qid"), col("rel"), col("s"), col("vec_id")))
+    // Krippendorff: one (unit, label) aggregate to a thin grid, two
+    // grid folds — shuffle mass tracks UNITS, never ratings
+    run("gen_krippendorff")(evals.krippendorffAlpha(
+      emb.select(col("vec_id").as("u"),
+        explode(array(col("label").cast("long"),
+          pmod(col("vec_id") * 2654435761L, lit(4L)),
+          pmod(col("vec_id") * 40503L, lit(4L)))).as("l")),
+      col("u"), col("l")))
     // calibration / rank agreement: grid-bounded aggregates — walls
     // must stay flat-ish (the row volume only feeds hash aggregates)
     run("gen_ece", countRows = false)(evals.ece(emb,
