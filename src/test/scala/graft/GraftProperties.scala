@@ -639,6 +639,58 @@ object GraftProperties extends Properties("graft") {
         got.forall(_.getDouble(3) >= 0.0)
     }
 
+  property("editRowOf: metric laws — identity 0, symmetry, length bounds") =
+    forAll(Gen.zip(
+      Gen.listOfN(6, Gen.oneOf("a", "b", "c", "ab")),
+      Gen.listOfN(4, Gen.oneOf("a", "b", "c", "ab")))) { case (xs, ys) =>
+      import org.apache.spark.unsafe.types.UTF8String
+      def u(ws: Seq[String]) = UTF8String.fromString(ws.mkString(" "))
+      val d = graft.functions.NativeExprs.editRowOf(u(xs), u(ys), 32)
+      val dRev = graft.functions.NativeExprs.editRowOf(u(ys), u(xs), 32)
+      val self = graft.functions.NativeExprs.editRowOf(u(xs), u(xs), 32)
+      val (dist, m, n) = (d.getLong(0), d.getLong(1), d.getLong(2))
+      self.getLong(0) == 0L &&                      // d(x,x) = 0
+        dist == dRev.getLong(0) &&                  // symmetry
+        dist >= math.abs(m - n) &&                  // length gap lower bound
+        dist <= math.max(m, n)                      // replace-all upper bound
+    }
+
+  property("averagePrecision: ap_ppm in [0, 1e6]; perfect ranking scores 1e6") =
+    forAll(Gen.chooseNum(1, 8).flatMap(k => Gen.zip(Gen.const(k),
+      Gen.listOfN(8, Gen.oneOf(0L, 1L))))) { case (k, rels) =>
+      val someRel = rels.exists(_ == 1L)
+      // scores descend with position; rels arbitrary -> AP in range
+      val runs = rels.zipWithIndex
+        .map { case (r, i) => (0L, r, 100L - i, i.toLong) }
+        .toDF("qid", "rel", "s", "tie")
+      val row = graft.ops.evals.averagePrecision(runs, col("qid"),
+        col("rel"), col("s"), col("tie")).head()
+      val apOk = if (someRel)
+        row.getLong(4) >= 0L && row.getLong(4) <= 1000000L
+      else row.isNullAt(4)
+      // perfect ranking: all relevant first -> every term is exactly 1e6
+      val sorted = rels.sortBy(-_).zipWithIndex
+        .map { case (r, i) => (0L, r, 100L - i, i.toLong) }
+        .toDF("qid", "rel", "s", "tie")
+      val p = graft.ops.evals.averagePrecision(sorted, col("qid"),
+        col("rel"), col("s"), col("tie")).head()
+      apOk && (!someRel || p.getLong(4) == 1000000L)
+    }
+
+  property("krippendorffAlpha: unanimous panels score 1.0 for ANY unit layout") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 5L),
+      Gen.chooseNum(0L, 3L)))) { units =>
+      // every unit rated twice with one label -> Do = 0 -> alpha = 1,
+      // unless ALL ratings share one label (de_num = 0 -> NULL);
+      // dedupe unit keys first (a re-drawn unit would mix labels)
+      val rows = units.toMap.toSeq.flatMap { case (u, l) => Seq((u, l), (u, l)) }
+      val row = graft.ops.evals.krippendorffAlpha(rows.toDF("u", "l"),
+        col("u"), col("l")).head()
+      val oneLabel = rows.map(_._2).distinct.length == 1
+      row.getLong(2) == 0L &&
+        (if (oneLabel) row.isNullAt(4) else row.getDouble(4) == 1.0)
+    }
+
   property("vocabGrowth: curves end at exact corpus totals for ANY id layout") =
     forAll(Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n,
       Gen.zip(Gen.chooseNum(0L, 100L),

@@ -62,6 +62,26 @@ class PlanQualitySpec extends SparkSpec {
       "eval_rouge_l should shuffle at most once (output sort)")
     assert(rl.contains("lcs_row") && !rl.contains("Join"),
       "eval_rouge_l must ride the fused LCS kernel, no join")
+    // WER rides the compiled edit-distance kernel: same contract
+    val wr = plan("eval_wer")
+    assert("Exchange".r.findAllIn(wr).length <= 1,
+      "eval_wer should shuffle at most once (output sort)")
+    assert(wr.contains("edit_row") && !wr.contains("Join"),
+      "eval_wer must ride the fused edit kernel, no join")
+    // AP: ONE qid-keyed exchange feeds both the rank and the running
+    // count (shared window frame), then the group aggregate reuses it —
+    // plus the presentation orderBy; never a join
+    val ap = plan("eval_map")
+    assert(!ap.contains("Join"), "eval_map must not join")
+    assert("Window".r.findAllIn(ap).length == 1,
+      "rank and running count must share ONE window")
+    // Krippendorff: grid folds only — no window; the one join is the
+    // broadcast of the 1-row De side onto the 1-row Do side
+    val ka = plan("eval_krippendorff")
+    assert(!ka.contains("Window"), "eval_krippendorff shape")
+    assert(ka.contains("BroadcastNestedLoopJoin")
+      || ka.contains("BroadcastExchange"),
+      "the De side must broadcast")
   }
 
   test("drift meters: grid-bounded joins broadcast; kendall pairs cells, not rows") {
