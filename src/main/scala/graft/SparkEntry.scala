@@ -3721,6 +3721,17 @@ object SparkEntry {
         .orderBy(col("qid"))
     }),
 
+    // north-star: Adjusted Rand Index — cluster agreement between the
+    // data label and a 20%-perturbed copy; pair-counting contingency
+    // sums in exact longs, chance correction in DECIMAL(38), ppm by
+    // the pmod floor identity (ARI can be negative).
+    "eval_ari" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings").where(col("label").isNotNull)
+      evals.adjustedRand(e, col("label"),
+        pmod(col("label") + when(col("vec_id") % 5L === 0L, 1L)
+          .otherwise(0L), lit(10L)))
+    }),
+
     // north-star: Krippendorff's alpha — variable raters per unit
     // (1..3 hash-derived ratings; single-rating units drop, exercising
     // the missing-data path Fleiss' fixed panel can't represent).
@@ -8766,6 +8777,28 @@ object SparkEntry {
          |  (CASE WHEN sum(rel) > 0
          |    THEN coalesce(sum(term), 0) // sum(rel) END)::BIGINT AS ap_ppm
          |FROM t GROUP BY qid ORDER BY qid""".stripMargin,
+
+    // ARI: contingency comb sums as exact BIGINTs, the cleared-fraction
+    // form in HUGEINT (Spark DECIMAL(38) twin), floor-division ppm.
+    "eval_ari" ->
+      s"""WITH r AS (SELECT label AS a,
+         |    (label + (CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END)) % 10 AS b
+         |  FROM embeddings WHERE label IS NOT NULL),
+         |g AS (SELECT a, b, count(*)::BIGINT AS n FROM r GROUP BY 1, 2),
+         |c AS (SELECT sum(n)::BIGINT AS n,
+         |    coalesce(sum((n * (n - 1)) // 2), 0)::BIGINT AS s_ij FROM g),
+         |ma AS (SELECT coalesce(sum((m * (m - 1)) // 2), 0)::BIGINT AS s_a
+         |  FROM (SELECT sum(n)::BIGINT AS m FROM g GROUP BY a)),
+         |mb AS (SELECT coalesce(sum((m * (m - 1)) // 2), 0)::BIGINT AS s_b
+         |  FROM (SELECT sum(n)::BIGINT AS m FROM g GROUP BY b)),
+         |f AS (SELECT n, s_ij, s_a, s_b,
+         |    ((n * (n - 1)) // 2)::HUGEINT AS cc FROM c, ma, mb)
+         |SELECT n, s_ij, s_a, s_b,
+         |  (CASE WHEN cc * (s_a + s_b) - 2 * s_a::HUGEINT * s_b <> 0 THEN
+         |    ((2 * cc * s_ij - 2 * s_a::HUGEINT * s_b) * 1000000)
+         |      // (cc * (s_a + s_b) - 2 * s_a::HUGEINT * s_b)
+         |   END)::BIGINT AS ari_ppm
+         |FROM f""".stripMargin,
 
     // Krippendorff alpha (nominal, variable raters): per-unit Do terms
     // quantized by one positive `//` each, marginals over kept units,

@@ -1415,6 +1415,77 @@ object evals {
     * 3M leaves margin (the [[KappaMaxN]] bound, same square). */
   val KrippendorffMaxN: Long = 3000000L
 
+  /** [[adjustedRand]]'s DECIMAL(38,0) ceiling: the ppm-scaled cross
+    * term `2·C·S·10⁶ ≲ n⁴·10⁶` stays inside 10³⁸ (and DuckDB HUGEINT)
+    * for n ≤ 10⁸ rows — a LABELED eval set, not a corpus; pre-sample
+    * ([[spearman]] guidance). */
+  val AriMaxN: Long = 100000000L
+
+  /** Adjusted Rand Index (Hubert & Arabie 1985) between two labelings —
+    * the cluster-agreement meter for comparing a clustering
+    * ([[graft.ops.linalg.kmeansFit]], [[graft.ops.graph.labelPropagation]],
+    * [[graft.ops.dedup.nearDupClusters]]) against gold labels or another
+    * run: the pair-counting Rand index, chance-corrected so random
+    * agreement scores 0 (kappa's correction applied to pairs instead of
+    * items). All-integer: from contingency counts `n_ij` with marginals
+    * `a_i`, `b_j` and `comb(x) = x(x−1)/2`,
+    * `ARI = (S_ij − S_a·S_b/C) / ((S_a+S_b)/2 − S_a·S_b/C)` with
+    * `C = comb(n)` — cleared of denominators to
+    * `(2·C·S_ij − 2·S_a·S_b) / (C·(S_a+S_b) − 2·S_a·S_b)`, every term
+    * exact in DECIMAL(38,0) under [[AriMaxN]] (ENFORCED in-plan, the
+    * [[fleissKappa]] widening), surfaced as ppm via the pmod
+    * floor-division identity (ARI is NEGATIVE for worse-than-chance
+    * splits — the [[cohenKappa]] portability discipline).
+    *
+    * Plan shape: one hash aggregate to the (a, b) contingency grid
+    * (bounded by the label-domain product, map-side combined — 100 TB
+    * of labeled rows cross the wire as one thin grid), cut via [[ckpt]]
+    * so the cell/marginal folds reread GRID rows, then three grid-sized
+    * folds broadcast together. Degenerate partitions (everything in one
+    * cluster on both sides → den = 0) surface NULL, not 0.
+    *
+    * Returns one row `(n, s_ij, s_a, s_b, ari_ppm)` — the comb sums as
+    * exact longs. */
+  def adjustedRand(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val grid = ckpt.cut(df
+      .select(aCol.cast("long").as("_a"), bCol.cast("long").as("_b"))
+      .where(col("_a").isNotNull && col("_b").isNotNull)
+      .groupBy(col("_a"), col("_b"))
+      .agg(count(lit(1)).as("_n")))
+    // c(c−1) is even, so the halving is an exact long shift — a float
+    // `/2` would lose bits past 2⁵³ on corpus-scale marginals
+    def comb(c: Column): Column = shiftright(c * (c - 1L), 1)
+    val cells = grid.agg(sum(col("_n")).as("n"),
+      coalesce(sum(comb(col("_n"))), lit(0L)).as("s_ij"))
+    def marg(k: String, as: String) = grid.groupBy(col(k))
+      .agg(sum(col("_n")).as("_m"))
+      .agg(coalesce(sum(comb(col("_m"))), lit(0L)).as(as))
+    cells
+      .crossJoin(broadcast(marg("_a", "s_a")))
+      .crossJoin(broadcast(marg("_b", "s_b")))
+      .withColumn("_guard",
+        when(col("n") > AriMaxN,
+          raise_error(format_string(
+            "graft: adjustedRand decimal ceiling exceeded (n = %s > " +
+              s"$AriMaxN rows) — the 2·C·S cross term would wrap; " +
+              "pre-sample the labeled set", col("n"))).cast("long"))
+        .otherwise(lit(0L)))
+      .select(col("n"), (col("s_ij") + col("_guard")).as("s_ij"),
+        col("s_a"), col("s_b"),
+        expr("""CASE WHEN
+            CAST((n * (n - 1)) DIV 2 AS DECIMAL(38,0)) * (s_a + s_b)
+              - 2 * CAST(s_a AS DECIMAL(38,0)) * s_b <> 0
+          THEN CAST(((2 * CAST((n * (n - 1)) DIV 2 AS DECIMAL(38,0)) * s_ij
+              - 2 * CAST(s_a AS DECIMAL(38,0)) * s_b) * 1000000
+            - pmod((2 * CAST((n * (n - 1)) DIV 2 AS DECIMAL(38,0)) * s_ij
+              - 2 * CAST(s_a AS DECIMAL(38,0)) * s_b) * 1000000,
+              CAST((n * (n - 1)) DIV 2 AS DECIMAL(38,0)) * (s_a + s_b)
+              - 2 * CAST(s_a AS DECIMAL(38,0)) * s_b))
+            DIV (CAST((n * (n - 1)) DIV 2 AS DECIMAL(38,0)) * (s_a + s_b)
+              - 2 * CAST(s_a AS DECIMAL(38,0)) * s_b) AS LONG)
+          END""").as("ari_ppm"))
+  }
+
   /** [[btRatings]] model-set ceiling — the pair grid squares it. */
   val BtMaxModels: Long = 10000L
 

@@ -622,6 +622,26 @@ class EvalSpec extends SparkSpec {
       col("tie")).head().getLong(4) == 1000000L)
   }
 
+  test("adjustedRand: relabel-invariant 1, chance 0, hand negative case") {
+    // permuted labels are a perfect clustering match -> ARI exactly 1
+    val perfect = Seq((0L, 1L), (0L, 1L), (1L, 0L), (1L, 0L)).toDF("a", "b")
+    assert(evals.adjustedRand(perfect, col("a"), col("b"))
+      .head().getLong(4) == 1000000L)
+    // one side constant -> numerator cancels exactly -> ARI 0
+    val const = Seq((0L, 9L), (0L, 9L), (1L, 9L), (2L, 9L)).toDF("a", "b")
+    assert(evals.adjustedRand(const, col("a"), col("b"))
+      .head().getLong(4) == 0L)
+    // crossed 2x2 design: S_ij=0, S_a=S_b=2, C=6 -> ARI = -1/2 (floors
+    // portably on the negative branch)
+    val crossed = Seq((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L)).toDF("a", "b")
+    val r = evals.adjustedRand(crossed, col("a"), col("b")).head()
+    assert(r.getLong(1) == 0L && r.getLong(2) == 2L && r.getLong(3) == 2L)
+    assert(r.getLong(4) == -500000L)
+    // degenerate: both sides one cluster -> den 0 -> NULL, not 0
+    val degen = Seq((0L, 0L), (0L, 0L)).toDF("a", "b")
+    assert(evals.adjustedRand(degen, col("a"), col("b")).head().isNullAt(4))
+  }
+
   test("krippendorffAlpha: hand coincidence case; singletons drop; identity 1") {
     // u1 [a,a] agree, u2 [a,b] disagree, u3 [b,b] agree, u9 [c] dropped:
     // Do = 2 (q6 2e6), marginals a=3 b=3 -> de_num = 36-18 = 18,
