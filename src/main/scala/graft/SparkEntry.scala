@@ -3732,6 +3732,28 @@ object SparkEntry {
           .otherwise(0L), lit(10L)))
     }),
 
+    // north-star: V-measure (homogeneity/completeness) — the entropy
+    // twin of eval_ari over the same perturbed-labeling fixture,
+    // composed from mutualInfo's quantized sums: h = MI/H(a),
+    // c = MI/H(b), v = 2·MI/(H(a)+H(b)) (the harmonic-mean identity).
+    // Ratios of identically-rounded doubles re-quantize identically on
+    // both engines.
+    "eval_vmeasure" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings").where(col("label").isNotNull)
+      def q6(c: Column) = graft.functions.vectors.quantize(c, 6)
+      rel.mutualInfo(e, col("label"),
+          pmod(col("label") + when(col("vec_id") % 5L === 0L, 1L)
+            .otherwise(0L), lit(10L)))
+        .select(col("n"),
+          when(col("h_a") > 0.0, q6(col("mi") / col("h_a")))
+            .as("homogeneity"),
+          when(col("h_b") > 0.0, q6(col("mi") / col("h_b")))
+            .as("completeness"),
+          when(col("h_a") + col("h_b") > 0.0,
+            q6(lit(2.0) * col("mi") / (col("h_a") + col("h_b"))))
+            .as("v_measure"))
+    }),
+
     // north-star: Krippendorff's alpha — variable raters per unit
     // (1..3 hash-derived ratings; single-rating units drop, exercising
     // the missing-data path Fleiss' fixed panel can't represent).
@@ -8799,6 +8821,42 @@ object SparkEntry {
          |      // (cc * (s_a + s_b) - 2 * s_a::HUGEINT * s_b)
          |   END)::BIGINT AS ari_ppm
          |FROM f""".stripMargin,
+
+    // V-measure: the mutualInfo CTE chain on the perturbed-labeling
+    // fixture, finishing with ratio-of-rounded-doubles re-quantization
+    // (identical operand doubles -> identical results cross-engine).
+    "eval_vmeasure" ->
+      """WITH b AS (SELECT label AS a,
+        |    (label + (CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END)) % 10 AS bb
+        |  FROM embeddings WHERE label IS NOT NULL),
+        |g AS (SELECT a, bb, count(*)::BIGINT AS nij FROM b GROUP BY 1, 2),
+        |na AS (SELECT a, sum(nij)::BIGINT AS na FROM g GROUP BY 1),
+        |nb AS (SELECT bb, sum(nij)::BIGINT AS nb FROM g GROUP BY 1),
+        |t AS (SELECT sum(nij)::BIGINT AS n FROM g),
+        |mi AS (SELECT sum(floor((g.nij::DOUBLE / t.n)
+        |    * ln((g.nij::DOUBLE * t.n) / (na.na::DOUBLE * nb.nb))
+        |    * 1e12))::BIGINT AS smi
+        |  FROM g JOIN na ON g.a = na.a JOIN nb ON g.bb = nb.bb CROSS JOIN t),
+        |ha AS (SELECT sum(floor((na::DOUBLE / t.n)
+        |    * ln(t.n::DOUBLE / na) * 1e12))::BIGINT AS sha
+        |  FROM na CROSS JOIN t),
+        |hb AS (SELECT sum(floor((nb::DOUBLE / t.n)
+        |    * ln(t.n::DOUBLE / nb) * 1e12))::BIGINT AS shb
+        |  FROM nb CROSS JOIN t),
+        |r AS (SELECT n,
+        |    floor(sha::DOUBLE / 1e12 * 1000000.0 + 0.5) / 1000000.0 AS h_a,
+        |    floor(shb::DOUBLE / 1e12 * 1000000.0 + 0.5) / 1000000.0 AS h_b,
+        |    floor(smi::DOUBLE / 1e12 * 1000000.0 + 0.5) / 1000000.0 AS mi
+        |  FROM t, mi, ha, hb)
+        |SELECT n,
+        |  CASE WHEN h_a > 0 THEN
+        |    floor(mi / h_a * 1000000.0 + 0.5) / 1000000.0 END AS homogeneity,
+        |  CASE WHEN h_b > 0 THEN
+        |    floor(mi / h_b * 1000000.0 + 0.5) / 1000000.0 END AS completeness,
+        |  CASE WHEN h_a + h_b > 0 THEN
+        |    floor(2.0 * mi / (h_a + h_b) * 1000000.0 + 0.5) / 1000000.0
+        |  END AS v_measure
+        |FROM r""".stripMargin,
 
     // Krippendorff alpha (nominal, variable raters): per-unit Do terms
     // quantized by one positive `//` each, marginals over kept units,
