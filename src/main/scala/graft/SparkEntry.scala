@@ -3732,6 +3732,21 @@ object SparkEntry {
           .otherwise(0L), lit(10L)))
     }),
 
+    // north-star: rank-biased overlap — top-weighted agreement between
+    // the Q1 and Q2 rankings per label-parity query; a doc's whole
+    // contribution is the literal suffix-sum at max(ra, rb), so the
+    // score is one exact long sum after a thin top-20 join.
+    "eval_rbo" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+        .where(col("embedding").isNotNull && col("label").isNotNull)
+        .select(pmod(col("label"), lit(2L)).as("qid"), col("vec_id"),
+          scoreQ4(col("embedding"), Q1).as("sa"),
+          scoreQ4(col("embedding"), Q2).as("sb"))
+      evals.rboAtD(e, col("qid"), col("vec_id"), col("sa"), col("sb"),
+          pPpm = 900000L, depth = 20)
+        .orderBy(col("qid"))
+    }),
+
     // north-star: V-measure (homogeneity/completeness) — the entropy
     // twin of eval_ari over the same perturbed-labeling fixture,
     // composed from mutualInfo's quantized sums: h = MI/H(a),
@@ -8821,6 +8836,28 @@ object SparkEntry {
          |      // (cc * (s_a + s_b) - 2 * s_a::HUGEINT * s_b)
          |   END)::BIGINT AS ari_ppm
          |FROM f""".stripMargin,
+
+    // RBO: the shared driver-literal suffix-sum table, two ranked CTEs,
+    // one (qid, doc) join, one exact long sum per query.
+    "eval_rbo" -> {
+      val w = evals.rboWeights(900000L, 20).zipWithIndex
+        .map { case (wt, i) => s"(${i + 1}, ${wt})" }.mkString(", ")
+      s"""WITH w AS (SELECT * FROM (VALUES $w) v(m, wt)),
+         |r AS (SELECT label % 2 AS qid, vec_id AS doc,
+         |    ${sqlScoreQ4(Q1)} AS sa, ${sqlScoreQ4(Q2)} AS sb
+         |  FROM embeddings
+         |  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+         |a AS (SELECT qid, doc, row_number() OVER (PARTITION BY qid
+         |    ORDER BY sa DESC, doc) AS ra FROM r),
+         |b AS (SELECT qid, doc, row_number() OVER (PARTITION BY qid
+         |    ORDER BY sb DESC, doc) AS rb FROM r),
+         |j AS (SELECT a.qid, greatest(ra, rb) AS m
+         |  FROM a JOIN b ON a.qid = b.qid AND a.doc = b.doc
+         |  WHERE ra <= 20 AND rb <= 20)
+         |SELECT qid, count(*)::BIGINT AS n_common,
+         |  sum(wt)::BIGINT AS rbo_q9
+         |FROM j JOIN w USING (m) GROUP BY qid ORDER BY qid""".stripMargin
+    },
 
     // V-measure: the mutualInfo CTE chain on the perturbed-labeling
     // fixture, finishing with ratio-of-rounded-doubles re-quantization

@@ -1415,6 +1415,69 @@ object evals {
     * 3M leaves margin (the [[KappaMaxN]] bound, same square). */
   val KrippendorffMaxN: Long = 3000000L
 
+  /** Integer weight table for [[rboAtD]]: `S(m) = Σ_{d=m..D}
+    * (1−p)·p^(d−1)/d` quantized to 1e-9 fixed point, computed ONCE on
+    * the driver so the Spark plan and any oracle share the SAME literal
+    * longs (the [[ndcgDiscounts]] discipline — no engine-side
+    * transcendental). `S(1)` is the maximum attainable truncated RBO
+    * mass: a doc agreed at depth m contributes exactly `S(m)`. */
+  def rboWeights(pPpm: Long, depth: Int): Seq[Long] = {
+    require(pPpm > 0 && pPpm < 1000000L,
+      s"graft: rboWeights needs 0 < pPpm < 1e6, got $pPpm")
+    require(depth >= 1 && depth <= 1000,
+      s"graft: rboWeights needs 1 <= depth <= 1000, got $depth")
+    val p = pPpm / 1.0e6
+    val terms = (1 to depth).map(d => (1 - p) * math.pow(p, d - 1) / d)
+    terms.scanRight(0.0)(_ + _).init.map(s => math.floor(s * 1.0e9).toLong)
+  }
+
+  /** Rank-biased overlap at depth D (Webber, Moffat & Zobel 2010) —
+    * top-weighted agreement between TWO RANKINGS of the same candidate
+    * set per query (two retrieval runs, yesterday's index vs today's):
+    * `RBO = (1−p) Σ_d p^(d−1)·|A_d ∩ B_d|/d`, truncated at `depth`
+    * (the standard RBO@D, residual ignored). The [[kendallTau]] twin
+    * for RANKINGS: tau weights all pairs equally, RBO geometrically
+    * discounts depth — disagreement at rank 50 barely matters, at rank
+    * 1 it dominates.
+    *
+    * Exact by restructuring: a doc at ranks (ra, rb) sits in every
+    * intersection from depth `max(ra, rb)` down, so its total
+    * contribution is the SUFFIX SUM `S(max(ra,rb))` — a driver-literal
+    * integer table ([[rboWeights]]), making the per-query score one
+    * order-free long sum (`rbo_q9 DIV 1` semantics; divide by `S(1)`
+    * downstream for the [0,1] normalized form if desired).
+    *
+    * Plan shape: two rank-filter windows (`row_number ≤ depth`, which
+    * InferWindowGroupLimit turns into bounded per-group heaps BEFORE
+    * the shuffle — only ~depth rows per qid per task cross the wire),
+    * ONE (qid, doc) equi-join of the two thin top-D sets, one
+    * group-keyed sum. Ties break on the doc column (deterministic).
+    *
+    * Returns `(qid, n_common, rbo_q9)` — q9 = 1e-9-quantized mass. */
+  def rboAtD(
+      runs: DataFrame,
+      qidCol: Column,
+      docCol: Column,
+      scoreACol: Column,
+      scoreBCol: Column,
+      pPpm: Long = 900000L,
+      depth: Int = 20): DataFrame = {
+    val weights = rboWeights(pPpm, depth)
+    val base = runs.select(qidCol.as("qid"), docCol.as("_doc"),
+      scoreACol.as("_sa"), scoreBCol.as("_sb"))
+    def topD(s: String, as: String): DataFrame = {
+      val w = Window.partitionBy(col("qid")).orderBy(col(s).desc, col("_doc"))
+      base.withColumn(as, row_number().over(w)).where(col(as) <= depth)
+        .select(col("qid"), col("_doc"), col(as))
+    }
+    topD("_sa", "_ra").join(topD("_sb", "_rb"), Seq("qid", "_doc"))
+      .select(col("qid"),
+        element_at(lit(weights.toArray), greatest(col("_ra"), col("_rb")))
+          .as("_w"))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_common"), sum(col("_w")).as("rbo_q9"))
+  }
+
   /** [[adjustedRand]]'s DECIMAL(38,0) ceiling: the ppm-scaled cross
     * term `2·C·S·10⁶ ≲ n⁴·10⁶` stays inside 10³⁸ (and DuckDB HUGEINT)
     * for n ≤ 10⁸ rows — a LABELED eval set, not a corpus; pre-sample

@@ -622,6 +622,26 @@ class EvalSpec extends SparkSpec {
       col("tie")).head().getLong(4) == 1000000L)
   }
 
+  test("rboAtD: identical ranking = 1-p^D, reversal pays the tail weight") {
+    // p=0.5, depth=2: S(1)=0.625e9, S(2)=0.125e9 (exact in q9)
+    assert(evals.rboWeights(500000L, 2) == Seq(625000000L, 125000000L))
+    val runs = Seq(
+      (0L, 1L, 9L, 9L), (0L, 2L, 8L, 8L),  // qid 0: identical rankings
+      (1L, 1L, 9L, 1L), (1L, 2L, 8L, 2L)   // qid 1: reversed
+    ).toDF("qid", "doc", "sa", "sb")
+    val got = evals.rboAtD(runs, col("qid"), col("doc"), col("sa"),
+      col("sb"), pPpm = 500000L, depth = 2).orderBy("qid").collect()
+    // identical: S(1)+S(2) = 0.75e9 = 1 - p^D exactly
+    assert(got(0).getLong(1) == 2L && got(0).getLong(2) == 750000000L)
+    // reversed: both docs agree only at depth 2 -> 2*S(2)
+    assert(got(1).getLong(1) == 2L && got(1).getLong(2) == 250000000L)
+    // disjoint top-D surfaces NO row for the qid (audit-then-drop)
+    val disjoint = Seq((0L, 1L, 9L, 1L), (0L, 2L, 1L, 9L))
+      .toDF("qid", "doc", "sa", "sb")
+    assert(evals.rboAtD(disjoint, col("qid"), col("doc"), col("sa"),
+      col("sb"), pPpm = 500000L, depth = 1).count() == 0L)
+  }
+
   test("adjustedRand: relabel-invariant 1, chance 0, hand negative case") {
     // permuted labels are a perfect clustering match -> ARI exactly 1
     val perfect = Seq((0L, 1L), (0L, 1L), (1L, 0L), (1L, 0L)).toDF("a", "b")
