@@ -664,6 +664,13 @@ object Demo {
       (col("label") < 2L).cast("long").as("rel"), sA.as("s"))
     graft.ops.evals.averagePrecision(apRuns, col("qid"), col("rel"),
       col("s"), col("vec_id")).show()
+    graft.ops.evals.adjustedRand(store.df, col("label"),
+      pmod(col("label") + (col("vec_id") % 5L === 0L).cast("long"),
+        lit(10L))).show()
+    graft.ops.evals.rboAtD(
+      store.df.select(pmod(col("label"), lit(2L)).as("qid"), col("vec_id"),
+        sA.as("sa"), sB.as("sb")),
+      col("qid"), col("vec_id"), col("sa"), col("sb")).show()
     val battles = store.df.select((col("vec_id") % 8L).as("a"),
       expr("(vec_id DIV 8) % 8").as("b"), (sA - sB).as("mg"))
       .where(col("a") =!= col("b") && col("mg") =!= 0L)
