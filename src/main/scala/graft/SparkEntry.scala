@@ -3589,6 +3589,14 @@ object SparkEntry {
         (scoreQ4(col("embedding"), Q1) + lit(10000L)) * lit(50L),
         col("label") < 5, bins = 10)),
 
+    // north-star: Murphy decomposition of the Brier score — REL/RES/UNC
+    // from the same reliability grid, quantized-estimator form in
+    // DECIMAL(38); the why-is-my-Brier-bad companion to eval_ece.
+    "eval_brier_decomp" -> ((s, dir) =>
+      evals.brierDecomp(table(s, dir, "embeddings"),
+        (scoreQ4(col("embedding"), Q1) + lit(10000L)) * lit(50L),
+        col("label") < 5, bins = 10)),
+
     // north-star: exact Spearman rank agreement between two scorers
     // (Q1 vs Q2 cosine) — doubled mid-ranks from bounded value grids,
     // one IEEE sqrt chain for rho.
@@ -8420,6 +8428,29 @@ object SparkEntry {
          |  (sum(gap_abs) // sum(n))::BIGINT AS ece_ppm,
          |  max(gap_abs // n)::BIGINT AS mce_ppm
          |FROM g""".stripMargin,
+
+    // Murphy decomposition off the same grid: truncated per-bin ppm
+    // quotients, HUGEINT weighted squared gaps, one DIV by N each.
+    "eval_brier_decomp" ->
+      s"""WITH sc AS (SELECT (${sqlScoreQ4(Q1)} + 10000) * 50 AS p,
+         |  (label < 5)::BIGINT AS y
+         |  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL),
+         |g AS (SELECT least((p * 10) // 1000000, 9)::BIGINT AS bin,
+         |    count(*)::BIGINT AS n, sum(y)::BIGINT AS pos,
+         |    sum(p)::BIGINT AS cs
+         |  FROM sc GROUP BY 1),
+         |t AS (SELECT sum(n)::BIGINT AS nt, sum(pos)::BIGINT AS pt FROM g),
+         |yb AS (SELECT nt, pt, ((pt * 1000000) // nt)::BIGINT AS ybar FROM t),
+         |a AS (SELECT nt, pt, ybar,
+         |    sum(n::HUGEINT * ((cs // n) - ((pos * 1000000) // n))
+         |      * ((cs // n) - ((pos * 1000000) // n))) AS rel,
+         |    sum(n::HUGEINT * (((pos * 1000000) // n) - ybar)
+         |      * (((pos * 1000000) // n) - ybar)) AS res
+         |  FROM g, yb GROUP BY 1, 2, 3)
+         |SELECT nt AS n, pt AS pos, ybar AS ybar_ppm,
+         |  (rel // nt)::BIGINT AS rel_q12, (res // nt)::BIGINT AS res_q12,
+         |  (ybar * (1000000 - ybar))::BIGINT AS unc_q12
+         |FROM a""".stripMargin,
 
     // Doubled mid-ranks from value grids; rank sums are n(n+1) exactly.
     "eval_spearman" ->

@@ -313,6 +313,55 @@ object evals {
         expr("_g DIV n_total").as("ece_ppm"), col("mce_ppm")): _*)
   }
 
+  /** Murphy (1973) decomposition of the Brier score from the
+    * [[reliabilityGrid]]: REL (calibration — how far each bin's mean
+    * confidence sits from its accuracy), RES (resolution — how far bin
+    * accuracies spread from the base rate; higher is better), UNC
+    * (irreducible base-rate variance). The why-is-my-Brier-bad
+    * companion to [[ece]]: a model can be badly calibrated yet
+    * high-resolution (fix with [[graft.ops.sample.calibrationMap]]) or
+    * calibrated but resolution-free (nothing to fix — retrain).
+    *
+    * Quantized-estimator form (engine-exact, the repo's
+    * quantize-then-sum discipline): per bin, `acc_ppm` and `conf_ppm`
+    * are truncating ppm quotients, the weighted squared gaps
+    * `n_b·(conf_ppm − acc_ppm)²` and `n_b·(acc_ppm − ybar_ppm)²` sum
+    * in DECIMAL(38,0) (≤ N·10¹² — longs would wrap past ~9M rows), and
+    * each divides once by N into 1e-12 fixed point. Because the inputs
+    * are quantized per bin, `REL − RES + UNC` tracks the exact Brier
+    * only to ppm-quantization error — the three readouts are the
+    * deliverable, not the identity.
+    *
+    * Plan shape: the grid aggregate (map-side combined) plus two 1-row
+    * broadcasts. Returns one row
+    * `(n, pos, ybar_ppm, rel_q12, res_q12, unc_q12)`. */
+  def brierDecomp(
+      df: DataFrame,
+      probPpmCol: Column,
+      labelCol: Column,
+      bins: Int = 10): DataFrame = {
+    val grid = reliabilityGrid(df, probPpmCol, labelCol, Nil, bins)
+    val tot = grid.agg(sum(col("n")).as("n_tot"), sum(col("pos")).as("pos_tot"))
+      .withColumn("ybar_ppm", expr("(pos_tot * 1000000L) DIV n_tot"))
+    grid.crossJoin(broadcast(tot))
+      .select(col("n").as("_nb"), col("pos").as("_pb"),
+        col("conf_sum").as("_cs"), col("n_tot"), col("pos_tot"),
+        col("ybar_ppm"))
+      .groupBy(col("n_tot"), col("pos_tot"), col("ybar_ppm"))
+      .agg(
+        sum(expr("CAST(_nb AS DECIMAL(38,0)) * " +
+          "((_cs DIV _nb) - ((_pb * 1000000L) DIV _nb)) * " +
+          "((_cs DIV _nb) - ((_pb * 1000000L) DIV _nb))")).as("_rel"),
+        sum(expr("CAST(_nb AS DECIMAL(38,0)) * " +
+          "(((_pb * 1000000L) DIV _nb) - ybar_ppm) * " +
+          "(((_pb * 1000000L) DIV _nb) - ybar_ppm)")).as("_res"))
+      .select(col("n_tot").as("n"), col("pos_tot").as("pos"),
+        col("ybar_ppm"),
+        expr("CAST(_rel DIV n_tot AS LONG)").as("rel_q12"),
+        expr("CAST(_res DIV n_tot AS LONG)").as("res_q12"),
+        expr("ybar_ppm * (1000000L - ybar_ppm)").as("unc_q12"))
+  }
+
   /** Expected + maximum calibration error from the [[reliability]] grid:
     * `ece_ppm = (Σ_b |pos_b·1e6 − Σprob_b|) DIV N` (exact — the bin
     * weights n_b/N cancel against the per-bin denominators) and

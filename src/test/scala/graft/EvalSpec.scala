@@ -622,6 +622,21 @@ class EvalSpec extends SparkSpec {
       col("tie")).head().getLong(4) == 1000000L)
   }
 
+  test("brierDecomp: miscalibration lands in REL, separation in RES = UNC") {
+    // one bin, conf 0.25 vs acc 0.5 -> REL = 0.25^2 in q12, RES 0
+    val miscal = Seq((250000L, 0L), (250000L, 0L), (250000L, 1L),
+      (250000L, 1L)).toDF("p", "y")
+    val m = evals.brierDecomp(miscal, col("p"), col("y"), bins = 2).head()
+    assert(m.getLong(2) == 500000L)
+    assert(m.getLong(3) == 62500000000L && m.getLong(4) == 0L)
+    assert(m.getLong(5) == 250000000000L)
+    // perfectly separated and calibrated: REL 0, RES = UNC exactly
+    val sep = Seq((0L, 0L), (0L, 0L), (1000000L, 1L), (1000000L, 1L))
+      .toDF("p", "y")
+    val s = evals.brierDecomp(sep, col("p"), col("y"), bins = 2).head()
+    assert(s.getLong(3) == 0L && s.getLong(4) == s.getLong(5))
+  }
+
   test("rboAtD: identical ranking = 1-p^D, reversal pays the tail weight") {
     // p=0.5, depth=2: S(1)=0.625e9, S(2)=0.125e9 (exact in q9)
     assert(evals.rboWeights(500000L, 2) == Seq(625000000L, 125000000L))

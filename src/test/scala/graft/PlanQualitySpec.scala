@@ -82,6 +82,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(ka.contains("BroadcastNestedLoopJoin")
       || ka.contains("BroadcastExchange"),
       "the De side must broadcast")
+    // ARI: contingency-grid folds only — no window; marginal folds
+    // broadcast onto the 1-row cell fold
+    val ar = plan("eval_ari")
+    assert(!ar.contains("Window"), "eval_ari shape")
+    assert(ar.contains("BroadcastNestedLoopJoin")
+      || ar.contains("BroadcastExchange"), "ARI marginals must broadcast")
+    // RBO: both top-D rankings must be bounded per-group heaps BEFORE
+    // the shuffle (a full sort per qid would be the 100 TB bug)
+    val rb = plan("eval_rbo")
+    assert("WindowGroupLimit".r.findAllIn(rb).length >= 2,
+      "both RBO rankings need WindowGroupLimit heaps")
+    assert(!rb.contains("Cartesian"), "RBO joins on (qid, doc), never crosses")
   }
 
   test("drift meters: grid-bounded joins broadcast; kendall pairs cells, not rows") {
