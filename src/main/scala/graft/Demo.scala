@@ -644,6 +644,8 @@ object Demo {
     graft.ops.evals.winRate(store.df, sA, sB).show()
     graft.ops.evals.ece(store.df, (sA + lit(10000L)) * lit(50L),
       col("label") < 5).show()
+    graft.ops.evals.brierDecomp(store.df, (sA + lit(10000L)) * lit(50L),
+      col("label") < 5).show()
 
     println("== eval harness: pass@k -> majority vote -> kappa -> arena BT ==")
     val runs = store.df.select((col("vec_id") % 97L).as("task"),
