@@ -3589,6 +3589,20 @@ object SparkEntry {
         (scoreQ4(col("embedding"), Q1) + lit(10000L)) * lit(50L),
         col("label") < 5, bins = 10)),
 
+    // north-star: isotonic calibration fit — the PAV solution via its
+    // minimax characterization over a 2-dp score grid; two window
+    // passes over the bounded pair grid, monotone by construction.
+    "eval_isotonic" -> ((s, dir) =>
+      evals.isotonicFit(
+        table(s, dir, "embeddings")
+          .where(col("embedding").isNotNull && col("label").isNotNull),
+        // floor-division to a 2-dp grid on BOTH engines (DIV truncates
+        // toward zero on negatives; floor of the double quotient is
+        // exact here and floors identically)
+        floor(scoreQ4(col("embedding"), Q1) / lit(100.0)).cast("long"),
+        col("label") < 5, maxGrid = 512)
+        .orderBy(col("s"))),
+
     // north-star: Murphy decomposition of the Brier score — REL/RES/UNC
     // from the same reliability grid, quantized-estimator form in
     // DECIMAL(38); the why-is-my-Brier-bad companion to eval_ece.
@@ -8428,6 +8442,32 @@ object SparkEntry {
          |  (sum(gap_abs) // sum(n))::BIGINT AS ece_ppm,
          |  max(gap_abs // n)::BIGINT AS mce_ppm
          |FROM g""".stripMargin,
+
+    // Isotonic fit: the same minimax double chain — exact prefix sums,
+    // one IEEE division per (i, k) pool, suffix-min/prefix-max windows
+    // over the bounded pair grid, 6-dp quantize.
+    "eval_isotonic" ->
+      s"""WITH sc AS (SELECT floor((${sqlScoreQ4(Q1)}) / 100.0)::BIGINT AS s,
+         |    (label < 5)::BIGINT AS y
+         |  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL),
+         |g AS (SELECT s, count(*)::BIGINT AS n, sum(y)::BIGINT AS p
+         |  FROM sc GROUP BY 1),
+         |gg AS (SELECT s, n, p,
+         |    row_number() OVER (ORDER BY s) AS j,
+         |    sum(p) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cp,
+         |    sum(n) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cn
+         |  FROM g),
+         |pr AS (SELECT i.j AS i, k.j AS k,
+         |    (k.cp - (i.cp - i.p))::DOUBLE / (k.cn - (i.cn - i.n))::DOUBLE AS r
+         |  FROM gg i JOIN gg k ON k.j >= i.j),
+         |m AS (SELECT i, k, min(r) OVER (PARTITION BY i ORDER BY k DESC
+         |    ROWS UNBOUNDED PRECEDING) AS mm FROM pr),
+         |f AS (SELECT i, k, max(mm) OVER (PARTITION BY k ORDER BY i
+         |    ROWS UNBOUNDED PRECEDING) AS ff FROM m),
+         |sel AS (SELECT k AS j, ff FROM f WHERE i = k)
+         |SELECT gg.s, gg.n, gg.p AS pos,
+         |  floor(ff * 1000000.0 + 0.5) / 1000000.0 AS fit_q6
+         |FROM sel JOIN gg USING (j) ORDER BY gg.s""".stripMargin,
 
     // Murphy decomposition off the same grid: truncated per-bin ppm
     // quotients, HUGEINT weighted squared gaps, one DIV by N each.

@@ -313,6 +313,83 @@ object evals {
         expr("_g DIV n_total").as("ece_ppm"), col("mce_ppm")): _*)
   }
 
+  /** Isotonic-regression calibration fit (the PAV solution, computed
+    * via its MINIMAX characterization, Barlow et al. 1972): over the
+    * score VALUE GRID with per-value `(n, pos)`, the fitted
+    * non-decreasing rate at grid point j is
+    * `fit(j) = max_{i≤j} min_{k≥j} (pos[i..k]) / (n[i..k])` — exactly
+    * what pool-adjacent-violators converges to, but expressed as two
+    * window passes over the bounded pair grid instead of a sequential
+    * pooling loop (which would not be a Spark shape). The standard
+    * post-hoc calibrator: [[reliability]] DIAGNOSES miscalibration,
+    * this FITS the monotone correction ([[graft.ops.sample
+    * .calibrationMap]]'s histogram bins don't enforce monotonicity).
+    *
+    * Determinism: prefix sums are exact longs, each pooled ratio is
+    * ONE double division of exact longs (IEEE-identical cross-engine),
+    * min/max are order-free, and the surfaced fit quantizes to 6 dp —
+    * engine-exact end-to-end. Monotone non-decreasing BY CONSTRUCTION
+    * (j+1 maxes over a superset of i and mins over a subset of k),
+    * even under the double arithmetic.
+    *
+    * Scale shape: one hash aggregate to the value grid (scores must be
+    * QUANTIZED integers — the [[aucRank]] guidance; 100 TB of scored
+    * rows cross the wire as one thin grid), an in-plan grid guard at
+    * `maxGrid` (the [[kendallTau]] discipline — the pair stage squares
+    * the grid), one broadcast self-join to the ≤ G(G+1)/2 pair grid,
+    * and two grid-keyed windows (suffix-min per i, prefix-max per j).
+    * Row volume never enters the quadratic stage.
+    *
+    * Returns `(s, n, pos, fit_q6)` ordered by score — the calibration
+    * curve; apply downstream as a range join or broadcast lookup. */
+  def isotonicFit(
+      df: DataFrame,
+      scoreCol: Column,
+      labelCol: Column,
+      maxGrid: Int = 512): DataFrame = {
+    require(maxGrid >= 1, s"graft: isotonicFit needs maxGrid >= 1")
+    val rows = df.select(scoreCol.cast("long").as("_s"),
+        labelCol.cast("boolean").cast("long").as("_y"))
+      .where(col("_s").isNotNull && col("_y").isNotNull)
+    val wg = windows.boundedGlobal("isotonic-grid", col("_s"))
+    val wAll = wg.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val run = wg.orderBy(col("_s"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val grid = rows.groupBy(col("_s"))
+      .agg(count(lit(1)).as("_n"), sum(col("_y")).as("_p"))
+      .withColumn("_gn", count(lit(1)).over(wAll))
+      .withColumn("_n",
+        when(col("_gn") > maxGrid.toLong,
+          raise_error(format_string(
+            "graft: isotonicFit score grid exceeds maxGrid (%s > " +
+              s"$maxGrid values) — the pair stage squares the grid; " +
+              "coarsen the score quantization", col("_gn"))).cast("long"))
+        .otherwise(col("_n")))
+      .withColumn("_j", row_number().over(wg.orderBy(col("_s"))))
+      .withColumn("_cp", sum(col("_p")).over(run))
+      .withColumn("_cn", sum(col("_n")).over(run))
+    val iSide = grid.select(col("_j").as("_i"),
+      (col("_cp") - col("_p")).as("_pi"), (col("_cn") - col("_n")).as("_ni"))
+    val kSide = grid.select(col("_j").as("_k"),
+      col("_cp").as("_pk"), col("_cn").as("_nk"))
+    val pairs = iSide.join(broadcast(kSide), col("_k") >= col("_i"))
+      .withColumn("_r", (col("_pk") - col("_pi")).cast("double") /
+        (col("_nk") - col("_ni")).cast("double"))
+    val wSufMin = Window.partitionBy(col("_i")).orderBy(col("_k").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wPreMax = Window.partitionBy(col("_k")).orderBy(col("_i"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val fit = pairs
+      .withColumn("_m", min(col("_r")).over(wSufMin))
+      .withColumn("_f", max(col("_m")).over(wPreMax))
+      .where(col("_i") === col("_k"))
+      .select(col("_k").as("_j"), col("_f"))
+    grid.join(fit, "_j")
+      .select(col("_s").as("s"), col("_n").as("n"), col("_p").as("pos"),
+        graft.functions.vectors.quantize(col("_f"), 6).as("fit_q6"))
+  }
+
   /** Murphy (1973) decomposition of the Brier score from the
     * [[reliabilityGrid]]: REL (calibration — how far each bin's mean
     * confidence sits from its accuracy), RES (resolution — how far bin

@@ -622,6 +622,26 @@ class EvalSpec extends SparkSpec {
       col("tie")).head().getLong(4) == 1000000L)
   }
 
+  test("isotonicFit: hand PAV pools, monotone passthrough, grid guard") {
+    // classic violation: rates 0, 1, 0 -> PAV pools the last two to 1/2
+    val v = Seq((1L, 0L), (2L, 1L), (3L, 0L)).toDF("s", "y")
+    val got = evals.isotonicFit(v, col("s"), col("y")).orderBy("s").collect()
+    assert(got.map(_.getDouble(3)).toSeq == Seq(0.0, 0.5, 0.5))
+    // already-isotonic input passes through as empirical rates
+    val mono = Seq((1L, 0L), (2L, 0L), (2L, 1L), (3L, 1L)).toDF("s", "y")
+    val m = evals.isotonicFit(mono, col("s"), col("y")).orderBy("s").collect()
+    assert(m.map(_.getDouble(3)).toSeq == Seq(0.0, 0.5, 1.0))
+    // full reversal pools everything to the global rate
+    val rev = Seq((1L, 1L), (2L, 0L)).toDF("s", "y")
+    assert(evals.isotonicFit(rev, col("s"), col("y")).orderBy("s")
+      .collect().map(_.getDouble(3)).toSeq == Seq(0.5, 0.5))
+    // the pair stage squares the grid -> in-plan guard raises past it
+    val e = intercept[Exception] {
+      evals.isotonicFit(v, col("s"), col("y"), maxGrid = 2).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("brierDecomp: miscalibration lands in REL, separation in RES = UNC") {
     // one bin, conf 0.25 vs acc 0.5 -> REL = 0.25^2 in q12, RES 0
     val miscal = Seq((250000L, 0L), (250000L, 0L), (250000L, 1L),

@@ -691,6 +691,17 @@ object GraftProperties extends Properties("graft") {
         (if (oneLabel) row.isNullAt(4) else row.getDouble(4) == 1.0)
     }
 
+  property("isotonicFit: non-decreasing and within [0,1] for ANY labeling") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 6L),
+      Gen.oneOf(0L, 1L)))) { rows =>
+      val fit = graft.ops.evals.isotonicFit(rows.toDF("s", "y"),
+          col("s"), col("y")).orderBy("s")
+        .collect().map(_.getDouble(3)).toSeq
+      fit.nonEmpty &&
+        fit.zip(fit.tail).forall { case (a, b) => a <= b } &&
+        fit.forall(f => f >= 0.0 && f <= 1.0)
+    }
+
   property("vocabGrowth: curves end at exact corpus totals for ANY id layout") =
     forAll(Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n,
       Gen.zip(Gen.chooseNum(0L, 100L),
