@@ -94,6 +94,17 @@ class PlanQualitySpec extends SparkSpec {
     assert("WindowGroupLimit".r.findAllIn(rb).length >= 2,
       "both RBO rankings need WindowGroupLimit heaps")
     assert(!rb.contains("Cartesian"), "RBO joins on (qid, doc), never crosses")
+    // Brier decomposition: grid folds only, no window, no sort-merge
+    val bd = plan("eval_brier_decomp")
+    assert(!bd.contains("Window") && !bd.contains("SortMergeJoin"),
+      "brier decomposition must stay on the grid")
+    // Isotonic: the pair stage must BROADCAST the grid side (a
+    // sort-merge self-join would shuffle the corpus-keyed grid twice)
+    val iso = plan("eval_isotonic")
+    assert(iso.contains("BroadcastNestedLoopJoin"),
+      "isotonic pair grid must broadcast (range-condition join)")
+    assert(!iso.contains("CartesianProduct"),
+      "the k >= i condition must ride the broadcast join, not a cartesian")
   }
 
   test("drift meters: grid-bounded joins broadcast; kendall pairs cells, not rows") {
