@@ -3603,6 +3603,27 @@ object SparkEntry {
         col("label") < 5, maxGrid = 512)
         .orderBy(col("s"))),
 
+    // north-star: isotonic APPLY — the fit→apply loop closed. The curve
+    // fits on the 2-dp grid, rescales its grid ×100 to q4 units, then
+    // broadcast-applies as a step-function lookup onto the RAW 4-dp
+    // scores (which genuinely fall BETWEEN grid points), folded to one
+    // row per fitted value. One 1-row broadcast; corpus rows never
+    // shuffle before the thin final fold.
+    "eval_isotonic_apply" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+        .where(col("embedding").isNotNull && col("label").isNotNull)
+      val curve = evals.isotonicFit(e,
+        floor(scoreQ4(col("embedding"), Q1) / lit(100.0)).cast("long"),
+        col("label") < 5, maxGrid = 512)
+        .select((col("s") * 100L).as("s"), col("fit_q6"))
+      evals.isotonicApply(e.select(scoreQ4(col("embedding"), Q1).as("sq4")),
+          curve, col("sq4"))
+        .groupBy(col("calibrated_q6"))
+        .agg(count(lit(1)).as("n"), min(col("sq4")).as("s_min"),
+          max(col("sq4")).as("s_max"))
+        .orderBy(col("calibrated_q6"))
+    }),
+
     // north-star: Murphy decomposition of the Brier score — REL/RES/UNC
     // from the same reliability grid, quantized-estimator form in
     // DECIMAL(38); the why-is-my-Brier-bad companion to eval_ece.
@@ -8469,6 +8490,38 @@ object SparkEntry {
          |  floor(ff * 1000000.0 + 0.5) / 1000000.0 AS fit_q6
          |FROM sel JOIN gg USING (j) ORDER BY gg.s""".stripMargin,
 
+    // Isotonic apply: the same fit chain, grid rescaled x100 to q4
+    // units, step-lookup via DuckDB's native ASOF JOIN (greatest curve
+    // s <= raw score), folded per fitted value.
+    "eval_isotonic_apply" ->
+      s"""WITH sc AS (SELECT floor((${sqlScoreQ4(Q1)}) / 100.0)::BIGINT AS s,
+         |    (label < 5)::BIGINT AS y
+         |  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL),
+         |g AS (SELECT s, count(*)::BIGINT AS n, sum(y)::BIGINT AS p
+         |  FROM sc GROUP BY 1),
+         |gg AS (SELECT s, n, p,
+         |    row_number() OVER (ORDER BY s) AS j,
+         |    sum(p) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cp,
+         |    sum(n) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cn
+         |  FROM g),
+         |pr AS (SELECT i.j AS i, k.j AS k,
+         |    (k.cp - (i.cp - i.p))::DOUBLE / (k.cn - (i.cn - i.n))::DOUBLE AS r
+         |  FROM gg i JOIN gg k ON k.j >= i.j),
+         |m AS (SELECT i, k, min(r) OVER (PARTITION BY i ORDER BY k DESC
+         |    ROWS UNBOUNDED PRECEDING) AS mm FROM pr),
+         |f AS (SELECT i, k, max(mm) OVER (PARTITION BY k ORDER BY i
+         |    ROWS UNBOUNDED PRECEDING) AS ff FROM m),
+         |curve AS (SELECT gg.s * 100 AS s,
+         |    floor(ff * 1000000.0 + 0.5) / 1000000.0 AS fit_q6
+         |  FROM f JOIN gg ON f.k = gg.j WHERE f.i = f.k),
+         |raw AS (SELECT ${sqlScoreQ4(Q1)} AS sq4
+         |  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL),
+         |ap AS (SELECT sq4, fit_q6
+         |  FROM raw ASOF JOIN curve ON raw.sq4 >= curve.s)
+         |SELECT fit_q6 AS calibrated_q6, count(*)::BIGINT AS n,
+         |  min(sq4)::BIGINT AS s_min, max(sq4)::BIGINT AS s_max
+         |FROM ap GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Murphy decomposition off the same grid: truncated per-bin ppm
     // quotients, HUGEINT weighted squared gaps, one DIV by N each.
     "eval_brier_decomp" ->
@@ -8924,10 +8977,14 @@ object SparkEntry {
          |    ORDER BY sb DESC, doc) AS rb FROM r),
          |j AS (SELECT a.qid, greatest(ra, rb) AS m
          |  FROM a JOIN b ON a.qid = b.qid AND a.doc = b.doc
-         |  WHERE ra <= 20 AND rb <= 20)
-         |SELECT qid, count(*)::BIGINT AS n_common,
-         |  sum(wt)::BIGINT AS rbo_q9
-         |FROM j JOIN w USING (m) GROUP BY qid ORDER BY qid""".stripMargin
+         |  WHERE ra <= 20 AND rb <= 20),
+         |p AS (SELECT qid, count(*)::BIGINT AS n_common,
+         |    sum(wt)::BIGINT AS rbo_q9
+         |  FROM j JOIN w USING (m) GROUP BY qid),
+         |q AS (SELECT DISTINCT qid FROM r)
+         |SELECT q.qid, coalesce(n_common, 0)::BIGINT AS n_common,
+         |  coalesce(rbo_q9, 0)::BIGINT AS rbo_q9
+         |FROM q LEFT JOIN p USING (qid) ORDER BY qid""".stripMargin
     },
 
     // V-measure: the mutualInfo CTE chain on the perturbed-labeling

@@ -390,6 +390,38 @@ object evals {
         graft.functions.vectors.quantize(col("_f"), 6).as("fit_q6"))
   }
 
+  /** APPLY an [[isotonicFit]] curve `(s, …, fit_q6)` to a scored corpus
+    * — the fit→apply loop [[graft.ops.sample.calibrationMap]] closes
+    * for histogram bins, for the monotone PAV fit. Step-function
+    * semantics (the standard isotonic extension — constant outside the
+    * training range): each row gets `fit_q6` of the LARGEST curve score
+    * ≤ its own score; a score below the first grid point clamps to the
+    * first fit value. The curve's grid may be COARSER than the applied
+    * scores (fit on a 2-dp grid, apply to raw 4-dp scores after
+    * rescaling the curve's `s`) — that is the point of the step lookup.
+    *
+    * Scale shape: the curve is bounded (≤ maxGrid rows by
+    * [[isotonicFit]]'s own in-plan guard), so it collapses to ONE
+    * sorted-array row (`sort_array ∘ collect_list` — order-free
+    * upstream) and broadcast-cross-joins onto the corpus. No per-row
+    * blowup, no range join, no sort of corpus rows: the lookup is a
+    * row-local bounded scan of ≤ maxGrid struct entries. 100 TB of
+    * scored rows never shuffle. */
+  def isotonicApply(
+      df: DataFrame,
+      curve: DataFrame,
+      scoreCol: Column,
+      outCol: String = "calibrated_q6"): DataFrame = {
+    val arr = curve.agg(
+      sort_array(collect_list(struct(col("s"), col("fit_q6")))).as("_curve"))
+    val matches = filter(col("_curve"), e => e.getField("s") <= scoreCol)
+    df.crossJoin(broadcast(arr))
+      .withColumn(outCol, coalesce(
+        try_element_at(matches, lit(-1)).getField("fit_q6"),
+        try_element_at(col("_curve"), lit(1)).getField("fit_q6")))
+      .drop("_curve")
+  }
+
   /** Murphy (1973) decomposition of the Brier score from the
     * [[reliabilityGrid]]: REL (calibration — how far each bin's mean
     * confidence sits from its accuracy), RES (resolution — how far bin
@@ -1537,9 +1569,11 @@ object evals {
   }
 
   /** [[krippendorffAlpha]]'s exactness ceiling: `de_num = n² − Σn_c²`
-    * with n total ratings stays in int64 for n ≤ √(2⁶³) ≈ 3.03·10⁶;
-    * 3M leaves margin (the [[KappaMaxN]] bound, same square). */
-  val KrippendorffMaxN: Long = 3000000L
+    * with n total ratings stays in int64 for n ≤ √(2⁶³) ≈ 3.03·10⁹
+    * (unlike [[KappaMaxN]], whose cross term carries an extra 10⁶ ppm
+    * scale and so caps 1000× lower); 3·10⁹ leaves margin, and the
+    * `do_q6` sum (≤ n·10⁶ = 3·10¹⁵) stays far inside int64 too. */
+  val KrippendorffMaxN: Long = 3000000000L
 
   /** Integer weight table for [[rboAtD]]: `S(m) = Σ_{d=m..D}
     * (1−p)·p^(d−1)/d` quantized to 1e-9 fixed point, computed ONCE on
@@ -1579,6 +1613,12 @@ object evals {
     * ONE (qid, doc) equi-join of the two thin top-D sets, one
     * group-keyed sum. Ties break on the doc column (deterministic).
     *
+    * Every input qid gets a row: a query whose two top-D sets are
+    * DISJOINT has a well-defined RBO@D of 0, and silently dropping it
+    * would overstate any downstream mean — so the per-qid sums
+    * left-join back onto the distinct qid set (thin: one row per
+    * query) and fill `(n_common, rbo_q9) = (0, 0)`.
+    *
     * Returns `(qid, n_common, rbo_q9)` — q9 = 1e-9-quantized mass. */
   def rboAtD(
       runs: DataFrame,
@@ -1596,12 +1636,17 @@ object evals {
       base.withColumn(as, row_number().over(w)).where(col(as) <= depth)
         .select(col("qid"), col("_doc"), col(as))
     }
-    topD("_sa", "_ra").join(topD("_sb", "_rb"), Seq("qid", "_doc"))
+    val perQid = topD("_sa", "_ra").join(topD("_sb", "_rb"), Seq("qid", "_doc"))
       .select(col("qid"),
         element_at(lit(weights.toArray), greatest(col("_ra"), col("_rb")))
           .as("_w"))
       .groupBy(col("qid"))
       .agg(count(lit(1)).as("n_common"), sum(col("_w")).as("rbo_q9"))
+    base.select(col("qid")).distinct()
+      .join(perQid, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        coalesce(col("rbo_q9"), lit(0L)).as("rbo_q9"))
   }
 
   /** [[adjustedRand]]'s DECIMAL(38,0) ceiling: the ppm-scaled cross

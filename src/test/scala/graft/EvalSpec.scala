@@ -635,11 +635,27 @@ class EvalSpec extends SparkSpec {
     val rev = Seq((1L, 1L), (2L, 0L)).toDF("s", "y")
     assert(evals.isotonicFit(rev, col("s"), col("y")).orderBy("s")
       .collect().map(_.getDouble(3)).toSeq == Seq(0.5, 0.5))
-    // the pair stage squares the grid -> in-plan guard raises past it
+    // the pair stage squares the grid -> in-plan guard raises past it;
+    // pin the raise_error TEXT so an unrelated failure can't pass
     val e = intercept[Exception] {
       evals.isotonicFit(v, col("s"), col("y"), maxGrid = 2).collect()
     }
-    assert(e.getMessage != null)
+    assert(Option(e.getMessage).getOrElse("")
+      .contains("isotonicFit score grid exceeds maxGrid"))
+  }
+
+  test("isotonicApply: step lookup between grid points, below-min clamp") {
+    val curve = Seq((10L, 0.2), (20L, 0.5), (30L, 0.9)).toDF("s", "fit_q6")
+    val scored = Seq(5L, 10L, 15L, 25L, 99L).toDF("sc")
+    val got = evals.isotonicApply(scored, curve, col("sc")).orderBy("sc")
+      .collect().map(_.getDouble(1)).toSeq
+    // 5 clamps below-min to the first fit; 15/25 step DOWN to the
+    // largest grid point <= score; 99 holds the last fit past the grid
+    assert(got == Seq(0.2, 0.2, 0.2, 0.5, 0.9))
+    // an EMPTY curve surfaces NULL, not a crash (try_element_at path)
+    val empty = curve.where(col("s") < 0L)
+    assert(evals.isotonicApply(scored, empty, col("sc"))
+      .where(col("calibrated_q6").isNotNull).count() == 0L)
   }
 
   test("brierDecomp: miscalibration lands in REL, separation in RES = UNC") {
@@ -670,11 +686,14 @@ class EvalSpec extends SparkSpec {
     assert(got(0).getLong(1) == 2L && got(0).getLong(2) == 750000000L)
     // reversed: both docs agree only at depth 2 -> 2*S(2)
     assert(got(1).getLong(1) == 2L && got(1).getLong(2) == 250000000L)
-    // disjoint top-D surfaces NO row for the qid (audit-then-drop)
+    // disjoint top-D surfaces an EXPLICIT zero row (RBO@D = 0 is
+    // well-defined; dropping the qid would overstate a downstream mean)
     val disjoint = Seq((0L, 1L, 9L, 1L), (0L, 2L, 1L, 9L))
       .toDF("qid", "doc", "sa", "sb")
-    assert(evals.rboAtD(disjoint, col("qid"), col("doc"), col("sa"),
-      col("sb"), pPpm = 500000L, depth = 1).count() == 0L)
+    val dj = evals.rboAtD(disjoint, col("qid"), col("doc"), col("sa"),
+      col("sb"), pPpm = 500000L, depth = 1).collect()
+    assert(dj.length == 1 && dj(0).getLong(1) == 0L
+      && dj(0).getLong(2) == 0L)
   }
 
   test("adjustedRand: relabel-invariant 1, chance 0, hand negative case") {

@@ -105,6 +105,15 @@ class PlanQualitySpec extends SparkSpec {
       "isotonic pair grid must broadcast (range-condition join)")
     assert(!iso.contains("CartesianProduct"),
       "the k >= i condition must ride the broadcast join, not a cartesian")
+    // Isotonic APPLY: the curve collapses to ONE array row and
+    // broadcasts; the corpus side must never sort or sort-merge join
+    // (the step lookup is a row-local HOF scan of the broadcast array)
+    val ia = plan("eval_isotonic_apply")
+    assert(ia.contains("BroadcastNestedLoopJoin")
+      || ia.contains("BroadcastExchange"),
+      "isotonic apply must broadcast the 1-row curve array")
+    assert(!ia.contains("SortMergeJoin"),
+      "isotonic apply must not sort-merge join the corpus")
   }
 
   test("drift meters: grid-bounded joins broadcast; kendall pairs cells, not rows") {
