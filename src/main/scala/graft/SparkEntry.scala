@@ -1159,6 +1159,13 @@ object SparkEntry {
           buckets = 20)
         .orderBy(col("bucket"))),
 
+    // north-star: Zipf rank-frequency slope — Heaps' standard data-card
+    // companion: exact-integer OLS of q4 log-freq on q4 log-rank over
+    // the top-1000 vocabulary grid; slope as signed num/den + one
+    // quantized double.
+    "text_zipf_slope" -> ((s, dir) =>
+      text.zipfSlope(table(s, dir, "documents"), "text", topK = 1000)),
+
     // north-star: categorical mutual information (lang vs source) —
     // the column-leakage / skew audit; exact contingency grid, q12
     // ln terms, 6-dp nats.
@@ -4377,6 +4384,28 @@ object SparkEntry {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
          |    AS vocab_cum
          |FROM g ORDER BY bucket""".stripMargin,
+
+    // Zipf slope: same top-1000 head as text_vocab_topn, q4-floored ln
+    // terms, exact integer OLS sums, signed num/den + one quantized
+    // double (floor(x*1e6+0.5) on identical operands both engines).
+    "text_zipf_slope" ->
+      s"""WITH t AS (SELECT unnest($SqlToks) AS word FROM documents),
+         |v AS (SELECT word, count(*)::BIGINT AS tf FROM t GROUP BY 1
+         |  ORDER BY tf DESC, word LIMIT 1000),
+         |r AS (SELECT
+         |    floor(ln(row_number() OVER (ORDER BY tf DESC, word))
+         |      * 10000)::BIGINT AS x,
+         |    floor(ln(tf) * 10000)::BIGINT AS y FROM v),
+         |a AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+         |  sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+         |  sum(x * x)::BIGINT AS sxx FROM r)
+         |SELECT n AS n_terms, (n * sxy - sx * sy)::BIGINT AS slope_num,
+         |  (n * sxx - sx * sx)::BIGINT AS slope_den,
+         |  CASE WHEN n * sxx - sx * sx > 0 THEN
+         |    floor((n * sxy - sx * sy)::DOUBLE
+         |      / (n * sxx - sx * sx)::DOUBLE * 1000000.0 + 0.5) / 1000000.0
+         |  END AS slope_q6
+         |FROM a""".stripMargin,
 
     // MI/entropies on the corpusDivergence quantization convention:
     // q12 floor per cell, long sums, 6-dp quantized nats.

@@ -726,6 +726,63 @@ object text {
         sum(col("new_types")).over(w).as("vocab_cum"))
   }
 
+  /** Zipf rank-frequency slope over the top-`topK` vocabulary — the
+    * standard data-card companion to [[vocabGrowth]]'s Heaps curve:
+    * OLS of log-frequency on log-rank, slope ≈ −1 for natural
+    * language; a flatter slope flags templated or synthetic text, a
+    * steeper one a degenerate head (boilerplate dominating the
+    * corpus).
+    *
+    * Exactness: per-term `x = floor(ln(rank)·10⁴)` and
+    * `y = floor(ln(tf)·10⁴)` are exact longs (ln is one libm double on
+    * the same integer input both engines see — the
+    * [[graft.ops.rel.mutualInfo]] ln precedent), the OLS sums fold as
+    * exact integers, and the slope surfaces BOTH as the exact signed
+    * `slope_num / slope_den` pair (signed division truncation is an
+    * engine trap — the [[graft.streaming.EventStream.trend]]
+    * convention) and as one quantized double. Int64 ceiling:
+    * |x| ≤ ln(topK)·10⁴ < 10⁵ and |y| ≤ 44·10⁴ (tf < 2⁶³), so
+    * `n·Σ|x·y| ≤ topK²·5·10¹⁰` stays in int64 for topK ≤ 10⁴
+    * (ENFORCED).
+    *
+    * Plan shape: one token-keyed aggregate (map-side combined — the
+    * shuffle carries the vocabulary, Heaps-sublinear in the corpus),
+    * TakeOrderedAndProject to the topK grid, rank via a documented
+    * bounded global window over those ≤topK rows, one grid-row fold.
+    * Corpus rows never hit a window or a sort.
+    *
+    * Returns one row `(n_terms, slope_num, slope_den, slope_q6)`. */
+  def zipfSlope(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      topK: Int = 1000): org.apache.spark.sql.DataFrame = {
+    require(topK >= 2 && topK <= 10000,
+      s"graft: zipfSlope needs 2 <= topK <= 10000, got $topK")
+    val head = df.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("word")).limit(topK)
+    val ranked = head
+      .withColumn("_r", row_number().over(
+        windows.boundedGlobal("zipf-topk", col("word"))
+          .orderBy(col("tf").desc, col("word"))))
+      .select(floor(log(col("_r").cast("double")) * 1e4).cast("long").as("_x"),
+        floor(log(col("tf").cast("double")) * 1e4).cast("long").as("_y"))
+    ranked
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum(col("_x") * col("_y")).as("_sxy"),
+        sum(col("_x") * col("_x")).as("_sxx"))
+      .select(col("n_terms"),
+        (col("n_terms") * col("_sxy") - col("_sx") * col("_sy"))
+          .as("slope_num"),
+        (col("n_terms") * col("_sxx") - col("_sx") * col("_sx"))
+          .as("slope_den"))
+      .withColumn("slope_q6",
+        when(col("slope_den") > 0L, graft.functions.vectors.quantize(
+          col("slope_num").cast("double") / col("slope_den").cast("double"),
+          6)))
+  }
+
   /** Per-document out-of-vocabulary rate against the corpus's own
     * top-`topN` vocabulary ([[vocabulary]]) — the
     * will-the-tokenizer-cope meter: a doc whose tokens are mostly

@@ -572,4 +572,31 @@ class TextOpsSpec extends SparkSpec {
     val tot = got.map(_._3).sum
     assert(tot == 3L, "every distinct type is counted new exactly once")
   }
+
+  test("zipfSlope: exact OLS on hand tfs; perfect power law hits -1; guard") {
+    // tfs 4,2,1 -> ranks 1,2,3; mirror the op's q4-floored ln terms
+    val docs = Seq("a a b", "a a b c").toDF("text")
+    def q4ln(v: Long) = math.floor(math.log(v.toDouble) * 1e4).toLong
+    val xs = Seq(1L, 2L, 3L).map(q4ln)
+    val ys = Seq(4L, 2L, 1L).map(q4ln)
+    val n = 3L
+    val sx = xs.sum; val sy = ys.sum
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum
+    val got = text.zipfSlope(docs, "text", topK = 10).head()
+    assert(got.getLong(0) == n)
+    assert(got.getLong(1) == n * sxy - sx * sy)
+    assert(got.getLong(2) == n * sxx - sx * sx)
+    // tf_r = 6/r is an exact Zipf law with slope -1: tfs 6,3,2 at
+    // ranks 1,2,3 -> ln tf = ln 6 - ln r exactly, so the q4 OLS lands
+    // within one q4 ulp of -1
+    val z = Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c")
+    val zd = Seq(z.mkString(" ")).toDF("text")
+    val s6 = text.zipfSlope(zd, "text", topK = 10).head().getDouble(3)
+    assert(math.abs(s6 + 1.0) < 1e-3, s"expected ~-1, got $s6")
+    // topK outside [2, 10000] is rejected before any plan builds
+    intercept[IllegalArgumentException] {
+      text.zipfSlope(docs, "text", topK = 1)
+    }
+  }
 }
