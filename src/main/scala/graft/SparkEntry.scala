@@ -2432,6 +2432,25 @@ object SparkEntry {
         .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"))
         .orderBy(col("doc_id"))),
 
+    // north-star: cross-document exact-substring extents (Lee et al.
+    // 2022's suffix-array dedup modality as a diagonal-run merge) —
+    // every maximal verbatim token run of >= 8 tokens shared between
+    // two docs, with positions in BOTH; md5-gram inverted index +
+    // gaps-and-islands per pair-diagonal, occurrence-capped.
+    "dedup_substring_pairs" -> ((s, dir) =>
+      dedup.crossSubstringPairs(table(s, dir, "documents"), "text",
+          "doc_id", minLen = 8, maxOcc = 256)
+        .orderBy(col("id_a"), col("id_b"), col("a_start"), col("b_start"))),
+
+    // north-star: cross-document substring REMOVAL — keep-first
+    // excision (lowest doc id keeps its copy); in-row HOF rebuild, no
+    // token-level explode on the corpus side.
+    "dedup_substring_removed" -> ((s, dir) =>
+      dedup.removeCrossDupSubstrings(table(s, dir, "documents"), "text",
+          "doc_id", minLen = 8, maxOcc = 256)
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"))
+        .orderBy(col("doc_id"))),
+
     // north-star: EXACT n-gram Jaccard pairs — inverted-index candidate
     // generation (complete pair set above the threshold, unlike MinHash's
     // probabilistic recall), document-frequency cap bounds hot shingles.
@@ -6613,6 +6632,61 @@ object SparkEntry {
          |  i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS island FROM sp),
          |spans AS (SELECT doc_id, min(i) AS span_start, max(i) + 4 AS span_end
          |  FROM ri GROUP BY doc_id, island),
+         |pos AS (SELECT doc_id, p, toks[p] AS tok
+         |  FROM t, unnest(range(1, len(toks) + 1)) AS rr(p)),
+         |dropp AS (SELECT DISTINCT pos.doc_id, pos.p FROM pos JOIN spans
+         |  ON pos.doc_id = spans.doc_id AND pos.p BETWEEN span_start AND span_end),
+         |kept AS (SELECT pos.doc_id, pos.p, pos.tok
+         |  FROM pos ANTI JOIN dropp USING (doc_id, p)),
+         |agg AS (SELECT doc_id, array_to_string(list(tok ORDER BY p), ' ') AS clean_text
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, md5(coalesce(a.clean_text, '')) AS clean_md5
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // Cross-document substring extents: gram-string inverted index
+    // (the Spark plan joins on md5 fingerprints of the same grams),
+    // occurrence cap, islands per (pair, diagonal).
+    "dedup_substring_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+         |tl AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 8),
+         |gr AS (SELECT doc_id, i, array_to_string(list_slice(toks, i, i + 7), ' ') AS g
+         |  FROM tl, unnest(range(1, len(toks) - 8 + 2)) AS r(i)),
+         |cap AS (SELECT g FROM (SELECT g, count(*) AS n FROM gr GROUP BY g)
+         |  WHERE n <= 256),
+         |cold AS (SELECT doc_id, i, g FROM gr WHERE g IN (SELECT g FROM cap)),
+         |m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.i AS ia,
+         |    b.i - a.i AS d
+         |  FROM cold a JOIN cold b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |r AS (SELECT id_a, id_b, ia, d,
+         |  ia - row_number() OVER (PARTITION BY id_a, id_b, d ORDER BY ia)
+         |    AS island FROM m)
+         |SELECT id_a, id_b, min(ia) AS a_start, max(ia) + 7 AS a_end,
+         |  min(ia) + d AS b_start, max(ia) + 7 + d AS b_end,
+         |  (max(ia) - min(ia) + 8)::BIGINT AS len_tokens
+         |FROM r GROUP BY id_a, id_b, d, island
+         |ORDER BY id_a, id_b, a_start, b_start""".stripMargin,
+
+    // Keep-first removal: b-side extents drop from the higher-id doc;
+    // positional anti-join formulation (fine in DuckDB; the Spark plan
+    // rebuilds in-row) — same kept-token set, same output text.
+    "dedup_substring_removed" ->
+      s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+         |tl AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 8),
+         |gr AS (SELECT doc_id, i, array_to_string(list_slice(toks, i, i + 7), ' ') AS g
+         |  FROM tl, unnest(range(1, len(toks) - 8 + 2)) AS r(i)),
+         |cap AS (SELECT g FROM (SELECT g, count(*) AS n FROM gr GROUP BY g)
+         |  WHERE n <= 256),
+         |cold AS (SELECT doc_id, i, g FROM gr WHERE g IN (SELECT g FROM cap)),
+         |m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.i AS ia,
+         |    b.i - a.i AS d
+         |  FROM cold a JOIN cold b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |r AS (SELECT id_a, id_b, ia, d,
+         |  ia - row_number() OVER (PARTITION BY id_a, id_b, d ORDER BY ia)
+         |    AS island FROM m),
+         |spans AS (SELECT DISTINCT id_b AS doc_id, min(ia) + d AS span_start,
+         |    max(ia) + 7 + d AS span_end
+         |  FROM r GROUP BY id_a, id_b, d, island),
          |pos AS (SELECT doc_id, p, toks[p] AS tok
          |  FROM t, unnest(range(1, len(toks) + 1)) AS rr(p)),
          |dropp AS (SELECT DISTINCT pos.doc_id, pos.p FROM pos JOIN spans

@@ -358,6 +358,116 @@ object dedup {
       .drop("_spans", "_sp")
   }
 
+  /** CROSS-DOCUMENT exact-substring duplicate extents (the suffix-array
+    * dedup modality of Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better", re-expressed as a Spark plan): every
+    * maximal token run of length ≥ `minLen` that appears VERBATIM in two
+    * documents, with positions in both. [[repeatedSpans]] finds n-gram
+    * runs hot across the corpus (df ≥ k, no pairing); this finds the
+    * PAIRWISE extents — who copied what from whom, the per-pair evidence
+    * a dedup audit or a decontamination appeal needs.
+    *
+    * Method — diagonal-run merge instead of a suffix array: a shared
+    * substring of length M ≥ minLen between docs A and B is exactly a
+    * maximal run of matching minLen-gram fingerprints at constant offset
+    * `d = pos_B − pos_A`. So: fingerprint every minLen-gram (md5 — the
+    * [[exactDedup]] exactness convention), inverted-index self-join on
+    * the fingerprint, then gaps-and-islands per `(id_a, id_b, d)`
+    * diagonal ([[repeatedSpans]]' merge, keyed per pair-diagonal instead
+    * of per doc). No suffix array, nothing on the driver.
+    *
+    * Scale shape: gram construction is one scan; the fingerprint shuffle
+    * is a word-count keyed on 32-char md5s (corpus-linear, uniform by
+    * construction); the occurrence cap `maxOcc` drops boilerplate grams
+    * BEFORE pairing via the [[winnowPairs]] streamed-aggregate +
+    * broadcast-anti-join shape (both consumers reuse ONE
+    * repartition(fp) exchange), so no gram can emit more than maxOcc²/2
+    * pairs; the diagonal merge windows over (pair, d) keys — as
+    * parallel as the match set. Never a cartesian product.
+    *
+    * Returns one row per maximal extent: `(id_a, id_b, a_start, a_end,
+    * b_start, b_end, len_tokens)`, positions 1-based token indices,
+    * ends inclusive, `id_a < id_b`. A run shared by k docs surfaces as
+    * its pairs (k·(k−1)/2 rows, capped by maxOcc). */
+  def crossSubstringPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      minLen: Int = 20,
+      maxOcc: Int = 256): DataFrame = {
+    require(minLen >= 2 && maxOcc >= 2,
+      s"graft: crossSubstringPairs needs minLen >= 2, maxOcc >= 2; " +
+        s"got $minLen, $maxOcc")
+    val t = df.select(col(idCol).as("_id"),
+        graft.ops.text.tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) >= minLen)
+    val grams = t.select(col("_id"), posexplode(transform(
+        sequence(lit(1), size(col("toks")) - (minLen - 1)),
+        i => md5(concat_ws(" ", slice(col("toks"), i, lit(minLen))))))
+        .as(Seq("p", "fp")))
+      .select(col("_id"), (col("p") + 1).as("i"), col("fp"))
+      .repartition(col("fp"))
+    val hot = grams.groupBy(col("fp"))
+      .agg(count(lit(1)).as("_n")).where(col("_n") > maxOcc)
+      .select(col("fp"))
+    val cold = grams.join(broadcast(hot), Seq("fp"), "left_anti")
+    val a = cold.select(col("fp"), col("_id").as("id_a"), col("i").as("_ia"))
+    val b = cold.select(col("fp"), col("_id").as("id_b"), col("i").as("_ib"))
+    val m = a.join(b, Seq("fp")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("_ia"), col("_ib"),
+        (col("_ib") - col("_ia")).as("_d"))
+    val w = Window.partitionBy(col("id_a"), col("id_b"), col("_d"))
+      .orderBy(col("_ia"))
+    m.withColumn("_island", col("_ia") - row_number().over(w))
+      .groupBy(col("id_a"), col("id_b"), col("_d"), col("_island"))
+      .agg(min(col("_ia")).as("a_start"),
+        (max(col("_ia")) + lit(minLen - 1)).as("a_end"))
+      .select(col("id_a"), col("id_b"),
+        col("a_start"), col("a_end"),
+        (col("a_start") + col("_d")).as("b_start"),
+        (col("a_end") + col("_d")).as("b_end"),
+        (col("a_end") - col("a_start") + 1).cast("long").as("len_tokens"))
+  }
+
+  /** Rewrite each document with its cross-document duplicated
+    * substrings ([[crossSubstringPairs]]) excised, keep-first: for every
+    * duplicated extent the LOWEST doc id keeps its copy and every
+    * higher-id doc drops the tokens of its own extent — Lee et al.
+    * 2022's remove-all-but-one-copy policy with the engine's standard
+    * keep-first tie rule ([[exactDedup]]). Docs untouched by any pair
+    * pass through re-tokenized ([[removeRepeatedSpans]]' contract:
+    * output is TOKEN text, single-spaced).
+    *
+    * Scale shape: the pair extents fold to a per-doc span array (spans
+    * are rare → the join side is small), and the excision is the
+    * in-row `transform` + `exists` rebuild — NO token-level explode;
+    * the corpus never shuffles one row per token. */
+  def removeCrossDupSubstrings(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      minLen: Int = 20,
+      maxOcc: Int = 256): DataFrame = {
+    val spans = crossSubstringPairs(df, textCol, idCol, minLen, maxOcc)
+      .select(col("id_b").as(idCol),
+        col("b_start").as("span_start"), col("b_end").as("span_end"))
+      .distinct()
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("_spans"))
+    df.join(spans, Seq(idCol), "left")
+      .withColumn("_sp", coalesce(col("_spans"),
+        array().cast("array<struct<span_start:int,span_end:int>>")))
+      .withColumn("clean_text",
+        concat_ws(" ", filter(
+          transform(graft.ops.text.tokens(col(textCol)),
+            (t, i) => when(exists(col("_sp"),
+                s => (i + 1) >= s.getField("span_start") &&
+                  (i + 1) <= s.getField("span_end")), lit(null)).otherwise(t)),
+          t => t.isNotNull)))
+      .drop("_spans", "_sp")
+  }
+
   /** n-gram Jaccard pairs via inverted-index COUNTING: for every shingle
     * with document frequency in [2, maxDf], expand its (sorted) posting
     * list into pairs and count shared shingles per pair — `c = |A∩B|` —

@@ -214,6 +214,53 @@ class DedupSpec extends SparkSpec {
     assert(cleaned(4L) == "completely different text with no shared runs at all here")
   }
 
+  test("crossSubstringPairs: hand-built extents, offsets, multi-occurrence diagonals") {
+    // docs 1 and 2 share the 5-token run "a b c d e" at DIFFERENT
+    // positions (doc 1 tokens 3..7, doc 2 tokens 1..5, diagonal d=-2)
+    val docs = Seq(
+      (1L, "x1 x2 a b c d e x3"),
+      (2L, "a b c d e y1 y2 y3"),
+      (3L, "nothing shared here at all among these")).toDF("doc_id", "text")
+    val got = dedup.crossSubstringPairs(docs, "text", "doc_id", minLen = 3)
+      .as[(Long, Long, Int, Int, Int, Int, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 3, 7, 1, 5, 5L)))
+    // a run occurring TWICE in one doc pairs on two diagonals -> two
+    // separate maximal extents against the single-occurrence doc
+    val multi = Seq(
+      (4L, "a b c a b c"),
+      (5L, "a b c")).toDF("doc_id", "text")
+    val m = dedup.crossSubstringPairs(multi, "text", "doc_id", minLen = 3)
+      .as[(Long, Long, Int, Int, Int, Int, Long)].collect().sortBy(_._3).toSeq
+    assert(m == Seq((4L, 5L, 1, 3, 1, 3, 3L), (4L, 5L, 4, 6, 1, 3, 3L)))
+    // the occurrence cap drops a boilerplate gram BEFORE pairing
+    val capped = dedup.crossSubstringPairs(
+      Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b c"), (4L, "a b c"))
+        .toDF("doc_id", "text"), "text", "doc_id", minLen = 3, maxOcc = 3)
+    assert(capped.count() == 0L, "4 occurrences > maxOcc=3 must drop the gram")
+    intercept[IllegalArgumentException] {
+      dedup.crossSubstringPairs(docs, "text", "doc_id", minLen = 1)
+    }
+  }
+
+  test("removeCrossDupSubstrings: keep-first excision, untouched docs pass through") {
+    val docs = Seq(
+      (1L, "x1 x2 a b c d e x3"),
+      (2L, "a b c d e y1 y2 y3"),
+      (3L, "nothing shared here at all among these")).toDF("doc_id", "text")
+    val cleaned = dedup.removeCrossDupSubstrings(docs, "text", "doc_id",
+        minLen = 3)
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    // doc 1 (lowest id) KEEPS its copy; doc 2 drops tokens 1..5
+    assert(cleaned(1L) == "x1 x2 a b c d e x3")
+    assert(cleaned(2L) == "y1 y2 y3")
+    assert(cleaned(3L) == "nothing shared here at all among these")
+    // a doc whose whole text is a duplicated extent empties cleanly
+    val pair = Seq((4L, "a b c"), (5L, "a b c")).toDF("doc_id", "text")
+    val c2 = dedup.removeCrossDupSubstrings(pair, "text", "doc_id", minLen = 3)
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    assert(c2(4L) == "a b c" && c2(5L) == "")
+  }
+
   test("connectedComponents matches union-find on a random graph and a long chain") {
     // chain 0-1-2-...-29: worst case for naive min-label propagation
     val chain = (0L until 29L).map(i => (i, i + 1))

@@ -158,11 +158,17 @@ class PlanQualitySpec extends SparkSpec {
     // id-keyed join (its only BNLJ is the 1-row bounds broadcast) — an
     // all-pairs regression would surface as a cartesian here.
     Seq("dedup_minhash_pairs", "dedup_emb_neardup", "ann_lsh_topk",
-      "hybrid_rrf_topk", "eval_self_bleu")
+      "hybrid_rrf_topk", "eval_self_bleu", "dedup_substring_pairs")
       .foreach { q =>
         val p = plan(q)
         assert(!p.contains("CartesianProduct"), s"$q degenerated to a cartesian product")
       }
+    // the substring matcher's self-join must be keyed on the gram
+    // fingerprint (an equi-join), and the occurrence-cap anti-join must
+    // broadcast the thin hot list
+    val sp = plan("dedup_substring_pairs")
+    assert(sp.contains("BroadcastHashJoin") || sp.contains("BroadcastExchange"),
+      "substring occurrence cap must broadcast the hot-fp list")
   }
 
   test("batch scoring broadcasts the query side, never the store") {
