@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.{Cmp, Metric, VecStore}
 import graft.functions.{hashing, vectors}
-import graft.ops.{ann, asof, bpe, decontam, dedup, evals, multimodal, rel, retrieval, sample, sketch, text}
+import graft.ops.{ann, asof, bpe, decontam, dedup, evals, multimodal, rel, retrieval, sample, sketch, text, unigram}
 import graft.streaming.EventStream
 
 /** Driver contract — one named query per implemented operator
@@ -586,6 +586,77 @@ object SparkEntry {
       .map(i => s"""SELECT $i AS step, l AS "left", r AS "right", pc AS pair_count FROM b$i""")
       .mkString("\nUNION ALL ")
     (head ++ rounds).mkString("WITH ", ",\n", "\n") + emit + "\nORDER BY step"
+  }
+
+  /** Unrolled unigram-LM training oracle (the [[sqlBpeTrain]] pattern):
+    * per EM round, the Viterbi DP unrolls one CTE per token position
+    * (`maxWordLen` is the FIXTURE's max token length — 8 at every SF),
+    * candidates as (score, length) structs whose `list_max` is exactly
+    * the trainer's longer-piece tie-break, then a recursive backtrace
+    * reads the picked lengths and a piece-keyed usage fold closes the
+    * round. Scores re-derive per round from the same integer freqs. */
+  private def sqlUnigramTrain(
+      seedSize: Int, maxPieceLen: Int, rounds: Int, minUsage: Long,
+      keepTop: Int, maxWordLen: Int): String = {
+    val unk = graft.ops.unigram.UnkScoreQ6
+    val ctes = scala.collection.mutable.ArrayBuffer.empty[String]
+    ctes += s"""w0 AS MATERIALIZED (SELECT t AS w, count(*)::BIGINT AS cnt FROM (
+       |  SELECT unnest($SqlToks) AS t FROM documents) GROUP BY t)""".stripMargin
+    ctes += s"""sub AS MATERIALIZED (SELECT piece, sum(cnt)::BIGINT AS freq FROM (
+       |    SELECT cnt, substr(w, s.i, l.j) AS piece
+       |    FROM w0, LATERAL unnest(range(1, len(w)+1)) s(i),
+       |         LATERAL unnest(range(1, least($maxPieceLen, len(w) - s.i + 1)+1)) l(j)
+       |  ) GROUP BY piece)""".stripMargin
+    ctes += s"p1 AS MATERIALIZED (SELECT piece, freq FROM sub " +
+      s"ORDER BY freq DESC, piece LIMIT $seedSize)"
+    for (r <- 1 to rounds) {
+      ctes += s"""s$r AS MATERIALIZED (SELECT piece,
+         |  (floor(ln(freq::DOUBLE)*1000000)
+         |    - (SELECT floor(ln(sum(freq)::DOUBLE)*1000000) FROM p$r))::BIGINT AS sc
+         |  FROM p$r)""".stripMargin
+      for (i <- 1 to maxWordLen) {
+        val cands = scala.collection.mutable.ArrayBuffer.empty[String]
+        val joins = scala.collection.mutable.ArrayBuffer.empty[String]
+        for (l <- 1 to math.min(maxPieceLen, i)) {
+          val prev = if (i - l == 0) "0" else s"pb$l.m.s"
+          if (i - l >= 1) joins += s"LEFT JOIN b${r}_${i - l} pb$l ON pb$l.w = w0.w"
+          joins += s"LEFT JOIN s$r px$l ON px$l.piece = substr(w0.w, ${i - l + 1}, $l)"
+          val sc = if (l == 1) s"coalesce(px$l.sc, $unk)" else s"px$l.sc"
+          cands += s"struct_pack(s := $prev + $sc, l := $l)"
+        }
+        ctes += s"""b${r}_$i AS MATERIALIZED (
+           |  SELECT w0.w AS w, w0.cnt AS cnt,
+           |    list_max(list_filter([${cands.mkString(", ")}],
+           |      x -> x.s IS NOT NULL)) AS m
+           |  FROM w0 ${joins.mkString(" ")}
+           |  WHERE len(w0.w) >= $i)""".stripMargin
+      }
+      val un = (1 to maxWordLen)
+        .map(i => s"SELECT w, cnt, $i AS pos, m.l AS pl FROM b${r}_$i")
+        .mkString(" UNION ALL ")
+      ctes += s"B$r AS MATERIALIZED ($un)"
+      ctes += s"""bt$r(w, cnt, pos) AS (
+         |  SELECT w, cnt, len(w) FROM w0
+         |  UNION ALL
+         |  SELECT bt.w, bt.cnt, bt.pos - B.pl FROM bt$r bt
+         |  JOIN B$r B ON B.w = bt.w AND B.pos = bt.pos
+         |  WHERE bt.pos > 0)""".stripMargin
+      ctes += s"""u$r AS MATERIALIZED (
+         |  SELECT seg.piece, sum(seg.cnt)::BIGINT AS usage FROM (
+         |    SELECT substr(bt.w, bt.pos - B.pl + 1, B.pl) AS piece, bt.cnt AS cnt
+         |    FROM bt$r bt JOIN B$r B ON B.w = bt.w AND B.pos = bt.pos
+         |    WHERE bt.pos > 0) seg
+         |  JOIN p$r ON p$r.piece = seg.piece
+         |  GROUP BY seg.piece)""".stripMargin
+      ctes += s"p${r + 1} AS MATERIALIZED (SELECT piece, usage AS freq " +
+        s"FROM u$r WHERE usage >= $minUsage)"
+    }
+    s"WITH RECURSIVE ${ctes.mkString(",\n")}\n" +
+      s"""SELECT piece, freq,
+         |  (floor(ln(freq::DOUBLE)*1000000)
+         |    - (SELECT floor(ln(sum(freq)::DOUBLE)*1000000)
+         |       FROM p${rounds + 1}))::BIGINT AS score_q6
+         |FROM p${rounds + 1} ORDER BY freq DESC, piece LIMIT $keepTop""".stripMargin
   }
 
   private def sqlBm25Top(k: Int): String =
@@ -1183,6 +1254,15 @@ object SparkEntry {
       bpe.train(table(s, dir, "documents"), "text",
           merges = 12, minPairCount = 2)
         .orderBy(col("step"))),
+
+    // north-star: unigram-LM (SentencePiece-style) tokenizer training —
+    // the BPE companion: seed from frequent substrings, Viterbi hard-EM
+    // rounds over the word vocabulary (corpus read once; pieces are
+    // bounded driver literals), prune by usage. Oracle unrolls both EM
+    // rounds' DP position-by-position (sqlUnigramTrain).
+    "text_unigram_train" -> ((s, dir) =>
+      unigram.train(table(s, dir, "documents"), "text", seedSize = 60,
+        maxPieceLen = 3, rounds = 2, minUsage = 2L, keepTop = 40)),
 
     // north-star: cross-corpus token shift — what changed between two
     // domains (en vs de here); smoothed log-ratio, vocab-sized work.
@@ -4459,6 +4539,14 @@ object SparkEntry {
     // The trainer's 12 rounds unrolled in DuckDB — an independent
     // re-derivation of the merge rules, not a pinned transcript.
     "text_bpe_merges" -> sqlBpeTrain(merges = 12, minPair = 2L),
+
+    // The unigram trainer's 2 EM rounds unrolled — an independent
+    // re-derivation of seed, per-round Viterbi DP (one CTE per token
+    // position; the fixture's max token length is 8 at every SF),
+    // recursive backtrace, usage fold, and prune.
+    "text_unigram_train" -> sqlUnigramTrain(seedSize = 60,
+      maxPieceLen = 3, rounds = 2, minUsage = 2L, keepTop = 40,
+      maxWordLen = 8),
 
     // Shared smoothed-unigram CTE chain for the two cross-corpus
     // queries: identical add-one smoothing, identical op order.

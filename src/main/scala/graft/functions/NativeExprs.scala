@@ -253,6 +253,24 @@ object NativeExprs {
   def bpeEncode(c: Column, rules: Seq[(String, String)]): Column =
     column(BpeEncodeExpr(expression(c), rules.toIndexedSeq))
 
+  /** Column: Viterbi-best unigram-LM segmentation of a TEXT column —
+    * lowercase whitespace tokens, each split to code points and
+    * segmented into the piece sequence maximizing the sum of
+    * driver-literal integer `pieces` scores (q6 log-probs), flattened
+    * to one array per row. A code point covered by no piece falls back
+    * to a single-character step at `unkScoreQ6` (the UNK convention),
+    * so every token is always segmentable. Score ties prefer the
+    * LONGER piece at each DP cell — deterministic, and mirrored by the
+    * oracle's (score, length) struct-max. One compiled pass; the DP is
+    * O(len·maxPieceLen) per token. Trainer: [[graft.ops.unigram]]. */
+  def unigramSegment(
+      c: Column,
+      pieces: Seq[(String, Long)],
+      maxPieceLen: Int,
+      unkScoreQ6: Long): Column =
+    column(UnigramSegmentExpr(expression(c), pieces.toIndexedSeq,
+      maxPieceLen, unkScoreQ6))
+
   /** One greedy merge pass on UTF8String symbols (shared by the merge and
     * encode kernels). */
   private[functions] def bpeMergePassOf(
@@ -1450,6 +1468,81 @@ case class BpeEncodeExpr(child: Expression, rules: IndexedSeq[(String, String)])
   }
   override protected def withNewChildInternal(newChild: Expression): BpeEncodeExpr =
     copy(child = newChild)
+}
+
+/** See [[NativeExprs.unigramSegment]]. Viterbi over code points with
+  * integer scores: `best(i) = max over l in 1..maxPieceLen of
+  * best(i-l) + score(cp[i-l..i))`, unknown single code points scored
+  * `unkScoreQ6`, ties preferring larger l. Backtrace emits the piece
+  * strings in order. */
+case class UnigramSegmentExpr(
+    child: Expression,
+    pieces: IndexedSeq[(String, Long)],
+    maxPieceLen: Int,
+    unkScoreQ6: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "unigram_segment"
+  @transient private lazy val scoreOf: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](pieces.size * 2)
+    pieces.foreach { case (p, s) => m.put(p, s) }
+    m
+  }
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toLowerCase.toString
+      .split("\\s+", -1)
+    val out = new scala.collection.mutable.ArrayBuffer[AnyRef]()
+    var t = 0
+    while (t < toks.length) {
+      if (toks(t).nonEmpty) {
+        val cps = NativeExprs.codePointsOf(toks(t))
+          .map(_.asInstanceOf[UTF8String].toString)
+        val n = cps.length
+        val best = Array.fill(n + 1)(Long.MinValue)
+        val pickL = new Array[Int](n + 1)
+        best(0) = 0L
+        var i = 1
+        while (i <= n) {
+          var l = 1
+          val lMax = math.min(maxPieceLen, i)
+          while (l <= lMax) {
+            val prev = best(i - l)
+            if (prev != Long.MinValue) {
+              val piece = if (l == 1) cps(i - 1)
+                else cps.slice(i - l, i).mkString
+              val sc = scoreOf.get(piece)
+              val scl: Long =
+                if (sc != null) sc.longValue()
+                else if (l == 1) unkScoreQ6
+                else Long.MinValue
+              if (scl != Long.MinValue) {
+                val cand = prev + scl
+                if (cand > best(i) || (cand == best(i) && l > pickL(i))) {
+                  best(i) = cand
+                  pickL(i) = l
+                }
+              }
+            }
+            l += 1
+          }
+          i += 1
+        }
+        val segs = new scala.collection.mutable.ArrayBuffer[AnyRef]()
+        var pos = n
+        while (pos > 0) {
+          val l = pickL(pos)
+          segs += UTF8String.fromString(
+            if (l == 1) cps(pos - 1) else cps.slice(pos - l, pos).mkString)
+          pos -= l
+        }
+        out ++= segs.reverse
+      }
+      t += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(
+      newChild: Expression): UnigramSegmentExpr = copy(child = newChild)
 }
 
 case class MinShingleFpExpr(child: Expression, n: Int)
