@@ -2603,6 +2603,25 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // north-star: end-to-end drift card — ONE histDriftStream sink
+    // snapshot ($1 bins per day) feeds all three readouts (PSI banded
+    // verdict, KS sharpest CDF gap, EMD mass moved) against the pinned
+    // day-1 reference from the SAME snapshot; grid cut once, finishes
+    // grid-sized, day-1 self-scores (0, 0, 0).
+    "pipeline_drift_card" -> ((s, dir) => {
+      val ev = events(s, dir).where(col("value").isNotNull)
+      val cents = floor(col("value") * 100.0).cast("long")
+      val grid = graft.ops.ckpt.cut(
+        EventStream.histDriftStream(ev, cents, binWidth = 100L,
+            windowDur = "1 day")
+          .withColumn("day", date_format(col("win.start"), "yyyy-MM-dd"))
+          .drop("win"))
+      val ref = grid.where(col("day") === "2024-01-01")
+        .select(col("bin"), col("n"))
+      sample.driftCard(ref, grid, Seq("day"), binWidth = 100L)
+        .orderBy(col("day"))
+    }),
+
     // north-star: stratified sampling — rebalance a language-skewed
     // corpus with per-stratum keep rates; still a pure scan filter.
     "sample_stratified" -> ((s, dir) =>
@@ -9584,6 +9603,59 @@ object SparkEntry {
         |      / (tr::DOUBLE * tc::DOUBLE) * 1000000.0 + 0.5) / 1000000.0
         |  END AS ks_q6
         |FROM c GROUP BY 1, 2, 3 ORDER BY day""".stripMargin,
+
+    // Drift card: one grid, day-1 reference from the SAME grid, one
+    // union domain feeding the PSI terms, the KS/EMD cumulative pass,
+    // and the three-way join.
+    "pipeline_drift_card" ->
+      """WITH cur AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |    floor(floor(value * 100.0)::BIGINT::DOUBLE / 100.0)::BIGINT
+        |      AS bin, count(*)::BIGINT AS nc
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |ref AS (SELECT bin, nc AS nr FROM cur WHERE day = '2024-01-01'),
+        |dom AS (SELECT day, bin, nr
+        |  FROM (SELECT DISTINCT day FROM cur) CROSS JOIN ref),
+        |j AS (SELECT coalesce(dom.day, cur.day) AS day,
+        |    coalesce(dom.bin, cur.bin) AS bin,
+        |    coalesce(nr, 0)::BIGINT AS nr, coalesce(nc, 0)::BIGINT AS nc
+        |  FROM dom FULL OUTER JOIN cur
+        |    ON dom.day = cur.day AND dom.bin = cur.bin),
+        |t AS (SELECT day, sum(nr)::BIGINT AS tr, sum(nc)::BIGINT AS tc,
+        |    count(*)::BIGINT AS vb FROM j GROUP BY 1),
+        |psi AS (SELECT day, max(tc)::BIGINT AS n_cur, max(vb)::BIGINT AS bins,
+        |    floor(sum(term)::DOUBLE / 1000000000000.0 * 1000000.0 + 0.5)
+        |      / 1000000.0 AS psi_q6
+        |  FROM (SELECT j.day, tc, vb,
+        |      floor(((nc::DOUBLE + 1.0) / (tc::DOUBLE + vb::DOUBLE)
+        |          - (nr::DOUBLE + 1.0) / (tr::DOUBLE + vb::DOUBLE))
+        |        * ln(((nc::DOUBLE + 1.0) / (tc::DOUBLE + vb::DOUBLE))
+        |          / ((nr::DOUBLE + 1.0) / (tr::DOUBLE + vb::DOUBLE)))
+        |        * 1000000000000.0)::BIGINT AS term
+        |    FROM j JOIN t USING (day)) GROUP BY 1),
+        |c AS (SELECT day, bin,
+        |    sum(nr) OVER (PARTITION BY day ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS ca,
+        |    sum(nc) OVER (PARTITION BY day ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cc,
+        |    sum(nr) OVER (PARTITION BY day)::BIGINT AS tr,
+        |    sum(nc) OVER (PARTITION BY day)::BIGINT AS tc,
+        |    lead(bin) OVER (PARTITION BY day ORDER BY bin) - bin AS gap
+        |  FROM j),
+        |ks AS (SELECT day, tr AS n_ref,
+        |    CASE WHEN tr > 0 AND tc > 0 THEN
+        |      floor(max(abs(ca * tc - cc * tr))::DOUBLE
+        |        / (tr::DOUBLE * tc::DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        |    END AS ks_q6
+        |  FROM c GROUP BY day, tr, tc),
+        |emd AS (SELECT day,
+        |    CASE WHEN tr > 0 AND tc > 0 THEN
+        |      floor(sum(abs(ca * tc - cc * tr) * gap)::DOUBLE * 100.0
+        |        / (tr::DOUBLE * tc::DOUBLE) * 10000.0 + 0.5) / 10000.0
+        |    END AS emd_q4
+        |  FROM c WHERE gap IS NOT NULL GROUP BY day, tr, tc)
+        |SELECT psi.day, n_ref, n_cur, bins, psi_q6, ks_q6, emd_q4
+        |FROM psi JOIN ks USING (day) JOIN emd USING (day)
+        |ORDER BY psi.day""".stripMargin,
 
     // Diagonal-FID drift: per-dim exact integer moments of each label
     // half, fixed-order double readout, 1e-12 fixed-point terms.

@@ -1225,6 +1225,40 @@ object sample {
     * readout of the drift sink). `binWidth` scales bin gaps back to
     * value units and must be the width the grids were built with.
     * Returns `(groupKeys…, n_ref, n_cur, emd_num, emd_q4)`. */
+  /** One-stop DRIFT CARD: PSI + KS + EMD per group against ONE
+    * reference grid — the three finishes of the same [[histGrid]] /
+    * [[graft.streaming.EventStream.histDriftStream]] sink snapshot joined into a
+    * single readout row per group, the distribution-shift analogue of
+    * the corpus-report composition: PSI for the banded
+    * stable/moderate/major verdict, KS for the sharpest single-point
+    * CDF gap, EMD for how FAR the mass moved. A group scored against
+    * its own bins reads (0, 0, 0) — the self-consistency row.
+    *
+    * Scale shape: callers should [[ckpt]]-cut the grid so the three
+    * finishes reread GRID rows (one corpus scan total); every stage is
+    * grid-sized and the final join keys on the thin group domain.
+    * Returns `(groupKeys…, n_ref, n_cur, bins, psi_q6, ks_q6,
+    * emd_q4)`. */
+  def driftCard(
+      ref: DataFrame,
+      cur: DataFrame,
+      groupKeys: Seq[String],
+      binWidth: Long = 1L): DataFrame = {
+    val psi = psiFrom(ref, cur, groupKeys)
+      .select((groupKeys.map(col) :+ col("n_cur") :+ col("bins")
+        :+ col("psi_q6")): _*)
+    val ks = ksFrom(ref, cur, groupKeys)
+      .select((groupKeys.map(col) :+ col("n_ref") :+ col("ks_q6")): _*)
+    val emd = emdFrom(ref, cur, groupKeys, binWidth)
+      .select((groupKeys.map(col) :+ col("emd_q4")): _*)
+    // one row per group on every side — broadcast the ks/emd readouts
+    // so the card never sort-merge joins its own thin group domain
+    psi.join(broadcast(ks), groupKeys).join(broadcast(emd), groupKeys)
+      .select((groupKeys.map(col) :+ col("n_ref") :+ col("n_cur")
+        :+ col("bins") :+ col("psi_q6") :+ col("ks_q6")
+        :+ col("emd_q4")): _*)
+  }
+
   def emdFrom(
       ref: DataFrame,
       cur: DataFrame,

@@ -154,6 +154,43 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("driftCard: streamed snapshot card == batch card; self-window reads (0, 0, 0)") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val sdf = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val cents = floor(col("value") * 100.0).cast("long")
+    val q = EventStream.histDriftStream(sdf, cents, binWidth = 200L,
+        windowDur = "1 hour")
+      .writeStream.format("memory").queryName("drift_card_grid")
+      .outputMode("complete").start()
+    try {
+      mem.addData(batch.as[(Long, Timestamp, Long, String, Double, String)]
+        .collect().toSeq)
+      q.processAllAvailable()
+      // the full fit->finish card off a grid: first window is the
+      // pinned reference, all three readouts join per window
+      def card(grid: org.apache.spark.sql.DataFrame) = {
+        val snap = grid
+          .withColumn("w", date_format(col("win.start"), "HH:mm")).drop("win")
+        val w0 = snap.orderBy("w").select("w").head().getString(0)
+        val ref = snap.where(col("w") === w0).select("bin", "n")
+        graft.ops.sample.driftCard(ref, snap, Seq("w"), binWidth = 200L)
+          .orderBy("w")
+          .as[(String, Long, Long, Long, Double, Double, Double)]
+          .collect().toSeq
+      }
+      val streamed = card(spark.table("drift_card_grid"))
+      val batched = card(EventStream.histDriftStream(batch, cents,
+        binWidth = 200L, windowDur = "1 hour"))
+      assert(streamed == batched && streamed.nonEmpty,
+        s"stream=$streamed batch=$batched")
+      // the reference window scored against itself: PSI = KS = EMD = 0
+      val self = streamed.head
+      assert(self._5 == 0.0 && self._6 == 0.0 && self._7 == 0.0,
+        s"self-window must read a zero card, got $self")
+    } finally q.stop()
+  }
+
   test("windowedAgg APPEND mode: watermark closes windows; LATE data is dropped, not counted") {
     // The complete-mode test above checks values; this one checks the
     // EVICTION contract bounded state depends on: a window only emits

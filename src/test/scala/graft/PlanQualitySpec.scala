@@ -124,11 +124,12 @@ class PlanQualitySpec extends SparkSpec {
       s"kendall pairs grid cells via BNLJ: ${kt.take(600)}")
     // the PSI/KS daily finishes broadcast the bounded ref grid onto the
     // day domain; no sort-merge join anywhere
-    Seq("events_psi_drift", "events_ks_daily").foreach { q =>
-      val p = plan(q)
-      assert(p.contains("BroadcastExchange"), s"$q broadcasts the ref grid")
-      assert(!p.contains("SortMergeJoin"), s"$q must not sort-merge join")
-    }
+    Seq("events_psi_drift", "events_ks_daily", "pipeline_drift_card")
+      .foreach { q =>
+        val p = plan(q)
+        assert(p.contains("BroadcastExchange"), s"$q broadcasts the ref grid")
+        assert(!p.contains("SortMergeJoin"), s"$q must not sort-merge join")
+      }
     // embedding drift joins two d-row moment grids — broadcast-sized
     val ed = plan("ann_embed_drift")
     assert(!ed.contains("SortMergeJoin"),
