@@ -70,9 +70,23 @@ object Bench {
     SparkEntry.prebuildIndexes(spark, sfDir)
     // Optional focus list for perf iteration: SPARK_GRAFT_ONLY=q1,q2
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val selected = only match {
-      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
-      case None        => SparkEntry.queries
+    // Family sharding (suite-growth governance): SPARK_GRAFT_FAMILIES=
+    // dedup,text runs only those name-prefix families, so the driver
+    // can split a growing suite across invocations; the clean-core
+    // pass still runs in every shard (16 s, and it is the cross-round
+    // comparable), so sharded `value` totals sum to a full run's total
+    // while each shard remains individually load-rule-checkable.
+    val families = sys.env.get("SPARK_GRAFT_FAMILIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = {
+      val base = only match {
+        case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+        case None        => SparkEntry.queries
+      }
+      families match {
+        case Some(fs) => base.filter { case (n, _) => fs(n.takeWhile(_ != '_')) }
+        case None     => base
+      }
     }
     // Two timed executions per query, keep the MIN: a single-shot number
     // in a shared JVM carries GC/JIT scheduling noise (observed 4x
@@ -97,10 +111,26 @@ object Bench {
     // comparable under a stated load ceiling (BASELINE.md "Core-bench
     // load rule") and the max stamp is the mechanical check — the r12
     // 15.6-18.8 s spread on identical plans was pure ambient load.
-    val coreCleanLoad = scala.collection.mutable.LinkedHashMap[String, String]()
-    val coreClean: Map[String, Double] =
-      if (only.isEmpty)
-        CoreBaselineQueries.toSeq.sorted.flatMap { n =>
+    // The clean pass RETRIES while the host is contended: two rounds
+    // running, the driver artifact's own core_clean_load1_max stamp was
+    // over the <2.0 ceiling (BASELINE.md "Core-bench load rule") and
+    // the valid comparable had to come from a side run. Up to 3
+    // attempts with a brief backoff; the attempt with the LOWEST max
+    // load stamp is the one reported (it is the most valid
+    // measurement), and the attempt count + each attempt's max load are
+    // stamped so a still-contended artifact self-identifies.
+    var coreCleanLoad = scala.collection.mutable.LinkedHashMap[String, String]()
+    var coreClean: Map[String, Double] = Map.empty
+    var coreCleanLoadMax: Double = 0.0
+    val cleanAttemptLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
+    if (only.isEmpty) {
+      val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_CLEAN_ATTEMPTS", "3").toInt
+      val backoffMs = sys.env.getOrElse("SPARK_GRAFT_CLEAN_BACKOFF_MS", "45000").toLong
+      var attempt = 0
+      var done = false
+      while (!done) {
+        val loadHere = scala.collection.mutable.LinkedHashMap[String, String]()
+        val timesHere = CoreBaselineQueries.toSeq.sorted.flatMap { n =>
           SparkEntry.queries.get(n).flatMap { fn =>
             val ts = (0 until math.max(1, runs)).flatMap { _ =>
               val t0 = System.nanoTime()
@@ -109,17 +139,25 @@ object Bench {
                 Some((System.nanoTime() - t0) / 1e9)
               } catch { case _: Throwable => None }
             }
-            coreCleanLoad(n) = loadavg().split(" ").head
+            loadHere(n) = loadavg().split(" ").head
             if (ts.nonEmpty) Some(n -> ts.min) else None
           }
         }.toMap
-      else Map.empty
-    val coreCleanTotal = coreClean.values.sum
-    val coreCleanLoadMax: Double = {
-      val vs = coreCleanLoad.values
-        .flatMap(v => scala.util.Try(v.toDouble).toOption)
-      if (vs.isEmpty) 0.0 else vs.max
+        val maxHere = {
+          val vs = loadHere.values.flatMap(v => scala.util.Try(v.toDouble).toOption)
+          if (vs.isEmpty) 0.0 else vs.max
+        }
+        cleanAttemptLoads += maxHere
+        if (attempt == 0 || maxHere < coreCleanLoadMax) {
+          coreClean = timesHere; coreCleanLoad = loadHere
+          coreCleanLoadMax = maxHere
+        }
+        attempt += 1
+        done = coreCleanLoadMax < 2.0 || attempt >= maxAttempts
+        if (!done) Thread.sleep(backoffMs)
+      }
     }
+    val coreCleanTotal = coreClean.values.sum
     val load1AfterClean = loadavg().split(" ").head
     // The timed action is a noop-sink WRITE, not count(): count() lets
     // the optimizer prune every computed column (and eliminate
@@ -132,6 +170,12 @@ object Bench {
     // speedup. Failed queries report -1 and are named in an "errors" map
     // with the exception class+message of the last attempt.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Per-query 1-min load stamp for the FULL suite (taken right after
+    // each query's timed runs): a named-row spike in the driver
+    // artifact self-identifies as ambient load from the artifact alone
+    // — the round-13 dedup_lines 4.3 s needed a manual re-run precisely
+    // because only the clean-40 carried stamps.
+    val qLoads = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = selected.map { case (name, fn) =>
       // reset BEFORE the timed runs: the shared listener retains the
       // previous query's stats, and async delivery means "non-empty"
@@ -162,6 +206,7 @@ object Bench {
             s""""score_ms":${p.scoreMs},"merge_ms":${p.mergeMs}}"""
         }
       }
+      qLoads(name) = loadavg().split(" ").head
       if (times.nonEmpty) errors.remove(name) // transient failure, run succeeded
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
@@ -175,7 +220,7 @@ object Bench {
     // Per-family subtotals (prefix before the first '_'): the compact
     // driver artifact buckets most queries into "_other_N", so a family
     // regression needs these to attribute itself from artifacts alone.
-    val families: Seq[(String, Double)] = ok.toSeq
+    val familyTotals: Seq[(String, Double)] = ok.toSeq
       .groupBy { case (n, _) =>
         val f = n.takeWhile(_ != '_'); if (f.isEmpty) "other" else f }
       .map { case (f, qs) => f -> qs.map(_._2).sum }
@@ -200,18 +245,23 @@ object Bench {
       val cleanLoads = coreCleanLoad
         .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
         .mkString("{", ",", "}")
-      val fams = families.map { case (f, v) => "\"" + f + "\":" + v }
+      val allLoads = qLoads
+        .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+        .mkString("{", ",", "}")
+      val attempts = cleanAttemptLoads.mkString("[", ",", "]")
+      val fams = familyTotals.map { case (f, v) => "\"" + f + "\":" + v }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},""" +
         s""""sec_per_query":$perQuery,"core_total":$coreTotal,"core_n":${core.size},""" +
         s""""core_total_clean":$coreCleanTotal,"core_clean_n":${coreClean.size},""" +
         s""""core_clean_load1_max":$coreCleanLoadMax,""" +
+        s""""core_clean_attempt_loads":$attempts,""" +
         s""""core_clean_load1":$cleanLoads,""" +
         s""""load1_after_clean":"$load1AfterClean",""" +
         s""""runs":$runs,""" +
         s""""families":$fams,""" +
         s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +
-        s""""queries":$qs,"errors":$errs$phases,"sf":"$sfDir"}"""
+        s""""queries":$qs,"loads":$allLoads,"errors":$errs$phases,"sf":"$sfDir"}"""
     }
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
@@ -265,16 +315,25 @@ object Bench {
           if (top.isEmpty) ""
           else top.mkString(""","phases_top":{""", ",", "}")
         }
-      val fams = families.map { case (f, v) => "\"" + f + "\":" + fmt(v, 3) }
+      // load stamps for the SHOWN expensive rows: a spike in the
+      // compact artifact carries its own ambient-load evidence
+      val loadsTop = {
+        val top = byCost.take(5).flatMap { case (k, _) =>
+          qLoads.get(k).map(v => "\"" + k + "\":\"" + v + "\"") }
+        if (top.isEmpty) ""
+        else top.mkString(""","loads_top":{""", ",", "}")
+      }
+      val fams = familyTotals.map { case (f, v) => "\"" + f + "\":" + fmt(v, 3) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec",""" +
         s""""n_queries":${ok.size},"sec_per_query":${fmt(if (ok.nonEmpty) total / ok.size else 0.0, 3)},""" +
         s""""core_total":${fmt(coreTotal, 3)},"core_n":${core.size},""" +
         s""""core_total_clean":${fmt(coreCleanTotal, 3)},"core_clean_n":${coreClean.size},""" +
         s""""core_clean_load1_max":${fmt(coreCleanLoadMax, 2)},""" +
+        s""""core_clean_attempts":${cleanAttemptLoads.size},""" +
         s""""load1_start":"${loadStart.split(" ").head}","load1_end":"${loadEnd.split(" ").head}",""" +
         s""""families":$fams,""" +
-        s""""queries":${shown.mkString("{", ",", "}")}$phasesTop$errs,"sf":"$sfName"}"""
+        s""""queries":${shown.mkString("{", ",", "}")}$phasesTop$loadsTop$errs,"sf":"$sfName"}"""
     }
     var keepQ = byCost.size
     var keepE = errSeq.size
