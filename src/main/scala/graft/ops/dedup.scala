@@ -398,14 +398,14 @@ object dedup {
     require(minLen >= 2 && maxOcc >= 2,
       s"graft: crossSubstringPairs needs minLen >= 2, maxOcc >= 2; " +
         s"got $minLen, $maxOcc")
-    val t = df.select(col(idCol).as("_id"),
-        graft.ops.text.tokens(col(textCol)).as("toks"))
-      .where(size(col("toks")) >= minLen)
-    val grams = t.select(col("_id"), posexplode(transform(
-        sequence(lit(1), size(col("toks")) - (minLen - 1)),
-        i => md5(concat_ws(" ", slice(col("toks"), i, lit(minLen))))))
-        .as(Seq("p", "fp")))
-      .select(col("_id"), (col("p") + 1).as("i"), col("fp"))
+    // Gram construction is the compiled wordGrams kernel (one pass per
+    // doc; the HOF transform+slice+concat_ws form re-evaluates its
+    // lambda interpreted per gram — measured 1.5x slower here) + the
+    // codegen'd md5; a doc with < minLen tokens yields no grams.
+    val grams = df.select(col(idCol).as("_id"),
+        posexplode(graft.functions.NativeExprs.wordGrams(col(textCol),
+          minLen)).as(Seq("p", "g")))
+      .select(col("_id"), (col("p") + 1).as("i"), md5(col("g")).as("fp"))
       .repartition(col("fp"))
     val hot = grams.groupBy(col("fp"))
       .agg(count(lit(1)).as("_n")).where(col("_n") > maxOcc)
