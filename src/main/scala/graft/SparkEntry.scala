@@ -2074,6 +2074,19 @@ object SparkEntry {
         .orderBy(col("src"), col("rnk"))
     }),
 
+    // north-star: margin-based pair mining (Artetxe & Schwenk 2019 —
+    // the CCMatrix/NLLB bitext score): forward kNN cosine normalized by
+    // both endpoints' neighborhood averages, exact-integer num/den,
+    // mined set = ratio margin >= 1.
+    "ann_margin_mine" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      ann.marginMine(
+          emb.where(col("vec_id") % 7 === 0),
+          emb.where(col("vec_id") % 7 =!= 0), k = 2, threshold = 1.0,
+          nbits = 6)
+        .orderBy(col("src"), col("dst"))
+    }),
+
     // deterministic fixed-point PageRank over the kNN similarity graph —
     // document centrality for curation; every rank is an exact long.
     // Edges come from the memoized [[knnEdges]] parquet (graph built
@@ -6005,6 +6018,48 @@ object SparkEntry {
          |r AS (SELECT src, dst, cos,
          |  row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk FROM p)
          |SELECT src, dst, cos, rnk FROM r WHERE rnk <= 2 ORDER BY src, rnk""".stripMargin,
+
+    // Margin mining: the knn-join chain BOTH directions, q4-long
+    // neighborhood sums, cleared-denominator exact margin, one
+    // quantized division at the readout.
+    "ann_margin_mine" ->
+      s"""WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |b AS (SELECT vec_id, e, (${sqlLshSig(0, 6, 64)}) AS sig FROM s),
+         |l AS (SELECT * FROM b WHERE vec_id % 7 = 0),
+         |rr AS (SELECT * FROM b WHERE vec_id % 7 != 0),
+         |cf AS (SELECT l.vec_id AS src, rr.vec_id AS dst, l.e AS ea, rr.e AS eb
+         |  FROM l JOIN rr ON l.sig = rr.sig),
+         |pf AS (SELECT src, dst, floor((list_dot_product(ea, eb)
+         |  * (CASE WHEN list_dot_product(ea, ea) > 0 THEN 1.0/sqrt(list_dot_product(ea, ea)) ELSE 0.0 END)
+         |  * (CASE WHEN list_dot_product(eb, eb) > 0 THEN 1.0/sqrt(list_dot_product(eb, eb)) ELSE 0.0 END)) * 10000.0 + 0.5) / 10000.0 AS cos
+         |  FROM cf),
+         |fwd AS (SELECT src, dst, cos FROM (SELECT src, dst, cos,
+         |  row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
+         |  FROM pf) WHERE rnk <= 2),
+         |cb AS (SELECT rr.vec_id AS src, l.vec_id AS dst, rr.e AS ea, l.e AS eb
+         |  FROM rr JOIN l ON rr.sig = l.sig),
+         |pb AS (SELECT src, dst, floor((list_dot_product(ea, eb)
+         |  * (CASE WHEN list_dot_product(ea, ea) > 0 THEN 1.0/sqrt(list_dot_product(ea, ea)) ELSE 0.0 END)
+         |  * (CASE WHEN list_dot_product(eb, eb) > 0 THEN 1.0/sqrt(list_dot_product(eb, eb)) ELSE 0.0 END)) * 10000.0 + 0.5) / 10000.0 AS cos
+         |  FROM cb),
+         |bwd AS (SELECT src, dst, cos FROM (SELECT src, dst, cos,
+         |  row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rnk
+         |  FROM pb) WHERE rnk <= 2),
+         |fa AS (SELECT src, sum(floor(cos * 10000.0 + 0.5)::BIGINT)::BIGINT AS sf,
+         |  count(*)::BIGINT AS kf FROM fwd GROUP BY src),
+         |ba AS (SELECT src AS dst, sum(floor(cos * 10000.0 + 0.5)::BIGINT)::BIGINT AS sb,
+         |  count(*)::BIGINT AS kb FROM bwd GROUP BY src),
+         |m AS (SELECT f.src, f.dst, f.cos,
+         |    (floor(f.cos * 10000.0 + 0.5)::BIGINT * 2 * kf * kb)::BIGINT AS margin_num,
+         |    (sf * kb + sb * kf)::BIGINT AS margin_den
+         |  FROM fwd f JOIN fa USING (src) JOIN ba USING (dst)),
+         |q AS (SELECT src, dst, cos, margin_num, margin_den,
+         |    CASE WHEN margin_den != 0 THEN
+         |      floor(margin_num::DOUBLE / margin_den::DOUBLE * 1000000.0 + 0.5)
+         |        / 1000000.0 END AS margin_q6
+         |  FROM m)
+         |SELECT src, dst, cos, margin_num, margin_den, margin_q6 FROM q
+         |WHERE margin_q6 >= 1.0 ORDER BY src, dst""".stripMargin,
 
     // 3 unrolled integer iterations over the kNN edges; every rank is a
     // long, so the compare is hash-exact with no float discipline at all.

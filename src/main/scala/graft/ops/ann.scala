@@ -853,6 +853,67 @@ object ann {
     knnJoinImpl(df, df, excludeSelf = true, k, idCol, vecCol, dim, tables,
       nbits, bucketCap, scoreDecimals, negLabelCol = Some(labelCol))
 
+  /** Margin-based pair mining (Artetxe & Schwenk 2019, the
+    * CCMatrix/NLLB bitext-mining score): for every forward kNN
+    * candidate `(x, y)`, the RATIO margin
+    * `cos(x,y) / ((avgNN_k(x→tgt) + avgNN_k(y→src)) / 2)` — cosine
+    * normalized by both endpoints' neighborhood density, so hubs
+    * (vectors close to everything) stop flooding the mined set; pairs
+    * with `margin ≥ threshold` (≥ 1 = "closer than both neighborhoods'
+    * average") are the mined alignments. The standard op for mining
+    * parallel text / aligned pairs across two embedded corpora.
+    *
+    * EXACT-INTEGER margin: each kNN cosine is already rounded to 4 dp
+    * ([[knnJoin]]'s rank-on-rounded-score discipline), so its q4 LONG
+    * recovers exactly and the margin clears denominators to
+    * `margin_num = cos_q4·2·k_f·k_b`, `margin_den = Σf_q4·k_b +
+    * Σb_q4·k_f` — exact longs (|num| ≤ 10⁴·2k², far inside int64),
+    * one quantized double division at the readout. Neighborhoods
+    * smaller than k (bucket misses) use their ACTUAL counts — the
+    * standard estimator.
+    *
+    * Scale shape: two [[knnJoin]] passes (thin-row banded candidates,
+    * bucket caps, WindowGroupLimit per-source heaps) + two
+    * source-keyed k-row aggregates + one join of thin (id, sum, count)
+    * tables back onto the forward pair set. Nothing beyond the kNN
+    * joins' own discipline; embeddings never ride the margin stage.
+    *
+    * Returns `(src, dst, cos, margin_num, margin_den, margin_q6)` for
+    * pairs with `margin_q6 ≥ threshold`. */
+  def marginMine(
+      src: DataFrame,
+      tgt: DataFrame,
+      k: Int = 4,
+      threshold: Double = 1.0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      dim: Int = 64,
+      tables: Int = 1,
+      nbits: Int = 6,
+      bucketCap: Int = 4096): DataFrame = {
+    val fwd = knnJoinImpl(src, tgt, excludeSelf = false, k, idCol, vecCol,
+      dim, tables, nbits, bucketCap, 4, obsPrefix = "graft_margin_fwd")
+    val bwd = knnJoinImpl(tgt, src, excludeSelf = false, k, idCol, vecCol,
+      dim, tables, nbits, bucketCap, 4, obsPrefix = "graft_margin_bwd")
+    // cos is a q4-rounded double; floor(·1e4 + 0.5) recovers the exact
+    // integer, so the neighborhood sums fold as exact longs
+    def cq4(c: Column): Column = floor(c * 1e4 + 0.5).cast("long")
+    val fa = fwd.groupBy(col("src"))
+      .agg(sum(cq4(col("cos"))).as("_sf"), count(lit(1)).as("_kf"))
+    val ba = bwd.groupBy(col("src"))
+      .agg(sum(cq4(col("cos"))).as("_sb"), count(lit(1)).as("_kb"))
+      .withColumnRenamed("src", "dst")
+    fwd.join(fa, "src").join(ba, "dst")
+      .withColumn("margin_num", cq4(col("cos")) * 2L * col("_kf") * col("_kb"))
+      .withColumn("margin_den", col("_sf") * col("_kb") + col("_sb") * col("_kf"))
+      .withColumn("margin_q6", when(col("margin_den") =!= 0L,
+        vectors.quantize(col("margin_num").cast("double")
+          / col("margin_den").cast("double"), 6)))
+      .where(col("margin_q6") >= threshold)
+      .select(col("src"), col("dst"), col("cos"),
+        col("margin_num"), col("margin_den"), col("margin_q6"))
+  }
+
   private def knnJoinImpl(
       left: DataFrame,
       right: DataFrame,
@@ -865,7 +926,11 @@ object ann {
       nbits: Int,
       bucketCap: Int,
       scoreDecimals: Int,
-      negLabelCol: Option[String] = None): DataFrame = {
+      negLabelCol: Option[String] = None,
+      // observation names must be unique per query plan; a caller
+      // composing TWO joins in one plan ([[marginMine]]) passes
+      // distinct prefixes
+      obsPrefix: String = "graft_knn"): DataFrame = {
     require(k >= 1, s"graft: knn join needs k >= 1, got $k")
     def sigsOf(df: DataFrame) = df.select(
       (Seq(col(idCol), col(vecCol)) ++
@@ -883,7 +948,7 @@ object ann {
       val allowed = banded
         .groupBy(col("t"), col("key"))
         .agg(count(lit(1)).as("bucket_sz"))
-        .observe(s"graft_knn_$tag",
+        .observe(s"${obsPrefix}_$tag",
           sum(when(col("bucket_sz") > bucketCap, 1L).otherwise(0L)).as("dropped_buckets"),
           max(col("bucket_sz")).as("max_bucket"))
         .where(col("bucket_sz") <= bucketCap)

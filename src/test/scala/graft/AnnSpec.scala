@@ -633,4 +633,30 @@ class AnnSpec extends SparkSpec {
       .orderBy("doc_id").as[(Long, Long, Seq[Double])].collect().toSeq
     assert(shuffled == got)
   }
+
+  test("marginMine: exact hand margins; ratio >= 1 keeps only above-neighborhood pairs") {
+    // all fixture directions share the one LSH bucket (asserted), so
+    // the kNN stage is exact and margins are hand-computable
+    val dirs = Seq(Seq(1.0, 0.0), Seq(2.0, 0.0), Seq(0.8, -0.6))
+    assert(dirs.map(d => ann.lshSignatureOf(d, 0, 1)).distinct.size == 1,
+      "fixture directions must share a bucket")
+    val src = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val tgt = Seq((10L, Seq(2.0f, 0.0f)), (11L, Seq(0.8f, -0.6f)))
+      .toDF("vec_id", "embedding")
+    // fwd of x: cos 1.0 (y10), 0.8 (y11) -> sf = 18000, kf = 2
+    // bwd: y10 -> x cos 1.0 (sb 10000, kb 1); y11 -> x cos 0.8
+    // margin(x, y10) = 10000*2*2*1 / (18000*1 + 10000*2) = 40000/38000
+    // margin(x, y11) = 8000*2*2*1 / (18000*1 + 8000*2) = 32000/34000
+    val got = ann.marginMine(src, tgt, k = 2, threshold = 0.0, dim = 2,
+        nbits = 1)
+      .orderBy("dst").collect()
+    assert(got.length == 2, got.mkString(","))
+    assert(got(0).getLong(3) == 40000L && got(0).getLong(4) == 38000L
+      && got(0).getDouble(5) == 1.052632, got(0).toString)
+    assert(got(1).getLong(3) == 32000L && got(1).getLong(4) == 34000L
+      && got(1).getDouble(5) == 0.941176, got(1).toString)
+    // the default >= 1.0 cut mines exactly the above-average pair
+    val mined = ann.marginMine(src, tgt, k = 2, dim = 2, nbits = 1).collect()
+    assert(mined.length == 1 && mined(0).getLong(1) == 10L)
+  }
 }
