@@ -140,6 +140,13 @@ object ScaleRehearsal {
     run("jaccard_pairs")(
       dedup.jaccardPairs(docs, "text", "doc_id", threshold = 0.7,
         maxDf = jacMaxDf))
+    // cross-doc substring extents: exact cloning multiplies every
+    // gram's occurrence count by `factor` (clone pairs are the prey —
+    // each clone pair merges into one full-length diagonal extent), so
+    // the occurrence cap scales with it like the jaccard df band
+    run("substring_pairs")(
+      dedup.crossSubstringPairs(docs, "text", "doc_id", minLen = 8,
+        maxOcc = math.max(256, 256 * factor / 10)))
     val pairs = dedup.minhashNearDupPairs(docs, "text", "doc_id", threshold = 0.7)
       .persist()
     println(s"SCALE minhash pair set: ${pairs.count()} edges")

@@ -408,7 +408,11 @@ object dedup {
       .select(col("_id"), (col("p") + 1).as("i"), md5(col("g")).as("fp"))
       .repartition(col("fp"))
     val hot = grams.groupBy(col("fp"))
-      .agg(count(lit(1)).as("_n")).where(col("_n") > maxOcc)
+      .agg(count(lit(1)).as("_n"))
+      .observe("graft_substring_cap",
+        sum(when(col("_n") > maxOcc, 1L).otherwise(0L)).as("capped_fps"),
+        max(col("_n")).as("max_fp_occ"))
+      .where(col("_n") > maxOcc)
       .select(col("fp"))
     val cold = grams.join(broadcast(hot), Seq("fp"), "left_anti")
     val a = cold.select(col("fp"), col("_id").as("id_a"), col("i").as("_ia"))
