@@ -263,8 +263,16 @@ object Bench {
         s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +
         s""""queries":$qs,"loads":$allLoads,"errors":$errs$phases,"sf":"$sfDir"}"""
     }
+    // Partial runs (SPARK_GRAFT_ONLY / SPARK_GRAFT_FAMILIES) must not
+    // clobber the committed full-suite artifact: a round-13 isolated
+    // run overwrote bench_full.json while the docs still described the
+    // full-suite numbers (the advice finding). Full runs own
+    // bench_full.json; everything else lands in bench_partial.json.
+    val dumpPath =
+      if (only.isEmpty && families.isEmpty) "bench_full.json"
+      else "bench_partial.json"
     try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+      java.nio.file.Files.write(java.nio.file.Paths.get(dumpPath),
         (fullJson + "\n").getBytes("UTF-8"))
     } catch { case _: Throwable => () } // file dump is best-effort
     // The driver stores only the LAST 2000 chars of output and parses the
