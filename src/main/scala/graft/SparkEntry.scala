@@ -2535,6 +2535,15 @@ object SparkEntry {
           "doc_id", minLen = 8, maxOcc = 256)
         .orderBy(col("id_a"), col("id_b"), col("a_start"), col("b_start"))),
 
+    // north-star: cross-document duplication RATE — the data-card
+    // number (Lee et al. Table-1 shape): per doc, tokens covered by any
+    // cross-doc extent on either side of a pair, overlapping extents
+    // island-merged so nothing double-counts; exact basis points.
+    "dedup_substring_rate" -> ((s, dir) =>
+      dedup.crossDupStats(table(s, dir, "documents"), "text", "doc_id",
+          minLen = 8, maxOcc = 256)
+        .orderBy(col("doc_id"))),
+
     // north-star: cross-document substring REMOVAL — keep-first
     // excision (lowest doc id keeps its copy); in-row HOF rebuild, no
     // token-level explode on the corpus side.
@@ -6828,6 +6837,46 @@ object SparkEntry {
          |  (max(ia) - min(ia) + 8)::BIGINT AS len_tokens
          |FROM r GROUP BY id_a, id_b, d, island
          |ORDER BY id_a, id_b, a_start, b_start""".stripMargin,
+
+    // Duplication rate: the pairs chain, both sides' extents unioned
+    // distinct, classic islands interval-merge, exact bp DIV.
+    "dedup_substring_rate" ->
+      s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+         |tl AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 8),
+         |gr AS (SELECT doc_id, i, array_to_string(list_slice(toks, i, i + 7), ' ') AS g
+         |  FROM tl, unnest(range(1, len(toks) - 8 + 2)) AS r(i)),
+         |cap AS (SELECT g FROM (SELECT g, count(*) AS n FROM gr GROUP BY g)
+         |  WHERE n <= 256),
+         |cold AS (SELECT doc_id, i, g FROM gr WHERE g IN (SELECT g FROM cap)),
+         |m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.i AS ia,
+         |    b.i - a.i AS d
+         |  FROM cold a JOIN cold b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |r AS (SELECT id_a, id_b, ia, d,
+         |  ia - row_number() OVER (PARTITION BY id_a, id_b, d ORDER BY ia)
+         |    AS island FROM m),
+         |px AS (SELECT id_a, id_b, min(ia) AS a_s, max(ia) + 7 AS a_e,
+         |    min(ia) + d AS b_s, max(ia) + 7 + d AS b_e
+         |  FROM r GROUP BY id_a, id_b, d, island),
+         |sp AS (SELECT DISTINCT doc_id, s, e FROM (
+         |  SELECT id_a AS doc_id, a_s AS s, a_e AS e FROM px
+         |  UNION ALL SELECT id_b, b_s, b_e FROM px)),
+         |il AS (SELECT doc_id, s, e,
+         |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+         |  FROM sp),
+         |ik AS (SELECT doc_id, s, e,
+         |    sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY s, e
+         |        ROWS UNBOUNDED PRECEDING) AS isl
+         |  FROM il),
+         |mg AS (SELECT doc_id, isl, min(s) AS ms, max(e) AS me
+         |  FROM ik GROUP BY 1, 2),
+         |du AS (SELECT doc_id, sum(me - ms + 1)::BIGINT AS dup_tokens
+         |  FROM mg GROUP BY 1),
+         |tc AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens FROM t)
+         |SELECT du.doc_id, n_tokens, dup_tokens,
+         |  (dup_tokens * 10000 // n_tokens)::BIGINT AS dup_bp
+         |FROM du JOIN tc USING (doc_id) ORDER BY du.doc_id""".stripMargin,
 
     // Keep-first removal: b-side extents drop from the higher-id doc;
     // positional anti-join formulation (fine in DuckDB; the Spark plan

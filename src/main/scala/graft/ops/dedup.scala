@@ -433,6 +433,58 @@ object dedup {
         (col("a_end") - col("a_start") + 1).cast("long").as("len_tokens"))
   }
 
+  /** Cross-document duplication RATE — the data-card number every
+    * dedup paper reports (Lee et al. 2022 Table 1 shape: what fraction
+    * of a document's tokens appear verbatim in some other document):
+    * per doc, the token count covered by ANY [[crossSubstringPairs]]
+    * extent on EITHER side of a pair, exactly, with overlapping extents
+    * merged so no token double-counts. Docs with no cross-doc extent
+    * emit no row (rate 0 — join back against the corpus for the full
+    * domain).
+    *
+    * Interval merge is the classic islands form: per doc, spans sorted
+    * by (start, end); a span opens a new island when its start exceeds
+    * the running max end of everything before it; island extents are
+    * (min start, max end), and adjacent-but-not-overlapping spans land
+    * in separate islands whose token sums are still exact.
+    *
+    * Scale shape: everything after the pair stage is span-sized (spans
+    * are rare); the merge windows per doc id, the token count joins as
+    * a thin (id, n_tokens) table. Returns `(idCol, n_tokens,
+    * dup_tokens, dup_bp)` — bp = exact basis-point DIV. */
+  def crossDupStats(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      minLen: Int = 20,
+      maxOcc: Int = 256): DataFrame = {
+    val pairs = crossSubstringPairs(df, textCol, idCol, minLen, maxOcc)
+    val spans = pairs
+      .select(col("id_a").as(idCol), col("a_start").as("_s"),
+        col("a_end").as("_e"))
+      .unionByName(pairs.select(col("id_b").as(idCol),
+        col("b_start").as("_s"), col("b_end").as("_e")))
+      .distinct()
+    val wOrd = Window.partitionBy(col(idCol)).orderBy(col("_s"), col("_e"))
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val islands = spans
+      .withColumn("_pmax", max(col("_e")).over(wPrev))
+      .withColumn("_new",
+        when(col("_pmax").isNull || col("_s") > col("_pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("_isl", sum(col("_new")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("_isl"))
+      .agg(min(col("_s")).as("_is"), max(col("_e")).as("_ie"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_ie") - col("_is") + 1).cast("long").as("dup_tokens"))
+    val toks = df.select(col(idCol),
+      graft.ops.text.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    islands.join(toks, Seq(idCol))
+      .select(col(idCol), col("n_tokens"), col("dup_tokens"),
+        expr("dup_tokens * 10000 DIV n_tokens").as("dup_bp"))
+  }
+
   /** Rewrite each document with its cross-document duplicated
     * substrings ([[crossSubstringPairs]]) excised, keep-first: for every
     * duplicated extent the LOWEST doc id keeps its copy and every

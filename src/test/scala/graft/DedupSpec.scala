@@ -242,6 +242,23 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("crossDupStats: overlapping extents island-merge; both pair sides count") {
+    // doc 5 shares "a b c d" with doc 1 (extent 1..4) and "c d e f"
+    // with doc 2 (extent 3..6): overlapping -> merged island 1..6, so
+    // dup_tokens = 6 of 6, never 4 + 4
+    val docs = Seq(
+      (1L, "a b c d x"),
+      (2L, "c d e f y"),
+      (5L, "a b c d e f")).toDF("doc_id", "text")
+    val got = dedup.crossDupStats(docs, "text", "doc_id", minLen = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 5L, 4L, 8000L),   // a-side extent 1..4 of 5 tokens
+      (2L, 5L, 4L, 8000L),   // extent 1..4 of 5 tokens
+      (5L, 6L, 6L, 10000L)), // merged 1..6 of 6 tokens
+      got.toString)
+  }
+
   test("removeCrossDupSubstrings: keep-first excision, untouched docs pass through") {
     val docs = Seq(
       (1L, "x1 x2 a b c d e x3"),
