@@ -3771,6 +3771,15 @@ object SparkEntry {
         .orderBy(col("calibrated_q6"))
     }),
 
+    // north-star: Poisson-bootstrap CI on the mean score — the
+    // data-card uncertainty band; one md5 per row stretched to 200
+    // replicates by the affine family, integer Poisson weights,
+    // order-statistic band over the replicate means.
+    "eval_bootstrap_ci" -> ((s, dir) =>
+      evals.bootstrapCI(
+        table(s, dir, "embeddings").where(col("embedding").isNotNull),
+        col("vec_id"), scoreQ4(col("embedding"), Q1), b = 200)),
+
     // north-star: Murphy decomposition of the Brier score — REL/RES/UNC
     // from the same reliability grid, quantized-estimator form in
     // DECIMAL(38); the why-is-my-Brier-bad companion to eval_ece.
@@ -8835,6 +8844,37 @@ object SparkEntry {
          |SELECT fit_q6 AS calibrated_q6, count(*)::BIGINT AS n,
          |  min(sq4)::BIGINT AS s_min, max(sq4)::BIGINT AS s_max
          |FROM ap GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Bootstrap CI: same md5+affine uniforms, same Poisson threshold
+    // table, same conservative-outward percentile indices.
+    "eval_bootstrap_ci" -> {
+      val cdf = evals.PoissonCdfPpm.mkString("[", ", ", "]")
+      val h = graft.functions.hashing.sqlH32("(vec_id::VARCHAR || ':boot')")
+      s"""WITH v AS (SELECT vec_id, ${sqlScoreQ4(Q1)} AS x, $h AS h
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |p AS (SELECT count(*)::BIGINT AS n_rows,
+         |  floor(sum(x)::DOUBLE / count(*)::DOUBLE * 1000000.0 + 0.5)
+         |    / 1000000.0 AS mean_q6 FROM v),
+         |r AS (SELECT j, sum(w * x)::BIGINT AS swx, sum(w)::BIGINT AS sw
+         |  FROM (SELECT x, rr.j,
+         |      len(list_filter($cdf, t -> t <=
+         |        ((h * (2 * rr.j + 1) + 12582917 * rr.j) % 4294967291)
+         |          % 1000000))::BIGINT AS w
+         |    FROM v, unnest(range(0, 200)) AS rr(j))
+         |  GROUP BY j),
+         |m AS (SELECT j, floor(swx::DOUBLE / sw::DOUBLE * 1000000.0 + 0.5)
+         |    / 1000000.0 AS mq FROM r WHERE sw > 0),
+         |o AS (SELECT mq, row_number() OVER (ORDER BY mq, j) AS rn,
+         |  count(*) OVER () AS mm FROM m)
+         |SELECT (SELECT n_rows FROM p) AS n_rows,
+         |  count(*)::BIGINT AS b_reps,
+         |  (SELECT mean_q6 FROM p) AS mean_q6,
+         |  max(CASE WHEN rn = least(mm, greatest(1, (mm * 25000) // 1000000 + 1))
+         |    THEN mq END) AS lo_q6,
+         |  max(CASE WHEN rn = least(mm, greatest(1, (mm * 975000 + 999999) // 1000000))
+         |    THEN mq END) AS hi_q6
+         |FROM o""".stripMargin
+    },
 
     // Murphy decomposition off the same grid: truncated per-bin ppm
     // quotients, HUGEINT weighted squared gaps, one DIV by N each.

@@ -422,6 +422,93 @@ object evals {
       .drop("_curve")
   }
 
+  /** Poisson(1) CDF in ppm, k = 0..8: `floor(e⁻¹·Σ_{i≤k} 1/i! · 10⁶)`
+    * — the driver-literal inverse-CDF table for [[bootstrapCI]]'s
+    * Poisson bootstrap weights (a ppm uniform u maps to weight
+    * `#{k : cdf_k ≤ u}`; P(X > 8) < 1.2e-6 truncates to weight 9). */
+  val PoissonCdfPpm: Seq[Long] = Seq(367879L, 735758L, 919698L,
+    981011L, 996340L, 999405L, 999916L, 999989L, 999998L)
+
+  /** Poisson-bootstrap confidence interval for the MEAN of an integer
+    * metric column — the data-card CI: every eval number shipped with
+    * an uncertainty band instead of a bare point. The Poisson bootstrap
+    * (Hanley & MacGibbon 2006; the standard distributed form) gives
+    * each row an independent Poisson(1) weight per replicate —
+    * equivalent to resampling-with-replacement at corpus scale without
+    * materializing resamples.
+    *
+    * Deterministic: the per-row uniform is ONE md5
+    * ([[graft.functions.hashing.h32]] of `id || ':boot'`) stretched to
+    * `b` replicates by the affine family (the minhash-signature
+    * discipline — one digest, b cheap arithmetic members), the weight
+    * is an integer threshold count against [[PoissonCdfPpm]], replicate
+    * means are single quantized divisions of exact long sums, and the
+    * band is an order statistic over the b means (percentile indices
+    * `⌊m·lo⌋+1` / `⌈m·hi⌉`, conservative outward) — bit-identical on
+    * any engine, no RNG state anywhere.
+    *
+    * Scale shape: the corpus is scanned ONCE; the per-row ×b fan-out is
+    * map-side combined into b partial-sum rows per task, so the shuffle
+    * carries b rows per partition, the order statistic runs on a
+    * documented bounded global window over ≤ b rows, and the final
+    * readout is one row. Returns `(n_rows, b_reps, mean_q6, lo_q6,
+    * hi_q6)`. */
+  def bootstrapCI(
+      df: DataFrame,
+      idCol: Column,
+      valueCol: Column,
+      b: Int = 200,
+      loPpm: Long = 25000L,
+      hiPpm: Long = 975000L): DataFrame = {
+    require(b >= 2 && b <= 10000,
+      s"graft: bootstrapCI needs 2 <= b <= 10000, got $b")
+    require(loPpm >= 0L && hiPpm <= 1000000L && loPpm < hiPpm,
+      s"graft: bootstrapCI needs 0 <= loPpm < hiPpm <= 1e6, got $loPpm, $hiPpm")
+    import graft.functions.hashing
+    val q6 = (c: Column) => graft.functions.vectors.quantize(c, 6)
+    val rows = df.select(valueCol.cast("long").as("_x"),
+        hashing.h32(concat(idCol.cast("string"), lit(":boot"))).as("_h"))
+      .where(col("_x").isNotNull)
+    val point = rows.agg(count(lit(1)).as("n_rows"),
+      q6(sum(col("_x")).cast("double") / count(lit(1)).cast("double"))
+        .as("mean_q6"))
+    val thresholds = lit(PoissonCdfPpm.toArray)
+    val reps = rows.select(col("_x"), explode(transform(
+        sequence(lit(0L), lit((b - 1).toLong)),
+        j => {
+          val u = pmod(pmod(col("_h") * (j * 2L + lit(1L))
+            + j * lit(12582917L), lit(hashing.AffineP)), lit(1000000L))
+          struct(j.as("rep"),
+            size(filter(thresholds, t => t <= u)).cast("long").as("w"))
+        })).as("_rw"))
+      .select(col("_rw.rep").as("_rep"),
+        (col("_rw.w") * col("_x")).as("_wx"), col("_rw.w").as("_w"))
+      .groupBy(col("_rep"))
+      .agg(sum(col("_wx")).as("_swx"), sum(col("_w")).as("_sw"))
+      .where(col("_sw") > 0L)
+      .select(col("_rep"),
+        q6(col("_swx").cast("double") / col("_sw").cast("double")).as("_m"))
+    val wAll = windows.boundedGlobal("bootstrap-reps", col("_rep"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val band = reps
+      .withColumn("_rn", row_number().over(
+        windows.boundedGlobal("bootstrap-reps", col("_rep"))
+          .orderBy(col("_m"), col("_rep"))))
+      .withColumn("_mm", count(lit(1)).over(wAll))
+      .agg(count(lit(1)).as("b_reps"),
+        max(when(col("_rn") ===
+          least(col("_mm"), greatest(lit(1L),
+            expr(s"(_mm * $loPpm) DIV 1000000") + 1L)), col("_m")))
+          .as("lo_q6"),
+        max(when(col("_rn") ===
+          least(col("_mm"), greatest(lit(1L),
+            expr(s"(_mm * $hiPpm + 999999) DIV 1000000"))), col("_m")))
+          .as("hi_q6"))
+    point.crossJoin(broadcast(band))
+      .select(col("n_rows"), col("b_reps"), col("mean_q6"),
+        col("lo_q6"), col("hi_q6"))
+  }
+
   /** Murphy (1973) decomposition of the Brier score from the
     * [[reliabilityGrid]]: REL (calibration — how far each bin's mean
     * confidence sits from its accuracy), RES (resolution — how far bin

@@ -658,6 +658,32 @@ class EvalSpec extends SparkSpec {
       .where(col("calibrated_q6").isNotNull).count() == 0L)
   }
 
+  test("bootstrapCI: CDF table pinned; constant column collapses the band; laws") {
+    // the driver-literal Poisson(1) CDF table equals its definition
+    val fact = (0 to 8).map(k => (0 to k).map(i =>
+      1.0 / (1 to i).foldLeft(1.0)(_ * _)).sum)
+    val want = fact.map(s => math.floor(math.exp(-1.0) * s * 1e6).toLong)
+    assert(evals.PoissonCdfPpm == want, s"table drifted: $want")
+    // a constant metric has zero sampling variance: every replicate
+    // mean is the constant, so lo = mean = hi exactly
+    val const = (1L to 50L).map(i => (i, 7L)).toDF("id", "x")
+    val c = evals.bootstrapCI(const, col("id"), col("x"), b = 50).head()
+    assert(c.getLong(0) == 50L && c.getLong(1) == 50L)
+    assert(c.getDouble(2) == 7.0 && c.getDouble(3) == 7.0
+      && c.getDouble(4) == 7.0, c.toString)
+    // a mixed column: band brackets the point mean, deterministic
+    val mixed = (1L to 200L).map(i => (i, i % 10)).toDF("id", "x")
+    val m1 = evals.bootstrapCI(mixed, col("id"), col("x"), b = 100).head()
+    val m2 = evals.bootstrapCI(mixed, col("id"), col("x"), b = 100).head()
+    assert(m1 == m2, "bootstrap must be a pure function of the data")
+    assert(m1.getDouble(3) <= m1.getDouble(2)
+      && m1.getDouble(2) <= m1.getDouble(4), m1.toString)
+    assert(m1.getDouble(3) < m1.getDouble(4), "band must have width here")
+    intercept[IllegalArgumentException] {
+      evals.bootstrapCI(mixed, col("id"), col("x"), b = 1)
+    }
+  }
+
   test("brierDecomp: miscalibration lands in REL, separation in RES = UNC") {
     // one bin, conf 0.25 vs acc 0.5 -> REL = 0.25^2 in q12, RES 0
     val miscal = Seq((250000L, 0L), (250000L, 0L), (250000L, 1L),
