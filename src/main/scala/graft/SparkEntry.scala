@@ -3780,6 +3780,16 @@ object SparkEntry {
         table(s, dir, "embeddings").where(col("embedding").isNotNull),
         col("vec_id"), scoreQ4(col("embedding"), Q1), b = 200)),
 
+    // north-star: paired bootstrap A-vs-B — is the Q1-vs-Q2 score
+    // difference real; same resamples hit both systems (the pairing),
+    // band + replicate win rate.
+    "eval_paired_bootstrap" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings").where(col("embedding").isNotNull)
+      evals.pairedBootstrap(e, col("vec_id"),
+        scoreQ4(col("embedding"), Q1), scoreQ4(col("embedding"), Q2),
+        b = 200)
+    }),
+
     // north-star: Murphy decomposition of the Brier score — REL/RES/UNC
     // from the same reliability grid, quantized-estimator form in
     // DECIMAL(38); the why-is-my-Brier-bad companion to eval_ece.
@@ -8873,6 +8883,40 @@ object SparkEntry {
          |    THEN mq END) AS lo_q6,
          |  max(CASE WHEN rn = least(mm, greatest(1, (mm * 975000 + 999999) // 1000000))
          |    THEN mq END) AS hi_q6
+         |FROM o""".stripMargin
+    },
+
+    // Paired bootstrap: same uniforms/weights as eval_bootstrap_ci,
+    // applied to the per-row difference; win rate over replicates.
+    "eval_paired_bootstrap" -> {
+      val cdf = evals.PoissonCdfPpm.mkString("[", ", ", "]")
+      val h = graft.functions.hashing.sqlH32("(vec_id::VARCHAR || ':boot')")
+      s"""WITH v AS (SELECT vec_id,
+         |    (${sqlScoreQ4(Q1)}) - (${sqlScoreQ4(Q2)}) AS d, $h AS h
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |p AS (SELECT count(*)::BIGINT AS n_rows,
+         |  floor(sum(d)::DOUBLE / count(*)::DOUBLE * 1000000.0 + 0.5)
+         |    / 1000000.0 AS diff_q6 FROM v),
+         |r AS (SELECT j, sum(w * d)::BIGINT AS swd, sum(w)::BIGINT AS sw
+         |  FROM (SELECT d, rr.j,
+         |      len(list_filter($cdf, t -> t <=
+         |        ((h * (2 * rr.j + 1) + 12582917 * rr.j) % 4294967291)
+         |          % 1000000))::BIGINT AS w
+         |    FROM v, unnest(range(0, 200)) AS rr(j))
+         |  GROUP BY j),
+         |m AS (SELECT j, floor(swd::DOUBLE / sw::DOUBLE * 1000000.0 + 0.5)
+         |    / 1000000.0 AS mq FROM r WHERE sw > 0),
+         |o AS (SELECT mq, row_number() OVER (ORDER BY mq, j) AS rn,
+         |  count(*) OVER () AS mm FROM m)
+         |SELECT (SELECT n_rows FROM p) AS n_rows,
+         |  count(*)::BIGINT AS b_reps,
+         |  (SELECT diff_q6 FROM p) AS diff_q6,
+         |  max(CASE WHEN rn = least(mm, greatest(1, (mm * 25000) // 1000000 + 1))
+         |    THEN mq END) AS lo_q6,
+         |  max(CASE WHEN rn = least(mm, greatest(1, (mm * 975000 + 999999) // 1000000))
+         |    THEN mq END) AS hi_q6,
+         |  (sum(CASE WHEN mq > 0 THEN 1 ELSE 0 END) * 1000000
+         |    // count(*))::BIGINT AS win_ppm
          |FROM o""".stripMargin
     },
 

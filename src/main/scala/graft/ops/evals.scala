@@ -509,6 +509,81 @@ object evals {
         col("lo_q6"), col("hi_q6"))
   }
 
+  /** PAIRED bootstrap comparison of two metric columns scored on the
+    * SAME rows (system A vs system B — the standard significance test
+    * for "is the eval difference real", Koehn 2004): every replicate
+    * reweights ROWS (so both systems see identical resamples — the
+    * pairing), and the readout is the mean difference with its
+    * [[bootstrapCI]]-style band plus `win_ppm` — the fraction of
+    * replicates where A strictly beats B (1e6 − win_ppm ≈ the
+    * one-sided bootstrap p-value against A ≤ B when ties are rare).
+    * Same determinism contract as [[bootstrapCI]]: one md5 per row,
+    * affine replicate family, integer Poisson weights, exact long
+    * sums, quantized single divisions.
+    *
+    * Returns one row `(n_rows, b_reps, diff_q6, lo_q6, hi_q6,
+    * win_ppm)`. */
+  def pairedBootstrap(
+      df: DataFrame,
+      idCol: Column,
+      aCol: Column,
+      bCol: Column,
+      b: Int = 200,
+      loPpm: Long = 25000L,
+      hiPpm: Long = 975000L): DataFrame = {
+    require(b >= 2 && b <= 10000,
+      s"graft: pairedBootstrap needs 2 <= b <= 10000, got $b")
+    require(loPpm >= 0L && hiPpm <= 1000000L && loPpm < hiPpm,
+      s"graft: pairedBootstrap needs 0 <= loPpm < hiPpm <= 1e6, got $loPpm, $hiPpm")
+    import graft.functions.hashing
+    val q6 = (c: Column) => graft.functions.vectors.quantize(c, 6)
+    val rows = df.select(
+        (aCol.cast("long") - bCol.cast("long")).as("_d"),
+        hashing.h32(concat(idCol.cast("string"), lit(":boot"))).as("_h"))
+      .where(col("_d").isNotNull)
+    val point = rows.agg(count(lit(1)).as("n_rows"),
+      q6(sum(col("_d")).cast("double") / count(lit(1)).cast("double"))
+        .as("diff_q6"))
+    val thresholds = lit(PoissonCdfPpm.toArray)
+    val reps = rows.select(col("_d"), explode(transform(
+        sequence(lit(0L), lit((b - 1).toLong)),
+        j => {
+          val u = pmod(pmod(col("_h") * (j * 2L + lit(1L))
+            + j * lit(12582917L), lit(hashing.AffineP)), lit(1000000L))
+          struct(j.as("rep"),
+            size(filter(thresholds, t => t <= u)).cast("long").as("w"))
+        })).as("_rw"))
+      .select(col("_rw.rep").as("_rep"),
+        (col("_rw.w") * col("_d")).as("_wd"), col("_rw.w").as("_w"))
+      .groupBy(col("_rep"))
+      .agg(sum(col("_wd")).as("_swd"), sum(col("_w")).as("_sw"))
+      .where(col("_sw") > 0L)
+      .select(col("_rep"),
+        q6(col("_swd").cast("double") / col("_sw").cast("double")).as("_m"))
+    val wAll = windows.boundedGlobal("bootstrap-reps", col("_rep"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val band = reps
+      .withColumn("_rn", row_number().over(
+        windows.boundedGlobal("bootstrap-reps", col("_rep"))
+          .orderBy(col("_m"), col("_rep"))))
+      .withColumn("_mm", count(lit(1)).over(wAll))
+      .agg(count(lit(1)).as("b_reps"),
+        max(when(col("_rn") ===
+          least(col("_mm"), greatest(lit(1L),
+            expr(s"(_mm * $loPpm) DIV 1000000") + 1L)), col("_m")))
+          .as("lo_q6"),
+        max(when(col("_rn") ===
+          least(col("_mm"), greatest(lit(1L),
+            expr(s"(_mm * $hiPpm + 999999) DIV 1000000"))), col("_m")))
+          .as("hi_q6"),
+        sum(when(col("_m") > 0.0, 1L).otherwise(0L)).as("_wins"))
+      .withColumn("win_ppm", expr("_wins * 1000000 DIV b_reps"))
+      .drop("_wins")
+    point.crossJoin(broadcast(band))
+      .select(col("n_rows"), col("b_reps"), col("diff_q6"),
+        col("lo_q6"), col("hi_q6"), col("win_ppm"))
+  }
+
   /** Murphy (1973) decomposition of the Brier score from the
     * [[reliabilityGrid]]: REL (calibration — how far each bin's mean
     * confidence sits from its accuracy), RES (resolution — how far bin

@@ -684,6 +684,22 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("pairedBootstrap: dominant system wins every replicate; equal systems tie") {
+    // A beats B by exactly 3 on EVERY row: every replicate difference
+    // is 3 regardless of weights -> band collapses, win rate 100%
+    val dom = (1L to 100L).map(i => (i, i + 3, i)).toDF("id", "a", "b")
+    val d = evals.pairedBootstrap(dom, col("id"), col("a"), col("b"),
+      b = 100).head()
+    assert(d.getLong(0) == 100L && d.getDouble(2) == 3.0)
+    assert(d.getDouble(3) == 3.0 && d.getDouble(4) == 3.0)
+    assert(d.getLong(5) == 1000000L, d.toString)
+    // identical systems: zero difference, zero wins
+    val eq = (1L to 100L).map(i => (i, i, i)).toDF("id", "a", "b")
+    val e = evals.pairedBootstrap(eq, col("id"), col("a"), col("b"),
+      b = 100).head()
+    assert(e.getDouble(2) == 0.0 && e.getLong(5) == 0L, e.toString)
+  }
+
   test("brierDecomp: miscalibration lands in REL, separation in RES = UNC") {
     // one bin, conf 0.25 vs acc 0.5 -> REL = 0.25^2 in q12, RES 0
     val miscal = Seq((250000L, 0L), (250000L, 0L), (250000L, 1L),
