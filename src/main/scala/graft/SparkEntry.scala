@@ -3780,6 +3780,15 @@ object SparkEntry {
         table(s, dir, "embeddings").where(col("embedding").isNotNull),
         col("vec_id"), scoreQ4(col("embedding"), Q1), b = 200)),
 
+    // north-star: stratified bootstrap card — per-language mean doc
+    // length, each stratum with its own uncertainty band; everything
+    // after the scan is groups x b sized.
+    "eval_bootstrap_by_lang" -> ((s, dir) =>
+      evals.bootstrapCIBy(
+          table(s, dir, "documents").where(col("lang").isNotNull),
+          Seq("lang"), col("doc_id"), col("n_chars"), b = 100)
+        .orderBy(col("lang"))),
+
     // north-star: paired bootstrap A-vs-B — is the Q1-vs-Q2 score
     // difference real; same resamples hit both systems (the pairing),
     // band + replicate win rate.
@@ -8884,6 +8893,39 @@ object SparkEntry {
          |  max(CASE WHEN rn = least(mm, greatest(1, (mm * 975000 + 999999) // 1000000))
          |    THEN mq END) AS hi_q6
          |FROM o""".stripMargin
+    },
+
+    // Grouped bootstrap: the same chain with (lang, replicate) keys and
+    // per-lang order statistics.
+    "eval_bootstrap_by_lang" -> {
+      val cdf = evals.PoissonCdfPpm.mkString("[", ", ", "]")
+      val h = graft.functions.hashing.sqlH32("(doc_id::VARCHAR || ':boot')")
+      s"""WITH v AS (SELECT lang, n_chars::BIGINT AS x, $h AS h
+         |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+         |p AS (SELECT lang, count(*)::BIGINT AS n_rows,
+         |  floor(sum(x)::DOUBLE / count(*)::DOUBLE * 1000000.0 + 0.5)
+         |    / 1000000.0 AS mean_q6 FROM v GROUP BY lang),
+         |r AS (SELECT lang, j, sum(w * x)::BIGINT AS swx, sum(w)::BIGINT AS sw
+         |  FROM (SELECT lang, x, rr.j,
+         |      len(list_filter($cdf, t -> t <=
+         |        ((h * (2 * rr.j + 1) + 12582917 * rr.j) % 4294967291)
+         |          % 1000000))::BIGINT AS w
+         |    FROM v, unnest(range(0, 100)) AS rr(j))
+         |  GROUP BY lang, j),
+         |m AS (SELECT lang, j,
+         |  floor(swx::DOUBLE / sw::DOUBLE * 1000000.0 + 0.5)
+         |    / 1000000.0 AS mq FROM r WHERE sw > 0),
+         |o AS (SELECT lang, mq,
+         |  row_number() OVER (PARTITION BY lang ORDER BY mq, j) AS rn,
+         |  count(*) OVER (PARTITION BY lang) AS mm FROM m),
+         |bd AS (SELECT lang, count(*)::BIGINT AS b_reps,
+         |  max(CASE WHEN rn = least(mm, greatest(1, (mm * 25000) // 1000000 + 1))
+         |    THEN mq END) AS lo_q6,
+         |  max(CASE WHEN rn = least(mm, greatest(1, (mm * 975000 + 999999) // 1000000))
+         |    THEN mq END) AS hi_q6
+         |  FROM o GROUP BY lang)
+         |SELECT p.lang, n_rows, b_reps, mean_q6, lo_q6, hi_q6
+         |FROM p JOIN bd USING (lang) ORDER BY p.lang""".stripMargin
     },
 
     // Paired bootstrap: same uniforms/weights as eval_bootstrap_ci,

@@ -459,42 +459,88 @@ object evals {
       valueCol: Column,
       b: Int = 200,
       loPpm: Long = 25000L,
+      hiPpm: Long = 975000L): DataFrame =
+    bootstrapImpl(df, Seq.empty, idCol, valueCol, b, loPpm, hiPpm)
+      .select(col("n_rows"), col("b_reps"), col("mean_q6"),
+        col("lo_q6"), col("hi_q6"))
+
+  /** Per-GROUP [[bootstrapCI]] — the stratified data card (metric by
+    * language/source/slice, each with its own uncertainty band). Same
+    * determinism contract; the replicate aggregate keys on
+    * (group, replicate) and each group's order statistic windows over
+    * its own ≤ b replicate means, so everything after the scan is
+    * groups×b-sized. Returns `(groupKeys…, n_rows, b_reps, mean_q6,
+    * lo_q6, hi_q6)`. */
+  def bootstrapCIBy(
+      df: DataFrame,
+      groupKeys: Seq[String],
+      idCol: Column,
+      valueCol: Column,
+      b: Int = 200,
+      loPpm: Long = 25000L,
       hiPpm: Long = 975000L): DataFrame = {
+    require(groupKeys.nonEmpty, "graft: bootstrapCIBy needs group keys " +
+      "(use bootstrapCI for the ungrouped form)")
+    bootstrapImpl(df, groupKeys, idCol, valueCol, b, loPpm, hiPpm)
+      .select((groupKeys.map(col) :+ col("n_rows") :+ col("b_reps")
+        :+ col("mean_q6") :+ col("lo_q6") :+ col("hi_q6")): _*)
+  }
+
+  private def bootstrapImpl(
+      df: DataFrame,
+      groupKeys: Seq[String],
+      idCol: Column,
+      valueCol: Column,
+      b: Int,
+      loPpm: Long,
+      hiPpm: Long): DataFrame = {
     require(b >= 2 && b <= 10000,
       s"graft: bootstrapCI needs 2 <= b <= 10000, got $b")
     require(loPpm >= 0L && hiPpm <= 1000000L && loPpm < hiPpm,
       s"graft: bootstrapCI needs 0 <= loPpm < hiPpm <= 1e6, got $loPpm, $hiPpm")
     import graft.functions.hashing
     val q6 = (c: Column) => graft.functions.vectors.quantize(c, 6)
-    val rows = df.select(valueCol.cast("long").as("_x"),
-        hashing.h32(concat(idCol.cast("string"), lit(":boot"))).as("_h"))
+    val gks = groupKeys.map(col)
+    val rows = df.select((gks :+ valueCol.cast("long").as("_x")
+        :+ hashing.h32(concat(idCol.cast("string"), lit(":boot"))).as("_h")): _*)
       .where(col("_x").isNotNull)
-    val point = rows.agg(count(lit(1)).as("n_rows"),
+    val point = rows.groupBy(gks: _*).agg(count(lit(1)).as("n_rows"),
       q6(sum(col("_x")).cast("double") / count(lit(1)).cast("double"))
         .as("mean_q6"))
     val thresholds = lit(PoissonCdfPpm.toArray)
-    val reps = rows.select(col("_x"), explode(transform(
+    val reps = rows.select((gks :+ col("_x") :+ explode(transform(
         sequence(lit(0L), lit((b - 1).toLong)),
         j => {
           val u = pmod(pmod(col("_h") * (j * 2L + lit(1L))
             + j * lit(12582917L), lit(hashing.AffineP)), lit(1000000L))
           struct(j.as("rep"),
             size(filter(thresholds, t => t <= u)).cast("long").as("w"))
-        })).as("_rw"))
-      .select(col("_rw.rep").as("_rep"),
-        (col("_rw.w") * col("_x")).as("_wx"), col("_rw.w").as("_w"))
-      .groupBy(col("_rep"))
+        })).as("_rw")): _*)
+      .select((gks :+ col("_rw.rep").as("_rep")
+        :+ (col("_rw.w") * col("_x")).as("_wx")
+        :+ col("_rw.w").as("_w")): _*)
+      .groupBy((gks :+ col("_rep")): _*)
       .agg(sum(col("_wx")).as("_swx"), sum(col("_w")).as("_sw"))
       .where(col("_sw") > 0L)
-      .select(col("_rep"),
-        q6(col("_swx").cast("double") / col("_sw").cast("double")).as("_m"))
-    val wAll = windows.boundedGlobal("bootstrap-reps", col("_rep"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      .select((gks :+ col("_rep")
+        :+ q6(col("_swx").cast("double") / col("_sw").cast("double"))
+          .as("_m")): _*)
+    // per-group replicate windows: bounded by b rows per group (the
+    // ungrouped form routes through the documented bounded-global key)
+    val (wOrd, wAll) =
+      if (groupKeys.isEmpty) {
+        val bg = windows.boundedGlobal("bootstrap-reps", col("_rep"))
+        (bg.orderBy(col("_m"), col("_rep")),
+          bg.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+      } else {
+        val pw = Window.partitionBy(gks: _*)
+        (pw.orderBy(col("_m"), col("_rep")),
+          pw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+      }
     val band = reps
-      .withColumn("_rn", row_number().over(
-        windows.boundedGlobal("bootstrap-reps", col("_rep"))
-          .orderBy(col("_m"), col("_rep"))))
+      .withColumn("_rn", row_number().over(wOrd))
       .withColumn("_mm", count(lit(1)).over(wAll))
+      .groupBy(gks: _*)
       .agg(count(lit(1)).as("b_reps"),
         max(when(col("_rn") ===
           least(col("_mm"), greatest(lit(1L),
@@ -504,9 +550,8 @@ object evals {
           least(col("_mm"), greatest(lit(1L),
             expr(s"(_mm * $hiPpm + 999999) DIV 1000000"))), col("_m")))
           .as("hi_q6"))
-    point.crossJoin(broadcast(band))
-      .select(col("n_rows"), col("b_reps"), col("mean_q6"),
-        col("lo_q6"), col("hi_q6"))
+    if (groupKeys.isEmpty) point.crossJoin(broadcast(band))
+    else point.join(broadcast(band), groupKeys)
   }
 
   /** PAIRED bootstrap comparison of two metric columns scored on the

@@ -682,6 +682,21 @@ class EvalSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       evals.bootstrapCI(mixed, col("id"), col("x"), b = 1)
     }
+    // grouped form: each stratum's card equals running the ungrouped
+    // form on that stratum alone (groups never contaminate each other)
+    val grouped = (1L to 120L).map(i => (i, if (i % 3 == 0) "a" else "b",
+      i % 7)).toDF("id", "g", "x")
+    val byG = evals.bootstrapCIBy(grouped, Seq("g"), col("id"), col("x"),
+        b = 50).orderBy("g").collect()
+    Seq("a", "b").zipWithIndex.foreach { case (g, i) =>
+      val solo = evals.bootstrapCI(grouped.where(col("g") === g),
+        col("id"), col("x"), b = 50).head()
+      assert(byG(i).getLong(1) == solo.getLong(0)
+        && byG(i).getDouble(3) == solo.getDouble(2)
+        && byG(i).getDouble(4) == solo.getDouble(3)
+        && byG(i).getDouble(5) == solo.getDouble(4),
+        s"group $g: ${byG(i)} vs $solo")
+    }
   }
 
   test("pairedBootstrap: dominant system wins every replicate; equal systems tie") {
