@@ -595,9 +595,13 @@ object SparkEntry {
     * the trainer's longer-piece tie-break, then a recursive backtrace
     * reads the picked lengths and a piece-keyed usage fold closes the
     * round. Scores re-derive per round from the same integer freqs. */
-  private def sqlUnigramTrain(
+  /** Shared CTE chain for the unigram-trainer oracles: seed + `rounds`
+    * EM rounds (scores, per-position DP, backtrace, usage, prune). With
+    * `finalSegRound`, appends one more scored DP + backtrace under the
+    * FINAL vocab (no prune) — the fertility readout's segmentation. */
+  private def sqlUnigramCtes(
       seedSize: Int, maxPieceLen: Int, rounds: Int, minUsage: Long,
-      keepTop: Int, maxWordLen: Int): String = {
+      maxWordLen: Int, finalSegRound: Boolean): String = {
     val unk = graft.ops.unigram.UnkScoreQ6
     val ctes = scala.collection.mutable.ArrayBuffer.empty[String]
     ctes += s"""w0 AS MATERIALIZED (SELECT t AS w, count(*)::BIGINT AS cnt FROM (
@@ -609,7 +613,8 @@ object SparkEntry {
        |  ) GROUP BY piece)""".stripMargin
     ctes += s"p1 AS MATERIALIZED (SELECT piece, freq FROM sub " +
       s"ORDER BY freq DESC, piece LIMIT $seedSize)"
-    for (r <- 1 to rounds) {
+    val dpRounds = if (finalSegRound) rounds + 1 else rounds
+    for (r <- 1 to dpRounds) {
       ctes += s"""s$r AS MATERIALIZED (SELECT piece,
          |  (floor(ln(freq::DOUBLE)*1000000)
          |    - (SELECT floor(ln(sum(freq)::DOUBLE)*1000000) FROM p$r))::BIGINT AS sc
@@ -641,22 +646,53 @@ object SparkEntry {
          |  SELECT bt.w, bt.cnt, bt.pos - B.pl FROM bt$r bt
          |  JOIN B$r B ON B.w = bt.w AND B.pos = bt.pos
          |  WHERE bt.pos > 0)""".stripMargin
-      ctes += s"""u$r AS MATERIALIZED (
-         |  SELECT seg.piece, sum(seg.cnt)::BIGINT AS usage FROM (
-         |    SELECT substr(bt.w, bt.pos - B.pl + 1, B.pl) AS piece, bt.cnt AS cnt
-         |    FROM bt$r bt JOIN B$r B ON B.w = bt.w AND B.pos = bt.pos
-         |    WHERE bt.pos > 0) seg
-         |  JOIN p$r ON p$r.piece = seg.piece
-         |  GROUP BY seg.piece)""".stripMargin
-      ctes += s"p${r + 1} AS MATERIALIZED (SELECT piece, usage AS freq " +
-        s"FROM u$r WHERE usage >= $minUsage)"
+      if (r <= rounds) {
+        ctes += s"""u$r AS MATERIALIZED (
+           |  SELECT seg.piece, sum(seg.cnt)::BIGINT AS usage FROM (
+           |    SELECT substr(bt.w, bt.pos - B.pl + 1, B.pl) AS piece, bt.cnt AS cnt
+           |    FROM bt$r bt JOIN B$r B ON B.w = bt.w AND B.pos = bt.pos
+           |    WHERE bt.pos > 0) seg
+           |  JOIN p$r ON p$r.piece = seg.piece
+           |  GROUP BY seg.piece)""".stripMargin
+        ctes += s"p${r + 1} AS MATERIALIZED (SELECT piece, usage AS freq " +
+          s"FROM u$r WHERE usage >= $minUsage)"
+      }
     }
-    s"WITH RECURSIVE ${ctes.mkString(",\n")}\n" +
+    s"WITH RECURSIVE ${ctes.mkString(",\n")}"
+  }
+
+  private def sqlUnigramTrain(
+      seedSize: Int, maxPieceLen: Int, rounds: Int, minUsage: Long,
+      keepTop: Int, maxWordLen: Int): String =
+    sqlUnigramCtes(seedSize, maxPieceLen, rounds, minUsage, maxWordLen,
+      finalSegRound = false) + "\n" +
       s"""SELECT piece, freq,
          |  (floor(ln(freq::DOUBLE)*1000000)
          |    - (SELECT floor(ln(sum(freq)::DOUBLE)*1000000)
          |       FROM p${rounds + 1}))::BIGINT AS score_q6
          |FROM p${rounds + 1} ORDER BY freq DESC, piece LIMIT $keepTop""".stripMargin
+
+  /** Fertility readout: segment the word vocab under the FINAL scores
+    * (DP round rounds+1, no prune), count piece steps and UNK steps. */
+  private def sqlUnigramFertility(
+      seedSize: Int, maxPieceLen: Int, rounds: Int, minUsage: Long,
+      maxWordLen: Int): String = {
+    val fr = rounds + 1
+    sqlUnigramCtes(seedSize, maxPieceLen, rounds, minUsage, maxWordLen,
+      finalSegRound = true) + ",\n" +
+      s"""seg AS (SELECT substr(bt.w, bt.pos - B.pl + 1, B.pl) AS piece,
+         |    bt.cnt AS cnt
+         |  FROM bt$fr bt JOIN B$fr B ON B.w = bt.w AND B.pos = bt.pos
+         |  WHERE bt.pos > 0),
+         |tots AS (SELECT count(*)::BIGINT AS n_word_types,
+         |  sum(cnt)::BIGINT AS n_tokens FROM w0),
+         |agg AS (SELECT sum(cnt)::BIGINT AS n_pieces,
+         |  sum(CASE WHEN piece NOT IN (SELECT piece FROM p$fr)
+         |    THEN cnt ELSE 0 END)::BIGINT AS n_unk FROM seg)
+         |SELECT n_word_types, n_tokens, n_pieces,
+         |  (n_pieces * 10000 // n_tokens)::BIGINT AS fertility_bp,
+         |  (n_unk * 1000000 // n_pieces)::BIGINT AS unk_ppm
+         |FROM tots, agg""".stripMargin
   }
 
   private def sqlBm25Top(k: Int): String =
@@ -1263,6 +1299,14 @@ object SparkEntry {
     "text_unigram_train" -> ((s, dir) =>
       unigram.train(table(s, dir, "documents"), "text", seedSize = 60,
         maxPieceLen = 3, rounds = 2, minUsage = 2L, keepTop = 40)),
+
+    // north-star: learned-vocab fertility — pieces per whitespace token
+    // + UNK share under the trained unigram vocabulary; the trainer's
+    // fit-for-budget readout (oracle re-derives the full EM chain plus
+    // one final segmentation round).
+    "text_unigram_fertility" -> ((s, dir) =>
+      unigram.fertility(table(s, dir, "documents"), "text", seedSize = 60,
+        maxPieceLen = 3, rounds = 2, minUsage = 2L)),
 
     // north-star: cross-corpus token shift — what changed between two
     // domains (en vs de here); smoothed log-ratio, vocab-sized work.
@@ -4616,6 +4660,11 @@ object SparkEntry {
     "text_unigram_train" -> sqlUnigramTrain(seedSize = 60,
       maxPieceLen = 3, rounds = 2, minUsage = 2L, keepTop = 40,
       maxWordLen = 8),
+
+    // Fertility of the trained vocab: the same chain + one final
+    // scored segmentation round; counts are cnt-weighted long sums.
+    "text_unigram_fertility" -> sqlUnigramFertility(seedSize = 60,
+      maxPieceLen = 3, rounds = 2, minUsage = 2L, maxWordLen = 8),
 
     // Shared smoothed-unigram CTE chain for the two cross-corpus
     // queries: identical add-one smoothing, identical op order.

@@ -79,13 +79,37 @@ object unigram {
       rounds: Int = 2,
       minUsage: Long = 2L,
       keepTop: Int = 500): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vocab = trainVocab(df, textCol, seedSize, maxPieceLen, rounds,
+      minUsage)
+    val finalTotalQ6 =
+      if (vocab.isEmpty) 0L
+      else math.floor(math.log(vocab.map(_._2).sum.toDouble) * 1e6).toLong
+    vocab.sortBy { case (p, f) => (-f, p) }.take(keepTop)
+      .map { case (p, f) =>
+        (p, f, math.floor(math.log(f.toDouble) * 1e6).toLong - finalTotalQ6)
+      }
+      .toDF("piece", "freq", "score_q6")
+  }
+
+  /** The EM loop itself — the trained `(piece, freq)` vocabulary as a
+    * driver Seq (bounded by `seedSize`); [[train]] and [[fertility]]
+    * are readouts over it. */
+  def trainVocab(
+      df: DataFrame,
+      textCol: String,
+      seedSize: Int = 1000,
+      maxPieceLen: Int = 4,
+      rounds: Int = 2,
+      minUsage: Long = 2L): Seq[(String, Long)] = {
     require(seedSize >= 1 && seedSize <= MaxSeedSize,
       s"graft: unigram.train needs 1 <= seedSize <= $MaxSeedSize, got $seedSize")
     require(maxPieceLen >= 1 && maxPieceLen <= 16,
       s"graft: unigram.train needs 1 <= maxPieceLen <= 16, got $maxPieceLen")
-    require(rounds >= 1 && keepTop >= 1 && minUsage >= 1L,
-      s"graft: unigram.train needs rounds/keepTop/minUsage >= 1; " +
-        s"got $rounds, $keepTop, $minUsage")
+    require(rounds >= 1 && minUsage >= 1L,
+      s"graft: unigram.train needs rounds/minUsage >= 1; " +
+        s"got $rounds, $minUsage")
     val spark = df.sparkSession
     import spark.implicits._
     // The ONE corpus-wide pass: word -> count, lineage cut so every EM
@@ -125,14 +149,48 @@ object unigram {
       }
       r += 1
     }
-    val finalTotalQ6 =
-      if (vocab.isEmpty) 0L
-      else math.floor(math.log(vocab.map(_._2).sum.toDouble) * 1e6).toLong
-    vocab.sortBy { case (p, f) => (-f, p) }.take(keepTop)
-      .map { case (p, f) =>
-        (p, f, math.floor(math.log(f.toDouble) * 1e6).toLong - finalTotalQ6)
-      }
-      .toDF("piece", "freq", "score_q6")
+    vocab
+  }
+
+  /** FERTILITY of the trained vocabulary — the will-this-tokenizer-
+    * bloat-my-token-budget card ([[graft.ops.text]]'s fertility meter,
+    * for the LEARNED unigram vocab): segment the corpus's word
+    * vocabulary once more under the final scores and report pieces per
+    * whitespace token plus the UNK share (segment steps covered by no
+    * piece — falls to single-character UNK steps). Exact: every count
+    * is a long sum over the word vocab weighted by word frequency;
+    * rates are basis-point / ppm integer DIVs.
+    *
+    * Returns one row `(n_word_types, n_tokens, n_pieces, fertility_bp,
+    * unk_ppm)`. */
+  def fertility(
+      df: DataFrame,
+      textCol: String,
+      seedSize: Int = 1000,
+      maxPieceLen: Int = 4,
+      rounds: Int = 2,
+      minUsage: Long = 2L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vocab = trainVocab(df, textCol, seedSize, maxPieceLen, rounds,
+      minUsage)
+    val words = df.select(explode(text.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val pieceDf = broadcast(
+      spark.createDataset(vocab.map(_._1)).toDF("piece")
+        .withColumn("_inv", lit(1L)))
+    words.select(col("cnt"),
+        explode(NativeExprs.unigramSegment(col("w"), scoresOf(vocab),
+          maxPieceLen, UnkScoreQ6)).as("piece"))
+      .join(pieceDf, Seq("piece"), "left")
+      .agg(sum(col("cnt")).as("n_pieces"),
+        sum(when(col("_inv").isNull, col("cnt")).otherwise(0L))
+          .as("n_unk"))
+      .crossJoin(broadcast(words.agg(
+        count(lit(1)).as("n_word_types"), sum(col("cnt")).as("n_tokens"))))
+      .select(col("n_word_types"), col("n_tokens"), col("n_pieces"),
+        expr("n_pieces * 10000 DIV n_tokens").as("fertility_bp"),
+        expr("n_unk * 1000000 DIV n_pieces").as("unk_ppm"))
   }
 
   /** Viterbi unigram encode of a TEXT column under a trained

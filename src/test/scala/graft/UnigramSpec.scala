@@ -74,6 +74,20 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("fertility: hand counts; pruned piece surfaces as UNK share") {
+    val df = Seq("ab ab b", "ab").toDF("text")
+    // minUsage=1 keeps {ab:3, b:1}: both words segment to one piece
+    val f1 = unigram.fertility(df, "text", seedSize = 10, maxPieceLen = 2,
+      rounds = 1, minUsage = 1L).head()
+    assert(f1.getLong(0) == 2L && f1.getLong(1) == 4L)
+    assert(f1.getLong(2) == 4L && f1.getLong(3) == 10000L
+      && f1.getLong(4) == 0L, f1.toString)
+    // minUsage=2 prunes b: the lone "b" word segments as one UNK step
+    val f2 = unigram.fertility(df, "text", seedSize = 10, maxPieceLen = 2,
+      rounds = 1, minUsage = 2L).head()
+    assert(f2.getLong(2) == 4L && f2.getLong(4) == 250000L, f2.toString)
+  }
+
   test("encodeTokens: inference twin segments with trained pieces") {
     val pieces = Seq(("ab", -287682L), ("b", -1386294L))
     val out = Seq("ab b zz").toDF("t")
