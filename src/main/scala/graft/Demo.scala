@@ -708,6 +708,41 @@ object Demo {
       graft.ops.linalg.momentGrid(
         embDriftSrc.where(col("label") % 2 === 1), "embedding", 64)).show()
 
+    println("== drift card: PSI + KS + EMD off one hist snapshot ==")
+    val dayGrid = graft.ops.ckpt.cut(
+      graft.streaming.EventStream.histDriftStream(evs, evCents, 100L,
+          windowDur = "1 day")
+        .withColumn("day", date_format(col("win.start"), "yyyy-MM-dd"))
+        .drop("win"))
+    graft.ops.sample.driftCard(
+        dayGrid.where(col("day") === "2024-01-01").select(col("bin"), col("n")),
+        dayGrid, Seq("day"), binWidth = 100L)
+      .orderBy(col("day")).show(5)
+
+    println("== cross-doc exact substrings: who copied what from whom ==")
+    graft.ops.dedup.crossSubstringPairs(docs, "text", "doc_id", minLen = 8)
+      .orderBy(col("len_tokens").desc).show(5)
+    graft.ops.dedup.crossDupStats(docs, "text", "doc_id", minLen = 8)
+      .orderBy(col("dup_bp").desc).show(5)
+
+    println("== unigram-LM tokenizer: trained vocab head + fertility card ==")
+    graft.ops.unigram.train(docs, "text", seedSize = 60, maxPieceLen = 3,
+      rounds = 2, minUsage = 2L, keepTop = 8).show()
+    graft.ops.unigram.fertility(docs, "text", seedSize = 60,
+      maxPieceLen = 3, rounds = 2, minUsage = 2L).show()
+    graft.ops.text.zipfSlope(docs, "text", topK = 1000).show()
+
+    println("== eval uncertainty: bootstrap CI, paired A-vs-B, mined pairs ==")
+    graft.ops.evals.bootstrapCI(
+      docs.where(col("n_chars").isNotNull), col("doc_id"), col("n_chars"),
+      b = 100).show()
+    graft.ops.evals.pairedBootstrap(store.df, col("vec_id"), sA, sB,
+      b = 100).show()
+    graft.ops.ann.marginMine(
+        embDriftSrc.where(col("vec_id") % 7 === 0),
+        embDriftSrc.where(col("vec_id") % 7 =!= 0), k = 2, nbits = 6)
+      .orderBy(col("margin_q6").desc).show(5)
+
     spark.stop()
   }
 }

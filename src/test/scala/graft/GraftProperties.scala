@@ -715,4 +715,37 @@ object GraftProperties extends Properties("graft") {
         g.last.getLong(4) == types &&
         g.map(_.getLong(2)).sum == types
     }
+
+  property("crossSubstringPairs: planted run always recovered; every extent verbatim") =
+    forAll(
+      Gen.chooseNum(3, 6).flatMap(l =>
+        Gen.listOfN(l, Gen.choose(0, 9).map(i => s"t$i"))),
+      Gen.listOfN(12, Gen.choose(0, 9).map(i => s"t$i")),
+      Gen.listOfN(12, Gen.choose(0, 9).map(i => s"t$i")),
+      Gen.chooseNum(0, 12), Gen.chooseNum(0, 12)) { (run, fa, fb, pa0, pb0) =>
+      // plant one shared run at arbitrary positions in two noisy docs;
+      // the tiny t0..t9 alphabet makes incidental matches LIKELY, so
+      // soundness is stressed alongside recovery
+      val pa = math.min(pa0, fa.length)
+      val pb = math.min(pb0, fb.length)
+      val ta = fa.take(pa) ++ run ++ fa.drop(pa)
+      val tb = fb.take(pb) ++ run ++ fb.drop(pb)
+      val docs = Seq((1L, ta.mkString(" ")), (2L, tb.mkString(" ")))
+        .toDF("doc_id", "text")
+      val rows = dedup.crossSubstringPairs(docs, "text", "doc_id", minLen = 3)
+        .select("id_a", "id_b", "a_start", "a_end", "b_start", "b_end")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getInt(3), r.getInt(4), r.getInt(5)))
+      // completeness: some maximal extent on the planted diagonal
+      // covers the planted interval
+      val recovered = rows.exists { case (a, b, as, ae, bs, be) =>
+        a == 1L && b == 2L && (bs - as) == (pb - pa) &&
+          as <= pa + 1 && ae >= pa + run.length
+      }
+      // soundness: every reported extent is verbatim-equal token runs
+      val sound = rows.forall { case (_, _, as, ae, bs, be) =>
+        ta.slice(as - 1, ae) == tb.slice(bs - 1, be)
+      }
+      recovered && sound
+    }
 }
