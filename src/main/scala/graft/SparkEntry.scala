@@ -3305,6 +3305,15 @@ object SparkEntry {
       EventStream.trend(events(s, dir), bucketSec = 3600L)
         .orderBy(col("series"))),
 
+    // north-star: CUSUM changepoint monitor — sequential drift the
+    // snapshot meters can't catch; exact n_ref-scaled recurrence as a
+    // bounded in-plan HOF fold over the day grid (corpus crosses the
+    // wire as <= 30 rows).
+    "events_cusum" -> ((s, dir) =>
+      EventStream.cusum(events(s, dir), bucketSec = 86400L, refN = 7,
+          slack = 0L, threshold = 100L)
+        .orderBy(col("bucket"))),
+
     // north-star: CUPED experiment readout — per-variant exact sums of
     // pre-period X / post-period Y plus the pooled theta as num/den;
     // the variance-reduced A/B number assembles downstream in floats.
@@ -7833,6 +7842,25 @@ object SparkEntry {
         |  (count(*) * sum(xs * y) - sum(xs) * sum(y))::BIGINT AS slope_num,
         |  (count(*) * sum(xs * xs) - sum(xs) * sum(xs))::BIGINT AS slope_den
         |FROM r GROUP BY series ORDER BY series""".stripMargin,
+
+    // CUSUM: the same n_ref-scaled recurrence as a recursive CTE over
+    // the ordered day index.
+    "events_cusum" ->
+      """WITH RECURSIVE g AS (
+        |  SELECT (epoch_us(ts) // 1000000) // 86400 AS b,
+        |    count(*)::BIGINT AS x FROM events GROUP BY 1),
+        |o AS (SELECT b, x, row_number() OVER (ORDER BY b) AS rn FROM g),
+        |ref AS (SELECT sum(x)::BIGINT AS sref, count(*)::BIGINT AS nref
+        |  FROM o WHERE rn <= 7),
+        |c(rn, s) AS (
+        |  SELECT 0::BIGINT, 0::BIGINT
+        |  UNION ALL
+        |  SELECT o.rn, greatest(0, c.s + (SELECT nref FROM ref) * o.x
+        |    - (SELECT sref FROM ref))
+        |  FROM c JOIN o ON o.rn = c.rn + 1)
+        |SELECT o.b AS bucket, o.x, c.s AS s_scaled,
+        |  c.s > 100 * (SELECT nref FROM ref) AS alarm
+        |FROM c JOIN o USING (rn) ORDER BY bucket""".stripMargin,
 
     // Pooled theta over ALL users' (x, y); signed, so num/den only.
     "events_cuped" ->

@@ -972,6 +972,78 @@ object EventStream {
           - sum(col("_xs")) * sum(col("_xs"))).as("slope_den"))
   }
 
+  /** One-sided CUSUM changepoint monitor (Page 1954) over a bucketed
+    * volume series — the SEQUENTIAL drift detector the PSI/KS snapshot
+    * meters can't replace: those score distributions window-by-window;
+    * CUSUM accumulates small sustained shifts until they cross a
+    * decision threshold, catching slow regressions early. Baseline μ is
+    * the mean of the first `refN` buckets; the statistic
+    * `S_i = max(0, S_{i-1} + x_i − μ − slack)` alarms when
+    * `S_i > threshold`.
+    *
+    * EXACT integers — everything scales by `n_ref` so μ never divides:
+    * `d_i = n_ref·x_i − sum_ref − slack·n_ref` and the recurrence folds
+    * in longs; the surfaced `s_scaled` is S_i·n_ref and the alarm
+    * compares against `threshold·n_ref`. Int64 ceiling: |s_scaled| ≤
+    * buckets·n_ref·max_x ≲ 10⁴·10⁴·2⁴⁰ at any sane grid — guarded by
+    * `maxBuckets` (the [[graft.ops.evals.isotonicFit]] in-plan
+    * discipline).
+    *
+    * Scale shape: the corpus folds to the bucket grid in ONE map-side
+    * combined aggregate (100 TB of events cross the wire as ≤
+    * maxBuckets rows); the inherently-sequential recurrence runs as a
+    * bounded in-plan HOF fold over ONE collected-array row (never on
+    * the driver), then explodes back to the grid. Returns
+    * `(bucket, x, s_scaled, alarm)` ordered by bucket. */
+  def cusum(
+      events: DataFrame,
+      bucketSec: Long = 86400L,
+      refN: Int = 7,
+      slack: Long = 0L,
+      threshold: Long = 100L,
+      tsCol: String = "ts",
+      maxBuckets: Int = 100000): DataFrame = {
+    require(bucketSec >= 1 && refN >= 1 && slack >= 0L && threshold >= 1L,
+      s"graft: cusum needs bucketSec/refN >= 1, slack >= 0, threshold >= 1")
+    require(maxBuckets >= refN,
+      s"graft: cusum needs maxBuckets >= refN, got $maxBuckets < $refN")
+    val grid = events
+      .select(expr(s"(unix_micros($tsCol) DIV 1000000) DIV $bucketSec")
+        .as("_b"))
+      .groupBy(col("_b")).agg(count(lit(1)).as("_x"))
+    val arr = grid
+      .agg(sort_array(collect_list(struct(col("_b"), col("_x")))).as("_a"))
+      .withColumn("_a",
+        when(size(col("_a")) > maxBuckets,
+          raise_error(format_string(
+            "graft: cusum bucket grid exceeds maxBuckets (%s > " +
+              s"$maxBuckets) — widen bucketSec", size(col("_a")))))
+        .otherwise(col("_a")))
+    // baseline from the first refN buckets (fewer buckets than refN ->
+    // whatever exists; n_ref rides the scaling so the math stays exact)
+    val ref = struct(
+      aggregate(slice(col("_a"), 1, refN), lit(0L),
+        (acc, e) => acc + e.getField("_x")).as("sum"),
+      least(size(col("_a")), lit(refN)).cast("long").as("n"))
+    // the recurrence: state = (reversed running list of s, s); one pass
+    val fold = aggregate(col("_a"),
+      struct(array().cast("array<long>").as("out"), lit(0L).as("s")),
+      (st, e) => {
+        val d = col("_ref.n") * e.getField("_x") - col("_ref.sum") -
+          lit(slack) * col("_ref.n")
+        val s2 = greatest(lit(0L), st.getField("s") + d)
+        struct(concat(st.getField("out"), array(s2)).as("out"), s2.as("s"))
+      })
+    arr.withColumn("_ref", ref)
+      .withColumn("_s", fold.getField("out"))
+      .select(col("_ref"), col("_s"),
+        posexplode(col("_a")).as(Seq("_i", "_e")))
+      .select(col("_e._b").as("bucket"), col("_e._x").as("x"),
+        element_at(col("_s"), col("_i") + 1).as("s_scaled"),
+        (element_at(col("_s"), col("_i") + 1) >
+          lit(threshold) * col("_ref.n")).as("alarm"))
+  }
+
   /** CUPED experiment readout (Deng, Xu, Kohavi & Walker, WSDM 2013):
     * per-user pre-period activity X (events before `cutoff`) and
     * post-period metric Y, per-variant exact sums, and the pooled

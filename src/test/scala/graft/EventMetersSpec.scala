@@ -18,6 +18,33 @@ class EventMetersSpec extends SparkSpec {
   private def ev(rows: (Long, Timestamp, Long, String, Double)*) =
     rows.toDF("event_id", "ts", "user_id", "event_type", "value")
 
+  test("cusum: flat series never alarms; a step shift accumulates and alarms") {
+    // 7 ref days at 2 events/day, then a level shift to 5/day:
+    // d = 7*x - 14; flat days fold to 0, each shifted day adds 21, so
+    // s_scaled walks 21, 42, 63 and crosses threshold*n_ref = 8*7 = 56
+    // on the third shifted day
+    def burst(day: Int, n: Int) = (1 to n).map(i =>
+      (day * 100L + i, ts(day), i.toLong, "e", 1.0))
+    val shifted = ev(((1 to 7).flatMap(d => burst(d, 2)) ++
+      (8 to 10).flatMap(d => burst(d, 5))): _*)
+    val got = EventStream.cusum(shifted, bucketSec = 86400L, refN = 7,
+        slack = 0L, threshold = 8L)
+      .orderBy("bucket").collect()
+    assert(got.length == 10)
+    assert(got.take(7).forall(r => r.getLong(2) == 0L && !r.getBoolean(3)))
+    assert(got.drop(7).map(_.getLong(2)).toSeq == Seq(21L, 42L, 63L))
+    assert(got.drop(7).map(_.getBoolean(3)).toSeq ==
+      Seq(false, false, true))
+    // slack absorbs the shift: slack 3 makes d = 7*(x-2-3) = 0 on
+    // shifted days too -> never alarms
+    val slacked = EventStream.cusum(shifted, bucketSec = 86400L, refN = 7,
+      slack = 3L, threshold = 8L)
+    assert(slacked.where(col("alarm")).count() == 0L)
+    intercept[IllegalArgumentException] {
+      EventStream.cusum(shifted, refN = 0)
+    }
+  }
+
   test("kaplanMeier: textbook ladder with one censored user") {
     // u1 converts day 1, u2 day 1, u3 day 3, u4 never (censored at max
     // ts = day 5). Classic S: after t=1: 2/4 survive; t=3: 1/2 of the
