@@ -3842,6 +3842,16 @@ object SparkEntry {
           Seq("lang"), col("doc_id"), col("n_chars"), b = 100)
         .orderBy(col("lang"))),
 
+    // north-star: CLUSTER bootstrap — resample SOURCES, not rows (every
+    // row of a source draws the same weights), the honest CI when docs
+    // within a source are correlated; compare against
+    // eval_bootstrap_ci's row-level band.
+    "eval_bootstrap_clustered" -> ((s, dir) =>
+      evals.bootstrapCI(
+        table(s, dir, "documents")
+          .where(col("source").isNotNull && col("n_chars").isNotNull),
+        col("source"), col("n_chars"), b = 200)),
+
     // north-star: paired bootstrap A-vs-B — is the Q1-vs-Q2 score
     // difference real; same resamples hit both systems (the pairing),
     // band + replicate win rate.
@@ -9003,6 +9013,37 @@ object SparkEntry {
          |  FROM o GROUP BY lang)
          |SELECT p.lang, n_rows, b_reps, mean_q6, lo_q6, hi_q6
          |FROM p JOIN bd USING (lang) ORDER BY p.lang""".stripMargin
+    },
+
+    // Cluster bootstrap: the row chain with the SOURCE as the hash key
+    // (cluster-constant weights).
+    "eval_bootstrap_clustered" -> {
+      val cdf = evals.PoissonCdfPpm.mkString("[", ", ", "]")
+      val h = graft.functions.hashing.sqlH32("(source::VARCHAR || ':boot')")
+      s"""WITH v AS (SELECT n_chars::BIGINT AS x, $h AS h
+         |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+         |p AS (SELECT count(*)::BIGINT AS n_rows,
+         |  floor(sum(x)::DOUBLE / count(*)::DOUBLE * 1000000.0 + 0.5)
+         |    / 1000000.0 AS mean_q6 FROM v),
+         |r AS (SELECT j, sum(w * x)::BIGINT AS swx, sum(w)::BIGINT AS sw
+         |  FROM (SELECT x, rr.j,
+         |      len(list_filter($cdf, t -> t <=
+         |        ((h * (2 * rr.j + 1) + 12582917 * rr.j) % 4294967291)
+         |          % 1000000))::BIGINT AS w
+         |    FROM v, unnest(range(0, 200)) AS rr(j))
+         |  GROUP BY j),
+         |m AS (SELECT j, floor(swx::DOUBLE / sw::DOUBLE * 1000000.0 + 0.5)
+         |    / 1000000.0 AS mq FROM r WHERE sw > 0),
+         |o AS (SELECT mq, row_number() OVER (ORDER BY mq, j) AS rn,
+         |  count(*) OVER () AS mm FROM m)
+         |SELECT (SELECT n_rows FROM p) AS n_rows,
+         |  count(*)::BIGINT AS b_reps,
+         |  (SELECT mean_q6 FROM p) AS mean_q6,
+         |  max(CASE WHEN rn = least(mm, greatest(1, (mm * 25000) // 1000000 + 1))
+         |    THEN mq END) AS lo_q6,
+         |  max(CASE WHEN rn = least(mm, greatest(1, (mm * 975000 + 999999) // 1000000))
+         |    THEN mq END) AS hi_q6
+         |FROM o""".stripMargin
     },
 
     // Paired bootstrap: same uniforms/weights as eval_bootstrap_ci,

@@ -452,7 +452,14 @@ object evals {
     * carries b rows per partition, the order statistic runs on a
     * documented bounded global window over ≤ b rows, and the final
     * readout is one row. Returns `(n_rows, b_reps, mean_q6, lo_q6,
-    * hi_q6)`. */
+    * hi_q6)`.
+    *
+    * CLUSTER (block) bootstrap for free: pass a GROUP id (source,
+    * domain, crawl host) as `idCol` and every row of a cluster draws
+    * the SAME weights — resampling clusters, not rows, which is the
+    * statistically honest CI when documents within a source are
+    * correlated (the usual case in web corpora; row-level resampling
+    * understates the variance). */
   def bootstrapCI(
       df: DataFrame,
       idCol: Column,

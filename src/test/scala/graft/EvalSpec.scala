@@ -699,6 +699,24 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("bootstrapCI as cluster bootstrap: group-keyed hashing widens the band") {
+    // two clusters with very different means: resampling CLUSTERS
+    // (group id as the hash key) must see the between-cluster variance
+    // a row-level resample of 200 rows averages away
+    val rows = (1L to 100L).map(i => (i, "s1", 10L)) ++
+      (101L to 200L).map(i => (i, "s2", 90L))
+    val df = rows.toDF("id", "src", "x")
+    val byRow = evals.bootstrapCI(df, col("id"), col("x"), b = 100).head()
+    val byCluster = evals.bootstrapCI(df, col("src"), col("x"), b = 100).head()
+    val rowW = byRow.getDouble(4) - byRow.getDouble(3)
+    val clW = byCluster.getDouble(4) - byCluster.getDouble(3)
+    assert(clW > rowW,
+      s"cluster band ($clW) must exceed row band ($rowW)")
+    // cluster-constant weights: each replicate mean is a weighted mix
+    // of exactly {10, 90}, so the band endpoints stay inside [10, 90]
+    assert(byCluster.getDouble(3) >= 10.0 && byCluster.getDouble(4) <= 90.0)
+  }
+
   test("pairedBootstrap: dominant system wins every replicate; equal systems tie") {
     // A beats B by exactly 3 on EVERY row: every replicate difference
     // is 3 regardless of weights -> band collapses, win rate 100%
