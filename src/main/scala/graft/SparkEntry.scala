@@ -1273,6 +1273,13 @@ object SparkEntry {
     "text_zipf_slope" -> ((s, dir) =>
       text.zipfSlope(table(s, dir, "documents"), "text", topK = 1000)),
 
+    // north-star: term dispersion across sources (Gries' DP) — which
+    // high-frequency terms are ONE source's template text; cleared-
+    // denominator DECIMAL cells, absent sources in closed form.
+    "text_term_dispersion" -> ((s, dir) =>
+      text.termDispersion(table(s, dir, "documents"), "text", "source",
+        minTf = 10L, topK = 20)),
+
     // north-star: categorical mutual information (lang vs source) —
     // the column-leakage / skew audit; exact contingency grid, q12
     // ln terms, 6-dp nats.
@@ -4615,6 +4622,30 @@ object SparkEntry {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
          |    AS vocab_cum
          |FROM g ORDER BY bucket""".stripMargin,
+
+    // Term dispersion: HUGEINT cleared-denominator cells, closed-form
+    // absent-source mass, one truncating division per term.
+    "text_term_dispersion" ->
+      s"""WITH g AS (SELECT word, source AS s, count(*)::BIGINT AS tfs FROM (
+         |    SELECT source, unnest($SqlToks) AS word FROM documents
+         |    WHERE source IS NOT NULL) GROUP BY 1, 2),
+         |st AS (SELECT s, sum(tfs)::BIGINT AS ts FROM g GROUP BY 1),
+         |t AS (SELECT sum(ts)::BIGINT AS tt FROM st),
+         |tm AS (SELECT word, sum(tfs)::BIGINT AS tf FROM g GROUP BY 1),
+         |c AS (SELECT g.word, tm.tf,
+         |    abs(g.tfs::HUGEINT * t.tt - tm.tf::HUGEINT * st.ts) AS an,
+         |    st.ts
+         |  FROM g JOIN st USING (s) JOIN tm USING (word) CROSS JOIN t),
+         |b AS (SELECT word, max(tf) AS tf, count(*)::BIGINT AS n_sources,
+         |    sum(an) AS pres, sum(ts)::BIGINT AS present_ts
+         |  FROM c GROUP BY word HAVING max(tf) >= 10),
+         |f AS (SELECT word, tf, n_sources,
+         |    ((pres + tf::HUGEINT * ((SELECT tt FROM t) - present_ts))
+         |      * 1000000
+         |      // (2 * tf::HUGEINT * (SELECT tt FROM t)))::BIGINT AS dp_ppm
+         |  FROM b)
+         |SELECT word, tf, n_sources, dp_ppm FROM f
+         |ORDER BY dp_ppm DESC, tf DESC, word LIMIT 20""".stripMargin,
 
     // Zipf slope: same top-1000 head as text_vocab_topn, q4-floored ln
     // terms, exact integer OLS sums, signed num/den + one quantized

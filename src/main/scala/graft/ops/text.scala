@@ -783,6 +783,66 @@ object text {
           6)))
   }
 
+  /** Term DISPERSION across sources (Gries 2008's DP, the corpus-
+    * linguistics standard): per term,
+    * `DP = ½ Σ_s |tf_ts/tf_t − T_s/T|` — 0 when the term's occurrences
+    * spread exactly like the corpus, → 1 when concentrated in one
+    * source. The boilerplate-by-source audit: a high-frequency,
+    * high-DP term is one source's template text, not language —
+    * [[vocabulary]] ranks by frequency and can't see the difference.
+    *
+    * Exact: cleared of denominators per (term, source) cell —
+    * `|tf_ts·T − tf_t·T_s|` in DECIMAL(38,0) (corpus-scale products
+    * overflow int64 — the fleissKappa widening), sources ABSENT for a
+    * term contribute `tf_t·(T − ΣT_present)` in closed form (no dense
+    * term×source materialization), and
+    * `dp_ppm = (Σ|…|·10⁶) DIV (2·tf_t·T)` is one truncating DECIMAL
+    * division per term.
+    *
+    * Plan shape: one (term, source) hash aggregate (map-side combined;
+    * the shuffle carries the per-source vocabulary), cut via [[ckpt]]
+    * so the source-total and term folds reread GRID rows; source
+    * totals and the corpus total broadcast (sources are a bounded
+    * domain); top-K is a TakeOrderedAndProject on (dp desc, tf desc,
+    * word). Returns `(word, tf, n_sources, dp_ppm)`. */
+  def termDispersion(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      sourceCol: String,
+      minTf: Long = 10L,
+      topK: Int = 50): org.apache.spark.sql.DataFrame = {
+    require(minTf >= 1L && topK >= 1,
+      s"graft: termDispersion needs minTf/topK >= 1, got $minTf, $topK")
+    val grid = ckpt.cut(df
+      .select(col(sourceCol).as("_s"), explode(tokens(col(textCol))).as("word"))
+      .where(col("_s").isNotNull)
+      .groupBy(col("word"), col("_s")).agg(count(lit(1)).as("_tfs")))
+    val srcTot = grid.groupBy(col("_s")).agg(sum(col("_tfs")).as("_ts"))
+    val tot = srcTot.agg(sum(col("_ts")).as("_t"))
+    val termTot = grid.groupBy(col("word")).agg(sum(col("_tfs")).as("tf"))
+    grid
+      .join(broadcast(srcTot), "_s")
+      .crossJoin(broadcast(tot))
+      .join(termTot, "word")
+      .groupBy(col("word"))
+      .agg(max(col("tf")).as("tf"),
+        count(lit(1)).as("n_sources"),
+        max(col("_t")).as("_tt"),
+        sum(col("_ts")).as("_presentTs"),
+        sum(abs(expr("CAST(_tfs AS DECIMAL(38,0)) * _t")
+          - expr("CAST(tf AS DECIMAL(38,0)) * _ts"))).as("_presNum"))
+      .where(col("tf") >= minTf)
+      // sources the term never appears in contribute |0 - tf·T_s| each;
+      // their total is tf·(T − ΣT_present) — closed form, no dense grid
+      .withColumn("_dpNum", col("_presNum")
+        + expr("CAST(tf AS DECIMAL(38,0))") * (col("_tt") - col("_presentTs")))
+      .select(col("word"), col("tf"), col("n_sources"),
+        expr("""CAST((_dpNum * 1000000)
+          DIV (2 * CAST(tf AS DECIMAL(38,0)) * _tt) AS LONG)""").as("dp_ppm"))
+      .orderBy(col("dp_ppm").desc, col("tf").desc, col("word"))
+      .limit(topK)
+  }
+
   /** Per-document out-of-vocabulary rate against the corpus's own
     * top-`topN` vocabulary ([[vocabulary]]) — the
     * will-the-tokenizer-cope meter: a doc whose tokens are mostly

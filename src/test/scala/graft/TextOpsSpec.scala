@@ -573,6 +573,26 @@ class TextOpsSpec extends SparkSpec {
     assert(tot == 3L, "every distinct type is counted new exactly once")
   }
 
+  test("termDispersion: hand DP values; absent source contributes in closed form") {
+    // s1 = "a a b c", s2 = "b b b a": T_s1 = T_s2 = 4, T = 8
+    // DP(a) = 1/2(|2/3 - 1/2| + |1/3 - 1/2|) = 1/6 -> 166666 ppm
+    // DP(b) = 1/2(|1/4 - 1/2| + |3/4 - 1/2|) = 1/4 -> 250000 ppm
+    // DP(c): only in s1 -> 1/2(|1 - 1/2| + |0 - 1/2|) = 1/2 -> 500000
+    val docs = Seq(("s1", "a a b c"), ("s2", "b b b a"))
+      .toDF("source", "text")
+    val got = text.termDispersion(docs, "text", "source", minTf = 1L,
+        topK = 10)
+      .orderBy("word").as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a", 3L, 2L, 166666L),
+      ("b", 4L, 2L, 250000L),
+      ("c", 1L, 1L, 500000L)), got.toString)
+    // a term spread exactly like the corpus disperses to 0
+    val unif = Seq(("s1", "x y"), ("s2", "x y")).toDF("source", "text")
+    assert(text.termDispersion(unif, "text", "source", minTf = 1L,
+      topK = 10).collect().forall(_.getLong(3) == 0L))
+  }
+
   test("zipfSlope: exact OLS on hand tfs; perfect power law hits -1; guard") {
     // tfs 4,2,1 -> ranks 1,2,3; mirror the op's q4-floored ln terms
     val docs = Seq("a a b", "a a b c").toDF("text")
