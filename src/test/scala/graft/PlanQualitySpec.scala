@@ -116,6 +116,24 @@ class PlanQualitySpec extends SparkSpec {
       "isotonic apply must not sort-merge join the corpus")
   }
 
+  test("bootstrap meters: replicate fan-out map-side combines; bands broadcast back") {
+    // the x200 explode must partially aggregate BEFORE the shuffle (b
+    // rows per task cross the wire, not corpus x b), and the band/point
+    // glue must be broadcast, never sort-merge
+    Seq("eval_bootstrap_ci", "eval_paired_bootstrap",
+      "eval_bootstrap_clustered").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+        s"$q replicate sums must map-side combine")
+      assert(p.contains("BroadcastNestedLoopJoin")
+        || p.contains("BroadcastExchange"), s"$q band must broadcast")
+      assert(!p.contains("SortMergeJoin"), s"$q must not sort-merge join")
+    }
+    val bl = plan("eval_bootstrap_by_lang")
+    assert(!bl.contains("SortMergeJoin"),
+      "grouped bootstrap joins its thin group domain broadcast")
+  }
+
   test("drift meters: grid-bounded joins broadcast; kendall pairs cells, not rows") {
     // kendall's self-pairing must be a BROADCAST nested-loop over the
     // joint GRID (cells), never a shuffled row-level product
