@@ -176,7 +176,8 @@ object Bench {
     // — the round-13 dedup_lines 4.3 s needed a manual re-run precisely
     // because only the clean-40 carried stamps.
     val qLoads = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = selected.map { case (name, fn) =>
+    def timeQuery(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       // reset BEFORE the timed runs: the shared listener retains the
       // previous query's stats, and async delivery means "non-empty"
       // alone would attribute THOSE to this query (a query whose runs
@@ -208,7 +209,34 @@ object Bench {
       }
       qLoads(name) = loadavg().split(" ").head
       if (times.nonEmpty) errors.remove(name) // transient failure, run succeeded
-      name -> (if (times.nonEmpty) times.min else -1.0)
+      if (times.nonEmpty) times.min else -1.0
+    }
+    val results = scala.collection.mutable.LinkedHashMap(
+      selected.toSeq.map { case (name, fn) => name -> timeQuery(name, fn) }: _*)
+    // FULL-SUITE load-rule retry (BASELINE.md "Core-bench load rule",
+    // extended): the clean-core pass has always retried under ambient
+    // load, but the suite section still published per-query numbers
+    // inflated 2-8x by host contention, discountable only via their
+    // stamps (six such rows in BENCH_r14). Any query whose post-run
+    // 1-min load stamp breached the <2.0 ceiling is re-run ONCE at the
+    // end of the suite (the host has usually calmed by then) and the
+    // MIN is kept; the retried set + each retry's own load stamp are
+    // published so a number that is STILL contended self-identifies.
+    val retriedLoads = scala.collection.mutable.LinkedHashMap[String, String]()
+    if (only.isEmpty) {
+      val suspects = results.toSeq.collect { case (n, t)
+        if t >= 0 && qLoads.get(n)
+          .flatMap(v => scala.util.Try(v.toDouble).toOption)
+          .exists(_ >= 2.0) => n }
+      suspects.foreach { n =>
+        selected.get(n).foreach { fn =>
+          val prevLoad = qLoads(n)
+          val t = timeQuery(n, fn)
+          retriedLoads(n) = qLoads(n)
+          if (!(t >= 0 && t < results(n))) qLoads(n) = prevLoad
+          if (t >= 0 && t < results(n)) results(n) = t
+        }
+      }
     }
     val ok = results.filter(_._2 >= 0)
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
@@ -249,6 +277,9 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
         .mkString("{", ",", "}")
       val attempts = cleanAttemptLoads.mkString("[", ",", "]")
+      val retries = retriedLoads
+        .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+        .mkString("{", ",", "}")
       val fams = familyTotals.map { case (f, v) => "\"" + f + "\":" + v }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},""" +
@@ -259,6 +290,7 @@ object Bench {
         s""""core_clean_load1":$cleanLoads,""" +
         s""""load1_after_clean":"$load1AfterClean",""" +
         s""""runs":$runs,""" +
+        s""""retried":$retries,""" +
         s""""families":$fams,""" +
         s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +
         s""""queries":$qs,"loads":$allLoads,"errors":$errs$phases,"sf":"$sfDir"}"""
@@ -339,6 +371,7 @@ object Bench {
         s""""core_total_clean":${fmt(coreCleanTotal, 3)},"core_clean_n":${coreClean.size},""" +
         s""""core_clean_load1_max":${fmt(coreCleanLoadMax, 2)},""" +
         s""""core_clean_attempts":${cleanAttemptLoads.size},""" +
+        s""""retried_n":${retriedLoads.size},""" +
         s""""load1_start":"${loadStart.split(" ").head}","load1_end":"${loadEnd.split(" ").head}",""" +
         s""""families":$fams,""" +
         s""""queries":${shown.mkString("{", ",", "}")}$phasesTop$loadsTop$errs,"sf":"$sfName"}"""

@@ -8951,8 +8951,10 @@ object SparkEntry {
          |FROM sel JOIN gg USING (j) ORDER BY gg.s""".stripMargin,
 
     // Isotonic apply: the same fit chain, grid rescaled x100 to q4
-    // units, step-lookup via DuckDB's native ASOF JOIN (greatest curve
-    // s <= raw score), folded per fitted value.
+    // units, step-lookup via DuckDB's native ASOF LEFT JOIN (greatest
+    // curve s <= raw score; below-grid scores clamp to the first fit
+    // value — the documented isotonicApply contract), folded per
+    // fitted value.
     "eval_isotonic_apply" ->
       s"""WITH sc AS (SELECT floor((${sqlScoreQ4(Q1)}) / 100.0)::BIGINT AS s,
          |    (label < 5)::BIGINT AS y
@@ -8976,8 +8978,9 @@ object SparkEntry {
          |  FROM f JOIN gg ON f.k = gg.j WHERE f.i = f.k),
          |raw AS (SELECT ${sqlScoreQ4(Q1)} AS sq4
          |  FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL),
-         |ap AS (SELECT sq4, fit_q6
-         |  FROM raw ASOF JOIN curve ON raw.sq4 >= curve.s)
+         |ap AS (SELECT sq4, coalesce(fit_q6,
+         |    (SELECT fit_q6 FROM curve ORDER BY s LIMIT 1)) AS fit_q6
+         |  FROM raw ASOF LEFT JOIN curve ON raw.sq4 >= curve.s)
          |SELECT fit_q6 AS calibrated_q6, count(*)::BIGINT AS n,
          |  min(sq4)::BIGINT AS s_min, max(sq4)::BIGINT AS s_max
          |FROM ap GROUP BY 1 ORDER BY 1""".stripMargin,

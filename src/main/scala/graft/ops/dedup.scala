@@ -380,8 +380,10 @@ object dedup {
     * is a word-count keyed on 32-char md5s (corpus-linear, uniform by
     * construction); the occurrence cap `maxOcc` drops boilerplate grams
     * BEFORE pairing via the [[winnowPairs]] streamed-aggregate +
-    * broadcast-anti-join shape (both consumers reuse ONE
-    * repartition(fp) exchange), so no gram can emit more than maxOcc²/2
+    * anti-join shape (both consumers reuse ONE repartition(fp)
+    * exchange; the hot list is corpus-dependent in size, so AQE — not
+    * a hint — decides whether it broadcasts), so no gram can emit more
+    * than maxOcc²/2
     * pairs; the diagonal merge windows over (pair, d) keys — as
     * parallel as the match set. Never a cartesian product.
     *
@@ -414,7 +416,12 @@ object dedup {
         max(col("_n")).as("max_fp_occ"))
       .where(col("_n") > maxOcc)
       .select(col("fp"))
-    val cold = grams.join(broadcast(hot), Seq("fp"), "left_anti")
+    // no broadcast hint on the hot list: its size is corpus-dependent
+    // (a template-heavy corpus can have arbitrarily many over-cap
+    // grams), and both sides already share the repartition(fp)
+    // exchange, so AQE picks broadcast only when the list measures
+    // small — the safe choice at 100 TB
+    val cold = grams.join(hot, Seq("fp"), "left_anti")
     val a = cold.select(col("fp"), col("_id").as("id_a"), col("i").as("_ia"))
     val b = cold.select(col("fp"), col("_id").as("id_b"), col("i").as("_ib"))
     val m = a.join(b, Seq("fp")).where(col("id_a") < col("id_b"))

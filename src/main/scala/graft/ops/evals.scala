@@ -508,9 +508,12 @@ object evals {
     import graft.functions.hashing
     val q6 = (c: Column) => graft.functions.vectors.quantize(c, 6)
     val gks = groupKeys.map(col)
+    // a null id would hash to a null _h, zeroing that row out of every
+    // replicate while the point mean still counted it — require both,
+    // so the point estimate and the replicates see the SAME population
     val rows = df.select((gks :+ valueCol.cast("long").as("_x")
         :+ hashing.h32(concat(idCol.cast("string"), lit(":boot"))).as("_h")): _*)
-      .where(col("_x").isNotNull)
+      .where(col("_x").isNotNull && col("_h").isNotNull)
     val point = rows.groupBy(gks: _*).agg(count(lit(1)).as("n_rows"),
       q6(sum(col("_x")).cast("double") / count(lit(1)).cast("double"))
         .as("mean_q6"))
@@ -592,7 +595,7 @@ object evals {
     val rows = df.select(
         (aCol.cast("long") - bCol.cast("long")).as("_d"),
         hashing.h32(concat(idCol.cast("string"), lit(":boot"))).as("_h"))
-      .where(col("_d").isNotNull)
+      .where(col("_d").isNotNull && col("_h").isNotNull)
     val point = rows.agg(count(lit(1)).as("n_rows"),
       q6(sum(col("_d")).cast("double") / count(lit(1)).cast("double"))
         .as("diff_q6"))
@@ -1757,7 +1760,18 @@ object evals {
       .where(col("_mu") >= 2L)
     val doSide = units.agg(count(lit(1)).as("n_units"),
       coalesce(sum(col("_mu")), lit(0L)).as("n_total"),
-      coalesce(sum(expr("((_mu * _mu - _sq) * 1000000L) DIV (_mu - 1L)")),
+      // per-unit ceiling: (_mu² − _sq)·10⁶ wraps int64 once a single
+      // unit carries more than ~3.04e6 ratings, a range the n_total
+      // guard below (3e9) admits — raise at the offending unit
+      coalesce(sum(
+        when(col("_mu") > KrippendorffMaxUnitRatings,
+          raise_error(format_string(
+            "graft: krippendorffAlpha per-unit int64-exactness ceiling " +
+              s"exceeded (unit %s has %s ratings > " +
+              s"$KrippendorffMaxUnitRatings) — its Do term would wrap; " +
+              "pre-sample the unit's ratings", col("_u"), col("_mu")))
+            .cast("long"))
+        .otherwise(expr("((_mu * _mu - _sq) * 1000000L) DIV (_mu - 1L)"))),
         lit(0L)).as("do_q6"))
     // marginals over KEPT units only — a dropped singleton must not
     // bias the chance model it can't contribute pairs to
@@ -1788,6 +1802,12 @@ object evals {
     * scale and so caps 1000× lower); 3·10⁹ leaves margin, and the
     * `do_q6` sum (≤ n·10⁶ = 3·10¹⁵) stays far inside int64 too. */
   val KrippendorffMaxN: Long = 3000000000L
+
+  /** Per-unit ceiling for [[krippendorffAlpha]]'s Do term: the worst
+    * case `(_mu² − _sq)·10⁶ = (_mu² − _mu)·10⁶` (all counts 1) stays in
+    * int64 for `_mu ≤ √(2⁶³/10⁶) ≈ 3.04·10⁶` ratings on ONE unit — a
+    * range [[KrippendorffMaxN]] alone would admit. */
+  val KrippendorffMaxUnitRatings: Long = 3000000L
 
   /** Integer weight table for [[rboAtD]]: `S(m) = Σ_{d=m..D}
     * (1−p)·p^(d−1)/d` quantized to 1e-9 fixed point, computed ONCE on
