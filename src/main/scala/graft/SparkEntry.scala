@@ -1280,6 +1280,24 @@ object SparkEntry {
       text.termDispersion(table(s, dir, "documents"), "text", "source",
         minTf = 10L, topK = 20)),
 
+    // north-star: char-4-gram language ID over 16 languages (Cavnar &
+    // Trenkle rank-weight profiles as driver literals) — the production
+    // langid replacing the 4-language stopword heuristic; one fused
+    // row-local pass, grouped by (metadata lang, predicted lang) with
+    // summed top-score evidence so the hash verifies the whole scoring
+    // pipeline, not just the labels.
+    "text_langid_ngram" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("lang").as("meta_lang"),
+          graft.functions.NativeExprs.fence(
+            text.langNgramScores(col("text"))).as("_sc"))
+        .select(col("meta_lang"),
+          text.langIdNgramOf(col("_sc")).as("lang_pred"),
+          array_max(col("_sc")).as("_top"))
+        .groupBy(col("meta_lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("_top")).as("sum_score"))
+        .orderBy(col("meta_lang"), col("lang_pred"))),
+
     // north-star: categorical mutual information (lang vs source) —
     // the column-leakage / skew audit; exact contingency grid, q12
     // ln terms, 6-dp nats.
@@ -4668,6 +4686,41 @@ object SparkEntry {
          |      / (n * sxx - sx * sx)::DOUBLE * 1000000.0 + 0.5) / 1000000.0
          |  END AS slope_q6
          |FROM a""".stripMargin,
+
+    // Char-4-gram langid: the 16-language rank-weight profile table is
+    // emitted as a VALUES literal FROM THE SAME driver-trained
+    // [[graft.ops.langprofiles.Default]] the Spark kernel uses, so both
+    // engines score with identical integer weights; normalization,
+    // gram slide, argmax tie order (score desc, profile order), the
+    // below-minScore 'und' fallback, and the no-hit LEFT JOIN fallback
+    // are replayed exactly.
+    "text_langid_ngram" -> {
+      val values = graft.ops.langprofiles.Default.zipWithIndex.flatMap {
+        case ((lang, grams), li) => grams.map { case (g, wt) =>
+          s"($li, '$lang', '${g.replace("'", "''")}', $wt)" }
+      }.mkString(", ")
+      s"""WITH w(lr, lang, g, wt) AS (VALUES $values),
+         |d AS (SELECT doc_id, lang AS meta_lang,
+         |    ' ' || regexp_replace(lower(text), '[^\\p{L}]+', ' ', 'g')
+         |      || ' ' AS t
+         |  FROM documents),
+         |gr AS (SELECT doc_id, substr(t, CAST(i AS INT), 4) AS g
+         |  FROM d, unnest(range(1, greatest(len(t) - 2, 1))) AS r(i)),
+         |sc AS (SELECT gr.doc_id, w.lr, w.lang, sum(w.wt)::BIGINT AS s
+         |  FROM gr JOIN w ON gr.g = w.g GROUP BY 1, 2, 3),
+         |b AS (SELECT doc_id, lang, s,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, lr)
+         |      AS rk
+         |  FROM sc),
+         |lab AS (SELECT d.doc_id, d.meta_lang,
+         |    CASE WHEN b1.s IS NULL OR b1.s < 1 THEN 'und'
+         |         ELSE b1.lang END AS lang_pred,
+         |    coalesce(b1.s, 0)::BIGINT AS ts
+         |  FROM d LEFT JOIN (SELECT * FROM b WHERE rk = 1) b1 USING (doc_id))
+         |SELECT meta_lang, lang_pred, count(*)::BIGINT AS n_docs,
+         |  sum(ts)::BIGINT AS sum_score
+         |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
 
     // MI/entropies on the corpusDivergence quantization convention:
     // q12 floor per cell, long sums, 6-dp quantized nats.

@@ -392,6 +392,42 @@ object NativeExprs {
   def textProfile(c: Column, profiles: Seq[Seq[String]]): Column =
     column(TextProfileExpr(expression(c), profiles.map(_.toIndexedSeq).toIndexedSeq))
 
+  /** One pass over a document → per-language weighted n-gram scores
+    * (the [[graft.ops.text.langIdNgram]] kernel): normalize exactly as
+    * [[graft.ops.langprofiles.normalize]] (lowercase, non-letter runs →
+    * one space, space-padded), slide a code-point `n`-gram window, and
+    * for every gram present in the profile table add its weight to each
+    * language's accumulator. The composed HOF form re-materializes the
+    * shingle array and walks it once PER LANGUAGE (16 interpreted
+    * passes); this is one compiled loop with one map probe per gram. */
+  def langNgramScoresOf(
+      text: UTF8String,
+      weightsByGram: java.util.HashMap[String, Array[Long]],
+      nLangs: Int,
+      n: Int): Array[Long] = {
+    val t = graft.ops.langprofiles.normalize(text.toString)
+    val cps = t.codePoints().toArray
+    val scores = new Array[Long](nLangs)
+    var i = 0
+    while (i + n - 1 < cps.length) {
+      val w = weightsByGram.get(new String(cps, i, n))
+      if (w != null) {
+        var l = 0
+        while (l < nLangs) { scores(l) += w(l); l += 1 }
+      }
+      i += 1
+    }
+    scores
+  }
+
+  /** Column: fused per-language n-gram scores — array<long>, one slot
+    * per profile language, in profile order. */
+  def langNgramScores(
+      c: Column,
+      profiles: IndexedSeq[(String, IndexedSeq[(String, Long)])],
+      n: Int = graft.ops.langprofiles.N): Column =
+    column(LangNgramScoresExpr(expression(c), profiles, n))
+
   /** Identity FENCE against expression re-inlining. Catalyst's
     * `CollapseProject` substitutes an aliased expression into EVERY
     * downstream reference and `PushDownPredicates` clones it into pushed
@@ -1593,6 +1629,37 @@ case class TextProfileExpr(child: Expression, profiles: IndexedSeq[IndexedSeq[St
     InternalRow(n, sumLen, new GenericArrayData(hits))
   }
   override protected def withNewChildInternal(newChild: Expression): TextProfileExpr =
+    copy(child = newChild)
+}
+
+/** Fused language-ID trigram scorer (see
+  * [[NativeExprs.langNgramScoresOf]]). The gram→weight-vector table is
+  * inverted from the per-language profiles lazily per executor; the
+  * expression itself carries only the bounded profile literal (16
+  * languages × topK grams), so it serializes like any other literal. */
+case class LangNgramScoresExpr(
+    child: Expression,
+    profiles: IndexedSeq[(String, IndexedSeq[(String, Long)])],
+    n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lang_ngram_scores"
+  @transient private lazy val table: java.util.HashMap[String, Array[Long]] = {
+    val m = new java.util.HashMap[String, Array[Long]]()
+    profiles.zipWithIndex.foreach { case ((_, grams), li) =>
+      grams.foreach { case (g, w) =>
+        var arr = m.get(g)
+        if (arr == null) { arr = new Array[Long](profiles.size); m.put(g, arr) }
+        arr(li) = w
+      }
+    }
+    m
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    new GenericArrayData(NativeExprs.langNgramScoresOf(
+      input.asInstanceOf[UTF8String], table, profiles.size, n))
+  override protected def withNewChildInternal(
+      newChild: Expression): LangNgramScoresExpr =
     copy(child = newChild)
 }
 

@@ -173,6 +173,91 @@ object text {
       .otherwise(lit("fr"))
   }
 
+  // ---- char-n-gram language ID (Cavnar & Trenkle 1994) ----------------
+
+  /** Per-language weighted n-gram scores over [[langprofiles.Default]]
+    * — `array<long>` in [[langprofiles.Langs]] order, one fused kernel
+    * pass (normalize → slide code-point 4-grams → weighted profile
+    * hits). Exposed so a data card can keep the full score vector next
+    * to the argmax label. */
+  def langNgramScores(c: Column): Column =
+    graft.functions.NativeExprs.langNgramScores(c, langprofiles.Default)
+
+  /** Char-n-gram language ID over 16 languages — the production
+    * replacement for the 4-language stopword [[langId]] heuristic:
+    * score = Σ over the document's 4-grams of that language's rank
+    * weight ([[langprofiles]]); argmax, ties broken in profile order;
+    * total evidence below `minScore` → "und". One row-local fused pass,
+    * usable as a pushed-down projection at scan time — 100 TB of text
+    * never shuffles to get labeled. */
+  def langIdNgram(c: Column, minScore: Long = 1L): Column =
+    langIdNgramOf(langNgramScores(c), minScore)
+
+  /** [[langIdNgram]]'s argmax over an ALREADY-COMPUTED score vector
+    * (typically a [[graft.functions.NativeExprs.fence]]d
+    * [[langNgramScores]] column shared with other signals). */
+  def langIdNgramOf(scores: Column, minScore: Long = 1L): Column = {
+    val top = array_max(scores)
+    val langs = langprofiles.Langs
+    langs.zipWithIndex.foldLeft(when(top < minScore, lit("und"))) {
+      case (acc, (lang, i)) =>
+        acc.when(element_at(scores, i + 1) === top, lit(lang))
+    }.otherwise(lit(langs.last))
+  }
+
+  /** Compositional twin of [[langNgramScores]] (shingle array + one
+    * interpreted map-lookup aggregate per language), used to cross-check
+    * the fused kernel in NativeExprsSpec. */
+  def langNgramScoresHof(c: Column): Column = {
+    val norm = concat(lit(" "),
+      regexp_replace(lower(c), "[^\\p{L}]+", " "), lit(" "))
+    val sh = charShingles(norm, langprofiles.N)
+    array(langprofiles.Default.map { case (_, grams) =>
+      val m = typedLit(grams.toMap)
+      aggregate(sh, lit(0L), (acc, g) => acc + coalesce(element_at(m, g), lit(0L)))
+    }: _*)
+  }
+
+  /** Per-document language consistency under the TRIGRAM labeler — the
+    * [[langConsistency]] shape (chunk, label, majority share) with
+    * [[langIdNgram]] labeling each rejoined chunk, so the code-switch
+    * detector covers the full 16-language surface. Same plan shape: in-row
+    * chunking, one (doc, lang) count aggregate, one thin doc-keyed rank
+    * window — the text itself never shuffles more than once. */
+  def langConsistencyNgram(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      window: Int = 64,
+      stride: Int = 64,
+      minScore: Long = 1L): DataFrame = {
+    val perChunk = df
+      .select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), explode(tokenChunksOf(col("_toks"), window, stride)).as("c"))
+      .select(col(idCol),
+        langIdNgram(concat_ws(" ", col("c.chunk")), minScore).as("lang"))
+    majorityShare(perChunk, idCol)
+  }
+
+  /** Shared majority-vote tail of [[langConsistency]] /
+    * [[langConsistencyNgram]]: per-doc counts, rank window, majority
+    * share quantized floor-4dp. */
+  private def majorityShare(perChunk: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counted = perChunk.groupBy(col(idCol), col("lang"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col(idCol))
+    counted
+      .withColumn("rk", row_number().over(w.orderBy(col("c").desc, col("lang"))))
+      .withColumn("n_chunks", sum(col("c")).over(w))
+      .withColumn("n_langs", count(lit(1)).over(w))
+      .where(col("rk") === 1)
+      .select(col(idCol), col("n_chunks"), col("n_langs"),
+        col("lang").as("major_lang"),
+        (floor(col("c") * 10000.0 / col("n_chunks") + 0.5) / 10000.0)
+          .as("consistency"))
+  }
+
   /** Character n-gram shingles of a string (empty array when the text is
     * shorter than n). */
   def charShingles(c: Column, n: Int): Column =
@@ -910,23 +995,11 @@ object text {
       window: Int = 64,
       stride: Int = 64,
       minHits: Int = 1): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val perChunk = df
       .select(col(idCol), tokens(col(textCol)).as("_toks"))
       .select(col(idCol), explode(tokenChunksOf(col("_toks"), window, stride)).as("c"))
       .select(col(idCol), langIdOfTokens(col("c.chunk"), minHits).as("lang"))
-    val counted = perChunk.groupBy(col(idCol), col("lang"))
-      .agg(count(lit(1)).as("c"))
-    val w = Window.partitionBy(col(idCol))
-    counted
-      .withColumn("rk", row_number().over(w.orderBy(col("c").desc, col("lang"))))
-      .withColumn("n_chunks", sum(col("c")).over(w))
-      .withColumn("n_langs", count(lit(1)).over(w))
-      .where(col("rk") === 1)
-      .select(col(idCol), col("n_chunks"), col("n_langs"),
-        col("lang").as("major_lang"),
-        (floor(col("c") * 10000.0 / col("n_chunks") + 0.5) / 10000.0)
-          .as("consistency"))
+    majorityShare(perChunk, idCol)
   }
 
   /** Per-document mean unigram log-probability under a language model

@@ -52,6 +52,28 @@ class NativeExprsSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("fused langNgramScores equals the HOF map-lookup twin") {
+    import graft.ops.text
+    val fixtures = Seq(
+      "The Quick Brown Fox, jumps!  over--the lazy dog 42 times",
+      "die regierung hat angekündigt, dass die neue politik besprochen wird",
+      "правительство объявило что новая политика будет обсуждаться",
+      "η κυβέρνηση ανακοίνωσε ότι η νέα πολιτική θα συζητηθεί",
+      "", "   ", "!!! 123 ???", "ab")
+    import spark.implicits._
+    val diff = fixtures.toDF("text").select(
+        text.langNgramScores(col("text")).as("a"),
+        text.langNgramScoresHof(col("text")).as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(diff == 0)
+    // and over the real corpus
+    val corpus = docs.select(
+        text.langNgramScores(col("text")).as("a"),
+        text.langNgramScoresHof(col("text")).as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(corpus == 0)
+  }
+
   test("native wordShingles equals the HOF composition on real text") {
     val diff = docs.select(
         dedup.wordShingles(col("text")).as("a"),

@@ -165,6 +165,47 @@ class TextOpsSpec extends SparkSpec {
       Seq("en", "de", "es", "fr", "und"))
   }
 
+  test("langIdNgram: 16-language trigram profiles classify held-out text") {
+    // held-out sentences (NOT in the langprofiles seed texts), incl. two
+    // non-Latin scripts (Cyrillic, Greek); numbers-only text -> und
+    val fixtures = Seq(
+      ("en", "the government announced that the new policy would be discussed in parliament next week"),
+      ("de", "die regierung hat angekündigt, dass die neue politik nächste woche im parlament besprochen wird"),
+      ("fr", "le gouvernement a annoncé que la nouvelle politique serait discutée au parlement la semaine prochaine"),
+      ("es", "el gobierno anunció que la nueva política sería discutida en el parlamento la próxima semana"),
+      ("pt", "o governo anunciou que a nova política seria discutida no parlamento na próxima semana"),
+      ("it", "il governo ha annunciato che la nuova politica sarà discussa in parlamento la prossima settimana"),
+      ("nl", "de regering heeft aangekondigd dat het nieuwe beleid volgende week in het parlement zal worden besproken"),
+      ("sv", "regeringen meddelade att den nya politiken skulle diskuteras i riksdagen nästa vecka"),
+      ("pl", "rząd ogłosił, że nowa polityka będzie omawiana w parlamencie w przyszłym tygodniu"),
+      ("cs", "vláda oznámila, že nová politika bude projednána v parlamentu příští týden"),
+      ("tr", "hükümet yeni politikanın gelecek hafta mecliste görüşüleceğini duyurdu"),
+      ("id", "pemerintah mengumumkan bahwa kebijakan baru akan dibahas di parlemen minggu depan"),
+      ("ru", "правительство объявило что новая политика будет обсуждаться в парламенте на следующей неделе"),
+      ("el", "η κυβέρνηση ανακοίνωσε ότι η νέα πολιτική θα συζητηθεί στο κοινοβούλιο την επόμενη εβδομάδα"),
+      ("und", "12345 67890 !!!"))
+    val got = fixtures.toDF("want", "text")
+      .select(col("want"), text.langIdNgram(col("text")).as("got"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val misses = got.filter { case (w, g) => w != g }
+    assert(misses.isEmpty, s"misclassified: ${misses.mkString(", ")}")
+  }
+
+  test("langConsistencyNgram: pure doc consistent, code-switch doc flagged") {
+    val en = "the government announced that the new policy would be discussed next week and the children are playing in the garden"
+    val de = "die regierung hat angekündigt dass die neue politik besprochen wird und die kinder spielen mit ihren freunden im garten"
+    val docs = Seq((1L, en + " " + en), (2L, en + " " + de))
+      .toDF("doc_id", "text")
+    val r = text.langConsistencyNgram(docs, "text", "doc_id",
+        window = 20, stride = 20)
+      .orderBy(col("doc_id"))
+      .collect()
+    assert(r(0).getAs[String]("major_lang") == "en")
+    assert(r(0).getAs[Double]("consistency") == 1.0)
+    assert(r(1).getAs[Long]("n_langs") >= 2)
+    assert(r(1).getAs[Double]("consistency") < 1.0)
+  }
+
   test("charShingles: count and content; short text -> empty") {
     val r = one("abcdef").select(text.charShingles(col("text"), 4).as("s")).head()
     assert(r.getSeq[String](0) == Seq("abcd", "bcde", "cdef"))
