@@ -1280,6 +1280,14 @@ object SparkEntry {
       text.termDispersion(table(s, dir, "documents"), "text", "source",
         minTf = 10L, topK = 20)),
 
+    // north-star: interpolated Kneser-Ney 3-gram LM quality score — the
+    // paper-correct CCNet gate (continuation-count smoothing);
+    // lmQualityFilter/bigramLogProb are its MLE ablations. All KN
+    // statistics are integer grids; one doc-sized shuffle.
+    "text_kn_logprob" -> ((s, dir) =>
+      text.knLogProb(table(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("doc_id"))),
+
     // north-star: char-4-gram language ID over 16 languages (Cavnar &
     // Trenkle rank-weight profiles as driver literals) — the production
     // langid replacing the 4-language stopword heuristic; one fused
@@ -4686,6 +4694,46 @@ object SparkEntry {
          |      / (n * sxx - sx * sx)::DOUBLE * 1000000.0 + 0.5) / 1000000.0
          |  END AS slope_q6
          |FROM a""".stripMargin,
+
+    // Interpolated Kneser-Ney trigram LM: every count statistic replayed
+    // as an integer-grid CTE (c3 -> context/continuation/middle/word
+    // grids), then the SAME fixed parenthesization of the p3 double
+    // expression, the same floor-1e6 long terms, the same 4-dp mean.
+    "text_kn_logprob" ->
+      s"""WITH t AS (SELECT doc_id, toks FROM
+         |  (SELECT doc_id, $SqlToks AS toks FROM documents)
+         |  WHERE len(toks) >= 3),
+         |tg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+         |  i -> [toks[i], toks[i+1], toks[i+2]])) AS g FROM t),
+         |tf AS (SELECT doc_id, g[1] AS t1, g[2] AS t2, g[3] AS t3,
+         |  count(*)::BIGINT AS tf FROM tg GROUP BY 1, 2, 3, 4),
+         |c3 AS (SELECT t1, t2, t3, sum(tf)::BIGINT AS c3 FROM tf
+         |  GROUP BY 1, 2, 3),
+         |c12 AS (SELECT t1, t2, sum(c3)::BIGINT AS c12,
+         |  count(*)::BIGINT AS n1p12 FROM c3 GROUP BY 1, 2),
+         |g23 AS (SELECT t2, t3, count(*)::BIGINT AS cvw FROM c3
+         |  GROUP BY 1, 2),
+         |g2 AS (SELECT t2, sum(cvw)::BIGINT AS nmid,
+         |  count(*)::BIGINT AS nvdot FROM g23 GROUP BY 1),
+         |g3 AS (SELECT t3, count(*)::BIGINT AS cw FROM g23 GROUP BY 1),
+         |nbt AS (SELECT count(*)::BIGINT AS nbt FROM g23),
+         |sc AS (SELECT tf.doc_id, tf.tf,
+         |  ln((greatest(c3.c3::DOUBLE - 0.75, 0.0)
+         |      + (0.75 * c12.n1p12::DOUBLE)
+         |        * ((greatest(g23.cvw::DOUBLE - 0.75, 0.0)
+         |            + (0.75 * g2.nvdot::DOUBLE)
+         |              * (g3.cw::DOUBLE / nbt.nbt::DOUBLE))
+         |          / g2.nmid::DOUBLE))
+         |    / c12.c12::DOUBLE) AS lp
+         |  FROM tf JOIN c3 USING (t1, t2, t3) JOIN c12 USING (t1, t2)
+         |    JOIN g23 USING (t2, t3) JOIN g2 USING (t2)
+         |    JOIN g3 USING (t3) CROSS JOIN nbt),
+         |d AS (SELECT doc_id, sum(tf)::BIGINT AS n_trigrams,
+         |  sum(floor(tf * lp * 1000000.0)::BIGINT) AS q FROM sc GROUP BY 1)
+         |SELECT doc_id, n_trigrams,
+         |  floor(q::DOUBLE / 1000000.0 / n_trigrams * 10000.0 + 0.5)
+         |    / 10000.0 AS logprob
+         |FROM d ORDER BY doc_id""".stripMargin,
 
     // Char-4-gram langid: the 16-language rank-weight profile table is
     // emitted as a VALUES literal FROM THE SAME driver-trained

@@ -1313,6 +1313,120 @@ object text {
           * 10000.0 + 0.5) / 10000.0).as("logprob"))
   }
 
+  /** Adjacent token triples as structs (t1, t2, t3) — in-row. */
+  private def trigramsOf(toks: Column): Column = {
+    val n = greatest(size(toks) - 2, lit(0))
+    zip_with(
+      zip_with(
+        slice(toks, lit(1), n),
+        slice(toks, lit(2), n),
+        (a, b) => struct(a.as("t1"), b.as("t2"))),
+      slice(toks, lit(3), n),
+      (ab, c) => struct(ab.getField("t1").as("t1"),
+        ab.getField("t2").as("t2"), c.as("t3")))
+  }
+
+  /** Per-document mean trigram log-probability under an INTERPOLATED
+    * KNESER-NEY 3-gram model trained on the corpus itself — the actual
+    * CCNet quality gate (Wenzek et al. 2020 filter documents by the
+    * perplexity of a KN-smoothed 5-gram LM; 3-gram is the same estimator
+    * one order down). [[unigramLogProb]]/[[bigramLogProb]] are its MLE
+    * ablations; KN differs where filtering quality lives: the lower-order
+    * fallback weights CONTINUATION counts (in how many distinct contexts
+    * a word appears) rather than raw frequency, so boilerplate tokens
+    * that are frequent in one template stop looking "likely" everywhere.
+    *
+    * Estimator (Chen & Goodman 1998, interpolated form, fixed discount
+    * D = 0.75, counts from the corpus trigram table):
+    *   p1(w)    = N1+(·w) / N1+(··)
+    *   p2(w|v)  = (max(N1+(·vw)−D,0) + D·N1+(v·)·p1(w)) / N1+(·v·)
+    *   p3(w|uv) = (max(c(uvw)−D,0)  + D·N1+(uv·)·p2)    / c(uv·)
+    * Every scored trigram occurs in the corpus (self-trained), so
+    * p3 > 0 with no unknown-word branch.
+    *
+    * Determinism: all eight count statistics are exact integer grids;
+    * the per-(doc, trigram) `floor(tf·ln(p3)·10⁶)` terms are longs
+    * summed order-free (the [[unigramLogProb]] discipline), and the
+    * double expression for p3 is written with one fixed parenthesization
+    * that the oracle replays operation-for-operation.
+    *
+    * Plan shape at scale: one trigram explode → (doc, trigram) count
+    * (the only doc-sized shuffle), corpus trigram grid derived by
+    * map-side combine, every KN statistic a WINDOW or re-aggregate over
+    * grid rows (c(uv·)/N1+(uv·) windowed over (t1,t2); continuation
+    * grid g23 = distinct-predecessor counts; N1+(·v·)/N1+(v·) windowed
+    * over t2; N1+(·w) re-aggregated; N1+(··) one broadcast row), then
+    * grid-keyed joins back and one doc-keyed sum. The corpus text
+    * crosses the wire once; everything else is Heaps-bounded grid
+    * traffic. Docs need ≥ 3 tokens. Returns
+    * `(idCol, n_trigrams, logprob)`. */
+  def knLogProb(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val D = 0.75
+    val tf3 = df
+      .select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), explode(trigramsOf(col("_toks"))).as("g"))
+      .groupBy(col(idCol), col("g.t1").as("t1"), col("g.t2").as("t2"),
+        col("g.t3").as("t3"))
+      .agg(count(lit(1)).as("tf"))
+    // corpus trigram grid, lineage-cut: three independent consumers
+    // (the (t1,t2) window, the continuation grid, the join back) must
+    // reread GRID rows, not re-shuffle the corpus (cohenKappa rule)
+    val c3 = ckpt.cut(tf3.groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(sum(col("tf")).as("c3")))
+    val w12 = Window.partitionBy(col("t1"), col("t2"))
+    val ctx = c3
+      .withColumn("c12", sum(col("c3")).over(w12))
+      .withColumn("n1p12", count(lit(1)).over(w12))
+    // continuation grid: rows of c3 grouped by (t2,t3) count DISTINCT
+    // predecessors; windows over t2 give N1+(·v·) and N1+(v·)
+    val g23 = ckpt.cut(c3.groupBy(col("t2"), col("t3"))
+      .agg(count(lit(1)).as("cvw")))
+    val w2 = Window.partitionBy(col("t2"))
+    val cont = g23
+      .withColumn("nmid", sum(col("cvw")).over(w2))
+      .withColumn("nvdot", count(lit(1)).over(w2))
+    val g3 = g23.groupBy(col("t3")).agg(count(lit(1)).as("cw"))
+    val nbt = g23.agg(count(lit(1)).as("nbt"))
+    val p1 = col("cw").cast("double") / col("nbt").cast("double")
+    val p2 = (greatest(col("cvw").cast("double") - D, lit(0.0))
+      + (lit(D) * col("nvdot").cast("double")) * p1) /
+      col("nmid").cast("double")
+    val p3 = (greatest(col("c3").cast("double") - D, lit(0.0))
+      + (lit(D) * col("n1p12").cast("double")) * p2) /
+      col("c12").cast("double")
+    tf3.join(ctx, Seq("t1", "t2", "t3"))
+      .join(cont, Seq("t2", "t3"))
+      .join(g3, Seq("t3"))
+      .crossJoin(broadcast(nbt))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).as("n_trigrams"),
+        sum(floor(col("tf") * log(p3) * lit(1.0e6)).cast("long")).as("q"))
+      .select(col(idCol), col("n_trigrams"),
+        // floor-form quantization — see [[unigramLogProb]]
+        (floor(col("q").cast("double") / lit(1.0e6) / col("n_trigrams")
+          * 10000.0 + 0.5) / 10000.0).as("logprob"))
+  }
+
+  /** The perplexity-gate twin of [[knLogProb]] — [[lmQualityFilter]]
+    * upgraded from the unigram ablation to the paper-correct KN-smoothed
+    * n-gram model: keep documents whose mean trigram log-probability
+    * reaches `minLogProb` (log-space compare on the 4-dp-quantized
+    * score; `ppl = e^(−logprob)` is monotone, and exp() is not portable
+    * across engines while the compare is exact). Returns
+    * `(idCol, n_trigrams, logprob, keep)`. */
+  def knQualityFilter(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      idCol: String,
+      minLogProb: Double): org.apache.spark.sql.DataFrame =
+    knLogProb(df, textCol, idCol)
+      .withColumn("keep", (col("logprob") >= lit(minLogProb)).cast("int"))
+
   /** Add-one-smoothed unigram distributions of two corpora over their
     * UNION vocabulary: `(tok, ca, cb, na, nb, v, pa, pb)` with
     * `p = (c + 1) / (n + v)` — the shared substrate of [[tokenShift]]

@@ -206,6 +206,74 @@ class TextOpsSpec extends SparkSpec {
     assert(r(1).getAs[Double]("consistency") < 1.0)
   }
 
+  test("knLogProb: hand-computed interpolated Kneser-Ney trigram probabilities") {
+    // single doc "a b c": every statistic is 1, discount mass flows back
+    // entirely -> p3 = (0.25 + 0.75*1*((0.25 + 0.75*1*1)/1))/1 = 1, ln = 0
+    val solo = text.knLogProb(Seq((1L, "a b c")).toDF("doc_id", "text"),
+      "text", "doc_id").head()
+    assert(solo.getAs[Long]("n_trigrams") == 1L)
+    assert(solo.getAs[Double]("logprob") == 0.0)
+
+    // two docs "a b c" / "a b d": c(ab·)=2, N1+(ab·)=2, cont(bc)=1,
+    // N1+(·b·)=2, N1+(b·)=2, N1+(·c)=1, N1+(··)=2
+    // p1 = 1/2; p2 = (0.25 + 1.5*0.5)/2 = 0.5; p3 = (0.25 + 1.5*0.5)/2 = 0.5
+    // q = floor(ln(0.5)*1e6) = -693148 -> logprob -0.6931
+    val two = text.knLogProb(
+      Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text"),
+      "text", "doc_id").orderBy(col("doc_id")).collect()
+    assert(two.forall(_.getAs[Long]("n_trigrams") == 1L))
+    assert(two.forall(_.getAs[Double]("logprob") == -0.6931))
+
+    // docs shorter than 3 tokens emit no row
+    val short = text.knLogProb(Seq((1L, "a b")).toDF("doc_id", "text"),
+      "text", "doc_id").count()
+    assert(short == 0L)
+
+    // independent plain-Scala KN reference on a mixed-count corpus
+    val docs = Seq((1L, "a b c a b c"), (2L, "a b d"), (3L, "c a b a b c"))
+    def toks(s: String) = s.split(" ").toSeq
+    val triOf = docs.map { case (id, s) =>
+      id -> toks(s).sliding(3).filter(_.size == 3).map(_.toList).toSeq }
+    val c3 = triOf.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c12 = c3.groupBy(k => (k._1(0), k._1(1)))
+    val g23 = c3.keys.map(k => (k(1), k(2))).toSeq.distinct
+    val g2 = g23.groupBy(_._1)
+    val g3c = g23.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nbt = g23.size.toDouble
+    def p3(t: List[String]): Double = {
+      val c = c3(t).toDouble
+      val ctx = c12((t(0), t(1)))
+      val cUV = ctx.values.sum.toDouble
+      val n1pUV = ctx.size.toDouble
+      val cvw = c3.keys.count(k => k(1) == t(1) && k(2) == t(2)).toDouble
+      // N1+(·v·) = distinct (u,w) pairs around middle v = every distinct
+      // trigram with middle v contributes one
+      val nmid = c3.keys.count(k => k(1) == t(1)).toDouble
+      val nvdot = g2(t(1)).size.toDouble
+      val p1 = g3c(t(2)).toDouble / nbt
+      val p2 = (math.max(cvw - 0.75, 0.0) + (0.75 * nvdot) * p1) / nmid
+      (math.max(c - 0.75, 0.0) + (0.75 * n1pUV) * p2) / cUV
+    }
+    val want = triOf.map { case (id, ts) =>
+      val byTri = ts.groupBy(identity).view.mapValues(_.size.toLong)
+      val q = byTri.map { case (t, tf) =>
+        math.floor(tf * math.log(p3(t)) * 1e6).toLong }.sum
+      val n = ts.size.toLong
+      id -> (n, math.floor(q.toDouble / 1e6 / n * 10000.0 + 0.5) / 10000.0)
+    }.toMap
+    val got = text.knLogProb(docs.toDF("doc_id", "text"), "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_trigrams"), r.getAs[Double]("logprob"))).toMap
+    assert(got == want, s"got $got want $want")
+
+    // gate twin: keep iff logprob >= threshold
+    val gated = text.knQualityFilter(docs.toDF("doc_id", "text"),
+        "text", "doc_id", minLogProb = want(1L)._2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("keep")).toMap
+    assert(gated(1L) == 1)
+    assert(gated.values.sum >= 1)
+  }
+
   test("charShingles: count and content; short text -> empty") {
     val r = one("abcdef").select(text.charShingles(col("text"), 4).as("s")).head()
     assert(r.getSeq[String](0) == Seq("abcd", "bcde", "cdef"))
