@@ -7118,7 +7118,8 @@ object SparkEntry {
          |ORDER BY id_a, id_b, a_start, b_start""".stripMargin,
 
     // Duplication rate: the pairs chain, both sides' extents unioned
-    // distinct, classic islands interval-merge, exact bp DIV.
+    // distinct, classic islands interval-merge, exact bp DIV;
+    // FULL-DOMAIN left join so untouched docs surface as rate 0.
     "dedup_substring_rate" ->
       s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
          |tl AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 8),
@@ -7152,10 +7153,12 @@ object SparkEntry {
          |  FROM ik GROUP BY 1, 2),
          |du AS (SELECT doc_id, sum(me - ms + 1)::BIGINT AS dup_tokens
          |  FROM mg GROUP BY 1),
-         |tc AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens FROM t)
-         |SELECT du.doc_id, n_tokens, dup_tokens,
-         |  (dup_tokens * 10000 // n_tokens)::BIGINT AS dup_bp
-         |FROM du JOIN tc USING (doc_id) ORDER BY du.doc_id""".stripMargin,
+         |tc AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens FROM t
+         |  WHERE len(toks) > 0)
+         |SELECT tc.doc_id, n_tokens,
+         |  coalesce(dup_tokens, 0)::BIGINT AS dup_tokens,
+         |  (coalesce(dup_tokens, 0) * 10000 // n_tokens)::BIGINT AS dup_bp
+         |FROM tc LEFT JOIN du USING (doc_id) ORDER BY tc.doc_id""".stripMargin,
 
     // Keep-first removal: b-side extents drop from the higher-id doc;
     // positional anti-join formulation (fine in DuckDB; the Spark plan

@@ -445,9 +445,11 @@ object dedup {
     * of a document's tokens appear verbatim in some other document):
     * per doc, the token count covered by ANY [[crossSubstringPairs]]
     * extent on EITHER side of a pair, exactly, with overlapping extents
-    * merged so no token double-counts. Docs with no cross-doc extent
-    * emit no row (rate 0 — join back against the corpus for the full
-    * domain).
+    * merged so no token double-counts. FULL-DOMAIN: every doc with ≥ 1
+    * token gets a row — docs untouched by any pair surface as
+    * `dup_tokens = 0, dup_bp = 0` (the [[graft.ops.evals]] rboAtD
+    * standard: a card consumer averaging surfaced rows must not
+    * overstate duplication).
     *
     * Interval merge is the classic islands form: per doc, spans sorted
     * by (start, end); a span opens a new island when its start exceeds
@@ -487,9 +489,16 @@ object dedup {
       .agg(sum(col("_ie") - col("_is") + 1).cast("long").as("dup_tokens"))
     val toks = df.select(col(idCol),
       graft.ops.text.tokenCount(col(textCol)).cast("long").as("n_tokens"))
-    islands.join(toks, Seq(idCol))
-      .select(col(idCol), col("n_tokens"), col("dup_tokens"),
-        expr("dup_tokens * 10000 DIV n_tokens").as("dup_bp"))
+    // FULL-DOMAIN join (the rboAtD rule): a doc with no cross-doc
+    // extent must surface as rate 0, not vanish — a data-card mean over
+    // surfaced rows would otherwise overstate corpus duplication.
+    // Right join against the corpus id domain; zero-token docs are
+    // dropped (no denominator).
+    islands.join(toks, Seq(idCol), "right")
+      .where(col("n_tokens") > 0L)
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .withColumn("dup_bp", expr("dup_tokens * 10000 DIV n_tokens"))
   }
 
   /** Rewrite each document with its cross-document duplicated

@@ -249,13 +249,15 @@ class DedupSpec extends SparkSpec {
     val docs = Seq(
       (1L, "a b c d x"),
       (2L, "c d e f y"),
-      (5L, "a b c d e f")).toDF("doc_id", "text")
+      (5L, "a b c d e f"),
+      (7L, "q r s t u v w")).toDF("doc_id", "text")
     val got = dedup.crossDupStats(docs, "text", "doc_id", minLen = 3)
       .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
     assert(got == Seq(
       (1L, 5L, 4L, 8000L),   // a-side extent 1..4 of 5 tokens
       (2L, 5L, 4L, 8000L),   // extent 1..4 of 5 tokens
-      (5L, 6L, 6L, 10000L)), // merged 1..6 of 6 tokens
+      (5L, 6L, 6L, 10000L),  // merged 1..6 of 6 tokens
+      (7L, 7L, 0L, 0L)),     // FULL DOMAIN: untouched doc -> rate 0 row
       got.toString)
   }
 
