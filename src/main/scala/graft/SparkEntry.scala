@@ -3919,6 +3919,17 @@ object SparkEntry {
           .where(col("source").isNotNull && col("n_chars").isNotNull),
         col("source"), col("n_chars"), b = 200)),
 
+    // north-star: bootstrap CI for a RATIO OF SUMS (chars per token by
+    // language) — the data-card shape the mean can't express; same
+    // md5+affine weights, both sums reweighted together, zero-denominator
+    // replicates dropped.
+    "eval_bootstrap_ratio" -> ((s, dir) =>
+      evals.bootstrapRatioCIBy(
+          table(s, dir, "documents").where(col("lang").isNotNull),
+          Seq("lang"), col("doc_id"),
+          col("n_chars"), text.tokenCount(col("text")), b = 100)
+        .orderBy(col("lang"))),
+
     // north-star: paired bootstrap A-vs-B — is the Q1-vs-Q2 score
     // difference real; same resamples hit both systems (the pairing),
     // band + replicate win rate.
@@ -9236,6 +9247,42 @@ object SparkEntry {
     },
 
     // Paired bootstrap: same uniforms/weights as eval_bootstrap_ci,
+    // Ratio-of-sums bootstrap: the by-lang chain with BOTH sums
+    // reweighted by the same integer Poisson draws; zero-denominator
+    // replicates dropped before the order statistic.
+    "eval_bootstrap_ratio" -> {
+      val cdf = evals.PoissonCdfPpm.mkString("[", ", ", "]")
+      val h = graft.functions.hashing.sqlH32("(doc_id::VARCHAR || ':boot')")
+      s"""WITH v AS (SELECT lang, n_chars::BIGINT AS x,
+         |    len($SqlToks)::BIGINT AS d, $h AS h
+         |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+         |p AS (SELECT lang, count(*)::BIGINT AS n_rows,
+         |  floor(sum(x)::DOUBLE / sum(d)::DOUBLE * 1000000.0 + 0.5)
+         |    / 1000000.0 AS ratio_q6 FROM v GROUP BY lang),
+         |r AS (SELECT lang, j, sum(w * x)::BIGINT AS swx,
+         |    sum(w * d)::BIGINT AS swd
+         |  FROM (SELECT lang, x, d, rr.j,
+         |      len(list_filter($cdf, t -> t <=
+         |        ((h * (2 * rr.j + 1) + 12582917 * rr.j) % 4294967291)
+         |          % 1000000))::BIGINT AS w
+         |    FROM v, unnest(range(0, 100)) AS rr(j))
+         |  GROUP BY lang, j),
+         |m AS (SELECT lang, j,
+         |  floor(swx::DOUBLE / swd::DOUBLE * 1000000.0 + 0.5)
+         |    / 1000000.0 AS mq FROM r WHERE swd > 0),
+         |o AS (SELECT lang, mq,
+         |  row_number() OVER (PARTITION BY lang ORDER BY mq, j) AS rn,
+         |  count(*) OVER (PARTITION BY lang) AS mm FROM m),
+         |bd AS (SELECT lang, count(*)::BIGINT AS b_reps,
+         |  max(CASE WHEN rn = least(mm, greatest(1, (mm * 25000) // 1000000 + 1))
+         |    THEN mq END) AS lo_q6,
+         |  max(CASE WHEN rn = least(mm, greatest(1, (mm * 975000 + 999999) // 1000000))
+         |    THEN mq END) AS hi_q6
+         |  FROM o GROUP BY lang)
+         |SELECT p.lang, n_rows, b_reps, ratio_q6, lo_q6, hi_q6
+         |FROM p JOIN bd USING (lang) ORDER BY p.lang""".stripMargin
+    },
+
     // applied to the per-row difference; win rate over replicates.
     "eval_paired_bootstrap" -> {
       val cdf = evals.PoissonCdfPpm.mkString("[", ", ", "]")

@@ -493,6 +493,46 @@ object evals {
         :+ col("mean_q6") :+ col("lo_q6") :+ col("hi_q6")): _*)
   }
 
+  /** Poisson-bootstrap CI for a RATIO OF SUMS `Σnum / Σden` — the
+    * data-card shape [[bootstrapCI]]'s mean cannot express: duplicated
+    * tokens over total tokens, flagged chars over total chars, cost
+    * over impressions. Each replicate reweights ROWS (both sums see the
+    * same Poisson weights — one md5, the affine family, identical to
+    * [[bootstrapCI]], which is this estimator with denominator 1), so
+    * the replicate ratio is `Σw·num / Σw·den`; replicates whose
+    * denominator draws to 0 are dropped (no ratio exists in that
+    * resample). Cluster form for free: pass a group id as `idCol`.
+    * Returns `(n_rows, b_reps, ratio_q6, lo_q6, hi_q6)`. */
+  def bootstrapRatioCI(
+      df: DataFrame,
+      idCol: Column,
+      numCol: Column,
+      denCol: Column,
+      b: Int = 200,
+      loPpm: Long = 25000L,
+      hiPpm: Long = 975000L): DataFrame =
+    bootstrapImpl(df, Seq.empty, idCol, numCol, b, loPpm, hiPpm,
+      denCol, "ratio_q6")
+
+  /** Stratified [[bootstrapRatioCI]] — one ratio band per group.
+    * Returns `(groupKeys*, n_rows, b_reps, ratio_q6, lo_q6, hi_q6)`. */
+  def bootstrapRatioCIBy(
+      df: DataFrame,
+      groupKeys: Seq[String],
+      idCol: Column,
+      numCol: Column,
+      denCol: Column,
+      b: Int = 200,
+      loPpm: Long = 25000L,
+      hiPpm: Long = 975000L): DataFrame = {
+    require(groupKeys.nonEmpty, "graft: bootstrapRatioCIBy needs group " +
+      "keys (use bootstrapRatioCI for the ungrouped form)")
+    bootstrapImpl(df, groupKeys, idCol, numCol, b, loPpm, hiPpm,
+      denCol, "ratio_q6")
+      .select((groupKeys.map(col) :+ col("n_rows") :+ col("b_reps")
+        :+ col("ratio_q6") :+ col("lo_q6") :+ col("hi_q6")): _*)
+  }
+
   private def bootstrapImpl(
       df: DataFrame,
       groupKeys: Seq[String],
@@ -500,7 +540,9 @@ object evals {
       valueCol: Column,
       b: Int,
       loPpm: Long,
-      hiPpm: Long): DataFrame = {
+      hiPpm: Long,
+      denCol: Column = lit(1L),
+      outName: String = "mean_q6"): DataFrame = {
     require(b >= 2 && b <= 10000,
       s"graft: bootstrapCI needs 2 <= b <= 10000, got $b")
     require(loPpm >= 0L && hiPpm <= 1000000L && loPpm < hiPpm,
@@ -509,16 +551,18 @@ object evals {
     val q6 = (c: Column) => graft.functions.vectors.quantize(c, 6)
     val gks = groupKeys.map(col)
     // a null id would hash to a null _h, zeroing that row out of every
-    // replicate while the point mean still counted it — require both,
-    // so the point estimate and the replicates see the SAME population
+    // replicate while the point mean still counted it — require all
+    // three, so the point estimate and the replicates see the SAME
+    // population. The mean form is the ratio form with denominator 1.
     val rows = df.select((gks :+ valueCol.cast("long").as("_x")
+        :+ denCol.cast("long").as("_d")
         :+ hashing.h32(concat(idCol.cast("string"), lit(":boot"))).as("_h")): _*)
-      .where(col("_x").isNotNull && col("_h").isNotNull)
+      .where(col("_x").isNotNull && col("_d").isNotNull && col("_h").isNotNull)
     val point = rows.groupBy(gks: _*).agg(count(lit(1)).as("n_rows"),
-      q6(sum(col("_x")).cast("double") / count(lit(1)).cast("double"))
-        .as("mean_q6"))
+      q6(sum(col("_x")).cast("double") / sum(col("_d")).cast("double"))
+        .as(outName))
     val thresholds = lit(PoissonCdfPpm.toArray)
-    val reps = rows.select((gks :+ col("_x") :+ explode(transform(
+    val reps = rows.select((gks :+ col("_x") :+ col("_d") :+ explode(transform(
         sequence(lit(0L), lit((b - 1).toLong)),
         j => {
           val u = pmod(pmod(col("_h") * (j * 2L + lit(1L))
@@ -528,9 +572,9 @@ object evals {
         })).as("_rw")): _*)
       .select((gks :+ col("_rw.rep").as("_rep")
         :+ (col("_rw.w") * col("_x")).as("_wx")
-        :+ col("_rw.w").as("_w")): _*)
+        :+ (col("_rw.w") * col("_d")).as("_wd")): _*)
       .groupBy((gks :+ col("_rep")): _*)
-      .agg(sum(col("_wx")).as("_swx"), sum(col("_w")).as("_sw"))
+      .agg(sum(col("_wx")).as("_swx"), sum(col("_wd")).as("_sw"))
       .where(col("_sw") > 0L)
       .select((gks :+ col("_rep")
         :+ q6(col("_swx").cast("double") / col("_sw").cast("double"))

@@ -699,6 +699,52 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("bootstrapRatioCI: ratio of sums, mean-equivalence law, null-id law") {
+    // point = Σnum/Σden, band brackets it, pure function of the data
+    val df = (1L to 200L).map(i => (i, i % 10 + 1, i % 3 + 1))
+      .toDF("id", "num", "den")
+    val r1 = evals.bootstrapRatioCI(df, col("id"), col("num"), col("den"),
+      b = 100).head()
+    val r2 = evals.bootstrapRatioCI(df, col("id"), col("num"), col("den"),
+      b = 100).head()
+    assert(r1 == r2)
+    val num = (1L to 200L).map(i => i % 10 + 1).sum.toDouble
+    val den = (1L to 200L).map(i => i % 3 + 1).sum.toDouble
+    val wantPoint = math.floor(num / den * 1e6 + 0.5) / 1e6
+    assert(r1.getAs[Double]("ratio_q6") == wantPoint, r1.toString)
+    assert(r1.getAs[Double]("lo_q6") <= wantPoint
+      && wantPoint <= r1.getAs[Double]("hi_q6"))
+    // mean-equivalence: denominator 1 reproduces bootstrapCI EXACTLY
+    // (same weights, same replicate values, same band)
+    val mixed = (1L to 200L).map(i => (i, i % 10)).toDF("id", "x")
+    val mean = evals.bootstrapCI(mixed, col("id"), col("x"), b = 100).head()
+    val ratio = evals.bootstrapRatioCI(mixed, col("id"), col("x"), lit(1L),
+      b = 100).head()
+    assert(ratio.getAs[Double]("ratio_q6") == mean.getAs[Double]("mean_q6"))
+    assert(ratio.getAs[Double]("lo_q6") == mean.getAs[Double]("lo_q6"))
+    assert(ratio.getAs[Double]("hi_q6") == mean.getAs[Double]("hi_q6"))
+    // a null id row is excluded from BOTH the point and the replicates
+    // (the round-14 advice law), so it changes nothing it half-counts in
+    val withNull = (1L to 200L).map(i => (Some(i), i % 10 + 1, i % 3 + 1))
+      .toDF("id", "num", "den")
+      .union(Seq((Option.empty[Long], 999999L, 1L)).toDF("id", "num", "den"))
+    val rn = evals.bootstrapRatioCI(withNull, col("id"), col("num"),
+      col("den"), b = 100).head()
+    assert(rn == r1, s"null id leaked: $rn vs $r1")
+    // grouped form matches per-stratum solo runs
+    val grouped = (1L to 120L).map(i => (i, if (i % 3 == 0) "a" else "b",
+      i % 7 + 1, i % 5 + 1)).toDF("id", "g", "num", "den")
+    val byG = evals.bootstrapRatioCIBy(grouped, Seq("g"), col("id"),
+      col("num"), col("den"), b = 50).orderBy("g").collect()
+    Seq("a", "b").zipWithIndex.foreach { case (g, i) =>
+      val solo = evals.bootstrapRatioCI(grouped.where(col("g") === g),
+        col("id"), col("num"), col("den"), b = 50).head()
+      assert(byG(i).getAs[Double]("ratio_q6") == solo.getAs[Double]("ratio_q6"))
+      assert(byG(i).getAs[Double]("lo_q6") == solo.getAs[Double]("lo_q6"))
+      assert(byG(i).getAs[Double]("hi_q6") == solo.getAs[Double]("hi_q6"))
+    }
+  }
+
   test("bootstrapCI as cluster bootstrap: group-keyed hashing widens the band") {
     // two clusters with very different means: resampling CLUSTERS
     // (group id as the hash key) must see the between-cluster variance
