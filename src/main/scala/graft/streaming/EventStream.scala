@@ -1011,7 +1011,56 @@ object EventStream {
       .select(expr(s"(unix_micros($tsCol) DIV 1000000) DIV $bucketSec")
         .as("_b"))
       .groupBy(col("_b")).agg(count(lit(1)).as("_x"))
-    val arr = grid
+      .select(col("_b").as("bucket"), col("_x").as("x"))
+    cusumFrom(grid, refN, slack, threshold, maxBuckets)
+  }
+
+  /** LIVE changepoint monitoring, the [[hllStream]]/[[histDriftStream]]
+    * build/finish split applied to [[cusum]]: the stream side maintains
+    * only the mergeable BUCKET GRID (one exact count per event-time
+    * bucket — a watermarked window aggregation whose state is one thin
+    * row per open bucket, evicted as the watermark passes), sink
+    * snapshots merge by addition across restarts/backfills, and
+    * [[cusumFrom]] turns any snapshot into the sequential statistic.
+    * The recurrence itself is inherently ordered, so it lives in the
+    * FINISH stage over ≤ maxBuckets grid rows, never in stream state —
+    * 100 TB/day of events cross the wire as bucket counts. Because the
+    * grid aggregation is the same arithmetic as batch, finishing a
+    * complete snapshot equals batch [[cusum]] on the same events
+    * (EventStreamSpec pins the law). Append mode once the watermark
+    * closes a bucket. Emits `(bucket, x)`. */
+  def cusumStream(
+      events: DataFrame,
+      bucketSec: Long = 86400L,
+      tsCol: String = "ts",
+      delay: String = "10 minutes"): DataFrame = {
+    require(bucketSec >= 1, s"graft: cusumStream needs bucketSec >= 1")
+    val src = if (events.isStreaming) events.withWatermark(tsCol, delay)
+      else events
+    src.groupBy(window(col(tsCol), s"$bucketSec seconds").as("_w"))
+      .agg(count(lit(1)).as("x"))
+      // epoch-aligned window start -> the SAME bucket id as batch cusum
+      .select(expr(s"(unix_micros(_w.start) DIV 1000000) DIV $bucketSec")
+        .as("bucket"), col("x"))
+  }
+
+  /** FINISH a [[cusumStream]] sink snapshot (or any `(bucket, x)` grid)
+    * into the CUSUM statistic: re-fold duplicate bucket rows by
+    * addition (the merge-by-addition sink contract), then the exact
+    * scaled recurrence of [[cusum]] over the bounded grid. */
+  def cusumFrom(
+      grid: DataFrame,
+      refN: Int = 7,
+      slack: Long = 0L,
+      threshold: Long = 100L,
+      maxBuckets: Int = 100000): DataFrame = {
+    require(refN >= 1 && slack >= 0L && threshold >= 1L,
+      s"graft: cusumFrom needs refN >= 1, slack >= 0, threshold >= 1")
+    require(maxBuckets >= refN,
+      s"graft: cusumFrom needs maxBuckets >= refN, got $maxBuckets < $refN")
+    val merged = grid
+      .groupBy(col("bucket").as("_b")).agg(sum(col("x")).as("_x"))
+    val arr = merged
       .agg(sort_array(collect_list(struct(col("_b"), col("_x")))).as("_a"))
       .withColumn("_a",
         when(size(col("_a")) > maxBuckets,

@@ -154,6 +154,48 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cusumStream: finished sink snapshot equals batch cusum (stream==batch law)") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val sdf = mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // a denser series across minutes: 60-second buckets, volume ramps up
+    val events = (0 until 40).map { i =>
+      (i.toLong, ts(f"2024-01-01 00:${i / 4}%02d:${(i % 4) * 15}%02d"),
+        7L, "click", 1.0, "{}")
+    }
+    val edf = events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStream.cusumStream(sdf, bucketSec = 60L)
+      .writeStream.format("memory").queryName("cusum_grid")
+      .outputMode("complete").start()
+    try {
+      mem.addData(events)
+      q.processAllAvailable()
+      val snap = spark.table("cusum_grid")
+      // stream grid == batch grid (same bucket ids, same counts)
+      val batchGrid = edf
+        .select(expr("(unix_micros(ts) DIV 1000000) DIV 60").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("x"))
+        .as[(Long, Long)].collect().toSet
+      assert(snap.as[(Long, Long)].collect().toSet == batchGrid)
+      // finishing the snapshot == batch cusum on the same events
+      val key = (d: org.apache.spark.sql.DataFrame) => d
+        .select("bucket", "x", "s_scaled", "alarm")
+        .as[(Long, Long, Long, Boolean)].collect().toSet
+      val finished = key(EventStream.cusumFrom(snap, refN = 3,
+        slack = 1L, threshold = 5L))
+      val batched = key(EventStream.cusum(edf, bucketSec = 60L, refN = 3,
+        slack = 1L, threshold = 5L))
+      assert(finished == batched && finished.nonEmpty,
+        s"finished=$finished batch=$batched")
+      // merge-by-addition: a snapshot split into two halves re-folds to
+      // the same statistic (the sink restart/backfill contract)
+      val split = snap.select(col("bucket"), (col("x") - 1L).as("x"))
+        .unionByName(snap.select(col("bucket"), lit(1L).as("x")))
+      assert(key(EventStream.cusumFrom(split, refN = 3,
+        slack = 1L, threshold = 5L)) == batched)
+    } finally q.stop()
+  }
+
   test("driftCard: streamed snapshot card == batch card; self-window reads (0, 0, 0)") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
