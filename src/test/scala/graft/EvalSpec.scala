@@ -864,4 +864,23 @@ class EvalSpec extends SparkSpec {
     // alpha = 1 - 4*4/12 = -1/3 -> floor(-3333.33 + 0.5)/1e4 = -0.3333
     assert(row.getDouble(4) == -0.3333)
   }
+
+  test("krippendorffAlpha: per-unit int64 ceiling raises at the offending unit") {
+    // one unit with > 3e6 ratings: its (mu² − sq)·1e6 Do term would wrap
+    // int64 even though n_total is far below the 3e9 total ceiling —
+    // the in-plan guard must raise, and with ITS text (pin the message
+    // so an unrelated exception can't pass the test)
+    val big = spark.range(3000001L)
+      .select(lit(1L).as("u"), (col("id") % 2L).as("l"))
+    val e = intercept[Exception] {
+      evals.krippendorffAlpha(big, col("u"), col("l")).collect()
+    }
+    assert(Option(e.getMessage).getOrElse("")
+      .contains("per-unit int64-exactness ceiling"), e.getMessage)
+    // and exactly AT the ceiling it still computes (no false raise)
+    val ok = spark.range(3000000L)
+      .select(lit(1L).as("u"), (col("id") % 2L).as("l"))
+    val row2 = evals.krippendorffAlpha(ok, col("u"), col("l")).head()
+    assert(row2.getLong(1) == 3000000L)
+  }
 }
