@@ -540,6 +540,76 @@ object dedup {
       .drop("_spans", "_sp")
   }
 
+  /** Document BOUNDARY relations — the crawl-reassembly / template
+    * screen [[crossSubstringPairs]]'s interior extents don't name: from
+    * each document's first and last `w` tokens (two md5 fingerprints
+    * per doc), one fp-keyed self-join surfaces three relations at once:
+    *
+    *  - `stitch`: doc A's TAIL equals doc B's HEAD — A and B are very
+    *    likely halves of one source document split by the extraction
+    *    pipeline (directional: `id_a` precedes `id_b`);
+    *  - `shared_prefix`: two docs open with the same `w` tokens — a
+    *    template header / injected banner;
+    *  - `shared_suffix`: two docs close identically — a boilerplate
+    *    footer.
+    *
+    * Scale shape: two fingerprints per document (never the tokens),
+    * one (fp, side) count on the same repartition(fp) exchange the
+    * join reuses, and the [[crossSubstringPairs]] occurrence-cap
+    * discipline — any fingerprint posted more than `maxOcc` times on a
+    * side is boilerplate, dropped BEFORE pairing via streamed-aggregate
+    * + anti-join (counted in the `graft_boundary_cap` observe metric),
+    * so no fingerprint emits more than ~maxOcc² pairs. Never a
+    * cartesian; symmetric relations emit once (`id_a < id_b`).
+    *
+    * Returns `(id_a, id_b, relation, boundary_fp)`. */
+  def boundaryPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      w: Int = 16,
+      maxOcc: Int = 256): DataFrame = {
+    require(w >= 2 && maxOcc >= 1,
+      s"graft: boundaryPairs needs w >= 2, maxOcc >= 1; got $w, $maxOcc")
+    val ends = df
+      .select(col(idCol).as("_id"),
+        graft.ops.text.tokens(col(textCol)).as("_ts"))
+      .where(size(col("_ts")) >= w)
+      .select(col("_id"),
+        md5(concat_ws(" ", slice(col("_ts"), 1, w)).cast("binary"))
+          .as("_hfp"),
+        md5(concat_ws(" ", slice(col("_ts"), -w, w)).cast("binary"))
+          .as("_tfp"))
+    // side 0 = head, side 1 = tail; one exchange feeds cap + join
+    val posts = ends.select(col("_id"), col("_hfp").as("fp"),
+        lit(0L).as("_side"))
+      .unionByName(ends.select(col("_id"), col("_tfp").as("fp"),
+        lit(1L).as("_side")))
+      .repartition(col("fp"))
+    val hot = posts.groupBy(col("fp"), col("_side"))
+      .agg(count(lit(1)).as("_n"))
+      .observe("graft_boundary_cap",
+        sum(when(col("_n") > maxOcc, 1L).otherwise(0L)).as("capped_fps"),
+        max(col("_n")).as("max_fp_occ"))
+      .where(col("_n") > maxOcc)
+      .select(col("fp")).distinct()
+    val cold = posts.join(hot, Seq("fp"), "left_anti")
+    val a = cold.select(col("fp"), col("_id").as("id_a"),
+      col("_side").as("_sa"))
+    val b = cold.select(col("fp"), col("_id").as("id_b"),
+      col("_side").as("_sb"))
+    a.join(b, Seq("fp"))
+      .where(
+        (col("_sa") === 1L && col("_sb") === 0L
+          && col("id_a") =!= col("id_b")) ||
+        (col("_sa") === col("_sb") && col("id_a") < col("id_b")))
+      .select(col("id_a"), col("id_b"),
+        when(col("_sa") === 1L && col("_sb") === 0L, lit("stitch"))
+          .when(col("_sa") === 0L, lit("shared_prefix"))
+          .otherwise(lit("shared_suffix")).as("relation"),
+        col("fp").as("boundary_fp"))
+  }
+
   /** n-gram Jaccard pairs via inverted-index COUNTING: for every shingle
     * with document frequency in [2, maxDf], expand its (sorted) posting
     * list into pairs and count shared shingles per pair — `c = |A∩B|` —

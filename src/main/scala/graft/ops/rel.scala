@@ -944,6 +944,77 @@ object rel {
       .withColumn("at_risk", (col("n") < k).cast("long"))
   }
 
+  /** t-CLOSENESS privacy audit (Li, Li & Venkatasubramanian 2007) — the
+    * stronger screen [[kAnonymity]]'s class sizes can't give: a class
+    * can be large and l-diverse yet still leak because its SENSITIVE
+    * distribution differs from the table's (e.g. one nation's customers
+    * are 90% one segment). Per quasi-identifier equivalence class this
+    * reports the total-variation distance between the class's
+    * categorical sensitive distribution and the global one
+    * (`tvd = ½ Σ_v |n_cv/n_c − N_v/N|`, the standard instantiation of
+    * the paper's EMD for unordered categories), plus entropy
+    * l-diversity (`−Σ p ln p` over the class).
+    *
+    * Exactness: tvd is cleared of denominators per (class, value) cell
+    * — `|n_cv·N − N_v·n_c|` in DECIMAL(38,0) (corpus-scale products
+    * overflow int64 — the [[graft.ops.text.termDispersion]] widening),
+    * values ABSENT from a class contribute `n_c·(N − ΣN_present)` in
+    * closed form (no dense class×value grid), and
+    * `tvd_ppm = (Σ|…|·10⁶) DIV (2·n_c·N)` is one truncating DECIMAL
+    * division per class. Entropy cells are the
+    * [[graft.ops.text.unigramLogProb]] fixed-point discipline:
+    * `floor(n_cv·ln(n_cv/n_c)·10⁶)` exact longs, summed, one quantized
+    * double at the end.
+    *
+    * Plan shape: one (quasi, value) hash aggregate (map-side combined),
+    * then value-keyed and quasi-keyed joins of its two marginals back
+    * onto the cell grid (value domain is small → AQE broadcasts; the
+    * one-row total rides an explicit broadcast), one final class-keyed
+    * aggregate. Table rows are scanned once; nothing is sorted.
+    *
+    * Returns one row per class: `(quasi…, n, l_div, entropy_q4,
+    * tvd_ppm, at_risk)` where `at_risk = tvd_ppm > tPpm`. */
+  def tCloseness(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      tPpm: Long = 200000L): DataFrame = {
+    require(quasiCols.nonEmpty, "graft: tCloseness needs quasi columns")
+    require(tPpm >= 0L && tPpm <= 1000000L,
+      s"graft: tCloseness needs 0 <= tPpm <= 1e6, got $tPpm")
+    val qs = quasiCols.map(col)
+    val cells = ckpt.cut(df.where(col(sensitiveCol).isNotNull)
+      .groupBy(qs :+ col(sensitiveCol).as("_v"): _*)
+      .agg(count(lit(1)).as("_nv")))
+    val classTot = cells.groupBy(qs: _*).agg(sum(col("_nv")).as("n"))
+    val globTot = cells.groupBy(col("_v")).agg(sum(col("_nv")).as("_gv"))
+    val tot = globTot.agg(sum(col("_gv")).as("_N"))
+    cells
+      .join(globTot, "_v")
+      .join(classTot, quasiCols)
+      .crossJoin(broadcast(tot))
+      .groupBy(qs: _*)
+      .agg(max(col("n")).as("n"),
+        count(lit(1)).as("l_div"),
+        max(col("_N")).as("_NN"),
+        sum(col("_gv")).as("_presentG"),
+        sum(abs(expr("CAST(_nv AS DECIMAL(38,0)) * _N")
+          - expr("CAST(_gv AS DECIMAL(38,0)) * n"))).as("_presNum"),
+        sum(floor(col("_nv").cast("double")
+          * log(col("_nv").cast("double") / col("n").cast("double"))
+          * 1000000.0).cast("long")).as("_entCells"))
+      .withColumn("_tvdNum", col("_presNum")
+        + expr("CAST(n AS DECIMAL(38,0))") * (col("_NN") - col("_presentG")))
+      .select((qs :+ col("n") :+ col("l_div")
+        :+ graft.functions.vectors.quantize(
+            -col("_entCells").cast("double") / 1000000.0
+              / col("n").cast("double"), 4).as("entropy_q4")
+        :+ expr("""CAST((_tvdNum * 1000000)
+             DIV (2 * CAST(n AS DECIMAL(38,0)) * _NN) AS LONG)""")
+          .as("tvd_ppm")): _*)
+      .withColumn("at_risk", (col("tvd_ppm") > tPpm).cast("long"))
+  }
+
   /** Fleiss' kappa (Fleiss 1971, generalized to per-item rater counts):
     * chance-corrected inter-annotator agreement over a ratings table of
     * one row per (item, rater) vote. [[majorityLabel]] resolves each

@@ -868,6 +868,134 @@ object text {
           6)))
   }
 
+  /** Vocabulary COVERAGE estimators — the "how much language is still
+    * unseen" companion to [[vocabGrowth]]'s Heaps curve and
+    * [[zipfSlope]]: from one vocabulary aggregate, the Good-Turing
+    * unseen-probability mass (Gale & Sampson 1995: `P₀ = N₁/N`, the
+    * total frequency a NEW corpus slice spends on never-seen types) and
+    * the bias-corrected Chao1 richness estimate (Chao 1984:
+    * `V̂ = V + N₁(N₁−1)/(2(N₂+1))`, a lower bound on true vocabulary
+    * size) — together they answer "is this corpus's vocabulary
+    * saturated, or does more data still buy new language" without a
+    * second pass.
+    *
+    * Exactness: `n_tokens`/`n_types`/`n_hapax`/`n_dis` are exact longs;
+    * the two estimates surface BOTH as exact integer num/den pairs
+    * (`chao1_extra_num / chao1_extra_den` is the additive correction
+    * over V) and as one quantized double each. Int64 ceiling:
+    * `N₁(N₁−1)` wraps past N₁ ≈ 3·10⁹ hapax types — ENFORCED in-plan
+    * ([[graft.ops.sketch.cmJoinSize]] raise_error precedent); a corpus
+    * with more hapaxes than that needs the estimate per shard anyway.
+    *
+    * Plan shape: one token-keyed aggregate (map-side combined — the
+    * shuffle carries the vocabulary, Heaps-sublinear in the corpus),
+    * then one conditional-sum fold to a single row. The
+    * frequency-of-frequency "grid" never materializes: only the
+    * tf=1/tf=2 cells are read, as `sum(when(...))` inside the same
+    * fold. Corpus rows are scanned once and never sorted.
+    *
+    * Returns one row `(n_tokens, n_types, n_hapax, n_dis,
+    * unseen_mass_q6, chao1_extra_num, chao1_extra_den, chao1_q2)`. */
+  def vocabCoverage(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val folded = df.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("tf"))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("tf") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("tf") === 2L, 1L).otherwise(0L)).as("n_dis"))
+    folded
+      .withColumn("n_hapax",
+        when(col("n_hapax") > VocabCoverageMaxHapax,
+          raise_error(format_string(
+            "graft: vocabCoverage int64-exactness ceiling exceeded " +
+              s"(n_hapax = %s > $VocabCoverageMaxHapax) — the Chao1 " +
+              "correction N1*(N1-1) would wrap; estimate per shard",
+            col("n_hapax"))).cast("long"))
+          .otherwise(col("n_hapax")))
+      .select(col("n_tokens"), col("n_types"), col("n_hapax"), col("n_dis"),
+        when(col("n_tokens") > 0L, graft.functions.vectors.quantize(
+          col("n_hapax").cast("double") / col("n_tokens").cast("double"), 6))
+          .as("unseen_mass_q6"),
+        (col("n_hapax") * (col("n_hapax") - 1L)).as("chao1_extra_num"),
+        (lit(2L) * (col("n_dis") + 1L)).as("chao1_extra_den"),
+        graft.functions.vectors.quantize(
+          col("n_types").cast("double") +
+            (col("n_hapax") * (col("n_hapax") - 1L)).cast("double") /
+              (lit(2L) * (col("n_dis") + 1L)).cast("double"), 2)
+          .as("chao1_q2"))
+  }
+
+  /** [[vocabCoverage]]'s hard exactness bound: `N₁(N₁−1) < 2⁶³` needs
+    * `N₁ ≤ 3.03·10⁹`; enforced with headroom at 3·10⁹. */
+  val VocabCoverageMaxHapax: Long = 3000000000L
+
+  /** N-gram WATERMARK detector (Kirchenbauer et al. 2023, "A Watermark
+    * for Large Language Models") — the synthetic-text screen a
+    * training-data pipeline runs before LLM output contaminates the
+    * corpus. A watermarking generator pseudo-randomly splits the
+    * vocabulary at every step, seeded by the previous token, and boosts
+    * the "green" fraction γ of it; detection needs NO model access —
+    * recompute each token's green membership from `(prev, cur, key)`
+    * and test whether the observed green count is binomially impossible:
+    * `z = (g − γT) / sqrt(T·γ(1−γ))`, flag at `z ≥ zTau` (the paper
+    * uses z ≥ 4, false-positive rate ≈ 3·10⁻⁵).
+    *
+    * Green membership is the engine's portable hash discipline:
+    * `h32(prev ⊕ cur ⊕ key) mod 100 < gammaPct` — bit-identical in any
+    * engine that has md5 ([[graft.functions.hashing]]), so the oracle
+    * replays detection cell-for-cell. `n_scored`/`n_green` are exact
+    * longs; the rate and z-score are each ONE quantized double off
+    * exact integer inputs.
+    *
+    * Plan shape: row-local — tokens bound to a column once (the
+    * [[tokenChunksOf]] re-evaluation lesson), green counting is one
+    * in-row HOF fold over token positions (no explode, NO shuffle);
+    * 100 TB of documents never leave their scan partitions. Docs with
+    * fewer than 2 tokens score 0 bigrams and surface with null z.
+    *
+    * Returns `(idCol, n_scored, n_green, green_rate_q4, z_q4,
+    * watermarked)`. */
+  def watermarkDetect(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      key: String = "graft",
+      gammaPct: Int = 25,
+      zTau: Double = 4.0): DataFrame = {
+    require(gammaPct >= 1 && gammaPct <= 99,
+      s"graft: watermarkDetect needs 1 <= gammaPct <= 99, got $gammaPct")
+    val gamma = gammaPct / 100.0
+    val bound = df.select(col(idCol), tokens(col(textCol)).as("_ts"))
+    val n = size(col("_ts"))
+    val greens = when(n >= 2,
+      aggregate(sequence(lit(2), n), lit(0L), (acc, i) =>
+        acc + when(
+          hashing.h32(concat(
+            // tokens are whitespace-split, so a space separator cannot
+            // collide ("ab"+"c" vs "a"+"bc")
+            element_at(col("_ts"), (i - 1).cast("int")), lit(" "),
+            element_at(col("_ts"), i.cast("int")), lit("/wm/" + key)))
+            % 100L < gammaPct, 1L).otherwise(0L)))
+      .otherwise(0L)
+    bound
+      .select(col(idCol), greatest(n - 1, lit(0)).cast("long").as("n_scored"),
+        greens.as("n_green"))
+      .select(col(idCol), col("n_scored"), col("n_green"),
+        when(col("n_scored") > 0L, vectors.quantize(
+          col("n_green").cast("double") / col("n_scored").cast("double"), 4))
+          .as("green_rate_q4"),
+        when(col("n_scored") > 0L, vectors.quantize(
+          (col("n_green").cast("double") - col("n_scored").cast("double")
+            * gamma)
+            / sqrt(col("n_scored").cast("double") * gamma * (1.0 - gamma)),
+          4)).as("z_q4"))
+      .withColumn("watermarked",
+        when(col("z_q4").isNotNull && col("z_q4") >= zTau, 1L).otherwise(0L))
+  }
+
   /** Term DISPERSION across sources (Gries 2008's DP, the corpus-
     * linguistics standard): per term,
     * `DP = ½ Σ_s |tf_ts/tf_t − T_s/T|` — 0 when the term's occurrences

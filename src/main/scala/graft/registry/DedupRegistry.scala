@@ -590,6 +590,44 @@ private[graft] object DedupRegistry extends Registry {
           "doc_id", minLen = 8, maxOcc = 256)
         .orderBy(col("id_a"), col("id_b"), col("a_start"), col("b_start")))
   )
+
+    // north-star: boundary relations — stitch (A's tail = B's head:
+    // split-document reassembly) + shared prefix/suffix (template
+    // header/footer) from TWO md5 fingerprints per doc, one fp-keyed
+    // join, occurrence-capped.
+  b.q(
+    "dedup_boundary_pairs" -> ((s, dir) =>
+      dedup.boundaryPairs(table(s, dir, "documents"), "text", "doc_id",
+          w = 4, maxOcc = 64)
+        .orderBy(col("relation"), col("id_a"), col("id_b")))
+  )
+  b.o(
+    "dedup_boundary_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $SqlToks AS ts FROM documents),
+         |e AS (SELECT doc_id,
+         |    md5(array_to_string(ts[1:4], ' ')) AS hfp,
+         |    md5(array_to_string(ts[-4:], ' ')) AS tfp
+         |  FROM t WHERE len(ts) >= 4),
+         |p AS (SELECT doc_id AS id, hfp AS fp, 0 AS side FROM e
+         |  UNION ALL SELECT doc_id, tfp, 1 FROM e),
+         |hot AS (SELECT fp FROM (
+         |    SELECT fp, side, count(*) AS n FROM p GROUP BY 1, 2)
+         |  WHERE n > 64 GROUP BY fp),
+         |cold AS (SELECT id, fp, side FROM p
+         |  WHERE fp NOT IN (SELECT fp FROM hot)),
+         |m AS (SELECT a.id AS id_a, b.id AS id_b, a.side AS sa,
+         |    b.side AS sb, a.fp
+         |  FROM cold a JOIN cold b ON a.fp = b.fp)
+         |SELECT id_a, id_b,
+         |  CASE WHEN sa = 1 AND sb = 0 THEN 'stitch'
+         |    WHEN sa = 0 THEN 'shared_prefix'
+         |    ELSE 'shared_suffix' END AS relation,
+         |  fp AS boundary_fp
+         |FROM m
+         |WHERE (sa = 1 AND sb = 0 AND id_a != id_b)
+         |   OR (sa = sb AND id_a < id_b)
+         |ORDER BY relation, id_a, id_b""".stripMargin
+  )
     // Cross-document substring extents: gram-string inverted index
     // (the Spark plan joins on md5 fingerprints of the same grams),
     // occurrence cap, islands per (pair, diagonal).

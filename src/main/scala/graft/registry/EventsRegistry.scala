@@ -837,6 +837,44 @@ private[graft] object EventsRegistry extends Registry {
         |FROM c JOIN o USING (rn) ORDER BY bucket""".stripMargin
   )
 
+    // north-star: Holt linear smoothing — adaptive level+trend with
+    // one-step forecasts/residuals; exact dyadic q10 recurrence (every
+    // step one multiply-add + one arithmetic shift) as a bounded
+    // in-plan HOF fold over the day grid.
+  b.q(
+    "events_holt" -> ((s, dir) =>
+      EventStream.holtLinear(events(s, dir), bucketSec = 86400L,
+          aNum = 307, bNum = 102)
+        .orderBy(col("bucket")))
+  )
+    // Holt: the same shift-quantized recurrence as a recursive CTE.
+    // DuckDB's // TRUNCATES toward zero while Spark's arithmetic
+    // shiftright FLOORS (the signed-division engine trap, live here
+    // because the trend term goes negative) — so the oracle floors
+    // explicitly: subtract the positive mod, then divide exactly.
+  b.o(
+    "events_holt" -> {
+      def fd(e: String) =
+        s"((($e) - ((($e) % 1024 + 1024) % 1024)) // 1024)"
+      val lp = fd("307 * o.x * 1024 + 717 * (c.l + c.t)")
+      val tp = fd(s"102 * ($lp - c.l) + 922 * c.t")
+      s"""WITH RECURSIVE g AS (
+         |  SELECT (epoch_us(ts) // 1000000) // 86400 AS b,
+         |    count(*)::BIGINT AS x FROM events GROUP BY 1),
+         |o AS (SELECT b, x, row_number() OVER (ORDER BY b) AS rn FROM g),
+         |c(rn, l, t, f) AS (
+         |  SELECT 1::BIGINT, (SELECT x * 1024 FROM o WHERE rn = 1)::BIGINT,
+         |    0::BIGINT, NULL::BIGINT
+         |  UNION ALL
+         |  SELECT o.rn, $lp, $tp, c.l + c.t
+         |  FROM c JOIN o ON o.rn = c.rn + 1)
+         |SELECT o.b AS bucket, o.x, c.l AS level_fp, c.t AS trend_fp,
+         |  c.f AS forecast_fp, o.x * 1024 - c.f AS err_fp,
+         |  floor(c.f::DOUBLE / 1024.0 * 100.0 + 0.5) / 100.0 AS forecast_q2
+         |FROM c JOIN o USING (rn) ORDER BY bucket""".stripMargin
+    }
+  )
+
     // north-star: CUPED experiment readout — per-variant exact sums of
     // pre-period X / post-period Y plus the pooled theta as num/den;
     // the variance-reduced A/B number assembles downstream in floats.

@@ -688,6 +688,44 @@ private[graft] object RelRegistry extends Registry {
         |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 
+    // north-star: t-closeness — per-nation TVD between the class's
+    // market-segment distribution and the global one; HUGEINT
+    // cleared-denominator cells, closed-form absent-value mass, one
+    // truncating division per class (the term-dispersion discipline).
+  b.q(
+    "rel_t_closeness" -> ((s, dir) =>
+      rel.tCloseness(table(s, dir, "customer"),
+          Seq("c_nationkey"), "c_mktsegment", tPpm = 100000L)
+        .orderBy(col("c_nationkey")))
+  )
+  b.o(
+    "rel_t_closeness" ->
+      """WITH c AS (SELECT c_nationkey AS q, c_mktsegment AS v,
+        |    count(*)::BIGINT AS nv
+        |  FROM customer WHERE c_mktsegment IS NOT NULL GROUP BY 1, 2),
+        |ct AS (SELECT q, sum(nv)::BIGINT AS n FROM c GROUP BY 1),
+        |g AS (SELECT v, sum(nv)::BIGINT AS gv FROM c GROUP BY 1),
+        |t AS (SELECT sum(gv)::BIGINT AS nn FROM g),
+        |j AS (SELECT c.q, ct.n, c.nv, g.gv,
+        |    abs(c.nv::HUGEINT * t.nn - g.gv::HUGEINT * ct.n) AS an,
+        |    floor(c.nv::DOUBLE * ln(c.nv::DOUBLE / ct.n::DOUBLE)
+        |      * 1000000.0)::BIGINT AS ec
+        |  FROM c JOIN g USING (v) JOIN ct USING (q) CROSS JOIN t),
+        |a AS (SELECT q, max(n) AS n, count(*)::BIGINT AS l_div,
+        |    sum(an) AS pres, sum(gv)::BIGINT AS presg,
+        |    sum(ec)::BIGINT AS ents
+        |  FROM j GROUP BY 1),
+        |f AS (SELECT q, n, l_div,
+        |    floor(-ents::DOUBLE / 1000000.0 / n::DOUBLE * 10000.0 + 0.5)
+        |      / 10000.0 AS entropy_q4,
+        |    ((pres + n::HUGEINT * ((SELECT nn FROM t) - presg)) * 1000000
+        |      // (2 * n::HUGEINT * (SELECT nn FROM t)))::BIGINT AS tvd_ppm
+        |  FROM a)
+        |SELECT q AS c_nationkey, n, l_div, entropy_q4, tvd_ppm,
+        |  (tvd_ppm > 100000)::BIGINT AS at_risk
+        |FROM f ORDER BY c_nationkey""".stripMargin
+  )
+
     // north-star: Fleiss' kappa inter-annotator agreement over the same
     // ratings shaping as rel_majority_label — one exact-integer row;
     // kappa surfaced as num/den (signed integer division is an engine

@@ -1385,4 +1385,66 @@ private[graft] object TextRegistry extends Registry {
          |ORDER BY doc_id, bucket""".stripMargin
     }
   )
+
+    // north-star: vocabulary coverage — Good-Turing unseen mass + Chao1
+    // richness off ONE vocabulary aggregate; exact longs + num/den pairs,
+    // two quantized doubles.
+  b.q(
+    "text_vocab_coverage" -> ((s, dir) =>
+      text.vocabCoverage(table(s, dir, "documents"), "text"))
+  )
+  b.o(
+    "text_vocab_coverage" ->
+      s"""WITH t AS (SELECT unnest($SqlToks) AS word FROM documents),
+         |v AS (SELECT word, count(*)::BIGINT AS tf FROM t GROUP BY 1),
+         |a AS (SELECT sum(tf)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+         |  sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+         |  sum(CASE WHEN tf = 2 THEN 1 ELSE 0 END)::BIGINT AS n_dis FROM v)
+         |SELECT n_tokens, n_types, n_hapax, n_dis,
+         |  CASE WHEN n_tokens > 0 THEN
+         |    floor(n_hapax::DOUBLE / n_tokens::DOUBLE * 1000000.0 + 0.5)
+         |      / 1000000.0 END AS unseen_mass_q6,
+         |  (n_hapax * (n_hapax - 1))::BIGINT AS chao1_extra_num,
+         |  (2 * (n_dis + 1))::BIGINT AS chao1_extra_den,
+         |  floor((n_types::DOUBLE + (n_hapax * (n_hapax - 1))::DOUBLE
+         |      / (2 * (n_dis + 1))::DOUBLE) * 100.0 + 0.5) / 100.0 AS chao1_q2
+         |FROM a""".stripMargin
+  )
+
+    // north-star: Kirchenbauer-style n-gram watermark detector — the
+    // synthetic-text screen; portable-hash green lists, binomial z, one
+    // row-local HOF fold per doc (no shuffle).
+  b.q(
+    "text_watermark" -> ((s, dir) =>
+      text.watermarkDetect(table(s, dir, "documents"), "text", "doc_id",
+          key = "graft", gammaPct = 25, zTau = 4.0)
+        .orderBy(col("doc_id")))
+  )
+  b.o(
+    "text_watermark" -> {
+      val h = graft.functions.hashing.sqlH32(
+        "(ts[i-1] || ' ' || ts[i] || '/wm/graft')")
+      s"""WITH t AS (SELECT doc_id, $SqlToks AS ts FROM documents),
+         |s AS (SELECT doc_id,
+         |    greatest(len(ts) - 1, 0)::BIGINT AS n_scored,
+         |    CASE WHEN len(ts) >= 2 THEN
+         |      len(list_filter(range(2, len(ts) + 1),
+         |        i -> $h % 100 < 25))::BIGINT
+         |    ELSE 0 END AS n_green
+         |  FROM t),
+         |z AS (SELECT doc_id, n_scored, n_green,
+         |    CASE WHEN n_scored > 0 THEN
+         |      floor(n_green::DOUBLE / n_scored::DOUBLE * 10000.0 + 0.5)
+         |        / 10000.0 END AS green_rate_q4,
+         |    CASE WHEN n_scored > 0 THEN
+         |      floor((n_green::DOUBLE - n_scored::DOUBLE * 0.25)
+         |          / sqrt(n_scored::DOUBLE * 0.25 * 0.75) * 10000.0 + 0.5)
+         |        / 10000.0 END AS z_q4
+         |  FROM s)
+         |SELECT doc_id, n_scored, n_green, green_rate_q4, z_q4,
+         |  (CASE WHEN z_q4 IS NOT NULL AND z_q4 >= 4.0
+         |    THEN 1 ELSE 0 END)::BIGINT AS watermarked
+         |FROM z ORDER BY doc_id""".stripMargin
+    }
+  )
 }

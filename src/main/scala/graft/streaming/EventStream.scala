@@ -1044,6 +1044,118 @@ object EventStream {
         .as("bucket"), col("x"))
   }
 
+  /** Holt LINEAR (double-exponential) smoothing over the event-time
+    * bucket grid — adaptive level + trend with one-step-ahead forecasts
+    * and residuals, the trend-FOLLOWING monitor between [[trend]]'s one
+    * global OLS line and [[cusum]]'s mean-shift alarm: a gradual drift
+    * the CUSUM baseline absorbs shows up here as a persistent trend
+    * term, and the per-bucket residual is the seasonality-free anomaly
+    * score.
+    *
+    * Exact DYADIC fixed point: `alpha = aNum/1024`, `beta = bNum/1024`,
+    * state carried in q10 (value·1024), so every update is an integer
+    * multiply-add followed by ONE arithmetic right-shift — floor
+    * division by 1024, which Spark's `shiftright` and the oracle's `//`
+    * compute identically, including on negative trends (the signed-DIV
+    * truncate-vs-floor engine trap never arises). Init: `l₁ = x₁·1024`,
+    * `t₁ = 0`; for t ≥ 2 the standard recurrence
+    * `f = l + t; l' = (aNum·x·1024 + (1024−aNum)·f) >> 10;
+    * t' = (bNum·(l'−l) + (1024−bNum)·t) >> 10`.
+    * Int64 ceiling: `(1024−aNum)·(l+t)` needs bucket counts
+    * ≤ [[HoltMaxX]] = 4·10¹² (ENFORCED in-plan) — past that, widen the
+    * bucket.
+    *
+    * Plan shape: the [[cusum]] discipline — one bucket-grid aggregate
+    * (map-side combined; 100 TB of events cross the wire as
+    * ≤ `maxBuckets` rows, raise_error past that), the inherently
+    * ordered recurrence as a bounded in-plan HOF fold over the grid
+    * array, posexplode back to rows. The STREAMING twin is free:
+    * [[cusumStream]]'s watermarked `(bucket, x)` grid is this op's
+    * input contract, so `holtFrom(sink snapshot)` equals batch
+    * [[holtLinear]] on the same events (EventStreamSpec pins the law).
+    *
+    * Returns `(bucket, x, level_fp, trend_fp, forecast_fp, err_fp,
+    * forecast_q2)` — `_fp` columns are exact q10 longs; forecast/err
+    * are null on the first bucket (nothing to forecast from). */
+  def holtLinear(
+      events: DataFrame,
+      bucketSec: Long = 86400L,
+      aNum: Int = 307,
+      bNum: Int = 102,
+      tsCol: String = "ts",
+      maxBuckets: Int = 100000): DataFrame = {
+    require(bucketSec >= 1, "graft: holtLinear needs bucketSec >= 1")
+    val grid = events
+      .select(expr(s"(unix_micros($tsCol) DIV 1000000) DIV $bucketSec")
+        .as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("x"))
+    holtFrom(grid, aNum, bNum, maxBuckets)
+  }
+
+  /** [[holtLinear]]'s int64-exactness ceiling on one bucket's count:
+    * `(1024−aNum)·(l+t)` with `l ≈ x·1024` wraps past x ≈ 8.8·10¹²;
+    * enforced with headroom at 4·10¹². */
+  val HoltMaxX: Long = 4000000000000L
+
+  /** FINISH any `(bucket, x)` grid (a [[cusumStream]] sink snapshot, a
+    * batch grid) into the Holt linear statistic — see [[holtLinear]].
+    * Duplicate bucket rows re-fold by addition first (the
+    * merge-by-addition sink contract). */
+  def holtFrom(
+      grid: DataFrame,
+      aNum: Int = 307,
+      bNum: Int = 102,
+      maxBuckets: Int = 100000): DataFrame = {
+    require(aNum >= 1 && aNum <= 1024 && bNum >= 0 && bNum <= 1024,
+      s"graft: holtFrom needs 1 <= aNum <= 1024, 0 <= bNum <= 1024, " +
+        s"got $aNum, $bNum")
+    require(maxBuckets >= 1, "graft: holtFrom needs maxBuckets >= 1")
+    val merged = grid
+      .groupBy(col("bucket").as("_b")).agg(sum(col("x")).as("_x"))
+      .withColumn("_x",
+        when(col("_x") > HoltMaxX,
+          raise_error(format_string(
+            "graft: holt int64-exactness ceiling exceeded (bucket count " +
+              s"%s > $HoltMaxX) — widen bucketSec", col("_x"))).cast("long"))
+          .otherwise(col("_x")))
+    val arr = merged
+      .agg(sort_array(collect_list(struct(col("_b"), col("_x")))).as("_a"))
+      .withColumn("_a",
+        when(size(col("_a")) > maxBuckets,
+          raise_error(format_string(
+            "graft: holt bucket grid exceeds maxBuckets (%s > " +
+              s"$maxBuckets) — widen bucketSec", size(col("_a")))))
+        .otherwise(col("_a")))
+    val fold = aggregate(col("_a"),
+      struct(
+        array().cast("array<struct<l:bigint,t:bigint,f:bigint>>").as("out"),
+        lit(0L).as("l"), lit(0L).as("t")),
+      (st, e) => {
+        val first = size(st.getField("out")) === 0
+        val f = st.getField("l") + st.getField("t")
+        val xs = e.getField("_x") * 1024L
+        val l2 = when(first, xs).otherwise(
+          shiftright(lit(aNum.toLong) * xs + lit(1024L - aNum) * f, 10))
+        val t2 = when(first, lit(0L)).otherwise(
+          shiftright(lit(bNum.toLong) * (l2 - st.getField("l"))
+            + lit(1024L - bNum) * st.getField("t"), 10))
+        val fRec = when(first, lit(null).cast("long")).otherwise(f)
+        struct(
+          concat(st.getField("out"),
+            array(struct(l2.as("l"), t2.as("t"), fRec.as("f")))).as("out"),
+          l2.as("l"), t2.as("t"))
+      })
+    arr.withColumn("_s", fold.getField("out"))
+      .select(col("_s"), posexplode(col("_a")).as(Seq("_i", "_e")))
+      .withColumn("_r", element_at(col("_s"), col("_i") + 1))
+      .select(col("_e._b").as("bucket"), col("_e._x").as("x"),
+        col("_r.l").as("level_fp"), col("_r.t").as("trend_fp"),
+        col("_r.f").as("forecast_fp"),
+        (col("_e._x") * 1024L - col("_r.f")).as("err_fp"),
+        graft.functions.vectors.quantize(
+          col("_r.f").cast("double") / 1024.0, 2).as("forecast_q2"))
+  }
+
   /** FINISH a [[cusumStream]] sink snapshot (or any `(bucket, x)` grid)
     * into the CUSUM statistic: re-fold duplicate bucket rows by
     * addition (the merge-by-addition sink contract), then the exact

@@ -589,4 +589,28 @@ class DedupSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(_.toSeq)
     assert(live.toSeq == indexed.toSeq, "index round-trip is value-identical")
   }
+
+  test("boundaryPairs: stitch + shared prefix/suffix; cap drops boilerplate") {
+    val bdocs = Seq(
+      (1L, "a b c d e f"),      // tail "c d e f"
+      (2L, "c d e f g h"),      // head "c d e f" -> stitch 1>2
+      (3L, "a b c d z z"),      // shares head with 1
+      (4L, "q q q c d e f"),    // shares tail with 1; tail -> stitch 4>2
+      (5L, "x y"))              // < w tokens: no fingerprints
+      .toDF("doc_id", "text")
+    val got = dedup.boundaryPairs(bdocs, "text", "doc_id", w = 4,
+        maxOcc = 64)
+      .select("id_a", "id_b", "relation")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, 2L, "stitch"), (4L, 2L, "stitch"),
+      (1L, 3L, "shared_prefix"), (1L, 4L, "shared_suffix")))
+    // maxOcc = 1: every boundary shared by 2+ docs on a side is
+    // boilerplate — capped before pairing, nothing survives
+    assert(dedup.boundaryPairs(bdocs, "text", "doc_id", w = 4,
+      maxOcc = 1).count() == 0L)
+    intercept[IllegalArgumentException] {
+      dedup.boundaryPairs(bdocs, "text", "doc_id", w = 1)
+    }
+  }
 }

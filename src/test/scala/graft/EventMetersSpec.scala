@@ -45,6 +45,49 @@ class EventMetersSpec extends SparkSpec {
     }
   }
 
+  test("holtLinear: driver replay of the dyadic recurrence; constant lock") {
+    def burst(day: Int, n: Int) = (1 to n).map(i =>
+      (day * 100L + i, ts(day), i.toLong, "e", 1.0))
+    // a ramp: 2, 4, 6, 8, 10 events/day
+    val ramp = ev((1 to 5).flatMap(d => burst(d, 2 * d)): _*)
+    // driver twin: floorDiv(_, 1024) == arithmetic shiftright 10
+    def replay(xs: Seq[Long], aNum: Long = 307L, bNum: Long = 102L)
+        : Seq[(Long, Long, Option[Long])] = {
+      var l = xs.head * 1024L; var t = 0L
+      val out = scala.collection.mutable.ArrayBuffer(
+        (l, 0L, Option.empty[Long]))
+      xs.tail.foreach { x =>
+        val f = l + t
+        val l2 = Math.floorDiv(aNum * x * 1024L + (1024L - aNum) * f, 1024L)
+        val t2 = Math.floorDiv(bNum * (l2 - l) + (1024L - bNum) * t, 1024L)
+        out += ((l2, t2, Some(f))); l = l2; t = t2
+      }
+      out.toSeq
+    }
+    val want = replay(Seq(2L, 4L, 6L, 8L, 10L))
+    val got = EventStream.holtLinear(ramp, bucketSec = 86400L)
+      .orderBy("bucket").collect()
+    assert(got.length == 5)
+    got.zip(want).foreach { case (r, (l, t, f)) =>
+      assert(r.getLong(2) == l && r.getLong(3) == t)
+      assert(f.map(v => !r.isNullAt(4) && r.getLong(4) == v)
+        .getOrElse(r.isNullAt(4)))
+      f.foreach(v => assert(r.getLong(5) == r.getLong(1) * 1024L - v))
+    }
+    // the ramp's trend term is positive and the forecast chases upward
+    assert(got.last.getLong(3) > 0L)
+    // a constant series locks exactly: level = x*1024, trend 0, err 0
+    val flat = ev((1 to 6).flatMap(d => burst(d, 3)): _*)
+    val fr = EventStream.holtLinear(flat, bucketSec = 86400L)
+      .orderBy("bucket").collect()
+    assert(fr.forall(r => r.getLong(2) == 3L * 1024L && r.getLong(3) == 0L))
+    assert(fr.drop(1).forall(r => r.getLong(5) == 0L))
+    intercept[IllegalArgumentException] {
+      EventStream.holtFrom(ramp.select(lit(1L).as("bucket"),
+        lit(1L).as("x")), aNum = 0)
+    }
+  }
+
   test("kaplanMeier: textbook ladder with one censored user") {
     // u1 converts day 1, u2 day 1, u3 day 3, u4 never (censored at max
     // ts = day 5). Classic S: after t=1: 2/4 survive; t=3: 1/2 of the

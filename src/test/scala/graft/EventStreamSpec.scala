@@ -193,6 +193,16 @@ class EventStreamSpec extends SparkSpec {
         .unionByName(snap.select(col("bucket"), lit(1L).as("x")))
       assert(key(EventStream.cusumFrom(split, refN = 3,
         slack = 1L, threshold = 5L)) == batched)
+      // the SAME grid contract finishes into the Holt statistic too:
+      // holtFrom(stream snapshot) == batch holtLinear, and the
+      // merge-by-addition law holds for it as well
+      val hkey = (d: org.apache.spark.sql.DataFrame) => d
+        .select("bucket", "x", "level_fp", "trend_fp")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val hFinished = hkey(EventStream.holtFrom(snap))
+      val hBatched = hkey(EventStream.holtLinear(edf, bucketSec = 60L))
+      assert(hFinished == hBatched && hFinished.nonEmpty)
+      assert(hkey(EventStream.holtFrom(split)) == hBatched)
     } finally q.stop()
   }
 

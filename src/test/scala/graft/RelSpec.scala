@@ -565,4 +565,33 @@ class RelSpec extends SparkSpec {
     val rb = rel.mutualInfo(both, col("a"), col("b")).head()
     assert(rb.getDouble(5) == 0.0 && rb.isNullAt(6))
   }
+
+  test("tCloseness: hand TVD ppm, entropy l-diversity, at_risk flag") {
+    // class A = {x,x,x,y}, B = {x,y,y,z}; global = {x:4, y:3, z:1}, N=8
+    // tvd(A) = (|3/4-1/2| + |1/4-3/8| + |0-1/8|) / 2 = 1/4 -> 250000 ppm
+    // (the z term is the closed-form absent-value mass)
+    val df = Seq(("A", "x"), ("A", "x"), ("A", "x"), ("A", "y"),
+        ("B", "x"), ("B", "y"), ("B", "y"), ("B", "z")).toDF("q", "v")
+    val r = rel.tCloseness(df, Seq("q"), "v", tPpm = 240000L)
+      .orderBy("q").collect()
+    assert(r(0).getLong(1) == 4L && r(0).getLong(2) == 2L)
+    assert(r(1).getLong(2) == 3L)
+    assert(r(0).getLong(4) == 250000L && r(1).getLong(4) == 250000L)
+    assert(r(0).getLong(5) == 1L && r(1).getLong(5) == 1L)
+    // entropy via the op's own fixed-point cell discipline
+    def ent(ps: Seq[Long], n: Long): Double = {
+      val cells = ps.map(nv => math.floor(
+        nv.toDouble * math.log(nv.toDouble / n.toDouble) * 1e6).toLong).sum
+      math.floor(-cells.toDouble / 1e6 / n.toDouble * 1e4 + 0.5) / 1e4
+    }
+    assert(r(0).getDouble(3) == ent(Seq(3L, 1L), 4L))
+    assert(r(1).getDouble(3) == ent(Seq(1L, 2L, 1L), 4L))
+    // classes distributed exactly like the table -> tvd 0, not at risk
+    val u = Seq(("C", "x"), ("C", "y"), ("D", "x"), ("D", "y")).toDF("q", "v")
+    assert(rel.tCloseness(u, Seq("q"), "v").collect()
+      .forall(x => x.getLong(4) == 0L && x.getLong(5) == 0L))
+    intercept[IllegalArgumentException] {
+      rel.tCloseness(df, Seq.empty, "v")
+    }
+  }
 }

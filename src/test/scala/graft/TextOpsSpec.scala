@@ -728,4 +728,58 @@ class TextOpsSpec extends SparkSpec {
       text.zipfSlope(docs, "text", topK = 1)
     }
   }
+
+  test("vocabCoverage: hand counts; Good-Turing mass; Chao1 correction") {
+    // tokens: a a a b b c d  -> tfs {a:3, b:2, c:1, d:1}
+    // N=7 V=4 N1=2 N2=1 -> P0 = 2/7, chao1 = 4 + 2*1/(2*2) = 4.5
+    val docs = Seq("a a a b b", "c d").toDF("text")
+    val r = text.vocabCoverage(docs, "text").head()
+    assert(r.getLong(0) == 7L && r.getLong(1) == 4L)
+    assert(r.getLong(2) == 2L && r.getLong(3) == 1L)
+    assert(r.getDouble(4) == math.floor(2.0 / 7.0 * 1e6 + 0.5) / 1e6)
+    assert(r.getLong(5) == 2L && r.getLong(6) == 4L)
+    assert(r.getDouble(7) == 4.5)
+    // no dis legomena: bias-corrected form stays finite (den = 2)
+    val h = text.vocabCoverage(Seq("x y").toDF("text"), "text").head()
+    assert(h.getLong(3) == 0L && h.getLong(6) == 2L)
+    assert(h.getDouble(7) == 2.0 + 2.0 * 1.0 / 2.0) // V=2 + N1(N1-1)/2
+    // saturated corpus: no hapaxes -> unseen mass 0, chao1 = V
+    val s = text.vocabCoverage(Seq("p p q q").toDF("text"), "text").head()
+    assert(s.getDouble(4) == 0.0 && s.getDouble(7) == s.getLong(1).toDouble)
+  }
+
+  test("watermarkDetect: hand greens; planted chain flags; short docs null") {
+    import graft.functions.hashing
+    // driver twin of the op's green rule
+    def green(prev: String, cur: String): Boolean =
+      hashing.h32Of(s"$prev $cur/wm/graft") % 100 < 25
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "solo"), (3L, ""))
+      .toDF("doc_id", "text")
+    val r = text.watermarkDetect(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    val g1 = Seq(("alpha", "beta"), ("beta", "gamma"))
+      .count { case (p, c) => green(p, c) }
+    assert(r(0).getLong(1) == 2L && r(0).getLong(2) == g1.toLong)
+    // < 2 tokens: zero scored bigrams, null rate/z, not flagged
+    assert(r(1).getLong(1) == 0L && r(1).isNullAt(3) && r(1).isNullAt(4))
+    assert(r(1).getLong(5) == 0L && r(2).getLong(1) == 0L)
+    // plant a watermark: greedily walk an all-green bigram chain — the
+    // detector must see 49/49 green (z = 36.75/sqrt(9.1875) ~ 12 >= 4)
+    val vocab = (0 until 200).map(i => s"w$i")
+    var cur = "w0"
+    val sb = new StringBuilder(cur)
+    (0 until 49).foreach { _ =>
+      val nxt = vocab.find(v => green(cur, v)).get
+      sb.append(' ').append(nxt); cur = nxt
+    }
+    val pr = text.watermarkDetect(
+      Seq((9L, sb.toString)).toDF("doc_id", "text"), "text", "doc_id").head()
+    assert(pr.getLong(1) == 49L && pr.getLong(2) == 49L)
+    assert(pr.getLong(5) == 1L)
+    // unwatermarked natural-ish text does NOT flag at z >= 4
+    assert(r(0).getLong(5) == 0L)
+    intercept[IllegalArgumentException] {
+      text.watermarkDetect(docs, "text", "doc_id", gammaPct = 0)
+    }
+  }
 }
