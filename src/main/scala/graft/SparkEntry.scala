@@ -603,6 +603,45 @@ object SparkEntry {
     (head ++ rounds).mkString("WITH ", ",\n", "\n") + emit + "\nORDER BY step"
   }
 
+  /** Unrolled WordPiece training oracle — [[sqlBpeTrain]] with the
+    * likelihood-ratio argmax: each round adds a symbol-count CTE under
+    * the current segmentation and picks the pair maximizing
+    * `pc·10¹² // (sl·sr)` in HUGEINT (the trainer's DECIMAL(38,0)
+    * quotient — both are exact 38-digit integer DIV on the same exact
+    * counts). Tie order matches the trainer:
+    * (score desc, pc desc, l, r). */
+  private[graft] def sqlWordPieceTrain(merges: Int, minPair: Long): String = {
+    val head = Seq(
+      s"""w0 AS MATERIALIZED (SELECT t AS w, count(*) AS cnt FROM (
+         |  SELECT unnest($SqlToks) AS t FROM documents) GROUP BY t)""".stripMargin,
+      "v0 AS MATERIALIZED (SELECT cnt, string_split(w, '') AS sy FROM w0)")
+    val rounds = (0 until merges).flatMap { i =>
+      Seq(
+        s"""s$i AS MATERIALIZED (SELECT sym, sum(cnt)::BIGINT AS sc FROM (
+           |  SELECT cnt, unnest(sy) AS sym FROM v$i) GROUP BY sym)""".stripMargin,
+        s"""p$i AS MATERIALIZED (SELECT pr.l AS l, pr.r AS r, sum(cnt)::BIGINT AS pc FROM (
+           |  SELECT cnt, unnest(list_transform(range(1, len(sy)), j ->
+           |    struct_pack(l := sy[j], r := sy[j+1]))) AS pr FROM v$i)
+           |  GROUP BY pr.l, pr.r)""".stripMargin,
+        s"""b$i AS MATERIALIZED (SELECT l, r, pc,
+           |    ((pc::HUGEINT * 1000000000000) // (sl.sc::HUGEINT * sr.sc::HUGEINT))::BIGINT AS score
+           |  FROM p$i JOIN s$i sl ON sl.sym = p$i.l JOIN s$i sr ON sr.sym = p$i.r
+           |  WHERE pc >= $minPair
+           |  ORDER BY score DESC, pc DESC, l, r LIMIT 1)""".stripMargin,
+        s"""v${i + 1} AS MATERIALIZED (SELECT cnt,
+           |  CASE WHEN (SELECT count(*) FROM b$i) = 1 THEN
+           |    string_split(substring(s2, 2, len(s2) - 2), '||') ELSE sy END AS sy
+           |  FROM (SELECT cnt, sy, replace('|' || array_to_string(sy, '||') || '|',
+           |    '|' || (SELECT l FROM b$i) || '||' || (SELECT r FROM b$i) || '|',
+           |    '|' || (SELECT l || r FROM b$i) || '|') AS s2 FROM v$i))""".stripMargin)
+    }
+    val emit = (0 until merges)
+      .map(i => s"""SELECT $i AS step, l AS "left", r AS "right", pc AS pair_count,
+         | score AS score_q12 FROM b$i""".stripMargin)
+      .mkString("\nUNION ALL ")
+    (head ++ rounds).mkString("WITH ", ",\n", "\n") + emit + "\nORDER BY step"
+  }
+
   /** Unrolled unigram-LM training oracle (the [[sqlBpeTrain]] pattern):
     * per EM round, the Viterbi DP unrolls one CTE per token position
     * (`maxWordLen` is the FIXTURE's max token length — 8 at every SF),

@@ -62,6 +62,71 @@ object evals {
           expr("(auc_num * 1000000) DIV auc_den")).cast("long"))
   }
 
+  /** Rows a [[mannWhitney]] input may carry before the
+    * DECIMAL(38,0)-exact variance product
+    * `n_a·n_b·((n³−n) − Σ(t³−t))` can overflow 38 digits
+    * (n_a·n_b ≤ n²/4; at 2·10⁷ the product is ≤ ~8·10³⁵). An eval-set
+    * ceiling (ENFORCED in-plan) — pre-sample beyond it. */
+  val MannWhitneyMaxN: Long = 20000000L
+
+  /** Mann-Whitney U rank-sum TEST (Mann & Whitney 1947) — the
+    * nonparametric are-these-two-samples-from-the-same-distribution
+    * readout [[aucRank]]'s metric form doesn't give: U, its null mean,
+    * the TIE-CORRECTED variance, and the normal-approximation z. The
+    * A/B meter for skewed metrics (session lengths, quality scores)
+    * where the t-test's mean is the wrong summary.
+    *
+    * Exactness: same doubled-midrank integer grid as [[aucRank]]
+    * (`u2_a = 2·U_A`, `mu2 = 2·E[U]` stay in int64); the tie term
+    * `Σ(t³−t)` and the variance product run in DECIMAL(38,0) under
+    * [[MannWhitneyMaxN]] (ENFORCED in-plan); z is ONE double division
+    * + sqrt at the end, quantized to 4 dp.
+    *
+    * Scale shape: values are exact grouping keys (quantize a continuous
+    * metric first) — one hash aggregate over the data axis, then the
+    * bounded value-grid window ([[aucRank]]'s discipline). Returns one
+    * row `(n_a, n_b, u2_a, mu2, z_q4)`. */
+  def mannWhitney(df: DataFrame, valueCol: Column, groupCol: Column): DataFrame = {
+    val g = df
+      .select(valueCol.as("_s"), groupCol.cast("boolean").cast("long").as("_y"))
+      .where(col("_s").isNotNull && col("_y").isNotNull)
+      .groupBy(col("_s"))
+      .agg(count(lit(1)).as("_n"), sum(col("_y")).as("_na"))
+    val w = windows.boundedGlobal("score-grid", col("_s")).orderBy(col("_s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("_below", coalesce(sum(col("_n")).over(w), lit(0L)))
+      .select(
+        sum(col("_na")).as("n_a"),
+        sum(col("_n") - col("_na")).as("n_b"),
+        sum(col("_na") * (lit(2L) * col("_below") + col("_n") + lit(1L)))
+          .as("_r2"),
+        sum(expr("CAST(_n AS DECIMAL(38,0)) * _n * _n - _n")).as("_t3"))
+      .withColumn("n_a",
+        when(col("n_a") + col("n_b") > MannWhitneyMaxN,
+          raise_error(format_string(
+            "graft: mannWhitney DECIMAL(38,0)-exactness ceiling exceeded " +
+              s"(n = %s > $MannWhitneyMaxN rows) — the variance product " +
+              "would overflow; pre-sample",
+            col("n_a") + col("n_b"))).cast("long"))
+          .otherwise(col("n_a")))
+      .withColumn("u2_a", col("_r2") - col("n_a") * (col("n_a") + lit(1L)))
+      .withColumn("mu2", col("n_a") * col("n_b"))
+      // var(U) = n_a·n_b·((n³−n) − Σ(t³−t)) / (12·n·(n−1)), exact
+      // DECIMAL num/den, ONE double division + sqrt at the end
+      .withColumn("_vn", expr(
+        """CAST(n_a AS DECIMAL(38,0)) * n_b *
+           (CAST(n_a + n_b AS DECIMAL(38,0)) * (n_a + n_b) * (n_a + n_b)
+             - (n_a + n_b) - _t3)"""))
+      .withColumn("_vd", expr(
+        "12 * CAST(n_a + n_b AS DECIMAL(38,0)) * (n_a + n_b - 1)"))
+      .select(col("n_a"), col("n_b"), col("u2_a"), col("mu2"),
+        when(col("_vn") > 0,
+          graft.functions.vectors.quantize(
+            (col("u2_a") - col("mu2")).cast("double") / lit(2.0)
+              / sqrt(col("_vn").cast("double") / col("_vd").cast("double")),
+            4)).as("z_q4"))
+  }
+
   /** Thresholded confusion/PR grid: for each threshold `t` in a
     * driver-literal grid, predict positive iff `score >= t`, and emit
     * exact TP/FP/FN/TN plus precision/recall/F1 in truncated ppm. The
@@ -681,6 +746,106 @@ object evals {
     point.crossJoin(broadcast(band))
       .select(col("n_rows"), col("b_reps"), col("diff_q6"),
         col("lo_q6"), col("hi_q6"), col("win_ppm"))
+  }
+
+  /** Rows a [[permTest]] input may carry before the DECIMAL(38,0)-exact
+    * cross-multiplied mean comparison can overflow (ENFORCED in-plan,
+    * together with [[PermTestMaxAbsSum]]). An eval-set ceiling —
+    * pre-sample beyond it. */
+  val PermTestMaxN: Long = 1000000L
+
+  /** Σ|value| ceiling for [[permTest]] (ENFORCED in-plan): with
+    * `n ≤ 10⁶` and `Σ|x| ≤ 10¹⁵`, `|s·n'| ≤ 10²¹` and the cross
+    * product `|a|·b ≤ 2.5·10³²` stays inside DECIMAL(38,0). */
+  val PermTestMaxAbsSum: Long = 1000000000000000L
+
+  /** Two-sample PERMUTATION test on the difference of means (Fisher
+    * 1935, Monte-Carlo form) — the exact-under-the-null companion to
+    * [[mannWhitney]] (which tests ranks) and [[pairedBootstrap]] (which
+    * needs paired scores): each replicate REASSIGNS every row to A'/B'
+    * by an unbiased deterministic coin and asks how often the permuted
+    * |mean gap| reaches the observed one;
+    * `p = (1 + #exceed) / (reps_eff + 1)` (the add-one Monte-Carlo
+    * estimator, Davison & Hinkley 1997).
+    *
+    * Determinism & oracle-replicability: the coin is the [[bootstrapCI]]
+    * machinery verbatim — one md5 per row (`id || ":perm"`), the affine
+    * replicate family, bit = uniform < 500000. The exceed comparison is
+    * EXACT: `|s_A'·n_B' − s_B'·n_A'| · n_A·n_B  ≥  |s_A·n_B − s_B·n_A| ·
+    * n_A'·n_B'` in DECIMAL(38,0) under the two ceilings — no float
+    * compare anywhere near the decision. Replicates where the coin
+    * lands everyone on one side have no mean gap and are excluded
+    * (`reps_eff` reports the survivors).
+    *
+    * Plan shape: one scan, ×`reps` in-row fan-out, map-side combine to
+    * `reps` rows/task; the exceed judgment joins `reps` rows against
+    * the broadcast 1-row observed stats. Returns one row
+    * `(n_rows, n_a, n_b, reps_eff, diff_q6, p_ppm)`. */
+  def permTest(
+      df: DataFrame,
+      idCol: Column,
+      valueCol: Column,
+      groupCol: Column,
+      reps: Int = 200): DataFrame = {
+    require(reps >= 2 && reps <= 10000,
+      s"graft: permTest needs 2 <= reps <= 10000, got $reps")
+    import graft.functions.hashing
+    val rows = df.select(valueCol.cast("long").as("_x"),
+        groupCol.cast("boolean").cast("long").as("_g"),
+        hashing.h32(concat(idCol.cast("string"), lit(":perm"))).as("_h"))
+      .where(col("_x").isNotNull && col("_g").isNotNull && col("_h").isNotNull)
+    val obs = rows.agg(
+        count(lit(1)).as("n_rows"),
+        sum(abs(col("_x"))).as("_sabs"),
+        sum(col("_g")).as("n_a"),
+        sum(col("_x") * col("_g")).as("_sa"),
+        sum(col("_x")).as("_s"))
+      .withColumn("n_rows",
+        when(col("n_rows") > PermTestMaxN || col("_sabs") > PermTestMaxAbsSum,
+          raise_error(format_string(
+            "graft: permTest DECIMAL(38,0)-exactness ceiling exceeded " +
+              s"(n = %s > $PermTestMaxN rows or sum|x| = %s > " +
+              s"$PermTestMaxAbsSum) — pre-sample or rescale",
+            col("n_rows"), col("_sabs"))).cast("long"))
+          .otherwise(col("n_rows")))
+      .withColumn("n_b", col("n_rows") - col("n_a"))
+      .withColumn("_sb", col("_s") - col("_sa"))
+      .withColumn("_ao", expr(
+        "abs(CAST(_sa AS DECIMAL(38,0)) * n_b - CAST(_sb AS DECIMAL(38,0)) * n_a)"))
+      .withColumn("_bo", expr("CAST(n_a AS DECIMAL(38,0)) * n_b"))
+      .withColumn("diff_q6",
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          graft.functions.vectors.quantize(
+            col("_sa").cast("double") / col("n_a").cast("double")
+              - col("_sb").cast("double") / col("n_b").cast("double"), 6)))
+    val perm = rows.select(col("_x"), explode(transform(
+        sequence(lit(0L), lit((reps - 1).toLong)),
+        j => {
+          val u = pmod(pmod(col("_h") * (j * 2L + lit(1L))
+            + j * lit(12582917L), lit(hashing.AffineP)), lit(1000000L))
+          struct(j.as("rep"), (u < 500000L).cast("long").as("ga"))
+        })).as("_r"))
+      .select(col("_r.rep").as("_rep"), col("_r.ga").as("_ga"),
+        (col("_x") * col("_r.ga")).as("_xa"), col("_x"))
+      .groupBy(col("_rep"))
+      .agg(count(lit(1)).as("_n"), sum(col("_ga")).as("_nar"),
+        sum(col("_xa")).as("_sar"), sum(col("_x")).as("_sr"))
+      .withColumn("_nbr", col("_n") - col("_nar"))
+      .withColumn("_sbr", col("_sr") - col("_sar"))
+      .withColumn("_ar", expr(
+        "abs(CAST(_sar AS DECIMAL(38,0)) * _nbr - CAST(_sbr AS DECIMAL(38,0)) * _nar)"))
+      .withColumn("_br", expr("CAST(_nar AS DECIMAL(38,0)) * _nbr"))
+      .where(col("_br") > 0)
+    val tally = perm
+      .crossJoin(broadcast(obs.select(col("_ao").as("_oao"), col("_bo").as("_obo"))))
+      .agg(count(lit(1)).as("reps_eff"),
+        sum((col("_ar") * col("_obo") >= col("_oao") * col("_br"))
+          .cast("long")).as("_exceed"))
+    obs.crossJoin(broadcast(tally))
+      .select(col("n_rows"), col("n_a"), col("n_b"), col("reps_eff"),
+        col("diff_q6"),
+        when(col("_bo") > 0 && col("reps_eff") > 0L,
+          expr("((1 + _exceed) * 1000000) DIV (reps_eff + 1)")).as("p_ppm"))
   }
 
   /** Murphy (1973) decomposition of the Brier score from the

@@ -1286,4 +1286,68 @@ object sample {
             / (col("n_ref").cast("double") * col("n_cur").cast("double")),
           4)))
   }
+
+  /** Sequence LAYOUT map — the concat-and-chunk packing (GPT-2 /
+    * LLaMA-style pretraining batches): documents are concatenated into
+    * `shards` independent token streams and the stream is cut every
+    * `seqLen` tokens, so every training sequence is exactly full and a
+    * document crossing a cut boundary is split across consecutive
+    * sequences. This op computes, per document, WHERE it lands:
+    * `(shard, start, bin_first, bin_last, split)` — the deterministic
+    * layout a packing loader materializes, auditable before any GPU
+    * sees it (split-rate too high → raise seqLen or pre-chunk docs).
+    *
+    * Determinism & oracle-replicability: shard = `id mod shards` and
+    * in-shard order = id — a pure function of the table (pass a
+    * pre-hashed id for randomized placement; [[epochShuffle]] provides
+    * exactly that key). Zero-token documents occupy no stream space and
+    * are EXCLUDED (they'd otherwise alias the next doc's start).
+    *
+    * Plan shape (100 TB): one shuffle on `shard`, one running-sum
+    * window per shard partition ordered by id — each shard stream is
+    * corpus/`shards` rows, so `shards` is the parallelism knob (1024 on
+    * a big cluster); nothing global, nothing on the driver. */
+  def packLayout(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      seqLen: Long = 2048L,
+      shards: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(seqLen >= 1, s"graft: packLayout needs seqLen >= 1, got $seqLen")
+    require(shards >= 1, s"graft: packLayout needs shards >= 1, got $shards")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol),
+        pmod(col(idCol).cast("long"), lit(shards.toLong)).as("shard"),
+        size(text.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .where(col("n_tokens") > 0L)
+      .withColumn("start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin_first", expr(s"start DIV $seqLen"))
+      .withColumn("bin_last", expr(s"(start + n_tokens - 1) DIV $seqLen"))
+      .withColumn("split", (col("bin_last") > col("bin_first")).cast("long"))
+  }
+
+  /** Per-shard packing data card over [[packLayout]]:
+    * `(shard, n_docs, n_tokens, n_bins, tail_pad, split_docs)` —
+    * `n_bins = ceil(tokens/seqLen)`, `tail_pad` the padding wasted in
+    * the shard's final partial sequence, `split_docs` how many documents
+    * straddle a cut. The packing-efficiency readout (total pad / total
+    * tokens) and the doc-integrity readout (split rate) in one
+    * shard-sized grid. */
+  def packStats(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      seqLen: Long = 2048L,
+      shards: Int = 32): DataFrame =
+    packLayout(df, textCol, idCol, seqLen, shards)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("split")).as("split_docs"))
+      .withColumn("n_bins", expr(s"(n_tokens + ${seqLen - 1}) DIV $seqLen"))
+      .withColumn("tail_pad", col("n_bins") * seqLen - col("n_tokens"))
+      .select(col("shard"), col("n_docs"), col("n_tokens"), col("n_bins"),
+        col("tail_pad"), col("split_docs"))
 }

@@ -1702,4 +1702,83 @@ private[graft] object EvalRegistry extends Registry {
          |FROM a ORDER BY rep""".stripMargin
     }
   )
+
+    // north-star: Mann-Whitney U rank-sum test — tie-corrected U, null
+    // mean, exact DECIMAL variance, z; the nonparametric A/B readout
+    // over the doubled-midrank grid aucRank already rides.
+  b.q(
+    "eval_mann_whitney" -> ((s, dir) =>
+      evals.mannWhitney(events(s, dir), col("value"),
+        col("user_id") % 2 === 1))
+  )
+  b.o(
+    "eval_mann_whitney" ->
+      """WITH g AS (SELECT value AS s, count(*)::BIGINT AS n,
+        |    sum((user_id % 2 = 1)::BIGINT)::BIGINT AS na
+        |  FROM events WHERE value IS NOT NULL GROUP BY value),
+        |w AS (SELECT s, n, na, coalesce(sum(n) OVER (ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS below
+        |  FROM g),
+        |a AS (SELECT sum(na)::BIGINT AS n_a, sum(n - na)::BIGINT AS n_b,
+        |    sum(na * (2 * below + n + 1))::BIGINT AS r2,
+        |    sum(n::HUGEINT * n * n - n)::HUGEINT AS t3 FROM w),
+        |f AS (SELECT n_a, n_b, (r2 - n_a * (n_a + 1))::BIGINT AS u2_a,
+        |    (n_a * n_b)::BIGINT AS mu2,
+        |    (n_a::HUGEINT * n_b * ((n_a + n_b)::HUGEINT * (n_a + n_b)
+        |      * (n_a + n_b) - (n_a + n_b) - t3)) AS vn,
+        |    (12 * (n_a + n_b)::HUGEINT * (n_a + n_b - 1)) AS vd
+        |  FROM a)
+        |SELECT n_a, n_b, u2_a, mu2,
+        |  CASE WHEN vn > 0 THEN floor((u2_a - mu2)::DOUBLE / 2.0
+        |    / sqrt(vn::DOUBLE / vd::DOUBLE) * 10000.0 + 0.5) / 10000.0
+        |  END AS z_q4
+        |FROM f""".stripMargin
+  )
+
+    // north-star: Monte-Carlo permutation test — md5-coin group
+    // reassignment per replicate, EXACT decimal cross-multiplied mean
+    // comparison, add-one p; the bootstrap machinery pointed at
+    // significance instead of uncertainty.
+  b.q(
+    "eval_perm_test" -> ((s, dir) =>
+      evals.permTest(events(s, dir), col("event_id"),
+        floor(col("value") * 1000000.0).cast("long"),
+        col("user_id") % 2 === 1, reps = 100))
+  )
+  b.o(
+    "eval_perm_test" -> {
+      val h = graft.functions.hashing.sqlH32("(event_id::VARCHAR || ':perm')")
+      s"""WITH r AS (SELECT floor(value * 1000000.0)::BIGINT AS x,
+         |    (user_id % 2 = 1)::BIGINT AS g, $h AS h
+         |  FROM events WHERE value IS NOT NULL),
+         |p AS (SELECT count(*)::BIGINT AS n_rows, sum(g)::BIGINT AS n_a,
+         |    sum(x * g)::BIGINT AS sa, sum(x)::BIGINT AS s FROM r),
+         |p2 AS (SELECT n_rows, n_a, (n_rows - n_a)::BIGINT AS n_b, sa,
+         |    (s - sa)::BIGINT AS sb FROM p),
+         |p3 AS (SELECT *, abs(sa::HUGEINT * n_b - sb::HUGEINT * n_a) AS ao,
+         |    (n_a::HUGEINT * n_b) AS bo,
+         |    CASE WHEN n_a > 0 AND n_b > 0 THEN
+         |      floor((sa::DOUBLE / n_a::DOUBLE - sb::DOUBLE / n_b::DOUBLE)
+         |        * 1000000.0 + 0.5) / 1000000.0 END AS diff_q6
+         |  FROM p2),
+         |bb AS (SELECT rr.j AS rep, x,
+         |    (((h * (2 * rr.j + 1) + 12582917 * rr.j) % 4294967291)
+         |      % 1000000 < 500000)::BIGINT AS ga
+         |  FROM r, unnest(range(0, 100)) AS rr(j)),
+         |a AS (SELECT rep, count(*)::BIGINT AS n, sum(ga)::BIGINT AS nar,
+         |    sum(x * ga)::BIGINT AS sar, sum(x)::BIGINT AS sr FROM bb
+         |  GROUP BY rep),
+         |c AS (SELECT rep,
+         |    abs(sar::HUGEINT * (n - nar) - (sr - sar)::HUGEINT * nar) AS ar,
+         |    (nar::HUGEINT * (n - nar)) AS br FROM a),
+         |e AS (SELECT count(*)::BIGINT AS reps_eff,
+         |    sum((c.ar * (SELECT bo FROM p3) >=
+         |      (SELECT ao FROM p3) * c.br)::BIGINT)::BIGINT AS exceed
+         |  FROM c WHERE br > 0)
+         |SELECT p3.n_rows, p3.n_a, p3.n_b, e.reps_eff, p3.diff_q6,
+         |  CASE WHEN p3.bo > 0 AND e.reps_eff > 0 THEN
+         |    ((1 + e.exceed) * 1000000) // (e.reps_eff + 1) END AS p_ppm
+         |FROM p3, e""".stripMargin
+    }
+  )
 }

@@ -875,6 +875,47 @@ private[graft] object EventsRegistry extends Registry {
     }
   )
 
+    // north-star: Holt-Winters additive — Holt plus a day-of-week
+    // seasonal ring (period 7, phase = bucket mod 7 so grid gaps can't
+    // rotate it); same exact q10 dyadic recurrence, one bounded fold.
+  b.q(
+    "events_holt_winters" -> ((s, dir) =>
+      EventStream.holtWinters(events(s, dir), bucketSec = 86400L,
+          period = 7, aNum = 307, bNum = 102, gNum = 205)
+        .orderBy(col("bucket")))
+  )
+    // Recursive CTE carrying the seasonal ring as a BIGINT list: read
+    // the phase slot, run the three floored-shift updates, write the
+    // slot back by list slicing. Same explicit-floor discipline as the
+    // Holt oracle (seasonal terms go negative routinely).
+  b.o(
+    "events_holt_winters" -> {
+      def fd(e: String) =
+        s"((($e) - ((($e) % 1024 + 1024) % 1024)) // 1024)"
+      val pos = "(o.b % 7)"
+      val sp = s"c.se[$pos + 1]"
+      val lp = fd(s"307 * (o.x * 1024 - $sp) + 717 * (c.l + c.t)")
+      val tp = fd(s"102 * ($lp - c.l) + 922 * c.t")
+      val sq = fd(s"205 * (o.x * 1024 - $lp) + 819 * $sp")
+      s"""WITH RECURSIVE g AS (
+         |  SELECT (epoch_us(ts) // 1000000) // 86400 AS b,
+         |    count(*)::BIGINT AS x FROM events GROUP BY 1),
+         |o AS (SELECT b, x, row_number() OVER (ORDER BY b) AS rn FROM g),
+         |c(rn, l, t, s, f, se) AS (
+         |  SELECT 1::BIGINT, (SELECT x * 1024 FROM o WHERE rn = 1)::BIGINT,
+         |    0::BIGINT, 0::BIGINT, NULL::BIGINT,
+         |    list_transform(range(7), i -> 0::BIGINT)
+         |  UNION ALL
+         |  SELECT o.rn, $lp, $tp, $sq, c.l + c.t + $sp,
+         |    c.se[:$pos] || [$sq] || c.se[$pos + 2:]
+         |  FROM c JOIN o ON o.rn = c.rn + 1)
+         |SELECT o.b AS bucket, o.x, c.l AS level_fp, c.t AS trend_fp,
+         |  c.s AS season_fp, c.f AS forecast_fp, o.x * 1024 - c.f AS err_fp,
+         |  floor(c.f::DOUBLE / 1024.0 * 100.0 + 0.5) / 100.0 AS forecast_q2
+         |FROM c JOIN o USING (rn) ORDER BY bucket""".stripMargin
+    }
+  )
+
     // north-star: CUPED experiment readout — per-variant exact sums of
     // pre-period X / post-period Y plus the pooled theta as num/den;
     // the variance-reduced A/B number assembles downstream in floats.

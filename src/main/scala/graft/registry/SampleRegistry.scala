@@ -728,4 +728,58 @@ private[graft] object SampleRegistry extends Registry {
          |SELECT bin, keep_ppm, n_src, n_kept FROM k ORDER BY bin""".stripMargin
     }
   )
+
+    // north-star: concat-and-chunk sequence-packing layout — per doc its
+    // (shard, start, bins, split) placement; one shuffle on shard + one
+    // per-shard running sum, the pretraining batch layout made auditable.
+  b.q(
+    "sample_pack_layout" -> ((s, dir) =>
+      sample.packLayout(table(s, dir, "documents"), "text", "doc_id",
+          seqLen = 512L, shards = 8)
+        .orderBy(col("doc_id")))
+  )
+  b.o(
+    "sample_pack_layout" ->
+      s"""WITH t AS (SELECT doc_id, len($SqlToks)::BIGINT AS n_tokens
+         |    FROM documents),
+         |p AS (SELECT doc_id, doc_id % 8 AS shard, n_tokens FROM t
+         |    WHERE n_tokens > 0),
+         |w AS (SELECT doc_id, shard, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start
+         |  FROM p)
+         |SELECT doc_id, shard, n_tokens, start,
+         |  start // 512 AS bin_first,
+         |  (start + n_tokens - 1) // 512 AS bin_last,
+         |  ((start + n_tokens - 1) // 512 > start // 512)::BIGINT AS split
+         |FROM w ORDER BY doc_id""".stripMargin
+  )
+
+    // north-star: packing-efficiency data card — per shard the bin
+    // count, tail padding, and boundary-split doc count.
+  b.q(
+    "sample_pack_stats" -> ((s, dir) =>
+      sample.packStats(table(s, dir, "documents"), "text", "doc_id",
+          seqLen = 512L, shards = 8)
+        .orderBy(col("shard")))
+  )
+  b.o(
+    "sample_pack_stats" ->
+      s"""WITH t AS (SELECT doc_id, len($SqlToks)::BIGINT AS n_tokens
+         |    FROM documents),
+         |p AS (SELECT doc_id, doc_id % 8 AS shard, n_tokens FROM t
+         |    WHERE n_tokens > 0),
+         |w AS (SELECT doc_id, shard, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start
+         |  FROM p),
+         |s AS (SELECT shard, count(*)::BIGINT AS n_docs,
+         |    sum(n_tokens)::BIGINT AS n_tokens,
+         |    sum(((start + n_tokens - 1) // 512 > start // 512)::BIGINT)::BIGINT
+         |      AS split_docs
+         |  FROM w GROUP BY shard)
+         |SELECT shard, n_docs, n_tokens, (n_tokens + 511) // 512 AS n_bins,
+         |  ((n_tokens + 511) // 512) * 512 - n_tokens AS tail_pad, split_docs
+         |FROM s ORDER BY shard""".stripMargin
+  )
 }

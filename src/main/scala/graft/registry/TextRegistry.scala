@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.SparkEntry._
 import graft.core.{Cmp, Metric, VecStore}
 import graft.functions.{hashing, vectors}
-import graft.ops.{ann, asof, bpe, decontam, dedup, evals, multimodal, rel, retrieval, sample, sketch, text, unigram}
+import graft.ops.{ann, asof, bpe, decontam, dedup, evals, multimodal, rel, retrieval, sample, sketch, text, unigram, wordpiece}
 import graft.streaming.EventStream
 
 /** text-family query registry: each Spark-side query with its DuckDB
@@ -662,6 +662,20 @@ private[graft] object TextRegistry extends Registry {
     // re-derivation of the merge rules, not a pinned transcript.
   b.o(
     "text_bpe_merges" -> sqlBpeTrain(merges = 12, minPair = 2L)
+  )
+
+    // north-star: WordPiece merge rules — the likelihood-ratio trainer
+    // (BERT's): argmax of pc/(sl·sr) as an exact DECIMAL(38,0) integer
+    // quotient, same read-corpus-once / rounds-over-the-word-vocabulary
+    // shape as BPE. Oracle re-derives all rounds in HUGEINT CTEs.
+  b.q(
+    "text_wordpiece_merges" -> ((s, dir) =>
+      wordpiece.train(table(s, dir, "documents"), "text",
+          merges = 10, minPairCount = 2)
+        .orderBy(col("step")))
+  )
+  b.o(
+    "text_wordpiece_merges" -> sqlWordPieceTrain(merges = 10, minPair = 2L)
   )
 
     // north-star: unigram-LM (SentencePiece-style) tokenizer training —

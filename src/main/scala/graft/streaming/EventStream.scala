@@ -1156,6 +1156,120 @@ object EventStream {
           col("_r.f").cast("double") / 1024.0, 2).as("forecast_q2"))
   }
 
+  /** Holt-WINTERS additive (triple-exponential) smoothing — [[holtLinear]]
+    * plus a length-`period` seasonal ring, the monitor for metrics whose
+    * "normal" has a weekly/daily shape: forecast
+    * `f = l + t + s_{t−m}`, then
+    * `l' = (aNum·(x·1024 − s_prev) + (1024−aNum)·(l+t)) >> 10`,
+    * `t' = (bNum·(l'−l) + (1024−bNum)·t) >> 10`,
+    * `s' = (gNum·(x·1024 − l') + (1024−gNum)·s_prev) >> 10` — the same
+    * exact q10 dyadic fixed point as [[holtFrom]] (shiftright = floor
+    * division on both engines, signed included).
+    *
+    * Seasonal PHASE is anchored to the ABSOLUTE bucket id
+    * (`pos = bucket mod period`), not the row index — a gap in the grid
+    * (no events that day) cannot rotate the ring, and with
+    * `bucketSec = 86400, period = 7` the phase IS the day-of-week.
+    * Cold start: the ring begins all-zero, so the first occurrence of
+    * each phase behaves like plain Holt while its seasonal term is
+    * learned from residuals — deterministic, no init heuristic to
+    * disagree with the oracle about.
+    *
+    * Plan shape: identical to [[holtFrom]] — bucket-grid aggregate
+    * (≤ `maxBuckets` in-plan), ordered recurrence as ONE bounded HOF
+    * fold carrying `(l, t, ring[period])`, posexplode back. Returns
+    * `(bucket, x, level_fp, trend_fp, season_fp, forecast_fp, err_fp,
+    * forecast_q2)`; forecast/err null on the first bucket. */
+  def holtWinters(
+      events: DataFrame,
+      bucketSec: Long = 86400L,
+      period: Int = 7,
+      aNum: Int = 307,
+      bNum: Int = 102,
+      gNum: Int = 205,
+      tsCol: String = "ts",
+      maxBuckets: Int = 100000): DataFrame = {
+    require(bucketSec >= 1, "graft: holtWinters needs bucketSec >= 1")
+    val grid = events
+      .select(expr(s"(unix_micros($tsCol) DIV 1000000) DIV $bucketSec")
+        .as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("x"))
+    holtWintersFrom(grid, period, aNum, bNum, gNum, maxBuckets)
+  }
+
+  /** FINISH form of [[holtWinters]] over any `(bucket, x)` grid —
+    * duplicate bucket rows re-merge by addition (the sink contract), so
+    * a [[cusumStream]] snapshot feeds it directly. */
+  def holtWintersFrom(
+      grid: DataFrame,
+      period: Int = 7,
+      aNum: Int = 307,
+      bNum: Int = 102,
+      gNum: Int = 205,
+      maxBuckets: Int = 100000): DataFrame = {
+    require(period >= 2 && period <= 10000,
+      s"graft: holtWintersFrom needs 2 <= period <= 10000, got $period")
+    require(aNum >= 1 && aNum <= 1024 && bNum >= 0 && bNum <= 1024
+        && gNum >= 0 && gNum <= 1024,
+      s"graft: holtWintersFrom needs 1 <= aNum <= 1024, 0 <= bNum <= 1024, " +
+        s"0 <= gNum <= 1024, got $aNum, $bNum, $gNum")
+    require(maxBuckets >= 1, "graft: holtWintersFrom needs maxBuckets >= 1")
+    val merged = grid
+      .groupBy(col("bucket").as("_b")).agg(sum(col("x")).as("_x"))
+      .withColumn("_x",
+        when(col("_x") > HoltMaxX,
+          raise_error(format_string(
+            "graft: holtWinters int64-exactness ceiling exceeded (bucket " +
+              s"count %s > $HoltMaxX) — widen bucketSec", col("_x"))).cast("long"))
+          .otherwise(col("_x")))
+    val arr = merged
+      .agg(sort_array(collect_list(struct(col("_b"), col("_x")))).as("_a"))
+      .withColumn("_a",
+        when(size(col("_a")) > maxBuckets,
+          raise_error(format_string(
+            "graft: holtWinters bucket grid exceeds maxBuckets (%s > " +
+              s"$maxBuckets) — widen bucketSec", size(col("_a")))))
+        .otherwise(col("_a")))
+    val ring0 = array_repeat(lit(0L), period)
+    val fold = aggregate(col("_a"),
+      struct(
+        array().cast("array<struct<l:bigint,t:bigint,s:bigint,f:bigint>>")
+          .as("out"),
+        lit(0L).as("l"), lit(0L).as("t"), ring0.as("se")),
+      (st, e) => {
+        val first = size(st.getField("out")) === 0
+        val pos = pmod(e.getField("_b"), lit(period.toLong))
+        val sPrev = element_at(st.getField("se"), (pos + 1L).cast("int"))
+        val f = st.getField("l") + st.getField("t") + sPrev
+        val xs = e.getField("_x") * 1024L
+        val l2 = when(first, xs).otherwise(
+          shiftright(lit(aNum.toLong) * (xs - sPrev)
+            + lit(1024L - aNum) * (st.getField("l") + st.getField("t")), 10))
+        val t2 = when(first, lit(0L)).otherwise(
+          shiftright(lit(bNum.toLong) * (l2 - st.getField("l"))
+            + lit(1024L - bNum) * st.getField("t"), 10))
+        val s2 = shiftright(lit(gNum.toLong) * (xs - l2)
+          + lit(1024L - gNum) * sPrev, 10)
+        val fRec = when(first, lit(null).cast("long")).otherwise(f)
+        val se2 = transform(st.getField("se"), (v, ix) =>
+          when(ix.cast("bigint") === pos, s2).otherwise(v))
+        struct(
+          concat(st.getField("out"),
+            array(struct(l2.as("l"), t2.as("t"), s2.as("s"), fRec.as("f"))))
+            .as("out"),
+          l2.as("l"), t2.as("t"), se2.as("se"))
+      })
+    arr.withColumn("_s", fold.getField("out"))
+      .select(col("_s"), posexplode(col("_a")).as(Seq("_i", "_e")))
+      .withColumn("_r", element_at(col("_s"), col("_i") + 1))
+      .select(col("_e._b").as("bucket"), col("_e._x").as("x"),
+        col("_r.l").as("level_fp"), col("_r.t").as("trend_fp"),
+        col("_r.s").as("season_fp"), col("_r.f").as("forecast_fp"),
+        (col("_e._x") * 1024L - col("_r.f")).as("err_fp"),
+        graft.functions.vectors.quantize(
+          col("_r.f").cast("double") / 1024.0, 2).as("forecast_q2"))
+  }
+
   /** FINISH a [[cusumStream]] sink snapshot (or any `(bucket, x)` grid)
     * into the CUSUM statistic: re-fold duplicate bucket rows by
     * addition (the merge-by-addition sink contract), then the exact

@@ -99,4 +99,42 @@ class BpeSpec extends SparkSpec {
     // majority tie at 2-2 breaks lexicographically: de < en
     assert(r(1)._4 == "de")
   }
+
+  // ---- WordPiece (likelihood-ratio trainer) ----------------------------
+
+  test("wordpiece picks rare-but-always-together over frequent-but-independent") {
+    // words: ab×3, xq×2. syms a:3 b:3 x:2 q:2.
+    // (a,b): pc=3, score 3/(3·3)=0.333… → 333333333333
+    // (x,q): pc=2, score 2/(2·2)=0.5    → 500000000000 — wins despite
+    //        the LOWER count (BPE would fuse (a,b) first)
+    val df = Seq("ab ab ab xq xq").toDF("text")
+    val wp = graft.ops.wordpiece.train(df, "text", merges = 10, minPairCount = 2)
+      .orderBy("step").as[(Int, String, String, Long, Long)].collect().toSeq
+    assert(wp == Seq(
+      (0, "x", "q", 2L, 500000000000L),
+      (1, "a", "b", 3L, 333333333333L)))
+    val bp = bpe.train(df, "text", merges = 1, minPairCount = 2)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(bp == Seq((0, "a", "b", 3L)))
+  }
+
+  test("wordpiece tie on score breaks on pair count, then left symbol") {
+    // the×2 then×2 they×1: every admissible pair scores exactly 0.2
+    // ((t,h)=5/(5·5), (h,e)=5/(5·5), (e,n)=2/(5·2)) → pc desc keeps
+    // (t,h),(h,e); l asc picks (h,e). Same cascade as the hand-computed
+    // BPE fixture, but reached through the score path.
+    val df = Seq("the then they", "the then").toDF("text")
+    val wp = graft.ops.wordpiece.train(df, "text", merges = 1, minPairCount = 2)
+      .as[(Int, String, String, Long, Long)].collect().toSeq
+    assert(wp == Seq((0, "h", "e", 5L, 200000000000L)))
+  }
+
+  test("wordpiece respects merges budget and minPairCount stop") {
+    val df = Seq("ab ab ab xq xq").toDF("text")
+    assert(graft.ops.wordpiece.train(df, "text", merges = 0).count() == 0)
+    // minPairCount 3 excludes (x,q); only (a,b) qualifies, then stop
+    val wp = graft.ops.wordpiece.train(df, "text", merges = 10, minPairCount = 3)
+      .as[(Int, String, String, Long, Long)].collect().toSeq
+    assert(wp == Seq((0, "a", "b", 3L, 333333333333L)))
+  }
 }

@@ -88,6 +88,66 @@ class EventMetersSpec extends SparkSpec {
     }
   }
 
+  test("holtWinters: driver replay with seasonal ring; flat lock; phase by bucket id") {
+    def burst(day: Int, n: Int) = (1 to n).map(i =>
+      (day * 100L + i, ts(day), i.toLong, "e", 1.0))
+    // period-2 alternation: 2, 6, 2, 6, 2, 6 events/day
+    val alt = ev((1 to 6).flatMap(d => burst(d, if (d % 2 == 1) 2 else 6)): _*)
+    val buckets = (1 to 6).map(d =>
+      ts(d).toInstant.getEpochSecond / 86400L)
+    def replay(bx: Seq[(Long, Long)], period: Int = 7, aNum: Long = 307L,
+        bNum: Long = 102L, gNum: Long = 205L)
+        : Seq[(Long, Long, Long, Option[Long])] = {
+      var l = 0L; var t = 0L
+      val ring = Array.fill(period)(0L)
+      var first = true
+      val out =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Option[Long])]
+      bx.foreach { case (b, x) =>
+        val pos = java.lang.Math.floorMod(b, period.toLong).toInt
+        val sPrev = ring(pos)
+        val xs = x * 1024L
+        val f = if (first) None else Some(l + t + sPrev)
+        val l2 = if (first) xs
+          else Math.floorDiv(aNum * (xs - sPrev) + (1024L - aNum) * (l + t), 1024L)
+        val t2 = if (first) 0L
+          else Math.floorDiv(bNum * (l2 - l) + (1024L - bNum) * t, 1024L)
+        val s2 = Math.floorDiv(gNum * (xs - l2) + (1024L - gNum) * sPrev, 1024L)
+        ring(pos) = s2
+        out += ((l2, t2, s2, f)); l = l2; t = t2; first = false
+      }
+      out.toSeq
+    }
+    val want = replay(buckets.zip(Seq(2L, 6L, 2L, 6L, 2L, 6L)))
+    val got = EventStream.holtWinters(alt, bucketSec = 86400L)
+      .orderBy("bucket").collect()
+    assert(got.length == 6)
+    got.zip(want).foreach { case (r, (l, t, s, f)) =>
+      assert(r.getLong(2) == l && r.getLong(3) == t && r.getLong(4) == s)
+      assert(f.map(v => !r.isNullAt(5) && r.getLong(5) == v)
+        .getOrElse(r.isNullAt(5)))
+      f.foreach(v => assert(r.getLong(6) == r.getLong(1) * 1024L - v))
+    }
+    // a constant series locks exactly: level = x*1024, trend 0, and the
+    // seasonal ring stays identically 0 (no residual to absorb)
+    val flat = ev((1 to 8).flatMap(d => burst(d, 3)): _*)
+    val fr = EventStream.holtWinters(flat, bucketSec = 86400L)
+      .orderBy("bucket").collect()
+    assert(fr.forall(r => r.getLong(2) == 3L * 1024L && r.getLong(3) == 0L
+      && r.getLong(4) == 0L))
+    assert(fr.drop(1).forall(r => r.getLong(6) == 0L))
+    // with period = 2 the alternating series' seasonal terms take on
+    // opposite signs for the two phases once warmed up
+    val p2 = EventStream.holtWinters(alt, bucketSec = 86400L, period = 2)
+      .orderBy("bucket").collect()
+    val lastTwo = p2.takeRight(2).map(_.getLong(4))
+    assert(lastTwo.exists(_ > 0L) && lastTwo.exists(_ < 0L))
+    intercept[IllegalArgumentException] {
+      EventStream.holtWintersFrom(alt.select(lit(1L).as("bucket"),
+        lit(1L).as("x")), period = 1)
+    }
+  }
+
   test("kaplanMeier: textbook ladder with one censored user") {
     // u1 converts day 1, u2 day 1, u3 day 3, u4 never (censored at max
     // ts = day 5). Classic S: after t=1: 2/4 survive; t=3: 1/2 of the

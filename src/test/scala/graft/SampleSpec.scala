@@ -582,4 +582,30 @@ class SampleSpec extends SparkSpec {
     assert(means.min < 450.0 && means.max > 450.0,
       s"CI straddles the mean: [${means.min}, ${means.max}]")
   }
+
+  test("packLayout: hand-computed concat-and-chunk layout; zero-token docs excluded") {
+    val df = Seq(
+      (0L, "a b c"), (1L, "d e"), (2L, "f g h i j"),
+      (3L, ""), (4L, "k"), (5L, "l m n")
+    ).toDF("doc_id", "text")
+    val got = sample.packLayout(df, "text", "doc_id", seqLen = 4L, shards = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "shard", "n_tokens", "start", "bin_first", "bin_last",
+        "split")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // shard 0 stream: doc0 (3 toks @0), doc2 (5 @3), doc4 (1 @8)
+    // shard 1 stream: doc1 (2 @0), doc5 (3 @2); doc3 empty -> excluded
+    assert(got == Seq(
+      (0L, 0L, 3L, 0L, 0L, 0L, 0L),
+      (1L, 1L, 2L, 0L, 0L, 0L, 0L),
+      (2L, 0L, 5L, 3L, 0L, 1L, 1L),
+      (4L, 0L, 1L, 8L, 2L, 2L, 0L),
+      (5L, 1L, 3L, 2L, 0L, 1L, 1L)))
+    val st = sample.packStats(df, "text", "doc_id", seqLen = 4L, shards = 2)
+      .orderBy("shard")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(st == Seq(
+      (0L, 3L, 9L, 3L, 3L, 1L),
+      (1L, 2L, 5L, 2L, 3L, 1L)))
+  }
 }
