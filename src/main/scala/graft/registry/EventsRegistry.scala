@@ -916,6 +916,66 @@ private[graft] object EventsRegistry extends Registry {
     }
   )
 
+    // north-star: classical additive seasonal decomposition — symmetric
+    // range-window trend, centered hour-of-day seasonal indices, exact
+    // q6 floored-division cells; one grid window + one phase aggregate.
+  b.q(
+    "events_decompose" -> ((s, dir) =>
+      EventStream.decompose(events(s, dir), bucketSec = 3600L, period = 24)
+        .orderBy(col("bucket")))
+  )
+  b.o(
+    "events_decompose" ->
+      """WITH g AS (SELECT (epoch_us(ts) // 1000000) // 3600 AS b,
+        |    count(*)::BIGINT AS x FROM events GROUP BY 1),
+        |t AS (SELECT b, x,
+        |    (sum(x) OVER (ORDER BY b RANGE BETWEEN 12 PRECEDING AND
+        |      12 FOLLOWING) * 1000000)::BIGINT AS ts_,
+        |    count(*) OVER (ORDER BY b RANGE BETWEEN 12 PRECEDING AND
+        |      12 FOLLOWING)::BIGINT AS tc
+        |  FROM g),
+        |t2 AS (SELECT b, x,
+        |    ((ts_ - ((ts_ % tc + tc) % tc)) // tc)::BIGINT AS trend_q6 FROM t),
+        |t3 AS (SELECT b, x, trend_q6, (x * 1000000 - trend_q6)::BIGINT AS d,
+        |    (b % 24)::BIGINT AS phase FROM t2),
+        |p AS (SELECT phase, sum(d)::BIGINT AS sd, count(*)::BIGINT AS c
+        |  FROM t3 GROUP BY 1),
+        |p2 AS (SELECT phase,
+        |    ((sd - ((sd % c + c) % c)) // c)::BIGINT AS sraw FROM p),
+        |ctr AS (SELECT sum(sraw)::BIGINT AS gs, count(*)::BIGINT AS gc FROM p2),
+        |ctr2 AS (SELECT ((gs - ((gs % gc + gc) % gc)) // gc)::BIGINT AS g_
+        |  FROM ctr),
+        |s AS (SELECT phase, (sraw - (SELECT g_ FROM ctr2))::BIGINT
+        |    AS seasonal_q6 FROM p2)
+        |SELECT t3.b AS bucket, t3.x, t3.phase, t3.trend_q6, s.seasonal_q6,
+        |  (t3.d - s.seasonal_q6)::BIGINT AS remainder_q6
+        |FROM t3 JOIN s USING (phase) ORDER BY bucket""".stripMargin
+  )
+
+    // north-star: median/MAD robust anomaly flag — lower-median
+    // convention, exact integer dev*1000 > k*mad comparison.
+  b.q(
+    "events_robust_z" -> ((s, dir) =>
+      EventStream.robustZ(events(s, dir), bucketSec = 86400L, kMilli = 1500L)
+        .orderBy(col("bucket")))
+  )
+  b.o(
+    "events_robust_z" ->
+      """WITH g AS (SELECT (epoch_us(ts) // 1000000) // 86400 AS bucket,
+        |    count(*)::BIGINT AS x FROM events GROUP BY 1),
+        |r AS (SELECT bucket, x, row_number() OVER (ORDER BY x, bucket) AS rn,
+        |    count(*) OVER () AS n FROM g),
+        |m AS (SELECT x AS med FROM r WHERE rn = (n + 1) // 2),
+        |d AS (SELECT bucket, x, (SELECT med FROM m) AS med,
+        |    abs(x - (SELECT med FROM m))::BIGINT AS dev FROM g),
+        |r2 AS (SELECT dev, row_number() OVER (ORDER BY dev, bucket) AS rn,
+        |    count(*) OVER () AS n FROM d),
+        |m2 AS (SELECT dev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+        |SELECT bucket, x, med, (SELECT mad FROM m2) AS mad, dev,
+        |  (dev * 1000 > 1500 * (SELECT mad FROM m2))::BIGINT AS flag
+        |FROM d ORDER BY bucket""".stripMargin
+  )
+
     // north-star: CUPED experiment readout — per-variant exact sums of
     // pre-period X / post-period Y plus the pooled theta as num/den;
     // the variance-reduced A/B number assembles downstream in floats.

@@ -1427,6 +1427,150 @@ object EventStream {
         expr("n * 10000 DIV _total").as("share_bp"))
   }
 
+  /** Per-bucket count ceiling for [[decompose]] (ENFORCED in-plan):
+    * detrended q6 cells (`x·10⁶`) summed over ≤ `maxBuckets` rows per
+    * phase stay inside int64 at 5·10⁷ per bucket — widen `bucketSec`
+    * past it. */
+  val DecomposeMaxX: Long = 50000000L
+
+  /** CLASSICAL additive seasonal decomposition of the event-time bucket
+    * grid: `x = trend + seasonal + remainder` — the descriptive
+    * counterpart to [[holtWinters]]'s adaptive smoother and the
+    * pre-read for [[seasonalAnomaly]] ("is the metric's weekly shape
+    * stable, and what's left once it's removed?").
+    *
+    * Method (Kendall/Stuart textbook form, odd symmetric window):
+    * trend = mean of the buckets in `[b−period/2, b+period/2]` (RANGE
+    * window on the bucket VALUE, so grid gaps shrink the window instead
+    * of dragging in far-away buckets; edges use the partial window);
+    * seasonal = phase-mean of the detrended series
+    * (`phase = bucket mod period`), centered so the `period` indices
+    * sum to ~0; remainder is what's left.
+    *
+    * Exactness: all three components are q6 longs via FLOORED integer
+    * division (`(a − pmod(a, c)) DIV c` — exact division after the mod
+    * subtraction, so Spark's truncating DIV and DuckDB's flooring `//`
+    * agree on the negative cells the detrended series routinely has);
+    * [[DecomposeMaxX]] is enforced in-plan.
+    *
+    * Plan shape: one bucket-grid aggregate (map-side combined, ≤
+    * `maxBuckets` rows cross the wire), one bounded-global range
+    * window, one `period`-sized phase aggregate broadcast back.
+    * Returns `(bucket, x, phase, trend_q6, seasonal_q6,
+    * remainder_q6)`. */
+  def decompose(
+      events: DataFrame,
+      bucketSec: Long = 3600L,
+      period: Int = 24,
+      tsCol: String = "ts",
+      maxBuckets: Int = 100000): DataFrame = {
+    require(bucketSec >= 1, "graft: decompose needs bucketSec >= 1")
+    require(period >= 2 && period <= 10000,
+      s"graft: decompose needs 2 <= period <= 10000, got $period")
+    require(maxBuckets >= 1, "graft: decompose needs maxBuckets >= 1")
+    val h = period / 2
+    val grid = events
+      .select(expr(s"(unix_micros($tsCol) DIV 1000000) DIV $bucketSec")
+        .as("_b"))
+      .groupBy(col("_b")).agg(count(lit(1)).as("_x"))
+      .withColumn("_x",
+        when(col("_x") > DecomposeMaxX,
+          raise_error(format_string(
+            "graft: decompose int64-exactness ceiling exceeded (bucket " +
+              s"count %s > $DecomposeMaxX) — widen bucketSec",
+            col("_x"))).cast("long"))
+          .otherwise(col("_x")))
+    val bg = graft.ops.windows.boundedGlobal("bucket-grid", col("_b"))
+    val wCnt = bg.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val wMa = bg.orderBy(col("_b")).rangeBetween(-h, h)
+    // floored integer division that both engines compute identically:
+    // subtract the positive mod first, then divide exactly (see the
+    // events_holt oracle note on DIV truncate-vs-floor)
+    val trended = grid
+      .withColumn("_n",
+        when(count(lit(1)).over(wCnt) > maxBuckets,
+          raise_error(format_string(
+            "graft: decompose bucket grid exceeds maxBuckets (%s > " +
+              s"$maxBuckets) — widen bucketSec", count(lit(1)).over(wCnt)))
+            .cast("long"))
+          .otherwise(count(lit(1)).over(wCnt)))
+      .withColumn("_ts", sum(col("_x")).over(wMa) * 1000000L)
+      .withColumn("_tc", count(lit(1)).over(wMa))
+      .withColumn("trend_q6",
+        expr("(_ts - ((_ts % _tc + _tc) % _tc)) DIV _tc"))
+      .withColumn("_d", col("_x") * 1000000L - col("trend_q6"))
+      .withColumn("phase", pmod(col("_b"), lit(period.toLong)))
+    val phases = trended.groupBy(col("phase"))
+      .agg(sum(col("_d")).as("_sd"), count(lit(1)).as("_c"))
+      .withColumn("_sraw",
+        expr("(_sd - ((_sd % _c + _c) % _c)) DIV _c"))
+    val center = phases.agg(sum(col("_sraw")).as("_gs"),
+        count(lit(1)).as("_gc"))
+      .withColumn("_g", expr("(_gs - ((_gs % _gc + _gc) % _gc)) DIV _gc"))
+      .select(col("_g"))
+    val seasonal = phases.crossJoin(broadcast(center))
+      .select(col("phase"), (col("_sraw") - col("_g")).as("seasonal_q6"))
+    trended.join(broadcast(seasonal), "phase")
+      .select(col("_b").as("bucket"), col("_x").as("x"), col("phase"),
+        col("trend_q6"), col("seasonal_q6"),
+        (col("_d") - col("seasonal_q6")).as("remainder_q6"))
+  }
+
+  /** Robust per-bucket anomaly flag: deviation from the grid's LOWER
+    * MEDIAN measured in MADs (median absolute deviation) — the
+    * outlier detector that, unlike z-scores off the mean, one fat
+    * incident day cannot drag ([[cusum]] finds sustained shifts; this
+    * finds spikes). `flag = dev·1000 > k·mad` is an EXACT integer
+    * comparison (`kMilli` = 3500 means 3.5 MADs); when the MAD is 0
+    * (over half the buckets identical) any positive deviation flags —
+    * the conventional degenerate-MAD reading.
+    *
+    * Lower-median convention: the `⌈n/2⌉`-th smallest under the total
+    * order `(value, bucket)` — deterministic, engine-neutral, no
+    * averaging of middle pairs (stays integer). Plan shape: the bucket
+    * grid (≤ `maxBuckets` rows), two rank picks over bounded-global
+    * windows, each 1-row result broadcast back. Returns
+    * `(bucket, x, med, mad, dev, flag)`. */
+  def robustZ(
+      events: DataFrame,
+      bucketSec: Long = 86400L,
+      kMilli: Long = 3500L,
+      tsCol: String = "ts",
+      maxBuckets: Int = 100000): DataFrame = {
+    require(bucketSec >= 1, "graft: robustZ needs bucketSec >= 1")
+    require(kMilli >= 0, s"graft: robustZ needs kMilli >= 0, got $kMilli")
+    require(maxBuckets >= 1, "graft: robustZ needs maxBuckets >= 1")
+    val grid = events
+      .select(expr(s"(unix_micros($tsCol) DIV 1000000) DIV $bucketSec")
+        .as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("x"))
+    val bg = graft.ops.windows.boundedGlobal("bucket-grid", col("bucket"))
+    val wCnt = bg.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    def lowerMedian(df: DataFrame, v: String): DataFrame = df
+      .withColumn("_rn", row_number().over(bg.orderBy(col(v), col("bucket"))))
+      .withColumn("_n",
+        when(count(lit(1)).over(wCnt) > maxBuckets,
+          raise_error(format_string(
+            "graft: robustZ bucket grid exceeds maxBuckets (%s > " +
+              s"$maxBuckets) — widen bucketSec", count(lit(1)).over(wCnt)))
+            .cast("long"))
+          .otherwise(count(lit(1)).over(wCnt)))
+      .where(col("_rn") === expr("(_n + 1) DIV 2"))
+      .select(col(v).as("_m"))
+    val med = lowerMedian(grid, "x")
+    val deved = grid.crossJoin(broadcast(med))
+      .withColumn("dev", abs(col("x") - col("_m")))
+    val mad = lowerMedian(deved.select(col("bucket"), col("dev").as("x")), "x")
+      .select(col("_m").as("_mad"))
+    deved.crossJoin(broadcast(mad))
+      .select(col("bucket"), col("x"), col("_m").as("med"),
+        col("_mad").as("mad"), col("dev"),
+        (col("dev") * 1000L > lit(kMilli) * col("_mad")).cast("long")
+          .as("flag"))
+  }
+
   /** Rolling active users: per day, exact DAU and exact `windowDays`-day
     * rolling actives (WAU at the default 7), plus `stickiness_bp =
     * DAU·10000 / rolling` — the engagement ratio product dashboards

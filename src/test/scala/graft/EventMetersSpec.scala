@@ -148,6 +148,55 @@ class EventMetersSpec extends SparkSpec {
     }
   }
 
+  test("decompose: flat lock, additive identity, signed seasonal split") {
+    def burst(day: Int, n: Int) = (1 to n).map(i =>
+      (day * 100L + i, ts(day), i.toLong, "e", 1.0))
+    // flat: trend = x·1e6 exactly, seasonal and remainder identically 0
+    val flat = ev((1 to 6).flatMap(d => burst(d, 3)): _*)
+    val fr = EventStream.decompose(flat, bucketSec = 86400L, period = 2)
+      .orderBy("bucket").collect()
+    assert(fr.length == 6)
+    assert(fr.forall(r => r.getLong(3) == 3000000L && r.getLong(4) == 0L
+      && r.getLong(5) == 0L))
+    // alternating 2/6: the two phase indices split with opposite signs,
+    // phase is anchored to the bucket id, and the additive identity
+    // x·1e6 = trend + seasonal + remainder holds row-for-row
+    val alt = ev((1 to 6).flatMap(d => burst(d, if (d % 2 == 1) 2 else 6)): _*)
+    val ar = EventStream.decompose(alt, bucketSec = 86400L, period = 2)
+      .orderBy("bucket").collect()
+    assert(ar.forall(r =>
+      r.getLong(1) * 1000000L == r.getLong(3) + r.getLong(4) + r.getLong(5)))
+    assert(ar.forall(r => r.getLong(2) == java.lang.Math.floorMod(
+      r.getLong(0), 2L)))
+    val byPhase = ar.groupBy(_.getLong(2)).view.mapValues(_.head.getLong(4))
+    assert(byPhase.values.exists(_ > 0L) && byPhase.values.exists(_ < 0L))
+    intercept[IllegalArgumentException] {
+      EventStream.decompose(alt, period = 1)
+    }
+  }
+
+  test("robustZ: lower-median/MAD hand fixtures; degenerate MAD flags any deviation") {
+    def burst(day: Int, n: Int) = (1 to n).map(i =>
+      (day * 100L + i, ts(day), i.toLong, "e", 1.0))
+    // counts 1..6 and a 100-spike: med = 4 (lower), MAD = 2; at k = 3.5
+    // only dev 96 > 7 flags
+    val spiky = ev(((1 to 6).flatMap(d => burst(d, d)) ++
+      burst(7, 100)): _*)
+    val r = EventStream.robustZ(spiky, bucketSec = 86400L, kMilli = 3500L)
+      .orderBy("bucket").collect()
+    assert(r.length == 7)
+    assert(r.forall(_.getLong(2) == 4L))
+    assert(r.forall(_.getLong(3) == 2L))
+    assert(r.map(_.getLong(5)).toSeq == Seq(0L, 0L, 0L, 0L, 0L, 0L, 1L))
+    // over half the buckets identical -> MAD 0 -> any deviation flags
+    val flat6 = ev(((1 to 6).flatMap(d => burst(d, 3)) ++
+      burst(7, 4)): _*)
+    val f = EventStream.robustZ(flat6, bucketSec = 86400L, kMilli = 3500L)
+      .orderBy("bucket").collect()
+    assert(f.forall(_.getLong(3) == 0L))
+    assert(f.map(_.getLong(5)).toSeq == Seq(0L, 0L, 0L, 0L, 0L, 0L, 1L))
+  }
+
   test("kaplanMeier: textbook ladder with one censored user") {
     // u1 converts day 1, u2 day 1, u3 day 3, u4 never (censored at max
     // ts = day 5). Classic S: after t=1: 2/4 survive; t=3: 1/2 of the
