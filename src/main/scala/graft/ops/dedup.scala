@@ -49,6 +49,27 @@ object dedup {
       transform(slice(ids, i + 1, size(ids) - i), b =>
         struct(element_at(ids, i).as("id_a"), b.as("id_b")))))
 
+  /** STREAM all ordered pairs (position i < j) of a sorted group array
+    * as `p = (id_a, id_b)` rows — the pipelined form of
+    * `explode(pairsOf(arr))`. [[pairsOf]] materializes the full C(d,2)
+    * pair ARRAY inside one row before the explode; at the df caps a
+    * 100× rehearsal legitimately scales to (maxDf 2560 → 3.3M structs ≈
+    * 150 MB/row) that single row OOMs the executor before anything can
+    * spill. Chained generators (posexplode, then explode of the
+    * remaining suffix) emit the identical pair stream with O(d) peak
+    * per-row state — generator output is pipelined, never buffered.
+    * Any other column in `df` is dropped; select the array first. */
+  private[ops] def explodedPairs(df: DataFrame, arr: Column): DataFrame =
+    df.select(arr.as("_ep_arr"))
+      .select(col("_ep_arr"),
+        posexplode(col("_ep_arr")).as(Seq("_ep_i", "_ep_a")))
+      .select(col("_ep_a"),
+        explode(slice(col("_ep_arr"), col("_ep_i") + lit(2),
+          greatest(size(col("_ep_arr")) - col("_ep_i") - 1, lit(0))))
+          .as("_ep_b"))
+      .select(struct(col("_ep_a").as("id_a"), col("_ep_b").as("id_b"))
+        .as("p"))
+
   /** Exact Jaccard similarity of two (already-distinct) string-array
     * columns: |a ∩ b| / |a ∪ b|. */
   def jaccard(a: Column, b: Column): Column = {
@@ -243,11 +264,10 @@ object dedup {
     // unfold as a codegen expression. Bucket membership lists are bounded
     // because band keys are minhash-uniform; a pathological exact-dup
     // cluster is the one skew case (cap it upstream with exactDedup).
-    val cands = banded
+    val cands = explodedPairs(banded
       .groupBy(col("band_idx"), col("band_key"))
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
-      .where(size(col("ids")) > 1)
-      .select(explode(pairsOf(col("ids"))).as("p"))
+      .where(size(col("ids")) > 1), col("ids"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       // caller-supplied candidate gate (e.g. planted-pair alignment in
       // [[minhashPlantedRecall]]) applies BEFORE distinct + the grams
@@ -764,7 +784,7 @@ object dedup {
     // side and pays a second postings shuffle; the window form is one
     // shuffle, one pass.
     val wGram = Window.partitionBy(col("gram"))
-    inv
+    val gated = inv
       .withColumn("df", count(lit(1)).over(wGram))
       // Cap counter (same contract as bucketCap's `graft_knn_*`): a
       // result emptied by the df band must say so — `max_df` tells the
@@ -776,7 +796,7 @@ object dedup {
       .where(col("df") >= 2 && col("df") <= maxDf)
       .groupBy(col("gram"))
       .agg(sort_array(collect_list(col("d"))).as("ds"))
-      .select(explode(pairsOf(col("ds"))).as("p"))
+    explodedPairs(gated, col("ds"))
       // Size filter (AllPairs/PPJoin family, Bayardo et al. WWW'07,
       // exact for Jaccard): c <= min(n_a, n_b), so jacc <= min/max — a
       // pair whose gram-set sizes differ by more than the threshold
@@ -1040,11 +1060,10 @@ object dedup {
       struct(col(idCol).as("id"),
         substring(col(textCol), 1, headLen).as("head")).as("d"))
     val wPre = Window.partitionBy(col("pre"))
-    p.withColumn("df", count(lit(1)).over(wPre))
+    explodedPairs(p.withColumn("df", count(lit(1)).over(wPre))
       .where(col("df") >= 2 && col("df") <= maxBucket)
       .groupBy(col("pre"))
-      .agg(sort_array(collect_list(col("d"))).as("ds"))
-      .select(explode(pairsOf(col("ds"))).as("p"))
+      .agg(sort_array(collect_list(col("d"))).as("ds")), col("ds"))
       .select(col("p.id_a.id").as("id_a"), col("p.id_b.id").as("id_b"),
         levenshtein(col("p.id_a.head"), col("p.id_b.head")).as("dist"))
       .where(col("dist") <= maxDist)
@@ -1462,10 +1481,9 @@ object dedup {
         sum(when(col("df") > maxDf, 1L).otherwise(0L)).as("dropped_postings"),
         max(col("df")).as("max_df"))
       .where(col("df") >= minDf && col("df") <= maxDf)
-    postings
+    explodedPairs(postings
       .groupBy(col("term"))
-      .agg(sort_array(collect_list(col("d"))).as("ds"))
-      .select(explode(pairsOf(col("ds"))).as("p"))
+      .agg(sort_array(collect_list(col("d"))).as("ds")), col("ds"))
       .groupBy(col("p.id_a.id").as("id_a"), col("p.id_b.id").as("id_b"))
       .agg(sum(col("p.id_a.nwq") * col("p.id_b.nwq")).as("_num")) // exact long
       .withColumn("cos", vectors.quantize(

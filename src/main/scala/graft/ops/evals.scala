@@ -786,15 +786,48 @@ object evals {
       idCol: Column,
       valueCol: Column,
       groupCol: Column,
+      reps: Int = 200): DataFrame =
+    permTestImpl(df, Seq.empty, idCol, valueCol, groupCol, reps)
+      .select(col("n_rows"), col("n_a"), col("n_b"), col("reps_eff"),
+        col("diff_q6"), col("p_ppm"))
+
+  /** Per-STRATUM [[permTest]] — one p-value per key (per language, per
+    * event type, per slice), the hypothesis family [[bhAdjust]] then
+    * corrects. Every stratum runs its own coin sequence over its own
+    * rows (the md5 id-hash is stratum-independent, so a row's coin
+    * never changes when strata are added). Returns
+    * `(keys…, n_rows, n_a, n_b, reps_eff, diff_q6, p_ppm)`. */
+  def permTestBy(
+      df: DataFrame,
+      groupKeys: Seq[String],
+      idCol: Column,
+      valueCol: Column,
+      groupCol: Column,
       reps: Int = 200): DataFrame = {
+    require(groupKeys.nonEmpty, "graft: permTestBy needs group keys " +
+      "(use permTest for the ungrouped form)")
+    permTestImpl(df, groupKeys, idCol, valueCol, groupCol, reps)
+      .select((groupKeys.map(col) :+ col("n_rows") :+ col("n_a")
+        :+ col("n_b") :+ col("reps_eff") :+ col("diff_q6")
+        :+ col("p_ppm")): _*)
+  }
+
+  private def permTestImpl(
+      df: DataFrame,
+      groupKeys: Seq[String],
+      idCol: Column,
+      valueCol: Column,
+      groupCol: Column,
+      reps: Int): DataFrame = {
     require(reps >= 2 && reps <= 10000,
       s"graft: permTest needs 2 <= reps <= 10000, got $reps")
     import graft.functions.hashing
-    val rows = df.select(valueCol.cast("long").as("_x"),
-        groupCol.cast("boolean").cast("long").as("_g"),
-        hashing.h32(concat(idCol.cast("string"), lit(":perm"))).as("_h"))
+    val gks = groupKeys.map(col)
+    val rows = df.select((gks :+ valueCol.cast("long").as("_x")
+        :+ groupCol.cast("boolean").cast("long").as("_g")
+        :+ hashing.h32(concat(idCol.cast("string"), lit(":perm"))).as("_h")): _*)
       .where(col("_x").isNotNull && col("_g").isNotNull && col("_h").isNotNull)
-    val obs = rows.agg(
+    val obs = rows.groupBy(gks: _*).agg(
         count(lit(1)).as("n_rows"),
         sum(abs(col("_x"))).as("_sabs"),
         sum(col("_g")).as("n_a"),
@@ -818,16 +851,16 @@ object evals {
           graft.functions.vectors.quantize(
             col("_sa").cast("double") / col("n_a").cast("double")
               - col("_sb").cast("double") / col("n_b").cast("double"), 6)))
-    val perm = rows.select(col("_x"), explode(transform(
+    val perm = rows.select((gks :+ col("_x") :+ explode(transform(
         sequence(lit(0L), lit((reps - 1).toLong)),
         j => {
           val u = pmod(pmod(col("_h") * (j * 2L + lit(1L))
             + j * lit(12582917L), lit(hashing.AffineP)), lit(1000000L))
           struct(j.as("rep"), (u < 500000L).cast("long").as("ga"))
-        })).as("_r"))
-      .select(col("_r.rep").as("_rep"), col("_r.ga").as("_ga"),
-        (col("_x") * col("_r.ga")).as("_xa"), col("_x"))
-      .groupBy(col("_rep"))
+        })).as("_r")): _*)
+      .select((gks :+ col("_r.rep").as("_rep") :+ col("_r.ga").as("_ga")
+        :+ (col("_x") * col("_r.ga")).as("_xa") :+ col("_x")): _*)
+      .groupBy((gks :+ col("_rep")): _*)
       .agg(count(lit(1)).as("_n"), sum(col("_ga")).as("_nar"),
         sum(col("_xa")).as("_sar"), sum(col("_x")).as("_sr"))
       .withColumn("_nbr", col("_n") - col("_nar"))
@@ -836,16 +869,67 @@ object evals {
         "abs(CAST(_sar AS DECIMAL(38,0)) * _nbr - CAST(_sbr AS DECIMAL(38,0)) * _nar)"))
       .withColumn("_br", expr("CAST(_nar AS DECIMAL(38,0)) * _nbr"))
       .where(col("_br") > 0)
-    val tally = perm
-      .crossJoin(broadcast(obs.select(col("_ao").as("_oao"), col("_bo").as("_obo"))))
+    val obsSide = broadcast(obs.select((gks :+ col("_ao").as("_oao")
+      :+ col("_bo").as("_obo")): _*))
+    val joined =
+      if (groupKeys.isEmpty) perm.crossJoin(obsSide)
+      else perm.join(obsSide, groupKeys)
+    val tally = joined
+      .groupBy(gks: _*)
       .agg(count(lit(1)).as("reps_eff"),
         sum((col("_ar") * col("_obo") >= col("_oao") * col("_br"))
           .cast("long")).as("_exceed"))
-    obs.crossJoin(broadcast(tally))
-      .select(col("n_rows"), col("n_a"), col("n_b"), col("reps_eff"),
-        col("diff_q6"),
-        when(col("_bo") > 0 && col("reps_eff") > 0L,
-          expr("((1 + _exceed) * 1000000) DIV (reps_eff + 1)")).as("p_ppm"))
+    val out =
+      if (groupKeys.isEmpty) obs.crossJoin(broadcast(tally))
+      // LEFT: a stratum whose every replicate degenerated (all rows on
+      // one side of every coin) still surfaces, with a null p
+      else obs.join(broadcast(tally), groupKeys, "left")
+    out.withColumn("p_ppm",
+      when(col("_bo") > 0 && col("reps_eff") > 0L,
+        expr("((1 + _exceed) * 1000000) DIV (reps_eff + 1)")))
+  }
+
+  /** Benjamini-Hochberg FDR correction (Benjamini & Hochberg 1995) over
+    * a table of per-hypothesis p-values (ppm longs — [[permTestBy]]'s
+    * output shape): rank the m p-values ascending, adjust
+    * `p_adj(k) = min_{j ≥ k} min(1, p(j)·m/j)` (the step-up running
+    * minimum), reject where `p_adj ≤ q`. The multiple-comparisons gate
+    * a per-slice significance sweep must pass before any slice's "real
+    * effect" claim ships in a data card.
+    *
+    * Exact integers throughout: `(p·m) DIV j` truncating (both engines,
+    * nonneg operands), ties in the rank broken on the key columns. Null
+    * p-values (degenerate strata) are excluded from m — they carry no
+    * evidence and would dilute the correction.
+    *
+    * Plan shape: m hypotheses = a bounded grid (slices, not rows); two
+    * bounded-global windows (rank, back-running min). Returns
+    * `(keys…, p_ppm, rank, m, p_adj_ppm, rejected)`. */
+  def bhAdjust(
+      df: DataFrame,
+      keyCols: Seq[String],
+      pCol: Column,
+      qPpm: Long = 50000L): DataFrame = {
+    require(keyCols.nonEmpty, "graft: bhAdjust needs key columns")
+    require(qPpm >= 0L && qPpm <= 1000000L,
+      s"graft: bhAdjust needs 0 <= qPpm <= 1e6, got $qPpm")
+    val keyed = df
+      .select((keyCols.map(col) :+ pCol.cast("long").as("p_ppm")): _*)
+      .where(col("p_ppm").isNotNull)
+    val bg = windows.boundedGlobal("hypotheses", col(keyCols.head))
+    val ord = bg.orderBy((col("p_ppm") +: keyCols.map(col)): _*)
+    val wAll = bg.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val wBack = bg.orderBy(col("rank").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    keyed
+      .withColumn("rank", row_number().over(ord).cast("long"))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("_raw", least(lit(1000000L), expr("(p_ppm * m) DIV rank")))
+      .withColumn("p_adj_ppm", min(col("_raw")).over(wBack))
+      .withColumn("rejected", (col("p_adj_ppm") <= qPpm).cast("long"))
+      .select((keyCols.map(col) :+ col("p_ppm") :+ col("rank") :+ col("m")
+        :+ col("p_adj_ppm") :+ col("rejected")): _*)
   }
 
   /** Murphy (1973) decomposition of the Brier score from the

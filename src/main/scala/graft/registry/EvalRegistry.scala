@@ -1781,4 +1781,84 @@ private[graft] object EvalRegistry extends Registry {
          |FROM p3, e""".stripMargin
     }
   )
+
+  /** Shared CTE chain for the per-event-type permutation sweep — the
+    * [[eval_perm_test]] oracle with every stage keyed on event_type. */
+  private def sqlPermByEventType: String = {
+    val h = graft.functions.hashing.sqlH32("(event_id::VARCHAR || ':perm')")
+    s"""r AS (SELECT event_type AS et, floor(value * 1000000.0)::BIGINT AS x,
+       |    (user_id % 2 = 1)::BIGINT AS g, $h AS h
+       |  FROM events WHERE value IS NOT NULL),
+       |p AS (SELECT et, count(*)::BIGINT AS n_rows, sum(g)::BIGINT AS n_a,
+       |    sum(x * g)::BIGINT AS sa, sum(x)::BIGINT AS s FROM r GROUP BY et),
+       |p2 AS (SELECT et, n_rows, n_a, (n_rows - n_a)::BIGINT AS n_b, sa,
+       |    (s - sa)::BIGINT AS sb FROM p),
+       |p3 AS (SELECT *, abs(sa::HUGEINT * n_b - sb::HUGEINT * n_a) AS ao,
+       |    (n_a::HUGEINT * n_b) AS bo,
+       |    CASE WHEN n_a > 0 AND n_b > 0 THEN
+       |      floor((sa::DOUBLE / n_a::DOUBLE - sb::DOUBLE / n_b::DOUBLE)
+       |        * 1000000.0 + 0.5) / 1000000.0 END AS diff_q6
+       |  FROM p2),
+       |bb AS (SELECT et, rr.j AS rep, x,
+       |    (((h * (2 * rr.j + 1) + 12582917 * rr.j) % 4294967291)
+       |      % 1000000 < 500000)::BIGINT AS ga
+       |  FROM r, unnest(range(0, 100)) AS rr(j)),
+       |a AS (SELECT et, rep, count(*)::BIGINT AS n, sum(ga)::BIGINT AS nar,
+       |    sum(x * ga)::BIGINT AS sar, sum(x)::BIGINT AS sr FROM bb
+       |  GROUP BY et, rep),
+       |c AS (SELECT et, rep,
+       |    abs(sar::HUGEINT * (n - nar) - (sr - sar)::HUGEINT * nar) AS ar,
+       |    (nar::HUGEINT * (n - nar)) AS br FROM a),
+       |e AS (SELECT c.et, count(*)::BIGINT AS reps_eff,
+       |    sum((c.ar * p3.bo >= p3.ao * c.br)::BIGINT)::BIGINT AS exceed
+       |  FROM c JOIN p3 ON p3.et = c.et WHERE c.br > 0 GROUP BY c.et),
+       |pt AS (SELECT p3.et AS event_type, p3.n_rows, p3.n_a, p3.n_b,
+       |  e.reps_eff, p3.diff_q6,
+       |  CASE WHEN p3.bo > 0 AND e.reps_eff > 0 THEN
+       |    ((1 + e.exceed) * 1000000) // (e.reps_eff + 1) END AS p_ppm
+       |FROM p3 LEFT JOIN e ON e.et = p3.et)""".stripMargin
+  }
+
+    // north-star: per-slice significance sweep — one permutation test
+    // per event type (each stratum its own coin sequence over its rows).
+  b.q(
+    "eval_perm_test_by" -> ((s, dir) =>
+      evals.permTestBy(events(s, dir), Seq("event_type"), col("event_id"),
+          floor(col("value") * 1000000.0).cast("long"),
+          col("user_id") % 2 === 1, reps = 100)
+        .orderBy(col("event_type")))
+  )
+  b.o(
+    "eval_perm_test_by" ->
+      s"""WITH $sqlPermByEventType
+         |SELECT * FROM pt ORDER BY event_type""".stripMargin
+  )
+
+    // north-star: Benjamini-Hochberg step-up over the per-slice sweep —
+    // exact integer (p*m) DIV rank + back-running min, reject at q.
+  b.q(
+    "eval_bh_fdr" -> ((s, dir) =>
+      evals.bhAdjust(
+          evals.permTestBy(events(s, dir), Seq("event_type"),
+            col("event_id"), floor(col("value") * 1000000.0).cast("long"),
+            col("user_id") % 2 === 1, reps = 100),
+          Seq("event_type"), col("p_ppm"), qPpm = 500000L)
+        .orderBy(col("rank")))
+  )
+  b.o(
+    "eval_bh_fdr" ->
+      s"""WITH $sqlPermByEventType,
+         |t AS (SELECT event_type, p_ppm FROM pt WHERE p_ppm IS NOT NULL),
+         |rk AS (SELECT event_type, p_ppm,
+         |    row_number() OVER (ORDER BY p_ppm, event_type)::BIGINT AS rank,
+         |    count(*) OVER ()::BIGINT AS m FROM t),
+         |rw AS (SELECT *, least(1000000, (p_ppm * m) // rank)::BIGINT AS raw
+         |  FROM rk),
+         |ad AS (SELECT event_type, p_ppm, rank, m,
+         |    min(raw) OVER (ORDER BY rank DESC ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW)::BIGINT AS p_adj_ppm FROM rw)
+         |SELECT event_type, p_ppm, rank, m, p_adj_ppm,
+         |  (p_adj_ppm <= 500000)::BIGINT AS rejected
+         |FROM ad ORDER BY rank""".stripMargin
+  )
 }

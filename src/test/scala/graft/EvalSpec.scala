@@ -883,4 +883,66 @@ class EvalSpec extends SparkSpec {
     val row2 = evals.krippendorffAlpha(ok, col("u"), col("l")).head()
     assert(row2.getLong(1) == 3000000L)
   }
+
+  test("mannWhitney: disjoint samples give extreme U; identical give z 0") {
+    // A = {11..20}, B = {1..10}: every A beats every B -> U_A = 100,
+    // u2_a = 200; mu2 = 100; no ties -> positive z
+    val sep = ((1 to 10).map(v => (v.toLong, 0)) ++
+      (11 to 20).map(v => (v.toLong, 1))).toDF("v", "g")
+    val r = evals.mannWhitney(sep, col("v"), col("g")).head()
+    assert((r.getLong(0), r.getLong(1)) == (10L, 10L))
+    assert(r.getLong(2) == 200L && r.getLong(3) == 100L)
+    assert(r.getDouble(4) > 3.0)
+    // same multiset in both groups: U = mean, z = 0 (tie-corrected)
+    val same = ((1 to 10).map(v => (v.toLong, 0)) ++
+      (1 to 10).map(v => (v.toLong, 1))).toDF("v", "g")
+    val r2 = evals.mannWhitney(same, col("v"), col("g")).head()
+    assert(r2.getLong(2) == r2.getLong(3))
+    assert(r2.getDouble(4) == 0.0)
+  }
+
+  test("permTest: overwhelming effect -> small p; exchangeable null -> p = 1") {
+    val eff = ((1 to 40).map(i => (i.toLong, 100L, 1)) ++
+      (41 to 80).map(i => (i.toLong, 0L, 0))).toDF("id", "v", "g")
+    val r = evals.permTest(eff, col("id"), col("v"), col("g") === 1,
+      reps = 100).head()
+    assert((r.getLong(1), r.getLong(2)) == (40L, 40L))
+    assert(r.getDouble(4) == 100.0)
+    assert(r.getLong(5) < 100000L, s"p_ppm = ${r.getLong(5)}")
+    // identical values everywhere: observed gap 0, every replicate's
+    // |gap| >= 0 -> add-one p is exactly 1
+    val nul = (1 to 80).map(i => (i.toLong, 7L, i % 2)).toDF("id", "v", "g")
+    val r2 = evals.permTest(nul, col("id"), col("v"), col("g") === 1,
+      reps = 100).head()
+    assert(r2.getLong(5) == 1000000L)
+    // deterministic: identical reruns agree cell-for-cell
+    val again = evals.permTest(eff, col("id"), col("v"), col("g") === 1,
+      reps = 100).head()
+    assert(again.getLong(5) == r.getLong(5))
+  }
+
+  test("bhAdjust: textbook step-up ladder with the running-min tail") {
+    val ps = Seq(("a", 10000L), ("b", 20000L), ("c", 30000L),
+      ("d", 400000L), ("e", 800000L)).toDF("k", "p")
+    val got = evals.bhAdjust(ps, Seq("k"), col("p"), qPpm = 50000L)
+      .orderBy("rank")
+      .select("k", "p_ppm", "rank", "m", "p_adj_ppm", "rejected")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // raw = p*5/k: 50000, 50000, 50000, 500000, 800000; back-min keeps
+    // them; reject first three at q = 50000
+    assert(got == Seq(
+      ("a", 10000L, 1L, 5L, 50000L, 1L),
+      ("b", 20000L, 2L, 5L, 50000L, 1L),
+      ("c", 30000L, 3L, 5L, 50000L, 1L),
+      ("d", 400000L, 4L, 5L, 500000L, 0L),
+      ("e", 800000L, 5L, 5L, 800000L, 0L)))
+    // a small late p drags every earlier adjusted p down via the min
+    val ps2 = Seq(("a", 600000L), ("b", 100000L)).toDF("k", "p")
+    val g2 = evals.bhAdjust(ps2, Seq("k"), col("p"), qPpm = 250000L)
+      .orderBy("rank")
+      .select("k", "p_adj_ppm", "rejected")
+      .as[(String, Long, Long)].collect().toSeq
+    // rank1 = b: raw 200000; rank2 = a: raw 600000 -> adj (200000, 600000)
+    assert(g2 == Seq(("b", 200000L, 1L), ("a", 600000L, 0L)))
+  }
 }
