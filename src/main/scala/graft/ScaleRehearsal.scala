@@ -48,11 +48,29 @@ object ScaleRehearsal {
     val work = java.nio.file.Files.createTempDirectory("graft-scale-").toString
     println(s"SCALE synthesizing ${factor}x of $baseDir under $work")
 
+    // Two document-replication modes measuring DIFFERENT scale axes:
+    //  - exact clones (default): every replica collides on every gram —
+    //    duplication DEPTH grows with factor, the adversarial prey for
+    //    the pair detectors. Quadratic pair mass in depth by design; at
+    //    factor 100 the correct pipeline order is exactDedup (26 s)
+    //    BEFORE the near-dup detectors (measured: jaccard's shared-gram
+    //    stage wants ~0.5 TB of spill on one node at depth 100).
+    //  - SPARK_GRAFT_SCALE_PERTURB=1: every token gets a per-replica
+    //    suffix, so replicas share NO grams — duplication depth stays 1
+    //    while corpus size (and vocabulary) grow ×factor. This is the
+    //    corpus-LINEAR axis: per-key densities unchanged, shuffle mass
+    //    ×factor — the "does it scale in data volume" probe.
+    val perturbDocs = sys.env.contains("SPARK_GRAFT_SCALE_PERTURB")
+    if (perturbDocs) println("SCALE doc mode: perturbed (depth-1 clones)")
     val docs0 = spark.read.parquet(s"$baseDir/documents.parquet")
     val docStride = docs0.agg(max("doc_id")).head().getLong(0) + 1
     (0 until factor).map(r => docs0.select(
         (col("doc_id") + lit(r * docStride)).as("doc_id"),
-        col("text"), col("lang"), col("source"), col("n_chars")))
+        (if (perturbDocs)
+          array_join(transform(split(col("text"), " "),
+            t => concat(t, lit(s"~$r"))), " ")
+        else col("text")).as("text"),
+        col("lang"), col("source"), col("n_chars")))
       .reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$work/documents.parquet")
 
@@ -132,7 +150,11 @@ object ScaleRehearsal {
     //  - LSH bucket width follows nbits ≈ log2(n / targetBucketSize)
     //    with the 10× run's ~312-row buckets as the target (6 bits at
     //    factor 10, 8 at factor 30).
-    val jacMaxDf = math.max(256, 256 * factor / 10)
+    // Perturbed replicas share no grams, so dfs stay at their base
+    // values and the caps must NOT scale (scaling them just re-admits
+    // boilerplate the band exists to drop).
+    val jacMaxDf =
+      if (perturbDocs) 256 else math.max(256, 256 * factor / 10)
     val embCount = emb.count()
     val knnBits = math.max(6,
       math.round(math.log(embCount / 312.0) / math.log(2)).toInt)
@@ -153,7 +175,7 @@ object ScaleRehearsal {
     // the occurrence cap scales with it like the jaccard df band
     run("substring_pairs")(
       dedup.crossSubstringPairs(docs, "text", "doc_id", minLen = 8,
-        maxOcc = math.max(256, 256 * factor / 10)))
+        maxOcc = if (perturbDocs) 256 else math.max(256, 256 * factor / 10)))
     val pairs = dedup.minhashNearDupPairs(docs, "text", "doc_id", threshold = 0.7)
       .persist()
     println(s"SCALE minhash pair set: ${pairs.count()} edges")
@@ -505,7 +527,7 @@ object ScaleRehearsal {
     // bound the pair stage, same discipline as jaccard's gram band)
     run("winnow_pairs")(graft.ops.dedup.winnowPairs(
       docs, "text", "doc_id", n = 4, w = 4, minShared = 2,
-      maxDf = math.max(256, 256 * factor / 10)))
+      maxDf = if (perturbDocs) 256 else math.max(256, 256 * factor / 10)))
     // order-diversity meter over the interleave of the factor corpus
     run("order_diversity", countRows = false)(sample.orderDiversity(
       sample.interleave(docs, "lang", "doc_id"), "order_idx", "lang"))

@@ -1874,4 +1874,71 @@ object text {
       .agg(sum(col("_sign")).as("v"))
       .where(col("v") =!= 0L)
   }
+
+  /** Unicode-script classes for [[scriptProfile]], in LEXICOGRAPHIC name
+    * order (the dominant-script tie-break order): explicit code-point
+    * ranges only — both engines' regex (Java, RE2) read `\x{…}` ranges
+    * identically, where `\p{Script=…}` tables differ by engine/version. */
+  private[graft] val ScriptClasses: Seq[(String, String)] = Seq(
+    "arabic" -> "[\\x{0600}-\\x{06FF}]",
+    "cjk" -> "[\\x{4E00}-\\x{9FFF}\\x{3400}-\\x{4DBF}]",
+    "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+    "devanagari" -> "[\\x{0900}-\\x{097F}]",
+    "greek" -> "[\\x{0370}-\\x{03FF}]",
+    "hangul" -> "[\\x{AC00}-\\x{D7AF}\\x{1100}-\\x{11FF}]",
+    "kana" -> "[\\x{3040}-\\x{30FF}]",
+    "latin" -> "[A-Za-z\\x{00C0}-\\x{024F}]")
+
+  /** Per-document Unicode-SCRIPT profile — the writing-system counterpart
+    * to [[langId]]'s vocabulary profiles: exact per-class character
+    * counts over explicit code-point ranges (8 scripts + digits +
+    * whitespace + other), the dominant script (strict-majority fold in
+    * lexicographic tie order), and its parts-per-million share of script
+    * characters. The mixed-script spam gate (Latin text stuffed with
+    * Cyrillic look-alikes), the pre-langId router, and the corpus-card
+    * script breakdown in one row-local pass.
+    *
+    * Every count is a `regexp_count` over an explicit range class —
+    * including "other" via the negated union class, so no engine-specific
+    * string-length semantics are involved anywhere. Pure scan work, zero
+    * shuffle. Returns `(idCol, n_arabic, n_cjk, n_cyrillic,
+    * n_devanagari, n_greek, n_hangul, n_kana, n_latin, n_digit, n_space,
+    * n_other, dominant, dom_ppm)`; `dominant` is "none" (ppm null) for
+    * script-free text. */
+  def scriptProfile(
+      df: DataFrame,
+      textCol: String,
+      idCol: String): DataFrame = {
+    val digit = "[0-9]"
+    val space = "[ \\t\\n\\r]"
+    val otherCls = "[^" + (ScriptClasses.map(_._2) :+ digit :+ space)
+      .map(c => c.substring(1, c.length - 1)).mkString + "]"
+    val counted = df.select((col(idCol) +:
+      ScriptClasses.map { case (name, pat) =>
+        regexp_count(col(textCol), lit(pat)).cast("long").as(s"n_$name") } :+
+      regexp_count(col(textCol), lit(digit)).cast("long").as("n_digit") :+
+      regexp_count(col(textCol), lit(space)).cast("long").as("n_space") :+
+      regexp_count(col(textCol), lit(otherCls)).cast("long").as("n_other")): _*)
+    // argmax with lex-smallest tie-break as ONE comparable: max over
+    // struct(count, −lexIndex) — higher count wins, tie → lower index =
+    // lexicographically first name (both engines order structs
+    // lexicographically field-by-field)
+    val domStruct = greatest(ScriptClasses.zipWithIndex.map {
+      case ((name, _), i) =>
+        struct(col(s"n_$name").as("c"), lit(-i).as("ni"))
+    }: _*)
+    val total = ScriptClasses.map(c => col(s"n_${c._1}"))
+      .reduce(_ + _)
+    val names = array(ScriptClasses.map(c => lit(c._1)): _*)
+    counted
+      .withColumn("_dom", domStruct)
+      .withColumn("_tot", total)
+      .withColumn("dominant",
+        when(col("_tot") > 0L,
+          element_at(names, -col("_dom.ni") + 1)).otherwise(lit("none")))
+      .withColumn("_dc", col("_dom.c"))
+      .withColumn("dom_ppm",
+        when(col("_tot") > 0L, expr("(_dc * 1000000) DIV _tot")))
+      .drop("_dom", "_tot", "_dc")
+  }
 }

@@ -678,6 +678,42 @@ private[graft] object TextRegistry extends Registry {
     "text_wordpiece_merges" -> sqlWordPieceTrain(merges = 10, minPair = 2L)
   )
 
+    // north-star: Unicode-script profile — exact per-class regexp counts
+    // over explicit code-point ranges, dominant script via the
+    // struct-greatest argmax (count, -lexIndex), row-local scan.
+  b.q(
+    "text_script_profile" -> ((s, dir) =>
+      text.scriptProfile(table(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("doc_id")))
+  )
+  b.o(
+    "text_script_profile" -> {
+      val cls = text.ScriptClasses
+      val counts = cls.map { case (n, p) =>
+        s"len(regexp_extract_all(text, '$p'))::BIGINT AS n_$n" }
+      val digit = "len(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digit"
+      val space =
+        "len(regexp_extract_all(text, '[ \\t\\n\\r]'))::BIGINT AS n_space"
+      val otherCls = "[^" + (cls.map(_._2) :+ "[0-9]" :+ "[ \\t\\n\\r]")
+        .map(c => c.substring(1, c.length - 1)).mkString + "]"
+      val other = s"len(regexp_extract_all(text, '$otherCls'))::BIGINT AS n_other"
+      val dom = cls.zipWithIndex.map { case ((n, _), i) =>
+        s"struct_pack(c := n_$n, ni := ${-i})" }.mkString("list_max([", ", ", "])")
+      val tot = cls.map(c => s"n_${c._1}").mkString(" + ")
+      val nameList = cls.map(c => s"'${c._1}'").mkString("[", ", ", "]")
+      s"""WITH c AS (SELECT doc_id, ${(counts :+ digit :+ space :+ other)
+           .mkString(",\n  ")}
+         |  FROM documents),
+         |d AS (SELECT *, $dom AS dom, ($tot)::BIGINT AS tot FROM c)
+         |SELECT doc_id, ${cls.map(c => s"n_${c._1}").mkString(", ")},
+         |  n_digit, n_space, n_other,
+         |  CASE WHEN tot > 0 THEN ($nameList)[-dom.ni + 1]
+         |    ELSE 'none' END AS dominant,
+         |  CASE WHEN tot > 0 THEN (dom.c * 1000000) // tot END AS dom_ppm
+         |FROM d ORDER BY doc_id""".stripMargin
+    }
+  )
+
     // north-star: unigram-LM (SentencePiece-style) tokenizer training —
     // the BPE companion: seed from frequent substrings, Viterbi hard-EM
     // rounds over the word vocabulary (corpus read once; pieces are

@@ -203,6 +203,15 @@ class EventStreamSpec extends SparkSpec {
       val hBatched = hkey(EventStream.holtLinear(edf, bucketSec = 60L))
       assert(hFinished == hBatched && hFinished.nonEmpty)
       assert(hkey(EventStream.holtFrom(split)) == hBatched)
+      // ... and into Holt-Winters (seasonal ring included), same laws
+      val wkey = (d: org.apache.spark.sql.DataFrame) => d
+        .select("bucket", "x", "level_fp", "trend_fp", "season_fp")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val wFinished = wkey(EventStream.holtWintersFrom(snap, period = 3))
+      val wBatched = wkey(EventStream.holtWinters(edf, bucketSec = 60L,
+        period = 3))
+      assert(wFinished == wBatched && wFinished.nonEmpty)
+      assert(wkey(EventStream.holtWintersFrom(split, period = 3)) == wBatched)
     } finally q.stop()
   }
 

@@ -782,4 +782,29 @@ class TextOpsSpec extends SparkSpec {
       text.watermarkDetect(docs, "text", "doc_id", gammaPct = 0)
     }
   }
+
+  test("scriptProfile: per-class counts, look-alike mixing, lex tie, none") {
+    val df = Seq(
+      (1L, "hello world"),                 // pure latin
+      (2L, "pаypаl"),            // latin 4 + cyrillic а ×2
+      (3L, "你好 world"),          // cjk 2 + latin 5
+      (4L, "ab аб"),             // 2-2 tie -> cyrillic < latin
+      (5L, "123 456")                      // digits only -> none
+    ).toDF("doc_id", "text")
+    val r = text.scriptProfile(df, "text", "doc_id").orderBy("doc_id")
+      .select("doc_id", "n_latin", "n_cyrillic", "n_cjk", "n_digit",
+        "n_space", "dominant", "dom_ppm")
+      .collect()
+    assert(r(0).getLong(1) == 10L && r(0).getLong(5) == 1L)
+    assert(r(0).getString(6) == "latin" && r(0).getLong(7) == 1000000L)
+    // the paypal look-alike: dominant latin at 4/6 of script chars
+    assert(r(1).getLong(1) == 4L && r(1).getLong(2) == 2L)
+    assert(r(1).getString(6) == "latin" && r(1).getLong(7) == 666666L)
+    assert(r(2).getLong(3) == 2L && r(2).getString(6) == "latin")
+    // exact tie breaks to the lexicographically first script name
+    assert(r(3).getLong(1) == 2L && r(3).getLong(2) == 2L)
+    assert(r(3).getString(6) == "cyrillic" && r(3).getLong(7) == 500000L)
+    assert(r(4).getString(6) == "none" && r(4).isNullAt(7))
+    assert(r(4).getLong(4) == 6L)
+  }
 }
