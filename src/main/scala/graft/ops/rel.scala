@@ -274,6 +274,67 @@ object rel {
             / greatest(col("_sha"), col("_shb")).cast("double"))).as("nmi"))
   }
 
+  /** Rows a [[chiSquare]] input may carry before `O·N` products leave
+    * the DECIMAL(38,0)-exact per-cell quotient's range (ENFORCED
+    * in-plan). An eval/profile-set ceiling — pre-sample beyond it. */
+  val ChiSquareMaxN: Long = 1000000000L
+
+  /** Pearson chi-square test of INDEPENDENCE over the (a, b)
+    * contingency grid, with Cramér's V effect size — the
+    * categorical-association significance meter beside [[mutualInfo]]'s
+    * information meter (MI says how much the columns share; chi²/V says
+    * whether the association clears chance and how strong it is on a
+    * [0,1] scale). The "is source confounded with language" audit.
+    *
+    * Exactness: via the identity `χ² = N·(Σ O²/(R·C) − 1)` each cell
+    * contributes ONE truncating DECIMAL(38,0) quotient
+    * `O²·10¹² DIV (R·C)` (bias ≤ cells·10⁻¹²·N, deterministic), summed
+    * exactly; `chi2_q6` is one more integer DIV under
+    * [[ChiSquareMaxN]] (ENFORCED in-plan). V is the single double
+    * `sqrt` at the end, 4-dp quantized.
+    *
+    * Plan shape: [[mutualInfo]]'s — one corpus scan to the checkpointed
+    * grid, marginals grid-local, broadcast assembly. Returns one row
+    * `(n, a_card, b_card, dof, chi2_q6, cramers_v_q4)`. */
+  def chiSquare(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val grid = ckpt.cut(df
+      .select(aCol.as("_a"), bCol.as("_b"))
+      .where(col("_a").isNotNull && col("_b").isNotNull)
+      .groupBy(col("_a"), col("_b"))
+      .agg(count(lit(1)).as("_nij")))
+    val na = grid.groupBy(col("_a")).agg(sum(col("_nij")).as("_na"))
+    val nb = grid.groupBy(col("_b")).agg(sum(col("_nij")).as("_nb"))
+    val tot = grid.agg(sum(col("_nij")).as("n"),
+        count_distinct(col("_a")).as("a_card"),
+        count_distinct(col("_b")).as("b_card"))
+      .withColumn("n",
+        when(col("n") > ChiSquareMaxN,
+          raise_error(format_string(
+            "graft: chiSquare DECIMAL(38,0)-exactness ceiling exceeded " +
+              s"(n = %s > $ChiSquareMaxN rows) — pre-sample",
+            col("n"))).cast("long"))
+          .otherwise(col("n")))
+    val sumq = grid.join(na, "_a").join(nb, "_b")
+      .select(expr(
+        """(CAST(_nij AS DECIMAL(38,0)) * _nij * 1000000000000)
+           DIV (CAST(_na AS DECIMAL(38,0)) * _nb)""").as("_q"))
+      .agg(sum(col("_q")).as("_sq12"))
+    tot.crossJoin(broadcast(sumq))
+      .withColumn("dof", (col("a_card") - 1L) * (col("b_card") - 1L))
+      .withColumn("chi2_q6", expr(
+        """CAST((CAST(n AS DECIMAL(38,0)) * (_sq12 - 1000000000000))
+           DIV 1000000 AS LONG)"""))
+      .withColumn("cramers_v_q4",
+        when(col("n") > 0L && least(col("a_card"), col("b_card")) > 1L,
+          graft.functions.vectors.quantize(
+            sqrt(col("chi2_q6").cast("double") / 1.0e6
+              / (col("n").cast("double")
+                * (least(col("a_card"), col("b_card")) - 1L).cast("double"))),
+            4)))
+      .select(col("n"), col("a_card"), col("b_card"), col("dof"),
+        col("chi2_q6"), col("cramers_v_q4"))
+  }
+
   /** One-pass column profile — the generic data-quality gate a pipeline
     * runs before trusting a new table: per column, row count, null
     * count, EXACT distinct count, and min/max (cast to string so one

@@ -54,6 +54,40 @@ private[graft] object RelRegistry extends Registry {
         |FROM t, mi, ha, hb""".stripMargin
   )
 
+    // north-star: chi-square independence + Cramér's V (lang vs source)
+    // — the significance/effect-size companion to rel_mutual_info; one
+    // exact DECIMAL quotient per contingency cell.
+  b.q(
+    "rel_chi_square" -> ((s, dir) =>
+      rel.chiSquare(table(s, dir, "documents"), col("lang"),
+        col("source")))
+  )
+  b.o(
+    "rel_chi_square" ->
+      """WITH b AS (SELECT lang AS a, source AS bb FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL),
+        |g AS (SELECT a, bb, count(*)::BIGINT AS nij FROM b GROUP BY 1, 2),
+        |na AS (SELECT a, sum(nij)::BIGINT AS na FROM g GROUP BY 1),
+        |nb AS (SELECT bb, sum(nij)::BIGINT AS nb FROM g GROUP BY 1),
+        |t AS (SELECT sum(nij)::BIGINT AS n,
+        |  count(DISTINCT a)::BIGINT AS a_card,
+        |  count(DISTINCT bb)::BIGINT AS b_card FROM g),
+        |s AS (SELECT sum((g.nij::HUGEINT * g.nij * 1000000000000)
+        |    // (na.na::HUGEINT * nb.nb))::HUGEINT AS sq12
+        |  FROM g JOIN na ON g.a = na.a JOIN nb ON g.bb = nb.bb),
+        |f AS (SELECT n, a_card, b_card,
+        |  (a_card - 1) * (b_card - 1) AS dof,
+        |  ((n::HUGEINT * (sq12 - 1000000000000)) // 1000000)::BIGINT
+        |    AS chi2_q6
+        |  FROM t, s)
+        |SELECT n, a_card, b_card, dof, chi2_q6,
+        |  CASE WHEN n > 0 AND least(a_card, b_card) > 1 THEN
+        |    floor(sqrt(chi2_q6::DOUBLE / 1e6
+        |      / (n::DOUBLE * (least(a_card, b_card) - 1)::DOUBLE))
+        |      * 10000.0 + 0.5) / 10000.0 END AS cramers_v_q4
+        |FROM f""".stripMargin
+  )
+
     // relational coverage a pipeline needs around the vector core: grouped
     // aggregation (Q1 shape) — doubles summed as exact fixed-point cents.
   b.q(

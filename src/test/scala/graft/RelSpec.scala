@@ -594,4 +594,32 @@ class RelSpec extends SparkSpec {
       rel.tCloseness(df, Seq.empty, "v")
     }
   }
+
+  test("chiSquare: perfect association, independence, textbook 2x2") {
+    import spark.implicits._
+    // perfect association: chi2 = N, V = 1
+    val perfect = ((1 to 10).map(_ => ("x", "1")) ++
+      (1 to 10).map(_ => ("y", "2"))).toDF("a", "b")
+    val p = rel.chiSquare(perfect, col("a"), col("b")).head()
+    assert(p.getLong(0) == 20L && p.getLong(3) == 1L)
+    assert(p.getLong(4) == 20000000L && p.getDouble(5) == 1.0)
+    // exact independence: chi2 = 0, V = 0
+    val indep = (for { a <- Seq("x", "y"); b <- Seq("1", "2");
+      _ <- 1 to 5 } yield (a, b)).toDF("a", "b")
+    val i = rel.chiSquare(indep, col("a"), col("b")).head()
+    assert(i.getLong(4) == 0L && i.getDouble(5) == 0.0)
+    // cells [[10,20],[20,10]]: chi2 = 60/9 = 6.666666 (q6 truncated
+    // per-cell), V = sqrt(chi2/60) -> 0.3333
+    val mixed = (
+      (1 to 10).map(_ => ("x", "1")) ++ (1 to 20).map(_ => ("x", "2")) ++
+      (1 to 20).map(_ => ("y", "1")) ++ (1 to 10).map(_ => ("y", "2"))
+    ).toDF("a", "b")
+    val m = rel.chiSquare(mixed, col("a"), col("b")).head()
+    assert(m.getLong(4) == 6666666L, s"chi2_q6 = ${m.getLong(4)}")
+    assert(m.getDouble(5) == 0.3333)
+    // single-category column: dof 0, V null
+    val one = (1 to 4).map(_ => ("x", "1")).toDF("a", "b")
+    val o = rel.chiSquare(one, col("a"), col("b")).head()
+    assert(o.getLong(3) == 0L && o.isNullAt(5))
+  }
 }
