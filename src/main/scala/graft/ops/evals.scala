@@ -748,6 +748,61 @@ object evals {
         col("lo_q6"), col("hi_q6"), col("win_ppm"))
   }
 
+  /** WINSORIZED mean of an integer metric column — the robust data-card
+    * average a handful of outliers cannot own: values below the
+    * `loPpm`-quantile clamp UP to it, above the `hiPpm`-quantile clamp
+    * DOWN, then the plain mean. (Winsorize, not trim: row count — and
+    * so comparability across slices — is preserved.)
+    *
+    * Exact-rank convention (the [[bootstrapCI]] band convention):
+    * `lo_rank = (n·loPpm) DIV 10⁶ + 1`,
+    * `hi_rank = (n·hiPpm + 999999) DIV 10⁶` (both clamped to [1, n]);
+    * the bound VALUES are order statistics at those ranks over the
+    * exact value grid — no interpolation, engine-neutral. All sums are
+    * exact longs; the mean is ONE quantized division.
+    *
+    * Scale shape: values are exact grouping keys (quantize a continuous
+    * metric first) — one data-axis hash aggregate, then everything runs
+    * on the bounded value grid ([[aucRank]]'s discipline). Returns one
+    * row `(n, lo_v, hi_v, mean_q6)`. */
+  def winsorizedMean(
+      df: DataFrame,
+      valueCol: Column,
+      loPpm: Long = 50000L,
+      hiPpm: Long = 950000L): DataFrame = {
+    require(loPpm >= 0L && hiPpm <= 1000000L && loPpm < hiPpm,
+      s"graft: winsorizedMean needs 0 <= loPpm < hiPpm <= 1e6, " +
+        s"got $loPpm, $hiPpm")
+    val grid = df.select(valueCol.cast("long").as("_v"))
+      .where(col("_v").isNotNull)
+      .groupBy(col("_v")).agg(count(lit(1)).as("_c"))
+    val w = windows.boundedGlobal("value-grid", col("_v")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = grid
+      .withColumn("_below", coalesce(sum(col("_c")).over(w), lit(0L)))
+    val tot = ranked.agg(sum(col("_c")).as("n"))
+      .withColumn("_lor", greatest(lit(1L),
+        least(col("n"), expr(s"(n * $loPpm) DIV 1000000") + 1L)))
+      .withColumn("_hir", greatest(lit(1L),
+        least(col("n"), expr(s"(n * $hiPpm + 999999) DIV 1000000"))))
+    val picks = ranked.crossJoin(broadcast(tot))
+      .agg(
+        min(when(col("_below") + col("_c") >= col("_lor"), col("_v")))
+          .as("lo_v"),
+        min(when(col("_below") + col("_c") >= col("_hir"), col("_v")))
+          .as("hi_v"))
+    ranked.crossJoin(broadcast(picks))
+      .select((col("_c") * least(greatest(col("_v"), col("lo_v")),
+        col("hi_v"))).as("_wv"))
+      .agg(sum(col("_wv")).as("_s"))
+      .crossJoin(broadcast(tot.select(col("n"))))
+      .crossJoin(broadcast(picks))
+      .select(col("n"), col("lo_v"), col("hi_v"),
+        when(col("n") > 0L, graft.functions.vectors.quantize(
+          col("_s").cast("double") / col("n").cast("double"), 6))
+          .as("mean_q6"))
+  }
+
   /** Rows a [[permTest]] input may carry before the DECIMAL(38,0)-exact
     * cross-multiplied mean comparison can overflow (ENFORCED in-plan,
     * together with [[PermTestMaxAbsSum]]). An eval-set ceiling —

@@ -1703,6 +1703,40 @@ private[graft] object EvalRegistry extends Registry {
     }
   )
 
+    // north-star: winsorized mean — outlier-robust data-card average on
+    // exact order statistics over the value grid; clamp, then mean.
+  b.q(
+    "eval_winsorized_mean" -> ((s, dir) =>
+      evals.winsorizedMean(events(s, dir),
+        floor(col("value") * 1000000.0).cast("long")))
+  )
+  b.o(
+    "eval_winsorized_mean" ->
+      """WITH v AS (SELECT floor(value * 1000000.0)::BIGINT AS v FROM events
+        |  WHERE value IS NOT NULL),
+        |g AS (SELECT v, count(*)::BIGINT AS c FROM v GROUP BY v),
+        |r AS (SELECT v, c, coalesce(sum(c) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+        |    AS below FROM g),
+        |t AS (SELECT sum(c)::BIGINT AS n FROM g),
+        |t2 AS (SELECT n,
+        |  greatest(1, least(n, (n * 50000) // 1000000 + 1)) AS lor,
+        |  greatest(1, least(n, (n * 950000 + 999999) // 1000000)) AS hir
+        |  FROM t),
+        |p AS (SELECT
+        |  min(CASE WHEN below + c >= (SELECT lor FROM t2) THEN v END)::BIGINT
+        |    AS lo_v,
+        |  min(CASE WHEN below + c >= (SELECT hir FROM t2) THEN v END)::BIGINT
+        |    AS hi_v FROM r),
+        |s AS (SELECT sum(c * least(greatest(v, (SELECT lo_v FROM p)),
+        |    (SELECT hi_v FROM p)))::BIGINT AS s FROM r)
+        |SELECT (SELECT n FROM t) AS n, p.lo_v, p.hi_v,
+        |  CASE WHEN (SELECT n FROM t) > 0 THEN
+        |    floor(s.s::DOUBLE / (SELECT n FROM t)::DOUBLE * 1000000.0 + 0.5)
+        |      / 1000000.0 END AS mean_q6
+        |FROM p, s""".stripMargin
+  )
+
     // north-star: Mann-Whitney U rank-sum test — tie-corrected U, null
     // mean, exact DECIMAL variance, z; the nonparametric A/B readout
     // over the doubled-midrank grid aucRank already rides.

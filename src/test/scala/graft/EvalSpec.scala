@@ -884,6 +884,26 @@ class EvalSpec extends SparkSpec {
     assert(row2.getLong(1) == 3000000L)
   }
 
+  test("winsorizedMean: exact rank bounds; the outlier clamps to the band") {
+    // 1..10 at the default 5%/95%: ranks 1 and 10 -> no clamping
+    val plain = (1 to 10).map(_.toLong).toDF("v")
+    val r = evals.winsorizedMean(plain, col("v")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (10L, 1L, 10L))
+    assert(r.getDouble(3) == 5.5)
+    // 1..9 plus a 1000-outlier at 10%/90%: bounds are ranks 2 and 9
+    // (values 2 and 9); clamped series sums to 55 -> same 5.5 mean
+    val out = ((1 to 9).map(_.toLong) :+ 1000L).toDF("v")
+    val o = evals.winsorizedMean(out, col("v"), loPpm = 100000L,
+      hiPpm = 900000L).head()
+    assert((o.getLong(1), o.getLong(2)) == (2L, 9L))
+    assert(o.getDouble(3) == 5.5)
+    // the unwinsorized mean would have been 104.5 — the point
+    intercept[IllegalArgumentException] {
+      evals.winsorizedMean(plain, col("v"), loPpm = 600000L,
+        hiPpm = 500000L)
+    }
+  }
+
   test("mannWhitney: disjoint samples give extreme U; identical give z 0") {
     // A = {11..20}, B = {1..10}: every A beats every B -> U_A = 100,
     // u2_a = 200; mu2 = 100; no ties -> positive z
