@@ -748,6 +748,72 @@ object evals {
         col("lo_q6"), col("hi_q6"), col("win_ppm"))
   }
 
+  /** McNEMAR's test for PAIRED binary outcomes (McNemar 1947) — two
+    * systems scored right/wrong on the SAME items; only the discordant
+    * cells carry evidence: `b` = A right & B wrong, `c` = A wrong & B
+    * right, `χ² = (b−c)²/(b+c)`. The significance companion to
+    * [[pairedBootstrap]] when the metric is 0/1 accuracy — and the
+    * test that correctly IGNORES the items both systems get right (a
+    * naive two-proportion test is confounded by them).
+    *
+    * Exact integers end-to-end: the four cells are exact counts and
+    * `chi2_q6 = (b−c)²·10⁶ DIV (b+c)` is one truncating integer
+    * division ((b−c)² ≤ n² keeps 10⁶·n² inside int64 below ~3·10⁶
+    * discordant pairs — an eval set; null when b+c = 0, no evidence).
+    * Plan: ONE hash aggregate. Returns
+    * `(n, both_right, both_wrong, b01, c10, chi2_q6)`. */
+  def mcnemar(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val a = aCol.cast("boolean")
+    val b = bCol.cast("boolean")
+    df.where(a.isNotNull && b.isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum((a && b).cast("long")).as("both_right"),
+        sum((!a && !b).cast("long")).as("both_wrong"),
+        sum((a && !b).cast("long")).as("b01"),
+        sum((!a && b).cast("long")).as("c10"))
+      .withColumn("chi2_q6",
+        when(col("b01") + col("c10") > 0L, expr(
+          "((b01 - c10) * (b01 - c10) * 1000000) DIV (b01 + c10)")))
+  }
+
+  /** WILSON score interval for a proportion (Wilson 1927) — the
+    * pass-rate band that behaves at the extremes where the naive
+    * normal interval collapses (k = 0 or k = n still gives a sane,
+    * inside-[0,1] band): center `(p̂ + z²/2n) / (1 + z²/n)` with the
+    * matching score-test half-width. The per-suite pass@1 uncertainty
+    * readout for small eval sets.
+    *
+    * `zMilli` is z·1000 (1960 = the 95% band). Counts are exact longs;
+    * the interval is a fixed closed-form double expression (one sqrt),
+    * each bound quantized to 6 dp. Plan: ONE aggregate. Returns
+    * `(n, k, p_q6, lo_q6, hi_q6)`. */
+  def wilsonInterval(
+      df: DataFrame,
+      successCol: Column,
+      zMilli: Long = 1960L): DataFrame = {
+    require(zMilli >= 1L && zMilli <= 10000L,
+      s"graft: wilsonInterval needs 1 <= zMilli <= 10000, got $zMilli")
+    val q6 = (c: Column) => graft.functions.vectors.quantize(c, 6)
+    val s = successCol.cast("boolean")
+    df.where(s.isNotNull)
+      .agg(count(lit(1)).as("n"), sum(s.cast("long")).as("k"))
+      .withColumn("_z", lit(zMilli.toDouble / 1000.0))
+      .withColumn("_nn", col("n").cast("double"))
+      .withColumn("_p", col("k").cast("double") / col("_nn"))
+      .withColumn("_den", lit(1.0) + col("_z") * col("_z") / col("_nn"))
+      .withColumn("_ctr",
+        (col("_p") + col("_z") * col("_z") / (lit(2.0) * col("_nn")))
+          / col("_den"))
+      .withColumn("_hw",
+        col("_z") * sqrt(col("_p") * (lit(1.0) - col("_p")) / col("_nn")
+          + col("_z") * col("_z") / (lit(4.0) * col("_nn") * col("_nn")))
+          / col("_den"))
+      .select(col("n"), col("k"),
+        when(col("n") > 0L, q6(col("_p"))).as("p_q6"),
+        when(col("n") > 0L, q6(col("_ctr") - col("_hw"))).as("lo_q6"),
+        when(col("n") > 0L, q6(col("_ctr") + col("_hw"))).as("hi_q6"))
+  }
+
   /** WINSORIZED mean of an integer metric column — the robust data-card
     * average a handful of outliers cannot own: values below the
     * `loPpm`-quantile clamp UP to it, above the `hiPpm`-quantile clamp

@@ -1703,6 +1703,63 @@ private[graft] object EvalRegistry extends Registry {
     }
   )
 
+    // north-star: McNemar's paired test — discordant cells only, exact
+    // (b-c)^2*1e6 DIV (b+c); the accuracy-metric significance gate.
+  b.q(
+    "eval_mcnemar" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+        .where(col("embedding").isNotNull)
+      evals.mcnemar(emb,
+        scoreQ4(col("embedding"), Q1) > 0.0,
+        scoreQ4(col("embedding"), Q2) > 0.0)
+    })
+  )
+  b.o(
+    "eval_mcnemar" ->
+      s"""WITH sc AS (SELECT ${sqlScoreQ4(Q1)} AS a4, ${sqlScoreQ4(Q2)} AS b4
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |x AS (SELECT (a4 > 0) AS a, (b4 > 0) AS b FROM sc),
+         |t AS (SELECT count(*)::BIGINT AS n,
+         |  sum((a AND b)::BIGINT)::BIGINT AS both_right,
+         |  sum((NOT a AND NOT b)::BIGINT)::BIGINT AS both_wrong,
+         |  sum((a AND NOT b)::BIGINT)::BIGINT AS b01,
+         |  sum((NOT a AND b)::BIGINT)::BIGINT AS c10 FROM x)
+         |SELECT n, both_right, both_wrong, b01, c10,
+         |  CASE WHEN b01 + c10 > 0 THEN
+         |    ((b01 - c10) * (b01 - c10) * 1000000) // (b01 + c10)
+         |  END AS chi2_q6
+         |FROM t""".stripMargin
+  )
+
+    // north-star: Wilson score interval — the pass-rate band that stays
+    // sane at k=0/k=n; exact counts, one closed-form sqrt.
+  b.q(
+    "eval_wilson" -> ((s, dir) =>
+      evals.wilsonInterval(table(s, dir, "documents"),
+        col("n_chars") > 500L))
+  )
+  b.o(
+    "eval_wilson" ->
+      """WITH t AS (SELECT count(*)::BIGINT AS n,
+        |    sum((n_chars > 500)::BIGINT)::BIGINT AS k
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |f AS (SELECT n, k, (1960.0 / 1000.0) AS z, n::DOUBLE AS nn,
+        |    k::DOUBLE / n::DOUBLE AS p FROM t),
+        |g AS (SELECT *, (1.0 + z * z / nn) AS den,
+        |    (p + z * z / (2.0 * nn)) / (1.0 + z * z / nn) AS ctr,
+        |    z * sqrt(p * (1.0 - p) / nn + z * z / (4.0 * nn * nn))
+        |      / (1.0 + z * z / nn) AS hw
+        |  FROM f)
+        |SELECT n, k,
+        |  CASE WHEN n > 0 THEN floor(p * 1000000.0 + 0.5) / 1000000.0 END
+        |    AS p_q6,
+        |  CASE WHEN n > 0 THEN floor((ctr - hw) * 1000000.0 + 0.5)
+        |    / 1000000.0 END AS lo_q6,
+        |  CASE WHEN n > 0 THEN floor((ctr + hw) * 1000000.0 + 0.5)
+        |    / 1000000.0 END AS hi_q6
+        |FROM g""".stripMargin
+  )
+
     // north-star: winsorized mean — outlier-robust data-card average on
     // exact order statistics over the value grid; clamp, then mean.
   b.q(

@@ -884,6 +884,36 @@ class EvalSpec extends SparkSpec {
     assert(row2.getLong(1) == 3000000L)
   }
 
+  test("mcnemar: only discordant cells count; no-evidence null") {
+    val rows = Seq.fill(20)((true, true)) ++ Seq.fill(10)((false, false)) ++
+      Seq.fill(6)((true, false)) ++ Seq.fill(2)((false, true))
+    val r = evals.mcnemar(rows.toDF("a", "b"), col("a"), col("b")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (38L, 20L, 10L))
+    assert((r.getLong(3), r.getLong(4)) == (6L, 2L))
+    // chi2 = (6-2)^2 / 8 = 2.0
+    assert(r.getLong(5) == 2000000L)
+    // perfect agreement: b = c = 0 -> no evidence, chi2 null
+    val agree = Seq.fill(5)((true, true)).toDF("a", "b")
+    assert(evals.mcnemar(agree, col("a"), col("b")).head().isNullAt(5))
+  }
+
+  test("wilsonInterval: brackets p; sane at the k=0 and k=n extremes") {
+    val half = (1 to 100).map(i => i <= 50).toDF("s")
+    val r = evals.wilsonInterval(half, col("s")).head()
+    assert((r.getLong(0), r.getLong(1)) == (100L, 50L))
+    assert(r.getDouble(2) == 0.5)
+    assert(r.getDouble(3) < 0.5 && r.getDouble(4) > 0.5)
+    assert(r.getDouble(3) > 0.40 && r.getDouble(4) < 0.60)
+    // k = 0: the naive interval collapses to [0,0]; Wilson's upper
+    // bound stays positive while the lower clamps to 0
+    val none = (1 to 20).map(_ => false).toDF("s")
+    val z = evals.wilsonInterval(none, col("s")).head()
+    assert(z.getDouble(3) == 0.0 && z.getDouble(4) > 0.1)
+    val all = (1 to 20).map(_ => true).toDF("s")
+    val o = evals.wilsonInterval(all, col("s")).head()
+    assert(o.getDouble(4) == 1.0 && o.getDouble(3) < 0.9)
+  }
+
   test("winsorizedMean: exact rank bounds; the outlier clamps to the band") {
     // 1..10 at the default 5%/95%: ranks 1 and 10 -> no clamping
     val plain = (1 to 10).map(_.toLong).toDF("v")
