@@ -1465,14 +1465,26 @@ object EventStream {
       tsCol: String = "ts",
       maxBuckets: Int = 100000): DataFrame = {
     require(bucketSec >= 1, "graft: decompose needs bucketSec >= 1")
+    decomposeFrom(events
+      .select(expr(s"(unix_micros($tsCol) DIV 1000000) DIV $bucketSec")
+        .as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("x")),
+      period, maxBuckets)
+  }
+
+  /** FINISH form of [[decompose]] over any `(bucket, x)` grid —
+    * duplicate bucket rows re-merge by addition (the sink contract), so
+    * a [[cusumStream]] snapshot feeds it directly. */
+  def decomposeFrom(
+      grid: DataFrame,
+      period: Int = 24,
+      maxBuckets: Int = 100000): DataFrame = {
     require(period >= 2 && period <= 10000,
       s"graft: decompose needs 2 <= period <= 10000, got $period")
     require(maxBuckets >= 1, "graft: decompose needs maxBuckets >= 1")
     val h = period / 2
-    val grid = events
-      .select(expr(s"(unix_micros($tsCol) DIV 1000000) DIV $bucketSec")
-        .as("_b"))
-      .groupBy(col("_b")).agg(count(lit(1)).as("_x"))
+    val grid2 = grid
+      .groupBy(col("bucket").as("_b")).agg(sum(col("x")).as("_x"))
       .withColumn("_x",
         when(col("_x") > DecomposeMaxX,
           raise_error(format_string(
@@ -1487,7 +1499,7 @@ object EventStream {
     // floored integer division that both engines compute identically:
     // subtract the positive mod first, then divide exactly (see the
     // events_holt oracle note on DIV truncate-vs-floor)
-    val trended = grid
+    val trended = grid2
       .withColumn("_n",
         when(count(lit(1)).over(wCnt) > maxBuckets,
           raise_error(format_string(
@@ -1539,12 +1551,23 @@ object EventStream {
       tsCol: String = "ts",
       maxBuckets: Int = 100000): DataFrame = {
     require(bucketSec >= 1, "graft: robustZ needs bucketSec >= 1")
-    require(kMilli >= 0, s"graft: robustZ needs kMilli >= 0, got $kMilli")
-    require(maxBuckets >= 1, "graft: robustZ needs maxBuckets >= 1")
-    val grid = events
+    robustZFrom(events
       .select(expr(s"(unix_micros($tsCol) DIV 1000000) DIV $bucketSec")
         .as("bucket"))
-      .groupBy(col("bucket")).agg(count(lit(1)).as("x"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("x")),
+      kMilli, maxBuckets)
+  }
+
+  /** FINISH form of [[robustZ]] over any `(bucket, x)` grid — the
+    * [[cusumStream]] sink contract (duplicates re-merge by addition). */
+  def robustZFrom(
+      grid0: DataFrame,
+      kMilli: Long = 3500L,
+      maxBuckets: Int = 100000): DataFrame = {
+    require(kMilli >= 0, s"graft: robustZ needs kMilli >= 0, got $kMilli")
+    require(maxBuckets >= 1, "graft: robustZ needs maxBuckets >= 1")
+    val grid = grid0
+      .groupBy(col("bucket")).agg(sum(col("x")).as("x"))
     val bg = graft.ops.windows.boundedGlobal("bucket-grid", col("bucket"))
     val wCnt = bg.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)

@@ -212,6 +212,21 @@ class EventStreamSpec extends SparkSpec {
         period = 3))
       assert(wFinished == wBatched && wFinished.nonEmpty)
       assert(wkey(EventStream.holtWintersFrom(split, period = 3)) == wBatched)
+      // ... and the descriptive grid meters: classical decomposition and
+      // the median/MAD flag finish from the same snapshot contract
+      val dkey = (d: org.apache.spark.sql.DataFrame) => d
+        .select("bucket", "x", "trend_q6", "seasonal_q6", "remainder_q6")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val dBatched = dkey(EventStream.decompose(edf, bucketSec = 60L,
+        period = 3))
+      assert(dkey(EventStream.decomposeFrom(snap, period = 3)) == dBatched)
+      assert(dkey(EventStream.decomposeFrom(split, period = 3)) == dBatched)
+      val zkey = (d: org.apache.spark.sql.DataFrame) => d
+        .select("bucket", "x", "med", "mad", "flag")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val zBatched = zkey(EventStream.robustZ(edf, bucketSec = 60L))
+      assert(zkey(EventStream.robustZFrom(snap)) == zBatched)
+      assert(zkey(EventStream.robustZFrom(split)) == zBatched)
     } finally q.stop()
   }
 
