@@ -916,6 +916,49 @@ private[graft] object EventsRegistry extends Registry {
     }
   )
 
+    // north-star: h-step Holt-Winters forecast — frozen final state
+    // projected l + k·t + ring[(b_last+k) mod 7]; capacity planning.
+  b.q(
+    "events_hw_forecast" -> ((s, dir) =>
+      EventStream.holtWintersForecast(events(s, dir), bucketSec = 86400L,
+          period = 7, horizon = 14)
+        .orderBy(col("step")))
+  )
+  b.o(
+    "events_hw_forecast" -> {
+      def fd(e: String) =
+        s"((($e) - ((($e) % 1024 + 1024) % 1024)) // 1024)"
+      val pos = "(o.b % 7)"
+      val sp = s"c.se[$pos + 1]"
+      val lp = fd(s"307 * (o.x * 1024 - $sp) + 717 * (c.l + c.t)")
+      val tp = fd(s"102 * ($lp - c.l) + 922 * c.t")
+      val sq = fd(s"205 * (o.x * 1024 - $lp) + 819 * $sp")
+      s"""WITH RECURSIVE g AS (
+         |  SELECT (epoch_us(ts) // 1000000) // 86400 AS b,
+         |    count(*)::BIGINT AS x FROM events GROUP BY 1),
+         |o AS (SELECT b, x, row_number() OVER (ORDER BY b) AS rn FROM g),
+         |c(rn, l, t, se) AS (
+         |  SELECT 1::BIGINT, (SELECT x * 1024 FROM o WHERE rn = 1)::BIGINT,
+         |    0::BIGINT, list_transform(range(7), i -> 0::BIGINT)
+         |  UNION ALL
+         |  SELECT o.rn, $lp, $tp,
+         |    c.se[:$pos] || [$sq] || c.se[$pos + 2:]
+         |  FROM c JOIN o ON o.rn = c.rn + 1),
+         |fin AS (SELECT l, t, se FROM c
+         |  WHERE rn = (SELECT max(rn) FROM o)),
+         |lastb AS (SELECT max(b) AS lb FROM g)
+         |SELECT (SELECT lb FROM lastb) + k.s AS bucket, k.s AS step,
+         |  (fin.l + k.s * fin.t
+         |    + fin.se[(((SELECT lb FROM lastb) + k.s) % 7) + 1])::BIGINT
+         |    AS forecast_fp,
+         |  floor((fin.l + k.s * fin.t
+         |    + fin.se[(((SELECT lb FROM lastb) + k.s) % 7) + 1])::DOUBLE
+         |    / 1024.0 * 100.0 + 0.5) / 100.0 AS forecast_q2
+         |FROM fin, unnest(range(1, 15)) AS k(s)
+         |ORDER BY step""".stripMargin
+    }
+  )
+
     // north-star: classical additive seasonal decomposition — symmetric
     // range-window trend, centered hour-of-day seasonal indices, exact
     // q6 floored-division cells; one grid window + one phase aggregate.

@@ -1270,6 +1270,94 @@ object EventStream {
           col("_r.f").cast("double") / 1024.0, 2).as("forecast_q2"))
   }
 
+  /** h-step-ahead FORECAST from the fitted [[holtWinters]] state — the
+    * capacity-planning readout: run the same exact q10 fold, then
+    * project `f(b_last + k) = l + k·t + s_ring[(b_last + k) mod m]`
+    * for `k = 1..horizon` (the standard additive-HW multi-step form;
+    * no smoothing past the data, the state is frozen at the last
+    * observed bucket). Phase stays anchored to the ABSOLUTE bucket id,
+    * so the projected day-of-week lines up with the calendar, gaps and
+    * all. Same bounded plan as [[holtWintersFrom]] plus one in-row
+    * `sequence` fan-out. Returns
+    * `(bucket, step, forecast_fp, forecast_q2)`. */
+  def holtWintersForecast(
+      events: DataFrame,
+      bucketSec: Long = 86400L,
+      period: Int = 7,
+      horizon: Int = 7,
+      aNum: Int = 307,
+      bNum: Int = 102,
+      gNum: Int = 205,
+      tsCol: String = "ts",
+      maxBuckets: Int = 100000): DataFrame = {
+    require(bucketSec >= 1, "graft: holtWintersForecast needs bucketSec >= 1")
+    require(horizon >= 1 && horizon <= 100000,
+      s"graft: holtWintersForecast needs 1 <= horizon <= 100000, got $horizon")
+    require(period >= 2 && period <= 10000,
+      s"graft: holtWintersForecast needs 2 <= period <= 10000, got $period")
+    require(aNum >= 1 && aNum <= 1024 && bNum >= 0 && bNum <= 1024
+        && gNum >= 0 && gNum <= 1024,
+      s"graft: holtWintersForecast needs 1 <= aNum <= 1024, " +
+        s"0 <= bNum <= 1024, 0 <= gNum <= 1024, got $aNum, $bNum, $gNum")
+    require(maxBuckets >= 1, "graft: holtWintersForecast needs maxBuckets >= 1")
+    val grid = events
+      .select(expr(s"(unix_micros($tsCol) DIV 1000000) DIV $bucketSec")
+        .as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("x"))
+      .groupBy(col("bucket").as("_b")).agg(sum(col("x")).as("_x"))
+      .withColumn("_x",
+        when(col("_x") > HoltMaxX,
+          raise_error(format_string(
+            "graft: holtWinters int64-exactness ceiling exceeded (bucket " +
+              s"count %s > $HoltMaxX) — widen bucketSec", col("_x"))).cast("long"))
+          .otherwise(col("_x")))
+    val arr = grid
+      .agg(sort_array(collect_list(struct(col("_b"), col("_x")))).as("_a"))
+      .withColumn("_a",
+        when(size(col("_a")) > maxBuckets,
+          raise_error(format_string(
+            "graft: holtWinters bucket grid exceeds maxBuckets (%s > " +
+              s"$maxBuckets) — widen bucketSec", size(col("_a")))))
+        .otherwise(col("_a")))
+    val ring0 = array_repeat(lit(0L), period)
+    // same recurrence as holtWintersFrom, but only the FINAL state is
+    // kept — the fold carries no output array
+    val fold = aggregate(col("_a"),
+      struct(lit(0L).as("i"), lit(0L).as("l"), lit(0L).as("t"),
+        ring0.as("se")),
+      (st, e) => {
+        val first = st.getField("i") === 0L
+        val pos = pmod(e.getField("_b"), lit(period.toLong))
+        val sPrev = element_at(st.getField("se"), (pos + 1L).cast("int"))
+        val xs = e.getField("_x") * 1024L
+        val l2 = when(first, xs).otherwise(
+          shiftright(lit(aNum.toLong) * (xs - sPrev)
+            + lit(1024L - aNum) * (st.getField("l") + st.getField("t")), 10))
+        val t2 = when(first, lit(0L)).otherwise(
+          shiftright(lit(bNum.toLong) * (l2 - st.getField("l"))
+            + lit(1024L - bNum) * st.getField("t"), 10))
+        val s2 = shiftright(lit(gNum.toLong) * (xs - l2)
+          + lit(1024L - gNum) * sPrev, 10)
+        val se2 = transform(st.getField("se"), (v, ix) =>
+          when(ix.cast("bigint") === pos, s2).otherwise(v))
+        struct((st.getField("i") + 1L).as("i"), l2.as("l"), t2.as("t"),
+          se2.as("se"))
+      })
+    arr.where(size(col("_a")) > 0)
+      .withColumn("_st", fold)
+      .withColumn("_last", element_at(col("_a"), size(col("_a"))).getField("_b"))
+      .select(col("_st"), col("_last"),
+        explode(sequence(lit(1L), lit(horizon.toLong))).as("step"))
+      .withColumn("bucket", col("_last") + col("step"))
+      .withColumn("forecast_fp",
+        col("_st.l") + col("step") * col("_st.t")
+          + element_at(col("_st.se"),
+            (pmod(col("bucket"), lit(period.toLong)) + 1L).cast("int")))
+      .select(col("bucket"), col("step"), col("forecast_fp"),
+        graft.functions.vectors.quantize(
+          col("forecast_fp").cast("double") / 1024.0, 2).as("forecast_q2"))
+  }
+
   /** FINISH a [[cusumStream]] sink snapshot (or any `(bucket, x)` grid)
     * into the CUSUM statistic: re-fold duplicate bucket rows by
     * addition (the merge-by-addition sink contract), then the exact

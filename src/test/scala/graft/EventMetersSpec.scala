@@ -148,6 +148,40 @@ class EventMetersSpec extends SparkSpec {
     }
   }
 
+  test("holtWintersForecast: flat lock projects the level; seasonal parity carries") {
+    def burst(day: Int, n: Int) = (1 to n).map(i =>
+      (day * 100L + i, ts(day), i.toLong, "e", 1.0))
+    // constant series: l = 3*1024, t = 0, ring 0 -> every step forecasts 3
+    val flat = ev((1 to 6).flatMap(d => burst(d, 3)): _*)
+    val f = EventStream.holtWintersForecast(flat, bucketSec = 86400L,
+      period = 7, horizon = 5).orderBy("step").collect()
+    assert(f.length == 5)
+    val lastB = ts(6).toInstant.getEpochSecond / 86400L
+    assert(f.map(_.getLong(0)).toSeq == (1 to 5).map(lastB + _).toSeq)
+    assert(f.forall(r => r.getLong(2) == 3L * 1024L && r.getDouble(3) == 3.0))
+    // alternating 2/6 with period 2: the projected values alternate with
+    // the bucket parity, consistent with the fitted ring's signs
+    val alt = ev((1 to 8).flatMap(d => burst(d, if (d % 2 == 1) 2 else 6)): _*)
+    val fit = EventStream.holtWinters(alt, bucketSec = 86400L, period = 2)
+      .orderBy("bucket").collect()
+    val ringByPhase = fit.takeRight(2)
+      .map(r => (java.lang.Math.floorMod(r.getLong(0), 2L), r.getLong(4)))
+      .toMap
+    val fc = EventStream.holtWintersForecast(alt, bucketSec = 86400L,
+      period = 2, horizon = 4).orderBy("step").collect()
+    // the step-k forecast uses the ring slot of (b_last + k) mod 2 plus
+    // the linear part l + k*t
+    val (l, t) = (fit.last.getLong(2), fit.last.getLong(3))
+    fc.foreach { r =>
+      val phase = java.lang.Math.floorMod(r.getLong(0), 2L)
+      assert(r.getLong(2) == l + r.getLong(1) * t + ringByPhase(phase),
+        s"step ${r.getLong(1)}")
+    }
+    intercept[IllegalArgumentException] {
+      EventStream.holtWintersForecast(flat, horizon = 0)
+    }
+  }
+
   test("decompose: flat lock, additive identity, signed seasonal split") {
     def burst(day: Int, n: Int) = (1 to n).map(i =>
       (day * 100L + i, ts(day), i.toLong, "e", 1.0))
