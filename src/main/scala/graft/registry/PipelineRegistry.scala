@@ -255,4 +255,75 @@ private[graft] object PipelineRegistry extends Registry {
         |FROM psi JOIN ks USING (day) JOIN emd USING (day)
         |ORDER BY psi.day""".stripMargin
   )
+
+    // north-star: on-call anomaly card — ONE shared daily grid (cut
+    // once) feeds three complementary detectors: median/MAD spike flag,
+    // Holt-Winters one-step residual, CUSUM sustained-shift alarm. The
+    // From-forms exist exactly so a single stream snapshot finishes
+    // into the whole card.
+  b.q(
+    "pipeline_anomaly_card" -> ((s, dir) => {
+      val grid = graft.ops.ckpt.cut(events(s, dir)
+        .select(expr("(unix_micros(ts) DIV 1000000) DIV 86400").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("x")))
+      val z = EventStream.robustZFrom(grid, kMilli = 1500L)
+        .select(col("bucket"), col("x"), col("med"), col("mad"),
+          col("dev"), col("flag").as("mad_flag"))
+      val hw = EventStream.holtWintersFrom(grid, period = 7)
+        .select(col("bucket"), col("err_fp"))
+      val cu = EventStream.cusumFrom(grid, refN = 7, slack = 0L,
+          threshold = 100L)
+        .select(col("bucket"), col("s_scaled"),
+          col("alarm").cast("long").as("cusum_alarm"))
+      z.join(hw, Seq("bucket")).join(cu, Seq("bucket"))
+        .orderBy(col("bucket"))
+    })
+  )
+  b.o(
+    "pipeline_anomaly_card" -> {
+      def fd(e: String) =
+        s"((($e) - ((($e) % 1024 + 1024) % 1024)) // 1024)"
+      val pos = "(o.b % 7)"
+      val sp = s"c.se[$pos + 1]"
+      val lp = fd(s"307 * (o.x * 1024 - $sp) + 717 * (c.l + c.t)")
+      val tp = fd(s"102 * ($lp - c.l) + 922 * c.t")
+      val sq = fd(s"205 * (o.x * 1024 - $lp) + 819 * $sp")
+      s"""WITH RECURSIVE g AS (
+         |  SELECT (epoch_us(ts) // 1000000) // 86400 AS b,
+         |    count(*)::BIGINT AS x FROM events GROUP BY 1),
+         |o AS (SELECT b, x, row_number() OVER (ORDER BY b) AS rn FROM g),
+         |r AS (SELECT b, x, row_number() OVER (ORDER BY x, b) AS rn,
+         |    count(*) OVER () AS n FROM g),
+         |m AS (SELECT x AS med FROM r WHERE rn = (n + 1) // 2),
+         |d AS (SELECT b, x, (SELECT med FROM m) AS med,
+         |    abs(x - (SELECT med FROM m))::BIGINT AS dev FROM g),
+         |r2 AS (SELECT dev, row_number() OVER (ORDER BY dev, b) AS rn,
+         |    count(*) OVER () AS n FROM d),
+         |m2 AS (SELECT dev AS mad FROM r2 WHERE rn = (n + 1) // 2),
+         |c(rn, l, t, s, f, se) AS (
+         |  SELECT 1::BIGINT, (SELECT x * 1024 FROM o WHERE rn = 1)::BIGINT,
+         |    0::BIGINT, 0::BIGINT, NULL::BIGINT,
+         |    list_transform(range(7), i -> 0::BIGINT)
+         |  UNION ALL
+         |  SELECT o.rn, $lp, $tp, $sq, c.l + c.t + $sp,
+         |    c.se[:$pos] || [$sq] || c.se[$pos + 2:]
+         |  FROM c JOIN o ON o.rn = c.rn + 1),
+         |ref AS (SELECT sum(x)::BIGINT AS sref, count(*)::BIGINT AS nref
+         |  FROM o WHERE rn <= 7),
+         |cu(rn, s) AS (
+         |  SELECT 0::BIGINT, 0::BIGINT
+         |  UNION ALL
+         |  SELECT o.rn, greatest(0, cu.s + (SELECT nref FROM ref) * o.x
+         |    - (SELECT sref FROM ref))
+         |  FROM cu JOIN o ON o.rn = cu.rn + 1)
+         |SELECT o.b AS bucket, o.x, d.med, (SELECT mad FROM m2) AS mad,
+         |  d.dev,
+         |  (d.dev * 1000 > 1500 * (SELECT mad FROM m2))::BIGINT AS mad_flag,
+         |  o.x * 1024 - c.f AS err_fp,
+         |  cu.s AS s_scaled,
+         |  (cu.s > 100 * (SELECT nref FROM ref))::BIGINT AS cusum_alarm
+         |FROM o JOIN d ON d.b = o.b JOIN c USING (rn) JOIN cu USING (rn)
+         |ORDER BY bucket""".stripMargin
+    }
+  )
 }
