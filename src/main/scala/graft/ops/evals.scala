@@ -748,6 +748,55 @@ object evals {
         col("lo_q6"), col("hi_q6"), col("win_ppm"))
   }
 
+  /** COHEN's d standardized effect size (with Hedges' g small-sample
+    * correction) — the "how big, in noise units" companion the
+    * significance suite needs: [[permTest]]/[[mannWhitney]] say whether
+    * a gap is real, d says whether it matters (0.2 small / 0.5 medium /
+    * 0.8 large by the usual reading).
+    *
+    * `d = (mean_A − mean_B) / s_pooled`, `s²_pooled =
+    * (SS_A + SS_B)/(n−2)`; `g = d·(1 − 3/(4(n−2)−1))`. Sums (including
+    * Σx² in DECIMAL(38,0) — squares of micro-scaled metrics overflow
+    * int64) are exact; the assembly is a fixed double expression
+    * quantized at the end. Null d when n−2 ≤ 0 or the pooled variance
+    * is 0. Plan: ONE hash aggregate. Returns
+    * `(n_a, n_b, mean_a_q6, mean_b_q6, d_q4, g_q4)`. */
+  def cohensD(df: DataFrame, valueCol: Column, groupCol: Column): DataFrame = {
+    val rows = df.select(valueCol.cast("long").as("_x"),
+        groupCol.cast("boolean").cast("long").as("_g"))
+      .where(col("_x").isNotNull && col("_g").isNotNull)
+    val q6 = (c: Column) => graft.functions.vectors.quantize(c, 6)
+    val q4 = (c: Column) => graft.functions.vectors.quantize(c, 4)
+    rows.agg(
+        sum(col("_g")).as("n_a"),
+        sum(lit(1L) - col("_g")).as("n_b"),
+        sum(col("_x") * col("_g")).as("_sa"),
+        sum(col("_x") * (lit(1L) - col("_g"))).as("_sb"),
+        sum(expr("CAST(_x AS DECIMAL(38,0)) * _x * _g")).as("_ssa"),
+        sum(expr("CAST(_x AS DECIMAL(38,0)) * _x * (1 - _g)")).as("_ssb"))
+      .withColumn("_ma", col("_sa").cast("double") / col("n_a").cast("double"))
+      .withColumn("_mb", col("_sb").cast("double") / col("n_b").cast("double"))
+      .withColumn("_va", col("_ssa").cast("double")
+        - col("_sa").cast("double") * col("_sa").cast("double")
+          / col("n_a").cast("double"))
+      .withColumn("_vb", col("_ssb").cast("double")
+        - col("_sb").cast("double") * col("_sb").cast("double")
+          / col("n_b").cast("double"))
+      .withColumn("_sp2", (col("_va") + col("_vb"))
+        / (col("n_a") + col("n_b") - lit(2L)).cast("double"))
+      .withColumn("_d", when(
+          col("n_a") > 0L && col("n_b") > 0L
+            && col("n_a") + col("n_b") > 2L && col("_sp2") > 0.0,
+          (col("_ma") - col("_mb")) / sqrt(col("_sp2"))))
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") > 0L, q6(col("_ma"))).as("mean_a_q6"),
+        when(col("n_b") > 0L, q6(col("_mb"))).as("mean_b_q6"),
+        q4(col("_d")).as("d_q4"),
+        q4(col("_d") * (lit(1.0) - lit(3.0)
+          / (lit(4.0) * (col("n_a") + col("n_b") - lit(2L)).cast("double")
+            - lit(1.0)))).as("g_q4"))
+  }
+
   /** McNEMAR's test for PAIRED binary outcomes (McNemar 1947) — two
     * systems scored right/wrong on the SAME items; only the discordant
     * cells carry evidence: `b` = A right & B wrong, `c` = A wrong & B

@@ -1703,6 +1703,42 @@ private[graft] object EvalRegistry extends Registry {
     }
   )
 
+    // north-star: Cohen's d / Hedges' g — the how-big-in-noise-units
+    // companion to the significance suite; exact sums incl. DECIMAL x².
+  b.q(
+    "eval_cohens_d" -> ((s, dir) =>
+      evals.cohensD(events(s, dir),
+        floor(col("value") * 1000000.0).cast("long"),
+        col("user_id") % 2 === 1))
+  )
+  b.o(
+    "eval_cohens_d" ->
+      """WITH r AS (SELECT floor(value * 1000000.0)::BIGINT AS x,
+        |    (user_id % 2 = 1)::BIGINT AS g FROM events
+        |  WHERE value IS NOT NULL),
+        |a AS (SELECT sum(g)::BIGINT AS n_a, sum(1 - g)::BIGINT AS n_b,
+        |  sum(x * g)::BIGINT AS sa, sum(x * (1 - g))::BIGINT AS sb,
+        |  sum(x::HUGEINT * x * g)::HUGEINT AS ssa,
+        |  sum(x::HUGEINT * x * (1 - g))::HUGEINT AS ssb FROM r),
+        |f AS (SELECT n_a, n_b,
+        |  sa::DOUBLE / n_a::DOUBLE AS ma, sb::DOUBLE / n_b::DOUBLE AS mb,
+        |  ssa::DOUBLE - sa::DOUBLE * sa::DOUBLE / n_a::DOUBLE AS va,
+        |  ssb::DOUBLE - sb::DOUBLE * sb::DOUBLE / n_b::DOUBLE AS vb
+        |  FROM a),
+        |f2 AS (SELECT *, (va + vb) / (n_a + n_b - 2)::DOUBLE AS sp2 FROM f),
+        |f3 AS (SELECT *, CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b > 2
+        |    AND sp2 > 0 THEN (ma - mb) / sqrt(sp2) END AS d FROM f2)
+        |SELECT n_a, n_b,
+        |  CASE WHEN n_a > 0 THEN floor(ma * 1000000.0 + 0.5) / 1000000.0 END
+        |    AS mean_a_q6,
+        |  CASE WHEN n_b > 0 THEN floor(mb * 1000000.0 + 0.5) / 1000000.0 END
+        |    AS mean_b_q6,
+        |  floor(d * 10000.0 + 0.5) / 10000.0 AS d_q4,
+        |  floor(d * (1.0 - 3.0 / (4.0 * (n_a + n_b - 2)::DOUBLE - 1.0))
+        |    * 10000.0 + 0.5) / 10000.0 AS g_q4
+        |FROM f3""".stripMargin
+  )
+
     // north-star: McNemar's paired test — discordant cells only, exact
     // (b-c)^2*1e6 DIV (b+c); the accuracy-metric significance gate.
   b.q(

@@ -884,6 +884,22 @@ class EvalSpec extends SparkSpec {
     assert(row2.getLong(1) == 3000000L)
   }
 
+  test("cohensD: hand-computed pooled effect; degenerate variance null") {
+    // A = {2,4,6}, B = {1,2,3}: means 4 and 2, SS_A = 8, SS_B = 2,
+    // sp2 = 10/4 = 2.5, d = 2/sqrt(2.5) = 1.264911 -> q4 1.2649;
+    // g = d*(1 - 3/(4*4-1)) = d*12/15 -> 1.0119
+    val df = (Seq(2L, 4L, 6L).map((_, 1)) ++ Seq(1L, 2L, 3L).map((_, 0)))
+      .toDF("v", "g")
+    val r = evals.cohensD(df, col("v"), col("g") === 1).head()
+    assert((r.getLong(0), r.getLong(1)) == (3L, 3L))
+    assert(r.getDouble(2) == 4.0 && r.getDouble(3) == 2.0)
+    assert(r.getDouble(4) == 1.2649, s"d = ${r.getDouble(4)}")
+    assert(r.getDouble(5) == 1.0119, s"g = ${r.getDouble(5)}")
+    // all-constant values: pooled variance 0 -> d null
+    val const = (1 to 6).map(i => (5L, i % 2)).toDF("v", "g")
+    assert(evals.cohensD(const, col("v"), col("g") === 1).head().isNullAt(4))
+  }
+
   test("mcnemar: only discordant cells count; no-evidence null") {
     val rows = Seq.fill(20)((true, true)) ++ Seq.fill(10)((false, false)) ++
       Seq.fill(6)((true, false)) ++ Seq.fill(2)((false, true))
