@@ -798,4 +798,38 @@ class PlanQualitySpec extends SparkSpec {
       q18.take(1500))
     assert(q18.contains("TakeOrderedAndProject"), q18.take(1500))
   }
+
+  test("round-15 additions keep their documented shapes") {
+    // scriptProfile: pure scan work — no exchange beyond the output sort
+    val sp = plan("text_script_profile")
+    assert("Exchange".r.findAllIn(sp).length <= 1,
+      "scriptProfile must be scan-parallel")
+    assert(!sp.contains("Join"), "scriptProfile has no join")
+    // packLayout: exactly one data shuffle (the shard partition) before
+    // the per-shard running-sum window + the output sort
+    val pl = plan("sample_pack_layout")
+    assert("Exchange".r.findAllIn(pl).length <= 2,
+      "packLayout is one shard shuffle + output sort\n" + pl.take(1200))
+    assert(!pl.toLowerCase.contains("cartesian"))
+    // permutation sweep: replicate fan-out must partial-aggregate
+    // map-side (the bootstrap discipline) and broadcast the observed row
+    val pt = plan("eval_perm_test")
+    assert(pt.contains("partial_sum") || pt.contains("partial_count"),
+      pt.take(1500))
+    assert(pt.contains("BroadcastNestedLoopJoin")
+      || pt.contains("BroadcastHashJoin"), pt.take(1500))
+    // chi-square: grid-local marginal joins, never a cartesian on data
+    val cs = plan("rel_chi_square")
+    assert(!cs.contains("CartesianProduct"), cs.take(1200))
+    // winsorized mean and mann-whitney ride the bounded value grid —
+    // no data-axis window (the only Window is over grid rows)
+    Seq("eval_winsorized_mean", "eval_mann_whitney").foreach { q =>
+      assert(!plan(q).contains("CartesianProduct"), q)
+    }
+    // anomaly card: the three meters consume the SAME checkpointed grid
+    // (scan once) and every join is broadcast
+    val ac = plan("pipeline_anomaly_card")
+    assert(!ac.contains("SortMergeJoin") && !ac.contains("CartesianProduct"),
+      ac.take(1500))
+  }
 }
