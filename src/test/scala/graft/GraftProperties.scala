@@ -748,4 +748,62 @@ object GraftProperties extends Properties("graft") {
       }
       recovered && sound
     }
+
+  private val genPerm: Gen[Seq[(Long, Long, Int)]] =
+    Gen.chooseNum(8, 30).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(0L, 100L), Gen.oneOf(0, 1))))
+      .map(_.zipWithIndex.map { case ((v, g), i) => (i.toLong, v, g) }.toSeq)
+
+  property("permTest: p is a valid add-one Monte-Carlo probability") =
+    forAll(genPerm) { rows =>
+      val df = rows.toDF("id", "v", "g")
+      val r = graft.ops.evals.permTest(df, col("id"), col("v"),
+        col("g") === 1, reps = 20).head()
+      val p = if (r.isNullAt(5)) None else Some(r.getLong(5))
+      val reps = r.getLong(3)
+      // bounds: 1/(reps_eff+1) <= p <= 1, in ppm (truncating DIV)
+      p.forall(v => v >= 1000000L / (reps + 1) && v <= 1000000L) &&
+        (p.nonEmpty || r.getLong(1) == 0L || r.getLong(2) == 0L)
+    }
+
+  private val genPs: Gen[Seq[Long]] =
+    Gen.chooseNum(2, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0L, 1000000L)).map(_.toSeq))
+
+  property("bhAdjust: adjusted p monotone in rank; rejections are a rank prefix") =
+    forAll(genPs) { ps =>
+      val df = ps.zipWithIndex.map { case (p, i) => (s"h$i", p) }
+        .toDF("k", "p")
+      val got = graft.ops.evals.bhAdjust(df, Seq("k"), col("p"),
+          qPpm = 200000L)
+        .orderBy("rank")
+        .select("p_ppm", "rank", "p_adj_ppm", "rejected")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val sortedIn = got.map(_._1).toSeq == ps.sorted
+      val monotone = got.sliding(2).forall {
+        case Array(a, b) => a._3 <= b._3; case _ => true }
+      val capped = got.forall(r => r._3 >= r._1 / r._2.max(1L)
+        && r._3 <= 1000000L)
+      val prefix = {
+        val flags = got.map(_._4).toSeq
+        flags == flags.sorted.reverse // 1s then 0s
+      }
+      sortedIn && monotone && capped && prefix
+    }
+
+  property("winsorizedMean lies between the clamp bounds; full band = plain mean") =
+    forAll(Gen.chooseNum(4, 40).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(-1000L, 1000L)).map(_.toSeq))) { vs =>
+      val df = vs.toDF("v")
+      val r = graft.ops.evals.winsorizedMean(df, col("v"),
+        loPpm = 100000L, hiPpm = 900000L).head()
+      val (lo, hi, m) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      val within = m >= lo.toDouble - 1e-6 && m <= hi.toDouble + 1e-6
+      // degenerate band [min, max]: winsorization is the identity
+      val full = graft.ops.evals.winsorizedMean(df, col("v"),
+        loPpm = 0L, hiPpm = 1000000L).head().getDouble(3)
+      val plain = vectors.quantizeOf(vs.sum.toDouble / vs.size, 6)
+      within && full == plain
+    }
 }
