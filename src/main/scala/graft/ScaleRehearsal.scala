@@ -880,6 +880,37 @@ object ScaleRehearsal {
       linalg.momentGrid(emb.where(col("label") % 2 === 0), "embedding", 64),
       linalg.momentGrid(emb.where(col("label") % 2 === 1), "embedding", 64)))
 
+    // ---- round-15 additions: significance suite, packing, profiles ----
+    // perm family: reps×rows in-row fan-out, map-side combined — the
+    // stage that must scale linearly in BOTH factors
+    run("perm_test", countRows = false)(graft.ops.evals.permTest(
+      events, col("event_id"),
+      floor(col("value") * 1000000.0).cast("long"),
+      col("user_id") % 2 === 1, reps = 100))
+    run("mann_whitney", countRows = false)(graft.ops.evals.mannWhitney(
+      events, col("value"), col("user_id") % 2 === 1))
+    run("welch_t", countRows = false)(graft.ops.evals.welchT(
+      events, floor(col("value") * 1000000.0).cast("long"),
+      col("user_id") % 2 === 1))
+    run("winsorized_mean", countRows = false)(graft.ops.evals.winsorizedMean(
+      events, floor(col("value") * 1000000.0).cast("long")))
+    // wordpiece: rounds over the word vocabulary — vocab grows with the
+    // perturbed corpus, stays flat under exact clones
+    run("wordpiece_train_8", countRows = false)(graft.ops.wordpiece.train(
+      docs, "text", merges = 8, minPairCount = 2))
+    run("script_profile", countRows = false)(graft.ops.text.scriptProfile(
+      docs, "text", "doc_id"))
+    run("pack_layout", countRows = false)(graft.ops.sample.packLayout(
+      docs, "text", "doc_id", seqLen = 2048L, shards = 64))
+    run("decompose", countRows = false)(graft.streaming.EventStream.decompose(
+      events, bucketSec = 3600L, period = 24))
+    run("robust_z", countRows = false)(graft.streaming.EventStream.robustZ(
+      events, bucketSec = 86400L))
+    run("hw_forecast", countRows = false)(
+      graft.streaming.EventStream.holtWintersForecast(events, horizon = 14))
+    run("chi_square", countRows = false)(graft.ops.rel.chiSquare(
+      docs, col("lang"), col("source")))
+
     spark.stop()
   }
 }

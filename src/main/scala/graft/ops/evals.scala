@@ -797,6 +797,60 @@ object evals {
             - lit(1.0)))).as("g_q4"))
   }
 
+  /** WELCH's t statistic (unequal variances) with the
+    * Welch-Satterthwaite degrees of freedom — the parametric two-sample
+    * readout beside [[mannWhitney]] (ranks) and [[permTest]] (exact
+    * resampling): `t = (m_A − m_B) / √(v_A/n_A + v_B/n_B)`,
+    * `df = (v_A/n_A + v_B/n_B)² / ((v_A/n_A)²/(n_A−1) +
+    * (v_B/n_B)²/(n_B−1))` with sample variances. No p-value is emitted
+    * (that needs a t CDF; judge t against df with your table) — the
+    * statistic pair is the engine-exact part.
+    *
+    * Sums (Σx² in DECIMAL(38,0)) are exact; the assembly is a fixed
+    * double expression quantized at the end. Null when either group has
+    * < 2 rows or both variances are 0. Plan: ONE hash aggregate.
+    * Returns `(n_a, n_b, mean_a_q6, mean_b_q6, t_q4, df_q2)`. */
+  def welchT(df: DataFrame, valueCol: Column, groupCol: Column): DataFrame = {
+    val rows = df.select(valueCol.cast("long").as("_x"),
+        groupCol.cast("boolean").cast("long").as("_g"))
+      .where(col("_x").isNotNull && col("_g").isNotNull)
+    val q6 = (c: Column) => graft.functions.vectors.quantize(c, 6)
+    rows.agg(
+        sum(col("_g")).as("n_a"),
+        sum(lit(1L) - col("_g")).as("n_b"),
+        sum(col("_x") * col("_g")).as("_sa"),
+        sum(col("_x") * (lit(1L) - col("_g"))).as("_sb"),
+        sum(expr("CAST(_x AS DECIMAL(38,0)) * _x * _g")).as("_ssa"),
+        sum(expr("CAST(_x AS DECIMAL(38,0)) * _x * (1 - _g)")).as("_ssb"))
+      .withColumn("_ma", col("_sa").cast("double") / col("n_a").cast("double"))
+      .withColumn("_mb", col("_sb").cast("double") / col("n_b").cast("double"))
+      // sample variances: (Σx² − (Σx)²/n) / (n − 1)
+      .withColumn("_va", (col("_ssa").cast("double")
+        - col("_sa").cast("double") * col("_sa").cast("double")
+          / col("n_a").cast("double"))
+        / (col("n_a") - lit(1L)).cast("double"))
+      .withColumn("_vb", (col("_ssb").cast("double")
+        - col("_sb").cast("double") * col("_sb").cast("double")
+          / col("n_b").cast("double"))
+        / (col("n_b") - lit(1L)).cast("double"))
+      .withColumn("_wa", col("_va") / col("n_a").cast("double"))
+      .withColumn("_wb", col("_vb") / col("n_b").cast("double"))
+      .withColumn("_ok", col("n_a") > 1L && col("n_b") > 1L
+        && col("_wa") + col("_wb") > 0.0)
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") > 0L, q6(col("_ma"))).as("mean_a_q6"),
+        when(col("n_b") > 0L, q6(col("_mb"))).as("mean_b_q6"),
+        when(col("_ok"), graft.functions.vectors.quantize(
+          (col("_ma") - col("_mb")) / sqrt(col("_wa") + col("_wb")), 4))
+          .as("t_q4"),
+        when(col("_ok"), graft.functions.vectors.quantize(
+          (col("_wa") + col("_wb")) * (col("_wa") + col("_wb"))
+            / (col("_wa") * col("_wa") / (col("n_a") - lit(1L)).cast("double")
+              + col("_wb") * col("_wb")
+                / (col("n_b") - lit(1L)).cast("double")), 2))
+          .as("df_q2"))
+  }
+
   /** McNEMAR's test for PAIRED binary outcomes (McNemar 1947) — two
     * systems scored right/wrong on the SAME items; only the discordant
     * cells carry evidence: `b` = A right & B wrong, `c` = A wrong & B

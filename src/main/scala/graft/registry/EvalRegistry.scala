@@ -1739,6 +1739,49 @@ private[graft] object EvalRegistry extends Registry {
         |FROM f3""".stripMargin
   )
 
+    // north-star: Welch's t with Satterthwaite df — the parametric
+    // two-sample statistic beside ranks (mannWhitney) and resampling
+    // (permTest); exact sums, fixed double assembly.
+  b.q(
+    "eval_welch_t" -> ((s, dir) =>
+      evals.welchT(events(s, dir),
+        floor(col("value") * 1000000.0).cast("long"),
+        col("user_id") % 2 === 1))
+  )
+  b.o(
+    "eval_welch_t" ->
+      """WITH r AS (SELECT floor(value * 1000000.0)::BIGINT AS x,
+        |    (user_id % 2 = 1)::BIGINT AS g FROM events
+        |  WHERE value IS NOT NULL),
+        |a AS (SELECT sum(g)::BIGINT AS n_a, sum(1 - g)::BIGINT AS n_b,
+        |  sum(x * g)::BIGINT AS sa, sum(x * (1 - g))::BIGINT AS sb,
+        |  sum(x::HUGEINT * x * g)::HUGEINT AS ssa,
+        |  sum(x::HUGEINT * x * (1 - g))::HUGEINT AS ssb FROM r),
+        |f AS (SELECT n_a, n_b,
+        |  sa::DOUBLE / n_a::DOUBLE AS ma, sb::DOUBLE / n_b::DOUBLE AS mb,
+        |  (ssa::DOUBLE - sa::DOUBLE * sa::DOUBLE / n_a::DOUBLE)
+        |    / (n_a - 1)::DOUBLE AS va,
+        |  (ssb::DOUBLE - sb::DOUBLE * sb::DOUBLE / n_b::DOUBLE)
+        |    / (n_b - 1)::DOUBLE AS vb
+        |  FROM a),
+        |f2 AS (SELECT *, va / n_a::DOUBLE AS wa, vb / n_b::DOUBLE AS wb,
+        |  (n_a > 1 AND n_b > 1) AS okn FROM f)
+        |SELECT n_a, n_b,
+        |  CASE WHEN n_a > 0 THEN floor(ma * 1000000.0 + 0.5) / 1000000.0 END
+        |    AS mean_a_q6,
+        |  CASE WHEN n_b > 0 THEN floor(mb * 1000000.0 + 0.5) / 1000000.0 END
+        |    AS mean_b_q6,
+        |  CASE WHEN okn AND wa + wb > 0 THEN
+        |    floor((ma - mb) / sqrt(wa + wb) * 10000.0 + 0.5) / 10000.0
+        |  END AS t_q4,
+        |  CASE WHEN okn AND wa + wb > 0 THEN
+        |    floor((wa + wb) * (wa + wb)
+        |      / (wa * wa / (n_a - 1)::DOUBLE + wb * wb / (n_b - 1)::DOUBLE)
+        |      * 100.0 + 0.5) / 100.0
+        |  END AS df_q2
+        |FROM f2""".stripMargin
+  )
+
     // north-star: McNemar's paired test — discordant cells only, exact
     // (b-c)^2*1e6 DIV (b+c); the accuracy-metric significance gate.
   b.q(

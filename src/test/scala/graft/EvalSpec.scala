@@ -900,6 +900,25 @@ class EvalSpec extends SparkSpec {
     assert(evals.cohensD(const, col("v"), col("g") === 1).head().isNullAt(4))
   }
 
+  test("welchT: hand-computed t and Satterthwaite df; degenerate null") {
+    // A = {2,4,6}: v = 4, w = 4/3; B = {1,2,3}: v = 1, w = 1/3
+    // t = 2/sqrt(5/3) = 1.549193 -> 1.5492
+    // df = (5/3)^2 / ((4/3)^2/2 + (1/3)^2/2) = 50/17 = 2.9411 -> 2.94
+    val df = (Seq(2L, 4L, 6L).map((_, 1)) ++ Seq(1L, 2L, 3L).map((_, 0)))
+      .toDF("v", "g")
+    val r = evals.welchT(df, col("v"), col("g") === 1).head()
+    assert(r.getDouble(4) == 1.5492, s"t = ${r.getDouble(4)}")
+    assert(r.getDouble(5) == 2.94, s"df = ${r.getDouble(5)}")
+    // symmetric equal groups: t = 0, df = 2(n-1)
+    val sym = (Seq(1L, 3L).map((_, 1)) ++ Seq(1L, 3L).map((_, 0)))
+      .toDF("v", "g")
+    val s = evals.welchT(sym, col("v"), col("g") === 1).head()
+    assert(s.getDouble(4) == 0.0 && s.getDouble(5) == 2.0)
+    // constant data: both variances 0 -> t null
+    val const = (1 to 6).map(i => (5L, i % 2)).toDF("v", "g")
+    assert(evals.welchT(const, col("v"), col("g") === 1).head().isNullAt(4))
+  }
+
   test("mcnemar: only discordant cells count; no-evidence null") {
     val rows = Seq.fill(20)((true, true)) ++ Seq.fill(10)((false, false)) ++
       Seq.fill(6)((true, false)) ++ Seq.fill(2)((false, true))
