@@ -974,13 +974,17 @@ object evals {
 
   /** Rows a [[permTest]] input may carry before the DECIMAL(38,0)-exact
     * cross-multiplied mean comparison can overflow (ENFORCED in-plan,
-    * together with [[PermTestMaxAbsSum]]). An eval-set ceiling —
-    * pre-sample beyond it. */
-  val PermTestMaxN: Long = 1000000L
+    * together with [[PermTestMaxAbsSum]]): the compare is
+    * `|a|·b ≤ (Σ|x|·n)·(n²/4)`, so `10¹⁵·n³/4 ≤ 10³⁸` holds to
+    * n ≈ 7.3·10⁷ — 5·10⁷ keeps a digit of headroom. (The round-15 30×
+    * rehearsal tripped the first, overly conservative 10⁶ cap on a
+    * 3M-row grid — this is the corrected derivation.) */
+  val PermTestMaxN: Long = 50000000L
 
   /** Σ|value| ceiling for [[permTest]] (ENFORCED in-plan): with
-    * `n ≤ 10⁶` and `Σ|x| ≤ 10¹⁵`, `|s·n'| ≤ 10²¹` and the cross
-    * product `|a|·b ≤ 2.5·10³²` stays inside DECIMAL(38,0). */
+    * `n ≤ 5·10⁷` and `Σ|x| ≤ 10¹⁵`, `|a| = |s_A·n_B − s_B·n_A| ≤
+    * Σ|x|·n ≤ 5·10²²` and `|a|·b ≤ 5·10²²·6.25·10¹⁴·… ≤ 3.2·10³⁷`
+    * stays inside DECIMAL(38,0). */
   val PermTestMaxAbsSum: Long = 1000000000000000L
 
   /** Two-sample PERMUTATION test on the difference of means (Fisher
