@@ -44,18 +44,14 @@ object dedup {
   /** All ordered pairs (a < b) from a SORTED id array, as structs
     * (id_a, id_b) — in-expression pair expansion for bucket candidate
     * generation (no self-join). */
-  private[ops] def pairsOf(ids: Column): Column =
-    flatten(transform(sequence(lit(1), size(ids) - 1), i =>
-      transform(slice(ids, i + 1, size(ids) - i), b =>
-        struct(element_at(ids, i).as("id_a"), b.as("id_b")))))
-
   /** STREAM all ordered pairs (position i < j) of a sorted group array
-    * as `p = (id_a, id_b)` rows — the pipelined form of
-    * `explode(pairsOf(arr))`. [[pairsOf]] materializes the full C(d,2)
-    * pair ARRAY inside one row before the explode; at the df caps a
-    * 100× rehearsal legitimately scales to (maxDf 2560 → 3.3M structs ≈
-    * 150 MB/row) that single row OOMs the executor before anything can
-    * spill. Chained generators (posexplode, then explode of the
+    * as `p = (id_a, id_b)` rows. The round-8..14 form (an in-expression
+    * `pairsOf` HOF that flattened nested transforms) materialized the
+    * full C(d,2) pair ARRAY inside one row before the explode; at the
+    * df caps a 100× rehearsal legitimately scales to (maxDf 2560 →
+    * 3.3M structs ≈ 150 MB/row) that single row OOMs the executor
+    * before anything can spill — so it was deleted, not kept around to
+    * reach for. Chained generators (posexplode, then explode of the
     * remaining suffix) emit the identical pair stream with O(d) peak
     * per-row state — generator output is pipelined, never buffered.
     * Any other column in `df` is dropped; select the array first. */

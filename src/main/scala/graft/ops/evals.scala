@@ -861,8 +861,9 @@ object evals {
     *
     * Exact integers end-to-end: the four cells are exact counts and
     * `chi2_q6 = (b−c)²·10⁶ DIV (b+c)` is one truncating integer
-    * division ((b−c)² ≤ n² keeps 10⁶·n² inside int64 below ~3·10⁶
-    * discordant pairs — an eval set; null when b+c = 0, no evidence).
+    * division — `(b−c)²·10⁶` stays in int64 below
+    * [[McnemarMaxDiscordant]] discordant pairs (ENFORCED in-plan; an
+    * eval set, pre-sample beyond it); null when b+c = 0, no evidence.
     * Plan: ONE hash aggregate. Returns
     * `(n, both_right, both_wrong, b01, c10, chi2_q6)`. */
   def mcnemar(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
@@ -875,9 +876,19 @@ object evals {
         sum((a && !b).cast("long")).as("b01"),
         sum((!a && b).cast("long")).as("c10"))
       .withColumn("chi2_q6",
-        when(col("b01") + col("c10") > 0L, expr(
+        when(col("b01") + col("c10") > McnemarMaxDiscordant,
+          raise_error(format_string(
+            "graft: mcnemar int64-exactness ceiling exceeded (%s " +
+              s"discordant pairs > $McnemarMaxDiscordant) — (b-c)^2*1e6 " +
+              "would wrap; pre-sample", col("b01") + col("c10"))).cast("long"))
+        .when(col("b01") + col("c10") > 0L, expr(
           "((b01 - c10) * (b01 - c10) * 1000000) DIV (b01 + c10)")))
   }
+
+  /** Discordant-pair ceiling for [[mcnemar]] (ENFORCED in-plan):
+    * `(b−c)²·10⁶ ≤ 9·10¹⁸` holds to `|b−c| ≤ 3·10⁶`, and
+    * `|b−c| ≤ b+c`. */
+  val McnemarMaxDiscordant: Long = 3000000L
 
   /** WILSON score interval for a proportion (Wilson 1927) — the
     * pass-rate band that behaves at the extremes where the naive
@@ -947,8 +958,12 @@ object evals {
       .groupBy(col("_v")).agg(count(lit(1)).as("_c"))
     val w = windows.boundedGlobal("value-grid", col("_v")).orderBy(col("_v"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = grid
-      .withColumn("_below", coalesce(sum(col("_c")).over(w), lit(0L)))
+    // cut the ranked grid: three consumers (total, rank picks, clamped
+    // sum) would otherwise each re-derive the data-axis aggregate if
+    // exchange reuse is ever defeated — the chiSquare/anomaly-card
+    // shared-grid discipline
+    val ranked = ckpt.cut(grid
+      .withColumn("_below", coalesce(sum(col("_c")).over(w), lit(0L))))
     val tot = ranked.agg(sum(col("_c")).as("n"))
       .withColumn("_lor", greatest(lit(1L),
         least(col("n"), expr(s"(n * $loPpm) DIV 1000000") + 1L)))

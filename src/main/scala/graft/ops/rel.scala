@@ -321,8 +321,13 @@ object rel {
       .agg(sum(col("_q")).as("_sq12"))
     tot.crossJoin(broadcast(sumq))
       .withColumn("dof", (col("a_card") - 1L) * (col("b_card") - 1L))
+      // clamp BEFORE the final DIV: per-cell truncation can pull Σ a
+      // hair below 10¹² on near-independent grids, and a negative
+      // numerator would both break χ² ≥ 0 and split the engines on
+      // truncate-vs-floor (round-15 review finding)
       .withColumn("chi2_q6", expr(
-        """CAST((CAST(n AS DECIMAL(38,0)) * (_sq12 - 1000000000000))
+        """CAST((CAST(n AS DECIMAL(38,0))
+           * greatest(_sq12 - 1000000000000, 0))
            DIV 1000000 AS LONG)"""))
       .withColumn("cramers_v_q4",
         when(col("n") > 0L && least(col("a_card"), col("b_card")) > 1L,

@@ -77,7 +77,7 @@ private[graft] object RelRegistry extends Registry {
         |  FROM g JOIN na ON g.a = na.a JOIN nb ON g.bb = nb.bb),
         |f AS (SELECT n, a_card, b_card,
         |  (a_card - 1) * (b_card - 1) AS dof,
-        |  ((n::HUGEINT * (sq12 - 1000000000000)) // 1000000)::BIGINT
+        |  ((n::HUGEINT * greatest(sq12 - 1000000000000, 0)) // 1000000)::BIGINT
         |    AS chi2_q6
         |  FROM t, s)
         |SELECT n, a_card, b_card, dof, chi2_q6,

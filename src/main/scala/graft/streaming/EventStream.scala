@@ -1197,6 +1197,55 @@ object EventStream {
     holtWintersFrom(grid, period, aNum, bNum, gNum, maxBuckets)
   }
 
+  /** Shared argument validation for the Holt-Winters family. */
+  private def requireHwArgs(
+      op: String, period: Int, aNum: Int, bNum: Int, gNum: Int,
+      maxBuckets: Int): Unit = {
+    require(period >= 2 && period <= 10000,
+      s"graft: $op needs 2 <= period <= 10000, got $period")
+    require(aNum >= 1 && aNum <= 1024 && bNum >= 0 && bNum <= 1024
+        && gNum >= 0 && gNum <= 1024,
+      s"graft: $op needs 1 <= aNum <= 1024, 0 <= bNum <= 1024, " +
+        s"0 <= gNum <= 1024, got $aNum, $bNum, $gNum")
+    require(maxBuckets >= 1, s"graft: $op needs maxBuckets >= 1")
+  }
+
+  /** Merge-by-addition + both in-plan ceilings + the sorted grid array
+    * — the shared front half of every Holt-Winters entry point. */
+  private def hwGridArray(grid: DataFrame, maxBuckets: Int): DataFrame =
+    grid
+      .groupBy(col("bucket").as("_b")).agg(sum(col("x")).as("_x"))
+      .withColumn("_x",
+        when(col("_x") > HoltMaxX,
+          raise_error(format_string(
+            "graft: holtWinters int64-exactness ceiling exceeded (bucket " +
+              s"count %s > $HoltMaxX) — widen bucketSec", col("_x"))).cast("long"))
+          .otherwise(col("_x")))
+      .agg(sort_array(collect_list(struct(col("_b"), col("_x")))).as("_a"))
+      .withColumn("_a",
+        when(size(col("_a")) > maxBuckets,
+          raise_error(format_string(
+            "graft: holtWinters bucket grid exceeds maxBuckets (%s > " +
+              s"$maxBuckets) — widen bucketSec", size(col("_a")))))
+        .otherwise(col("_a")))
+
+  /** ONE recurrence step `(l', t', s')` of the exact q10 Holt-Winters
+    * update — the single definition both the fitting fold and the
+    * forecast fold run, so the smoothing arithmetic cannot drift
+    * between them. */
+  private def hwStep(
+      first: Column, sPrev: Column, l: Column, t: Column, xs: Column,
+      aNum: Int, bNum: Int, gNum: Int): (Column, Column, Column) = {
+    val l2 = when(first, xs).otherwise(
+      shiftright(lit(aNum.toLong) * (xs - sPrev)
+        + lit(1024L - aNum) * (l + t), 10))
+    val t2 = when(first, lit(0L)).otherwise(
+      shiftright(lit(bNum.toLong) * (l2 - l) + lit(1024L - bNum) * t, 10))
+    val s2 = shiftright(lit(gNum.toLong) * (xs - l2)
+      + lit(1024L - gNum) * sPrev, 10)
+    (l2, t2, s2)
+  }
+
   /** FINISH form of [[holtWinters]] over any `(bucket, x)` grid —
     * duplicate bucket rows re-merge by addition (the sink contract), so
     * a [[cusumStream]] snapshot feeds it directly. */
@@ -1207,29 +1256,8 @@ object EventStream {
       bNum: Int = 102,
       gNum: Int = 205,
       maxBuckets: Int = 100000): DataFrame = {
-    require(period >= 2 && period <= 10000,
-      s"graft: holtWintersFrom needs 2 <= period <= 10000, got $period")
-    require(aNum >= 1 && aNum <= 1024 && bNum >= 0 && bNum <= 1024
-        && gNum >= 0 && gNum <= 1024,
-      s"graft: holtWintersFrom needs 1 <= aNum <= 1024, 0 <= bNum <= 1024, " +
-        s"0 <= gNum <= 1024, got $aNum, $bNum, $gNum")
-    require(maxBuckets >= 1, "graft: holtWintersFrom needs maxBuckets >= 1")
-    val merged = grid
-      .groupBy(col("bucket").as("_b")).agg(sum(col("x")).as("_x"))
-      .withColumn("_x",
-        when(col("_x") > HoltMaxX,
-          raise_error(format_string(
-            "graft: holtWinters int64-exactness ceiling exceeded (bucket " +
-              s"count %s > $HoltMaxX) — widen bucketSec", col("_x"))).cast("long"))
-          .otherwise(col("_x")))
-    val arr = merged
-      .agg(sort_array(collect_list(struct(col("_b"), col("_x")))).as("_a"))
-      .withColumn("_a",
-        when(size(col("_a")) > maxBuckets,
-          raise_error(format_string(
-            "graft: holtWinters bucket grid exceeds maxBuckets (%s > " +
-              s"$maxBuckets) — widen bucketSec", size(col("_a")))))
-        .otherwise(col("_a")))
+    requireHwArgs("holtWintersFrom", period, aNum, bNum, gNum, maxBuckets)
+    val arr = hwGridArray(grid, maxBuckets)
     val ring0 = array_repeat(lit(0L), period)
     val fold = aggregate(col("_a"),
       struct(
@@ -1241,15 +1269,8 @@ object EventStream {
         val pos = pmod(e.getField("_b"), lit(period.toLong))
         val sPrev = element_at(st.getField("se"), (pos + 1L).cast("int"))
         val f = st.getField("l") + st.getField("t") + sPrev
-        val xs = e.getField("_x") * 1024L
-        val l2 = when(first, xs).otherwise(
-          shiftright(lit(aNum.toLong) * (xs - sPrev)
-            + lit(1024L - aNum) * (st.getField("l") + st.getField("t")), 10))
-        val t2 = when(first, lit(0L)).otherwise(
-          shiftright(lit(bNum.toLong) * (l2 - st.getField("l"))
-            + lit(1024L - bNum) * st.getField("t"), 10))
-        val s2 = shiftright(lit(gNum.toLong) * (xs - l2)
-          + lit(1024L - gNum) * sPrev, 10)
+        val (l2, t2, s2) = hwStep(first, sPrev, st.getField("l"),
+          st.getField("t"), e.getField("_x") * 1024L, aNum, bNum, gNum)
         val fRec = when(first, lit(null).cast("long")).otherwise(f)
         val se2 = transform(st.getField("se"), (v, ix) =>
           when(ix.cast("bigint") === pos, s2).otherwise(v))
@@ -1291,37 +1312,32 @@ object EventStream {
       tsCol: String = "ts",
       maxBuckets: Int = 100000): DataFrame = {
     require(bucketSec >= 1, "graft: holtWintersForecast needs bucketSec >= 1")
-    require(horizon >= 1 && horizon <= 100000,
-      s"graft: holtWintersForecast needs 1 <= horizon <= 100000, got $horizon")
-    require(period >= 2 && period <= 10000,
-      s"graft: holtWintersForecast needs 2 <= period <= 10000, got $period")
-    require(aNum >= 1 && aNum <= 1024 && bNum >= 0 && bNum <= 1024
-        && gNum >= 0 && gNum <= 1024,
-      s"graft: holtWintersForecast needs 1 <= aNum <= 1024, " +
-        s"0 <= bNum <= 1024, 0 <= gNum <= 1024, got $aNum, $bNum, $gNum")
-    require(maxBuckets >= 1, "graft: holtWintersForecast needs maxBuckets >= 1")
-    val grid = events
+    holtWintersForecastFrom(events
       .select(expr(s"(unix_micros($tsCol) DIV 1000000) DIV $bucketSec")
         .as("bucket"))
-      .groupBy(col("bucket")).agg(count(lit(1)).as("x"))
-      .groupBy(col("bucket").as("_b")).agg(sum(col("x")).as("_x"))
-      .withColumn("_x",
-        when(col("_x") > HoltMaxX,
-          raise_error(format_string(
-            "graft: holtWinters int64-exactness ceiling exceeded (bucket " +
-              s"count %s > $HoltMaxX) — widen bucketSec", col("_x"))).cast("long"))
-          .otherwise(col("_x")))
-    val arr = grid
-      .agg(sort_array(collect_list(struct(col("_b"), col("_x")))).as("_a"))
-      .withColumn("_a",
-        when(size(col("_a")) > maxBuckets,
-          raise_error(format_string(
-            "graft: holtWinters bucket grid exceeds maxBuckets (%s > " +
-              s"$maxBuckets) — widen bucketSec", size(col("_a")))))
-        .otherwise(col("_a")))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("x")),
+      period, horizon, aNum, bNum, gNum, maxBuckets)
+  }
+
+  /** FINISH form of [[holtWintersForecast]] over any `(bucket, x)` grid
+    * — the [[cusumStream]] sink-snapshot contract, like every other
+    * grid meter's From form. */
+  def holtWintersForecastFrom(
+      grid: DataFrame,
+      period: Int = 7,
+      horizon: Int = 7,
+      aNum: Int = 307,
+      bNum: Int = 102,
+      gNum: Int = 205,
+      maxBuckets: Int = 100000): DataFrame = {
+    require(horizon >= 1 && horizon <= 100000,
+      s"graft: holtWintersForecast needs 1 <= horizon <= 100000, got $horizon")
+    requireHwArgs("holtWintersForecastFrom", period, aNum, bNum, gNum,
+      maxBuckets)
+    val arr = hwGridArray(grid, maxBuckets)
     val ring0 = array_repeat(lit(0L), period)
-    // same recurrence as holtWintersFrom, but only the FINAL state is
-    // kept — the fold carries no output array
+    // the SAME hwStep recurrence as the fitting fold, but only the
+    // FINAL state is kept — the fold carries no output array
     val fold = aggregate(col("_a"),
       struct(lit(0L).as("i"), lit(0L).as("l"), lit(0L).as("t"),
         ring0.as("se")),
@@ -1329,15 +1345,8 @@ object EventStream {
         val first = st.getField("i") === 0L
         val pos = pmod(e.getField("_b"), lit(period.toLong))
         val sPrev = element_at(st.getField("se"), (pos + 1L).cast("int"))
-        val xs = e.getField("_x") * 1024L
-        val l2 = when(first, xs).otherwise(
-          shiftright(lit(aNum.toLong) * (xs - sPrev)
-            + lit(1024L - aNum) * (st.getField("l") + st.getField("t")), 10))
-        val t2 = when(first, lit(0L)).otherwise(
-          shiftright(lit(bNum.toLong) * (l2 - st.getField("l"))
-            + lit(1024L - bNum) * st.getField("t"), 10))
-        val s2 = shiftright(lit(gNum.toLong) * (xs - l2)
-          + lit(1024L - gNum) * sPrev, 10)
+        val (l2, t2, s2) = hwStep(first, sPrev, st.getField("l"),
+          st.getField("t"), e.getField("_x") * 1024L, aNum, bNum, gNum)
         val se2 = transform(st.getField("se"), (v, ix) =>
           when(ix.cast("bigint") === pos, s2).otherwise(v))
         struct((st.getField("i") + 1L).as("i"), l2.as("l"), t2.as("t"),
@@ -1587,14 +1596,17 @@ object EventStream {
     // floored integer division that both engines compute identically:
     // subtract the positive mod first, then divide exactly (see the
     // events_holt oracle note on DIV truncate-vs-floor)
+    // the maxBuckets guard rides INSIDE _x (a consumed column): a guard
+    // on a never-read helper column would be pruned by Catalyst and the
+    // documented ceiling silently skipped (round-15 review finding)
     val trended = grid2
-      .withColumn("_n",
+      .withColumn("_x",
         when(count(lit(1)).over(wCnt) > maxBuckets,
           raise_error(format_string(
             "graft: decompose bucket grid exceeds maxBuckets (%s > " +
               s"$maxBuckets) — widen bucketSec", count(lit(1)).over(wCnt)))
             .cast("long"))
-          .otherwise(count(lit(1)).over(wCnt)))
+          .otherwise(col("_x")))
       .withColumn("_ts", sum(col("_x")).over(wMa) * 1000000L)
       .withColumn("_tc", count(lit(1)).over(wMa))
       .withColumn("trend_q6",

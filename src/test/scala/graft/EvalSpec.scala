@@ -930,6 +930,14 @@ class EvalSpec extends SparkSpec {
     // perfect agreement: b = c = 0 -> no evidence, chi2 null
     val agree = Seq.fill(5)((true, true)).toDF("a", "b")
     assert(evals.mcnemar(agree, col("a"), col("b")).head().isNullAt(5))
+    // int64-exactness ceiling is ENFORCED in-plan, not just documented
+    val big = spark.range(evals.McnemarMaxDiscordant + 1)
+      .select(lit(true).as("a"), lit(false).as("b"))
+    val e = intercept[Exception] {
+      evals.mcnemar(big, col("a"), col("b")).head()
+    }
+    assert(e.getMessage.contains("mcnemar int64-exactness ceiling"),
+      e.getMessage)
   }
 
   test("wilsonInterval: brackets p; sane at the k=0 and k=n extremes") {

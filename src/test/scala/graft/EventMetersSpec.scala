@@ -207,6 +207,14 @@ class EventMetersSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       EventStream.decompose(alt, period = 1)
     }
+    // the maxBuckets ceiling must RAISE, not be pruned away with an
+    // unused guard column (round-15 review finding)
+    val e = intercept[Exception] {
+      EventStream.decompose(alt, bucketSec = 86400L, period = 2,
+        maxBuckets = 3).collect()
+    }
+    assert(e.getMessage.contains("decompose bucket grid exceeds maxBuckets"),
+      e.getMessage)
   }
 
   test("robustZ: lower-median/MAD hand fixtures; degenerate MAD flags any deviation") {

@@ -621,5 +621,13 @@ class RelSpec extends SparkSpec {
     val one = (1 to 4).map(_ => ("x", "1")).toDF("a", "b")
     val o = rel.chiSquare(one, col("a"), col("b")).head()
     assert(o.getLong(3) == 0L && o.isNullAt(5))
+    // truncation clamp: a 3x3 all-ones grid computes each cell quotient
+    // as floor(1e12/9), summing a hair BELOW 1e12 — chi2 must clamp to
+    // 0, not go negative (and V to 0.0)
+    val nine = (for { a <- Seq("x", "y", "z"); bb <- Seq("1", "2", "3") }
+      yield (a, bb)).toDF("a", "b")
+    val n9 = rel.chiSquare(nine, col("a"), col("b")).head()
+    assert(n9.getLong(4) == 0L, s"chi2_q6 = ${n9.getLong(4)}")
+    assert(n9.getDouble(5) == 0.0)
   }
 }
