@@ -59,6 +59,152 @@ object aggregates {
     column(MisraGriesAgg(expression(items.cast("string")), capacity,
         weightChild = Some(expression(weight.cast("long"))))
       .toAggregateExpression())
+
+  /** Permutation-coin replicate fold: per replicate `j < reps`, sums
+    * `(Σ coin_j·x, Σ coin_j)` where `coin_j = 1{affine_j(h) mod 1e6 <
+    * 500000}` — the [[graft.ops.evals.permTest]] fan-out as ONE
+    * aggregate state of `2·reps` longs instead of `reps` materialized
+    * rows per input row. Output `array<struct<a,b>>[reps]`, `a = Σ
+    * coin·x` (the permuted-A sum), `b = Σ coin` (the permuted-A
+    * count). Bit-identical to the explode form: same affine family,
+    * same wrap-on-overflow long sums. */
+  def permFoldAgg(h: Column, x: Column, reps: Int): Column =
+    column(ReplicateFoldAgg(expression(h), expression(x),
+        expression(org.apache.spark.sql.functions.lit(1L)), reps, Nil)
+      .toAggregateExpression())
+
+  /** Poisson-bootstrap replicate fold: per replicate `j < reps`, sums
+    * `(Σ w_j·x, Σ w_j·d)` where `w_j = #{k : cdfPpm(k) ≤ affine_j(h)
+    * mod 1e6}` — the [[graft.ops.evals.bootstrapCI]] fan-out as one
+    * aggregate state. Pass `d = lit(1)` for plain weight sums. */
+  def bootFoldAgg(h: Column, x: Column, d: Column, reps: Int,
+      cdfPpm: Seq[Long]): Column =
+    column(ReplicateFoldAgg(expression(h), expression(x), expression(d),
+        reps, cdfPpm)
+      .toAggregateExpression())
+}
+
+/** Replicate-family fold for the deterministic resampling suite
+  * (bootstrap / permutation): folds the per-row ×reps affine fan-out
+  * `u_j = ((2j+1)·h + 12582917·j) mod P mod 1e6` into a primitive
+  * long-array buffer — `a[j] += w_j·x`, `b[j] += w_j·d` — instead of
+  * exploding `reps` struct rows per input row into a hash aggregate.
+  * At 200 replicates this removes a ×200 row materialization from the
+  * scan stage while producing IDENTICAL sums (same affine arithmetic,
+  * same Java long wrap semantics as the codegen'd explode form — the
+  * sums are associative/commutative, so fold order cannot matter).
+  *
+  * `poissonCdfPpm` empty → permutation coin (`w = 1{u < 500000}`);
+  * non-empty → Poisson weight (`w = #{thresholds ≤ u}`). State is
+  * `2·reps` longs per group regardless of input size — mergeable by
+  * element-wise addition, so map-side combine ships one small array
+  * per task exactly like the explode form's partial aggregate, minus
+  * the ×reps row fan-out. */
+case class ReplicateFoldAgg(
+    hChild: Expression,
+    xChild: Expression,
+    dChild: Expression,
+    reps: Int,
+    poissonCdfPpm: Seq[Long],
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  require(reps >= 1 && reps <= 65536,
+    s"graft: ReplicateFoldAgg needs 1 <= reps <= 65536, got $reps")
+
+  private val cdf: Array[Long] = poissonCdfPpm.toArray
+
+  override def prettyName: String =
+    if (cdf.isEmpty) "perm_fold" else "boot_fold"
+  override def nullable: Boolean = false
+  override def dataType: DataType = ReplicateFoldAgg.resultType
+  override def children: Seq[Expression] = Seq(hChild, xChild, dChild)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ReplicateFoldAgg =
+    copy(hChild = newChildren(0), xChild = newChildren(1),
+      dChild = newChildren(2))
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](2 * reps)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val hv = hChild.eval(input)
+    val xv = xChild.eval(input)
+    val dv = dChild.eval(input)
+    if (hv != null && xv != null && dv != null) {
+      val h = hv.asInstanceOf[Long]
+      val x = xv.asInstanceOf[Long]
+      val d = dv.asInstanceOf[Long]
+      val p = graft.functions.hashing.AffineP
+      var j = 0
+      while (j < reps) {
+        // exactly Spark's pmod(pmod(h·(2j+1) + j·12582917, P), 1e6):
+        // Java long wrap on the multiply, then a nonneg remainder
+        var r = ((2L * j + 1L) * h + 12582917L * j) % p
+        if (r < 0L) r += p
+        val u = r % 1000000L
+        val w: Long =
+          if (cdf.isEmpty) { if (u < 500000L) 1L else 0L }
+          else {
+            var k = 0
+            while (k < cdf.length && cdf(k) <= u) k += 1
+            k.toLong
+          }
+        if (w != 0L) {
+          buf(j) += w * x
+          buf(reps + j) += w * d
+        }
+        j += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    val out = new Array[Any](reps)
+    var j = 0
+    while (j < reps) {
+      out(j) = InternalRow(buf(j), buf(reps + j))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bytes = new Array[Byte](buf.length * 8)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bytes
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < buf.length) { buf(i) = bb.getLong(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ReplicateFoldAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ReplicateFoldAgg =
+    copy(inputAggBufferOffset = newOffset)
+}
+
+object ReplicateFoldAgg {
+  val resultType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false))),
+    containsNull = false)
 }
 
 case class MisraGriesAgg(

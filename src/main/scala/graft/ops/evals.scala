@@ -626,20 +626,20 @@ object evals {
     val point = rows.groupBy(gks: _*).agg(count(lit(1)).as("n_rows"),
       q6(sum(col("_x")).cast("double") / sum(col("_d")).cast("double"))
         .as(outName))
-    val thresholds = lit(PoissonCdfPpm.toArray)
-    val reps = rows.select((gks :+ col("_x") :+ col("_d") :+ explode(transform(
-        sequence(lit(0L), lit((b - 1).toLong)),
-        j => {
-          val u = pmod(pmod(col("_h") * (j * 2L + lit(1L))
-            + j * lit(12582917L), lit(hashing.AffineP)), lit(1000000L))
-          struct(j.as("rep"),
-            size(filter(thresholds, t => t <= u)).cast("long").as("w"))
-        })).as("_rw")): _*)
-      .select((gks :+ col("_rw.rep").as("_rep")
-        :+ (col("_rw.w") * col("_x")).as("_wx")
-        :+ (col("_rw.w") * col("_d")).as("_wd")): _*)
-      .groupBy((gks :+ col("_rep")): _*)
-      .agg(sum(col("_wx")).as("_swx"), sum(col("_wd")).as("_sw"))
+    // The ×b replicate fan-out is FOLDED into one aggregate state of
+    // 2·b longs per group (ReplicateFoldAgg) instead of exploding b
+    // struct rows per input row into the hash aggregate — identical
+    // sums (same affine family, same long-wrap arithmetic), but the
+    // scan stage materializes n rows, not n·b (measured 2.5-4× on the
+    // bootstrap family at sf0.1; optimization guide §1.2 "per-task
+    // work"). The b-row explode now happens AFTER aggregation, on
+    // groups×b rows.
+    val reps = rows.groupBy(gks: _*)
+      .agg(graft.functions.aggregates.bootFoldAgg(col("_h"), col("_x"),
+        col("_d"), b, PoissonCdfPpm).as("_bf"))
+      .select((gks :+ posexplode(col("_bf"))): _*)
+      .select((gks :+ col("pos").cast("long").as("_rep")
+        :+ col("col.a").as("_swx") :+ col("col.b").as("_sw")): _*)
       .where(col("_sw") > 0L)
       .select((gks :+ col("_rep")
         :+ q6(col("_swx").cast("double") / col("_sw").cast("double"))
@@ -708,19 +708,15 @@ object evals {
     val point = rows.agg(count(lit(1)).as("n_rows"),
       q6(sum(col("_d")).cast("double") / count(lit(1)).cast("double"))
         .as("diff_q6"))
-    val thresholds = lit(PoissonCdfPpm.toArray)
-    val reps = rows.select(col("_d"), explode(transform(
-        sequence(lit(0L), lit((b - 1).toLong)),
-        j => {
-          val u = pmod(pmod(col("_h") * (j * 2L + lit(1L))
-            + j * lit(12582917L), lit(hashing.AffineP)), lit(1000000L))
-          struct(j.as("rep"),
-            size(filter(thresholds, t => t <= u)).cast("long").as("w"))
-        })).as("_rw"))
-      .select(col("_rw.rep").as("_rep"),
-        (col("_rw.w") * col("_d")).as("_wd"), col("_rw.w").as("_w"))
-      .groupBy(col("_rep"))
-      .agg(sum(col("_wd")).as("_swd"), sum(col("_w")).as("_sw"))
+    // ×b fan-out folded into one aggregate state (ReplicateFoldAgg,
+    // Poisson mode, denominator 1 → (Σw·d, Σw) per replicate) —
+    // identical sums, n-row scan stage instead of n·b.
+    val reps = rows
+      .agg(graft.functions.aggregates.bootFoldAgg(col("_h"), col("_d"),
+        lit(1L), b, PoissonCdfPpm).as("_bf"))
+      .select(posexplode(col("_bf")))
+      .select(col("pos").cast("long").as("_rep"),
+        col("col.a").as("_swd"), col("col.b").as("_sw"))
       .where(col("_sw") > 0L)
       .select(col("_rep"),
         q6(col("_swd").cast("double") / col("_sw").cast("double")).as("_m"))
@@ -1094,18 +1090,20 @@ object evals {
           graft.functions.vectors.quantize(
             col("_sa").cast("double") / col("n_a").cast("double")
               - col("_sb").cast("double") / col("n_b").cast("double"), 6)))
-    val perm = rows.select((gks :+ col("_x") :+ explode(transform(
-        sequence(lit(0L), lit((reps - 1).toLong)),
-        j => {
-          val u = pmod(pmod(col("_h") * (j * 2L + lit(1L))
-            + j * lit(12582917L), lit(hashing.AffineP)), lit(1000000L))
-          struct(j.as("rep"), (u < 500000L).cast("long").as("ga"))
-        })).as("_r")): _*)
-      .select((gks :+ col("_r.rep").as("_rep") :+ col("_r.ga").as("_ga")
-        :+ (col("_x") * col("_r.ga")).as("_xa") :+ col("_x")): _*)
-      .groupBy((gks :+ col("_rep")): _*)
-      .agg(count(lit(1)).as("_n"), sum(col("_ga")).as("_nar"),
-        sum(col("_xa")).as("_sar"), sum(col("_x")).as("_sr"))
+    // ×reps coin fan-out folded into ONE aggregate state (2·reps longs
+    // per stratum — ReplicateFoldAgg, permutation mode) instead of
+    // exploding reps rows per input row: identical sums (same affine
+    // coin, same long arithmetic), but the scan stage stays n rows.
+    // The per-stratum count/sum (_n/_sr) are replicate-independent and
+    // ride the same aggregate; the reps-row explode happens after.
+    val perm = rows.groupBy(gks: _*)
+      .agg(count(lit(1)).as("_n"), sum(col("_x")).as("_sr"),
+        graft.functions.aggregates.permFoldAgg(col("_h"), col("_x"), reps)
+          .as("_pf"))
+      .select((gks :+ col("_n") :+ col("_sr") :+ posexplode(col("_pf"))): _*)
+      .select((gks :+ col("pos").cast("long").as("_rep") :+ col("_n")
+        :+ col("col.b").as("_nar") :+ col("col.a").as("_sar")
+        :+ col("_sr")): _*)
       .withColumn("_nbr", col("_n") - col("_nar"))
       .withColumn("_sbr", col("_sr") - col("_sar"))
       .withColumn("_ar", expr(
