@@ -22,8 +22,10 @@ import graft.functions.NativeExprs
   * 4-6 orders of magnitude smaller than the corpus and distributed (never
   * collected); per round one pair-count aggregate + a
   * `TakeOrderedAndProject` brings exactly ONE winning row to the driver.
-  * The symbol arrays are checkpointed each round via [[ckpt.cut]] to
-  * truncate lineage — the same discipline as
+  * The symbol arrays are checkpointed each round via [[ckpt.cutLazy]] to
+  * truncate lineage (lazily — each round already ends in a collect that
+  * materializes the state, so an eager cut was one extra blocking job
+  * per round) — the same discipline as
   * [[dedup.connectedComponents]]: reliable when `setCheckpointDir` is
   * configured (the cluster/fault-tolerant path), local otherwise.
   * Determinism: pair counts are exact integer sums and the argmax
@@ -50,7 +52,7 @@ object bpe {
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
     // Initial symbols: code points (matches the encode kernel's split —
     // Spark substring/length are code-point based).
-    var vocab = ckpt.cut(words.select(col("cnt"),
+    var vocab = ckpt.cutLazy(words.select(col("cnt"),
       transform(sequence(lit(1), length(col("w"))), i =>
         col("w").substr(i, lit(1))).as("syms")))
     val rules = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
@@ -76,7 +78,7 @@ object bpe {
         rules += ((step, l, r, top(0).getAs[Long]("pc")))
         // One merge pass per row; checkpoint so the next round's pair
         // count reads materialized symbols, not the whole merge lineage.
-        vocab = ckpt.cut(vocab
+        vocab = ckpt.cutLazy(vocab
           .withColumn("syms", NativeExprs.bpeMergePair(col("syms"), l, r)))
         step += 1
         if (step >= merges) done = true

@@ -39,4 +39,17 @@ private[graft] object ckpt {
   def cut(df: DataFrame): DataFrame =
     if (reliable(df.sparkSession)) df.checkpoint(true)
     else df.localCheckpoint(true)
+
+  /** LAZY lineage cut: same truncation, but materialization happens
+    * inside the FIRST consuming action instead of a dedicated blocking
+    * job. The right cut for driver-loop trainers (bpe/wordpiece) whose
+    * every round already ends in a collect: the eager form paid one
+    * extra job per round just to materialize state the round's own
+    * collect was about to compute anyway — and the final round's state,
+    * which nothing ever consumes, was still materialized. Later
+    * consumers read the cached blocks either way. NOT for the graph
+    * iteration shape, where nothing between cuts forces an action. */
+  def cutLazy(df: DataFrame): DataFrame =
+    if (reliable(df.sparkSession)) df.checkpoint(false)
+    else df.localCheckpoint(false)
 }

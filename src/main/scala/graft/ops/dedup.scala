@@ -423,7 +423,13 @@ object dedup {
     val grams = df.select(col(idCol).as("_id"),
         posexplode(graft.functions.NativeExprs.wordGrams(col(textCol),
           minLen)).as(Seq("p", "g")))
-      .select(col("_id"), (col("p") + 1).as("i"), md5(col("g")).as("fp"))
+      // fp is internal-only (outputs carry ids/positions), so it ships
+      // as the RAW 16-byte digest, not the 32-char hex string — the
+      // gram shuffle is THE big stage at corpus scale and the key is
+      // most of the row (guide §2.3 "narrower types"); hex→binary is a
+      // bijection, so grouping/joins/results are unchanged
+      .select(col("_id"), (col("p") + 1).as("i"),
+        unhex(md5(col("g"))).as("fp"))
       .repartition(col("fp"))
     val hot = grams.groupBy(col("fp"))
       .agg(count(lit(1)).as("_n"))

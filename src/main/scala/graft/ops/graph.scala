@@ -68,7 +68,11 @@ object graph {
     val withDeg = e.join(outdeg, "src").persist()
     val base = ((1000000L - dampingPpm) * scale / 1000000L) / n
     var ranks = nodes.withColumn("rank", lit(scale / n))
-    for (_ <- 0 until iters) {
+    // Cut every 2nd round + the last (r15): a mid-loop rank table is
+    // consumed exactly once by the next round, so an uncut round folds
+    // into the next cut's job with no recompute — half the blocking
+    // checkpoint barriers at any scale, lineage depth still ≤ 2 rounds.
+    for (i <- 0 until iters) {
       val summed = withDeg
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), expr("rank DIV deg").as("c"))
@@ -78,7 +82,7 @@ object graph {
           (lit(base) +
             expr(s"($dampingPpm * coalesce(s, CAST(0 AS BIGINT))) DIV 1000000"))
             .as("rank"))
-      ranks = ckpt.cut(ranks)
+      if (i % 2 == 1 || i == iters - 1) ranks = ckpt.cut(ranks)
     }
     // The final ranks are materialized by their checkpoint, so the static
     // caches can be released — a session that PageRanks many graphs must
@@ -126,7 +130,8 @@ object graph {
     val base = ((1000000L - dampingPpm) * scale / 1000000L) / seeds.size
     var ranks = nodes.withColumn("rank",
       when(isSeed, lit(scale / seeds.size)).otherwise(lit(0L)))
-    for (_ <- 0 until iters) {
+    // same every-2nd-round cut schedule as pageRank (rationale there)
+    for (i <- 0 until iters) {
       val summed = withDeg
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), expr("rank DIV deg").as("c"))
@@ -136,7 +141,7 @@ object graph {
           (when(isSeed, lit(base)).otherwise(lit(0L)) +
             expr(s"($dampingPpm * coalesce(s, CAST(0 AS BIGINT))) DIV 1000000"))
             .as("rank"))
-      ranks = ckpt.cut(ranks)
+      if (i % 2 == 1 || i == iters - 1) ranks = ckpt.cut(ranks)
     }
     Seq(e, nodes, withDeg).foreach(_.unpersist(false))
     ranks
@@ -179,7 +184,9 @@ object graph {
       .persist()
     val nodes = und.select(col("src").as("id")).distinct().persist()
     var labels = nodes.withColumn("label", col("id"))
-    for (_ <- 0 until iters) {
+    // every-2nd-round cut schedule (pageRank rationale): a mid-loop
+    // label table is consumed once by the next round's join
+    for (i <- 0 until iters) {
       val counts = und
         .join(labels.select(col("id").as("dst"), col("label").as("_nl")), "dst")
         .groupBy(col("src").as("id"), col("_nl"))
@@ -189,7 +196,7 @@ object graph {
       labels = nodes
         .join(top.select(col("id"), col("_nl")), Seq("id"), "left")
         .select(col("id"), coalesce(col("_nl"), col("id")).as("label"))
-      labels = ckpt.cut(labels)
+      if (i % 2 == 1 || i == iters - 1) labels = ckpt.cut(labels)
     }
     Seq(und, nodes).foreach(_.unpersist(false))
     labels
@@ -500,19 +507,30 @@ object graph {
     }
     var hub = nodes.withColumn("hub", lit(scale))
     var auth = nodes.withColumn("auth", lit(scale))
-    for (_ <- 0 until iters) {
+    // Cut schedule (r15): an eager localCheckpoint is a blocking job,
+    // and cutting EVERY half-step paid 2·iters barriers for lineage
+    // that only needs truncating every other round. A mid-loop score
+    // is consumed exactly ONCE (by the next half-step), so leaving it
+    // uncut folds its subtree into the next cut's job — no recompute;
+    // only the FINAL auth/hub are consumed twice (next half-step/out
+    // join), so the last round always cuts. Lineage depth between cuts
+    // stays ≤ 2 rounds (the every-2nd rule), bounded for any `iters`.
+    for (i <- 0 until iters) {
+      val last = i == iters - 1
       val aRaw = nodes
         .join(e.join(hub.select(col("id").as("src"), col("hub")), "src")
           .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("auth")),
           Seq("id"), "left")
         .select(col("id"), coalesce(col("auth"), lit(0L)).as("auth"))
-      auth = ckpt.cut(rescale(aRaw, "auth"))
+      auth = rescale(aRaw, "auth")
+      if (last) auth = ckpt.cut(auth)
       val hRaw = nodes
         .join(e.join(auth.select(col("id").as("dst"), col("auth")), "dst")
           .groupBy(col("src").as("id")).agg(sum(col("auth")).as("hub")),
           Seq("id"), "left")
         .select(col("id"), coalesce(col("hub"), lit(0L)).as("hub"))
-      hub = ckpt.cut(rescale(hRaw, "hub"))
+      hub = rescale(hRaw, "hub")
+      if (last || i % 2 == 1) hub = ckpt.cut(hub)
     }
     val out = nodes
       .join(hub, "id").join(auth, "id")

@@ -31,7 +31,7 @@ import graft.functions.NativeExprs
   * symbol-count aggregate, one pair-count aggregate, two vocab-sized
   * broadcast-joinable lookups, and a `TakeOrderedAndProject` that brings
   * exactly ONE winning row to the driver. Symbol arrays re-checkpoint
-  * each round via [[ckpt.cut]] to truncate lineage.
+  * each round via [[ckpt.cutLazy]] to truncate lineage (lazily — each round already ends in a collect that materializes it).
   */
 object wordpiece {
 
@@ -55,7 +55,7 @@ object wordpiece {
     import spark.implicits._
     val words = df.select(explode(text.tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-    var vocab = ckpt.cut(words.select(col("cnt"),
+    var vocab = ckpt.cutLazy(words.select(col("cnt"),
       transform(sequence(lit(1), length(col("w"))), i =>
         col("w").substr(i, lit(1))).as("syms")))
     val rules =
@@ -92,7 +92,7 @@ object wordpiece {
         val r = top(0).getAs[String]("r")
         rules += ((step, l, r, top(0).getAs[Long]("pc"),
           top(0).getAs[Long]("score_q12")))
-        vocab = ckpt.cut(vocab
+        vocab = ckpt.cutLazy(vocab
           .withColumn("syms", NativeExprs.bpeMergePair(col("syms"), l, r)))
         step += 1
         if (step >= merges) done = true

@@ -29,7 +29,14 @@ private[graft] object PipelineRegistry extends Registry {
         .select((col("doc_id") + 1000000L).as("doc_id"),
           concat(translate(upper(col("text")), "AEIOU", "ÀÉÎÕÜ"), lit(" !!"))
             .as("text"))
-      val corpus = base.unionByName(clones).unionByName(variants)
+      // the 2.5× synthetic corpus feeds FIVE independent stage
+      // aggregates below; without a lineage cut each branch re-reads
+      // the parquet and re-derives the clone/variant transforms (no
+      // exchange under the scan = no subtree reuse). One eager
+      // materialization, five readers (r15; the textRankTerms `und`
+      // precedent — measured, not just read off the plan).
+      val corpus = graft.ops.ckpt.cut(
+        base.unionByName(clones).unionByName(variants))
       val url = concat(lit("https://x.example.com/p/"),
         ((col("doc_id") % 1000000L) % 200L).cast("string"))
       def stage(name: String, docsOut: DataFrame): DataFrame =
