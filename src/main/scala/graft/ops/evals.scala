@@ -513,9 +513,10 @@ object evals {
     * any engine, no RNG state anywhere.
     *
     * Scale shape: the corpus is scanned ONCE; the per-row ×b fan-out is
-    * map-side combined into b partial-sum rows per task, so the shuffle
-    * carries b rows per partition, the order statistic runs on a
-    * documented bounded global window over ≤ b rows, and the final
+    * FOLDED into one [[graft.functions.ReplicateFoldAgg]] state of 2·b
+    * longs per task (no ×b row materialization — r15), so the shuffle
+    * carries one small array per partition, the order statistic runs on
+    * a documented bounded global window over ≤ b rows, and the final
     * readout is one row. Returns `(n_rows, b_reps, mean_q6, lo_q6,
     * hi_q6)`.
     *
@@ -1016,9 +1017,11 @@ object evals {
     * lands everyone on one side have no mean gap and are excluded
     * (`reps_eff` reports the survivors).
     *
-    * Plan shape: one scan, ×`reps` in-row fan-out, map-side combine to
-    * `reps` rows/task; the exceed judgment joins `reps` rows against
-    * the broadcast 1-row observed stats. Returns one row
+    * Plan shape: one scan; the ×`reps` coin fan-out is FOLDED into one
+    * [[graft.functions.ReplicateFoldAgg]] state of 2·`reps` longs per
+    * task (no ×reps row materialization — r15); the exceed judgment
+    * joins `reps` rows against the broadcast 1-row observed stats.
+    * Returns one row
     * `(n_rows, n_a, n_b, reps_eff, diff_q6, p_ppm)`. */
   def permTest(
       df: DataFrame,

@@ -507,30 +507,26 @@ object graph {
     }
     var hub = nodes.withColumn("hub", lit(scale))
     var auth = nodes.withColumn("auth", lit(scale))
-    // Cut schedule (r15): an eager localCheckpoint is a blocking job,
-    // and cutting EVERY half-step paid 2·iters barriers for lineage
-    // that only needs truncating every other round. A mid-loop score
-    // is consumed exactly ONCE (by the next half-step), so leaving it
-    // uncut folds its subtree into the next cut's job — no recompute;
-    // only the FINAL auth/hub are consumed twice (next half-step/out
-    // join), so the last round always cuts. Lineage depth between cuts
-    // stays ≤ 2 rounds (the every-2nd rule), bounded for any `iters`.
-    for (i <- 0 until iters) {
-      val last = i == iters - 1
+    // Per-HALF-STEP cuts are load-bearing here, unlike pageRank's
+    // every-2nd-round schedule: `rescale` consumes its input TWICE
+    // (the max aggregate and the main branch of the cross join), so an
+    // uncut half-step recomputes its whole subtree — compounding
+    // 2^depth across rounds (measured: the every-2nd schedule made
+    // graph_hits 5.6 → 9.4 s while the single-consumer loops improved;
+    // OPTIMIZATION_r15.md change 2).
+    for (_ <- 0 until iters) {
       val aRaw = nodes
         .join(e.join(hub.select(col("id").as("src"), col("hub")), "src")
           .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("auth")),
           Seq("id"), "left")
         .select(col("id"), coalesce(col("auth"), lit(0L)).as("auth"))
-      auth = rescale(aRaw, "auth")
-      if (last) auth = ckpt.cut(auth)
+      auth = ckpt.cut(rescale(aRaw, "auth"))
       val hRaw = nodes
         .join(e.join(auth.select(col("id").as("dst"), col("auth")), "dst")
           .groupBy(col("src").as("id")).agg(sum(col("auth")).as("hub")),
           Seq("id"), "left")
         .select(col("id"), coalesce(col("hub"), lit(0L)).as("hub"))
-      hub = rescale(hRaw, "hub")
-      if (last || i % 2 == 1) hub = ckpt.cut(hub)
+      hub = ckpt.cut(rescale(hRaw, "hub"))
     }
     val out = nodes
       .join(hub, "id").join(auth, "id")
