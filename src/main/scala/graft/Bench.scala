@@ -79,6 +79,21 @@ object Bench {
     val listener =
       if (phasesOn) Some(graft.core.GraftStatsListener.attach(spark)) else None
     val phaseJson = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Per-query JOB/STAGE/TASK/SPILL counts (r15 verdict item 3): a
+    // SparkListener on the scheduler bus makes barrier-reduction
+    // optimizations (checkpoint schedules, lazy trainer cuts) and spill
+    // pathologies artifact-verifiable — `.explain` cannot show blocking
+    // job counts, and the r15 dedup_spans_removed 16 s outlier had no
+    // spill evidence in any artifact. Counts are reset per timed run and
+    // the LAST successful run's snapshot is kept (plans are
+    // deterministic, so every run has the same job count; the last run
+    // is also the one min-of-N timing usually comes from, being warm).
+    // ON by default; SPARK_GRAFT_JOBCOUNTS=0 disables.
+    val jobCountsOn = !sys.env.get("SPARK_GRAFT_JOBCOUNTS").contains("0")
+    val jcListener =
+      if (jobCountsOn) Some(graft.core.GraftJobCountListener.attach(spark))
+      else None
+    val jobJson = scala.collection.mutable.LinkedHashMap[String, String]()
     // Untimed warmup: initialize codegen, shuffle machinery, and the
     // vectorized parquet reader once, so the first timed query measures
     // steady-state execution rather than one-time JVM/session setup
@@ -206,10 +221,13 @@ object Bench {
       // all fail must record no phases at all, not stale ones)
       listener.foreach(_.reset())
       val times = (0 until math.max(1, runs)).flatMap { _ =>
+        jcListener.foreach(_.reset())
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
+          val dt = (System.nanoTime() - t0) / 1e9
+          jcListener.foreach(l => jobJson(name) = l.snapshot().json)
+          Some(dt)
         } catch {
           case t: Throwable =>
             errors(name) = s"${t.getClass.getSimpleName}: " +
@@ -260,6 +278,14 @@ object Bench {
         }
       }
     }
+    // Queries whose KEPT measurement still carries a load stamp >= 2.0
+    // after the retry pass: their numbers are stamped invalid-for-
+    // comparison (r15 verdict item 1 — six "regressed" rows and a 16 s
+    // outlier in BENCH_r15 were exactly such contended measurements).
+    val contended: Seq[String] = results.keys.toSeq.filter { n =>
+      qLoads.get(n).flatMap(v => scala.util.Try(v.toDouble).toOption)
+        .exists(_ >= 2.0)
+    }
     val ok = results.filter(_._2 >= 0)
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
     // Like-for-like comparable vs the 51.99 s round-1 recording: the
@@ -304,6 +330,16 @@ object Bench {
         .mkString("{", ",", "}")
       val fams = familyTotals.map { case (f, v) => "\"" + f + "\":" + v }
         .mkString("{", ",", "}")
+      val jobs =
+        if (jobJson.isEmpty) ""
+        else jobJson.map { case (k, v) => "\"" + k + "\":" + v }
+          .mkString(""","jobcounts":{""", ",", "}")
+      // Per-query VALIDITY stamp (r15 verdict item 1): a query whose
+      // KEPT number was still measured under ambient load >= 2.0 even
+      // after the end-of-suite retry is named here — its row in
+      // "queries" is a contended measurement, not a plan fact.
+      val contendedList = contended
+        .map(n => "\"" + n + "\"").mkString("[", ",", "]")
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},""" +
         s""""sec_per_query":$perQuery,"core_total":$coreTotal,"core_n":${core.size},""" +
         s""""core_total_clean":$coreCleanTotal,"core_clean_n":${coreClean.size},""" +
@@ -313,9 +349,10 @@ object Bench {
         s""""load1_after_clean":"$load1AfterClean",""" +
         s""""runs":$runs,""" +
         s""""retried":$retries,""" +
+        s""""contended":$contendedList,""" +
         s""""families":$fams,""" +
         s""""loadavg_start":"$loadStart","loadavg_end":"$loadEnd",""" +
-        s""""queries":$qs,"loads":$allLoads,"errors":$errs$phases,"sf":"$sfDir"}"""
+        s""""queries":$qs,"loads":$allLoads,"errors":$errs$phases$jobs,"sf":"$sfDir"}"""
     }
     // Partial runs (SPARK_GRAFT_ONLY / SPARK_GRAFT_FAMILIES) must not
     // clobber the committed full-suite artifact: a round-13 isolated
@@ -393,7 +430,7 @@ object Bench {
         s""""core_total_clean":${fmt(coreCleanTotal, 3)},"core_clean_n":${coreClean.size},""" +
         s""""core_clean_load1_max":${fmt(coreCleanLoadMax, 2)},""" +
         s""""core_clean_attempts":${cleanAttemptLoads.size},""" +
-        s""""retried_n":${retriedLoads.size},""" +
+        s""""retried_n":${retriedLoads.size},"contended_n":${contended.size},""" +
         s""""load1_start":"${loadStart.split(" ").head}","load1_end":"${loadEnd.split(" ").head}",""" +
         s""""families":$fams,""" +
         s""""queries":${shown.mkString("{", ",", "}")}$phasesTop$loadsTop$errs,"sf":"$sfName"}"""

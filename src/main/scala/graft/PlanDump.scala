@@ -31,9 +31,14 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))
     SparkEntry.prebuildIndexes(spark, sfDir)
+    // A fully failing capture run must not exit 0 (CI/scripts would
+    // read it as success): count failures and unknown names, exit 1.
+    var failed = 0
     names.foreach { name =>
       SparkEntry.queries.get(name) match {
-        case None => System.err.println(s"[plandump] unknown query: $name")
+        case None =>
+          System.err.println(s"[plandump] unknown query: $name")
+          failed += 1
         case Some(fn) =>
           try {
             val df = fn(spark, sfDir)
@@ -44,9 +49,14 @@ object PlanDump {
           } catch {
             case e: Throwable =>
               System.err.println(s"[plandump] $name failed: ${e.getMessage}")
+              failed += 1
           }
       }
     }
     spark.stop()
+    if (failed > 0) {
+      System.err.println(s"[plandump] $failed of ${names.size} dumps failed")
+      sys.exit(1)
+    }
   }
 }

@@ -175,6 +175,90 @@ final class GraftStatsListener(trackRowGroups: Boolean = false)
     last.set(None)
 }
 
+/** Snapshot of one query's scheduler-side counters: blocking job count,
+  * stages, tasks, spill and shuffle bytes. Jobs/stages are what
+  * `.explain` CANNOT show — checkpoint-schedule and lazy-cut
+  * optimizations change exactly these (r15 verdict: "barrier-reduction
+  * claims are currently unfalsifiable from artifacts"). */
+final case class GraftJobCounts(
+    jobs: Long, stages: Long, tasks: Long,
+    memSpilledBytes: Long, diskSpilledBytes: Long,
+    shuffleWriteBytes: Long, shuffleReadBytes: Long) {
+  def json: String =
+    s"""{"jobs":$jobs,"stages":$stages,"tasks":$tasks,""" +
+      s""""spill_mem_mb":${memSpilledBytes / 1048576},""" +
+      s""""spill_disk_mb":${diskSpilledBytes / 1048576},""" +
+      s""""shuffle_write_mb":${shuffleWriteBytes / 1048576},""" +
+      s""""shuffle_read_mb":${shuffleReadBytes / 1048576}}"""
+}
+
+/** Scheduler-bus counter for per-query job/stage/task/spill totals
+  * (SparkListener, not QueryExecutionListener: an action's blocking
+  * sub-jobs — checkpoint cuts, range-partition sampling, broadcast
+  * builds — never surface as separate QueryExecutions). Reset before a
+  * timed run, snapshot after; `snapshot` waits (bounded) for the async
+  * bus to drain job-end events so a just-finished action's counts are
+  * attributed to it and not the next query. */
+final class GraftJobCountListener extends org.apache.spark.scheduler.SparkListener {
+  import java.util.concurrent.atomic.AtomicLong
+  private val jobsStarted = new AtomicLong(0)
+  private val jobsEnded = new AtomicLong(0)
+  private val stagesCompleted = new AtomicLong(0)
+  private val tasksCompleted = new AtomicLong(0)
+  private val memSpilled = new AtomicLong(0)
+  private val diskSpilled = new AtomicLong(0)
+  private val shufWrite = new AtomicLong(0)
+  private val shufRead = new AtomicLong(0)
+
+  override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+    jobsStarted.incrementAndGet(); ()
+  }
+  override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+    jobsEnded.incrementAndGet(); ()
+  }
+  override def onStageCompleted(
+      e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+    stagesCompleted.incrementAndGet(); ()
+  }
+  override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+    tasksCompleted.incrementAndGet()
+    val m = e.taskMetrics
+    if (m != null) {
+      memSpilled.addAndGet(m.memoryBytesSpilled)
+      diskSpilled.addAndGet(m.diskBytesSpilled)
+      shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      ()
+    }
+  }
+
+  def reset(): Unit = {
+    jobsStarted.set(0); jobsEnded.set(0); stagesCompleted.set(0)
+    tasksCompleted.set(0); memSpilled.set(0); diskSpilled.set(0)
+    shufWrite.set(0); shufRead.set(0)
+  }
+
+  /** Wait (bounded) until every started job has ended on the async bus,
+    * then snapshot the counters. */
+  def snapshot(maxWaitMs: Int = 2000): GraftJobCounts = {
+    var waited = 0
+    while (jobsEnded.get() < jobsStarted.get() && waited < maxWaitMs) {
+      Thread.sleep(20); waited += 20
+    }
+    GraftJobCounts(jobsStarted.get(), stagesCompleted.get(),
+      tasksCompleted.get(), memSpilled.get(), diskSpilled.get(),
+      shufWrite.get(), shufRead.get())
+  }
+}
+
+object GraftJobCountListener {
+  def attach(spark: SparkSession): GraftJobCountListener = {
+    val l = new GraftJobCountListener()
+    spark.sparkContext.addSparkListener(l)
+    l
+  }
+}
+
 object GraftStatsListener {
   /** AQE's empty-relation propagation DELETES `observe()` CollectMetrics
     * nodes along with the empty subtree it replaces — which is exactly

@@ -69,7 +69,12 @@ object aggregates {
     * count). Bit-identical to the explode form: same affine family,
     * same wrap-on-overflow long sums. */
   def permFoldAgg(h: Column, x: Column, reps: Int): Column =
-    column(ReplicateFoldAgg(expression(h), expression(x),
+    // children cast to long at the API boundary: update() does
+    // asInstanceOf[Long], so an int/double caller would otherwise hit a
+    // runtime ClassCastException instead of an analysis-time cast (the
+    // casts are no-ops — removed by SimplifyCasts — when already long)
+    column(ReplicateFoldAgg(expression(h.cast("long")),
+        expression(x.cast("long")),
         expression(org.apache.spark.sql.functions.lit(1L)), reps, Nil)
       .toAggregateExpression())
 
@@ -79,7 +84,8 @@ object aggregates {
     * aggregate state. Pass `d = lit(1)` for plain weight sums. */
   def bootFoldAgg(h: Column, x: Column, d: Column, reps: Int,
       cdfPpm: Seq[Long]): Column =
-    column(ReplicateFoldAgg(expression(h), expression(x), expression(d),
+    column(ReplicateFoldAgg(expression(h.cast("long")),
+        expression(x.cast("long")), expression(d.cast("long")),
         reps, cdfPpm)
       .toAggregateExpression())
 }
@@ -112,6 +118,13 @@ case class ReplicateFoldAgg(
 
   require(reps >= 1 && reps <= 65536,
     s"graft: ReplicateFoldAgg needs 1 <= reps <= 65536, got $reps")
+  // the weight loop `while (cdf(k) <= u) k += 1` is a prefix scan —
+  // only equivalent to the documented #{k : cdf_k <= u} when the cdf is
+  // monotone nondecreasing; fail loudly at construction, not silently
+  // undercount at runtime
+  require(poissonCdfPpm.isEmpty ||
+      poissonCdfPpm.sliding(2).forall(w => w.size < 2 || w(0) <= w(1)),
+    "graft: ReplicateFoldAgg poissonCdfPpm must be monotone nondecreasing")
 
   private val cdf: Array[Long] = poissonCdfPpm.toArray
 
