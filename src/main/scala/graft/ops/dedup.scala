@@ -697,15 +697,31 @@ object dedup {
       .select(col(idCol).cast("long").as("_id"),
         graft.ops.text.tokens(col(textCol)).as("_toks"))
       .where(size(col("_toks")) >= lit(5 + levels.max) && col("_id") < Stride)
-    val planted = levels.map { lvl =>
-      val subs = array((1 to lvl).map(i => lit(s"xsub${i}x")): _*)
-      base.select((col("_id") + lit(lvl * Stride)).as("_id"),
-        concat(slice(col("_toks"), 1, 4), subs,
-          slice(col("_toks"), lit(5 + lvl),
-            size(col("_toks")) - lit(4 + lvl))).as("_toks"))
-    }.reduce(_ unionByName _)
-    val corpus = base.unionByName(planted)
-      .select(col("_id"), array_join(col("_toks"), " ").as("_text"))
+    // All plant levels in ONE pass over base: explode the levels literal
+    // and derive each level's substitution run and slice bounds from the
+    // exploded value — same rows as the previous per-level union (the
+    // substitution tokens are concat("xsub", i, "x") with i rendered
+    // identically to the old string literals), but the corpus scan +
+    // tokenize runs once instead of once per level. The per-level-branch
+    // form re-scanned and re-tokenized `documents` once per union leg,
+    // and the detector's three consumers of the corpus (banding, both
+    // rerank gram sides) multiplied that again — 32 parquet scans in the
+    // before-plan (plans/r16/dedup_minhash_recall_before.txt).
+    val planted = base
+      .select(col("_id"), col("_toks"),
+        explode(array(levels.map(l => lit(l)): _*)).as("_lvl"))
+      .select((col("_id") + col("_lvl").cast("long") * lit(Stride)).as("_id"),
+        concat(slice(col("_toks"), lit(1), lit(4)),
+          transform(sequence(lit(1), col("_lvl")),
+            i => concat(lit("xsub"), i.cast("string"), lit("x"))),
+          slice(col("_toks"), col("_lvl") + lit(5),
+            size(col("_toks")) - (col("_lvl") + lit(4)))).as("_toks"))
+    // materialize the THIN (id, text) corpus once (the funnel-corpus
+    // precedent): it feeds the detector's banding pass and both rerank
+    // gram sides, each of which would otherwise re-derive the whole
+    // plant pipeline from parquet
+    val corpus = ckpt.cut(base.unionByName(planted)
+      .select(col("_id"), array_join(col("_toks"), " ").as("_text")))
     // the planted-alignment gate rides INTO the pair generator: only
     // (base, its-own-planted-copy) candidates reach the Jaccard rerank —
     // cross-level and noise candidates (the majority on this clone-dense
@@ -722,7 +738,10 @@ object dedup {
     val lv = spark.createDataFrame(
       java.util.Arrays.asList(levels.sorted.map(l => Row(l.toLong)): _*),
       StructType(Seq(StructField("level", LongType, nullable = false))))
-    lv.crossJoin(broadcast(base.agg(count(lit(1)).as("n_planted"))))
+    // plantable-doc count read off the cut corpus (base rows are exactly
+    // the _id < Stride rows), not a fresh scan+tokenize of the input
+    lv.crossJoin(broadcast(corpus.where(col("_id") < Stride)
+      .agg(count(lit(1)).as("n_planted"))))
       .join(det, Seq("level"), "left")
       .withColumn("n_detected", coalesce(col("n_detected"), lit(0L)))
       // empty plantable corpus -> recall 0, not an ANSI divide-by-zero

@@ -561,11 +561,21 @@ object graph {
       maxBasket: Long = 1000L,
       minCount: Long = 1L): DataFrame = {
     require(maxBasket >= 2, s"graft: bipartiteProject needs maxBasket >= 2, got $maxBasket")
+    // ONE basket-keyed shuffle for the whole pipeline: repartition(_bk)
+    // FIRST, then dedup — HashPartitioning(_bk) satisfies the (_bk,_it)
+    // clustering the dedup aggregate requires, so no second exchange, and
+    // the identical repartition subtree under both consumers (size screen,
+    // set aggregate) is deduped by runtime exchange reuse. The previous
+    // `distinct().repartition(_bk)` form planned TWO exchanges per
+    // consumer ((bk,it) dedup + bk repartition) and the optimizer pushed
+    // the anti-join below one of the distincts, breaking subtree reuse —
+    // the before-plan shows the membership table scanned and shuffled
+    // twice (plans/r16/graph_bipartite_before.txt: 5 Exchanges, 2 scans).
     val m = df
       .select(col(basketCol).as("_bk"), col(itemCol).as("_it"))
       .where(col("_bk").isNotNull && col("_it").isNotNull)
-      .distinct()
       .repartition(col("_bk"))
+      .dropDuplicates("_bk", "_it")
     val hot = m.groupBy(col("_bk"))
       .agg(count(lit(1)).as("_sz")).where(col("_sz") > maxBasket)
       .observe("bipartite_basket_drop", count(lit(1)).as("baskets_dropped"))

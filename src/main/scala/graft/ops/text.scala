@@ -1503,7 +1503,7 @@ object text {
     // corpus trigram grid, lineage-cut: three independent consumers
     // (the (t1,t2) window, the continuation grid, the join back) must
     // reread GRID rows, not re-shuffle the corpus (cohenKappa rule)
-    val c3 = ckpt.cut(tf3.groupBy(col("t1"), col("t2"), col("t3"))
+    val c3 = ckpt.cutLazy(tf3.groupBy(col("t1"), col("t2"), col("t3"))
       .agg(sum(col("tf")).as("c3")))
     val w12 = Window.partitionBy(col("t1"), col("t2"))
     val ctx = c3
@@ -1511,7 +1511,7 @@ object text {
       .withColumn("n1p12", count(lit(1)).over(w12))
     // continuation grid: rows of c3 grouped by (t2,t3) count DISTINCT
     // predecessors; windows over t2 give N1+(·v·) and N1+(v·)
-    val g23 = ckpt.cut(c3.groupBy(col("t2"), col("t3"))
+    val g23 = ckpt.cutLazy(c3.groupBy(col("t2"), col("t3"))
       .agg(count(lit(1)).as("cvw")))
     val w2 = Window.partitionBy(col("t2"))
     val cont = g23
